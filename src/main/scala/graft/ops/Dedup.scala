@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.Tables
+import graft.dedup._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup (entity-resolution) queries over the driver's test tables —
+  * the reference's flagship semantics re-targeted at `customer`
+  * (FIXTURES.md §2 steers dedup-style queries at c_name / c_nationkey so
+  * the DuckDB oracle stays expressible via its `levenshtein()`).
+  */
+object Dedup {
+
+  /** Blocking fn #1 = nation key (priority), #2 = last two chars of the name
+    * (overlapping, so the exactly-once guard is actually exercised); three
+    * features mirroring the reference comparator kinds (Levenshtein ×2 +
+    * numeric diff).
+    */
+  val customerConfig: DedupConfig = DedupConfig(
+    idColumn = "c_custkey",
+    blockingKeys = Seq(col("c_nationkey"), expr("right(c_name, 2)")),
+    features = Seq(
+      Feature("name_sim", "c_name", Comparators.levSim),
+      Feature("seg_sim", "c_mktsegment", Comparators.levSim),
+      Feature("bal_diff", "c_acctbal", (a, b) => abs(a - b))
+    ))
+
+  /** Declarative (inverted-index self-join) variant — the Catalyst-planned
+    * physical strategy. */
+  def pairsNaive(spark: SparkSession, sfDir: String): DataFrame =
+    DedupPipeline
+      .pairFeatures(Tables(spark, sfDir, "customer"), customerConfig)
+      .orderBy("id1", "id2")
+
+  val pairsOracleSql: String = """
+    WITH bkv AS (
+      SELECT c_custkey AS id, 1 AS k, trim(CAST(c_nationkey AS VARCHAR)) AS v FROM customer
+      UNION ALL
+      SELECT c_custkey, 2, trim(right(c_name, 2)) FROM customer
+    ), pair AS (
+      SELECT a.id AS id1, b.id AS id2
+      FROM bkv a JOIN bkv b ON a.k = b.k AND a.v = b.v AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT p.id1, p.id2,
+      CASE WHEN length(trim(t1.c_name)) = 0 AND length(trim(t2.c_name)) = 0 THEN 1.0
+           ELSE 1.0 - CAST(levenshtein(trim(t1.c_name), trim(t2.c_name)) AS DOUBLE)
+                / greatest(length(trim(t1.c_name)), length(trim(t2.c_name))) END AS name_sim,
+      CASE WHEN length(trim(t1.c_mktsegment)) = 0 AND length(trim(t2.c_mktsegment)) = 0 THEN 1.0
+           ELSE 1.0 - CAST(levenshtein(trim(t1.c_mktsegment), trim(t2.c_mktsegment)) AS DOUBLE)
+                / greatest(length(trim(t1.c_mktsegment)), length(trim(t2.c_mktsegment))) END AS seg_sim,
+      abs(t1.c_acctbal - t2.c_acctbal) AS bal_diff
+    FROM pair p
+    JOIN customer t1 ON p.id1 = t1.c_custkey
+    JOIN customer t2 ON p.id2 = t2.c_custkey
+    ORDER BY p.id1, p.id2
+  """
+}
