@@ -16,13 +16,45 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_pairs" -> (Dedup.pairsNaive _),
-    "q1_agg" -> (Relational.q1Agg _)
+    "dedup_pairs_triangle" -> (Dedup.pairsTriangle _),
+    "q1_agg" -> (Relational.q1Agg _),
+    "q2_region_revenue" -> (Relational.q2RegionRevenue _),
+    "q3_priority_revenue" -> (Relational.q3PriorityRevenue _),
+    "q4_semi_join" -> (Relational.q4SemiJoin _),
+    "q5_anti_join" -> (Relational.q5AntiJoin _),
+    "q6_left_join_agg" -> (Relational.q6LeftJoinAgg _),
+    "q7_window_topn" -> (Relational.q7WindowTopN _),
+    "q8_window_running" -> (Relational.q8WindowRunning _),
+    "q9_rollup" -> (Relational.q9Rollup _),
+    "q10_cube" -> (Relational.q10Cube _),
+    "q11_distinct_agg" -> (Relational.q11DistinctAgg _),
+    "q12_topk" -> (Relational.q12TopK _),
+    "q13_setops" -> (Relational.q13SetOps _),
+    "q14_scalar_fns" -> (Relational.q14ScalarFns _),
+    "q15_json" -> (Relational.q15Json _),
+    "q16_distinct" -> (Relational.q16Distinct _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "dedup_pairs" -> Dedup.pairsOracleSql,
-    "q1_agg" -> Relational.q1AggSql
+    "dedup_pairs_triangle" -> Dedup.pairsOracleSql,
+    "q1_agg" -> Relational.q1AggSql,
+    "q2_region_revenue" -> Relational.q2RegionRevenueSql,
+    "q3_priority_revenue" -> Relational.q3PriorityRevenueSql,
+    "q4_semi_join" -> Relational.q4SemiJoinSql,
+    "q5_anti_join" -> Relational.q5AntiJoinSql,
+    "q6_left_join_agg" -> Relational.q6LeftJoinAggSql,
+    "q7_window_topn" -> Relational.q7WindowTopNSql,
+    "q8_window_running" -> Relational.q8WindowRunningSql,
+    "q9_rollup" -> Relational.q9RollupSql,
+    "q10_cube" -> Relational.q10CubeSql,
+    "q11_distinct_agg" -> Relational.q11DistinctAggSql,
+    "q12_topk" -> Relational.q12TopKSql,
+    "q13_setops" -> Relational.q13SetOpsSql,
+    "q14_scalar_fns" -> Relational.q14ScalarFnsSql,
+    "q15_json" -> Relational.q15JsonSql,
+    "q16_distinct" -> Relational.q16DistinctSql
   )
 }

@@ -33,6 +33,14 @@ object Dedup {
       .pairFeatures(Tables(spark, sfDir, "customer"), customerConfig)
       .orderBy("id1", "id2")
 
+  /** Triangle (skew-managed) physical variant — same pair set and features
+    * as [[pairsNaive]], so it shares the same oracle; k=32 mirrors the
+    * local[32] execution slots. */
+  def pairsTriangle(spark: SparkSession, sfDir: String): DataFrame =
+    TrianglePipeline
+      .pairFeatures(Tables(spark, sfDir, "customer"), customerConfig, k = 32)
+      .orderBy("id1", "id2")
+
   val pairsOracleSql: String = """
     WITH bkv AS (
       SELECT c_custkey AS id, 1 AS k, trim(CAST(c_nationkey AS VARCHAR)) AS v FROM customer

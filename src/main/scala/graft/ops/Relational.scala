@@ -8,20 +8,32 @@ import org.apache.spark.sql.functions._
   * 2.6/2.7 generalized): each query is a DataFrame program with a DuckDB
   * oracle. Aggregate parity policy: sums over doubles are computed in exact
   * DECIMAL (associative — safe under any shuffle/partial-agg order) and cast
-  * to DOUBLE at the end so both engines emit identical bits.
+  * to DOUBLE at the end so both engines emit identical bits. Window sums use
+  * the same trick (DuckDB evaluates window aggregates with segment trees, so
+  * double addition order differs from Spark's running fold — decimal is
+  * order-insensitive). Timestamps are surfaced as DATE or epoch seconds to
+  * dodge tz-typing mismatches between the two engines.
+  *
+  * Scale notes are per-query: dimension joins broadcast, fact-fact joins
+  * shuffle on the join key and rely on AQE for skew/coalescing.
   */
 object Relational {
 
-  /** TPC-H Q1-shaped scan+filter+hash-aggregate over the fact table. */
+  private def dec(c: String, p: Int = 18, s: Int = 2) =
+    col(c).cast(s"decimal($p,$s)")
+
+  /** TPC-H Q1-shaped scan+filter+hash-aggregate over the fact table.
+    * Partial aggregation (map-side combine) collapses 32 shuffle partitions'
+    * worth of input to ~6 groups before the exchange. */
   def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("count_order"),
-        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(14,2)")).cast("double").as("sum_base_price"),
-        sum(col("l_extendedprice").cast("decimal(14,2)") *
-          (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+        sum(dec("l_quantity", 12)).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice", 14)).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice", 14) *
+          (lit(1).cast("decimal(3,2)") - dec("l_discount", 4)))
           .cast("double").as("sum_disc_price"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -34,6 +46,305 @@ object Relational {
                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
-    ORDER BY l_returnflag, l_linestatus
+  """
+
+  /** Star join: fact ⋈ three dimensions. nation/region are tiny — Catalyst
+    * auto-broadcasts them (≤10 MB); customer at 100 TB scale would be a
+    * shuffle join on o_custkey, which AQE handles. */
+  def q2RegionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables(spark, sfDir, "orders")
+    val customer = Tables(spark, sfDir, "customer")
+    val nation = Tables(spark, sfDir, "nation")
+    val region = Tables(spark, sfDir, "region")
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec("o_totalprice")).cast("double").as("revenue"))
+  }
+
+  val q2RegionRevenueSql: String = """
+    SELECT r_name, count(*) AS n_orders,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+  """
+
+  /** Fact-fact join (lineitem ⋈ orders): both sides large ⇒ shuffle join on
+    * the key; filter is pushed to the parquet scan. */
+  def q3PriorityRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(dec("l_extendedprice", 14) *
+          (lit(1).cast("decimal(3,2)") - dec("l_discount", 4)))
+          .cast("double").as("revenue"))
+
+  val q3PriorityRevenueSql: String = """
+    SELECT o_orderpriority, count(*) AS n_lines,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+               (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY o_orderpriority
+  """
+
+  /** Left-semi join: customers having at least one high-value order. */
+  def q4SemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val bigOrders = Tables(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 300000.0)
+    Tables(spark, sfDir, "customer")
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  val q4SemiJoinSql: String = """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+  """
+
+  /** Left-anti join: customers with no orders at all. */
+  def q5AntiJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "customer")
+      .join(Tables(spark, sfDir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  val q5AntiJoinSql: String = """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  """
+
+  /** Left outer join + aggregate: per-customer order count/total including
+    * order-less customers (count(o_orderkey) skips nulls in both engines). */
+  def q6LeftJoinAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "customer")
+      .join(Tables(spark, sfDir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(dec("o_totalprice")), lit(0).cast("decimal(18,2)"))
+          .cast("double").as("total_spent"))
+
+  val q6LeftJoinAggSql: String = """
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+      CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+  """
+
+  /** Ranking window: top-3 orders per customer. The window shuffles once on
+    * the partition key; ties broken by o_orderkey so rank is total. */
+  def q7WindowTopN(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables(spark, sfDir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+  }
+
+  val q7WindowTopNSql: String = """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders)
+    WHERE rk <= 3
+  """
+
+  /** Analytic window: running total (exact decimal — DuckDB's segment-tree
+    * window evaluation reorders double addition) and lag per customer. */
+  def q8WindowRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables(spark, sfDir, "orders")
+      .withColumn("running_total",
+        sum(dec("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("running_total"), col("prev_price"))
+  }
+
+  val q8WindowRunningSql: String = """
+    SELECT o_custkey, o_orderkey,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price
+    FROM orders
+  """
+
+  /** ROLLUP hierarchy aggregate with grouping indicators. */
+  def q9Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).as("g_flag"),
+        grouping(col("l_linestatus")).as("g_status"),
+        count(lit(1)).as("n"),
+        sum(dec("l_quantity", 12)).cast("double").as("sum_qty"))
+
+  val q9RollupSql: String = """
+    SELECT l_returnflag, l_linestatus,
+      GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+      count(*) AS n,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+  """
+
+  /** CUBE over two independent dimensions. */
+  def q10Cube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec("o_totalprice")).cast("double").as("revenue"))
+
+  val q10CubeSql: String = """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+  """
+
+  /** Distinct aggregates: per-flag distinct part/supplier counts (expand +
+    * two-phase aggregation under the hood). */
+  def q11DistinctAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_lines"))
+
+  val q11DistinctAggSql: String = """
+    SELECT l_returnflag,
+      count(DISTINCT l_partkey) AS n_parts,
+      count(DISTINCT l_suppkey) AS n_supps,
+      count(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+  """
+
+  /** Global top-k: Catalyst plans orderBy+limit as TakeOrderedAndProject —
+    * each partition keeps k rows, driver merges; no global sort at scale. */
+  def q12TopK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  val q12TopKSql: String = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+  """
+
+  /** Set operations: customers active in Jan-2024 vs Feb-2024 —
+    * INTERSECT / EXCEPT (distinct set semantics in both engines) + UNION. */
+  def q13SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables(spark, sfDir, "orders")
+    def monthCust(m: Int) = orders
+      .filter(month(col("o_orderdate")) === m && year(col("o_orderdate")) === 2024)
+      .select(col("o_custkey"))
+    val jan = monthCust(1)
+    val feb = monthCust(2)
+    val both = jan.intersect(feb).agg(count(lit(1)).as("n")).withColumn("cohort", lit("both"))
+    val janOnly = jan.except(feb).agg(count(lit(1)).as("n")).withColumn("cohort", lit("jan_only"))
+    val febOnly = feb.except(jan).agg(count(lit(1)).as("n")).withColumn("cohort", lit("feb_only"))
+    val either = jan.union(feb).distinct().agg(count(lit(1)).as("n")).withColumn("cohort", lit("either"))
+    both.union(janOnly).union(febOnly).union(either).select(col("cohort"), col("n"))
+  }
+
+  val q13SetOpsSql: String = """
+    WITH jan AS (SELECT o_custkey FROM orders
+                 WHERE month(o_orderdate) = 1 AND year(o_orderdate) = 2024),
+         feb AS (SELECT o_custkey FROM orders
+                 WHERE month(o_orderdate) = 2 AND year(o_orderdate) = 2024)
+    SELECT 'both' AS cohort, count(*) AS n FROM (SELECT * FROM jan INTERSECT SELECT * FROM feb)
+    UNION ALL
+    SELECT 'jan_only', count(*) FROM (SELECT * FROM jan EXCEPT SELECT * FROM feb)
+    UNION ALL
+    SELECT 'feb_only', count(*) FROM (SELECT * FROM feb EXCEPT SELECT * FROM jan)
+    UNION ALL
+    SELECT 'either', count(*) FROM (SELECT * FROM jan UNION SELECT * FROM feb)
+  """
+
+  /** Scalar string/date function sampler — pure projection, stays inside one
+    * WholeStageCodegen span; dates surfaced as DATE/epoch for tz-safe parity. */
+  def q14ScalarFns(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders")
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("prio_upper"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        concat_ws("#", col("o_orderstatus"), col("o_orderpriority")).as("status_tag"),
+        length(col("o_orderpriority")).as("prio_len"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+
+  val q14ScalarFnsSql: String = """
+    SELECT o_orderkey,
+      upper(o_orderpriority) AS prio_upper,
+      substr(o_orderpriority, 1, 1) AS prio_code,
+      concat_ws('#', o_orderstatus, o_orderpriority) AS status_tag,
+      length(o_orderpriority) AS prio_len,
+      year(o_orderdate) AS o_year,
+      month(o_orderdate) AS o_month,
+      day(o_orderdate) AS o_day,
+      CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+    FROM orders
+  """
+
+  /** JSON extraction over the events.props payload + aggregate. */
+  def q15Json(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"))
+
+  val q15JsonSql: String = """
+    SELECT event_type, count(*) AS n,
+      min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY event_type
+  """
+
+  /** Multi-column distinct (dropDuplicates ⇒ hash aggregate on the pair). */
+  def q16Distinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"))
+      .dropDuplicates("c_nationkey", "c_mktsegment")
+
+  val q16DistinctSql: String = """
+    SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
   """
 }
