@@ -32,7 +32,11 @@ object SparkEntry {
     "q13_setops" -> (Relational.q13SetOps _),
     "q14_scalar_fns" -> (Relational.q14ScalarFns _),
     "q15_json" -> (Relational.q15Json _),
-    "q16_distinct" -> (Relational.q16Distinct _)
+    "q16_distinct" -> (Relational.q16Distinct _),
+    "q17_window_tumbling" -> (Events.q17WindowTumbling _),
+    "q18_window_sliding" -> (Events.q18WindowSliding _),
+    "q19_sessionize" -> (Events.q19Sessionize _),
+    "q20_hourly_uniques" -> (Events.q20HourlyUniques _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -55,6 +59,10 @@ object SparkEntry {
     "q13_setops" -> Relational.q13SetOpsSql,
     "q14_scalar_fns" -> Relational.q14ScalarFnsSql,
     "q15_json" -> Relational.q15JsonSql,
-    "q16_distinct" -> Relational.q16DistinctSql
+    "q16_distinct" -> Relational.q16DistinctSql,
+    "q17_window_tumbling" -> Events.q17WindowTumblingSql,
+    "q18_window_sliding" -> Events.q18WindowSlidingSql,
+    "q19_sessionize" -> Events.q19SessionizeSql,
+    "q20_hourly_uniques" -> Events.q20HourlyUniquesSql
   )
 }

@@ -1,0 +1,125 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time analytics over the `events` table — the batch formulations of
+  * the streaming operator surface (SURVEY.md §2.9): tumbling/sliding windows
+  * via the built-in `window()` generator, gap-based sessionization via
+  * analytic windows. Window starts are surfaced as epoch seconds (BIGINT) so
+  * parity with DuckDB's `time_bucket` needs no timestamp-typing agreement.
+  *
+  * The same transforms run unchanged under Structured Streaming
+  * (`readStream` + watermark) — see graft.streaming for that wiring; batch
+  * keeps them DuckDB-oracle-checkable.
+  */
+object Events {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+
+  /** Tumbling 10-minute windows: count + exact sum of `value` per
+    * (window, event_type). One shuffle on the composite key; the window
+    * struct is computed map-side (no generator explosion for tumbling). */
+  def q17WindowTumbling(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  val q17WindowTumblingSql: String = """
+    SELECT CAST(floor(epoch(time_bucket(INTERVAL '10 minutes', ts))) AS BIGINT) AS win_start,
+      event_type, count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+  """
+
+  /** Sliding windows (width 10 min, slide 5 min): each event lands in exactly
+    * two windows — Spark's `window()` generator replicates rows before the
+    * aggregate shuffle, the oracle unions two shifted tumbling passes. */
+  def q18WindowSliding(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("n"), col("sum_value"))
+
+  val q18WindowSlidingSql: String = """
+    WITH tagged AS (
+      SELECT CAST(floor(epoch(time_bucket(INTERVAL '5 minutes', ts))) AS BIGINT) AS b, value FROM events
+    ), exploded AS (
+      SELECT b AS win_start, value FROM tagged
+      UNION ALL
+      SELECT b - 300, value FROM tagged
+    )
+    SELECT win_start, count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM exploded
+    GROUP BY 1
+  """
+
+  /** Gap-based sessionization (30-min inactivity) with analytic windows:
+    * session boundaries via lag + running sum, then per-user session stats.
+    * Gap math runs on epoch seconds so both engines compare identical
+    * integers. At scale this is one shuffle on user_id reused by both window
+    * specs and the final aggregation (same partitioning). */
+  def q19Sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val events = Tables(spark, sfDir, "events")
+      .withColumn("eps", unix_timestamp(col("ts")))
+      .withColumn("gap", col("eps") - lag(col("eps"), 1).over(byUser))
+      .withColumn("is_new", when(col("gap") > 1800, 1).otherwise(0))
+      .withColumn("sess", sum(col("is_new"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    events
+      .groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("sess_events"),
+        (max(col("eps")) - min(col("eps"))).as("sess_secs"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("sess_events")).as("max_session_events"),
+        sum(col("sess_secs")).as("total_session_secs"))
+  }
+
+  val q19SessionizeSql: String = """
+    WITH e AS (
+      SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS eps FROM events
+    ), flagged AS (
+      SELECT user_id, eps, ts, event_id,
+        CASE WHEN eps - lag(eps) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+             THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ), numbered AS (
+      SELECT user_id, eps,
+        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, sess, count(*) AS sess_events,
+        max(eps) - min(eps) AS sess_secs
+      FROM numbered GROUP BY user_id, sess
+    )
+    SELECT user_id, count(*) AS n_sessions,
+      max(sess_events) AS max_session_events,
+      sum(sess_secs) AS total_session_secs
+    FROM sessions GROUP BY user_id
+  """
+
+  /** Hourly distinct users + volume — distinct-agg over an event-time bucket. */
+  def q20HourlyUniques(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "events")
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"))
+      .agg(
+        countDistinct(col("user_id")).as("uniques"),
+        count(lit(1)).as("n"))
+
+  val q20HourlyUniquesSql: String = """
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start,
+      count(DISTINCT user_id) AS uniques, count(*) AS n
+    FROM events
+    GROUP BY 1
+  """
+}
