@@ -36,7 +36,12 @@ object SparkEntry {
     "q17_window_tumbling" -> (Events.q17WindowTumbling _),
     "q18_window_sliding" -> (Events.q18WindowSliding _),
     "q19_sessionize" -> (Events.q19Sessionize _),
-    "q20_hourly_uniques" -> (Events.q20HourlyUniques _)
+    "q20_hourly_uniques" -> (Events.q20HourlyUniques _),
+    "q21_token_stats" -> (TextOps.q21TokenStats _),
+    "q22_quality_score" -> (TextOps.q22QualityScore _),
+    "q23_langid" -> (TextOps.q23LangId _),
+    "q24_fingerprint" -> (TextOps.q24Fingerprint _),
+    "q25_exact_dedup" -> (TextOps.q25ExactDedup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -63,6 +68,11 @@ object SparkEntry {
     "q17_window_tumbling" -> Events.q17WindowTumblingSql,
     "q18_window_sliding" -> Events.q18WindowSlidingSql,
     "q19_sessionize" -> Events.q19SessionizeSql,
-    "q20_hourly_uniques" -> Events.q20HourlyUniquesSql
+    "q20_hourly_uniques" -> Events.q20HourlyUniquesSql,
+    "q21_token_stats" -> TextOps.q21TokenStatsSql,
+    "q22_quality_score" -> TextOps.q22QualityScoreSql,
+    "q23_langid" -> TextOps.q23LangIdSql,
+    "q24_fingerprint" -> TextOps.q24FingerprintSql,
+    "q25_exact_dedup" -> TextOps.q25ExactDedupSql
   )
 }

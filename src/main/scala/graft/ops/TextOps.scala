@@ -1,0 +1,158 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline primitives (token counting, quality scoring, language ID,
+  * fingerprinting, exact dedup). Everything is Catalyst `Column` expressions
+  * (incl. higher-order array functions) — no UDFs, so the whole pipeline
+  * stays inside WholeStageCodegen and runs embarrassingly parallel over
+  * document partitions at any scale.
+  *
+  * Float policy: ratios are single IEEE divisions of integer-valued doubles
+  * and score formulas use the identical operation order in the DuckDB
+  * oracles, so results compare bitwise.
+  */
+object TextOps {
+
+  private val stopEn = Seq("the", "a", "of", "and", "to")
+  private def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** Token counting: whitespace tokens and BPE-ish regex tokens (letter runs,
+    * digit runs, single punctuation marks — a rough byte-pair-style
+    * pre-tokenizer). */
+  def q21TokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_measured"),
+        expr("""size(split(trim(text), '\\s+'))""").as("n_ws_tokens"),
+        expr("""size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))""")
+          .as("n_bpe_tokens"))
+
+  val q21TokenStatsSql: String = """
+    SELECT doc_id,
+      length(text) AS n_chars_measured,
+      len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+      len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+    FROM documents
+  """
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean token
+    * length, and a blended score — the standard pre-training corpus filters. */
+  def q22QualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .withColumn("n_chars_m", length(col("text")).cast("double"))
+      .withColumn("n_tokens",
+        expr("""size(split(trim(text), '\\s+'))""").cast("double"))
+      .withColumn("n_stop",
+        expr(s"""size(filter(split(trim(text), '\\\\s+'), x -> x IN ${inList(stopEn)}))""")
+          .cast("double"))
+      .withColumn("n_punct",
+        (length(col("text")) - length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
+          .cast("double"))
+      .select(
+        col("doc_id"),
+        (col("n_chars_m") / col("n_tokens")).as("mean_token_span"),
+        (col("n_stop") / col("n_tokens")).as("stopword_ratio"),
+        (col("n_punct") / col("n_chars_m")).as("punct_ratio"),
+        (col("n_stop") / col("n_tokens") * lit(2.0) +
+          when(col("n_chars_m") >= 200.0, 1.0).otherwise(0.0) -
+          col("n_punct") / col("n_chars_m") * lit(4.0)).as("quality_score"))
+
+  val q22QualityScoreSql: String = s"""
+    WITH x AS (
+      SELECT doc_id,
+        CAST(length(text) AS DOUBLE) AS n_chars_m,
+        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
+        CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x IN ${inList(stopEn)})) AS DOUBLE) AS n_stop,
+        CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct
+      FROM documents)
+    SELECT doc_id,
+      n_chars_m / n_tokens AS mean_token_span,
+      n_stop / n_tokens AS stopword_ratio,
+      n_punct / n_chars_m AS punct_ratio,
+      n_stop / n_tokens * 2.0 +
+        (CASE WHEN n_chars_m >= 200.0 THEN 1.0 ELSE 0.0 END) -
+        n_punct / n_chars_m * 4.0 AS quality_score
+    FROM x
+  """
+
+  /** Language ID via stopword-profile scoring (n-gram heuristic): count
+    * profile hits per language, argmax with a fixed tie order. */
+  def q23LangId(spark: SparkSession, sfDir: String): DataFrame = {
+    val profiles = Seq(
+      "en" -> Seq("the", "a", "of", "and", "to"),
+      "es" -> Seq("el", "la", "de", "y", "que"),
+      "de" -> Seq("der", "die", "und", "das", "ist"))
+    val base = Tables(spark, sfDir, "documents")
+      .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
+    val scored = profiles.foldLeft(base) { case (df, (lang, words)) =>
+      df.withColumn(s"s_$lang",
+        expr(s"size(filter(toks, x -> x IN ${inList(words)}))"))
+    }
+    scored.select(
+      col("doc_id"), col("lang").as("tagged_lang"),
+      col("s_en"), col("s_es"), col("s_de"),
+      when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+        .when(col("s_es") >= col("s_de"), "es")
+        .otherwise("de").as("pred_lang"))
+  }
+
+  val q23LangIdSql: String = """
+    WITH x AS (
+      SELECT doc_id, lang AS tagged_lang,
+        regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, tagged_lang,
+        len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS s_en,
+        len(list_filter(toks, x -> x IN ('el','la','de','y','que'))) AS s_es,
+        len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de
+      FROM x)
+    SELECT doc_id, tagged_lang, s_en, s_es, s_de,
+      CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+           WHEN s_es >= s_de THEN 'es'
+           ELSE 'de' END AS pred_lang
+    FROM s
+  """
+
+  /** Document fingerprinting: a polynomial rolling hash over the characters
+    * (mod 1e9+7) plus an md5 content digest — both portable expressions. */
+  def q24Fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        expr("""aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+                          CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % 1000000007)""")
+          .as("rolling_hash"),
+        md5(col("text")).as("content_md5"))
+
+  val q24FingerprintSql: String = """
+    SELECT doc_id,
+      list_reduce(
+        list_prepend(0::BIGINT,
+          list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+        (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash,
+      md5(text) AS content_md5
+    FROM documents
+  """
+
+  /** Exact near-duplicate removal: hash-groupBy on normalized content, keep
+    * the smallest doc_id as canonical. At 100 TB this is one shuffle on the
+    * 128-bit digest (uniform keys — no skew), with map-side partial agg. */
+  def q25ExactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .groupBy(md5(lower(trim(col("text")))).as("content_key"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("n_copies"))
+
+  val q25ExactDedupSql: String = """
+    SELECT md5(lower(trim(text))) AS content_key,
+      min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+  """
+}
