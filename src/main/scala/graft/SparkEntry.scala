@@ -41,7 +41,10 @@ object SparkEntry {
     "q22_quality_score" -> (TextOps.q22QualityScore _),
     "q23_langid" -> (TextOps.q23LangId _),
     "q24_fingerprint" -> (TextOps.q24Fingerprint _),
-    "q25_exact_dedup" -> (TextOps.q25ExactDedup _)
+    "q25_exact_dedup" -> (TextOps.q25ExactDedup _),
+    "q26_minhash_sig" -> (NearDup.q26MinhashSig _),
+    "q27_lsh_pairs" -> (NearDup.q27LshPairs _),
+    "q28_simhash" -> (NearDup.q28Simhash _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -73,6 +76,9 @@ object SparkEntry {
     "q22_quality_score" -> TextOps.q22QualityScoreSql,
     "q23_langid" -> TextOps.q23LangIdSql,
     "q24_fingerprint" -> TextOps.q24FingerprintSql,
-    "q25_exact_dedup" -> TextOps.q25ExactDedupSql
+    "q25_exact_dedup" -> TextOps.q25ExactDedupSql,
+    "q26_minhash_sig" -> NearDup.q26MinhashSigSql,
+    "q27_lsh_pairs" -> NearDup.q27LshPairsSql,
+    "q28_simhash" -> NearDup.q28SimhashSql
   )
 }

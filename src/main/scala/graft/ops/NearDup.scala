@@ -1,0 +1,173 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over `documents` — the scale path for corpus
+  * dedup: MinHash signatures, LSH band-bucket candidate generation, and
+  * SimHash bit-vote fingerprints (SURVEY.md §7 north-star ops).
+  *
+  * Everything is expressed with higher-order array functions over a portable
+  * 56-bit hash (`md5` hex prefix → BIGINT) so the SAME math runs in DuckDB —
+  * these queries get full value-level oracles, not rows-only checks.
+  *
+  * Scale shape (100 TB): signature computation is embarrassingly parallel
+  * (one pass, no shuffle); the only shuffle is the LSH band join, whose key
+  * (band, band-hash) is uniform by construction — the whole point of LSH
+  * banding is to turn a quadratic similarity join into an equi-join with
+  * bounded bucket sizes. No driver-side state anywhere.
+  */
+object NearDup {
+
+  /** 16 permutations, 4 bands × 4 rows: P(candidate) = 1-(1-j^4)^4. */
+  private val NumPerm = 16
+  private val NumBands = 4
+  private val RowsPerBand = 4
+
+  /** Word 3-gram shingles (distinct) per document; documents shorter than
+    * one shingle are dropped (both engines). Spark arrays are 0-indexed in
+    * SQL subscripts, DuckDB lists 1-indexed — the oracle shifts accordingly. */
+  private def shingled(df: DataFrame): DataFrame =
+    df.withColumn("toks", expr("""split(trim(text), '\\s+')"""))
+      .filter(expr("size(toks) >= 3"))
+      .withColumn("shingles", expr(
+        """array_distinct(transform(sequence(0, size(toks) - 3),
+          |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))""".stripMargin))
+
+  /** hash_sd(s): 56-bit portable hash of shingle `s` under seed `sd`. */
+  private val hashExpr =
+    "CAST(conv(substring(md5(concat(CAST(sd AS STRING), ':', s)), 1, 14), 16, 10) AS BIGINT)"
+
+  private def withSignature(df: DataFrame): DataFrame =
+    df.withColumn("sig", expr(
+      s"""transform(sequence(0, ${NumPerm - 1}),
+         |  sd -> array_min(transform(shingles, s -> $hashExpr)))""".stripMargin))
+
+  /** MinHash signatures: doc_id → 16-permutation signature vector. */
+  def q26MinhashSig(spark: SparkSession, sfDir: String): DataFrame =
+    withSignature(shingled(Tables(spark, sfDir, "documents")))
+      .select(col("doc_id"), col("sig"))
+
+  val q26MinhashSigSql: String = s"""
+    WITH sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          range(len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+          i -> regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+               regexp_split_to_array(trim(text), '\\s+')[i+2] || ' ' ||
+               regexp_split_to_array(trim(text), '\\s+')[i+3])) AS shingles
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3)
+    SELECT doc_id,
+      list_transform(range(${NumPerm}),
+        sd -> list_min(list_transform(shingles,
+          s -> ('0x' || substr(md5(sd::VARCHAR || ':' || s), 1, 14))::BIGINT))) AS sig
+    FROM sh
+  """
+
+  /** LSH band-bucket near-dup pairs: explode each signature into 4 banded
+    * md5 bucket keys, equi-join on (band, key), then score candidates with
+    * the signature-estimated Jaccard and the exact shingle Jaccard. */
+  def q27LshPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = withSignature(shingled(Tables(spark, sfDir, "documents")))
+      .select(col("doc_id"), col("sig"), col("shingles"))
+    val bands = sigs.select(
+      col("doc_id"),
+      explode(expr(
+        s"""transform(sequence(0, ${NumBands - 1}), b -> struct(b AS band,
+           |  md5(array_join(transform(slice(sig, b*$RowsPerBand + 1, $RowsPerBand),
+           |                           x -> CAST(x AS STRING)), '_')) AS bkey))""".stripMargin))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val pairs = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    pairs
+      .join(sigs.select(col("doc_id"), col("sig").as("sig1"), col("shingles").as("sh1")),
+        col("id1") === col("doc_id")).drop("doc_id")
+      .join(sigs.select(col("doc_id"), col("sig").as("sig2"), col("shingles").as("sh2")),
+        col("id2") === col("doc_id")).drop("doc_id")
+      .select(
+        col("id1"), col("id2"), col("n_shared_bands"),
+        (expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v))") /
+          lit(NumPerm.toDouble)).as("est_jaccard"),
+        (expr("size(array_intersect(sh1, sh2))").cast("double") /
+          expr("size(sh1) + size(sh2) - size(array_intersect(sh1, sh2))").cast("double"))
+          .as("true_jaccard"))
+  }
+
+  val q27LshPairsSql: String = s"""
+    WITH sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          range(len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+          i -> regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+               regexp_split_to_array(trim(text), '\\s+')[i+2] || ' ' ||
+               regexp_split_to_array(trim(text), '\\s+')[i+3])) AS shingles
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
+    sig AS (
+      SELECT doc_id, shingles,
+        list_transform(range(${NumPerm}),
+          sd -> list_min(list_transform(shingles,
+            s -> ('0x' || substr(md5(sd::VARCHAR || ':' || s), 1, 14))::BIGINT))) AS sig
+      FROM sh),
+    band AS (
+      SELECT doc_id, b,
+        md5(array_to_string(list_slice(sig, b*$RowsPerBand + 1, b*$RowsPerBand + $RowsPerBand), '_')) AS bkey
+      FROM sig, range($NumBands) t(b)),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared_bands
+      FROM band a JOIN band b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.id1, p.id2, p.n_shared_bands,
+      len(list_filter(list_zip(s1.sig, s2.sig), z -> z[1] = z[2])) / ${NumPerm}.0 AS est_jaccard,
+      CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+        CAST(len(s1.shingles) + len(s2.shingles) - len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+        AS true_jaccard
+    FROM pairs p
+    JOIN sig s1 ON p.id1 = s1.doc_id
+    JOIN sig s2 ON p.id2 = s2.doc_id
+  """
+
+  /** SimHash: 56-bit bit-vote fingerprint over distinct word tokens.
+    * Near-dup docs land within a small Hamming distance; at scale you pair
+    * via rotated-prefix banding, the same equi-join shape as LSH above. */
+  def q28Simhash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .withColumn("toks", expr("""array_distinct(split(trim(text), '\\s+'))"""))
+      .withColumn("th", expr(
+        "transform(toks, s -> CAST(conv(substring(md5(concat('0:', s)), 1, 14), 16, 10) AS BIGINT))"))
+      .select(
+        col("doc_id"),
+        expr(
+          """aggregate(sequence(0, 55), CAST(0 AS BIGINT), (acc, j) -> acc +
+            |  IF(aggregate(th, CAST(0 AS BIGINT),
+            |       (a, h) -> a + IF((shiftright(h, j) & 1) = 1,
+            |                        CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) >= 0,
+            |     shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin)
+          .as("simhash"))
+      .withColumn("n_bits", bit_count(col("simhash")))
+
+  val q28SimhashSql: String = """
+    WITH x AS (
+      SELECT doc_id,
+        list_transform(list_distinct(regexp_split_to_array(trim(text), '\s+')),
+          s -> ('0x' || substr(md5('0:' || s), 1, 14))::BIGINT) AS th
+      FROM documents)
+    SELECT doc_id,
+      list_reduce(list_prepend(0::BIGINT, range(56)), (acc, j) -> acc +
+        CASE WHEN list_reduce(list_prepend(0::BIGINT, th),
+                    (a, h) -> a + CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) >= 0
+             THEN (1::BIGINT << j) ELSE 0 END) AS simhash,
+      bit_count(list_reduce(list_prepend(0::BIGINT, range(56)), (acc, j) -> acc +
+        CASE WHEN list_reduce(list_prepend(0::BIGINT, th),
+                    (a, h) -> a + CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) >= 0
+             THEN (1::BIGINT << j) ELSE 0 END)) AS n_bits
+    FROM x
+  """
+}
