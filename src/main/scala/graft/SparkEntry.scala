@@ -44,7 +44,11 @@ object SparkEntry {
     "q25_exact_dedup" -> (TextOps.q25ExactDedup _),
     "q26_minhash_sig" -> (NearDup.q26MinhashSig _),
     "q27_lsh_pairs" -> (NearDup.q27LshPairs _),
-    "q28_simhash" -> (NearDup.q28Simhash _)
+    "q28_simhash" -> (NearDup.q28Simhash _),
+    "q29_knn_brute" -> (Embeddings.q29KnnBrute _),
+    "q30_ann_lsh" -> (Embeddings.q30AnnLsh _),
+    "q31_centroids" -> (Embeddings.q31Centroids _),
+    "q32_centroid_cosine" -> (Embeddings.q32CentroidCosine _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -79,6 +83,10 @@ object SparkEntry {
     "q25_exact_dedup" -> TextOps.q25ExactDedupSql,
     "q26_minhash_sig" -> NearDup.q26MinhashSigSql,
     "q27_lsh_pairs" -> NearDup.q27LshPairsSql,
-    "q28_simhash" -> NearDup.q28SimhashSql
+    "q28_simhash" -> NearDup.q28SimhashSql,
+    "q29_knn_brute" -> Embeddings.q29KnnBruteSql,
+    "q30_ann_lsh" -> Embeddings.q30AnnLshSql,
+    "q31_centroids" -> Embeddings.q31CentroidsSql,
+    "q32_centroid_cosine" -> Embeddings.q32CentroidCosineSql
   )
 }

@@ -1,0 +1,190 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim FLOAT[] vectors):
+  * brute-force cosine top-k as the exactness baseline, random-hyperplane LSH
+  * bucketing as the scale path, and element-wise vector aggregation
+  * (per-label centroids + gram/cosine matrix).
+  *
+  * Float parity policy: components are cast FLOAT→DOUBLE once, and every dot
+  * product / norm is a LEFT FOLD in index order (`aggregate` in Spark,
+  * `list_reduce` in DuckDB) so both engines produce bitwise-identical IEEE
+  * results. Cross-row sums (centroids, gram matrix) fold a SORTED value
+  * list, which is order-deterministic regardless of shuffle layout (decimal
+  * can't represent arbitrary doubles exactly, so its rounding would leak
+  * engine-specific 1-ulp differences).
+  *
+  * Scale shape (100 TB): brute-force is a cross join — quadratic, the
+  * baseline only; the LSH variant replaces it with an equi-join on bucket
+  * (uniform 8-bit keys here; more planes at scale), which is the standard
+  * sub-quadratic ANN candidate join. Norms are precomputed per row BEFORE
+  * the join so the O(n²) stage does one fold, not three.
+  */
+object Embeddings {
+
+  private val TopK = 5
+  private val NumPlanes = 8
+  private val Dim = 64
+
+  private val dotExpr =
+    "aggregate(zip_with(v1, v2, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+  private val normExpr =
+    "sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
+
+  private def vecs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr(normExpr))
+
+  /** Brute-force cosine top-k neighbours per vector. */
+  def q29KnnBrute(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir)
+    val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    val w = Window.partitionBy(col("id1")).orderBy(col("cos").desc, col("id2").asc)
+    a.crossJoin(b)
+      .filter(col("id1") =!= col("id2"))
+      .withColumn("cos", expr(dotExpr) / (col("n1") * col("n2")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("id1"), col("id2"), col("rk"), col("cos"))
+  }
+
+  val q29KnnBruteSql: String = s"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v,
+        sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+      FROM e),
+    p AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])), (acc, x) -> acc + x)
+          / (a.nrm * b.nrm) AS cos
+      FROM n a, n b WHERE a.vec_id <> b.vec_id),
+    r AS (
+      SELECT id1, id2, cos,
+        row_number() OVER (PARTITION BY id1 ORDER BY cos DESC, id2 ASC) AS rk
+      FROM p)
+    SELECT id1, id2, rk, cos FROM r WHERE rk <= $TopK
+  """
+
+  /** Bucket id from $NumPlanes random hyperplanes with portable ±1
+    * components (md5-derived), evaluated as nested index-order folds. */
+  private val bucketExpr = s"""
+    aggregate(sequence(0, ${NumPlanes - 1}), 0, (acc, p) -> acc + IF(
+      aggregate(sequence(0, ${Dim - 1}), CAST(0 AS DOUBLE), (a2, i) ->
+        a2 + IF((CAST(conv(substring(md5(concat(CAST(p AS STRING), ':', CAST(i AS STRING))), 1, 14), 16, 10) AS BIGINT) & 1) = 1,
+                v[i], -v[i])) >= 0,
+      CAST(shiftleft(1, p) AS INT), 0))"""
+
+  /** LSH-bucketed ANN: same-bucket candidate pairs with exact cosine —
+    * the sub-quadratic similarity join. */
+  def q30AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir).withColumn("bucket", expr(bucketExpr))
+    val a = e.select(col("vec_id").as("id1"), col("v").as("v1"),
+      col("nrm").as("n1"), col("bucket"))
+    val b = e.select(col("vec_id").as("id2"), col("v").as("v2"),
+      col("nrm").as("n2"), col("bucket").as("bucket2"))
+    a.join(b, col("bucket") === col("bucket2") && col("id1") < col("id2"))
+      .withColumn("cos", expr(dotExpr) / (col("n1") * col("n2")))
+      .select(col("id1"), col("id2"), col("bucket"), col("cos"))
+  }
+
+  val q30AnnLshSql: String = s"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v,
+        sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm,
+        list_reduce(list_prepend(0::BIGINT, range($NumPlanes)), (acc, p) -> acc +
+          CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(range($Dim), i ->
+                   CASE WHEN (('0x' || substr(md5(p::VARCHAR || ':' || i::VARCHAR), 1, 14))::BIGINT & 1) = 1
+                        THEN v[i + 1] ELSE -v[i + 1] END)), (a2, t) -> a2 + t) >= 0
+               THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+      FROM e)
+    SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket,
+      list_reduce(list_prepend(0.0::DOUBLE,
+        list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])), (acc, x) -> acc + x)
+        / (a.nrm * b.nrm) AS cos
+    FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  """
+
+  /** Element-wise per-label centroids: posexplode → (label, idx) sums —
+    * the distributed vector-aggregation shape (no collect, no UDAF).
+    * Double sums are made order-deterministic by folding a SORTED value list
+    * (decimal can't represent arbitrary doubles exactly, so its rounding
+    * mode would leak 1-ulp engine differences; a sorted left fold is
+    * bit-reproducible everywhere). */
+  def q31Centroids(spark: SparkSession, sfDir: String): DataFrame =
+    vecs(spark, sfDir)
+      .select(col("label"), posexplode(col("v")).as(Seq("idx", "x")))
+      .groupBy(col("label"), col("idx"))
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(col("x"))).as("xs"))
+      .withColumn("sum_x", expr("aggregate(xs, CAST(0 AS DOUBLE), (a, b) -> a + b)"))
+      .withColumn("mean_x", col("sum_x") / col("n").cast("double"))
+      .drop("xs")
+
+  val q31CentroidsSql: String = """
+    WITH x AS (
+      SELECT label, i.idx - 1 AS idx, v[i.idx] AS x
+      FROM (SELECT label, list_transform(embedding, e -> e::DOUBLE) AS v FROM embeddings),
+           LATERAL (SELECT unnest(generate_series(1, len(v))) AS idx) i),
+    g AS (
+      SELECT label, idx, count(*) AS n,
+        list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(x))), (a, b) -> a + b) AS sum_x
+      FROM x GROUP BY label, idx)
+    SELECT label, idx, n, sum_x, sum_x / CAST(n AS DOUBLE) AS mean_x FROM g
+  """
+
+  /** Centroid gram matrix + cosine: joins the long-format centroids on idx,
+    * sorted-fold-sums the products (shuffle-order-proof), then normalizes by
+    * the diagonal. */
+  def q32CentroidCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = q31Centroids(spark, sfDir).select(col("label"), col("idx"), col("mean_x"))
+    val gram = c.alias("c1")
+      .join(c.alias("c2"), col("c1.idx") === col("c2.idx") &&
+        col("c1.label") <= col("c2.label"))
+      .groupBy(col("c1.label").as("l1"), col("c2.label").as("l2"))
+      .agg(sort_array(collect_list(col("c1.mean_x") * col("c2.mean_x"))).as("ps"))
+      .withColumn("dot", expr("aggregate(ps, CAST(0 AS DOUBLE), (a, b) -> a + b)"))
+      .drop("ps")
+    val diag = gram.filter(col("l1") === col("l2"))
+      .select(col("l1").as("dl"), col("dot").as("dd"))
+    gram
+      .join(diag.alias("d1"), col("l1") === col("d1.dl"))
+      .join(diag.alias("d2"), col("l2") === col("d2.dl"))
+      .select(col("l1"), col("l2"), col("dot"),
+        (col("dot") / (sqrt(col("d1.dd")) * sqrt(col("d2.dd")))).as("cos"))
+  }
+
+  val q32CentroidCosineSql: String = """
+    WITH x AS (
+      SELECT label, i.idx - 1 AS idx, v[i.idx] AS x
+      FROM (SELECT label, list_transform(embedding, e -> e::DOUBLE) AS v FROM embeddings),
+           LATERAL (SELECT unnest(generate_series(1, len(v))) AS idx) i),
+    c AS (
+      SELECT label, idx,
+        list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(x))), (a, b) -> a + b)
+          / CAST(count(*) AS DOUBLE) AS mean_x
+      FROM x GROUP BY label, idx),
+    gram AS (
+      SELECT c1.label AS l1, c2.label AS l2,
+        list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(c1.mean_x * c2.mean_x))),
+                    (a, b) -> a + b) AS dot
+      FROM c c1 JOIN c c2 ON c1.idx = c2.idx AND c1.label <= c2.label
+      GROUP BY 1, 2),
+    diag AS (SELECT l1 AS dl, dot AS dd FROM gram WHERE l1 = l2)
+    SELECT g.l1, g.l2, g.dot, g.dot / (sqrt(d1.dd) * sqrt(d2.dd)) AS cos
+    FROM gram g JOIN diag d1 ON g.l1 = d1.dl JOIN diag d2 ON g.l2 = d2.dl
+  """
+}
