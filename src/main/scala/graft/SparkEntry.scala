@@ -48,7 +48,8 @@ object SparkEntry {
     "q29_knn_brute" -> (Embeddings.q29KnnBrute _),
     "q30_ann_lsh" -> (Embeddings.q30AnnLsh _),
     "q31_centroids" -> (Embeddings.q31Centroids _),
-    "q32_centroid_cosine" -> (Embeddings.q32CentroidCosine _)
+    "q32_centroid_cosine" -> (Embeddings.q32CentroidCosine _),
+    "q33_dup_score" -> (MlOps.q33DupScore _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
