@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamsSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  test("tumbling window counts over a stream match the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val events = Seq(
+      Event(ts(1), 1L, "view", 1.0), Event(ts(4), 1L, "view", 2.0),
+      Event(ts(12), 2L, "click", 3.0), Event(ts(14), 1L, "view", 4.0),
+      Event(ts(27), 2L, "view", 5.0))
+    mem.addData(events: _*)
+
+    val q = EventStreams.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tumbling")
+        .as[(Long, String, Long, Double)].collect().toSet
+      val expected = EventStreams.tumblingCounts(events.toDF())
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(got === expected)
+      assert(got.toSeq.map(_._3).sum === 5L)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits gap-closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // user 1: two sessions split by a >30min gap inside one batch;
+    // the second session is the open tail (stays in state).
+    mem.addData(
+      Event(ts(0), 1L, "view", 1.0), Event(ts(5), 1L, "view", 1.0),
+      Event(ts(50), 1L, "view", 1.0),
+      Event(ts(2), 2L, "click", 1.0))
+
+    val q = EventStreams.sessionize(mem.toDS(), gapSec = 1800L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val closed = spark.table("sessions").as[Session].collect()
+      // only user 1's first session is closed so far
+      assert(closed.toSeq === Seq(
+        Session(1L, ts(0).getTime / 1000, ts(5).getTime / 1000, 2L)))
+
+      // push the watermark far forward: open sessions time out and flush
+      mem.addData(Event(Timestamp.valueOf("2024-01-01 13:00:00"), 3L, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(Timestamp.valueOf("2024-01-01 15:00:00"), 3L, "view", 1.0))
+      q.processAllAvailable()
+      val all = spark.table("sessions").as[Session].collect().toSet
+      assert(all.contains(Session(1L, ts(50).getTime / 1000, ts(50).getTime / 1000, 1L)),
+        s"open tail session not flushed: $all")
+      assert(all.contains(Session(2L, ts(2).getTime / 1000, ts(2).getTime / 1000, 1L)))
+    } finally q.stop()
+  }
+}
