@@ -49,7 +49,8 @@ object SparkEntry {
     "q30_ann_lsh" -> (Embeddings.q30AnnLsh _),
     "q31_centroids" -> (Embeddings.q31Centroids _),
     "q32_centroid_cosine" -> (Embeddings.q32CentroidCosine _),
-    "q33_dup_score" -> (MlOps.q33DupScore _)
+    "q33_dup_score" -> (MlOps.q33DupScore _),
+    "q34_media_features" -> (Multimodal.q34MediaFeatures _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
