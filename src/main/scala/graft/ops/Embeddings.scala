@@ -41,10 +41,16 @@ object Embeddings {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", expr(normExpr))
 
-  /** Brute-force cosine top-k neighbours per vector. */
+  /** Query set for brute-force KNN: top-k neighbours are computed for this
+    * id range (the realistic "query batch vs corpus" shape — scanning every
+    * row as a query squares the already-quadratic baseline). */
+  private val KnnQueryIds = 500
+
+  /** Brute-force cosine top-k neighbours for the query set. */
   def q29KnnBrute(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = vecs(spark, sfDir)
-    val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val e = vecs(spark, sfDir).persist()
+    val a = e.filter(col("vec_id") < KnnQueryIds)
+      .select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
     val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
     val w = Window.partitionBy(col("id1")).orderBy(col("cos").desc, col("id2").asc)
     a.crossJoin(b)
@@ -68,7 +74,7 @@ object Embeddings {
         list_reduce(list_prepend(0.0::DOUBLE,
           list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])), (acc, x) -> acc + x)
           / (a.nrm * b.nrm) AS cos
-      FROM n a, n b WHERE a.vec_id <> b.vec_id),
+      FROM n a, n b WHERE a.vec_id <> b.vec_id AND a.vec_id < $KnnQueryIds),
     r AS (
       SELECT id1, id2, cos,
         row_number() OVER (PARTITION BY id1 ORDER BY cos DESC, id2 ASC) AS rk
@@ -88,7 +94,9 @@ object Embeddings {
   /** LSH-bucketed ANN: same-bucket candidate pairs with exact cosine —
     * the sub-quadratic similarity join. */
   def q30AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = vecs(spark, sfDir).withColumn("bucket", expr(bucketExpr))
+    // persist: both join sides read the bucketed vectors — without it the
+    // hyperplane folds run twice per row
+    val e = vecs(spark, sfDir).withColumn("bucket", expr(bucketExpr)).persist()
     val a = e.select(col("vec_id").as("id1"), col("v").as("v1"),
       col("nrm").as("n1"), col("bucket"))
     val b = e.select(col("vec_id").as("id2"), col("v").as("v2"),

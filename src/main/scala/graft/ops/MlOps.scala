@@ -13,13 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object MlOps {
 
-  /** q33: train (seeded GBT, small) + score — M1-M7 end-to-end. */
+  /** q33: train (seeded GBT, small) + score — M1-M7 end-to-end. The pair
+    * LIMIT is applied before feature projection so the comparator kernel
+    * runs on 10k pairs, not the full candidate set. */
   def q33DupScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.Tables
+    import graft.dedup.DedupPipeline
     val feats = Seq("name_sim", "seg_sim", "bal_diff")
-    val pairs = Dedup.pairsNaive(spark, sfDir)
+    val customer = Tables(spark, sfDir, "customer")
+    val cfg = Dedup.customerConfig
+    val pairIds = DedupPipeline.candidatePairs(customer, cfg)
+      .select("id1", "id2").orderBy("id1", "id2").limit(10000)
+    val pairs = DedupPipeline.featuresFor(customer, cfg, pairIds)
       .withColumn("label", (col("name_sim") > 0.55).cast("double"))
-      .orderBy("id1", "id2")
-      .limit(10000)
     val ml = DedupMl.toMlFrame(pairs, feats).cache()
     val (model, _) = DedupMl.train(ml, maxIter = 5)
     DedupMl.score(model, ml)

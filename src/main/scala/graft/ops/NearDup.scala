@@ -35,14 +35,20 @@ object NearDup {
         """array_distinct(transform(sequence(0, size(toks) - 3),
           |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))""".stripMargin))
 
-  /** hash_sd(s): 56-bit portable hash of shingle `s` under seed `sd`. */
-  private val hashExpr =
-    "CAST(conv(substring(md5(concat(CAST(sd AS STRING), ':', s)), 1, 14), 16, 10) AS BIGINT)"
+  /** Permutation family: one 56-bit md5 base hash per shingle, then each
+    * permutation sd derives h_sd = (base·(2sd+1) + 981·sd) mod 2^56 — an
+    * affine rehash with odd multiplier, max operand < 2^62 so the checked
+    * BIGINT arithmetic in both engines never overflows. 16× fewer md5 calls
+    * than hashing (seed, shingle) pairs. */
+  private val Mod56 = "72057594037927936" // 2^56
 
   private def withSignature(df: DataFrame): DataFrame =
-    df.withColumn("sig", expr(
-      s"""transform(sequence(0, ${NumPerm - 1}),
-         |  sd -> array_min(transform(shingles, s -> $hashExpr)))""".stripMargin))
+    df.withColumn("hs", expr(
+      "transform(shingles, s -> CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT))"))
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, ${NumPerm - 1}),
+           |  sd -> array_min(transform(hs, h -> (h * (2*sd + 1) + 981 * sd) % $Mod56)))""".stripMargin))
+      .drop("hs")
 
   /** MinHash signatures: doc_id → 16-permutation signature vector. */
   def q26MinhashSig(spark: SparkSession, sfDir: String): DataFrame =
@@ -61,8 +67,9 @@ object NearDup {
       WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3)
     SELECT doc_id,
       list_transform(range(${NumPerm}),
-        sd -> list_min(list_transform(shingles,
-          s -> ('0x' || substr(md5(sd::VARCHAR || ':' || s), 1, 14))::BIGINT))) AS sig
+        sd -> list_min(list_transform(
+          list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT),
+          h -> (h * (2*sd + 1) + 981 * sd) % 72057594037927936))) AS sig
     FROM sh
   """
 
@@ -70,8 +77,12 @@ object NearDup {
     * md5 bucket keys, equi-join on (band, key), then score candidates with
     * the signature-estimated Jaccard and the exact shingle Jaccard. */
   def q27LshPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // persist: the signature frame is read three times (band explode + two
+    // join-backs) — minhash recomputation dominates without it; at corpus
+    // scale this materialization is the standard signature checkpoint
     val sigs = withSignature(shingled(Tables(spark, sfDir, "documents")))
       .select(col("doc_id"), col("sig"), col("shingles"))
+      .persist()
     val bands = sigs.select(
       col("doc_id"),
       explode(expr(
@@ -113,8 +124,9 @@ object NearDup {
     sig AS (
       SELECT doc_id, shingles,
         list_transform(range(${NumPerm}),
-          sd -> list_min(list_transform(shingles,
-            s -> ('0x' || substr(md5(sd::VARCHAR || ':' || s), 1, 14))::BIGINT))) AS sig
+          sd -> list_min(list_transform(
+            list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT),
+            h -> (h * (2*sd + 1) + 981 * sd) % 72057594037927936))) AS sig
       FROM sh),
     band AS (
       SELECT doc_id, b,
