@@ -1,0 +1,126 @@
+package graft.cli
+
+import graft.dedup.{DedupPipeline, TrianglePipeline}
+import graft.ml.{DedupMl, Febrl}
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Command-line surface mirroring the reference's three jobs (SURVEY.md
+  * §2.1 S5 — the reference uses Scallop, `GenerateLabeledPoints.scala:37-45`;
+  * scallop is not an offline dependency so flags are parsed with a plain
+  * key-value loop). A user of the reference can run the same three steps:
+  *
+  *   runMain graft.cli.GenerateLabeledPoints --input data/train.csv \
+  *     --output /tmp/pairs [--reducers 49] [--unlabeled]
+  *   runMain graft.cli.TrainDupClassifier --input /tmp/pairs --model /tmp/m \
+  *     [--maxIter 100]
+  *   runMain graft.cli.ApplyDupClassifier --input /tmp/pairs2 --model /tmp/m \
+  *     --output /tmp/scored
+  *
+  * Overwrite semantics (reference S3: explicit recursive delete,
+  * `GenerateLabeledPoints.scala:103-107`) are SaveMode.Overwrite here.
+  */
+object Cli {
+
+  def parse(args: Array[String]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    while (i < args.length) {
+      require(args(i).startsWith("--"), s"expected --flag, got ${args(i)}")
+      val key = args(i).drop(2)
+      if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+        out += key -> args(i + 1); i += 2
+      } else { out += key -> "true"; i += 1 }
+    }
+    out.result()
+  }
+
+  /** Runs `f` with a session, stopping it afterwards only when this call
+    * created it (an embedding application's session is left running). */
+  def withSession[T](app: String)(f: SparkSession => T): T = {
+    val preexisting = SparkSession.getDefaultSession.isDefined
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName(app)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    try f(s) finally if (!preexisting) s.stop()
+  }
+
+  /** Pair-file schema written by GenerateLabeledPoints / read by the ML jobs:
+    * id1, id2, label (empty when unlabeled), then the 14 features. */
+  val pairSchema: StructType = StructType(
+    Seq(StructField("id1", StringType), StructField("id2", StringType),
+      StructField("label", DoubleType)) ++
+      Febrl.featureCols.map(c => StructField(c, DoubleType)))
+
+  def readPairs(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(pairSchema).csv(path)
+}
+
+/** Job 1 — blocking + exactly-once pair comparison (the flagship).
+  * `--reducers k` selects the triangle physical strategy; without it the
+  * declarative self-join plan (AQE skew handling) runs. */
+object GenerateLabeledPoints {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-generate") { spark =>
+    val cfg0 = Febrl.config
+    val cfg = if (a.contains("unlabeled")) cfg0.copy(label = None) else cfg0
+    val df = Febrl.read(spark, a("input"))
+    val pairs = a.get("reducers").map(_.toInt) match {
+      case Some(k) if k > 1 => TrianglePipeline.pairFeatures(df, cfg, k)
+      case _ => DedupPipeline.pairFeatures(df, cfg)
+    }
+    val labelCol = if (cfg.label.isDefined) Seq(col("label").cast("string"))
+                   else Seq(lit("").as("label"))
+    pairs
+      .select((Seq(col("id1"), col("id2")) ++ labelCol ++
+        Febrl.featureCols.map(col)): _*)
+      .write.mode("overwrite").csv(a("output"))
+    }
+  }
+}
+
+/** Job 2 — train the GBT duplicate classifier, print the confusion matrix /
+  * metrics / feature importances, persist the PipelineModel. */
+object TrainDupClassifier {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-train") { spark =>
+    val ml = DedupMl.toMlFrame(Cli.readPairs(spark, a("input")), Febrl.featureCols)
+      .cache()
+    val (model, testDf) =
+      DedupMl.train(ml, maxIter = a.getOrElse("maxIter", "100").toInt)
+    val m = DedupMl.evaluate(model, testDf)
+    println(s"confusion matrix [tn fn; fp tp]: ${m.tn} ${m.fn} ; ${m.fp} ${m.tp}")
+    println(f"accuracy=${m.accuracy}%.6f precision=${m.precision}%.6f " +
+      f"recall=${m.recall}%.6f f1=${m.f1}%.6f")
+    val gbt = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.GBTClassificationModel]
+    println("feature importances: " + Febrl.featureCols.zip(gbt.featureImportances.toArray)
+      .sortBy(-_._2).map { case (c, v) => f"$c=$v%.4f" }.mkString(", "))
+    model.write.overwrite().save(a("model"))
+    }
+  }
+}
+
+/** Job 3 — load the model, score unlabeled pairs, write (pair, prediction)
+  * sorted by prediction. */
+object ApplyDupClassifier {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-apply") { spark =>
+    val model = PipelineModel.load(a("model"))
+    val ml = DedupMl.toMlFrame(Cli.readPairs(spark, a("input")), Febrl.featureCols)
+    DedupMl.score(model, ml)
+      .select(concat(lit("("), col("id"), lit(")")).as("pair"), col("prediction"))
+      .write.mode("overwrite").csv(a("output"))
+    }
+  }
+}

@@ -1,0 +1,39 @@
+package graft.cli
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end three-job CLI run on the reference test fixture — the same
+  * sequence a reference user runs (generate → train → apply). */
+class CliSpec extends AnyFunSuite with SparkSpec {
+
+  test("arg parsing: values and bare flags") {
+    val a = Cli.parse(Array("--input", "x.csv", "--unlabeled", "--reducers", "7"))
+    assert(a === Map("input" -> "x.csv", "unlabeled" -> "true", "reducers" -> "7"))
+  }
+
+  test("generate → train → apply round-trips on the Febrl test fixture") {
+    spark // force shared session so the CLI's getOrCreate reuses it
+    val dir = Files.createTempDirectory("graft-cli").toString
+    GenerateLabeledPoints.main(Array(
+      "--input", "/root/reference/data/test.csv",
+      "--output", s"$dir/pairs", "--reducers", "8"))
+    TrainDupClassifier.main(Array(
+      "--input", s"$dir/pairs", "--model", s"$dir/model", "--maxIter", "5"))
+    ApplyDupClassifier.main(Array(
+      "--input", s"$dir/pairs", "--model", s"$dir/model",
+      "--output", s"$dir/scored"))
+
+    val pairs = Cli.readPairs(spark, s"$dir/pairs")
+    assert(pairs.count() === 129718L)
+    assert(pairs.columns.length === 3 + 14)
+
+    val scored = spark.read.csv(s"$dir/scored")
+    assert(scored.count() === 129718L)
+    val preds = scored.collect().map(_.getString(1).toDouble)
+    assert(preds.forall(p => p == 0.0 || p == 1.0))
+    assert(preds.exists(_ == 1.0), "no predicted duplicates at all")
+  }
+}
