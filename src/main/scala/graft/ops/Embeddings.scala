@@ -30,16 +30,18 @@ object Embeddings {
   private val NumPlanes = 8
   private val Dim = 64
 
-  private val dotExpr =
-    "aggregate(zip_with(v1, v2, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-  private val normExpr =
-    "sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
+  /** Codegen'd native expression (graft.functions.DotProduct) — same
+    * ascending-index fold as the HOF form, so DuckDB parity is unchanged. */
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    call_function("dot_product", a, b)
 
-  private def vecs(spark: SparkSession, sfDir: String): DataFrame =
+  private def vecs(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr(normExpr))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
 
   /** Query set for brute-force KNN: top-k neighbours are computed for this
     * id range (the realistic "query batch vs corpus" shape — scanning every
@@ -55,7 +57,7 @@ object Embeddings {
     val w = Window.partitionBy(col("id1")).orderBy(col("cos").desc, col("id2").asc)
     a.crossJoin(b)
       .filter(col("id1") =!= col("id2"))
-      .withColumn("cos", expr(dotExpr) / (col("n1") * col("n2")))
+      .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TopK)
       .select(col("id1"), col("id2"), col("rk"), col("cos"))
@@ -82,27 +84,39 @@ object Embeddings {
     SELECT id1, id2, rk, cos FROM r WHERE rk <= $TopK
   """
 
-  /** Bucket id from $NumPlanes random hyperplanes with portable ±1
-    * components (md5-derived), evaluated as nested index-order folds. */
-  private val bucketExpr = s"""
-    aggregate(sequence(0, ${NumPlanes - 1}), 0, (acc, p) -> acc + IF(
-      aggregate(sequence(0, ${Dim - 1}), CAST(0 AS DOUBLE), (a2, i) ->
-        a2 + IF((CAST(conv(substring(md5(concat(CAST(p AS STRING), ':', CAST(i AS STRING))), 1, 14), 16, 10) AS BIGINT) & 1) = 1,
-                v[i], -v[i])) >= 0,
-      CAST(shiftleft(1, p) AS INT), 0))"""
+  /** Hyperplane ±1 sign matrix, precomputed ONCE on the driver (the signs
+    * are data-independent — deriving them per row, as the first version did,
+    * re-ran 512 md5 calls per vector). Same md5-bit formula the DuckDB
+    * oracle evaluates inline, so bucket values agree exactly. */
+  private lazy val planeSigns: IndexedSeq[Seq[Double]] =
+    (0 until NumPlanes).map { p =>
+      (0 until Dim).map { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"$p:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 14), 16)
+        if ((h & 1L) == 1L) 1.0 else -1.0
+      }
+    }
+
+  /** Bucket id: sign bit of v·plane_p per plane, via the codegen'd
+    * dot_product against the literal sign vectors (multiplying by ±1.0 is
+    * IEEE-exact negation, so this matches the oracle's IF(bit, v, -v) fold). */
+  private def bucketCol: org.apache.spark.sql.Column =
+    (0 until NumPlanes).map { p =>
+      when(dot(col("v"), typedLit(planeSigns(p))) >= 0.0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
 
   /** LSH-bucketed ANN: same-bucket candidate pairs with exact cosine —
     * the sub-quadratic similarity join. */
   def q30AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    // persist: both join sides read the bucketed vectors — without it the
-    // hyperplane folds run twice per row
-    val e = vecs(spark, sfDir).withColumn("bucket", expr(bucketExpr)).persist()
+    // persist: both join sides read the bucketed vectors
+    val e = vecs(spark, sfDir).withColumn("bucket", bucketCol).persist()
     val a = e.select(col("vec_id").as("id1"), col("v").as("v1"),
       col("nrm").as("n1"), col("bucket"))
     val b = e.select(col("vec_id").as("id2"), col("v").as("v2"),
       col("nrm").as("n2"), col("bucket").as("bucket2"))
     a.join(b, col("bucket") === col("bucket2") && col("id1") < col("id2"))
-      .withColumn("cos", expr(dotExpr) / (col("n1") * col("n2")))
+      .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .select(col("id1"), col("id2"), col("bucket"), col("cos"))
   }
 

@@ -1,0 +1,56 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DotProductSpec extends AnyFunSuite with SparkSpec {
+
+  private def withDot[T](f: => T): T = { GraftFunctions.register(spark); f }
+
+  test("matches the higher-order-function fold bitwise") { withDot {
+    import spark.implicits._
+    val rnd = new scala.util.Random(647)
+    val rows = Seq.fill(200)((
+      Array.fill(64)(rnd.nextGaussian()), Array.fill(64)(rnd.nextGaussian())))
+    val df = rows.toDF("a", "b")
+      .withColumn("native", call_function("dot_product", col("a"), col("b")))
+      .withColumn("hof", expr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+    val bad = df.filter(col("native") =!= col("hof")).count()
+    assert(bad === 0L)
+    // sanity: a nonzero dot product exists
+    assert(df.agg(max(abs(col("native")))).head().getDouble(0) > 0.0)
+  }}
+
+  test("null arrays yield null; SQL name resolves via registry") { withDot {
+    val r = spark.sql(
+      """SELECT dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS n,
+        |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS v""".stripMargin)
+      .head()
+    assert(r.isNullAt(0))
+    assert(r.getDouble(1) === 11.0)
+  }}
+
+  test("whole-stage codegen path evaluates correctly (no interpreted fallback)") {
+    withDot {
+      import spark.implicits._
+      // CODEGEN_ONLY forces doGenCode; an exception here means codegen broke
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      try {
+        val out = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+          .select(call_function("dot_product", col("a"), col("b")))
+          .head().getDouble(0)
+        assert(out === 32.0)
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("extensions class injects the function into a fresh session") {
+    val s2 = spark.newSession()
+    // simulate spark.sql.extensions wiring on an existing builder-less session
+    new GraftExtensions() // class loads
+    GraftFunctions.register(s2)
+    assert(s2.sql("SELECT dot_product(array(2.0D), array(8.0D))").head().getDouble(0) === 16.0)
+  }
+}
