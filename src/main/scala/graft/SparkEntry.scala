@@ -50,7 +50,8 @@ object SparkEntry {
     "q31_centroids" -> (Embeddings.q31Centroids _),
     "q32_centroid_cosine" -> (Embeddings.q32CentroidCosine _),
     "q33_dup_score" -> (MlOps.q33DupScore _),
-    "q34_media_features" -> (Multimodal.q34MediaFeatures _)
+    "q34_media_features" -> (Multimodal.q34MediaFeatures _),
+    "q35_percentile" -> (Relational.q35Percentile _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -78,6 +79,7 @@ object SparkEntry {
     "q18_window_sliding" -> Events.q18WindowSlidingSql,
     "q19_sessionize" -> Events.q19SessionizeSql,
     "q20_hourly_uniques" -> Events.q20HourlyUniquesSql,
+    "q35_percentile" -> Relational.q35PercentileSql,
     "q21_token_stats" -> TextOps.q21TokenStatsSql,
     "q22_quality_score" -> TextOps.q22QualityScoreSql,
     "q23_langid" -> TextOps.q23LangIdSql,

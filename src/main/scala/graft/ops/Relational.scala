@@ -347,4 +347,25 @@ object Relational {
   val q16DistinctSql: String = """
     SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
   """
+
+  /** Exact percentiles per group (sort-based aggregate; linear
+    * interpolation matches DuckDB's quantile_cont). */
+  def q35Percentile(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        expr("percentile(c_acctbal, 0.25)").as("p25"),
+        expr("percentile(c_acctbal, 0.5)").as("p50"),
+        expr("percentile(c_acctbal, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+
+  val q35PercentileSql: String = """
+    SELECT c_mktsegment,
+      quantile_cont(c_acctbal, 0.25) AS p25,
+      quantile_cont(c_acctbal, 0.5) AS p50,
+      quantile_cont(c_acctbal, 0.9) AS p90,
+      count(*) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+  """
 }
