@@ -51,7 +51,9 @@ object SparkEntry {
     "q32_centroid_cosine" -> (Embeddings.q32CentroidCosine _),
     "q33_dup_score" -> (MlOps.q33DupScore _),
     "q34_media_features" -> (Multimodal.q34MediaFeatures _),
-    "q35_percentile" -> (Relational.q35Percentile _)
+    "q35_percentile" -> (Relational.q35Percentile _),
+    "q36_asof_join" -> (Events.q36AsofJoin _),
+    "q37_simhash_pairs" -> (NearDup.q37SimhashPairs _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -80,6 +82,8 @@ object SparkEntry {
     "q19_sessionize" -> Events.q19SessionizeSql,
     "q20_hourly_uniques" -> Events.q20HourlyUniquesSql,
     "q35_percentile" -> Relational.q35PercentileSql,
+    "q36_asof_join" -> Events.q36AsofJoinSql,
+    "q37_simhash_pairs" -> NearDup.q37SimhashPairsSql,
     "q21_token_stats" -> TextOps.q21TokenStatsSql,
     "q22_quality_score" -> TextOps.q22QualityScoreSql,
     "q23_langid" -> TextOps.q23LangIdSql,

@@ -74,13 +74,19 @@ case class DotProduct(left: Expression, right: Expression)
 object GraftFunctions {
 
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((
-      FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 2, s"dot_product takes 2 arguments, got ${exprs.length}")
-        DotProduct(exprs(0), exprs(1))
-      }))
+    Seq(
+      (FunctionIdentifier("dot_product"),
+        new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2, s"dot_product takes 2 arguments, got ${exprs.length}")
+          DotProduct(exprs(0), exprs(1))
+        }),
+      (FunctionIdentifier("simhash56"),
+        new ExpressionInfo(classOf[SimHash56].getName, "simhash56"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1, s"simhash56 takes 1 argument, got ${exprs.length}")
+          SimHash56(exprs(0))
+        }))
 
   /** Idempotent in-place registration on a live session. */
   def register(spark: SparkSession): Unit =

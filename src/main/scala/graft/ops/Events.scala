@@ -122,4 +122,41 @@ object Events {
     FROM events
     GROUP BY 1
   """
+
+  /** As-of join: for every purchase, the most recent prior click by the
+    * same user. Composed as ONE sort-based analytic window (last non-null
+    * over an unbounded-preceding-to-1-preceding frame) instead of a range
+    * join — the scalable as-of shape: a single shuffle on user_id, no pair
+    * explosion, no driver state. */
+  def q36AsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, sfDir, "events")
+      .withColumn("eps", unix_timestamp(col("ts")))
+      .withColumn("click_eps",
+        when(col("event_type") === "click", col("eps")))
+      .withColumn("last_click_eps", last(col("click_eps"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("eps").as("purchase_eps"),
+        col("last_click_eps"),
+        (col("eps") - col("last_click_eps")).as("secs_since_click"))
+  }
+
+  val q36AsofJoinSql: String = """
+    WITH e AS (
+      SELECT event_id, user_id, ts, event_type,
+        CAST(floor(epoch(ts)) AS BIGINT) AS eps,
+        CASE WHEN event_type = 'click' THEN CAST(floor(epoch(ts)) AS BIGINT) END AS click_eps
+      FROM events),
+    x AS (
+      SELECT event_id, user_id, event_type, eps,
+        last_value(click_eps IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_eps
+      FROM e)
+    SELECT event_id, user_id, eps AS purchase_eps, last_click_eps,
+      eps - last_click_eps AS secs_since_click
+    FROM x WHERE event_type = 'purchase'
+  """
 }

@@ -146,24 +146,57 @@ object NearDup {
     JOIN sig s2 ON p.id2 = s2.doc_id
   """
 
+  /** SimHash near-dup pairs: bucket on the top 8 bits of the fingerprint
+    * (prefix banding — the equi-join key), then Hamming-score candidates
+    * with bit_count(xor). Same sub-quadratic join shape as MinHash LSH. */
+  def q37SimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sims = q28Simhash(spark, sfDir)
+      .select(col("doc_id"), col("simhash"))
+      .withColumn("bucket", expr("shiftright(simhash, 48)"))
+      .persist()
+    sims.alias("a")
+      .join(sims.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.bucket").as("bucket"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+  }
+
+  val q37SimhashPairsSql: String = """
+    WITH x AS (
+      SELECT doc_id,
+        list_transform(list_distinct(regexp_split_to_array(trim(text), '\s+')),
+          s -> ('0x' || substr(md5('0:' || s), 1, 14))::BIGINT) AS th
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        list_reduce(list_prepend(0::BIGINT, range(56)), (acc, j) -> acc +
+          CASE WHEN list_reduce(list_prepend(0::BIGINT, th),
+                      (a, h) -> a + CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) >= 0
+               THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+      FROM x)
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+      (a.simhash >> 48) AS bucket,
+      bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM s a JOIN s b
+      ON (a.simhash >> 48) = (b.simhash >> 48) AND a.doc_id < b.doc_id
+  """
+
   /** SimHash: 56-bit bit-vote fingerprint over distinct word tokens.
     * Near-dup docs land within a small Hamming distance; at scale you pair
     * via rotated-prefix banding, the same equi-join shape as LSH above. */
-  def q28Simhash(spark: SparkSession, sfDir: String): DataFrame =
+  def q28Simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables(spark, sfDir, "documents")
       .withColumn("toks", expr("""array_distinct(split(trim(text), '\\s+'))"""))
       .withColumn("th", expr(
         "transform(toks, s -> CAST(conv(substring(md5(concat('0:', s)), 1, 14), 16, 10) AS BIGINT))"))
-      .select(
-        col("doc_id"),
-        expr(
-          """aggregate(sequence(0, 55), CAST(0 AS BIGINT), (acc, j) -> acc +
-            |  IF(aggregate(th, CAST(0 AS BIGINT),
-            |       (a, h) -> a + IF((shiftright(h, j) & 1) = 1,
-            |                        CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) >= 0,
-            |     shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin)
-          .as("simhash"))
+      // native codegen bit-vote (graft.functions.SimHash56) — votes are
+      // order-independent integer sums, so the oracle's fold form matches
+      .select(col("doc_id"), call_function("simhash56", col("th")).as("simhash"))
       .withColumn("n_bits", bit_count(col("simhash")))
+  }
 
   val q28SimhashSql: String = """
     WITH x AS (

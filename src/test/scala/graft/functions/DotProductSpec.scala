@@ -46,6 +46,22 @@ class DotProductSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("simhash56 matches the interpreted fold formulation") { withDot {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(50)(Array.fill(rnd.nextInt(30) + 1)(
+      rnd.nextLong().abs % (1L << 56)))
+    val df = rows.toDF("th")
+      .withColumn("native", call_function("simhash56", col("th")))
+      .withColumn("hof", expr(
+        """aggregate(sequence(0, 55), CAST(0 AS BIGINT), (acc, j) -> acc +
+          |  IF(aggregate(th, CAST(0 AS BIGINT),
+          |       (a, h) -> a + IF((shiftright(h, j) & 1) = 1,
+          |                        CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) >= 0,
+          |     shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin))
+    assert(df.filter(col("native") =!= col("hof")).count() === 0L)
+  }}
+
   test("extensions class injects the function into a fresh session") {
     val s2 = spark.newSession()
     // simulate spark.sql.extensions wiring on an existing builder-less session
