@@ -86,6 +86,12 @@ object GraftFunctions {
         (exprs: Seq[Expression]) => {
           require(exprs.length == 1, s"simhash56 takes 1 argument, got ${exprs.length}")
           SimHash56(exprs(0))
+        }),
+      (FunctionIdentifier("minhash_affine"),
+        new ExpressionInfo(classOf[MinHashAffine].getName, "minhash_affine"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2, s"minhash_affine takes 2 arguments, got ${exprs.length}")
+          MinHashAffine(exprs(0), exprs(1))
         }))
 
   /** Idempotent in-place registration on a live session. */

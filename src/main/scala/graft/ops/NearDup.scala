@@ -42,13 +42,16 @@ object NearDup {
     * than hashing (seed, shingle) pairs. */
   private val Mod56 = "72057594037927936" // 2^56
 
-  private def withSignature(df: DataFrame): DataFrame =
+  private def withSignature(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // native codegen signature (graft.functions.MinHashAffine): one
+    // O(NumPerm·n) pass; minima are order-independent so the oracle's
+    // per-permutation array_min formulation matches exactly
     df.withColumn("hs", expr(
       "transform(shingles, s -> CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT))"))
-      .withColumn("sig", expr(
-        s"""transform(sequence(0, ${NumPerm - 1}),
-           |  sd -> array_min(transform(hs, h -> (h * (2*sd + 1) + 981 * sd) % $Mod56)))""".stripMargin))
+      .withColumn("sig", expr(s"minhash_affine(hs, $NumPerm)"))
       .drop("hs")
+  }
 
   /** MinHash signatures: doc_id → 16-permutation signature vector. */
   def q26MinhashSig(spark: SparkSession, sfDir: String): DataFrame =

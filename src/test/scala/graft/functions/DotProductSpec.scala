@@ -62,6 +62,24 @@ class DotProductSpec extends AnyFunSuite with SparkSpec {
     assert(df.filter(col("native") =!= col("hof")).count() === 0L)
   }}
 
+  test("minhash_affine matches the per-permutation array_min formulation") { withDot {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)(Array.fill(rnd.nextInt(40) + 1)(
+      rnd.nextLong().abs % (1L << 56)))
+    val df = rows.toDF("hs")
+      .withColumn("native", expr("minhash_affine(hs, 16)"))
+      .withColumn("hof", expr(
+        """transform(sequence(0, 15),
+          |  sd -> array_min(transform(hs, h -> (h * (2*sd + 1) + 981 * sd) % 72057594037927936)))""".stripMargin))
+    assert(df.filter(expr("native != hof")).count() === 0L)
+    // null/empty input contract
+    val edge = spark.sql(
+      """SELECT minhash_affine(CAST(NULL AS ARRAY<BIGINT>), 4) AS a,
+        |       minhash_affine(CAST(array() AS ARRAY<BIGINT>), 4) AS b""".stripMargin).head()
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
+  }}
+
   test("extensions class injects the function into a fresh session") {
     val s2 = spark.newSession()
     // simulate spark.sql.extensions wiring on an existing builder-less session
