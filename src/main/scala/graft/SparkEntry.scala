@@ -53,7 +53,8 @@ object SparkEntry {
     "q34_media_features" -> (Multimodal.q34MediaFeatures _),
     "q35_percentile" -> (Relational.q35Percentile _),
     "q36_asof_join" -> (Events.q36AsofJoin _),
-    "q37_simhash_pairs" -> (NearDup.q37SimhashPairs _)
+    "q37_simhash_pairs" -> (NearDup.q37SimhashPairs _),
+    "q38_approx_stats" -> (Relational.q38ApproxStats _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -368,4 +368,15 @@ object Relational {
     FROM customer
     GROUP BY c_mktsegment
   """
+
+  /** Approximate aggregates (HLL++ distinct, quantile sketch) next to their
+    * exact values — rows-only driver check: sketch outputs are
+    * engine-specific, so no DuckDB value oracle. */
+  def q38ApproxStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"))
 }

@@ -36,6 +36,33 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream over the events table matches the batch query") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    // the streaming file source needs a directory: stage the table file
+    val staged = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("part-0.parquet"))
+    val stream = spark.readStream.schema(raw.schema).parquet(staged.toString)
+    val q = EventStreams.tumblingCounts(normalize(stream))
+      .writeStream.format("memory").queryName("file_tumbling")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_tumbling").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val expected = EventStreams.tumblingCounts(normalize(raw)).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits gap-closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
