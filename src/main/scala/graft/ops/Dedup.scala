@@ -31,7 +31,6 @@ object Dedup {
   def pairsNaive(spark: SparkSession, sfDir: String): DataFrame =
     DedupPipeline
       .pairFeatures(Tables(spark, sfDir, "customer"), customerConfig)
-      .orderBy("id1", "id2")
 
   /** Triangle (skew-managed) physical variant — same pair set and features
     * as [[pairsNaive]], so it shares the same oracle; k=32 mirrors the
@@ -39,7 +38,6 @@ object Dedup {
   def pairsTriangle(spark: SparkSession, sfDir: String): DataFrame =
     TrianglePipeline
       .pairFeatures(Tables(spark, sfDir, "customer"), customerConfig, k = 32)
-      .orderBy("id1", "id2")
 
   val pairsOracleSql: String = """
     WITH bkv AS (
