@@ -32,24 +32,49 @@ object DedupPipeline {
       .select(col("id"), col("bkv.k").as("k"), col("bkv.v").as("v"))
   }
 
-  /** Distinct candidate pairs (id1 < id2) sharing at least one blocking key,
-    * tagged with the lowest shared ordinal `bk` — each pair EXACTLY ONCE even
-    * when it co-occurs in blocks of several blocking functions (reference
-    * guard: `Compare.scala:94,106` + `Util.lowestCommonBlockNum`).
+  /** Candidate pairs (id1 < id2) sharing at least one blocking key, tagged
+    * with the lowest shared ordinal `bk` — each pair EXACTLY ONCE even when
+    * it co-occurs in blocks of several blocking functions.
     *
-    * Shape at scale: shuffle #1 on (k, v) for the self-join (AQE splits skewed
-    * blocks), shuffle #2 on (id1, id2) for the min-aggregation; partial
-    * aggregation runs map-side so replicated pairs collapse before the wire.
+    * Exactly-once uses the reference's own guard (`Compare.scala:94,106` +
+    * `Util.lowestCommonBlockNum`) rather than a groupBy(id1, id2)
+    * dedup — the groupBy formulation re-shuffles every replicated pair
+    * (Σ n_b² rows) a second time, which dominated the 20k-record Febrl run.
+    * Because two tuples can only share a block AT THE SAME ordinal (a
+    * blocking function emits exactly one key per tuple), the lowest shared
+    * ordinal is `min{ i : v_i(a) = v_i(b) }` — a chain of plain scalar
+    * comparisons over the carried key-value columns, fully inside
+    * whole-stage codegen (an earlier array-HOF formulation of this guard
+    * evaluated interpreted lambdas per joined row and was 2× slower).
+    *
+    * Shape at scale: ONE shuffle on (k, v) for the self-join (AQE splits
+    * skewed blocks); the guard is O(#blockingFns) codegen'd comparisons
+    * per candidate.
     */
   def candidatePairs(df: DataFrame, cfg: DedupConfig): DataFrame = {
-    val idx = blockIndex(df, cfg)
+    val n = cfg.blockingKeys.size
+    val keyCols = cfg.blockingKeys.zipWithIndex.map { case (c, i) =>
+      coalesce(trim(c.cast("string")), lit("")).as(s"bv$i")
+    }
+    val bkvs = array((0 until n).map(i =>
+      struct(lit(i + 1).as("k"), col(s"bv$i").as("v"))): _*)
+    val idx = df
+      .select(col(cfg.idColumn).as("id") +: keyCols: _*)
+      .select(col("id") +: (0 until n).map(i => col(s"bv$i")) :+
+        explode(bkvs).as("bkv"): _*)
+      .select(col("id") +: (0 until n).map(i => col(s"bv$i")) :+
+        col("bkv.k").as("k") :+ col("bkv.v").as("v"): _*)
     val a = idx.alias("a")
     val b = idx.alias("b")
+    // lowest shared ordinal: first i (1-based) whose key values agree
+    val lcb = (0 until n).foldRight(lit(Int.MaxValue)) { case (i, rest) =>
+      when(col(s"a.bv$i") === col(s"b.bv$i"), lit(i + 1)).otherwise(rest)
+    }
     a.join(b,
         col("a.k") === col("b.k") && col("a.v") === col("b.v") &&
           col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
-      .agg(min(col("a.k")).as("bk"))
+      .filter(col("a.k") === lcb)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("a.k").as("bk"))
   }
 
   /** Join a pair list (id1, id2) back to the source tuples and project the

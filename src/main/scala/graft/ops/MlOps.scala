@@ -20,7 +20,10 @@ object MlOps {
     import graft.Tables
     import graft.dedup.DedupPipeline
     val feats = Seq("name_sim", "seg_sim", "bal_diff")
+    // deterministic training slice: bounds candidate generation at any sf
+    // (covers all of sf0.01; a demo classifier doesn't need every pair)
     val customer = Tables(spark, sfDir, "customer")
+      .filter(col("c_custkey") < 3000)
     val cfg = Dedup.customerConfig
     val pairIds = DedupPipeline.candidatePairs(customer, cfg)
       .select("id1", "id2").orderBy("id1", "id2").limit(10000)
