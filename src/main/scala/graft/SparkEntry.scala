@@ -54,7 +54,9 @@ object SparkEntry {
     "q35_percentile" -> (Relational.q35Percentile _),
     "q36_asof_join" -> (Events.q36AsofJoin _),
     "q37_simhash_pairs" -> (NearDup.q37SimhashPairs _),
-    "q38_approx_stats" -> (Relational.q38ApproxStats _)
+    "q38_approx_stats" -> (Relational.q38ApproxStats _),
+    "q39_pivot" -> (Relational.q39Pivot _),
+    "q40_unpivot" -> (Relational.q40Unpivot _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -84,6 +86,8 @@ object SparkEntry {
     "q20_hourly_uniques" -> Events.q20HourlyUniquesSql,
     "q35_percentile" -> Relational.q35PercentileSql,
     "q36_asof_join" -> Events.q36AsofJoinSql,
+    "q39_pivot" -> Relational.q39PivotSql,
+    "q40_unpivot" -> Relational.q40UnpivotSql,
     "q37_simhash_pairs" -> NearDup.q37SimhashPairsSql,
     "q21_token_stats" -> TextOps.q21TokenStatsSql,
     "q22_quality_score" -> TextOps.q22QualityScoreSql,

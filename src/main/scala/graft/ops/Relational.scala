@@ -369,6 +369,44 @@ object Relational {
     GROUP BY c_mktsegment
   """
 
+  /** Pivot: order counts/revenue per priority, one column per status
+    * (Catalyst rewrites to CASE-filtered aggregates — the oracle states
+    * that form directly). */
+  def q39Pivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+
+  val q39PivotSql: String = """
+    SELECT o_orderpriority,
+      count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+      count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+      count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+  """
+
+  /** Unpivot (melt): wide per-part numeric columns to long (attr, value)
+    * rows. */
+  def q40Unpivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(
+        ids = Array(col("p_partkey")),
+        values = Array(col("p_size"), col("p_retailprice")),
+        variableColumnName = "attr",
+        valueColumnName = "val")
+
+  val q40UnpivotSql: String = """
+    SELECT p_partkey, attr, val
+    FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice FROM part)
+    UNPIVOT (val FOR attr IN (p_size, p_retailprice))
+  """
+
   /** Approximate aggregates (HLL++ distinct, quantile sketch) next to their
     * exact values — rows-only driver check: sketch outputs are
     * engine-specific, so no DuckDB value oracle. */
