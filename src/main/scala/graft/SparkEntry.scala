@@ -56,7 +56,9 @@ object SparkEntry {
     "q37_simhash_pairs" -> (NearDup.q37SimhashPairs _),
     "q38_approx_stats" -> (Relational.q38ApproxStats _),
     "q39_pivot" -> (Relational.q39Pivot _),
-    "q40_unpivot" -> (Relational.q40Unpivot _)
+    "q40_unpivot" -> (Relational.q40Unpivot _),
+    "q41_grouping_sets" -> (Relational.q41GroupingSets _),
+    "q42_salted_agg" -> (Relational.q42SaltedAgg _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -88,6 +90,8 @@ object SparkEntry {
     "q36_asof_join" -> Events.q36AsofJoinSql,
     "q39_pivot" -> Relational.q39PivotSql,
     "q40_unpivot" -> Relational.q40UnpivotSql,
+    "q41_grouping_sets" -> Relational.q41GroupingSetsSql,
+    "q42_salted_agg" -> Relational.q42SaltedAggSql,
     "q37_simhash_pairs" -> NearDup.q37SimhashPairsSql,
     "q21_token_stats" -> TextOps.q21TokenStatsSql,
     "q22_quality_score" -> TextOps.q22QualityScoreSql,

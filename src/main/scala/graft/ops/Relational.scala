@@ -407,6 +407,45 @@ object Relational {
     UNPIVOT (val FOR attr IN (p_size, p_retailprice))
   """
 
+  /** GROUPING SETS through the SQL surface (spark.sql over a temp view) —
+    * the explicit multi-grouping generalization of rollup/cube. */
+  def q41GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders_v
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+  }
+
+  val q41GroupingSetsSql: String = """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+  """
+
+  /** Two-phase salted aggregation — the standard skew-mitigation shape for
+    * a hot grouping key: shuffle #1 spreads each key over 16 salt buckets
+    * (balanced even if one key dominates), shuffle #2 combines the 16
+    * partials per key. DECIMAL partials make the result identical to the
+    * direct groupBy, which is exactly what the oracle states. */
+  def q42SaltedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_partkey"), col("l_suppkey")), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(dec("l_quantity", 12)).as("pq"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("pn")).as("n"), sum(col("pq")).cast("double").as("sum_qty"))
+
+  val q42SaltedAggSql: String = """
+    SELECT l_returnflag, count(*) AS n,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+  """
+
   /** Approximate aggregates (HLL++ distinct, quantile sketch) next to their
     * exact values — rows-only driver check: sketch outputs are
     * engine-specific, so no DuckDB value oracle. */
