@@ -19,13 +19,19 @@ import scala.util.hashing.MurmurHash3
   *      reducers via a typed `flatMap` (the reference mapper,
   *      `DisDedupMapper.scala:12-52`) — replication factor √(2k_i), the
   *      paper's communication-optimal bound;
-  *   4. per-(reducer, block) pair generation in `groupByKeyflatMapGroups`
-  *      (the reference reducer, `DisDedupReducer.scala:12-68`): L×R bipartite
-  *      or S upper-triangle nested loop, each pair guarded so it is emitted
-  *      only in its lowest-ordinal shared block (exactly-once across
-  *      overlapping blocking functions, `Compare.scala:94,106`);
-  *   5. feature projection stays in Catalyst `Column` expressions over the
-  *      carried tuple structs — no join back to the source, no second scan.
+  *   4. per-(reducer, block) pair generation in `groupByKey.flatMapGroups`
+  *      (the reference reducer, `DisDedupReducer.scala:12-68`): L×R
+  *      bipartite or S upper-triangle nested loop. The typed stages carry
+  *      ONLY (id, blocking-key values) — tuple payloads never enter the
+  *      object shuffle (an earlier version shuffled whole tuple structs
+  *      plus per-tuple key arrays through the encoders and ran 4× slower);
+  *   5. the exactly-once guard (pair kept only in its lowest shared
+  *      ordinal's block, `Compare.scala:94,106`) and the feature projection
+  *      run AFTER the typed stages as codegen'd Column expressions — the
+  *      guard is the same scalar comparison chain the declarative plan
+  *      uses, and features come from [[DedupPipeline.featuresFor]]'s join
+  *      back to the source (broadcast for dimension-sized inputs, shuffle
+  *      join at scale).
   *
   * Determinism: the reference draws the triangle anchor from a shared
   * `Random` whose draw order depends on partition iteration; we derive it
@@ -34,7 +40,8 @@ import scala.util.hashing.MurmurHash3
   *
   * Output is pair-set-equal to [[DedupPipeline.pairFeatures]] — the same
   * DuckDB oracle SQL validates both (the declarative plan for the common
-  * case, this pipeline when one block dominates the key distribution).
+  * case, this pipeline when one block dominates the key distribution —
+  * see [[DedupStrategy]]).
   */
 object TrianglePipeline {
 
@@ -42,23 +49,23 @@ object TrianglePipeline {
   private val sideS = "S"
   private val sideR = "R"
 
-  private def bkvArray(cfg: DedupConfig): Column =
-    array(cfg.blockingKeys.zipWithIndex.map { case (c, i) =>
-      struct(lit(i + 1).as("k"), coalesce(trim(c.cast("string")), lit("")).as("v"))
-    }: _*)
-
-  private val bkvStructType = StructType(Seq(
-    StructField("k", IntegerType, nullable = false),
-    StructField("v", StringType, nullable = true)))
-
-  /** Full pipeline returning unoriented pair rows (p1, p2) as tuple structs. */
+  /** Unoriented exactly-once pair ids: (id1, id2, bk). */
   def pairs(df: DataFrame, cfg: DedupConfig, k: Int, seed: Long = 647L): DataFrame = {
     val spark = df.sparkSession
     val seedInt = seed.toInt
+    val n = cfg.blockingKeys.size
+    val idType = df.schema(cfg.idColumn).dataType
+
+    val keyCols = cfg.blockingKeys.zipWithIndex.map { case (c, i) =>
+      coalesce(trim(c.cast("string")), lit("")).as(s"bv$i")
+    }
+    val bkvArr = array((0 until n).map(i =>
+      struct(lit(i + 1).as("k"), col(s"bv$i").as("v"))): _*)
 
     // ---- D1: stats + plan (driver holds only heavy blocks) ----------------
     val counts = df
-      .select(explode(bkvArray(cfg)).as("bkv"))
+      .select(keyCols: _*)
+      .select(explode(bkvArr).as("bkv"))
       .groupBy(col("bkv.k").as("k"), col("bkv.v").as("v"))
       .agg(count(lit(1)).as("n"))
       .withColumn("w", expr("n * (n - 1) DIV 2"))
@@ -78,34 +85,32 @@ object TrianglePipeline {
       .map { case (b, rids) => ((b.k, b.v), rids.toArray) }
     val bplan = spark.sparkContext.broadcast(plan)
 
-    // ---- D2+D3: triangle replication (typed flatMap) ----------------------
-    val tupSchema = df.schema
+    // ---- D2+D3: triangle replication (typed flatMap; id + key values only)
     val routedSchema = StructType(Seq(
       StructField("rid", IntegerType, nullable = false),
       StructField("bk", IntegerType, nullable = false),
       StructField("bv", StringType, nullable = true),
       StructField("side", StringType, nullable = false),
-      StructField("tup", tupSchema, nullable = false),
-      StructField("bkvs", ArrayType(bkvStructType, containsNull = false), nullable = false)))
-    val idIdx = df.columns.indexOf(cfg.idColumn)
-    require(idIdx >= 0, s"id column ${cfg.idColumn} not in ${df.columns.mkString(",")}")
+      StructField("id", idType, nullable = true)) ++
+      (0 until n).map(i => StructField(s"bv$i", StringType, nullable = true)))
     val kVal = k
 
-    val src = df.select(struct(df.columns.map(col): _*).as("tup"), bkvArray(cfg).as("bkvs"))
+    val src = df.select(col(cfg.idColumn).as("id") +: keyCols: _*)
     val routed = src.flatMap { row =>
-      val tup = row.getStruct(0)
-      val bkvs = row.getSeq[Row](1)
-      val idStr = String.valueOf(tup.get(idIdx))
-      bkvs.iterator.flatMap { bkv =>
-        val bk = bkv.getInt(0)
-        val bv = bkv.getString(1)
+      val id = row.get(0)
+      val bvs = (0 until n).map(i => row.getString(i + 1))
+      val idStr = String.valueOf(id)
+      bvs.iterator.zipWithIndex.flatMap { case (bv, i) =>
+        val bk = i + 1
+        def rec(rid: Int, side: String) =
+          Row.fromSeq(Seq(rid, bk, bv, side, id) ++ bvs)
         bplan.value.get((bk, bv)) match {
           case None =>
             // tiny block (w ≤ τ, never collected): stable-hash single reducer
             val rid = Math.floorMod(MurmurHash3.stringHash(s"$bk|$bv", seedInt), kVal) + 1
-            Iterator.single(Row(rid, bk, bv, sideS, tup, bkvs))
+            Iterator.single(rec(rid, sideS))
           case Some(rids) if rids.length == 1 =>
-            Iterator.single(Row(rids(0), bk, bv, sideS, tup, bkvs))
+            Iterator.single(rec(rids(0), sideS))
           case Some(rids) =>
             // multi-reducer block: anchor a ∈ [1, l], then one S (diagonal),
             // L to column cells above, R to row cells right of the diagonal
@@ -114,13 +119,13 @@ object TrianglePipeline {
             val out = new ArrayBuffer[Row](l)
             var p = 1
             while (p < a) {
-              out += Row(rids(DisDedupPlanner.cellIndex(l, p, a)), bk, bv, sideL, tup, bkvs)
+              out += rec(rids(DisDedupPlanner.cellIndex(l, p, a)), sideL)
               p += 1
             }
-            out += Row(rids(DisDedupPlanner.cellIndex(l, a, a)), bk, bv, sideS, tup, bkvs)
+            out += rec(rids(DisDedupPlanner.cellIndex(l, a, a)), sideS)
             var q = a + 1
             while (q <= l) {
-              out += Row(rids(DisDedupPlanner.cellIndex(l, a, q)), bk, bv, sideR, tup, bkvs)
+              out += rec(rids(DisDedupPlanner.cellIndex(l, a, q)), sideR)
               q += 1
             }
             out.iterator
@@ -130,72 +135,61 @@ object TrianglePipeline {
 
     // ---- D4-D6: group per (reducer, block), nested-loop pair generation ---
     val pairSchema = StructType(Seq(
-      StructField("p1", tupSchema, nullable = false),
-      StructField("p2", tupSchema, nullable = false)))
-    routed
+      StructField("ua", idType, nullable = true),
+      StructField("ub", idType, nullable = true),
+      StructField("bk", IntegerType, nullable = false)))
+    val nVal = n
+    val rawPairs = routed
       .groupByKey(r => (r.getInt(0), r.getInt(1), r.getString(2)))(
         Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt, Encoders.STRING))
       .flatMapGroups { (key, it) =>
         val bk = key._2
-        val left = new ArrayBuffer[(Row, Seq[Row])]()
-        val self = new ArrayBuffer[(Row, Seq[Row])]()
-        val right = new ArrayBuffer[(Row, Seq[Row])]()
+        val left = new ArrayBuffer[Row]()
+        val self = new ArrayBuffer[Row]()
+        val right = new ArrayBuffer[Row]()
         it.foreach { r =>
-          val entry = (r.getStruct(4), r.getSeq[Row](5))
           r.getString(3) match {
-            case `sideL` => left += entry
-            case `sideR` => right += entry
-            case _       => self += entry
+            case `sideL` => left += r
+            case `sideR` => right += r
+            case _       => self += r
           }
         }
-        // lowest blocking ordinal the two tuples share (Util.scala:70-83)
-        def lcb(b1: Seq[Row], b2: Seq[Row]): Int = {
-          var lowest = Int.MaxValue
-          for (x <- b1; y <- b2)
-            if (x.getInt(0) < lowest && x.getInt(0) == y.getInt(0) &&
-                x.getString(1) == y.getString(1))
-              lowest = x.getInt(0)
-          lowest
+        // exactly-once guard in-line (reference Compare.scala:94,106): the
+        // lowest shared ordinal is the first position whose key values
+        // agree — O(#blockingFns) string equalities, so guarded duplicates
+        // never reach the encoder
+        def emit(out: ArrayBuffer[Row], r1: Row, r2: Row): Unit = {
+          var i = 0
+          var lcb = Int.MaxValue
+          while (i < nVal && lcb == Int.MaxValue) {
+            if (r1.getString(5 + i) == r2.getString(5 + i)) lcb = i + 1
+            i += 1
+          }
+          if (bk == lcb) out += Row(r1.get(4), r2.get(4), bk)
         }
         val out = new ArrayBuffer[Row]()
         if (left.nonEmpty && right.nonEmpty) {
-          for ((t1, b1) <- left; (t2, b2) <- right)
-            if (bk <= lcb(b1, b2)) out += Row(t1, t2)
+          for (r1 <- left; r2 <- right) emit(out, r1, r2)
         } else {
           var i = 0
           while (i < self.length) {
             var j = i + 1
-            while (j < self.length) {
-              if (bk <= lcb(self(i)._2, self(j)._2)) out += Row(self(i)._1, self(j)._1)
-              j += 1
-            }
+            while (j < self.length) { emit(out, self(i), self(j)); j += 1 }
             i += 1
           }
         }
         out.iterator
       }(Encoders.row(pairSchema))
-  }
 
-  /** Orient pairs by id and project features — pure `Column` expressions over
-    * the carried structs (back inside whole-stage codegen). */
-  def orientedFeatures(pairRows: DataFrame, cfg: DedupConfig): DataFrame = {
-    val id1 = col("p1").getField(cfg.idColumn)
-    val id2 = col("p2").getField(cfg.idColumn)
-    val t1 = when(id1 <= id2, col("p1")).otherwise(col("p2"))
-    val t2 = when(id1 <= id2, col("p2")).otherwise(col("p1"))
-    val labelCols = cfg.label.toSeq.map { fn =>
-      fn(t1.getField(cfg.idColumn), t2.getField(cfg.idColumn)).as("label")
-    }
-    val featCols = cfg.features.map { f =>
-      f.cmp(t1.getField(f.column), t2.getField(f.column)).as(f.name)
-    }
-    pairRows.select(
-      (Seq(t1.getField(cfg.idColumn).as("id1"), t2.getField(cfg.idColumn).as("id2")) ++
-        labelCols ++ featCols): _*)
+    // ---- orientation in codegen ------------------------------------------
+    rawPairs.select(
+      when(col("ua") <= col("ub"), col("ua")).otherwise(col("ub")).as("id1"),
+      when(col("ua") <= col("ub"), col("ub")).otherwise(col("ua")).as("id2"),
+      col("bk"))
   }
 
   /** End-to-end: equivalent to [[DedupPipeline.pairFeatures]], different
     * physical strategy. */
   def pairFeatures(df: DataFrame, cfg: DedupConfig, k: Int, seed: Long = 647L): DataFrame =
-    orientedFeatures(pairs(df, cfg, k, seed), cfg)
+    DedupPipeline.featuresFor(df, cfg, pairs(df, cfg, k, seed).select("id1", "id2"))
 }
