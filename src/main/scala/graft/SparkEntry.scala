@@ -58,7 +58,10 @@ object SparkEntry {
     "q39_pivot" -> (Relational.q39Pivot _),
     "q40_unpivot" -> (Relational.q40Unpivot _),
     "q41_grouping_sets" -> (Relational.q41GroupingSets _),
-    "q42_salted_agg" -> (Relational.q42SaltedAgg _)
+    "q42_salted_agg" -> (Relational.q42SaltedAgg _),
+    "q43_vocab_topk" -> (TextOps.q43VocabTopK _),
+    "q44_tf_df" -> (TextOps.q44TfDf _),
+    "q45_length_histogram" -> (TextOps.q45LengthHistogram _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -92,6 +95,9 @@ object SparkEntry {
     "q40_unpivot" -> Relational.q40UnpivotSql,
     "q41_grouping_sets" -> Relational.q41GroupingSetsSql,
     "q42_salted_agg" -> Relational.q42SaltedAggSql,
+    "q43_vocab_topk" -> TextOps.q43VocabTopKSql,
+    "q44_tf_df" -> TextOps.q44TfDfSql,
+    "q45_length_histogram" -> TextOps.q45LengthHistogramSql,
     "q37_simhash_pairs" -> NearDup.q37SimhashPairsSql,
     "q21_token_stats" -> TextOps.q21TokenStatsSql,
     "q22_quality_score" -> TextOps.q22QualityScoreSql,

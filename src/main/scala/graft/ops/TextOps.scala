@@ -155,4 +155,81 @@ object TextOps {
     FROM documents
     GROUP BY 1
   """
+
+  /** Corpus vocabulary: top-50 tokens by frequency (explode → count →
+    * top-k; ties broken lexically so the cut is deterministic). */
+  def q43VocabTopK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(explode(expr("""split(trim(text), '\\s+')""")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(50)
+
+  val q43VocabTopKSql: String = """
+    SELECT token, count(*) AS freq
+    FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token ASC
+    LIMIT 50
+  """
+
+  /** Term weighting: per-document term frequency × inverse document
+    * frequency as the exact ratio (N+1)/(df+1) — a single double division,
+    * bit-identical across engines (ln() can differ in the last ulp between
+    * libm implementations, so the log form is deliberately avoided in the
+    * oracle-checked weight). Top-3 terms per document. */
+  def q44TfDf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, sfDir, "documents")
+    val tokens = docs
+      .select(col("doc_id"), explode(expr("""split(trim(text), '\\s+')""")).as("token"))
+    val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.count().toDouble
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("weight").desc, col("token").asc)
+    tf.join(df_, "token")
+      .withColumn("weight",
+        col("tf").cast("double") * (lit(nDocs + 1.0) / (col("df").cast("double") + lit(1.0))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("weight"), col("rk"))
+  }
+
+  val q44TfDfSql: String = """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    wt AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        CAST(tf.tf AS DOUBLE) * ((n.n_docs + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)) AS weight
+      FROM tf JOIN df USING (token) CROSS JOIN n),
+    rk AS (
+      SELECT doc_id, token, tf, df, weight,
+        row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, token ASC) AS rk
+      FROM wt)
+    SELECT doc_id, token, tf, df, weight, rk FROM rk WHERE rk <= 3
+  """
+
+  /** Document-length histogram — 100-char buckets capped at 10 (DuckDB has
+    * no width_bucket, so the bucketing is explicit floor/least arithmetic
+    * identical in both engines). */
+  def q45LengthHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(expr("least(CAST(floor(length(text) / 100.0) AS BIGINT), CAST(10 AS BIGINT))")
+        .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  val q45LengthHistogramSql: String = """
+    SELECT least(CAST(floor(length(text) / 100.0) AS BIGINT), 10::BIGINT) AS bucket,
+      count(*) AS n
+    FROM documents
+    GROUP BY 1
+  """
 }
