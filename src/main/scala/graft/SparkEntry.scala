@@ -9,9 +9,13 @@ import graft.ops._
 object SparkEntry {
 
   /** Flagship query (the reference's GenerateLabeledPoints semantics on the
-    * customer table) on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+    * customer table) on /root/testdata/sf0.001 through the skew-aware
+    * strategy chooser; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Dedup.pairsNaive(spark, "/root/testdata/sf0.001")
+    graft.dedup.DedupStrategy.pairFeaturesAuto(
+      graft.Tables(spark, "/root/testdata/sf0.001", "customer"),
+      Dedup.customerConfig,
+      k = 8)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
