@@ -65,7 +65,8 @@ object SparkEntry {
     "q42_salted_agg" -> (Relational.q42SaltedAgg _),
     "q43_vocab_topk" -> (TextOps.q43VocabTopK _),
     "q44_tf_df" -> (TextOps.q44TfDf _),
-    "q45_length_histogram" -> (TextOps.q45LengthHistogram _)
+    "q45_length_histogram" -> (TextOps.q45LengthHistogram _),
+    "q46_ivf_ann" -> (Embeddings.q46IvfAnn _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -102,6 +103,7 @@ object SparkEntry {
     "q43_vocab_topk" -> TextOps.q43VocabTopKSql,
     "q44_tf_df" -> TextOps.q44TfDfSql,
     "q45_length_histogram" -> TextOps.q45LengthHistogramSql,
+    "q46_ivf_ann" -> Embeddings.q46IvfAnnSql,
     "q37_simhash_pairs" -> NearDup.q37SimhashPairsSql,
     "q21_token_stats" -> TextOps.q21TokenStatsSql,
     "q22_quality_score" -> TextOps.q22QualityScoreSql,

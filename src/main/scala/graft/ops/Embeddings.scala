@@ -168,6 +168,93 @@ object Embeddings {
     SELECT label, idx, n, sum_x, sum_x / CAST(n AS DOUBLE) AS mean_x FROM g
   """
 
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
+    * its nearest centroid cell, and queries probe ONLY their own cell
+    * (nprobe=1) — the standard two-level index that keeps the candidate
+    * join linear in cell size instead of corpus size. Centroids here are
+    * the deterministic per-label means (a k-means iteration would slot in
+    * identically); distance math is squared-L2 via three dot products so
+    * both engines compute the same IEEE values. */
+  def q46IvfAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecs(spark, sfDir).persist()
+    // centroid arrays from the long-format means, ordered by index
+    val cents = q31Centroids(spark, sfDir)
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("idx"), col("mean_x")))).as("im"))
+      .select(col("label").as("cell"),
+        expr("transform(im, x -> x.mean_x)").as("c"))
+      .withColumn("cnorm2", dot(col("c"), col("c")))
+    // assign: nearest cell by squared L2 = |v|^2 - 2 v.c + |c|^2
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cell").asc)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        col("nrm") * col("nrm") - lit(2.0) * dot(col("v"), col("c")) + col("cnorm2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell"))
+      .persist()
+    // probe: queries search only their own cell
+    val q = assigned.filter(col("vec_id") < KnnQueryIds)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand_id").asc)
+    q.join(assigned.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+        col("nrm").as("cn"), col("cell").as("ccell")),
+        col("cell") === col("ccell") && col("qid") =!= col("cand_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("cand_id"), col("cell"), col("rk"), col("cos"))
+  }
+
+  val q46IvfAnnSql: String = s"""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, label, v,
+        sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+      FROM e),
+    x AS (
+      SELECT label, i.idx - 1 AS idx, v[i.idx] AS x
+      FROM (SELECT label, list_transform(embedding, e2 -> e2::DOUBLE) AS v FROM embeddings),
+           LATERAL (SELECT unnest(generate_series(1, len(v))) AS idx) i),
+    cmeans AS (
+      SELECT label, idx,
+        list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(x))), (a, b) -> a + b)
+          / CAST(count(*) AS DOUBLE) AS mean_x
+      FROM x GROUP BY label, idx),
+    cents AS (
+      SELECT label AS cell, list(mean_x ORDER BY idx) AS c FROM cmeans GROUP BY label),
+    cn AS (
+      SELECT cell, c,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(c, x -> x * x)), (acc, x) -> acc + x) AS cnorm2
+      FROM cents),
+    da AS (
+      SELECT n.vec_id, n.v, n.nrm, cn.cell,
+        n.nrm * n.nrm
+          - 2.0 * list_reduce(list_prepend(0.0::DOUBLE,
+              list_transform(list_zip(n.v, cn.c), z -> z[1] * z[2])), (acc, x) -> acc + x)
+          + cn.cnorm2 AS d2
+      FROM n CROSS JOIN cn),
+    assigned AS (
+      SELECT vec_id, v, nrm, cell FROM (
+        SELECT vec_id, v, nrm, cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rk
+        FROM da) WHERE rk = 1),
+    probe AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cand_id, q.cell,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(list_zip(q.v, c.v), z -> z[1] * z[2])), (acc, x) -> acc + x)
+          / (q.nrm * c.nrm) AS cos
+      FROM assigned q JOIN assigned c
+        ON q.cell = c.cell AND q.vec_id <> c.vec_id AND q.vec_id < $KnnQueryIds)
+    SELECT qid, cand_id, cell, rk, cos FROM (
+      SELECT qid, cand_id, cell, cos,
+        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS rk
+      FROM probe) WHERE rk <= 3
+  """
+
   /** Centroid gram matrix + cosine: joins the long-format centroids on idx,
     * sorted-fold-sums the products (shuffle-order-proof), then normalizes by
     * the diagonal. */
