@@ -94,10 +94,16 @@ object GraftFunctions {
           MinHashAffine(exprs(0), exprs(1))
         }))
 
-  /** Idempotent in-place registration on a live session. */
+  private val registered =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[SparkSession]())
+
+  /** Idempotent, race-free in-place registration on a live session (query
+    * builders may run from multiple driver threads — see graft.Verify). */
   def register(spark: SparkSession): Unit =
-    functions.foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    if (registered.add(spark)) {
+      functions.foreach { case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+      }
     }
 
   private[functions] def inject(ext: SparkSessionExtensions): Unit =
