@@ -66,7 +66,8 @@ object SparkEntry {
     "q43_vocab_topk" -> (TextOps.q43VocabTopK _),
     "q44_tf_df" -> (TextOps.q44TfDf _),
     "q45_length_histogram" -> (TextOps.q45LengthHistogram _),
-    "q46_ivf_ann" -> (Embeddings.q46IvfAnn _)
+    "q46_ivf_ann" -> (Embeddings.q46IvfAnn _),
+    "q47_range_join" -> (Relational.q47RangeJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -104,6 +105,7 @@ object SparkEntry {
     "q44_tf_df" -> TextOps.q44TfDfSql,
     "q45_length_histogram" -> TextOps.q45LengthHistogramSql,
     "q46_ivf_ann" -> Embeddings.q46IvfAnnSql,
+    "q47_range_join" -> Relational.q47RangeJoinSql,
     "q37_simhash_pairs" -> NearDup.q37SimhashPairsSql,
     "q21_token_stats" -> TextOps.q21TokenStatsSql,
     "q22_quality_score" -> TextOps.q22QualityScoreSql,

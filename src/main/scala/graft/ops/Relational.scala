@@ -446,6 +446,35 @@ object Relational {
     GROUP BY l_returnflag
   """
 
+  /** Range (non-equi) join: quantity bands × lineitem, BETWEEN predicate.
+    * The bands side is a tiny inline dimension ⇒ Catalyst plans a
+    * BroadcastNestedLoopJoin — the right physical shape for interval
+    * predicates against a small reference table. */
+  def q47RangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("tiny", 0.0, 10.0), ("small", 10.0, 25.0),
+      ("mid", 25.0, 40.0), ("big", 40.0, 1e9))
+      .toDF("band", "lo", "hi")
+    Tables(spark, sfDir, "lineitem")
+      .join(broadcast(bands),
+        col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec("l_extendedprice", 14)).cast("double").as("revenue"))
+  }
+
+  val q47RangeJoinSql: String = """
+    WITH bands(band, lo, hi) AS (
+      VALUES ('tiny', 0.0, 10.0), ('small', 10.0, 25.0),
+             ('mid', 25.0, 40.0), ('big', 40.0, 1e9))
+    SELECT band, count(*) AS n,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN bands
+      ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band
+  """
+
   /** Approximate aggregates (HLL++ distinct, quantile sketch) next to their
     * exact values — rows-only driver check: sketch outputs are
     * engine-specific, so no DuckDB value oracle. */
