@@ -141,6 +141,15 @@ object Embeddings {
     FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
   """
 
+  /** Embedding-cosine near-duplicate pairs: the LSH candidate join filtered
+    * to high-similarity pairs — the vector-space analog of the MinHash text
+    * dedup (candidates from buckets, verification by exact cosine). */
+  def q48EmbeddingNeardup(spark: SparkSession, sfDir: String): DataFrame =
+    q30AnnLsh(spark, sfDir).filter(col("cos") >= 0.3)
+
+  val q48EmbeddingNeardupSql: String =
+    s"SELECT * FROM (${q30AnnLshSql}) WHERE cos >= 0.3"
+
   /** Element-wise per-label centroids: posexplode → (label, idx) sums —
     * the distributed vector-aggregation shape (no collect, no UDAF).
     * Double sums are made order-deterministic by folding a SORTED value list
