@@ -35,6 +35,19 @@ object EventStreams {
       .select(unix_timestamp(col("w.start")).as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact deduplication: drop records whose key was already seen
+    * within the watermark horizon — the streaming counterpart of the batch
+    * hash-groupBy dedup (state holds one entry per key and is evicted once
+    * the watermark passes, so memory is bounded by the horizon, not the
+    * stream length). */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Inactivity-gap sessionization with keyed event-time state — streaming
     * twin of Events.q19Sessionize. Sessions closed by a later event in the
     * same batch are emitted immediately; the open tail session lives in

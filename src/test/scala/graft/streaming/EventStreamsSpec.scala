@@ -63,6 +63,25 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark duplicate keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(ts(1), 1L, "view", 1.0), Event(ts(2), 1L, "view", 2.0), // dup key
+      Event(ts(3), 2L, "view", 3.0), Event(ts(4), 1L, "click", 4.0))
+    val q = EventStreams.dedupStream(mem.toDF(), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val keys = spark.table("dedup_stream")
+        .select("user_id", "event_type").as[(Long, String)].collect().toSet
+      assert(keys === Set((1L, "view"), (2L, "view"), (1L, "click")))
+      assert(spark.table("dedup_stream").count() === 3L)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits gap-closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
