@@ -68,7 +68,8 @@ object SparkEntry {
     "q45_length_histogram" -> (TextOps.q45LengthHistogram _),
     "q46_ivf_ann" -> (Embeddings.q46IvfAnn _),
     "q47_range_join" -> (Relational.q47RangeJoin _),
-    "q48_embedding_neardup" -> (Embeddings.q48EmbeddingNeardup _)
+    "q48_embedding_neardup" -> (Embeddings.q48EmbeddingNeardup _),
+    "q49_entity_clusters" -> (Dedup.entityClusters _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -108,6 +109,7 @@ object SparkEntry {
     "q46_ivf_ann" -> Embeddings.q46IvfAnnSql,
     "q47_range_join" -> Relational.q47RangeJoinSql,
     "q48_embedding_neardup" -> Embeddings.q48EmbeddingNeardupSql,
+    "q49_entity_clusters" -> Dedup.entityClustersSql,
     "q37_simhash_pairs" -> NearDup.q37SimhashPairsSql,
     "q21_token_stats" -> TextOps.q21TokenStatsSql,
     "q22_quality_score" -> TextOps.q22QualityScoreSql,

@@ -1,0 +1,40 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.ml.Febrl
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClusteringSpec extends AnyFunSuite with SparkSpec {
+
+  test("connected components: chains, cliques, isolated pairs") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11,12} (clique), {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (21L, 20L)).toDF("id1", "id2")
+    val got = Clustering.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("Febrl ground-truth pairs cluster into exactly the record families") {
+    val pairs = DedupPipeline
+      .pairFeatures(Febrl.read(spark, "/root/reference/data/test.csv"), Febrl.config)
+      .filter(col("label") === 1.0)
+      .select(col("id1"), col("id2"))
+      .cache()
+    val comps = Clustering.connectedComponents(pairs)
+      .withColumn("family", split(trim(col("id")), "-").getItem(1))
+    // every component maps to exactly one rec-<n> family and vice versa
+    val mixed = comps.groupBy(col("component"))
+      .agg(countDistinct(col("family")).as("nf"))
+      .filter(col("nf") > 1).count()
+    assert(mixed === 0L, "a component mixes two ground-truth families")
+    val split_ = comps.groupBy(col("family"))
+      .agg(countDistinct(col("component")).as("nc"))
+      .filter(col("nc") > 1).count()
+    assert(split_ === 0L, "a ground-truth family split across components")
+    assert(comps.count() > 0L)
+  }
+}
