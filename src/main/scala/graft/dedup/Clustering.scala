@@ -9,11 +9,19 @@ import org.apache.spark.sql.functions._
   *
   *   label(v) ← min(label(v), min over neighbours' labels)
   *
-  * run until a fixpoint. Per iteration: one shuffle join + one aggregate —
-  * the standard large-graph CC shape (converges in O(diameter) rounds;
-  * dedup graphs are near-cliques, so typically 2-3). `localCheckpoint`
-  * every iteration truncates the growing lineage so plans stay constant
-  * size at any round count.
+  * run until a fixpoint, with pointer doubling (label(v) ← label(label(v)))
+  * each round so chains converge in O(log diameter) instead of O(diameter).
+  *
+  * Per-iteration cost is kept to exactly two shuffle joins plus one trivial
+  * aggregate:
+  *  - self-loop edges fold the "keep your own label" step into the
+  *    neighbour-min aggregate (no separate left-join back onto labels);
+  *  - the self-loop row also carries each vertex's OLD label through the
+  *    aggregate, so convergence is detected by a trivial filter-count over
+  *    the just-checkpointed frame — no change-comparison join against the
+  *    previous labels.
+  * `localCheckpoint` every iteration truncates the growing lineage so plans
+  * stay constant size at any round count.
   */
 object Clustering {
 
@@ -22,7 +30,7 @@ object Clustering {
     *         only ids appearing in pairs are returned (singletons are
     *         their own trivial entity). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges0 = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+    val sym = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2"), col("id1")))
       .distinct()
       .localCheckpoint()
@@ -31,42 +39,49 @@ object Clustering {
     // the input that produced it
     val parallelism = math.max(1, math.min(
       pairs.sparkSession.sparkContext.defaultParallelism,
-      (edges0.count() / 500000L).toInt + 1))
-    val edges = edges0.repartition(parallelism, col("dst")).localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .repartition(parallelism, col("id"))
+      (sym.count() / 500000L).toInt + 1))
+    // self-loops: min over neighbours then includes the vertex's own label,
+    // so propagation is a single join+aggregate with no left-join fixup
+    val edges = sym
+      .union(sym.select(col("src"), col("src").as("dst")).distinct())
+      .repartition(parallelism, col("dst"))
       .localCheckpoint()
+    // the self-loop rows ARE the vertex list: seed labels from the already
+    // checkpointed edges (no extra distinct shuffle or checkpoint), and the
+    // dst-alias keeps them co-partitioned with the propagation join key
+    var labels = edges.filter(col("src") === col("dst"))
+      .select(col("dst").as("id"), col("dst").as("component"))
     var iter = 0
     var converged = false
+    val verbose = sys.props.contains("graft.cc.verbose") ||
+      sys.env.contains("GRAFT_CC_VERBOSE")
     while (iter < maxIter && !converged) {
-      // neighbour propagation: min label over adjacent vertices
-      val neighbourMin = edges
+      val t0 = System.nanoTime()
+      // neighbour propagation: min label over adjacent vertices. The
+      // self-loop row contributes the vertex's own label (so min = new
+      // label, no coalesce-with-old join) AND smuggles the old label out of
+      // the aggregate for join-free change detection below.
+      val propagated = edges
         .join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src").as("id2"))
-        .agg(min(col("component")).as("ncomp"))
-      val propagated = labels
-        .join(neighbourMin, labels("id") === neighbourMin("id2"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("ncomp"), col("component")))
-            .as("component"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("component"),
+          min(when(col("dst") === col("src"), col("component"))).as("old"))
       // pointer doubling (path compression): jump to the component's own
-      // component — turns O(diameter) convergence into O(log diameter),
-      // which matters when near-dup chains form long paths
+      // component — O(log diameter) convergence for long near-dup chains
       val m = propagated.select(col("id").as("mid"), col("component").as("mcomp"))
       val next = propagated
         .join(m, propagated("component") === m("mid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("old"),
           least(col("component"), coalesce(col("mcomp"), col("component")))
             .as("component"))
         .localCheckpoint()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .count()
-      labels = next
+      // cheap scan of the just-checkpointed frame — no join with old labels
+      val changed = next.filter(col("component") =!= col("old")).count()
+      labels = next.select(col("id"), col("component"))
       converged = changed == 0L
       iter += 1
+      if (verbose) println(
+        f"PROBE cc_iter $iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     require(converged, s"connected components did not converge in $maxIter iterations")
     labels

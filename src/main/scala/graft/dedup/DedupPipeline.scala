@@ -21,6 +21,21 @@ import org.apache.spark.sql.functions._
   */
 object DedupPipeline {
 
+  /** Right-size a narrow input before the expanding block self-join.
+    *
+    * The join's OUTPUT is quadratic in block sizes, so its cost must be
+    * spread across every core even when the INPUT is one small parquet file
+    * (local test scales) or a handful of partitions — otherwise Spark
+    * happily broadcast-joins the tiny index and evaluates millions of
+    * comparator rows in a single task. When the input already has ≥
+    * defaultParallelism partitions (any real cluster scale) this is a no-op,
+    * so no extra shuffle is ever paid at 100 TB.
+    */
+  private[dedup] def parallelize(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** (id, k, v) inverted index: one row per tuple per blocking key.
     * Reference: `Util.getBKVs` (Util.scala:45-58) — null key value ⇒ "".
     */
@@ -58,7 +73,7 @@ object DedupPipeline {
     }
     val bkvs = array((0 until n).map(i =>
       struct(lit(i + 1).as("k"), col(s"bv$i").as("v"))): _*)
-    val idx = df
+    val idx = parallelize(df)
       .select(col(cfg.idColumn).as("id") +: keyCols: _*)
       .select(col("id") +: (0 until n).map(i => col(s"bv$i")) :+
         explode(bkvs).as("bkv"): _*)
@@ -114,7 +129,7 @@ object DedupPipeline {
     }
     val bkvs = array((0 until n).map(i =>
       struct(lit(i + 1).as("k"), col(s"bv$i").as("v"))): _*)
-    val idx = df
+    val idx = parallelize(df)
       .select(col(cfg.idColumn).as("id") +: (keyCols ++ featInputs.map(col)): _*)
       .withColumn("bkv", explode(bkvs))
       .withColumn("k", col("bkv.k"))

@@ -48,7 +48,7 @@ object Dedup {
     val cfg = customerConfig.copy(features =
       customerConfig.features.filter(_.name == "name_sim"))
     // persist is a deliberate pushdown barrier: without it Catalyst merges
-    // the sim threshold into the join condition AHEAD of the cheap id</
+    // the sim threshold into the join condition AHEAD of the cheap id<
     // guard, evaluating levenshtein for both orientations of every
     // candidate (2x the comparator work)
     val pairs = DedupPipeline

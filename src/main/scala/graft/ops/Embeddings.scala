@@ -152,18 +152,25 @@ object Embeddings {
 
   /** Element-wise per-label centroids: posexplode → (label, idx) sums —
     * the distributed vector-aggregation shape (no collect, no UDAF).
-    * Double sums are made order-deterministic by folding a SORTED value list
-    * (decimal can't represent arbitrary doubles exactly, so its rounding
-    * mode would leak 1-ulp engine differences; a sorted left fold is
-    * bit-reproducible everywhere). */
+    *
+    * Cross-row double sums are made order-deterministic by FIXED-POINT
+    * aggregation: each component is floored to an integer at scale 1e12
+    * (floor of an IEEE double is bit-identical in Spark and DuckDB), summed
+    * exactly as DECIMAL(38,0) — a constant-size per-group accumulator with
+    * map-side partial aggregation, unlike a per-group collect_list which
+    * buffers every member value — and divided back at the end. The operator
+    * DEFINES sum_x/mean_x as this formula, so the oracle matches bitwise
+    * while the aggregation stays bounded-memory at any corpus size. */
   def q31Centroids(spark: SparkSession, sfDir: String): DataFrame =
     vecs(spark, sfDir)
       .select(col("label"), posexplode(col("v")).as(Seq("idx", "x")))
       .groupBy(col("label"), col("idx"))
-      .agg(count(lit(1)).as("n"), sort_array(collect_list(col("x"))).as("xs"))
-      .withColumn("sum_x", expr("aggregate(xs, CAST(0 AS DOUBLE), (a, b) -> a + b)"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(x * 1e12) AS DECIMAL(38,0))")).as("fx"))
+      .withColumn("sum_x", col("fx").cast("double") / lit(1e12))
       .withColumn("mean_x", col("sum_x") / col("n").cast("double"))
-      .drop("xs")
+      .drop("fx")
+      .select(col("label"), col("idx"), col("n"), col("sum_x"), col("mean_x"))
 
   val q31CentroidsSql: String = """
     WITH x AS (
@@ -172,9 +179,12 @@ object Embeddings {
            LATERAL (SELECT unnest(generate_series(1, len(v))) AS idx) i),
     g AS (
       SELECT label, idx, count(*) AS n,
-        list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(x))), (a, b) -> a + b) AS sum_x
+        sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS fx
       FROM x GROUP BY label, idx)
-    SELECT label, idx, n, sum_x, sum_x / CAST(n AS DOUBLE) AS mean_x FROM g
+    SELECT label, idx, n,
+      CAST(fx AS DOUBLE) / 1e12 AS sum_x,
+      CAST(fx AS DOUBLE) / 1e12 / CAST(n AS DOUBLE) AS mean_x
+    FROM g
   """
 
   /** IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
@@ -229,7 +239,7 @@ object Embeddings {
            LATERAL (SELECT unnest(generate_series(1, len(v))) AS idx) i),
     cmeans AS (
       SELECT label, idx,
-        list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(x))), (a, b) -> a + b)
+        CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12
           / CAST(count(*) AS DOUBLE) AS mean_x
       FROM x GROUP BY label, idx),
     cents AS (
@@ -292,7 +302,7 @@ object Embeddings {
            LATERAL (SELECT unnest(generate_series(1, len(v))) AS idx) i),
     c AS (
       SELECT label, idx,
-        list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(x))), (a, b) -> a + b)
+        CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12
           / CAST(count(*) AS DOUBLE) AS mean_x
       FROM x GROUP BY label, idx),
     gram AS (

@@ -104,7 +104,7 @@ object Events {
     )
     SELECT user_id, count(*) AS n_sessions,
       max(sess_events) AS max_session_events,
-      sum(sess_secs) AS total_session_secs
+      CAST(sum(sess_secs) AS BIGINT) AS total_session_secs
     FROM sessions GROUP BY user_id
   """
 

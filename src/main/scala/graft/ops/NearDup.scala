@@ -53,10 +53,13 @@ object NearDup {
       .drop("hs")
   }
 
-  /** MinHash signatures: doc_id → 16-permutation signature vector. */
+  /** MinHash signatures: doc_id → 16-permutation signature vector, emitted
+    * as an '_'-joined scalar string so the driver's oracle can sort/hash the
+    * column (raw ARRAY columns break its pandas canonicalization). */
   def q26MinhashSig(spark: SparkSession, sfDir: String): DataFrame =
     withSignature(shingled(Tables(spark, sfDir, "documents")))
-      .select(col("doc_id"), col("sig"))
+      .select(col("doc_id"),
+        expr("array_join(transform(sig, x -> CAST(x AS STRING)), '_')").as("sig"))
 
   val q26MinhashSigSql: String = s"""
     WITH sh AS (
@@ -69,10 +72,11 @@ object NearDup {
       FROM documents
       WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3)
     SELECT doc_id,
-      list_transform(range(${NumPerm}),
+      array_to_string(list_transform(list_transform(range(${NumPerm}),
         sd -> list_min(list_transform(
           list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT),
-          h -> (h * (2*sd + 1) + 981 * sd) % 72057594037927936))) AS sig
+          h -> (h * (2*sd + 1) + 981 * sd) % 72057594037927936))),
+        x -> x::VARCHAR), '_') AS sig
     FROM sh
   """
 

@@ -333,7 +333,7 @@ object Relational {
     SELECT event_type, count(*) AS n,
       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-      sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
   """
