@@ -46,18 +46,18 @@ object SparkEntry {
     "q23_langid" -> (TextOps.q23LangId _),
     "q24_fingerprint" -> (TextOps.q24Fingerprint _),
     "q25_exact_dedup" -> (TextOps.q25ExactDedup _),
-    "q26_minhash_sig" -> (NearDup.q26MinhashSig _),
-    "q27_lsh_pairs" -> (NearDup.q27LshPairs _),
+    "q26_minhash_sig" -> ((s, d) => NearDup.q26MinhashSig(s, d)),
+    "q27_lsh_pairs" -> ((s, d) => NearDup.q27LshPairs(s, d)),
     "q28_simhash" -> (NearDup.q28Simhash _),
-    "q29_knn_brute" -> (Embeddings.q29KnnBrute _),
-    "q30_ann_lsh" -> (Embeddings.q30AnnLsh _),
+    "q29_knn_brute" -> ((s, d) => Embeddings.q29KnnBrute(s, d)),
+    "q30_ann_lsh" -> ((s, d) => Embeddings.q30AnnLsh(s, d)),
     "q31_centroids" -> (Embeddings.q31Centroids _),
     "q32_centroid_cosine" -> (Embeddings.q32CentroidCosine _),
     "q33_dup_score" -> (MlOps.q33DupScore _),
     "q34_media_features" -> (Multimodal.q34MediaFeatures _),
     "q35_percentile" -> (Relational.q35Percentile _),
     "q36_asof_join" -> (Events.q36AsofJoin _),
-    "q37_simhash_pairs" -> (NearDup.q37SimhashPairs _),
+    "q37_simhash_pairs" -> ((s, d) => NearDup.q37SimhashPairs(s, d)),
     "q38_approx_stats" -> (Relational.q38ApproxStats _),
     "q39_pivot" -> (Relational.q39Pivot _),
     "q40_unpivot" -> (Relational.q40Unpivot _),
@@ -68,8 +68,9 @@ object SparkEntry {
     "q45_length_histogram" -> (TextOps.q45LengthHistogram _),
     "q46_ivf_ann" -> (Embeddings.q46IvfAnn _),
     "q47_range_join" -> (Relational.q47RangeJoin _),
-    "q48_embedding_neardup" -> (Embeddings.q48EmbeddingNeardup _),
-    "q49_entity_clusters" -> (Dedup.entityClusters _)
+    "q48_embedding_neardup" -> ((s, d) => Embeddings.q48EmbeddingNeardup(s, d)),
+    "q49_entity_clusters" -> (Dedup.entityClusters _),
+    "q50_exact_stats" -> (Relational.q50ExactStats _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -122,6 +123,7 @@ object SparkEntry {
     "q29_knn_brute" -> Embeddings.q29KnnBruteSql,
     "q30_ann_lsh" -> Embeddings.q30AnnLshSql,
     "q31_centroids" -> Embeddings.q31CentroidsSql,
-    "q32_centroid_cosine" -> Embeddings.q32CentroidCosineSql
+    "q32_centroid_cosine" -> Embeddings.q32CentroidCosineSql,
+    "q50_exact_stats" -> Relational.q50ExactStatsSql
   )
 }

@@ -27,7 +27,7 @@ object Verify {
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          }
+          } finally CachedFrames.drain() // builder ran on this thread
       })
     }
     tasks.foreach(_.get())

@@ -73,9 +73,16 @@ object GenerateLabeledPoints {
     val cfg0 = Febrl.config
     val cfg = if (a.contains("unlabeled")) cfg0.copy(label = None) else cfg0
     val df = Febrl.read(spark, a("input"))
-    val pairs = a.get("reducers").map(_.toInt) match {
-      case Some(k) if k > 1 => TrianglePipeline.pairFeatures(df, cfg, k)
-      case _ => DedupPipeline.pairFeatures(df, cfg)
+    val pairs = a.get("reducers").map { s =>
+      s.toIntOption.getOrElse(
+        throw new IllegalArgumentException(s"--reducers must be an integer, got '$s'"))
+    } match {
+      // k = 1 is a valid (degenerate) triangle layout — the planner handles
+      // it, and silently ignoring the flag would surprise reference users
+      case Some(k) if k >= 1 => TrianglePipeline.pairFeatures(df, cfg, k)
+      case Some(k) =>
+        throw new IllegalArgumentException(s"--reducers must be >= 1, got $k")
+      case None => DedupPipeline.pairFeatures(df, cfg)
     }
     val labelCol = if (cfg.label.isDefined) Seq(col("label").cast("string"))
                    else Seq(lit("").as("label"))

@@ -21,11 +21,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * ascending-index left fold, so results are bitwise identical to the HOF
   * form (and to the DuckDB `list_reduce` oracles).
   *
-  * Null contract: NULL if either array is NULL; array ELEMENTS must be
-  * non-null (standard numeric-vector columns).
+  * Null contract: NULL if either array is NULL, and NULL if the arrays have
+  * DIFFERENT lengths (silently truncating to the shorter side would return a
+  * plausible-looking but wrong inner product on malformed vector data); array
+  * ELEMENTS must be non-null (standard numeric-vector columns).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -42,7 +46,8 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -55,12 +60,16 @@ case class DotProduct(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -94,8 +103,11 @@ object GraftFunctions {
           MinHashAffine(exprs(0), exprs(1))
         }))
 
-  private val registered =
-    java.util.Collections.synchronizedSet(new java.util.HashSet[SparkSession]())
+  // weakly referenced so a stopped session (and its sessionState) can be
+  // garbage-collected in a long-lived driver that churns through sessions
+  private val registered = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Idempotent, race-free in-place registration on a live session (query
     * builders may run from multiple driver threads — see graft.Verify). */

@@ -54,8 +54,11 @@ object Dedup {
     val pairs = DedupPipeline
       .pairFeatures(Tables(spark, sfDir, "customer"), cfg)
       .persist()
-    graft.dedup.Clustering.connectedComponents(
+    // connectedComponents consumes pairs EAGERLY (its result is
+    // localCheckpoint-backed), so the cache can be released right away
+    try graft.dedup.Clustering.connectedComponents(
       pairs.filter(col("name_sim") >= 0.9).select("id1", "id2"))
+    finally pairs.unpersist(false)
   }
 
   val entityClustersSql: String = """

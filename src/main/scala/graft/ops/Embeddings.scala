@@ -24,10 +24,17 @@ import org.apache.spark.sql.functions._
   * sub-quadratic ANN candidate join. Norms are precomputed per row BEFORE
   * the join so the O(n²) stage does one fold, not three.
   */
+/** ANN tuning: hyperplane count and neighbour count. numPlanes is the
+  * demo-scale default — at corpus scale more planes (finer buckets) keep the
+  * candidate join sub-quadratic, since bucket size ~ corpus / 2^numPlanes. */
+final case class AnnConfig(numPlanes: Int = 8, topK: Int = 5)
+
 object Embeddings {
 
-  private val TopK = 5
-  private val NumPlanes = 8
+  /** Demo-scale defaults; the driver-contract queries use exactly these so
+    * the embedded oracle SQL (built from the same values) stays in sync. */
+  val DefaultAnn: AnnConfig = AnnConfig()
+
   private val Dim = 64
 
   /** Codegen'd native expression (graft.functions.DotProduct) — same
@@ -49,8 +56,9 @@ object Embeddings {
   private val KnnQueryIds = 500
 
   /** Brute-force cosine top-k neighbours for the query set. */
-  def q29KnnBrute(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = vecs(spark, sfDir).persist()
+  def q29KnnBrute(spark: SparkSession, sfDir: String,
+      cfg: AnnConfig = DefaultAnn): DataFrame = {
+    val e = graft.CachedFrames.track(vecs(spark, sfDir))
     val a = e.filter(col("vec_id") < KnnQueryIds)
       .select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
     val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
@@ -59,7 +67,7 @@ object Embeddings {
       .filter(col("id1") =!= col("id2"))
       .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= TopK)
+      .filter(col("rk") <= cfg.topK)
       .select(col("id1"), col("id2"), col("rk"), col("cos"))
   }
 
@@ -81,15 +89,15 @@ object Embeddings {
       SELECT id1, id2, cos,
         row_number() OVER (PARTITION BY id1 ORDER BY cos DESC, id2 ASC) AS rk
       FROM p)
-    SELECT id1, id2, rk, cos FROM r WHERE rk <= $TopK
+    SELECT id1, id2, rk, cos FROM r WHERE rk <= ${DefaultAnn.topK}
   """
 
   /** Hyperplane ±1 sign matrix, precomputed ONCE on the driver (the signs
     * are data-independent — deriving them per row, as the first version did,
     * re-ran 512 md5 calls per vector). Same md5-bit formula the DuckDB
     * oracle evaluates inline, so bucket values agree exactly. */
-  private lazy val planeSigns: IndexedSeq[Seq[Double]] =
-    (0 until NumPlanes).map { p =>
+  private def planeSigns(numPlanes: Int): IndexedSeq[Seq[Double]] =
+    (0 until numPlanes).map { p =>
       (0 until Dim).map { i =>
         val md = java.security.MessageDigest.getInstance("MD5")
         val hex = md.digest(s"$p:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -101,16 +109,20 @@ object Embeddings {
   /** Bucket id: sign bit of v·plane_p per plane, via the codegen'd
     * dot_product against the literal sign vectors (multiplying by ±1.0 is
     * IEEE-exact negation, so this matches the oracle's IF(bit, v, -v) fold). */
-  private def bucketCol: org.apache.spark.sql.Column =
-    (0 until NumPlanes).map { p =>
-      when(dot(col("v"), typedLit(planeSigns(p))) >= 0.0, lit(1 << p)).otherwise(lit(0))
+  private def bucketCol(numPlanes: Int): org.apache.spark.sql.Column = {
+    val signs = planeSigns(numPlanes)
+    (0 until numPlanes).map { p =>
+      when(dot(col("v"), typedLit(signs(p))) >= 0.0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
+  }
 
   /** LSH-bucketed ANN: same-bucket candidate pairs with exact cosine —
     * the sub-quadratic similarity join. */
-  def q30AnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def q30AnnLsh(spark: SparkSession, sfDir: String,
+      cfg: AnnConfig = DefaultAnn): DataFrame = {
     // persist: both join sides read the bucketed vectors
-    val e = vecs(spark, sfDir).withColumn("bucket", bucketCol).persist()
+    val e = graft.CachedFrames.track(
+      vecs(spark, sfDir).withColumn("bucket", bucketCol(cfg.numPlanes)))
     val a = e.select(col("vec_id").as("id1"), col("v").as("v1"),
       col("nrm").as("n1"), col("bucket"))
     val b = e.select(col("vec_id").as("id2"), col("v").as("v2"),
@@ -127,7 +139,7 @@ object Embeddings {
       SELECT vec_id, v,
         sqrt(list_reduce(list_prepend(0.0::DOUBLE,
           list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm,
-        list_reduce(list_prepend(0::BIGINT, range($NumPlanes)), (acc, p) -> acc +
+        list_reduce(list_prepend(0::BIGINT, range(${DefaultAnn.numPlanes})), (acc, p) -> acc +
           CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
                  list_transform(range($Dim), i ->
                    CASE WHEN (('0x' || substr(md5(p::VARCHAR || ':' || i::VARCHAR), 1, 14))::BIGINT & 1) = 1
@@ -144,8 +156,9 @@ object Embeddings {
   /** Embedding-cosine near-duplicate pairs: the LSH candidate join filtered
     * to high-similarity pairs — the vector-space analog of the MinHash text
     * dedup (candidates from buckets, verification by exact cosine). */
-  def q48EmbeddingNeardup(spark: SparkSession, sfDir: String): DataFrame =
-    q30AnnLsh(spark, sfDir).filter(col("cos") >= 0.3)
+  def q48EmbeddingNeardup(spark: SparkSession, sfDir: String,
+      cfg: AnnConfig = DefaultAnn): DataFrame =
+    q30AnnLsh(spark, sfDir, cfg).filter(col("cos") >= 0.3)
 
   val q48EmbeddingNeardupSql: String =
     s"SELECT * FROM (${q30AnnLshSql}) WHERE cos >= 0.3"
@@ -195,7 +208,7 @@ object Embeddings {
     * identically); distance math is squared-L2 via three dot products so
     * both engines compute the same IEEE values. */
   def q46IvfAnn(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = vecs(spark, sfDir).persist()
+    val e = graft.CachedFrames.track(vecs(spark, sfDir))
     // centroid arrays from the long-format means, ordered by index
     val cents = q31Centroids(spark, sfDir)
       .groupBy(col("label"))
@@ -205,13 +218,12 @@ object Embeddings {
       .withColumn("cnorm2", dot(col("c"), col("c")))
     // assign: nearest cell by squared L2 = |v|^2 - 2 v.c + |c|^2
     val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cell").asc)
-    val assigned = e.crossJoin(broadcast(cents))
+    val assigned = graft.CachedFrames.track(e.crossJoin(broadcast(cents))
       .withColumn("d2",
         col("nrm") * col("nrm") - lit(2.0) * dot(col("v"), col("c")) + col("cnorm2"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell"))
-      .persist()
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell")))
     // probe: queries search only their own cell
     val q = assigned.filter(col("vec_id") < KnnQueryIds)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))

@@ -29,7 +29,7 @@ object MlOps {
       .select("id1", "id2").orderBy("id1", "id2").limit(10000)
     val pairs = DedupPipeline.featuresFor(customer, cfg, pairIds)
       .withColumn("label", (col("name_sim") > 0.55).cast("double"))
-    val ml = DedupMl.toMlFrame(pairs, feats).cache()
+    val ml = graft.CachedFrames.track(DedupMl.toMlFrame(pairs, feats))
     val (model, _) = DedupMl.train(ml, maxIter = 5)
     DedupMl.score(model, ml)
   }

@@ -18,12 +18,30 @@ import org.apache.spark.sql.functions._
   * banding is to turn a quadratic similarity join into an equi-join with
   * bounded bucket sizes. No driver-side state anywhere.
   */
+/** MinHash/LSH tuning. P(candidate | Jaccard j) = 1 - (1 - j^rowsPerBand)^numBands.
+  * The defaults are demo-scale; at corpus scale raise numPerm/numBands (more
+  * tables ⇒ higher recall, more rows per band ⇒ higher precision) — bucket
+  * sizes stay bounded because the band key space grows with the corpus. */
+final case class MinHashConfig(numPerm: Int = 16, numBands: Int = 4, rowsPerBand: Int = 4) {
+  require(numBands * rowsPerBand == numPerm,
+    s"numBands($numBands) * rowsPerBand($rowsPerBand) must equal numPerm($numPerm)")
+}
+
+/** SimHash banding tuning. With tables × prefixBits = 56 (the fingerprint
+  * width) the rotated prefixes tile the fingerprint, so any pair within
+  * Hamming distance tables-1 is guaranteed to collide in some table
+  * (pigeonhole). At corpus scale widen prefixBits (smaller buckets) and add
+  * tables (higher Hamming guarantee). */
+final case class SimHashConfig(tables: Int = 4, prefixBits: Int = 14) {
+  require(tables * prefixBits <= 56, "rotated prefixes must fit the 56-bit fingerprint")
+}
+
 object NearDup {
 
-  /** 16 permutations, 4 bands × 4 rows: P(candidate) = 1-(1-j^4)^4. */
-  private val NumPerm = 16
-  private val NumBands = 4
-  private val RowsPerBand = 4
+  /** Demo-scale defaults; the driver-contract queries use exactly these so
+    * the embedded oracle SQL (built from the same values) stays in sync. */
+  val DefaultMinHash: MinHashConfig = MinHashConfig()
+  val DefaultSimHash: SimHashConfig = SimHashConfig()
 
   /** Word 3-gram shingles (distinct) per document; documents shorter than
     * one shingle are dropped (both engines). Spark arrays are 0-indexed in
@@ -42,22 +60,23 @@ object NearDup {
     * than hashing (seed, shingle) pairs. */
   private val Mod56 = "72057594037927936" // 2^56
 
-  private def withSignature(df: DataFrame): DataFrame = {
+  private def withSignature(df: DataFrame, cfg: MinHashConfig): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     // native codegen signature (graft.functions.MinHashAffine): one
-    // O(NumPerm·n) pass; minima are order-independent so the oracle's
+    // O(numPerm·n) pass; minima are order-independent so the oracle's
     // per-permutation array_min formulation matches exactly
     df.withColumn("hs", expr(
       "transform(shingles, s -> CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT))"))
-      .withColumn("sig", expr(s"minhash_affine(hs, $NumPerm)"))
+      .withColumn("sig", expr(s"minhash_affine(hs, ${cfg.numPerm})"))
       .drop("hs")
   }
 
   /** MinHash signatures: doc_id → 16-permutation signature vector, emitted
     * as an '_'-joined scalar string so the driver's oracle can sort/hash the
     * column (raw ARRAY columns break its pandas canonicalization). */
-  def q26MinhashSig(spark: SparkSession, sfDir: String): DataFrame =
-    withSignature(shingled(Tables(spark, sfDir, "documents")))
+  def q26MinhashSig(spark: SparkSession, sfDir: String,
+      cfg: MinHashConfig = DefaultMinHash): DataFrame =
+    withSignature(shingled(Tables(spark, sfDir, "documents")), cfg)
       .select(col("doc_id"),
         expr("array_join(transform(sig, x -> CAST(x AS STRING)), '_')").as("sig"))
 
@@ -72,7 +91,7 @@ object NearDup {
       FROM documents
       WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3)
     SELECT doc_id,
-      array_to_string(list_transform(list_transform(range(${NumPerm}),
+      array_to_string(list_transform(list_transform(range(${DefaultMinHash.numPerm}),
         sd -> list_min(list_transform(
           list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT),
           h -> (h * (2*sd + 1) + 981 * sd) % 72057594037927936))),
@@ -83,18 +102,20 @@ object NearDup {
   /** LSH band-bucket near-dup pairs: explode each signature into 4 banded
     * md5 bucket keys, equi-join on (band, key), then score candidates with
     * the signature-estimated Jaccard and the exact shingle Jaccard. */
-  def q27LshPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def q27LshPairs(spark: SparkSession, sfDir: String,
+      cfg: MinHashConfig = DefaultMinHash): DataFrame = {
+    import cfg.{numBands, numPerm, rowsPerBand}
     // persist: the signature frame is read three times (band explode + two
     // join-backs) — minhash recomputation dominates without it; at corpus
     // scale this materialization is the standard signature checkpoint
-    val sigs = withSignature(shingled(Tables(spark, sfDir, "documents")))
-      .select(col("doc_id"), col("sig"), col("shingles"))
-      .persist()
+    val sigs = graft.CachedFrames.track(
+      withSignature(shingled(Tables(spark, sfDir, "documents")), cfg)
+        .select(col("doc_id"), col("sig"), col("shingles")))
     val bands = sigs.select(
       col("doc_id"),
       explode(expr(
-        s"""transform(sequence(0, ${NumBands - 1}), b -> struct(b AS band,
-           |  md5(array_join(transform(slice(sig, b*$RowsPerBand + 1, $RowsPerBand),
+        s"""transform(sequence(0, ${numBands - 1}), b -> struct(b AS band,
+           |  md5(array_join(transform(slice(sig, b*$rowsPerBand + 1, $rowsPerBand),
            |                           x -> CAST(x AS STRING)), '_')) AS bkey))""".stripMargin))
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
@@ -112,7 +133,7 @@ object NearDup {
       .select(
         col("id1"), col("id2"), col("n_shared_bands"),
         (expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v))") /
-          lit(NumPerm.toDouble)).as("est_jaccard"),
+          lit(numPerm.toDouble)).as("est_jaccard"),
         (expr("size(array_intersect(sh1, sh2))").cast("double") /
           expr("size(sh1) + size(sh2) - size(array_intersect(sh1, sh2))").cast("double"))
           .as("true_jaccard"))
@@ -130,21 +151,21 @@ object NearDup {
       WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
     sig AS (
       SELECT doc_id, shingles,
-        list_transform(range(${NumPerm}),
+        list_transform(range(${DefaultMinHash.numPerm}),
           sd -> list_min(list_transform(
             list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT),
             h -> (h * (2*sd + 1) + 981 * sd) % 72057594037927936))) AS sig
       FROM sh),
     band AS (
       SELECT doc_id, b,
-        md5(array_to_string(list_slice(sig, b*$RowsPerBand + 1, b*$RowsPerBand + $RowsPerBand), '_')) AS bkey
-      FROM sig, range($NumBands) t(b)),
+        md5(array_to_string(list_slice(sig, b*${DefaultMinHash.rowsPerBand} + 1, b*${DefaultMinHash.rowsPerBand} + ${DefaultMinHash.rowsPerBand}), '_')) AS bkey
+      FROM sig, range(${DefaultMinHash.numBands}) t(b)),
     pairs AS (
       SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared_bands
       FROM band a JOIN band b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT p.id1, p.id2, p.n_shared_bands,
-      len(list_filter(list_zip(s1.sig, s2.sig), z -> z[1] = z[2])) / ${NumPerm}.0 AS est_jaccard,
+      len(list_filter(list_zip(s1.sig, s2.sig), z -> z[1] = z[2])) / ${DefaultMinHash.numPerm}.0 AS est_jaccard,
       CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
         CAST(len(s1.shingles) + len(s2.shingles) - len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
         AS true_jaccard
@@ -153,27 +174,66 @@ object NearDup {
     JOIN sig s2 ON p.id2 = s2.doc_id
   """
 
-  /** SimHash near-dup pairs: bucket on the top 8 bits of the fingerprint
-    * (prefix banding — the equi-join key), then Hamming-score candidates
-    * with bit_count(xor). Same sub-quadratic join shape as MinHash LSH. */
-  def q37SimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sims = q28Simhash(spark, sfDir)
-      .select(col("doc_id"), col("simhash"))
-      .withColumn("bucket", expr("shiftright(simhash, 48)"))
-      .persist()
-    sims.alias("a")
-      .join(sims.alias("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.bucket").as("bucket"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+  /** SimHash banding: `cfg.tables` rotations, each bucketed on its
+    * top-`cfg.prefixBits` bits. With tables × prefix = fingerprint width
+    * (default 4 × 14 = 56) the prefixes tile the fingerprint, so by
+    * pigeonhole any pair within Hamming distance tables-1 (= 3) shares at
+    * least one untouched block and is guaranteed to collide — the standard
+    * multi-table SimHash sharding (Manku et al., WWW'07 §3).
+    *
+    * Scale shape: bucket universe is tables × 2^prefixBits (4 × 16384 here
+    * vs the naive single 256-bucket prefix); bucket size — and therefore the
+    * quadratic within-bucket pair work — shrinks as corpus / 2^prefixBits,
+    * and prefixBits grows with the corpus (more tables ⇒ higher Hamming
+    * guarantee, wider prefixes ⇒ smaller buckets). */
+  private val SimHashBits = 56
+
+  /** SimHash near-dup pairs via rotation banding: explode each fingerprint
+    * into (table, bucket) keys, equi-join, dedup pairs found by several
+    * tables, Hamming-score once. Same sub-quadratic join shape as MinHash
+    * LSH banding. */
+  def q37SimhashPairs(spark: SparkSession, sfDir: String,
+      cfg: SimHashConfig = DefaultSimHash): DataFrame = {
+    import cfg.{prefixBits, tables}
+    val sims = graft.CachedFrames.track(q28Simhash(spark, sfDir)
+      .select(col("doc_id"), col("simhash")))
+    // rotation r moves block r to the top: rot = (x mod 2^(56-k))·2^k + (x div 2^(56-k)),
+    // k = r·prefixBits — all operands < 2^56 so BIGINT arithmetic never overflows
+    val bands = sims.select(col("doc_id") +: col("simhash") +:
+      (0 until tables).map { r =>
+        val k = r * prefixBits
+        val lowBits = SimHashBits - k
+        val rot = (col("simhash").bitwiseAND(lit((1L << lowBits) - 1L)) * lit(1L << k)) +
+          shiftright(col("simhash"), lowBits)
+        shiftright(rot, SimHashBits - prefixBits).as(s"b$r")
+      }: _*)
+      .select(col("doc_id"), col("simhash"),
+        explode(array((0 until tables).map(r =>
+          struct(lit(r).as("t"), col(s"b$r").as("bucket"))): _*)).as("tb"))
+      .select(col("doc_id"), col("simhash"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("h"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_tables"), min(col("h")).as("hamming"))
   }
 
-  val q37SimhashPairsSql: String = """
+  val q37SimhashPairsSql: String = {
+    val rotBucket = (0 until DefaultSimHash.tables).map { r =>
+      val k = r * DefaultSimHash.prefixBits
+      val lowBits = SimHashBits - k
+      s"""SELECT doc_id, simhash, $r AS t,
+         |  (((simhash & ${(1L << lowBits) - 1L}) * ${1L << k} + (simhash >> $lowBits))
+         |   >> ${SimHashBits - DefaultSimHash.prefixBits}) AS bucket FROM s""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""
     WITH x AS (
       SELECT doc_id,
-        list_transform(list_distinct(regexp_split_to_array(trim(text), '\s+')),
+        list_transform(list_distinct(regexp_split_to_array(trim(text), '\\s+')),
           s -> ('0x' || substr(md5('0:' || s), 1, 14))::BIGINT) AS th
       FROM documents),
     s AS (
@@ -182,13 +242,17 @@ object NearDup {
           CASE WHEN list_reduce(list_prepend(0::BIGINT, th),
                       (a, h) -> a + CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) >= 0
                THEN (1::BIGINT << j) ELSE 0 END) AS simhash
-      FROM x)
+      FROM x),
+    bands AS (
+      $rotBucket)
     SELECT a.doc_id AS id1, b.doc_id AS id2,
-      (a.simhash >> 48) AS bucket,
-      bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM s a JOIN s b
-      ON (a.simhash >> 48) = (b.simhash >> 48) AND a.doc_id < b.doc_id
+      count(*) AS n_tables,
+      CAST(min(bit_count(xor(a.simhash, b.simhash))) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.t = b.t AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
   """
+  }
 
   /** SimHash: 56-bit bit-vote fingerprint over distinct word tokens.
     * Near-dup docs land within a small Hamming distance; at scale you pair

@@ -475,14 +475,32 @@ object Relational {
     GROUP BY band
   """
 
-  /** Approximate aggregates (HLL++ distinct, quantile sketch) next to their
-    * exact values — rows-only driver check: sketch outputs are
-    * engine-specific, so no DuckDB value oracle. */
+  /** Approximate aggregates (HLL++ distinct, quantile sketch) — rows-only
+    * driver check: sketch outputs are engine-specific, so no DuckDB value
+    * oracle. The exact counterparts live in [[q50ExactStats]] (fully
+    * oracle-checked), so sketch error is measurable by diffing the two. */
   def q38ApproxStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
         expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"))
+
+  /** Exact twin of [[q38ApproxStats]]: deterministic distinct count and
+    * median per group — hash-checkable against DuckDB (Spark `percentile`
+    * matches `quantile_cont` bitwise). */
+  def q50ExactStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_median"))
+
+  val q50ExactStatsSql: String = """
+    SELECT l_returnflag,
+      count(DISTINCT l_partkey) AS exact_parts,
+      quantile_cont(l_extendedprice, 0.5) AS exact_median
+    FROM lineitem
+    GROUP BY l_returnflag
+  """
 }

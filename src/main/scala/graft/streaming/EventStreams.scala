@@ -13,6 +13,13 @@ final case class Event(ts: Timestamp, user_id: Long, event_type: String, value: 
 /** A completed inactivity-gap session. */
 final case class Session(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
 
+/** Keyed sessionization state: the not-yet-watermark-sealed sessions of one
+  * user, as (start, end, count) intervals. Events only ever ADD, so maximal
+  * gap-≤-threshold intervals are a lossless, compact encoding — state is
+  * bounded by the number of open sessions in the watermark horizon, not the
+  * number of events. */
+final case class SessionBuffer(sessions: Seq[Session])
+
 /** Structured Streaming formulations of the event-time operators whose batch
   * twins live in graft.ops.Events (SURVEY.md §2.9): the SAME window
   * transforms run on a `readStream` source with a watermark, and
@@ -49,38 +56,51 @@ object EventStreams {
       .dropDuplicatesWithinWatermark(keyCols)
 
   /** Inactivity-gap sessionization with keyed event-time state — streaming
-    * twin of Events.q19Sessionize. Sessions closed by a later event in the
-    * same batch are emitted immediately; the open tail session lives in
-    * `GroupState` and is flushed when the event-time timeout (last event +
-    * gap) fires past the watermark. */
+    * twin of Events.q19Sessionize.
+    *
+    * A session is only EMITTED once the watermark has sealed it (watermark >
+    * session end + gap), so a late-but-within-watermark event can still
+    * extend a session, or even BRIDGE two previously-separate sessions into
+    * one — exactly the batch semantics over the admitted event set. Until
+    * sealed, sessions live in [[SessionBuffer]] state as (start, end, count)
+    * intervals; arrival order never matters because each invocation re-merges
+    * the interval set (events only add, so intervals never split). The
+    * event-time timeout (tail end + gap) guarantees idle users flush. */
   def sessionize(
       events: Dataset[Event],
       gapSec: Long = 1800L,
       watermark: String = "30 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
 
+    // merge intervals whose gap is within threshold; input in any order
+    def merge(sessions: Seq[Session]): List[Session] =
+      sessions.sortBy(s => (s.start_s, s.end_s)).foldLeft(List.empty[Session]) {
+        case (Nil, s) => s :: Nil
+        case (cur :: done, s) =>
+          if (s.start_s - cur.end_s > gapSec) s :: cur :: done
+          else cur.copy(end_s = math.max(cur.end_s, s.end_s),
+            n_events = cur.n_events + s.n_events) :: done
+      }.reverse
+
     def fn(userId: Long, batch: Iterator[Event],
-           state: GroupState[Session]): Iterator[Session] = {
-      if (batch.isEmpty && state.hasTimedOut) {
-        // watermark passed last-event + gap: flush the open session
-        val done = state.get
-        state.remove()
-        return Iterator.single(done)
-      }
-      val sorted = batch.toArray.sortBy(e => (e.ts.getTime, e.event_type))
-      var out = List.empty[Session]
-      var cur = state.getOption.orNull
-      for (e <- sorted) {
+           state: GroupState[SessionBuffer]): Iterator[Session] = {
+      val incoming = batch.map { e =>
         val s = e.ts.getTime / 1000L
-        if (cur == null) cur = Session(userId, s, s, 1L)
-        else if (s - cur.end_s > gapSec) { out ::= cur; cur = Session(userId, s, s, 1L) }
-        else cur = cur.copy(end_s = s, n_events = cur.n_events + 1L)
+        Session(userId, s, s, 1L)
+      }.toSeq
+      val all = merge(state.getOption.map(_.sessions).getOrElse(Seq.empty) ++ incoming)
+      val wmSec = state.getCurrentWatermarkMs() / 1000L
+      // sealed ⟺ no admissible future event (ts ≥ watermark) can extend it;
+      // session ends are increasing, so `closed` is a prefix of `all`
+      val (closed, open) = all.partition(s => s.end_s + gapSec < wmSec)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(SessionBuffer(open))
+        state.setTimeoutTimestamp(math.max(
+          open.last.end_s * 1000L + gapSec * 1000L,
+          state.getCurrentWatermarkMs() + 1L))
       }
-      if (cur != null) {
-        state.update(cur)
-        state.setTimeoutTimestamp(cur.end_s * 1000L + gapSec * 1000L)
-      }
-      out.reverseIterator
+      closed.iterator
     }
 
     events

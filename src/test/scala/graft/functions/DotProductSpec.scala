@@ -32,6 +32,22 @@ class DotProductSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(1) === 11.0)
   }}
 
+  test("mismatched array lengths yield null, not a truncated product") { withDot {
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D)) AS m,
+        |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS ok""".stripMargin)
+      .head()
+    assert(r.isNullAt(0), "length mismatch must not silently truncate")
+    assert(r.getDouble(1) === 11.0)
+    // same contract under forced codegen
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val c = spark.sql(
+        "SELECT dot_product(array(1.0D), array(1.0D, 2.0D)) AS m").head()
+      assert(c.isNullAt(0))
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }}
+
   test("whole-stage codegen path evaluates correctly (no interpreted fallback)") {
     withDot {
       import spark.implicits._

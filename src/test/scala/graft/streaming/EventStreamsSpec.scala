@@ -82,7 +82,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
-  test("stateful sessionization emits gap-closed sessions") {
+  test("stateful sessionization emits sessions once the watermark seals them") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
@@ -98,20 +98,49 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       .outputMode(OutputMode.Append).start()
     try {
       q.processAllAvailable()
-      val closed = spark.table("sessions").as[Session].collect()
-      // only user 1's first session is closed so far
-      assert(closed.toSeq === Seq(
-        Session(1L, ts(0).getTime / 1000, ts(5).getTime / 1000, 2L)))
+      // nothing emitted yet: the watermark (10:20) has not passed any
+      // session's end + gap, so a late event could still extend them
+      assert(spark.table("sessions").as[Session].collect().isEmpty)
 
-      // push the watermark far forward: open sessions time out and flush
+      // push the watermark far forward: all sessions seal and flush
       mem.addData(Event(Timestamp.valueOf("2024-01-01 13:00:00"), 3L, "view", 1.0))
       q.processAllAvailable()
       mem.addData(Event(Timestamp.valueOf("2024-01-01 15:00:00"), 3L, "view", 1.0))
       q.processAllAvailable()
       val all = spark.table("sessions").as[Session].collect().toSet
+      assert(all.contains(Session(1L, ts(0).getTime / 1000, ts(5).getTime / 1000, 2L)))
       assert(all.contains(Session(1L, ts(50).getTime / 1000, ts(50).getTime / 1000, 1L)),
         s"open tail session not flushed: $all")
       assert(all.contains(Session(2L, ts(2).getTime / 1000, ts(2).getTime / 1000, 1L)))
+    } finally q.stop()
+  }
+
+  test("late within-watermark event bridges two open sessions like the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // batch 1: 10:00 and 10:50 — a 50-min gap, i.e. two sessions so far;
+    // watermark after the batch = 10:50 - 30min = 10:20
+    mem.addData(Event(ts(0), 1L, "view", 1.0), Event(ts(50), 1L, "view", 1.0))
+    val q = EventStreams.sessionize(mem.toDS(), gapSec = 1800L)
+      .writeStream.format("memory").queryName("sessions_bridge")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE event at 10:25 (≥ watermark, so admitted) lands
+      // between them — 25min to each side, so the two sessions must MERGE
+      mem.addData(Event(ts(25), 1L, "view", 1.0))
+      q.processAllAvailable()
+      // seal everything
+      mem.addData(Event(Timestamp.valueOf("2024-01-01 15:00:00"), 9L, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(Timestamp.valueOf("2024-01-01 18:00:00"), 9L, "view", 1.0))
+      q.processAllAvailable()
+      val user1 = spark.table("sessions_bridge").as[Session].collect()
+        .filter(_.user_id == 1L).toSeq
+      assert(user1 === Seq(
+        Session(1L, ts(0).getTime / 1000, ts(50).getTime / 1000, 3L)),
+        s"expected one bridged session, got: $user1")
     } finally q.stop()
   }
 }
