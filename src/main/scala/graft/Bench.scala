@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JVM/codegen/parquet-reader initialization should not
+    // be billed to whichever query happens to run first
+    try {
+      spark.range(1L << 20).selectExpr("sum(id)").collect()
+      SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    } catch { case _: Throwable => () }
+    finally CachedFrames.drain()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -9,10 +9,15 @@ import org.apache.spark.sql.functions._
   * reference's 20k-record train fixture (~50M candidate pairs — the
   * workload the reference reports at ~6 min on an 8-node cluster) and print
   * pair/duplicate counts with wall time. Usage:
-  *   sbt "runMain graft.ScaleSmoke [inputCsv] [--features]"
+  *   sbt "runMain graft.ScaleSmoke [inputCsv] [--features|--train]"
   * `--features` also evaluates the 14-comparator projection (the full job,
   * not just candidate generation); `--triangle` uses the skew-managed
-  * physical strategy (k = cpus) instead of the declarative self-join.
+  * physical strategy (k = cpus) instead of the declarative self-join;
+  * `--train` reproduces the reference's headline result end-to-end — pair
+  * generation PLUS the GBT duplicate classifier on the 50.6M-pair frame —
+  * and asserts the quality band against the published train confusion
+  * matrix (TN 15,180,436 / FN 152 / FP 1 / TP 6,324 ⇒ recall ≈ 0.977,
+  * precision ≈ 0.9998; `/root/reference/README.md:234-236`).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -20,6 +25,7 @@ object ScaleSmoke {
       .getOrElse("/root/reference/data/train.csv")
     val withFeatures = args.contains("--features")
     val triangle = args.contains("--triangle")
+    val trainMode = args.contains("--train")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,6 +36,25 @@ object ScaleSmoke {
     val df = Febrl.read(spark, input).cache()
     println(s"records: ${df.count()}")
     val t0 = System.nanoTime()
+    if (trainMode) {
+      // MEMORY_AND_DISK: 50.6M rows × (id, label, 14-dim vector) — spill
+      // rather than fail when the heap is tight (GBT re-reads every iteration)
+      val ml = graft.ml.DedupMl
+        .toMlFrame(DedupPipeline.pairFeatures(df, Febrl.config), Febrl.featureCols)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"ml rows: ${ml.count()}")
+      val (model, testDf) = graft.ml.DedupMl.train(ml)
+      val m = graft.ml.DedupMl.evaluate(model, testDf)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(s"confusion matrix [tn fn; fp tp]: ${m.tn} ${m.fn} ; ${m.fp} ${m.tp}")
+      println(f"accuracy=${m.accuracy}%.6f precision=${m.precision}%.6f " +
+        f"recall=${m.recall}%.6f f1=${m.f1}%.6f mode=train wall=$secs%.1f s")
+      require(m.recall >= 0.95 && m.precision >= 0.95,
+        f"quality band vs reference train matrix violated: " +
+          f"recall=${m.recall}%.4f precision=${m.precision}%.4f (need >= 0.95)")
+      spark.stop()
+      return
+    }
     val result =
       if (triangle) {
         val pf = graft.dedup.TrianglePipeline

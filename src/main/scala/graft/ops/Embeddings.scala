@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   * Float parity policy: components are cast FLOAT→DOUBLE once, and every dot
   * product / norm is a LEFT FOLD in index order (`aggregate` in Spark,
   * `list_reduce` in DuckDB) so both engines produce bitwise-identical IEEE
-  * results. Cross-row sums (centroids, gram matrix) fold a SORTED value
-  * list, which is order-deterministic regardless of shuffle layout (decimal
-  * can't represent arbitrary doubles exactly, so its rounding would leak
-  * engine-specific 1-ulp differences).
+  * results. Unbounded cross-row sums (centroids) use fixed-point DECIMAL
+  * aggregation — order-insensitive AND constant-memory (see q31Centroids);
+  * the gram matrix's per-(l1,l2) sums fold a SORTED list, which is fine
+  * there because group size is bounded by the vector dimension (64), not
+  * the corpus.
   *
   * Scale shape (100 TB): brute-force is a cross join — quadratic, the
   * baseline only; the LSH variant replaces it with an equi-join on bucket

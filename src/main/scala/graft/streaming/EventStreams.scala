@@ -108,4 +108,22 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  /** The same sessionization via the BUILT-IN `session_window` aggregation —
+    * Spark's native gap-session operator (merge-on-late-event, emit-on-seal
+    * are handled by the engine's session-window state store). Kept alongside
+    * [[sessionize]] as the compose-existing-ops formulation; the custom-state
+    * version exists to cover the explicit-keyed-state operator class, and
+    * `EventStreamsSpec` asserts the two emit identical sessions. */
+  def sessionizeWindows(
+      events: Dataset[Event],
+      gapSec: Long = 1800L,
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSec seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_timestamp(col("ts"))).as("start_s"),
+        max(unix_timestamp(col("ts"))).as("end_s"))
+      .select(col("user_id"), col("start_s"), col("end_s"), col("n_events"))
 }

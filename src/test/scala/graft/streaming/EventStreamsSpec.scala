@@ -115,6 +115,39 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("custom-state sessionize agrees with the built-in session_window formulation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(ts(0), 1L, "view", 1.0), Event(ts(5), 1L, "view", 1.0),
+      Event(ts(50), 1L, "view", 1.0), Event(ts(55), 1L, "click", 1.0),
+      Event(ts(2), 2L, "click", 1.0), Event(ts(59), 2L, "view", 1.0))
+    val far = Seq( // watermark pushers on an unrelated key
+      Event(Timestamp.valueOf("2024-01-01 15:00:00"), 9L, "view", 1.0),
+      Event(Timestamp.valueOf("2024-01-01 18:00:00"), 9L, "view", 1.0))
+
+    def run(name: String, mk: MemoryStream[Event] => org.apache.spark.sql.DataFrame):
+        Set[(Long, Long, Long, Long)] = {
+      val mem = MemoryStream[Event]
+      mem.addData(events: _*)
+      val q = mk(mem).writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        q.processAllAvailable()
+        far.foreach { e => mem.addData(e); q.processAllAvailable() }
+        spark.table(name).as[(Long, Long, Long, Long)].collect().toSet
+          .filter(_._1 != 9L) // drop the watermark-pusher key
+      } finally q.stop()
+    }
+
+    val custom = run("agree_custom",
+      m => EventStreams.sessionize(m.toDS()).toDF()
+        .select("user_id", "start_s", "end_s", "n_events"))
+    val builtin = run("agree_builtin", m => EventStreams.sessionizeWindows(m.toDS()))
+    assert(custom === builtin)
+    assert(custom.nonEmpty)
+  }
+
   test("late within-watermark event bridges two open sessions like the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
