@@ -25,10 +25,12 @@ import org.apache.spark.sql.functions._
   * sub-quadratic ANN candidate join. Norms are precomputed per row BEFORE
   * the join so the O(n²) stage does one fold, not three.
   */
-/** ANN tuning: hyperplane count and neighbour count. numPlanes is the
-  * demo-scale default — at corpus scale more planes (finer buckets) keep the
-  * candidate join sub-quadratic, since bucket size ~ corpus / 2^numPlanes. */
-final case class AnnConfig(numPlanes: Int = 8, topK: Int = 5)
+/** ANN tuning: hyperplane count, neighbour count, query-batch bound.
+  * numPlanes is the demo-scale default — at corpus scale more planes (finer
+  * buckets) keep the candidate join sub-quadratic, since bucket size ~
+  * corpus / 2^numPlanes. knnQueryIds bounds the brute-force baseline's query
+  * batch (queries × corpus, not corpus²). */
+final case class AnnConfig(numPlanes: Int = 8, topK: Int = 5, knnQueryIds: Int = 500)
 
 object Embeddings {
 
@@ -51,16 +53,12 @@ object Embeddings {
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
   }
 
-  /** Query set for brute-force KNN: top-k neighbours are computed for this
-    * id range (the realistic "query batch vs corpus" shape — scanning every
-    * row as a query squares the already-quadratic baseline). */
-  private val KnnQueryIds = 500
 
   /** Brute-force cosine top-k neighbours for the query set. */
   def q29KnnBrute(spark: SparkSession, sfDir: String,
       cfg: AnnConfig = DefaultAnn): DataFrame = {
     val e = graft.CachedFrames.track(vecs(spark, sfDir))
-    val a = e.filter(col("vec_id") < KnnQueryIds)
+    val a = e.filter(col("vec_id") < cfg.knnQueryIds)
       .select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
     val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
     val w = Window.partitionBy(col("id1")).orderBy(col("cos").desc, col("id2").asc)
@@ -85,7 +83,7 @@ object Embeddings {
         list_reduce(list_prepend(0.0::DOUBLE,
           list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])), (acc, x) -> acc + x)
           / (a.nrm * b.nrm) AS cos
-      FROM n a, n b WHERE a.vec_id <> b.vec_id AND a.vec_id < $KnnQueryIds),
+      FROM n a, n b WHERE a.vec_id <> b.vec_id AND a.vec_id < ${DefaultAnn.knnQueryIds}),
     r AS (
       SELECT id1, id2, cos,
         row_number() OVER (PARTITION BY id1 ORDER BY cos DESC, id2 ASC) AS rk
@@ -226,7 +224,7 @@ object Embeddings {
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell")))
     // probe: queries search only their own cell
-    val q = assigned.filter(col("vec_id") < KnnQueryIds)
+    val q = assigned.filter(col("vec_id") < DefaultAnn.knnQueryIds)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
     val wq = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand_id").asc)
     q.join(assigned.select(col("vec_id").as("cand_id"), col("v").as("cv"),
@@ -280,7 +278,7 @@ object Embeddings {
           list_transform(list_zip(q.v, c.v), z -> z[1] * z[2])), (acc, x) -> acc + x)
           / (q.nrm * c.nrm) AS cos
       FROM assigned q JOIN assigned c
-        ON q.cell = c.cell AND q.vec_id <> c.vec_id AND q.vec_id < $KnnQueryIds)
+        ON q.cell = c.cell AND q.vec_id <> c.vec_id AND q.vec_id < ${DefaultAnn.knnQueryIds})
     SELECT qid, cand_id, cell, rk, cos FROM (
       SELECT qid, cand_id, cell, cos,
         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS rk
