@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, count, lag, lit, max, min, sum, unix_timestamp, when}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -146,6 +147,64 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     val builtin = run("agree_builtin", m => EventStreams.sessionizeWindows(m.toDS()))
     assert(custom === builtin)
     assert(custom.nonEmpty)
+  }
+
+  test("randomized out-of-order stream agrees with the batch sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // random events for a handful of users, delivered across batches in a
+    // RANDOM order that still respects the watermark (each batch's stragglers
+    // stay within 30 min of the running max event time)
+    val rnd = new scala.util.Random(647)
+    def at(minute: Int) =
+      Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+    val all = (1 to 60).map { _ =>
+      // ~10h span, ~40-min mean per-user gaps ⇒ plenty of >30-min session splits
+      Event(at(rnd.nextInt(600)), 1L + rnd.nextInt(4), "view", 1.0)
+    }
+    // deliver in an order perturbed ±10 min from event time: intra-batch
+    // disorder AND cross-batch late events, but every event stays within the
+    // 30-min watermark (max disorder 20 min), so none are dropped
+    val batches = all
+      .sortBy(e => e.ts.getTime + (rnd.nextInt(1201) - 600) * 1000L)
+      .grouped(25).toSeq
+
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapSec = 1800L)
+      .writeStream.format("memory").queryName("sessions_rand")
+      .outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      // seal everything with far-future watermark pushers
+      mem.addData(Event(Timestamp.valueOf("2024-01-02 10:00:00"), 99L, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(Timestamp.valueOf("2024-01-02 20:00:00"), 99L, "view", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_rand").as[Session].collect()
+        .filter(_.user_id != 99L)
+        .map(s => (s.user_id, s.start_s, s.end_s, s.n_events)).toSet
+
+      // batch twin over the same admitted events (none were dropped: the
+      // delivery order above never violates the watermark)
+      val batch = all.toDF()
+        .withColumn("eps", unix_timestamp(col("ts")))
+        .withColumn("gap", col("eps") - lag(col("eps"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("eps"))))
+        .withColumn("is_new", when(col("gap") > 1800, 1).otherwise(0))
+        .withColumn("sess", sum(col("is_new")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("eps"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(min(col("eps")).as("start_s"), max(col("eps")).as("end_s"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "start_s", "end_s", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+
+      assert(streamed === batch)
+      assert(streamed.size > 4)
+    } finally q.stop()
   }
 
   test("late within-watermark event bridges two open sessions like the batch twin") {
