@@ -70,7 +70,9 @@ object SparkEntry {
     "q47_range_join" -> (Relational.q47RangeJoin _),
     "q48_embedding_neardup" -> ((s, d) => Embeddings.q48EmbeddingNeardup(s, d)),
     "q49_entity_clusters" -> (Dedup.entityClusters _),
-    "q50_exact_stats" -> (Relational.q50ExactStats _)
+    "q50_exact_stats" -> (Relational.q50ExactStats _),
+    "q51_corpus_curation" -> (Curation.q51CorpusCuration _),
+    "q52_stratified_sample" -> (Curation.q52StratifiedSample _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -124,6 +126,8 @@ object SparkEntry {
     "q30_ann_lsh" -> Embeddings.q30AnnLshSql,
     "q31_centroids" -> Embeddings.q31CentroidsSql,
     "q32_centroid_cosine" -> Embeddings.q32CentroidCosineSql,
-    "q50_exact_stats" -> Relational.q50ExactStatsSql
+    "q50_exact_stats" -> Relational.q50ExactStatsSql,
+    "q51_corpus_curation" -> Curation.q51CorpusCurationSql,
+    "q52_stratified_sample" -> Curation.q52StratifiedSampleSql
   )
 }

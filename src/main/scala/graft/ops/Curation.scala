@@ -1,0 +1,160 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the canonical LLM training-data pipeline
+  * composed from the library's own operators, in the order a production
+  * pipeline runs them (cheapest filter first, sub-quadratic dedup last):
+  *
+  *   1. language ID + quality scoring (pure codegen projections — q22/q23
+  *      formulas via [[TextOps.scoredDocs]]);
+  *   2. filter to the target language above a quality threshold;
+  *   3. exact dedup: canonical = min doc_id per md5 digest (one uniform-key
+  *      shuffle);
+  *   4. near-dup removal: MinHash/LSH candidate pairs (est. Jaccard ≥ 0.5)
+  *      → connected components → keep each cluster's min-id representative.
+  *
+  * Scale shape (100 TB): steps 1-2 are embarrassingly parallel and shrink
+  * the corpus before anything shuffles; step 3 shuffles the survivors once
+  * on a 128-bit digest; step 4 is the banded equi-join + the small-graph
+  * CC loop (the near-dup graph is orders smaller than the corpus). The
+  * whole pipeline is one DAG — no driver-side data movement.
+  *
+  * Also here: deterministic stratified sampling (hash-gated per-stratum
+  * rates) — the "mix languages at fixed ratios" step of corpus assembly,
+  * reproducible under re-planning because the gate is a content hash, not
+  * `rand()`.
+  */
+object Curation {
+
+  private val QualityThreshold = -3.0
+  private val NearDupJaccard = 0.5
+
+  /** Curated corpus: surviving (doc_id, quality_score) after language +
+    * quality filtering, exact dedup, and near-dup representative selection. */
+  def q51CorpusCuration(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = TextOps.scoredDocs(Tables(spark, sfDir, "documents"))
+    val kept = scored
+      .filter(col("pred_lang") === "en" && col("quality_score") >= QualityThreshold)
+    // exact dedup: the min doc_id of each normalized-content group survives
+    val canon = kept
+      .groupBy(md5(lower(trim(col("text")))).as("ck"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val docs2 = graft.CachedFrames.track(
+      kept.join(canon, "doc_id")
+        .select(col("doc_id"), col("text"), col("quality_score")))
+    // near-dup clusters over the already-shrunk survivor set
+    val nearPairs = NearDup.lshPairsOn(docs2)
+      .filter(col("est_jaccard") >= NearDupJaccard)
+      .select("id1", "id2")
+    val comps = graft.dedup.Clustering.connectedComponents(nearPairs)
+    val dropped = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    docs2
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("quality_score"))
+  }
+
+  /** The same pipeline in DuckDB: q22/q23 formulas, digest group-by, the
+    * q27 MinHash/LSH candidate join, and a recursive-CTE reachability
+    * closure in place of the iterative CC loop. */
+  val q51CorpusCurationSql: String = s"""
+    WITH RECURSIVE scored AS (
+      SELECT doc_id, text,
+        len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+            x -> x IN ('the','a','of','and','to'))) AS s_en,
+        len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+            x -> x IN ('el','la','de','y','que'))) AS s_es,
+        len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+            x -> x IN ('der','die','und','das','ist'))) AS s_de
+      FROM documents),
+    quality AS (
+      SELECT doc_id, text,
+        CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+             WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang,
+        CAST(s_en AS DOUBLE)
+            / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) * 2.0
+          + (CASE WHEN CAST(length(text) AS DOUBLE) >= 200.0 THEN 1.0 ELSE 0.0 END)
+          - CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+            / CAST(length(text) AS DOUBLE) * 4.0 AS quality_score
+      FROM scored),
+    kept AS (
+      SELECT doc_id, text, quality_score FROM quality
+      WHERE pred_lang = 'en' AND quality_score >= ${QualityThreshold}),
+    canon AS (
+      SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(lower(trim(text)))),
+    docs2 AS (
+      SELECT k.doc_id, k.text, k.quality_score
+      FROM kept k JOIN canon c ON k.doc_id = c.doc_id),
+    sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          range(len(regexp_split_to_array(trim(text), '\\s+')) - 2),
+          i -> regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+               regexp_split_to_array(trim(text), '\\s+')[i+2] || ' ' ||
+               regexp_split_to_array(trim(text), '\\s+')[i+3])) AS shingles
+      FROM docs2
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
+    sig AS (
+      SELECT doc_id,
+        list_transform(range(${NearDup.DefaultMinHash.numPerm}),
+          sd -> list_min(list_transform(
+            list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT),
+            h -> (h * (2*sd + 1) + 981 * sd) % 72057594037927936))) AS sig
+      FROM sh),
+    band AS (
+      SELECT doc_id, b,
+        md5(array_to_string(list_slice(sig,
+          b*${NearDup.DefaultMinHash.rowsPerBand} + 1,
+          b*${NearDup.DefaultMinHash.rowsPerBand} + ${NearDup.DefaultMinHash.rowsPerBand}), '_')) AS bkey
+      FROM sig, range(${NearDup.DefaultMinHash.numBands}) t(b)),
+    cand AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM band a JOIN band b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    near AS (
+      SELECT c.id1, c.id2
+      FROM cand c JOIN sig s1 ON c.id1 = s1.doc_id JOIN sig s2 ON c.id2 = s2.doc_id
+      WHERE len(list_filter(list_zip(s1.sig, s2.sig), z -> z[1] = z[2]))
+            / ${NearDup.DefaultMinHash.numPerm}.0 >= ${NearDupJaccard}),
+    e AS (SELECT id1 AS src, id2 AS dst FROM near UNION SELECT id2, id1 FROM near),
+    nodes AS (SELECT DISTINCT src AS id FROM e),
+    reach(a, b) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+    comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a)
+    SELECT d.doc_id, d.quality_score
+    FROM docs2 d LEFT JOIN comp c ON d.doc_id = c.id
+    WHERE c.id IS NULL OR c.component = d.doc_id
+  """
+
+  /** Deterministic stratified sampling: per-language admission rates gated
+    * by a content-hash in [0, 100). Reproducible under re-planning/retries
+    * (no rand()), and the gate is a pure codegen projection — sampling
+    * 100 TB costs one scan. */
+  def q52StratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat('samp:', CAST(doc_id AS STRING))), 1, 14), 16, 10) AS BIGINT) % 100"))
+      .withColumn("rate",
+        when(col("lang") === "en", 60)
+          .when(col("lang").isin("es", "de"), 40)
+          .otherwise(20))
+      .filter(col("h") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("h"), col("rate"))
+
+  val q52StratifiedSampleSql: String = """
+    WITH x AS (
+      SELECT doc_id, lang,
+        ('0x' || substr(md5('samp:' || doc_id::VARCHAR), 1, 14))::BIGINT % 100 AS h,
+        CASE WHEN lang = 'en' THEN 60
+             WHEN lang IN ('es', 'de') THEN 40
+             ELSE 20 END AS rate
+      FROM documents)
+    SELECT doc_id, lang, h, rate FROM x WHERE h < rate
+  """
+}

@@ -99,17 +99,23 @@ object NearDup {
     FROM sh
   """
 
-  /** LSH band-bucket near-dup pairs: explode each signature into 4 banded
+  /** LSH band-bucket near-dup pairs: explode each signature into banded
     * md5 bucket keys, equi-join on (band, key), then score candidates with
     * the signature-estimated Jaccard and the exact shingle Jaccard. */
   def q27LshPairs(spark: SparkSession, sfDir: String,
+      cfg: MinHashConfig = DefaultMinHash): DataFrame =
+    lshPairsOn(Tables(spark, sfDir, "documents"), cfg)
+
+  /** Same candidate join over ANY (doc_id, text, ...) frame — reused by the
+    * corpus-curation pipeline on an already-filtered document set. */
+  private[ops] def lshPairsOn(docs: DataFrame,
       cfg: MinHashConfig = DefaultMinHash): DataFrame = {
     import cfg.{numBands, numPerm, rowsPerBand}
     // persist: the signature frame is read three times (band explode + two
     // join-backs) — minhash recomputation dominates without it; at corpus
     // scale this materialization is the standard signature checkpoint
     val sigs = graft.CachedFrames.track(
-      withSignature(shingled(Tables(spark, sfDir, "documents")), cfg)
+      withSignature(shingled(docs), cfg)
         .select(col("doc_id"), col("sig"), col("shingles")))
     val bands = sigs.select(
       col("doc_id"),

@@ -20,6 +20,39 @@ object TextOps {
   private val stopEn = Seq("the", "a", "of", "and", "to")
   private def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ", ", ")")
 
+  private[ops] val langProfiles = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
+  /** Doc-level (doc_id, text, pred_lang, quality_score) — the q22/q23
+    * formulas over an arbitrary documents frame, for pipelines (corpus
+    * curation) that compose filtering on both. Formula parity with the
+    * q22/q23 oracles is preserved exactly (same operation order). */
+  private[ops] def scoredDocs(df: DataFrame): DataFrame = {
+    val base = df
+      .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
+    val scored = langProfiles.foldLeft(base) { case (d, (lang, words)) =>
+      d.withColumn(s"s_$lang", expr(s"size(filter(toks, x -> x IN ${inList(words)}))"))
+    }
+    scored
+      .withColumn("pred_lang",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_es") >= col("s_de"), "es")
+          .otherwise("de"))
+      .withColumn("n_chars_m", length(col("text")).cast("double"))
+      .withColumn("n_tokens", expr("size(toks)").cast("double"))
+      .withColumn("n_stop", col("s_en").cast("double"))
+      .withColumn("n_punct",
+        (length(col("text")) - length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
+          .cast("double"))
+      .withColumn("quality_score",
+        col("n_stop") / col("n_tokens") * lit(2.0) +
+          when(col("n_chars_m") >= 200.0, 1.0).otherwise(0.0) -
+          col("n_punct") / col("n_chars_m") * lit(4.0))
+      .drop("toks", "s_en", "s_es", "s_de", "n_chars_m", "n_tokens", "n_stop", "n_punct")
+  }
+
   /** Token counting: whitespace tokens and BPE-ish regex tokens (letter runs,
     * digit runs, single punctuation marks — a rough byte-pair-style
     * pre-tokenizer). */
