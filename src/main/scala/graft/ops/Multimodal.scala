@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 /** Multimodal (image/audio/video) column plumbing: media payloads are
   * opaque BINARY columns with typed metadata, processed batch-wise inside
   * `mapPartitions` — the Scala analog of arrow-batched `mapInPandas`
-  * (SURVEY.md north-star ops; the real decode libs are not in this
-  * container, so [[Decoder.Fake]] is a clearly-marked deterministic stub —
-  * the Spark-side schema, partitioning, batch shape and operator wiring are
-  * real and tested).
+  * (SURVEY.md north-star ops). Audio decoding is REAL — [[Decoder.Wav]]
+  * parses RIFF/PCM16 with zero external libraries; image/video codecs are
+  * not in this container, so [[Decoder.Fake]] is their clearly-marked
+  * deterministic stand-in. Schema, partitioning, batch shape and routing
+  * ([[Decoder.Auto]]) are real and tested either way.
   *
   * Scale shape (100 TB): payloads repartition by media_id so decode
   * parallelism is independent of source file layout; batches bound peak
@@ -38,11 +39,14 @@ object Multimodal {
   }
 
   object Decoder {
-    /** STUB decode: deterministic fake standing in for a codec — feature =
-      * 16-bin normalized byte histogram, frames = stride-sampled payload
-      * offsets. Replace with a real codec wrapper outside this container. */
+    val FeatureDim = 16
+
+    /** STUB decode: deterministic fake standing in for an image/video codec
+      * (no such libs in this container) — feature = 16-bin normalized byte
+      * histogram, frames = stride-sampled payload offsets. Replace with a
+      * real codec wrapper outside this container. */
     object Fake extends Decoder {
-      val FeatureDim = 16
+      val FeatureDim: Int = Decoder.FeatureDim
       override def decodeBatch(batch: Seq[MediaFile]): Seq[MediaFeatures] =
         batch.map { m =>
           val hist = new Array[Float](FeatureDim)
@@ -58,32 +62,118 @@ object Multimodal {
           MediaFeatures(m.media_id, m.kind, m.payload.length, frames, hist)
         }
     }
+
+    /** REAL decoder for WAV/RIFF PCM16 — the one mainstream media format
+      * parseable with zero external libraries, so the decode stage is
+      * exercised for real in the gate: walks the RIFF chunk list, reads the
+      * fmt chunk (channels, block align), locates the data chunk, and
+      * decodes little-endian 16-bit samples into a 16-bin amplitude
+      * histogram. frame_count = PCM frames (samples / channel). */
+    object Wav extends Decoder {
+      override def decodeBatch(batch: Seq[MediaFile]): Seq[MediaFeatures] =
+        batch.map { m =>
+          val b = m.payload
+          def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+          def u32(o: Int): Long =
+            (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+              ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+          def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+          require(b.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+            s"media_id=${m.media_id}: not a RIFF/WAVE payload")
+          // chunk walk: [id(4) size(4) body(size, padded to even)]
+          var off = 12
+          var blockAlign = 0
+          var dataOff = -1
+          var dataLen = 0
+          while (off + 8 <= b.length && (blockAlign == 0 || dataOff < 0)) {
+            val id = tag(off)
+            val size = u32(off + 4).toInt
+            if (id == "fmt ") {
+              require(u16(off + 8) == 1, "only PCM (format 1) supported")
+              require(u16(off + 8 + 14) == 16, "only 16-bit samples supported")
+              blockAlign = u16(off + 8 + 12)
+            } else if (id == "data") {
+              dataOff = off + 8
+              dataLen = math.min(size, b.length - dataOff)
+            }
+            off += 8 + size + (size & 1)
+          }
+          require(blockAlign > 0 && dataOff >= 0,
+            s"media_id=${m.media_id}: missing fmt/data chunk")
+          val hist = new Array[Float](Decoder.FeatureDim)
+          val nSamples = dataLen / 2
+          var i = 0
+          while (i < nSamples) {
+            val s = (u16(dataOff + 2 * i).toShort).toInt // sign-extended PCM16
+            hist((s + 32768) >> 12) += 1f // 16 bins over [-32768, 32767]
+            i += 1
+          }
+          var j = 0
+          val n = math.max(nSamples, 1)
+          while (j < Decoder.FeatureDim) { hist(j) /= n.toFloat; j += 1 }
+          MediaFeatures(m.media_id, m.kind, b.length, dataLen / blockAlign, hist)
+        }
+    }
+
+    /** Per-format routing: real WAV parser for RIFF payloads, the marked
+      * fake for formats whose codecs aren't available here. */
+    object Auto extends Decoder {
+      override def decodeBatch(batch: Seq[MediaFile]): Seq[MediaFeatures] = {
+        val (wav, other) = batch.partition(m =>
+          m.payload.length >= 12 && m.payload(0) == 'R' && m.payload(1) == 'I' &&
+            m.payload(2) == 'F' && m.payload(3) == 'F')
+        Wav.decodeBatch(wav) ++ Fake.decodeBatch(other)
+      }
+    }
   }
 
   /** Frame-sampling plan: byte offsets of every `stride`-th frame start. */
   def frameOffsets(nBytes: Int, stride: Int): Array[Int] =
     (0 until nBytes by stride).toArray
 
+  /** A minimal valid mono PCM16 WAV container around the given samples. */
+  def wavBytes(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                    // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)  // byte rate
+      .putShort(2).putShort(16)                   // block align, bits/sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
   /** Deterministic synthetic media table (no binary fixture ships with the
-    * test data): payload bytes are a seeded xorshift stream per media_id. */
+    * test data): audio rows are REAL mono PCM16 WAV files (seeded xorshift
+    * samples) so the gate exercises the genuine RIFF parser; image/video
+    * payloads are opaque seeded byte streams for the marked fake. */
   def synthesize(spark: SparkSession, n: Int, maxBytes: Int = 4096): Dataset[MediaFile] = {
     import spark.implicits._
     spark.range(n).map { id =>
       var s = id * 2654435761L + 1
       def next(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
       val kind = Seq("image", "audio", "video")((id % 3).toInt)
-      val len = (math.abs(next()) % maxBytes).toInt + 64
-      val payload = Array.tabulate[Byte](len)(_ => next().toByte)
-      MediaFile(id, kind,
-        payload, MediaMeta(if (kind == "image") "png" else "riff",
-          640, 480, if (kind == "image") 0L else 30000L))
+      if (kind == "audio") {
+        val nSamples = (math.abs(next()) % (maxBytes / 2)).toInt + 32
+        val samples = Array.tabulate[Short](nSamples)(_ => next().toShort)
+        MediaFile(id, kind, wavBytes(samples),
+          MediaMeta("wav", 0, 0, nSamples * 1000L / 8000L))
+      } else {
+        val len = (math.abs(next()) % maxBytes).toInt + 64
+        val payload = Array.tabulate[Byte](len)(_ => next().toByte)
+        MediaFile(id, kind, payload, MediaMeta("png", 640, 480, 0L))
+      }
     }
   }
 
   /** q34 (rows-only driver check — no SQL oracle for binary decode):
     * synthesize → batch decode → per-kind feature stats. */
   def q34MediaFeatures(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame =
-    decode(synthesize(spark, 300), parallelism = Some(8))
+    decode(synthesize(spark, 300), decoder = Decoder.Auto, parallelism = Some(8))
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"),
         sum(col("n_bytes")).as("total_bytes"),

@@ -47,6 +47,33 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     sizes.forEach(s => assert(s <= 16 && s > 0))
   }
 
+  test("WAV decoder parses a real RIFF/PCM16 container exactly") {
+    val samples = Array[Short](-32768, -1, 0, 1, 32767, 16384, -16384, 4096)
+    val wav = wavBytes(samples)
+    val out = Decoder.Wav
+      .decodeBatch(Seq(MediaFile(1L, "audio", wav, MediaMeta("wav", 0, 0, 1L))))
+      .head
+    assert(out.frame_count === 8) // dataLen / blockAlign = 16 / 2
+    assert(out.n_bytes === wav.length)
+    // amplitude bins (s + 32768) >> 12 for the samples above
+    val expect = Map(0 -> 1, 7 -> 1, 8 -> 2, 15 -> 1, 12 -> 1, 4 -> 1, 9 -> 1)
+    (0 until Decoder.FeatureDim).foreach { b =>
+      assert(math.abs(out.feature(b) - expect.getOrElse(b, 0) / 8f) < 1e-6f,
+        s"bin $b: ${out.feature(b)}")
+    }
+  }
+
+  test("Auto decoder routes WAV payloads to the real parser") {
+    val feats = decode(synthesize(spark, 60), decoder = Decoder.Auto,
+      parallelism = Some(4)).collect()
+    assert(feats.length === 60)
+    val audio = feats.filter(_.kind == "audio")
+    assert(audio.nonEmpty)
+    // real parse: frame_count = PCM samples = (payload - 44B header) / 2,
+    // which the byte-histogram fake could not produce
+    assert(audio.forall(r => r.frame_count === (r.n_bytes - 44) / 2))
+  }
+
   test("features feed the embedding operators downstream") {
     import spark.implicits._
     val feats = decode(synthesize(spark, 50)).cache()
