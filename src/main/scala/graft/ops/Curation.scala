@@ -89,35 +89,10 @@ object Curation {
     docs2 AS (
       SELECT k.doc_id, k.text, k.quality_score
       FROM kept k JOIN canon c ON k.doc_id = c.doc_id),
-    sh AS (
-      SELECT doc_id,
-        list_distinct(list_transform(
-          range(len(regexp_split_to_array(trim(text), '\\s+')) - 2),
-          i -> regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
-               regexp_split_to_array(trim(text), '\\s+')[i+2] || ' ' ||
-               regexp_split_to_array(trim(text), '\\s+')[i+3])) AS shingles
-      FROM docs2
-      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
-    sig AS (
-      SELECT doc_id,
-        list_transform(range(${NearDup.DefaultMinHash.numPerm}),
-          sd -> list_min(list_transform(
-            list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT),
-            h -> (h * (2*sd + 1) + 981 * sd) % 72057594037927936))) AS sig
-      FROM sh),
-    band AS (
-      SELECT doc_id, b,
-        md5(array_to_string(list_slice(sig,
-          b*${NearDup.DefaultMinHash.rowsPerBand} + 1,
-          b*${NearDup.DefaultMinHash.rowsPerBand} + ${NearDup.DefaultMinHash.rowsPerBand}), '_')) AS bkey
-      FROM sig, range(${NearDup.DefaultMinHash.numBands}) t(b)),
-    cand AS (
-      SELECT a.doc_id AS id1, b.doc_id AS id2
-      FROM band a JOIN band b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
+    ${NearDup.lshCandidateSqlCtes("docs2")},
     near AS (
-      SELECT c.id1, c.id2
-      FROM cand c JOIN sig s1 ON c.id1 = s1.doc_id JOIN sig s2 ON c.id2 = s2.doc_id
+      SELECT p.id1, p.id2
+      FROM pairs p JOIN sig s1 ON p.id1 = s1.doc_id JOIN sig s2 ON p.id2 = s2.doc_id
       WHERE len(list_filter(list_zip(s1.sig, s2.sig), z -> z[1] = z[2]))
             / ${NearDup.DefaultMinHash.numPerm}.0 >= ${NearDupJaccard}),
     e AS (SELECT id1 AS src, id2 AS dst FROM near UNION SELECT id2, id1 FROM near),

@@ -80,15 +80,22 @@ object Multimodal {
           def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
           require(b.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
             s"media_id=${m.media_id}: not a RIFF/WAVE payload")
-          // chunk walk: [id(4) size(4) body(size, padded to even)]
+          // chunk walk: [id(4) size(4) body(size, padded to even)]. Sizes
+          // come from untrusted bytes — reject out-of-range values instead
+          // of looping forever (negative advance) or reading out of bounds.
           var off = 12
           var blockAlign = 0
           var dataOff = -1
           var dataLen = 0
           while (off + 8 <= b.length && (blockAlign == 0 || dataOff < 0)) {
             val id = tag(off)
-            val size = u32(off + 4).toInt
+            val size32 = u32(off + 4)
+            require(size32 <= Int.MaxValue - 8,
+              s"media_id=${m.media_id}: corrupt chunk size $size32")
+            val size = size32.toInt
             if (id == "fmt ") {
+              require(off + 8 + 16 <= b.length && size >= 16,
+                s"media_id=${m.media_id}: truncated fmt chunk")
               require(u16(off + 8) == 1, "only PCM (format 1) supported")
               require(u16(off + 8 + 14) == 16, "only 16-bit samples supported")
               blockAlign = u16(off + 8 + 12)
@@ -115,13 +122,17 @@ object Multimodal {
         }
     }
 
-    /** Per-format routing: real WAV parser for RIFF payloads, the marked
-      * fake for formats whose codecs aren't available here. */
+    /** Per-format routing: real WAV parser for RIFF/WAVE payloads, the
+      * marked fake for everything else — including RIFF-based non-WAV
+      * formats (AVI video, WebP image: same magic, different form type at
+      * bytes 8-11), whose codecs aren't available here. */
     object Auto extends Decoder {
+      private def isWave(p: Array[Byte]): Boolean =
+        p.length >= 12 &&
+          p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+          p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
       override def decodeBatch(batch: Seq[MediaFile]): Seq[MediaFeatures] = {
-        val (wav, other) = batch.partition(m =>
-          m.payload.length >= 12 && m.payload(0) == 'R' && m.payload(1) == 'I' &&
-            m.payload(2) == 'F' && m.payload(3) == 'F')
+        val (wav, other) = batch.partition(m => isWave(m.payload))
         Wav.decodeBatch(wav) ++ Fake.decodeBatch(other)
       }
     }

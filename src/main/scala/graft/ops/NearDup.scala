@@ -80,23 +80,47 @@ object NearDup {
       .select(col("doc_id"),
         expr("array_join(transform(sig, x -> CAST(x AS STRING)), '_')").as("sig"))
 
-  val q26MinhashSigSql: String = s"""
-    WITH sh AS (
+  /** DuckDB CTE text for shingling + MinHash signatures over relation
+    * `from` (must expose doc_id, text): defines CTEs `sh` and `sig`. The
+    * SINGLE source of the shingle/hash formulas for every oracle that uses
+    * them (q26, q27, q51) — so a formula change cannot silently diverge. */
+  private[ops] def minhashSqlCtes(from: String,
+      cfg: MinHashConfig = DefaultMinHash): String = s"""
+    sh AS (
       SELECT doc_id,
         list_distinct(list_transform(
           range(len(regexp_split_to_array(trim(text), '\\s+')) - 2),
           i -> regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
                regexp_split_to_array(trim(text), '\\s+')[i+2] || ' ' ||
                regexp_split_to_array(trim(text), '\\s+')[i+3])) AS shingles
-      FROM documents
-      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3)
+      FROM $from
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
+    sig AS (
+      SELECT doc_id, shingles,
+        list_transform(range(${cfg.numPerm}),
+          sd -> list_min(list_transform(
+            list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT),
+            h -> (h * (2*sd + 1) + 981 * sd) % 72057594037927936))) AS sig
+      FROM sh)"""
+
+  /** [[minhashSqlCtes]] plus the LSH banding join: adds CTEs `band` and
+    * `pairs` (id1, id2, n_shared_bands). */
+  private[ops] def lshCandidateSqlCtes(from: String,
+      cfg: MinHashConfig = DefaultMinHash): String = s"""${minhashSqlCtes(from, cfg)},
+    band AS (
+      SELECT doc_id, b,
+        md5(array_to_string(list_slice(sig, b*${cfg.rowsPerBand} + 1, b*${cfg.rowsPerBand} + ${cfg.rowsPerBand}), '_')) AS bkey
+      FROM sig, range(${cfg.numBands}) t(b)),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared_bands
+      FROM band a JOIN band b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)"""
+
+  val q26MinhashSigSql: String = s"""
+    WITH ${minhashSqlCtes("documents")}
     SELECT doc_id,
-      array_to_string(list_transform(list_transform(range(${DefaultMinHash.numPerm}),
-        sd -> list_min(list_transform(
-          list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT),
-          h -> (h * (2*sd + 1) + 981 * sd) % 72057594037927936))),
-        x -> x::VARCHAR), '_') AS sig
-    FROM sh
+      array_to_string(list_transform(sig, x -> x::VARCHAR), '_') AS sig
+    FROM sig
   """
 
   /** LSH band-bucket near-dup pairs: explode each signature into banded
@@ -146,30 +170,7 @@ object NearDup {
   }
 
   val q27LshPairsSql: String = s"""
-    WITH sh AS (
-      SELECT doc_id,
-        list_distinct(list_transform(
-          range(len(regexp_split_to_array(trim(text), '\\s+')) - 2),
-          i -> regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
-               regexp_split_to_array(trim(text), '\\s+')[i+2] || ' ' ||
-               regexp_split_to_array(trim(text), '\\s+')[i+3])) AS shingles
-      FROM documents
-      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
-    sig AS (
-      SELECT doc_id, shingles,
-        list_transform(range(${DefaultMinHash.numPerm}),
-          sd -> list_min(list_transform(
-            list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT),
-            h -> (h * (2*sd + 1) + 981 * sd) % 72057594037927936))) AS sig
-      FROM sh),
-    band AS (
-      SELECT doc_id, b,
-        md5(array_to_string(list_slice(sig, b*${DefaultMinHash.rowsPerBand} + 1, b*${DefaultMinHash.rowsPerBand} + ${DefaultMinHash.rowsPerBand}), '_')) AS bkey
-      FROM sig, range(${DefaultMinHash.numBands}) t(b)),
-    pairs AS (
-      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared_bands
-      FROM band a JOIN band b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
+    WITH ${lshCandidateSqlCtes("documents")}
     SELECT p.id1, p.id2, p.n_shared_bands,
       len(list_filter(list_zip(s1.sig, s2.sig), z -> z[1] = z[2])) / ${DefaultMinHash.numPerm}.0 AS est_jaccard,
       CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
