@@ -1,45 +1,60 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import scala.collection.mutable
 
 /** Entity clustering: connected components over accepted duplicate pairs —
   * the step after the reference's pipeline (pairs → classifier → entities).
-  * Iterative minimum-label propagation:
   *
-  *   label(v) ← min(label(v), min over neighbours' labels)
+  * Two physical strategies behind one contract (the standard shape for
+  * production CC — e.g. Kiveris et al., "Connected Components in MapReduce
+  * and Beyond", SoCC'14 finish small graphs locally):
   *
-  * run until a fixpoint, with pointer doubling (label(v) ← label(label(v)))
-  * each round so chains converge in O(log diameter) instead of O(diameter).
+  *  - **single-task union-find** when the edge list fits one executor task
+  *    (≤ `localThreshold` edges, default 5M ≈ hundreds of MB of hash-map).
+  *    The dup-pair graph is the OUTPUT of the similarity filter, orders of
+  *    magnitude smaller than the corpus, so this is the common case even at
+  *    100 TB corpus scale — and it removes all per-iteration job overhead.
+  *  - **iterative min-label propagation + pointer doubling** above the
+  *    threshold: label(v) ← min over neighbours, then label(v) ←
+  *    label(label(v)), until fixpoint — O(log diameter) rounds, exactly two
+  *    shuffle joins + one trivial aggregate per round. Self-loop edges fold
+  *    the "keep your own label" step into the neighbour-min aggregate and
+  *    carry each vertex's OLD label out of it, so convergence detection is
+  *    a filter-count over the just-checkpointed frame (no comparison join).
+  *    `localCheckpoint` every round truncates lineage so plans stay
+  *    constant-size at any round count.
   *
-  * Per-iteration cost is kept to exactly two shuffle joins plus one trivial
-  * aggregate:
-  *  - self-loop edges fold the "keep your own label" step into the
-  *    neighbour-min aggregate (no separate left-join back onto labels);
-  *  - the self-loop row also carries each vertex's OLD label through the
-  *    aggregate, so convergence is detected by a trivial filter-count over
-  *    the just-checkpointed frame — no change-comparison join against the
-  *    previous labels.
-  * `localCheckpoint` every iteration truncates the growing lineage so plans
-  * stay constant size at any round count.
+  * Both paths emit identical output (component = minimum member id under
+  * the column type's ordering); `ClusteringSpec` asserts the equivalence.
   */
 object Clustering {
 
   /** @param pairs (id1, id2) accepted duplicate pairs (any orientation)
+    * @param localThreshold edge count at or below which the single-task
+    *        union-find runs instead of the iterative loop
     * @return (id, component) — component is the minimum member id;
     *         only ids appearing in pairs are returned (singletons are
     *         their own trivial entity). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      localThreshold: Long = 5000000L): DataFrame = {
     val sym = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2"), col("id1")))
       .distinct()
       .localCheckpoint()
+    val edgeCount = sym.count()
+    if (edgeCount <= localThreshold) return localUnionFind(sym)
     // size the iteration shuffles to the graph, not the session default —
     // per-round overhead dominates when the vertex set is far smaller than
     // the input that produced it
     val parallelism = math.max(1, math.min(
       pairs.sparkSession.sparkContext.defaultParallelism,
-      (sym.count() / 500000L).toInt + 1))
+      (edgeCount / 500000L).toInt + 1))
     // self-loops: min over neighbours then includes the vertex's own label,
     // so propagation is a single join+aggregate with no left-join fixup
     val edges = sym
@@ -85,5 +100,45 @@ object Clustering {
     }
     require(converged, s"connected components did not converge in $maxIter iterations")
     labels
+  }
+
+  /** Path-compressed union-find over the whole (small) edge list in ONE
+    * executor task — no driver collect, no per-iteration jobs. Ids are
+    * compared via their natural `Comparable` ordering, which matches
+    * Spark's `min` for the atomic id types (long/int/string/...). */
+  private def localUnionFind(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    val idType = sym.schema("src").dataType
+    val outSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("component", idType)))
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val rows = sym.rdd.coalesce(1).mapPartitions { it =>
+      val parent = mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      def add(x: Any): Unit = if (!parent.contains(x)) parent(x) = x
+      it.foreach { row =>
+        val a = row.get(0)
+        val b = row.get(1)
+        add(a); add(b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(rb) = ra
+      }
+      // component label = min member id per root
+      val minOf = mutable.HashMap.empty[Any, Any]
+      parent.keysIterator.foreach { m =>
+        val r = find(m)
+        if (!minOf.contains(r) || lt(m, minOf(r))) minOf(r) = m
+      }
+      parent.keysIterator.map(m => Row(m, minOf(find(m))))
+    }
+    spark.createDataFrame(rows, outSchema)
   }
 }

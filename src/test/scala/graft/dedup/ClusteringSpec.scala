@@ -7,15 +7,36 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class ClusteringSpec extends AnyFunSuite with SparkSpec {
 
-  test("connected components: chains, cliques, isolated pairs") {
+  test("connected components: chains, cliques, isolated pairs (both strategies)") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {10,11,12} (clique), {20,21}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (10L, 12L), (21L, 20L)).toDF("id1", "id2")
-    val got = Clustering.connectedComponents(pairs)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // default: single-task union-find (edge list under the local threshold)
+    val local = Clustering.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(local === expected)
+    // localThreshold = 0 forces the iterative propagation loop
+    val iterative = Clustering.connectedComponents(pairs, localThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(iterative === expected)
+  }
+
+  test("local and iterative strategies agree on the Febrl ground-truth graph") {
+    import spark.implicits._
+    val pairs = DedupPipeline
+      .pairFeatures(Febrl.read(spark, "/root/reference/data/test.csv"), Febrl.config)
+      .filter(col("label") === 1.0)
+      .select(col("id1"), col("id2"))
+      .cache()
+    val local = Clustering.connectedComponents(pairs)
+      .as[(String, String)].collect().toMap
+    val iterative = Clustering.connectedComponents(pairs, localThreshold = 0L)
+      .as[(String, String)].collect().toMap
+    assert(local === iterative)
+    assert(local.nonEmpty)
   }
 
   test("Febrl ground-truth pairs cluster into exactly the record families") {
