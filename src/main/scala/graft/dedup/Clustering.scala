@@ -103,17 +103,32 @@ object Clustering {
   }
 
   /** Path-compressed union-find over the whole (small) edge list in ONE
-    * executor task — no driver collect, no per-iteration jobs. Ids are
-    * compared via their natural `Comparable` ordering, which matches
-    * Spark's `min` for the atomic id types (long/int/string/...). */
+    * executor task — no driver collect, no per-iteration jobs. Id ordering
+    * must MATCH Spark's `min` so both strategies pick the same component
+    * representative: for strings that is UTF8String's binary order
+    * (unsigned UTF-8 bytes), which differs from Java's UTF-16
+    * `String.compareTo` for supplementary-plane characters; numeric types
+    * use their natural ordering. */
   private def localUnionFind(sym: DataFrame): DataFrame = {
     val spark = sym.sparkSession
     val idType = sym.schema("src").dataType
     val outSchema = StructType(Seq(
       org.apache.spark.sql.types.StructField("id", idType),
       org.apache.spark.sql.types.StructField("component", idType)))
-    def lt(a: Any, b: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) =>
+        val xb = x.getBytes("UTF-8")
+        val yb = y.getBytes("UTF-8")
+        val n = math.min(xb.length, yb.length)
+        var i = 0
+        while (i < n) {
+          val c = (xb(i) & 0xff) - (yb(i) & 0xff)
+          if (c != 0) return c < 0
+          i += 1
+        }
+        xb.length < yb.length
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    }
     val rows = sym.rdd.coalesce(1).mapPartitions { it =>
       val parent = mutable.HashMap.empty[Any, Any]
       def find(x: Any): Any = {

@@ -110,13 +110,18 @@ object GraftFunctions {
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Idempotent, race-free in-place registration on a live session (query
-    * builders may run from multiple driver threads — see graft.Verify). */
-  def register(spark: SparkSession): Unit =
-    if (registered.add(spark)) {
+    * builders may run from multiple driver threads — see graft.Verify).
+    * The whole check-then-register runs under one lock: marking membership
+    * BEFORE registering would let a concurrent caller proceed and resolve
+    * `minhash_affine`/`dot_product` mid-registration. */
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    if (!registered.contains(spark)) {
       functions.foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }
+      registered.add(spark)
     }
+  }
 
   private[functions] def inject(ext: SparkSessionExtensions): Unit =
     functions.foreach(ext.injectFunction)

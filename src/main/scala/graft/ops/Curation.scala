@@ -36,8 +36,12 @@ object Curation {
     * quality filtering, exact dedup, and near-dup representative selection. */
   def q51CorpusCuration(spark: SparkSession, sfDir: String): DataFrame = {
     val scored = TextOps.scoredDocs(Tables(spark, sfDir, "documents"))
-    val kept = scored
+    // cached: the scan + scoring of the whole corpus feeds BOTH the digest
+    // group-by and the join back — without the cache the most expensive
+    // stage of the pipeline would execute twice
+    val kept = graft.CachedFrames.track(scored
       .filter(col("pred_lang") === "en" && col("quality_score") >= QualityThreshold)
+      .select(col("doc_id"), col("text"), col("quality_score")))
     // exact dedup: the min doc_id of each normalized-content group survives
     val canon = kept
       .groupBy(md5(lower(trim(col("text")))).as("ck"))
@@ -64,23 +68,20 @@ object Curation {
   val q51CorpusCurationSql: String = s"""
     WITH RECURSIVE scored AS (
       SELECT doc_id, text,
-        len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-            x -> x IN ('the','a','of','and','to'))) AS s_en,
-        len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-            x -> x IN ('el','la','de','y','que'))) AS s_es,
-        len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-            x -> x IN ('der','die','und','das','ist'))) AS s_de
+        ${TextOps.hitsSql("en")} AS s_en,
+        ${TextOps.hitsSql("es")} AS s_es,
+        ${TextOps.hitsSql("de")} AS s_de,
+        ${TextOps.nTokensSql} AS n_tokens,
+        ${TextOps.nCharsSql} AS n_chars_m,
+        ${TextOps.nPunctSql} AS n_punct
       FROM documents),
+    stats AS (
+      SELECT *, CAST(s_en AS DOUBLE) AS n_stop FROM scored),
     quality AS (
       SELECT doc_id, text,
-        CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
-             WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang,
-        CAST(s_en AS DOUBLE)
-            / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) * 2.0
-          + (CASE WHEN CAST(length(text) AS DOUBLE) >= 200.0 THEN 1.0 ELSE 0.0 END)
-          - CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-            / CAST(length(text) AS DOUBLE) * 4.0 AS quality_score
-      FROM scored),
+        ${TextOps.predLangCaseSql} AS pred_lang,
+        ${TextOps.qualityFromStatsSql} AS quality_score
+      FROM stats),
     kept AS (
       SELECT doc_id, text, quality_score FROM quality
       WHERE pred_lang = 'en' AND quality_score >= ${QualityThreshold}),

@@ -81,29 +81,29 @@ object Multimodal {
           require(b.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
             s"media_id=${m.media_id}: not a RIFF/WAVE payload")
           // chunk walk: [id(4) size(4) body(size, padded to even)]. Sizes
-          // come from untrusted bytes — reject out-of-range values instead
-          // of looping forever (negative advance) or reading out of bounds.
-          var off = 12
+          // come from untrusted bytes — the walk advances in Long so a
+          // declared size near 2^31 (or 2^32) can neither loop forever nor
+          // wrap `off` negative; an advance past the payload simply ends
+          // the walk (the data chunk is length-clamped separately).
+          var off = 12L
           var blockAlign = 0
           var dataOff = -1
           var dataLen = 0
           while (off + 8 <= b.length && (blockAlign == 0 || dataOff < 0)) {
-            val id = tag(off)
-            val size32 = u32(off + 4)
-            require(size32 <= Int.MaxValue - 8,
-              s"media_id=${m.media_id}: corrupt chunk size $size32")
-            val size = size32.toInt
+            val o = off.toInt
+            val id = tag(o)
+            val size = u32(o + 4) // 0 .. 2^32-1, kept in Long
             if (id == "fmt ") {
-              require(off + 8 + 16 <= b.length && size >= 16,
+              require(o + 8 + 16 <= b.length && size >= 16,
                 s"media_id=${m.media_id}: truncated fmt chunk")
-              require(u16(off + 8) == 1, "only PCM (format 1) supported")
-              require(u16(off + 8 + 14) == 16, "only 16-bit samples supported")
-              blockAlign = u16(off + 8 + 12)
+              require(u16(o + 8) == 1, "only PCM (format 1) supported")
+              require(u16(o + 8 + 14) == 16, "only 16-bit samples supported")
+              blockAlign = u16(o + 8 + 12)
             } else if (id == "data") {
-              dataOff = off + 8
-              dataLen = math.min(size, b.length - dataOff)
+              dataOff = o + 8
+              dataLen = math.min(size, (b.length - dataOff).toLong).toInt
             }
-            off += 8 + size + (size & 1)
+            off += 8L + size + (size & 1L)
           }
           require(blockAlign > 0 && dataOff >= 0,
             s"media_id=${m.media_id}: missing fmt/data chunk")

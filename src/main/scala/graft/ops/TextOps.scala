@@ -25,6 +25,26 @@ object TextOps {
     "es" -> Seq("el", "la", "de", "y", "que"),
     "de" -> Seq("der", "die", "und", "das", "ist"))
 
+  /** Shared DuckDB formula fragments — the SINGLE source for the language
+    * profiles, stat expressions, quality formula and language tie-break used
+    * by the q22/q23/q51 oracles (what [[scoredDocs]] is for the Spark side):
+    * a tweak to any formula lands in every oracle at once. */
+  private[ops] def hitsSql(lang: String): String =
+    s"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), " +
+      s"x -> x IN ${inList(langProfiles.toMap.apply(lang))}))"
+  private[ops] val predLangCaseSql: String =
+    "CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en' " +
+      "WHEN s_es >= s_de THEN 'es' ELSE 'de' END"
+  private[ops] val nTokensSql: String =
+    "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)"
+  private[ops] val nCharsSql: String = "CAST(length(text) AS DOUBLE)"
+  private[ops] val nPunctSql: String =
+    "CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)"
+  private[ops] val qualityFromStatsSql: String =
+    "n_stop / n_tokens * 2.0 + " +
+      "(CASE WHEN n_chars_m >= 200.0 THEN 1.0 ELSE 0.0 END) - " +
+      "n_punct / n_chars_m * 4.0"
+
   /** Doc-level (doc_id, text, pred_lang, quality_score) — the q22/q23
     * formulas over an arbitrary documents frame, for pipelines (corpus
     * curation) that compose filtering on both. Formula parity with the
@@ -98,19 +118,16 @@ object TextOps {
   val q22QualityScoreSql: String = s"""
     WITH x AS (
       SELECT doc_id,
-        CAST(length(text) AS DOUBLE) AS n_chars_m,
-        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
-        CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                             x -> x IN ${inList(stopEn)})) AS DOUBLE) AS n_stop,
-        CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct
+        $nCharsSql AS n_chars_m,
+        $nTokensSql AS n_tokens,
+        CAST(${hitsSql("en")} AS DOUBLE) AS n_stop,
+        $nPunctSql AS n_punct
       FROM documents)
     SELECT doc_id,
       n_chars_m / n_tokens AS mean_token_span,
       n_stop / n_tokens AS stopword_ratio,
       n_punct / n_chars_m AS punct_ratio,
-      n_stop / n_tokens * 2.0 +
-        (CASE WHEN n_chars_m >= 200.0 THEN 1.0 ELSE 0.0 END) -
-        n_punct / n_chars_m * 4.0 AS quality_score
+      $qualityFromStatsSql AS quality_score
     FROM x
   """
 
@@ -135,21 +152,15 @@ object TextOps {
         .otherwise("de").as("pred_lang"))
   }
 
-  val q23LangIdSql: String = """
-    WITH x AS (
+  val q23LangIdSql: String = s"""
+    WITH s AS (
       SELECT doc_id, lang AS tagged_lang,
-        regexp_split_to_array(trim(text), '\s+') AS toks
-      FROM documents),
-    s AS (
-      SELECT doc_id, tagged_lang,
-        len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS s_en,
-        len(list_filter(toks, x -> x IN ('el','la','de','y','que'))) AS s_es,
-        len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de
-      FROM x)
+        ${hitsSql("en")} AS s_en,
+        ${hitsSql("es")} AS s_es,
+        ${hitsSql("de")} AS s_de
+      FROM documents)
     SELECT doc_id, tagged_lang, s_en, s_es, s_de,
-      CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
-           WHEN s_es >= s_de THEN 'es'
-           ELSE 'de' END AS pred_lang
+      $predLangCaseSql AS pred_lang
     FROM s
   """
 

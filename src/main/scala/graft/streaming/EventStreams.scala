@@ -90,14 +90,20 @@ object EventStreams {
       }.toSeq
       val all = merge(state.getOption.map(_.sessions).getOrElse(Seq.empty) ++ incoming)
       val wmSec = state.getCurrentWatermarkMs() / 1000L
-      // sealed ⟺ no admissible future event (ts ≥ watermark) can extend it;
-      // session ends are increasing, so `closed` is a prefix of `all`
+      // sealed ⟺ no admissible future event (ts ≥ watermark) can extend it.
+      // Sessions work in whole seconds (the batch twin's epoch math), so an
+      // event second eps == end + gap still merges — seal strictly after.
+      // Session ends are increasing, so `closed` is a prefix of `all`.
       val (closed, open) = all.partition(s => s.end_s + gapSec < wmSec)
       if (open.isEmpty) state.remove()
       else {
         state.update(SessionBuffer(open))
+        // arm at the FIRST ms where the second-floored seal above is true
+        // ((end+gap+1) s, not (end+gap) s): a sub-second watermark advance
+        // past end+gap would otherwise fire the timeout, seal nothing, and
+        // re-arm — withholding the tail forever on an idle stream
         state.setTimeoutTimestamp(math.max(
-          open.last.end_s * 1000L + gapSec * 1000L,
+          (open.last.end_s + gapSec + 1L) * 1000L,
           state.getCurrentWatermarkMs() + 1L))
       }
       closed.iterator
