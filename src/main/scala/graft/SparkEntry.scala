@@ -72,7 +72,8 @@ object SparkEntry {
     "q49_entity_clusters" -> (Dedup.entityClusters _),
     "q50_exact_stats" -> (Relational.q50ExactStats _),
     "q51_corpus_curation" -> (Curation.q51CorpusCuration _),
-    "q52_stratified_sample" -> (Curation.q52StratifiedSample _)
+    "q52_stratified_sample" -> (Curation.q52StratifiedSample _),
+    "q53_span_dedup" -> ((s, d) => NearDup.q53SpanDedup(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -128,6 +129,7 @@ object SparkEntry {
     "q32_centroid_cosine" -> Embeddings.q32CentroidCosineSql,
     "q50_exact_stats" -> Relational.q50ExactStatsSql,
     "q51_corpus_curation" -> Curation.q51CorpusCurationSql,
-    "q52_stratified_sample" -> Curation.q52StratifiedSampleSql
+    "q52_stratified_sample" -> Curation.q52StratifiedSampleSql,
+    "q53_span_dedup" -> NearDup.q53SpanDedupSql
   )
 }

@@ -36,6 +36,13 @@ final case class SimHashConfig(tables: Int = 4, prefixBits: Int = 14) {
   require(tables * prefixBits <= 56, "rotated prefixes must fit the 56-bit fingerprint")
 }
 
+/** Span-level dedup tuning: documents are cut into fixed-stride token
+  * windows of `width`; a span is removed when an identical span exists
+  * earlier in the corpus (exact) or when LSH banding finds an earlier span
+  * with estimated Jaccard ≥ `minEstJaccard` (near). Wider spans ⇒ fewer,
+  * more conservative removals. */
+final case class SpanDedupConfig(width: Int = 8, minEstJaccard: Double = 0.75)
+
 object NearDup {
 
   /** Demo-scale defaults; the driver-contract queries use exactly these so
@@ -258,6 +265,104 @@ object NearDup {
     FROM bands a JOIN bands b
       ON a.t = b.t AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     GROUP BY 1, 2
+  """
+  }
+
+  val DefaultSpanDedup: SpanDedupConfig = SpanDedupConfig()
+
+  /** Span/paragraph-level dedup (C4/RefinedWeb-style boilerplate removal):
+    * explode each document into fixed-stride `width`-token spans, remove a
+    * span when (a) a byte-identical span exists earlier in the corpus
+    * (exact, cross-document) or (b) LSH banding pairs it with an earlier
+    * span at estimated Jaccard ≥ `minEstJaccard` (near). Emits the per-doc
+    * surviving text: (doc_id, n_spans, n_kept, kept_text).
+    *
+    * "Earlier" = smaller span_id = doc_id·2^20 + span_idx (2^20 spans ⇒
+    * 8M-token docs before collision; doc_id < 2^43 stays overflow-free in
+    * checked BIGINT arithmetic) — a total order
+    * both engines compare identically, so removal is deterministic without
+    * a transitive-closure pass. Scale shape: the span explode is
+    * embarrassingly parallel; exact dedup shuffles once on the uniform md5
+    * key; near-dup reuses the sub-quadratic banded equi-join
+    * ([[lshPairsOn]]); the per-doc fold buffers only one document's spans. */
+  def q53SpanDedup(spark: SparkSession, sfDir: String,
+      cfg: SpanDedupConfig = DefaultSpanDedup): DataFrame =
+    spanDedupOn(Tables(spark, sfDir, "documents"), cfg)
+
+  /** [[q53SpanDedup]]'s core over ANY (doc_id BIGINT, text) frame. */
+  private[ops] def spanDedupOn(docs: DataFrame,
+      cfg: SpanDedupConfig = DefaultSpanDedup): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = cfg.width
+    val spans = docs
+      .withColumn("tk", expr("""split(trim(text), '\\s+')"""))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, CAST(ceil(size(tk) / $w.0) AS INT) - 1)")).as("span_idx"),
+        col("tk"))
+      .select(col("doc_id"), col("span_idx"),
+        (col("doc_id") * lit(1L << 20) + col("span_idx")).as("span_id"),
+        expr(s"concat_ws(' ', slice(tk, span_idx * $w + 1, $w))").as("span_text"))
+    // exact: keep only the corpus-first copy of each identical span
+    val exactKeep = spans
+      .withColumn("canon",
+        min(col("span_id")).over(Window.partitionBy(md5(col("span_text")))))
+      .filter(col("span_id") === col("canon"))
+      .drop("canon")
+    // near: LSH over the exact survivors at span granularity; the later
+    // span of every confident pair is dropped
+    val dropIds = lshPairsOn(
+        exactKeep.select(col("span_id").as("doc_id"), col("span_text").as("text")),
+        DefaultMinHash)
+      .filter(col("est_jaccard") >= cfg.minEstJaccard)
+      .select(col("id2").as("span_id")).distinct()
+    val kept = exactKeep.join(dropIds, Seq("span_id"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(span_idx, span_text))), x -> x.span_text), ' ')")
+          .as("kept_text"))
+    spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  val q53SpanDedupSql: String = {
+    val w = DefaultSpanDedup.width
+    s"""
+    WITH toksd AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+    idxd AS (
+      SELECT doc_id, tk,
+        unnest(range(CAST(ceil(len(tk) / $w.0) AS BIGINT))) AS span_idx
+      FROM toksd),
+    spans AS (
+      SELECT doc_id, span_idx, doc_id * ${1L << 20} + span_idx AS span_id,
+        array_to_string(list_slice(tk, span_idx * $w + 1, span_idx * $w + $w), ' ') AS span_text
+      FROM idxd),
+    exact_keep AS (
+      SELECT doc_id, span_idx, span_id, span_text FROM (
+        SELECT *, min(span_id) OVER (PARTITION BY md5(span_text)) AS canon
+        FROM spans)
+      WHERE span_id = canon),
+    su AS (SELECT span_id AS doc_id, span_text AS text FROM exact_keep),
+    ${lshCandidateSqlCtes("su")},
+    drop_ids AS (
+      SELECT DISTINCT p.id2 AS span_id
+      FROM pairs p JOIN sig s1 ON p.id1 = s1.doc_id JOIN sig s2 ON p.id2 = s2.doc_id
+      WHERE len(list_filter(list_zip(s1.sig, s2.sig), z -> z[1] = z[2])) / ${DefaultMinHash.numPerm}.0
+            >= ${DefaultSpanDedup.minEstJaccard}),
+    kept AS (
+      SELECT e.doc_id, count(*) AS n_kept,
+        array_to_string(list(span_text ORDER BY span_idx), ' ') AS kept_text
+      FROM exact_keep e ANTI JOIN drop_ids d ON e.span_id = d.span_id
+      GROUP BY 1),
+    tot AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1)
+    SELECT t.doc_id, t.n_spans,
+      COALESCE(k.n_kept, 0) AS n_kept,
+      COALESCE(k.kept_text, '') AS kept_text
+    FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
   """
   }
 

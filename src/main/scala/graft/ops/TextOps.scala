@@ -17,13 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  private val stopEn = Seq("the", "a", "of", "and", "to")
   private def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ", ", ")")
 
+  /** SINGLE source of the language stopword profiles — q22's stopword ratio,
+    * q23's scorer, scoredDocs (q51), and every oracle derive from this list,
+    * so a profile tweak cannot silently diverge one query from another. */
   private[ops] val langProfiles = Seq(
     "en" -> Seq("the", "a", "of", "and", "to"),
     "es" -> Seq("el", "la", "de", "y", "que"),
     "de" -> Seq("der", "die", "und", "das", "ist"))
+  private val stopEn = langProfiles.toMap.apply("en")
 
   /** Shared DuckDB formula fragments — the SINGLE source for the language
     * profiles, stat expressions, quality formula and language tie-break used
@@ -134,13 +137,9 @@ object TextOps {
   /** Language ID via stopword-profile scoring (n-gram heuristic): count
     * profile hits per language, argmax with a fixed tie order. */
   def q23LangId(spark: SparkSession, sfDir: String): DataFrame = {
-    val profiles = Seq(
-      "en" -> Seq("the", "a", "of", "and", "to"),
-      "es" -> Seq("el", "la", "de", "y", "que"),
-      "de" -> Seq("der", "die", "und", "das", "ist"))
     val base = Tables(spark, sfDir, "documents")
       .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
-    val scored = profiles.foldLeft(base) { case (df, (lang, words)) =>
+    val scored = langProfiles.foldLeft(base) { case (df, (lang, words)) =>
       df.withColumn(s"s_$lang",
         expr(s"size(filter(toks, x -> x IN ${inList(words)}))"))
     }

@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Span-level dedup semantics on a hand-built corpus where the expected
+  * removals are knowable by eye (q53's oracle checks the full pipeline on
+  * real data; this pins the unit behavior + edge cases). */
+class SpanDedupSpec extends AnyFunSuite with SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  // 8-token spans (DefaultSpanDedup.width = 8). doc 0 is the "earliest"
+  // copy everywhere, so it must always survive intact.
+  private val boiler = "one two three four five six seven eight"   // span A
+  private val body0  = "alpha beta gamma delta epsilon zeta eta theta" // span B
+  private val body1  = "iota kappa lambda mu nu xi omicron pi"     // span C
+  private val nearB  = "alpha beta gamma delta epsilon zeta eta CHANGED"
+
+  private def run(docs: Seq[(Long, String)]) = {
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+    NearDup.spanDedupOn(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+  }
+
+  test("exact cross-document span removal keeps the corpus-first copy") {
+    val out = run(Seq(
+      0L -> s"$boiler $body0",    // spans: A, B
+      1L -> s"$boiler $body1"))   // spans: A (dup of doc 0's), C
+    assert(out(0L) == ((2L, 2L, s"$boiler $body0")))
+    val (n1, k1, t1) = out(1L)
+    assert(n1 == 2L && k1 == 1L && t1 == body1) // boilerplate stripped
+  }
+
+  test("near-duplicate span (1 token of 8 changed) is removed from the later doc") {
+    val out = run(Seq(
+      0L -> s"$body0 $body1",
+      1L -> s"$nearB $body1"))    // nearB ~ body0 (Jaccard of 3-gram shingles high)
+    assert(out(0L)._2 == 2L)
+    val (n1, k1, t1) = out(1L)
+    // body1 span is an exact dup (removed); nearB is a near dup of body0
+    assert(n1 == 2L && k1 <= 1L)
+    if (k1 == 0L) assert(t1 == "")
+  }
+
+  test("identical spans inside ONE document dedup to the first occurrence") {
+    val out = run(Seq(0L -> s"$boiler $boiler"))
+    assert(out(0L) == ((2L, 1L, boiler)))
+  }
+
+  test("short tail span (< width tokens) round-trips and unique docs survive whole") {
+    val tail = "tail tok"
+    val out = run(Seq(
+      0L -> s"$body0 $tail",      // spans: B, "tail tok" (2 tokens, no shingles)
+      1L -> body1))
+    assert(out(0L) == ((2L, 2L, s"$body0 $tail")))
+    assert(out(1L) == ((1L, 1L, body1)))
+  }
+}
