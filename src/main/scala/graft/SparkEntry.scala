@@ -73,7 +73,9 @@ object SparkEntry {
     "q50_exact_stats" -> (Relational.q50ExactStats _),
     "q51_corpus_curation" -> (Curation.q51CorpusCuration _),
     "q52_stratified_sample" -> (Curation.q52StratifiedSample _),
-    "q53_span_dedup" -> ((s, d) => NearDup.q53SpanDedup(s, d))
+    "q53_span_dedup" -> ((s, d) => NearDup.q53SpanDedup(s, d)),
+    "q54_dup_features" -> (MlOps.q54DupFeatures _),
+    "q55_kmeans_refine" -> (Embeddings.q55KmeansRefine _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -130,6 +132,8 @@ object SparkEntry {
     "q50_exact_stats" -> Relational.q50ExactStatsSql,
     "q51_corpus_curation" -> Curation.q51CorpusCurationSql,
     "q52_stratified_sample" -> Curation.q52StratifiedSampleSql,
-    "q53_span_dedup" -> NearDup.q53SpanDedupSql
+    "q53_span_dedup" -> NearDup.q53SpanDedupSql,
+    "q54_dup_features" -> MlOps.q54DupFeaturesSql,
+    "q55_kmeans_refine" -> Embeddings.q55KmeansRefineSql
   )
 }

@@ -206,7 +206,12 @@ object Embeddings {
     * the deterministic per-label means (a k-means iteration would slot in
     * identically); distance math is squared-L2 via three dot products so
     * both engines compute the same IEEE values. */
-  def q46IvfAnn(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The IVF assignment stage — shared by the cell-probe ANN (q46) and the
+    * Lloyd refinement (q55): nearest initial centroid (per-label fixed-point
+    * means) per vector, ties broken by cell ascending. The centroid set is
+    * tiny (≤ #labels) so the assignment join is a broadcast, never a
+    * shuffle of the corpus. */
+  private def assignedCells(spark: SparkSession, sfDir: String): DataFrame = {
     val e = graft.CachedFrames.track(vecs(spark, sfDir))
     // centroid arrays from the long-format means, ordered by index
     val cents = q31Centroids(spark, sfDir)
@@ -217,12 +222,34 @@ object Embeddings {
       .withColumn("cnorm2", dot(col("c"), col("c")))
     // assign: nearest cell by squared L2 = |v|^2 - 2 v.c + |c|^2
     val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cell").asc)
-    val assigned = graft.CachedFrames.track(e.crossJoin(broadcast(cents))
+    graft.CachedFrames.track(e.crossJoin(broadcast(cents))
       .withColumn("d2",
         col("nrm") * col("nrm") - lit(2.0) * dot(col("v"), col("c")) + col("cnorm2"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell")))
+  }
+
+  /** q55: one deterministic Lloyd (k-means) refinement of the IVF coarse
+    * quantizer — reassign every vector to its nearest current centroid
+    * ([[assignedCells]]), then recompute each cell's centroid as the
+    * fixed-point DECIMAL mean of its members (same order-insensitive,
+    * constant-memory aggregation as q31, so the oracle follows mechanically).
+    * Emits the refined codebook in long format: (cell, idx, n, sum_x,
+    * mean_x). Iterating this assignment+update pair is exactly Lloyd's
+    * algorithm; one step is enough to pin the semantics in the gate. */
+  def q55KmeansRefine(spark: SparkSession, sfDir: String): DataFrame =
+    assignedCells(spark, sfDir)
+      .select(col("cell"), posexplode(col("v")).as(Seq("idx", "x")))
+      .groupBy(col("cell"), col("idx"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(x * 1e12) AS DECIMAL(38,0))")).as("fx"))
+      .select(col("cell"), col("idx"), col("n"),
+        (col("fx").cast("double") / lit(1e12)).as("sum_x"),
+        (col("fx").cast("double") / lit(1e12) / col("n").cast("double")).as("mean_x"))
+
+  def q46IvfAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = assignedCells(spark, sfDir)
     // probe: queries search only their own cell
     val q = assigned.filter(col("vec_id") < DefaultAnn.knnQueryIds)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
@@ -236,8 +263,10 @@ object Embeddings {
       .select(col("qid"), col("cand_id"), col("cell"), col("rk"), col("cos"))
   }
 
-  val q46IvfAnnSql: String = s"""
-    WITH e AS (
+  /** DuckDB CTE chain for the IVF assignment stage (shared by the q46 and
+    * q55 oracles, mirroring [[assignedCells]]): defines `assigned`
+    * (vec_id, v, nrm, cell). */
+  private val ivfAssignedSqlCtes: String = s"""e AS (
       SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
     n AS (
       SELECT vec_id, label, v,
@@ -271,7 +300,10 @@ object Embeddings {
       SELECT vec_id, v, nrm, cell FROM (
         SELECT vec_id, v, nrm, cell,
           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rk
-        FROM da) WHERE rk = 1),
+        FROM da) WHERE rk = 1)"""
+
+  val q46IvfAnnSql: String = s"""
+    WITH $ivfAssignedSqlCtes,
     probe AS (
       SELECT q.vec_id AS qid, c.vec_id AS cand_id, q.cell,
         list_reduce(list_prepend(0.0::DOUBLE,
@@ -283,6 +315,18 @@ object Embeddings {
       SELECT qid, cand_id, cell, cos,
         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS rk
       FROM probe) WHERE rk <= 3
+  """
+
+  val q55KmeansRefineSql: String = s"""
+    WITH $ivfAssignedSqlCtes,
+    ax AS (
+      SELECT cell, i.idx - 1 AS idx, v[i.idx] AS x
+      FROM assigned, LATERAL (SELECT unnest(generate_series(1, len(v))) AS idx) i)
+    SELECT cell, idx, count(*) AS n,
+      CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sum_x,
+      CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+        / CAST(count(*) AS DOUBLE) AS mean_x
+    FROM ax GROUP BY cell, idx
   """
 
   /** Centroid gram matrix + cosine: joins the long-format centroids on idx,
