@@ -181,10 +181,27 @@ object Multimodal {
     }
   }
 
+  /** Committed binary fixture (written once by [[graft.MakeFixtures]] from
+    * the deterministic [[synthesize]] stream): freezes the exact payload
+    * bytes q34 decodes, so the gate exercises the parquet BINARY round-trip
+    * and its rows-only stats stay comparable across rounds even if the
+    * synthesizer changes. */
+  val FixturePath = "fixtures/media.parquet"
+  val FixtureRows = 300
+
+  /** The q34 media table: the committed fixture when present (running from
+    * the repo root), else the identical deterministic synthetic stream. */
+  def mediaTable(spark: SparkSession): Dataset[MediaFile] = {
+    import spark.implicits._
+    if (new java.io.File(FixturePath).exists())
+      spark.read.parquet(FixturePath).as[MediaFile]
+    else synthesize(spark, FixtureRows)
+  }
+
   /** q34 (rows-only driver check — no SQL oracle for binary decode):
-    * synthesize → batch decode → per-kind feature stats. */
+    * media fixture → batch decode → per-kind feature stats. */
   def q34MediaFeatures(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame =
-    decode(synthesize(spark, 300), decoder = Decoder.Auto, parallelism = Some(8))
+    decode(mediaTable(spark), decoder = Decoder.Auto, parallelism = Some(8))
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"),
         sum(col("n_bytes")).as("total_bytes"),

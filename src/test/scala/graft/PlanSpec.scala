@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the "plans you'd want at 100×" bar, enforced
+  * as a spec instead of by review. Each case executes the query (so AQE
+  * finalizes) and asserts on the FINAL physical plan — a refactor that
+  * introduces an extra shuffle, drops a broadcast, or double-evaluates a
+  * comparator fails here even while correctness stays green.
+  *
+  * Counts are asserted against the local[8]/AQE environment the suite runs
+  * in; they are exact on purpose — a plan change should be a conscious
+  * decision, not a silent drift.
+  */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Execute the frame (AQE needs runtime stats to finalize) and return the
+    * final-plan text only (the Initial Plan section would double-count). */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    try {
+      df.queryExecution.toRdd.count()
+      val s = df.queryExecution.executedPlan.toString
+      val cut = s.indexOf("== Initial Plan ==")
+      if (cut >= 0) s.substring(0, cut) else s
+    } finally CachedFrames.drain()
+  }
+
+  /** Count plan nodes by exact operator token ("Exchange" does NOT match
+    * BroadcastExchange/ReusedExchange; codegen markers are stripped). */
+  private def nodes(plan: String, op: String): Int =
+    plan.linesIterator.count { line =>
+      val t = line.dropWhile(c => c.isWhitespace || ":+-|".contains(c))
+      val tok = (if (t.startsWith("*(")) t.dropWhile(_ != ')').drop(1) else t).trim
+      tok.takeWhile(c => c.isLetterOrDigit).equals(op)
+    }
+
+  test("q1_agg: partial+final HashAggregate, one hash shuffle + one sort shuffle") {
+    val p = finalPlan("q1_agg")
+    assert(nodes(p, "HashAggregate") == 2, p)
+    assert(p.contains("partial_sum"), p)
+    assert(nodes(p, "Exchange") == 2, p) // hashpartitioning + rangepartitioning
+  }
+
+  test("q2_region_revenue: all three dimension joins broadcast, no sort-merge") {
+    val p = finalPlan("q2_region_revenue")
+    assert(nodes(p, "BroadcastHashJoin") == 3, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert(nodes(p, "Exchange") == 1, p) // only the final aggregation shuffle
+  }
+
+  test("q12_topk: TakeOrderedAndProject, zero shuffles") {
+    val p = finalPlan("q12_topk")
+    assert(nodes(p, "TakeOrderedAndProject") == 1, p)
+    assert(nodes(p, "Exchange") == 0, p)
+  }
+
+  test("dedup_pairs: one exchange before the feature projection, each comparator once") {
+    val p = finalPlan("dedup_pairs")
+    // the only shuffle is parallelize()'s input right-sizing (reused by the
+    // self-join's other side); the block join itself must not add one here
+    assert(nodes(p, "Exchange") == 1, p)
+    assert(nodes(p, "ReusedExchange") == 1, p)
+    // exactly-once comparator evaluation: one levenshtein per feature
+    // (a pushdown regression that re-evaluates per orientation doubles this)
+    assert("levenshtein\\(".r.findAllIn(p).size == 2, p)
+  }
+}

@@ -24,6 +24,25 @@ class ClusteringSpec extends AnyFunSuite with SparkSpec {
     assert(iterative === expected)
   }
 
+  test("strategy switch at exactly localThreshold: both sides of the edge agree") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (21L, 20L)).toDF("id1", "id2")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // the strategy decision compares the SYMMETRIZED distinct edge count
+    // (7 pairs -> 14 directed edges) against the threshold
+    val symEdges = 14L
+    // exactly AT the threshold: union-find path (<=)
+    val at = Clustering.connectedComponents(pairs, localThreshold = symEdges)
+      .as[(Long, Long)].collect().toMap
+    // one BELOW the threshold: iterative propagation path
+    val below = Clustering.connectedComponents(pairs, localThreshold = symEdges - 1)
+      .as[(Long, Long)].collect().toMap
+    assert(at === expected)
+    assert(below === expected)
+  }
+
   test("local and iterative strategies agree on the Febrl ground-truth graph") {
     import spark.implicits._
     val pairs = DedupPipeline
