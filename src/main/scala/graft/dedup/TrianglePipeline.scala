@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -16,15 +16,19 @@ import scala.util.hashing.MurmurHash3
   *      — bounded driver memory at any scale; tiny blocks are hash-routed
   *      executor-side without ever being collected;
   *   3. triangle replication of each tuple to ≤ l_i of its block's k_i
-  *      reducers via a typed `flatMap` (the reference mapper,
+  *      reducers via an RDD `flatMap` (the reference mapper,
   *      `DisDedupMapper.scala:12-52`) — replication factor √(2k_i), the
   *      paper's communication-optimal bound;
-  *   4. per-(reducer, block) pair generation in `groupByKey.flatMapGroups`
-  *      (the reference reducer, `DisDedupReducer.scala:12-68`): L×R
-  *      bipartite or S upper-triangle nested loop. The typed stages carry
-  *      ONLY (id, blocking-key values) — tuple payloads never enter the
-  *      object shuffle (an earlier version shuffled whole tuple structs
-  *      plus per-tuple key arrays through the encoders and ran 4× slower);
+  *   4. per-(reducer, block) pair generation under an EXPLICIT
+  *      `HashPartitioner(k)` `groupByKey` (the reference reducer +
+  *      partitioner, `DisDedupReducer.scala:12-68`): L×R bipartite or S
+  *      upper-triangle nested loop. This stage is deliberately RDD, not
+  *      Dataset: its input is linear but its output quadratic, and any
+  *      input-byte-sized partitioning decision (AQE coalescing the
+  *      equivalent `groupByKey` exchange to one partition) serializes the
+  *      pair generation and everything pipelined behind it — k reducers
+  *      must exist because the plan says so. The shuffle carries ONLY
+  *      (id, blocking-key values), never tuple payloads;
   *   5. the exactly-once guard (pair kept only in its lowest shared
   *      ordinal's block, `Compare.scala:94,106`) and the feature projection
   *      run AFTER the typed stages as codegen'd Column expressions — the
@@ -85,25 +89,26 @@ object TrianglePipeline {
       .map { case (b, rids) => ((b.k, b.v), rids.toArray) }
     val bplan = spark.sparkContext.broadcast(plan)
 
-    // ---- D2+D3: triangle replication (typed flatMap; id + key values only)
-    val routedSchema = StructType(Seq(
-      StructField("rid", IntegerType, nullable = false),
-      StructField("bk", IntegerType, nullable = false),
-      StructField("bv", StringType, nullable = true),
-      StructField("side", StringType, nullable = false),
-      StructField("id", idType, nullable = true)) ++
-      (0 until n).map(i => StructField(s"bv$i", StringType, nullable = true)))
+    // ---- D2+D3: triangle replication (RDD flatMap; id + key values only).
+    // D4's partitioner must be EXPLICIT (the reference's custom partitioner,
+    // `DisDedupPartitioner`): the routed input is tiny (linear in tuples ×
+    // √(2k)) while the reducer OUTPUT is quadratic in block sizes, so any
+    // input-sized partitioning decision — in particular AQE coalescing the
+    // groupByKey exchange of a Dataset formulation down to one partition —
+    // serializes the pair generation AND everything pipelined after it
+    // (measured 5× on the sf0.1 gate). An RDD HashPartitioner(k) stage is
+    // immune to that: k reducers exist because the PLAN says so, exactly as
+    // in the reference.
     val kVal = k
-
     val src = df.select(col(cfg.idColumn).as("id") +: keyCols: _*)
-    val routed = src.flatMap { row =>
+    // (rid, bk, bv) -> (side, id, bv0..bv(n-1))
+    val routed = src.rdd.flatMap { row =>
       val id = row.get(0)
-      val bvs = (0 until n).map(i => row.getString(i + 1))
+      val bvs = Array.tabulate(n)(i => row.getString(i + 1))
       val idStr = String.valueOf(id)
       bvs.iterator.zipWithIndex.flatMap { case (bv, i) =>
         val bk = i + 1
-        def rec(rid: Int, side: String) =
-          Row.fromSeq(Seq(rid, bk, bv, side, id) ++ bvs)
+        def rec(rid: Int, side: String) = ((rid, bk, bv), (side, id, bvs))
         bplan.value.get((bk, bv)) match {
           case None =>
             // tiny block (w ≤ τ, never collected): stable-hash single reducer
@@ -116,7 +121,7 @@ object TrianglePipeline {
             // L to column cells above, R to row cells right of the diagonal
             val l = DisDedupPlanner.getL(rids.length)
             val a = Math.floorMod(MurmurHash3.stringHash(s"$idStr|$bk|$bv", seedInt), l) + 1
-            val out = new ArrayBuffer[Row](l)
+            val out = new ArrayBuffer[((Int, Int, String), (String, Any, Array[String]))](l)
             var p = 1
             while (p < a) {
               out += rec(rids(DisDedupPlanner.cellIndex(l, p, a)), sideL)
@@ -131,7 +136,7 @@ object TrianglePipeline {
             out.iterator
         }
       }
-    }(Encoders.row(routedSchema))
+    }
 
     // ---- D4-D6: group per (reducer, block), nested-loop pair generation ---
     val pairSchema = StructType(Seq(
@@ -139,16 +144,15 @@ object TrianglePipeline {
       StructField("ub", idType, nullable = true),
       StructField("bk", IntegerType, nullable = false)))
     val nVal = n
+    val numParts = math.max(kVal, spark.sparkContext.defaultParallelism)
     val rawPairs = routed
-      .groupByKey(r => (r.getInt(0), r.getInt(1), r.getString(2)))(
-        Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt, Encoders.STRING))
-      .flatMapGroups { (key, it) =>
-        val bk = key._2
-        val left = new ArrayBuffer[Row]()
-        val self = new ArrayBuffer[Row]()
-        val right = new ArrayBuffer[Row]()
+      .groupByKey(new org.apache.spark.HashPartitioner(numParts))
+      .flatMap { case ((_, bk, _), it) =>
+        val left = new ArrayBuffer[(String, Any, Array[String])]()
+        val self = new ArrayBuffer[(String, Any, Array[String])]()
+        val right = new ArrayBuffer[(String, Any, Array[String])]()
         it.foreach { r =>
-          r.getString(3) match {
+          r._1 match {
             case `sideL` => left += r
             case `sideR` => right += r
             case _       => self += r
@@ -157,15 +161,16 @@ object TrianglePipeline {
         // exactly-once guard in-line (reference Compare.scala:94,106): the
         // lowest shared ordinal is the first position whose key values
         // agree — O(#blockingFns) string equalities, so guarded duplicates
-        // never reach the encoder
-        def emit(out: ArrayBuffer[Row], r1: Row, r2: Row): Unit = {
+        // never reach the shuffle-back
+        def emit(out: ArrayBuffer[Row],
+            r1: (String, Any, Array[String]), r2: (String, Any, Array[String])): Unit = {
           var i = 0
           var lcb = Int.MaxValue
           while (i < nVal && lcb == Int.MaxValue) {
-            if (r1.getString(5 + i) == r2.getString(5 + i)) lcb = i + 1
+            if (r1._3(i) == r2._3(i)) lcb = i + 1
             i += 1
           }
-          if (bk == lcb) out += Row(r1.get(4), r2.get(4), bk)
+          if (bk == lcb) out += Row(r1._2, r2._2, bk)
         }
         val out = new ArrayBuffer[Row]()
         if (left.nonEmpty && right.nonEmpty) {
@@ -179,10 +184,10 @@ object TrianglePipeline {
           }
         }
         out.iterator
-      }(Encoders.row(pairSchema))
+      }
 
     // ---- orientation in codegen ------------------------------------------
-    rawPairs.select(
+    spark.createDataFrame(rawPairs, pairSchema).select(
       when(col("ua") <= col("ub"), col("ua")).otherwise(col("ub")).as("id1"),
       when(col("ua") <= col("ub"), col("ub")).otherwise(col("ua")).as("id2"),
       col("bk"))
