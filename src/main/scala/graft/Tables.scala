@@ -24,4 +24,18 @@ object Tables {
       df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
     else df
   }
+
+  /** Right-size a narrow SCAN before kernel-heavy or expanding stages.
+    *
+    * A small parquet table is one file = ONE partition, which serializes
+    * every codegen kernel (md5/minhash/dot-product) and everything pipelined
+    * behind a broadcast join until the first shuffle. A no-op whenever the
+    * input already has ≥ defaultParallelism partitions (any real cluster
+    * scale), so no extra shuffle is ever paid at 100 TB. Apply at scan
+    * entry points only — `rdd.getNumPartitions` on a raw scan is metadata;
+    * on a frame with upstream exchanges it would trigger partial execution. */
+  def parallelized(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

@@ -35,7 +35,8 @@ object Curation {
   /** Curated corpus: surviving (doc_id, quality_score) after language +
     * quality filtering, exact dedup, and near-dup representative selection. */
   def q51CorpusCuration(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = TextOps.scoredDocs(Tables(spark, sfDir, "documents"))
+    val scored = TextOps.scoredDocs(
+      Tables.parallelized(Tables(spark, sfDir, "documents")))
     // cached: the scan + scoring of the whole corpus feeds BOTH the digest
     // group-by and the join back — without the cache the most expensive
     // stage of the pipeline would execute twice

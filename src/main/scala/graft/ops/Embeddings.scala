@@ -47,7 +47,7 @@ object Embeddings {
 
   private def vecs(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    Tables(spark, sfDir, "embeddings")
+    Tables.parallelized(Tables(spark, sfDir, "embeddings"))
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))

@@ -83,7 +83,7 @@ object NearDup {
     * column (raw ARRAY columns break its pandas canonicalization). */
   def q26MinhashSig(spark: SparkSession, sfDir: String,
       cfg: MinHashConfig = DefaultMinHash): DataFrame =
-    withSignature(shingled(Tables(spark, sfDir, "documents")), cfg)
+    withSignature(shingled(Tables.parallelized(Tables(spark, sfDir, "documents"))), cfg)
       .select(col("doc_id"),
         expr("array_join(transform(sig, x -> CAST(x AS STRING)), '_')").as("sig"))
 
@@ -135,7 +135,7 @@ object NearDup {
     * the signature-estimated Jaccard and the exact shingle Jaccard. */
   def q27LshPairs(spark: SparkSession, sfDir: String,
       cfg: MinHashConfig = DefaultMinHash): DataFrame =
-    lshPairsOn(Tables(spark, sfDir, "documents"), cfg)
+    lshPairsOn(Tables.parallelized(Tables(spark, sfDir, "documents")), cfg)
 
   /** Same candidate join over ANY (doc_id, text, ...) frame — reused by the
     * corpus-curation pipeline on an already-filtered document set. */
@@ -287,7 +287,7 @@ object NearDup {
     * ([[lshPairsOn]]); the per-doc fold buffers only one document's spans. */
   def q53SpanDedup(spark: SparkSession, sfDir: String,
       cfg: SpanDedupConfig = DefaultSpanDedup): DataFrame =
-    spanDedupOn(Tables(spark, sfDir, "documents"), cfg)
+    spanDedupOn(Tables.parallelized(Tables(spark, sfDir, "documents")), cfg)
 
   /** [[q53SpanDedup]]'s core over ANY (doc_id BIGINT, text) frame. */
   private[ops] def spanDedupOn(docs: DataFrame,
@@ -371,7 +371,7 @@ object NearDup {
     * via rotated-prefix banding, the same equi-join shape as LSH above. */
   def q28Simhash(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    Tables(spark, sfDir, "documents")
+    Tables.parallelized(Tables(spark, sfDir, "documents"))
       .withColumn("toks", expr("""array_distinct(split(trim(text), '\\s+'))"""))
       .withColumn("th", expr(
         "transform(toks, s -> CAST(conv(substring(md5(concat('0:', s)), 1, 14), 16, 10) AS BIGINT))"))
