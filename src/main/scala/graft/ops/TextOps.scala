@@ -275,4 +275,119 @@ object TextOps {
     FROM documents
     GROUP BY 1
   """
+
+  /** q56: repeated n-gram fraction (the Gopher/C4-style repetition quality
+    * filter): fraction of a document's word 3-grams that are duplicates of
+    * an earlier gram in the same document. Pure codegen projection — one
+    * scan, no shuffle; the ratio is a single IEEE division so the oracle
+    * matches bitwise. */
+  def q56Repetition(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
+      .filter(expr("size(toks) >= 3"))
+      .withColumn("grams", expr(
+        """transform(sequence(0, size(toks) - 3),
+          |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))""".stripMargin))
+      .select(col("doc_id"),
+        expr("size(grams)").as("n_grams"),
+        expr("size(array_distinct(grams))").as("n_distinct"),
+        (lit(1.0) - expr("size(array_distinct(grams))").cast("double")
+          / expr("size(grams)").cast("double")).as("rep_ratio"))
+
+  val q56RepetitionSql: String = """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+    g AS (
+      SELECT doc_id, list_transform(range(len(tk) - 2),
+          i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) AS grams
+      FROM t WHERE len(tk) >= 3)
+    SELECT doc_id, len(grams) AS n_grams, len(list_distinct(grams)) AS n_distinct,
+      1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+        AS rep_ratio
+    FROM g
+  """
+
+  /** q57: out-of-vocabulary rate — fraction of a document's tokens outside
+    * the corpus's top-`OovVocabSize` vocabulary (a standard corpus-quality /
+    * tokenizer-coverage signal). Two-level shape: the corpus vocabulary is
+    * a tiny aggregate (top-k by frequency, deterministic tie-break) that
+    * BROADCASTS back against the exploded token stream — the per-doc pass
+    * never shuffles the corpus, only the token counts. */
+  val OovVocabSize = 10
+
+  def q57OovRate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.parallelized(Tables(spark, sfDir, "documents"))
+      .select(col("doc_id"),
+        explode(expr("""split(trim(text), '\\s+')""")).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("freq").desc, col("token").asc)))
+      .filter(col("rk") <= OovVocabSize)
+      .select(col("token"), lit(1).as("iv"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  val q57OovRateSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents),
+    v AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, row_number() OVER (ORDER BY freq DESC, token ASC) AS rk FROM v)
+      WHERE rk <= $OovVocabSize)
+    SELECT t.doc_id, count(*) AS n_tokens,
+      sum(CASE WHEN vb.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+      CAST(sum(CASE WHEN vb.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE) AS oov_rate
+    FROM toks t LEFT JOIN vocab vb ON t.token = vb.token
+    GROUP BY t.doc_id
+  """
+
+  /** q58: benchmark decontamination — flag corpus documents sharing any
+    * word `DecontamGram`-gram with a held-out benchmark set (here the
+    * deterministic doc_id % 100 = 0 slice; in production, the eval suites).
+    * Shape at 100 TB: benchmark gram sets are tiny next to the corpus, so
+    * the overlap test is one explode + BROADCAST semi-join-with-count —
+    * the corpus is scanned once and never shuffled on text. */
+  val DecontamGram = 4
+
+  def q58Decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = DecontamGram
+    val g = Tables.parallelized(Tables(spark, sfDir, "documents"))
+      .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
+      .filter(expr(s"size(toks) >= $n"))
+      .withColumn("grams", expr(
+        s"""array_distinct(transform(sequence(0, size(toks) - $n),
+           |  i -> concat_ws(' ', slice(toks, i + 1, $n))))""".stripMargin))
+    val bench = g.filter(col("doc_id") % 100 === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    g.filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  val q58DecontaminateSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+    g AS (
+      SELECT doc_id, list_distinct(list_transform(range(len(tk) - ${DecontamGram - 1}),
+          i -> array_to_string(list_slice(tk, i + 1, i + $DecontamGram), ' '))) AS grams
+      FROM t WHERE len(tk) >= $DecontamGram),
+    bench AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 100 = 0),
+    corpus AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 100 <> 0)
+    SELECT c.doc_id, count(*) AS n_hits
+    FROM corpus c JOIN bench b ON c.gram = b.gram
+    GROUP BY c.doc_id
+  """
 }
