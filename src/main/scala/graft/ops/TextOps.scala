@@ -276,6 +276,20 @@ object TextOps {
     GROUP BY 1
   """
 
+  /** SINGLE source of the word n-gram constructors (Spark + DuckDB forms,
+    * over a `toks`/`tk` array column) — q56 and q58 both derive from these,
+    * so a gram-formula tweak cannot diverge one from the other. */
+  private def ngramsExpr(n: Int, distinct: Boolean): String = {
+    val core =
+      s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"
+    if (distinct) s"array_distinct($core)" else core
+  }
+  private def ngramsSqlExpr(n: Int, distinct: Boolean): String = {
+    val core = s"list_transform(range(len(tk) - ${n - 1}), " +
+      s"i -> array_to_string(list_slice(tk, i + 1, i + $n), ' '))"
+    if (distinct) s"list_distinct($core)" else core
+  }
+
   /** q56: repeated n-gram fraction (the Gopher/C4-style repetition quality
     * filter): fraction of a document's word 3-grams that are duplicates of
     * an earlier gram in the same document. Pure codegen projection — one
@@ -285,21 +299,18 @@ object TextOps {
     Tables(spark, sfDir, "documents")
       .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
       .filter(expr("size(toks) >= 3"))
-      .withColumn("grams", expr(
-        """transform(sequence(0, size(toks) - 3),
-          |  i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))""".stripMargin))
+      .withColumn("grams", expr(ngramsExpr(3, distinct = false)))
       .select(col("doc_id"),
         expr("size(grams)").as("n_grams"),
         expr("size(array_distinct(grams))").as("n_distinct"),
         (lit(1.0) - expr("size(array_distinct(grams))").cast("double")
           / expr("size(grams)").cast("double")).as("rep_ratio"))
 
-  val q56RepetitionSql: String = """
+  val q56RepetitionSql: String = s"""
     WITH t AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
     g AS (
-      SELECT doc_id, list_transform(range(len(tk) - 2),
-          i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) AS grams
+      SELECT doc_id, ${ngramsSqlExpr(3, distinct = false)} AS grams
       FROM t WHERE len(tk) >= 3)
     SELECT doc_id, len(grams) AS n_grams, len(list_distinct(grams)) AS n_distinct,
       1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
@@ -363,9 +374,7 @@ object TextOps {
     val g = Tables.parallelized(Tables(spark, sfDir, "documents"))
       .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
       .filter(expr(s"size(toks) >= $n"))
-      .withColumn("grams", expr(
-        s"""array_distinct(transform(sequence(0, size(toks) - $n),
-           |  i -> concat_ws(' ', slice(toks, i + 1, $n))))""".stripMargin))
+      .withColumn("grams", expr(ngramsExpr(n, distinct = true)))
     val bench = g.filter(col("doc_id") % 100 === 0)
       .select(explode(col("grams")).as("gram")).distinct()
     g.filter(col("doc_id") % 100 =!= 0)
@@ -379,8 +388,7 @@ object TextOps {
     WITH t AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
     g AS (
-      SELECT doc_id, list_distinct(list_transform(range(len(tk) - ${DecontamGram - 1}),
-          i -> array_to_string(list_slice(tk, i + 1, i + $DecontamGram), ' '))) AS grams
+      SELECT doc_id, ${ngramsSqlExpr(DecontamGram, distinct = true)} AS grams
       FROM t WHERE len(tk) >= $DecontamGram),
     bench AS (
       SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 100 = 0),

@@ -57,6 +57,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "Exchange") == 0, p)
   }
 
+  test("q57_oov_rate: vocabulary broadcasts back, corpus tokens never re-shuffle for the join") {
+    val p = finalPlan("q57_oov_rate")
+    assert(nodes(p, "BroadcastHashJoin") == 1, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+  }
+
+  test("q58_decontaminate: benchmark gram set broadcasts against the corpus stream") {
+    val p = finalPlan("q58_decontaminate")
+    assert(nodes(p, "BroadcastHashJoin") == 1, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+  }
+
   test("dedup_pairs: one exchange before the feature projection, each comparator once") {
     val p = finalPlan("dedup_pairs")
     // the only shuffle is parallelize()'s input right-sizing (reused by the
