@@ -369,17 +369,26 @@ object NearDup {
   /** SimHash: 56-bit bit-vote fingerprint over distinct word tokens.
     * Near-dup docs land within a small Hamming distance; at scale you pair
     * via rotated-prefix banding, the same equi-join shape as LSH above. */
-  def q28Simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    Tables.parallelized(Tables(spark, sfDir, "documents"))
-      .withColumn("toks", expr("""array_distinct(split(trim(text), '\\s+'))"""))
-      .withColumn("th", expr(
-        "transform(toks, s -> CAST(conv(substring(md5(concat('0:', s)), 1, 14), 16, 10) AS BIGINT))"))
-      // native codegen bit-vote (graft.functions.SimHash56) — votes are
-      // order-independent integer sums, so the oracle's fold form matches
-      .select(col("doc_id"), call_function("simhash56", col("th")).as("simhash"))
-      .withColumn("n_bits", bit_count(col("simhash")))
+  /** Add the 56-bit SimHash fingerprint to ANY frame with a `text` column —
+    * the SINGLE source of the fingerprint formula, shared by q28/q37 and the
+    * streaming near-dedup ([[graft.streaming.EventStreams.nearDedupStream]]),
+    * so batch and stream fingerprints can never diverge. Native codegen
+    * bit-vote (graft.functions.SimHash56) — votes are order-independent
+    * integer sums, so the oracle's fold form matches exactly. */
+  private[graft] def withSimhash(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("__toks", expr("""array_distinct(split(trim(text), '\\s+'))"""))
+      .withColumn("__th", expr(
+        "transform(__toks, s -> CAST(conv(substring(md5(concat('0:', s)), 1, 14), 16, 10) AS BIGINT))"))
+      .withColumn("simhash", call_function("simhash56", col("__th")))
+      .drop("__toks", "__th")
   }
+
+  def q28Simhash(spark: SparkSession, sfDir: String): DataFrame =
+    withSimhash(Tables.parallelized(Tables(spark, sfDir, "documents")))
+      .select(col("doc_id"), col("simhash"))
+      .withColumn("n_bits", bit_count(col("simhash")))
 
   val q28SimhashSql: String = """
     WITH x AS (

@@ -35,4 +35,19 @@ object Io {
     (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w)
       .parquet(path)
   }
+
+  /** Bucketed managed table: pre-shuffles rows into `numBuckets` hash
+    * buckets of `bucketCols` AT WRITE TIME, so every later equi-join or
+    * aggregation on those columns plans with NO exchange (see
+    * BucketingSpec) — the pre-partitioning lever for repeatedly-joined
+    * 100 TB fact tables. Bucket metadata lives in the catalog, hence
+    * `saveAsTable` rather than a path write; `sortCols` additionally
+    * pre-sorts within buckets so sort-merge joins skip their sort. */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
+                    bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

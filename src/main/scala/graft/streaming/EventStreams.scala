@@ -55,6 +55,24 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-duplicate suppression over a document stream
+    * (ts, doc_id, text): fingerprint each document with the SAME codegen
+    * SimHash the batch near-dup family uses (q28/q37, single-sourced in
+    * [[graft.ops.NearDup.withSimhash]]) and drop any document whose
+    * fingerprint was already seen within the watermark horizon.
+    * Fingerprint equality is the high-precision end of near-dup matching
+    * (identical bit-votes ⇒ near-identical token sets — tolerant of token
+    * order and duplication, unlike the exact-text dedup above); banded
+    * multi-table Hamming matching stays a batch concern. State is one
+    * 8-byte key per unique fingerprint in the horizon — watermark-bounded
+    * like every other state here. */
+  def nearDedupStream(
+      docs: DataFrame,
+      watermark: String = "30 minutes"): DataFrame =
+    graft.ops.NearDup.withSimhash(docs)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("simhash")
+
   /** Inactivity-gap sessionization with keyed event-time state — streaming
     * twin of Events.q19Sessionize.
     *

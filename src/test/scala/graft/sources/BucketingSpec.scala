@@ -19,10 +19,10 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     for (t <- Seq("bkt_orders", "bkt_lines"))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, t))
 
-    (1L to 1000L).map(i => (i, s"o$i")).toDF("k", "ov")
-      .write.bucketBy(8, "k").sortBy("k").saveAsTable("bkt_orders")
-    (1L to 3000L).map(i => (i % 1000 + 1, s"l$i")).toDF("k", "lv")
-      .write.bucketBy(8, "k").saveAsTable("bkt_lines")
+    Io.writeBucketed((1L to 1000L).map(i => (i, s"o$i")).toDF("k", "ov"),
+      "bkt_orders", numBuckets = 8, bucketCols = Seq("k"), sortCols = Seq("k"))
+    Io.writeBucketed((1L to 3000L).map(i => (i % 1000 + 1, s"l$i")).toDF("k", "lv"),
+      "bkt_lines", numBuckets = 8, bucketCols = Seq("k"))
 
     // force the sort-merge path (tiny test tables would broadcast)
     val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -8,6 +8,9 @@ import org.apache.spark.sql.functions.{col, count, lag, lit, max, min, sum, unix
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Document stream record for the near-dedup spec. */
+final case class Doc(ts: Timestamp, doc_id: Long, text: String)
+
 class EventStreamsSpec extends AnyFunSuite with SparkSpec {
 
   private def ts(minute: Int, sec: Int = 0): Timestamp =
@@ -80,6 +83,27 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
         .select("user_id", "event_type").as[(Long, String)].collect().toSet
       assert(keys === Set((1L, "view"), (2L, "view"), (1L, "click")))
       assert(spark.table("dedup_stream").count() === 3L)
+    } finally q.stop()
+  }
+
+  test("streaming near-dedup drops token-permuted near-duplicates within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    mem.addData(
+      Doc(ts(1), 1L, "alpha beta gamma delta"),
+      // permuted + token-repeated: same distinct token set, same fingerprint
+      Doc(ts(2), 2L, "delta gamma beta alpha alpha"),
+      Doc(ts(3), 3L, "epsilon zeta eta theta"),
+      Doc(ts(4), 4L, "epsilon zeta eta theta")) // exact duplicate
+    val q = EventStreams.nearDedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("near_dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("near_dedup_stream")
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids === Set(1L, 3L))
     } finally q.stop()
   }
 
