@@ -401,4 +401,44 @@ object TextOps {
     FROM corpus c JOIN bench b ON c.gram = b.gram
     GROUP BY c.doc_id
   """
+
+  /** q59: greedy sequence packing — assign documents to fixed-budget
+    * training sequences (`PackSeqTokens` whitespace tokens) by a running
+    * token count in deterministic doc_id order WITHIN each source shard.
+    * seq_id = the sequence the document starts in; offset = its token
+    * position there (documents longer than the budget span sequences, the
+    * standard greedy-concat approximation).
+    *
+    * Scale shape: the window partitions by `source`, so packing
+    * parallelizes across shards exactly like production packing runs
+    * per-input-shard — no global sort, one shuffle on source. */
+  val PackSeqTokens = 2048
+
+  def q59PackSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, sfDir, "documents")
+      .withColumn("n_tokens", expr("""size(split(trim(text), '\\s+'))""").cast("long"))
+      .withColumn("running", sum(col("n_tokens")).over(w))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        expr(s"(running - n_tokens) DIV $PackSeqTokens").as("seq_id"),
+        ((col("running") - col("n_tokens")) % PackSeqTokens).as("offset"))
+  }
+
+  val q59PackSequencesSql: String = s"""
+    WITH t AS (
+      SELECT source, doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents),
+    r AS (
+      SELECT source, doc_id, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      FROM t)
+    SELECT source, doc_id, n_tokens,
+      (running - n_tokens) // $PackSeqTokens AS seq_id,
+      (running - n_tokens) % $PackSeqTokens AS offset
+    FROM r
+  """
 }
