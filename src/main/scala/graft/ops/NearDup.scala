@@ -302,12 +302,14 @@ object NearDup {
       .select(col("doc_id"), col("span_idx"),
         (col("doc_id") * lit(1L << 20) + col("span_idx")).as("span_id"),
         expr(s"concat_ws(' ', slice(tk, span_idx * $w + 1, $w))").as("span_text"))
-    // exact: keep only the corpus-first copy of each identical span
-    val exactKeep = spans
+    // exact: keep only the corpus-first copy of each identical span.
+    // Cached too: the survivors feed the LSH signature pipeline AND the
+    // final anti-join/reassembly.
+    val exactKeep = graft.CachedFrames.track(spans
       .withColumn("canon",
         min(col("span_id")).over(Window.partitionBy(md5(col("span_text")))))
       .filter(col("span_id") === col("canon"))
-      .drop("canon")
+      .drop("canon"))
     // near: LSH over the exact survivors at span granularity; the later
     // span of every confident pair is dropped
     val dropIds = lshPairsOn(
@@ -321,7 +323,10 @@ object NearDup {
         count(lit(1)).as("n_kept"),
         expr("array_join(transform(array_sort(collect_list(struct(span_idx, span_text))), x -> x.span_text), ' ')")
           .as("kept_text"))
-    spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    // n_spans needs no second span explode: it is ceil(|tokens| / width)
+    // per document straight off the scan
+    docs.select(col("doc_id"),
+        expr(s"CAST(ceil(size(split(trim(text), '\\\\s+')) / $w.0) AS BIGINT)").as("n_spans"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_spans"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
