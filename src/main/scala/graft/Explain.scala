@@ -12,7 +12,9 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
                 else Seq("q1_agg", "q2_region_revenue", "q3_priority_revenue",
-                  "q7_window_topn", "q12_topk", "dedup_pairs")
+                  "q7_window_topn", "q12_topk", "dedup_pairs",
+                  "q27_lsh_pairs", "q53_span_dedup", "q57_oov_rate",
+                  "q58_decontaminate")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
