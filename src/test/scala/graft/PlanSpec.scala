@@ -57,6 +57,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "Exchange") == 0, p)
   }
 
+  test("q25_exact_dedup: map-side partial aggregation on the digest key") {
+    val p = finalPlan("q25_exact_dedup")
+    assert(nodes(p, "HashAggregate") >= 2, p) // partial + final
+    assert(nodes(p, "Exchange") == 1, p)      // one shuffle on the digest
+  }
+
+  test("q31_centroids: fixed-point sums aggregate partially before the shuffle") {
+    val p = finalPlan("q31_centroids")
+    assert(p.contains("partial_sum"), p)
+    // the scan right-sizing repartition (Tables.parallelized, a no-op at
+    // cluster scale) + the one (label, idx) aggregation shuffle
+    assert(nodes(p, "Exchange") == 2, p)
+  }
+
   test("q57_oov_rate: vocabulary broadcasts back, corpus tokens never re-shuffle for the join") {
     val p = finalPlan("q57_oov_rate")
     assert(nodes(p, "BroadcastHashJoin") == 1, p)

@@ -48,6 +48,16 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
     assert(out(0L) == ((2L, 1L, boiler)))
   }
 
+  test("empty document: the scan-side n_spans formula agrees with the explode") {
+    // n_spans is computed as ceil(|tokens| / width) straight off the scan
+    // (no second explode); an empty text still yields one empty span, so
+    // the two formulas must both say 1 — a divergence would break the
+    // n_kept <= n_spans invariant
+    val out = run(Seq(0L -> "", 1L -> body0))
+    assert(out(0L) == ((1L, 1L, "")))
+    assert(out(1L) == ((1L, 1L, body0)))
+  }
+
   test("short tail span (< width tokens) round-trips and unique docs survive whole") {
     val tail = "tail tok"
     val out = run(Seq(
