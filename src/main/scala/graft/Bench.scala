@@ -19,7 +19,8 @@ object Bench {
   private val Reps = 3
   private val Sentinel = 1.5
 
-  private final case class QStat(median: Double, min: Double, max: Double)
+  private final case class QStat(median: Double, min: Double, max: Double,
+      failures: Int)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,10 +53,19 @@ object Bench {
     def fmt(sel: QStat => Double) = stats
       .map { case (k, v) => "\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
     val total = stats.values.map(_.median).sum
+    // a rep that throws must be VISIBLE, not billed as a fast success —
+    // otherwise a query that fails to plan deflates the headline total
+    val failed = stats.filter(_._2.failures > 0)
+    val failedJson = failed
+      .map { case (k, v) => "\"" + k + "\":" + v.failures }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""reps":$Reps,"queries":${fmt(_.median)},""" +
+      s""""reps":$Reps,"failures":$failedJson,""" +
+      s""""queries":${fmt(_.median)},""" +
       s""""queries_min":${fmt(_.min)},"queries_max":${fmt(_.max)},""" +
       s""""sf":"$sfDir"}"""
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries threw during reps: " +
+        failed.keys.mkString(", "))
     println(json)
     // sbt decorates stdout with "[info] ", which breaks JSON-line parsing —
     // always ALSO write the bare line to a file the harness can read
@@ -71,13 +81,17 @@ object Bench {
 
   private def runSuite(spark: SparkSession, sfDir: String): Map[String, QStat] =
     SparkEntry.queries.map { case (name, _) =>
+      var failures = 0
       val times = (1 to Reps).map { _ =>
         val t0 = System.nanoTime()
         try materialize(spark, sfDir, name)
-        catch { case _: Throwable => () }
+        catch { case t: Throwable =>
+          failures += 1
+          System.err.println(s"[bench] $name rep failed: ${t.getClass.getSimpleName}: ${t.getMessage}")
+        }
         finally CachedFrames.drain() // each rep measured with a cold cache
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> QStat(times(times.size / 2), times.head, times.last)
+      name -> QStat(times(times.size / 2), times.head, times.last, failures)
     }
 }

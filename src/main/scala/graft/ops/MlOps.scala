@@ -29,8 +29,11 @@ object MlOps {
     val cfg = Dedup.customerConfig
     val pairIds = DedupPipeline.candidatePairs(customer, cfg)
       .select("id1", "id2").orderBy("id1", "id2").limit(10000)
+    // when/otherwise (not a bare cast) so a NULL name_sim labels 0.0 like
+    // the oracle's CASE — unreachable on non-null TPC-H names, but the
+    // config is reusable on nullable columns
     DedupPipeline.featuresFor(customer, cfg, pairIds)
-      .withColumn("label", (col("name_sim") > 0.55).cast("double"))
+      .withColumn("label", when(col("name_sim") > 0.55, 1.0).otherwise(0.0))
   }
 
   val q54DupFeaturesSql: String = """

@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
   * opaque BINARY columns with typed metadata, processed batch-wise inside
   * `mapPartitions` — the Scala analog of arrow-batched `mapInPandas`
   * (SURVEY.md north-star ops). Audio decoding is REAL — [[Decoder.Wav]]
-  * parses RIFF/PCM16 with zero external libraries; image/video codecs are
-  * not in this container, so [[Decoder.Fake]] is their clearly-marked
-  * deterministic stand-in. Schema, partitioning, batch shape and routing
-  * ([[Decoder.Auto]]) are real and tested either way.
+  * parses RIFF/PCM16 with zero external libraries — and so is image
+  * decoding: [[Decoder.Bmp]] parses uncompressed 24-bit BI_RGB bitmaps,
+  * the one mainstream image format that needs no codec library. Video
+  * codecs are not in this container, so [[Decoder.Fake]] remains their
+  * clearly-marked deterministic stand-in (video only). Schema,
+  * partitioning, batch shape and routing ([[Decoder.Auto]]) are real and
+  * tested either way.
   *
   * Scale shape (100 TB): payloads repartition by media_id so decode
   * parallelism is independent of source file layout; batches bound peak
@@ -41,10 +44,11 @@ object Multimodal {
   object Decoder {
     val FeatureDim = 16
 
-    /** STUB decode: deterministic fake standing in for an image/video codec
-      * (no such libs in this container) — feature = 16-bin normalized byte
-      * histogram, frames = stride-sampled payload offsets. Replace with a
-      * real codec wrapper outside this container. */
+    /** STUB decode: deterministic fake standing in for a VIDEO codec (no
+      * such libs in this container; audio and image have real parsers
+      * above/below) — feature = 16-bin normalized byte histogram, frames =
+      * stride-sampled payload offsets. Replace with a real codec wrapper
+      * outside this container. */
     object Fake extends Decoder {
       val FeatureDim: Int = Decoder.FeatureDim
       override def decodeBatch(batch: Seq[MediaFile]): Seq[MediaFeatures] =
@@ -122,18 +126,72 @@ object Multimodal {
         }
     }
 
-    /** Per-format routing: real WAV parser for RIFF/WAVE payloads, the
-      * marked fake for everything else — including RIFF-based non-WAV
-      * formats (AVI video, WebP image: same magic, different form type at
-      * bytes 8-11), whose codecs aren't available here. */
+    /** REAL decoder for uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB)
+      * — like WAV, parseable with zero external libraries: reads the file
+      * header's pixel-data offset, the info header's width/height/depth,
+      * then walks the 4-byte-aligned bottom-up (or top-down, negative
+      * height) pixel rows and bins integer BT.601 luminance
+      * (299r+587g+114b)/1000 into a 16-bin normalized histogram.
+      * frame_count = 1: a still image is one frame. Sizes come from
+      * untrusted bytes — row reads are clamped to the payload. */
+    object Bmp extends Decoder {
+      override def decodeBatch(batch: Seq[MediaFile]): Seq[MediaFeatures] =
+        batch.map { m =>
+          val b = m.payload
+          def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+          def i32(o: Int): Int =
+            (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+              ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+          require(b.length >= 54 && b(0) == 'B' && b(1) == 'M',
+            s"media_id=${m.media_id}: not a BMP payload")
+          val dataOff = i32(10)
+          require(i32(14) >= 40, s"media_id=${m.media_id}: not a BITMAPINFOHEADER BMP")
+          val width = i32(18)
+          val height = math.abs(i32(22)) // negative = top-down; histogram is order-free
+          require(u16(28) == 24, "only 24-bit BMP supported")
+          require(i32(30) == 0, "only uncompressed (BI_RGB) BMP supported")
+          require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20),
+            s"media_id=${m.media_id}: implausible BMP dimensions ${width}x$height")
+          val stride = (3 * width + 3) & ~3 // rows pad to 4 bytes
+          require(dataOff >= 54 && dataOff.toLong + stride.toLong * height <= b.length,
+            s"media_id=${m.media_id}: truncated BMP pixel data")
+          val hist = new Array[Float](Decoder.FeatureDim)
+          var row = 0
+          while (row < height) {
+            var x = 0
+            val base = dataOff + row * stride
+            while (x < width) {
+              val o = base + 3 * x
+              val lum = (299 * (b(o + 2) & 0xff) + 587 * (b(o + 1) & 0xff) +
+                114 * (b(o) & 0xff)) / 1000
+              hist(lum >> 4) += 1f
+              x += 1
+            }
+            row += 1
+          }
+          val n = math.max(width * height, 1)
+          var j = 0
+          while (j < Decoder.FeatureDim) { hist(j) /= n.toFloat; j += 1 }
+          MediaFeatures(m.media_id, m.kind, b.length, frame_count = 1, hist)
+        }
+    }
+
+    /** Per-format routing: real WAV parser for RIFF/WAVE payloads, real BMP
+      * parser for 'BM' bitmaps, the marked fake for everything else —
+      * including RIFF-based non-WAV formats (AVI video, WebP image: same
+      * magic, different form type at bytes 8-11), whose codecs aren't
+      * available here. */
     object Auto extends Decoder {
       private def isWave(p: Array[Byte]): Boolean =
         p.length >= 12 &&
           p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
           p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+      private def isBmp(p: Array[Byte]): Boolean =
+        p.length >= 54 && p(0) == 'B' && p(1) == 'M'
       override def decodeBatch(batch: Seq[MediaFile]): Seq[MediaFeatures] = {
-        val (wav, other) = batch.partition(m => isWave(m.payload))
-        Wav.decodeBatch(wav) ++ Fake.decodeBatch(other)
+        val (wav, rest) = batch.partition(m => isWave(m.payload))
+        val (bmp, other) = rest.partition(m => isBmp(m.payload))
+        Wav.decodeBatch(wav) ++ Bmp.decodeBatch(bmp) ++ Fake.decodeBatch(other)
       }
     }
   }
@@ -141,6 +199,36 @@ object Multimodal {
   /** Frame-sampling plan: byte offsets of every `stride`-th frame start. */
   def frameOffsets(nBytes: Int, stride: Int): Array[Int] =
     (0 until nBytes by stride).toArray
+
+  /** A minimal valid uncompressed 24-bit BMP around row-major RGB triples
+    * (pixels(3i..3i+2) = r,g,b of pixel i), written bottom-up as the format
+    * requires. */
+  def bmpBytes(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == 3 * width * height, "need 3 bytes per pixel")
+    val stride = (3 * width + 3) & ~3
+    val dataLen = stride * height
+    val buf = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putInt(0).putInt(54)                       // reserved, pixel offset
+    buf.putInt(40).putInt(width).putInt(height)   // BITMAPINFOHEADER
+      .putShort(1).putShort(24)                   // planes, bits/pixel
+      .putInt(0).putInt(dataLen)                  // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var row = height - 1                          // bottom-up
+    while (row >= 0) {
+      val base = buf.position()
+      var x = 0
+      while (x < width) {
+        val i = 3 * (row * width + x)
+        buf.put(rgb(i + 2)).put(rgb(i + 1)).put(rgb(i)) // B, G, R
+        x += 1
+      }
+      buf.position(base + stride)                 // row padding
+      row -= 1
+    }
+    buf.array()
+  }
 
   /** A minimal valid mono PCM16 WAV container around the given samples. */
   def wavBytes(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
@@ -159,9 +247,10 @@ object Multimodal {
   }
 
   /** Deterministic synthetic media table (no binary fixture ships with the
-    * test data): audio rows are REAL mono PCM16 WAV files (seeded xorshift
-    * samples) so the gate exercises the genuine RIFF parser; image/video
-    * payloads are opaque seeded byte streams for the marked fake. */
+    * test data): audio rows are REAL mono PCM16 WAV files and image rows
+    * REAL 24-bit BMPs (seeded xorshift samples/pixels) so the gate
+    * exercises both genuine parsers; video payloads are opaque seeded byte
+    * streams for the marked fake. */
   def synthesize(spark: SparkSession, n: Int, maxBytes: Int = 4096): Dataset[MediaFile] = {
     import spark.implicits._
     spark.range(n).map { id =>
@@ -173,10 +262,15 @@ object Multimodal {
         val samples = Array.tabulate[Short](nSamples)(_ => next().toShort)
         MediaFile(id, kind, wavBytes(samples),
           MediaMeta("wav", 0, 0, nSamples * 1000L / 8000L))
+      } else if (kind == "image") {
+        val w = (math.abs(next()) % 30).toInt + 4
+        val h = (math.abs(next()) % 30).toInt + 4
+        val rgb = Array.tabulate[Byte](3 * w * h)(_ => next().toByte)
+        MediaFile(id, kind, bmpBytes(w, h, rgb), MediaMeta("bmp", w, h, 0L))
       } else {
         val len = (math.abs(next()) % maxBytes).toInt + 64
         val payload = Array.tabulate[Byte](len)(_ => next().toByte)
-        MediaFile(id, kind, payload, MediaMeta("png", 640, 480, 0L))
+        MediaFile(id, kind, payload, MediaMeta("mp4", 640, 480, 0L))
       }
     }
   }
@@ -189,13 +283,33 @@ object Multimodal {
   val FixturePath = "fixtures/media.parquet"
   val FixtureRows = 300
 
-  /** The q34 media table: the committed fixture when present (running from
-    * the repo root), else the identical deterministic synthetic stream. */
+  /** Locate the committed fixture independent of the process working
+    * directory: `GRAFT_FIXTURES_DIR` env wins, then the cwd and each of its
+    * ancestors (so tests/sbt subprojects launched below the repo root still
+    * find it). */
+  private[ops] def resolveFixture(): Option[java.io.File] = {
+    val fromEnv = sys.env.get("GRAFT_FIXTURES_DIR")
+      .map(d => new java.io.File(d, "media.parquet"))
+    val fromCwd = Iterator.iterate(new java.io.File(".").getAbsoluteFile.getParentFile)(_.getParentFile)
+      .takeWhile(_ != null)
+      .map(dir => new java.io.File(dir, FixturePath))
+    (fromEnv.iterator ++ fromCwd).find(_.exists())
+  }
+
+  /** The q34 media table: the committed fixture when resolvable, else the
+    * identical deterministic synthetic stream — with a LOUD warning,
+    * because a silently re-synthesized input would fork q34's stats from
+    * the frozen bytes if the synthesizer ever changes. */
   def mediaTable(spark: SparkSession): Dataset[MediaFile] = {
     import spark.implicits._
-    if (new java.io.File(FixturePath).exists())
-      spark.read.parquet(FixturePath).as[MediaFile]
-    else synthesize(spark, FixtureRows)
+    resolveFixture() match {
+      case Some(f) => spark.read.parquet(f.getPath).as[MediaFile]
+      case None =>
+        System.err.println(
+          s"[graft] WARNING: $FixturePath not found from cwd ${new java.io.File(".").getAbsolutePath} " +
+          "or GRAFT_FIXTURES_DIR — q34 falls back to re-synthesized media rows")
+        synthesize(spark, FixtureRows)
+    }
   }
 
   /** q34 (rows-only driver check — no SQL oracle for binary decode):

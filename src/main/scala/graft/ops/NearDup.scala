@@ -300,7 +300,15 @@ object NearDup {
         explode(expr(s"sequence(0, CAST(ceil(size(tk) / $w.0) AS INT) - 1)")).as("span_idx"),
         col("tk"))
       .select(col("doc_id"), col("span_idx"),
-        (col("doc_id") * lit(1L << 20) + col("span_idx")).as("span_id"),
+        // packing limits enforced at runtime, not just documented: outside
+        // them the packed id silently collides into the next doc's id space
+        // (wrong earlier-copy ordering, corrupted joins). assert_true yields
+        // NULL when in range, so coalesce passes the packed id through.
+        coalesce(
+          expr(s"assert_true(span_idx < ${1L << 20} AND doc_id >= 0 AND doc_id < ${1L << 43}, " +
+            s"'q53 span_id packing out of range: requires 0 <= doc_id < 2^43 and span_idx < 2^20 " +
+            s"(document over ~8.4M tokens or doc_id too large)')"),
+          col("doc_id") * lit(1L << 20) + col("span_idx")).as("span_id"),
         expr(s"concat_ws(' ', slice(tk, span_idx * $w + 1, $w))").as("span_text"))
     // exact: keep only the corpus-first copy of each identical span.
     // Cached too: the survivors feed the LSH signature pipeline AND the

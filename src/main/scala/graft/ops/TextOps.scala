@@ -327,14 +327,15 @@ object TextOps {
   val OovVocabSize = 10
 
   def q57OovRate(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = Tables.parallelized(Tables(spark, sfDir, "documents"))
       .select(col("doc_id"),
         explode(expr("""split(trim(text), '\\s+')""")).as("token"))
+    // top-k via orderBy+limit plans as a distributed TakeOrderedAndProject
+    // (per-partition heaps, no single-partition global window); the
+    // (freq desc, token asc) tie-break is total, so the k rows are unique
     val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("freq").desc, col("token").asc)))
-      .filter(col("rk") <= OovVocabSize)
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(OovVocabSize)
       .select(col("token"), lit(1).as("iv"))
     toks.join(broadcast(vocab), Seq("token"), "left")
       .groupBy(col("doc_id"))
@@ -354,7 +355,7 @@ object TextOps {
         SELECT token, row_number() OVER (ORDER BY freq DESC, token ASC) AS rk FROM v)
       WHERE rk <= $OovVocabSize)
     SELECT t.doc_id, count(*) AS n_tokens,
-      sum(CASE WHEN vb.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+      CAST(sum(CASE WHEN vb.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
       CAST(sum(CASE WHEN vb.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
         / CAST(count(*) AS DOUBLE) AS oov_rate
     FROM toks t LEFT JOIN vocab vb ON t.token = vb.token
@@ -433,8 +434,8 @@ object TextOps {
       FROM documents),
     r AS (
       SELECT source, doc_id, n_tokens,
-        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
       FROM t)
     SELECT source, doc_id, n_tokens,
       (running - n_tokens) // $PackSeqTokens AS seq_id,

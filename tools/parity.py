@@ -5,8 +5,11 @@ Usage: python3 tools/parity.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching SQL from oracle_sql.json in DuckDB with the sfDir tables registered
-as views, and compares: schema (column names), row count, and cell values
-(columns sorted by name, rows sorted). Exits nonzero on any mismatch.
+as views, and compares: schema (column names), RESULT TYPES (the driver's
+hash is type-sensitive — an uncast DuckDB integer sum() is HUGEINT and fails
+the driver even when every value matches; see round-3 q57/q59), row count,
+and cell values (columns sorted by name, rows sorted). Exits nonzero on any
+mismatch.
 
 Dev-only tooling — never shipped in the library jar.
 """
@@ -38,9 +41,11 @@ def main():
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = sorted(got.columns)
+            got_types = dict(zip(got.columns, (str(t) for t in got.types)))
             got_rows = canon(got.select(", ".join(f'"{c}"' for c in got_cols)).fetchall())
             exp = con.sql(sql)
             exp_cols = sorted(exp.columns)
+            exp_types = dict(zip(exp.columns, (str(t) for t in exp.types)))
             exp_rows = canon(exp.select(", ".join(f'"{c}"' for c in exp_cols)).fetchall())
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
@@ -48,6 +53,17 @@ def main():
             continue
         if got_cols != exp_cols:
             print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+            failed.append(name)
+            continue
+        # Type strictness: the driver's hash distinguishes e.g. HUGEINT from
+        # BIGINT, so the local gate must too. Both sides are read through the
+        # same DuckDB type system (parquet scan vs native query), so any
+        # divergence here is a real oracle-vs-engine typing mismatch.
+        type_bad = [c for c in got_cols if got_types[c] != exp_types[c]]
+        if type_bad:
+            for c in type_bad:
+                print(f"FAIL {name}: column '{c}' type spark={got_types[c]} "
+                      f"!= oracle={exp_types[c]}")
             failed.append(name)
             continue
         if len(got_rows) != len(exp_rows):
