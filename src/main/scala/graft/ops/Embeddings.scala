@@ -88,7 +88,7 @@ object Embeddings {
       SELECT id1, id2, cos,
         row_number() OVER (PARTITION BY id1 ORDER BY cos DESC, id2 ASC) AS rk
       FROM p)
-    SELECT id1, id2, rk, cos FROM r WHERE rk <= ${DefaultAnn.topK}
+    SELECT id1, id2, CAST(rk AS INTEGER) AS rk, cos FROM r WHERE rk <= ${DefaultAnn.topK}
   """
 
   /** Hyperplane ±1 sign matrix, precomputed ONCE on the driver (the signs
@@ -145,7 +145,7 @@ object Embeddings {
                         THEN v[i + 1] ELSE -v[i + 1] END)), (a2, t) -> a2 + t) >= 0
                THEN (1::BIGINT << p) ELSE 0 END) AS bucket
       FROM e)
-    SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket,
+    SELECT a.vec_id AS id1, b.vec_id AS id2, CAST(a.bucket AS INTEGER) AS bucket,
       list_reduce(list_prepend(0.0::DOUBLE,
         list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])), (acc, x) -> acc + x)
         / (a.nrm * b.nrm) AS cos
@@ -193,7 +193,7 @@ object Embeddings {
       SELECT label, idx, count(*) AS n,
         sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS fx
       FROM x GROUP BY label, idx)
-    SELECT label, idx, n,
+    SELECT label, CAST(idx AS INTEGER) AS idx, n,
       CAST(fx AS DOUBLE) / 1e12 AS sum_x,
       CAST(fx AS DOUBLE) / 1e12 / CAST(n AS DOUBLE) AS mean_x
     FROM g
@@ -311,7 +311,7 @@ object Embeddings {
           / (q.nrm * c.nrm) AS cos
       FROM assigned q JOIN assigned c
         ON q.cell = c.cell AND q.vec_id <> c.vec_id AND q.vec_id < ${DefaultAnn.knnQueryIds})
-    SELECT qid, cand_id, cell, rk, cos FROM (
+    SELECT qid, cand_id, cell, CAST(rk AS INTEGER) AS rk, cos FROM (
       SELECT qid, cand_id, cell, cos,
         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS rk
       FROM probe) WHERE rk <= 3
@@ -322,7 +322,7 @@ object Embeddings {
     ax AS (
       SELECT cell, i.idx - 1 AS idx, v[i.idx] AS x
       FROM assigned, LATERAL (SELECT unnest(generate_series(1, len(v))) AS idx) i)
-    SELECT cell, idx, count(*) AS n,
+    SELECT cell, CAST(idx AS INTEGER) AS idx, count(*) AS n,
       CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sum_x,
       CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12
         / CAST(count(*) AS DOUBLE) AS mean_x

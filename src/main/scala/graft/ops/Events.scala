@@ -94,8 +94,8 @@ object Events {
       FROM e
     ), numbered AS (
       SELECT user_id, eps,
-        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
       FROM flagged
     ), sessions AS (
       SELECT user_id, sess, count(*) AS sess_events,

@@ -59,7 +59,7 @@ object MlOps {
       CASE WHEN (CASE WHEN length(trim(t1.c_name)) = 0 AND length(trim(t2.c_name)) = 0 THEN 1.0
            ELSE 1.0 - CAST(levenshtein(trim(t1.c_name), trim(t2.c_name)) AS DOUBLE)
                 / greatest(length(trim(t1.c_name)), length(trim(t2.c_name))) END) > 0.55
-           THEN 1.0 ELSE 0.0 END AS label
+           THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS label
     FROM pair p
     JOIN cust t1 ON p.id1 = t1.c_custkey
     JOIN cust t2 ON p.id2 = t2.c_custkey

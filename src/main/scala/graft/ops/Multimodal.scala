@@ -6,14 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal (image/audio/video) column plumbing: media payloads are
   * opaque BINARY columns with typed metadata, processed batch-wise inside
   * `mapPartitions` — the Scala analog of arrow-batched `mapInPandas`
-  * (SURVEY.md north-star ops). Audio decoding is REAL — [[Decoder.Wav]]
-  * parses RIFF/PCM16 with zero external libraries — and so is image
-  * decoding: [[Decoder.Bmp]] parses uncompressed 24-bit BI_RGB bitmaps,
-  * the one mainstream image format that needs no codec library. Video
-  * codecs are not in this container, so [[Decoder.Fake]] remains their
-  * clearly-marked deterministic stand-in (video only). Schema,
-  * partitioning, batch shape and routing ([[Decoder.Auto]]) are real and
-  * tested either way.
+  * (SURVEY.md north-star ops). All three media kinds decode for REAL with
+  * zero external libraries: [[Decoder.Wav]] parses RIFF/PCM16 audio,
+  * [[Decoder.Bmp]] parses uncompressed 24-bit BI_RGB bitmaps, and
+  * [[Decoder.Y4m]] parses YUV4MPEG2 video (plaintext stream header + raw
+  * planar frames — the one video container that needs no codec).
+  * Payloads in none of those formats fall back to [[Decoder.Opaque]]
+  * byte-level stats rather than crashing the batch. Schema, partitioning,
+  * batch shape and routing ([[Decoder.Auto]]) are real and tested.
   *
   * Scale shape (100 TB): payloads repartition by media_id so decode
   * parallelism is independent of source file layout; batches bound peak
@@ -44,12 +44,13 @@ object Multimodal {
   object Decoder {
     val FeatureDim = 16
 
-    /** STUB decode: deterministic fake standing in for a VIDEO codec (no
-      * such libs in this container; audio and image have real parsers
-      * above/below) — feature = 16-bin normalized byte histogram, frames =
-      * stride-sampled payload offsets. Replace with a real codec wrapper
-      * outside this container. */
-    object Fake extends Decoder {
+    /** Fallback for payloads in no recognized format (every synthesized
+      * kind now has a real parser): feature = 16-bin normalized byte
+      * histogram, frames = stride-sampled payload offsets. Deterministic
+      * byte-level stats, deliberately format-blind — [[Auto]] routes here
+      * so one unrecognized or corrupt payload degrades to byte stats
+      * instead of failing the whole decode query. */
+    object Opaque extends Decoder {
       val FeatureDim: Int = Decoder.FeatureDim
       override def decodeBatch(batch: Seq[MediaFile]): Seq[MediaFeatures] =
         batch.map { m =>
@@ -176,22 +177,117 @@ object Multimodal {
         }
     }
 
+    /** REAL decoder for YUV4MPEG2 (.y4m) video — an ASCII stream header
+      * (`YUV4MPEG2 W… H… F…\n`) followed by uncompressed planar frames,
+      * each introduced by a `FRAME…\n` marker: the one video container
+      * parseable with zero codec libraries. Supports the 4:2:0 / 4:2:2 /
+      * 4:4:4 / mono colorspaces; bins the luma plane (Y) of every frame
+      * into one 16-bin normalized histogram; frame_count = real frames in
+      * the stream. Dimensions and frame sizes come from untrusted header
+      * bytes — all reads are bounds-checked against the payload. */
+    object Y4m extends Decoder {
+      /** Index of the header-terminating '\n' (headers are short — scan is
+        * capped so a huge headerless payload can't cost a full pass). */
+      private[ops] def headerEnd(b: Array[Byte]): Int = {
+        var i = 0
+        val lim = math.min(b.length, 512)
+        while (i < lim && b(i) != '\n') i += 1
+        if (i < lim && b(i) == '\n') i else -1
+      }
+      override def decodeBatch(batch: Seq[MediaFile]): Seq[MediaFeatures] =
+        batch.map { m =>
+          val b = m.payload
+          val he = headerEnd(b)
+          require(he > 0, s"media_id=${m.media_id}: missing Y4M stream header")
+          val toks = new String(b, 0, he, "US-ASCII").split(' ')
+          require(toks(0) == "YUV4MPEG2",
+            s"media_id=${m.media_id}: not a YUV4MPEG2 payload")
+          def param(tag: Char): Option[String] =
+            toks.iterator.drop(1).find(t => t.nonEmpty && t.head == tag).map(_.tail)
+          def dim(tag: Char): Int = {
+            val v = param(tag).getOrElse(
+              throw new IllegalArgumentException(
+                s"media_id=${m.media_id}: Y4M header missing $tag"))
+            v.toInt // NumberFormatException (an IAE) on garbage
+          }
+          val width = dim('W')
+          val height = dim('H')
+          require(width > 0 && height > 0 && width.toLong * height <= (1L << 26),
+            s"media_id=${m.media_id}: implausible Y4M dimensions ${width}x$height")
+          val lumaLen = width * height
+          val colorspace = param('C').getOrElse("420")
+          val chromaLen = colorspace match {
+            case c if c.startsWith("420") => 2 * (((width + 1) / 2) * ((height + 1) / 2))
+            case c if c.startsWith("422") => 2 * (((width + 1) / 2) * height)
+            case c if c.startsWith("444") => 2 * lumaLen
+            case "mono"                   => 0
+            case other =>
+              throw new IllegalArgumentException(
+                s"media_id=${m.media_id}: unsupported Y4M colorspace C$other")
+          }
+          val frameLen = lumaLen + chromaLen
+          val hist = new Array[Float](Decoder.FeatureDim)
+          var off = he + 1
+          var frames = 0
+          var lumaSamples = 0L
+          while (off < b.length) {
+            require(off + 5 <= b.length &&
+              b(off) == 'F' && b(off + 1) == 'R' && b(off + 2) == 'A' &&
+              b(off + 3) == 'M' && b(off + 4) == 'E',
+              s"media_id=${m.media_id}: malformed Y4M frame marker at byte $off")
+            var nl = off + 5 // frame markers may carry their own params
+            while (nl < b.length && b(nl) != '\n') nl += 1
+            require(nl < b.length, s"media_id=${m.media_id}: truncated Y4M frame header")
+            val dataStart = nl + 1
+            require(dataStart.toLong + frameLen <= b.length,
+              s"media_id=${m.media_id}: truncated Y4M frame data")
+            var i = 0
+            while (i < lumaLen) {
+              hist((b(dataStart + i) & 0xff) >> 4) += 1f
+              i += 1
+            }
+            lumaSamples += lumaLen
+            frames += 1
+            off = dataStart + frameLen
+          }
+          val n = math.max(lumaSamples, 1L)
+          var j = 0
+          while (j < Decoder.FeatureDim) { hist(j) /= n.toFloat; j += 1 }
+          MediaFeatures(m.media_id, m.kind, b.length, frames, hist)
+        }
+    }
+
     /** Per-format routing: real WAV parser for RIFF/WAVE payloads, real BMP
-      * parser for 'BM' bitmaps, the marked fake for everything else —
-      * including RIFF-based non-WAV formats (AVI video, WebP image: same
-      * magic, different form type at bytes 8-11), whose codecs aren't
-      * available here. */
+      * parser for conforming 24-bit bitmaps, real Y4M parser for YUV4MPEG2
+      * streams, byte-level [[Opaque]] stats for everything else — including
+      * RIFF-based non-WAV formats (AVI video, WebP image: same magic,
+      * different form type at bytes 8-11), whose codecs aren't available
+      * here. */
     object Auto extends Decoder {
       private def isWave(p: Array[Byte]): Boolean =
         p.length >= 12 &&
           p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
           p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
-      private def isBmp(p: Array[Byte]): Boolean =
-        p.length >= 54 && p(0) == 'B' && p(1) == 'M'
+      /** Route to the strict Bmp parser only when the header fields it
+        * requires all hold (BITMAPINFOHEADER, 24-bit, BI_RGB) — a 32-bit /
+        * paletted / RLE BMP, or a random payload that happens to start
+        * 'BM', falls back to Fake instead of crashing the batch. */
+      private def isBmp(p: Array[Byte]): Boolean = {
+        def u16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+        def i32(o: Int): Int =
+          (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+            ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+        p.length >= 54 && p(0) == 'B' && p(1) == 'M' &&
+          i32(14) >= 40 && u16(28) == 24 && i32(30) == 0
+      }
+      private def isY4m(p: Array[Byte]): Boolean =
+        p.length >= 10 && new String(p, 0, 10, "US-ASCII") == "YUV4MPEG2 "
       override def decodeBatch(batch: Seq[MediaFile]): Seq[MediaFeatures] = {
         val (wav, rest) = batch.partition(m => isWave(m.payload))
-        val (bmp, other) = rest.partition(m => isBmp(m.payload))
-        Wav.decodeBatch(wav) ++ Bmp.decodeBatch(bmp) ++ Fake.decodeBatch(other)
+        val (bmp, rest2) = rest.partition(m => isBmp(m.payload))
+        val (y4m, other) = rest2.partition(m => isY4m(m.payload))
+        Wav.decodeBatch(wav) ++ Bmp.decodeBatch(bmp) ++
+          Y4m.decodeBatch(y4m) ++ Opaque.decodeBatch(other)
       }
     }
   }
@@ -246,11 +342,29 @@ object Multimodal {
     buf.array()
   }
 
+  /** A minimal valid YUV4MPEG2 (4:2:0) stream around the given frames —
+    * each frame is the concatenated Y, U, V planes (w*h + 2*(w/2)*(h/2)
+    * bytes; dimensions must be even). */
+  def y4mBytes(width: Int, height: Int, frames: Seq[Array[Byte]],
+      fpsNum: Int = 25, fpsDen: Int = 1): Array[Byte] = {
+    require(width % 2 == 0 && height % 2 == 0, "4:2:0 planes need even dimensions")
+    val frameLen = width * height * 3 / 2
+    require(frames.forall(_.length == frameLen), s"each 4:2:0 frame must be $frameLen bytes")
+    val header = s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 C420jpeg\n"
+      .getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val buf = java.nio.ByteBuffer.allocate(
+      header.length + frames.map(f => marker.length + f.length).sum)
+    buf.put(header)
+    frames.foreach { f => buf.put(marker); buf.put(f) }
+    buf.array()
+  }
+
   /** Deterministic synthetic media table (no binary fixture ships with the
-    * test data): audio rows are REAL mono PCM16 WAV files and image rows
-    * REAL 24-bit BMPs (seeded xorshift samples/pixels) so the gate
-    * exercises both genuine parsers; video payloads are opaque seeded byte
-    * streams for the marked fake. */
+    * test data): audio rows are REAL mono PCM16 WAV files, image rows REAL
+    * 24-bit BMPs, and video rows REAL YUV4MPEG2 streams (seeded xorshift
+    * samples/pixels/planes) so the gate exercises all three genuine
+    * parsers. */
   def synthesize(spark: SparkSession, n: Int, maxBytes: Int = 4096): Dataset[MediaFile] = {
     import spark.implicits._
     spark.range(n).map { id =>
@@ -268,9 +382,13 @@ object Multimodal {
         val rgb = Array.tabulate[Byte](3 * w * h)(_ => next().toByte)
         MediaFile(id, kind, bmpBytes(w, h, rgb), MediaMeta("bmp", w, h, 0L))
       } else {
-        val len = (math.abs(next()) % maxBytes).toInt + 64
-        val payload = Array.tabulate[Byte](len)(_ => next().toByte)
-        MediaFile(id, kind, payload, MediaMeta("mp4", 640, 480, 0L))
+        val w = ((math.abs(next()) % 14).toInt + 2) * 2 // even dims 4..30
+        val h = ((math.abs(next()) % 14).toInt + 2) * 2
+        val nFrames = (math.abs(next()) % 6).toInt + 1
+        val frameLen = w * h * 3 / 2
+        val frames = Seq.fill(nFrames)(Array.tabulate[Byte](frameLen)(_ => next().toByte))
+        MediaFile(id, kind, y4mBytes(w, h, frames),
+          MediaMeta("y4m", w, h, nFrames * 1000L / 25L))
       }
     }
   }
@@ -326,7 +444,7 @@ object Multimodal {
     * `batchSize` bound executor memory exactly like an Arrow batch would. */
   def decode(
       media: Dataset[MediaFile],
-      decoder: Decoder = Decoder.Fake,
+      decoder: Decoder = Decoder.Auto,
       batchSize: Int = 64,
       parallelism: Option[Int] = None): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._

@@ -414,10 +414,10 @@ object NearDup {
         CASE WHEN list_reduce(list_prepend(0::BIGINT, th),
                     (a, h) -> a + CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) >= 0
              THEN (1::BIGINT << j) ELSE 0 END) AS simhash,
-      bit_count(list_reduce(list_prepend(0::BIGINT, range(56)), (acc, j) -> acc +
+      CAST(bit_count(list_reduce(list_prepend(0::BIGINT, range(56)), (acc, j) -> acc +
         CASE WHEN list_reduce(list_prepend(0::BIGINT, th),
                     (a, h) -> a + CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) >= 0
-             THEN (1::BIGINT << j) ELSE 0 END)) AS n_bits
+             THEN (1::BIGINT << j) ELSE 0 END)) AS INTEGER) AS n_bits
     FROM x
   """
 }

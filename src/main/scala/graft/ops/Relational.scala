@@ -160,8 +160,8 @@ object Relational {
   val q7WindowTopNSql: String = """
     SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
-        row_number() OVER (PARTITION BY o_custkey
-                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        CAST(row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rk
       FROM orders)
     WHERE rk <= 3
   """
@@ -203,7 +203,7 @@ object Relational {
 
   val q9RollupSql: String = """
     SELECT l_returnflag, l_linestatus,
-      GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+      CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag, CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status,
       count(*) AS n,
       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
     FROM lineitem
@@ -309,10 +309,10 @@ object Relational {
       upper(o_orderpriority) AS prio_upper,
       substr(o_orderpriority, 1, 1) AS prio_code,
       concat_ws('#', o_orderstatus, o_orderpriority) AS status_tag,
-      length(o_orderpriority) AS prio_len,
-      year(o_orderdate) AS o_year,
-      month(o_orderdate) AS o_month,
-      day(o_orderdate) AS o_day,
+      CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+      CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      CAST(month(o_orderdate) AS INTEGER) AS o_month,
+      CAST(day(o_orderdate) AS INTEGER) AS o_day,
       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
     FROM orders

@@ -90,9 +90,9 @@ object TextOps {
 
   val q21TokenStatsSql: String = """
     SELECT doc_id,
-      length(text) AS n_chars_measured,
-      len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
-      len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+      CAST(length(text) AS INTEGER) AS n_chars_measured,
+      CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
+      CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens
     FROM documents
   """
 
@@ -158,7 +158,8 @@ object TextOps {
         ${hitsSql("es")} AS s_es,
         ${hitsSql("de")} AS s_de
       FROM documents)
-    SELECT doc_id, tagged_lang, s_en, s_es, s_de,
+    SELECT doc_id, tagged_lang, CAST(s_en AS INTEGER) AS s_en,
+      CAST(s_es AS INTEGER) AS s_es, CAST(s_de AS INTEGER) AS s_de,
       $predLangCaseSql AS pred_lang
     FROM s
   """
@@ -256,7 +257,7 @@ object TextOps {
       SELECT doc_id, token, tf, df, weight,
         row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, token ASC) AS rk
       FROM wt)
-    SELECT doc_id, token, tf, df, weight, rk FROM rk WHERE rk <= 3
+    SELECT doc_id, token, tf, df, weight, CAST(rk AS INTEGER) AS rk FROM rk WHERE rk <= 3
   """
 
   /** Document-length histogram — 100-char buckets capped at 10 (DuckDB has
@@ -312,7 +313,8 @@ object TextOps {
     g AS (
       SELECT doc_id, ${ngramsSqlExpr(3, distinct = false)} AS grams
       FROM t WHERE len(tk) >= 3)
-    SELECT doc_id, len(grams) AS n_grams, len(list_distinct(grams)) AS n_distinct,
+    SELECT doc_id, CAST(len(grams) AS INTEGER) AS n_grams,
+      CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
       1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
         AS rep_ratio
     FROM g
