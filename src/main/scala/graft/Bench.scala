@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 /** Headline benchmark. Emits ONE bare JSON line (stdout + file).
   *
   * Measurement protocol (the numbers must defend themselves — the r2 record
-  * billed a 1.2 s query at 33.1 s purely from sandbox contention):
+  * billed a 1.2 s query at 33.1 s purely from sandbox contention, and the r4
+  * record billed a 0.55 s query at 5.24 s the same way):
   *   - each query materializes via `queryExecution.toRdd.count()`, NOT
   *     `df.count()`: count() lets Catalyst prune every unreferenced column,
   *     so pure projections (q14, q21-q24, q28, q52) would bill a pruned
@@ -13,13 +14,22 @@ import org.apache.spark.sql.SparkSession
   *     per-query MEDIAN, with min/max kept alongside so spread is visible;
   *   - if the suite's median total exceeds SENTINEL × its min total, the
   *     timings are contention-dominated: the whole suite re-runs once and
-  *     the cleaner pass wins.
+  *     the cleaner pass wins;
+  *   - PER-QUERY sentinel (the suite-level check missed r4's contamination
+  *     because contention inflated min and median together across a whole
+  *     window): any single query whose median exceeds PerQuerySentinel × its
+  *     own min — or PrevSentinel × its median in the previous recorded bench,
+  *     when one is found — is re-measured alone and the cleaner stat wins;
+  *     the emitted JSON lists such queries under "remeasured" so a record is
+  *     never silently cleaned.
   */
 object Bench {
   private val Reps = 3
   private val Sentinel = 1.5
+  private val PerQuerySentinel = 2.0
+  private val PrevSentinel = 3.0
 
-  private final case class QStat(median: Double, min: Double, max: Double,
+  private[graft] final case class QStat(median: Double, min: Double, max: Double,
       failures: Int)
 
   def main(args: Array[String]): Unit = {
@@ -49,6 +59,12 @@ object Bench {
       val retry = runSuite(spark, sfDir)
       if (retry.values.map(_.median).sum < medTotal) stats = retry
     }
+    val (cleaned, remeasured) = applyPerQuerySentinel(stats, prevMedians(),
+      name => {
+        System.err.println(s"[bench] per-query sentinel: re-measuring $name")
+        measureQuery(spark, sfDir, name)
+      })
+    stats = cleaned
 
     def fmt(sel: QStat => Double) = stats
       .map { case (k, v) => "\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
@@ -58,8 +74,9 @@ object Bench {
     val failed = stats.filter(_._2.failures > 0)
     val failedJson = failed
       .map { case (k, v) => "\"" + k + "\":" + v.failures }.mkString("{", ",", "}")
+    val remeasuredJson = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""reps":$Reps,"failures":$failedJson,""" +
+      s""""reps":$Reps,"failures":$failedJson,"remeasured":$remeasuredJson,""" +
       s""""queries":${fmt(_.median)},""" +
       s""""queries_min":${fmt(_.min)},"queries_max":${fmt(_.max)},""" +
       s""""sf":"$sfDir"}"""
@@ -75,23 +92,72 @@ object Bench {
     spark.stop()
   }
 
+  /** Per-query contention sentinel, pure so the spec can drive it with
+    * synthetic stats: flag any query whose median exceeds PerQuerySentinel ×
+    * its own min (contention within the rep window) or PrevSentinel × its
+    * previous recorded median (contention across the whole window — the r4
+    * failure mode, where min and median inflated together). Flagged queries
+    * re-measure once via `remeasure`; the lower-median stat wins. Returns
+    * the cleaned stats and the sorted flagged names for the JSON record. */
+  private[graft] def applyPerQuerySentinel(
+      stats: Map[String, QStat],
+      prev: Map[String, Double],
+      remeasure: String => QStat): (Map[String, QStat], List[String]) = {
+    val flagged = stats.collect {
+      case (name, s) if s.median > PerQuerySentinel * s.min ||
+          prev.get(name).exists(p => s.median > PrevSentinel * p) => name
+    }.toList.sorted
+    val cleaned = stats ++ flagged.map { name =>
+      val retry = remeasure(name)
+      name -> (if (retry.median < stats(name).median) retry else stats(name))
+    }
+    (cleaned, flagged)
+  }
+
+  /** Previous recorded per-query medians: `$SPARK_GRAFT_PREV_BENCH` if set,
+    * else the highest-numbered BENCH_r*.json in the working directory (the
+    * driver runs from the repo root, where prior rounds are committed).
+    * Absent/unparseable files mean no cross-round check, not a failure. */
+  private[graft] def prevMedians(): Map[String, Double] = {
+    val path = sys.env.get("SPARK_GRAFT_PREV_BENCH").orElse {
+      Option(new java.io.File(".").listFiles()).flatMap(_
+        .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json")).sorted.lastOption)
+    }
+    path.map { p =>
+      try parseQueryMedians(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
+      catch { case _: Throwable => Map.empty[String, Double] }
+    }.getOrElse(Map.empty)
+  }
+
+  /** Extract the `"queries":{...}` medians from a recorded bench line (no
+    * JSON library on the classpath — the object is flat name→number). */
+  private[graft] def parseQueryMedians(json: String): Map[String, Double] =
+    """"queries":\{([^}]*)\}""".r.findFirstMatchIn(json).map(_.group(1))
+      .map { body =>
+        """"([^"]+)":([-+0-9.eE]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+
   /** Execute the query's FULL physical plan (all output columns computed). */
   private def materialize(spark: SparkSession, sfDir: String, name: String): Unit =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count(): Unit
 
+  private def measureQuery(spark: SparkSession, sfDir: String, name: String): QStat = {
+    var failures = 0
+    val times = (1 to Reps).map { _ =>
+      val t0 = System.nanoTime()
+      try materialize(spark, sfDir, name)
+      catch { case t: Throwable =>
+        failures += 1
+        System.err.println(s"[bench] $name rep failed: ${t.getClass.getSimpleName}: ${t.getMessage}")
+      }
+      finally CachedFrames.drain() // each rep measured with a cold cache
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    QStat(times(times.size / 2), times.head, times.last, failures)
+  }
+
   private def runSuite(spark: SparkSession, sfDir: String): Map[String, QStat] =
-    SparkEntry.queries.map { case (name, _) =>
-      var failures = 0
-      val times = (1 to Reps).map { _ =>
-        val t0 = System.nanoTime()
-        try materialize(spark, sfDir, name)
-        catch { case t: Throwable =>
-          failures += 1
-          System.err.println(s"[bench] $name rep failed: ${t.getClass.getSimpleName}: ${t.getMessage}")
-        }
-        finally CachedFrames.drain() // each rep measured with a cold cache
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> QStat(times(times.size / 2), times.head, times.last, failures)
-    }
+    SparkEntry.queries.map { case (name, _) => name -> measureQuery(spark, sfDir, name) }
 }

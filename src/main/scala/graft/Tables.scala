@@ -25,17 +25,31 @@ object Tables {
     else df
   }
 
+  /** Config key for the [[parallelized]] floor; unset/empty → the session's
+    * `defaultParallelism` (32 locally, total executor cores on a cluster).
+    * Settable per-session (`spark.conf.set`) or at submit time
+    * (`--conf spark.graft.scan.minPartitions=N`) for workloads whose
+    * kernel-heavy stages want more slices than cores — no code change. */
+  val MinPartitionsKey = "spark.graft.scan.minPartitions"
+
+  /** The floor [[parallelized]] enforces: the [[MinPartitionsKey]] conf when
+    * set to a positive int, else `defaultParallelism`. */
+  def scanFloor(spark: SparkSession): Int =
+    spark.conf.getOption(MinPartitionsKey)
+      .flatMap(_.toIntOption).filter(_ > 0)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+
   /** Right-size a narrow SCAN before kernel-heavy or expanding stages.
     *
     * A small parquet table is one file = ONE partition, which serializes
     * every codegen kernel (md5/minhash/dot-product) and everything pipelined
     * behind a broadcast join until the first shuffle. A no-op whenever the
-    * input already has ≥ defaultParallelism partitions (any real cluster
-    * scale), so no extra shuffle is ever paid at 100 TB. Apply at scan
-    * entry points only — `rdd.getNumPartitions` on a raw scan is metadata;
-    * on a frame with upstream exchanges it would trigger partial execution. */
+    * input already has ≥ [[scanFloor]] partitions (any real cluster scale),
+    * so no extra shuffle is ever paid at 100 TB. Apply at scan entry points
+    * only — `rdd.getNumPartitions` on a raw scan is metadata; on a frame
+    * with upstream exchanges it would trigger partial execution. */
   def parallelized(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
+    val p = scanFloor(df.sparkSession)
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 }
