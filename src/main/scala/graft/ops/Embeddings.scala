@@ -30,7 +30,8 @@ import org.apache.spark.sql.functions._
   * buckets) keep the candidate join sub-quadratic, since bucket size ~
   * corpus / 2^numPlanes. knnQueryIds bounds the brute-force baseline's query
   * batch (queries × corpus, not corpus²). */
-final case class AnnConfig(numPlanes: Int = 8, topK: Int = 5, knnQueryIds: Int = 500)
+final case class AnnConfig(numPlanes: Int = 8, topK: Int = 5, knnQueryIds: Int = 500,
+    nprobe: Int = 2)
 
 object Embeddings {
 
@@ -206,12 +207,16 @@ object Embeddings {
     * the deterministic per-label means (a k-means iteration would slot in
     * identically); distance math is squared-L2 via three dot products so
     * both engines compute the same IEEE values. */
-  /** The IVF assignment stage — shared by the cell-probe ANN (q46) and the
-    * Lloyd refinement (q55): nearest initial centroid (per-label fixed-point
-    * means) per vector, ties broken by cell ascending. The centroid set is
-    * tiny (≤ #labels) so the assignment join is a broadcast, never a
-    * shuffle of the corpus. */
-  private def assignedCells(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The IVF assignment stage, generalized to multi-probe — shared by the
+    * cell-probe ANN (q46, nprobe=1), the Lloyd refinement (q55) and the
+    * multi-probe gate (q60): each vector's `nprobe` nearest initial
+    * centroids (per-label fixed-point means) by squared L2, ties broken by
+    * cell ascending, with `probe_rk` 1..nprobe (1 = the home cell). The
+    * centroid set is tiny (≤ #labels) so the assignment join is a
+    * broadcast, never a shuffle of the corpus; multi-probe multiplies only
+    * the QUERY side of the downstream candidate join by nprobe, not the
+    * index. */
+  private def probedCells(spark: SparkSession, sfDir: String, nprobe: Int): DataFrame = {
     val e = graft.CachedFrames.track(vecs(spark, sfDir))
     // centroid arrays from the long-format means, ordered by index
     val cents = q31Centroids(spark, sfDir)
@@ -220,15 +225,20 @@ object Embeddings {
       .select(col("label").as("cell"),
         expr("transform(im, x -> x.mean_x)").as("c"))
       .withColumn("cnorm2", dot(col("c"), col("c")))
-    // assign: nearest cell by squared L2 = |v|^2 - 2 v.c + |c|^2
+    // rank cells by squared L2 = |v|^2 - 2 v.c + |c|^2
     val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cell").asc)
     graft.CachedFrames.track(e.crossJoin(broadcast(cents))
       .withColumn("d2",
         col("nrm") * col("nrm") - lit(2.0) * dot(col("v"), col("c")) + col("cnorm2"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell")))
+      .withColumn("probe_rk", row_number().over(w))
+      .filter(col("probe_rk") <= nprobe)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell"),
+        col("probe_rk")))
   }
+
+  /** Home-cell (nprobe=1) assignment: (vec_id, label, v, nrm, cell). */
+  private def assignedCells(spark: SparkSession, sfDir: String): DataFrame =
+    probedCells(spark, sfDir, nprobe = 1).drop("probe_rk")
 
   /** q55: one deterministic Lloyd (k-means) refinement of the IVF coarse
     * quantizer — reassign every vector to its nearest current centroid
@@ -263,9 +273,38 @@ object Embeddings {
       .select(col("qid"), col("cand_id"), col("cell"), col("rk"), col("cos"))
   }
 
-  /** DuckDB CTE chain for the IVF assignment stage (shared by the q46 and
-    * q55 oracles, mirroring [[assignedCells]]): defines `assigned`
-    * (vec_id, v, nrm, cell). */
+  /** q60: IVF multi-probe ANN — queries visit their `cfg.nprobe` nearest
+    * cells instead of only the home cell, recovering true neighbours that
+    * sit just across a cell boundary (THE recall weakness of nprobe=1 at
+    * corpus scale, where cells are much bigger than top-k). Candidates stay
+    * indexed under their single home cell, so the probe join's work is
+    * nprobe × |cell| per query — still linear in cell size, never in the
+    * corpus. Because q60's candidate pool is a superset of q46's, its k-th
+    * best cosine dominates q46's per query (pinned in EmbeddingsSpec). */
+  def q60IvfMultiprobe(spark: SparkSession, sfDir: String,
+      cfg: AnnConfig = DefaultAnn): DataFrame = {
+    val probes = probedCells(spark, sfDir, cfg.nprobe)
+      .filter(col("vec_id") < cfg.knnQueryIds)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("cell"))
+    val cands = assignedCells(spark, sfDir)
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"),
+        col("nrm").as("cn"), col("cell").as("ccell"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand_id").asc)
+    // a candidate lives in exactly one home cell, so probing 2 cells can
+    // never produce duplicate (qid, cand_id) rows — no dedup stage needed
+    probes.join(cands,
+        col("cell") === col("ccell") && col("qid") =!= col("cand_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("cand_id"), col("rk"), col("cos"))
+  }
+
+  /** DuckDB CTE chain for the IVF assignment stage (shared by the q46, q55
+    * and q60 oracles, mirroring [[probedCells]]): defines `da` (every
+    * vector × cell with squared distance) and `assigned`
+    * (vec_id, v, nrm, cell — the home cell). */
   private val ivfAssignedSqlCtes: String = s"""e AS (
       SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
     n AS (
@@ -327,6 +366,26 @@ object Embeddings {
       CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12
         / CAST(count(*) AS DOUBLE) AS mean_x
     FROM ax GROUP BY cell, idx
+  """
+
+  val q60IvfMultiprobeSql: String = s"""
+    WITH $ivfAssignedSqlCtes,
+    probes AS (
+      SELECT vec_id, v, nrm, cell FROM (
+        SELECT vec_id, v, nrm, cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS prk
+        FROM da) WHERE prk <= ${DefaultAnn.nprobe} AND vec_id < ${DefaultAnn.knnQueryIds}),
+    probe AS (
+      SELECT p.vec_id AS qid, c.vec_id AS cand_id,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(list_zip(p.v, c.v), z -> z[1] * z[2])), (acc, x) -> acc + x)
+          / (p.nrm * c.nrm) AS cos
+      FROM probes p JOIN assigned c
+        ON p.cell = c.cell AND p.vec_id <> c.vec_id)
+    SELECT qid, cand_id, CAST(rk AS INTEGER) AS rk, cos FROM (
+      SELECT qid, cand_id, cos,
+        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS rk
+      FROM probe) WHERE rk <= 3
   """
 
   /** Centroid gram matrix + cosine: joins the long-format centroids on idx,

@@ -28,4 +28,27 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
       .head().getDecimal(0).doubleValue() / 1e12
     assert(scrambled === fixed)
   }
+
+  test("multi-probe (q60) candidate pool dominates single-probe (q46) recall") {
+    val sf = "/root/testdata/sf0.001"
+    try {
+      // q60 probes each query's 2 nearest cells; its candidate pool is a
+      // strict superset of q46's home-cell pool, so at every (qid, rk) the
+      // multi-probe cosine must be >= the single-probe one — and queries
+      // whose true neighbours sit across the cell boundary get MORE rows
+      val single = Embeddings.q46IvfAnn(spark, sf)
+        .select(col("qid"), col("rk"), col("cos").as("cos1")).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      val multi = Embeddings.q60IvfMultiprobe(spark, sf)
+        .select(col("qid"), col("rk"), col("cos").as("cos2")).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      assert(multi.nonEmpty)
+      // every single-probe hit is matched-or-beaten at the same rank
+      single.foreach { case (key, c1) =>
+        val c2 = multi.getOrElse(key, fail(s"q60 lost $key entirely"))
+        assert(c2 >= c1, s"$key: multi-probe cos $c2 < single-probe $c1")
+      }
+      assert(multi.size >= single.size)
+    } finally graft.CachedFrames.drain()
+  }
 }
