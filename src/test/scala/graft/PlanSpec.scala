@@ -83,6 +83,57 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "SortMergeJoin") == 0, p)
   }
 
+  test("q27_lsh_pairs: banded equi-join, never a cartesian/all-pairs plan") {
+    val p = finalPlan("q27_lsh_pairs")
+    // the candidate join is a HASH equi-join on (band, bkey) — the whole
+    // point of LSH banding; any all-pairs fallback is a 100 TB killer
+    assert("BroadcastHashJoin \\[band".r.findFirstIn(p).isDefined, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "BroadcastNestedLoopJoin") == 0, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    // band join + two signature join-backs for the verify projection
+    assert(nodes(p, "BroadcastHashJoin") == 3, p)
+    // pair counting aggregates map-side before its one shuffle
+    assert(p.contains("partial_count"), p)
+    // that pair-count shuffle + the cached signature frame's scan
+    // right-sizing (Tables.parallelized, inert at cluster scale)
+    assert(nodes(p, "Exchange") == 2, p)
+  }
+
+  test("q53_span_dedup: spans shuffle once for exact dedup, survivors anti-join broadcast") {
+    val p = finalPlan("q53_span_dedup")
+    // exactly ONE shuffle keyed on span_id — the exact-dedup exchange; a
+    // second one would mean the span frame re-shuffles downstream
+    assert("hashpartitioning\\(span_id".r.findAllIn(p).size == 1, p)
+    // span explode runs data-parallel (Generate, not a driver loop)
+    assert(nodes(p, "Generate") >= 1, p)
+    // duplicate spans are removed by a BROADCAST anti-join (the dup set is
+    // tiny); kept-span reassembly aggregates map-side partials first
+    assert(p.contains("LeftAnti"), p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert(p.contains("partial_collect_list"), p)
+    // full exchange census so any added shuffle is a conscious decision:
+    // 2 scan right-sizings (outer + cached span frame), the span_id dedup
+    // exchange, the md5-canon window exchange, the per-doc reassembly
+    assert(nodes(p, "Exchange") == 5, p)
+  }
+
+  test("q47_range_join: interval bands broadcast into a BroadcastNestedLoopJoin") {
+    val p = finalPlan("q47_range_join")
+    // the band table (4 rows) must be the broadcast side of the interval
+    // join — the lineitem stream is never materialized or shuffled for it
+    assert(nodes(p, "BroadcastNestedLoopJoin") == 1, p)
+    assert(p.contains("BroadcastExchange IdentityBroadcastMode"), p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    // scan prunes to exactly the two referenced columns, quantity filter
+    // pushed to parquet
+    assert(p.contains("struct<l_quantity:double,l_extendedprice:double>"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)]"), p)
+    // one aggregation shuffle with map-side partial sums
+    assert(nodes(p, "Exchange") == 1, p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("dedup_pairs: one exchange before the feature projection, each comparator once") {
     val p = finalPlan("dedup_pairs")
     // the only shuffle is parallelize()'s input right-sizing (reused by the
