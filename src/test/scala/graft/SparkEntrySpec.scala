@@ -28,8 +28,52 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
     * Rule: every `sum(` in an oracle must either sit inside a `CAST(...)`
     * span (the result type is then pinned explicitly) or sum an input the
     * SQL itself casts to DECIMAL/DOUBLE (those sums are type-stable across
-    * both engines). */
+    * both engines).
+    *
+    * Escape hatch: the guard can't tell an output column from an internal
+    * grouping key (where the HUGEINT never reaches the driver's hash), so a
+    * line may carry `-- guard:ok <why>` to exempt its sums — the annotation
+    * forces the exemption to be visible and reasoned at the use site
+    * instead of via a noise cast. */
   test("no oracle contains an uncast integer sum") {
+    val offenders = for {
+      (name, sql) <- SparkEntry.oracleSql.toSeq
+      o <- SparkEntrySpec.uncastSums(sql)
+      snippet = sql.slice(math.max(0, o - 20), o + 40).trim
+    } yield s"$name @$o: ...$snippet..."
+    assert(offenders.isEmpty,
+      s"uncast integer sum() in oracles (wrap in CAST(... AS BIGINT), or " +
+      s"annotate the line `-- guard:ok <why>` for internal-only keys):\n" +
+      offenders.mkString("\n"))
+  }
+
+  test("guard: a real uncast output sum is flagged") {
+    val sql = "SELECT user_id, sum(n) AS total FROM t GROUP BY user_id"
+    assert(SparkEntrySpec.uncastSums(sql).nonEmpty)
+  }
+
+  test("guard: casts, typed inputs, and annotated internal keys pass") {
+    assert(SparkEntrySpec.uncastSums(
+      "SELECT CAST(sum(n) AS BIGINT) AS total FROM t").isEmpty)
+    assert(SparkEntrySpec.uncastSums(
+      "SELECT sum(CAST(n AS DOUBLE)) AS total FROM t").isEmpty)
+    val annotated = """
+      WITH s AS (
+        SELECT sum(is_new) OVER (ORDER BY ts) AS sess -- guard:ok (grouping key only)
+        FROM t)
+      SELECT sess, count(*) AS n FROM s GROUP BY sess"""
+    assert(SparkEntrySpec.uncastSums(annotated).isEmpty)
+    // the annotation only covers ITS line — other sums still red
+    val partial = annotated + "\n-- and an output sum elsewhere:\n" +
+      "UNION ALL SELECT 0, sum(k) FROM u"
+    assert(SparkEntrySpec.uncastSums(partial).nonEmpty)
+  }
+}
+
+object SparkEntrySpec {
+  /** Offsets of `sum(` calls that are neither inside a CAST span, nor over
+    * a DECIMAL/DOUBLE-cast input, nor on a `-- guard:ok`-annotated line. */
+  private[graft] def uncastSums(sql: String): Seq[Int] = {
     def castSpans(sql: String): Seq[(Int, Int)] = {
       val up = sql.toUpperCase
       var spans = List.empty[(Int, Int)]
@@ -66,16 +110,20 @@ class SparkEntrySpec extends AnyFunSuite with SparkSpec {
       }
       sql.substring(open, if (end > 0) end else sql.length).toUpperCase
     }
+    def annotatedLine(idx: Int): Boolean = {
+      val lineEnd = sql.indexOf('\n', idx) match { case -1 => sql.length; case e => e }
+      sql.lastIndexOf('\n', idx) match { case s =>
+        sql.substring(s + 1, lineEnd).contains("-- guard:ok")
+      }
+    }
     val sumRe = "(?i)(?<![a-z0-9_])sum\\s*\\(".r
-    val offenders = for {
-      (name, sql) <- SparkEntry.oracleSql.toSeq
-      spans = castSpans(sql)
+    val spans = castSpans(sql)
+    (for {
       m <- sumRe.findAllMatchIn(sql)
       if !spans.exists { case (s, e) => m.start > s && m.start < e }
       arg = sumArg(sql, m.start)
       if !arg.contains("AS DECIMAL") && !arg.contains("AS DOUBLE")
-    } yield s"$name @${m.start}: ...${sql.slice(math.max(0, m.start - 20), m.start + 40).trim}..."
-    assert(offenders.isEmpty,
-      s"uncast integer sum() in oracles (wrap in CAST(... AS BIGINT)):\n${offenders.mkString("\n")}")
+      if !annotatedLine(m.start)
+    } yield m.start).toSeq
   }
 }
