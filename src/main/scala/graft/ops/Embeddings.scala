@@ -283,11 +283,15 @@ object Embeddings {
     * best cosine dominates q46's per query (pinned in EmbeddingsSpec). */
   def q60IvfMultiprobe(spark: SparkSession, sfDir: String,
       cfg: AnnConfig = DefaultAnn): DataFrame = {
-    val probes = probedCells(spark, sfDir, cfg.nprobe)
+    // ONE cached assignment pass serves both sides: probes are its rank
+    // <= nprobe rows, candidates its rank-1 (home cell) slice — computing
+    // assignedCells separately would run the centroid window twice
+    val probed = probedCells(spark, sfDir, cfg.nprobe)
+    val probes = probed
       .filter(col("vec_id") < cfg.knnQueryIds)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         col("cell"))
-    val cands = assignedCells(spark, sfDir)
+    val cands = probed.filter(col("probe_rk") === 1)
       .select(col("vec_id").as("cand_id"), col("v").as("cv"),
         col("nrm").as("cn"), col("cell").as("ccell"))
     val wq = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand_id").asc)
