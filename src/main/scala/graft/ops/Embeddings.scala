@@ -433,4 +433,55 @@ object Embeddings {
     SELECT g.l1, g.l2, g.dot, g.dot / (sqrt(d1.dd) * sqrt(d2.dd)) AS cos
     FROM gram g JOIN diag d1 ON g.l1 = d1.dl JOIN diag d2 ON g.l2 = d2.dl
   """
+
+  /** q62: symmetric int8 quantization of the embedding column — the
+    * standard 4× memory compression that makes billion-vector ANN indexes
+    * fit in RAM. Per vector: scale = max |x| (an order-insensitive fold),
+    * q_i = floor(x_i·127/scale + 0.5) clamped to [-127, 127] (floor(x+0.5)
+    * instead of round() because the engines' round-half tie rules differ
+    * while floor is bit-identical), and the reconstruction check
+    * max |x_i − q_i·scale/127| that callers gate re-ranking on.
+    *
+    * Scale shape: a pure per-row codegen projection — no shuffle, no
+    * state; at 100 TB it pipelines directly into the parquet scan. The
+    * all-zero vector degenerates to scale 0 / q = 0 / err 0 on both
+    * engines via the guarded CASE. */
+  def q62QuantizeInt8(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.parallelized(Tables(spark, sfDir, "embeddings"))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("scale",
+        expr("aggregate(v, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+      .withColumn("q", expr("""
+        CASE WHEN scale = 0.0 THEN transform(v, x -> 0)
+             ELSE transform(v, x -> CAST(greatest(CAST(-127 AS DOUBLE),
+                    least(CAST(127 AS DOUBLE),
+                      floor(x * 127.0 / scale + 0.5))) AS INTEGER)) END"""))
+      .withColumn("max_abs_err", expr("""
+        aggregate(zip_with(v, q, (x, qi) -> abs(x - CAST(qi AS DOUBLE) * scale / 127.0)),
+                  CAST(0 AS DOUBLE), (a, e) -> greatest(a, e))"""))
+      .select(col("vec_id"), col("scale"), col("q"), col("max_abs_err"))
+
+  val q62QuantizeInt8Sql: String = """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+        list_reduce(list_prepend(0.0::DOUBLE, list_transform(v, x -> abs(x))),
+                    (a, x) -> greatest(a, x)) AS scale
+      FROM e),
+    qz AS (
+      SELECT vec_id, v, scale,
+        CASE WHEN scale = 0.0 THEN list_transform(v, x -> 0::INTEGER)
+             ELSE list_transform(v, x -> CAST(greatest(-127.0::DOUBLE,
+                    least(127.0::DOUBLE,
+                      floor(x * 127.0 / scale + 0.5))) AS INTEGER)) END AS q
+      FROM s)
+    SELECT vec_id, scale, q,
+      list_reduce(list_prepend(0.0::DOUBLE,
+        list_transform(list_zip(v, q),
+          z -> abs(z[1] - CAST(z[2] AS DOUBLE) * scale / 127.0))),
+        (a, e) -> greatest(a, e)) AS max_abs_err
+    FROM qz
+  """
 }

@@ -444,4 +444,105 @@ object TextOps {
       (running - n_tokens) % $PackSeqTokens AS offset
     FROM r
   """
+
+  /** q61 tuning: signature width (top terms per doc) / query batch bound /
+    * neighbours kept. */
+  private[ops] val SimSigTerms = 10
+  private[ops] val SimQueryIds = 100
+  private[ops] val SimTopK = 5
+
+  /** q61: sparse TF-IDF cosine similarity through a token inverted index —
+    * the classic sub-quadratic document-similarity join (near-dup / search
+    * both use it). Each document is reduced to its top-[[SimSigTerms]]
+    * TF-IDF terms (per-doc pruning bounds every posting list regardless of
+    * how hot a token is — THE trick that keeps postings joins from
+    * exploding on stopword-like terms at corpus scale); a bounded query
+    * batch joins the postings on token, partial dot products aggregate per
+    * (qid, did) pair, and cosine normalizes by the pruned-vector norms.
+    *
+    * Scale shape (100 TB): the signature stage is one (doc, token)
+    * aggregation + one top-k window per doc; the tiny df frame broadcasts
+    * back; the query batch's postings (|queries| × SimSigTerms rows)
+    * BROADCAST against the corpus postings, so the corpus index is touched
+    * by exactly one shuffle (by token) no matter how many query batches
+    * run. Dot products and norms use the fixed-point DECIMAL fold (floor
+    * at 1e12), so the result is shuffle-order-proof and matches DuckDB
+    * bitwise.
+    */
+  def q61TfidfCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
+    // cached: feeds both the weight projection and the df aggregation —
+    // without it Catalyst re-explodes and re-aggregates the whole scan for df
+    val tf = graft.CachedFrames.track(docs
+      .select(col("doc_id"), explode(expr("""split(trim(text), '\\s+')""")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")))
+    val dfFrame = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.count().toDouble
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("weight").desc, col("token").asc)
+    // top-K signature terms per document (the pruned sparse vector)
+    val sig = graft.CachedFrames.track(
+      tf.join(broadcast(dfFrame), "token")
+        .withColumn("weight",
+          col("tf").cast("double") * (lit(nDocs + 1.0) / (col("df").cast("double") + lit(1.0))))
+        .withColumn("trk", row_number().over(wDoc))
+        .filter(col("trk") <= SimSigTerms)
+        .select(col("doc_id"), col("token"), col("weight")))
+    def fixedSum(c: org.apache.spark.sql.Column) =
+      sum(floor(c * lit(1e12)).cast("decimal(38,0)")).cast("double") / lit(1e12)
+    val norms = sig.groupBy(col("doc_id"))
+      .agg(sqrt(fixedSum(col("weight") * col("weight"))).as("nrm"))
+    val qSide = sig.filter(col("doc_id") < SimQueryIds)
+      .select(col("doc_id").as("qid"), col("token"), col("weight").as("qw"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("did").asc)
+    broadcast(qSide)
+      .join(sig.select(col("doc_id").as("did"), col("token"), col("weight").as("dw")),
+        "token")
+      .filter(col("qid") =!= col("did"))
+      .groupBy(col("qid"), col("did"))
+      .agg(fixedSum(col("qw") * col("dw")).as("dot"))
+      .join(broadcast(norms.select(col("doc_id").as("qid"), col("nrm").as("qn"))), "qid")
+      .join(broadcast(norms.select(col("doc_id").as("did"), col("nrm").as("dn"))), "did")
+      .withColumn("cos", col("dot") / (col("qn") * col("dn")))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= SimTopK)
+      .select(col("qid"), col("did"), col("rk"), col("cos"))
+  }
+
+  val q61TfidfCosineSql: String = s"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    sig AS (
+      SELECT doc_id, token, weight FROM (
+        SELECT tf.doc_id, tf.token,
+          CAST(tf.tf AS DOUBLE) * ((n.n_docs + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)) AS weight,
+          row_number() OVER (PARTITION BY tf.doc_id
+                             ORDER BY CAST(tf.tf AS DOUBLE) * ((n.n_docs + 1.0)
+                               / (CAST(df.df AS DOUBLE) + 1.0)) DESC, tf.token ASC) AS trk
+        FROM tf JOIN df USING (token) CROSS JOIN n)
+      WHERE trk <= $SimSigTerms),
+    nrm AS (
+      SELECT doc_id,
+        sqrt(CAST(sum(CAST(floor(weight * weight * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12) AS nrm
+      FROM sig GROUP BY doc_id),
+    dots AS (
+      SELECT q.doc_id AS qid, d.doc_id AS did,
+        CAST(sum(CAST(floor(q.weight * d.weight * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS dot
+      FROM sig q JOIN sig d USING (token)
+      WHERE q.doc_id < $SimQueryIds AND q.doc_id <> d.doc_id
+      GROUP BY 1, 2)
+    SELECT qid, did, CAST(rk AS INTEGER) AS rk, cos FROM (
+      SELECT qid, did, dots.dot / (nq.nrm * nd.nrm) AS cos,
+        row_number() OVER (PARTITION BY qid
+                           ORDER BY dots.dot / (nq.nrm * nd.nrm) DESC, did ASC) AS rk
+      FROM dots
+      JOIN nrm nq ON dots.qid = nq.doc_id
+      JOIN nrm nd ON dots.did = nd.doc_id)
+    WHERE rk <= $SimTopK
+  """
 }

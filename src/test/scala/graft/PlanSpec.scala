@@ -134,6 +134,33 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q61_tfidf_cosine: query postings broadcast into the inverted index, top-k pushed down") {
+    val p = finalPlan("q61_tfidf_cosine")
+    // postings join is a broadcast hash equi-join on token (query side is
+    // |queries| x sig terms — tiny); norms join back broadcast; plus the
+    // cached signature's df join: 4 BHJs, never a sort-merge or cartesian
+    assert(nodes(p, "BroadcastHashJoin") == 4, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    // pair dot products combine map-side; both row_number top-ks run as
+    // partial WindowGroupLimit BEFORE their shuffle (rank pushdown)
+    assert(p.contains("partial_sum"), p)
+    assert(nodes(p, "WindowGroupLimit") >= 2, p)
+    // exchange census: pair-rank shuffle + cached sig's (tf agg, per-doc
+    // window, scan right-sizing) — the corpus index shuffles by token ZERO
+    // times on the probe path (the query side broadcasts instead)
+    assert(nodes(p, "Exchange") == 4, p)
+  }
+
+  test("q62_quantize_int8: pure codegen projection, no shuffle beyond scan right-sizing") {
+    val p = finalPlan("q62_quantize_int8")
+    assert(nodes(p, "HashAggregate") == 0, p)
+    assert(nodes(p, "BroadcastHashJoin") == 0 && nodes(p, "SortMergeJoin") == 0, p)
+    assert(nodes(p, "Exchange") == 1, p) // Tables.parallelized only
+    // scan prunes to the two referenced columns
+    assert(p.contains("struct<vec_id:bigint,embedding:array<float>>"), p)
+  }
+
   test("dedup_pairs: one exchange before the feature projection, each comparator once") {
     val p = finalPlan("dedup_pairs")
     // the only shuffle is parallelize()'s input right-sizing (reused by the

@@ -51,4 +51,25 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
       assert(multi.size >= single.size)
     } finally graft.CachedFrames.drain()
   }
+
+  test("int8 quantization (q62) reconstruction error is bounded by half a step") {
+    val sf = "/root/testdata/sf0.001"
+    // symmetric quantization with floor(x + 0.5) rounding: the dequantized
+    // value is within half a quantization step (scale/127/2) of the input —
+    // the bound re-ranking callers rely on. Also: q values stay in the int8
+    // range and the max-|x| component is always exactly representable
+    val rows = Embeddings.q62QuantizeInt8(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val q = r.getSeq[Int](2)
+      val err = r.getDouble(3)
+      assert(q.forall(v => v >= -127 && v <= 127), s"vec ${r.getLong(0)}: $q")
+      assert(scale >= 0.0)
+      if (scale > 0.0) {
+        assert(err <= scale / 254.0 * (1 + 1e-12), s"vec ${r.getLong(0)}: err=$err scale=$scale")
+        assert(q.exists(v => math.abs(v) == 127), s"vec ${r.getLong(0)}: max component must hit ±127")
+      } else assert(err === 0.0)
+    }
+  }
 }
