@@ -434,6 +434,43 @@ object Embeddings {
     FROM gram g JOIN diag d1 ON g.l1 = d1.dl JOIN diag d2 ON g.l2 = d2.dl
   """
 
+  /** q63: measured recall@3 of the IVF index against the brute-force
+    * ground truth — the metric that decides nprobe at corpus scale (an ANN
+    * index without a recall gate is a guess). Per query: how many of the
+    * true top-3 neighbours (q29, exact) the cell-probe search (q46)
+    * returned. Queries whose neighbours cross a cell boundary score < 1
+    * here and recover under multi-probe (q60) — EmbeddingsSpec pins that
+    * ordering.
+    *
+    * Scale shape: ground truth is the labeled brute-force baseline over
+    * the bounded query batch (queries × corpus, not corpus²); the recall
+    * join itself is query-batch-sized — trivially broadcastable. */
+  def q63AnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = q29KnnBrute(spark, sfDir).filter(col("rk") <= 3)
+      .select(col("id1").as("qid"), col("id2").as("cand_id"))
+    val ivf = q46IvfAnn(spark, sfDir).select(col("qid"), col("cand_id"))
+    val hits = truth.join(ivf, Seq("qid", "cand_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    truth.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_at_3", col("n_hits").cast("double") / lit(3.0))
+  }
+
+  val q63AnnRecallSql: String = s"""
+    WITH truth AS (
+      SELECT id1 AS qid, id2 AS cand_id FROM ($q29KnnBruteSql) WHERE rk <= 3),
+    ivf AS (SELECT qid, cand_id FROM ($q46IvfAnnSql)),
+    hits AS (
+      SELECT t.qid, count(*) AS n_hits
+      FROM truth t JOIN ivf i ON t.qid = i.qid AND t.cand_id = i.cand_id
+      GROUP BY 1),
+    qs AS (SELECT DISTINCT qid FROM truth)
+    SELECT qs.qid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 3.0 AS recall_at_3
+    FROM qs LEFT JOIN hits h ON qs.qid = h.qid
+  """
+
   /** q62: symmetric int8 quantization of the embedding column — the
     * standard 4× memory compression that makes billion-vector ANN indexes
     * fit in RAM. Per vector: scale = max |x| (an order-insensitive fold),

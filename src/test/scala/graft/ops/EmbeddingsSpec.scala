@@ -52,6 +52,28 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     } finally graft.CachedFrames.drain()
   }
 
+  test("IVF recall@3 (q63) is real, and multi-probe recovers boundary queries") {
+    val sf = "/root/testdata/sf0.001"
+    try {
+      val single = Embeddings.q63AnnRecall(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(single.size === 500) // every query scored, including 0-hit ones
+      val singleHits = single.values.sum
+      assert(singleHits > 0L)
+      // recompute multi-probe hits against the same ground truth: probing 2
+      // cells can only add candidates, so total hits must not decrease
+      val truth = Embeddings.q29KnnBrute(spark, sf).filter(col("rk") <= 3)
+        .select(col("id1"), col("id2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val multi = Embeddings.q60IvfMultiprobe(spark, sf)
+        .select(col("qid"), col("cand_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val multiHits = truth.count(multi.contains).toLong
+      assert(multiHits >= singleHits,
+        s"multi-probe hits $multiHits < single-probe $singleHits")
+    } finally graft.CachedFrames.drain()
+  }
+
   test("int8 quantization (q62) reconstruction error is bounded by half a step") {
     val sf = "/root/testdata/sf0.001"
     // symmetric quantization with floor(x + 0.5) rounding: the dequantized
