@@ -159,4 +159,25 @@ object Events {
       eps - last_click_eps AS secs_since_click
     FROM x WHERE event_type = 'purchase'
   """
+
+  /** q64: click→view attribution interval join, single-sourced with the
+    * STREAMING formulation ([[graft.streaming.EventStreams.attributionJoin]]
+    * — watermarks no-op on a batch frame, so this oracle gates the exact
+    * join the stream-stream operator runs). Every click pairs with the
+    * same user's views in the preceding 10 minutes. */
+  def q64Attribution(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.EventStreams.attributionJoin(Tables(spark, sfDir, "events"))
+
+  val q64AttributionSql: String = """
+    WITH e AS (
+      SELECT user_id, event_type, value,
+        CAST(floor(epoch(ts)) AS BIGINT) AS eps
+      FROM events),
+    v AS (SELECT user_id, eps AS view_s, value AS view_value
+          FROM e WHERE event_type = 'view'),
+    c AS (SELECT user_id, eps AS click_s FROM e WHERE event_type = 'click')
+    SELECT c.user_id, c.click_s, v.view_s, v.view_value
+    FROM c JOIN v ON c.user_id = v.user_id
+      AND v.view_s <= c.click_s AND v.view_s >= c.click_s - 600
+  """
 }

@@ -133,6 +133,35 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Watermarked stream-stream interval join — the remaining core
+    * Structured Streaming primitive next to windows, dedup and keyed state:
+    * attribute each `click` to every `view` by the same user within the
+    * preceding `horizonSec`. Both sides carry watermarks and the join
+    * condition bounds their event-time distance, which is exactly what
+    * lets the engine evict buffered rows once the watermark passes — state
+    * stays horizon-bounded on both sides no matter how long the streams
+    * run. Works identically on batch frames (same function, watermarks
+    * no-op), which is how the spec checks stream/batch agreement. */
+  def attributionJoin(
+      events: DataFrame,
+      horizonSec: Long = 600L,
+      watermark: String = "30 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("value").as("view_value"))
+      .withWatermark("view_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    clicks.join(views,
+        col("user_id") === col("click_user") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL '$horizonSec' SECOND"))
+      .select(col("user_id"),
+        unix_timestamp(col("click_ts")).as("click_s"),
+        unix_timestamp(col("view_ts")).as("view_s"),
+        col("view_value"))
+  }
+
   /** The same sessionization via the BUILT-IN `session_window` aggregation —
     * Spark's native gap-session operator (merge-on-late-event, emit-on-seal
     * are handled by the engine's session-window state store). Kept alongside

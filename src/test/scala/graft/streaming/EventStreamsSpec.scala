@@ -107,6 +107,57 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join pairs clicks with in-horizon views only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(ts(1), 1L, "view", 10.0),  // joins the 10:05 click (4 min gap)
+      Event(ts(5), 1L, "click", 0.0),
+      Event(ts(15), 1L, "click", 0.0), // 14 min after the view: outside horizon
+      Event(ts(10), 2L, "view", 20.0),
+      Event(ts(12), 2L, "click", 0.0), // same-user, in horizon
+      Event(ts(2), 3L, "click", 0.0))  // no view at all
+    val q = EventStreams.attributionJoin(mem.toDF(), horizonSec = 600L)
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attribution")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      def s(minute: Int) = ts(minute).getTime / 1000L
+      assert(got === Set(
+        (1L, s(5), s(1), 10.0),
+        (2L, s(12), s(10), 20.0)))
+    } finally q.stop()
+  }
+
+  test("file-source stream attribution join matches the batch twin on the events table") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    val staged = java.nio.file.Files.createTempDirectory("events-join-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("part-0.parquet"))
+    val stream = spark.readStream.schema(raw.schema).parquet(staged.toString)
+    val q = EventStreams.attributionJoin(normalize(stream))
+      .writeStream.format("memory").queryName("file_attribution")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_attribution").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val expected = EventStreams.attributionJoin(normalize(raw)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits sessions once the watermark seals them") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
