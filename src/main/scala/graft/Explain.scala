@@ -13,8 +13,9 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
                 else Seq("q1_agg", "q2_region_revenue", "q3_priority_revenue",
                   "q7_window_topn", "q12_topk", "dedup_pairs",
-                  "q27_lsh_pairs", "q53_span_dedup", "q57_oov_rate",
-                  "q58_decontaminate")
+                  "q27_lsh_pairs", "q47_range_join", "q53_span_dedup",
+                  "q57_oov_rate", "q58_decontaminate", "q60_ivf_multiprobe",
+                  "q61_tfidf_cosine", "q62_quantize_int8")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
