@@ -445,6 +445,45 @@ object TextOps {
     FROM r
   """
 
+  /** q65 tuning: chunk width / stride in tokens (50% overlap). */
+  private[ops] val ChunkWidth = 32
+  private[ops] val ChunkStride = 16
+
+  /** q65: sliding-window chunking with overlap — the RAG / long-context
+    * pretraining shape (q53's spans are the disjoint special case). Each
+    * document explodes into windows of [[ChunkWidth]] tokens every
+    * [[ChunkStride]] tokens, so consecutive chunks share half their
+    * tokens and no boundary sentence is ever lost to a hard cut; the last
+    * chunk is the remainder. A pure Generate + projection — data-parallel,
+    * no shuffle, no state — so it pipelines into the scan at any scale. */
+  def q65ChunkOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.parallelized(Tables(spark, sfDir, "documents"))
+      .select(col("doc_id"), expr("""split(trim(text), '\\s+')""").as("tk"))
+      .withColumn("n_tokens", size(col("tk")))
+      .filter(col("n_tokens") > 0)
+      .withColumn("chunk_idx", explode(expr(
+        s"sequence(0, CAST(ceil(greatest(n_tokens - $ChunkWidth, 0) / $ChunkStride.0) AS INT))")))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(ChunkWidth), col("n_tokens") - col("chunk_idx") * lit(ChunkStride))
+          .as("n_chunk_tokens"),
+        expr(s"concat_ws(' ', slice(tk, chunk_idx * $ChunkStride + 1, $ChunkWidth))")
+          .as("chunk_text"))
+
+  val q65ChunkOverlapSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+    n AS (SELECT doc_id, tk, len(tk) AS n_tokens FROM t WHERE len(tk) > 0),
+    c AS (
+      SELECT doc_id, tk, n_tokens,
+        unnest(range(CAST(ceil(greatest(n_tokens - $ChunkWidth, 0) / $ChunkStride.0) AS BIGINT) + 1)) AS chunk_idx
+      FROM n)
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+      CAST(least($ChunkWidth, n_tokens - chunk_idx * $ChunkStride) AS INTEGER) AS n_chunk_tokens,
+      array_to_string(list_slice(tk, chunk_idx * $ChunkStride + 1,
+        chunk_idx * $ChunkStride + $ChunkWidth), ' ') AS chunk_text
+    FROM c
+  """
+
   /** q61 tuning: signature width (top terms per doc) / query batch bound /
     * neighbours kept. */
   private[ops] val SimSigTerms = 10
