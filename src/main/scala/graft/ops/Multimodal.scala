@@ -282,13 +282,22 @@ object Multimodal {
       }
       private def isY4m(p: Array[Byte]): Boolean =
         p.length >= 10 && new String(p, 0, 10, "US-ASCII") == "YUV4MPEG2 "
-      override def decodeBatch(batch: Seq[MediaFile]): Seq[MediaFeatures] = {
-        val (wav, rest) = batch.partition(m => isWave(m.payload))
-        val (bmp, rest2) = rest.partition(m => isBmp(m.payload))
-        val (y4m, other) = rest2.partition(m => isY4m(m.payload))
-        Wav.decodeBatch(wav) ++ Bmp.decodeBatch(bmp) ++
-          Y4m.decodeBatch(y4m) ++ Opaque.decodeBatch(other)
-      }
+      /** Decode one routed file with its strict parser; a payload that
+        * carries the right magic but is corrupt past it (truncated pixel
+        * rows, garbage Y4M header, malformed RIFF chunks) degrades to
+        * [[Opaque]] byte stats instead of failing the whole batch — the
+        * strict parsers keep throwing when invoked directly, so specs and
+        * pipelines that want corruption surfaced still get the error. */
+      private def strictOr(d: Decoder, m: MediaFile): MediaFeatures =
+        try d.decodeBatch(Seq(m)).head
+        catch { case _: IllegalArgumentException => Opaque.decodeBatch(Seq(m)).head }
+      override def decodeBatch(batch: Seq[MediaFile]): Seq[MediaFeatures] =
+        batch.map { m =>
+          if (isWave(m.payload)) strictOr(Wav, m)
+          else if (isBmp(m.payload)) strictOr(Bmp, m)
+          else if (isY4m(m.payload)) strictOr(Y4m, m)
+          else Opaque.decodeBatch(Seq(m)).head
+        }
     }
   }
 

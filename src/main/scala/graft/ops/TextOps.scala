@@ -541,8 +541,13 @@ object TextOps {
       .filter(col("qid") =!= col("did"))
       .groupBy(col("qid"), col("did"))
       .agg(fixedSum(col("qw") * col("dw")).as("dot"))
-      .join(broadcast(norms.select(col("doc_id").as("qid"), col("nrm").as("qn"))), "qid")
-      .join(broadcast(norms.select(col("doc_id").as("did"), col("nrm").as("dn"))), "did")
+      // query norms are batch-bounded -> safe to broadcast; candidate norms
+      // are CORPUS-sized, so that join carries no hint (AQE broadcasts it
+      // locally; at scale it is a shuffle join on did, never a broadcast of
+      // one row per document)
+      .join(broadcast(norms.filter(col("doc_id") < SimQueryIds)
+        .select(col("doc_id").as("qid"), col("nrm").as("qn"))), "qid")
+      .join(norms.select(col("doc_id").as("did"), col("nrm").as("dn")), "did")
       .withColumn("cos", col("dot") / (col("qn") * col("dn")))
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= SimTopK)
