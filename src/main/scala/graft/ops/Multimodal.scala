@@ -194,67 +194,89 @@ object Multimodal {
         while (i < lim && b(i) != '\n') i += 1
         if (i < lim && b(i) == '\n') i else -1
       }
-      override def decodeBatch(batch: Seq[MediaFile]): Seq[MediaFeatures] =
-        batch.map { m =>
-          val b = m.payload
-          val he = headerEnd(b)
-          require(he > 0, s"media_id=${m.media_id}: missing Y4M stream header")
-          val toks = new String(b, 0, he, "US-ASCII").split(' ')
-          require(toks(0) == "YUV4MPEG2",
-            s"media_id=${m.media_id}: not a YUV4MPEG2 payload")
-          def param(tag: Char): Option[String] =
-            toks.iterator.drop(1).find(t => t.nonEmpty && t.head == tag).map(_.tail)
-          def dim(tag: Char): Int = {
-            val v = param(tag).getOrElse(
-              throw new IllegalArgumentException(
-                s"media_id=${m.media_id}: Y4M header missing $tag"))
-            v.toInt // NumberFormatException (an IAE) on garbage
-          }
-          val width = dim('W')
-          val height = dim('H')
-          require(width > 0 && height > 0 && width.toLong * height <= (1L << 26),
-            s"media_id=${m.media_id}: implausible Y4M dimensions ${width}x$height")
-          val lumaLen = width * height
-          val colorspace = param('C').getOrElse("420")
-          val chromaLen = colorspace match {
-            case c if c.startsWith("420") => 2 * (((width + 1) / 2) * ((height + 1) / 2))
-            case c if c.startsWith("422") => 2 * (((width + 1) / 2) * height)
-            case c if c.startsWith("444") => 2 * lumaLen
-            case "mono"                   => 0
-            case other =>
-              throw new IllegalArgumentException(
-                s"media_id=${m.media_id}: unsupported Y4M colorspace C$other")
-          }
-          val frameLen = lumaLen + chromaLen
-          val hist = new Array[Float](Decoder.FeatureDim)
-          var off = he + 1
-          var frames = 0
-          var lumaSamples = 0L
-          while (off < b.length) {
-            require(off + 5 <= b.length &&
-              b(off) == 'F' && b(off + 1) == 'R' && b(off + 2) == 'A' &&
-              b(off + 3) == 'M' && b(off + 4) == 'E',
-              s"media_id=${m.media_id}: malformed Y4M frame marker at byte $off")
-            var nl = off + 5 // frame markers may carry their own params
-            while (nl < b.length && b(nl) != '\n') nl += 1
-            require(nl < b.length, s"media_id=${m.media_id}: truncated Y4M frame header")
-            val dataStart = nl + 1
-            require(dataStart.toLong + frameLen <= b.length,
-              s"media_id=${m.media_id}: truncated Y4M frame data")
+      /** Parse one stream, binning the luma of every `stride`-th frame
+        * (frames 0, stride, 2·stride, …). Non-sampled frames are SKIPPED,
+        * not read — only their few-byte FRAME marker line is scanned before
+        * jumping `frameLen` bytes — which is the whole point of
+        * frame-sampling at scale: feature cost drops by the stride while
+        * the stream is still validated end to end. frame_count reports the
+        * SAMPLED frame count. */
+      private[ops] def decodeOne(m: MediaFile, stride: Int): MediaFeatures = {
+        require(stride >= 1, s"frame stride must be >= 1, got $stride")
+        val b = m.payload
+        val he = headerEnd(b)
+        require(he > 0, s"media_id=${m.media_id}: missing Y4M stream header")
+        val toks = new String(b, 0, he, "US-ASCII").split(' ')
+        require(toks(0) == "YUV4MPEG2",
+          s"media_id=${m.media_id}: not a YUV4MPEG2 payload")
+        def param(tag: Char): Option[String] =
+          toks.iterator.drop(1).find(t => t.nonEmpty && t.head == tag).map(_.tail)
+        def dim(tag: Char): Int = {
+          val v = param(tag).getOrElse(
+            throw new IllegalArgumentException(
+              s"media_id=${m.media_id}: Y4M header missing $tag"))
+          v.toInt // NumberFormatException (an IAE) on garbage
+        }
+        val width = dim('W')
+        val height = dim('H')
+        require(width > 0 && height > 0 && width.toLong * height <= (1L << 26),
+          s"media_id=${m.media_id}: implausible Y4M dimensions ${width}x$height")
+        val lumaLen = width * height
+        val colorspace = param('C').getOrElse("420")
+        val chromaLen = colorspace match {
+          case c if c.startsWith("420") => 2 * (((width + 1) / 2) * ((height + 1) / 2))
+          case c if c.startsWith("422") => 2 * (((width + 1) / 2) * height)
+          case c if c.startsWith("444") => 2 * lumaLen
+          case "mono"                   => 0
+          case other =>
+            throw new IllegalArgumentException(
+              s"media_id=${m.media_id}: unsupported Y4M colorspace C$other")
+        }
+        val frameLen = lumaLen + chromaLen
+        val hist = new Array[Float](Decoder.FeatureDim)
+        var off = he + 1
+        var frameIdx = 0
+        var sampled = 0
+        var lumaSamples = 0L
+        while (off < b.length) {
+          require(off + 5 <= b.length &&
+            b(off) == 'F' && b(off + 1) == 'R' && b(off + 2) == 'A' &&
+            b(off + 3) == 'M' && b(off + 4) == 'E',
+            s"media_id=${m.media_id}: malformed Y4M frame marker at byte $off")
+          var nl = off + 5 // frame markers may carry their own params
+          while (nl < b.length && b(nl) != '\n') nl += 1
+          require(nl < b.length, s"media_id=${m.media_id}: truncated Y4M frame header")
+          val dataStart = nl + 1
+          require(dataStart.toLong + frameLen <= b.length,
+            s"media_id=${m.media_id}: truncated Y4M frame data")
+          if (frameIdx % stride == 0) {
             var i = 0
             while (i < lumaLen) {
               hist((b(dataStart + i) & 0xff) >> 4) += 1f
               i += 1
             }
             lumaSamples += lumaLen
-            frames += 1
-            off = dataStart + frameLen
+            sampled += 1
           }
-          val n = math.max(lumaSamples, 1L)
-          var j = 0
-          while (j < Decoder.FeatureDim) { hist(j) /= n.toFloat; j += 1 }
-          MediaFeatures(m.media_id, m.kind, b.length, frames, hist)
+          frameIdx += 1
+          off = dataStart + frameLen
         }
+        val n = math.max(lumaSamples, 1L)
+        var j = 0
+        while (j < Decoder.FeatureDim) { hist(j) /= n.toFloat; j += 1 }
+        MediaFeatures(m.media_id, m.kind, b.length, sampled, hist)
+      }
+      override def decodeBatch(batch: Seq[MediaFile]): Seq[MediaFeatures] =
+        batch.map(decodeOne(_, stride = 1))
+    }
+
+    /** Frame-sampling video decode: every `stride`-th frame of a YUV4MPEG2
+      * stream is binned, the rest are length-validated and skipped — the
+      * standard 1-in-N frame sampling of video feature pipelines, with cost
+      * proportional to sampled frames, not stream length. */
+    final case class Y4mSampled(stride: Int) extends Decoder {
+      override def decodeBatch(batch: Seq[MediaFile]): Seq[MediaFeatures] =
+        batch.map(Y4m.decodeOne(_, stride))
     }
 
     /** Per-format routing: real WAV parser for RIFF/WAVE payloads, real BMP
@@ -271,15 +293,8 @@ object Multimodal {
       /** Route to the strict Bmp parser only when the header fields it
         * requires all hold (BITMAPINFOHEADER, 24-bit, BI_RGB) — a 32-bit /
         * paletted / RLE BMP, or a random payload that happens to start
-        * 'BM', falls back to Fake instead of crashing the batch. */
-      private def isBmp(p: Array[Byte]): Boolean = {
-        def u16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
-        def i32(o: Int): Int =
-          (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
-            ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
-        p.length >= 54 && p(0) == 'B' && p(1) == 'M' &&
-          i32(14) >= 40 && u16(28) == 24 && i32(30) == 0
-      }
+        * 'BM', falls back to Opaque instead of crashing the batch. */
+      private def isBmp(p: Array[Byte]): Boolean = isBmp24(p)
       private def isY4m(p: Array[Byte]): Boolean =
         p.length >= 10 && new String(p, 0, 10, "US-ASCII") == "YUV4MPEG2 "
       /** Decode one routed file with its strict parser; a payload that
@@ -304,6 +319,83 @@ object Multimodal {
   /** Frame-sampling plan: byte offsets of every `stride`-th frame start. */
   def frameOffsets(nBytes: Int, stride: Int): Array[Int] =
     (0 until nBytes by stride).toArray
+
+  /** Header check shared by [[Decoder.Auto]] routing and [[resizeBmp]]:
+    * payload is an uncompressed 24-bit BITMAPINFOHEADER BI_RGB bitmap. */
+  private[ops] def isBmp24(p: Array[Byte]): Boolean = {
+    def u16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    def i32(o: Int): Int =
+      (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+        ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+    p.length >= 54 && p(0) == 'B' && p(1) == 'M' &&
+      i32(14) >= 40 && u16(28) == 24 && i32(30) == 0
+  }
+
+  /** REAL nearest-neighbour resize of an uncompressed 24-bit BMP to tw×th,
+    * re-emitted as a valid BMP — zero external libraries, same header
+    * validation and untrusted-size clamps as the parser. Target pixel
+    * (x, y) samples source pixel (x·sw/tw, y·sh/th); bottom-up and
+    * top-down (negative height) sources resolve to the same image. */
+  def resizeBmp(b: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    require(tw > 0 && th > 0 && tw <= (1 << 14) && th <= (1 << 14),
+      s"implausible resize target ${tw}x$th")
+    def i32(o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    require(isBmp24(b), "not an uncompressed 24-bit BMP payload")
+    val dataOff = i32(10)
+    val sw = i32(18)
+    val rawH = i32(22)
+    val topDown = rawH < 0
+    val sh = math.abs(rawH)
+    require(sw > 0 && sh > 0 && sw <= (1 << 20) && sh <= (1 << 20),
+      s"implausible BMP dimensions ${sw}x$sh")
+    val stride = (3 * sw + 3) & ~3
+    require(dataOff >= 54 && dataOff.toLong + stride.toLong * sh <= b.length,
+      "truncated BMP pixel data")
+    val rgb = new Array[Byte](3 * tw * th) // top-down row-major, bmpBytes' input shape
+    var y = 0
+    while (y < th) {
+      val syTop = (y.toLong * sh / th).toInt
+      val fileRow = if (topDown) syTop else sh - 1 - syTop
+      val base = dataOff + fileRow * stride
+      var x = 0
+      while (x < tw) {
+        val sx = (x.toLong * sw / tw).toInt
+        val o = base + 3 * sx // B, G, R in the file
+        val t = 3 * (y * tw + x)
+        rgb(t) = b(o + 2)
+        rgb(t + 1) = b(o + 1)
+        rgb(t + 2) = b(o)
+        x += 1
+      }
+      y += 1
+    }
+    bmpBytes(tw, th, rgb)
+  }
+
+  /** The resize operator: image payloads (conforming 24-bit BMPs) downscale
+    * to tw×th and re-emit as valid BMPs with updated metadata; corrupt or
+    * non-BMP payloads pass through untouched (the Auto degradation policy).
+    * Same batch-wise mapPartitions shape as [[decode]] — a real resize
+    * codec slots into the same operator unchanged. */
+  def thumbnails(
+      media: Dataset[MediaFile], tw: Int, th: Int,
+      batchSize: Int = 64, parallelism: Option[Int] = None): Dataset[MediaFile] = {
+    import media.sparkSession.implicits._
+    val repart = parallelism
+      .map(p => media.repartition(p, col("media_id")))
+      .getOrElse(media.repartition(col("media_id")))
+    repart.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { m =>
+        if (isBmp24(m.payload))
+          try m.copy(payload = resizeBmp(m.payload, tw, th),
+            meta = m.meta.copy(width = tw, height = th))
+          catch { case _: IllegalArgumentException => m }
+        else m
+      })
+    }
+  }
 
   /** A minimal valid uncompressed 24-bit BMP around row-major RGB triples
     * (pixels(3i..3i+2) = r,g,b of pixel i), written bottom-up as the format
