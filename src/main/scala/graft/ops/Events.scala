@@ -160,6 +160,54 @@ object Events {
     FROM x WHERE event_type = 'purchase'
   """
 
+  /** q66: ordered funnel analysis — per user, the first `view`, the first
+    * `click` strictly after it, and the first `purchase` strictly after
+    * that (the classic conversion funnel; each stage anchored to the
+    * previous one, so an early purchase before any click does not count).
+    * Shape: one conditional aggregation per stage, all keyed on user_id —
+    * the user_id shuffle is paid once and reused by every stage join, and
+    * no window buffers a user's full history. */
+  def q66Funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("eps"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("eps")).as("view_s"))
+    val c = e.filter(col("event_type") === "click").as("c")
+      .join(v, "user_id")
+      .filter(col("eps") > col("view_s"))
+      .groupBy(col("user_id")).agg(min(col("eps")).as("click_s"))
+    val p = e.filter(col("event_type") === "purchase").as("p")
+      .join(c, "user_id")
+      .filter(col("eps") > col("click_s"))
+      .groupBy(col("user_id")).agg(min(col("eps")).as("purchase_s"))
+    v.join(c.select(col("user_id"), col("click_s")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), col("purchase_s")), Seq("user_id"), "left")
+      .select(col("user_id"), col("view_s"), col("click_s"), col("purchase_s"),
+        (lit(1) + when(col("click_s").isNotNull, 1).otherwise(0)
+          + when(col("purchase_s").isNotNull, 1).otherwise(0)).as("stages"))
+  }
+
+  val q66FunnelSql: String = """
+    WITH e AS (
+      SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS eps
+      FROM events),
+    v AS (SELECT user_id, min(eps) AS view_s FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.eps) AS click_s
+          FROM e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.eps > v.view_s
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.eps) AS purchase_s
+          FROM e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.eps > c.click_s
+          GROUP BY e.user_id)
+    SELECT v.user_id, v.view_s, c.click_s, p.purchase_s,
+      CAST(1 + CASE WHEN c.click_s IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN p.purchase_s IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS stages
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+  """
+
   /** q64: click→view attribution interval join, single-sourced with the
     * STREAMING formulation ([[graft.streaming.EventStreams.attributionJoin]]
     * — watermarks no-op on a batch frame, so this oracle gates the exact

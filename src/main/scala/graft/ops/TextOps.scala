@@ -507,6 +507,13 @@ object TextOps {
     * run. Dot products and norms use the fixed-point DECIMAL fold (floor
     * at 1e12), so the result is shuffle-order-proof and matches DuckDB
     * bitwise.
+    *
+    * Magnitude bound: the raw-ratio IDF (N+1)/(df+1) — chosen over log IDF
+    * for bitwise oracle parity, see [[q44TfDf]] — grows with corpus size,
+    * and squared weights × 1e12 must stay inside DECIMAL(38,0). That holds
+    * to ~1e13 per weight (≈ trillion-doc corpora with small tf); past it,
+    * swap in log IDF with a tolerance-checked double fold, or split the
+    * fixed point across two DECIMAL columns.
     */
   def q61TfidfCosine(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
