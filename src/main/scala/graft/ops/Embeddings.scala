@@ -225,15 +225,25 @@ object Embeddings {
       .select(col("label").as("cell"),
         expr("transform(im, x -> x.mean_x)").as("c"))
       .withColumn("cnorm2", dot(col("c"), col("c")))
-    // rank cells by squared L2 = |v|^2 - 2 v.c + |c|^2
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cell").asc)
+    // rank cells by squared L2 = |v|^2 - 2 v.c + |c|^2. Top-nprobe is taken
+    // by a map-side collect+sort+slice AGGREGATION, not a window: the
+    // crossJoin emits |cells| rows per vector and the partial aggregate
+    // collapses them to one row per vector BEFORE the exchange — |cells|×
+    // less shuffle volume than ranking after the shuffle, and no sort pass.
+    // (array_sort on struct(d2, cell) orders by d2 then cell — the same
+    // tie-break the oracle's row_number() uses.)
     graft.CachedFrames.track(e.crossJoin(broadcast(cents))
       .withColumn("d2",
         col("nrm") * col("nrm") - lit(2.0) * dot(col("v"), col("c")) + col("cnorm2"))
-      .withColumn("probe_rk", row_number().over(w))
-      .filter(col("probe_rk") <= nprobe)
-      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell"),
-        col("probe_rk")))
+      .groupBy(col("vec_id"))
+      .agg(first(col("label")).as("label"), first(col("v")).as("v"),
+        first(col("nrm")).as("nrm"),
+        slice(array_sort(collect_list(struct(col("d2"), col("cell")))),
+          1, nprobe).as("best"))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        posexplode(col("best")).as(Seq("pidx", "bc")))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        col("bc.cell").as("cell"), (col("pidx") + 1).cast("int").as("probe_rk")))
   }
 
   /** Home-cell (nprobe=1) assignment: (vec_id, label, v, nrm, cell). */
