@@ -484,6 +484,61 @@ object TextOps {
     FROM c
   """
 
+  /** q67 tuning: gram size k and winnowing window w (guarantee: any shared
+    * run of w + k - 1 tokens between two documents yields a shared
+    * fingerprint). */
+  private[ops] val WinnowK = 3
+  private[ops] val WinnowW = 4
+
+  /** q67: winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * scheme): hash every word k-gram, slide a window of w hashes, keep each
+    * window's minimum, dedup — a robust LOCAL fingerprint set with the
+    * guarantee that any sufficiently long shared token run between two
+    * documents produces a shared fingerprint, which whole-document hashing
+    * (q24) and random sampling both miss. Hashes use the portable 56-bit
+    * md5 prefix so both engines derive identical integers.
+    *
+    * Scale shape: pure per-row HOF projection + explode — no shuffle
+    * before the (doc_id, fp) output; the fingerprint index downstream
+    * joins on uniform 56-bit keys. Documents shorter than k tokens emit
+    * nothing; with fewer than w grams the single window is the whole gram
+    * list (standard winnowing edge). */
+  def q67Winnowing(spark: SparkSession, sfDir: String): DataFrame =
+    winnowingOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+
+  /** Winnowing over any (doc_id, text) frame — the spec drives this with
+    * crafted documents to pin the shared-run guarantee. */
+  private[ops] def winnowingOn(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
+      .filter(expr(s"size(toks) >= $WinnowK"))
+      .withColumn("h", expr(
+        s"transform(${ngramsExpr(WinnowK, distinct = false)}, " +
+          "g -> CAST(conv(substring(md5(g), 1, 14), 16, 10) AS BIGINT))"))
+      .withColumn("fps", expr(
+        s"""array_sort(array_distinct(transform(
+              sequence(0, greatest(size(h) - $WinnowW, 0)),
+              i -> array_min(slice(h, i + 1, $WinnowW)))))"""))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+
+  val q67WinnowingSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+    g AS (
+      SELECT doc_id, ${ngramsSqlExpr(WinnowK, distinct = false)} AS grams
+      FROM t WHERE len(tk) >= $WinnowK),
+    h AS (
+      SELECT doc_id, list_transform(grams,
+        gr -> ('0x' || substr(md5(gr), 1, 14))::BIGINT) AS h
+      FROM g),
+    f AS (
+      SELECT doc_id, list_sort(list_distinct(list_transform(
+        range(greatest(len(h) - $WinnowW, 0) + 1),
+        i -> list_min(list_slice(h, i + 1, i + $WinnowW))))) AS fps
+      FROM h)
+    SELECT doc_id, unnest(fps) AS fp FROM f
+  """
+
   /** q61 tuning: signature width (top terms per doc) / query batch bound /
     * neighbours kept. */
   private[ops] val SimSigTerms = 10

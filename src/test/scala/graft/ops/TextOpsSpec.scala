@@ -27,4 +27,24 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(checked > 100)
     assert(got.size === checked) // and not one chunk more
   }
+
+  test("winnowing guarantee: a shared w+k-1 token run yields a shared fingerprint") {
+    import spark.implicits._
+    // k=3, w=4: any shared run of 6 tokens must produce >= 1 shared
+    // fingerprint — the property that makes winnowing a RELIABLE local
+    // fingerprint, unlike sampling. Docs otherwise token-disjoint.
+    val shared = "lorem ipsum dolor sit amet consectetur"
+    val docs = Seq(
+      (1L, s"aa bb cc dd $shared ee ff gg"),
+      (2L, s"pp qq rr $shared ss tt uu vv ww"),
+      (3L, "xx yy zz x1 x2 x3 x4 x5 x6")).toDF("doc_id", "text")
+    val fps = TextOps.winnowingOn(docs).collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared run produced no shared fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty, "token-disjoint docs share a fingerprint")
+    assert((fps(2L) & fps(3L)).isEmpty)
+    // fingerprints are far fewer than grams (the point of winnowing): doc 1
+    // has 10 tokens -> 8 grams but at most 5 window minima
+    assert(fps(1L).size <= 5)
+  }
 }
