@@ -539,6 +539,62 @@ object TextOps {
     SELECT doc_id, unnest(fps) AS fp FROM f
   """
 
+  /** q68 tuning: stop-fingerprint document-frequency cap and the minimum
+    * shared-fingerprint count for a reported pair. */
+  private[ops] val ContainDfCap = 50
+  private[ops] val ContainMinShared = 2
+
+  /** q68: asymmetric containment via the winnowing index — "how much of
+    * document A's fingerprint set appears in B" (quote / excerpt detection;
+    * Jaccard misses containment when sizes differ wildly). Pairs come from
+    * an equi-join on fingerprint — the posting-list shape, sub-quadratic —
+    * after dropping stop-fingerprints seen in more than [[ContainDfCap]]
+    * documents (MOSS's noise filter, and the bound that keeps every posting
+    * list short at corpus scale). Containment is computed against each
+    * doc's CAPPED fingerprint set so both engines and both ratio directions
+    * use the same denominator. */
+  def q68Containment(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = graft.CachedFrames.track(q67Winnowing(spark, sfDir))
+    val kept = graft.CachedFrames.track(
+      fps.join(
+        fps.groupBy(col("fp")).agg(count(lit(1)).as("fdf"))
+          .filter(col("fdf") <= ContainDfCap)
+          .select(col("fp")),
+        "fp"))
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    kept.select(col("doc_id").as("id1"), col("fp"))
+      .join(kept.select(col("doc_id").as("id2"), col("fp")), "fp")
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= ContainMinShared)
+      .join(sizes.select(col("doc_id").as("id1"), col("n_fp").as("n1")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("n_fp").as("n2")), "id2")
+      .select(col("id1"), col("id2"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n1").cast("double")).as("contain1"),
+        (col("n_shared").cast("double") / col("n2").cast("double")).as("contain2"))
+  }
+
+  val q68ContainmentSql: String = s"""
+    WITH fp AS (SELECT * FROM ($q67WinnowingSql)),
+    kept AS (
+      SELECT fp.doc_id, fp.fp FROM fp
+      JOIN (SELECT fp, count(*) AS fdf FROM fp GROUP BY fp
+            HAVING count(*) <= $ContainDfCap) ok ON fp.fp = ok.fp),
+    sizes AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= $ContainMinShared)
+    SELECT p.id1, p.id2, p.n_shared,
+      CAST(p.n_shared AS DOUBLE) / CAST(s1.n_fp AS DOUBLE) AS contain1,
+      CAST(p.n_shared AS DOUBLE) / CAST(s2.n_fp AS DOUBLE) AS contain2
+    FROM pairs p
+    JOIN sizes s1 ON p.id1 = s1.doc_id
+    JOIN sizes s2 ON p.id2 = s2.doc_id
+  """
+
   /** q61 tuning: signature width (top terms per doc) / query batch bound /
     * neighbours kept. */
   private[ops] val SimSigTerms = 10
