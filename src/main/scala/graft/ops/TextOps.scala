@@ -512,13 +512,17 @@ object TextOps {
     docs
       .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
       .filter(expr(s"size(toks) >= $WinnowK"))
-      .withColumn("h", expr(
-        s"transform(${ngramsExpr(WinnowK, distinct = false)}, " +
-          "g -> CAST(conv(substring(md5(g), 1, 14), 16, 10) AS BIGINT))"))
+      // the gram-hash array is LET-BOUND via transform(array(...), hh ->)[0]
+      // so it evaluates ONCE per row: written as a separate column, Catalyst's
+      // projection collapse inlines it into the window lambda and re-runs
+      // every md5 per window element — measured 170 s instead of ~2 s at sf0.1
       .withColumn("fps", expr(
-        s"""array_sort(array_distinct(transform(
-              sequence(0, greatest(size(h) - $WinnowW, 0)),
-              i -> array_min(slice(h, i + 1, $WinnowW)))))"""))
+        s"""transform(array(
+              transform(${ngramsExpr(WinnowK, distinct = false)},
+                g -> CAST(conv(substring(md5(g), 1, 14), 16, 10) AS BIGINT))),
+              hh -> array_sort(array_distinct(transform(
+                sequence(0, greatest(size(hh) - $WinnowW, 0)),
+                i -> array_min(slice(hh, i + 1, $WinnowW))))))[0]"""))
       .select(col("doc_id"), explode(col("fps")).as("fp"))
 
   val q67WinnowingSql: String = s"""
