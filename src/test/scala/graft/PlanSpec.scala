@@ -161,6 +161,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("struct<vec_id:bigint,embedding:array<float>>"), p)
   }
 
+  test("q66_funnel: stage aggregations combine map-side and reuse the user_id shuffle") {
+    val p = finalPlan("q66_funnel")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(p.contains("partial_min"), p)
+    // view / click / purchase stages: three user_id aggregation shuffles,
+    // with the click stage's exchange REUSED by the purchase stage instead
+    // of re-shuffling the events scan a fourth time
+    assert(nodes(p, "Exchange") == 3, p)
+    assert(nodes(p, "ReusedExchange") == 1, p)
+  }
+
+  test("q67_winnowing: pure projection + explode — no shuffle before the fingerprint output") {
+    val p = finalPlan("q67_winnowing")
+    assert(nodes(p, "Generate") == 1, p)
+    assert(nodes(p, "HashAggregate") == 0, p)
+    assert(nodes(p, "BroadcastHashJoin") == 0 && nodes(p, "SortMergeJoin") == 0, p)
+    assert(nodes(p, "Exchange") == 1, p) // Tables.parallelized only
+  }
+
   test("dedup_pairs: one exchange before the feature projection, each comparator once") {
     val p = finalPlan("dedup_pairs")
     // the only shuffle is parallelize()'s input right-sizing (reused by the
