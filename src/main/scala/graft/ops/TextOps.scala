@@ -484,6 +484,46 @@ object TextOps {
     FROM c
   """
 
+  /** q69: dataset mixture statistics + resampling weights — the
+    * data-mixing step of pretraining corpus assembly: per source, document
+    * and token counts, the source's share of total tokens, and the
+    * resampling weight that would flatten the mixture to uniform
+    * (weight = target_share / actual_share; a weight > 1 means upsample).
+    * Exact-ratio doubles, one global aggregation over per-source partials —
+    * the output is |sources| rows no matter the corpus size. */
+  def q69MixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSource = Tables(spark, sfDir, "documents")
+      .select(col("source"),
+        expr("""size(split(trim(text), '\\s+'))""").cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+    val w = Window.partitionBy() // |sources| rows — a driver-sized window
+    perSource
+      .withColumn("total_tokens", sum(col("tokens")).over(w))
+      .withColumn("n_sources", count(lit(1)).over(w))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        (col("tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("token_share"),
+        ((lit(1.0) / col("n_sources").cast("double"))
+          / (col("tokens").cast("double") / col("total_tokens").cast("double")))
+          .as("uniform_weight"))
+  }
+
+  val q69MixtureWeightsSql: String = """
+    WITH s AS (
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+                 count(*) AS n_sources FROM s)
+    SELECT s.source, s.n_docs, s.tokens,
+      CAST(s.tokens AS DOUBLE) / CAST(t.total_tokens AS DOUBLE) AS token_share,
+      (1.0 / CAST(t.n_sources AS DOUBLE))
+        / (CAST(s.tokens AS DOUBLE) / CAST(t.total_tokens AS DOUBLE)) AS uniform_weight
+    FROM s CROSS JOIN t
+  """
+
   /** q67 tuning: gram size k and winnowing window w (guarantee: any shared
     * run of w + k - 1 tokens between two documents yields a shared
     * fingerprint). */
