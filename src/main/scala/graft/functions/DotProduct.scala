@@ -101,6 +101,12 @@ object GraftFunctions {
         (exprs: Seq[Expression]) => {
           require(exprs.length == 2, s"minhash_affine takes 2 arguments, got ${exprs.length}")
           MinHashAffine(exprs(0), exprs(1))
+        }),
+      (FunctionIdentifier("window_mins"),
+        new ExpressionInfo(classOf[WindowMins].getName, "window_mins"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2, s"window_mins takes 2 arguments, got ${exprs.length}")
+          WindowMins(exprs(0), exprs(1))
         }))
 
   // weakly referenced so a stopped session (and its sessionState) can be

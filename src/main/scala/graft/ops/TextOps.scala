@@ -548,22 +548,24 @@ object TextOps {
 
   /** Winnowing over any (doc_id, text) frame — the spec drives this with
     * crafted documents to pin the shared-run guarantee. */
-  private[ops] def winnowingOn(docs: DataFrame): DataFrame =
+  private[ops] def winnowingOn(docs: DataFrame): DataFrame = {
+    // the sliding-window minima run in the native codegen window_mins
+    // expression: one primitive pass, and — unlike a computed array column
+    // fed to nested HOF lambdas — its gram-hash child is evaluated exactly
+    // once per row (the interpreted transform/slice/array_min chain this
+    // replaces re-ran every md5 per window after projection collapse:
+    // measured 170 s instead of ~2 s at sf0.1)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
       .filter(expr(s"size(toks) >= $WinnowK"))
-      // the gram-hash array is LET-BOUND via transform(array(...), hh ->)[0]
-      // so it evaluates ONCE per row: written as a separate column, Catalyst's
-      // projection collapse inlines it into the window lambda and re-runs
-      // every md5 per window element — measured 170 s instead of ~2 s at sf0.1
       .withColumn("fps", expr(
-        s"""transform(array(
+        s"""array_sort(array_distinct(window_mins(
               transform(${ngramsExpr(WinnowK, distinct = false)},
-                g -> CAST(conv(substring(md5(g), 1, 14), 16, 10) AS BIGINT))),
-              hh -> array_sort(array_distinct(transform(
-                sequence(0, greatest(size(hh) - $WinnowW, 0)),
-                i -> array_min(slice(hh, i + 1, $WinnowW))))))[0]"""))
+                g -> CAST(conv(substring(md5(g), 1, 14), 16, 10) AS BIGINT)),
+              $WinnowW)))"""))
       .select(col("doc_id"), explode(col("fps")).as("fp"))
+  }
 
   val q67WinnowingSql: String = s"""
     WITH t AS (
