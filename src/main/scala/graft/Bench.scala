@@ -50,8 +50,8 @@ object Bench {
     finally CachedFrames.drain()
 
     var stats = runSuite(spark, sfDir)
-    val medTotal = stats.values.map(_.median).sum
-    val minTotal = stats.values.map(_.min).sum
+    val medTotal = stats.values.map(_.median).filterNot(_.isNaN).sum
+    val minTotal = stats.values.map(_.min).filterNot(_.isNaN).sum
     if (medTotal > Sentinel * minTotal) {
       System.err.println(
         f"[bench] contention sentinel: median total $medTotal%.1f s > " +
@@ -67,8 +67,13 @@ object Bench {
     stats = cleaned
 
     def fmt(sel: QStat => Double) = stats
-      .map { case (k, v) => "\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
-    val total = stats.values.map(_.median).sum
+      .map { case (k, v) =>
+        val x = sel(v)
+        "\"" + k + "\":" + (if (x.isNaN) "null" else x.toString)
+      }.mkString("{", ",", "}")
+    // an all-reps-failed query contributes NaN — drop it from the headline
+    // total (its name still appears under "failures", so it stays visible)
+    val total = stats.values.map(_.median).filterNot(_.isNaN).sum
     // a rep that throws must be VISIBLE, not billed as a fast success —
     // otherwise a query that fails to plan deflates the headline total
     val failed = stats.filter(_._2.failures > 0)
@@ -145,17 +150,33 @@ object Bench {
 
   private def measureQuery(spark: SparkSession, sfDir: String, name: String): QStat = {
     var failures = 0
-    val times = (1 to Reps).map { _ =>
+    val times = (1 to Reps).flatMap { _ =>
       val t0 = System.nanoTime()
-      try materialize(spark, sfDir, name)
-      catch { case t: Throwable =>
-        failures += 1
-        System.err.println(s"[bench] $name rep failed: ${t.getClass.getSimpleName}: ${t.getMessage}")
-      }
-      finally CachedFrames.drain() // each rep measured with a cold cache
-      (System.nanoTime() - t0) / 1e9
-    }.sorted
-    QStat(times(times.size / 2), times.head, times.last, failures)
+      val ok =
+        try { materialize(spark, sfDir, name); true }
+        catch { case t: Throwable =>
+          failures += 1
+          System.err.println(s"[bench] $name rep failed: ${t.getClass.getSimpleName}: ${t.getMessage}")
+          false
+        }
+        finally CachedFrames.drain() // each rep measured with a cold cache
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (ok) Some(dt) else None
+    }
+    statOf(times, failures)
+  }
+
+  /** Build the per-query stat from SUCCESSFUL rep times only — a failed
+    * rep's (fast) wall time must not enter median/min/max, or a query that
+    * fails to plan deflates the headline total while looking like a win.
+    * All reps failed → NaN stats; the caller drops NaN from the total and
+    * emits `null` in the JSON. Pure so the spec can drive it directly. */
+  private[graft] def statOf(times: Seq[Double], failures: Int): QStat = {
+    if (times.isEmpty) QStat(Double.NaN, Double.NaN, Double.NaN, failures)
+    else {
+      val s = times.sorted
+      QStat(s(s.size / 2), s.head, s.last, failures)
+    }
   }
 
   private def runSuite(spark: SparkSession, sfDir: String): Map[String, QStat] =

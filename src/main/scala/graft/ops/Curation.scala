@@ -134,4 +134,50 @@ object Curation {
       FROM documents)
     SELECT doc_id, lang, h, rate FROM x WHERE h < rate
   """
+
+  /** q70 tuning: shard count. At 100 TB this is the file-level parallelism
+    * of the training job (hundreds to thousands); at test SF a small fixed
+    * value keeps the oracle window cheap. */
+  private[ops] val ShuffleShards = 8
+  private val ShuffleSalt = "shuf:v1:"
+
+  /** q70: deterministic corpus shuffle into training shards — the "global
+    * shuffle" step every pretraining run needs, made reproducible: the
+    * shuffle key is a salted content hash (md5 of the salted doc_id), the
+    * shard is the key's 56-bit prefix mod [[ShuffleShards]], and `pos` is
+    * the document's rank within its shard under the key order. Re-running
+    * the pipeline — on a different cluster, after a retry, at a different
+    * parallelism — yields byte-identical shard files, unlike `rand()` or
+    * `repartition`-based shuffling. Changing the salt reshuffles globally.
+    *
+    * Scale shape: one hash exchange on `shard` + a per-shard sort — exactly
+    * the physical layout the shard writer needs (each task streams one
+    * sorted shard to its file), so the sort is not overhead, it IS the
+    * output contract. No global ordering, no single-partition stage; shard
+    * count scales with the cluster, and md5 keys make every shard
+    * statistically equal-sized regardless of input skew. */
+  def q70ShuffleShards(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.parallelized(Tables(spark, sfDir, "documents"))
+      .select(col("doc_id"),
+        md5(concat(lit(ShuffleSalt), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("shard", expr(
+        s"CAST(CAST(conv(substring(skey, 1, 14), 16, 10) AS BIGINT) % $ShuffleShards AS INT)"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  val q70ShuffleShardsSql: String = s"""
+    WITH k AS (
+      SELECT doc_id, md5('$ShuffleSalt' || doc_id::VARCHAR) AS skey FROM documents),
+    s AS (
+      SELECT doc_id, skey,
+        CAST(('0x' || substr(skey, 1, 14))::BIGINT % $ShuffleShards AS INT) AS shard
+      FROM k)
+    SELECT doc_id, shard,
+      CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos
+    FROM s
+  """
 }

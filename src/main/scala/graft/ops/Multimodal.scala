@@ -509,10 +509,17 @@ object Multimodal {
   private[ops] def resolveFixture(): Option[java.io.File] = {
     val fromEnv = sys.env.get("GRAFT_FIXTURES_DIR")
       .map(d => new java.io.File(d, "media.parquet"))
-    val fromCwd = Iterator.iterate(new java.io.File(".").getAbsoluteFile.getParentFile)(_.getParentFile)
-      .takeWhile(_ != null)
-      .map(dir => new java.io.File(dir, FixturePath))
-    (fromEnv.iterator ++ fromCwd).find(_.exists())
+    // ancestor walk stops at the first repo root (.git or build.sbt),
+    // inclusive — an unrelated fixtures/media.parquet ABOVE the repo must
+    // not be silently read as the q34 input
+    val ancestors = Iterator
+      .iterate(new java.io.File(".").getAbsoluteFile.getParentFile)(_.getParentFile)
+      .takeWhile(_ != null).toList
+    val rootIdx = ancestors.indexWhere(d =>
+      new java.io.File(d, ".git").exists() || new java.io.File(d, "build.sbt").exists())
+    val searched = if (rootIdx >= 0) ancestors.take(rootIdx + 1) else ancestors
+    (fromEnv.iterator ++ searched.iterator.map(d => new java.io.File(d, FixturePath)))
+      .find(_.exists())
   }
 
   /** The q34 media table: the committed fixture when resolvable, else the

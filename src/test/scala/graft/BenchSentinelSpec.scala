@@ -58,6 +58,15 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(flagged.isEmpty)
   }
 
+  test("statOf uses successful rep times only; all-failed yields NaN") {
+    // a failed rep's (fast) wall time must not deflate the stats
+    val s = Bench.statOf(Seq(2.0, 2.2), failures = 1)
+    assert(s.median === 2.2 && s.min === 2.0 && s.max === 2.2 && s.failures === 1)
+    val dead = Bench.statOf(Seq.empty, failures = 3)
+    assert(dead.median.isNaN && dead.min.isNaN && dead.max.isNaN)
+    assert(dead.failures === 3)
+  }
+
   test("parseQueryMedians reads a recorded bench line") {
     val line = """{"metric":"total","value":40.9,"unit":"sec","reps":3,""" +
       """"failures":{},"queries":{"q1_agg":0.51,"q47_range_join":0.55},""" +

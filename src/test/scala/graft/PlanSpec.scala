@@ -180,6 +180,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "Exchange") == 1, p) // Tables.parallelized only
   }
 
+  test("q70_shuffle_shards: one hash exchange on shard + per-shard sort, never a global sort") {
+    val p = finalPlan("q70_shuffle_shards")
+    // the shard writer's contract: rows hash-exchange to their shard and
+    // sort WITHIN it — a rangepartitioning here would mean a global sort,
+    // a skew-prone single ordering no 100 TB run can afford
+    assert("hashpartitioning\\(shard".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("rangepartitioning"), p)
+    assert(nodes(p, "Window") == 1, p)
+    assert(nodes(p, "Exchange") == 2, p) // scan right-sizing + the shard exchange
+    // scan prunes to the one referenced input column
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+  }
+
   test("dedup_pairs: one exchange before the feature projection, each comparator once") {
     val p = finalPlan("dedup_pairs")
     // the only shuffle is parallelize()'s input right-sizing (reused by the

@@ -41,11 +41,14 @@ def main():
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = sorted(got.columns)
-            got_types = dict(zip(got.columns, (str(t) for t in got.types)))
+            # (name, type) pairs, NOT a dict: duplicate output column names
+            # would silently collapse to one dict entry and let a type
+            # mismatch on the shadowed duplicate escape the strict check
+            got_types = sorted(zip(got.columns, (str(t) for t in got.types)))
             got_rows = canon(got.select(", ".join(f'"{c}"' for c in got_cols)).fetchall())
             exp = con.sql(sql)
             exp_cols = sorted(exp.columns)
-            exp_types = dict(zip(exp.columns, (str(t) for t in exp.types)))
+            exp_types = sorted(zip(exp.columns, (str(t) for t in exp.types)))
             exp_rows = canon(exp.select(", ".join(f'"{c}"' for c in exp_cols)).fetchall())
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
@@ -59,11 +62,10 @@ def main():
         # BIGINT, so the local gate must too. Both sides are read through the
         # same DuckDB type system (parquet scan vs native query), so any
         # divergence here is a real oracle-vs-engine typing mismatch.
-        type_bad = [c for c in got_cols if got_types[c] != exp_types[c]]
+        type_bad = [(g, e) for g, e in zip(got_types, exp_types) if g != e]
         if type_bad:
-            for c in type_bad:
-                print(f"FAIL {name}: column '{c}' type spark={got_types[c]} "
-                      f"!= oracle={exp_types[c]}")
+            for g, e in type_bad:
+                print(f"FAIL {name}: column type spark={g} != oracle={e}")
             failed.append(name)
             continue
         if len(got_rows) != len(exp_rows):
