@@ -179,6 +179,15 @@ object Bench {
     }
   }
 
+  /** Optional comma-separated query filter (`SPARK_GRAFT_BENCH_ONLY`) for
+    * re-measuring a few suspect queries without paying for the whole suite —
+    * the manual arm of the contention-sentinel workflow. Unset = all. */
+  private def selectedQueries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet) match {
+      case Some(only) => SparkEntry.queries.view.filterKeys(only).toMap
+      case None => SparkEntry.queries
+    }
+
   private def runSuite(spark: SparkSession, sfDir: String): Map[String, QStat] =
-    SparkEntry.queries.map { case (name, _) => name -> measureQuery(spark, sfDir, name) }
+    selectedQueries.map { case (name, _) => name -> measureQuery(spark, sfDir, name) }
 }

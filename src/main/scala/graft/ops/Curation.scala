@@ -138,7 +138,7 @@ object Curation {
   /** q70 tuning: shard count. At 100 TB this is the file-level parallelism
     * of the training job (hundreds to thousands); at test SF a small fixed
     * value keeps the oracle window cheap. */
-  private[ops] val ShuffleShards = 8
+  private[graft] val ShuffleShards = 8
   private val ShuffleSalt = "shuf:v1:"
 
   /** q70: deterministic corpus shuffle into training shards — the "global

@@ -36,6 +36,24 @@ object Io {
       .parquet(path)
   }
 
+  /** Training-shard sink — the output half of the deterministic corpus
+    * shuffle (`graft.ops.Curation.q70ShuffleShards`): rows hash-exchange to
+    * their shard and sort within it, then write hive-partitioned by the
+    * shard column. Because the exchange keys on the shard value, every
+    * shard lands in exactly one task, so each `shard=K` directory holds ONE
+    * parquet file whose row order is the training order — a reader streams
+    * shard files sequentially with no further sort. Parquet preserves
+    * within-file row order (row groups in write order), so the contract
+    * survives the round trip (IoSpec). At 100 TB the per-task spill-sort is
+    * bounded by corpus / shard-count; shard count is the knob. */
+  def writeShards(df: DataFrame, path: String, shardCol: String = "shard",
+                  orderCols: Seq[String] = Seq("pos")): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(col(shardCol))
+      .sortWithinPartitions((shardCol +: orderCols).map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(shardCol).parquet(path)
+  }
+
   /** Bucketed managed table: pre-shuffles rows into `numBuckets` hash
     * buckets of `bucketCols` AT WRITE TIME, so every later equi-join or
     * aggregation on those columns plans with NO exchange (see

@@ -47,6 +47,26 @@ class IoSpec extends AnyFunSuite with SparkSpec {
     assert(scanText.contains("PartitionFilters") || pruned.inputFiles.forall(_.contains("bucket=2")))
   }
 
+  test("shard sink: one file per shard, rows in training order within it") {
+    val dir = Files.createTempDirectory("io-shards").toString
+    val assigned = graft.ops.Curation.q70ShuffleShards(spark, "/root/testdata/sf0.001")
+    Io.writeShards(assigned, dir)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length === graft.ops.Curation.ShuffleShards)
+    var total = 0L
+    shardDirs.foreach { sd =>
+      val parts = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 1, s"${sd.getName}: a shard must be ONE sorted file")
+      // within-file row order IS the training order: pos reads back 1..n
+      val pos = spark.read.parquet(parts.head.getPath)
+        .select("pos").collect().map(_.getLong(0))
+      assert(pos.toSeq === (1L to pos.length.toLong), s"${sd.getName} out of order")
+      total += pos.length
+    }
+    assert(total === assigned.count())
+  }
+
   test("overwrite replaces prior contents (reference S3 semantics)") {
     val dir = Files.createTempDirectory("io-ow").toString
     Io.writeParquet(sample, dir)
