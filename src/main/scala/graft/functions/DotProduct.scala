@@ -107,6 +107,12 @@ object GraftFunctions {
         (exprs: Seq[Expression]) => {
           require(exprs.length == 2, s"window_mins takes 2 arguments, got ${exprs.length}")
           WindowMins(exprs(0), exprs(1))
+        }),
+      (FunctionIdentifier("md5_prefix56"),
+        new ExpressionInfo(classOf[Md5Prefix56].getName, "md5_prefix56"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1, s"md5_prefix56 takes 1 argument, got ${exprs.length}")
+          Md5Prefix56(exprs(0))
         }))
 
   // weakly referenced so a stopped session (and its sessionState) can be

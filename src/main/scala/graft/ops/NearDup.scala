@@ -73,7 +73,7 @@ object NearDup {
     // O(numPerm·n) pass; minima are order-independent so the oracle's
     // per-permutation array_min formulation matches exactly
     df.withColumn("hs", expr(
-      "transform(shingles, s -> CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT))"))
+      "transform(shingles, s -> md5_prefix56(s))"))
       .withColumn("sig", expr(s"minhash_affine(hs, ${cfg.numPerm})"))
       .drop("hs")
   }
@@ -393,7 +393,7 @@ object NearDup {
     docs
       .withColumn("__toks", expr("""array_distinct(split(trim(text), '\\s+'))"""))
       .withColumn("__th", expr(
-        "transform(__toks, s -> CAST(conv(substring(md5(concat('0:', s)), 1, 14), 16, 10) AS BIGINT))"))
+        "transform(__toks, s -> md5_prefix56(concat('0:', s)))"))
       .withColumn("simhash", call_function("simhash56", col("__th")))
       .drop("__toks", "__th")
   }

@@ -562,7 +562,7 @@ object TextOps {
       .withColumn("fps", expr(
         s"""array_sort(array_distinct(window_mins(
               transform(${ngramsExpr(WinnowK, distinct = false)},
-                g -> CAST(conv(substring(md5(g), 1, 14), 16, 10) AS BIGINT)),
+                g -> md5_prefix56(g)),
               $WinnowW)))"""))
       .select(col("doc_id"), explode(col("fps")).as("fp"))
   }
