@@ -180,4 +180,92 @@ object Curation {
       CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos
     FROM s
   """
+
+  /** q71 tuning: which source plays the "new crawl batch" in the gate
+    * query, and the Hamming bound for a near-dup verdict — tables−1 is the
+    * rotation-banding guarantee (any pair within it shares a bucket). */
+  private[ops] val IncrementalBatchSource = "src0"
+  private[ops] val IncrementalMaxHamming = NearDup.DefaultSimHash.tables - 1
+
+  /** q71: incremental (delta-vs-corpus) dedup — the admission check a
+    * continuously-growing corpus runs on every new crawl batch, instead of
+    * re-deduping the whole corpus: each batch document gets a verdict
+    * `dup_exact` (normalized text already in the corpus), `dup_near`
+    * (SimHash rotation-band collision within [[IncrementalMaxHamming]]
+    * Hamming bits), or `new`, plus the smallest matching corpus doc id.
+    *
+    * Scale shape — the asymmetry IS the operator: the batch is orders
+    * smaller than the corpus, so BOTH probes broadcast batch-side keys and
+    * the corpus only streams: the digest probe joins the corpus scan
+    * against the broadcast batch digests, the near probe joins the corpus
+    * band stream against the broadcast batch bands. The corpus is never
+    * shuffled, sorted, or collected; in production its digest and
+    * fingerprint columns are the persisted index (exactly q25's and q28's
+    * outputs), maintained incrementally as admitted batches append. */
+  def q71IncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("text"), col("source"))
+    incrementalDedupOn(
+      docs.filter(col("source") === IncrementalBatchSource).drop("source"),
+      docs.filter(col("source") =!= IncrementalBatchSource).drop("source"))
+  }
+
+  /** [[q71IncrementalDedup]]'s core over ANY (doc_id BIGINT, text) batch +
+    * corpus frames — the spec drives this with crafted documents covering
+    * all three verdicts and the exact-beats-near precedence. */
+  private[ops] def incrementalDedupOn(batch: DataFrame, corpus: DataFrame): DataFrame = {
+    val b = graft.CachedFrames.track(batch)
+    val bKeys = b.select(col("doc_id").as("bid"), md5(lower(trim(col("text")))).as("ck"))
+    val exact = corpus
+      .select(md5(lower(trim(col("text")))).as("ck"), col("doc_id").as("cid"))
+      .join(broadcast(bKeys), "ck")
+      .groupBy(col("bid")).agg(min(col("cid")).as("exact_match"))
+    val bBands = NearDup.simhashBandsOn(NearDup.withSimhash(b))
+      .select(col("doc_id").as("bid"), col("simhash").as("bsim"),
+        col("t"), col("bucket"))
+    val cBands = NearDup.simhashBandsOn(NearDup.withSimhash(corpus))
+      .select(col("doc_id").as("cid"), col("simhash").as("csim"),
+        col("t"), col("bucket"))
+    val near = cBands.join(broadcast(bBands), Seq("t", "bucket"))
+      .filter(expr(s"bit_count(bsim ^ csim) <= $IncrementalMaxHamming"))
+      .groupBy(col("bid")).agg(min(col("cid")).as("near_match"))
+    b.select(col("doc_id"))
+      .join(broadcast(exact.withColumnRenamed("bid", "doc_id")), Seq("doc_id"), "left")
+      .join(broadcast(near.withColumnRenamed("bid", "doc_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, lit("dup_exact"))
+          .when(col("near_match").isNotNull, lit("dup_near"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"))
+  }
+
+  val q71IncrementalDedupSql: String = s"""
+    WITH batch AS (
+      SELECT doc_id, text FROM documents WHERE source = '$IncrementalBatchSource'),
+    corpus AS (
+      SELECT doc_id, text FROM documents WHERE source <> '$IncrementalBatchSource'),
+    exact AS (
+      SELECT b.doc_id AS bid, min(c.doc_id) AS exact_match
+      FROM batch b JOIN corpus c
+        ON md5(lower(trim(b.text))) = md5(lower(trim(c.text)))
+      GROUP BY 1),
+    bs AS (${NearDup.simhashSqlSelect("batch")}),
+    cs AS (${NearDup.simhashSqlSelect("corpus")}),
+    bbands AS (
+      ${NearDup.simhashRotBucketSql("bs")}),
+    cbands AS (
+      ${NearDup.simhashRotBucketSql("cs")}),
+    near AS (
+      SELECT bb.doc_id AS bid, min(cb.doc_id) AS near_match
+      FROM bbands bb JOIN cbands cb ON bb.t = cb.t AND bb.bucket = cb.bucket
+      WHERE bit_count(xor(bb.simhash, cb.simhash)) <= $IncrementalMaxHamming
+      GROUP BY 1)
+    SELECT b.doc_id,
+      CASE WHEN e.exact_match IS NOT NULL THEN 'dup_exact'
+           WHEN n.near_match IS NOT NULL THEN 'dup_near'
+           ELSE 'new' END AS verdict,
+      coalesce(e.exact_match, n.near_match) AS match_id
+    FROM batch b LEFT JOIN exact e ON b.doc_id = e.bid
+    LEFT JOIN near n ON b.doc_id = n.bid
+  """
 }

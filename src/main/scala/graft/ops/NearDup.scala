@@ -206,14 +206,15 @@ object NearDup {
     * into (table, bucket) keys, equi-join, dedup pairs found by several
     * tables, Hamming-score once. Same sub-quadratic join shape as MinHash
     * LSH banding. */
-  def q37SimhashPairs(spark: SparkSession, sfDir: String,
+  /** Rotation-banded (t, bucket) keys for a (doc_id, simhash) frame —
+    * rotation r moves block r to the top: rot = (x mod 2^(56-k))·2^k +
+    * (x div 2^(56-k)), k = r·prefixBits; all operands < 2^56 so BIGINT
+    * arithmetic never overflows. Shared by q37 batch pairing and the
+    * incremental batch-vs-corpus probe (q71). */
+  private[graft] def simhashBandsOn(sims: DataFrame,
       cfg: SimHashConfig = DefaultSimHash): DataFrame = {
     import cfg.{prefixBits, tables}
-    val sims = graft.CachedFrames.track(q28Simhash(spark, sfDir)
-      .select(col("doc_id"), col("simhash")))
-    // rotation r moves block r to the top: rot = (x mod 2^(56-k))·2^k + (x div 2^(56-k)),
-    // k = r·prefixBits — all operands < 2^56 so BIGINT arithmetic never overflows
-    val bands = sims.select(col("doc_id") +: col("simhash") +:
+    sims.select(col("doc_id") +: col("simhash") +:
       (0 until tables).map { r =>
         val k = r * prefixBits
         val lowBits = SimHashBits - k
@@ -226,6 +227,13 @@ object NearDup {
           struct(lit(r).as("t"), col(s"b$r").as("bucket"))): _*)).as("tb"))
       .select(col("doc_id"), col("simhash"),
         col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+  }
+
+  def q37SimhashPairs(spark: SparkSession, sfDir: String,
+      cfg: SimHashConfig = DefaultSimHash): DataFrame = {
+    val sims = graft.CachedFrames.track(q28Simhash(spark, sfDir)
+      .select(col("doc_id"), col("simhash")))
+    val bands = simhashBandsOn(sims, cfg)
     bands.alias("a")
       .join(bands.alias("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
@@ -236,29 +244,35 @@ object NearDup {
       .agg(count(lit(1)).as("n_tables"), min(col("h")).as("hamming"))
   }
 
-  val q37SimhashPairsSql: String = {
-    val rotBucket = (0 until DefaultSimHash.tables).map { r =>
+  /** DuckDB text for the rotation-band UNION over a (doc_id, simhash)
+    * relation `fromS` — the oracle twin of [[simhashBandsOn]]. */
+  private[graft] def simhashRotBucketSql(fromS: String): String =
+    (0 until DefaultSimHash.tables).map { r =>
       val k = r * DefaultSimHash.prefixBits
       val lowBits = SimHashBits - k
       s"""SELECT doc_id, simhash, $r AS t,
          |  (((simhash & ${(1L << lowBits) - 1L}) * ${1L << k} + (simhash >> $lowBits))
-         |   >> ${SimHashBits - DefaultSimHash.prefixBits}) AS bucket FROM s""".stripMargin
+         |   >> ${SimHashBits - DefaultSimHash.prefixBits}) AS bucket FROM $fromS""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""
-    WITH x AS (
-      SELECT doc_id,
-        list_transform(list_distinct(regexp_split_to_array(trim(text), '\\s+')),
-          s -> ('0x' || substr(md5('0:' || s), 1, 14))::BIGINT) AS th
-      FROM documents),
-    s AS (
+
+  /** DuckDB SELECT computing (doc_id, simhash) from a (doc_id, text)
+    * relation — the oracle twin of [[withSimhash]]. */
+  private[graft] def simhashSqlSelect(from: String): String = s"""
       SELECT doc_id,
         list_reduce(list_prepend(0::BIGINT, range(56)), (acc, j) -> acc +
           CASE WHEN list_reduce(list_prepend(0::BIGINT, th),
                       (a, h) -> a + CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) >= 0
                THEN (1::BIGINT << j) ELSE 0 END) AS simhash
-      FROM x),
+      FROM (
+        SELECT doc_id,
+          list_transform(list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+            s -> ('0x' || substr(md5('0:' || s), 1, 14))::BIGINT) AS th
+        FROM $from)"""
+
+  val q37SimhashPairsSql: String = s"""
+    WITH s AS (${simhashSqlSelect("documents")}),
     bands AS (
-      $rotBucket)
+      ${simhashRotBucketSql("s")})
     SELECT a.doc_id AS id1, b.doc_id AS id2,
       count(*) AS n_tables,
       CAST(min(bit_count(xor(a.simhash, b.simhash))) AS INTEGER) AS hamming
@@ -266,7 +280,6 @@ object NearDup {
       ON a.t = b.t AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     GROUP BY 1, 2
   """
-  }
 
   val DefaultSpanDedup: SpanDedupConfig = SpanDedupConfig()
 

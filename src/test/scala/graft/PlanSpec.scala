@@ -193,6 +193,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
   }
 
+  test("q71_incremental_dedup: corpus streams against broadcast batch keys, no sort-merge") {
+    // FULL plan text (initial sections included): the cached batch nests an
+    // adaptive plan whose Initial section would truncate finalPlan's census
+    // mid-tree. q71's joins carry explicit broadcast() hints, so even the
+    // pre-AQE initial plans must contain no sort-merge/cartesian — the
+    // corpus side never shuffles for the admission check.
+    val df = SparkEntry.queries("q71_incremental_dedup")(spark, sf)
+    val p = try { df.queryExecution.toRdd.count(); df.queryExecution.executedPlan.toString }
+            finally CachedFrames.drain()
+    assert(nodes(p, "BroadcastHashJoin") >= 2, p) // band probe + verdict join-backs
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    // corpus-side source predicate reaches the parquet scan
+    assert(p.contains("Not(EqualTo(source,src0))"), p)
+  }
+
   test("dedup_pairs: one exchange before the feature projection, each comparator once") {
     val p = finalPlan("dedup_pairs")
     // the only shuffle is parallelize()'s input right-sizing (reused by the
