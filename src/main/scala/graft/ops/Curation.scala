@@ -213,7 +213,7 @@ object Curation {
   /** [[q71IncrementalDedup]]'s core over ANY (doc_id BIGINT, text) batch +
     * corpus frames — the spec drives this with crafted documents covering
     * all three verdicts and the exact-beats-near precedence. */
-  private[ops] def incrementalDedupOn(batch: DataFrame, corpus: DataFrame): DataFrame = {
+  private[graft] def incrementalDedupOn(batch: DataFrame, corpus: DataFrame): DataFrame = {
     val b = graft.CachedFrames.track(batch)
     val bKeys = b.select(col("doc_id").as("bid"), md5(lower(trim(col("text")))).as("ck"))
     val exact = corpus

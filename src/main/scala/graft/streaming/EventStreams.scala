@@ -162,6 +162,38 @@ object EventStreams {
         col("view_value"))
   }
 
+  /** Streaming corpus admission — the stream-static counterpart of the
+    * batch delta-vs-corpus check ([[graft.ops.Curation.q71IncrementalDedup]]):
+    * each arriving (ts, doc_id, text) document joins the STATIC corpus
+    * index and emits `dup_exact` (normalized digest present), `dup_near`
+    * (identical SimHash fingerprint — the same high-precision criterion as
+    * [[nearDedupStream]]; banded Hamming matching stays a batch concern),
+    * or `new`, plus the smallest matching corpus id.
+    *
+    * The static side collapses to one row per digest / per fingerprint
+    * BEFORE the join, so every stream row emits exactly once and the joins
+    * are stateless stream-static broadcasts — no watermark, no state store:
+    * the enrich-against-reference-data pattern, completing the streaming
+    * join surface next to the stateful stream-stream join above. In
+    * production the two index frames are the persisted corpus index, not a
+    * re-derivation. */
+  def admissionStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    val byDigest = corpus
+      .select(md5(lower(trim(col("text")))).as("ck"), col("doc_id").as("cid"))
+      .groupBy(col("ck")).agg(min(col("cid")).as("exact_match"))
+    val byFp = graft.ops.NearDup.withSimhash(corpus)
+      .groupBy(col("simhash")).agg(min(col("doc_id")).as("near_match"))
+    graft.ops.NearDup.withSimhash(docs)
+      .withColumn("ck", md5(lower(trim(col("text")))))
+      .join(broadcast(byDigest), Seq("ck"), "left")
+      .join(broadcast(byFp), Seq("simhash"), "left")
+      .select(col("ts"), col("doc_id"),
+        when(col("exact_match").isNotNull, lit("dup_exact"))
+          .when(col("near_match").isNotNull, lit("dup_near"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"))
+  }
+
   /** The same sessionization via the BUILT-IN `session_window` aggregation —
     * Spark's native gap-session operator (merge-on-late-event, emit-on-seal
     * are handled by the engine's session-window state store). Kept alongside

@@ -282,6 +282,43 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming admission verdicts agree with the batch incremental-dedup twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "one two three four five six seven")).toDF("doc_id", "text")
+    val inputs = Seq(
+      (1L, "  Alpha beta GAMMA delta epsilon zeta "), // equals 10 after lower+trim
+      (2L, "two one three four five six seven six"),  // token-set equal to 11 -> near
+      (3L, "totally disjoint vocabulary words here")) // new
+    def toMapped(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => r.getLong(0) -> ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+    val mem = MemoryStream[Doc]
+    mem.addData(inputs.map { case (id, text) => Doc(ts(id.toInt), id, text) }: _*)
+    val q = EventStreams.admissionStream(mem.toDF(), corpus)
+      .writeStream.format("memory").queryName("admission_stream")
+      .outputMode(OutputMode.Append).start()
+    val got = try {
+      q.processAllAvailable()
+      toMapped(spark.table("admission_stream")
+        .select("doc_id", "verdict", "match_id").collect())
+    } finally q.stop()
+    assert(got === Map(
+      1L -> (("dup_exact", 10L)),
+      2L -> (("dup_near", 11L)),
+      3L -> (("new", -1L))))
+    // the batch twin returns the same verdicts on identical inputs (its
+    // banded near-match is broader, but fingerprint-equal pairs are the
+    // intersection both criteria must report)
+    val batch = toMapped(graft.ops.Curation
+      .incrementalDedupOn(inputs.toDF("doc_id", "text"), corpus)
+      .select("doc_id", "verdict", "match_id").collect())
+    graft.CachedFrames.drain()
+    assert(batch === got)
+  }
+
   test("late within-watermark event bridges two open sessions like the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
