@@ -57,7 +57,9 @@ object Bench {
         f"[bench] contention sentinel: median total $medTotal%.1f s > " +
         f"$Sentinel×${minTotal}%.1f s min total — re-running suite")
       val retry = runSuite(spark, sfDir)
-      if (retry.values.map(_.median).sum < medTotal) stats = retry
+      // NaN-filtered like the totals above — an all-reps-failed query must
+      // not poison the retry sum and block a genuinely cleaner pass
+      if (retry.values.map(_.median).filterNot(_.isNaN).sum < medTotal) stats = retry
     }
     val (cleaned, remeasured) = applyPerQuerySentinel(stats, prevMedians(),
       name => {
@@ -125,8 +127,11 @@ object Bench {
     * Absent/unparseable files mean no cross-round check, not a failure. */
   private[graft] def prevMedians(): Map[String, Double] = {
     val path = sys.env.get("SPARK_GRAFT_PREV_BENCH").orElse {
+      // numeric round order — lexicographic sort would rank r100 before r99
+      // and compare against a stale round's medians
       Option(new java.io.File(".").listFiles()).flatMap(_
-        .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json")).sorted.lastOption)
+        .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json"))
+        .sortBy(n => "\\d+".r.findFirstIn(n).get.toInt).lastOption)
     }
     path.map { p =>
       try parseQueryMedians(new String(

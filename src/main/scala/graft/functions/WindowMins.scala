@@ -19,7 +19,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * `transform(sequence(...), i -> array_min(slice(...)))` chain this
   * replaces copies a w-element array per window and walks expression trees
   * per element. (w is small — a deque-based O(n) variant buys nothing at
-  * w ≤ 8 and costs allocation.) NULL for NULL or empty input.
+  * w ≤ 8 and costs allocation.) NULL for NULL or empty input; a null
+  * ELEMENT throws — the declared output is containsNull=false, and reading
+  * a null slot as a long would silently emit a wrong minimum.
   */
 case class WindowMins(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -49,6 +51,15 @@ case class WindowMins(left: Expression, right: Expression)
     val win = w
     val nOut = math.max(n - win, 0) + 1
     val out = new Array[Long](nOut)
+    // null elements would read as garbage via getLong — fail loudly rather
+    // than emit a wrong minimum (the declared output is containsNull=false)
+    var k = 0
+    while (k < n) {
+      if (arr.isNullAt(k))
+        throw new IllegalArgumentException(
+          s"window_mins: null element at index $k — input hashes must be non-null")
+      k += 1
+    }
     var i = 0
     while (i < nOut) {
       var m = Long.MaxValue
@@ -86,6 +97,13 @@ case class WindowMins(left: Expression, right: Expression)
             |$arrayDataCls ${ev.value} = null;
             |if (!${leftGen.isNull} && ${leftGen.value}.numElements() > 0) {
             |  int $n = ${leftGen.value}.numElements();
+            |  for (int $j = 0; $j < $n; $j++) {
+            |    if (${leftGen.value}.isNullAt($j)) {
+            |      throw new IllegalArgumentException(
+            |        "window_mins: null element at index " + $j +
+            |        " - input hashes must be non-null");
+            |    }
+            |  }
             |  int $nOut = java.lang.Math.max($n - $winLit, 0) + 1;
             |  long[] $out = new long[$nOut];
             |  for (int $i = 0; $i < $nOut; $i++) {

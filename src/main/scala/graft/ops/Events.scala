@@ -216,16 +216,21 @@ object Events {
   def q64Attribution(spark: SparkSession, sfDir: String): DataFrame =
     graft.streaming.EventStreams.attributionJoin(Tables(spark, sfDir, "events"))
 
+  // the JOIN compares raw timestamps exactly like the Spark side (which
+  // must keep event-time columns intact for streaming watermark eviction);
+  // flooring to epoch seconds happens only in the output projection. A
+  // floored-join formulation would admit same-second view-after-click
+  // pairs the operator excludes — a latent divergence on sub-second data.
   val q64AttributionSql: String = """
-    WITH e AS (
-      SELECT user_id, event_type, value,
-        CAST(floor(epoch(ts)) AS BIGINT) AS eps
-      FROM events),
-    v AS (SELECT user_id, eps AS view_s, value AS view_value
-          FROM e WHERE event_type = 'view'),
-    c AS (SELECT user_id, eps AS click_s FROM e WHERE event_type = 'click')
-    SELECT c.user_id, c.click_s, v.view_s, v.view_value
+    WITH v AS (SELECT user_id, ts AS view_ts, value AS view_value
+          FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click')
+    SELECT c.user_id,
+      CAST(floor(epoch(c.click_ts)) AS BIGINT) AS click_s,
+      CAST(floor(epoch(v.view_ts)) AS BIGINT) AS view_s,
+      v.view_value
     FROM c JOIN v ON c.user_id = v.user_id
-      AND v.view_s <= c.click_s AND v.view_s >= c.click_s - 600
+      AND v.view_ts <= c.click_ts
+      AND v.view_ts >= c.click_ts - INTERVAL 600 SECOND
   """
 }

@@ -381,19 +381,21 @@ object Multimodal {
     * codec slots into the same operator unchanged. */
   def thumbnails(
       media: Dataset[MediaFile], tw: Int, th: Int,
-      batchSize: Int = 64, parallelism: Option[Int] = None): Dataset[MediaFile] = {
+      parallelism: Option[Int] = None): Dataset[MediaFile] = {
     import media.sparkSession.implicits._
     val repart = parallelism
       .map(p => media.repartition(p, col("media_id")))
       .getOrElse(media.repartition(col("media_id")))
+    // element-wise on purpose: resize touches one image at a time, so
+    // unlike decode() there is no batch-level call to amortize
     repart.mapPartitions { it =>
-      it.grouped(batchSize).flatMap(_.map { m =>
+      it.map { m =>
         if (isBmp24(m.payload))
           try m.copy(payload = resizeBmp(m.payload, tw, th),
             meta = m.meta.copy(width = tw, height = th))
           catch { case _: IllegalArgumentException => m }
         else m
-      })
+      }
     }
   }
 

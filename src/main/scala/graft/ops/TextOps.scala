@@ -681,7 +681,10 @@ object TextOps {
       .select(col("doc_id"), explode(expr("""split(trim(text), '\\s+')""")).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")))
     val dfFrame = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.count().toDouble
+    // counted on the BARE scan (metadata-cheap), not the parallelized
+    // frame — counting the latter executes its repartition shuffle just to
+    // obtain N (same pattern as q44)
+    val nDocs = Tables(spark, sfDir, "documents").count().toDouble
     val wDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("weight").desc, col("token").asc)
     // top-K signature terms per document (the pruned sparse vector)

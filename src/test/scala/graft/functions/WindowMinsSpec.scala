@@ -32,6 +32,15 @@ class WindowMinsSpec extends AnyFunSuite with SparkSpec {
     assert(r.isNullAt(2))
   }}
 
+  test("null ELEMENT fails loudly instead of emitting a wrong minimum") { withFns {
+    val e = intercept[Exception] {
+      spark.sql("SELECT window_mins(array(5L, CAST(NULL AS BIGINT)), 2) AS m").head()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: rootMessages(x.getCause))
+    assert(rootMessages(e).exists(m => m != null && m.contains("window_mins: null element")), e)
+  }}
+
   test("codegen and interpreted paths agree") { withFns {
     import spark.implicits._
     // force the interpreted path by evaluating the expression directly
