@@ -117,6 +117,37 @@ object TrainDupClassifier {
   }
 }
 
+/** Job 4 — end-to-end corpus curation + deterministic sharding (beyond the
+  * reference's surface: the training-data pipeline as one command). Reads a
+  * documents parquet (doc_id, text, lang, source, ...), runs the q51
+  * pipeline (language ID + quality filter → exact dedup → near-dup
+  * representative), assigns survivors to training shards (q70's salted-hash
+  * layout, `--shards N`, default 8), and writes one sorted parquet file per
+  * shard directory via [[graft.sources.Io.writeShards]]:
+  *
+  *   runMain graft.cli.CurateCorpus --input docs.parquet --output /tmp/shards \
+  *     [--shards 8]
+  */
+object CurateCorpus {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-curate") { spark =>
+    val nShards = a.getOrElse("shards", "8").toInt
+    val docs = graft.Tables.parallelized(spark.read.parquet(a("input")))
+    // cached: the survivor frame feeds both the shard assignment and the
+    // attribute join-back
+    val kept = graft.CachedFrames.track(graft.ops.Curation.curationOn(docs))
+    val sharded = graft.ops.Curation.shuffleShardsOn(kept, nShards)
+      .join(kept, "doc_id")
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("shard"), col("pos"),
+        col("quality_score"), col("text"))
+    graft.sources.Io.writeShards(sharded, a("output"))
+    graft.CachedFrames.drain()
+    }
+  }
+}
+
 /** Job 3 — load the model, score unlabeled pairs, write (pair, prediction)
   * sorted by prediction. */
 object ApplyDupClassifier {

@@ -34,9 +34,13 @@ object Curation {
 
   /** Curated corpus: surviving (doc_id, quality_score) after language +
     * quality filtering, exact dedup, and near-dup representative selection. */
-  def q51CorpusCuration(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = TextOps.scoredDocs(
-      Tables.parallelized(Tables(spark, sfDir, "documents")))
+  def q51CorpusCuration(spark: SparkSession, sfDir: String): DataFrame =
+    curationOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+
+  /** [[q51CorpusCuration]]'s pipeline over ANY (doc_id, text, ...) frame —
+    * the CLI curation job runs it on arbitrary input paths. */
+  private[graft] def curationOn(docs: DataFrame): DataFrame = {
+    val scored = TextOps.scoredDocs(docs)
     // cached: the scan + scoring of the whole corpus feeds BOTH the digest
     // group-by and the join back — without the cache the most expensive
     // stage of the pipeline would execute twice
@@ -156,13 +160,21 @@ object Curation {
     * output contract. No global ordering, no single-partition stage; shard
     * count scales with the cluster, and md5 keys make every shard
     * statistically equal-sized regardless of input skew. */
-  def q70ShuffleShards(spark: SparkSession, sfDir: String): DataFrame = {
+  def q70ShuffleShards(spark: SparkSession, sfDir: String): DataFrame =
+    shuffleShardsOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+
+  /** [[q70ShuffleShards]]'s assignment over ANY frame with a `doc_id`
+    * column, at a configurable shard count (the CLI exposes `--shards`);
+    * the q70 oracle stays pinned at [[ShuffleShards]]. */
+  private[graft] def shuffleShardsOn(docs: DataFrame,
+      nShards: Int = ShuffleShards): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    Tables.parallelized(Tables(spark, sfDir, "documents"))
+    require(nShards > 0, s"shard count must be positive, got $nShards")
+    docs
       .select(col("doc_id"),
         md5(concat(lit(ShuffleSalt), col("doc_id").cast("string"))).as("skey"))
       .withColumn("shard", expr(
-        s"CAST(CAST(conv(substring(skey, 1, 14), 16, 10) AS BIGINT) % $ShuffleShards AS INT)"))
+        s"CAST(CAST(conv(substring(skey, 1, 14), 16, 10) AS BIGINT) % $nShards AS INT)"))
       .withColumn("pos", row_number()
         .over(Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id")))
         .cast("long"))

@@ -14,6 +14,24 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(a === Map("input" -> "x.csv", "unlabeled" -> "true", "reducers" -> "7"))
   }
 
+  test("curate job writes sorted survivor shards matching the q51 gate query") {
+    spark // force shared session so the CLI's getOrCreate reuses it
+    val dir = Files.createTempDirectory("graft-curate").toString
+    CurateCorpus.main(Array(
+      "--input", "/root/testdata/sf0.001/documents.parquet",
+      "--output", s"$dir/shards", "--shards", "4"))
+    val expected = graft.ops.Curation
+      .q51CorpusCuration(spark, "/root/testdata/sf0.001")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.CachedFrames.drain()
+    val back = spark.read.parquet(s"$dir/shards")
+    assert(back.select("doc_id").collect().map(_.getLong(0)).toSet === expected)
+    assert(back.columns.toSet === Set("doc_id", "shard", "pos", "quality_score", "text"))
+    // the hive partition column spans exactly the requested shard range
+    val shards = back.select("shard").distinct().collect().map(_.getInt(0)).toSet
+    assert(shards.subsetOf((0 until 4).toSet) && shards.nonEmpty)
+  }
+
   test("generate → train → apply round-trips on the Febrl test fixture") {
     spark // force shared session so the CLI's getOrCreate reuses it
     val dir = Files.createTempDirectory("graft-cli").toString
