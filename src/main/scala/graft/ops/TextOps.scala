@@ -756,4 +756,70 @@ object TextOps {
       JOIN nrm nd ON dots.did = nd.doc_id)
     WHERE rk <= $SimTopK
   """
+
+  /** q72: per-source token-distribution drift — the shift monitor a mixed
+    * training corpus runs per snapshot: for every source s, the L1 (total
+    * variation ×2) distance between s's token distribution p and the
+    * rest-of-corpus distribution q. Computed over s's own vocabulary only,
+    * using L1 = 1 + Σ_{t∈Vs} (|p_t − q_t| − q_t) — tokens the source never
+    * emits contribute exactly their q mass, which the constant 1 absorbs —
+    * so no outer join over the union vocabulary is needed.
+    *
+    * Float parity: per-token terms are pure rational double arithmetic
+    * (bitwise portable — no ln/exp, which differ in the last ulp between
+    * engines); the cross-token sum folds floor-based fixed-point DECIMAL
+    * (the q31/q61 trick) so it is exact and shuffle-order-proof.
+    *
+    * Scale shape: one explode→(source, token) aggregation, a token-keyed
+    * join against the global counts (linear, both sides shuffle once on
+    * token), broadcast-sized per-source totals, and a driver-sized window
+    * for the grand total. Vocabulary never concentrates on one node. */
+  def q72SourceDrift(spark: SparkSession, sfDir: String): DataFrame =
+    sourceDriftOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+
+  /** [[q72SourceDrift]]'s core over ANY (source, text) frame — the spec
+    * drives it with crafted sources pinning the L1 boundary cases
+    * (identical distribution → 0, disjoint vocabulary → 2). */
+  private[ops] def sourceDriftOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = graft.CachedFrames.track(docs
+        .select(col("source"), explode(expr("""split(trim(text), '\\s+')""")).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c")))
+    val g = st.groupBy(col("token")).agg(sum(col("c")).as("g"))
+    val tot = st.groupBy(col("source")).agg(
+        sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"))
+      .withColumn("t", sum(col("n_tokens")).over(Window.partitionBy()))
+    st.join(g, "token")
+      .join(broadcast(tot), "source")
+      .withColumn("term", expr("""
+        CAST(floor((abs(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+            - CAST(g - c AS DOUBLE) / CAST(nullif(t - n_tokens, 0) AS DOUBLE))
+          - CAST(g - c AS DOUBLE) / CAST(nullif(t - n_tokens, 0) AS DOUBLE)) * 1e15)
+          AS DECIMAL(38,0))"""))
+      .groupBy(col("source"))
+      .agg(max(col("n_tokens")).as("n_tokens"), max(col("vocab")).as("vocab"),
+        (lit(1.0) + sum(col("term")).cast("double") / lit(1e15)).as("l1_drift"))
+  }
+
+  val q72SourceDriftSql: String = """
+    WITH st AS (
+      SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents),
+    c AS (SELECT source, token, count(*) AS c FROM st GROUP BY 1, 2),
+    g AS (SELECT token, CAST(sum(c) AS BIGINT) AS g FROM c GROUP BY 1),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS vocab FROM c GROUP BY 1),
+    grand AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM tot),
+    terms AS (
+      SELECT c.source,
+        CAST(floor((abs(CAST(c.c AS DOUBLE) / CAST(tot.n_tokens AS DOUBLE)
+            - CAST(g.g - c.c AS DOUBLE) / CAST(nullif(grand.t - tot.n_tokens, 0) AS DOUBLE))
+          - CAST(g.g - c.c AS DOUBLE) / CAST(nullif(grand.t - tot.n_tokens, 0) AS DOUBLE)) * 1e15)
+          AS DECIMAL(38,0)) AS term,
+        tot.n_tokens, tot.vocab
+      FROM c JOIN g USING (token) JOIN tot USING (source) CROSS JOIN grand)
+    SELECT source, max(n_tokens) AS n_tokens, max(vocab) AS vocab,
+      1.0 + CAST(sum(term) AS DOUBLE) / 1e15 AS l1_drift
+    FROM terms GROUP BY source
+  """
 }

@@ -28,6 +28,26 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.size === checked) // and not one chunk more
   }
 
+  test("source drift L1 hits its boundary cases exactly") {
+    import spark.implicits._
+    // a/b: identical token distributions -> drift 0 from each other; c is
+    // vocabulary-disjoint from both -> its distance to the rest is 2 only
+    // when the rest is ALSO disjoint from it, so with a+b as the rest, c's
+    // l1 must be exactly 2; a's rest (b+c) half-matches -> strictly between
+    val docs = Seq(
+      ("a", "x y z x y z"),
+      ("b", "x y z x y z"),
+      ("c", "p q r p q r")).toDF("source", "text")
+    val got = TextOps.sourceDriftOn(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    graft.CachedFrames.drain()
+    // fixed-point floor truncates each 1/3 term by < 1e-15 — exact up to
+    // the declared quantization, not beyond it
+    assert(math.abs(got("c") - 2.0) < 1e-12, got("c"))
+    assert(got("a") === got("b"))
+    assert(got("a") > 0.0 && got("a") < 2.0)
+  }
+
   test("winnowing guarantee: a shared w+k-1 token run yields a shared fingerprint") {
     import spark.implicits._
     // k=3, w=4: any shared run of 6 tokens must produce >= 1 shared
