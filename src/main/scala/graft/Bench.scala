@@ -56,10 +56,7 @@ object Bench {
       System.err.println(
         f"[bench] contention sentinel: median total $medTotal%.1f s > " +
         f"$Sentinel×${minTotal}%.1f s min total — re-running suite")
-      val retry = runSuite(spark, sfDir)
-      // NaN-filtered like the totals above — an all-reps-failed query must
-      // not poison the retry sum and block a genuinely cleaner pass
-      if (retry.values.map(_.median).filterNot(_.isNaN).sum < medTotal) stats = retry
+      stats = mergePasses(stats, runSuite(spark, sfDir))
     }
     val (cleaned, remeasured) = applyPerQuerySentinel(stats, prevMedians(),
       name => {
@@ -97,6 +94,25 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
+  }
+
+  /** Choose the cleaner of two suite passes. The sums compare only queries
+    * measured (non-NaN) in BOTH passes — an all-reps-failed query would
+    * otherwise shrink its pass's sum and let the worse pass win on subset
+    * size rather than speed. The chosen pass then backfills any query it
+    * failed entirely from the other pass, so one flaky failure never drops
+    * a query's stats from the record (its failures count survives on
+    * whichever stat is kept). Pure for the spec. */
+  private[graft] def mergePasses(first: Map[String, QStat],
+      retry: Map[String, QStat]): Map[String, QStat] = {
+    val common = first.keySet
+      .filter(k => !first(k).median.isNaN && retry.get(k).exists(!_.median.isNaN))
+    val firstSum = common.toSeq.map(first(_).median).sum
+    val retrySum = common.toSeq.map(retry(_).median).sum
+    val (chosen, other) = if (retrySum < firstSum) (retry, first) else (first, retry)
+    chosen.map { case (k, v) =>
+      k -> (if (v.median.isNaN && other.get(k).exists(!_.median.isNaN)) other(k) else v)
+    }
   }
 
   /** Per-query contention sentinel, pure so the spec can drive it with

@@ -39,7 +39,13 @@ object Curation {
 
   /** [[q51CorpusCuration]]'s pipeline over ANY (doc_id, text, ...) frame —
     * the CLI curation job runs it on arbitrary input paths. */
-  private[graft] def curationOn(docs: DataFrame): DataFrame = {
+  private[graft] def curationOn(docs: DataFrame): DataFrame =
+    curationKeptOn(docs).select(col("doc_id"), col("quality_score"))
+
+  /** The same pipeline keeping the survivors' TEXT — consumers that write
+    * the curated corpus (the CLI shard job) read it from here instead of
+    * re-scanning and re-joining the input. */
+  private[graft] def curationKeptOn(docs: DataFrame): DataFrame = {
     val scored = TextOps.scoredDocs(docs)
     // cached: the scan + scoring of the whole corpus feeds BOTH the digest
     // group-by and the join back — without the cache the most expensive
@@ -64,7 +70,7 @@ object Curation {
       .select(col("id").as("doc_id"))
     docs2
       .join(dropped, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("quality_score"))
+      .select(col("doc_id"), col("text"), col("quality_score"))
   }
 
   /** The same pipeline in DuckDB: q22/q23 formulas, digest group-by, the
@@ -162,23 +168,27 @@ object Curation {
     * statistically equal-sized regardless of input skew. */
   def q70ShuffleShards(spark: SparkSession, sfDir: String): DataFrame =
     shuffleShardsOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+      .select(col("doc_id"), col("shard"), col("pos"))
 
   /** [[q70ShuffleShards]]'s assignment over ANY frame with a `doc_id`
-    * column, at a configurable shard count (the CLI exposes `--shards`);
-    * the q70 oracle stays pinned at [[ShuffleShards]]. */
+    * column, at a configurable shard count (the CLI exposes `--shards`).
+    * All input columns ride along through the one shard exchange — callers
+    * carrying text avoid a join-back against the input; q70 itself projects
+    * to (doc_id, shard, pos) and Catalyst prunes the rest below the window.
+    * The q70 oracle stays pinned at [[ShuffleShards]]. */
   private[graft] def shuffleShardsOn(docs: DataFrame,
       nShards: Int = ShuffleShards): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nShards > 0, s"shard count must be positive, got $nShards")
     docs
-      .select(col("doc_id"),
-        md5(concat(lit(ShuffleSalt), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("skey",
+        md5(concat(lit(ShuffleSalt), col("doc_id").cast("string"))))
       .withColumn("shard", expr(
         s"CAST(CAST(conv(substring(skey, 1, 14), 16, 10) AS BIGINT) % $nShards AS INT)"))
       .withColumn("pos", row_number()
         .over(Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id")))
         .cast("long"))
-      .select(col("doc_id"), col("shard"), col("pos"))
+      .drop("skey")
   }
 
   val q70ShuffleShardsSql: String = s"""

@@ -67,6 +67,18 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(dead.failures === 3)
   }
 
+  test("mergePasses compares only queries measured in both passes, backfills failures") {
+    val nan = Bench.QStat(Double.NaN, Double.NaN, Double.NaN, failures = 3)
+    // the retry lost q2 entirely — its smaller subset sum must not win
+    val first = Map("q1" -> q(1.0), "q2" -> q(5.0))
+    assert(Bench.mergePasses(first, Map("q1" -> q(2.0), "q2" -> nan)) === first)
+    // a genuinely cleaner retry wins, and backfills the query IT failed
+    // from the first pass instead of dropping it from the record
+    val m = Bench.mergePasses(first, Map("q1" -> q(0.5), "q2" -> nan))
+    assert(m("q1").median === 0.5)
+    assert(m("q2").median === 5.0 && m("q2").failures === 0)
+  }
+
   test("parseQueryMedians reads a recorded bench line") {
     val line = """{"metric":"total","value":40.9,"unit":"sec","reps":3,""" +
       """"failures":{},"queries":{"q1_agg":0.51,"q47_range_join":0.55},""" +
