@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
   * and asserts the quality band against the published train confusion
   * matrix (TN 15,180,436 / FN 152 / FP 1 / TP 6,324 ⇒ recall ≈ 0.977,
   * precision ≈ 0.9998; `/root/reference/README.md:234-236`).
+  * `--curate [sfDir]` instead smokes the training-data surface: the full
+  * curation pipeline (q51) + shard assignment + sorted-shard write on the
+  * sfDir documents table, printing survivor/shard counts and wall time.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -33,6 +36,24 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("--curate")) {
+      val sfDir = args.dropWhile(_ != "--curate").drop(1).headOption
+        .filterNot(_.startsWith("--")).getOrElse("/root/testdata/sf0.1")
+      val out = java.nio.file.Files.createTempDirectory("graft-curate-smoke").toString
+      val t0 = System.nanoTime()
+      val kept = CachedFrames.track(
+        graft.ops.Curation.curationKeptOn(Tables.parallelized(Tables(spark, sfDir, "documents"))))
+      val sharded = graft.ops.Curation.shuffleShardsOn(kept, nShards = cpus.toInt)
+        .select(col("doc_id"), col("shard"), col("pos"), col("quality_score"), col("text"))
+      graft.sources.Io.writeShards(sharded, out)
+      val back = spark.read.parquet(out)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"survivors=${back.count()} shards=${back.select("shard").distinct().count()} " +
+        f"out=$out mode=curate wall=$secs%.1f s")
+      CachedFrames.drain()
+      spark.stop()
+      return
+    }
     val df = Febrl.read(spark, input).cache()
     println(s"records: ${df.count()}")
     val t0 = System.nanoTime()
