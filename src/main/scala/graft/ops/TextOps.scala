@@ -757,6 +757,58 @@ object TextOps {
     WHERE rk <= $SimTopK
   """
 
+  /** q73: temperature-scaled mixture weights — the standard multilingual /
+    * multi-source rebalancing: sample source s with probability
+    * share_s^α / Σ share^α, flattening the mixture toward uniform as α→0.
+    * α is PINNED at 0.5 because sqrt is IEEE-exact in both engines while a
+    * general pow differs in the last ulp (same reason the quality score
+    * avoids ln); the Σ over sources folds floor-based fixed-point DECIMAL
+    * so normalization is shuffle-order-proof. Output: per source, its
+    * token share, temperature share, and the upsample factor
+    * (temp_share / share — > 1 means the source is over-sampled).
+    *
+    * Scale shape: identical to q69 — per-source partials reduce the corpus
+    * to |sources| rows before one driver-sized window. */
+  def q73TemperatureMix(spark: SparkSession, sfDir: String): DataFrame =
+    temperatureMixOn(Tables(spark, sfDir, "documents"))
+
+  /** [[q73TemperatureMix]]'s core over ANY (source, text) frame. */
+  private[ops] def temperatureMixOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy() // |sources| rows — a driver-sized window
+    docs
+      .select(col("source"),
+        expr("""size(split(trim(text), '\\s+'))""").cast("long").as("n_tokens"))
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("tokens"))
+      .withColumn("total", sum(col("tokens")).over(w))
+      .withColumn("share", col("tokens").cast("double") / col("total").cast("double"))
+      .withColumn("sq", sqrt(col("share")))
+      .withColumn("z",
+        sum(expr("CAST(floor(sq * 1e15) AS DECIMAL(38,0))")).over(w)
+          .cast("double") / lit(1e15))
+      .select(col("source"), col("tokens"), col("share"),
+        (col("sq") / col("z")).as("temp_share"),
+        ((col("sq") / col("z")) / col("share")).as("upsample"))
+  }
+
+  val q73TemperatureMixSql: String = """
+    WITH s AS (
+      SELECT source,
+        CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens
+      FROM documents GROUP BY 1),
+    t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM s),
+    x AS (
+      SELECT source, tokens,
+        CAST(tokens AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+        sqrt(CAST(tokens AS DOUBLE) / CAST(t.total AS DOUBLE)) AS sq
+      FROM s CROSS JOIN t),
+    z AS (SELECT CAST(sum(CAST(floor(sq * 1e15) AS DECIMAL(38,0))) AS DOUBLE) / 1e15 AS z
+          FROM x)
+    SELECT source, tokens, share, sq / z.z AS temp_share,
+      (sq / z.z) / share AS upsample
+    FROM x CROSS JOIN z
+  """
+
   /** q72: per-source token-distribution drift — the shift monitor a mixed
     * training corpus runs per snapshot: for every source s, the L1 (total
     * variation ×2) distance between s's token distribution p and the

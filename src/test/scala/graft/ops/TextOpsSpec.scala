@@ -48,6 +48,24 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got("a") > 0.0 && got("a") < 2.0)
   }
 
+  test("temperature mixing flattens toward uniform: small sources upsample, large downsample") {
+    import spark.implicits._
+    val uniform = Seq(("a", "w x y z"), ("b", "p q r s")).toDF("source", "text")
+    val u = TextOps.temperatureMixOn(uniform).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    // equal shares: temperature is a no-op, upsample exactly 1 (both
+    // sides of the quantized normalization see identical terms)
+    assert(math.abs(u("a") - 1.0) < 1e-12 && math.abs(u("b") - 1.0) < 1e-12, u)
+    val skewed = Seq(("big", Seq.fill(90)("w").mkString(" ")),
+                     ("small", Seq.fill(10)("p").mkString(" "))).toDF("source", "text")
+    val s = TextOps.temperatureMixOn(skewed).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(s("small")._2 > 1.0 && s("big")._2 < 1.0, s)
+    // α=0.5 exactly: temp shares ∝ sqrt(0.9), sqrt(0.1)
+    val expSmall = math.sqrt(0.1) / (math.sqrt(0.1) + math.sqrt(0.9))
+    assert(math.abs(s("small")._1 - expSmall) < 1e-12, s)
+  }
+
   test("winnowing guarantee: a shared w+k-1 token run yields a shared fingerprint") {
     import spark.implicits._
     // k=3, w=4: any shared run of 6 tokens must produce >= 1 shared
