@@ -41,16 +41,18 @@ object ScaleSmoke {
         .filterNot(_.startsWith("--")).getOrElse("/root/testdata/sf0.1")
       val out = java.nio.file.Files.createTempDirectory("graft-curate-smoke").toString
       val t0 = System.nanoTime()
-      val kept = CachedFrames.track(
-        graft.ops.Curation.curationKeptOn(Tables.parallelized(Tables(spark, sfDir, "documents"))))
-      val sharded = graft.ops.Curation.shuffleShardsOn(kept, nShards = cpus.toInt)
-        .select(col("doc_id"), col("shard"), col("pos"), col("quality_score"), col("text"))
-      graft.sources.Io.writeShards(sharded, out)
+      val survivors = graft.ops.Curation.curateToShards(
+        Tables.parallelized(Tables(spark, sfDir, "documents")), cpus.toInt, out)
       val back = spark.read.parquet(out)
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"survivors=${back.count()} shards=${back.select("shard").distinct().count()} " +
-        f"out=$out mode=curate wall=$secs%.1f s")
+      println(f"survivors=${back.count()} (expected $survivors) " +
+        f"shards=${back.select("shard").distinct().count()} mode=curate wall=$secs%.1f s")
       CachedFrames.drain()
+      // the smoke output can be a full curated corpus copy — don't leak it
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(out))
       spark.stop()
       return
     }

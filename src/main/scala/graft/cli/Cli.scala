@@ -134,19 +134,7 @@ object CurateCorpus {
     Cli.withSession("graft-curate") { spark =>
     val nShards = a.getOrElse("shards", "8").toInt
     val docs = graft.Tables.parallelized(spark.read.parquet(a("input")))
-    // survivors carry their text (curationKeptOn), so sharding needs no
-    // join-back against a second scan of the input; cached because the
-    // uniqueness check and the shard write both consume it
-    val kept = graft.CachedFrames.track(graft.ops.Curation.curationKeptOn(docs))
-    // doc_id is the identity key of the shard layout — a duplicated id
-    // would fan out (shard, pos) silently; fail loudly on malformed input
-    val nKept = kept.count()
-    require(kept.select("doc_id").distinct().count() == nKept,
-      "duplicate doc_id in input — doc_id must be unique")
-    val sharded = graft.ops.Curation.shuffleShardsOn(kept, nShards)
-      .select(col("doc_id"), col("shard"), col("pos"),
-        col("quality_score"), col("text"))
-    graft.sources.Io.writeShards(sharded, a("output"))
+    graft.ops.Curation.curateToShards(docs, nShards, a("output")): Unit
     graft.CachedFrames.drain()
     }
   }

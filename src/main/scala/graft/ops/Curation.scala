@@ -145,6 +145,24 @@ object Curation {
     SELECT doc_id, lang, h, rate FROM x WHERE h < rate
   """
 
+  /** Curate → shard → write in ONE place — shared by the `CurateCorpus`
+    * CLI job and the `--curate` scale smoke so the shard column contract
+    * and the duplicate-id guard live once. Returns the survivor count. */
+  private[graft] def curateToShards(docs: DataFrame, nShards: Int, out: String): Long = {
+    // cached: the uniqueness check and the shard write both consume it
+    val kept = graft.CachedFrames.track(curationKeptOn(docs))
+    // doc_id is the identity key of the shard layout — a duplicated id
+    // would fan out (shard, pos) silently; fail loudly on malformed input
+    val nKept = kept.count()
+    require(kept.select("doc_id").distinct().count() == nKept,
+      "duplicate doc_id in input — doc_id must be unique")
+    val sharded = shuffleShardsOn(kept, nShards)
+      .select(col("doc_id"), col("shard"), col("pos"),
+        col("quality_score"), col("text"))
+    graft.sources.Io.writeShards(sharded, out)
+    nKept
+  }
+
   /** q70 tuning: shard count. At 100 TB this is the file-level parallelism
     * of the training job (hundreds to thousands); at test SF a small fixed
     * value keeps the oracle window cheap. */

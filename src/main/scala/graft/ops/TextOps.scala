@@ -493,7 +493,7 @@ object TextOps {
     * the output is |sources| rows no matter the corpus size. */
   def q69MixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perSource = Tables(spark, sfDir, "documents")
+    val perSource = Tables.parallelized(Tables(spark, sfDir, "documents"))
       .select(col("source"),
         expr("""size(split(trim(text), '\\s+'))""").cast("long").as("n_tokens"))
       .groupBy(col("source"))
@@ -770,7 +770,7 @@ object TextOps {
     * Scale shape: identical to q69 — per-source partials reduce the corpus
     * to |sources| rows before one driver-sized window. */
   def q73TemperatureMix(spark: SparkSession, sfDir: String): DataFrame =
-    temperatureMixOn(Tables(spark, sfDir, "documents"))
+    temperatureMixOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
 
   /** [[q73TemperatureMix]]'s core over ANY (source, text) frame. */
   private[ops] def temperatureMixOn(docs: DataFrame): DataFrame = {
