@@ -16,7 +16,8 @@ object Explain {
                   "q27_lsh_pairs", "q47_range_join", "q53_span_dedup",
                   "q57_oov_rate", "q58_decontaminate", "q60_ivf_multiprobe",
                   "q61_tfidf_cosine", "q62_quantize_int8", "q70_shuffle_shards",
-                  "q71_incremental_dedup", "q72_source_drift")
+                  "q71_incremental_dedup", "q72_source_drift",
+                  "q73_temperature_mix")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -151,16 +151,20 @@ object Curation {
   private[graft] def curateToShards(docs: DataFrame, nShards: Int, out: String): Long = {
     // cached: the uniqueness check and the shard write both consume it
     val kept = graft.CachedFrames.track(curationKeptOn(docs))
-    // doc_id is the identity key of the shard layout — a duplicated id
-    // would fan out (shard, pos) silently; fail loudly on malformed input
-    val nKept = kept.count()
-    require(kept.select("doc_id").distinct().count() == nKept,
-      "duplicate doc_id in input — doc_id must be unique")
-    val sharded = shuffleShardsOn(kept, nShards)
-      .select(col("doc_id"), col("shard"), col("pos"),
-        col("quality_score"), col("text"))
-    graft.sources.Io.writeShards(sharded, out)
-    nKept
+    try {
+      // doc_id is the identity key of the shard layout — a duplicated id
+      // would fan out (shard, pos) silently; fail loudly. Checked on the
+      // SURVIVOR set: a duplicated input id whose extra copy the curation
+      // filters drop is harmless to the layout, so it passes
+      val nKept = kept.count()
+      require(kept.select("doc_id").distinct().count() == nKept,
+        "duplicate doc_id among curation survivors — doc_id must be unique")
+      val sharded = shuffleShardsOn(kept, nShards)
+        .select(col("doc_id"), col("shard"), col("pos"),
+          col("quality_score"), col("text"))
+      graft.sources.Io.writeShards(sharded, out)
+      nKept
+    } finally graft.CachedFrames.drain() // also on the require-failure path
   }
 
   /** q70 tuning: shard count. At 100 TB this is the file-level parallelism

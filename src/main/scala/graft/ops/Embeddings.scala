@@ -492,7 +492,12 @@ object Embeddings {
     * Scale shape: a pure per-row codegen projection — no shuffle, no
     * state; at 100 TB it pipelines directly into the parquet scan. The
     * all-zero vector degenerates to scale 0 / q = 0 / err 0 on both
-    * engines via the guarded CASE. */
+    * engines via the guarded CASE.
+    *
+    * Output contract: `q` is serialized as the '_'-joined string of its
+    * int8 codes (the q26 signature convention) so the gate's row
+    * comparator — which sorts rows and cannot hash raw arrays — can
+    * canonicalize it; consumers wanting the array re-split on '_'. */
   def q62QuantizeInt8(spark: SparkSession, sfDir: String): DataFrame =
     Tables.parallelized(Tables(spark, sfDir, "embeddings"))
       .select(col("vec_id"),
@@ -507,7 +512,9 @@ object Embeddings {
       .withColumn("max_abs_err", expr("""
         aggregate(zip_with(v, q, (x, qi) -> abs(x - CAST(qi AS DOUBLE) * scale / 127.0)),
                   CAST(0 AS DOUBLE), (a, e) -> greatest(a, e))"""))
-      .select(col("vec_id"), col("scale"), col("q"), col("max_abs_err"))
+      .select(col("vec_id"), col("scale"),
+        expr("array_join(transform(q, x -> CAST(x AS STRING)), '_')").as("q"),
+        col("max_abs_err"))
 
   val q62QuantizeInt8Sql: String = """
     WITH e AS (
@@ -524,7 +531,7 @@ object Embeddings {
                     least(127.0::DOUBLE,
                       floor(x * 127.0 / scale + 0.5))) AS INTEGER)) END AS q
       FROM s)
-    SELECT vec_id, scale, q,
+    SELECT vec_id, scale, array_to_string(q, '_') AS q,
       list_reduce(list_prepend(0.0::DOUBLE,
         list_transform(list_zip(v, q),
           z -> abs(z[1] - CAST(z[2] AS DOUBLE) * scale / 127.0))),

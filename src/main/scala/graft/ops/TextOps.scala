@@ -490,18 +490,21 @@ object TextOps {
     * resampling weight that would flatten the mixture to uniform
     * (weight = target_share / actual_share; a weight > 1 means upsample).
     * Exact-ratio doubles, one global aggregation over per-source partials —
-    * the output is |sources| rows no matter the corpus size. */
+    * the output is |sources| rows no matter the corpus size. The grand
+    * total arrives as a broadcast cross-join of a one-row aggregate over
+    * the CACHED per-source frame (the oracle's own CTE shape) rather than
+    * an empty-partition window, so a 100×-scale run's logs don't emit
+    * `WindowExec: No Partition Defined` on every mixture query. */
   def q69MixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perSource = Tables.parallelized(Tables(spark, sfDir, "documents"))
-      .select(col("source"),
-        expr("""size(split(trim(text), '\\s+'))""").cast("long").as("n_tokens"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
-    val w = Window.partitionBy() // |sources| rows — a driver-sized window
-    perSource
-      .withColumn("total_tokens", sum(col("tokens")).over(w))
-      .withColumn("n_sources", count(lit(1)).over(w))
+    val perSource = graft.CachedFrames.track(
+      Tables.parallelized(Tables(spark, sfDir, "documents"))
+        .select(col("source"),
+          expr("""size(split(trim(text), '\\s+'))""").cast("long").as("n_tokens"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens")))
+    val totals = perSource.agg(sum(col("tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
       .select(col("source"), col("n_docs"), col("tokens"),
         (col("tokens").cast("double") / col("total_tokens").cast("double"))
           .as("token_share"),
@@ -768,24 +771,28 @@ object TextOps {
     * (temp_share / share — > 1 means the source is over-sampled).
     *
     * Scale shape: identical to q69 — per-source partials reduce the corpus
-    * to |sources| rows before one driver-sized window. */
+    * to |sources| rows; both scalars (total, z) arrive as broadcast
+    * cross-joins of one-row aggregates over the cached per-source frame
+    * (the oracle's CTE shape; avoids the empty-partition window and its
+    * `No Partition Defined` log noise). */
   def q73TemperatureMix(spark: SparkSession, sfDir: String): DataFrame =
     temperatureMixOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
 
   /** [[q73TemperatureMix]]'s core over ANY (source, text) frame. */
   private[ops] def temperatureMixOn(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy() // |sources| rows — a driver-sized window
-    docs
+    val perSource = graft.CachedFrames.track(docs
       .select(col("source"),
         expr("""size(split(trim(text), '\\s+'))""").cast("long").as("n_tokens"))
-      .groupBy(col("source")).agg(sum(col("n_tokens")).as("tokens"))
-      .withColumn("total", sum(col("tokens")).over(w))
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("tokens")))
+    // x is |sources| rows off the cached frame — recomputing its lineage
+    // for the z aggregate below costs nothing corpus-sized
+    val x = perSource
+      .crossJoin(broadcast(perSource.agg(sum(col("tokens")).as("total"))))
       .withColumn("share", col("tokens").cast("double") / col("total").cast("double"))
       .withColumn("sq", sqrt(col("share")))
-      .withColumn("z",
-        sum(expr("CAST(floor(sq * 1e15) AS DECIMAL(38,0))")).over(w)
-          .cast("double") / lit(1e15))
+    val z = x.agg((sum(expr("CAST(floor(sq * 1e15) AS DECIMAL(38,0))"))
+      .cast("double") / lit(1e15)).as("z"))
+    x.crossJoin(broadcast(z))
       .select(col("source"), col("tokens"), col("share"),
         (col("sq") / col("z")).as("temp_share"),
         ((col("sq") / col("z")) / col("share")).as("upsample"))
@@ -824,8 +831,13 @@ object TextOps {
     *
     * Scale shape: one explode→(source, token) aggregation, a token-keyed
     * join against the global counts (linear, both sides shuffle once on
-    * token), broadcast-sized per-source totals, and a driver-sized window
-    * for the grand total. Vocabulary never concentrates on one node. */
+    * token), broadcast-sized per-source totals, and a broadcast one-row
+    * grand total. Vocabulary never concentrates on one node.
+    *
+    * Degenerate case: a single-source corpus has no rest-of-corpus, so
+    * `t - n_tokens = 0` and the guarded division yields `l1_drift = NULL`
+    * (both engines agree) — callers monitoring drift should treat NULL as
+    * "no comparison population", not zero drift. */
   def q72SourceDrift(spark: SparkSession, sfDir: String): DataFrame =
     sourceDriftOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
 
@@ -833,14 +845,16 @@ object TextOps {
     * drives it with crafted sources pinning the L1 boundary cases
     * (identical distribution → 0, disjoint vocabulary → 2). */
   private[ops] def sourceDriftOn(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val st = graft.CachedFrames.track(docs
         .select(col("source"), explode(expr("""split(trim(text), '\\s+')""")).as("token"))
         .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c")))
     val g = st.groupBy(col("token")).agg(sum(col("c")).as("g"))
-    val tot = st.groupBy(col("source")).agg(
-        sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"))
-      .withColumn("t", sum(col("n_tokens")).over(Window.partitionBy()))
+    // per-source totals are |sources| rows — cached so the one-row grand
+    // total below folds them instead of re-aggregating the token frame
+    val totBase = graft.CachedFrames.track(st.groupBy(col("source")).agg(
+        sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab")))
+    val tot = totBase
+      .crossJoin(broadcast(totBase.agg(sum(col("n_tokens")).as("t"))))
     st.join(g, "token")
       .join(broadcast(tot), "source")
       .withColumn("term", expr("""

@@ -76,7 +76,9 @@ class BenchSentinelSpec extends AnyFunSuite {
     // from the first pass instead of dropping it from the record
     val m = Bench.mergePasses(first, Map("q1" -> q(0.5), "q2" -> nan))
     assert(m("q1").median === 0.5)
-    assert(m("q2").median === 5.0 && m("q2").failures === 0)
+    // the backfilled stat carries the failed pass's rep failures — an
+    // all-reps-failed pass must stay visible in the JSON record
+    assert(m("q2").median === 5.0 && m("q2").failures === 3)
   }
 
   test("parseQueryMedians reads a recorded bench line") {
@@ -86,5 +88,48 @@ class BenchSentinelSpec extends AnyFunSuite {
     val m = Bench.parseQueryMedians(line)
     assert(m === Map("q1_agg" -> 0.51, "q47_range_join" -> 0.55))
     assert(Bench.parseQueryMedians("not json at all") === Map.empty)
+  }
+
+  test("parseQueryMedians reads the driver wrapper's escaped, truncated tail") {
+    // the r5 failure mode's sibling: the driver stores the bench line
+    // ESCAPED inside a "tail" string that may be cut off mid-object
+    val wrapper = """{"n": 5, "rc": 0, "tail": "{\"metric\":\"total\",""" +
+      """\"queries\":{\"q1_agg\":0.51,\"q38_approx_stats\":71.55,\"q8_win"""
+    val m = Bench.parseQueryMedians(wrapper)
+    assert(m === Map("q1_agg" -> 0.51, "q38_approx_stats" -> 71.55))
+  }
+
+  test("r5 post-mortem: sustained contention (median~min) is caught by the " +
+    "cross-round check and re-measured") {
+    // recorded r5 stats: contention spanned all reps, so median ~ min and
+    // the 2x-min intra-rep check is structurally blind — only the
+    // previous-round comparison can fire
+    val stats = Map(
+      "q38_approx_stats" -> q(71.55, min = 65.7, max = 73.0),
+      "q8_window_running" -> q(47.01, min = 45.2, max = 48.1),
+      "q59_pack_sequences" -> q(30.55, min = 29.8, max = 31.2),
+      "q72_source_drift" -> q(19.02, min = 18.5, max = 19.6),
+      "q1_agg" -> q(0.51, min = 0.49, max = 0.55))
+    // prev = min across historical records (r4 medians / clean re-measures)
+    val prev = Map("q38_approx_stats" -> 0.50, "q8_window_running" -> 0.35,
+      "q59_pack_sequences" -> 0.29, "q72_source_drift" -> 1.39,
+      "q1_agg" -> 0.45)
+    val clean = Map("q38_approx_stats" -> q(0.50), "q8_window_running" -> q(0.35),
+      "q59_pack_sequences" -> q(0.29), "q72_source_drift" -> q(1.39))
+    val (cleaned, flagged) =
+      Bench.applyPerQuerySentinel(stats, prev, n => clean(n))
+    assert(flagged === List("q38_approx_stats", "q59_pack_sequences",
+      "q72_source_drift", "q8_window_running"))
+    assert(cleaned("q38_approx_stats").median === 0.50)
+    assert(cleaned("q72_source_drift").median === 1.39)
+    assert(cleaned("q1_agg") === stats("q1_agg")) // in-band query untouched
+  }
+
+  test("mergeMin takes the per-query minimum across record sources") {
+    val merged = Bench.mergeMin(Seq(
+      Map("q1" -> 0.6, "q2" -> 5.0),        // contaminated older record
+      Map("q1" -> 0.5, "q3" -> 1.0),        // cleaner newer record
+      Map.empty[String, Double]))           // unparseable wrapper
+    assert(merged === Map("q1" -> 0.5, "q2" -> 5.0, "q3" -> 1.0))
   }
 }

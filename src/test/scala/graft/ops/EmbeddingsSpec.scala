@@ -84,7 +84,8 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val scale = r.getDouble(1)
-      val q = r.getSeq[Int](2)
+      // q ships as the '_'-joined gate serialization (q26 convention)
+      val q = r.getString(2).split('_').map(_.toInt).toSeq
       val err = r.getDouble(3)
       assert(q.forall(v => v >= -127 && v <= 127), s"vec ${r.getLong(0)}: $q")
       assert(scale >= 0.0)

@@ -60,6 +60,7 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
                      ("small", Seq.fill(10)("p").mkString(" "))).toDF("source", "text")
     val s = TextOps.temperatureMixOn(skewed).collect()
       .map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    graft.CachedFrames.drain() // temperatureMixOn tracks its per-source agg
     assert(s("small")._2 > 1.0 && s("big")._2 < 1.0, s)
     // α=0.5 exactly: temp shares ∝ sqrt(0.9), sqrt(0.1)
     val expSmall = math.sqrt(0.1) / (math.sqrt(0.1) + math.sqrt(0.9))
