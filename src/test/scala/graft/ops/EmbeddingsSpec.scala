@@ -74,6 +74,36 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     } finally graft.CachedFrames.drain()
   }
 
+  test("hash-seeded codebook (q74) decouples k from labels: more cells than labels in use") {
+    val sf = "/root/testdata/sf0.001"
+    try {
+      val cells = Embeddings.q74HashIvf(spark, sf)
+        .select("cell").distinct().collect().map(_.getInt(0)).toSet
+      val nLabels = graft.Tables(spark, sf, "embeddings")
+        .select("label").distinct().count()
+      // the label codebook caps k at #labels; the hash seeding must not
+      assert(cells.size > nLabels,
+        s"only ${cells.size} hash cells in use vs $nLabels labels")
+      assert(cells.forall(c => c >= 0 && c < Embeddings.HashCodebookK))
+    } finally graft.CachedFrames.drain()
+  }
+
+  test("recall scoreboard (q75): multi-probe dominates single-probe per query, " +
+    "recalls are valid fractions") {
+    val sf = "/root/testdata/sf0.001"
+    try {
+      val rows = Embeddings.q75RecallCompare(spark, sf).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (s, m, h) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        assert(m >= s, s"qid ${r.getLong(0)}: recall_multi $m < recall_single $s")
+        Seq(s, m, h).foreach(x => assert(x >= 0.0 && x <= 1.0))
+      }
+      // the comparison is only meaningful if some probe strategy finds hits
+      assert(rows.map(_.getDouble(2)).sum > 0.0)
+    } finally graft.CachedFrames.drain()
+  }
+
   test("int8 quantization (q62) reconstruction error is bounded by half a step") {
     val sf = "/root/testdata/sf0.001"
     // symmetric quantization with floor(x + 0.5) rounding: the dequantized
