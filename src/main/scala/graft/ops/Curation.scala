@@ -229,7 +229,8 @@ object Curation {
     * query, and the Hamming bound for a near-dup verdict — tables−1 is the
     * rotation-banding guarantee (any pair within it shares a bucket). */
   private[ops] val IncrementalBatchSource = "src0"
-  private[ops] val IncrementalMaxHamming = NearDup.DefaultSimHash.tables - 1
+  // private[graft]: the streaming admission twin applies the same bound
+  private[graft] val IncrementalMaxHamming = NearDup.DefaultSimHash.tables - 1
 
   /** q71: incremental (delta-vs-corpus) dedup — the admission check a
     * continuously-growing corpus runs on every new crawl batch, instead of

@@ -211,16 +211,26 @@ object NearDup {
     * (x div 2^(56-k)), k = r·prefixBits; all operands < 2^56 so BIGINT
     * arithmetic never overflows. Shared by q37 batch pairing and the
     * incremental batch-vs-corpus probe (q71). */
+  /** Table r's rotated-prefix bucket for a simhash column — the one
+    * formula behind [[simhashBandsOn]] and the streaming admission probe
+    * ([[graft.streaming.EventStreams.admissionStream]]), which needs the
+    * per-table buckets as scalar columns (no explode: its stream side
+    * stays one row per document through stateless static-index joins). */
+  private[graft] def rotBucket(simhash: org.apache.spark.sql.Column, r: Int,
+      cfg: SimHashConfig = DefaultSimHash): org.apache.spark.sql.Column = {
+    val k = r * cfg.prefixBits
+    val lowBits = SimHashBits - k
+    val rot = (simhash.bitwiseAND(lit((1L << lowBits) - 1L)) * lit(1L << k)) +
+      shiftright(simhash, lowBits)
+    shiftright(rot, SimHashBits - cfg.prefixBits)
+  }
+
   private[graft] def simhashBandsOn(sims: DataFrame,
       cfg: SimHashConfig = DefaultSimHash): DataFrame = {
-    import cfg.{prefixBits, tables}
+    import cfg.tables
     sims.select(col("doc_id") +: col("simhash") +:
       (0 until tables).map { r =>
-        val k = r * prefixBits
-        val lowBits = SimHashBits - k
-        val rot = (col("simhash").bitwiseAND(lit((1L << lowBits) - 1L)) * lit(1L << k)) +
-          shiftright(col("simhash"), lowBits)
-        shiftright(rot, SimHashBits - prefixBits).as(s"b$r")
+        rotBucket(col("simhash"), r, cfg).as(s"b$r")
       }: _*)
       .select(col("doc_id"), col("simhash"),
         explode(array((0 until tables).map(r =>

@@ -162,36 +162,63 @@ object EventStreams {
         col("view_value"))
   }
 
-  /** Streaming corpus admission — the stream-static counterpart of the
-    * batch delta-vs-corpus check ([[graft.ops.Curation.q71IncrementalDedup]]):
-    * each arriving (ts, doc_id, text) document joins the STATIC corpus
-    * index and emits `dup_exact` (normalized digest present), `dup_near`
-    * (identical SimHash fingerprint — the same high-precision criterion as
-    * [[nearDedupStream]]; banded Hamming matching stays a batch concern),
-    * or `new`, plus the smallest matching corpus id.
+  /** Streaming corpus admission — the stream-static twin of the batch
+    * delta-vs-corpus check ([[graft.ops.Curation.q71IncrementalDedup]]),
+    * with IDENTICAL verdict semantics (EventStreamsSpec pins row-set
+    * equality against q71 on the sf tables): each arriving (ts, doc_id,
+    * text) document probes the STATIC corpus index and emits `dup_exact`
+    * (normalized digest present), `dup_near` (rotation-band SimHash
+    * collision within the same Hamming bound as q71), or `new`, plus the
+    * smallest matching corpus id.
     *
-    * The static side collapses to one row per digest / per fingerprint
-    * BEFORE the join, so every stream row emits exactly once and the joins
-    * are stateless stream-static broadcasts — no watermark, no state store:
-    * the enrich-against-reference-data pattern, completing the streaming
-    * join surface next to the stateful stream-stream join above. In
-    * production the two index frames are the persisted corpus index, not a
-    * re-derivation. */
+    * Statelessness is the design constraint: a streaming groupBy would
+    * need a state store, so instead the static side is organized so every
+    * stream row resolves its verdict ROW-LOCALLY — the digest index
+    * collapses to one row per digest, and the band index to one row per
+    * (table, bucket) cell carrying its (cid, simhash) entries as an array.
+    * The stream side computes its per-table buckets as scalar columns
+    * (same [[graft.ops.NearDup.rotBucket]] formula as the batch banding,
+    * no explode), left-joins one broadcast cell frame per table, and takes
+    * the min matching cid across tables with a codegen'd array filter —
+    * no watermark, no state store, exactly-once per input row. In
+    * production the index frames are the persisted corpus index
+    * (q25/q28's outputs), not a re-derivation; cell arrays are bounded by
+    * cell size = corpus / 2^prefixBits, the same quantity that bounds the
+    * batch band join's work per key. */
   def admissionStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.ops.NearDup
+    val cfg = NearDup.DefaultSimHash
+    val maxH = graft.ops.Curation.IncrementalMaxHamming
     val byDigest = corpus
       .select(md5(lower(trim(col("text")))).as("ck"), col("doc_id").as("cid"))
       .groupBy(col("ck")).agg(min(col("cid")).as("exact_match"))
-    val byFp = graft.ops.NearDup.withSimhash(corpus)
-      .groupBy(col("simhash")).agg(min(col("doc_id")).as("near_match"))
-    graft.ops.NearDup.withSimhash(docs)
-      .withColumn("ck", md5(lower(trim(col("text")))))
-      .join(broadcast(byDigest), Seq("ck"), "left")
-      .join(broadcast(byFp), Seq("simhash"), "left")
-      .select(col("ts"), col("doc_id"),
-        when(col("exact_match").isNotNull, lit("dup_exact"))
-          .when(col("near_match").isNotNull, lit("dup_near"))
-          .otherwise(lit("new")).as("verdict"),
-        coalesce(col("exact_match"), col("near_match")).as("match_id"))
+    val cBands = NearDup.simhashBandsOn(NearDup.withSimhash(corpus))
+      .select(col("t"), col("bucket"), col("doc_id").as("cid"),
+        col("simhash").as("csim"))
+    val cells = (0 until cfg.tables).map { r =>
+      cBands.filter(col("t") === r)
+        .groupBy(col("bucket"))
+        .agg(collect_list(struct(col("cid"), col("csim"))).as(s"entries_$r"))
+        .withColumnRenamed("bucket", s"bucket_$r")
+    }
+    val probed = (0 until cfg.tables).foldLeft(
+      NearDup.withSimhash(docs).withColumn("ck", md5(lower(trim(col("text")))))) {
+      (s, r) =>
+        s.withColumn(s"bucket_$r", NearDup.rotBucket(col("simhash"), r, cfg))
+          .join(broadcast(cells(r)), Seq(s"bucket_$r"), "left")
+    }.join(broadcast(byDigest), Seq("ck"), "left")
+    // per-table min matching cid; a missed join leaves entries_r null and
+    // filter/transform/array_min propagate it, which least() then skips
+    val nearMatch = (0 until cfg.tables).map { r =>
+      expr(s"""array_min(transform(
+        filter(entries_$r, e -> bit_count(simhash ^ e.csim) <= $maxH),
+        e -> e.cid))""")
+    }.reduceLeft(least(_, _))
+    probed.select(col("ts"), col("doc_id"),
+      when(col("exact_match").isNotNull, lit("dup_exact"))
+        .when(nearMatch.isNotNull, lit("dup_near"))
+        .otherwise(lit("new")).as("verdict"),
+      coalesce(col("exact_match"), nearMatch).as("match_id"))
   }
 
   /** The same sessionization via the BUILT-IN `session_window` aggregation —

@@ -309,14 +309,48 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       1L -> (("dup_exact", 10L)),
       2L -> (("dup_near", 11L)),
       3L -> (("new", -1L))))
-    // the batch twin returns the same verdicts on identical inputs (its
-    // banded near-match is broader, but fingerprint-equal pairs are the
-    // intersection both criteria must report)
+    // the batch twin returns the same verdicts on identical inputs — the
+    // two formulations share the digest, fingerprint, banding and Hamming
+    // bound, so they must agree row for row
     val batch = toMapped(graft.ops.Curation
       .incrementalDedupOn(inputs.toDF("doc_id", "text"), corpus)
       .select("doc_id", "verdict", "match_id").collect())
     graft.CachedFrames.drain()
     assert(batch === got)
+  }
+
+  test("AvailableNow file-source admission run equals the q71 batch output on sf0.01") {
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    import org.apache.spark.sql.streaming.Trigger
+    // the real gate slice: src0 is the arriving crawl batch, the other
+    // sources are the standing corpus — exactly q71's split
+    val dir = "/root/testdata/sf0.01"
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val batchDocs = raw.filter(col("source") === "src0").drop("source")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 10:00:00")))
+    val corpus = raw.filter(col("source") =!= "src0").drop("source")
+    val staged = java.nio.file.Files.createTempDirectory("admission-e2e")
+    batchDocs.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(staged.toString)
+    def toMapped(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val q = EventStreams.admissionStream(stream, corpus)
+      .writeStream.format("memory").queryName("admission_e2e")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val got = try {
+      q.awaitTermination()
+      toMapped(spark.table("admission_e2e")
+        .select("doc_id", "verdict", "match_id").collect())
+    } finally q.stop()
+    val expected = toMapped(graft.ops.Curation.q71IncrementalDedup(spark, dir)
+      .select("doc_id", "verdict", "match_id").collect())
+    graft.CachedFrames.drain()
+    assert(got === expected)
+    assert(got.size === 25 && got.exists(_._2 == "dup_near"))
   }
 
   test("late within-watermark event bridges two open sessions like the batch twin") {
