@@ -45,8 +45,24 @@ object ScaleSmoke {
         Tables.parallelized(Tables(spark, sfDir, "documents")), cpus.toInt, out)
       val back = spark.read.parquet(out)
       val secs = (System.nanoTime() - t0) / 1e9
+      // layout contract, verified on the actual files: every shard=K dir
+      // holds exactly ONE parquet file whose rows read back in training
+      // order (pos = 1..n contiguous) — the property a shard reader
+      // streams without sorting
+      val shardDirs = new java.io.File(out).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      val layoutOk = shardDirs.nonEmpty && shardDirs.forall { d =>
+        val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        files.length == 1 && {
+          val pos = spark.read.parquet(files.head.getPath)
+            .select("pos").collect().map(_.getLong(0))
+          pos.sameElements(1L to pos.length.toLong)
+        }
+      }
       println(f"survivors=${back.count()} (expected $survivors) " +
-        f"shards=${back.select("shard").distinct().count()} mode=curate wall=$secs%.1f s")
+        f"shards=${back.select("shard").distinct().count()} " +
+        f"layout_sorted=$layoutOk mode=curate wall=$secs%.1f s")
+      require(layoutOk, "shard layout violated: expected one pos-ordered file per shard")
       CachedFrames.drain()
       // the smoke output can be a full curated corpus copy — don't leak it
       def rm(f: java.io.File): Unit = {
