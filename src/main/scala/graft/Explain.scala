@@ -17,7 +17,8 @@ object Explain {
                   "q57_oov_rate", "q58_decontaminate", "q60_ivf_multiprobe",
                   "q61_tfidf_cosine", "q62_quantize_int8", "q70_shuffle_shards",
                   "q71_incremental_dedup", "q72_source_drift",
-                  "q73_temperature_mix", "q74_hash_ivf")
+                  "q73_temperature_mix", "q74_hash_ivf",
+                  "q77_apply_mixture", "q78_embedding_admission")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -225,6 +225,91 @@ object Curation {
     FROM s
   """
 
+  /** q76 tuning: split boundaries (train < 80, valid < 90, else test out
+    * of 100 hash slots) and the salt that versions the assignment. */
+  private val SplitSalt = "split:v1:"
+
+  /** q76: deterministic train/valid/test split — the holdout assignment a
+    * training corpus needs to be REPRODUCIBLE and stable under appends:
+    * each document's slot is a salted content hash mod 100, so (a) a retry
+    * or a different cluster yields the identical split, (b) newly crawled
+    * documents never move existing ones between splits (unlike any
+    * rand()/randomSplit assignment), and (c) changing the salt re-rolls
+    * the whole split intentionally. Slot boundaries 80/90 give 80/10/10 in
+    * expectation with md5-uniform slots.
+    *
+    * Scale shape: a pure codegen projection (`md5_prefix56` native
+    * expression) — no shuffle, no state; pipelines into the scan at any
+    * corpus size. */
+  def q76HashSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.parallelized(Tables(spark, sfDir, "documents"))
+      .select(col("doc_id"), expr(
+        s"md5_prefix56(concat('$SplitSalt', CAST(doc_id AS STRING))) % 100").as("h"))
+      .withColumn("split",
+        when(col("h") < 80, lit("train"))
+          .when(col("h") < 90, lit("valid"))
+          .otherwise(lit("test")))
+  }
+
+  val q76HashSplitSql: String = s"""
+    WITH s AS (
+      SELECT doc_id,
+        ('0x' || substr(md5('$SplitSalt' || doc_id::VARCHAR), 1, 14))::BIGINT % 100 AS h
+      FROM documents)
+    SELECT doc_id, h,
+      CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'valid' ELSE 'test' END AS split
+    FROM s
+  """
+
+  private val MixSalt = "mix:"
+
+  /** q77: APPLY the temperature-mixture weights — q73 decides how much
+    * each source should be over/under-sampled; this emits the per-document
+    * repeat count that realizes it, via deterministic stochastic rounding:
+    * n_repeats = floor(w) + 1 if the document's salted hash fraction falls
+    * below frac(w). E[n_repeats] = w exactly, every document's count is
+    * reproducible under retries (no rand()), and a source with w < 1
+    * downsamples by the same rule (repeat 0 or 1). The epoch plan a
+    * pretraining data loader actually consumes.
+    *
+    * Float parity: w (q73's upsample) is bitwise-identical in both engines
+    * by q73's own gate; frac(w)·1e6 compared against an integer hash slot
+    * is then a pure double comparison on identical operands.
+    *
+    * Scale shape: the weight table is |sources| rows broadcast onto a pure
+    * projection — no shuffle beyond q73's own |sources|-row aggregation. */
+  def q77ApplyMixture(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val w = TextOps.q73TemperatureMix(spark, sfDir)
+      .select(col("source"), col("upsample"))
+    Tables.parallelized(Tables(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(w), "source")
+      .withColumn("u", expr(
+        s"md5_prefix56(concat('$MixSalt', CAST(doc_id AS STRING))) % 1000000"))
+      .withColumn("n_repeats",
+        (floor(col("upsample")) +
+          when(col("u").cast("double") <
+            (col("upsample") - floor(col("upsample"))) * lit(1e6), 1L)
+            .otherwise(0L)).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_repeats"))
+  }
+
+  val q77ApplyMixtureSql: String = s"""
+    WITH w AS (
+      SELECT source, upsample FROM (${TextOps.q73TemperatureMixSql})),
+    u AS (
+      SELECT doc_id, source,
+        ('0x' || substr(md5('$MixSalt' || doc_id::VARCHAR), 1, 14))::BIGINT % 1000000 AS u
+      FROM documents)
+    SELECT u.doc_id, u.source,
+      CAST(floor(w.upsample) +
+        CASE WHEN CAST(u.u AS DOUBLE) < (w.upsample - floor(w.upsample)) * 1e6
+             THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+    FROM u JOIN w USING (source)
+  """
+
   /** q71 tuning: which source plays the "new crawl batch" in the gate
     * query, and the Hamming bound for a near-dup verdict — tables−1 is the
     * rotation-banding guarantee (any pair within it shares a bucket). */

@@ -575,6 +575,115 @@ object Embeddings {
     LEFT JOIN h3 ON qs.qid = h3.qid
   """
 
+  /** q78 tuning: the admission batch (vec_id < bound plays the arriving
+    * delta) and the cosine bound for a semantic-duplicate verdict (q48's
+    * near-dup threshold on this synthetic embedding space). */
+  private val AdmitBatchBound = 100
+  private val AdmitCosTau = 0.3
+
+  /** q78: embedding admission — the SEMANTIC twin of the text-side
+    * delta-vs-corpus check (q71): each vector in the arriving batch probes
+    * the STANDING corpus's IVF index (hash-seeded codebook, trained on the
+    * corpus only — an arriving batch must not shift the standing
+    * centroids) and emits `dup_semantic` (some same-cell corpus vector
+    * with cosine ≥ [[AdmitCosTau]]) or `new`, plus the smallest matching
+    * corpus id and the best cosine seen (NULL when the cell has no corpus
+    * member). Together with q71 this completes admission-time dedup across
+    * both modalities: exact/near text AND embedding space.
+    *
+    * Scale shape: the same asymmetry as q71 — the codebook is broadcast,
+    * both assignments are map-side, and the candidate join is batch ×
+    * cell-size, never corpus²; max/min aggregates are order-insensitive so
+    * the oracle matches bitwise. */
+  def q78EmbeddingAdmission(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.CachedFrames.track(vecs(spark, sfDir))
+    val batch = e.filter(col("vec_id") < AdmitBatchBound)
+    val corpus = e.filter(col("vec_id") >= AdmitBatchBound)
+    val cents = hashCentroids(corpus, HashCodebookK)
+    val aCorpus = probeAssign(corpus, cents, nprobe = 1)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cn"), col("cell"))
+    val aBatch = probeAssign(batch, cents, nprobe = 1)
+      .select(col("vec_id").as("bid"), col("v").as("bv"),
+        col("nrm").as("bn"), col("cell"))
+    val verdicts = aBatch.join(aCorpus, "cell")
+      .withColumn("cos", dot(col("bv"), col("cv")) / (col("bn") * col("cn")))
+      .groupBy(col("bid"))
+      .agg(min(when(col("cos") >= AdmitCosTau, col("cid"))).as("match_id"),
+        max(col("cos")).as("best_cos"))
+    batch.select(col("vec_id"))
+      .join(verdicts.withColumnRenamed("bid", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("match_id").isNotNull, lit("dup_semantic"))
+          .otherwise(lit("new")).as("verdict"),
+        col("match_id"), col("best_cos"))
+  }
+
+  val q78EmbeddingAdmissionSql: String = s"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v,
+        sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+      FROM e),
+    corpus AS (SELECT * FROM n WHERE vec_id >= $AdmitBatchBound),
+    batch AS (SELECT * FROM n WHERE vec_id < $AdmitBatchBound),
+    h AS (
+      SELECT vec_id,
+        CAST(('0x' || substr(md5('$HashCellSalt' || vec_id::VARCHAR), 1, 14))::BIGINT
+          % $HashCodebookK AS INTEGER) AS cell0
+      FROM corpus),
+    hx AS (
+      SELECT h.cell0 AS cell, i.idx - 1 AS idx, c.v[i.idx] AS x
+      FROM corpus c JOIN h USING (vec_id),
+           LATERAL (SELECT unnest(generate_series(1, len(c.v))) AS idx) i),
+    hmeans AS (
+      SELECT cell, idx,
+        CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+          / CAST(count(*) AS DOUBLE) AS mean_x
+      FROM hx GROUP BY cell, idx),
+    hcents AS (
+      SELECT cell, list(mean_x ORDER BY idx) AS c FROM hmeans GROUP BY cell),
+    hcn AS (
+      SELECT cell, c,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(c, x -> x * x)), (acc, x) -> acc + x) AS cnorm2
+      FROM hcents),
+    ca AS (
+      SELECT vec_id, v, nrm, cell FROM (
+        SELECT s.vec_id, s.v, s.nrm, hcn.cell,
+          row_number() OVER (PARTITION BY s.vec_id ORDER BY
+            s.nrm * s.nrm
+              - 2.0 * list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(list_zip(s.v, hcn.c), z -> z[1] * z[2])), (acc, x) -> acc + x)
+              + hcn.cnorm2 ASC, hcn.cell ASC) AS rk
+        FROM corpus s CROSS JOIN hcn) WHERE rk = 1),
+    ba AS (
+      SELECT vec_id, v, nrm, cell FROM (
+        SELECT s.vec_id, s.v, s.nrm, hcn.cell,
+          row_number() OVER (PARTITION BY s.vec_id ORDER BY
+            s.nrm * s.nrm
+              - 2.0 * list_reduce(list_prepend(0.0::DOUBLE,
+                  list_transform(list_zip(s.v, hcn.c), z -> z[1] * z[2])), (acc, x) -> acc + x)
+              + hcn.cnorm2 ASC, hcn.cell ASC) AS rk
+        FROM batch s CROSS JOIN hcn) WHERE rk = 1),
+    cand AS (
+      SELECT b.vec_id AS bid, c.vec_id AS cid,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(list_zip(b.v, c.v), z -> z[1] * z[2])), (acc, x) -> acc + x)
+          / (b.nrm * c.nrm) AS cos
+      FROM ba b JOIN ca c ON b.cell = c.cell),
+    m AS (
+      SELECT bid, min(CASE WHEN cos >= $AdmitCosTau THEN cid END) AS match_id,
+        max(cos) AS best_cos
+      FROM cand GROUP BY bid)
+    SELECT b.vec_id,
+      CASE WHEN m.match_id IS NOT NULL THEN 'dup_semantic' ELSE 'new' END AS verdict,
+      m.match_id, m.best_cos
+    FROM batch b LEFT JOIN m ON b.vec_id = m.bid
+  """
+
   /** Centroid gram matrix + cosine: joins the long-format centroids on idx,
     * sorted-fold-sums the products (shuffle-order-proof), then normalizes by
     * the diagonal. */

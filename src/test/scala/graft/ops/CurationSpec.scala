@@ -7,6 +7,48 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("q76 split is total, stable, and near the 80/10/10 design rates") {
+    val rows = Curation.q76HashSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    // total: every document gets exactly one verdict from the slot rule
+    rows.foreach { case (id, h, split) =>
+      assert(h >= 0 && h < 100, s"doc $id slot $h")
+      val expected = if (h < 80) "train" else if (h < 90) "valid" else "test"
+      assert(split === expected, s"doc $id")
+    }
+    // md5-uniform slots: rates near design (small-sample tolerance)
+    val n = rows.length.toDouble
+    val trainFrac = rows.count(_._3 == "train") / n
+    assert(trainFrac > 0.65 && trainFrac < 0.95, s"train fraction $trainFrac")
+    assert(rows.map(_._3).toSet === Set("train", "valid", "test"))
+    // stability: re-running yields the identical assignment (no rand())
+    assert(Curation.q76HashSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet ===
+      rows.map(r => (r._1, r._3)).toSet)
+  }
+
+  test("q77 repeat counts bracket the mixture weight and average toward it") {
+    val w = TextOps.q73TemperatureMix(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    graft.CachedFrames.drain()
+    val rows = Curation.q77ApplyMixture(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    graft.CachedFrames.drain()
+    assert(rows.nonEmpty)
+    // each count is floor(w) or ceil(w); per-source mean sits between them
+    rows.foreach { case (id, src, nRep) =>
+      val wv = w(src)
+      assert(nRep == math.floor(wv).toLong || nRep == math.ceil(wv).toLong,
+        s"doc $id source $src: $nRep not in {floor,ceil}($wv)")
+    }
+    val bySource = rows.groupBy(_._2)
+    bySource.foreach { case (src, docs) =>
+      val mean = docs.map(_._3).sum.toDouble / docs.size
+      assert(mean >= math.floor(w(src)) && mean <= math.ceil(w(src)), s"$src mean $mean")
+    }
+  }
+
   test("q70 shard positions are a dense 1..n_shard enumeration of the corpus") {
     val rows = Curation.q70ShuffleShards(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))

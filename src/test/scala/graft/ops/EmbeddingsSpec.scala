@@ -104,6 +104,30 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     } finally graft.CachedFrames.drain()
   }
 
+  test("embedding admission (q78): every batch vector gets one verdict; " +
+    "dup matches really clear the cosine bar") {
+    val sf = "/root/testdata/sf0.001"
+    try {
+      val rows = Embeddings.q78EmbeddingAdmission(spark, sf).collect()
+      assert(rows.nonEmpty)
+      val nBatch = graft.Tables(spark, sf, "embeddings")
+        .filter(org.apache.spark.sql.functions.col("vec_id") < 100).count()
+      assert(rows.length.toLong === nBatch) // exactly-once per batch vector
+      rows.foreach { r =>
+        val verdict = r.getString(1)
+        if (verdict == "dup_semantic") {
+          assert(!r.isNullAt(2) && r.getLong(2) >= 100) // matches are corpus ids
+          assert(r.getDouble(3) >= 0.3)
+        } else {
+          assert(verdict === "new" && r.isNullAt(2))
+          if (!r.isNullAt(3)) assert(r.getDouble(3) < 0.3)
+        }
+      }
+      assert(rows.exists(_.getString(1) == "dup_semantic"),
+        "threshold should admit some semantic dups on this embedding space")
+    } finally graft.CachedFrames.drain()
+  }
+
   test("int8 quantization (q62) reconstruction error is bounded by half a step") {
     val sf = "/root/testdata/sf0.001"
     // symmetric quantization with floor(x + 0.5) rounding: the dequantized
