@@ -534,14 +534,36 @@ object Embeddings {
   def q75RecallCompare(spark: SparkSession, sfDir: String): DataFrame = {
     val truth = q29KnnBrute(spark, sfDir).filter(col("rk") <= 3)
       .select(col("id1").as("qid"), col("id2").as("cand_id"))
+    // ONE cached nprobe=2 assignment pass serves BOTH label-codebook
+    // candidate sets: single-probe = its probe_rk=1 slice (identical to
+    // q46's nprobe=1 assignment — same best cell, same tie-break), multi =
+    // all probes. Composing q46+q60 as black boxes would run the centroid
+    // build + assignment crossJoin twice for identical rows; the oracle
+    // still composes the two queries verbatim because the RESULTS are
+    // identical, only the computation is shared.
+    val probed = probedCells(spark, sfDir, DefaultAnn.nprobe)
+    val home = probed.filter(col("probe_rk") === 1)
+    def topk(probes: DataFrame): DataFrame = {
+      val q = probes.filter(col("vec_id") < DefaultAnn.knnQueryIds)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+          col("cell"))
+      val wq = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand_id").asc)
+      q.join(home.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+          col("nrm").as("cn"), col("cell").as("ccell")),
+          col("cell") === col("ccell") && col("qid") =!= col("cand_id"))
+        .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .withColumn("rk", row_number().over(wq))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("cand_id"))
+    }
     def hitsOf(cands: DataFrame, as: String): DataFrame =
       truth.join(cands.select(col("qid"), col("cand_id")), Seq("qid", "cand_id"))
         .groupBy(col("qid")).agg(count(lit(1)).as(as))
     def recallOf(n: String): org.apache.spark.sql.Column =
       coalesce(col(n), lit(0L)).cast("double") / lit(3.0)
     truth.select(col("qid")).distinct()
-      .join(hitsOf(q46IvfAnn(spark, sfDir), "h1"), Seq("qid"), "left")
-      .join(hitsOf(q60IvfMultiprobe(spark, sfDir), "h2"), Seq("qid"), "left")
+      .join(hitsOf(topk(home), "h1"), Seq("qid"), "left")
+      .join(hitsOf(topk(probed), "h2"), Seq("qid"), "left")
       .join(hitsOf(q74HashIvf(spark, sfDir), "h3"), Seq("qid"), "left")
       .select(col("qid"),
         recallOf("h1").as("recall_single"),
