@@ -140,6 +140,52 @@ object CurateCorpus {
   }
 }
 
+/** Job 5 — materialize the corpus admission index (the two frames
+  * `graft.ops.Curation.corpusIndexFrames` derives: exact digests and
+  * rotation-banded SimHash entries) as parquet, so admission runs scan the
+  * INDEX instead of re-fingerprinting the corpus:
+  *
+  *   runMain graft.cli.BuildCorpusIndex --input docs.parquet --output /tmp/idx
+  *
+  * Writes `<out>/digests` (ck, cid) and `<out>/bands` (t, bucket, simhash,
+  * cid). Incremental maintenance is append-shaped: an admitted batch's own
+  * digests/bands rows can be appended to the same layout (the probe side
+  * never assumes uniqueness). At 100 TB the index is a fraction of the
+  * corpus (one digest + `tables` band rows per document, no text). */
+object BuildCorpusIndex {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-build-index") { spark =>
+    val docs = graft.Tables.parallelized(spark.read.parquet(a("input")))
+    val (digests, bands) = graft.ops.Curation.corpusIndexFrames(docs)
+    digests.write.mode("overwrite").parquet(s"${a("output")}/digests")
+    bands.write.mode("overwrite").parquet(s"${a("output")}/bands")
+    }
+  }
+}
+
+/** Job 6 — admit a new document batch against a persisted index (job 5's
+  * output): every batch document gets a `dup_exact` / `dup_near` / `new`
+  * verdict plus the smallest matching corpus id — q71's semantics, with
+  * the corpus side read from the index:
+  *
+  *   runMain graft.cli.AdmitBatch --input batch.parquet --index /tmp/idx \
+  *     --output /tmp/verdicts
+  */
+object AdmitBatch {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-admit") { spark =>
+    val batch = graft.Tables.parallelized(spark.read.parquet(a("input")))
+    val digests = spark.read.parquet(s"${a("index")}/digests")
+    val bands = spark.read.parquet(s"${a("index")}/bands")
+    graft.ops.Curation.admitAgainstIndex(batch, digests, bands)
+      .write.mode("overwrite").parquet(a("output"))
+    graft.CachedFrames.drain()
+    }
+  }
+}
+
 /** Job 3 — load the model, score unlabeled pairs, write (pair, prediction)
   * sorted by prediction. */
 object ApplyDupClassifier {

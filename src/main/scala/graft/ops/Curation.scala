@@ -340,23 +340,38 @@ object Curation {
       docs.filter(col("source") =!= IncrementalBatchSource).drop("source"))
   }
 
-  /** [[q71IncrementalDedup]]'s core over ANY (doc_id BIGINT, text) batch +
-    * corpus frames — the spec drives this with crafted documents covering
-    * all three verdicts and the exact-beats-near precedence. */
-  private[graft] def incrementalDedupOn(batch: DataFrame, corpus: DataFrame): DataFrame = {
+  /** The persisted corpus index behind the admission check, derived once
+    * from a (doc_id, text) corpus: the digest side (ck, cid — q25's exact
+    * fingerprint) and the band side (t, bucket, simhash, cid — q28/q37's
+    * rotation-banded SimHash). In production these two frames are WRITTEN
+    * (see `cli.BuildCorpusIndex`) and maintained incrementally — admitted
+    * batches append their own rows — so every later admission scans the
+    * index, never the corpus text. */
+  private[graft] def corpusIndexFrames(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val digests = corpus
+      .select(md5(lower(trim(col("text")))).as("ck"), col("doc_id").as("cid"))
+    val bands = NearDup.simhashBandsOn(NearDup.withSimhash(corpus))
+      .select(col("t"), col("bucket"), col("simhash"), col("doc_id").as("cid"))
+    (digests, bands)
+  }
+
+  /** The probe stage of the admission check against prebuilt index frames
+    * ([[corpusIndexFrames]] live or read back from disk): both probes
+    * broadcast BATCH-side keys against the streamed index — the index is
+    * never shuffled, sorted, or collected. */
+  private[graft] def admitAgainstIndex(batch: DataFrame,
+      digests: DataFrame, bands: DataFrame): DataFrame = {
     val b = graft.CachedFrames.track(batch)
     val bKeys = b.select(col("doc_id").as("bid"), md5(lower(trim(col("text")))).as("ck"))
-    val exact = corpus
-      .select(md5(lower(trim(col("text")))).as("ck"), col("doc_id").as("cid"))
+    val exact = digests
       .join(broadcast(bKeys), "ck")
       .groupBy(col("bid")).agg(min(col("cid")).as("exact_match"))
     val bBands = NearDup.simhashBandsOn(NearDup.withSimhash(b))
       .select(col("doc_id").as("bid"), col("simhash").as("bsim"),
         col("t"), col("bucket"))
-    val cBands = NearDup.simhashBandsOn(NearDup.withSimhash(corpus))
-      .select(col("doc_id").as("cid"), col("simhash").as("csim"),
-        col("t"), col("bucket"))
-    val near = cBands.join(broadcast(bBands), Seq("t", "bucket"))
+    val near = bands
+      .select(col("cid"), col("simhash").as("csim"), col("t"), col("bucket"))
+      .join(broadcast(bBands), Seq("t", "bucket"))
       .filter(expr(s"bit_count(bsim ^ csim) <= $IncrementalMaxHamming"))
       .groupBy(col("bid")).agg(min(col("cid")).as("near_match"))
     b.select(col("doc_id"))
@@ -367,6 +382,16 @@ object Curation {
           .when(col("near_match").isNotNull, lit("dup_near"))
           .otherwise(lit("new")).as("verdict"),
         coalesce(col("exact_match"), col("near_match")).as("match_id"))
+  }
+
+  /** [[q71IncrementalDedup]]'s core over ANY (doc_id BIGINT, text) batch +
+    * corpus frames — the spec drives this with crafted documents covering
+    * all three verdicts and the exact-beats-near precedence. Composition of
+    * [[corpusIndexFrames]] and [[admitAgainstIndex]], so the live query and
+    * the persisted-index CLI path cannot diverge. */
+  private[graft] def incrementalDedupOn(batch: DataFrame, corpus: DataFrame): DataFrame = {
+    val (digests, bands) = corpusIndexFrames(corpus)
+    admitAgainstIndex(batch, digests, bands)
   }
 
   val q71IncrementalDedupSql: String = s"""

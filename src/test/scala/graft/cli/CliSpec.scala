@@ -32,6 +32,40 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(shards.subsetOf((0 until 4).toSet) && shards.nonEmpty)
   }
 
+  test("build-index → admit round-trips match the q71 gate query exactly") {
+    import org.apache.spark.sql.functions.col
+    spark // force shared session so the CLI's getOrCreate reuses it
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-index").toString
+    // stage the q71 split as standalone parquet inputs: src0 is the
+    // arriving batch, everything else the standing corpus
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    raw.filter(col("source") =!= "src0").drop("source")
+      .write.parquet(s"$dir/corpus")
+    raw.filter(col("source") === "src0").drop("source")
+      .write.parquet(s"$dir/batch")
+    BuildCorpusIndex.main(Array(
+      "--input", s"$dir/corpus", "--output", s"$dir/idx"))
+    // the persisted index has the declared layout
+    assert(spark.read.parquet(s"$dir/idx/digests").columns.toSet === Set("ck", "cid"))
+    assert(spark.read.parquet(s"$dir/idx/bands").columns.toSet ===
+      Set("t", "bucket", "simhash", "cid"))
+    AdmitBatch.main(Array(
+      "--input", s"$dir/batch", "--index", s"$dir/idx",
+      "--output", s"$dir/verdicts"))
+    def toMapped(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val got = toMapped(spark.read.parquet(s"$dir/verdicts")
+      .select("doc_id", "verdict", "match_id").collect())
+    val expected = toMapped(graft.ops.Curation.q71IncrementalDedup(spark, sf)
+      .select("doc_id", "verdict", "match_id").collect())
+    graft.CachedFrames.drain()
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("generate → train → apply round-trips on the Febrl test fixture") {
     spark // force shared session so the CLI's getOrCreate reuses it
     val dir = Files.createTempDirectory("graft-cli").toString
