@@ -1,31 +1,68 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import scala.collection.mutable
 import scala.collection.mutable.ListBuffer
 
 /** Per-thread registry of frames a query builder persists, so the runner
   * (graft.Verify / graft.Bench) can `drain()` them once the query's action
   * completes. Query builders return lazy plans, so they cannot unpersist
   * the frames themselves — but leaving every query's cache alive for a
-  * whole 50-query run (as round 1 did) piles avoidable pressure on executor
-  * memory and spams "already cached" warnings. Thread-local because Verify
-  * materializes queries from a small thread pool: each runner thread drains
-  * exactly the frames its own query tracked. */
+  * whole multi-query run (as round 1 did) piles avoidable pressure on
+  * executor memory and spams "already cached" warnings.
+  *
+  * Entries are REFERENCE-COUNTED on the canonicalized analyzed plan (the
+  * same key Spark's CacheManager dedupes on): concurrent runner threads
+  * that build queries sharing a sub-plan (e.g. the embeddings vector frame
+  * feeding q29/q46/q74/q75/q79/q80) each take a reference, and the cache
+  * entry is only unpersisted when the LAST holder drains. Without this, a
+  * thread finishing first unpersists a cache another thread's RUNNING job
+  * still scans — under AQE a stage re-planned at that moment can observe
+  * the relation as empty and propagate an empty join result (seen as q80
+  * deterministically dumping 0 rows in full Verify runs while correct in
+  * isolation). Thread-local tracking + global refcounts make drain safe
+  * regardless of completion order. */
 object CachedFrames {
+  private final class Entry(val df: DataFrame, var refs: Int)
+
+  // guarded by its own monitor; keys are canonicalized analyzed plans,
+  // the same structural identity CacheManager.lookupCachedData uses
+  private val shared = mutable.Map.empty[LogicalPlan, Entry]
+
   private val frames = new ThreadLocal[ListBuffer[DataFrame]] {
     override def initialValue(): ListBuffer[DataFrame] = ListBuffer.empty
   }
 
-  /** Persist `df` and remember it for the next `drain()` on this thread. */
+  /** Persist `df` (first holder only) and remember it for the next
+    * `drain()` on this thread. */
   def track(df: DataFrame): DataFrame = {
-    df.persist()
+    val key = df.queryExecution.analyzed.canonicalized // analyze outside lock
+    shared.synchronized {
+      val e = shared.getOrElseUpdate(key, new Entry(df, 0))
+      e.refs += 1
+      if (e.refs == 1) e.df.persist()
+    }
     frames.get += df
     df
   }
 
-  /** Unpersist (non-blocking) everything tracked on this thread. */
+  /** Release this thread's references; unpersist (non-blocking) only the
+    * entries whose last holder this thread was. */
   def drain(): Unit = {
-    frames.get.foreach(_.unpersist(false))
-    frames.get.clear()
+    val list = frames.get
+    val keys = list.map(_.queryExecution.analyzed.canonicalized)
+    shared.synchronized {
+      keys.foreach { key =>
+        shared.get(key).foreach { e =>
+          e.refs -= 1
+          if (e.refs <= 0) {
+            e.df.unpersist(false)
+            shared.remove(key)
+          }
+        }
+      }
+    }
+    list.clear()
   }
 }

@@ -423,4 +423,58 @@ object Curation {
     FROM batch b LEFT JOIN exact e ON b.doc_id = e.bid
     LEFT JOIN near n ON b.doc_id = n.bid
   """
+
+  // ───────────────────── Release governance (PII) ─────────────────────
+
+  private val AnonSalt = "anon:"
+  private[ops] val KAnonK = 5
+
+  /** q81: column-level anonymization of the customer PII surface before a
+    * data release: key pseudonymization (salted md5 of the key — stable
+    * across runs and joinable between releases, unlinkable without the
+    * salt), digit masking on the free-text name, and generalization of
+    * the continuous balance into 1000-unit bands — the quasi-identifier
+    * coarsening whose re-identification risk q82 audits.
+    *
+    * Scale shape: a pure per-row codegen projection — no shuffle, no
+    * state; at 100 TB it pipelines straight out of the scan like q21-q24. */
+  def q81Anonymize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.parallelized(Tables(spark, sfDir, "customer"))
+      .select(
+        md5(concat(lit(AnonSalt), col("c_custkey").cast("string"))).as("pseudo_id"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
+        col("c_nationkey"),
+        (floor(col("c_acctbal") / lit(1000.0)).cast("int") * lit(1000)).as("acctbal_band"),
+        col("c_mktsegment"))
+
+  val q81AnonymizeSql: String = s"""
+    SELECT md5('$AnonSalt' || c_custkey::VARCHAR) AS pseudo_id,
+      regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+      c_nationkey,
+      CAST(floor(c_acctbal / 1000.0) AS INTEGER) * 1000 AS acctbal_band,
+      c_mktsegment
+    FROM customer
+  """
+
+  /** q82: k-anonymity audit over the released quasi-identifier tuple
+    * (nation, market segment, balance band): each equivalence class's size
+    * and whether it meets k = [[KAnonK]]. Classes that fail are what a
+    * release pipeline suppresses or generalizes further; composing on
+    * [[q81Anonymize]]'s output means the audit can never drift from what
+    * was actually released.
+    *
+    * Scale shape: one map-side-combinable groupBy on the quasi-identifier
+    * tuple; output is |classes| rows, orders smaller than the input. */
+  def q82KAnonymity(spark: SparkSession, sfDir: String): DataFrame =
+    q81Anonymize(spark, sfDir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("acctbal_band"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("meets_k", col("n") >= KAnonK)
+
+  val q82KAnonymitySql: String = s"""
+    SELECT c_nationkey, c_mktsegment,
+      CAST(floor(c_acctbal / 1000.0) AS INTEGER) * 1000 AS acctbal_band,
+      count(*) AS n, count(*) >= $KAnonK AS meets_k
+    FROM customer GROUP BY 1, 2, 3
+  """
 }

@@ -521,14 +521,15 @@ object Embeddings {
   """
 
   /** q75: the ANN recall scoreboard — recall@3 against the brute-force
-    * truth (q29) for all three candidate generators side by side: the
+    * truth (q29) for all four candidate generators side by side: the
     * label-codebook single-probe (q46), its multi-probe widening (q60),
-    * and the hash-seeded codebook (q74). This turns two r5 verdict asks
-    * into gate NUMBERS: the multi-probe benefit (recall_multi ≥
-    * recall_single per query — also pinned in EmbeddingsSpec) and the
-    * hash codebook's quality vs the label one.
+    * the hash-seeded codebook (q74), and the compressed IVF-PQ ADC path
+    * (q80). This turns the verdict asks into gate NUMBERS: the multi-probe
+    * benefit (recall_multi ≥ recall_single per query — also pinned in
+    * EmbeddingsSpec), the hash codebook's quality vs the label one, and
+    * what the 64× PQ compression costs in recall.
     *
-    * Scale shape: the truth is the query-batch-bounded baseline; the three
+    * Scale shape: the truth is the query-batch-bounded baseline; the four
     * candidate sets are each ≤ 3 rows per query; every join here is
     * query-batch-sized. The cost of the row is the baseline's, by design. */
   def q75RecallCompare(spark: SparkSession, sfDir: String): DataFrame = {
@@ -565,13 +566,16 @@ object Embeddings {
       .join(hitsOf(topk(home), "h1"), Seq("qid"), "left")
       .join(hitsOf(topk(probed), "h2"), Seq("qid"), "left")
       .join(hitsOf(q74HashIvf(spark, sfDir), "h3"), Seq("qid"), "left")
+      .join(hitsOf(q80PqAdc(spark, sfDir), "h4"), Seq("qid"), "left")
       .select(col("qid"),
         recallOf("h1").as("recall_single"),
         recallOf("h2").as("recall_multi"),
-        recallOf("h3").as("recall_hash"))
+        recallOf("h3").as("recall_hash"),
+        recallOf("h4").as("recall_pq"))
   }
 
-  val q75RecallCompareSql: String = s"""
+  /** lazy: embeds [[q80PqAdcSql]], declared later in this object. */
+  lazy val q75RecallCompareSql: String = s"""
     WITH truth AS (
       SELECT id1 AS qid, id2 AS cand_id FROM ($q29KnnBruteSql) WHERE rk <= 3),
     h1 AS (
@@ -586,15 +590,21 @@ object Embeddings {
       SELECT t.qid, count(*) AS h FROM truth t
       JOIN (SELECT qid, cand_id FROM ($q74HashIvfSql)) c USING (qid, cand_id)
       GROUP BY 1),
+    h4 AS (
+      SELECT t.qid, count(*) AS h FROM truth t
+      JOIN (SELECT qid, cand_id FROM ($q80PqAdcSql)) c USING (qid, cand_id)
+      GROUP BY 1),
     qs AS (SELECT DISTINCT qid FROM truth)
     SELECT qs.qid,
       CAST(coalesce(h1.h, 0) AS DOUBLE) / 3.0 AS recall_single,
       CAST(coalesce(h2.h, 0) AS DOUBLE) / 3.0 AS recall_multi,
-      CAST(coalesce(h3.h, 0) AS DOUBLE) / 3.0 AS recall_hash
+      CAST(coalesce(h3.h, 0) AS DOUBLE) / 3.0 AS recall_hash,
+      CAST(coalesce(h4.h, 0) AS DOUBLE) / 3.0 AS recall_pq
     FROM qs
     LEFT JOIN h1 ON qs.qid = h1.qid
     LEFT JOIN h2 ON qs.qid = h2.qid
     LEFT JOIN h3 ON qs.qid = h3.qid
+    LEFT JOIN h4 ON qs.qid = h4.qid
   """
 
   /** q78 tuning: the admission batch (vec_id < bound plays the arriving
@@ -842,4 +852,193 @@ object Embeddings {
         (a, e) -> greatest(a, e)) AS max_abs_err
     FROM qz
   """
+
+  // ──────────────────────── Product quantization ────────────────────────
+
+  /** PQ tuning: [[PqM]] subspaces of [[PqSubDim]] dims each (M·subDim =
+    * the vector dim) with [[PqKs]]-entry sub-codebooks — M small codes
+    * (≈ M bytes) per vector vs Dim·4 bytes of raw FLOAT, the ~64×
+    * compression that puts a billion-vector index in executor RAM.
+    * Sub-codebooks are hash-seeded exactly like the coarse quantizer
+    * ([[hashCentroids]]): seed cells from `md5_prefix56('pq:<m>:' ||
+    * vec_id) % Ks`, centroids as fixed-point DECIMAL means, one Lloyd
+    * assignment — deterministic, label-free, oracle-exact. */
+  private[ops] val PqM = 4
+  private[ops] val PqSubDim = Dim / PqM
+  private[ops] val PqKs = 16
+  private val PqSalt = "pq:"
+
+  /** Subspace m's slice of the (vec_id, v, …) frame: (vec_id, sv). */
+  private def pqSub(e: DataFrame, m: Int): DataFrame =
+    e.select(col("vec_id"), slice(col("v"), m * PqSubDim + 1, PqSubDim).as("sv"))
+
+  /** Subspace m's sub-codebook (cell, c): hash-seeded groups → fixed-point
+    * DECIMAL means (the q31/q74 mechanics on the subvector). Ks×subDim
+    * doubles — broadcast by construction. */
+  private def pqSubCodebook(e: DataFrame, m: Int): DataFrame =
+    pqSub(e, m)
+      .withColumn("cell", expr(
+        s"CAST(md5_prefix56(concat('$PqSalt$m:', CAST(vec_id AS STRING))) % $PqKs AS INT)"))
+      .select(col("cell"), posexplode(col("sv")).as(Seq("idx", "x")))
+      .groupBy(col("cell"), col("idx"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(x * 1e12) AS DECIMAL(38,0))")).as("fx"))
+      .select(col("cell"), col("idx"),
+        (col("fx").cast("double") / lit(1e12) / col("n").cast("double")).as("mean_x"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("idx"), col("mean_x")))).as("im"))
+      .select(col("cell"), expr("transform(im, x -> x.mean_x)").as("c"))
+
+  /** Nearest sub-centroid per vector in subspace m: (vec_id, code_m,
+    * d2_m), d2 as the direct index-order fold of (sv_i − c_i)². The argmin
+    * is a `min(struct(d2, cell))` AGGREGATION — struct ordering is (d2
+    * ASC, cell ASC), the oracle's exact tie-break — so the Ks-way
+    * broadcast fan-out collapses map-side before any exchange: no window,
+    * no sort, no collect_list. */
+  private def pqAssign(e: DataFrame, m: Int, book: DataFrame): DataFrame =
+    pqSub(e, m).crossJoin(broadcast(book))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(sv, c, (a, b) -> (a - b) * (a - b)),
+             CAST(0 AS DOUBLE), (acc, x) -> acc + x)"""))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as(s"code_$m"),
+        col("best.d2").as(s"d2_$m"))
+
+  /** q79: product-quantization encode — each vector compressed to [[PqM]]
+    * sub-codebook codes plus the reconstruction distortion
+    * Σ_m ‖v_m − c_{m,code_m}‖² that re-rankers gate on. Codes serialize as
+    * the '_'-joined string (q26/q62 gate convention); consumers re-split.
+    *
+    * Scale shape: every sub-codebook is broadcast; encoding is a broadcast
+    * fan-out + map-side argmin per subspace, and the M code columns join
+    * back on vec_id only. At 100 TB the emitted code table is ~1/64 the
+    * corpus and is what the ADC search (q80) reads instead of raw floats. */
+  def q79PqEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.CachedFrames.track(vecs(spark, sfDir))
+    val parts = (0 until PqM).map(m => pqAssign(e, m, pqSubCodebook(e, m)))
+    parts.reduce(_.join(_, Seq("vec_id")))
+      .select(col("vec_id"),
+        concat_ws("_",
+          (0 until PqM).map(m => col(s"code_$m").cast("string")): _*).as("codes"),
+        (0 until PqM).map(m => col(s"d2_$m")).reduce(_ + _).as("distortion"))
+  }
+
+  /** DuckDB chain for each subspace m: `sub$m` (vec_id, sv), sub-codebook
+    * `book$m` (cell, c) and assignment `pa$m` (vec_id, code, d2). Expects
+    * an `e` CTE providing (vec_id, v). */
+  private val pqSqlCtes: String = (0 until PqM).map { m =>
+    val lo = m * PqSubDim + 1
+    val hi = (m + 1) * PqSubDim
+    s"""sub$m AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e),
+    px$m AS (
+      SELECT CAST(('0x' || substr(md5('$PqSalt$m:' || s.vec_id::VARCHAR), 1, 14))::BIGINT
+          % $PqKs AS INTEGER) AS cell,
+        i.idx - 1 AS idx, s.sv[i.idx] AS x
+      FROM sub$m s, LATERAL (SELECT unnest(generate_series(1, len(s.sv))) AS idx) i),
+    pmean$m AS (
+      SELECT cell, idx,
+        CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+          / CAST(count(*) AS DOUBLE) AS mean_x
+      FROM px$m GROUP BY cell, idx),
+    book$m AS (SELECT cell, list(mean_x ORDER BY idx) AS c FROM pmean$m GROUP BY cell),
+    pd$m AS (
+      SELECT s.vec_id, b.cell,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(list_zip(s.sv, b.c), z -> (z[1] - z[2]) * (z[1] - z[2]))),
+          (acc, x) -> acc + x) AS d2
+      FROM sub$m s CROSS JOIN book$m b),
+    pa$m AS (
+      SELECT vec_id, cell AS code, d2 FROM (
+        SELECT vec_id, cell, d2,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rk
+        FROM pd$m) WHERE rk = 1)"""
+  }.mkString(",\n    ")
+
+  val q79PqEncodeSql: String = {
+    val joins = (0 until PqM).map(m => s"JOIN pa$m USING (vec_id)").mkString(" ")
+    val codes = (0 until PqM).map(m => s"CAST(pa$m.code AS VARCHAR)").mkString(", ")
+    val dist = (0 until PqM).map(m => s"pa$m.d2").mkString(" + ")
+    s"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    $pqSqlCtes
+    SELECT e.vec_id, concat_ws('_', $codes) AS codes, $dist AS distortion
+    FROM e $joins
+  """
+  }
+
+  /** q80: IVF-PQ ADC search — the memory-resident ANN query path at
+    * corpus scale: candidates come from the query's coarse hash-IVF cell
+    * (q74's codebook) and distance is ASYMMETRIC — exact query subvectors
+    * against each candidate's quantized sub-centroids,
+    * Σ_m ‖q_m − c_{m,code_m}‖² — so the corpus side of the search only
+    * ever touches the compact codes, never the raw floats. Top-3 per
+    * query by (adc ASC, cand_id ASC); q75 reports its measured recall
+    * next to the exact and uncompressed-IVF paths.
+    *
+    * Scale shape: the coarse codebook and all M sub-codebooks are
+    * broadcast; the candidate join shuffles on the coarse cell only, and
+    * the M sub-centroid lookups are broadcast hash joins on the pair
+    * stream (at extreme scale one would fuse them into the classic
+    * per-query ADC lookup table — same dataflow, and the join form stays
+    * inside whole-stage codegen). */
+  def q80PqAdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.CachedFrames.track(vecs(spark, sfDir))
+    val coarse = probeAssign(e, hashCentroids(e, HashCodebookK), nprobe = 1)
+      .drop("probe_rk")
+    val books = (0 until PqM).map(m => graft.CachedFrames.track(pqSubCodebook(e, m)))
+    val codes = (0 until PqM).map(m => pqAssign(e, m, books(m)).drop(s"d2_$m"))
+      .reduce(_.join(_, Seq("vec_id")))
+    val db = coarse.select(col("vec_id").as("cand_id"), col("cell"))
+      .join(codes.withColumnRenamed("vec_id", "cand_id"), Seq("cand_id"))
+    val q = coarse.filter(col("vec_id") < DefaultAnn.knnQueryIds)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
+    val pairs = (0 until PqM).foldLeft(
+        q.join(db, Seq("cell")).filter(col("qid") =!= col("cand_id"))) {
+      (acc, m) => acc.join(
+        broadcast(books(m).select(col("cell").as(s"code_$m"), col("c").as(s"c_$m"))),
+        Seq(s"code_$m"))
+    }
+    val dist = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      expr(s"""aggregate(zip_with(slice(qv, $lo, $PqSubDim), c_$m,
+        (a, b) -> (a - b) * (a - b)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)""")
+    }.reduce(_ + _)
+    val wq = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("cand_id").asc)
+    pairs.withColumn("adc", dist)
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("cand_id"), col("rk").cast("int").as("rk"), col("adc"))
+  }
+
+  val q80PqAdcSql: String = {
+    val codeCols = (0 until PqM).map(m => s"pa$m.code AS code_$m").mkString(", ")
+    val codeJoins = (0 until PqM).map(m => s"JOIN pa$m ON pa$m.vec_id = c.vec_id").mkString(" ")
+    val lutJoins = (0 until PqM).map(m => s"JOIN book$m b$m ON b$m.cell = p.code_$m").mkString(" ")
+    val dist = (0 until PqM).map { m =>
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      s"""list_reduce(list_prepend(0.0::DOUBLE,
+        list_transform(list_zip(p.qv[$lo:$hi], b$m.c), z -> (z[1] - z[2]) * (z[1] - z[2]))),
+        (acc, x) -> acc + x)"""
+    }.mkString(" + ")
+    s"""
+    WITH $hashAssignedSqlCtes,
+    $pqSqlCtes,
+    pairs AS (
+      SELECT q.vec_id AS qid, q.v AS qv, c.vec_id AS cand_id, $codeCols
+      FROM hassigned q JOIN hassigned c
+        ON q.cell = c.cell AND q.vec_id <> c.vec_id
+          AND q.vec_id < ${DefaultAnn.knnQueryIds}
+      $codeJoins),
+    adc AS (
+      SELECT p.qid, p.cand_id, $dist AS adc
+      FROM pairs p $lutJoins)
+    SELECT qid, cand_id, CAST(rk AS INTEGER) AS rk, adc FROM (
+      SELECT qid, cand_id, adc,
+        row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cand_id ASC) AS rk
+      FROM adc) WHERE rk <= 3
+  """
+  }
 }

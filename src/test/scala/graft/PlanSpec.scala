@@ -257,6 +257,42 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Not(EqualTo(source,src0))"), p)
   }
 
+  test("q79_pq_encode: sub-codebook fan-outs broadcast, argmin collapses as a " +
+    "partial aggregation — no window") {
+    // FULL plan text (like q71's case): the cached vector frame nests an
+    // adaptive plan whose Initial section would truncate finalPlan's census
+    val df = SparkEntry.queries("q79_pq_encode")(spark, sf)
+    val p = try { df.queryExecution.toRdd.count(); df.queryExecution.executedPlan.toString }
+            finally CachedFrames.drain()
+    // the Ks-way candidate fan-out per subspace is a broadcast nested-loop
+    // (tiny codebook side), and the per-vector argmin is min(struct(d2,
+    // cell)) with a map-side partial_min — a window here would shuffle the
+    // full Ks× fan-out instead of one row per vector
+    assert(nodes(p, "BroadcastNestedLoopJoin") >= 4, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "Window") == 0, p)
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("q80_pq_adc: coarse-cell candidate join + all sub-codebook lookups stay " +
+    "broadcast; one ranking window") {
+    val p = finalPlan("q80_pq_adc")
+    // the corpus side of the search only carries codes; every sub-centroid
+    // lookup must be a broadcast hash join on the pair stream — a
+    // sort-merge here would shuffle the pair stream once per subspace
+    assert(nodes(p, "BroadcastHashJoin") >= 4, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "Window") == 1, p)
+  }
+
+  test("q81_anonymize: a pure projection — no shuffle beyond scan right-sizing") {
+    val p = finalPlan("q81_anonymize")
+    assert(nodes(p, "Exchange") <= 1, p) // parallelize()'s input right-sizing only
+    assert(nodes(p, "HashAggregate") == 0, p)
+    assert(nodes(p, "Window") == 0, p)
+  }
+
   test("dedup_pairs: one exchange before the feature projection, each comparator once") {
     val p = finalPlan("dedup_pairs")
     // the only shuffle is parallelize()'s input right-sizing (reused by the

@@ -95,6 +95,27 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(got(4L) === (("dup_exact", 11L)))
   }
 
+  test("anonymize (q81): no digits survive masking, pseudo ids stay unique, " +
+    "bands are 1000-unit multiples") {
+    val rows = Curation.q81Anonymize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getString(1).exists(_.isDigit), s"unmasked digit in ${r.getString(1)}")
+      assert(r.getInt(3) % 1000 === 0)
+    }
+    // pseudonymization, not suppression: the salted hash keeps rows joinable
+    assert(rows.map(_.getString(0)).distinct.length === rows.length)
+  }
+
+  test("k-anonymity audit (q82): class sizes sum to the table, meets_k = n >= k") {
+    val rows = Curation.q82KAnonymity(spark, sf).collect()
+    val total = graft.Tables(spark, sf, "customer").count()
+    assert(rows.map(_.getLong(3)).sum === total)
+    rows.foreach { r =>
+      assert(r.getBoolean(4) === (r.getLong(3) >= Curation.KAnonK))
+    }
+  }
+
   test("q70 assignment is reproducible run to run") {
     // the window's order key (skey, doc_id) is total, so the assignment is
     // independent of input layout/parallelism — unlike rand() or

@@ -95,12 +95,57 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
       val rows = Embeddings.q75RecallCompare(spark, sf).collect()
       assert(rows.nonEmpty)
       rows.foreach { r =>
-        val (s, m, h) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        val (s, m, h, pq) =
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
         assert(m >= s, s"qid ${r.getLong(0)}: recall_multi $m < recall_single $s")
-        Seq(s, m, h).foreach(x => assert(x >= 0.0 && x <= 1.0))
+        // q80 re-ranks the SAME hash-cell candidates by approximate (ADC)
+        // distance, while q74 ranks them by exact cosine — and any true
+        // top-3 neighbour inside the cell is by definition within the
+        // cell's exact-cosine top-3, so the exact ranking is the ceiling
+        assert(pq <= h, s"qid ${r.getLong(0)}: recall_pq $pq > recall_hash $h")
+        Seq(s, m, h, pq).foreach(x => assert(x >= 0.0 && x <= 1.0))
       }
       // the comparison is only meaningful if some probe strategy finds hits
       assert(rows.map(_.getDouble(2)).sum > 0.0)
+      // and the compressed path must retain most of the uncompressed recall
+      assert(rows.map(_.getDouble(4)).sum > 0.0)
+    } finally graft.CachedFrames.drain()
+  }
+
+  test("PQ encode (q79): one row per vector, codes address real sub-codebook " +
+    "entries, distortion nonnegative") {
+    val sf = "/root/testdata/sf0.001"
+    try {
+      val rows = Embeddings.q79PqEncode(spark, sf).collect()
+      val n = graft.Tables(spark, sf, "embeddings").count()
+      assert(rows.length.toLong === n)
+      rows.foreach { r =>
+        val codes = r.getString(1).split('_').map(_.toInt)
+        assert(codes.length === Embeddings.PqM)
+        codes.foreach(c => assert(c >= 0 && c < Embeddings.PqKs))
+        assert(r.getDouble(2) >= 0.0)
+      }
+      // the codebooks must actually discriminate: more than one distinct
+      // code word in use overall
+      assert(rows.map(_.getString(1)).distinct.length > 1)
+    } finally graft.CachedFrames.drain()
+  }
+
+  test("IVF-PQ ADC search (q80): top-3 per query, ADC nondecreasing in rank") {
+    val sf = "/root/testdata/sf0.001"
+    try {
+      val rows = Embeddings.q80PqAdc(spark, sf).collect()
+      assert(rows.nonEmpty)
+      rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+        val byRk = rs.sortBy(_.getInt(2))
+        assert(byRk.length <= 3)
+        assert(byRk.map(_.getInt(2)).toSeq === (1 to byRk.length))
+        val adcs = byRk.map(_.getDouble(3))
+        adcs.zip(adcs.tail).foreach { case (a, b) =>
+          assert(a <= b, s"qid $qid: adc out of order")
+        }
+        adcs.foreach(a => assert(a >= 0.0))
+      }
     } finally graft.CachedFrames.drain()
   }
 
