@@ -19,7 +19,8 @@ object Explain {
                   "q71_incremental_dedup", "q72_source_drift",
                   "q73_temperature_mix", "q74_hash_ivf",
                   "q77_apply_mixture", "q78_embedding_admission",
-                  "q79_pq_encode", "q80_pq_adc", "q81_anonymize")
+                  "q79_pq_encode", "q80_pq_adc", "q81_anonymize",
+                  "q83_pq_rerank")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -562,16 +562,25 @@ object Embeddings {
         .groupBy(col("qid")).agg(count(lit(1)).as(as))
     def recallOf(n: String): org.apache.spark.sql.Column =
       coalesce(col(n), lit(0L)).cast("double") / lit(3.0)
+    // ONE cached depth-10 ADC pass serves BOTH compressed candidate sets:
+    // pq = its rk≤3 slice (identical to q80's own depth-3 ranking, same
+    // window), rerank = the exact re-scoring of all 10 (= q83). Same
+    // sharing argument as the label-codebook pass above; the oracle
+    // composes q80/q83 verbatim because the RESULTS are identical.
+    val ranked = graft.CachedFrames.track(adcRanked(spark, sfDir, RerankDepth))
+    val e = graft.CachedFrames.track(vecs(spark, sfDir))
     truth.select(col("qid")).distinct()
       .join(hitsOf(topk(home), "h1"), Seq("qid"), "left")
       .join(hitsOf(topk(probed), "h2"), Seq("qid"), "left")
       .join(hitsOf(q74HashIvf(spark, sfDir), "h3"), Seq("qid"), "left")
-      .join(hitsOf(q80PqAdc(spark, sfDir), "h4"), Seq("qid"), "left")
+      .join(hitsOf(ranked.filter(col("rk") <= 3), "h4"), Seq("qid"), "left")
+      .join(hitsOf(rerankStage(e, ranked), "h5"), Seq("qid"), "left")
       .select(col("qid"),
         recallOf("h1").as("recall_single"),
         recallOf("h2").as("recall_multi"),
         recallOf("h3").as("recall_hash"),
-        recallOf("h4").as("recall_pq"))
+        recallOf("h4").as("recall_pq"),
+        recallOf("h5").as("recall_rerank"))
   }
 
   /** lazy: embeds [[q80PqAdcSql]], declared later in this object. */
@@ -594,24 +603,59 @@ object Embeddings {
       SELECT t.qid, count(*) AS h FROM truth t
       JOIN (SELECT qid, cand_id FROM ($q80PqAdcSql)) c USING (qid, cand_id)
       GROUP BY 1),
+    h5 AS (
+      SELECT t.qid, count(*) AS h FROM truth t
+      JOIN (SELECT qid, cand_id FROM ($q83PqRerankSql)) c USING (qid, cand_id)
+      GROUP BY 1),
     qs AS (SELECT DISTINCT qid FROM truth)
     SELECT qs.qid,
       CAST(coalesce(h1.h, 0) AS DOUBLE) / 3.0 AS recall_single,
       CAST(coalesce(h2.h, 0) AS DOUBLE) / 3.0 AS recall_multi,
       CAST(coalesce(h3.h, 0) AS DOUBLE) / 3.0 AS recall_hash,
-      CAST(coalesce(h4.h, 0) AS DOUBLE) / 3.0 AS recall_pq
+      CAST(coalesce(h4.h, 0) AS DOUBLE) / 3.0 AS recall_pq,
+      CAST(coalesce(h5.h, 0) AS DOUBLE) / 3.0 AS recall_rerank
     FROM qs
     LEFT JOIN h1 ON qs.qid = h1.qid
     LEFT JOIN h2 ON qs.qid = h2.qid
     LEFT JOIN h3 ON qs.qid = h3.qid
     LEFT JOIN h4 ON qs.qid = h4.qid
+    LEFT JOIN h5 ON qs.qid = h5.qid
   """
 
   /** q78 tuning: the admission batch (vec_id < bound plays the arriving
     * delta) and the cosine bound for a semantic-duplicate verdict (q48's
-    * near-dup threshold on this synthetic embedding space). */
-  private val AdmitBatchBound = 100
-  private val AdmitCosTau = 0.3
+    * near-dup threshold on this synthetic embedding space).
+    * private[graft]: the streaming admission twin applies the same bound. */
+  private[graft] val AdmitBatchBound = 100
+  private[graft] val AdmitCosTau = 0.3
+
+  /** The static index frames behind the STREAMING embedding admission
+    * ([[graft.streaming.EventStreams.embeddingAdmissionStream]]): the
+    * hash-seeded corpus codebook collapsed to ONE row carrying all
+    * (cell, c, cnorm2) structs — k·Dim doubles, broadcast by definition —
+    * and the per-cell corpus entries (cell, entries: array of (cid, cv,
+    * cn)), so every stream row resolves its verdict ROW-LOCALLY (the same
+    * statelessness trick as the text admission's per-bucket cell index).
+    * Entry arrays are bounded by cell size = corpus/k, the same quantity
+    * that bounds q78's batch candidate join. Takes the RAW corpus
+    * (vec_id, embedding); centroids are label-free, so the placeholder
+    * label never influences cells. */
+  private[graft] def admissionIndexFrames(corpus: DataFrame): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus
+      .select(col("vec_id"), lit(0).as("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val cents = hashCentroids(c, HashCodebookK)
+    val centsRow = cents.agg(
+      array_sort(collect_list(struct(col("cell"), col("c"), col("cnorm2"))))
+        .as("cents"))
+    val cells = probeAssign(c, cents, nprobe = 1)
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cn"))).as("entries"))
+    (centsRow, cells)
+  }
 
   /** q78: embedding admission — the SEMANTIC twin of the text-side
     * delta-vs-corpus check (q71): each vector in the arriving batch probes
@@ -983,7 +1027,16 @@ object Embeddings {
     * stream (at extreme scale one would fuse them into the classic
     * per-query ADC lookup table — same dataflow, and the join form stays
     * inside whole-stage codegen). */
-  def q80PqAdc(spark: SparkSession, sfDir: String): DataFrame = {
+  def q80PqAdc(spark: SparkSession, sfDir: String): DataFrame =
+    adcRanked(spark, sfDir, depth = 3)
+      .select(col("qid"), col("cand_id"), col("rk"), col("adc"))
+
+  /** The ADC candidate generator shared by q80 (top-3 direct) and q83
+    * (top-[[RerankDepth]] then exact re-rank): per query, coarse-cell
+    * candidates ranked by asymmetric distance over their PQ codes, kept to
+    * `depth`. Carries the query vector + norm so the re-rank stage needs
+    * no second query-side lookup. */
+  private def adcRanked(spark: SparkSession, sfDir: String, depth: Int): DataFrame = {
     val e = graft.CachedFrames.track(vecs(spark, sfDir))
     val coarse = probeAssign(e, hashCentroids(e, HashCodebookK), nprobe = 1)
       .drop("probe_rk")
@@ -993,7 +1046,8 @@ object Embeddings {
     val db = coarse.select(col("vec_id").as("cand_id"), col("cell"))
       .join(codes.withColumnRenamed("vec_id", "cand_id"), Seq("cand_id"))
     val q = coarse.filter(col("vec_id") < DefaultAnn.knnQueryIds)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("cell"))
     val pairs = (0 until PqM).foldLeft(
         q.join(db, Seq("cell")).filter(col("qid") =!= col("cand_id"))) {
       (acc, m) => acc.join(
@@ -1008,11 +1062,51 @@ object Embeddings {
     val wq = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("cand_id").asc)
     pairs.withColumn("adc", dist)
       .withColumn("rk", row_number().over(wq))
-      .filter(col("rk") <= 3)
-      .select(col("qid"), col("cand_id"), col("rk").cast("int").as("rk"), col("adc"))
+      .filter(col("rk") <= depth)
+      .select(col("qid"), col("qv"), col("qn"), col("cand_id"),
+        col("rk").cast("int").as("rk"), col("adc"))
   }
 
-  val q80PqAdcSql: String = {
+  /** ADC re-rank depth: how many code-ranked candidates the exact stage
+    * re-scores per query. */
+  private[ops] val RerankDepth = 10
+
+  /** q83: the production two-stage ANN pipeline — ADC candidates, exact
+    * re-rank. The compressed index proposes [[RerankDepth]] candidates per
+    * query by code distance (q80's stage), then ONLY those fetch their raw
+    * vectors for an exact-cosine re-rank to the final top-3. Recovers the
+    * recall the lossy codes forfeit while touching RerankDepth raw vectors
+    * per query instead of a whole cell: by construction
+    * recall_pq ≤ recall_rerank ≤ recall_hash per query (truth inside the
+    * ADC pool survives exact re-ranking; truth outside the coarse cell is
+    * lost to all three) — pinned in EmbeddingsSpec and measured in q75.
+    *
+    * Scale shape: the re-rank join is |queries|·RerankDepth rows against
+    * the vector table — the random-access fetch a production serving tier
+    * does from the id-keyed store; everything upstream touches codes only. */
+  def q83PqRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.CachedFrames.track(vecs(spark, sfDir))
+    rerankStage(e, adcRanked(spark, sfDir, RerankDepth))
+  }
+
+  /** The exact re-rank over an [[adcRanked]] candidate frame: fetch just
+    * the candidates' raw vectors from `e` and take the per-query
+    * exact-cosine top-3. Shared by q83 and q75 (which reuses one cached
+    * depth-10 pass for both the pq slice and the re-rank). */
+  private def rerankStage(e: DataFrame, ranked: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand_id").asc)
+    ranked
+      .join(e.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+        col("nrm").as("cn")), Seq("cand_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rrk", row_number().over(w))
+      .filter(col("rrk") <= 3)
+      .select(col("qid"), col("cand_id"), col("rrk").cast("int").as("rk"), col("cos"))
+  }
+
+  /** DuckDB chain ending in `adcr` (qid, qv, qn, cand_id, adc, rk ≤ depth)
+    * — the oracle image of [[adcRanked]]. */
+  private def adcRankedSqlCtes(depth: Int): String = {
     val codeCols = (0 until PqM).map(m => s"pa$m.code AS code_$m").mkString(", ")
     val codeJoins = (0 until PqM).map(m => s"JOIN pa$m ON pa$m.vec_id = c.vec_id").mkString(" ")
     val lutJoins = (0 until PqM).map(m => s"JOIN book$m b$m ON b$m.cell = p.code_$m").mkString(" ")
@@ -1023,22 +1117,40 @@ object Embeddings {
         list_transform(list_zip(p.qv[$lo:$hi], b$m.c), z -> (z[1] - z[2]) * (z[1] - z[2]))),
         (acc, x) -> acc + x)"""
     }.mkString(" + ")
-    s"""
-    WITH $hashAssignedSqlCtes,
+    s"""$hashAssignedSqlCtes,
     $pqSqlCtes,
     pairs AS (
-      SELECT q.vec_id AS qid, q.v AS qv, c.vec_id AS cand_id, $codeCols
+      SELECT q.vec_id AS qid, q.v AS qv, q.nrm AS qn, c.vec_id AS cand_id, $codeCols
       FROM hassigned q JOIN hassigned c
         ON q.cell = c.cell AND q.vec_id <> c.vec_id
           AND q.vec_id < ${DefaultAnn.knnQueryIds}
       $codeJoins),
     adc AS (
-      SELECT p.qid, p.cand_id, $dist AS adc
-      FROM pairs p $lutJoins)
-    SELECT qid, cand_id, CAST(rk AS INTEGER) AS rk, adc FROM (
-      SELECT qid, cand_id, adc,
-        row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cand_id ASC) AS rk
-      FROM adc) WHERE rk <= 3
-  """
+      SELECT p.qid, p.qv, p.qn, p.cand_id, $dist AS adc
+      FROM pairs p $lutJoins),
+    adcr AS (
+      SELECT qid, qv, qn, cand_id, adc, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT qid, qv, qn, cand_id, adc,
+          row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cand_id ASC) AS rk
+        FROM adc) WHERE rk <= $depth)"""
   }
+
+  val q80PqAdcSql: String = s"""
+    WITH ${adcRankedSqlCtes(3)}
+    SELECT qid, cand_id, rk, adc FROM adcr
+  """
+
+  val q83PqRerankSql: String = s"""
+    WITH ${adcRankedSqlCtes(RerankDepth)},
+    rer AS (
+      SELECT a.qid, a.cand_id,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(list_zip(a.qv, cv.v), z -> z[1] * z[2])), (acc, x) -> acc + x)
+          / (a.qn * cv.nrm) AS cos
+      FROM adcr a JOIN n cv ON cv.vec_id = a.cand_id)
+    SELECT qid, cand_id, CAST(rrk AS INTEGER) AS rk, cos FROM (
+      SELECT qid, cand_id, cos,
+        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS rrk
+      FROM rer) WHERE rrk <= 3
+  """
 }

@@ -221,6 +221,53 @@ object EventStreams {
       coalesce(col("exact_match"), nearMatch).as("match_id"))
   }
 
+  /** Streaming EMBEDDING admission — the stream-static twin of the batch
+    * semantic delta-vs-corpus check ([[graft.ops.Embeddings.q78EmbeddingAdmission]]),
+    * completing the admission surface: text exact/near ([[admissionStream]])
+    * AND embedding space, both batch and streaming. Each arriving
+    * (ts, vec_id, embedding) row probes the STANDING corpus's hash-seeded
+    * IVF index and emits `dup_semantic` (some same-cell corpus vector with
+    * cosine ≥ the q48/q78 bound) or `new`, plus the smallest matching
+    * corpus id and the best cosine seen (NULL when the cell is empty).
+    *
+    * Statelessness, row-locally: the whole codebook rides in as ONE
+    * broadcast row (k=16 cells × 64 dims), so the nearest-centroid argmin
+    * is an `array_min` over a transform — the exact (d2 ASC, cell ASC)
+    * tie-break of the batch assignment — and the cell's corpus entries
+    * arrive as one broadcast array per cell, filtered/min'd/max'd with
+    * codegen HOFs. No watermark, no state store, exactly-once per row;
+    * EventStreamsSpec pins row-set equality (including best_cos bitwise)
+    * against q78 on the sf slice via a Trigger.AvailableNow run. In
+    * production the two index frames are persisted and maintained
+    * incrementally, exactly like the text admission's digest/band index. */
+  def embeddingAdmissionStream(vecs: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.ops.Embeddings
+    val (centsRow, cells) = Embeddings.admissionIndexFrames(corpus)
+    val tau = Embeddings.AdmitCosTau
+    vecs
+      .select(col("ts"), col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(call_function("dot_product", col("v"), col("v"))))
+      .crossJoin(broadcast(centsRow))
+      .withColumn("cell", expr(
+        """array_min(transform(cents,
+             c -> named_struct(
+               'd2', nrm * nrm - 2.0 * dot_product(v, c.c) + c.cnorm2,
+               'cell', c.cell))).cell"""))
+      .drop("cents")
+      .join(broadcast(cells), Seq("cell"), "left")
+      .withColumn("match_id", expr(
+        s"""array_min(transform(
+              filter(entries, e -> dot_product(v, e.cv) / (nrm * e.cn) >= $tau),
+              e -> e.cid))"""))
+      .withColumn("best_cos", expr(
+        "array_max(transform(entries, e -> dot_product(v, e.cv) / (nrm * e.cn)))"))
+      .select(col("ts"), col("vec_id"),
+        when(col("match_id").isNotNull, lit("dup_semantic"))
+          .otherwise(lit("new")).as("verdict"),
+        col("match_id"), col("best_cos"))
+  }
+
   /** The same sessionization via the BUILT-IN `session_window` aggregation —
     * Spark's native gap-session operator (merge-on-late-event, emit-on-seal
     * are handled by the engine's session-window state store). Kept alongside

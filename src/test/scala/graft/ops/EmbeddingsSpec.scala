@@ -95,15 +95,17 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
       val rows = Embeddings.q75RecallCompare(spark, sf).collect()
       assert(rows.nonEmpty)
       rows.foreach { r =>
-        val (s, m, h, pq) =
-          (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+        val (s, m, h, pq, rr) = (r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))
         assert(m >= s, s"qid ${r.getLong(0)}: recall_multi $m < recall_single $s")
-        // q80 re-ranks the SAME hash-cell candidates by approximate (ADC)
-        // distance, while q74 ranks them by exact cosine — and any true
-        // top-3 neighbour inside the cell is by definition within the
-        // cell's exact-cosine top-3, so the exact ranking is the ceiling
-        assert(pq <= h, s"qid ${r.getLong(0)}: recall_pq $pq > recall_hash $h")
-        Seq(s, m, h, pq).foreach(x => assert(x >= 0.0 && x <= 1.0))
+        // the compressed-path dominance chain: the ADC top-3 (pq) is a
+        // subset of the exact re-rank of the ADC top-10 (rerank — truth
+        // inside the pool survives exact re-scoring), which can never beat
+        // ranking the WHOLE cell by exact cosine (hash) — any true top-3
+        // neighbour inside the cell is within the cell's exact top-3
+        assert(pq <= rr, s"qid ${r.getLong(0)}: recall_pq $pq > recall_rerank $rr")
+        assert(rr <= h, s"qid ${r.getLong(0)}: recall_rerank $rr > recall_hash $h")
+        Seq(s, m, h, pq, rr).foreach(x => assert(x >= 0.0 && x <= 1.0))
       }
       // the comparison is only meaningful if some probe strategy finds hits
       assert(rows.map(_.getDouble(2)).sum > 0.0)

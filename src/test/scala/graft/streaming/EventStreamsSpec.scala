@@ -353,6 +353,43 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(got.size === 25 && got.exists(_._2 == "dup_near"))
   }
 
+  test("AvailableNow embedding-admission run equals the q78 batch output on sf0.01") {
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    import org.apache.spark.sql.streaming.Trigger
+    // the real gate slice: vec_id < 100 is the arriving batch, the rest is
+    // the standing corpus — exactly q78's split
+    val dir = "/root/testdata/sf0.01"
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val bound = graft.ops.Embeddings.AdmitBatchBound
+    val batchVecs = raw.filter(col("vec_id") < bound)
+      .withColumn("ts", to_timestamp(lit("2024-01-01 10:00:00")))
+    val corpus = raw.filter(col("vec_id") >= bound)
+    val staged = java.nio.file.Files.createTempDirectory("embed-admission-e2e")
+    batchVecs.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    val stream = spark.readStream.schema(batchVecs.schema).parquet(staged.toString)
+    // best_cos compares EXACTLY: both paths max identical IEEE cosines
+    def toMapped(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toSet
+    val q = EventStreams.embeddingAdmissionStream(stream, corpus)
+      .writeStream.format("memory").queryName("embed_admission_e2e")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val got = try {
+      q.awaitTermination()
+      toMapped(spark.table("embed_admission_e2e")
+        .select("vec_id", "verdict", "match_id", "best_cos").collect())
+    } finally q.stop()
+    val expected = toMapped(graft.ops.Embeddings.q78EmbeddingAdmission(spark, dir)
+      .select("vec_id", "verdict", "match_id", "best_cos").collect())
+    graft.CachedFrames.drain()
+    assert(got === expected)
+    assert(got.size === bound && got.exists(_._2 == "dup_semantic"))
+  }
+
   test("late within-watermark event bridges two open sessions like the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
