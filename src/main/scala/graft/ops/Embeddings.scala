@@ -912,56 +912,68 @@ object Embeddings {
   private[ops] val PqKs = 16
   private val PqSalt = "pq:"
 
-  /** Subspace m's slice of the (vec_id, v, …) frame: (vec_id, sv). */
-  private def pqSub(e: DataFrame, m: Int): DataFrame =
-    e.select(col("vec_id"), slice(col("v"), m * PqSubDim + 1, PqSubDim).as("sv"))
+  /** All subspaces of the (vec_id, v, …) frame in long form: (vec_id, m,
+    * sv) — ONE pass over the corpus covers every subspace, instead of M
+    * separate slice projections. */
+  private def pqSubsLong(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(array((0 until PqM).map(m =>
+      slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*)).as(Seq("m", "sv")))
 
-  /** Subspace m's sub-codebook (cell, c): hash-seeded groups → fixed-point
-    * DECIMAL means (the q31/q74 mechanics on the subvector). Ks×subDim
-    * doubles — broadcast by construction. */
-  private def pqSubCodebook(e: DataFrame, m: Int): DataFrame =
-    pqSub(e, m)
+  /** ALL sub-codebooks in one build, keyed (m, cell): hash-seeded groups →
+    * fixed-point DECIMAL means (the q31/q74 mechanics on the subvectors).
+    * M·Ks×subDim doubles — broadcast by construction. One aggregation
+    * chain instead of M: the subspace id is just another grouping key. */
+  private def pqCodebooks(e: DataFrame): DataFrame =
+    pqSubsLong(e)
       .withColumn("cell", expr(
-        s"CAST(md5_prefix56(concat('$PqSalt$m:', CAST(vec_id AS STRING))) % $PqKs AS INT)"))
-      .select(col("cell"), posexplode(col("sv")).as(Seq("idx", "x")))
-      .groupBy(col("cell"), col("idx"))
+        s"""CAST(md5_prefix56(concat('$PqSalt', CAST(m AS STRING), ':',
+             CAST(vec_id AS STRING))) % $PqKs AS INT)"""))
+      .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("idx", "x")))
+      .groupBy(col("m"), col("cell"), col("idx"))
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST(floor(x * 1e12) AS DECIMAL(38,0))")).as("fx"))
-      .select(col("cell"), col("idx"),
+      .select(col("m"), col("cell"), col("idx"),
         (col("fx").cast("double") / lit(1e12) / col("n").cast("double")).as("mean_x"))
-      .groupBy(col("cell"))
+      .groupBy(col("m"), col("cell"))
       .agg(array_sort(collect_list(struct(col("idx"), col("mean_x")))).as("im"))
-      .select(col("cell"), expr("transform(im, x -> x.mean_x)").as("c"))
+      .select(col("m"), col("cell"), expr("transform(im, x -> x.mean_x)").as("c"))
 
-  /** Nearest sub-centroid per vector in subspace m: (vec_id, code_m,
-    * d2_m), d2 as the direct index-order fold of (sv_i − c_i)². The argmin
-    * is a `min(struct(d2, cell))` AGGREGATION — struct ordering is (d2
-    * ASC, cell ASC), the oracle's exact tie-break — so the Ks-way
-    * broadcast fan-out collapses map-side before any exchange: no window,
-    * no sort, no collect_list. */
-  private def pqAssign(e: DataFrame, m: Int, book: DataFrame): DataFrame =
-    pqSub(e, m).crossJoin(broadcast(book))
+  /** Per-vector codes across ALL subspaces, widened to columns
+    * (vec_id, code_0..code_{M-1}, d2_0..d2_{M-1}): the candidate fan-out
+    * is ONE broadcast hash join on the subspace id (each (vec, m) row
+    * meets its Ks sub-centroids), the argmin per (vec, m) is a map-side
+    * `min(struct(d2, cell))` partial aggregation — struct ordering is
+    * (d2 ASC, cell ASC), the oracle's exact tie-break — and one more
+    * groupBy(vec_id) pivots the M codes wide (bounded M-element arrays).
+    * No window, no M-way self-join, two exchanges total. */
+  private def pqCodesWide(e: DataFrame, books: DataFrame): DataFrame = {
+    val wide = pqSubsLong(e)
+      .join(broadcast(books), Seq("m"))
       .withColumn("d2", expr(
         """aggregate(zip_with(sv, c, (a, b) -> (a - b) * (a - b)),
              CAST(0 AS DOUBLE), (acc, x) -> acc + x)"""))
-      .groupBy(col("vec_id"))
+      .groupBy(col("vec_id"), col("m"))
       .agg(min(struct(col("d2"), col("cell"))).as("best"))
-      .select(col("vec_id"), col("best.cell").as(s"code_$m"),
-        col("best.d2").as(s"d2_$m"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("best")))).as("a"))
+    (0 until PqM).foldLeft(wide) { (acc, m) =>
+      acc.withColumn(s"code_$m", expr(s"a[$m].best.cell"))
+        .withColumn(s"d2_$m", expr(s"a[$m].best.d2"))
+    }.drop("a")
+  }
 
   /** q79: product-quantization encode — each vector compressed to [[PqM]]
     * sub-codebook codes plus the reconstruction distortion
     * Σ_m ‖v_m − c_{m,code_m}‖² that re-rankers gate on. Codes serialize as
     * the '_'-joined string (q26/q62 gate convention); consumers re-split.
     *
-    * Scale shape: every sub-codebook is broadcast; encoding is a broadcast
-    * fan-out + map-side argmin per subspace, and the M code columns join
-    * back on vec_id only. At 100 TB the emitted code table is ~1/64 the
+    * Scale shape: the combined codebook is broadcast; encoding is one
+    * broadcast join + two bounded aggregations over a single corpus pass
+    * (see [[pqCodesWide]]). At 100 TB the emitted code table is ~1/64 the
     * corpus and is what the ADC search (q80) reads instead of raw floats. */
   def q79PqEncode(spark: SparkSession, sfDir: String): DataFrame = {
     val e = graft.CachedFrames.track(vecs(spark, sfDir))
-    val parts = (0 until PqM).map(m => pqAssign(e, m, pqSubCodebook(e, m)))
-    parts.reduce(_.join(_, Seq("vec_id")))
+    pqCodesWide(e, pqCodebooks(e))
       .select(col("vec_id"),
         concat_ws("_",
           (0 until PqM).map(m => col(s"code_$m").cast("string")): _*).as("codes"),
@@ -1040,9 +1052,9 @@ object Embeddings {
     val e = graft.CachedFrames.track(vecs(spark, sfDir))
     val coarse = probeAssign(e, hashCentroids(e, HashCodebookK), nprobe = 1)
       .drop("probe_rk")
-    val books = (0 until PqM).map(m => graft.CachedFrames.track(pqSubCodebook(e, m)))
-    val codes = (0 until PqM).map(m => pqAssign(e, m, books(m)).drop(s"d2_$m"))
-      .reduce(_.join(_, Seq("vec_id")))
+    val books = graft.CachedFrames.track(pqCodebooks(e))
+    val codes = pqCodesWide(e, books)
+      .select(col("vec_id") +: (0 until PqM).map(m => col(s"code_$m")): _*)
     val db = coarse.select(col("vec_id").as("cand_id"), col("cell"))
       .join(codes.withColumnRenamed("vec_id", "cand_id"), Seq("cand_id"))
     val q = coarse.filter(col("vec_id") < DefaultAnn.knnQueryIds)
@@ -1051,7 +1063,8 @@ object Embeddings {
     val pairs = (0 until PqM).foldLeft(
         q.join(db, Seq("cell")).filter(col("qid") =!= col("cand_id"))) {
       (acc, m) => acc.join(
-        broadcast(books(m).select(col("cell").as(s"code_$m"), col("c").as(s"c_$m"))),
+        broadcast(books.filter(col("m") === m)
+          .select(col("cell").as(s"code_$m"), col("c").as(s"c_$m"))),
         Seq(s"code_$m"))
     }
     val dist = (0 until PqM).map { m =>

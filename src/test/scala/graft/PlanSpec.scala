@@ -257,19 +257,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Not(EqualTo(source,src0))"), p)
   }
 
-  test("q79_pq_encode: sub-codebook fan-outs broadcast, argmin collapses as a " +
-    "partial aggregation — no window") {
+  test("q79_pq_encode: ONE broadcast fan-out join for all subspaces, argmin " +
+    "collapses as a partial aggregation — no window, no self-joins") {
     // FULL plan text (like q71's case): the cached vector frame nests an
     // adaptive plan whose Initial section would truncate finalPlan's census
     val df = SparkEntry.queries("q79_pq_encode")(spark, sf)
     val p = try { df.queryExecution.toRdd.count(); df.queryExecution.executedPlan.toString }
             finally CachedFrames.drain()
-    // the Ks-way candidate fan-out per subspace is a broadcast nested-loop
-    // (tiny codebook side), and the per-vector argmin is min(struct(d2,
-    // cell)) with a map-side partial_min — a window here would shuffle the
-    // full Ks× fan-out instead of one row per vector
-    assert(nodes(p, "BroadcastNestedLoopJoin") >= 4, p)
+    // the Ks-way candidate fan-out is a single broadcast hash join on the
+    // subspace id (the long-format chain: M separate codebook builds and
+    // an M-way code self-join would be M× the stages), and the per-(vec,
+    // subspace) argmin is min(struct(d2, cell)) with a map-side
+    // partial_min — a window here would shuffle the full Ks× fan-out
+    // instead of one row per (vector, subspace)
+    assert("BroadcastHashJoin \\[m".r.findFirstIn(p).isDefined, p)
+    assert(nodes(p, "BroadcastNestedLoopJoin") == 0, p)
     assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
     assert(nodes(p, "Window") == 0, p)
     assert(p.contains("partial_min"), p)
   }
