@@ -186,6 +186,52 @@ object AdmitBatch {
   }
 }
 
+/** Job 7 — materialize the EMBEDDING admission index (the two frames
+  * `graft.ops.Embeddings.admissionIndexFrames` derives: the hash-seeded
+  * codebook as one row and the per-cell corpus entry arrays) as parquet —
+  * the vector-space sibling of job 5, so semantic admission runs scan the
+  * index, never the corpus embeddings:
+  *
+  *   runMain graft.cli.BuildVectorIndex --input embeddings.parquet --output /tmp/vidx
+  *
+  * Writes `<out>/codebook` (cents: array of (cell, c, cnorm2)) and
+  * `<out>/cells` (cell, entries: array of (cid, cv, cn)). The codebook is
+  * trained on the corpus ONLY — an admitted batch never shifts the
+  * standing centroids; periodic re-trains rewrite both frames. */
+object BuildVectorIndex {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-build-vector-index") { spark =>
+    val corpus = graft.Tables.parallelized(spark.read.parquet(a("input")))
+    val (centsRow, cells) = graft.ops.Embeddings.admissionIndexFrames(corpus)
+    centsRow.write.mode("overwrite").parquet(s"${a("output")}/codebook")
+    cells.write.mode("overwrite").parquet(s"${a("output")}/cells")
+    }
+  }
+}
+
+/** Job 8 — admit a vector batch against a persisted embedding index (job
+  * 7's output): every batch vector gets a `dup_semantic` / `new` verdict
+  * plus the smallest matching corpus id and best cosine — q78's semantics,
+  * with the corpus side read from the index:
+  *
+  *   runMain graft.cli.AdmitVectors --input batch.parquet --index /tmp/vidx \
+  *     --output /tmp/verdicts
+  */
+object AdmitVectors {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-admit-vectors") { spark =>
+    val batch = graft.Tables.parallelized(spark.read.parquet(a("input")))
+    graft.ops.Embeddings.admitVectorsAgainstIndex(batch,
+        spark.read.parquet(s"${a("index")}/codebook"),
+        spark.read.parquet(s"${a("index")}/cells"))
+      .write.mode("overwrite").parquet(a("output"))
+    graft.CachedFrames.drain()
+    }
+  }
+}
+
 /** Job 3 — load the model, score unlabeled pairs, write (pair, prediction)
   * sorted by prediction. */
 object ApplyDupClassifier {

@@ -657,6 +657,43 @@ object Embeddings {
     (centsRow, cells)
   }
 
+  /** The probe stage of the embedding admission against prebuilt index
+    * frames ([[admissionIndexFrames]] live, or read back from disk by
+    * `cli.AdmitVectors`): every batch vector resolves its verdict
+    * ROW-LOCALLY — nearest-centroid argmin over the broadcast codebook row
+    * (the exact (d2 ASC, cell ASC) tie-break of the batch assignment),
+    * then filter/min/max codegen HOFs over its cell's broadcast entry
+    * array. Shared verbatim by the streaming twin and the CLI path, so
+    * the formulations cannot diverge; q78 remains the oracle-gated
+    * specification of the semantics. `batch` needs (vec_id, embedding);
+    * other columns (e.g. the stream's ts) pass through untouched. */
+  private[graft] def admitVectorsAgainstIndex(batch: DataFrame,
+      centsRow: DataFrame, cells: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    val keep = batch.columns.filterNot(_ == "embedding").map(col)
+    batch
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .crossJoin(broadcast(centsRow))
+      .withColumn("cell", expr(
+        """array_min(transform(cents,
+             c -> named_struct(
+               'd2', nrm * nrm - 2.0 * dot_product(v, c.c) + c.cnorm2,
+               'cell', c.cell))).cell"""))
+      .drop("cents")
+      .join(broadcast(cells), Seq("cell"), "left")
+      .withColumn("match_id", expr(
+        s"""array_min(transform(
+              filter(entries, e -> dot_product(v, e.cv) / (nrm * e.cn) >= $AdmitCosTau),
+              e -> e.cid))"""))
+      .withColumn("best_cos", expr(
+        "array_max(transform(entries, e -> dot_product(v, e.cv) / (nrm * e.cn)))"))
+      .select(keep :+
+        when(col("match_id").isNotNull, lit("dup_semantic"))
+          .otherwise(lit("new")).as("verdict") :+
+        col("match_id") :+ col("best_cos"): _*)
+  }
+
   /** q78: embedding admission — the SEMANTIC twin of the text-side
     * delta-vs-corpus check (q71): each vector in the arriving batch probes
     * the STANDING corpus's IVF index (hash-seeded codebook, trained on the

@@ -243,29 +243,7 @@ object EventStreams {
   def embeddingAdmissionStream(vecs: DataFrame, corpus: DataFrame): DataFrame = {
     import graft.ops.Embeddings
     val (centsRow, cells) = Embeddings.admissionIndexFrames(corpus)
-    val tau = Embeddings.AdmitCosTau
-    vecs
-      .select(col("ts"), col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", sqrt(call_function("dot_product", col("v"), col("v"))))
-      .crossJoin(broadcast(centsRow))
-      .withColumn("cell", expr(
-        """array_min(transform(cents,
-             c -> named_struct(
-               'd2', nrm * nrm - 2.0 * dot_product(v, c.c) + c.cnorm2,
-               'cell', c.cell))).cell"""))
-      .drop("cents")
-      .join(broadcast(cells), Seq("cell"), "left")
-      .withColumn("match_id", expr(
-        s"""array_min(transform(
-              filter(entries, e -> dot_product(v, e.cv) / (nrm * e.cn) >= $tau),
-              e -> e.cid))"""))
-      .withColumn("best_cos", expr(
-        "array_max(transform(entries, e -> dot_product(v, e.cv) / (nrm * e.cn)))"))
-      .select(col("ts"), col("vec_id"),
-        when(col("match_id").isNotNull, lit("dup_semantic"))
-          .otherwise(lit("new")).as("verdict"),
-        col("match_id"), col("best_cos"))
+    Embeddings.admitVectorsAgainstIndex(vecs, centsRow, cells)
   }
 
   /** The same sessionization via the BUILT-IN `session_window` aggregation —

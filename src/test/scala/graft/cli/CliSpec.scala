@@ -66,6 +66,41 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("build-vector-index → admit-vectors round-trips match the q78 gate query exactly") {
+    import org.apache.spark.sql.functions.col
+    spark // force shared session so the CLI's getOrCreate reuses it
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-vindex").toString
+    // stage the q78 split as standalone parquet inputs: vec_id < bound is
+    // the arriving batch, the rest the standing corpus
+    val bound = graft.ops.Embeddings.AdmitBatchBound
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    raw.filter(col("vec_id") >= bound).write.parquet(s"$dir/corpus")
+    raw.filter(col("vec_id") < bound).write.parquet(s"$dir/batch")
+    BuildVectorIndex.main(Array(
+      "--input", s"$dir/corpus", "--output", s"$dir/idx"))
+    // the persisted index has the declared layout
+    assert(spark.read.parquet(s"$dir/idx/codebook").columns.toSet === Set("cents"))
+    assert(spark.read.parquet(s"$dir/idx/cells").columns.toSet ===
+      Set("cell", "entries"))
+    AdmitVectors.main(Array(
+      "--input", s"$dir/batch", "--index", s"$dir/idx",
+      "--output", s"$dir/verdicts"))
+    // best_cos compares EXACTLY: both paths max identical IEEE cosines
+    def toMapped(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toSet
+    val got = toMapped(spark.read.parquet(s"$dir/verdicts")
+      .select("vec_id", "verdict", "match_id", "best_cos").collect())
+    val expected = toMapped(graft.ops.Embeddings.q78EmbeddingAdmission(spark, sf)
+      .select("vec_id", "verdict", "match_id", "best_cos").collect())
+    graft.CachedFrames.drain()
+    assert(got === expected)
+    assert(got.size === bound && got.exists(_._2 == "dup_semantic"))
+  }
+
   test("generate → train → apply round-trips on the Febrl test fixture") {
     spark // force shared session so the CLI's getOrCreate reuses it
     val dir = Files.createTempDirectory("graft-cli").toString
