@@ -232,6 +232,49 @@ object AdmitVectors {
   }
 }
 
+/** Job 9 — deletion propagation ("right to be forgotten") for the TEXT
+  * admission index: given a parquet of doc ids, write a copy of the index
+  * with every row derived from those documents removed, so re-submitting a
+  * forgotten document admits as `new`:
+  *
+  *   runMain graft.cli.ForgetDocs --index /tmp/idx --ids ids.parquet \
+  *     --output /tmp/idx2
+  */
+object ForgetDocs {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-forget") { spark =>
+    val ids = spark.read.parquet(a("ids"))
+    val (digests, bands) = graft.ops.Curation.forgetFromIndex(
+      spark.read.parquet(s"${a("index")}/digests"),
+      spark.read.parquet(s"${a("index")}/bands"), ids)
+    digests.write.mode("overwrite").parquet(s"${a("output")}/digests")
+    bands.write.mode("overwrite").parquet(s"${a("output")}/bands")
+    }
+  }
+}
+
+/** Job 10 — deletion propagation for the EMBEDDING admission index: copies
+  * the codebook unchanged (centroids stay frozen between re-trains) and
+  * filters the forgotten vectors out of every cell's entry array:
+  *
+  *   runMain graft.cli.ForgetVectors --index /tmp/vidx --ids ids.parquet \
+  *     --output /tmp/vidx2
+  */
+object ForgetVectors {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-forget-vectors") { spark =>
+    val ids = spark.read.parquet(a("ids"))
+    spark.read.parquet(s"${a("index")}/codebook")
+      .write.mode("overwrite").parquet(s"${a("output")}/codebook")
+    graft.ops.Embeddings.forgetFromVectorIndex(
+        spark.read.parquet(s"${a("index")}/cells"), ids)
+      .write.mode("overwrite").parquet(s"${a("output")}/cells")
+    }
+  }
+}
+
 /** Job 3 — load the model, score unlabeled pairs, write (pair, prediction)
   * sorted by prediction. */
 object ApplyDupClassifier {

@@ -384,6 +384,21 @@ object Curation {
         coalesce(col("exact_match"), col("near_match")).as("match_id"))
   }
 
+  /** Deletion propagation ("right to be forgotten") for the persisted TEXT
+    * admission index: drop every digest and band row derived from the
+    * forgotten documents, so a re-submission of a deleted document's text
+    * admits as `new` (spec-pinned in CliSpec). The codebook-free text
+    * index makes this a pure anti-join; the deletion list is tiny relative
+    * to the corpus, so both anti-joins broadcast it and the index streams —
+    * the same asymmetry as admission itself. Purging the corpus TEXT is
+    * the caller's ordinary anti-join; this maintains the derived frames. */
+  private[graft] def forgetFromIndex(digests: DataFrame, bands: DataFrame,
+      ids: DataFrame): (DataFrame, DataFrame) = {
+    val del = broadcast(ids.select(col("doc_id").as("cid")))
+    (digests.join(del, Seq("cid"), "left_anti"),
+      bands.join(del, Seq("cid"), "left_anti"))
+  }
+
   /** [[q71IncrementalDedup]]'s core over ANY (doc_id BIGINT, text) batch +
     * corpus frames — the spec drives this with crafted documents covering
     * all three verdicts and the exact-beats-near precedence. Composition of

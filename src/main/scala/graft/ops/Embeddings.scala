@@ -657,6 +657,24 @@ object Embeddings {
     (centsRow, cells)
   }
 
+  /** Deletion propagation for the persisted EMBEDDING admission index:
+    * filter the forgotten vectors out of every cell's entry array (the
+    * deletion list rides in as ONE broadcast row, the filter is a
+    * row-local codegen HOF — the index never shuffles), dropping cells
+    * that empty out. The codebook is NOT retrained: centroids are
+    * corpus-scale means, a deletion batch cannot meaningfully move them,
+    * and keeping them frozen preserves every surviving entry's cell
+    * assignment — periodic re-trains rewrite both frames wholesale. */
+  private[graft] def forgetFromVectorIndex(cells: DataFrame,
+      ids: DataFrame): DataFrame = {
+    val delRow = ids.agg(collect_set(col("vec_id")).as("del"))
+    cells.crossJoin(broadcast(delRow))
+      .withColumn("entries",
+        expr("filter(entries, e -> NOT array_contains(del, e.cid))"))
+      .drop("del")
+      .filter(size(col("entries")) > 0)
+  }
+
   /** The probe stage of the embedding admission against prebuilt index
     * frames ([[admissionIndexFrames]] live, or read back from disk by
     * `cli.AdmitVectors`): every batch vector resolves its verdict

@@ -101,6 +101,78 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(got.size === bound && got.exists(_._2 == "dup_semantic"))
   }
 
+  test("forget removes a document from both admission indexes: re-admission " +
+    "no longer matches it") {
+    import org.apache.spark.sql.functions.col
+    spark // force shared session so the CLI's getOrCreate reuses it
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-forget").toString
+
+    // TEXT index: find a batch doc whose verdict is dup_exact, forget its
+    // matched corpus doc, re-admit — the exact match must be gone
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    raw.filter(col("source") =!= "src0").drop("source")
+      .write.parquet(s"$dir/corpus")
+    raw.filter(col("source") === "src0").drop("source")
+      .write.parquet(s"$dir/batch")
+    BuildCorpusIndex.main(Array(
+      "--input", s"$dir/corpus", "--output", s"$dir/idx"))
+    AdmitBatch.main(Array(
+      "--input", s"$dir/batch", "--index", s"$dir/idx",
+      "--output", s"$dir/before"))
+    val before = spark.read.parquet(s"$dir/before")
+      .filter(col("verdict") =!= "new").select("doc_id", "match_id").collect()
+    assert(before.nonEmpty, "need at least one dup verdict to forget")
+    val (bid, forgot) = (before.head.getLong(0), before.head.getLong(1))
+    spark.range(1).select(org.apache.spark.sql.functions.lit(forgot).as("doc_id"))
+      .write.parquet(s"$dir/ids")
+    ForgetDocs.main(Array(
+      "--index", s"$dir/idx", "--ids", s"$dir/ids", "--output", s"$dir/idx2"))
+    assert(spark.read.parquet(s"$dir/idx2/digests")
+      .filter(col("cid") === forgot).count() === 0)
+    assert(spark.read.parquet(s"$dir/idx2/bands")
+      .filter(col("cid") === forgot).count() === 0)
+    AdmitBatch.main(Array(
+      "--input", s"$dir/batch", "--index", s"$dir/idx2",
+      "--output", s"$dir/after"))
+    val after = spark.read.parquet(s"$dir/after")
+      .filter(col("doc_id") === bid).collect().head
+    assert(after.isNullAt(2) || after.getLong(2) != forgot,
+      "re-admission still matches the forgotten doc")
+
+    // VECTOR index: same protocol on a dup_semantic match
+    val vraw = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val bound = graft.ops.Embeddings.AdmitBatchBound
+    vraw.filter(col("vec_id") >= bound).write.parquet(s"$dir/vcorpus")
+    vraw.filter(col("vec_id") < bound).write.parquet(s"$dir/vbatch")
+    BuildVectorIndex.main(Array(
+      "--input", s"$dir/vcorpus", "--output", s"$dir/vidx"))
+    AdmitVectors.main(Array(
+      "--input", s"$dir/vbatch", "--index", s"$dir/vidx",
+      "--output", s"$dir/vbefore"))
+    val vbefore = spark.read.parquet(s"$dir/vbefore")
+      .filter(col("verdict") === "dup_semantic").select("vec_id", "match_id").collect()
+    assert(vbefore.nonEmpty, "need at least one semantic dup to forget")
+    val (vbid, vforgot) = (vbefore.head.getLong(0), vbefore.head.getLong(1))
+    spark.range(1).select(org.apache.spark.sql.functions.lit(vforgot).as("vec_id"))
+      .write.parquet(s"$dir/vids")
+    ForgetVectors.main(Array(
+      "--index", s"$dir/vidx", "--ids", s"$dir/vids", "--output", s"$dir/vidx2"))
+    assert(spark.read.parquet(s"$dir/vidx2/cells")
+      .selectExpr("explode(entries) AS e").filter(col("e.cid") === vforgot)
+      .count() === 0)
+    AdmitVectors.main(Array(
+      "--input", s"$dir/vbatch", "--index", s"$dir/vidx2",
+      "--output", s"$dir/vafter"))
+    val vafter = spark.read.parquet(s"$dir/vafter")
+      .filter(col("vec_id") === vbid).collect().head
+    assert(vafter.isNullAt(2) || vafter.getLong(2) != vforgot,
+      "re-admission still matches the forgotten vector")
+    graft.CachedFrames.drain()
+  }
+
   test("generate → train → apply round-trips on the Febrl test fixture") {
     spark // force shared session so the CLI's getOrCreate reuses it
     val dir = Files.createTempDirectory("graft-cli").toString
