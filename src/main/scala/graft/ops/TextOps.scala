@@ -888,4 +888,45 @@ object TextOps {
       1.0 + CAST(sum(term) AS DOUBLE) / 1e15 AS l1_drift
     FROM terms GROUP BY source
   """
+
+  /** q84: the first BPE merge round — adjacent character-pair frequencies
+    * over the whitespace vocabulary, the statistic a byte-pair-encoding
+    * tokenizer trainer maximizes at every merge step. Counting over the
+    * (token, freq) vocabulary instead of raw text makes each merge round
+    * a |vocab|-sized job rather than a corpus scan — exactly how BPE
+    * trainers iterate (apply the winning merge to the vocab, recount);
+    * the corpus is touched once, for the vocab itself. Top-50 pairs by
+    * (n DESC, pair ASC) — a total order, so the cut is deterministic.
+    *
+    * Scale shape: corpus → vocab is q43's explode + map-side-combinable
+    * count; vocab → pairs is a bounded explode (token length) + one more
+    * combinable aggregation; the cut is TakeOrderedAndProject. */
+  def q84BpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(explode(expr("""split(trim(text), '\\s+')""")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .filter(length(col("token")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(50)
+
+  val q84BpeMergesSql: String = """
+    WITH vocab AS (
+      SELECT token, count(*) AS freq
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents)
+      GROUP BY token),
+    pairs AS (
+      SELECT substr(v.token, i.i, 2) AS pair, v.freq
+      FROM vocab v, LATERAL (SELECT unnest(generate_series(1, len(v.token) - 1)) AS i) i
+      WHERE len(v.token) >= 2)
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT 50
+  """
 }
