@@ -114,6 +114,31 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     } finally graft.CachedFrames.drain()
   }
 
+  test("the argmin aggregation min(struct(d2, cell)) equals the window argmin " +
+    "on random fan-outs, under any partitioning") {
+    // q79/q80's core trick: collapsing the Ks-way candidate fan-out with a
+    // map-side min(struct) partial instead of ranking after a shuffle.
+    // Struct ordering must agree with the oracle's (d2 ASC, cell ASC)
+    // row_number tie-break — including ties and scrambled layouts.
+    import spark.implicits._
+    val rnd = new scala.util.Random(647)
+    val rows = (0 until 400).map { i =>
+      // coarse-grained d2 values force frequent exact ties
+      (i / 8L, rnd.nextInt(10), math.floor(rnd.nextDouble() * 4) / 4.0)
+    }
+    val df = rows.toDF("vec_id", "cell", "d2").repartition(13)
+    val viaAgg = df.groupBy($"vec_id")
+      .agg(min(struct($"d2", $"cell")).as("best"))
+      .select($"vec_id", $"best.cell".as("cell"), $"best.d2".as("d2"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"d2".asc, $"cell".asc)
+    val viaWindow = df.withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1).select($"vec_id", $"cell", $"d2")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(viaAgg === viaWindow)
+  }
+
   test("PQ encode (q79): one row per vector, codes address real sub-codebook " +
     "entries, distortion nonnegative") {
     val sf = "/root/testdata/sf0.001"
