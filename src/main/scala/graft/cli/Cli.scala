@@ -275,6 +275,27 @@ object ForgetVectors {
   }
 }
 
+/** Job 11 — materialize an epoch plan: mixture-weighted repeats, token
+  * packing and sharding over a (curated) documents parquet, written with
+  * the sorted-shard sink so a data loader streams each `shard=K` file in
+  * training order:
+  *
+  *   runMain graft.cli.PlanEpoch --input docs.parquet --output /tmp/epoch \
+  *     [--shards 8]
+  */
+object PlanEpoch {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-plan-epoch") { spark =>
+    val docs = graft.Tables.parallelized(spark.read.parquet(a("input")))
+    val plan = graft.ops.Curation.epochPlanOn(docs, a.getOrElse("shards", "8").toInt)
+    graft.sources.Io.writeShards(plan, a("output"),
+      orderCols = Seq("seq_id", "offset"))
+    graft.CachedFrames.drain()
+    }
+  }
+}
+
 /** Job 3 — load the model, score unlabeled pairs, write (pair, prediction)
   * sorted by prediction. */
 object ApplyDupClassifier {

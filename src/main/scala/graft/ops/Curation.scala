@@ -281,9 +281,16 @@ object Curation {
     * projection — no shuffle beyond q73's own |sources|-row aggregation. */
   def q77ApplyMixture(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val w = TextOps.q73TemperatureMix(spark, sfDir)
+    applyMixtureOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+  }
+
+  /** [[q77ApplyMixture]]'s core over ANY (doc_id, source, text, …) frame —
+    * the epoch-plan composition feeds curated corpora through it. */
+  private[graft] def applyMixtureOn(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val w = TextOps.temperatureMixOn(docs)
       .select(col("source"), col("upsample"))
-    Tables.parallelized(Tables(spark, sfDir, "documents"))
+    docs
       .select(col("doc_id"), col("source"))
       .join(broadcast(w), "source")
       .withColumn("u", expr(
@@ -438,6 +445,41 @@ object Curation {
     FROM batch b LEFT JOIN exact e ON b.doc_id = e.bid
     LEFT JOIN near n ON b.doc_id = n.bid
   """
+
+  /** The epoch plan — the materialized reading order a pretraining data
+    * loader consumes, composed from the library's own operators: q73's
+    * temperature weights → q77's deterministic repeat counts → q59's
+    * token packing (running sum per source over the repeat-expanded
+    * stream) → q70-style sharding. Every step is content-hash- or
+    * order-keyed (no rand()), so a retry, re-plan or re-run yields a
+    * byte-identical plan; `cli.PlanEpoch` writes it via the sorted-shard
+    * sink (one file per shard, rows in training order).
+    *
+    * Output: (source, doc_id, rep, n_tokens, seq_id, offset, shard) — one
+    * row per scheduled document occurrence; `seq_id`/`offset` place its
+    * tokens inside fixed-size training sequences.
+    *
+    * Scale shape: the weight table is |sources| rows broadcast; the
+    * repeat explode is bounded by ⌈max upsample⌉; the running sum keys on
+    * source like q59 (at extreme skew, sub-split sources the way q59's
+    * scaladoc prescribes); the shard exchange + per-shard sort is q70's
+    * bounded layout — no global sort anywhere. */
+  private[graft] def epochPlanOn(docs: DataFrame, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"), col("rep"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        expr("""CAST(size(split(trim(text), '\\s+')) AS BIGINT)""").as("n_tokens"))
+      .join(applyMixtureOn(docs).select(col("doc_id"), col("n_repeats")), "doc_id")
+      .filter(col("n_repeats") > 0)
+      .withColumn("rep", explode(expr("sequence(1, CAST(n_repeats AS INT))")))
+      .withColumn("running", sum(col("n_tokens")).over(w))
+      .select(col("source"), col("doc_id"), col("rep"), col("n_tokens"),
+        expr(s"(running - n_tokens) DIV ${TextOps.PackSeqTokens}").as("seq_id"),
+        ((col("running") - col("n_tokens")) % TextOps.PackSeqTokens).as("offset"))
+      .withColumn("shard", (col("seq_id") % nShards).cast("int"))
+  }
 
   // ───────────────────── Release governance (PII) ─────────────────────
 

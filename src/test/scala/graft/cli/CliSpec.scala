@@ -173,6 +173,32 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     graft.CachedFrames.drain()
   }
 
+  test("plan-epoch writes one sorted file per shard in training order") {
+    import org.apache.spark.sql.functions.col
+    spark // force shared session so the CLI's getOrCreate reuses it
+    val dir = Files.createTempDirectory("graft-epoch").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.parquet(s"$dir/docs")
+    PlanEpoch.main(Array(
+      "--input", s"$dir/docs", "--output", s"$dir/epoch", "--shards", "4"))
+    val back = spark.read.parquet(s"$dir/epoch")
+    assert(back.columns.toSet ===
+      Set("source", "doc_id", "rep", "n_tokens", "seq_id", "offset", "shard"))
+    val shards = back.select("shard").distinct().collect().map(_.getInt(0)).toSet
+    assert(shards.subsetOf((0 until 4).toSet) && shards.nonEmpty)
+    // one parquet file per shard dir, rows already in (seq_id, offset) order
+    for (s <- shards) {
+      val files = new java.io.File(s"$dir/epoch/shard=$s")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"shard $s")
+      val inOrder = spark.read.parquet(files.head.getPath)
+        .select("seq_id", "offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(inOrder.sameElements(inOrder.sortBy(identity)), s"shard $s order")
+    }
+    graft.CachedFrames.drain()
+  }
+
   test("generate → train → apply round-trips on the Febrl test fixture") {
     spark // force shared session so the CLI's getOrCreate reuses it
     val dir = Files.createTempDirectory("graft-cli").toString

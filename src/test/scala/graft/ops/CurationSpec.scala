@@ -95,6 +95,41 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(got(4L) === (("dup_exact", 11L)))
   }
 
+  test("epoch plan: schedules exactly n_repeats occurrences per doc, packs " +
+    "offsets densely per source, and is reproducible") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = graft.Tables.parallelized(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    val plan = Curation.epochPlanOn(docs, nShards = 4).cache()
+    val rows = plan.collect()
+    assert(rows.nonEmpty)
+    // occurrence conservation: per (doc), plan rows == that doc's n_repeats
+    val repeats = Curation.applyMixtureOn(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val occ = rows.groupBy(_.getLong(1)).map { case (d, rs) => d -> rs.length.toLong }
+    occ.foreach { case (d, n) => assert(n === repeats(d), s"doc $d") }
+    repeats.filter(_._2 > 0).keys.foreach(d => assert(occ.contains(d)))
+    // the packing invariant: within a source, consecutive occurrences'
+    // (seq_id, offset) positions are the running token sum — no gaps, no
+    // overlaps (same check as q59, over the repeat-expanded stream)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(r => (r.getLong(1), r.getInt(2)))
+      var running = 0L
+      ordered.foreach { r =>
+        val tokens = r.getLong(3)
+        assert(r.getLong(4) === running / graft.ops.TextOps.PackSeqTokens)
+        assert(r.getLong(5) === running % graft.ops.TextOps.PackSeqTokens)
+        running += tokens
+      }
+    }
+    // shard range + determinism under a second evaluation
+    assert(rows.forall(r => r.getInt(6) >= 0 && r.getInt(6) < 4))
+    val again = Curation.epochPlanOn(docs, nShards = 4).collect()
+    assert(again.map(_.toSeq).toSet === rows.map(_.toSeq).toSet)
+    plan.unpersist()
+    graft.CachedFrames.drain()
+  }
+
   test("anonymize (q81): no digits survive masking, pseudo ids stay unique, " +
     "bands are 1000-unit multiples") {
     val rows = Curation.q81Anonymize(spark, sf).collect()
