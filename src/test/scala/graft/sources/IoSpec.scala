@@ -33,6 +33,18 @@ class IoSpec extends AnyFunSuite with SparkSpec {
     assert(back.collect().toSet === sample.collect().toSet)
   }
 
+  test("orc round-trip preserves rows and pushes filters to the scan") {
+    val dir = Files.createTempDirectory("io-orc").toString
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, s"n$i", i % 4)).toDF("id", "name", "bucket")
+    Io.writeOrc(df, dir)
+    val back = Io.readOrc(spark, dir)
+    assert(back.collect().toSet === df.collect().toSet)
+    // predicate pushdown reaches the ORC scan like parquet
+    val plan = back.filter(col("id") === 7L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"), plan)
+  }
+
   test("partitioned parquet round-trip prunes on the partition column") {
     val dir = Files.createTempDirectory("io-parq").toString
     import spark.implicits._
