@@ -40,6 +40,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // ContextCleaner only reclaims shuffle files / broadcasts when a GC
+      // actually runs; the 30min default exceeds the whole suite, so late
+      // queries were billed for ~80 predecessors' accumulated state
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-reader initialization should not
@@ -215,6 +219,11 @@ object Bench {
 
   private def measureQuery(spark: SparkSession, sfDir: String, name: String): QStat = {
     var failures = 0
+    // untimed collection BEFORE the reps: each query measures from a
+    // collected heap instead of paying its predecessors' GC debt (in-suite
+    // medians ran ~1.5× the isolated number for late, planning-heavy
+    // queries before this)
+    System.gc()
     val times = (1 to Reps).flatMap { _ =>
       val t0 = System.nanoTime()
       val ok =
