@@ -481,6 +481,81 @@ object Curation {
       .withColumn("shard", (col("seq_id") % nShards).cast("int"))
   }
 
+  /** Shared contamination-matrix kernel: attach a group label (source,
+    * split) to each side of the near-dup pair relation (q37's rotation-band
+    * SimHash collisions at the q71 admission Hamming bound), keep the
+    * cross-group pairs, and count per unordered group pair.
+    *
+    * Scale shape: the pair relation comes from the banded equi-join
+    * (sub-quadratic by construction); the two label attachments join a
+    * thin (doc_id, label) projection — broadcastable when labels come from
+    * a dimension, co-partitioned on doc_id otherwise; the matrix output is
+    * |groups|² rows at most. */
+  private def nearDupMatrixOn(pairs: DataFrame, labels: DataFrame,
+      aCol: String, bCol: String, nCol: String): DataFrame =
+    pairs
+      .join(labels.select(col("doc_id").as("id1"), col("g").as("g1")), "id1")
+      .join(labels.select(col("doc_id").as("id2"), col("g").as("g2")), "id2")
+      .filter(col("g1") =!= col("g2"))
+      .select(least(col("g1"), col("g2")).as(aCol),
+        greatest(col("g1"), col("g2")).as(bCol))
+      .groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as(nCol))
+
+  /** q85: cross-source contamination matrix — for every unordered source
+    * pair, how many NEAR-duplicate document pairs span the two sources.
+    * The number that decides whether two acquisition pipelines are feeding
+    * the corpus the same content (exact duplicates are a subset: Hamming
+    * 0). Near-dup is q37's banded SimHash collision within the same
+    * Hamming bound the q71 admission check uses, so "contamination" means
+    * the same thing at corpus-build time and at admission time. */
+  def q85SourceOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    nearDupMatrixOn(
+      NearDup.q37SimhashPairs(spark, sfDir)
+        .filter(col("hamming") <= IncrementalMaxHamming)
+        .select(col("id1"), col("id2")),
+      Tables.parallelized(Tables(spark, sfDir, "documents"))
+        .select(col("doc_id"), col("source").as("g")),
+      "src_a", "src_b", "n_near_pairs")
+
+  val q85SourceOverlapSql: String = s"""
+    WITH p AS (${NearDup.q37SimhashPairsSql}),
+    d AS (SELECT doc_id, source FROM documents)
+    SELECT least(a.source, b.source) AS src_a,
+      greatest(a.source, b.source) AS src_b,
+      count(*) AS n_near_pairs
+    FROM p JOIN d a ON p.id1 = a.doc_id JOIN d b ON p.id2 = b.doc_id
+    WHERE p.hamming <= $IncrementalMaxHamming AND a.source <> b.source
+    GROUP BY 1, 2
+  """
+
+  /** q86: train/valid/test leakage audit — the same matrix over q76's
+    * deterministic split assignment: a near-duplicate pair that spans two
+    * splits is evaluation leakage (a test document whose near-copy the
+    * model trained on). Composing on [[q76HashSplit]]'s own assignment
+    * means the audit can never drift from the split actually used; content
+    * dedup BEFORE splitting (q51 / q70's pipeline order) is what drives
+    * these counts toward zero, and this row is the regression gate for
+    * that ordering. */
+  def q86SplitLeakage(spark: SparkSession, sfDir: String): DataFrame =
+    nearDupMatrixOn(
+      NearDup.q37SimhashPairs(spark, sfDir)
+        .filter(col("hamming") <= IncrementalMaxHamming)
+        .select(col("id1"), col("id2")),
+      q76HashSplit(spark, sfDir).select(col("doc_id"), col("split").as("g")),
+      "split_a", "split_b", "n_leaked_pairs")
+
+  val q86SplitLeakageSql: String = s"""
+    WITH p AS (${NearDup.q37SimhashPairsSql}),
+    s AS ($q76HashSplitSql)
+    SELECT least(a.split, b.split) AS split_a,
+      greatest(a.split, b.split) AS split_b,
+      count(*) AS n_leaked_pairs
+    FROM p JOIN s a ON p.id1 = a.doc_id JOIN s b ON p.id2 = b.doc_id
+    WHERE p.hamming <= $IncrementalMaxHamming AND a.split <> b.split
+    GROUP BY 1, 2
+  """
+
   // ───────────────────── Release governance (PII) ─────────────────────
 
   private val AnonSalt = "anon:"
