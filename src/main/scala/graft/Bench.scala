@@ -121,12 +121,14 @@ object Bench {
     val retrySum = common.toSeq.map(retry(_).median).sum
     val (chosen, other) = if (retrySum < firstSum) (retry, first) else (first, retry)
     chosen.map { case (k, v) =>
-      // a backfilled stat keeps BOTH passes' failure counts — a pass that
-      // failed all reps must stay visible under "failures", not be erased
-      // by the other pass's clean stat
+      // EVERY merged stat carries both passes' failure counts — reps that
+      // threw must stay visible under "failures" regardless of which pass
+      // was chosen (keeping only the chosen pass's count silently erased
+      // an all-reps-failed first pass whenever the retry won)
+      val bothFailures = v.failures + other.get(k).map(_.failures).getOrElse(0)
       k -> (if (v.median.isNaN && other.get(k).exists(!_.median.isNaN))
-              other(k).copy(failures = v.failures + other(k).failures)
-            else v)
+              other(k).copy(failures = bothFailures)
+            else v.copy(failures = bothFailures))
     }
   }
 

@@ -49,9 +49,22 @@ object CachedFrames {
 
   /** Release this thread's references; unpersist (non-blocking) only the
     * entries whose last holder this thread was. */
-  def drain(): Unit = {
+  def drain(): Unit = drainFrom(0)
+
+  /** Position marker for [[drainSince]]: library functions that drain
+    * their OWN caches mid-pipeline (e.g. `Curation.curateToShards`) must
+    * not release frames their caller tracked earlier on the same thread —
+    * refcounting protects cross-thread sharing, not nested same-thread
+    * composition. */
+  def mark(): Int = frames.get.size
+
+  /** Release only the references tracked on this thread since `mark`. */
+  def drainSince(mark: Int): Unit = drainFrom(math.max(0, mark))
+
+  private def drainFrom(from: Int): Unit = {
     val list = frames.get
-    val keys = list.map(_.queryExecution.analyzed.canonicalized)
+    val toRelease = list.drop(from)
+    val keys = toRelease.map(_.queryExecution.analyzed.canonicalized)
     shared.synchronized {
       keys.foreach { key =>
         shared.get(key).foreach { e =>
@@ -63,6 +76,6 @@ object CachedFrames {
         }
       }
     }
-    list.clear()
+    list.remove(from, list.size - from)
   }
 }

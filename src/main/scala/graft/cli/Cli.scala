@@ -206,6 +206,7 @@ object BuildVectorIndex {
     val (centsRow, cells) = graft.ops.Embeddings.admissionIndexFrames(corpus)
     centsRow.write.mode("overwrite").parquet(s"${a("output")}/codebook")
     cells.write.mode("overwrite").parquet(s"${a("output")}/cells")
+    graft.CachedFrames.drain() // probeAssign tracks the assignment frame
     }
   }
 }
@@ -289,8 +290,13 @@ object PlanEpoch {
     Cli.withSession("graft-plan-epoch") { spark =>
     val docs = graft.Tables.parallelized(spark.read.parquet(a("input")))
     val plan = graft.ops.Curation.epochPlanOn(docs, a.getOrElse("shards", "8").toInt)
+    // source leads the sort key: seq_id/offset restart per source, so two
+    // sources tie on (seq_id, offset) and a stable sort would keep their
+    // nondeterministic shuffle arrival order — (source, seq_id, offset) is
+    // a total order (offsets strictly increase within a sequence), which
+    // is what makes re-runs byte-identical
     graft.sources.Io.writeShards(plan, a("output"),
-      orderCols = Seq("seq_id", "offset"))
+      orderCols = Seq("source", "seq_id", "offset"))
     graft.CachedFrames.drain()
     }
   }

@@ -149,6 +149,10 @@ object Curation {
     * CLI job and the `--curate` scale smoke so the shard column contract
     * and the duplicate-id guard live once. Returns the survivor count. */
   private[graft] def curateToShards(docs: DataFrame, nShards: Int, out: String): Long = {
+    // scoped drain: release only the frames THIS function tracks — a
+    // whole-thread drain here would unpersist caches a composing caller
+    // tracked earlier on the same thread
+    val m = graft.CachedFrames.mark()
     // cached: the uniqueness check and the shard write both consume it
     val kept = graft.CachedFrames.track(curationKeptOn(docs))
     try {
@@ -164,7 +168,7 @@ object Curation {
           col("quality_score"), col("text"))
       graft.sources.Io.writeShards(sharded, out)
       nKept
-    } finally graft.CachedFrames.drain() // also on the require-failure path
+    } finally graft.CachedFrames.drainSince(m) // also on the require-failure path
   }
 
   /** q70 tuning: shard count. At 100 TB this is the file-level parallelism

@@ -67,18 +67,27 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(dead.failures === 3)
   }
 
-  test("mergePasses compares only queries measured in both passes, backfills failures") {
+  test("mergePasses compares only queries measured in both passes, sums failures") {
     val nan = Bench.QStat(Double.NaN, Double.NaN, Double.NaN, failures = 3)
-    // the retry lost q2 entirely — its smaller subset sum must not win
+    // the retry lost q2 entirely — its smaller subset sum must not win;
+    // but the retry's 3 failed reps still surface on the kept stat
     val first = Map("q1" -> q(1.0), "q2" -> q(5.0))
-    assert(Bench.mergePasses(first, Map("q1" -> q(2.0), "q2" -> nan)) === first)
+    val kept = Bench.mergePasses(first, Map("q1" -> q(2.0), "q2" -> nan))
+    assert(kept("q1") === q(1.0))
+    assert(kept("q2").median === 5.0 && kept("q2").failures === 3)
     // a genuinely cleaner retry wins, and backfills the query IT failed
     // from the first pass instead of dropping it from the record
     val m = Bench.mergePasses(first, Map("q1" -> q(0.5), "q2" -> nan))
     assert(m("q1").median === 0.5)
     // the backfilled stat carries the failed pass's rep failures — an
-    // all-reps-failed pass must stay visible in the JSON record
+    // all-reps-failed pass must stay visible in the JSON record no matter
+    // which direction the merge went
     assert(m("q2").median === 5.0 && m("q2").failures === 3)
+    // symmetric case: first pass failed all reps, clean RETRY is chosen —
+    // the first pass's failures must not be erased by the winning stat
+    val n = Bench.mergePasses(Map("q1" -> q(9.0), "q2" -> nan),
+      Map("q1" -> q(1.0), "q2" -> q(4.0)))
+    assert(n("q2").median === 4.0 && n("q2").failures === 3)
   }
 
   test("parseQueryMedians reads a recorded bench line") {

@@ -38,4 +38,19 @@ class CachedFramesSpec extends AnyFunSuite with SparkSpec {
     CachedFrames.drain()
     assert(mine.storageLevel === StorageLevel.NONE)
   }
+
+  test("drainSince releases only frames tracked after the mark — nested " +
+    "library composition keeps the caller's caches") {
+    val callers = CachedFrames.track(build())
+    val m = CachedFrames.mark()
+    val nested = CachedFrames.track(
+      spark.range(500).toDF("x").filter(col("x") % 3 === 0))
+    CachedFrames.drainSince(m)
+    assert(nested.storageLevel === StorageLevel.NONE,
+      "nested frame should be released")
+    assert(callers.storageLevel !== StorageLevel.NONE,
+      "caller's earlier frame must survive the nested drain")
+    CachedFrames.drain()
+    assert(callers.storageLevel === StorageLevel.NONE)
+  }
 }

@@ -186,14 +186,16 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       Set("source", "doc_id", "rep", "n_tokens", "seq_id", "offset", "shard"))
     val shards = back.select("shard").distinct().collect().map(_.getInt(0)).toSet
     assert(shards.subsetOf((0 until 4).toSet) && shards.nonEmpty)
-    // one parquet file per shard dir, rows already in (seq_id, offset) order
+    // one parquet file per shard dir, rows already in (source, seq_id,
+    // offset) order — a TOTAL order (seq/offset restart per source), so
+    // re-runs are byte-identical
     for (s <- shards) {
       val files = new java.io.File(s"$dir/epoch/shard=$s")
         .listFiles().filter(_.getName.endsWith(".parquet"))
       assert(files.length === 1, s"shard $s")
       val inOrder = spark.read.parquet(files.head.getPath)
-        .select("seq_id", "offset").collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
+        .select("source", "seq_id", "offset").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       assert(inOrder.sameElements(inOrder.sortBy(identity)), s"shard $s order")
     }
     graft.CachedFrames.drain()
