@@ -560,6 +560,36 @@ object Curation {
     GROUP BY 1, 2
   """
 
+  private val SampleSalt = "sample:v1:"
+  private[ops] val SampleK = 100
+
+  /** q87: deterministic exact-k uniform sample — rank documents by a
+    * salted content hash and keep the smallest [[SampleK]]. The exact-k
+    * complement of q52's per-stratum RATE gates: rates can't promise a
+    * cardinality, `LIMIT k` over `rand()` isn't reproducible, but hash
+    * rank gives both — the same k documents on every run, retry and
+    * re-plan, and changing the salt redraws the sample.
+    *
+    * Scale shape: TakeOrderedAndProject — per-partition top-k then one
+    * k-row merge on the driver side of the exchange; no global sort, no
+    * rand(). */
+  def q87SampleTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.parallelized(Tables(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("source"),
+        expr(s"md5_prefix56(concat('$SampleSalt', CAST(doc_id AS STRING)))").as("rk"))
+      .orderBy(col("rk").asc, col("doc_id").asc)
+      .limit(SampleK)
+  }
+
+  val q87SampleTopKSql: String = s"""
+    SELECT doc_id, source,
+      ('0x' || substr(md5('$SampleSalt' || doc_id::VARCHAR), 1, 14))::BIGINT AS rk
+    FROM documents
+    ORDER BY rk ASC, doc_id ASC
+    LIMIT $SampleK
+  """
+
   // ───────────────────── Release governance (PII) ─────────────────────
 
   private val AnonSalt = "anon:"

@@ -952,6 +952,54 @@ object Embeddings {
     FROM qz
   """
 
+  /** q88: per-dimension embedding drift — the vector-space twin of q72's
+    * text-distribution drift: for every dimension, the fixed-point DECIMAL
+    * mean over the arriving batch (vec_id < [[AdmitBatchBound]], q78's
+    * split) vs over the standing corpus, and the absolute difference. A
+    * shifted embedding space silently breaks every distance threshold
+    * (q48's cosine bar, the IVF cell boundaries), so this is the monitor
+    * a production pipeline alerts on before admitting a batch.
+    *
+    * Scale shape: one posexplode + map-side-combinable (grp, idx)
+    * aggregation — the q31 centroid mechanics with a 2-value group key;
+    * output is exactly Dim rows. Means are order-insensitive fixed-point,
+    * so the oracle matches bitwise. */
+  def q88EmbeddingDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = vecs(spark, sfDir)
+      .withColumn("grp",
+        when(col("vec_id") < AdmitBatchBound, lit("batch")).otherwise(lit("corpus")))
+      .select(col("grp"), posexplode(col("v")).as(Seq("idx", "x")))
+      .groupBy(col("grp"), col("idx"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(x * 1e12) AS DECIMAL(38,0))")).as("fx"))
+      .select(col("grp"), col("idx"),
+        (col("fx").cast("double") / lit(1e12) / col("n").cast("double")).as("mean_x"))
+    x.filter(col("grp") === "batch")
+      .select(col("idx"), col("mean_x").as("mean_batch"))
+      .join(x.filter(col("grp") === "corpus")
+        .select(col("idx"), col("mean_x").as("mean_corpus")), Seq("idx"))
+      .select(col("idx"), col("mean_batch"), col("mean_corpus"),
+        abs(col("mean_batch") - col("mean_corpus")).as("abs_diff"))
+  }
+
+  val q88EmbeddingDriftSql: String = s"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    x AS (
+      SELECT CASE WHEN vec_id < $AdmitBatchBound THEN 'batch' ELSE 'corpus' END AS grp,
+        i.idx - 1 AS idx, e.v[i.idx] AS x
+      FROM e, LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS idx) i),
+    m AS (
+      SELECT grp, idx,
+        CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+          / CAST(count(*) AS DOUBLE) AS mean_x
+      FROM x GROUP BY grp, idx)
+    SELECT CAST(b.idx AS INTEGER) AS idx, b.mean_x AS mean_batch,
+      c.mean_x AS mean_corpus, abs(b.mean_x - c.mean_x) AS abs_diff
+    FROM (SELECT idx, mean_x FROM m WHERE grp = 'batch') b
+    JOIN (SELECT idx, mean_x FROM m WHERE grp = 'corpus') c ON b.idx = c.idx
+  """
+
   // ──────────────────────── Product quantization ────────────────────────
 
   /** PQ tuning: [[PqM]] subspaces of [[PqSubDim]] dims each (M·subDim =
