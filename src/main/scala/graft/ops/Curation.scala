@@ -464,21 +464,22 @@ object Curation {
     * tokens inside fixed-size training sequences.
     *
     * Scale shape: the weight table is |sources| rows broadcast; the
-    * repeat explode is bounded by ⌈max upsample⌉; the running sum keys on
-    * source like q59 (at extreme skew, sub-split sources the way q59's
-    * scaladoc prescribes); the shard exchange + per-shard sort is q70's
-    * bounded layout — no global sort anywhere. */
+    * repeat explode is bounded by ⌈max upsample⌉; the running sum is
+    * `TextOps.distributedRunningSum`'s two-phase prefix sum — range-
+    * bucketed on doc_id within each source (bounds taken from the raw
+    * `docs` projection, NOT the explode, so the bounds pass is a
+    * two-column scan), so a dominant source still packs B-way parallel;
+    * the shard exchange + per-shard sort is q70's bounded layout — no
+    * global sort anywhere. */
   private[graft] def epochPlanOn(docs: DataFrame, nShards: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"), col("rep"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    val expanded = docs
       .select(col("doc_id"), col("source"),
         expr("""CAST(size(split(trim(text), '\\s+')) AS BIGINT)""").as("n_tokens"))
       .join(applyMixtureOn(docs).select(col("doc_id"), col("n_repeats")), "doc_id")
       .filter(col("n_repeats") > 0)
       .withColumn("rep", explode(expr("sequence(1, CAST(n_repeats AS INT))")))
-      .withColumn("running", sum(col("n_tokens")).over(w))
+    TextOps.distributedRunningSum(expanded, "n_tokens", Seq("doc_id", "rep"),
+        docs.select(col("source"), col("doc_id")))
       .select(col("source"), col("doc_id"), col("rep"), col("n_tokens"),
         expr(s"(running - n_tokens) DIV ${TextOps.PackSeqTokens}").as("seq_id"),
         ((col("running") - col("n_tokens")) % TextOps.PackSeqTokens).as("offset"))

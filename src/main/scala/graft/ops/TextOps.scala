@@ -412,21 +412,72 @@ object TextOps {
     * position there (documents longer than the budget span sequences, the
     * standard greedy-concat approximation).
     *
-    * Scale shape: the window partitions by `source`, so packing
-    * parallelizes across shards exactly like production packing runs
-    * per-input-shard — no global sort, one shuffle on source. */
+    * Scale shape: the running sum is [[distributedRunningSum]]'s two-phase
+    * prefix sum — range-bucketed on doc_id WITHIN each source, so a corpus
+    * dominated by one source (web crawl ≫ everything else) still packs
+    * [[PrefixSumBuckets]]-way parallel instead of funneling the whole
+    * source through one window task. Output is byte-identical to the
+    * single per-source window (same total order). */
   val PackSeqTokens = 2048
 
   def q59PackSequences(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(spark, sfDir, "documents")
+    val t = Tables(spark, sfDir, "documents")
       .withColumn("n_tokens", expr("""size(split(trim(text), '\\s+'))""").cast("long"))
-      .withColumn("running", sum(col("n_tokens")).over(w))
+    distributedRunningSum(t, "n_tokens", Seq("doc_id"), t)
       .select(col("source"), col("doc_id"), col("n_tokens"),
         expr(s"(running - n_tokens) DIV $PackSeqTokens").as("seq_id"),
         ((col("running") - col("n_tokens")) % PackSeqTokens).as("offset"))
+  }
+
+  /** Range buckets per source for [[distributedRunningSum]]'s two-phase
+    * prefix sum — the per-source parallelism of the running-sum stage. */
+  private[graft] val PrefixSumBuckets = 32
+
+  /** Two-phase distributed prefix sum: per-`source` running sum of `value`
+    * in `orderCols` order — the same result as
+    * `sum(value) OVER (PARTITION BY source ORDER BY orderCols)` but WITHOUT
+    * the one-task-per-source serialization that kills a skewed corpus at
+    * scale (one dominant source = terabytes through a single window task).
+    *
+    * Phase 0 computes per-source `doc_id` bounds from `boundsFrom` (an
+    * aggregate of |sources| rows, broadcast; pass a thinner frame than `df`
+    * when `df`'s lineage is expensive — bounds from a SUPERSET of ids only
+    * shifts bucket balance, never correctness). Rows are RANGE-bucketed on
+    * the leading order column: the bucket index is monotonic in `doc_id`
+    * within each source, so buckets are contiguous slices of the total
+    * order and the result is byte-identical to the single window. Phase 1
+    * runs the running sum within `(source, _bkt)` — up to
+    * [[PrefixSumBuckets]]-way parallel per source. Phase 2 reduces each
+    * bucket to its last running value (`max_by` over the order key, so no
+    * sign assumption on `value`) — a B·|sources|-row table whose exchange
+    * REUSES phase 1's shuffle — takes the exclusive cumulative sum over
+    * buckets with a driver-trivial window, and broadcasts the offsets back
+    * for the final projection.
+    *
+    * Requires a numeric `doc_id` leading order column and `(source,
+    * orderCols)` unique per row. */
+  private[graft] def distributedRunningSum(df: DataFrame, value: String,
+      orderCols: Seq[String], boundsFrom: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = boundsFrom.groupBy("source")
+      .agg(min(col("doc_id")).as("_lo"), max(col("doc_id")).as("_hi"))
+    val bucketed = df.join(broadcast(bounds), "source")
+      .withColumn("_bkt",
+        expr(s"(doc_id - _lo) DIV (((_hi - _lo) DIV $PrefixSumBuckets) + 1)"))
+      .drop("_lo", "_hi")
+    val w = Window.partitionBy(col("source"), col("_bkt"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed.withColumn("_local", sum(col(value)).over(w))
+    val wOff = Window.partitionBy(col("source")).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("source"), col("_bkt"))
+      .agg(max_by(col("_local"), struct(orderCols.map(col): _*)).as("_tot"))
+      .withColumn("_off", coalesce(sum(col("_tot")).over(wOff), lit(0L)))
+      .select(col("source"), col("_bkt"), col("_off"))
+    local.join(broadcast(offsets), Seq("source", "_bkt"))
+      .withColumn("running", col("_local") + col("_off"))
+      .drop("_bkt", "_local", "_off")
   }
 
   val q59PackSequencesSql: String = s"""

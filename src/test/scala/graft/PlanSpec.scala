@@ -134,6 +134,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q59_pack_sequences: running sum shuffles on (source, _bkt) — B-way " +
+    "parallel per source — and the offset branch reuses that exchange") {
+    val p = finalPlan("q59_pack_sequences")
+    // the two-phase prefix sum: the window stage must partition by the
+    // range bucket, never by source alone (one task per source = the
+    // dominant-source serialization this plan exists to kill)
+    assert("hashpartitioning\\(source#\\d+, _bkt".r.findFirstIn(p).isDefined, p)
+    assert("hashpartitioning\\(source#\\d+\\)".r.findFirstIn(p).isEmpty, p)
+    // bucket totals reuse the window's shuffle instead of re-scanning
+    assert(nodes(p, "ReusedExchange") >= 1, p)
+    // both the bounds table and the offsets table broadcast back
+    assert(nodes(p, "BroadcastHashJoin") >= 2, p)
+  }
+
   test("q61_tfidf_cosine: query postings broadcast into the inverted index, top-k pushed down") {
     val p = finalPlan("q61_tfidf_cosine")
     // postings join is a broadcast hash equi-join on token (query side is

@@ -5,6 +5,33 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class TextOpsSpec extends AnyFunSuite with SparkSpec {
 
+  test("distributedRunningSum equals the single per-source window on a " +
+    "skewed single-source fixture, and actually range-buckets it") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // one dominant source (the 100 TB failure mode: web crawl ≫ rest),
+    // non-contiguous doc_ids, plus a tiny second source for the join path
+    val rows = (0 until 500).map(i => ("crawl", i * 7L + 3, (i % 13 + 1).toLong)) ++
+      (0 until 5).map(i => ("books", i * 11L, (i % 3 + 1).toLong))
+    val df = spark.createDataset(rows).toDF("source", "doc_id", "n_tokens")
+      .repartition(8)
+    val got = TextOps.distributedRunningSum(df, "n_tokens", Seq("doc_id"), df)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = df.withColumn("running", sum(col("n_tokens")).over(w))
+    assert(got.collect().map(_.toSeq).toSet === ref.collect().map(_.toSeq).toSet)
+    // the running-sum stage must shuffle on (source, _bkt) — B-way parallel
+    // within the dominant source, not one task for all 500 crawl rows
+    val p = got.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(source#\\d+, _bkt".r.findFirstIn(p).isDefined, p)
+    // and the bucketing must really split the big source: crawl doc_ids span
+    // [3, 3496] with width ((3493 DIV 32)+1) = 110 → 32 occupied buckets
+    val crawlBuckets = got.filter(col("source") === "crawl")
+      .select((col("doc_id") - 3).divide(110).cast("long")).distinct().count()
+    assert(crawlBuckets === TextOps.PrefixSumBuckets.toLong)
+  }
+
   test("q65 chunks reproduce an independent sliding-window reference exactly") {
     val sf = "/root/testdata/sf0.001"
     val got = TextOps.q65ChunkOverlap(spark, sf).collect()
