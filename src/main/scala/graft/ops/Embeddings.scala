@@ -1138,10 +1138,11 @@ object Embeddings {
     *
     * Scale shape: the coarse codebook and all M sub-codebooks are
     * broadcast; the candidate join shuffles on the coarse cell only, and
-    * the M sub-centroid lookups are broadcast hash joins on the pair
-    * stream (at extreme scale one would fuse them into the classic
-    * per-query ADC lookup table — same dataflow, and the join form stays
-    * inside whole-stage codegen). */
+    * the sub-centroid distances reach the pair stream as the classic
+    * per-query ADC LOOKUP TABLE — M code→distance maps built once per
+    * query (|queries|·M·Ks rows, trivially bounded) broadcast as ONE join
+    * on qid, so each candidate costs M map probes instead of M broadcast
+    * hash joins over the whole pair stream. */
   def q80PqAdc(spark: SparkSession, sfDir: String): DataFrame =
     adcRanked(spark, sfDir, depth = 3)
       .select(col("qid"), col("cand_id"), col("rk"), col("adc"))
@@ -1150,7 +1151,15 @@ object Embeddings {
     * (top-[[RerankDepth]] then exact re-rank): per query, coarse-cell
     * candidates ranked by asymmetric distance over their PQ codes, kept to
     * `depth`. Carries the query vector + norm so the re-rank stage needs
-    * no second query-side lookup. */
+    * no second query-side lookup.
+    *
+    * Distance is the per-query LUT form: lut_m maps each subspace-m code
+    * to ‖q_m − c_{m,code}‖² (a MAP, not a positional array — hash-seeded
+    * sub-codebooks may have empty cells, so observed codes are sparse)
+    * and a candidate costs Σ_m lut_m[code_m]. Each LUT entry uses the
+    * IDENTICAL slice/zip_with/aggregate expression and m-ascending sum
+    * order as the former per-pair join form, so results are bitwise
+    * unchanged. */
   private def adcRanked(spark: SparkSession, sfDir: String, depth: Int): DataFrame = {
     val e = graft.CachedFrames.track(vecs(spark, sfDir))
     val coarse = probeAssign(e, hashCentroids(e, HashCodebookK), nprobe = 1)
@@ -1163,18 +1172,22 @@ object Embeddings {
     val q = coarse.filter(col("vec_id") < DefaultAnn.knnQueryIds)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         col("cell"))
-    val pairs = (0 until PqM).foldLeft(
-        q.join(db, Seq("cell")).filter(col("qid") =!= col("cand_id"))) {
-      (acc, m) => acc.join(
-        broadcast(books.filter(col("m") === m)
-          .select(col("cell").as(s"code_$m"), col("c").as(s"c_$m"))),
-        Seq(s"code_$m"))
-    }
-    val dist = (0 until PqM).map { m =>
-      val lo = m * PqSubDim + 1
-      expr(s"""aggregate(zip_with(slice(qv, $lo, $PqSubDim), c_$m,
-        (a, b) -> (a - b) * (a - b)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)""")
-    }.reduce(_ + _)
+    val lut = q
+      .select(col("qid"), posexplode(array((0 until PqM).map(m =>
+        slice(col("qv"), m * PqSubDim + 1, PqSubDim)): _*)).as(Seq("m", "qsv")))
+      .join(broadcast(books), Seq("m"))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(qsv, c, (a, b) -> (a - b) * (a - b)),
+             CAST(0 AS DOUBLE), (acc, x) -> acc + x)"""))
+      .groupBy(col("qid"))
+      .agg(array_sort(collect_list(struct(col("m"), col("cell"), col("d2")))).as("mc"))
+      .select(col("qid") +: (0 until PqM).map(m =>
+        expr(s"map_from_entries(transform(filter(mc, x -> x.m = $m), " +
+          s"x -> struct(x.cell, x.d2)))").as(s"lut_$m")): _*)
+    val pairs = q.join(db, Seq("cell")).filter(col("qid") =!= col("cand_id"))
+      .join(broadcast(lut), Seq("qid"))
+    val dist = (0 until PqM).map(m =>
+      expr(s"element_at(lut_$m, code_$m)")).reduce(_ + _)
     val wq = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("cand_id").asc)
     pairs.withColumn("adc", dist)
       .withColumn("rk", row_number().over(wq))

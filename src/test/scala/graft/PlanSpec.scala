@@ -292,13 +292,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_min"), p)
   }
 
-  test("q80_pq_adc: coarse-cell candidate join + all sub-codebook lookups stay " +
-    "broadcast; one ranking window") {
+  test("q80_pq_adc: coarse-cell candidate join + ONE broadcast LUT join on " +
+    "the pair stream; one ranking window") {
     val p = finalPlan("q80_pq_adc")
-    // the corpus side of the search only carries codes; every sub-centroid
-    // lookup must be a broadcast hash join on the pair stream — a
-    // sort-merge here would shuffle the pair stream once per subspace
-    assert(nodes(p, "BroadcastHashJoin") >= 4, p)
+    // the corpus side of the search only carries codes, and the query side
+    // arrives as the fused per-query ADC lookup table: the pair stream must
+    // see exactly ONE broadcast join on qid — the former M chained code_m
+    // joins would each rebuild the whole pair stream
+    assert("BroadcastHashJoin \\[qid".r.findAllIn(p).size == 1, p)
+    assert("Join \\[code_".r.findFirstIn(p).isEmpty, p)
     assert(nodes(p, "SortMergeJoin") == 0, p)
     assert(nodes(p, "CartesianProduct") == 0, p)
     assert(nodes(p, "Window") == 1, p)
