@@ -34,8 +34,20 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val loadStart = loadavg()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpusN = scala.util.Try(cpus.toInt).getOrElse(4)
+    // pre-flight load gate: a suite started under heavy ambient load is
+    // wasted work on this shared VM (r4/r5/r6 all shipped contention-skewed
+    // official records while a clean run sat in bench_out.json) — wait once
+    // for the machine to drain, then measure regardless but SELF-LABEL the
+    // record "contended" so a reader never mistakes it for a clean number
+    var loadStart = loadavg()
+    if (load1(loadStart) > cpusN / 4.0) {
+      System.err.println(f"[bench] loadavg ${load1(loadStart)}%.2f > " +
+        f"${cpusN / 4.0}%.1f at start — sleeping 90s for the machine to drain")
+      Thread.sleep(90000)
+      loadStart = loadavg()
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -88,9 +100,12 @@ object Bench {
     // inflated recorded totals 2-3× on identical code (r4, r5 post-mortems);
     // stamp start/end loadavg so a judge can adjudicate a record without
     // re-running it
+    val loadEnd = loadavg()
+    val contended = load1(loadStart) > cpusN / 4.0 || load1(loadEnd) > cpusN / 4.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""reps":$Reps,"failures":$failedJson,"remeasured":$remeasuredJson,""" +
-      s""""loadavg_start":"$loadStart","loadavg_end":"${loadavg()}",""" +
+      s""""reps":$Reps,"contended":$contended,""" +
+      s""""failures":$failedJson,"remeasured":$remeasuredJson,""" +
+      s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
       s""""queries":${fmt(_.median)},""" +
       s""""queries_min":${fmt(_.min)},"queries_max":${fmt(_.max)},""" +
       s""""sf":"$sfDir"}"""
@@ -120,16 +135,23 @@ object Bench {
     val firstSum = common.toSeq.map(first(_).median).sum
     val retrySum = common.toSeq.map(retry(_).median).sum
     val (chosen, other) = if (retrySum < firstSum) (retry, first) else (first, retry)
-    chosen.map { case (k, v) =>
+    // iterate the UNION of key sets: a query present in only one pass (the
+    // JVM died mid-pass, so the key is absent rather than NaN) must keep
+    // its stats from whichever pass measured it, not vanish from the record
+    (chosen.keySet ++ other.keySet).iterator.map { k =>
       // EVERY merged stat carries both passes' failure counts — reps that
       // threw must stay visible under "failures" regardless of which pass
       // was chosen (keeping only the chosen pass's count silently erased
       // an all-reps-failed first pass whenever the retry won)
-      val bothFailures = v.failures + other.get(k).map(_.failures).getOrElse(0)
-      k -> (if (v.median.isNaN && other.get(k).exists(!_.median.isNaN))
-              other(k).copy(failures = bothFailures)
-            else v.copy(failures = bothFailures))
-    }
+      val bothFailures = chosen.get(k).map(_.failures).getOrElse(0) +
+        other.get(k).map(_.failures).getOrElse(0)
+      val v = (chosen.get(k), other.get(k)) match {
+        case (Some(c), Some(o)) => if (c.median.isNaN && !o.median.isNaN) o else c
+        case (Some(c), None) => c
+        case (None, o) => o.get
+      }
+      k -> v.copy(failures = bothFailures)
+    }.toMap
   }
 
   /** Per-query contention sentinel, pure so the spec can drive it with
@@ -207,6 +229,12 @@ object Bench {
     val direct = extract(json)
     if (direct.nonEmpty) direct else extract(json.replace("\\\"", "\""))
   }
+
+  /** 1-minute loadavg from a [[loadavg]] string; NaN when unparseable
+    * (off-Linux) — NaN compares false against any threshold, so parse
+    * failure reads as "not contended", never as a spurious retry. */
+  private[graft] def load1(s: String): Double =
+    scala.util.Try(s.split("\\s+").head.toDouble).getOrElse(Double.NaN)
 
   /** First three fields of /proc/loadavg (1/5/15-min), "" off-Linux. */
   private def loadavg(): String =

@@ -90,6 +90,27 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(n("q2").median === 4.0 && n("q2").failures === 3)
   }
 
+  test("mergePasses keeps a query present in only ONE pass (JVM died " +
+    "mid-pass: key absent, not NaN)") {
+    // q2 only in the first pass, q3 only in the retry — both must survive
+    // the merge from whichever pass measured them, in either win direction
+    val u = Bench.mergePasses(Map("q1" -> q(1.0), "q2" -> q(5.0)),
+      Map("q1" -> q(2.0), "q3" -> q(7.0)))
+    assert(u.keySet === Set("q1", "q2", "q3"))
+    assert(u("q1") === q(1.0) && u("q2") === q(5.0) && u("q3") === q(7.0))
+    val v = Bench.mergePasses(Map("q1" -> q(2.0), "q2" -> q(5.0)),
+      Map("q1" -> q(1.0), "q3" -> q(7.0)))
+    assert(v.keySet === Set("q1", "q2", "q3"))
+    assert(v("q1") === q(1.0) && v("q2") === q(5.0) && v("q3") === q(7.0))
+  }
+
+  test("load1 parses the 1-minute field; unparseable reads as NaN, which " +
+    "never flags contention") {
+    assert(Bench.load1("6.03 8.10 9.77") === 6.03)
+    assert(Bench.load1("").isNaN)
+    assert(!(Bench.load1("") > 8.0)) // NaN > threshold is false: no retry
+  }
+
   test("parseQueryMedians reads a recorded bench line") {
     val line = """{"metric":"total","value":40.9,"unit":"sec","reps":3,""" +
       """"failures":{},"queries":{"q1_agg":0.51,"q47_range_join":0.55},""" +
