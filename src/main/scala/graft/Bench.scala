@@ -101,7 +101,11 @@ object Bench {
     // stamp start/end loadavg so a judge can adjudicate a record without
     // re-running it
     val loadEnd = loadavg()
-    val contended = load1(loadStart) > cpusN / 4.0 || load1(loadEnd) > cpusN / 4.0
+    // contention is judged on the START loadavg only: the suite's own
+    // local[cpus] work drives the END loadavg toward cpus on any machine,
+    // so a clean run would always self-label contended. loadavg_end stays
+    // in the record for human adjudication (ambient spikes mid-run).
+    val contended = load1(loadStart) > cpusN / 4.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""reps":$Reps,"contended":$contended,""" +
       s""""failures":$failedJson,"remeasured":$remeasuredJson,""" +

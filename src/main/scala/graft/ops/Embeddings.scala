@@ -415,16 +415,13 @@ object Embeddings {
   private[ops] val HashCodebookK = 16
   private val HashCellSalt = "ivf:"
 
-  /** Hash-seeded codebook: initial cells from a seeded content hash
-    * (`md5_prefix56('ivf:' || vec_id) % k` — deterministic, uniform,
-    * label-free), centroids as the cells' fixed-point DECIMAL means (the
-    * q31 mechanics, so order-insensitive and oracle-exact). One subsequent
-    * nearest-centroid assignment (= the q55 Lloyd step) happens in
-    * [[probeAssign]]; more Lloyd rounds would iterate this same pair. */
-  private def hashCentroids(e: DataFrame, k: Int): DataFrame =
-    e.withColumn("cell", expr(
-        s"CAST(md5_prefix56(concat('$HashCellSalt', CAST(vec_id AS STRING))) % $k AS INT)"))
-      .select(col("cell"), posexplode(col("v")).as(Seq("idx", "x")))
+  /** Codebook from cell-assigned vectors — (cell, v) rows to (cell, c,
+    * cnorm2) — as fixed-point DECIMAL means per dimension (the q31
+    * mechanics: order-insensitive, map-side partial, oracle-exact). The
+    * Lloyd "update" step, shared by the hash seed and every training
+    * round. */
+  private def meansOf(cells: DataFrame): DataFrame =
+    cells.select(col("cell"), posexplode(col("v")).as(Seq("idx", "x")))
       .groupBy(col("cell"), col("idx"))
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST(floor(x * 1e12) AS DECIMAL(38,0))")).as("fx"))
@@ -434,6 +431,45 @@ object Embeddings {
       .agg(array_sort(collect_list(struct(col("idx"), col("mean_x")))).as("im"))
       .select(col("cell"), expr("transform(im, x -> x.mean_x)").as("c"))
       .withColumn("cnorm2", dot(col("c"), col("c")))
+
+  /** Hash-seeded codebook: initial cells from a seeded content hash
+    * (`md5_prefix56('ivf:' || vec_id) % k` — deterministic, uniform,
+    * label-free), centroids as the cells' fixed-point DECIMAL means. One
+    * subsequent nearest-centroid assignment (= the q55 Lloyd step) happens
+    * in [[probeAssign]]; [[trainedCentroids]] iterates that pair. */
+  private def hashCentroids(e: DataFrame, k: Int): DataFrame =
+    meansOf(e.withColumn("cell", expr(
+      s"CAST(md5_prefix56(concat('$HashCellSalt', CAST(vec_id AS STRING))) % $k AS INT)")))
+
+  /** Multi-iteration k-means: `rounds − 1` full Lloyd iterations
+    * (reassign to nearest centroid, recompute fixed-point means) on top of
+    * the hash-seeded codebook — rounds = 1 IS the hash-seed codebook q74
+    * searches, so the q89 comparison isolates exactly what training buys.
+    * Deterministic end to end: the seed is a content hash, assignment
+    * ties break (d2 ASC, cell ASC), and the means are order-insensitive
+    * fixed-point sums, so any retry or re-plan yields the same codebook.
+    *
+    * Scale shape per round: ONE broadcast of the k·Dim codebook, the
+    * map-side top-1 assignment collapse of [[probeAssign]], and the
+    * map-side-combinable means aggregation — no shuffle grows with
+    * rounds. Empty cells (every vector reassigned away) simply drop out,
+    * the standard Lloyd degeneracy. */
+  private[ops] def trainedCentroids(e: DataFrame, k: Int, rounds: Int): DataFrame =
+    (2 to rounds).foldLeft(hashCentroids(e, k)) { (cents, _) =>
+      meansOf(probeAssign(e, cents, nprobe = 1).select(col("cell"), col("v")))
+    }
+
+  /** Total distortion Σ_v min_cell ‖v − c‖² of a codebook over the corpus —
+    * the number a k-means training loop watches for its plateau. One
+    * broadcast crossJoin + min/sum aggregation; EmbeddingsSpec logs it per
+    * round and pins Lloyd's monotone non-increase across [[trainedCentroids]]
+    * rounds. */
+  private[ops] def distortionOf(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        col("nrm") * col("nrm") - lit(2.0) * dot(col("v"), col("c")) + col("cnorm2"))
+      .groupBy(col("vec_id")).agg(min(col("d2")).as("d2"))
+      .agg(sum(col("d2")).as("distortion"))
 
   /** q74: IVF ANN over the hash-seeded codebook — same cell-probe search
     * as q46, but the codebook size k = [[HashCodebookK]] is a free
@@ -518,6 +554,124 @@ object Embeddings {
       SELECT qid, cand_id, cell, cos,
         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS rk
       FROM probe) WHERE rk <= 3
+  """
+
+  /** Lloyd rounds for the q89 trained codebook (seed means = round 1, so
+    * this is two full reassign+update iterations beyond the hash seed). */
+  private[ops] val TrainedRounds = 3
+
+  /** One Lloyd round in DuckDB: fixed-point means over `src`'s (cell, v)
+    * assignment, then reassignment of every vector to the new centroids —
+    * the verbatim mirror of [[meansOf]] + [[probeAssign]], emitted as
+    * `${p}assigned`. `n` (vec_id, v, nrm) comes from the shared chain. */
+  private def lloydRoundSqlCtes(src: String, p: String): String = s"""${p}x AS (
+      SELECT s.cell, i.idx - 1 AS idx, s.v[i.idx] AS x
+      FROM $src s, LATERAL (SELECT unnest(generate_series(1, len(s.v))) AS idx) i),
+    ${p}means AS (
+      SELECT cell, idx,
+        CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+          / CAST(count(*) AS DOUBLE) AS mean_x
+      FROM ${p}x GROUP BY cell, idx),
+    ${p}cents AS (
+      SELECT cell, list(mean_x ORDER BY idx) AS c FROM ${p}means GROUP BY cell),
+    ${p}cn AS (
+      SELECT cell, c,
+        list_reduce(list_prepend(0.0::DOUBLE, list_transform(c, x -> x * x)),
+          (acc, x) -> acc + x) AS cnorm2
+      FROM ${p}cents),
+    ${p}da AS (
+      SELECT n.vec_id, n.v, n.nrm, k.cell,
+        n.nrm * n.nrm
+          - 2.0 * list_reduce(list_prepend(0.0::DOUBLE,
+              list_transform(list_zip(n.v, k.c), z -> z[1] * z[2])), (acc, x) -> acc + x)
+          + k.cnorm2 AS d2
+      FROM n CROSS JOIN ${p}cn k),
+    ${p}assigned AS (
+      SELECT vec_id, v, nrm, cell FROM (
+        SELECT vec_id, v, nrm, cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rk
+        FROM ${p}da) WHERE rk = 1)"""
+
+  /** The trained-codebook cell-probe search (q74's search over
+    * [[trainedCentroids]] at [[TrainedRounds]]): hassigned is the round-2
+    * assignment, each [[lloydRoundSqlCtes]] appends one more
+    * means+reassign round, and the probe runs on the final assignment. */
+  private val trainedSearchSql: String = s"""
+    WITH $hashAssignedSqlCtes,
+    ${lloydRoundSqlCtes("hassigned", "t2")},
+    ${lloydRoundSqlCtes("t2assigned", "t3")},
+    tprobe AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(list_zip(q.v, c.v), z -> z[1] * z[2])), (acc, x) -> acc + x)
+          / (q.nrm * c.nrm) AS cos
+      FROM t3assigned q JOIN t3assigned c
+        ON q.cell = c.cell AND q.vec_id <> c.vec_id AND q.vec_id < ${DefaultAnn.knnQueryIds})
+    SELECT qid, cand_id FROM (
+      SELECT qid, cand_id,
+        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS rk
+      FROM tprobe) WHERE rk <= 3
+  """
+
+  /** q89: what k-means TRAINING buys the IVF index, as a gate number —
+    * recall@3 vs the brute-force truth for the hash-seeded codebook (q74's
+    * search, rounds = 1) next to the [[TrainedRounds]]-round Lloyd-trained
+    * codebook over the SAME k and seed, so the only difference is the
+    * training. EmbeddingsSpec pins recall(trained) ≥ recall(hash) and logs
+    * the per-round distortion plateau ([[distortionOf]]).
+    *
+    * Scale shape: training adds [[TrainedRounds]]−1 broadcast-assign +
+    * map-side-means passes over the corpus (each one scan, no growing
+    * shuffle); the recall arithmetic is query-batch-bounded like q75. */
+  def q89TrainedRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.CachedFrames.track(vecs(spark, sfDir))
+    val truth = graft.CachedFrames.track(
+      q29KnnBrute(spark, sfDir).filter(col("rk") <= 3)
+        .select(col("id1").as("qid"), col("id2").as("cand_id")))
+    def searchOver(cents: DataFrame): DataFrame = {
+      val assigned = probeAssign(e, cents, nprobe = 1).drop("probe_rk")
+      val q = assigned.filter(col("vec_id") < DefaultAnn.knnQueryIds)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+          col("cell"))
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("cand_id").asc)
+      q.join(assigned.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+          col("nrm").as("cn"), col("cell").as("ccell")),
+          col("cell") === col("ccell") && col("qid") =!= col("cand_id"))
+        .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .withColumn("rk", row_number().over(wq))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("cand_id"))
+    }
+    def scored(name: String, cands: DataFrame): DataFrame =
+      truth.join(cands.select(col("qid"), col("cand_id")), Seq("qid", "cand_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(truth.select(col("qid")).distinct().agg(count(lit(1)).as("nq")))
+        .select(lit(name).as("variant"), col("n_hits"),
+          (col("n_hits").cast("double") /
+            (lit(3.0) * col("nq").cast("double"))).as("recall"))
+    scored("hash", q74HashIvf(spark, sfDir))
+      .unionAll(scored("trained",
+        searchOver(trainedCentroids(e, HashCodebookK, TrainedRounds))))
+  }
+
+  val q89TrainedRecallSql: String = s"""
+    WITH truth AS (
+      SELECT id1 AS qid, id2 AS cand_id FROM ($q29KnnBruteSql) WHERE rk <= 3),
+    nq AS (SELECT count(DISTINCT qid) AS n FROM truth),
+    hh AS (
+      SELECT count(*) AS n_hits FROM truth t
+      JOIN (SELECT qid, cand_id FROM ($q74HashIvfSql)) c USING (qid, cand_id)),
+    th AS (
+      SELECT count(*) AS n_hits FROM truth t
+      JOIN (SELECT qid, cand_id FROM ($trainedSearchSql)) c USING (qid, cand_id))
+    SELECT 'hash' AS variant, hh.n_hits,
+      CAST(hh.n_hits AS DOUBLE) / (3.0 * CAST(nq.n AS DOUBLE)) AS recall
+    FROM hh, nq
+    UNION ALL
+    SELECT 'trained' AS variant, th.n_hits,
+      CAST(th.n_hits AS DOUBLE) / (3.0 * CAST(nq.n AS DOUBLE)) AS recall
+    FROM th, nq
   """
 
   /** q75: the ANN recall scoreboard — recall@3 against the brute-force

@@ -88,6 +88,34 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     } finally graft.CachedFrames.drain()
   }
 
+  test("k-means training (q89): per-round distortion never increases and " +
+    "trained recall beats the hash seed") {
+    val sf = "/root/testdata/sf0.001"
+    graft.functions.GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), lit(0).as("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(dot_product(v, v))"))
+    try {
+      val ds = (1 to 3).map { r =>
+        val d = Embeddings.distortionOf(e,
+          Embeddings.trainedCentroids(e, Embeddings.HashCodebookK, r))
+          .head().getDouble(0)
+        info(f"round $r distortion: $d%.4f")
+        d
+      }
+      // Lloyd's monotone non-increase; fixed-point means perturb each
+      // coordinate by < 1e-12, hence the epsilon
+      assert(ds(1) <= ds(0) + 1e-6 && ds(2) <= ds(1) + 1e-6, ds.toString)
+      assert(ds(2) < ds(0), "training never moved the codebook")
+      val rec = Embeddings.q89TrainedRecall(spark, sf).collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+      info(s"recall@3: $rec")
+      assert(rec("trained") >= rec("hash"), rec.toString)
+      assert(rec("trained") > 0.0)
+    } finally graft.CachedFrames.drain()
+  }
+
   test("recall scoreboard (q75): multi-probe dominates single-probe per query, " +
     "recalls are valid fractions") {
     val sf = "/root/testdata/sf0.001"

@@ -353,6 +353,61 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(got.size === 25 && got.exists(_._2 == "dup_near"))
   }
 
+  test("checkpoint restart: admission stream resumes exactly-once — batch 2 " +
+    "lands while the query is down, nothing re-emits, union equals q71") {
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    import org.apache.spark.sql.streaming.Trigger
+    // the recovery contract a production admission stream needs: the
+    // file-source offset log + the parquet sink's commit log in the
+    // checkpoint are the source of truth, so a stopped query restarted
+    // over the same checkpoint must pick up EXACTLY the files it never
+    // committed — no re-emission of batch 1, no loss of batch 2. (The
+    // memory sink refuses checkpoint recovery by design, so the durable
+    // file sink is the honest vehicle for this property.)
+    val dir = "/root/testdata/sf0.01"
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val batchDocs = raw.filter(col("source") === "src0").drop("source")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 10:00:00")))
+    val corpus = raw.filter(col("source") =!= "src0").drop("source")
+    val staged = java.nio.file.Files.createTempDirectory("admission-restart")
+    val ckpt = java.nio.file.Files.createTempDirectory("admission-restart-ckpt")
+    val outDir = java.nio.file.Files.createTempDirectory("admission-restart-out")
+    def toMapped(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    def runOnce(): Set[(Long, String, Long)] = {
+      val stream = spark.readStream.schema(batchDocs.schema).parquet(staged.toString)
+      val q = EventStreams.admissionStream(stream, corpus)
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      toMapped(spark.read.parquet(outDir.toString)
+        .select("doc_id", "verdict", "match_id").collect())
+    }
+    batchDocs.filter(col("doc_id") % 40 === 0).coalesce(1)
+      .write.mode("append").parquet(staged.toString)
+    val first = runOnce()
+    batchDocs.filter(col("doc_id") % 40 =!= 0).coalesce(1)
+      .write.mode("append").parquet(staged.toString)
+    val all = runOnce()
+    val expected = toMapped(graft.ops.Curation.q71IncrementalDedup(spark, dir)
+      .select("doc_id", "verdict", "match_id").collect())
+    // physical row count, not the set: a re-emitted batch would show up as
+    // duplicate rows that the set view silently collapses
+    val rawCount = spark.read.parquet(outDir.toString).count()
+    graft.CachedFrames.drain()
+    assert(first.nonEmpty && (all -- first).nonEmpty)
+    assert(first.subsetOf(all))
+    // exactly-once across the restart: every doc verdict exactly one row
+    assert(rawCount === expected.size.toLong)
+    assert(all === expected)
+  }
+
   test("AvailableNow embedding-admission run equals the q78 batch output on sf0.01") {
     import org.apache.spark.sql.functions.{col, lit, to_timestamp}
     import org.apache.spark.sql.streaming.Trigger
