@@ -34,18 +34,39 @@ object CachedFrames {
     override def initialValue(): ListBuffer[DataFrame] = ListBuffer.empty
   }
 
+  /** How many live entries before [[track]] warns: a healthy run holds a
+    * handful of shared sub-plans per in-flight query; hundreds means some
+    * thread is tracking without ever draining. */
+  private val LeakWarnThreshold = 64
+
   /** Persist `df` (first holder only) and remember it for the next
-    * `drain()` on this thread. */
+    * `drain()` on this thread.
+    *
+    * CONTRACT: every thread that calls track() MUST eventually call
+    * `drain()` (or `drainSince(mark())` for nested composition) on that
+    * SAME thread, in a `finally` — a builder invoked outside a runner, or
+    * a runner that throws before its finally, pins the Entry and its
+    * persisted DataFrame for the JVM lifetime (refs never reach zero).
+    * [[entryCount]] is the leak diagnostic; track() warns once past
+    * [[LeakWarnThreshold]] live entries. */
   def track(df: DataFrame): DataFrame = {
     val key = df.queryExecution.analyzed.canonicalized // analyze outside lock
-    shared.synchronized {
+    val n = shared.synchronized {
       val e = shared.getOrElseUpdate(key, new Entry(df, 0))
       e.refs += 1
       if (e.refs == 1) e.df.persist()
+      shared.size
     }
+    if (n == LeakWarnThreshold + 1)
+      System.err.println(s"[CachedFrames] $n live cache entries — some " +
+        "thread is tracking frames without draining (see track() contract)")
     frames.get += df
     df
   }
+
+  /** Live shared-entry count — the observability hook for leak detection
+    * in long-lived sessions (a drained steady state returns to ~0). */
+  def entryCount: Int = shared.synchronized(shared.size)
 
   /** Release this thread's references; unpersist (non-blocking) only the
     * entries whose last holder this thread was. */

@@ -173,6 +173,71 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     graft.CachedFrames.drain()
   }
 
+  test("interleaved forget→admit: a just-forgotten doc's near-copy re-admits " +
+    "as new on both indexes (GDPR deletion propagation)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    spark // force shared session so the CLI's getOrCreate reuses it
+    val dir = Files.createTempDirectory("graft-interleave").toString
+
+    // TEXT: doc 2 is a token-permuted near-copy of corpus doc 11 (the
+    // CurationSpec incremental fixture). Admitted against the live index
+    // it must block as dup_near; the instant 11 is forgotten, the SAME
+    // batch must re-admit as new — a stale band/digest entry would keep
+    // blocking content whose source document no longer exists
+    Seq((10L, "alpha beta gamma delta epsilon zeta"),
+        (11L, "one two three four five six seven"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/corpus")
+    Seq((2L, "two one three four five six seven six"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/batch")
+    BuildCorpusIndex.main(Array(
+      "--input", s"$dir/corpus", "--output", s"$dir/idx"))
+    AdmitBatch.main(Array(
+      "--input", s"$dir/batch", "--index", s"$dir/idx",
+      "--output", s"$dir/before"))
+    val b = spark.read.parquet(s"$dir/before")
+      .select("doc_id", "verdict", "match_id").collect().head
+    assert(b.getString(1) === "dup_near" && b.getLong(2) === 11L, b.toString)
+    Seq(11L).toDF("doc_id").write.parquet(s"$dir/ids")
+    ForgetDocs.main(Array(
+      "--index", s"$dir/idx", "--ids", s"$dir/ids", "--output", s"$dir/idx2"))
+    AdmitBatch.main(Array(
+      "--input", s"$dir/batch", "--index", s"$dir/idx2",
+      "--output", s"$dir/after"))
+    val a = spark.read.parquet(s"$dir/after")
+      .select("doc_id", "verdict", "match_id").collect().head
+    assert(a.getString(1) === "new" && a.isNullAt(2), a.toString)
+
+    // VECTOR: batch vector 1 is a scaled copy of corpus vector 10 (cosine
+    // 1.0), orthogonal to every other corpus vector (one-hot dims), so its
+    // verdict is decided solely by whether 10 is still in the index
+    def unit(i: Int, scale: Float): Array[Float] = {
+      val v = Array.fill(64)(0f); v(i) = scale; v
+    }
+    (0 until 8).map(k => ((10 + k).toLong, unit(k, 1f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/vcorpus")
+    Seq((1L, unit(0, 0.5f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/vbatch")
+    BuildVectorIndex.main(Array(
+      "--input", s"$dir/vcorpus", "--output", s"$dir/vidx"))
+    AdmitVectors.main(Array(
+      "--input", s"$dir/vbatch", "--index", s"$dir/vidx",
+      "--output", s"$dir/vbefore"))
+    val vb = spark.read.parquet(s"$dir/vbefore")
+      .select("vec_id", "verdict", "match_id").collect().head
+    assert(vb.getString(1) === "dup_semantic" && vb.getLong(2) === 10L, vb.toString)
+    Seq(10L).toDF("vec_id").write.parquet(s"$dir/vids")
+    ForgetVectors.main(Array(
+      "--index", s"$dir/vidx", "--ids", s"$dir/vids", "--output", s"$dir/vidx2"))
+    AdmitVectors.main(Array(
+      "--input", s"$dir/vbatch", "--index", s"$dir/vidx2",
+      "--output", s"$dir/vafter"))
+    val va = spark.read.parquet(s"$dir/vafter")
+      .select("vec_id", "verdict", "match_id").collect().head
+    assert(va.getString(1) === "new" && va.isNullAt(2), va.toString)
+    graft.CachedFrames.drain()
+  }
+
   test("plan-epoch writes one sorted file per shard in training order") {
     import org.apache.spark.sql.functions.col
     spark // force shared session so the CLI's getOrCreate reuses it
