@@ -276,6 +276,60 @@ object ForgetVectors {
   }
 }
 
+/** Job 12 — extend the TEXT admission index with an admitted batch's own
+  * rows, closing the incremental loop (Build → Admit → Extend → the next
+  * batch admits against the grown index, no rebuild): the batch's
+  * verdict-`new` slice derives its digest and band rows, which APPEND IN
+  * PLACE — the whole point of the (ck, cid) / (t, bucket, simhash, cid)
+  * layout is that extension never reads or rewrites the standing index.
+  * A retried append only duplicates rows, and duplicate rows cannot
+  * change any verdict (admission is min/exists over matches) — periodic
+  * compaction is housekeeping, not correctness:
+  *
+  *   runMain graft.cli.ExtendCorpusIndex --input batch.parquet \
+  *     --verdicts /tmp/verdicts --index /tmp/idx
+  */
+object ExtendCorpusIndex {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-extend-index") { spark =>
+    val admitted = graft.Tables.parallelized(spark.read.parquet(a("input")))
+      .join(spark.read.parquet(a("verdicts"))
+        .filter(col("verdict") === "new").select("doc_id"), Seq("doc_id"))
+    val (digests, bands) = graft.ops.Curation.corpusIndexFrames(admitted)
+    digests.write.mode("append").parquet(s"${a("index")}/digests")
+    bands.write.mode("append").parquet(s"${a("index")}/bands")
+    }
+  }
+}
+
+/** Job 13 — extend the EMBEDDING admission index with an admitted batch's
+  * verdict-`new` vectors: each is assigned to its nearest STANDING
+  * centroid (the codebook stays frozen between re-trains, so old entries
+  * never move cells) and merged into that cell's entry array. The
+  * cell-array layout needs a per-cell merge, so this job writes a new
+  * index directory like ForgetVectors (the delta broadcasts; the standing
+  * cells stream through one left join, never shuffling or exploding):
+  *
+  *   runMain graft.cli.ExtendVectorIndex --input batch.parquet \
+  *     --verdicts /tmp/vverdicts --index /tmp/vidx --output /tmp/vidx2
+  */
+object ExtendVectorIndex {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-extend-vindex") { spark =>
+    val admitted = graft.Tables.parallelized(spark.read.parquet(a("input")))
+      .join(spark.read.parquet(a("verdicts"))
+        .filter(col("verdict") === "new").select("vec_id"), Seq("vec_id"))
+    val centsRow = spark.read.parquet(s"${a("index")}/codebook")
+    centsRow.write.mode("overwrite").parquet(s"${a("output")}/codebook")
+    graft.ops.Embeddings.extendVectorIndex(centsRow,
+        spark.read.parquet(s"${a("index")}/cells"), admitted)
+      .write.mode("overwrite").parquet(s"${a("output")}/cells")
+    }
+  }
+}
+
 /** Job 11 — materialize an epoch plan: mixture-weighted repeats, token
   * packing and sharding over a (curated) documents parquet, written with
   * the sorted-shard sink so a data loader streams each `shard=K` file in

@@ -829,6 +829,46 @@ object Embeddings {
       .filter(size(col("entries")) > 0)
   }
 
+  /** Vector-index extension — the admitted (verdict `new`) slice of a
+    * batch joins the persisted index: each new vector is assigned to its
+    * nearest STANDING centroid (the codebook must not shift — q78's
+    * invariant, so old entries never move cells) and its (cid, cv, cn)
+    * entry concatenates onto that cell's array; cells the batch never
+    * touches pass through untouched, and previously-empty cells
+    * materialize fresh. Closes the incremental loop (Build → Admit →
+    * Extend → next batch admits against the grown index, no rebuild),
+    * spec-pinned in CliSpec: a just-extended batch re-admits as
+    * `dup_semantic` against itself at cosine 1.
+    *
+    * Scale shape: the delta's per-cell entry arrays broadcast into the
+    * standing cells frame (one LEFT join on cell — the index streams,
+    * never shuffles or explodes); genuinely-new cells arrive via an
+    * anti-join of the tiny delta against the ≤k cell keys. */
+  private[graft] def extendVectorIndex(centsRow: DataFrame, cells: DataFrame,
+      vecs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val assigned = vecs
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .crossJoin(broadcast(centsRow))
+      .withColumn("cell", expr(
+        """array_min(transform(cents,
+             c -> named_struct(
+               'd2', nrm * nrm - 2.0 * dot_product(v, c.c) + c.cnorm2,
+               'cell', c.cell))).cell"""))
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cn"))).as("new_entries"))
+    val merged = cells.join(broadcast(assigned), Seq("cell"), "left")
+      .withColumn("entries",
+        when(col("new_entries").isNull, col("entries"))
+          .otherwise(concat(col("entries"), col("new_entries"))))
+      .drop("new_entries")
+    val fresh = assigned.join(cells.select("cell"), Seq("cell"), "left_anti")
+      .select(col("cell"), col("new_entries").as("entries"))
+    merged.unionByName(fresh)
+  }
+
   /** The probe stage of the embedding admission against prebuilt index
     * frames ([[admissionIndexFrames]] live, or read back from disk by
     * `cli.AdmitVectors`): every batch vector resolves its verdict

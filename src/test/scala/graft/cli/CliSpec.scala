@@ -238,6 +238,77 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     graft.CachedFrames.drain()
   }
 
+  test("extend closes the incremental loop: an admitted batch's new docs " +
+    "and vectors join the index and re-admit as dups of themselves") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    spark // force shared session so the CLI's getOrCreate reuses it
+    val dir = Files.createTempDirectory("graft-extend").toString
+
+    // TEXT: doc 2 near-matches corpus 11 (blocked); doc 3 is new. After
+    // Extend, doc 3's own digest is in the index, so the same batch
+    // re-admits it as dup_exact of itself; doc 2's verdict is unchanged
+    Seq((10L, "alpha beta gamma delta epsilon zeta"),
+        (11L, "one two three four five six seven"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/corpus")
+    Seq((2L, "two one three four five six seven six"),
+        (3L, "totally disjoint vocabulary words here"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/batch")
+    BuildCorpusIndex.main(Array(
+      "--input", s"$dir/corpus", "--output", s"$dir/idx"))
+    AdmitBatch.main(Array(
+      "--input", s"$dir/batch", "--index", s"$dir/idx",
+      "--output", s"$dir/verdicts"))
+    def verdictsOf(path: String, idCol: String = "doc_id") =
+      spark.read.parquet(path)
+        .select(idCol, "verdict", "match_id").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    val before = verdictsOf(s"$dir/verdicts")
+    assert(before(2L) === (("dup_near", 11L)) && before(3L) === (("new", -1L)))
+    ExtendCorpusIndex.main(Array(
+      "--input", s"$dir/batch", "--verdicts", s"$dir/verdicts",
+      "--index", s"$dir/idx"))
+    AdmitBatch.main(Array(
+      "--input", s"$dir/batch", "--index", s"$dir/idx",
+      "--output", s"$dir/verdicts2"))
+    val after = verdictsOf(s"$dir/verdicts2")
+    assert(after(3L) === (("dup_exact", 3L)), "extended doc must self-match")
+    assert(after(2L) === (("dup_near", 11L)), "blocked doc must stay blocked")
+
+    // VECTOR: vec 1 is a scaled copy of corpus 10 (blocked); vec 2 lives
+    // on an untouched dimension (new). After Extend, vec 2 self-matches at
+    // cosine 1; vec 1 keeps its original match
+    def unit(i: Int, scale: Float): Array[Float] = {
+      val v = Array.fill(64)(0f); v(i) = scale; v
+    }
+    (0 until 8).map(k => ((10 + k).toLong, unit(k, 1f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/vcorpus")
+    Seq((1L, unit(0, 0.5f)), (2L, unit(9, 1f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/vbatch")
+    BuildVectorIndex.main(Array(
+      "--input", s"$dir/vcorpus", "--output", s"$dir/vidx"))
+    AdmitVectors.main(Array(
+      "--input", s"$dir/vbatch", "--index", s"$dir/vidx",
+      "--output", s"$dir/vverdicts"))
+    val vbefore = verdictsOf(s"$dir/vverdicts", "vec_id")
+    assert(vbefore(1L) === (("dup_semantic", 10L)) && vbefore(2L) === (("new", -1L)))
+    ExtendVectorIndex.main(Array(
+      "--input", s"$dir/vbatch", "--verdicts", s"$dir/vverdicts",
+      "--index", s"$dir/vidx", "--output", s"$dir/vidx2"))
+    AdmitVectors.main(Array(
+      "--input", s"$dir/vbatch", "--index", s"$dir/vidx2",
+      "--output", s"$dir/vverdicts2"))
+    val vafter = verdictsOf(s"$dir/vverdicts2", "vec_id")
+    assert(vafter(2L) === (("dup_semantic", 2L)), "extended vec must self-match")
+    assert(vafter(1L) === (("dup_semantic", 10L)))
+    // and the self-match is exact: best_cos with itself is 1.0
+    val selfCos = spark.read.parquet(s"$dir/vverdicts2")
+      .filter(col("vec_id") === 2L).select("best_cos").head().getDouble(0)
+    assert(selfCos === 1.0)
+    graft.CachedFrames.drain()
+  }
+
   test("plan-epoch writes one sorted file per shard in training order") {
     import org.apache.spark.sql.functions.col
     spark // force shared session so the CLI's getOrCreate reuses it
