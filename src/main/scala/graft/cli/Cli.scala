@@ -192,7 +192,8 @@ object AdmitBatch {
   * the vector-space sibling of job 5, so semantic admission runs scan the
   * index, never the corpus embeddings:
   *
-  *   runMain graft.cli.BuildVectorIndex --input embeddings.parquet --output /tmp/vidx
+  *   runMain graft.cli.BuildVectorIndex --input embeddings.parquet \
+  *     --output /tmp/vidx [--rounds 3]
   *
   * Writes `<out>/codebook` (cents: array of (cell, c, cnorm2)) and
   * `<out>/cells` (cell, entries: array of (cid, cv, cn)). The codebook is
@@ -203,7 +204,10 @@ object BuildVectorIndex {
     val a = Cli.parse(args)
     Cli.withSession("graft-build-vector-index") { spark =>
     val corpus = graft.Tables.parallelized(spark.read.parquet(a("input")))
-    val (centsRow, cells) = graft.ops.Embeddings.admissionIndexFrames(corpus)
+    // --rounds N > 1 Lloyd-trains the codebook before indexing (q89's
+    // measured recall gain) — build-time cost only, admission unchanged
+    val (centsRow, cells) = graft.ops.Embeddings.admissionIndexFrames(
+      corpus, a.getOrElse("rounds", "1").toInt)
     centsRow.write.mode("overwrite").parquet(s"${a("output")}/codebook")
     cells.write.mode("overwrite").parquet(s"${a("output")}/cells")
     graft.CachedFrames.drain() // probeAssign tracks the assignment frame

@@ -238,6 +238,41 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     graft.CachedFrames.drain()
   }
 
+  test("build-vector-index --rounds: a converged codebook is a Lloyd fixed " +
+    "point and the trained index admits a corpus member's copy as dup_semantic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    spark // force shared session so the CLI's getOrCreate reuses it
+    val dir = Files.createTempDirectory("graft-trained-vidx").toString
+    def unit(i: Int, scale: Float): Array[Float] = {
+      val v = Array.fill(64)(0f); v(i) = scale; v
+    }
+    (0 until 8).map(k => ((10 + k).toLong, unit(k, 1f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/corpus")
+    Seq((1L, unit(0, 0.5f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/batch")
+    BuildVectorIndex.main(Array(
+      "--input", s"$dir/corpus", "--output", s"$dir/seed"))
+    BuildVectorIndex.main(Array(
+      "--input", s"$dir/corpus", "--output", s"$dir/trained", "--rounds", "3"))
+    // orthogonal one-hot cells are already converged, so further Lloyd
+    // rounds must be a FIXED POINT — byte-identical codebooks (that
+    // training moves centroids on real data is pinned by EmbeddingsSpec's
+    // q89 distortion test, where ds(3) < ds(1))
+    val seedCents = spark.read.parquet(s"$dir/seed/codebook").head().toSeq
+    val trainedCents = spark.read.parquet(s"$dir/trained/codebook").head().toSeq
+    assert(seedCents === trainedCents, "Lloyd moved an already-converged codebook")
+    // and admission semantics hold on the trained index
+    AdmitVectors.main(Array(
+      "--input", s"$dir/batch", "--index", s"$dir/trained",
+      "--output", s"$dir/verdicts"))
+    val v = spark.read.parquet(s"$dir/verdicts")
+      .select("vec_id", "verdict", "match_id", "best_cos").collect().head
+    assert(v.getString(1) === "dup_semantic" && v.getLong(2) === 10L)
+    assert(v.getDouble(3) === 1.0) // scaled copy: cosine exactly 1
+    graft.CachedFrames.drain()
+  }
+
   test("extend closes the incremental loop: an admitted batch's new docs " +
     "and vectors join the index and re-admit as dups of themselves") {
     import spark.implicits._

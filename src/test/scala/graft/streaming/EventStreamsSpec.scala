@@ -445,6 +445,56 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(got.size === bound && got.exists(_._2 == "dup_semantic"))
   }
 
+  test("checkpoint restart: embedding admission resumes exactly-once and the " +
+    "union equals q78 (including best_cos bitwise)") {
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    import org.apache.spark.sql.streaming.Trigger
+    // the vector-space twin of the text restart spec above: same recovery
+    // contract, same batch-boundary kill point, plus the bitwise best_cos
+    // equality the embedding twin is pinned to
+    val dir = "/root/testdata/sf0.01"
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val bound = graft.ops.Embeddings.AdmitBatchBound
+    val batchVecs = raw.filter(col("vec_id") < bound)
+      .withColumn("ts", to_timestamp(lit("2024-01-01 10:00:00")))
+    val corpus = raw.filter(col("vec_id") >= bound)
+    val staged = java.nio.file.Files.createTempDirectory("embed-restart")
+    val ckpt = java.nio.file.Files.createTempDirectory("embed-restart-ckpt")
+    val outDir = java.nio.file.Files.createTempDirectory("embed-restart-out")
+    def toMapped(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toSet
+    def runOnce(): Set[(Long, String, Long, Double)] = {
+      val stream = spark.readStream.schema(batchVecs.schema).parquet(staged.toString)
+      val q = EventStreams.embeddingAdmissionStream(stream, corpus)
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      toMapped(spark.read.parquet(outDir.toString)
+        .select("vec_id", "verdict", "match_id", "best_cos").collect())
+    }
+    batchVecs.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(staged.toString)
+    val first = runOnce()
+    batchVecs.filter(col("vec_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(staged.toString)
+    val all = runOnce()
+    val expected = toMapped(graft.ops.Embeddings.q78EmbeddingAdmission(spark, dir)
+      .select("vec_id", "verdict", "match_id", "best_cos").collect())
+    val rawCount = spark.read.parquet(outDir.toString).count()
+    graft.CachedFrames.drain()
+    assert(first.nonEmpty && (all -- first).nonEmpty)
+    assert(first.subsetOf(all))
+    assert(rawCount === expected.size.toLong)
+    assert(all === expected)
+  }
+
   test("late within-watermark event bridges two open sessions like the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
