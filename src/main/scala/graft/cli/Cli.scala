@@ -288,7 +288,8 @@ object ForgetVectors {
   * layout is that extension never reads or rewrites the standing index.
   * A retried append only duplicates rows, and duplicate rows cannot
   * change any verdict (admission is min/exists over matches) — periodic
-  * compaction is housekeeping, not correctness:
+  * compaction (job 14, CompactCorpusIndex) is housekeeping, not
+  * correctness:
   *
   *   runMain graft.cli.ExtendCorpusIndex --input batch.parquet \
   *     --verdicts /tmp/verdicts --index /tmp/idx
@@ -330,6 +331,27 @@ object ExtendVectorIndex {
     graft.ops.Embeddings.extendVectorIndex(centsRow,
         spark.read.parquet(s"${a("index")}/cells"), admitted)
       .write.mode("overwrite").parquet(s"${a("output")}/cells")
+    }
+  }
+}
+
+/** Job 14 — compact the TEXT admission index: a retried ExtendCorpusIndex
+  * append leaves duplicate rows behind (harmless for verdicts — admission
+  * is min/exists over matches — but they accumulate storage and probe
+  * work), so compaction rewrites both frames `distinct` to a fresh
+  * directory. One shuffle per frame on its natural key, verdict-invariant
+  * by construction (spec-pinned):
+  *
+  *   runMain graft.cli.CompactCorpusIndex --index /tmp/idx --output /tmp/idx2
+  */
+object CompactCorpusIndex {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-compact-index") { spark =>
+    spark.read.parquet(s"${a("index")}/digests").distinct()
+      .write.mode("overwrite").parquet(s"${a("output")}/digests")
+    spark.read.parquet(s"${a("index")}/bands").distinct()
+      .write.mode("overwrite").parquet(s"${a("output")}/bands")
     }
   }
 }

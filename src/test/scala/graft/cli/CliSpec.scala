@@ -344,6 +344,47 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     graft.CachedFrames.drain()
   }
 
+  test("compact collapses a retried append's duplicate rows without changing " +
+    "any verdict") {
+    import spark.implicits._
+    spark // force shared session so the CLI's getOrCreate reuses it
+    val dir = Files.createTempDirectory("graft-compact").toString
+    Seq((10L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/corpus")
+    Seq((3L, "totally disjoint vocabulary words here"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/batch")
+    BuildCorpusIndex.main(Array(
+      "--input", s"$dir/corpus", "--output", s"$dir/idx"))
+    AdmitBatch.main(Array(
+      "--input", s"$dir/batch", "--index", s"$dir/idx",
+      "--output", s"$dir/verdicts"))
+    // a retried append: the same extension lands twice
+    (1 to 2).foreach { _ =>
+      ExtendCorpusIndex.main(Array(
+        "--input", s"$dir/batch", "--verdicts", s"$dir/verdicts",
+        "--index", s"$dir/idx"))
+    }
+    val dup = spark.read.parquet(s"$dir/idx/digests")
+    assert(dup.count() > dup.distinct().count(), "retry did not duplicate rows")
+    CompactCorpusIndex.main(Array(
+      "--index", s"$dir/idx", "--output", s"$dir/idx2"))
+    val compacted = spark.read.parquet(s"$dir/idx2/digests")
+    assert(compacted.count() === compacted.distinct().count())
+    // verdicts are invariant under both duplication and compaction
+    def verdicts(index: String, out: String) = {
+      AdmitBatch.main(Array(
+        "--input", s"$dir/batch", "--index", index, "--output", out))
+      spark.read.parquet(out).select("doc_id", "verdict", "match_id").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    }
+    val withDups = verdicts(s"$dir/idx", s"$dir/v1")
+    val afterCompact = verdicts(s"$dir/idx2", s"$dir/v2")
+    assert(withDups === afterCompact)
+    assert(afterCompact === Set((3L, "dup_exact", 3L))) // self-match survives
+    graft.CachedFrames.drain()
+  }
+
   test("plan-epoch writes one sorted file per shard in training order") {
     import org.apache.spark.sql.functions.col
     spark // force shared session so the CLI's getOrCreate reuses it
