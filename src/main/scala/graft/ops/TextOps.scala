@@ -441,8 +441,10 @@ object TextOps {
     *
     * Phase 0 computes per-source `doc_id` bounds from `boundsFrom` (an
     * aggregate of |sources| rows, broadcast; pass a thinner frame than `df`
-    * when `df`'s lineage is expensive — bounds from a SUPERSET of ids only
-    * shifts bucket balance, never correctness). Rows are RANGE-bucketed on
+    * when `df`'s lineage is expensive — bounds from a SUPERSET of `df`'s
+    * (source, doc_id) pairs only shifts bucket balance, never correctness,
+    * but every source in `df` MUST appear in `boundsFrom`: the bounds join
+    * is inner, so an uncovered source would drop rows). Rows are RANGE-bucketed on
     * the leading order column: the bucket index is monotonic in `doc_id`
     * within each source, so buckets are contiguous slices of the total
     * order and the result is byte-identical to the single window. Phase 1
