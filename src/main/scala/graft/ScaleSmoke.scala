@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   * `--curate [sfDir]` instead smokes the training-data surface: the full
   * curation pipeline (q51) + shard assignment + sorted-shard write on the
   * sfDir documents table, printing survivor/shard counts and wall time.
+  * `--epoch [sfDir]` smokes the epoch planner: builds the full
+  * mixture-weighted packing plan and re-verifies the dense-packing
+  * invariant (per source in (doc_id, rep) order, every (seq_id, offset)
+  * equals the running token sum — the property the two-phase distributed
+  * prefix sum must preserve) over EVERY plan row at the smoke SF.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -69,6 +74,37 @@ object ScaleSmoke {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
       }
       rm(new java.io.File(out))
+      spark.stop()
+      return
+    }
+    if (args.contains("--epoch")) {
+      val sfDir = args.dropWhile(_ != "--epoch").drop(1).headOption
+        .filterNot(_.startsWith("--")).getOrElse("/root/testdata/sf0.1")
+      val t0 = System.nanoTime()
+      val rows = graft.ops.Curation.epochPlanOn(
+        Tables.parallelized(Tables(spark, sfDir, "documents")), cpus.toInt)
+        .collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      // the dense-packing invariant over EVERY row: within each source in
+      // (doc_id, rep) order, (seq_id, offset) is exactly the running token
+      // sum — byte-equivalence of the two-phase prefix sum with the
+      // sequential definition, at this SF
+      var checked = 0L
+      rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+        val ordered = rs.sortBy(r => (r.getLong(1), r.getInt(2)))
+        var running = 0L
+        ordered.foreach { r =>
+          require(r.getLong(4) == running / graft.ops.TextOps.PackSeqTokens &&
+            r.getLong(5) == running % graft.ops.TextOps.PackSeqTokens,
+            s"packing invariant violated at source=$src doc=${r.getLong(1)}")
+          running += r.getLong(3); checked += 1
+        }
+      }
+      val seqs = rows.map(r => (r.getString(0), r.getLong(4))).distinct.length
+      println(f"plan_rows=${rows.length} checked=$checked " +
+        f"sources=${rows.map(_.getString(0)).distinct.length} seqs=$seqs " +
+        f"mode=epoch wall=$secs%.1f s")
+      CachedFrames.drain()
       spark.stop()
       return
     }
