@@ -39,6 +39,10 @@ object CachedFrames {
     * thread is tracking without ever draining. */
   private val LeakWarnThreshold = 64
 
+  /** Next entry count that triggers the leak warning; doubles on each warn
+    * (guarded by `shared`'s lock). */
+  private var warnAt = LeakWarnThreshold
+
   /** Persist `df` (first holder only) and remember it for the next
     * `drain()` on this thread.
     *
@@ -47,17 +51,20 @@ object CachedFrames {
     * SAME thread, in a `finally` — a builder invoked outside a runner, or
     * a runner that throws before its finally, pins the Entry and its
     * persisted DataFrame for the JVM lifetime (refs never reach zero).
-    * [[entryCount]] is the leak diagnostic; track() warns once past
-    * [[LeakWarnThreshold]] live entries. */
+    * [[entryCount]] is the leak diagnostic; track() warns at geometrically
+    * spaced sizes (first past [[LeakWarnThreshold]], then each doubling), so
+    * a continuing leak keeps signalling without spamming at a plateau. */
   def track(df: DataFrame): DataFrame = {
     val key = df.queryExecution.analyzed.canonicalized // analyze outside lock
-    val n = shared.synchronized {
+    val (n, warn) = shared.synchronized {
       val e = shared.getOrElseUpdate(key, new Entry(df, 0))
       e.refs += 1
       if (e.refs == 1) e.df.persist()
-      shared.size
+      val w = shared.size > warnAt
+      if (w) warnAt = shared.size * 2
+      (shared.size, w)
     }
-    if (n == LeakWarnThreshold + 1)
+    if (warn)
       System.err.println(s"[CachedFrames] $n live cache entries — some " +
         "thread is tracking frames without draining (see track() contract)")
     frames.get += df
@@ -96,6 +103,8 @@ object CachedFrames {
           }
         }
       }
+      // recovered below the threshold: re-arm the warning for the next leak
+      if (shared.size <= LeakWarnThreshold) warnAt = LeakWarnThreshold
     }
     list.remove(from, list.size - from)
   }

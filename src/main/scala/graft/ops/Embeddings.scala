@@ -854,16 +854,7 @@ object Embeddings {
     * anti-join of the tiny delta against the ≤k cell keys. */
   private[graft] def extendVectorIndex(centsRow: DataFrame, cells: DataFrame,
       vecs: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(vecs.sparkSession)
-    val assigned = vecs
-      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .crossJoin(broadcast(centsRow))
-      .withColumn("cell", expr(
-        """array_min(transform(cents,
-             c -> named_struct(
-               'd2', nrm * nrm - 2.0 * dot_product(v, c.c) + c.cnorm2,
-               'cell', c.cell))).cell"""))
+    val assigned = assignNearestStandingCell(vecs, centsRow)
       .groupBy(col("cell"))
       .agg(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"),
         col("nrm").as("cn"))).as("new_entries"))
@@ -887,11 +878,17 @@ object Embeddings {
     * the formulations cannot diverge; q78 remains the oracle-gated
     * specification of the semantics. `batch` needs (vec_id, embedding);
     * other columns (e.g. the stream's ts) pass through untouched. */
-  private[graft] def admitVectorsAgainstIndex(batch: DataFrame,
-      centsRow: DataFrame, cells: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(batch.sparkSession)
-    val keep = batch.columns.filterNot(_ == "embedding").map(col)
-    batch
+  /** Nearest-STANDING-centroid assignment, shared by [[extendVectorIndex]]
+    * and [[admitVectorsAgainstIndex]]: adds `v` (double embedding), `nrm`,
+    * and `cell` — the argmin over the broadcast codebook row with the
+    * (d2 ASC, cell ASC) tie-break of the batch assignment. One definition
+    * on purpose: an extended vector MUST land in the cell admission will
+    * probe (the CliSpec closed-loop pin), so the expression cannot be
+    * allowed to diverge between the two paths. */
+  private def assignNearestStandingCell(vecs: DataFrame,
+      centsRow: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    vecs
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .crossJoin(broadcast(centsRow))
@@ -901,6 +898,12 @@ object Embeddings {
                'd2', nrm * nrm - 2.0 * dot_product(v, c.c) + c.cnorm2,
                'cell', c.cell))).cell"""))
       .drop("cents")
+  }
+
+  private[graft] def admitVectorsAgainstIndex(batch: DataFrame,
+      centsRow: DataFrame, cells: DataFrame): DataFrame = {
+    val keep = batch.columns.filterNot(_ == "embedding").map(col)
+    assignNearestStandingCell(batch, centsRow)
       .join(broadcast(cells), Seq("cell"), "left")
       .withColumn("match_id", expr(
         s"""array_min(transform(

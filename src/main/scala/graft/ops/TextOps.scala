@@ -444,7 +444,10 @@ object TextOps {
     * when `df`'s lineage is expensive — bounds from a SUPERSET of `df`'s
     * (source, doc_id) pairs only shifts bucket balance, never correctness,
     * but every source in `df` MUST appear in `boundsFrom`: the bounds join
-    * is inner, so an uncovered source would drop rows). Rows are RANGE-bucketed on
+    * is inner, so an uncovered source would drop rows). Both internal joins
+    * are null-safe on `source`, so a NULL source forms its own group —
+    * exactly like `PARTITION BY source` — instead of vanishing through an
+    * equi-join. Rows are RANGE-bucketed on
     * the leading order column: the bucket index is monotonic in `doc_id`
     * within each source, so buckets are contiguous slices of the total
     * order and the result is byte-identical to the single window. Phase 1
@@ -463,10 +466,18 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val bounds = boundsFrom.groupBy("source")
       .agg(min(col("doc_id")).as("_lo"), max(col("doc_id")).as("_hi"))
-    val bucketed = df.join(broadcast(bounds), "source")
-      .withColumn("_bkt",
-        expr(s"(doc_id - _lo) DIV (((_hi - _lo) DIV $PrefixSumBuckets) + 1)"))
-      .drop("_lo", "_hi")
+      .withColumnRenamed("source", "_bsrc")
+    // _bkt is wrapped non-nullable ON PURPOSE: the final offsets join's
+    // `_bkt === _obkt` would otherwise infer an `isnotnull(_bkt)` filter
+    // into the LEFT branch only, making the two (source, _bkt) exchange
+    // subtrees canonically unequal — AQE then re-scans and re-shuffles the
+    // full corpus for the offsets branch instead of reusing phase 1's
+    // shuffle (PlanSpec pins the ReusedExchange).
+    val bucketed = df.join(broadcast(bounds), col("source") <=> col("_bsrc"))
+      .withColumn("_bkt", coalesce(
+        expr(s"(doc_id - _lo) DIV (((_hi - _lo) DIV $PrefixSumBuckets) + 1)"),
+        lit(0L)))
+      .drop("_bsrc", "_lo", "_hi")
     val w = Window.partitionBy(col("source"), col("_bkt"))
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -476,10 +487,11 @@ object TextOps {
     val offsets = local.groupBy(col("source"), col("_bkt"))
       .agg(max_by(col("_local"), struct(orderCols.map(col): _*)).as("_tot"))
       .withColumn("_off", coalesce(sum(col("_tot")).over(wOff), lit(0L)))
-      .select(col("source"), col("_bkt"), col("_off"))
-    local.join(broadcast(offsets), Seq("source", "_bkt"))
+      .select(col("source").as("_osrc"), col("_bkt").as("_obkt"), col("_off"))
+    local.join(broadcast(offsets),
+        col("source") <=> col("_osrc") && col("_bkt") === col("_obkt"))
       .withColumn("running", col("_local") + col("_off"))
-      .drop("_bkt", "_local", "_off")
+      .drop("_osrc", "_obkt", "_bkt", "_local", "_off")
   }
 
   val q59PackSequencesSql: String = s"""

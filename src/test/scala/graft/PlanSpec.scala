@@ -137,13 +137,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   test("q59_pack_sequences: running sum shuffles on (source, _bkt) — B-way " +
     "parallel per source — and the offset branch reuses that exchange") {
     val p = finalPlan("q59_pack_sequences")
-    // the two-phase prefix sum: the window stage must partition by the
-    // range bucket, never by source alone (one task per source = the
-    // dominant-source serialization this plan exists to kill)
-    assert("hashpartitioning\\(source#\\d+, _bkt".r.findFirstIn(p).isDefined, p)
-    assert("hashpartitioning\\(source#\\d+\\)".r.findFirstIn(p).isEmpty, p)
-    // bucket totals reuse the window's shuffle instead of re-scanning
-    assert(nodes(p, "ReusedExchange") >= 1, p)
+    // the two-phase prefix sum: the BIG-side window stage partitions by the
+    // range bucket — B-way parallel per source, not one task per source
+    // (the dominant-source serialization this plan exists to kill) — and
+    // that full-data exchange appears exactly ONCE as a tree node: the
+    // offsets branch consumes it through ReusedExchange below
+    assert("\\+- Exchange hashpartitioning\\(source#\\d+, _bkt".r
+      .findAllIn(p).size == 1, p)
+    // exactly TWO source-only exchanges, both tiny branches: the |sources|-
+    // row bounds aggregate and the B·|sources|-row offsets window. A third
+    // would mean full data ran through a per-source window again.
+    assert("\\+- Exchange hashpartitioning\\(source#\\d+, \\d+\\)".r
+      .findAllIn(p).size == 2, p)
+    // bucket totals REUSE phase 1's (source, _bkt) shuffle — the `_bkt`
+    // non-nullability in distributedRunningSum exists to keep both
+    // subtrees canonically equal; without it AQE re-scans the corpus
+    assert("ReusedExchange \\[.*\\], Exchange hashpartitioning\\(source#\\d+, _bkt".r
+      .findFirstIn(p).isDefined, p)
+    // ... so the full corpus (the scan reading `text`) is scanned ONCE;
+    // the only other scan is the 2-column bounds aggregate
+    assert("ReadSchema: struct<doc_id:bigint,text:string".r
+      .findAllIn(p).size == 1, p)
     // both the bounds table and the offsets table broadcast back
     assert(nodes(p, "BroadcastHashJoin") >= 2, p)
   }

@@ -32,6 +32,31 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(crawlBuckets === TextOps.PrefixSumBuckets.toLong)
   }
 
+  test("distributedRunningSum keeps NULL-source rows as their own partition " +
+    "(null-safe joins), matching the window's PARTITION BY semantics") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rows: Seq[(Option[String], Long, Long)] =
+      (0 until 40).map(i => (None: Option[String], i * 3L, (i % 5 + 1).toLong)) ++
+      (0 until 10).map(i => (Some("books"), i * 2L, (i % 3 + 1).toLong))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows.map {
+        case (s, d, n) => org.apache.spark.sql.Row(s.orNull, d, n)
+      }), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_tokens",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+      .repartition(4)
+    val got = TextOps.distributedRunningSum(df, "n_tokens", Seq("doc_id"), df)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = df.withColumn("running", sum(col("n_tokens")).over(w))
+    assert(got.count() === 50) // every NULL-source row survives
+    assert(got.collect().map(_.toSeq).toSet === ref.collect().map(_.toSeq).toSet)
+  }
+
   test("q65 chunks reproduce an independent sliding-window reference exactly") {
     val sf = "/root/testdata/sf0.001"
     val got = TextOps.q65ChunkOverlap(spark, sf).collect()
