@@ -164,11 +164,16 @@ object Events {
     * `click` strictly after it, and the first `purchase` strictly after
     * that (the classic conversion funnel; each stage anchored to the
     * previous one, so an early purchase before any click does not count).
-    * Shape: one conditional aggregation per stage, all keyed on user_id —
-    * the user_id shuffle is paid once and reused by every stage join, and
-    * no window buffers a user's full history. */
+    * Shape: one conditional aggregation per stage, all keyed on user_id; each
+    * stage shuffles only per-user partial mins (map-side combined), never raw
+    * events. The explicit `user_id IS NOT NULL` on the shared base (funnels
+    * key on identity; a null user has no funnel) is ALSO what lets AQE reuse
+    * the view-stage shuffle: without it the inner click join infers the
+    * isnotnull into its copy of the view subtree only, the two subtrees go
+    * canonically unequal, and the corpus is scanned twice (q59 bug class). */
   def q66Funnel(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir, "events")
+      .filter(col("user_id").isNotNull)
       .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("eps"))
     val v = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("eps")).as("view_s"))
@@ -190,7 +195,7 @@ object Events {
   val q66FunnelSql: String = """
     WITH e AS (
       SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS eps
-      FROM events),
+      FROM events WHERE user_id IS NOT NULL),
     v AS (SELECT user_id, min(eps) AS view_s FROM e
           WHERE event_type = 'view' GROUP BY user_id),
     c AS (SELECT e.user_id, min(e.eps) AS click_s

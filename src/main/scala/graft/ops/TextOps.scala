@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the training-data
@@ -96,11 +97,12 @@ object TextOps {
     FROM documents
   """
 
-  /** Quality scoring: length, punctuation ratio, stopword ratio, mean token
-    * length, and a blended score — the standard pre-training corpus filters. */
-  def q22QualityScore(spark: SparkSession, sfDir: String): DataFrame =
-    Tables(spark, sfDir, "documents")
-      .withColumn("n_chars_m", length(col("text")).cast("double"))
+  /** Adds the corpus-quality statistic columns (`n_chars_m`, `n_tokens`,
+    * `n_stop`, `n_punct`) and the blended `quality_score` — shared by q22
+    * (which reports the ratios) and q90 (which ranks on the score). Pure
+    * per-row codegen projections; mirrors `qualityFromStatsSql`. */
+  private[ops] def withQualityStats(df: DataFrame): DataFrame =
+    df.withColumn("n_chars_m", length(col("text")).cast("double"))
       .withColumn("n_tokens",
         expr("""size(split(trim(text), '\\s+'))""").cast("double"))
       .withColumn("n_stop",
@@ -109,14 +111,21 @@ object TextOps {
       .withColumn("n_punct",
         (length(col("text")) - length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
           .cast("double"))
+      .withColumn("quality_score",
+        col("n_stop") / col("n_tokens") * lit(2.0) +
+          when(col("n_chars_m") >= 200.0, 1.0).otherwise(0.0) -
+          col("n_punct") / col("n_chars_m") * lit(4.0))
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean token
+    * length, and a blended score — the standard pre-training corpus filters. */
+  def q22QualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    withQualityStats(Tables(spark, sfDir, "documents"))
       .select(
         col("doc_id"),
         (col("n_chars_m") / col("n_tokens")).as("mean_token_span"),
         (col("n_stop") / col("n_tokens")).as("stopword_ratio"),
         (col("n_punct") / col("n_chars_m")).as("punct_ratio"),
-        (col("n_stop") / col("n_tokens") * lit(2.0) +
-          when(col("n_chars_m") >= 200.0, 1.0).otherwise(0.0) -
-          col("n_punct") / col("n_chars_m") * lit(4.0)).as("quality_score"))
+        col("quality_score"))
 
   val q22QualityScoreSql: String = s"""
     WITH x AS (
@@ -230,7 +239,14 @@ object TextOps {
     val tokens = docs
       .select(col("doc_id"), explode(expr("""split(trim(text), '\\s+')""")).as("token"))
     val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // count(CASE WHEN tf >= 1 ...) ≡ count(*) (a group's count is ≥ 1 by
+    // construction) — but the value-dependent predicate is one Catalyst can't
+    // fold away (plain count(tf) gets rewritten to count(1) and the tf count
+    // pruned out of this branch), so both consumers keep a canonically-equal
+    // (doc_id, token) exchange subtree: AQE reuses the shuffle and the corpus
+    // is scanned+exploded ONCE (pinned in PlanSpec).
+    val df_ = tf.groupBy(col("token"))
+      .agg(count(when(col("tf") >= 1, lit(1))).as("df"))
     val nDocs = docs.count().toDouble
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("weight").desc, col("token").asc)
@@ -993,5 +1009,45 @@ object TextOps {
     FROM pairs GROUP BY pair
     ORDER BY n DESC, pair ASC
     LIMIT 50
+  """
+
+  /** q90: per-domain quality cap — keep the best [[DomainCap]] documents per
+    * source by blended quality score (ties broken by doc_id), the domain-
+    * balancing step a curation pipeline runs so one crawl domain cannot
+    * dominate the training mixture.
+    *
+    * Scale shape: a naive per-source `row_number` would buffer whole sources,
+    * but because the rank is immediately filtered to `<= DomainCap` Spark
+    * plans a `WindowGroupLimit` — each map task keeps only its local top-K
+    * per source BEFORE the shuffle, so the exchange carries at most
+    * K × tasks rows per source (never the corpus) and the final per-source
+    * pass ranks those survivors only. Pinned in PlanSpec. */
+  val DomainCap = 10
+  def q90DomainCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    withQualityStats(Tables(spark, sfDir, "documents"))
+      .select(col("source"), col("doc_id"), col("quality_score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= DomainCap)
+  }
+
+  val q90DomainCapSql: String = s"""
+    WITH x AS (
+      SELECT doc_id, source,
+        $nCharsSql AS n_chars_m,
+        $nTokensSql AS n_tokens,
+        CAST(${hitsSql("en")} AS DOUBLE) AS n_stop,
+        $nPunctSql AS n_punct
+      FROM documents),
+    s AS (
+      SELECT source, doc_id, $qualityFromStatsSql AS quality_score FROM x),
+    r AS (
+      SELECT source, doc_id, quality_score,
+        row_number() OVER (PARTITION BY source
+                           ORDER BY quality_score DESC, doc_id ASC) AS rk
+      FROM s)
+    SELECT source, doc_id, quality_score, CAST(rk AS INTEGER) AS rk
+    FROM r WHERE rk <= $DomainCap
   """
 }

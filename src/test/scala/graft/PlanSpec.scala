@@ -241,11 +241,39 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val p = finalPlan("q66_funnel")
     assert(nodes(p, "CartesianProduct") == 0, p)
     assert(p.contains("partial_min"), p)
-    // view / click / purchase stages: three user_id aggregation shuffles,
-    // with the click stage's exchange REUSED by the purchase stage instead
-    // of re-shuffling the events scan a fourth time
-    assert(nodes(p, "Exchange") == 3, p)
+    // view / click / purchase stages: TWO user_id aggregation shuffles — the
+    // view stage's exchange is reused by the click join's inner copy (the
+    // explicit user_id IS NOT NULL on the base keeps both subtrees
+    // canonically equal) and the click stage's is reused by the purchase
+    // stage — so events is scanned exactly once per event type, never re-
+    // shuffled or re-scanned for a branch's second consumer
+    assert(nodes(p, "Exchange") == 2, p)
+    assert(nodes(p, "ReusedExchange") == 2, p)
+    assert("FileScan parquet".r.findAllIn(p).size == 3, p)
+  }
+
+  test("q44_tf_df: DF derived from the TF aggregate — corpus scanned and exploded once") {
+    val p = finalPlan("q44_tf_df")
+    // the (doc_id, token) exchange is shared by the TF branch and the DF
+    // rollup (the value-dependent count in df_ stops column pruning from
+    // splitting the subtrees); only one scan and one explode of documents
     assert(nodes(p, "ReusedExchange") == 1, p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(nodes(p, "Generate") == 1, p)
+    // top-3-per-doc runs as partial WindowGroupLimit before the final window
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q90_domain_cap: partial WindowGroupLimit before the shuffle — per-source top-k never buffers a source") {
+    val p = finalPlan("q90_domain_cap")
+    // map-side Partial group-limit caps each task's contribution at K rows
+    // per source BEFORE the exchange; the Final pass ranks survivors only
+    assert(p.contains("row_number(), 10, Partial"), p)
+    assert(p.contains("row_number(), 10, Final"), p)
+    assert(nodes(p, "Exchange") == 1, p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    // scan prunes to the 3 needed columns (doc_id, text, source)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"), p)
   }
 
   test("q67_winnowing: pure projection + explode — no shuffle before the fingerprint output") {
