@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation — the canonical LLM training-data pipeline
@@ -117,6 +118,78 @@ object Curation {
     SELECT d.doc_id, d.quality_score
     FROM docs2 d LEFT JOIN comp c ON d.doc_id = c.id
     WHERE c.id IS NULL OR c.component = d.doc_id
+  """
+
+  /** q91: keep-BEST near-dup consolidation — per near-dup cluster, the
+    * member with the highest blended quality score survives (ties by
+    * doc_id), with the cluster size and winning score reported. q51 keeps
+    * each cluster's min-id representative (cheapest: the CC label IS the
+    * keeper); this is the policy production pipelines actually want —
+    * "of these near-copies, keep the best one" — and it reuses the same
+    * sub-quadratic machinery: LSH candidate pairs → connected components
+    * → one arg-max pass.
+    *
+    * Scale shape: quality is scored AFTER the join onto cluster members
+    * (members ≪ corpus — only docs that collided in a band), so the score
+    * projection runs on the small side; the arg-max is a per-component
+    * row_number immediately filtered to 1, and the cluster-size count
+    * shares the same component hash-partitioning, so the survivors pass
+    * costs one shuffle of the member set. Components are near-dup
+    * clusters — bounded by transitive copy groups, never corpus-sized. */
+  def q91KeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
+    val pairs = NearDup.lshPairsOn(docs)
+      .filter(col("est_jaccard") >= NearDupJaccard)
+      .select("id1", "id2")
+    val comps = graft.dedup.Clustering.connectedComponents(pairs)
+    val members = TextOps.withQualityStats(
+      docs.join(comps, docs("doc_id") === comps("id"))
+        .select(col("component"), col("doc_id"), col("text")))
+      .select(col("component"), col("doc_id"), col("quality_score"))
+    val wRank = Window.partitionBy(col("component"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val wAll = Window.partitionBy(col("component"))
+    members
+      .withColumn("n_members", count(lit(1)).over(wAll))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") === 1)
+      .select(col("component"), col("doc_id").as("kept_doc_id"),
+        col("n_members"), col("quality_score").as("best_quality"))
+  }
+
+  val q91KeepBestSql: String = s"""
+    WITH RECURSIVE ${NearDup.lshCandidateSqlCtes("documents")},
+    near AS (
+      SELECT p.id1, p.id2
+      FROM pairs p JOIN sig s1 ON p.id1 = s1.doc_id JOIN sig s2 ON p.id2 = s2.doc_id
+      WHERE len(list_filter(list_zip(s1.sig, s2.sig), z -> z[1] = z[2]))
+            / ${NearDup.DefaultMinHash.numPerm}.0 >= ${NearDupJaccard}),
+    e AS (SELECT id1 AS src, id2 AS dst FROM near UNION SELECT id2, id1 FROM near),
+    nodes AS (SELECT DISTINCT src AS id FROM e),
+    reach(a, b) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+    comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a),
+    m AS (
+      SELECT c.component, d.doc_id,
+        ${TextOps.nCharsSql} AS n_chars_m,
+        ${TextOps.nTokensSql} AS n_tokens,
+        CAST(${TextOps.hitsSql("en")} AS DOUBLE) AS n_stop,
+        ${TextOps.nPunctSql} AS n_punct
+      FROM documents d JOIN comp c ON d.doc_id = c.id),
+    q AS (
+      SELECT component, doc_id, ${TextOps.qualityFromStatsSql} AS quality_score
+      FROM m),
+    r AS (
+      SELECT component, doc_id, quality_score,
+        row_number() OVER (PARTITION BY component
+                           ORDER BY quality_score DESC, doc_id ASC) AS rk,
+        count(*) OVER (PARTITION BY component) AS n_members
+      FROM q)
+    SELECT component, doc_id AS kept_doc_id,
+      CAST(n_members AS BIGINT) AS n_members, quality_score AS best_quality
+    FROM r WHERE rk = 1
   """
 
   /** Deterministic stratified sampling: per-language admission rates gated

@@ -276,6 +276,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"), p)
   }
 
+  test("q91_keep_best: one component shuffle shared by cluster-size count and keep-best rank") {
+    val p = finalPlan("q91_keep_best")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    // the arg-max is a group-limit-1 (never buffers beyond the count pass),
+    // and the count window + rank window share ONE component exchange
+    assert(p.contains("row_number(), 1, Final"), p)
+    assert("hashpartitioning\\(component".r.findAllIn(p).size == 1, p)
+  }
+
   test("q67_winnowing: pure projection + explode — no shuffle before the fingerprint output") {
     val p = finalPlan("q67_winnowing")
     assert(nodes(p, "Generate") == 1, p)
