@@ -30,7 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  private val QualityThreshold = -3.0
+  // Threshold over the blended score: stop-ratio bonus (≤2) + long-doc
+  // bonus (0/1) − 4·punct ratio. Was −3.0 when n_punct mistakenly counted
+  // the ALPHANUMERIC chars (a constant −4 on the punctuation-free test
+  // corpus); the formula fix shifted every score there by exactly +4, so
+  // +1.0 preserves the identical kept set while the punct term now
+  // penalizes what its name says on real corpora.
+  private val QualityThreshold = 1.0
   private val NearDupJaccard = 0.5
 
   /** Curated corpus: surviving (doc_id, quality_score) after language +
@@ -136,8 +142,11 @@ object Curation {
     * shares the same component hash-partitioning, so the survivors pass
     * costs one shuffle of the member set. Components are near-dup
     * clusters — bounded by transitive copy groups, never corpus-sized. */
-  def q91KeepBest(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
+  def q91KeepBest(spark: SparkSession, sfDir: String): DataFrame =
+    keepBestOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+
+  /** [[q91KeepBest]] over ANY (doc_id, text, ...) frame. */
+  private[graft] def keepBestOn(docs: DataFrame): DataFrame = {
     val pairs = NearDup.lshPairsOn(docs)
       .filter(col("est_jaccard") >= NearDupJaccard)
       .select("id1", "id2")

@@ -43,7 +43,7 @@ object TextOps {
     "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)"
   private[ops] val nCharsSql: String = "CAST(length(text) AS DOUBLE)"
   private[ops] val nPunctSql: String =
-    "CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)"
+    "CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)"
   private[ops] val qualityFromStatsSql: String =
     "n_stop / n_tokens * 2.0 + " +
       "(CASE WHEN n_chars_m >= 200.0 THEN 1.0 ELSE 0.0 END) - " +
@@ -68,8 +68,7 @@ object TextOps {
       .withColumn("n_tokens", expr("size(toks)").cast("double"))
       .withColumn("n_stop", col("s_en").cast("double"))
       .withColumn("n_punct",
-        (length(col("text")) - length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
-          .cast("double"))
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double"))
       .withColumn("quality_score",
         col("n_stop") / col("n_tokens") * lit(2.0) +
           when(col("n_chars_m") >= 200.0, 1.0).otherwise(0.0) -
@@ -109,8 +108,7 @@ object TextOps {
         expr(s"""size(filter(split(trim(text), '\\\\s+'), x -> x IN ${inList(stopEn)}))""")
           .cast("double"))
       .withColumn("n_punct",
-        (length(col("text")) - length(regexp_replace(col("text"), "[a-z0-9 ]", "")))
-          .cast("double"))
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double"))
       .withColumn("quality_score",
         col("n_stop") / col("n_tokens") * lit(2.0) +
           when(col("n_chars_m") >= 200.0, 1.0).otherwise(0.0) -

@@ -151,6 +151,49 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q91 keeps the highest-quality member, not the min id, and ties break by doc_id") {
+    import spark.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val twin = "zulu yankee xray whiskey victor uniform sierra quebec papa oscar"
+    val docs = Seq(
+      (1L, base),           // near-dup of 2, quality 0 (no stopwords)
+      (2L, base + " the the"), // higher quality (stopword ratio > 0)
+      (3L, "lone wolf document with entirely distinct shingle content here"),
+      (4L, twin),           // exact copy of 5 — identical quality, tie
+      (5L, twin)
+    ).toDF("doc_id", "text")
+    val out = Curation.keepBestOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    graft.CachedFrames.drain()
+    // two clusters; the singleton (3) never appears — it has no pair
+    assert(out.map(_._1).toSeq === Seq(1L, 4L))
+    val Array(c1, c4) = out
+    // cluster {1,2}: 2 wins on quality even though 1 is the min id (q51's
+    // policy would keep 1)
+    assert(c1._2 === 2L && c1._3 === 2L && c1._4 > 0.0, c1) // stop bonus, no punct
+    // cluster {4,5}: identical text => identical score; doc_id asc breaks it
+    assert(c4._2 === 4L && c4._3 === 2L, c4)
+  }
+
+  test("q90 caps every source at DomainCap with dense ranks in quality order") {
+    val rows = TextOps.q90DomainCap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.length <= TextOps.DomainCap, s"$src over cap")
+      val ordered = rs.sortBy(_._4)
+      // ranks are dense from 1 and follow (quality DESC, doc_id ASC)
+      assert(ordered.map(_._4).toSeq === (1 to rs.length).toSeq, src)
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2), s"$src: $a !>= $b")
+        case _ =>
+      }
+    }
+  }
+
   test("q70 assignment is reproducible run to run") {
     // the window's order key (skey, doc_id) is total, so the assignment is
     // independent of input layout/parallelism — unlike rand() or
