@@ -137,11 +137,13 @@ object Curation {
     *
     * Scale shape: quality is scored AFTER the join onto cluster members
     * (members ≪ corpus — only docs that collided in a band), so the score
-    * projection runs on the small side; the arg-max is a per-component
-    * row_number immediately filtered to 1, and the cluster-size count
-    * shares the same component hash-partitioning, so the survivors pass
-    * costs one shuffle of the member set. Components are near-dup
-    * clusters — bounded by transitive copy groups, never corpus-sized. */
+    * projection runs on the small side; winner + size resolve in ONE
+    * hash aggregate — `max_by` over (quality, −doc_id) alongside the
+    * member count — so the pass is map-side partial-combined, sort-free,
+    * and constant-state per group. A pathological giant cluster (heavily
+    * templated pages can near-dup-connect millions of docs) therefore
+    * combines locally instead of buffering on one task, which a
+    * `count() OVER (PARTITION BY component)` window would do. */
   def q91KeepBest(spark: SparkSession, sfDir: String): DataFrame =
     keepBestOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
 
@@ -155,15 +157,17 @@ object Curation {
       docs.join(comps, docs("doc_id") === comps("id"))
         .select(col("component"), col("doc_id"), col("text")))
       .select(col("component"), col("doc_id"), col("quality_score"))
-    val wRank = Window.partitionBy(col("component"))
-      .orderBy(col("quality_score").desc, col("doc_id").asc)
-    val wAll = Window.partitionBy(col("component"))
     members
-      .withColumn("n_members", count(lit(1)).over(wAll))
-      .withColumn("rk", row_number().over(wRank))
-      .filter(col("rk") === 1)
-      .select(col("component"), col("doc_id").as("kept_doc_id"),
-        col("n_members"), col("quality_score").as("best_quality"))
+      .groupBy(col("component"))
+      .agg(
+        // max of (quality, −doc_id) ≡ ORDER BY quality DESC, doc_id ASC
+        // LIMIT 1; −doc_id is unique per member so the order is total and
+        // the aggregate deterministic under any combine order
+        max_by(struct(col("doc_id"), col("quality_score")),
+          struct(col("quality_score"), (-col("doc_id")).as("nid"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"), col("best.doc_id").as("kept_doc_id"),
+        col("n_members"), col("best.quality_score").as("best_quality"))
   }
 
   val q91KeepBestSql: String = s"""

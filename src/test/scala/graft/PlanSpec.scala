@@ -276,13 +276,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"), p)
   }
 
-  test("q91_keep_best: one component shuffle shared by cluster-size count and keep-best rank") {
+  test("q91_keep_best: winner + size in one map-side-combined aggregate, no window buffering") {
     val p = finalPlan("q91_keep_best")
     assert(nodes(p, "CartesianProduct") == 0, p)
-    // the arg-max is a group-limit-1 (never buffers beyond the count pass),
-    // and the count window + rank window share ONE component exchange
-    assert(p.contains("row_number(), 1, Final"), p)
+    // max_by + count resolve in a single hash aggregate: partial combine
+    // before the component exchange, so a giant cluster never buffers on
+    // one task (a count-over-partition window would)
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby") ||
+      "partial.*max_by".r.findFirstIn(p).isDefined, p)
     assert("hashpartitioning\\(component".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("WindowGroupLimit"), p)
   }
 
   test("q67_winnowing: pure projection + explode — no shuffle before the fingerprint output") {
