@@ -205,6 +205,44 @@ object Curation {
     FROM r WHERE rk = 1
   """
 
+  /** q92: per-source quota admission — every document gets an admitted /
+    * rejected verdict under a first-[[SourceQuotaK]]-per-source policy in
+    * doc_id order (the deterministic stand-in for arrival order; the
+    * streaming twin [[graft.streaming.EventStreams.sourceQuotaStream]]
+    * admits with one counter per source and agrees exactly when batches
+    * arrive in id order).
+    *
+    * Scale shape: the naive form ranks EVERY doc per source (a window that
+    * buffers whole sources). Instead the policy is reduced to a per-source
+    * CUTOFF — the K-th smallest doc_id — computed under a WindowGroupLimit
+    * (map tasks ship at most K rows per source), then broadcast back
+    * (|sources| rows) so the verdict pass is a pure projection over one
+    * scan. The verdict never shuffles the corpus. */
+  val SourceQuotaK = 15
+  def q92SourceQuota(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents").select(col("source"), col("doc_id"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+    val cutoffs = docs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= SourceQuotaK)
+      .groupBy(col("source")).agg(max(col("doc_id")).as("cutoff"))
+    docs.join(broadcast(cutoffs), Seq("source"))
+      .select(col("source"), col("doc_id"),
+        (col("doc_id") <= col("cutoff")).as("admitted"))
+  }
+
+  val q92SourceQuotaSql: String = s"""
+    WITH r AS (
+      SELECT source, doc_id,
+        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+      FROM documents),
+    t AS (
+      SELECT source, max(doc_id) AS cutoff FROM r
+      WHERE rk <= $SourceQuotaK GROUP BY source)
+    SELECT d.source, d.doc_id, d.doc_id <= t.cutoff AS admitted
+    FROM documents d JOIN t USING (source)
+  """
+
   /** Deterministic stratified sampling: per-language admission rates gated
     * by a content-hash in [0, 100). Reproducible under re-planning/retries
     * (no rand()), and the gate is a pure codegen projection — sampling

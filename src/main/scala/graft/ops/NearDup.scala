@@ -315,7 +315,6 @@ object NearDup {
   /** [[q53SpanDedup]]'s core over ANY (doc_id BIGINT, text) frame. */
   private[ops] def spanDedupOn(docs: DataFrame,
       cfg: SpanDedupConfig = DefaultSpanDedup): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = cfg.width
     val spans = docs
       .withColumn("tk", expr("""split(trim(text), '\\s+')"""))
@@ -333,14 +332,22 @@ object NearDup {
             s"(document over ~8.4M tokens or doc_id too large)')"),
           col("doc_id") * lit(1L << 20) + col("span_idx")).as("span_id"),
         expr(s"concat_ws(' ', slice(tk, span_idx * $w + 1, $w))").as("span_text"))
-    // exact: keep only the corpus-first copy of each identical span.
+    // exact: keep only the corpus-first copy of each identical span, via a
+    // min_by aggregate on the content digest — map-side partial-combined,
+    // so a boilerplate span duplicated across millions of documents emits
+    // one candidate row per map task instead of shipping every copy to a
+    // single reducer (a min-over-window partition would, and AQE's skew
+    // splitting does not apply to window partitions). span_id is unique,
+    // so min_by is a total order and deterministic under any combine order.
     // Cached too: the survivors feed the LSH signature pipeline AND the
     // final anti-join/reassembly.
     val exactKeep = graft.CachedFrames.track(spans
-      .withColumn("canon",
-        min(col("span_id")).over(Window.partitionBy(md5(col("span_text")))))
-      .filter(col("span_id") === col("canon"))
-      .drop("canon"))
+      .groupBy(md5(col("span_text")).as("ck"))
+      .agg(min_by(
+        struct(col("doc_id"), col("span_idx"), col("span_id"), col("span_text")),
+        col("span_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.span_idx").as("span_idx"),
+        col("r.span_id").as("span_id"), col("r.span_text").as("span_text")))
     // near: LSH over the exact survivors at span granularity; the later
     // span of every confident pair is dropped
     val dropIds = lshPairsOn(

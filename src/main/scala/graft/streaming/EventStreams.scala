@@ -20,6 +20,12 @@ final case class Session(user_id: Long, start_s: Long, end_s: Long, n_events: Lo
   * number of events. */
 final case class SessionBuffer(sessions: Seq[Session])
 
+/** A (source, doc_id) arrival for quota admission. */
+final case class SourceDoc(source: String, doc_id: Long)
+
+/** Per-document quota verdict. */
+final case class QuotaVerdict(source: String, doc_id: Long, admitted: Boolean)
+
 /** Structured Streaming formulations of the event-time operators whose batch
   * twins live in graft.ops.Events (SURVEY.md §2.9): the SAME window
   * transforms run on a `readStream` source with a watermark, and
@@ -185,6 +191,37 @@ object EventStreams {
     * (q25/q28's outputs), not a re-derivation; cell arrays are bounded by
     * cell size = corpus / 2^prefixBits, the same quantity that bounds the
     * batch band join's work per key. */
+  /** Streaming per-source quota admission — the ingestion rate-limiter:
+    * admit the first `k` documents of each source, reject the rest. Keyed
+    * state is ONE Long per source (the admitted count), so state size is
+    * |sources| regardless of stream length — no watermark needed because
+    * nothing is ever evicted or timed out.
+    *
+    * Twin of [[graft.ops.Curation.q92SourceQuota]], which resolves the same
+    * policy in batch as a per-source cutoff (doc_id stands in for arrival
+    * order). A group's micro-batch iterator carries no ordering guarantee,
+    * so arrivals are admitted in doc_id order WITHIN each micro-batch
+    * (sorted; micro-batch-sized buffer, not stream-sized) — feed batches
+    * that are id-ordered across batch boundaries and the stream's verdicts
+    * equal the batch twin's exactly (spec-pinned). */
+  def sourceQuotaStream(docs: Dataset[SourceDoc],
+      k: Int = graft.ops.Curation.SourceQuotaK): Dataset[QuotaVerdict] = {
+    import docs.sparkSession.implicits._
+    def fn(source: String, batch: Iterator[SourceDoc],
+           state: GroupState[Long]): Iterator[QuotaVerdict] = {
+      var n = state.getOption.getOrElse(0L)
+      val out = batch.toSeq.sortBy(_.doc_id).map { d =>
+        val admit = n < k
+        if (admit) n += 1
+        QuotaVerdict(source, d.doc_id, admit)
+      }
+      state.update(n)
+      out.iterator
+    }
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   def admissionStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
     import graft.ops.NearDup
     val cfg = NearDup.DefaultSimHash

@@ -112,9 +112,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("LeftAnti"), p)
     assert(nodes(p, "SortMergeJoin") == 0, p)
     assert(p.contains("partial_collect_list"), p)
+    // the exact keep is a min_by AGGREGATE on the content digest (partial
+    // combine before the exchange) — never a min-over-window, which would
+    // ship every copy of a boilerplate span to one reducer
+    assert(p.contains("partial_min_by"), p)
+    assert(!p.contains("WindowExec"), p)
     // full exchange census so any added shuffle is a conscious decision:
     // 2 scan right-sizings (outer + cached span frame), the span_id dedup
-    // exchange, the md5-canon window exchange, the per-doc reassembly
+    // exchange, the md5-digest min_by exchange, the per-doc reassembly
     assert(nodes(p, "Exchange") == 5, p)
   }
 
