@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
   * All queries read through here so scans stay uniform (vectorized parquet,
   * pushdown-friendly — no options that would disable the native reader).
   *
-  * The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-  * reader rejects by default; `nanosAsLong` maps it to BIGINT nanos and we
-  * re-derive a microsecond TimestampType `ts` (same instant DuckDB sees —
-  * DuckDB also truncates nanos parquet to micros).
+  * The `events` table has stored `ts` two ways across driver generations:
+  * parquet TIMESTAMP(NANOS) — which Spark's reader rejects by default, so
+  * `nanosAsLong` maps it to BIGINT nanos and we re-derive a microsecond
+  * TimestampType (the same instant DuckDB sees; DuckDB truncates nanos
+  * parquet to micros) — and plain TIMESTAMP(MICROS), which arrives as
+  * TIMESTAMP_NTZ and only needs the cast to the session-zone type every
+  * downstream query (and the UTC-session oracle parity) was built on.
+  * Dispatch on the landed type so both generations read identically.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -20,10 +24,21 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
-    else df
+    if (name == "events") normalizeEventsTs(df) else df
   }
+
+  /** Normalize the `events.ts` column to session-zone TimestampType from
+    * whichever physical form the parquet landed in (see the class doc).
+    * Exposed for consumers that read the table outside [[apply]] — e.g. the
+    * streaming specs staging the file for a `readStream` source. */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
 
   /** Config key for the [[parallelized]] floor; unset/empty → the session's
     * `defaultParallelism` (32 locally, total executor cores on a cluster).

@@ -46,7 +46,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val raw = spark.read.parquet(s"$dir/events.parquet")
     def normalize(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      graft.Tables.normalizeEventsTs(df)
     // the streaming file source needs a directory: stage the table file
     val staged = java.nio.file.Files.createTempDirectory("events-stream")
     java.nio.file.Files.copy(
@@ -138,7 +138,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     val dir = "/root/testdata/sf0.001"
     val raw = spark.read.parquet(s"$dir/events.parquet")
     def normalize(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      graft.Tables.normalizeEventsTs(df)
     val staged = java.nio.file.Files.createTempDirectory("events-join-stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
