@@ -687,8 +687,11 @@ object Embeddings {
     * candidate sets are each ≤ 3 rows per query; every join here is
     * query-batch-sized. The cost of the row is the baseline's, by design. */
   def q75RecallCompare(spark: SparkSession, sfDir: String): DataFrame = {
-    val truth = q29KnnBrute(spark, sfDir).filter(col("rk") <= 3)
-      .select(col("id1").as("qid"), col("id2").as("cand_id"))
+    // cached: the truth feeds SIX consumers (five hit joins + the query
+    // roster) — untracked, the queries×corpus crossJoin replays for each
+    val truth = graft.CachedFrames.track(
+      q29KnnBrute(spark, sfDir).filter(col("rk") <= 3)
+        .select(col("id1").as("qid"), col("id2").as("cand_id")))
     // ONE cached nprobe=2 assignment pass serves BOTH label-codebook
     // candidate sets: single-probe = its probe_rk=1 slice (identical to
     // q46's nprobe=1 assignment — same best cell, same tie-break), multi =
@@ -1074,8 +1077,11 @@ object Embeddings {
     * the bounded query batch (queries × corpus, not corpus²); the recall
     * join itself is query-batch-sized — trivially broadcastable. */
   def q63AnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    val truth = q29KnnBrute(spark, sfDir).filter(col("rk") <= 3)
-      .select(col("id1").as("qid"), col("id2").as("cand_id"))
+    // cached: the brute-force truth feeds both the hit join and the query
+    // roster — untracked, the queries×corpus crossJoin runs once per consumer
+    val truth = graft.CachedFrames.track(
+      q29KnnBrute(spark, sfDir).filter(col("rk") <= 3)
+        .select(col("id1").as("qid"), col("id2").as("cand_id")))
     val ivf = q46IvfAnn(spark, sfDir).select(col("qid"), col("cand_id"))
     val hits = truth.join(ivf, Seq("qid", "cand_id"))
       .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
