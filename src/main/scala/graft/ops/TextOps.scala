@@ -1048,4 +1048,224 @@ object TextOps {
     SELECT source, doc_id, quality_score, CAST(rk AS INTEGER) AS rk
     FROM r WHERE rk <= $DomainCap
   """
+
+  /** q92: CCNet-style language-model quality scoring — an add-one-smoothed
+    * bigram LM is trained on a deterministic reference slice of the corpus
+    * (doc_id % [[LmRefMod]] = 0, standing in for the curated target domain)
+    * and every document is scored by its per-token cross-entropy under
+    * that LM. The filter a CCNet pipeline thresholds on.
+    *
+    * Float policy: ln()/exp() differ in the last ulp across libm
+    * implementations (the q44 scaladoc's rule), so the oracle-checked score
+    * is the INTEGER-QUANTIZED cross-entropy in bits: each token costs
+    * `length(bin(floor(1/p)))` — the bit length of its integer inverse
+    * probability, i.e. ceil-to-1-bit of −log2 p — where floor(1/p) is a
+    * single double division of integer-valued counts (bitwise portable) and
+    * bin() is the exact binary rendering both engines share. avg_bits is
+    * then one exact division; callers wanting true perplexity compute
+    * 2^avg_bits downstream (one non-gated projection). Token costs are
+    * integers, so the per-document sum is order-insensitive by construction.
+    *
+    * Model: p(t₁) = (c(t₁)+1)/(N+V+1); p(tᵢ|tᵢ₋₁) =
+    * (c(tᵢ₋₁,tᵢ)+1)/(c(tᵢ₋₁)+V+1) — unseen tokens/bigrams fall back to
+    * the smoothing mass, so every document scores.
+    *
+    * Scale shape: the LM tables are vocabulary-sized aggregates of the
+    * reference slice (map-side-combinable counts), broadcast against the
+    * position-exploded corpus — the corpus itself is scanned ONCE and never
+    * shuffled; the per-doc rollup is a combinable sum on doc_id. N and V
+    * ride along as a broadcast 1-row aggregate, not driver-side actions. */
+  val LmRefMod = 10
+
+  def q92LmBits(spark: SparkSession, sfDir: String): DataFrame =
+    lmBitsOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+
+  private[ops] def lmBitsOn(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), expr("""split(trim(text), '\\s+')""").as("toks"))
+    val ref = toks.filter(col("doc_id") % LmRefMod === 0)
+    // unigram LM table: three consumers (N/V aggregate + two scoring joins)
+    val uni = graft.CachedFrames.track(
+      ref.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c")))
+    val nv = uni.agg(sum(col("c")).cast("double").as("lm_n"),
+      count(lit(1)).cast("double").as("lm_v"))
+    val big = ref.filter(expr("size(toks) >= 2"))
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+        .as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val stream = toks
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("i", "w")))
+      .withColumn("prev", expr("CASE WHEN i >= 1 THEN toks[i - 1] END"))
+      .drop("toks")
+    stream
+      .join(broadcast(uni.select(col("w"), col("c").as("c_cur"))), Seq("w"), "left")
+      .join(broadcast(uni.select(col("w").as("prev"), col("c").as("c_prev"))),
+        Seq("prev"), "left")
+      .join(broadcast(big.select(col("w1").as("prev"), col("w2").as("w"),
+        col("cb"))), Seq("prev", "w"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("inv", expr(
+        """CASE WHEN prev IS NULL
+             THEN CAST(floor((lm_n + lm_v + 1.0)
+                    / (CAST(coalesce(c_cur, 0) AS DOUBLE) + 1.0)) AS BIGINT)
+             ELSE CAST(floor((CAST(coalesce(c_prev, 0) AS DOUBLE) + lm_v + 1.0)
+                    / (CAST(coalesce(cb, 0) AS DOUBLE) + 1.0)) AS BIGINT) END"""))
+      .withColumn("bits", length(bin(col("inv"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+      .withColumn("avg_bits",
+        col("sum_bits").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  val q92LmBitsSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+    ref AS (SELECT * FROM t WHERE doc_id % $LmRefMod = 0),
+    uni AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest(tk) AS w FROM ref) GROUP BY 1),
+    nv AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS lm_n, CAST(count(*) AS DOUBLE) AS lm_v
+      FROM uni),
+    big AS (
+      SELECT w1, w2, count(*) AS cb
+      FROM (SELECT tk[i.idx] AS w1, tk[i.idx + 1] AS w2
+            FROM ref, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS idx) i
+            WHERE len(tk) >= 2)
+      GROUP BY 1, 2),
+    s AS (
+      SELECT doc_id, tk[i.idx] AS w,
+        CASE WHEN i.idx > 1 THEN tk[i.idx - 1] END AS prev
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS idx) i),
+    j AS (
+      SELECT s.doc_id,
+        CASE WHEN s.prev IS NULL
+          THEN CAST(floor((nv.lm_n + nv.lm_v + 1.0)
+                 / (CAST(coalesce(u1.c, 0) AS DOUBLE) + 1.0)) AS BIGINT)
+          ELSE CAST(floor((CAST(coalesce(u2.c, 0) AS DOUBLE) + nv.lm_v + 1.0)
+                 / (CAST(coalesce(b.cb, 0) AS DOUBLE) + 1.0)) AS BIGINT) END AS inv
+      FROM s CROSS JOIN nv
+      LEFT JOIN uni u1 ON s.w = u1.w
+      LEFT JOIN uni u2 ON s.prev = u2.w
+      LEFT JOIN big b ON s.prev = b.w1 AND s.w = b.w2)
+    SELECT doc_id, count(*) AS n_tokens,
+      CAST(sum(length(bin(inv))) AS BIGINT) AS sum_bits,
+      CAST(sum(length(bin(inv))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_bits
+    FROM j GROUP BY 1
+  """
+
+  /** q93: DSIR importance weighting (Xie et al. 2023) — score every
+    * document by how much more likely its hashed-bigram features are under
+    * the TARGET distribution (here: documents the q23 language scorer
+    * calls 'en', the curated domain) than under the RAW corpus
+    * distribution, then select the documents the target up-weights. The
+    * data-selection step before pre-training.
+    *
+    * w(x) = Σ_gram [bits_raw(bucket) − bits_target(bucket)], the same
+    * integer-bits quantization of log(p_target/p_raw) as q92 (ln() is not
+    * oracle-portable): bits_X = length(bin(floor((N_X + B)/(c_X + 1)))),
+    * add-one smoothing over B = [[DsirBuckets]] hashed buckets
+    * (md5_prefix56, the library's salted content hash). Integer terms →
+    * the per-doc sum is order-insensitive.
+    *
+    * Scale shape: the exploded gram stream is computed ONCE (cached, three
+    * consumers: the 1-row totals aggregate, the two bucket-count
+    * aggregates are derived in one pass each, all map-side-combinable to B
+    * rows); the B-row delta table broadcasts back against the stream, and
+    * the per-doc rollup is a combinable sum — the corpus never shuffles.
+    * Gram-less documents (< 2 tokens) surface with n_grams = 0, w_bits =
+    * 0, selected = false via the final left join from the full roster. */
+  val DsirBuckets = 512
+  private val DsirSalt = "dsir:"
+
+  def q93Dsir(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    dsirOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+  }
+
+  private[ops] def dsirOn(docs: DataFrame): DataFrame = {
+    val base = docs.withColumn("toks", expr("""split(trim(text), '\\s+')"""))
+    val withLang = langProfiles.foldLeft(base) { case (d, (lang, words)) =>
+      d.withColumn(s"s_$lang", expr(s"size(filter(toks, x -> x IN ${inList(words)}))"))
+    }
+      .withColumn("pred_lang",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_es") >= col("s_de"), "es")
+          .otherwise("de"))
+    // one exploded pass; three consumers (totals, raw counts, target counts,
+    // and the scoring join) — cached so the corpus expansion runs once
+    val grams = graft.CachedFrames.track(withLang
+      .filter(expr("size(toks) >= 2"))
+      .select(col("doc_id"), col("pred_lang"),
+        explode(expr(ngramsExpr(2, distinct = false))).as("g"))
+      .withColumn("bucket", expr(
+        s"md5_prefix56(concat('$DsirSalt', g)) % $DsirBuckets"))
+      .drop("g"))
+    val totals = grams.agg(
+      count(lit(1)).cast("double").as("n_raw"),
+      count(when(col("pred_lang") === "en", lit(1))).cast("double").as("n_tgt"))
+    val cRaw = grams.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val cTgt = grams.filter(col("pred_lang") === "en")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val delta = cRaw.join(cTgt, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), (
+        length(bin(expr(s"CAST(floor((n_raw + $DsirBuckets.0) " +
+          "/ (CAST(coalesce(cr, 0) AS DOUBLE) + 1.0)) AS BIGINT)"))) -
+        length(bin(expr(s"CAST(floor((n_tgt + $DsirBuckets.0) " +
+          "/ (CAST(coalesce(ct, 0) AS DOUBLE) + 1.0)) AS BIGINT)")))
+      ).as("d_bits"))
+    val perDoc = grams.join(broadcast(delta), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("d_bits")).as("w_bits"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("w_bits"), lit(0L)).as("w_bits"))
+      .withColumn("selected", col("w_bits") > 0)
+  }
+
+  val q93DsirSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+    lang AS (
+      SELECT doc_id, tk,
+        ${hitsSql("en")} AS s_en, ${hitsSql("es")} AS s_es, ${hitsSql("de")} AS s_de
+      FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS tk
+            FROM documents)),
+    grams AS (
+      SELECT doc_id,
+        CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+             WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang,
+        ('0x' || substr(md5('$DsirSalt' || g.g), 1, 14))::BIGINT % $DsirBuckets AS bucket
+      FROM lang, LATERAL (
+        SELECT unnest(${ngramsSqlExpr(2, distinct = false)}) AS g) g
+      WHERE len(tk) >= 2),
+    totals AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_raw,
+        CAST(count(CASE WHEN pred_lang = 'en' THEN 1 END) AS DOUBLE) AS n_tgt
+      FROM grams),
+    craw AS (SELECT bucket, count(*) AS cr FROM grams GROUP BY 1),
+    ctgt AS (SELECT bucket, count(*) AS ct FROM grams WHERE pred_lang = 'en' GROUP BY 1),
+    delta AS (
+      SELECT coalesce(craw.bucket, ctgt.bucket) AS bucket,
+        CAST(length(bin(CAST(floor((totals.n_raw + $DsirBuckets.0)
+            / (CAST(coalesce(craw.cr, 0) AS DOUBLE) + 1.0)) AS BIGINT)))
+          - length(bin(CAST(floor((totals.n_tgt + $DsirBuckets.0)
+            / (CAST(coalesce(ctgt.ct, 0) AS DOUBLE) + 1.0)) AS BIGINT))) AS INTEGER)
+          AS d_bits
+      FROM craw FULL OUTER JOIN ctgt ON craw.bucket = ctgt.bucket
+      CROSS JOIN totals),
+    perdoc AS (
+      SELECT g.doc_id, count(*) AS n_grams, CAST(sum(d.d_bits) AS BIGINT) AS w_bits
+      FROM grams g JOIN delta d ON g.bucket = d.bucket
+      GROUP BY 1)
+    SELECT d.doc_id,
+      coalesce(p.n_grams, 0) AS n_grams,
+      coalesce(p.w_bits, 0) AS w_bits,
+      coalesce(p.w_bits, 0) > 0 AS selected
+    FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+  """
 }

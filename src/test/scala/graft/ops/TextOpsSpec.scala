@@ -57,6 +57,110 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.collect().map(_.toSeq).toSet === ref.collect().map(_.toSeq).toSet)
   }
 
+  test("q92 LM bits reproduce an independent bigram-LM reference exactly") {
+    import spark.implicits._
+    // doc 0 and 10 form the reference slice (doc_id % 10 = 0); 1 and 7 are
+    // scored against it, incl. OOV tokens and an unseen bigram of seen words
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (10L, "the dog sat on the log"),
+      (1L, "the cat sat on the log"),  // seen words, one novel bigram path
+      (7L, "purple zebra the cat")     // OOV head + seen tail
+    ).toDF("doc_id", "text")
+    val got = TextOps.lmBitsOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    graft.CachedFrames.drain()
+    // independent reference: plain Scala maps over the same formulas
+    val refToks = Seq("the cat sat on the mat", "the dog sat on the log")
+      .map(_.split("\\s+").toSeq)
+    val uni = refToks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val big = refToks.flatMap(t => t.sliding(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = refToks.map(_.size).sum.toDouble
+    val v = uni.size.toDouble
+    def bits(inv: Long): Long = java.lang.Long.toBinaryString(inv).length.toLong
+    def cost(toks: Seq[String]): (Long, Long) = {
+      val costs = toks.zipWithIndex.map { case (w, i) =>
+        val inv =
+          if (i == 0) math.floor((n + v + 1.0) / (uni.getOrElse(w, 0L) + 1.0)).toLong
+          else math.floor((uni.getOrElse(toks(i - 1), 0L) + v + 1.0) /
+            (big.getOrElse((toks(i - 1), w), 0L) + 1.0)).toLong
+        bits(inv)
+      }
+      (toks.size.toLong, costs.sum)
+    }
+    for ((id, text) <- Seq(0L -> "the cat sat on the mat",
+        10L -> "the dog sat on the log", 1L -> "the cat sat on the log",
+        7L -> "purple zebra the cat")) {
+      val (nt, sb) = cost(text.split("\\s+").toSeq)
+      val row = got.find(_._1 == id).get
+      assert(row._2 === nt, s"doc $id n_tokens")
+      assert(row._3 === sb, s"doc $id sum_bits")
+      assert(row._4 === sb.toDouble / nt.toDouble, s"doc $id avg_bits")
+    }
+    // in-reference docs compress better than the OOV-heavy outsider
+    assert(got.find(_._1 == 0L).get._4 < got.find(_._1 == 7L).get._4)
+  }
+
+  test("q93 DSIR weights reproduce an independent reference; en-like docs up-weight") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // two clearly-en docs (stopword-heavy), two es docs, one 1-token doc
+    val texts = Seq(
+      (1L, "the cat and the dog of the house went to the garden"),
+      (2L, "the sun and the moon of the sky belong to the night"),
+      (3L, "el perro y el gato de la casa que corre la calle"),
+      (4L, "la luna y el sol de la noche que brilla el cielo"),
+      (5L, "solitary"))
+    val docs = texts.toDF("doc_id", "text")
+    val got = TextOps.dsirOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    graft.CachedFrames.drain()
+    // independent reference in plain Scala
+    val stopEn = Set("the", "a", "of", "and", "to")
+    val stopEs = Set("el", "la", "de", "y", "que")
+    val stopDe = Set("der", "die", "und", "das", "ist")
+    def lang(toks: Seq[String]): String = {
+      val (e, s, d) = (toks.count(stopEn), toks.count(stopEs), toks.count(stopDe))
+      if (e >= s && e >= d) "en" else if (s >= d) "es" else "de"
+    }
+    def bucket(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(("dsir:" + g).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 14), 16) % TextOps.DsirBuckets
+    }
+    val grams = texts.flatMap { case (id, t) =>
+      val toks = t.split("\\s+").toSeq
+      if (toks.size < 2) Seq.empty
+      else toks.sliding(2).map(p => (id, lang(toks), bucket(p.mkString(" ")))).toSeq
+    }
+    val nRaw = grams.size.toDouble
+    val nTgt = grams.count(_._2 == "en").toDouble
+    val cRaw = grams.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val cTgt = grams.filter(_._2 == "en").groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    def delta(b: Long): Long =
+      bits(math.floor((nRaw + TextOps.DsirBuckets) / (cRaw.getOrElse(b, 0L) + 1.0)).toLong) -
+        bits(math.floor((nTgt + TextOps.DsirBuckets) / (cTgt.getOrElse(b, 0L) + 1.0)).toLong)
+    for ((id, t) <- texts) {
+      val toks = t.split("\\s+").toSeq
+      val ds = if (toks.size < 2) Seq.empty
+        else toks.sliding(2).map(p => delta(bucket(p.mkString(" ")))).toSeq
+      val row = got.find(_._1 == id).get
+      assert(row._2 === ds.size.toLong, s"doc $id n_grams")
+      assert(row._3 === ds.sum, s"doc $id w_bits")
+      assert(row._4 === (ds.sum > 0), s"doc $id selected")
+    }
+    // the gram-less doc surfaces with zeros, unselected
+    assert(got.find(_._1 == 5L).get === ((5L, 0L, 0L, false)))
+    // direction: target-like (en) docs weigh at least as much as es docs
+    val wOf = got.map(r => r._1 -> r._3).toMap
+    assert(Seq(1L, 2L).map(wOf).min >= Seq(3L, 4L).map(wOf).max)
+  }
+
   test("q65 chunks reproduce an independent sliding-window reference exactly") {
     val sf = "/root/testdata/sf0.001"
     val got = TextOps.q65ChunkOverlap(spark, sf).collect()
