@@ -205,7 +205,7 @@ object Curation {
     FROM r WHERE rk = 1
   """
 
-  /** q92: per-source quota admission — every document gets an admitted /
+  /** q94: per-source quota admission — every document gets an admitted /
     * rejected verdict under a first-[[SourceQuotaK]]-per-source policy in
     * doc_id order (the deterministic stand-in for arrival order; the
     * streaming twin [[graft.streaming.EventStreams.sourceQuotaStream]]
@@ -219,7 +219,7 @@ object Curation {
     * (|sources| rows) so the verdict pass is a pure projection over one
     * scan. The verdict never shuffles the corpus. */
   val SourceQuotaK = 15
-  def q92SourceQuota(spark: SparkSession, sfDir: String): DataFrame = {
+  def q94SourceQuota(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents").select(col("source"), col("doc_id"))
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
     val cutoffs = docs
@@ -231,7 +231,7 @@ object Curation {
         (col("doc_id") <= col("cutoff")).as("admitted"))
   }
 
-  val q92SourceQuotaSql: String = s"""
+  val q94SourceQuotaSql: String = s"""
     WITH r AS (
       SELECT source, doc_id,
         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk

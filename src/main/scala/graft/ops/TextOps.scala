@@ -1170,13 +1170,15 @@ object TextOps {
     * (md5_prefix56, the library's salted content hash). Integer terms →
     * the per-doc sum is order-insensitive.
     *
-    * Scale shape: the exploded gram stream is computed ONCE (cached, three
-    * consumers: the 1-row totals aggregate, the two bucket-count
-    * aggregates are derived in one pass each, all map-side-combinable to B
-    * rows); the B-row delta table broadcasts back against the stream, and
-    * the per-doc rollup is a combinable sum — the corpus never shuffles.
-    * Gram-less documents (< 2 tokens) surface with n_grams = 0, w_bits =
-    * 0, selected = false via the final left join from the full roster. */
+    * Scale shape: the exploded gram stream is computed ONCE (cached; the
+    * 1-row totals aggregate and the two bucket-count aggregates are all
+    * map-side-combinable to B rows); the B-row delta table broadcasts back
+    * against the stream, and the per-doc rollup is a combinable sum whose
+    * partials collapse to one row per document BEFORE the doc_id exchange
+    * — the only corpus-sized shuffle in the plan. Gram-less documents
+    * (< 2 tokens) ride the same pass as explode_outer NULL rows (no
+    * roster join-back) and surface with n_grams = 0, w_bits = 0,
+    * selected = false. */
   val DsirBuckets = 512
   private val DsirSalt = "dsir:"
 
@@ -1194,20 +1196,24 @@ object TextOps {
         when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
           .when(col("s_es") >= col("s_de"), "es")
           .otherwise("de"))
-    // one exploded pass; three consumers (totals, raw counts, target counts,
-    // and the scoring join) — cached so the corpus expansion runs once
+    // one exploded pass; four consumers (totals, raw counts, target counts,
+    // the scoring join) — cached so the corpus expansion runs once.
+    // explode_outer keeps gram-less docs as a NULL-bucket row, so the final
+    // per-doc rollup covers the whole roster without a corpus join-back.
     val grams = graft.CachedFrames.track(withLang
-      .filter(expr("size(toks) >= 2"))
       .select(col("doc_id"), col("pred_lang"),
-        explode(expr(ngramsExpr(2, distinct = false))).as("g"))
+        explode_outer(expr(
+          s"CASE WHEN size(toks) >= 2 THEN ${ngramsExpr(2, distinct = false)} END"))
+          .as("g"))
       .withColumn("bucket", expr(
         s"md5_prefix56(concat('$DsirSalt', g)) % $DsirBuckets"))
       .drop("g"))
     val totals = grams.agg(
-      count(lit(1)).cast("double").as("n_raw"),
-      count(when(col("pred_lang") === "en", lit(1))).cast("double").as("n_tgt"))
-    val cRaw = grams.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
-    val cTgt = grams.filter(col("pred_lang") === "en")
+      count(col("bucket")).cast("double").as("n_raw"),
+      count(when(col("pred_lang") === "en", col("bucket"))).cast("double").as("n_tgt"))
+    val cRaw = grams.filter(col("bucket").isNotNull)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val cTgt = grams.filter(col("bucket").isNotNull && col("pred_lang") === "en")
       .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
     val delta = cRaw.join(cTgt, Seq("bucket"), "full_outer")
       .crossJoin(broadcast(totals))
@@ -1217,13 +1223,10 @@ object TextOps {
         length(bin(expr(s"CAST(floor((n_tgt + $DsirBuckets.0) " +
           "/ (CAST(coalesce(ct, 0) AS DOUBLE) + 1.0)) AS BIGINT)")))
       ).as("d_bits"))
-    val perDoc = grams.join(broadcast(delta), Seq("bucket"))
+    grams.join(broadcast(delta), Seq("bucket"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), sum(col("d_bits")).as("w_bits"))
-    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("w_bits"), lit(0L)).as("w_bits"))
+      .agg(count(col("bucket")).as("n_grams"),
+        coalesce(sum(col("d_bits")), lit(0L)).as("w_bits"))
       .withColumn("selected", col("w_bits") > 0)
   }
 

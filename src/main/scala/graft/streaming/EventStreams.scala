@@ -197,7 +197,7 @@ object EventStreams {
     * |sources| regardless of stream length — no watermark needed because
     * nothing is ever evicted or timed out.
     *
-    * Twin of [[graft.ops.Curation.q92SourceQuota]], which resolves the same
+    * Twin of [[graft.ops.Curation.q94SourceQuota]], which resolves the same
     * policy in batch as a per-source cutoff (doc_id stands in for arrival
     * order). A group's micro-batch iterator carries no ordering guarantee,
     * so arrivals are admitted in doc_id order WITHIN each micro-batch

@@ -293,6 +293,40 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("WindowGroupLimit"), p)
   }
 
+  test("q92_lm_bits: LM tables broadcast against one corpus pass, no sort-merge") {
+    // FULL plan text (like q71's case): the cached unigram table nests an
+    // adaptive plan whose Initial section would truncate finalPlan's census
+    val df = SparkEntry.queries("q92_lm_bits")(spark, sf)
+    val p = try { df.queryExecution.toRdd.count(); df.queryExecution.executedPlan.toString }
+            finally CachedFrames.drain()
+    // unigram (twice: current + previous token) and bigram joins all
+    // broadcast — the position-exploded corpus stream never shuffles for
+    // the LM lookups, only for the final per-doc rollup
+    assert(nodes(p, "BroadcastHashJoin") >= 3, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    // N/V ride as a broadcast 1-row aggregate, not a driver-side action
+    assert(nodes(p, "BroadcastNestedLoopJoin") >= 1, p)
+    // the per-doc sum combines map-side before the doc_id exchange
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q93_dsir: bucket delta broadcasts against the cached gram stream; " +
+    "the only corpus-sized exchange is the per-doc rollup") {
+    val df = SparkEntry.queries("q93_dsir")(spark, sf)
+    val p = try { df.queryExecution.toRdd.count(); df.queryExecution.executedPlan.toString }
+            finally CachedFrames.drain()
+    // scoring join (delta -> stream) is broadcast; the delta build's tiny
+    // B-row full-outer may plan however it likes, but nothing corpus-sized
+    // may sort-merge or go quadratic
+    assert(nodes(p, "BroadcastHashJoin") >= 1, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    // explode_outer covers the roster in the same pass — no join back to
+    // the documents table keyed on doc_id anywhere in the plan
+    assert(!"Join \\[doc_id".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q67_winnowing: pure projection + explode — no shuffle before the fingerprint output") {
     val p = finalPlan("q67_winnowing")
     assert(nodes(p, "Generate") == 1, p)

@@ -194,6 +194,17 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q94 source quota admits exactly the k smallest doc_ids per source") {
+    val rows = Curation.q94SourceQuota(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val admitted = rs.filter(_._3).map(_._2).sorted.toSeq
+      val expected = rs.map(_._2).sorted.take(Curation.SourceQuotaK).toSeq
+      assert(admitted === expected, s"$src admits the k smallest ids")
+    }
+  }
+
   test("q70 assignment is reproducible run to run") {
     // the window's order key (skey, doc_id) is total, so the assignment is
     // independent of input layout/parallelism — unlike rand() or

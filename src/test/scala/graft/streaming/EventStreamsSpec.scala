@@ -107,6 +107,36 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming source-quota admits first-k per source and matches the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 3
+    val mem = MemoryStream[SourceDoc]
+    val q = EventStreams.sourceQuotaStream(mem.toDS(), k)
+      .writeStream.format("memory").queryName("quota_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // id-ordered across batch boundaries (the documented agreement
+      // precondition); the counter must carry state ACROSS batches
+      mem.addData(
+        SourceDoc("crawl", 1L), SourceDoc("crawl", 2L), SourceDoc("books", 10L))
+      q.processAllAvailable()
+      mem.addData(
+        SourceDoc("crawl", 3L), SourceDoc("crawl", 4L),
+        SourceDoc("books", 11L), SourceDoc("books", 12L), SourceDoc("books", 13L))
+      q.processAllAvailable()
+      val got = spark.table("quota_stream").as[QuotaVerdict].collect()
+        .map(v => (v.source, v.doc_id) -> v.admitted).toMap
+      // batch twin on the same roster: first k doc_ids per source admit
+      val expected = Map(
+        ("crawl", 1L) -> true, ("crawl", 2L) -> true, ("crawl", 3L) -> true,
+        ("crawl", 4L) -> false,
+        ("books", 10L) -> true, ("books", 11L) -> true, ("books", 12L) -> true,
+        ("books", 13L) -> false)
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join pairs clicks with in-horizon views only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
