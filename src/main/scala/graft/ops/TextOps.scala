@@ -1080,9 +1080,14 @@ object TextOps {
   def q92LmBits(spark: SparkSession, sfDir: String): DataFrame =
     lmBitsOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
 
-  private[ops] def lmBitsOn(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), expr("""split(trim(text), '\\s+')""").as("toks"))
-    val ref = toks.filter(col("doc_id") % LmRefMod === 0)
+  /** The add-one bigram LM tables behind q92, built from any (doc_id,
+    * text) frame's reference slice: (uni, big, nv) = unigram counts,
+    * bigram counts, and the 1-row (lm_n, lm_v) totals. Shared by the batch
+    * scorer and the streaming quality gate (which collapses them to maps).
+    * The unigram table is cached — the caller's thread drains it. */
+  private[graft] def lmTables(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val ref = docs.filter(col("doc_id") % LmRefMod === 0)
+      .select(expr("""split(trim(text), '\\s+')""").as("toks"))
     // unigram LM table: three consumers (N/V aggregate + two scoring joins)
     val uni = graft.CachedFrames.track(
       ref.select(explode(col("toks")).as("w"))
@@ -1095,6 +1100,12 @@ object TextOps {
         .as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("cb"))
+    (uni, big, nv)
+  }
+
+  private[graft] def lmBitsOn(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), expr("""split(trim(text), '\\s+')""").as("toks"))
+    val (uni, big, nv) = lmTables(docs)
     val stream = toks
       .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("i", "w")))
       .withColumn("prev", expr("CASE WHEN i >= 1 THEN toks[i - 1] END"))

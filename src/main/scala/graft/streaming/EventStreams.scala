@@ -283,6 +283,49 @@ object EventStreams {
     Embeddings.admitVectorsAgainstIndex(vecs, centsRow, cells)
   }
 
+  /** Streaming LM quality gate — the stream-static twin of the batch
+    * bigram-LM scorer ([[graft.ops.TextOps.q92LmBits]]): each arriving
+    * (doc_id, text) row is scored against the STANDING corpus-trained LM
+    * and emits the identical (n_tokens, sum_bits, avg_bits) columns, so an
+    * ingestion pipeline can threshold quality before admission with the
+    * exact numbers the batch curation computed.
+    *
+    * Statelessness, row-locally: the LM collapses to ONE broadcast row —
+    * the unigram counts as a map column, the bigram counts keyed by
+    * "w1 w2", plus the (N, V) totals — so a row's whole cost array is one
+    * codegen `transform` over its tokens (map probes replace the batch
+    * form's broadcast joins; same CASE, same floor/bin arithmetic) and the
+    * per-doc sum is an array `aggregate`, never a streaming aggregation.
+    * No watermark, no state store, exactly-once per row; EventStreamsSpec
+    * pins bitwise row equality (incl. avg_bits) against q92 on the same
+    * documents. The map row is vocabulary-bounded — the same budget as the
+    * admission index's cell arrays; a production corpus caps V at the LM's
+    * vocab cut exactly as a tokenizer would. */
+  def lmQualityStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.ops.TextOps
+    val (uni, big, nv) = TextOps.lmTables(corpus)
+    val lm = uni
+      .agg(map_from_entries(collect_list(struct(col("w"), col("c")))).as("uni_m"))
+      .crossJoin(big.agg(map_from_entries(collect_list(
+        struct(concat_ws(" ", col("w1"), col("w2")), col("cb")))).as("big_m")))
+      .crossJoin(nv)
+    docs.crossJoin(broadcast(lm))
+      .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
+      .withColumn("bits_arr", expr("""
+        transform(sequence(0, size(toks) - 1), i ->
+          length(bin(CASE WHEN i = 0
+            THEN CAST(floor((lm_n + lm_v + 1.0)
+                   / (CAST(coalesce(uni_m[toks[0]], 0) AS DOUBLE) + 1.0)) AS BIGINT)
+            ELSE CAST(floor((CAST(coalesce(uni_m[toks[i - 1]], 0) AS DOUBLE) + lm_v + 1.0)
+                   / (CAST(coalesce(big_m[concat(toks[i - 1], ' ', toks[i])], 0)
+                        AS DOUBLE) + 1.0)) AS BIGINT) END)))"""))
+      .select(col("doc_id"),
+        expr("CAST(size(toks) AS BIGINT)").as("n_tokens"),
+        expr("aggregate(bits_arr, CAST(0 AS BIGINT), (a, x) -> a + x)").as("sum_bits"))
+      .withColumn("avg_bits",
+        col("sum_bits").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** The same sessionization via the BUILT-IN `session_window` aggregation —
     * Spark's native gap-session operator (merge-on-late-event, emit-on-seal
     * are handled by the engine's session-window state store). Kept alongside

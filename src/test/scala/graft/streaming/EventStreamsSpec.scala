@@ -383,6 +383,32 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(got.size === 25 && got.exists(_._2 == "dup_near"))
   }
 
+  test("streaming LM quality gate equals the q92 batch scorer bitwise") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val staged = java.nio.file.Files.createTempDirectory("lm-quality-e2e")
+    docs.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    val stream = spark.readStream.schema(docs.schema).parquet(staged.toString)
+    def toMapped(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val q = EventStreams.lmQualityStream(stream, docs)
+      .writeStream.format("memory").queryName("lm_quality_e2e")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val got = try {
+      q.awaitTermination()
+      toMapped(spark.table("lm_quality_e2e").collect())
+    } finally q.stop()
+    val expected = toMapped(graft.ops.TextOps.lmBitsOn(docs).collect())
+    graft.CachedFrames.drain()
+    assert(got === expected) // bitwise, avg_bits included
+    assert(got.nonEmpty)
+  }
+
   test("checkpoint restart: admission stream resumes exactly-once — batch 2 " +
     "lands while the query is down, nothing re-emits, union equals q71") {
     import org.apache.spark.sql.functions.{col, lit, to_timestamp}
