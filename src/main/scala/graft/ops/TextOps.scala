@@ -1167,6 +1167,79 @@ object TextOps {
     FROM j GROUP BY 1
   """
 
+  /** q95: count-min-sketch heavy hitters — the streaming-friendly
+    * frequent-token sketch (Cormode & Muthukrishnan) next to its exact
+    * answer, as a gate number: estimate ≥ exact always (CMS never
+    * undercounts), and the overcount column shows what [[CmsDepth]]×
+    * [[CmsWidth]] counters buy at this corpus size. The sketch is fully
+    * deterministic (md5-salted row hashes, integer counters), so the
+    * oracle reproduces it exactly — same contract as the q38/q50 sketch
+    * pair.
+    *
+    * Scale shape: the sketch is a d×w-cell aggregate (map-side-combinable
+    * counts — the whole sketch is ~768 integers regardless of corpus
+    * size, THE point of CMS at 100 TB); the exact top-k exists to score
+    * the sketch and is the same shape as q43. The probe joins are
+    * k·d rows against the broadcast sketch. The exploded token stream is
+    * computed once (cached) and feeds both. */
+  val CmsDepth = 3
+  val CmsWidth = 256
+  val CmsTopK = 20
+
+  def q95HeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    heavyHittersOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+  }
+
+  private def cmsBucketsExpr: String =
+    (0 until CmsDepth).map(r =>
+      s"md5_prefix56(concat('cms$r:', token)) % $CmsWidth").mkString("array(", ", ", ")")
+
+  private[graft] def heavyHittersOn(docs: DataFrame): DataFrame = {
+    val toks = graft.CachedFrames.track(
+      docs.select(explode(expr("""split(trim(text), '\\s+')""")).as("token")))
+    val sketch = toks
+      .select(col("token"), posexplode(expr(cmsBucketsExpr)).as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("token").asc).limit(CmsTopK)
+    exact
+      .select(col("token"), col("exact"),
+        posexplode(expr(cmsBucketsExpr)).as(Seq("r", "bucket")))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(col("token"))
+      .agg(max(col("exact")).as("exact"), min(col("c")).as("cms_est"))
+      .select(col("token"), col("exact"), col("cms_est"),
+        (col("cms_est") - col("exact")).as("overcount"))
+  }
+
+  val q95HeavyHittersSql: String = {
+    val bucketSql = (r: String) =>
+      s"('0x' || substr(md5('cms' || $r || ':' || token), 1, 14))::BIGINT % $CmsWidth"
+    s"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents),
+    b AS (
+      SELECT token, r.r AS r, ${bucketSql("r.r")} AS bucket
+      FROM tok, LATERAL (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS r) r),
+    sketch AS (SELECT r, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+    exact AS (
+      SELECT token, count(*) AS exact FROM tok GROUP BY 1
+      ORDER BY exact DESC, token ASC LIMIT $CmsTopK),
+    eb AS (
+      SELECT e.token, e.exact, r.r AS r, ${bucketSql("r.r")} AS bucket
+      FROM exact e, LATERAL (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS r) r),
+    est AS (
+      SELECT eb.token, max(eb.exact) AS exact, min(s.c) AS est
+      FROM eb JOIN sketch s ON eb.r = s.r AND eb.bucket = s.bucket
+      GROUP BY 1)
+    SELECT token, CAST(exact AS BIGINT) AS exact, CAST(est AS BIGINT) AS cms_est,
+      CAST(est - exact AS BIGINT) AS overcount
+    FROM est
+  """
+  }
+
   /** q93: DSIR importance weighting (Xie et al. 2023) — score every
     * document by how much more likely its hashed-bigram features are under
     * the TARGET distribution (here: documents the q23 language scorer

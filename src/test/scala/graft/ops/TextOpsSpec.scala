@@ -161,6 +161,48 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(Seq(1L, 2L).map(wOf).min >= Seq(3L, 4L).map(wOf).max)
   }
 
+  test("q95 CMS heavy hitters reproduce an independent sketch; never undercount") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // skewed token frequencies + enough distinct tokens that buckets matter
+    val docs = (1L to 30L).map { i =>
+      val hot = Seq.fill(10)("alpha") ++ Seq.fill(5)("beta")
+      val cold = (0 until 8).map(j => s"tok${(i * 13 + j) % 97}")
+      (i, (hot ++ cold).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = TextOps.heavyHittersOn(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    graft.CachedFrames.drain()
+    // independent reference: plain-Scala CMS with the same salted hashes
+    def bucket(r: Int, tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"cms$r:$tok".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 14), 16) % TextOps.CmsWidth
+    }
+    val allToks = (1L to 30L).flatMap { i =>
+      val hot = Seq.fill(10)("alpha") ++ Seq.fill(5)("beta")
+      val cold = (0 until 8).map(j => s"tok${(i * 13 + j) % 97}")
+      hot ++ cold
+    }
+    val sketch = Array.fill(TextOps.CmsDepth, TextOps.CmsWidth)(0L)
+    allToks.foreach(t =>
+      (0 until TextOps.CmsDepth).foreach(r => sketch(r)(bucket(r, t).toInt) += 1))
+    val exact = allToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val topK = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(TextOps.CmsTopK)
+    assert(got.map(_._1).toSet === topK.map(_._1).toSet)
+    for ((tok, ex, est, over) <- got) {
+      val refEst = (0 until TextOps.CmsDepth).map(r => sketch(r)(bucket(r, tok).toInt)).min
+      assert(ex === exact(tok), s"$tok exact")
+      assert(est === refEst, s"$tok estimate")
+      assert(est >= ex, s"$tok CMS must never undercount")
+      assert(over === est - ex, s"$tok overcount")
+    }
+    // the two hot tokens dominate the top-k
+    assert(got.find(_._1 == "alpha").get._2 === 300L)
+    assert(got.find(_._1 == "beta").get._2 === 150L)
+  }
+
   test("q65 chunks reproduce an independent sliding-window reference exactly") {
     val sf = "/root/testdata/sf0.001"
     val got = TextOps.q65ChunkOverlap(spark, sf).collect()
