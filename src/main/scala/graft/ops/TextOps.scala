@@ -1240,6 +1240,68 @@ object TextOps {
   """
   }
 
+  /** q96: PII detection + masking scan — the release-hygiene pass a text
+    * corpus runs before publication (emails, SSN-shaped ids, phone-shaped
+    * numbers, long digit runs), counting matches per document and emitting
+    * the masked text with typed placeholders. The documents-table
+    * counterpart of q81's column-level anonymization.
+    *
+    * Masking order is part of the contract (email → ssn → phone → id):
+    * each rule runs on the previous rule's output, so a digit run inside
+    * an already-masked match is never double-masked; counts come from the
+    * ORIGINAL text per rule. Patterns are the conservative lowercase
+    * forms; both engines get the IDENTICAL regex (RE2 and java.util.regex
+    * agree on this class-and-boundary subset), the Spark side just
+    * SQL-escapes its backslashes.
+    *
+    * Scale shape: a pure per-row codegen projection — no shuffle, no
+    * state; at 100 TB it pipelines directly into the parquet scan
+    * (q81's plan shape, pinned). */
+  private[ops] val PiiRules: Seq[(String, String, String)] = Seq(
+    // (name, regex — single-backslash form, placeholder)
+    ("email", """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}""", "<email>"),
+    ("ssn", """\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b""", "<ssn>"),
+    ("phone", """\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b""", "<phone>"),
+    ("id", """\b[0-9]{9,}\b""", "<id>"))
+
+  /** The regex as a Spark SQL single-quoted literal body: the parser
+    * processes backslash escapes, so each backslash doubles. */
+  private def sqlEscaped(re: String): String = re.replace("\\", "\\\\")
+
+  def q96PiiScan(spark: SparkSession, sfDir: String): DataFrame =
+    piiScanOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+
+  private[graft] def piiScanOn(docs: DataFrame): DataFrame = {
+    val counted = PiiRules.foldLeft(docs.select(col("doc_id"), col("text"))) {
+      case (d, (name, re, _)) =>
+        d.withColumn(s"n_${name}s",
+          expr(s"size(regexp_extract_all(text, '${sqlEscaped(re)}', 0))").cast("long"))
+    }
+    // functions.regexp_replace takes the pattern directly (no SQL-literal
+    // escape pass), unlike the expr() strings above
+    val masked = PiiRules.foldLeft(counted.withColumn("masked", col("text"))) {
+      case (d, (_, re, tok)) =>
+        d.withColumn("masked", regexp_replace(col("masked"), re, tok))
+    }
+    masked.select(col("doc_id") +: PiiRules.map { case (n, _, _) => col(s"n_${n}s") }
+      :+ col("masked"): _*)
+  }
+
+  val q96PiiScanSql: String = {
+    val counts = PiiRules.map { case (name, re, _) =>
+      s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_${name}s"
+    }.mkString(",\n      ")
+    val maskedExpr = PiiRules.foldLeft("text") { case (acc, (_, re, tok)) =>
+      s"regexp_replace($acc, '$re', '$tok', 'g')"
+    }
+    s"""
+    SELECT doc_id,
+      $counts,
+      $maskedExpr AS masked
+    FROM documents
+  """
+  }
+
   /** q93: DSIR importance weighting (Xie et al. 2023) — score every
     * document by how much more likely its hashed-bigram features are under
     * the TARGET distribution (here: documents the q23 language scorer

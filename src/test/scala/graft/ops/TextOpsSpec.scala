@@ -203,6 +203,32 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.find(_._1 == "beta").get._2 === 150L)
   }
 
+  test("q96 PII scan counts and masks each rule; clean text passes untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact me at jane.doe+spam@mail-host.co.uk or bob@ex.io thanks"),
+      (2L, "ssn 123-45-6789 phone 415-555-0199 also 415.555.0100 ok"),
+      (3L, "id 123456789 and longer 98765432109876 but not 12345678"),
+      (4L, "a perfectly clean document with no identifiers at all"),
+      (5L, "mixed bob@ex.io then 987-65-4321 then 212 555 0123 then 555666777")
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiScanOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).sortBy(_._1)
+    val expected = Seq(
+      (1L, 2L, 0L, 0L, 0L,
+        "contact me at <email> or <email> thanks"),
+      (2L, 0L, 1L, 2L, 0L,
+        "ssn <ssn> phone <phone> also <phone> ok"),
+      (3L, 0L, 0L, 0L, 2L,
+        "id <id> and longer <id> but not 12345678"),
+      (4L, 0L, 0L, 0L, 0L,
+        "a perfectly clean document with no identifiers at all"),
+      (5L, 1L, 1L, 1L, 1L,
+        "mixed <email> then <ssn> then <phone> then <id>"))
+    assert(got.toSeq === expected)
+  }
+
   test("q65 chunks reproduce an independent sliding-window reference exactly") {
     val sf = "/root/testdata/sf0.001"
     val got = TextOps.q65ChunkOverlap(spark, sf).collect()
