@@ -1195,6 +1195,16 @@ object TextOps {
     (0 until CmsDepth).map(r =>
       s"md5_prefix56(concat('cms$r:', token)) % $CmsWidth").mkString("array(", ", ", ")")
 
+  /** The d×w CMS counter table for any (text) frame — (r, bucket, c).
+    * Works identically on a STREAMING frame (an unbounded-state-free
+    * aggregation: the state is the sketch itself, d×w counters by
+    * construction), which is how [[graft.streaming.EventStreams.cmsSketchStream]]
+    * maintains the sketch incrementally. */
+  private[graft] def cmsSketchOn(docs: DataFrame): DataFrame =
+    docs.select(explode(expr("""split(trim(text), '\\s+')""")).as("token"))
+      .select(col("token"), posexplode(expr(cmsBucketsExpr)).as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+
   private[graft] def heavyHittersOn(docs: DataFrame): DataFrame = {
     val toks = graft.CachedFrames.track(
       docs.select(explode(expr("""split(trim(text), '\\s+')""")).as("token")))

@@ -326,6 +326,17 @@ object EventStreams {
         col("sum_bits").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Streaming count-min sketch — the q95 frequency sketch maintained
+    * incrementally over an unbounded document stream. The transform IS the
+    * batch one ([[graft.ops.TextOps.cmsSketchOn]]): a groupBy over (row,
+    * bucket) whose streaming state is the sketch itself — d×w counters by
+    * construction, so no watermark is needed and the state store can never
+    * grow (the defining property of a sketch, surfaced as the operator's
+    * streaming contract). Run in Complete/Update mode; EventStreamsSpec
+    * pins the Complete-mode table equal to the batch sketch cell-by-cell. */
+  def cmsSketchStream(docs: DataFrame): DataFrame =
+    graft.ops.TextOps.cmsSketchOn(docs)
+
   /** The same sessionization via the BUILT-IN `session_window` aggregation —
     * Spark's native gap-session operator (merge-on-late-event, emit-on-seal
     * are handled by the engine's session-window state store). Kept alongside

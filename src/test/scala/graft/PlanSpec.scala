@@ -327,6 +327,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q95_heavy_hitters: top-k via TakeOrderedAndProject, sketch probes broadcast") {
+    val df = SparkEntry.queries("q95_heavy_hitters")(spark, sf)
+    val p = try { df.queryExecution.toRdd.count(); df.queryExecution.executedPlan.toString }
+            finally CachedFrames.drain()
+    // the exact top-k never global-sorts; the d×w sketch joins broadcast
+    assert(nodes(p, "TakeOrderedAndProject") >= 1, p)
+    assert(nodes(p, "Sort") == 0, p)
+    assert(nodes(p, "BroadcastHashJoin") >= 1, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+  }
+
+  test("q96_pii_scan: a pure projection — no joins, no aggregation, no shuffle " +
+    "beyond scan right-sizing") {
+    val p = finalPlan("q96_pii_scan")
+    assert(nodes(p, "HashAggregate") == 0, p)
+    assert(nodes(p, "BroadcastHashJoin") == 0, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert(nodes(p, "Exchange") <= 1, p) // the parallelized round-robin only
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("q67_winnowing: pure projection + explode — no shuffle before the fingerprint output") {
     val p = finalPlan("q67_winnowing")
     assert(nodes(p, "Generate") == 1, p)

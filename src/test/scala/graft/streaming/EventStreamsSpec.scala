@@ -409,6 +409,31 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming CMS sketch equals the batch sketch cell-by-cell across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val batch1 = Seq((1L, "alpha beta alpha gamma"), (2L, "beta beta delta"))
+    val batch2 = Seq((3L, "alpha epsilon zeta"), (4L, "gamma gamma gamma eta"))
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.cmsSketchStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val got = spark.table("cms_stream")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = graft.ops.TextOps.cmsSketchOn(
+        (batch1 ++ batch2).toDF("doc_id", "text"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("checkpoint restart: admission stream resumes exactly-once — batch 2 " +
     "lands while the query is down, nothing re-emits, union equals q71") {
     import org.apache.spark.sql.functions.{col, lit, to_timestamp}
