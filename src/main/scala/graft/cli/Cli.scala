@@ -382,6 +382,29 @@ object PlanEpoch {
   }
 }
 
+/** Job 12 — PII-mask a documents parquet for release (q96's rules: emails,
+  * SSN-shaped ids, phone-shaped numbers, long digit runs → typed
+  * placeholders), writing the table with `text` replaced by the masked
+  * form and the per-rule match counts alongside — the release analog of
+  * the column-level Anonymize pass, for free-text:
+  *
+  *   runMain graft.cli.MaskCorpus --input docs.parquet --output /tmp/masked
+  *
+  * A pure projection end to end — at 100 TB this is a single scan-rewrite
+  * with no shuffle beyond scan right-sizing. */
+object MaskCorpus {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-mask-corpus") { spark =>
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.parallelized(spark.read.parquet(a("input")))
+    graft.ops.TextOps.withPiiColumns(docs)
+      .withColumn("text", col("masked")).drop("masked")
+      .write.mode("overwrite").parquet(a("output"))
+    }
+  }
+}
+
 /** Job 3 — load the model, score unlabeled pairs, write (pair, prediction)
   * sorted by prediction. */
 object ApplyDupClassifier {

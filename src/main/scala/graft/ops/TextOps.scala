@@ -1267,7 +1267,7 @@ object TextOps {
     * Scale shape: a pure per-row codegen projection — no shuffle, no
     * state; at 100 TB it pipelines directly into the parquet scan
     * (q81's plan shape, pinned). */
-  private[ops] val PiiRules: Seq[(String, String, String)] = Seq(
+  private[graft] val PiiRules: Seq[(String, String, String)] = Seq(
     // (name, regex — single-backslash form, placeholder)
     ("email", """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}""", "<email>"),
     ("ssn", """\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b""", "<ssn>"),
@@ -1281,21 +1281,28 @@ object TextOps {
   def q96PiiScan(spark: SparkSession, sfDir: String): DataFrame =
     piiScanOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
 
-  private[graft] def piiScanOn(docs: DataFrame): DataFrame = {
-    val counted = PiiRules.foldLeft(docs.select(col("doc_id"), col("text"))) {
+  /** Adds the per-rule count columns and the `masked` text to any frame
+    * with a `text` column, keeping every other column — all pure per-row
+    * projections. [[q96PiiScan]] projects the gate shape;
+    * `cli.MaskCorpus` rewrites `text` in place over the full row. */
+  private[graft] def withPiiColumns(docs: DataFrame): DataFrame = {
+    val counted = PiiRules.foldLeft(docs) {
       case (d, (name, re, _)) =>
         d.withColumn(s"n_${name}s",
           expr(s"size(regexp_extract_all(text, '${sqlEscaped(re)}', 0))").cast("long"))
     }
     // functions.regexp_replace takes the pattern directly (no SQL-literal
     // escape pass), unlike the expr() strings above
-    val masked = PiiRules.foldLeft(counted.withColumn("masked", col("text"))) {
+    PiiRules.foldLeft(counted.withColumn("masked", col("text"))) {
       case (d, (_, re, tok)) =>
         d.withColumn("masked", regexp_replace(col("masked"), re, tok))
     }
-    masked.select(col("doc_id") +: PiiRules.map { case (n, _, _) => col(s"n_${n}s") }
-      :+ col("masked"): _*)
   }
+
+  private[graft] def piiScanOn(docs: DataFrame): DataFrame =
+    withPiiColumns(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id") +: PiiRules.map { case (n, _, _) => col(s"n_${n}s") }
+        :+ col("masked"): _*)
 
   val q96PiiScanSql: String = {
     val counts = PiiRules.map { case (name, re, _) =>

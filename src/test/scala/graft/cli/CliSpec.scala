@@ -32,6 +32,28 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(shards.subsetOf((0 until 4).toSet) && shards.nonEmpty)
   }
 
+  test("mask-corpus rewrites text with q96's masks, keeps every other column") {
+    import org.apache.spark.sql.functions.col
+    spark // force shared session so the CLI's getOrCreate reuses it
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-mask").toString
+    MaskCorpus.main(Array(
+      "--input", s"$sf/documents.parquet", "--output", s"$dir/masked"))
+    val back = spark.read.parquet(s"$dir/masked")
+    val orig = spark.read.parquet(s"$sf/documents.parquet")
+    // schema: original columns + the per-rule counts, text rewritten
+    assert(back.columns.toSet === orig.columns.toSet ++
+      graft.ops.TextOps.PiiRules.map { case (n, _, _) => s"n_${n}s" })
+    assert(back.count() === orig.count())
+    // text agrees with the gate query's masked column row-by-row
+    val gateMasked = graft.ops.TextOps.piiScanOn(orig)
+      .select(col("doc_id"), col("masked")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    back.select(col("doc_id"), col("text")).collect().foreach { r =>
+      assert(r.getString(1) === gateMasked(r.getLong(0)), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("build-index → admit round-trips match the q71 gate query exactly") {
     import org.apache.spark.sql.functions.col
     spark // force shared session so the CLI's getOrCreate reuses it
