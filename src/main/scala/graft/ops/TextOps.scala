@@ -1092,7 +1092,10 @@ object TextOps {
     val uni = graft.CachedFrames.track(
       ref.select(explode(col("toks")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c")))
-    val nv = uni.agg(sum(col("c")).cast("double").as("lm_n"),
+    // coalesce: an EMPTY reference slice (no doc_id hits the mod) must
+    // degrade to the all-smoothing-mass LM (every token costs 1 bit), not
+    // propagate a NULL total through every score
+    val nv = uni.agg(coalesce(sum(col("c")), lit(0L)).cast("double").as("lm_n"),
       count(lit(1)).cast("double").as("lm_v"))
     val big = ref.filter(expr("size(toks) >= 2"))
       .select(explode(expr(
@@ -1138,7 +1141,8 @@ object TextOps {
       SELECT w, count(*) AS c
       FROM (SELECT unnest(tk) AS w FROM ref) GROUP BY 1),
     nv AS (
-      SELECT CAST(sum(c) AS DOUBLE) AS lm_n, CAST(count(*) AS DOUBLE) AS lm_v
+      SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS lm_n,
+        CAST(count(*) AS DOUBLE) AS lm_v
       FROM uni),
     big AS (
       SELECT w1, w2, count(*) AS cb

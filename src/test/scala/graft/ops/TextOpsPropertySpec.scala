@@ -1,0 +1,131 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the round-8 text operators on random skewed corpora:
+  * q92's LM bits, q93's DSIR weights, and q95's CMS cells each reproduce an
+  * independent plain-Scala oracle exactly — including the degenerate shapes
+  * a fixture misses (empty reference slice, single-token docs, empty text,
+  * all-one-language corpora).
+  */
+class TextOpsPropertySpec extends AnyFunSuite with SparkSpec {
+
+  private val vocab = Vector("the", "a", "of", "el", "la", "de", "alpha",
+    "beta", "gamma", "delta", "hot", "", "zz9")
+
+  private def tokGen: Gen[String] =
+    Gen.frequency((6, Gen.oneOf(vocab.filter(_.nonEmpty))), (3, Gen.const("hot")))
+
+  /** Docs with sparse, shuffled ids so the % [[TextOps.LmRefMod]] reference
+    * slice ranges from empty to most of the corpus. */
+  private val corpusGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(1, 22)
+    step <- Gen.oneOf(1, 3, 7, 10)
+    texts <- Gen.listOfN(n, Gen.choose(0, 14).flatMap(k =>
+      Gen.listOfN(k, tokGen).map(_.mkString(" "))))
+  } yield texts.zipWithIndex.map { case (t, i) => ((i.toLong * step + 1), t) }
+
+  private def toks(t: String): Seq[String] = t.trim.split("\\s+").toSeq
+
+  private def md56(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 14), 16)
+  }
+
+  private def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+
+  /** q92 oracle: add-one bigram LM over the doc_id % LmRefMod slice. */
+  private def lmOracle(docs: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
+    val ref = docs.filter(_._1 % TextOps.LmRefMod == 0).map(d => toks(d._2))
+    val uni = ref.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val big = ref.flatMap(t => t.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = uni.values.sum.toDouble
+    val v = uni.size.toDouble
+    docs.map { case (id, t) =>
+      val ts = toks(t)
+      val cost = ts.zipWithIndex.map { case (w, i) =>
+        val inv =
+          if (i == 0) math.floor((n + v + 1.0) / (uni.getOrElse(w, 0L) + 1.0)).toLong
+          else math.floor((uni.getOrElse(ts(i - 1), 0L) + v + 1.0) /
+            (big.getOrElse((ts(i - 1), w), 0L) + 1.0)).toLong
+        bits(inv)
+      }.sum
+      id -> (ts.size.toLong, cost)
+    }.toMap
+  }
+
+  /** q93 oracle: hashed-bigram target-vs-raw bits delta. */
+  private def dsirOracle(docs: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
+    val stopEn = Set("the", "a", "of", "and", "to")
+    val stopEs = Set("el", "la", "de", "y", "que")
+    val stopDe = Set("der", "die", "und", "das", "ist")
+    def lang(ts: Seq[String]): String = {
+      val (e, s, d) = (ts.count(stopEn), ts.count(stopEs), ts.count(stopDe))
+      if (e >= s && e >= d) "en" else if (s >= d) "es" else "de"
+    }
+    def bucket(g: String): Long = md56("dsir:" + g) % TextOps.DsirBuckets
+    val grams = docs.flatMap { case (id, t) =>
+      val ts = toks(t)
+      if (ts.size < 2) Seq.empty
+      else ts.sliding(2).map(p => (id, lang(ts), bucket(p.mkString(" ")))).toSeq
+    }
+    val nRaw = grams.size.toDouble
+    val nTgt = grams.count(_._2 == "en").toDouble
+    val cRaw = grams.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val cTgt = grams.filter(_._2 == "en").groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    def delta(b: Long): Long =
+      bits(math.floor((nRaw + TextOps.DsirBuckets) / (cRaw.getOrElse(b, 0L) + 1.0)).toLong) -
+        bits(math.floor((nTgt + TextOps.DsirBuckets) / (cTgt.getOrElse(b, 0L) + 1.0)).toLong)
+    docs.map { case (id, t) =>
+      val ts = toks(t)
+      val ds = if (ts.size < 2) Seq.empty
+        else ts.sliding(2).map(p => delta(bucket(p.mkString(" ")))).toSeq
+      id -> (ds.size.toLong, ds.sum)
+    }.toMap
+  }
+
+  /** q95 oracle: the full CMS plus exact counts (estimates for EVERY token,
+    * not only the reported top-k). */
+  private def cmsOracle(docs: Seq[(Long, String)]): (Map[String, Long], String => Long) = {
+    val all = docs.flatMap(d => toks(d._2))
+    val sketch = Array.fill(TextOps.CmsDepth, TextOps.CmsWidth)(0L)
+    all.foreach(t => (0 until TextOps.CmsDepth).foreach(r =>
+      sketch(r)((md56(s"cms$r:$t") % TextOps.CmsWidth).toInt) += 1))
+    val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    (exact, t => (0 until TextOps.CmsDepth)
+      .map(r => sketch(r)((md56(s"cms$r:$t") % TextOps.CmsWidth).toInt)).min)
+  }
+
+  test("q92/q93/q95 reproduce plain-Scala oracles on random corpora") {
+    graft.functions.GraftFunctions.register(spark)
+    val prop = Prop.forAllNoShrink(corpusGen) { docs =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "text").repartition(4)
+
+      val lmGot = TextOps.lmBitsOn(df).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val dsirGot = TextOps.dsirOn(df).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val hhGot = TextOps.heavyHittersOn(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      graft.CachedFrames.drain()
+
+      val lmRef = lmOracle(docs)
+      val dsirRef = dsirOracle(docs)
+      val (exact, est) = cmsOracle(docs)
+      val hhOk = hhGot.forall { case (t, ex, e) =>
+        ex == exact(t) && e == est(t) && e >= ex
+      }
+      Prop.all(
+        Prop(lmGot == lmRef) :| s"q92 mismatch: $lmGot vs $lmRef",
+        Prop(dsirGot == dsirRef) :| s"q93 mismatch: $dsirGot vs $dsirRef",
+        Prop(hhOk) :| s"q95 mismatch: $hhGot")
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
