@@ -1171,6 +1171,112 @@ object TextOps {
     FROM j GROUP BY 1
   """
 
+  /** q97: BPE vocabulary training — [[BpeRounds]] actual merge rounds on
+    * top of q84's pair statistics, i.e. the loop a byte-pair-encoding
+    * trainer runs: count adjacent symbol pairs over the weighted
+    * vocabulary, MERGE the most frequent pair (ties: pair ascending —
+    * a total order), respell the vocabulary, recount. Emits the learned
+    * merge table (rank, pair, n) — the artifact a tokenizer ships.
+    *
+    * Merge application contract: each round applies the winning pair as
+    * [[BpeReplacePasses]] passes of space-padded literal `replace` —
+    * left-to-right, non-overlapping, identical semantics in Spark and
+    * DuckDB — so runs of repeated symbols converge deterministically (a
+    * run of L pattern repeats resolves within log2 passes; words here are
+    * far below the 2^passes bound). The contract is the fixed-pass
+    * function itself, applied identically in both engines.
+    *
+    * Scale shape: the corpus is touched ONCE (q43's explode + combinable
+    * count → the weighted vocabulary, cached); every round after that is
+    * a |vocab|-sized job — a bounded explode, a combinable sum, a 1-row
+    * TakeOrderedAndProject collect (the argmax is the only driver scalar,
+    * like q44's corpus count), and a pure respell projection. K rounds
+    * cost K vocab-local jobs, never K corpus scans — exactly how BPE
+    * trainers iterate (q84's scaladoc promise, now implemented). */
+  val BpeRounds = 5
+  private val BpeReplacePasses = 4
+
+  def q97BpeTrain(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTrainOn(Tables.parallelized(Tables(spark, sfDir, "documents")), BpeRounds)
+
+  private[graft] def bpeTrainOn(docs: DataFrame, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // weighted vocabulary, spelled as space-separated characters
+    var vocab = graft.CachedFrames.track(
+      docs.select(explode(expr("""split(trim(text), '\\s+')""")).as("token"))
+        .filter(length(col("token")) >= 1)
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .withColumn("s", expr(
+          "concat_ws(' ', transform(sequence(1, length(token)), i -> substring(token, i, 1)))"))
+        .select(col("s"), col("freq")))
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val best = vocab
+        .withColumn("syms", split(col("s"), " "))
+        .filter(expr("size(syms) >= 2"))
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> concat(syms[i], ' ', syms[i + 1]))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val pair = best(0).getString(0)
+        merges += ((r, pair, best(0).getLong(1)))
+        val merged = pair.replace(" ", "")
+        val respelled = (1 to BpeReplacePasses).foldLeft(
+          concat(lit(" "), col("s"), lit(" "))) { (c, _) =>
+          replace(c, lit(s" $pair "), lit(s" $merged "))
+        }
+        vocab = graft.CachedFrames.track(
+          vocab.withColumn("s", trim(respelled)).select(col("s"), col("freq")))
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "pair", "n")
+      .select(col("rank").cast("int").as("rank"), col("pair"), col("n"))
+  }
+
+  val q97BpeTrainSql: String = {
+    def pairsCte(v: String, p: String) = s"""$p AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+        SELECT v.freq, sy[i.i + 1] || ' ' || sy[i.i + 2] AS pair
+        FROM (SELECT freq, string_split(s, ' ') AS sy FROM $v) v,
+             LATERAL (SELECT unnest(generate_series(0, len(sy) - 2)) AS i) i
+        WHERE len(sy) >= 2)
+      GROUP BY pair)"""
+    def bestCte(p: String, b: String) =
+      s"$b AS (SELECT pair, n FROM $p ORDER BY n DESC, pair ASC LIMIT 1)"
+    def respellCte(v: String, b: String, nv: String) = {
+      val padded = (1 to BpeReplacePasses).foldLeft("' ' || v.s || ' '") { (c, _) =>
+        s"replace($c, ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ')"
+      }
+      s"$nv AS (SELECT trim($padded) AS s, v.freq FROM $v v CROSS JOIN $b b)"
+    }
+    val rounds = (1 to BpeRounds).map { r =>
+      Seq(pairsCte(s"v${r - 1}", s"p$r"), bestCte(s"p$r", s"b$r")) ++
+        (if (r < BpeRounds) Seq(respellCte(s"v${r - 1}", s"b$r", s"v$r")) else Nil)
+    }.flatten
+    val union = (1 to BpeRounds).map(r =>
+      s"SELECT CAST($r AS INTEGER) AS rank, pair, n FROM b$r").mkString("\n    UNION ALL ")
+    s"""
+    WITH v0 AS (
+      SELECT array_to_string(list_transform(range(len(token)),
+               i -> substr(token, i + 1, 1)), ' ') AS s,
+             count(*) AS freq
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+            FROM documents)
+      WHERE len(token) >= 1
+      GROUP BY 1),
+    ${rounds.mkString(",\n    ")}
+    $union
+  """
+  }
+
   /** q95: count-min-sketch heavy hitters — the streaming-friendly
     * frequent-token sketch (Cormode & Muthukrishnan) next to its exact
     * answer, as a gate number: estimate ≥ exact always (CMS never

@@ -229,6 +229,32 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq === expected)
   }
 
+  test("q97 BPE merges reproduce the classic low/lower/lowest table by hand") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrainOn(docs, 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    graft.CachedFrames.drain()
+    // ties at n=5 ('l o' vs 'o w') break pair-ascending; each later round
+    // counts over the RESPELLED vocabulary
+    assert(got === Seq(
+      (1, "l o", 5L), (2, "lo w", 5L), (3, "low e", 2L),
+      (4, "lowe r", 1L), (5, "lowe s", 1L)))
+  }
+
+  test("q97 respell converges on repeated-symbol runs and stops when no pairs remain") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrainOn(docs, 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    graft.CachedFrames.drain()
+    // 'a a a a' → greedy non-overlapping passes give 'aa aa' (3 adjacent
+    // pairs counted, two merge applications), then 'aaaa'; round 3 finds
+    // no pairs and training stops early with 2 rows, matching the oracle's
+    // empty-best rounds
+    assert(got === Seq((1, "a a", 3L), (2, "aa aa", 1L)))
+  }
+
   test("q65 chunks reproduce an independent sliding-window reference exactly") {
     val sf = "/root/testdata/sf0.001"
     val got = TextOps.q65ChunkOverlap(spark, sf).collect()
