@@ -283,6 +283,48 @@ object EventStreams {
     Embeddings.admitVectorsAgainstIndex(vecs, centsRow, cells)
   }
 
+  /** The full streaming INGESTION loop over the persisted text admission
+    * index — what [[admissionStream]] (static index) cannot do: each
+    * micro-batch probes the index as it exists NOW, writes its verdicts,
+    * and appends the admitted (`new`) documents' digest/band rows back to
+    * the index, so a later batch's exact copy of an earlier batch's
+    * admitted document is caught as `dup_exact`. This is the production
+    * admission loop the BuildCorpusIndex/AdmitBatch/ExtendCorpusIndex CLI
+    * jobs run one batch at a time, as one continuous `foreachBatch` query.
+    *
+    * Delivery contract: verdicts are idempotent under foreachBatch's
+    * at-least-once retries (each batch overwrites its own
+    * `batch=<id>` subdirectory); index appends are at-least-once — a
+    * retried append leaves duplicate rows that are HARMLESS for verdicts
+    * (admission is min/exists over matches) and reclaimed by the
+    * CompactCorpusIndex job, exactly the append-shaped maintenance the
+    * index layout was designed for. Within one micro-batch, documents are
+    * judged against the standing index only (q71's batch-vs-corpus
+    * contract) — intra-batch duplicates are upstream exact-dedup's job.
+    *
+    * Scale shape per batch: both probes broadcast BATCH-side keys against
+    * the streamed index (never shuffled/collected); the append writes
+    * only the admitted docs' derived rows. */
+  def admissionIngestStream(docs: DataFrame, indexDir: String,
+      verdictsDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        try {
+          val digests = spark.read.parquet(s"$indexDir/digests")
+          val bands = spark.read.parquet(s"$indexDir/bands")
+          val verdicts = graft.CachedFrames.track(
+            graft.ops.Curation.admitAgainstIndex(batch.toDF(), digests, bands))
+          verdicts.write.mode("overwrite")
+            .parquet(s"$verdictsDir/batch=$batchId")
+          val admitted = batch.toDF().join(
+            verdicts.filter(col("verdict") === "new").select("doc_id"), Seq("doc_id"))
+          val (d2, b2) = graft.ops.Curation.corpusIndexFrames(admitted)
+          d2.write.mode("append").parquet(s"$indexDir/digests")
+          b2.write.mode("append").parquet(s"$indexDir/bands")
+        } finally graft.CachedFrames.drain()
+    }
+
   /** Streaming LM quality gate — the stream-static twin of the batch
     * bigram-LM scorer ([[graft.ops.TextOps.q92LmBits]]): each arriving
     * (doc_id, text) row is scored against the STANDING corpus-trained LM

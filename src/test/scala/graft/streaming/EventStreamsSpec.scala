@@ -383,6 +383,52 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(got.size === 25 && got.exists(_._2 == "dup_near"))
   }
 
+  test("ingestion loop maintains the index across batches: a later exact copy " +
+    "of an earlier ADMITTED doc is caught — what the static-index stream cannot do") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ingest-loop")
+    val (indexDir, verdictsDir, inDir, ckpt) = (s"$root/idx", s"$root/verdicts",
+      s"$root/in", s"$root/ckpt")
+    // standing corpus: one doc; its index is the starting state
+    val corpus = Seq((100L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val (d0, b0) = graft.ops.Curation.corpusIndexFrames(corpus)
+    d0.write.parquet(s"$indexDir/digests")
+    b0.write.parquet(s"$indexDir/bands")
+    val schema = corpus.schema
+    def runAvailable(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(inDir)
+      val q = EventStreams.admissionIngestStream(stream, indexDir, verdictsDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    // batch 1: one corpus dup, one brand-new doc
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    Seq((1L, "zeta eta theta iota kappa"), (2L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    runAvailable()
+    // batch 2: an EXACT COPY of batch 1's admitted doc 2, plus a fresh doc
+    Seq((3L, "alpha beta gamma delta epsilon"), (4L, "mu nu xi omicron pi rho"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    runAvailable()
+    val verdicts = spark.read.parquet(verdictsDir)
+      .select(col("doc_id"), col("verdict"), col("match_id")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(verdicts(1L) === (("dup_exact", 100L)))
+    assert(verdicts(2L) === (("new", -1L)))
+    // the loop's defining property: doc 3 matches doc 2 via the EXTENDED
+    // index (the static-index stream would have admitted it as new)
+    assert(verdicts(3L) === (("dup_exact", 2L)))
+    assert(verdicts(4L) === (("new", -1L)))
+    // and the index itself grew by exactly the admitted docs
+    val cids = spark.read.parquet(s"$indexDir/digests")
+      .select("cid").as[Long].collect().toSet
+    assert(cids === Set(100L, 2L, 4L))
+  }
+
   test("streaming LM quality gate equals the q92 batch scorer bitwise") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.streaming.Trigger
