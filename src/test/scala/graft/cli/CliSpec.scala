@@ -296,15 +296,17 @@ class CliSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("extend closes the incremental loop: an admitted batch's new docs " +
-    "and vectors join the index and re-admit as dups of themselves") {
+    "and vectors join the index and catch later re-ingests") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     spark // force shared session so the CLI's getOrCreate reuses it
     val dir = Files.createTempDirectory("graft-extend").toString
 
     // TEXT: doc 2 near-matches corpus 11 (blocked); doc 3 is new. After
-    // Extend, doc 3's own digest is in the index, so the same batch
-    // re-admits it as dup_exact of itself; doc 2's verdict is unchanged
+    // Extend, doc 3's digest is in the index: a REPLAY of the same batch
+    // stays verdict-stable (self-match exclusion — the same doc_id never
+    // matches its own rows), while a re-ingest of the same text under a
+    // FRESH id is caught as dup_exact of 3
     Seq((10L, "alpha beta gamma delta epsilon zeta"),
         (11L, "one two three four five six seven"))
       .toDF("doc_id", "text").write.parquet(s"$dir/corpus")
@@ -330,8 +332,16 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       "--input", s"$dir/batch", "--index", s"$dir/idx",
       "--output", s"$dir/verdicts2"))
     val after = verdictsOf(s"$dir/verdicts2")
-    assert(after(3L) === (("dup_exact", 3L)), "extended doc must self-match")
+    assert(after(3L) === (("new", -1L)), "replayed doc must stay verdict-stable")
     assert(after(2L) === (("dup_near", 11L)), "blocked doc must stay blocked")
+    // the index DID grow: the same text under a fresh id is caught
+    Seq((30L, "totally disjoint vocabulary words here"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/reingest")
+    AdmitBatch.main(Array(
+      "--input", s"$dir/reingest", "--index", s"$dir/idx",
+      "--output", s"$dir/verdicts3"))
+    assert(verdictsOf(s"$dir/verdicts3")(30L) === (("dup_exact", 3L)),
+      "re-ingested text must match the extended index")
 
     // VECTOR: vec 1 is a scaled copy of corpus 10 (blocked); vec 2 lives
     // on an untouched dimension (new). After Extend, vec 2 self-matches at
@@ -403,7 +413,9 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     val withDups = verdicts(s"$dir/idx", s"$dir/v1")
     val afterCompact = verdicts(s"$dir/idx2", s"$dir/v2")
     assert(withDups === afterCompact)
-    assert(afterCompact === Set((3L, "dup_exact", 3L))) // self-match survives
+    // self-match exclusion keeps the replayed doc verdict-stable through
+    // duplication AND compaction alike
+    assert(afterCompact === Set((3L, "new", -1L)))
     graft.CachedFrames.drain()
   }
 
