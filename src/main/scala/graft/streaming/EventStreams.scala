@@ -222,6 +222,12 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Static-index admission: the corpus index is derived once and never
+    * changes mid-run, so stream ids are assumed DISJOINT from corpus ids
+    * (q71's batch-vs-corpus contract; the twin-equality spec runs on that
+    * split). For an index that grows as batches are admitted — where a
+    * replayed batch could meet its own rows — use
+    * [[admissionIngestStream]], whose probe excludes self-matches. */
   def admissionStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
     import graft.ops.NearDup
     val cfg = NearDup.DefaultSimHash
