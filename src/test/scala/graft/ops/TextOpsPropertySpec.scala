@@ -100,6 +100,48 @@ class TextOpsPropertySpec extends AnyFunSuite with SparkSpec {
       .map(r => sketch(r)((md56(s"cms$r:$t") % TextOps.CmsWidth).toInt)).min)
   }
 
+  private val piiGen: Gen[String] = Gen.oneOf(
+    Gen.const("jane.doe+x@mail-host.co.uk"),
+    Gen.const("bob@ex.io"),
+    Gen.choose(100, 999).flatMap(a => Gen.choose(10, 99).flatMap(b =>
+      Gen.choose(1000, 9999).map(c => s"$a-$b-$c"))),            // ssn-shaped
+    Gen.choose(200, 999).flatMap(a => Gen.choose(200, 999).flatMap(b =>
+      Gen.choose(1000, 9999).map(c => s"$a.$b.$c"))),            // phone-shaped
+    Gen.choose(100000000L, 99999999999L).map(_.toString))        // long id
+
+  private val piiDocGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(1, 12)
+    texts <- Gen.listOfN(n, for {
+      k <- Gen.choose(0, 10)
+      words <- Gen.listOfN(k, Gen.frequency((5, tokGen), (2, piiGen)))
+    } yield words.mkString(" "))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong + 1, t) }
+
+  test("q96 PII counts and masks equal an independent regex oracle on random docs") {
+    val prop = Prop.forAllNoShrink(piiDocGen) { docs =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "text").repartition(2)
+      val got = TextOps.piiScanOn(df).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getString(5))).toMap
+      graft.CachedFrames.drain()
+      // independent oracle: java.util.regex applied per rule in the same
+      // order — counts from the ORIGINAL text, masking chained
+      val ref = docs.map { case (id, t) =>
+        val counts = TextOps.PiiRules.map { case (_, re, _) =>
+          re.r.findAllMatchIn(t).size.toLong
+        }
+        val masked = TextOps.PiiRules.foldLeft(t) { case (acc, (_, re, tok)) =>
+          acc.replaceAll(re, java.util.regex.Matcher.quoteReplacement(tok))
+        }
+        id -> (counts(0), counts(1), counts(2), counts(3), masked)
+      }.toMap
+      Prop(got == ref) :| s"q96 mismatch: $got vs $ref"
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("q92/q93/q95 reproduce plain-Scala oracles on random corpora") {
     graft.functions.GraftFunctions.register(spark)
     val prop = Prop.forAllNoShrink(corpusGen) { docs =>
