@@ -398,6 +398,15 @@ object MaskCorpus {
     Cli.withSession("graft-mask-corpus") { spark =>
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables.parallelized(spark.read.parquet(a("input")))
+    // fail fast instead of silently overwriting an input column that
+    // collides with the appended outputs (e.g. re-masking a previous
+    // MaskCorpus output would clobber its counts with already-masked ones)
+    val appended = "masked" +:
+      graft.ops.TextOps.PiiRules.map { case (n, _, _) => s"n_${n}s" }
+    val collisions = docs.columns.toSet.intersect(appended.toSet)
+    require(collisions.isEmpty,
+      s"input already has column(s) ${collisions.toSeq.sorted.mkString(", ")} — " +
+        "refusing to overwrite; rename or drop them first")
     graft.ops.TextOps.withPiiColumns(docs)
       .withColumn("text", col("masked")).drop("masked")
       .write.mode("overwrite").parquet(a("output"))

@@ -495,20 +495,25 @@ object Curation {
     * broadcast BATCH-side keys against the streamed index — the index is
     * never shuffled, sorted, or collected.
     *
-    * SELF-MATCH EXCLUSION (`cid =!= bid`): under at-least-once delivery a
+    * BATCH-SET EXCLUSION (index matches whose `cid` is ANY id of the
+    * current batch are dropped): under at-least-once delivery a
     * half-committed retry can re-probe a batch whose own digest/band rows
-    * the failed attempt already appended — without the guard, every such
-    * document matches ITSELF and flips from `new` to `dup_exact` on
-    * replay (spec-pinned in the ingestion-loop replay case). For the
+    * the failed attempt already appended — a plain self-guard
+    * (`cid != bid`) keeps a lone document stable but still lets two
+    * intra-batch copies flip each other to `dup_exact` on replay, since
+    * each matches the OTHER's appended rows. Excluding the whole batch id
+    * set makes replay verdict-stable regardless of intra-batch
+    * duplication (spec-pinned in the ingestion-loop replay case). For the
     * ordinary disjoint batch/corpus split (q71, AdmitBatch) the guard is
     * a no-op. */
   private[graft] def admitAgainstIndex(batch: DataFrame,
       digests: DataFrame, bands: DataFrame): DataFrame = {
     val b = graft.CachedFrames.track(batch)
+    val batchIds = b.select(col("doc_id").as("xid"))
     val bKeys = b.select(col("doc_id").as("bid"), md5(lower(trim(col("text")))).as("ck"))
     val exact = digests
       .join(broadcast(bKeys), "ck")
-      .filter(col("cid") =!= col("bid"))
+      .join(broadcast(batchIds), col("cid") === col("xid"), "left_anti")
       .groupBy(col("bid")).agg(min(col("cid")).as("exact_match"))
     val bBands = NearDup.simhashBandsOn(NearDup.withSimhash(b))
       .select(col("doc_id").as("bid"), col("simhash").as("bsim"),
@@ -517,7 +522,7 @@ object Curation {
       .select(col("cid"), col("simhash").as("csim"), col("t"), col("bucket"))
       .join(broadcast(bBands), Seq("t", "bucket"))
       .filter(expr(s"bit_count(bsim ^ csim) <= $IncrementalMaxHamming"))
-      .filter(col("cid") =!= col("bid"))
+      .join(broadcast(batchIds), col("cid") === col("xid"), "left_anti")
       .groupBy(col("bid")).agg(min(col("cid")).as("near_match"))
     b.select(col("doc_id"))
       .join(broadcast(exact.withColumnRenamed("bid", "doc_id")), Seq("doc_id"), "left")

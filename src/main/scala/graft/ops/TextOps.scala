@@ -1305,22 +1305,30 @@ object TextOps {
     (0 until CmsDepth).map(r =>
       s"md5_prefix56(concat('cms$r:', token)) % $CmsWidth").mkString("array(", ", ", ")")
 
+  /** SINGLE source of the sketch aggregation over a (token) frame —
+    * [[cmsSketchOn]] and [[heavyHittersOn]] both derive from this, so a
+    * salt/shape tweak cannot diverge the spec-pinned batch ≡ streaming
+    * sketch contract. */
+  private def cmsSketchOfTokens(toks: DataFrame): DataFrame =
+    toks.select(col("token"), posexplode(expr(cmsBucketsExpr)).as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+
   /** The d×w CMS counter table for any (text) frame — (r, bucket, c).
     * Works identically on a STREAMING frame (an unbounded-state-free
     * aggregation: the state is the sketch itself, d×w counters by
     * construction), which is how [[graft.streaming.EventStreams.cmsSketchStream]]
     * maintains the sketch incrementally. */
-  private[graft] def cmsSketchOn(docs: DataFrame): DataFrame =
-    docs.select(explode(expr("""split(trim(text), '\\s+')""")).as("token"))
-      .select(col("token"), posexplode(expr(cmsBucketsExpr)).as(Seq("r", "bucket")))
-      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+  private[graft] def cmsSketchOn(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    cmsSketchOfTokens(
+      docs.select(explode(expr("""split(trim(text), '\\s+')""")).as("token")))
+  }
 
   private[graft] def heavyHittersOn(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val toks = graft.CachedFrames.track(
       docs.select(explode(expr("""split(trim(text), '\\s+')""")).as("token")))
-    val sketch = toks
-      .select(col("token"), posexplode(expr(cmsBucketsExpr)).as(Seq("r", "bucket")))
-      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+    val sketch = cmsSketchOfTokens(toks)
     val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact"))
       .orderBy(col("exact").desc, col("token").asc).limit(CmsTopK)
     exact
@@ -1461,6 +1469,7 @@ object TextOps {
   }
 
   private[ops] def dsirOn(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val base = docs.withColumn("toks", expr("""split(trim(text), '\\s+')"""))
     val withLang = langProfiles.foldLeft(base) { case (d, (lang, words)) =>
       d.withColumn(s"s_$lang", expr(s"size(filter(toks, x -> x IN ${inList(words)}))"))

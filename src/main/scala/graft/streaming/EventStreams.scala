@@ -299,14 +299,17 @@ object EventStreams {
     * jobs run one batch at a time, as one continuous `foreachBatch` query.
     *
     * Delivery contract: verdicts are idempotent under foreachBatch's
-    * at-least-once retries (each batch overwrites its own
-    * `batch=<id>` subdirectory); index appends are at-least-once — a
-    * retried append leaves duplicate rows that are HARMLESS for verdicts
-    * (admission is min/exists over matches) and reclaimed by the
-    * CompactCorpusIndex job, exactly the append-shaped maintenance the
-    * index layout was designed for. Within one micro-batch, documents are
-    * judged against the standing index only (q71's batch-vs-corpus
-    * contract) — intra-batch duplicates are upstream exact-dedup's job.
+    * at-least-once retries — each batch overwrites its own `batch=<id>`
+    * subdirectory, and the probe's batch-set exclusion (see
+    * `admitAgainstIndex`) means a replayed batch never matches the rows
+    * its failed attempt appended, even when the batch contains duplicate
+    * texts. Index appends are at-least-once — a retried append leaves
+    * duplicate rows that are HARMLESS for verdicts (admission is
+    * min/exists over matches) and reclaimed by the CompactCorpusIndex
+    * job, exactly the append-shaped maintenance the index layout was
+    * designed for. Within one micro-batch, documents are judged against
+    * the standing index only (q71's batch-vs-corpus contract) —
+    * intra-batch duplicates are upstream exact-dedup's job.
     *
     * Scale shape per batch: both probes broadcast BATCH-side keys against
     * the streamed index (never shuffled/collected); the append writes
@@ -352,11 +355,14 @@ object EventStreams {
   def lmQualityStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
     import graft.ops.TextOps
     val (uni, big, nv) = TextOps.lmTables(corpus)
-    val lm = uni
+    // cached: the stream-static side re-executes every micro-batch — an
+    // untracked lm frame would replay the corpus aggregation per trigger;
+    // cached, each batch's static cost is a 1-row in-memory scan
+    val lm = graft.CachedFrames.track(uni
       .agg(map_from_entries(collect_list(struct(col("w"), col("c")))).as("uni_m"))
       .crossJoin(big.agg(map_from_entries(collect_list(
         struct(concat_ws(" ", col("w1"), col("w2")), col("cb")))).as("big_m")))
-      .crossJoin(nv)
+      .crossJoin(nv))
     docs.crossJoin(broadcast(lm))
       .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
       .withColumn("bits_arr", expr("""

@@ -441,7 +441,11 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     d0.write.parquet(s"$indexDir/digests")
     b0.write.parquet(s"$indexDir/bands")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
-    Seq((1L, "alpha beta gamma delta epsilon"), (2L, "zeta eta theta iota kappa"))
+    // docs 5 and 6 are intra-batch copies: on replay each would match the
+    // OTHER's appended rows — a plain self-guard doesn't cover them, the
+    // batch-set exclusion does
+    Seq((1L, "alpha beta gamma delta epsilon"), (2L, "zeta eta theta iota kappa"),
+        (5L, "sigma tau upsilon phi chi"), (6L, "sigma tau upsilon phi chi"))
       .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
     def runFreshCheckpoint(): Unit = {
       val ckpt = java.nio.file.Files.createTempDirectory("ingest-replay-ckpt")
@@ -457,13 +461,17 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     runFreshCheckpoint()
     runFreshCheckpoint()
     // verdicts: the replay OVERWROTE its batch=0 dir — one verdict per doc,
-    // and doc 1 stays `new` on replay even though its own digest rows are
-    // in the index: the probe's self-match exclusion (cid != bid) is
-    // exactly what makes a half-committed retry verdict-stable
+    // and every admitted doc stays `new` on replay even though its rows are
+    // in the index: the probe's batch-set exclusion is what makes a
+    // half-committed retry verdict-stable, including the intra-batch
+    // copies 5 and 6 (each would otherwise flip to dup_exact of the other)
     val verdicts = spark.read.parquet(verdictsDir).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
-    assert(verdicts.map(_._1) === Seq(1L, 2L))
+    assert(verdicts.map(_._1) === Seq(1L, 2L, 5L, 6L))
     assert(verdicts.toMap.apply(2L) === "dup_exact")
+    assert(verdicts.toMap.apply(1L) === "new")
+    assert(verdicts.toMap.apply(5L) === "new")
+    assert(verdicts.toMap.apply(6L) === "new")
     // the duplicated appends are visible pre-compaction...
     val rawRows = spark.read.parquet(s"$indexDir/digests").count()
     // ...and compaction collapses them to the exact clean index
@@ -471,7 +479,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       "--index", indexDir, "--output", s"$root/compacted"))
     val compact = spark.read.parquet(s"$root/compacted/digests")
     assert(compact.count() < rawRows)
-    assert(compact.select("cid").as[Long].collect().toSet === Set(100L, 1L))
+    assert(compact.select("cid").as[Long].collect().toSet === Set(100L, 1L, 5L, 6L))
   }
 
   test("streaming LM quality gate equals the q92 batch scorer bitwise") {
