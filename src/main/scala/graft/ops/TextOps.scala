@@ -1468,28 +1468,19 @@ object TextOps {
     dsirOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
   }
 
-  private[ops] def dsirOn(docs: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val base = docs.withColumn("toks", expr("""split(trim(text), '\\s+')"""))
-    val withLang = langProfiles.foldLeft(base) { case (d, (lang, words)) =>
-      d.withColumn(s"s_$lang", expr(s"size(filter(toks, x -> x IN ${inList(words)}))"))
-    }
-      .withColumn("pred_lang",
-        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
-          .when(col("s_es") >= col("s_de"), "es")
-          .otherwise("de"))
-    // one exploded pass; four consumers (totals, raw counts, target counts,
-    // the scoring join) — cached so the corpus expansion runs once.
-    // explode_outer keeps gram-less docs as a NULL-bucket row, so the final
-    // per-doc rollup covers the whole roster without a corpus join-back.
-    val grams = graft.CachedFrames.track(withLang
-      .select(col("doc_id"), col("pred_lang"),
-        explode_outer(expr(
-          s"CASE WHEN size(toks) >= 2 THEN ${ngramsExpr(2, distinct = false)} END"))
-          .as("g"))
-      .withColumn("bucket", expr(
-        s"md5_prefix56(concat('$DsirSalt', g)) % $DsirBuckets"))
-      .drop("g"))
+  /** The B-row hashed-bucket bits-delta table behind q93, built from any
+    * (doc_id, text) corpus — shared by the batch scorer and the streaming
+    * twin (which collapses it to a map). The gram stream is cached; the
+    * caller's thread drains it. */
+  private[graft] def dsirDeltaTable(corpus: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    dsirDeltaOf(graft.CachedFrames.track(dsirGramsOf(corpus)))
+  }
+
+  /** SINGLE source of the bucket bits-delta aggregation over a gram
+    * stream — the batch scorer and the streaming twin both derive from
+    * this. */
+  private def dsirDeltaOf(grams: DataFrame): DataFrame = {
     val totals = grams.agg(
       count(col("bucket")).cast("double").as("n_raw"),
       count(when(col("pred_lang") === "en", col("bucket"))).cast("double").as("n_tgt"))
@@ -1497,7 +1488,7 @@ object TextOps {
       .groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
     val cTgt = grams.filter(col("bucket").isNotNull && col("pred_lang") === "en")
       .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
-    val delta = cRaw.join(cTgt, Seq("bucket"), "full_outer")
+    cRaw.join(cTgt, Seq("bucket"), "full_outer")
       .crossJoin(broadcast(totals))
       .select(col("bucket"), (
         length(bin(expr(s"CAST(floor((n_raw + $DsirBuckets.0) " +
@@ -1505,7 +1496,41 @@ object TextOps {
         length(bin(expr(s"CAST(floor((n_tgt + $DsirBuckets.0) " +
           "/ (CAST(coalesce(ct, 0) AS DOUBLE) + 1.0)) AS BIGINT)")))
       ).as("d_bits"))
-    grams.join(broadcast(delta), Seq("bucket"), "left")
+  }
+
+  /** The per-row ARRAY of hashed bigram buckets (empty for < 2 tokens),
+    * over a `toks` column — the SINGLE source of the salt+hash formula,
+    * shared by the batch gram stream and the streaming gate's row-local
+    * scorer. */
+  private[graft] val dsirBucketArrayExpr: String =
+    s"""CASE WHEN size(toks) >= 2
+         THEN transform(${ngramsExpr(2, distinct = false)},
+           g -> md5_prefix56(concat('$DsirSalt', g)) % $DsirBuckets)
+         ELSE CAST(array() AS ARRAY<BIGINT>) END"""
+
+  /** The per-doc (doc_id, pred_lang, bucket) gram stream — explode_outer
+    * keeps gram-less docs as a NULL-bucket row. */
+  private def dsirGramsOf(docs: DataFrame): DataFrame = {
+    val base = docs.withColumn("toks", expr("""split(trim(text), '\\s+')"""))
+    langProfiles.foldLeft(base) { case (d, (lang, words)) =>
+      d.withColumn(s"s_$lang", expr(s"size(filter(toks, x -> x IN ${inList(words)}))"))
+    }
+      .withColumn("pred_lang",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_es") >= col("s_de"), "es")
+          .otherwise("de"))
+      .select(col("doc_id"), col("pred_lang"),
+        explode_outer(expr(dsirBucketArrayExpr)).as("bucket"))
+  }
+
+  private[graft] def dsirOn(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // one exploded pass; four consumers (totals, raw counts, target counts,
+    // the scoring join) — cached so the corpus expansion runs once.
+    // explode_outer keeps gram-less docs as a NULL-bucket row, so the final
+    // per-doc rollup covers the whole roster without a corpus join-back.
+    val grams = graft.CachedFrames.track(dsirGramsOf(docs))
+    grams.join(broadcast(dsirDeltaOf(grams)), Seq("bucket"), "left")
       .groupBy(col("doc_id"))
       .agg(count(col("bucket")).as("n_grams"),
         coalesce(sum(col("d_bits")), lit(0L)).as("w_bits"))

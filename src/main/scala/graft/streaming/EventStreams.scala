@@ -391,6 +391,38 @@ object EventStreams {
   def cmsSketchStream(docs: DataFrame): DataFrame =
     graft.ops.TextOps.cmsSketchOn(docs)
 
+  /** Streaming DSIR gate — the stream-static twin of the batch importance
+    * weigher ([[graft.ops.TextOps.q93Dsir]]): each arriving (doc_id, text)
+    * row is scored against the STANDING corpus's bucket bits-delta table
+    * and emits the identical (n_grams, w_bits, selected) columns, so
+    * ingestion can keep only target-distribution-up-weighted documents
+    * with the exact numbers the batch selection computed.
+    *
+    * Statelessness, row-locally: the B-row delta table collapses to ONE
+    * broadcast row as a bucket→delta map (cached — the stream-static side
+    * re-executes per micro-batch), so a row's weight is one codegen
+    * `transform`+`aggregate` over its own bigrams. No watermark, no state
+    * store; EventStreamsSpec pins row equality against q93's batch
+    * scorer on the same documents. A gram bucket the corpus never
+    * produced contributes 0 (neutral) — the smoothing-mass delta for a
+    * truly out-of-corpus feature carries no evidence either way. */
+  def dsirGateStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.ops.TextOps
+    val dm = graft.CachedFrames.track(
+      TextOps.dsirDeltaTable(corpus)
+        .agg(map_from_entries(collect_list(struct(col("bucket"), col("d_bits"))))
+          .as("delta_m")))
+    docs.crossJoin(broadcast(dm))
+      .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
+      .withColumn("bks", expr(TextOps.dsirBucketArrayExpr))
+      .select(col("doc_id"),
+        expr("CAST(size(bks) AS BIGINT)").as("n_grams"),
+        expr("""aggregate(bks, CAST(0 AS BIGINT),
+                 (a, b) -> a + CAST(coalesce(delta_m[b], 0) AS BIGINT))""")
+          .as("w_bits"))
+      .withColumn("selected", col("w_bits") > 0)
+  }
+
   /** The same sessionization via the BUILT-IN `session_window` aggregation —
     * Spark's native gap-session operator (merge-on-late-event, emit-on-seal
     * are handled by the engine's session-window state store). Kept alongside

@@ -482,6 +482,32 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(compact.select("cid").as[Long].collect().toSet === Set(100L, 1L, 5L, 6L))
   }
 
+  test("streaming DSIR gate equals the q93 batch weigher row-for-row") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val staged = java.nio.file.Files.createTempDirectory("dsir-gate-e2e")
+    docs.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    val stream = spark.readStream.schema(docs.schema).parquet(staged.toString)
+    def toMapped(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val q = EventStreams.dsirGateStream(stream, docs)
+      .writeStream.format("memory").queryName("dsir_gate_e2e")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val got = try {
+      q.awaitTermination()
+      toMapped(spark.table("dsir_gate_e2e").collect())
+    } finally q.stop()
+    val expected = toMapped(graft.ops.TextOps.dsirOn(docs).collect())
+    graft.CachedFrames.drain()
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("streaming LM quality gate equals the q92 batch scorer bitwise") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.streaming.Trigger
