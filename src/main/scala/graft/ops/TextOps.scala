@@ -1068,40 +1068,96 @@ object TextOps {
     *
     * Model: p(t₁) = (c(t₁)+1)/(N+V+1); p(tᵢ|tᵢ₋₁) =
     * (c(tᵢ₋₁,tᵢ)+1)/(c(tᵢ₋₁)+V+1) — unseen tokens/bigrams fall back to
-    * the smoothing mass, so every document scores.
+    * the smoothing mass, so every document scores. The symbol inventory is
+    * VOCAB-CUT (below): V counts mapped symbols, never raw token diversity.
     *
-    * Scale shape: the LM tables are vocabulary-sized aggregates of the
-    * reference slice (map-side-combinable counts), broadcast against the
-    * position-exploded corpus — the corpus itself is scanned ONCE and never
-    * shuffled; the per-doc rollup is a combinable sum on doc_id. N and V
-    * ride along as a broadcast 1-row aggregate, not driver-side actions. */
+    * Vocab cut: the LM's symbol set is the top-[[LmVocabV]] reference-slice
+    * unigrams by (count desc, token asc — a deterministic total order);
+    * every other token maps to the reserved [[LmOov]] symbol, whose unigram
+    * row carries the residual out-of-vocab mass (the row exists even at
+    * count 0, exactly as a tokenizer reserves `<unk>`). Bigram counts are
+    * taken over the MAPPED token stream, so both tables are bounded by
+    * construction — uni ≤ V+1 rows, big ≤ (V+1)² rows — no matter the
+    * corpus's raw token diversity. Scoring maps each token the same way:
+    * a probe that misses the capped unigram table is out-of-vocab and
+    * falls back to the `<oov>` count (and the `<oov>` bigram key). This is
+    * what keeps the broadcast LM a fixed-size artifact at 100 TB, where
+    * the raw whitespace vocabulary of a reference slice is unbounded.
+    *
+    * Scale shape: the LM tables are V-bounded aggregates of the reference
+    * slice (map-side-combinable counts; the top-V cut plans as a
+    * per-partition partial top-V + V-row merge, not a full vocabulary
+    * sort), broadcast against the position-exploded corpus — the corpus
+    * itself is scanned ONCE and never shuffled; the per-doc rollup is a
+    * combinable sum on doc_id. N, V and the `<oov>` count ride along as a
+    * broadcast 1-row aggregate, not driver-side actions. */
   val LmRefMod = 10
+
+  /** The LM's vocabulary budget: symbols beyond the top-V unigrams map to
+    * [[LmOov]]. 16 is deliberately below the synthetic corpus's 31-token
+    * whitespace vocabulary so every test scale exercises the cut. */
+  val LmVocabV = 16
+
+  /** Reserved out-of-vocab symbol. A corpus token spelled identically
+    * merges into this row's count (both engines aggregate by the mapped
+    * key, so the merge is bitwise-consistent — quirky but harmless). */
+  val LmOov = "<oov>"
 
   def q92LmBits(spark: SparkSession, sfDir: String): DataFrame =
     lmBitsOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
 
-  /** The add-one bigram LM tables behind q92, built from any (doc_id,
-    * text) frame's reference slice: (uni, big, nv) = unigram counts,
-    * bigram counts, and the 1-row (lm_n, lm_v) totals. Shared by the batch
-    * scorer and the streaming quality gate (which collapses them to maps).
-    * The unigram table is cached — the caller's thread drains it. */
+  /** The vocab-cut add-one bigram LM tables behind q92, built from any
+    * (doc_id, text) frame's reference slice: (uni, big, nv) = mapped
+    * unigram counts (≤ V+1 rows, `<oov>` always present), mapped bigram
+    * counts (≤ (V+1)² rows), and the 1-row (lm_n, lm_v, c_oov) totals.
+    * Shared by the batch scorer and the streaming quality gate (which
+    * collapses them to maps). The reference token slice is cached (it
+    * feeds both tables — untracked, the corpus filter+split would run
+    * twice), as are the raw and mapped unigram tables; the caller's
+    * thread drains all three. */
   private[graft] def lmTables(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val ref = docs.filter(col("doc_id") % LmRefMod === 0)
-      .select(expr("""split(trim(text), '\\s+')""").as("toks"))
-    // unigram LM table: three consumers (N/V aggregate + two scoring joins)
-    val uni = graft.CachedFrames.track(
+    val ref = graft.CachedFrames.track(
+      docs.filter(col("doc_id") % LmRefMod === 0)
+        .select(expr("""split(trim(text), '\\s+')""").as("toks")))
+    val rawUni = graft.CachedFrames.track(
       ref.select(explode(col("toks")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c")))
+    // the vocab cut: top-V by (count desc, token asc) — Spark plans
+    // orderBy+limit as TakeOrderedAndProject (per-partition partial top-V,
+    // then a V-row merge), so no full sort of the raw vocabulary happens
+    // even when that vocabulary is corpus-sized
+    val vocab = rawUni.orderBy(col("c").desc, col("w").asc).limit(LmVocabV)
+      .select(col("w").as("vw"))
+    // mapped unigram LM table: out-of-vocab mass collapses into the one
+    // reserved <oov> row, injected unconditionally so lm_v always counts
+    // the reserved symbol (a tokenizer's <unk> slot) and an empty slice
+    // still yields a well-formed 1-row LM
+    val uni = graft.CachedFrames.track(
+      rawUni.join(broadcast(vocab), col("w") === col("vw"), "left")
+        .select(when(col("vw").isNull, lit(LmOov)).otherwise(col("w")).as("w"),
+          col("c"))
+        .unionByName(docs.sparkSession.range(1)
+          .select(lit(LmOov).as("w"), lit(0L).as("c")))
+        .groupBy(col("w")).agg(sum(col("c")).as("c")))
     // coalesce: an EMPTY reference slice (no doc_id hits the mod) must
-    // degrade to the all-smoothing-mass LM (every token costs 1 bit), not
-    // propagate a NULL total through every score
+    // degrade to the all-smoothing-mass LM, not propagate a NULL total
     val nv = uni.agg(coalesce(sum(col("c")), lit(0L)).cast("double").as("lm_n"),
-      count(lit(1)).cast("double").as("lm_v"))
+      count(lit(1)).cast("double").as("lm_v"),
+      coalesce(max(when(col("w") === LmOov, col("c"))), lit(0L))
+        .cast("double").as("c_oov"))
+    // bigram table over the MAPPED stream: both sides remapped through the
+    // broadcast vocab before counting, so the key space is (V+1)²-bounded
+    val v1 = vocab.select(col("vw").as("v1w"))
+    val v2 = vocab.select(col("vw").as("v2w"))
     val big = ref.filter(expr("size(toks) >= 2"))
       .select(explode(expr(
         "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
         .as("p"))
-      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .join(broadcast(v1), col("p.w1") === col("v1w"), "left")
+      .join(broadcast(v2), col("p.w2") === col("v2w"), "left")
+      .groupBy(
+        when(col("v1w").isNull, lit(LmOov)).otherwise(col("p.w1")).as("w1"),
+        when(col("v2w").isNull, lit(LmOov)).otherwise(col("p.w2")).as("w2"))
       .agg(count(lit(1)).as("cb"))
     (uni, big, nv)
   }
@@ -1117,14 +1173,23 @@ object TextOps {
       .join(broadcast(uni.select(col("w"), col("c").as("c_cur"))), Seq("w"), "left")
       .join(broadcast(uni.select(col("w").as("prev"), col("c").as("c_prev"))),
         Seq("prev"), "left")
-      .join(broadcast(big.select(col("w1").as("prev"), col("w2").as("w"),
-        col("cb"))), Seq("prev", "w"), "left")
+      // vocab mapping at scoring time: a token that missed the capped
+      // unigram table IS out-of-vocab — remap it to <oov> before the
+      // bigram probe so the probe key matches the mapped table (prev_m
+      // stays NULL for the document-initial token: a NULL key never
+      // matches, and that row takes the unigram branch anyway)
+      .withColumn("w_m",
+        expr(s"CASE WHEN c_cur IS NULL THEN '$LmOov' ELSE w END"))
+      .withColumn("prev_m", expr(
+        s"CASE WHEN prev IS NOT NULL AND c_prev IS NULL THEN '$LmOov' ELSE prev END"))
+      .join(broadcast(big.select(col("w1").as("prev_m"), col("w2").as("w_m"),
+        col("cb"))), Seq("prev_m", "w_m"), "left")
       .crossJoin(broadcast(nv))
       .withColumn("inv", expr(
         """CASE WHEN prev IS NULL
              THEN CAST(floor((lm_n + lm_v + 1.0)
-                    / (CAST(coalesce(c_cur, 0) AS DOUBLE) + 1.0)) AS BIGINT)
-             ELSE CAST(floor((CAST(coalesce(c_prev, 0) AS DOUBLE) + lm_v + 1.0)
+                    / (coalesce(CAST(c_cur AS DOUBLE), c_oov) + 1.0)) AS BIGINT)
+             ELSE CAST(floor((coalesce(CAST(c_prev AS DOUBLE), c_oov) + lm_v + 1.0)
                     / (CAST(coalesce(cb, 0) AS DOUBLE) + 1.0)) AS BIGINT) END"""))
       .withColumn("bits", length(bin(col("inv"))))
       .groupBy(col("doc_id"))
@@ -1137,18 +1202,31 @@ object TextOps {
     WITH t AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
     ref AS (SELECT * FROM t WHERE doc_id % $LmRefMod = 0),
-    uni AS (
+    rawuni AS (
       SELECT w, count(*) AS c
       FROM (SELECT unnest(tk) AS w FROM ref) GROUP BY 1),
+    vocab AS (
+      SELECT w FROM rawuni ORDER BY c DESC, w ASC LIMIT $LmVocabV),
+    uni AS (
+      SELECT w, CAST(sum(c) AS BIGINT) AS c FROM (
+        SELECT CASE WHEN v.w IS NULL THEN '$LmOov' ELSE r.w END AS w, r.c
+        FROM rawuni r LEFT JOIN vocab v ON r.w = v.w
+        UNION ALL SELECT '$LmOov' AS w, 0 AS c)
+      GROUP BY 1),
     nv AS (
       SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS lm_n,
-        CAST(count(*) AS DOUBLE) AS lm_v
+        CAST(count(*) AS DOUBLE) AS lm_v,
+        CAST(coalesce(max(CASE WHEN w = '$LmOov' THEN c END), 0) AS DOUBLE) AS c_oov
       FROM uni),
     big AS (
-      SELECT w1, w2, count(*) AS cb
-      FROM (SELECT tk[i.idx] AS w1, tk[i.idx + 1] AS w2
-            FROM ref, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS idx) i
-            WHERE len(tk) >= 2)
+      SELECT w1, w2, count(*) AS cb FROM (
+        SELECT CASE WHEN v1.w IS NULL THEN '$LmOov' ELSE p.w1 END AS w1,
+               CASE WHEN v2.w IS NULL THEN '$LmOov' ELSE p.w2 END AS w2
+        FROM (SELECT tk[i.idx] AS w1, tk[i.idx + 1] AS w2
+              FROM ref, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS idx) i
+              WHERE len(tk) >= 2) p
+        LEFT JOIN vocab v1 ON p.w1 = v1.w
+        LEFT JOIN vocab v2 ON p.w2 = v2.w)
       GROUP BY 1, 2),
     s AS (
       SELECT doc_id, tk[i.idx] AS w,
@@ -1158,13 +1236,16 @@ object TextOps {
       SELECT s.doc_id,
         CASE WHEN s.prev IS NULL
           THEN CAST(floor((nv.lm_n + nv.lm_v + 1.0)
-                 / (CAST(coalesce(u1.c, 0) AS DOUBLE) + 1.0)) AS BIGINT)
-          ELSE CAST(floor((CAST(coalesce(u2.c, 0) AS DOUBLE) + nv.lm_v + 1.0)
+                 / (coalesce(CAST(u1.c AS DOUBLE), nv.c_oov) + 1.0)) AS BIGINT)
+          ELSE CAST(floor((coalesce(CAST(u2.c AS DOUBLE), nv.c_oov) + nv.lm_v + 1.0)
                  / (CAST(coalesce(b.cb, 0) AS DOUBLE) + 1.0)) AS BIGINT) END AS inv
       FROM s CROSS JOIN nv
       LEFT JOIN uni u1 ON s.w = u1.w
       LEFT JOIN uni u2 ON s.prev = u2.w
-      LEFT JOIN big b ON s.prev = b.w1 AND s.w = b.w2)
+      LEFT JOIN big b
+        ON b.w1 = (CASE WHEN s.prev IS NULL THEN NULL
+                        WHEN u2.c IS NULL THEN '$LmOov' ELSE s.prev END)
+       AND b.w2 = (CASE WHEN u1.c IS NULL THEN '$LmOov' ELSE s.w END))
     SELECT doc_id, count(*) AS n_tokens,
       CAST(sum(length(bin(inv))) AS BIGINT) AS sum_bits,
       CAST(sum(length(bin(inv))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_bits

@@ -349,9 +349,12 @@ object EventStreams {
     * per-doc sum is an array `aggregate`, never a streaming aggregation.
     * No watermark, no state store, exactly-once per row; EventStreamsSpec
     * pins bitwise row equality (incl. avg_bits) against q92 on the same
-    * documents. The map row is vocabulary-bounded — the same budget as the
-    * admission index's cell arrays; a production corpus caps V at the LM's
-    * vocab cut exactly as a tokenizer would. */
+    * documents. The map row is BOUNDED BY CONSTRUCTION — the LM is
+    * vocab-cut at [[graft.ops.TextOps.LmVocabV]] symbols plus the reserved
+    * `<oov>` residual (uni_m ≤ V+1 entries, big_m ≤ (V+1)² entries), so
+    * the broadcast row's size is independent of corpus token diversity; a
+    * map probe that misses IS the out-of-vocab signal and falls back to
+    * the `<oov>` count and bigram key, exactly as the batch joins do. */
   def lmQualityStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
     import graft.ops.TextOps
     val (uni, big, nv) = TextOps.lmTables(corpus)
@@ -363,15 +366,19 @@ object EventStreams {
       .crossJoin(big.agg(map_from_entries(collect_list(
         struct(concat_ws(" ", col("w1"), col("w2")), col("cb")))).as("big_m")))
       .crossJoin(nv))
+    val oov = TextOps.LmOov
     docs.crossJoin(broadcast(lm))
       .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
-      .withColumn("bits_arr", expr("""
+      .withColumn("bits_arr", expr(s"""
         transform(sequence(0, size(toks) - 1), i ->
           length(bin(CASE WHEN i = 0
             THEN CAST(floor((lm_n + lm_v + 1.0)
-                   / (CAST(coalesce(uni_m[toks[0]], 0) AS DOUBLE) + 1.0)) AS BIGINT)
-            ELSE CAST(floor((CAST(coalesce(uni_m[toks[i - 1]], 0) AS DOUBLE) + lm_v + 1.0)
-                   / (CAST(coalesce(big_m[concat(toks[i - 1], ' ', toks[i])], 0)
+                   / (coalesce(CAST(uni_m[toks[0]] AS DOUBLE), c_oov) + 1.0)) AS BIGINT)
+            ELSE CAST(floor((coalesce(CAST(uni_m[toks[i - 1]] AS DOUBLE), c_oov) + lm_v + 1.0)
+                   / (CAST(coalesce(big_m[concat(
+                        CASE WHEN uni_m[toks[i - 1]] IS NULL THEN '$oov' ELSE toks[i - 1] END,
+                        ' ',
+                        CASE WHEN uni_m[toks[i]] IS NULL THEN '$oov' ELSE toks[i] END)], 0)
                         AS DOUBLE) + 1.0)) AS BIGINT) END)))"""))
       .select(col("doc_id"),
         expr("CAST(size(toks) AS BIGINT)").as("n_tokens"),

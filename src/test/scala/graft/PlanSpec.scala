@@ -311,6 +311,29 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q92 LM tables are vocab-cut BOUNDED: uni <= V+1 rows, big <= (V+1)^2, " +
+    "top-V planned as a partial top-k, never a full vocabulary sort") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    try {
+      val (uni, big, _) = graft.ops.TextOps.lmTables(docs)
+      // the synthetic corpus has 31 distinct whitespace tokens > V = 16,
+      // so the cut genuinely engages at every test scale
+      val v = graft.ops.TextOps.LmVocabV
+      assert(uni.count() === v + 1L) // V in-vocab symbols + the <oov> row
+      assert(big.count() <= (v + 1L) * (v + 1L))
+      // residual mass present: the cut moved real counts into <oov>
+      val oov = uni.filter(col("w") === graft.ops.TextOps.LmOov)
+        .collect().map(_.getLong(1))
+      assert(oov.length === 1 && oov.head > 0L)
+      // the vocab cut's physical shape: orderBy+limit(V) becomes
+      // TakeOrderedAndProject (per-partition partial top-V + V-row merge)
+      val p = uni.queryExecution.executedPlan.toString
+      assert(p.contains("TakeOrderedAndProject"), p)
+    } finally CachedFrames.drain()
+  }
+
   test("q93_dsir: bucket delta broadcasts against the cached gram stream; " +
     "the only corpus-sized exchange is the per-doc rollup") {
     val df = SparkEntry.queries("q93_dsir")(spark, sf)

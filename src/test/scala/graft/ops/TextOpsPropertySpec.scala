@@ -12,8 +12,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class TextOpsPropertySpec extends AnyFunSuite with SparkSpec {
 
+  // 23 distinct drawable tokens — past TextOps.LmVocabV = 16, so random
+  // corpora routinely push low-count tokens through the q92 vocab cut's
+  // <oov> path (including count ties resolved by the token-asc tie-break)
   private val vocab = Vector("the", "a", "of", "el", "la", "de", "alpha",
-    "beta", "gamma", "delta", "hot", "", "zz9")
+    "beta", "gamma", "delta", "hot", "", "zz9",
+    "k01", "k02", "k03", "k04", "k05", "k06", "k07", "k08", "k09", "k10")
 
   private def tokGen: Gen[String] =
     Gen.frequency((6, Gen.oneOf(vocab.filter(_.nonEmpty))), (3, Gen.const("hot")))
@@ -37,21 +41,36 @@ class TextOpsPropertySpec extends AnyFunSuite with SparkSpec {
 
   private def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
 
-  /** q92 oracle: add-one bigram LM over the doc_id % LmRefMod slice. */
+  /** q92 oracle: VOCAB-CUT add-one bigram LM over the doc_id % LmRefMod
+    * slice — top-[[TextOps.LmVocabV]] unigrams by (count desc, token asc),
+    * every other token mapped to `<oov>`, whose always-present row carries
+    * the residual mass; bigrams counted over the mapped stream. */
   private def lmOracle(docs: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
     val ref = docs.filter(_._1 % TextOps.LmRefMod == 0).map(d => toks(d._2))
-    val uni = ref.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
-    val big = ref.flatMap(t => t.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+    val raw = ref.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val inVocab = raw.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(TextOps.LmVocabV).map(_._1).toSet
+    def m(w: String): String = if (inVocab(w)) w else TextOps.LmOov
+    val uni = (raw.toSeq.map { case (w, c) => m(w) -> c } :+ (TextOps.LmOov -> 0L))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val big = ref.flatMap(t => t.sliding(2).filter(_.size == 2)
+        .map(p => (m(p(0)), m(p(1)))))
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     val n = uni.values.sum.toDouble
     val v = uni.size.toDouble
+    val cOov = uni(TextOps.LmOov)
+    // scoring membership mirrors the engines' join-on-uni: a token hits iff
+    // the MAPPED table has a row under its own spelling (a literal "<oov>"
+    // corpus token hits the residual row — same count either way)
+    def cU(w: String): Long = uni.getOrElse(w, cOov)
+    def mS(w: String): String = if (uni.contains(w)) w else TextOps.LmOov
     docs.map { case (id, t) =>
       val ts = toks(t)
       val cost = ts.zipWithIndex.map { case (w, i) =>
         val inv =
-          if (i == 0) math.floor((n + v + 1.0) / (uni.getOrElse(w, 0L) + 1.0)).toLong
-          else math.floor((uni.getOrElse(ts(i - 1), 0L) + v + 1.0) /
-            (big.getOrElse((ts(i - 1), w), 0L) + 1.0)).toLong
+          if (i == 0) math.floor((n + v + 1.0) / (cU(w) + 1.0)).toLong
+          else math.floor((cU(ts(i - 1)) + v + 1.0) /
+            (big.getOrElse((mS(ts(i - 1)), mS(w)), 0L) + 1.0)).toLong
         bits(inv)
       }.sum
       id -> (ts.size.toLong, cost)

@@ -78,7 +78,10 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     val big = refToks.flatMap(t => t.sliding(2).map(p => (p(0), p(1))))
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     val n = refToks.map(_.size).sum.toDouble
-    val v = uni.size.toDouble
+    // the 7-token reference vocab is under the V=16 cut, so no token maps
+    // to <oov> — but the reserved <oov> row still counts in V (c_oov = 0),
+    // exactly as a tokenizer reserves its <unk> slot
+    val v = uni.size.toDouble + 1.0
     def bits(inv: Long): Long = java.lang.Long.toBinaryString(inv).length.toLong
     def cost(toks: Seq[String]): (Long, Long) = {
       val costs = toks.zipWithIndex.map { case (w, i) =>
@@ -101,6 +104,35 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     }
     // in-reference docs compress better than the OOV-heavy outsider
     assert(got.find(_._1 == 0L).get._4 < got.find(_._1 == 7L).get._4)
+  }
+
+  test("q92 vocab cut engages past V ref tokens: bounded tables, <oov> residual") {
+    import spark.implicits._
+    // 20 distinct reference tokens (> V=16), token i appearing 21-i times:
+    // the top-16 is t00..t15 (all counts distinct, no tie-break needed);
+    // t16..t19 (counts 5,4,3,2) collapse into <oov>
+    val refText = (0 until 20).flatMap(i => Seq.fill(21 - i)(f"t$i%02d")).mkString(" ")
+    val docs = Seq((0L, refText), (1L, "t00 t19 t17")).toDF("doc_id", "text")
+    try {
+      val (uni, big, nv) = TextOps.lmTables(docs)
+      val uniRows = uni.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(uniRows.size === TextOps.LmVocabV + 1) // bounded by construction
+      assert(uniRows(TextOps.LmOov) === 5L + 4L + 3L + 2L) // residual mass
+      assert(uniRows.contains("t15") && !uniRows.contains("t16"))
+      assert(big.count() <= (TextOps.LmVocabV + 1L) * (TextOps.LmVocabV + 1L))
+      val nvRow = nv.collect().head
+      assert(nvRow.getDouble(0) === 230.0) // lm_n: total mass is preserved
+      assert(nvRow.getDouble(1) === 17.0)  // lm_v counts mapped symbols
+      assert(nvRow.getDouble(2) === 14.0)  // c_oov
+      // hand-derived scoring of the OOV-heavy doc 1 "t00 t19 t17":
+      //   t00           floor((230+17+1)/(21+1)) = 11      -> 4 bits
+      //   t19 | t00     cb(t00,<oov>) = 0 -> floor(39/1)   -> 6 bits
+      //   t17 | t19     c_prev = c_oov = 14, cb(<oov>,<oov>) = 13
+      //                 -> floor(32/14) = 2                -> 2 bits
+      val r1 = TextOps.lmBitsOn(docs).collect().find(_.getLong(0) == 1L).get
+      assert(r1.getLong(1) === 3L)
+      assert(r1.getLong(2) === 12L)
+    } finally graft.CachedFrames.drain()
   }
 
   test("q93 DSIR weights reproduce an independent reference; en-like docs up-weight") {
