@@ -46,7 +46,7 @@ object Embeddings {
   private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     call_function("dot_product", a, b)
 
-  private def vecs(spark: SparkSession, sfDir: String): DataFrame = {
+  private[ops] def vecs(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.parallelized(Tables(spark, sfDir, "embeddings"))
       .select(col("vec_id"), col("label"),
@@ -1219,12 +1219,19 @@ object Embeddings {
     * compression that puts a billion-vector index in executor RAM.
     * Sub-codebooks are hash-seeded exactly like the coarse quantizer
     * ([[hashCentroids]]): seed cells from `md5_prefix56('pq:<m>:' ||
-    * vec_id) % Ks`, centroids as fixed-point DECIMAL means, one Lloyd
-    * assignment — deterministic, label-free, oracle-exact. */
+    * vec_id) % Ks`, centroids as fixed-point DECIMAL means — then
+    * LLOYD-TRAINED per subspace for [[PqTrainedRounds]] rounds
+    * ([[pqTrainedCodebooks]]), the same loop q89 runs on the coarse
+    * codebook — deterministic, label-free, oracle-exact. */
   private[ops] val PqM = 4
   private[ops] val PqSubDim = Dim / PqM
   private[ops] val PqKs = 16
   private val PqSalt = "pq:"
+
+  /** Sub-codebook training rounds (mirrors the coarse [[TrainedRounds]]):
+    * rounds = 1 is the bare hash-seeded book; 3 = two full per-subspace
+    * Lloyd iterations on top of it. */
+  private[ops] val PqTrainedRounds = 3
 
   /** All subspaces of the (vec_id, v, …) frame in long form: (vec_id, m,
     * sv) — ONE pass over the corpus covers every subspace, instead of M
@@ -1233,15 +1240,13 @@ object Embeddings {
     e.select(col("vec_id"), posexplode(array((0 until PqM).map(m =>
       slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*)).as(Seq("m", "sv")))
 
-  /** ALL sub-codebooks in one build, keyed (m, cell): hash-seeded groups →
-    * fixed-point DECIMAL means (the q31/q74 mechanics on the subvectors).
-    * M·Ks×subDim doubles — broadcast by construction. One aggregation
-    * chain instead of M: the subspace id is just another grouping key. */
-  private def pqCodebooks(e: DataFrame): DataFrame =
-    pqSubsLong(e)
-      .withColumn("cell", expr(
-        s"""CAST(md5_prefix56(concat('$PqSalt', CAST(m AS STRING), ':',
-             CAST(vec_id AS STRING))) % $PqKs AS INT)"""))
+  /** ALL sub-codebooks in one means pass, keyed (m, cell), from an
+    * assignment frame (vec_id, m, sv, cell): fixed-point DECIMAL means
+    * (the q31/q74 mechanics on the subvectors). M·Ks×subDim doubles —
+    * broadcast by construction. One aggregation chain instead of M: the
+    * subspace id is just another grouping key. */
+  private def pqMeansOf(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("idx", "x")))
       .groupBy(col("m"), col("cell"), col("idx"))
       .agg(count(lit(1)).as("n"),
@@ -1252,6 +1257,42 @@ object Embeddings {
       .agg(array_sort(collect_list(struct(col("idx"), col("mean_x")))).as("im"))
       .select(col("m"), col("cell"), expr("transform(im, x -> x.mean_x)").as("c"))
 
+  /** Hash-seeded sub-codebooks — the rounds = 1 training state. */
+  private[ops] def pqCodebooks(e: DataFrame): DataFrame =
+    pqMeansOf(pqSubsLong(e).withColumn("cell", expr(
+      s"""CAST(md5_prefix56(concat('$PqSalt', CAST(m AS STRING), ':',
+           CAST(vec_id AS STRING))) % $PqKs AS INT)""")))
+
+  /** Nearest-sub-centroid reassignment of every (vec, m) subvector — the
+    * per-subspace Lloyd reassign step. One broadcast join on the subspace
+    * id + the map-side `min(struct(d2, cell, sv))` argmin (struct ordering
+    * is (d2 ASC, cell ASC), the oracle's tie-break; sv rides behind cell
+    * and is never compared — cells are distinct within a group). */
+  private def pqAssigned(e: DataFrame, books: DataFrame): DataFrame =
+    pqSubsLong(e)
+      .join(broadcast(books), Seq("m"))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(sv, c, (a, b) -> (a - b) * (a - b)),
+             CAST(0 AS DOUBLE), (acc, x) -> acc + x)"""))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("cell"), col("sv"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.sv").as("sv"), col("b.cell").as("cell"))
+
+  /** Lloyd-trained sub-codebooks: `rounds − 1` full reassign+means
+    * iterations per subspace ([[trainedCentroids]]'s loop, with m as an
+    * extra grouping key) on top of the hash seed — rounds = 1 IS
+    * [[pqCodebooks]], so the EmbeddingsSpec comparison isolates exactly
+    * what training buys. Deterministic end to end (content-hash seed,
+    * (d2, cell) tie-break, order-insensitive fixed-point means).
+    *
+    * Scale shape per round: ONE broadcast of the M·Ks·subDim codebook,
+    * one map-side argmin collapse, one map-side-combinable means pass —
+    * no shuffle grows with rounds, exactly the q89 coarse loop. */
+  private[ops] def pqTrainedCodebooks(e: DataFrame, rounds: Int): DataFrame =
+    (2 to rounds).foldLeft(pqCodebooks(e)) { (books, _) =>
+      pqMeansOf(pqAssigned(e, books))
+    }
+
   /** Per-vector codes across ALL subspaces, widened to columns
     * (vec_id, code_0..code_{M-1}, d2_0..d2_{M-1}): the candidate fan-out
     * is ONE broadcast hash join on the subspace id (each (vec, m) row
@@ -1260,7 +1301,7 @@ object Embeddings {
     * (d2 ASC, cell ASC), the oracle's exact tie-break — and one more
     * groupBy(vec_id) pivots the M codes wide (bounded M-element arrays).
     * No window, no M-way self-join, two exchanges total. */
-  private def pqCodesWide(e: DataFrame, books: DataFrame): DataFrame = {
+  private[ops] def pqCodesWide(e: DataFrame, books: DataFrame): DataFrame = {
     val wide = pqSubsLong(e)
       .join(broadcast(books), Seq("m"))
       .withColumn("d2", expr(
@@ -1278,51 +1319,68 @@ object Embeddings {
 
   /** q79: product-quantization encode — each vector compressed to [[PqM]]
     * sub-codebook codes plus the reconstruction distortion
-    * Σ_m ‖v_m − c_{m,code_m}‖² that re-rankers gate on. Codes serialize as
-    * the '_'-joined string (q26/q62 gate convention); consumers re-split.
+    * Σ_m ‖v_m − c_{m,code_m}‖² that re-rankers gate on. Codes address the
+    * LLOYD-TRAINED sub-codebooks ([[pqTrainedCodebooks]] at
+    * [[PqTrainedRounds]]). Codes serialize as the '_'-joined string
+    * (q26/q62 gate convention); consumers re-split.
     *
     * Scale shape: the combined codebook is broadcast; encoding is one
     * broadcast join + two bounded aggregations over a single corpus pass
-    * (see [[pqCodesWide]]). At 100 TB the emitted code table is ~1/64 the
-    * corpus and is what the ADC search (q80) reads instead of raw floats. */
+    * (see [[pqCodesWide]]), after the bounded per-round training cost. At
+    * 100 TB the emitted code table is ~1/64 the corpus and is what the
+    * ADC search (q80) reads instead of raw floats. */
   def q79PqEncode(spark: SparkSession, sfDir: String): DataFrame = {
     val e = graft.CachedFrames.track(vecs(spark, sfDir))
-    pqCodesWide(e, pqCodebooks(e))
+    pqCodesWide(e, pqTrainedCodebooks(e, PqTrainedRounds))
       .select(col("vec_id"),
         concat_ws("_",
           (0 until PqM).map(m => col(s"code_$m").cast("string")): _*).as("codes"),
         (0 until PqM).map(m => col(s"d2_$m")).reduce(_ + _).as("distortion"))
   }
 
-  /** DuckDB chain for each subspace m: `sub$m` (vec_id, sv), sub-codebook
-    * `book$m` (cell, c) and assignment `pa$m` (vec_id, code, d2). Expects
-    * an `e` CTE providing (vec_id, v). */
-  private val pqSqlCtes: String = (0 until PqM).map { m =>
-    val lo = m * PqSubDim + 1
-    val hi = (m + 1) * PqSubDim
-    s"""sub$m AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e),
-    px$m AS (
-      SELECT CAST(('0x' || substr(md5('$PqSalt$m:' || s.vec_id::VARCHAR), 1, 14))::BIGINT
-          % $PqKs AS INTEGER) AS cell,
-        i.idx - 1 AS idx, s.sv[i.idx] AS x
-      FROM sub$m s, LATERAL (SELECT unnest(generate_series(1, len(s.sv))) AS idx) i),
-    pmean$m AS (
+  /** One per-subspace Lloyd round in DuckDB: book r = fixed-point means
+    * of assignment r−1, assignment r = argmin vs book r — the verbatim
+    * mirror of [[pqMeansOf]] + [[pqAssigned]] for subspace m, emitted as
+    * `bk${r}_$m` / `aa${r}_$m`. */
+  private def pqRoundSqlCtes(m: Int, r: Int): String = s"""bx${r}_$m AS (
+      SELECT s.cell, i.idx - 1 AS idx, s.sv[i.idx] AS x
+      FROM aa${r - 1}_$m s, LATERAL (SELECT unnest(generate_series(1, len(s.sv))) AS idx) i),
+    bm${r}_$m AS (
       SELECT cell, idx,
         CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12
           / CAST(count(*) AS DOUBLE) AS mean_x
-      FROM px$m GROUP BY cell, idx),
-    book$m AS (SELECT cell, list(mean_x ORDER BY idx) AS c FROM pmean$m GROUP BY cell),
-    pd$m AS (
-      SELECT s.vec_id, b.cell,
+      FROM bx${r}_$m GROUP BY cell, idx),
+    bk${r}_$m AS (SELECT cell, list(mean_x ORDER BY idx) AS c FROM bm${r}_$m GROUP BY cell),
+    ad${r}_$m AS (
+      SELECT s.vec_id, s.sv, b.cell,
         list_reduce(list_prepend(0.0::DOUBLE,
           list_transform(list_zip(s.sv, b.c), z -> (z[1] - z[2]) * (z[1] - z[2]))),
           (acc, x) -> acc + x) AS d2
-      FROM sub$m s CROSS JOIN book$m b),
-    pa$m AS (
-      SELECT vec_id, cell AS code, d2 FROM (
-        SELECT vec_id, cell, d2,
+      FROM sub$m s CROSS JOIN bk${r}_$m b),
+    aa${r}_$m AS (
+      SELECT vec_id, sv, cell, d2 FROM (
+        SELECT vec_id, sv, cell, d2,
           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rk
-        FROM pd$m) WHERE rk = 1)"""
+        FROM ad${r}_$m) WHERE rk = 1)"""
+
+  /** DuckDB chain for each subspace m: `sub$m` (vec_id, sv), the seeded
+    * assignment `aa0_$m`, [[PqTrainedRounds]] chained Lloyd rounds, and
+    * the final TRAINED sub-codebook `book$m` (cell, c) + assignment
+    * `pa$m` (vec_id, code, d2). Expects an `e` CTE providing (vec_id, v). */
+  private val pqSqlCtes: String = (0 until PqM).map { m =>
+    val lo = m * PqSubDim + 1
+    val hi = (m + 1) * PqSubDim
+    val rounds = (1 to PqTrainedRounds).map(r => pqRoundSqlCtes(m, r))
+      .mkString(",\n    ")
+    s"""sub$m AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e),
+    aa0_$m AS (
+      SELECT vec_id, sv,
+        CAST(('0x' || substr(md5('$PqSalt$m:' || vec_id::VARCHAR), 1, 14))::BIGINT
+          % $PqKs AS INTEGER) AS cell
+      FROM sub$m),
+    $rounds,
+    book$m AS (SELECT cell, c FROM bk${PqTrainedRounds}_$m),
+    pa$m AS (SELECT vec_id, cell AS code, d2 FROM aa${PqTrainedRounds}_$m)"""
   }.mkString(",\n    ")
 
   val q79PqEncodeSql: String = {
@@ -1373,9 +1431,17 @@ object Embeddings {
     * unchanged. */
   private def adcRanked(spark: SparkSession, sfDir: String, depth: Int): DataFrame = {
     val e = graft.CachedFrames.track(vecs(spark, sfDir))
+    adcRankedWith(e, graft.CachedFrames.track(
+      pqTrainedCodebooks(e, PqTrainedRounds)), depth)
+  }
+
+  /** [[adcRanked]] against an explicit sub-codebook frame — the seam
+    * EmbeddingsSpec uses to measure trained vs hash-seeded books on the
+    * identical search path. */
+  private[ops] def adcRankedWith(e: DataFrame, books: DataFrame,
+      depth: Int): DataFrame = {
     val coarse = probeAssign(e, hashCentroids(e, HashCodebookK), nprobe = 1)
       .drop("probe_rk")
-    val books = graft.CachedFrames.track(pqCodebooks(e))
     val codes = pqCodesWide(e, books)
       .select(col("vec_id") +: (0 until PqM).map(m => col(s"code_$m")): _*)
     val db = coarse.select(col("vec_id").as("cand_id"), col("cell"))

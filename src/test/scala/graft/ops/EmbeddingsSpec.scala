@@ -116,6 +116,44 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     } finally graft.CachedFrames.drain()
   }
 
+  test("PQ sub-codebook training: per-round sub-distortion never increases " +
+    "and trained recall_pq >= hash-seeded recall_pq") {
+    val sf = "/root/testdata/sf0.001"
+    graft.functions.GraftFunctions.register(spark)
+    try {
+      val e = graft.CachedFrames.track(Embeddings.vecs(spark, sf))
+      // Lloyd monotonicity per subspace, summed: total reconstruction
+      // distortion (q79's gate column) never increases with rounds
+      val ds = (1 to Embeddings.PqTrainedRounds).map { r =>
+        val d = Embeddings.pqCodesWide(e, Embeddings.pqTrainedCodebooks(e, r))
+          .select((0 until Embeddings.PqM).map(m => col(s"d2_$m")).reduce(_ + _)
+            .as("d"))
+          .agg(sum(col("d"))).head().getDouble(0)
+        info(f"PQ rounds $r total distortion: $d%.4f")
+        d
+      }
+      ds.sliding(2).foreach { case Seq(a, b) =>
+        assert(b <= a + 1e-6, ds.toString)
+      }
+      assert(ds.last < ds.head, "PQ training never moved the sub-codebooks")
+      // measured recall on the identical ADC search path, books swapped
+      val truth = graft.CachedFrames.track(
+        Embeddings.q29KnnBrute(spark, sf).filter(col("rk") <= 3)
+          .select(col("id1").as("qid"), col("id2").as("cand_id")))
+      val nTruth = truth.count().toDouble
+      def recallOf(books: org.apache.spark.sql.DataFrame): Double =
+        truth.join(Embeddings.adcRankedWith(e, books, 3)
+          .select(col("qid"), col("cand_id")), Seq("qid", "cand_id"))
+          .count().toDouble / nTruth
+      val hash = recallOf(Embeddings.pqCodebooks(e))
+      val trained = recallOf(
+        Embeddings.pqTrainedCodebooks(e, Embeddings.PqTrainedRounds))
+      info(f"recall_pq hash=$hash%.4f trained=$trained%.4f")
+      assert(trained >= hash, s"trained $trained < hash $hash")
+      assert(trained > 0.0)
+    } finally graft.CachedFrames.drain()
+  }
+
   test("recall scoreboard (q75): multi-probe dominates single-probe per query, " +
     "recalls are valid fractions") {
     val sf = "/root/testdata/sf0.001"
