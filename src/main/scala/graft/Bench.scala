@@ -36,16 +36,20 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val cpusN = scala.util.Try(cpus.toInt).getOrElse(4)
-    // pre-flight load gate: a suite started under heavy ambient load is
-    // wasted work on this shared VM (r4/r5/r6 all shipped contention-skewed
-    // official records while a clean run sat in bench_out.json) — wait once
-    // for the machine to drain, then measure regardless but SELF-LABEL the
-    // record "contended" so a reader never mistakes it for a clean number
+    // pre-flight wait-for-quiet: ambient load on this shared VM swings
+    // 0.3→10+ and has inflated recorded totals 2-3× on identical code
+    // (r4/r5 post-mortems; r8's official record was a 704 s contended wall
+    // that flagged five phantom regressions). Poll — bounded at 5 min —
+    // until the 1-min loadavg drops under cpus/8 (stricter than the
+    // contended label's cpus/4, because "quiet enough to start" should be
+    // cleaner than "bad enough to disclaim"), then measure regardless and
+    // SELF-LABEL the record via `contended` below.
     var loadStart = loadavg()
-    if (load1(loadStart) > cpusN / 4.0) {
+    val quietDeadline = System.nanoTime() + 300L * 1000L * 1000L * 1000L
+    while (load1(loadStart) > cpusN / 8.0 && System.nanoTime() < quietDeadline) {
       System.err.println(f"[bench] loadavg ${load1(loadStart)}%.2f > " +
-        f"${cpusN / 4.0}%.1f at start — sleeping 90s for the machine to drain")
-      Thread.sleep(90000)
+        f"${cpusN / 8.0}%.1f — waiting 15s for quiet (bounded at 5 min total)")
+      Thread.sleep(15000)
       loadStart = loadavg()
     }
     val spark = SparkSession.builder()

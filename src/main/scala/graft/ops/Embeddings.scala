@@ -714,9 +714,6 @@ object Embeddings {
         .filter(col("rk") <= 3)
         .select(col("qid"), col("cand_id"))
     }
-    def hitsOf(cands: DataFrame, as: String): DataFrame =
-      truth.join(cands.select(col("qid"), col("cand_id")), Seq("qid", "cand_id"))
-        .groupBy(col("qid")).agg(count(lit(1)).as(as))
     def recallOf(n: String): org.apache.spark.sql.Column =
       coalesce(col(n), lit(0L)).cast("double") / lit(3.0)
     // ONE cached depth-10 ADC pass serves BOTH compressed candidate sets:
@@ -726,12 +723,29 @@ object Embeddings {
     // composes q80/q83 verbatim because the RESULTS are identical.
     val ranked = graft.CachedFrames.track(adcRanked(spark, sfDir, RerankDepth))
     val e = graft.CachedFrames.track(vecs(spark, sfDir))
+    // assembly is ONE union-then-conditional-count pass: all five
+    // candidate sets ride a single (qid, cand_id, variant) frame through
+    // one truth join and one per-qid aggregation, replacing the former
+    // five hit-joins + five left joins (r8 verdict: a 30+-job tail whose
+    // scheduling dominated isolated-rep variance). Counting per variant
+    // inside one agg is pivot-without-the-pivot: no distinct-values job,
+    // no extra exchange — the variant column is a constant per branch.
+    def tagged(cands: DataFrame, v: String): DataFrame =
+      cands.select(col("qid"), col("cand_id")).withColumn("variant", lit(v))
+    val cands = tagged(topk(home), "single")
+      .unionByName(tagged(topk(probed), "multi"))
+      .unionByName(tagged(q74HashIvf(spark, sfDir), "hash"))
+      .unionByName(tagged(ranked.filter(col("rk") <= 3), "pq"))
+      .unionByName(tagged(rerankStage(e, ranked), "rerank"))
+    val hits = truth.join(cands, Seq("qid", "cand_id"))
+      .groupBy(col("qid"))
+      .agg(count(when(col("variant") === "single", 1)).as("h1"),
+        count(when(col("variant") === "multi", 1)).as("h2"),
+        count(when(col("variant") === "hash", 1)).as("h3"),
+        count(when(col("variant") === "pq", 1)).as("h4"),
+        count(when(col("variant") === "rerank", 1)).as("h5"))
     truth.select(col("qid")).distinct()
-      .join(hitsOf(topk(home), "h1"), Seq("qid"), "left")
-      .join(hitsOf(topk(probed), "h2"), Seq("qid"), "left")
-      .join(hitsOf(q74HashIvf(spark, sfDir), "h3"), Seq("qid"), "left")
-      .join(hitsOf(ranked.filter(col("rk") <= 3), "h4"), Seq("qid"), "left")
-      .join(hitsOf(rerankStage(e, ranked), "h5"), Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
       .select(col("qid"),
         recallOf("h1").as("recall_single"),
         recallOf("h2").as("recall_multi"),
