@@ -505,7 +505,13 @@ object Curation {
     * set makes replay verdict-stable regardless of intra-batch
     * duplication (spec-pinned in the ingestion-loop replay case). For the
     * ordinary disjoint batch/corpus split (q71, AdmitBatch) the guard is
-    * a no-op. */
+    * a no-op.
+    *
+    * SOUNDNESS ASSUMPTION: doc_ids are globally unique across batches and
+    * the corpus. If an upstream bug ever REUSES an id for a different
+    * document, the exclusion would silently suppress that genuine
+    * cross-batch duplicate match — id-uniqueness is the ingestion
+    * contract, not something this probe can check cheaply. */
   private[graft] def admitAgainstIndex(batch: DataFrame,
       digests: DataFrame, bands: DataFrame): DataFrame = {
     val b = graft.CachedFrames.track(batch)

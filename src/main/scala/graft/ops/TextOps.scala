@@ -1549,13 +1549,35 @@ object TextOps {
     dsirOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
   }
 
-  /** The B-row hashed-bucket bits-delta table behind q93, built from any
+  /** The hashed-bucket bits-delta table behind q93, built from any
     * (doc_id, text) corpus — shared by the batch scorer and the streaming
     * twin (which collapses it to a map). The gram stream is cached; the
-    * caller's thread drains it. */
+    * caller's thread drains it.
+    *
+    * Besides the ≤ B occupied-bucket rows, the table carries ONE sentinel
+    * row (bucket = [[DsirUnseenBucket]]) holding the delta the smoothing
+    * formula assigns a bucket the corpus never produced (cr = ct = 0):
+    * bits(floor(n_raw + B)) − bits(floor(n_tgt + B)). The batch scorer
+    * never probes it (its grams and its delta table come from the same
+    * corpus), but the streaming gate's out-of-corpus documents must fall
+    * back to it so stream and batch score by the SAME formula — without
+    * it, corpus-unseen features would be scored 0 while the formula says
+    * they carry the (typically positive, since n_raw ≥ n_tgt) smoothing
+    * delta. Real buckets are md5 % B ∈ [0, B), so −1 can never collide. */
+  private[graft] val DsirUnseenBucket = -1L
+
   private[graft] def dsirDeltaTable(corpus: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    dsirDeltaOf(graft.CachedFrames.track(dsirGramsOf(corpus)))
+    val grams = graft.CachedFrames.track(dsirGramsOf(corpus))
+    val unseen = grams.agg(
+        count(col("bucket")).cast("double").as("n_raw"),
+        count(when(col("pred_lang") === "en", col("bucket"))).cast("double")
+          .as("n_tgt"))
+      .select(lit(DsirUnseenBucket).as("bucket"), (
+        length(bin(expr(s"CAST(floor(n_raw + $DsirBuckets.0) AS BIGINT)"))) -
+        length(bin(expr(s"CAST(floor(n_tgt + $DsirBuckets.0) AS BIGINT)")))
+      ).as("d_bits"))
+    dsirDeltaOf(grams).unionByName(unseen)
   }
 
   /** SINGLE source of the bucket bits-delta aggregation over a gram

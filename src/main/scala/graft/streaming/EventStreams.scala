@@ -411,8 +411,12 @@ object EventStreams {
     * `transform`+`aggregate` over its own bigrams. No watermark, no state
     * store; EventStreamsSpec pins row equality against q93's batch
     * scorer on the same documents. A gram bucket the corpus never
-    * produced contributes 0 (neutral) — the smoothing-mass delta for a
-    * truly out-of-corpus feature carries no evidence either way. */
+    * produced scores by the SAME smoothing formula as everything else —
+    * the delta table carries a sentinel row (see
+    * [[graft.ops.TextOps.dsirDeltaTable]]) with the cr = ct = 0 delta,
+    * and a map probe that misses falls back to it, so out-of-corpus
+    * documents are weighted exactly as the batch formula would weight
+    * them (spec-pinned against the plain-Scala oracle). */
   def dsirGateStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
     import graft.ops.TextOps
     val dm = graft.CachedFrames.track(
@@ -424,8 +428,9 @@ object EventStreams {
       .withColumn("bks", expr(TextOps.dsirBucketArrayExpr))
       .select(col("doc_id"),
         expr("CAST(size(bks) AS BIGINT)").as("n_grams"),
-        expr("""aggregate(bks, CAST(0 AS BIGINT),
-                 (a, b) -> a + CAST(coalesce(delta_m[b], 0) AS BIGINT))""")
+        expr(s"""aggregate(bks, CAST(0 AS BIGINT),
+                 (a, b) -> a + CAST(coalesce(delta_m[b],
+                   delta_m[${TextOps.DsirUnseenBucket}]) AS BIGINT))""")
           .as("w_bits"))
       .withColumn("selected", col("w_bits") > 0)
   }

@@ -508,6 +508,85 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming DSIR gate scores OUT-OF-CORPUS buckets by the smoothing " +
+      "formula, not 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    // The gate's broadcast map only has rows for corpus-occupied buckets; a
+    // stream document carrying a bucket the corpus never produced must fall
+    // back to the sentinel cr = ct = 0 delta — bits(n_raw+B) − bits(n_tgt+B)
+    // — not to 0. The corpus is built so that delta is nonzero (n_raw + B
+    // crosses a power of two that n_tgt + B does not): one long non-target
+    // doc of two repeated bigrams (549 raw grams, 2 occupied buckets) plus
+    // a small English target doc.
+    val corpus = Seq(
+      (1L, Seq.fill(275)("el la").mkString(" ")),
+      (2L, "the cat sat of the mat")).toDF("doc_id", "text")
+    val streamDocs = Seq(
+      (10L, "zzqx1 zzqx2 zzqx3"), // bigram buckets expected corpus-unseen
+      (11L, "the cat sat of the mat")) // in-corpus copy: occupied buckets
+    // plain-Scala oracle, the SAME formula for seen and unseen buckets
+    def toksOf(t: String): Seq[String] = t.trim.split("\\s+").toSeq
+    def md56(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 14), 16)
+    }
+    def bucket(g: String): Long = md56("dsir:" + g) % graft.ops.TextOps.DsirBuckets
+    def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    val stopEn = Set("the", "a", "of", "and", "to")
+    val stopEs = Set("el", "la", "de", "y", "que")
+    val stopDe = Set("der", "die", "und", "das", "ist")
+    def lang(ts: Seq[String]): String = {
+      val (e, s, d) = (ts.count(stopEn), ts.count(stopEs), ts.count(stopDe))
+      if (e >= s && e >= d) "en" else if (s >= d) "es" else "de"
+    }
+    val corpusGrams = Seq(
+      (1L, Seq.fill(275)("el la").mkString(" ")),
+      (2L, "the cat sat of the mat")).flatMap { case (_, t) =>
+      val ts = toksOf(t)
+      if (ts.size < 2) Seq.empty
+      else ts.sliding(2).map(p => (lang(ts), bucket(p.mkString(" ")))).toSeq
+    }
+    val nRaw = corpusGrams.size.toDouble
+    val nTgt = corpusGrams.count(_._1 == "en").toDouble
+    val cRaw = corpusGrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cTgt = corpusGrams.filter(_._1 == "en").groupBy(_._2).view
+      .mapValues(_.size.toLong).toMap
+    val B = graft.ops.TextOps.DsirBuckets
+    def delta(b: Long): Long =
+      bits(math.floor((nRaw + B) / (cRaw.getOrElse(b, 0L) + 1.0)).toLong) -
+        bits(math.floor((nTgt + B) / (cTgt.getOrElse(b, 0L) + 1.0)).toLong)
+    // the scenario must actually exercise the fix: an unseen bucket exists
+    // in the stream and its sentinel delta is nonzero
+    val dUnseen = bits(math.floor(nRaw + B).toLong) - bits(math.floor(nTgt + B).toLong)
+    assert(dUnseen !== 0L)
+    val streamBuckets = streamDocs.flatMap { case (_, t) =>
+      toksOf(t).sliding(2).map(p => bucket(p.mkString(" "))) }
+    assert(streamBuckets.exists(b => !cRaw.contains(b)))
+    val expected = streamDocs.map { case (id, t) =>
+      val ds = toksOf(t).sliding(2).filter(_.size == 2)
+        .map(p => delta(bucket(p.mkString(" ")))).toSeq
+      (id, ds.size.toLong, ds.sum, ds.sum > 0L)
+    }.toSet
+    val staged = java.nio.file.Files.createTempDirectory("dsir-oov")
+    streamDocs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(staged.toString)
+    val stream = spark.readStream
+      .schema(streamDocs.toDF("doc_id", "text").schema).parquet(staged.toString)
+    val q = EventStreams.dsirGateStream(stream, corpus)
+      .writeStream.format("memory").queryName("dsir_oov")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val got = try {
+      q.awaitTermination()
+      spark.table("dsir_oov").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    } finally { q.stop(); graft.CachedFrames.drain() }
+    assert(got === expected)
+  }
+
   test("streaming LM quality gate equals the q92 batch scorer bitwise") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.streaming.Trigger
