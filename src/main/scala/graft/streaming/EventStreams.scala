@@ -203,7 +203,12 @@ object EventStreams {
     * so arrivals are admitted in doc_id order WITHIN each micro-batch
     * (sorted; micro-batch-sized buffer, not stream-sized) — feed batches
     * that are id-ordered across batch boundaries and the stream's verdicts
-    * equal the batch twin's exactly (spec-pinned). */
+    * equal the batch twin's exactly (spec-pinned). When arrivals are OUT
+    * OF ORDER across batches, row-level verdicts may differ from the
+    * batch twin (the stream grants by arrival, the twin by id — grants
+    * are never revoked), but the quota invariant survives: exactly k
+    * admitted per source offering ≥ k documents, each verdict emitted
+    * once (the relaxed contract, spec-pinned adversarially). */
   def sourceQuotaStream(docs: Dataset[SourceDoc],
       k: Int = graft.ops.Curation.SourceQuotaK): Dataset[QuotaVerdict] = {
     import docs.sparkSession.implicits._
@@ -394,7 +399,11 @@ object EventStreams {
     * construction, so no watermark is needed and the state store can never
     * grow (the defining property of a sketch, surfaced as the operator's
     * streaming contract). Run in Complete/Update mode; EventStreamsSpec
-    * pins the Complete-mode table equal to the batch sketch cell-by-cell. */
+    * pins BOTH output modes against the batch sketch — Complete
+    * cell-by-cell, and Update as a delta feed whose per-trigger updated
+    * cells, merged last-write-wins by (row, bucket) key (the keyed-upsert
+    * consumption a monitoring sink actually does), converge to the same
+    * table. */
   def cmsSketchStream(docs: DataFrame): DataFrame =
     graft.ops.TextOps.cmsSketchOn(docs)
 

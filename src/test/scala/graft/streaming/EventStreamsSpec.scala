@@ -137,6 +137,48 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming source-quota under CROSS-BATCH out-of-order arrivals: " +
+      "exactly k admitted per source (the relaxed arrival-order contract)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The documented agreement precondition (id-ordered across batch
+    // boundaries) is deliberately violated here: later batches carry
+    // SMALLER ids. The row-level verdicts then legitimately differ from
+    // the batch twin's (the stream admits by arrival, the batch twin by
+    // id), but the quota INVARIANT — exactly k admitted per source that
+    // ever offers ≥ k documents, every verdict emitted exactly once —
+    // must hold regardless of arrival order. Within each micro-batch,
+    // admission is id-ordered (the sorted-buffer contract).
+    val k = 2
+    val mem = MemoryStream[SourceDoc]
+    val q = EventStreams.sourceQuotaStream(mem.toDS(), k)
+      .writeStream.format("memory").queryName("quota_ooo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(SourceDoc("crawl", 7L), SourceDoc("crawl", 9L),
+        SourceDoc("books", 20L))
+      q.processAllAvailable()
+      // out of order: ids BELOW everything already seen
+      mem.addData(SourceDoc("crawl", 1L), SourceDoc("crawl", 2L),
+        SourceDoc("books", 10L), SourceDoc("books", 11L))
+      q.processAllAvailable()
+      val got = spark.table("quota_ooo").as[QuotaVerdict].collect()
+      // exactly one verdict per (source, doc_id)
+      assert(got.length === got.map(v => (v.source, v.doc_id)).distinct.length)
+      assert(got.length === 7)
+      // the invariant: exactly k admitted per source, regardless of order
+      val admitted = got.filter(_.admitted).groupBy(_.source)
+        .view.mapValues(_.map(_.doc_id).toSet).toMap
+      assert(admitted("crawl").size === k)
+      assert(admitted("books").size === k)
+      // first-arrival wins: batch-1 docs hold their grants even though
+      // batch 2 brought smaller ids (crawl's quota was full; books had one
+      // slot left, which goes to batch 2's smallest id)
+      assert(admitted("crawl") === Set(7L, 9L))
+      assert(admitted("books") === Set(20L, 10L))
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join pairs clicks with in-horizon views only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -482,6 +524,84 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(compact.select("cid").as[Long].collect().toSet === Set(100L, 1L, 5L, 6L))
   }
 
+  test("ingestion loop crash BETWEEN the verdict write and a half-finished " +
+    "index append: the restarted batch re-appends without double-admitting") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    // Sharper than the whole-batch replay case: the first attempt dies at
+    // the worst interior point — verdicts committed, the DIGEST append
+    // done, the BAND append never started. The restarted batch re-probes
+    // an index already containing its own digest rows (but not its band
+    // rows); the batch-set exclusion must keep every verdict identical,
+    // and the re-run append must complete the band side. Emulates the
+    // foreachBatch body step-for-step up to the crash point, then runs
+    // the REAL stream over a fresh checkpoint (which replays batch 0).
+    val root = java.nio.file.Files.createTempDirectory("ingest-crash")
+    val (indexDir, verdictsDir, inDir) = (s"$root/idx", s"$root/verdicts", s"$root/in")
+    val corpus = Seq((100L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val (d0, b0) = graft.ops.Curation.corpusIndexFrames(corpus)
+    d0.write.parquet(s"$indexDir/digests")
+    b0.write.parquet(s"$indexDir/bands")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // new
+      (2L, "zeta eta theta iota kappa"),      // dup_exact of corpus 100
+      (5L, "sigma tau upsilon phi chi"),      // intra-batch copy of 6
+      (6L, "sigma tau upsilon phi chi")).toDF("doc_id", "text")
+    batch.coalesce(1).write.mode("append").parquet(inDir)
+    // --- first attempt, by hand, crashing mid-append ---
+    val digests1 = spark.read.parquet(s"$indexDir/digests")
+    val bands1 = spark.read.parquet(s"$indexDir/bands")
+    val v1 = graft.ops.Curation.admitAgainstIndex(batch, digests1, bands1)
+    v1.write.mode("overwrite").parquet(s"$verdictsDir/batch=0")
+    val admitted1 = batch.join(
+      spark.read.parquet(s"$verdictsDir/batch=0")
+        .filter(col("verdict") === "new").select("doc_id"), Seq("doc_id"))
+    val (dApp, _) = graft.ops.Curation.corpusIndexFrames(admitted1)
+    dApp.write.mode("append").parquet(s"$indexDir/digests")
+    graft.CachedFrames.drain()
+    // CRASH: the band append never happens, the checkpoint never commits
+    val bandRowsAfterCrash = spark.read.parquet(s"$indexDir/bands").count()
+    // --- restart: the real loop replays the batch over a fresh checkpoint ---
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest-crash-ckpt")
+    val stream = spark.readStream.schema(corpus.schema).parquet(inDir)
+    val q = EventStreams.admissionIngestStream(stream, indexDir, verdictsDir)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    // verdicts: one row per doc, bitwise what the clean run would say —
+    // the batch's own half-appended digest rows were excluded
+    val verdicts = spark.read.parquet(verdictsDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(verdicts.map(_._1) === Seq(1L, 2L, 5L, 6L))
+    assert(verdicts.toMap.apply(1L) === "new")
+    assert(verdicts.toMap.apply(2L) === "dup_exact")
+    assert(verdicts.toMap.apply(5L) === "new")
+    assert(verdicts.toMap.apply(6L) === "new")
+    // the band side got its append exactly once (the restart's); the digest
+    // side carries the crash's duplicate rows until compaction
+    val bandCids = spark.read.parquet(s"$indexDir/bands")
+      .select("cid").as[Long].collect()
+    assert(spark.read.parquet(s"$indexDir/bands").count() > bandRowsAfterCrash)
+    assert(bandCids.toSet === Set(100L, 1L, 5L, 6L))
+    // exactly one band append: every doc carries the same per-doc band-row
+    // count as the clean single-write index would
+    val cleanBandRows = graft.ops.Curation.corpusIndexFrames(
+      Seq((0L, "anything at all here now")).toDF("doc_id", "text"))._2.count()
+    assert(bandCids.groupBy(identity).values.map(_.length.toLong).toSet
+      === Set(cleanBandRows))
+    val digestByCid = spark.read.parquet(s"$indexDir/digests")
+      .groupBy("cid").count().as[(Long, Long)].collect().toMap
+    assert(digestByCid(1L) === 2L) // crash append + restart append
+    // compaction restores the exact clean index
+    graft.cli.CompactCorpusIndex.main(Array(
+      "--index", indexDir, "--output", s"$root/compacted"))
+    assert(spark.read.parquet(s"$root/compacted/digests")
+      .select("cid").as[Long].collect().toSet === Set(100L, 1L, 5L, 6L))
+    assert(spark.read.parquet(s"$root/compacted/digests").count() === 4L)
+  }
+
   test("streaming DSIR gate equals the q93 batch weigher row-for-row") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.streaming.Trigger
@@ -636,6 +756,50 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(got === expected)
       assert(got.nonEmpty)
     } finally q.stop()
+  }
+
+  test("streaming CMS in UPDATE mode: per-trigger deltas merged last-write-wins " +
+      "equal the batch sketch — the monitoring-sink contract") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    // Update mode emits, per trigger, the UPDATED VALUE of exactly the
+    // (row, bucket) cells the trigger's tokens touched — not the whole
+    // sketch. A monitoring sink that applies them last-write-wins (keyed
+    // upsert, the natural Kafka-compacted-topic / KV-store consumption)
+    // must converge to the same table the batch sketch computes.
+    val batch1 = Seq((1L, "alpha beta alpha gamma"), (2L, "beta beta delta"))
+    val batch2 = Seq((3L, "alpha epsilon"), (4L, "gamma gamma gamma"))
+    val mem = MemoryStream[(Long, String)]
+    val updates = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
+    val q = EventStreams.cmsSketchStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+        val rows = b.collect().map(r => (id, r.getInt(0), r.getLong(1), r.getLong(2)))
+        updates.synchronized { updates ++= rows }
+        ()
+      }
+      .start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = updates.synchronized(updates.toVector)
+    val merged = all.groupBy(u => (u._2, u._3))
+      .map { case (cell, us) => (cell._1, cell._2, us.maxBy(_._1)._4) }.toSet
+    val expected = graft.ops.TextOps.cmsSketchOn(
+      (batch1 ++ batch2).toDF("doc_id", "text"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged === expected)
+    // and it was genuinely a delta feed: trigger 2 re-emitted only the
+    // cells its own tokens hashed into, not the whole sketch
+    val secondTrigger = all.filter(_._1 > all.map(_._1).min)
+    assert(secondTrigger.nonEmpty)
+    assert(secondTrigger.size < expected.size)
   }
 
   test("checkpoint restart: admission stream resumes exactly-once — batch 2 " +
