@@ -243,6 +243,53 @@ object Curation {
     FROM documents d JOIN t USING (source)
   """
 
+  /** q99: per-source TOKEN-budget admission — q94's quota generalized from
+    * document count to token weight, which is what a pre-training data
+    * budget actually caps ("20B tokens of web crawl", not "N documents").
+    * In doc_id order within each source (the deterministic arrival-order
+    * stand-in), a document is admitted iff the cumulative whitespace-token
+    * count of every EARLIER document of its source is still below
+    * [[SourceTokenBudget]] — the crossing document is admitted in full
+    * (admit-while-budget-remains), everything after it is rejected. A
+    * CUTOFF in the total order like q94, not bin packing: a later small
+    * document cannot slip into leftover budget, so verdicts are a pure
+    * function of the prefix sum and the streaming twin
+    * ([[graft.streaming.EventStreams.tokenBudgetStream]]) needs ONE Long
+    * of state per source.
+    *
+    * Scale shape: the prefix sum is [[TextOps.distributedRunningSum]]'s
+    * two-phase range-bucketed pass (no one-window-task-per-source
+    * serialization — the q59 fix, reused), and the verdict is a projection
+    * over its output; nothing else shuffles. */
+  val SourceTokenBudget = 600L
+
+  def q99TokenBudget(spark: SparkSession, sfDir: String): DataFrame =
+    tokenBudgetOn(Tables(spark, sfDir, "documents")
+      .withColumn("n_tokens", expr("""size(split(trim(text), '\\s+'))""").cast("long"))
+      .select(col("source"), col("doc_id"), col("n_tokens")), SourceTokenBudget)
+
+  /** q99's core over any (source, doc_id, n_tokens) frame — shared with
+    * the streaming twin's equality spec. */
+  private[graft] def tokenBudgetOn(t: DataFrame, budget: Long): DataFrame =
+    TextOps.distributedRunningSum(t, "n_tokens", Seq("doc_id"), t)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        ((col("running") - col("n_tokens")) < budget).as("admitted"))
+
+  val q99TokenBudgetSql: String = s"""
+    WITH t AS (
+      SELECT source, doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents),
+    r AS (
+      SELECT source, doc_id, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+      FROM t)
+    SELECT source, doc_id, n_tokens,
+      (running - n_tokens) < $SourceTokenBudget AS admitted
+    FROM r
+  """
+
   /** Deterministic stratified sampling: per-language admission rates gated
     * by a content-hash in [0, 100). Reproducible under re-planning/retries
     * (no rand()), and the gate is a pure codegen projection — sampling

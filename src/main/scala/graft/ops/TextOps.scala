@@ -1283,6 +1283,17 @@ object TextOps {
   private[graft] def bpeTrainOn(docs: DataFrame, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeTrainMerges(docs, rounds).toDF("rank", "pair", "n")
+      .select(col("rank").cast("int").as("rank"), col("pair"), col("n"))
+  }
+
+  /** The trained merge list as driver values — (rank, "a b" pair, count)
+    * in merge order. This IS the tokenizer artifact: [[bpeTrainOn]] wraps
+    * it as q97's result frame, and [[bpeEncodeOn]] folds it into the
+    * encode projection. K driver scalars total (the per-round 1-row
+    * argmax), exactly how BPE trainers iterate. */
+  private[graft] def bpeTrainMerges(docs: DataFrame,
+      rounds: Int): Seq[(Int, String, Long)] = {
     // weighted vocabulary, spelled as space-separated characters
     var vocab = graft.CachedFrames.track(
       docs.select(explode(expr("""split(trim(text), '\\s+')""")).as("token"))
@@ -1318,8 +1329,7 @@ object TextOps {
         r += 1
       }
     }
-    merges.toSeq.toDF("rank", "pair", "n")
-      .select(col("rank").cast("int").as("rank"), col("pair"), col("n"))
+    merges.toSeq
   }
 
   val q97BpeTrainSql: String = {
@@ -1355,6 +1365,119 @@ object TextOps {
       GROUP BY 1),
     ${rounds.mkString(",\n    ")}
     $union
+  """
+  }
+
+  /** q98: BPE ENCODE — apply the q97-trained merge list to every document
+    * and report its token count under the real tokenizer: (doc_id,
+    * n_tokens whitespace words, n_chars characters entering the encoder,
+    * n_bpe symbols after all merges). n_bpe is THE number a training-data
+    * pipeline budgets by — sequence packing, token quotas, and cost
+    * estimates all count tokenizer tokens, not whitespace words, and
+    * n_chars/n_bpe is the tokenizer's compression ratio.
+    *
+    * Train + apply in one operator: the merge list is re-derived by
+    * [[bpeTrainMerges]] (same [[BpeRounds]] rounds, same argmax
+    * tie-break), then folded into ONE codegen projection — per token,
+    * spell into characters and apply each merge in rank order as the same
+    * [[BpeReplacePasses]] space-padded literal replaces the trainer used,
+    * so encode is bitwise-faithful to training's respell function (the
+    * fixed-pass contract, identical in both engines).
+    *
+    * Scale shape: training costs what q97 costs (one corpus pass + K
+    * vocab-local rounds); encode is ONE more corpus scan with a pure
+    * per-row projection — the K merge pairs ride into the plan as string
+    * literals, so there is no join, no shuffle before the per-doc counts
+    * (which are per-row `aggregate`s over the token array, not a groupBy).
+    * At 100 TB the encode pass is scan-bound, exactly like q21. */
+  def q98BpeEncode(spark: SparkSession, sfDir: String): DataFrame =
+    bpeEncodeOn(Tables.parallelized(Tables(spark, sfDir, "documents")), BpeRounds)
+
+  private def sqlLit(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
+  private[graft] def bpeEncodeOn(docs: DataFrame, rounds: Int): DataFrame = {
+    val merges = bpeTrainMerges(docs, rounds)
+    // fold the trained merges into a per-token respell expression: spell
+    // the token as space-separated characters, then apply each merge in
+    // rank order with the trainer's exact fixed-pass padded replace
+    val spelled =
+      "concat(' ', concat_ws(' ', transform(sequence(1, length(t)), i -> substring(t, i, 1))), ' ')"
+    val applied = merges.foldLeft(spelled) { case (c, (_, pair, _)) =>
+      val merged = pair.replace(" ", "")
+      (1 to BpeReplacePasses).foldLeft(c) { (c2, _) =>
+        s"replace($c2, ' ${sqlLit(pair)} ', ' ${sqlLit(merged)} ')"
+      }
+    }
+    docs
+      .select(col("doc_id"), expr(
+        """filter(split(trim(text), '\\s+'), t -> length(t) >= 1)""").as("toks"))
+      .select(col("doc_id"),
+        expr("CAST(size(toks) AS BIGINT)").as("n_tokens"),
+        expr("CAST(aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x) AS BIGINT)")
+          .as("n_chars"),
+        expr(s"CAST(aggregate(transform(toks, t -> size(split(trim($applied), ' '))), 0, (a, x) -> a + x) AS BIGINT)")
+          .as("n_bpe"))
+  }
+
+  val q98BpeEncodeSql: String = {
+    // re-derive the same merge CTEs as q97, then fold them over each
+    // document token with the identical fixed-pass padded replace
+    def pairsCte(v: String, p: String) = s"""$p AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+        SELECT v.freq, sy[i.i + 1] || ' ' || sy[i.i + 2] AS pair
+        FROM (SELECT freq, string_split(s, ' ') AS sy FROM $v) v,
+             LATERAL (SELECT unnest(generate_series(0, len(sy) - 2)) AS i) i
+        WHERE len(sy) >= 2)
+      GROUP BY pair)"""
+    def bestCte(p: String, b: String) =
+      s"$b AS (SELECT pair, n FROM $p ORDER BY n DESC, pair ASC LIMIT 1)"
+    def respellCte(v: String, b: String, nv: String) = {
+      val padded = (1 to BpeReplacePasses).foldLeft("' ' || v.s || ' '") { (c, _) =>
+        s"replace($c, ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ')"
+      }
+      s"$nv AS (SELECT trim($padded) AS s, v.freq FROM $v v CROSS JOIN $b b)"
+    }
+    val trainCtes = (1 to BpeRounds).map { r =>
+      Seq(pairsCte(s"v${r - 1}", s"p$r"), bestCte(s"p$r", s"b$r")) ++
+        (if (r < BpeRounds) Seq(respellCte(s"v${r - 1}", s"b$r", s"v$r")) else Nil)
+    }.flatten
+    val appliedDoc = (1 to BpeRounds).foldLeft(
+      "' ' || array_to_string(list_transform(range(len(tok.t)), i -> substr(tok.t, i + 1, 1)), ' ') || ' '") {
+      (c, r) =>
+        (1 to BpeReplacePasses).foldLeft(c) { (c2, _) =>
+          s"replace($c2, ' ' || b$r.pair || ' ', ' ' || replace(b$r.pair, ' ', '') || ' ')"
+        }
+    }
+    s"""
+    WITH v0 AS (
+      SELECT array_to_string(list_transform(range(len(token)),
+               i -> substr(token, i + 1, 1)), ' ') AS s,
+             count(*) AS freq
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+            FROM documents)
+      WHERE len(token) >= 1
+      GROUP BY 1),
+    ${trainCtes.mkString(",\n    ")},
+    tok AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+        FROM documents)
+      WHERE len(t) >= 1),
+    enc AS (
+      SELECT tok.doc_id,
+        len(tok.t) AS nc,
+        len(string_split(trim($appliedDoc), ' ')) AS nb
+      FROM tok ${(1 to BpeRounds).map(r => s"CROSS JOIN b$r").mkString(" ")}),
+    perdoc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(nc) AS BIGINT) AS n_chars, CAST(sum(nb) AS BIGINT) AS n_bpe
+      FROM enc GROUP BY 1)
+    SELECT d.doc_id,
+      coalesce(p.n_tokens, 0) AS n_tokens,
+      coalesce(p.n_chars, 0) AS n_chars,
+      coalesce(p.n_bpe, 0) AS n_bpe
+    FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
   """
   }
 

@@ -26,6 +26,9 @@ final case class SourceDoc(source: String, doc_id: Long)
 /** Per-document quota verdict. */
 final case class QuotaVerdict(source: String, doc_id: Long, admitted: Boolean)
 
+/** A (source, doc_id, n_tokens) arrival for token-budget admission. */
+final case class WeightedDoc(source: String, doc_id: Long, n_tokens: Long)
+
 /** Structured Streaming formulations of the event-time operators whose batch
   * twins live in graft.ops.Events (SURVEY.md §2.9): the SAME window
   * transforms run on a `readStream` source with a watermark, and
@@ -221,6 +224,36 @@ object EventStreams {
         QuotaVerdict(source, d.doc_id, admit)
       }
       state.update(n)
+      out.iterator
+    }
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming TOKEN-budget admission — the stream twin of
+    * [[graft.ops.Curation.q99TokenBudget]], with the same state economics
+    * as [[sourceQuotaStream]]: ONE Long per source (the cumulative token
+    * count of every document seen, admitted or not — the batch twin's
+    * prefix sum is over ALL docs, so rejected docs still consume the
+    * counter; that is exactly what makes one Long sufficient). A document
+    * admits iff the pre-sum is still under the budget — the crossing
+    * document admits in full, later documents never reclaim leftover
+    * budget (a cutoff, not bin packing). Arrivals are n-tokens-weighted
+    * but otherwise follow sourceQuotaStream's ordering contract: id-sorted
+    * within each micro-batch, and verdicts equal the batch twin exactly
+    * when batches arrive id-ordered across boundaries (spec-pinned). */
+  def tokenBudgetStream(docs: Dataset[WeightedDoc],
+      budget: Long = graft.ops.Curation.SourceTokenBudget): Dataset[QuotaVerdict] = {
+    import docs.sparkSession.implicits._
+    def fn(source: String, batch: Iterator[WeightedDoc],
+           state: GroupState[Long]): Iterator[QuotaVerdict] = {
+      var used = state.getOption.getOrElse(0L)
+      val out = batch.toSeq.sortBy(_.doc_id).map { d =>
+        val admit = used < budget
+        used += d.n_tokens
+        QuotaVerdict(source, d.doc_id, admit)
+      }
+      state.update(used)
       out.iterator
     }
     docs.groupByKey(_.source)

@@ -167,6 +167,39 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "BroadcastHashJoin") >= 2, p)
   }
 
+  test("q98_bpe_encode: the ENCODE pass is a pure scan-bound projection — " +
+    "merges ride as literals, zero exchanges, zero joins") {
+    // training runs its own (vocab-local) jobs while the frame is being
+    // CONSTRUCTED; the returned encode plan itself must be one corpus scan
+    // with per-row aggregates — no join against a merge table, no shuffle
+    val p = finalPlan("q98_bpe_encode")
+    // the only exchange is the scan right-sizing round-robin, never a hash
+    assert(nodes(p, "Exchange") == 1, p)
+    assert(p.contains("RoundRobinPartitioning"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(nodes(p, "BroadcastHashJoin") == 0, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert(nodes(p, "HashAggregate") == 0, p)
+    // the trained pairs are literal arguments of the respell expression
+    assert(p.contains("replace("), p)
+  }
+
+  test("q99_token_budget: the two-phase prefix sum holds — (source, _bkt) " +
+    "exchange once, offsets reuse it, verdict is a projection") {
+    val p = finalPlan("q99_token_budget")
+    // same contract as q59 (shared distributedRunningSum): B-way-parallel
+    // bucketed window, no one-task-per-source window over the corpus
+    assert("\\+- Exchange hashpartitioning\\(source#\\d+, _bkt".r
+      .findAllIn(p).size == 1, p)
+    assert("\\+- Exchange hashpartitioning\\(source#\\d+, \\d+\\)".r
+      .findAllIn(p).size == 2, p)
+    assert("ReusedExchange \\[.*\\], Exchange hashpartitioning\\(source#\\d+, _bkt".r
+      .findFirstIn(p).isDefined, p)
+    assert("ReadSchema: struct<doc_id:bigint,text:string".r
+      .findAllIn(p).size == 1, p)
+    assert(nodes(p, "BroadcastHashJoin") >= 2, p)
+  }
+
   test("q61_tfidf_cosine: query postings broadcast into the inverted index, top-k pushed down") {
     val p = finalPlan("q61_tfidf_cosine")
     // postings join is a broadcast hash equi-join on token (query side is

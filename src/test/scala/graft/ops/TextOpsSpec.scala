@@ -287,6 +287,24 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq((1, "a a", 3L), (2, "aa aa", 1L)))
   }
 
+  test("q98 BPE encode applies the trained merges token-faithfully (hand-computed)") {
+    import spark.implicits._
+    // merges trained on this corpus: l o → lo w → low e → lowe r → lowe s
+    // (the q97 golden table; doc 2's xyz only thickens 'l o' / 'o w').
+    // Encoding: low → [low] (1), lower → [lower] (1), lowest → [lowes, t]
+    // (2: 'lowe s' fires but nothing merges the trailing t), xyz →
+    // [x, y, z] (3: no trained merge touches it)
+    val docs = Seq(
+      (1L, "low low low lower lowest"),
+      (2L, "low xyz")).toDF("doc_id", "text")
+    val got = TextOps.bpeEncodeOn(docs, 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    graft.CachedFrames.drain()
+    assert(got === Map(
+      1L -> ((5L, 20L, 6L)),   // 3×low + lower + lowes,t
+      2L -> ((2L, 6L, 4L))))   // low + x,y,z
+  }
+
   test("q65 chunks reproduce an independent sliding-window reference exactly") {
     val sf = "/root/testdata/sf0.001"
     val got = TextOps.q65ChunkOverlap(spark, sf).collect()

@@ -179,6 +179,39 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming token-budget admission matches the q99 batch cutoff and " +
+      "carries the token counter across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val budget = 10L
+    val batch1 = Seq(WeightedDoc("crawl", 1L, 4L), WeightedDoc("crawl", 2L, 5L),
+      WeightedDoc("books", 10L, 9L))
+    val batch2 = Seq(WeightedDoc("crawl", 3L, 2L), WeightedDoc("crawl", 4L, 1L),
+      WeightedDoc("books", 11L, 1L), WeightedDoc("books", 12L, 5L))
+    val mem = MemoryStream[WeightedDoc]
+    val q = EventStreams.tokenBudgetStream(mem.toDS(), budget)
+      .writeStream.format("memory").queryName("token_budget")
+      .outputMode(OutputMode.Append).start()
+    val got = try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      spark.table("token_budget").as[QuotaVerdict].collect()
+        .map(v => (v.source, v.doc_id) -> v.admitted).toMap
+    } finally q.stop()
+    // the batch twin over the same roster, via the SAME q99 core
+    val expected = graft.ops.Curation.tokenBudgetOn(
+      (batch1 ++ batch2).toDF(), budget)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getBoolean(3)).toMap
+    assert(got === expected)
+    // the crossing doc admits in full (books 10: pre-sum 9 < 10 at 9
+    // tokens), the next is rejected even though it is tiny (a cutoff, not
+    // bin packing), and crawl's counter carried 9 tokens into batch 2
+    assert(got(("books", 10L)) && got(("books", 11L)) && !got(("books", 12L)))
+    assert(got(("crawl", 3L)) && !got(("crawl", 4L)))
+  }
+
   test("stream-stream attribution join pairs clicks with in-horizon views only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
