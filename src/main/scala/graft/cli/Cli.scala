@@ -414,6 +414,50 @@ object MaskCorpus {
   }
 }
 
+/** Tokenizer TRAINING job — run q97's merge loop over a (doc_id, text)
+  * corpus and persist the merge table (rank, pair, n) as the tokenizer
+  * artifact: the text pipeline's model sink (S4), same save/load-then-apply
+  * contract as the GBT jobs. `--rounds` overrides the default merge count.
+  * The artifact is K rows — coalesced to one file like any model. */
+object TrainTokenizer {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-train-tokenizer") { spark =>
+      val docs = graft.Tables.parallelized(spark.read.parquet(a("input")))
+        .select(col("doc_id"), col("text"))
+      val rounds = a.get("rounds").map(_.toInt)
+        .getOrElse(graft.ops.TextOps.BpeRounds)
+      try graft.ops.TextOps.bpeTrainOn(docs, rounds)
+        .coalesce(1).write.mode("overwrite").parquet(a("output"))
+      finally graft.CachedFrames.drain()
+    }
+  }
+}
+
+/** Tokenizer APPLICATION job — load a persisted merge table and rewrite the
+  * corpus with its real-tokenizer token count appended (`n_bpe`): q98's
+  * encode pass against the saved artifact instead of retraining, so a
+  * 100 TB encode run costs exactly one scan-rewrite (the K merge rows are
+  * a driver-side read folded into the projection). Only `n_bpe` is
+  * appended — the corpus's own columns (incl. the synthetic table's
+  * n_chars) stay untouched. */
+object EncodeCorpus {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-encode-corpus") { spark =>
+      val docs = graft.Tables.parallelized(spark.read.parquet(a("input")))
+      require(!docs.columns.contains("n_bpe"),
+        "input already has column n_bpe — refusing to overwrite; " +
+          "rename or drop it first")
+      val merges = spark.read.parquet(a("merges"))
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      graft.ops.TextOps.bpeWithNBpe(docs, merges)
+        .write.mode("overwrite").parquet(a("output"))
+    }
+  }
+}
+
 /** Job 3 — load the model, score unlabeled pairs, write (pair, prediction)
   * sorted by prediction. */
 object ApplyDupClassifier {

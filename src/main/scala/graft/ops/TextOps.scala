@@ -1396,19 +1396,22 @@ object TextOps {
   private def sqlLit(s: String): String =
     s.replace("\\", "\\\\").replace("'", "\\'")
 
-  private[graft] def bpeEncodeOn(docs: DataFrame, rounds: Int): DataFrame = {
-    val merges = bpeTrainMerges(docs, rounds)
-    // fold the trained merges into a per-token respell expression: spell
-    // the token as space-separated characters, then apply each merge in
-    // rank order with the trainer's exact fixed-pass padded replace
+  /** The per-token respell expression for a trained merge list: spell the
+    * token (`t`) as space-separated characters, then apply each merge in
+    * rank order with the trainer's exact fixed-pass padded replace. */
+  private def bpeApplyExpr(merges: Seq[(Int, String, Long)]): String = {
     val spelled =
       "concat(' ', concat_ws(' ', transform(sequence(1, length(t)), i -> substring(t, i, 1))), ' ')"
-    val applied = merges.foldLeft(spelled) { case (c, (_, pair, _)) =>
+    merges.sortBy(_._1).foldLeft(spelled) { case (c, (_, pair, _)) =>
       val merged = pair.replace(" ", "")
       (1 to BpeReplacePasses).foldLeft(c) { (c2, _) =>
         s"replace($c2, ' ${sqlLit(pair)} ', ' ${sqlLit(merged)} ')"
       }
     }
+  }
+
+  private[graft] def bpeEncodeOn(docs: DataFrame, rounds: Int): DataFrame = {
+    val applied = bpeApplyExpr(bpeTrainMerges(docs, rounds))
     docs
       .select(col("doc_id"), expr(
         """filter(split(trim(text), '\\s+'), t -> length(t) >= 1)""").as("toks"))
@@ -1418,6 +1421,21 @@ object TextOps {
           .as("n_chars"),
         expr(s"CAST(aggregate(transform(toks, t -> size(split(trim($applied), ' '))), 0, (a, x) -> a + x) AS BIGINT)")
           .as("n_bpe"))
+  }
+
+  /** Append `n_bpe` under an ALREADY-TRAINED merge list — q98's encode
+    * pass decoupled from training, so `cli.EncodeCorpus` can apply a
+    * persisted tokenizer artifact without retraining. Appends ONLY the
+    * tokenizer count (whitespace/char stats are one-expression scans any
+    * caller can add) and keeps every input column untouched — the
+    * corpus-rewrite shape, like MaskCorpus. */
+  private[graft] def bpeWithNBpe(docs: DataFrame,
+      merges: Seq[(Int, String, Long)]): DataFrame = {
+    val applied = bpeApplyExpr(merges)
+    docs.withColumn("n_bpe", expr(
+      s"""CAST(aggregate(transform(
+            filter(split(trim(text), '\\\\s+'), t0 -> length(t0) >= 1),
+            t -> size(split(trim($applied), ' '))), 0, (a, x) -> a + x) AS BIGINT)"""))
   }
 
   val q98BpeEncodeSql: String = {

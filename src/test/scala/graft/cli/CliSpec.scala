@@ -54,6 +54,47 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("train-tokenizer → encode-corpus round-trips: persisted merges " +
+      "reproduce the q98 gate counts and keep every input column") {
+    import org.apache.spark.sql.functions.col
+    spark // force shared session so the CLI's getOrCreate reuses it
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-tok").toString
+    TrainTokenizer.main(Array(
+      "--input", s"$sf/documents.parquet", "--output", s"$dir/merges"))
+    // the artifact IS q97's merge table
+    val artifact = spark.read.parquet(s"$dir/merges")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val q97 = graft.SparkEntry.queries("q97_bpe_train")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    graft.CachedFrames.drain()
+    assert(artifact === q97)
+    EncodeCorpus.main(Array(
+      "--input", s"$sf/documents.parquet", "--merges", s"$dir/merges",
+      "--output", s"$dir/encoded"))
+    val back = spark.read.parquet(s"$dir/encoded")
+    val orig = spark.read.parquet(s"$sf/documents.parquet")
+    // only n_bpe is appended; the corpus's own columns (incl. its native
+    // n_chars) stay untouched
+    assert(back.columns.toSet === orig.columns.toSet + "n_bpe")
+    assert(back.select("doc_id", "n_chars").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === orig.select("doc_id", "n_chars").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // applying the SAVED artifact equals the train+apply gate query
+    val gate = graft.SparkEntry.queries("q98_bpe_encode")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    graft.CachedFrames.drain()
+    val got = back.select(col("doc_id"), col("n_bpe"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === gate)
+    // re-encoding an already-encoded corpus fails fast on the collision
+    val e = intercept[IllegalArgumentException] {
+      EncodeCorpus.main(Array(
+        "--input", s"$dir/encoded", "--merges", s"$dir/merges",
+        "--output", s"$dir/encoded2"))
+    }
+    assert(e.getMessage.contains("n_bpe"))
+  }
+
   test("build-index → admit round-trips match the q71 gate query exactly") {
     import org.apache.spark.sql.functions.col
     spark // force shared session so the CLI's getOrCreate reuses it
