@@ -1499,6 +1499,177 @@ object TextOps {
   """
   }
 
+  /** q100: TRAINED language ID — a hashed-bigram Naive Bayes classifier,
+    * the supervised counterpart of q23's stopword heuristic and the shape
+    * of the fastText-style LID models CCNet-class pipelines actually run.
+    * Trains on the corpus's own `lang` labels (add-one smoothing over
+    * B = [[NbBuckets]] hashed bigram buckets per class, add-one class
+    * priors) and scores every document; q23's heuristic only knows the
+    * three stopword-profile languages, while this learns all five label
+    * classes from data.
+    *
+    * Scoring is argmin of integer COST, the q92/q93 trick that keeps a
+    * log-likelihood oracle-portable: cost_c(doc) = prior_c + Σ_grams
+    * bits(floor((N_c + B)/(k(b,c) + 1))) where bits = length(bin(·)) —
+    * the bit length of the inverse conditional probability — and prior_c
+    * = bits(floor((D + |C|)/(d_c + 1))). Integer terms → order-insensitive
+    * sums; ties break class-ascending (a total order, CASE-encoded
+    * identically in both engines).
+    *
+    * Scale shape: ONE cached gram explode feeds the per-class bucket
+    * counts (map-side-combinable to ≤ B rows), the 1-row gram totals, and
+    * the scoring join; the B-row cost table and the 1-row priors broadcast
+    * back, and the per-doc rollup is a combinable 5-way sum — the only
+    * corpus-sized exchange, exactly q93's shape. explode_outer carries
+    * gram-less docs through the same pass (prior-only argmin, no roster
+    * join-back). The cost table carries a sentinel bucket = −1 row (the
+    * k = 0 smoothing cost) so the STREAMING twin scores corpus-unseen
+    * buckets by the same formula — the q93 OOV lesson applied from the
+    * start. */
+  val NbBuckets = 256
+  val NbClasses = Seq("de", "en", "es", "fr", "zh")
+  private val NbSalt = "nb:"
+
+  def q100NbLangid(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    nbOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+  }
+
+  /** The per-row ARRAY of hashed bigram buckets for NB features (empty for
+    * < 2 tokens), over a `toks` column — single source for the batch gram
+    * stream and the streaming twin's row-local scorer. */
+  private[graft] val nbBucketArrayExpr: String =
+    s"""CASE WHEN size(toks) >= 2
+         THEN transform(${ngramsExpr(2, distinct = false)},
+           g -> md5_prefix56(concat('$NbSalt', g)) % $NbBuckets)
+         ELSE CAST(array() AS ARRAY<BIGINT>) END"""
+
+  private def nbGramsOf(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", expr("""split(trim(text), '\\s+')"""))
+      .select(col("doc_id"), col("lang"),
+        explode_outer(expr(nbBucketArrayExpr)).as("bucket"))
+
+  /** The (bucket, cost_<class>...) table: per-gram class costs under
+    * add-one smoothing, PLUS the sentinel bucket = −1 row carrying the
+    * k = 0 cost a corpus-unseen bucket pays. ≤ B+1 rows, broadcastable
+    * regardless of corpus size. */
+  private def nbCostTable(grams: DataFrame): DataFrame = {
+    val ks = NbClasses.map(c =>
+      count(when(col("lang") === c, lit(1))).as(s"k_$c"))
+    val cnt = grams.filter(col("bucket").isNotNull)
+      .groupBy(col("bucket")).agg(ks.head, ks.tail: _*)
+    val sentinel = grams.sparkSession.range(1)
+      .select(lit(-1L).as("bucket") +: NbClasses.map(c => lit(0L).as(s"k_$c")): _*)
+    val ns = NbClasses.map(c => count(when(col("lang") === c, col("bucket")))
+      .cast("double").as(s"n_$c"))
+    val totals = grams.agg(ns.head, ns.tail: _*)
+    cnt.unionByName(sentinel)
+      .crossJoin(broadcast(totals))
+      .select(col("bucket") +: NbClasses.map(c =>
+        length(bin(expr(s"CAST(floor((n_$c + $NbBuckets.0) " +
+          s"/ (CAST(k_$c AS DOUBLE) + 1.0)) AS BIGINT)"))).cast("long")
+          .as(s"cost_$c")): _*)
+  }
+
+  /** The 1-row class-prior cost table: prior_c = bits(floor((D + |C|) /
+    * (d_c + 1))), doc counts from the labeled corpus. */
+  private def nbPriors(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).cast("double").as("d_all"),
+        NbClasses.map(c => count(when(col("lang") === c, lit(1)))
+          .cast("double").as(s"d_$c")): _*)
+      .select(NbClasses.map(c =>
+        length(bin(expr(s"CAST(floor((d_all + ${NbClasses.size}.0) " +
+          s"/ (d_$c + 1.0)) AS BIGINT)"))).cast("long").as(s"p_$c")): _*)
+
+  /** The trained NB model as two bounded frames — the ≤ B+1-row cost
+    * table (incl. the bucket = −1 sentinel) and the 1-row priors — built
+    * from any (doc_id, text, lang) labeled corpus. Shared by the batch
+    * scorer and the streaming twin; the cached gram stream is drained by
+    * the caller's thread. */
+  private[graft] def nbTables(corpus: DataFrame): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val grams = graft.CachedFrames.track(nbGramsOf(corpus))
+    (nbCostTable(grams), nbPriors(corpus))
+  }
+
+  private[graft] def nbOn(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val grams = graft.CachedFrames.track(nbGramsOf(docs))
+    val sums = NbClasses.map(c =>
+      coalesce(sum(col(s"cost_$c")), lit(0L)).as(s"s_$c"))
+    val perDoc = grams
+      .join(broadcast(nbCostTable(grams)), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("bucket")).as("n_grams"),
+        (max(col("lang")).as("lang") +: sums): _*)
+    val m = least(NbClasses.map(c => col(s"t_$c")): _*)
+    val pred = NbClasses.foldLeft(when(lit(false), lit(""))) { (w, c) =>
+      w.when(col(s"t_$c") === m, lit(c))
+    }
+    perDoc.crossJoin(broadcast(nbPriors(docs)))
+      .select(Seq(col("doc_id"), col("n_grams"), col("lang")) ++
+        NbClasses.map(c => (col(s"s_$c") + col(s"p_$c")).as(s"t_$c")): _*)
+      .select(col("doc_id"), col("n_grams"), col("lang"), pred.as("pred_lang"))
+      .withColumn("correct", col("pred_lang") === col("lang"))
+  }
+
+  val q100NbLangidSql: String = {
+    val kCols = NbClasses.map(c =>
+      s"count(CASE WHEN lang = '$c' THEN 1 END) AS k_$c").mkString(", ")
+    val nCols = NbClasses.map(c =>
+      s"CAST(count(CASE WHEN lang = '$c' THEN 1 END) AS DOUBLE) AS n_$c").mkString(", ")
+    val costCols = NbClasses.map(c =>
+      s"CAST(length(bin(CAST(floor((tot.n_$c + $NbBuckets.0) " +
+        s"/ (CAST(cnt.k_$c AS DOUBLE) + 1.0)) AS BIGINT))) AS BIGINT) AS cost_$c")
+      .mkString(",\n        ")
+    val dCols = NbClasses.map(c =>
+      s"CAST(count(CASE WHEN lang = '$c' THEN 1 END) AS DOUBLE) AS d_$c").mkString(", ")
+    val pCols = NbClasses.map(c =>
+      s"CAST(length(bin(CAST(floor((d_all + ${NbClasses.size}.0) " +
+        s"/ (d_$c + 1.0)) AS BIGINT))) AS BIGINT) AS p_$c").mkString(",\n        ")
+    val sCols = NbClasses.map(c =>
+      s"CAST(sum(c.cost_$c) AS BIGINT) AS s_$c").mkString(", ")
+    val tCols = NbClasses.map(c =>
+      s"coalesce(p.s_$c, 0) + pr.p_$c AS t_$c").mkString(",\n        ")
+    val leastExpr = s"least(${NbClasses.map(c => s"t_$c").mkString(", ")})"
+    val predCase = "CASE " + NbClasses.map(c =>
+      s"WHEN t_$c = $leastExpr THEN '$c'").mkString(" ") + " END"
+    s"""
+    WITH t AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS tk
+      FROM documents),
+    grams AS (
+      SELECT doc_id, lang,
+        ('0x' || substr(md5('$NbSalt' || g.g), 1, 14))::BIGINT % $NbBuckets AS bucket
+      FROM t, LATERAL (
+        SELECT unnest(${ngramsSqlExpr(2, distinct = false)}) AS g) g
+      WHERE len(tk) >= 2),
+    cnt AS (SELECT bucket, $kCols FROM grams GROUP BY 1),
+    tot AS (SELECT $nCols FROM grams),
+    costs AS (
+      SELECT cnt.bucket,
+        $costCols
+      FROM cnt CROSS JOIN tot),
+    priors AS (
+      SELECT
+        $pCols
+      FROM (SELECT CAST(count(*) AS DOUBLE) AS d_all, $dCols FROM documents)),
+    perdoc AS (
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams, $sCols
+      FROM grams g JOIN costs c ON g.bucket = c.bucket
+      GROUP BY 1),
+    scored AS (
+      SELECT d.doc_id, coalesce(p.n_grams, 0) AS n_grams, d.lang,
+        $tCols
+      FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+      CROSS JOIN priors pr)
+    SELECT doc_id, n_grams, lang,
+      $predCase AS pred_lang,
+      ($predCase) = lang AS correct
+    FROM scored
+  """
+  }
+
   /** q95: count-min-sketch heavy hitters — the streaming-friendly
     * frequent-token sketch (Cormode & Muthukrishnan) next to its exact
     * answer, as a gate number: estimate ≥ exact always (CMS never

@@ -477,6 +477,46 @@ object EventStreams {
       .withColumn("selected", col("w_bits") > 0)
   }
 
+  /** Streaming NB language ID — the stream-static twin of the batch
+    * trained classifier ([[graft.ops.TextOps.q100NbLangid]]): each
+    * arriving (doc_id, text) row is scored against the STANDING corpus's
+    * trained per-bucket class costs and emits (doc_id, n_grams,
+    * pred_lang), so ingestion can route/filter by language with the exact
+    * argmin the batch scorer computes — labels are training-side only,
+    * scoring needs none.
+    *
+    * Statelessness, row-locally: the ≤ B+1-row cost table collapses to
+    * ONE broadcast row as a bucket → costs-array map (cached; the
+    * priors ride in the same row), so a row's five class costs are five
+    * codegen `aggregate`s over its own bigram buckets. A bucket the
+    * corpus never produced falls back to the sentinel k = 0 cost row —
+    * out-of-corpus documents score by the same smoothing formula as the
+    * batch would score them (the q93 OOV contract, spec-pinned with a
+    * plain-Scala oracle). No watermark, no state store. */
+  def nbClassifyStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.ops.TextOps
+    val (costs, priors) = TextOps.nbTables(corpus)
+    val cm = graft.CachedFrames.track(costs
+      .agg(map_from_entries(collect_list(struct(col("bucket"),
+        array(TextOps.NbClasses.map(c => col(s"cost_$c")): _*)))).as("cost_m"))
+      .crossJoin(priors))
+    val sums = TextOps.NbClasses.zipWithIndex.map { case (c, i) =>
+      expr(s"""aggregate(bks, CAST(0 AS BIGINT),
+               (a, b) -> a + element_at(coalesce(cost_m[b], cost_m[-1]), ${i + 1}))
+               + p_$c""").as(s"t_$c")
+    }
+    val m = least(TextOps.NbClasses.map(c => col(s"t_$c")): _*)
+    val pred = TextOps.NbClasses.foldLeft(when(lit(false), lit(""))) { (w, c) =>
+      w.when(col(s"t_$c") === m, lit(c))
+    }
+    docs.crossJoin(broadcast(cm))
+      .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
+      .withColumn("bks", expr(TextOps.nbBucketArrayExpr))
+      .select(Seq(col("doc_id"),
+        expr("CAST(size(bks) AS BIGINT)").as("n_grams")) ++ sums: _*)
+      .select(col("doc_id"), col("n_grams"), pred.as("pred_lang"))
+  }
+
   /** The same sessionization via the BUILT-IN `session_window` aggregation —
     * Spark's native gap-session operator (merge-on-late-event, emit-on-seal
     * are handled by the engine's session-window state store). Kept alongside

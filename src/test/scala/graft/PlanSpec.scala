@@ -383,6 +383,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q100_nb_langid: cost table and priors broadcast against the cached " +
+    "gram stream; the only corpus-sized exchange is the per-doc rollup") {
+    val df = SparkEntry.queries("q100_nb_langid")(spark, sf)
+    val p = try { df.queryExecution.toRdd.count(); df.queryExecution.executedPlan.toString }
+            finally CachedFrames.drain()
+    // scoring join (B+1-row cost table -> gram stream) and the 1-row
+    // priors both broadcast; nothing corpus-sized sort-merges
+    assert(nodes(p, "BroadcastHashJoin") >= 1, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    // explode_outer covers the roster in one pass — no documents join-back
+    assert(!"Join \\[doc_id".r.findFirstIn(p).isDefined, p)
+    // the per-doc 5-way cost sum combines map-side
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q95_heavy_hitters: top-k via TakeOrderedAndProject, sketch probes broadcast") {
     val df = SparkEntry.queries("q95_heavy_hitters")(spark, sf)
     val p = try { df.queryExecution.toRdd.count(); df.queryExecution.executedPlan.toString }

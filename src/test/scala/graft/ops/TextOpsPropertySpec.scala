@@ -189,4 +189,60 @@ class TextOpsPropertySpec extends AnyFunSuite with SparkSpec {
     val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
   }
+
+  /** q100 oracle: hashed-bigram NB with add-one smoothing, integer-bits
+    * costs, class-ascending argmin tie-break — the full train + score loop
+    * in plain Scala. */
+  private def nbOracle(
+      docs: Seq[(Long, String, String)]): Map[Long, (Long, String, String, Boolean)] = {
+    val C = TextOps.NbClasses
+    val B = TextOps.NbBuckets
+    def bucket(g: String): Long = md56("nb:" + g) % B
+    def bigrams(t: String): Seq[Long] = {
+      val ts = toks(t)
+      if (ts.size < 2) Seq.empty
+      else ts.sliding(2).map(p => bucket(p.mkString(" "))).toSeq
+    }
+    val grams = docs.flatMap { case (_, t, l) => bigrams(t).map(b => (l, b)) }
+    val nC = C.map(c => c -> grams.count(_._1 == c).toDouble).toMap
+    val kBC = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def cost(b: Long, c: String): Long =
+      bits(math.floor((nC(c) + B) / (kBC.getOrElse((c, b), 0L) + 1.0)).toLong)
+    val dAll = docs.size.toDouble
+    val dC = C.map(c => c -> docs.count(_._3 == c).toDouble).toMap
+    val pC = C.map(c => c -> bits(math.floor((dAll + C.size) / (dC(c) + 1.0)).toLong)).toMap
+    docs.map { case (id, t, l) =>
+      val bs = bigrams(t)
+      val tot = C.map(c => c -> (pC(c) + bs.map(cost(_, c)).sum)).toMap
+      val mn = C.map(tot).min
+      val pred = C.find(c => tot(c) == mn).get
+      id -> ((bs.size.toLong, l, pred, pred == l))
+    }.toMap
+  }
+
+  private val labeledGen: Gen[List[(Long, String, String)]] = for {
+    n <- Gen.choose(1, 22)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.choose(0, 14)
+      ws <- Gen.listOfN(k, tokGen)
+      l <- Gen.oneOf(TextOps.NbClasses)
+    } yield (ws.mkString(" "), l))
+  } yield rows.zipWithIndex.map { case ((t, l), i) => (i.toLong + 1, t, l) }
+
+  test("q100 NB language ID reproduces a plain-Scala train+score oracle " +
+      "on random labeled corpora") {
+    graft.functions.GraftFunctions.register(spark)
+    val prop = Prop.forAllNoShrink(labeledGen) { docs =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "text", "lang").repartition(4)
+      val got = TextOps.nbOn(df).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getString(2), r.getString(3), r.getBoolean(4)))).toMap
+      graft.CachedFrames.drain()
+      val ref = nbOracle(docs)
+      Prop(got == ref) :| s"q100 mismatch: $got vs $ref"
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -766,6 +766,81 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming NB language ID equals the q100 batch argmin and scores " +
+      "out-of-corpus buckets by the sentinel cost") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    // stream = the corpus docs; labels NOT shipped — scoring needs none
+    val streamDocs = corpus.select(col("doc_id"), col("text"))
+    val staged = java.nio.file.Files.createTempDirectory("nb-stream")
+    streamDocs.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    val stream = spark.readStream.schema(streamDocs.schema).parquet(staged.toString)
+    val q = EventStreams.nbClassifyStream(stream, corpus)
+      .writeStream.format("memory").queryName("nb_stream")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val got = try {
+      q.awaitTermination()
+      spark.table("nb_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    } finally q.stop()
+    graft.CachedFrames.drain()
+    // corpus docs: the batch scorer's exact argmin
+    val batch = graft.ops.TextOps.nbOn(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    graft.CachedFrames.drain()
+    assert(got === batch)
+    // OOV case on a corpus SMALL enough to leave buckets empty (the sf
+    // slice's ~28k bigrams occupy all 256): a stream doc whose buckets
+    // the trained table lacks pays n_grams × sentinel + prior per class
+    val tiny = Seq(
+      (1L, "the cat sat down", "en"), (2L, "el gato azul aqui", "es"),
+      (3L, "der hund ist gross", "de"), (4L, "le chat noir dort", "fr"),
+      (5L, "wo de mao hen hao", "zh")).toDF("doc_id", "text", "lang")
+    val oov = (900001L, "zzqx7 zzqx8 zzqx9")
+    val staged2 = java.nio.file.Files.createTempDirectory("nb-stream-oov")
+    Seq(oov).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(staged2.toString)
+    val stream2 = spark.readStream
+      .schema(streamDocs.schema).parquet(staged2.toString)
+    val q2 = EventStreams.nbClassifyStream(stream2, tiny)
+      .writeStream.format("memory").queryName("nb_stream_oov")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val gotOov = try {
+      q2.awaitTermination()
+      spark.table("nb_stream_oov").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    } finally q2.stop()
+    graft.CachedFrames.drain()
+    val (costsDf, priorsDf) = graft.ops.TextOps.nbTables(tiny)
+    val costRows = costsDf.collect().map(r => r.getLong(0) ->
+      graft.ops.TextOps.NbClasses.indices.map(i => r.getLong(i + 1))).toMap
+    val priors = priorsDf.collect().head
+    graft.CachedFrames.drain()
+    def md56(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 14), 16)
+    }
+    val oovBuckets = oov._2.trim.split("\\s+").toSeq.sliding(2)
+      .map(p => md56("nb:" + p.mkString(" ")) % graft.ops.TextOps.NbBuckets).toSeq
+    assert(oovBuckets.forall(b => !costRows.contains(b)))
+    val sentinel = costRows(-1L)
+    val totals = graft.ops.TextOps.NbClasses.zipWithIndex.map { case (c, i) =>
+      c -> (priors.getLong(i) + oovBuckets.size * sentinel(i))
+    }
+    val mn = totals.map(_._2).min
+    val expPred = totals.find(_._2 == mn).get._1
+    assert(gotOov(oov._1) === ((oovBuckets.size.toLong, expPred)))
+  }
+
   test("streaming CMS sketch equals the batch sketch cell-by-cell across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
