@@ -290,6 +290,57 @@ object Curation {
     FROM r
   """
 
+  /** q101: corpus snapshot diff — the audit between two corpus versions a
+    * release pipeline runs before shipping: per doc_id, `added` (new
+    * snapshot only), `removed` (old only), `modified` (both, content
+    * digest differs) or `unchanged`. The gate query derives the two
+    * snapshots from the documents table deterministically: the old
+    * snapshot lacks doc_id % 10 == 7 (added since), the new lacks
+    * % 10 == 3 (removed since), and % 10 == 5 carries an old-side draft
+    * suffix (modified since).
+    *
+    * Scale shape: each side is one scan projected to (doc_id, md5) — 40
+    * bytes a row no matter the document size — and the diff is ONE
+    * doc_id-co-partitioned full-outer join of those digest streams (AQE
+    * picks the join physical; both sides corpus-sized, so a shuffle join
+    * is the right answer and the text itself never moves). Verdict is a
+    * null-pattern projection. */
+  def q101CorpusDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val old = docs.filter(col("doc_id") % 10 =!= 7)
+      .withColumn("text", when(col("doc_id") % 10 === 5,
+        concat(col("text"), lit(" draft"))).otherwise(col("text")))
+    val neu = docs.filter(col("doc_id") % 10 =!= 3)
+    corpusDiffOn(old, neu)
+  }
+
+  /** The diff core over any two (doc_id, text) snapshots. */
+  private[graft] def corpusDiffOn(old: DataFrame, neu: DataFrame): DataFrame =
+    old.select(col("doc_id"), md5(col("text")).as("o_digest"))
+      .join(neu.select(col("doc_id"), md5(col("text")).as("n_digest")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("o_digest").isNull, lit("added"))
+          .when(col("n_digest").isNull, lit("removed"))
+          .when(col("o_digest") =!= col("n_digest"), lit("modified"))
+          .otherwise(lit("unchanged")).as("status"))
+
+  val q101CorpusDiffSql: String = """
+    WITH old AS (
+      SELECT doc_id,
+        md5(CASE WHEN doc_id % 10 = 5 THEN text || ' draft' ELSE text END) AS o_digest
+      FROM documents WHERE doc_id % 10 != 7),
+    neu AS (
+      SELECT doc_id, md5(text) AS n_digest
+      FROM documents WHERE doc_id % 10 != 3)
+    SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id,
+      CASE WHEN old.o_digest IS NULL THEN 'added'
+           WHEN neu.n_digest IS NULL THEN 'removed'
+           WHEN old.o_digest != neu.n_digest THEN 'modified'
+           ELSE 'unchanged' END AS status
+    FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+  """
+
   /** Deterministic stratified sampling: per-language admission rates gated
     * by a content-hash in [0, 100). Reproducible under re-planning/retries
     * (no rand()), and the gate is a pure codegen projection — sampling

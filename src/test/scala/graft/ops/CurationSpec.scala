@@ -68,6 +68,19 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(sizes.values.max < rows.length / 3)
   }
 
+  test("q101 corpus diff: added/removed/modified/unchanged verdicts cover " +
+      "both snapshots exactly once") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "same text"), (2L, "old version"), (3L, "gone soon")).toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "same text"), (2L, "new version"), (4L, "brand new")).toDF("doc_id", "text")
+    val got = Curation.corpusDiffOn(old, neu).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      1L -> "unchanged", 2L -> "modified", 3L -> "removed", 4L -> "added"))
+  }
+
   test("q71 incremental dedup: exact, near, and new verdicts; exact beats near") {
     import spark.implicits._
     // simhash hashes DISTINCT tokens, so a reordering/repetition of the
