@@ -458,6 +458,32 @@ object EncodeCorpus {
   }
 }
 
+/** The streaming ingestion loop as a run-to-completion job: process every
+  * staged batch parquet under --input, write per-batch verdict dirs, grow
+  * the persisted admission index, exit — the cron-driven form of
+  * [[graft.streaming.EventStreams.admissionIngestStream]] (AvailableNow
+  * trigger over the same foreachBatch body). The checkpoint is the memory
+  * between invocations: re-running after new files land processes ONLY
+  * the new ones, so `stage → IngestBatches → stage → IngestBatches` is
+  * the BuildCorpusIndex/AdmitBatch/ExtendCorpusIndex loop without the
+  * per-batch hand-holding (CliSpec pins exactly that sequence). */
+object IngestBatches {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-ingest-batches") { spark =>
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val stream = spark.readStream.schema(schema).parquet(a("input"))
+      val q = graft.streaming.EventStreams
+        .admissionIngestStream(stream, a("index"), a("verdicts"))
+        .option("checkpointLocation", a("checkpoint"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+  }
+}
+
 /** Job 3 — load the model, score unlabeled pairs, write (pair, prediction)
   * sorted by prediction. */
 object ApplyDupClassifier {

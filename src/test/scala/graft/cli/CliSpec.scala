@@ -95,6 +95,49 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("n_bpe"))
   }
 
+  test("ingest-batches is cron-resumable: a second invocation processes only " +
+      "newly staged files and catches cross-invocation duplicates") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    spark // force shared session so the CLI's getOrCreate reuses it
+    val root = Files.createTempDirectory("graft-ingest-cli").toString
+    val (inDir, idx, ver, ckpt) =
+      (s"$root/in", s"$root/idx", s"$root/verdicts", s"$root/ckpt")
+    // seed index from a 1-doc corpus
+    val corpus = Seq((100L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val (d0, b0) = graft.ops.Curation.corpusIndexFrames(corpus)
+    d0.write.parquet(s"$idx/digests")
+    b0.write.parquet(s"$idx/bands")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    // invocation 1: one staged batch
+    Seq((1L, "alpha beta gamma delta epsilon"), (2L, "zeta eta theta iota kappa"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    IngestBatches.main(Array("--input", inDir, "--index", idx,
+      "--verdicts", ver, "--checkpoint", ckpt))
+    // invocation 2 (cron tick): a NEW file containing a copy of doc 1 —
+    // which invocation 1 admitted into the index
+    Seq((10L, "alpha beta gamma delta epsilon"), (11L, "omega psi chi phi upsilon"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    IngestBatches.main(Array("--input", inDir, "--index", idx,
+      "--verdicts", ver, "--checkpoint", ckpt))
+    val verdicts = spark.read.parquet(ver).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    // each doc judged exactly once across both invocations
+    assert(verdicts.keySet === Set(1L, 2L, 10L, 11L))
+    assert(verdicts(1L)._1 === "new")
+    assert(verdicts(2L) === (("dup_exact", 100L)))
+    assert(verdicts(10L) === (("dup_exact", 1L))) // caught ACROSS invocations
+    assert(verdicts(11L)._1 === "new")
+    // the index grew by exactly the admitted docs
+    assert(spark.read.parquet(s"$idx/digests").select("cid").as[Long]
+      .collect().toSet === Set(100L, 1L, 11L))
+    // and the checkpoint prevented reprocessing: batch dirs 0 and 1 only
+    val batchDirs = new java.io.File(ver).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(batchDirs === Set("batch=0", "batch=1"))
+  }
+
   test("build-index → admit round-trips match the q71 gate query exactly") {
     import org.apache.spark.sql.functions.col
     spark // force shared session so the CLI's getOrCreate reuses it
