@@ -218,6 +218,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "Exchange") == 4, p)
   }
 
+  test("q101_corpus_diff: digests join once, text never shuffles") {
+    val p = finalPlan("q101_corpus_diff")
+    // exactly one join of the two digest streams, never quadratic; at
+    // corpus scale AQE picks shuffle vs broadcast — either is fine, a
+    // second join or a cartesian is not
+    assert(nodes(p, "SortMergeJoin") + nodes(p, "BroadcastHashJoin") == 1, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    // any exchange moves (doc_id, md5) digests, not document text: no
+    // exchange row schema carries the text column
+    val badExchange = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text#"))
+    assert(!badExchange, p)
+  }
+
   test("q62_quantize_int8: pure codegen projection, no shuffle beyond scan right-sizing") {
     val p = finalPlan("q62_quantize_int8")
     assert(nodes(p, "HashAggregate") == 0, p)
