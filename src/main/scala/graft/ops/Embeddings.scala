@@ -919,7 +919,7 @@ object Embeddings {
 
   private[graft] def admitVectorsAgainstIndex(batch: DataFrame,
       centsRow: DataFrame, cells: DataFrame): DataFrame = {
-    val keep = batch.columns.filterNot(_ == "embedding").map(col)
+    val keep = batch.columns.filterNot(_ == "embedding").toIndexedSeq.map(col)
     assignNearestStandingCell(batch, centsRow)
       .join(broadcast(cells), Seq("cell"), "left")
       .withColumn("match_id", expr(

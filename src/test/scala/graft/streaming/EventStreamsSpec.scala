@@ -16,6 +16,14 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
   private def ts(minute: Int, sec: Int = 0): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
 
+  /** The library's 56-bit md5 prefix, in plain JVM form — the independent
+    * reference the bucket-hash specs score against. */
+  private def md56(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 14), 16)
+  }
+
   test("tumbling window counts over a stream match the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -680,11 +688,6 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       (11L, "the cat sat of the mat")) // in-corpus copy: occupied buckets
     // plain-Scala oracle, the SAME formula for seen and unseen buckets
     def toksOf(t: String): Seq[String] = t.trim.split("\\s+").toSeq
-    def md56(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.substring(0, 14), 16)
-    }
     def bucket(g: String): Long = md56("dsir:" + g) % graft.ops.TextOps.DsirBuckets
     def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
     val stopEn = Set("the", "a", "of", "and", "to")
@@ -824,11 +827,6 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       graft.ops.TextOps.NbClasses.indices.map(i => r.getLong(i + 1))).toMap
     val priors = priorsDf.collect().head
     graft.CachedFrames.drain()
-    def md56(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.substring(0, 14), 16)
-    }
     val oovBuckets = oov._2.trim.split("\\s+").toSeq.sliding(2)
       .map(p => md56("nb:" + p.mkString(" ")) % graft.ops.TextOps.NbBuckets).toSeq
     assert(oovBuckets.forall(b => !costRows.contains(b)))
