@@ -26,6 +26,16 @@ import org.apache.spark.sql.functions._
   * invariant (per source in (doc_id, rep) order, every (seq_id, offset)
   * equals the running token sum — the property the two-phase distributed
   * prefix sum must preserve) over EVERY plan row at the smoke SF.
+  * `--ingest [sfDir]` smokes the cron-driven ingestion loop
+  * (`cli.IngestBatches`) at the smoke SF: seed index from 1/5 of the
+  * documents, stage two waves of batches (the second containing exact
+  * copies of first-wave admitted docs), run the job once per wave over
+  * the same checkpoint, and verify every verdict lands exactly once with
+  * all cross-invocation copies caught as dup_exact.
+  * `--tokenizer [sfDir]` smokes TrainTokenizer → EncodeCorpus: train the
+  * merge artifact on the full documents table, encode the corpus from
+  * the saved artifact, and verify the corpus-wide count invariants
+  * (1 ≤ n_bpe ≤ chars per doc, merges strictly compress in total).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -74,6 +84,85 @@ object ScaleSmoke {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
       }
       rm(new java.io.File(out))
+      spark.stop()
+      return
+    }
+    if (args.contains("--ingest")) {
+      val sfDir = args.dropWhile(_ != "--ingest").drop(1).headOption
+        .filterNot(_.startsWith("--")).getOrElse("/root/testdata/sf0.1")
+      val root = java.nio.file.Files.createTempDirectory("graft-ingest-smoke").toString
+      val (inDir, idx, ver, ckpt) =
+        (s"$root/in", s"$root/idx", s"$root/verdicts", s"$root/ckpt")
+      val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
+        .select(col("doc_id"), col("text"))
+      val t0 = System.nanoTime()
+      val corpus = docs.filter(col("doc_id") % 5 === 0)
+      val (d0, b0) = graft.ops.Curation.corpusIndexFrames(corpus)
+      d0.write.parquet(s"$idx/digests")
+      b0.write.parquet(s"$idx/bands")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      // wave 1: two slices of fresh documents
+      docs.filter(col("doc_id") % 5 === 1).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      graft.cli.IngestBatches.main(Array("--input", inDir, "--index", idx,
+        "--verdicts", ver, "--checkpoint", ckpt))
+      // wave 2: fresh docs PLUS exact copies (shifted ids) of wave-1 docs
+      val idShift = 100000000L
+      docs.filter(col("doc_id") % 5 === 2).coalesce(1)
+        .write.mode("append").parquet(inDir)
+      docs.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + idShift).as("doc_id"), col("text"))
+        .coalesce(1).write.mode("append").parquet(inDir)
+      graft.cli.IngestBatches.main(Array("--input", inDir, "--index", idx,
+        "--verdicts", ver, "--checkpoint", ckpt))
+      val secs = (System.nanoTime() - t0) / 1e9
+      val verdicts = spark.read.parquet(ver)
+      val n = verdicts.count()
+      val nUnique = verdicts.select("doc_id").distinct().count()
+      val staged = spark.read.parquet(inDir).count()
+      // no cross-invocation copy may slip through as `new`: a copy whose
+      // wave-1 original was ADMITTED hits that original's appended digest
+      // (dup_exact); a copy whose original was itself a dup hits whatever
+      // the original hit (dup_exact via the corpus digest, or dup_near via
+      // the same bands). Every match id must be pre-shift.
+      val copies = verdicts.filter(col("doc_id") >= idShift)
+      val nCopies = copies.count()
+      val copyNew = copies.filter(col("verdict") === "new").count()
+      val copyExact = copies.filter(col("verdict") === "dup_exact").count()
+      val badMatch = copies.filter(col("match_id") >= idShift).count()
+      println(f"staged=$staged verdicts=$n unique=$nUnique copies=$nCopies " +
+        f"copy_exact=$copyExact copy_new=$copyNew mode=ingest wall=$secs%.1f s")
+      require(n == staged && nUnique == n,
+        s"each staged doc must verdict exactly once: staged=$staged n=$n unique=$nUnique")
+      require(nCopies > 0 && copyNew == 0 && copyExact > 0 && badMatch == 0,
+        s"cross-invocation copies must never admit as new and must match " +
+          s"pre-shift docs: new=$copyNew exact=$copyExact bad_match=$badMatch")
+      spark.stop()
+      return
+    }
+    if (args.contains("--tokenizer")) {
+      val sfDir = args.dropWhile(_ != "--tokenizer").drop(1).headOption
+        .filterNot(_.startsWith("--")).getOrElse("/root/testdata/sf0.1")
+      val root = java.nio.file.Files.createTempDirectory("graft-tok-smoke").toString
+      val t0 = System.nanoTime()
+      graft.cli.TrainTokenizer.main(Array(
+        "--input", s"$sfDir/documents.parquet", "--output", s"$root/merges"))
+      graft.cli.EncodeCorpus.main(Array(
+        "--input", s"$sfDir/documents.parquet", "--merges", s"$root/merges",
+        "--output", s"$root/encoded"))
+      val secs = (System.nanoTime() - t0) / 1e9
+      val enc = spark.read.parquet(s"$root/encoded")
+        .withColumn("n_tok", expr("""size(filter(split(trim(text), '\\s+'), t -> length(t) >= 1))"""))
+        .withColumn("n_chr", expr(
+          "aggregate(transform(filter(split(trim(text), '\\\\s+'), t0 -> length(t0) >= 1), t -> length(t)), 0, (a, x) -> a + x)"))
+      val bad = enc.filter(col("n_bpe") < col("n_tok") || col("n_bpe") > col("n_chr")).count()
+      val agg = enc.agg(count(lit(1)), sum(col("n_bpe")), sum(col("n_chr"))).head()
+      val (nDocs, totBpe, totChr) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+      val nMerges = spark.read.parquet(s"$root/merges").count()
+      println(f"docs=$nDocs merges=$nMerges total_bpe=$totBpe total_chars=$totChr " +
+        f"compression=${totChr.toDouble / totBpe}%.3f mode=tokenizer wall=$secs%.1f s")
+      require(bad == 0, s"per-doc bound violated on $bad docs (need n_tok <= n_bpe <= n_chars)")
+      require(totBpe < totChr, "trained merges must strictly compress the corpus")
       spark.stop()
       return
     }
