@@ -238,4 +238,62 @@ object Events {
       AND v.view_ts <= c.click_ts
       AND v.view_ts >= c.click_ts - INTERVAL 600 SECOND
   """
+
+  /** q102: cohort retention matrix — users grouped by first-seen epoch
+    * week, each cell counting how many of a cohort's users were active
+    * `week_offset` weeks later, plus the classic retention rate. THE
+    * product-analytics staple the event surface was missing next to
+    * funnel (q66) and attribution (q64). Weeks are epoch-week integers
+    * (eps DIV 604800) — no calendar/timezone arithmetic to diverge on.
+    *
+    * Scale shape: ONE corpus-sized exchange — the per-user groupBy whose
+    * `collect_set(wk)` state is bounded by the number of distinct weeks a
+    * user can be active (52/year), not by event volume, with the week
+    * dedup folded map-side into the set build. Everything after is
+    * |cohorts| × |offsets| sized: the cell counts and the cohort sizes
+    * are aggregates of the per-user frame (cached — two consumers), and
+    * the sizes broadcast back for the rate projection. Retention is one
+    * IEEE division of integer-valued counts, so the oracle compares
+    * bitwise. */
+  def q102CohortRetention(spark: SparkSession, sfDir: String): DataFrame =
+    cohortRetentionOn(Tables(spark, sfDir, "events"))
+
+  /** q102's core over any (user_id, ts) event frame — the spec drives this
+    * with a crafted multi-cohort fixture the synthetic table (one cohort —
+    * every user is first seen in week one) cannot exercise. */
+  private[graft] def cohortRetentionOn(events: DataFrame): DataFrame = {
+    val per = graft.CachedFrames.track(
+      events
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), expr("unix_timestamp(ts) DIV 604800").as("wk"))
+        .groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"), collect_set(col("wk")).as("wks")))
+    val cells = per
+      .select(col("cohort_wk"), explode(col("wks")).as("wk"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+    val sizes = per.groupBy(col("cohort_wk"))
+      .agg(count(lit(1)).as("cohort_size"))
+    cells.join(broadcast(sizes), Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("week_offset"), col("active_users"),
+        col("cohort_size"),
+        (col("active_users").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+  }
+
+  val q102CohortRetentionSql: String = """
+    WITH w AS (
+      SELECT DISTINCT user_id,
+        CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+      FROM events WHERE user_id IS NOT NULL),
+    f AS (SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY 1),
+    cells AS (
+      SELECT f.cohort_wk, w.wk - f.cohort_wk AS week_offset,
+        count(*) AS active_users
+      FROM w JOIN f USING (user_id) GROUP BY 1, 2),
+    sizes AS (SELECT cohort_wk, count(*) AS cohort_size FROM f GROUP BY 1)
+    SELECT c.cohort_wk, c.week_offset, c.active_users, s.cohort_size,
+      CAST(c.active_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+    FROM cells c JOIN sizes s USING (cohort_wk)
+  """
 }
