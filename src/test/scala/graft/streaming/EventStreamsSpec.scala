@@ -220,6 +220,42 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(got(("crawl", 3L)) && !got(("crawl", 4L)))
   }
 
+  test("streaming token-budget under CROSS-BATCH out-of-order arrivals: " +
+      "verdicts follow arrival order, the counter never resets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Same relaxed contract as the quota twin: grants follow ARRIVAL order
+    // (id-sorted within each micro-batch), are never revoked, and every
+    // doc's tokens hit the counter whether admitted or not. The expected
+    // verdicts are recomputed here from the deterministic arrival order.
+    val budget = 10L
+    val batches = Seq(
+      Seq(WeightedDoc("crawl", 7L, 6L), WeightedDoc("crawl", 9L, 3L)),
+      // out of order: smaller ids arrive after larger ones
+      Seq(WeightedDoc("crawl", 1L, 5L), WeightedDoc("crawl", 2L, 1L)))
+    val arrivalOrder = batches.flatMap(_.sortBy(_.doc_id))
+    var used = 0L
+    val expected = arrivalOrder.map { d =>
+      val admit = used < budget
+      used += d.n_tokens
+      (d.source, d.doc_id) -> admit
+    }.toMap
+    val mem = MemoryStream[WeightedDoc]
+    val q = EventStreams.tokenBudgetStream(mem.toDS(), budget)
+      .writeStream.format("memory").queryName("token_budget_ooo")
+      .outputMode(OutputMode.Append).start()
+    val got = try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      spark.table("token_budget_ooo").as[QuotaVerdict].collect()
+        .map(v => (v.source, v.doc_id) -> v.admitted).toMap
+    } finally q.stop()
+    assert(got === expected)
+    // the batch-2 small ids did NOT reclaim batch-1's spent budget: doc 1
+    // (5 tokens) arrives with 9 already spent — admitted as the crossing
+    // doc — and doc 2 is rejected even though it is tiny
+    assert(got(("crawl", 1L)) && !got(("crawl", 2L)))
+  }
+
   test("stream-stream attribution join pairs clicks with in-horizon views only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
