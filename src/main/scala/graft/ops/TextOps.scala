@@ -1275,7 +1275,7 @@ object TextOps {
     * cost K vocab-local jobs, never K corpus scans — exactly how BPE
     * trainers iterate (q84's scaladoc promise, now implemented). */
   val BpeRounds = 5
-  private val BpeReplacePasses = 4
+  private[graft] val BpeReplacePasses = 4
 
   def q97BpeTrain(spark: SparkSession, sfDir: String): DataFrame =
     bpeTrainOn(Tables.parallelized(Tables(spark, sfDir, "documents")), BpeRounds)

@@ -190,6 +190,77 @@ class TextOpsPropertySpec extends AnyFunSuite with SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  /** q97/q98 oracle: the full BPE train + encode loop in plain Scala —
+    * greedy argmax merges over the freq-weighted char-spelled vocabulary
+    * with (n desc, pair asc) tie-break, each merge applied as the engines'
+    * fixed-pass space-padded literal replace (Java String.replace is the
+    * same left-to-right non-overlapping substitution both SQL engines
+    * run). */
+  private def bpeOracle(docs: Seq[(Long, String)],
+      rounds: Int): (Seq[(Int, String, Long)], Map[Long, (Long, Long, Long)]) = {
+    def spell(tok: String): String = tok.toCharArray.mkString(" ")
+    def applyMerge(s: String, pair: String): String = {
+      val merged = pair.replace(" ", "")
+      (1 to TextOps.BpeReplacePasses).foldLeft(" " + s + " ") { (c, _) =>
+        c.replace(" " + pair + " ", " " + merged + " ")
+      }.trim
+    }
+    var vocab = docs.flatMap(d => toks(d._2)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case (t, f) => spell(t) -> f }
+      .groupBy(_._1).view.mapValues(_.values.sum).toMap // distinct spellings
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val pairCounts = scala.collection.mutable.Map.empty[String, Long]
+      vocab.foreach { case (s, f) =>
+        val sy = s.split(" ")
+        if (sy.length >= 2) sy.sliding(2).foreach { p =>
+          val k = p.mkString(" ")
+          pairCounts(k) = pairCounts.getOrElse(k, 0L) + f
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        val (pair, n) = pairCounts.toSeq.minBy { case (p, c) => (-c, p) }
+        merges += ((r, pair, n))
+        vocab = vocab.toSeq.map { case (s, f) => applyMerge(s, pair) -> f }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        r += 1
+      }
+    }
+    val mergeList = merges.toSeq
+    val encoded = docs.map { case (id, t) =>
+      val ts = toks(t).filter(_.nonEmpty)
+      val nBpe = ts.map { tok =>
+        mergeList.foldLeft(spell(tok)) { case (s, (_, p, _)) => applyMerge(s, p) }
+          .split(" ").length.toLong
+      }.sum
+      id -> ((ts.size.toLong, ts.map(_.length.toLong).sum, nBpe))
+    }.toMap
+    (mergeList, encoded)
+  }
+
+  test("q97/q98 BPE train + encode reproduce a plain-Scala oracle on random corpora") {
+    val prop = Prop.forAllNoShrink(corpusGen) { docs =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "text").repartition(4)
+      val trainGot = TextOps.bpeTrainOn(df, TextOps.BpeRounds).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      graft.CachedFrames.drain()
+      val encodeGot = TextOps.bpeEncodeOn(df, TextOps.BpeRounds).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      graft.CachedFrames.drain()
+      val (trainRef, encodeRef) = bpeOracle(docs, TextOps.BpeRounds)
+      Prop.all(
+        Prop(trainGot == trainRef) :| s"q97 mismatch: $trainGot vs $trainRef",
+        Prop(encodeGot == encodeRef) :| s"q98 mismatch: $encodeGot vs $encodeRef")
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   /** q100 oracle: hashed-bigram NB with add-one smoothing, integer-bits
     * costs, class-ascending argmin tie-break — the full train + score loop
     * in plain Scala. */
