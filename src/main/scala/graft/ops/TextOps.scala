@@ -1527,6 +1527,12 @@ object TextOps {
     * buckets by the same formula — the q93 OOV lesson applied from the
     * start. */
   val NbBuckets = 256
+
+  /** The label inventory, ascending (the argmin tie-break order). A
+    * compile-time config exactly like [[langProfiles]]: the cost plan
+    * wants a KNOWN class list (fixed cost columns, fixed argmin CASE);
+    * deriving the inventory from data is one distinct-scan away when a
+    * deployment's labels differ. */
   val NbClasses = Seq("de", "en", "es", "fr", "zh")
   private val NbSalt = "nb:"
 

@@ -29,6 +29,17 @@ final case class QuotaVerdict(source: String, doc_id: Long, admitted: Boolean)
 /** A (source, doc_id, n_tokens) arrival for token-budget admission. */
 final case class WeightedDoc(source: String, doc_id: Long, n_tokens: Long)
 
+/** A (user_id, ts) arrival for streaming cohort retention. */
+final case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
+
+/** One changelog row of the streaming retention matrix: add (+1) or
+  * retract (−1) one user from a (cohort_wk, week_offset) cell. */
+final case class RetentionDelta(cohort_wk: Long, week_offset: Long, delta: Int)
+
+/** Keyed retention state: a user's cohort week and every distinct active
+  * week seen — bounded by weeks-per-user (52/year), never event volume. */
+final case class RetentionState(cohort_wk: Long, weeks: Seq[Long])
+
 /** Structured Streaming formulations of the event-time operators whose batch
   * twins live in graft.ops.Events (SURVEY.md §2.9): the SAME window
   * transforms run on a `readStream` source with a watermark, and
@@ -475,6 +486,59 @@ object EventStreams {
                    delta_m[${TextOps.DsirUnseenBucket}]) AS BIGINT))""")
           .as("w_bits"))
       .withColumn("selected", col("w_bits") > 0)
+  }
+
+  /** Streaming cohort retention — the CHANGELOG twin of the batch matrix
+    * ([[graft.ops.Events.q102CohortRetention]]): per arriving (user_id,
+    * ts) event, emit +1 / −1 deltas against (cohort_wk, week_offset)
+    * cells such that the deltas summed per cell equal the batch matrix's
+    * active_users — under ANY arrival order. A user's cohort is the MIN
+    * epoch week ever seen, so a LATE-arriving earlier event legitimately
+    * REWRITES the user's whole row of the matrix: the operator handles
+    * that by emitting retractions (−1 for every previously-granted cell
+    * of the old cohort) followed by the re-granted cells of the new one —
+    * the standard changelog contract a keyed upsert/aggregating sink
+    * consumes. In-order arrivals never retract (spec-pinned both ways).
+    * cohort sizes need no extra feed: every user is active at offset 0,
+    * so cohort_size = the (cohort_wk, 0) cell.
+    *
+    * State per user: cohort week + the distinct active weeks — bounded by
+    * weeks-per-user (52/year), never event volume, the same bound as the
+    * batch `collect_set`. No watermark needed: nothing is ever evicted,
+    * and correctness under late data comes from retraction, not
+    * dropping. */
+  def retentionDeltaStream(events: Dataset[UserEvent]): Dataset[RetentionDelta] = {
+    import events.sparkSession.implicits._
+    def week(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime / 1000L, 604800L)
+    def fn(uid: Long, batch: Iterator[UserEvent],
+           state: GroupState[RetentionState]): Iterator[RetentionDelta] = {
+      val newWks = batch.map(e => week(e.ts)).toSet
+      val st = state.getOption
+      val oldWeeks = st.map(_.weeks.toSet).getOrElse(Set.empty[Long])
+      val allWeeks = oldWeeks ++ newWks
+      if (allWeeks.isEmpty) Iterator.empty
+      else {
+        val cohort = allWeeks.min
+        val out = scala.collection.mutable.ListBuffer.empty[RetentionDelta]
+        st match {
+          case Some(s) if s.cohort_wk == cohort =>
+            (newWks -- oldWeeks).toSeq.sorted.foreach(w =>
+              out += RetentionDelta(cohort, w - cohort, 1))
+          case _ =>
+            // first sight, or a late earlier event shifted the cohort:
+            // retract the old row, grant the new one in full
+            st.foreach(s => s.weeks.foreach(w =>
+              out += RetentionDelta(s.cohort_wk, w - s.cohort_wk, -1)))
+            allWeeks.toSeq.sorted.foreach(w =>
+              out += RetentionDelta(cohort, w - cohort, 1))
+        }
+        state.update(RetentionState(cohort, allWeeks.toSeq.sorted))
+        out.iterator
+      }
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
   /** Streaming NB language ID — the stream-static twin of the batch

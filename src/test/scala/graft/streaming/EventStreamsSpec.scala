@@ -805,6 +805,48 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming cohort retention: changelog deltas converge to the batch " +
+      "matrix, retracting when a late earlier event shifts a cohort") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(day: Int): Timestamp = new Timestamp(day.toLong * 86400L * 1000L)
+    // batches 1-2 arrive event-time-ordered per user; batch 3 delivers
+    // u4's EARLIEST event last — u4's cohort must shift week 1 → week 0,
+    // retracting the (1, 0) grant and re-granting (0, 0) and (0, 1)
+    val batches = Seq(
+      Seq(UserEvent(1L, at(0)), UserEvent(2L, at(2)), UserEvent(4L, at(9))),
+      Seq(UserEvent(1L, at(7)), UserEvent(2L, at(14)), UserEvent(1L, at(21)),
+        UserEvent(3L, at(8))),
+      Seq(UserEvent(4L, at(1)))) // late: week 0, before u4's week-1 start
+    val mem = MemoryStream[UserEvent]
+    val q = EventStreams.retentionDeltaStream(mem.toDS())
+      .writeStream.format("memory").queryName("retention_deltas")
+      .outputMode(OutputMode.Append).start()
+    val (afterTwo, all) = try {
+      mem.addData(batches(0): _*); q.processAllAvailable()
+      mem.addData(batches(1): _*); q.processAllAvailable()
+      val two = spark.table("retention_deltas").as[RetentionDelta].collect().toSeq
+      mem.addData(batches(2): _*); q.processAllAvailable()
+      (two, spark.table("retention_deltas").as[RetentionDelta].collect().toSeq)
+    } finally q.stop()
+    // in-order prefix: pure grants, no retractions
+    assert(afterTwo.forall(_.delta == 1))
+    // the late event forced a genuine retraction
+    assert(all.exists(d => d.delta == -1 && d.cohort_wk == 1L && d.week_offset == 0L))
+    // merged per cell, the changelog equals the batch matrix
+    val merged = all.groupBy(d => (d.cohort_wk, d.week_offset))
+      .view.mapValues(_.map(_.delta.toLong).sum).filter(_._2 != 0L).toMap
+    val batchCells = graft.ops.Events.cohortRetentionOn(
+      batches.flatten.map(e => (e.user_id, e.ts)).toDF("user_id", "ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    graft.CachedFrames.drain()
+    assert(merged === batchCells)
+    // cohort sizes ride in the offset-0 cells: week-0 has u1, u2 and the
+    // shifted u4; week-1 keeps only u3 (u4's grant was retracted)
+    assert(merged((0L, 0L)) === 3L)
+    assert(merged((1L, 0L)) === 1L)
+  }
+
   test("streaming NB language ID equals the q100 batch argmin and scores " +
       "out-of-corpus buckets by the sentinel cost") {
     import spark.implicits._
