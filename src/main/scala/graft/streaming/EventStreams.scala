@@ -346,6 +346,10 @@ object EventStreams {
     * admitted document is caught as `dup_exact`. This is the production
     * admission loop the BuildCorpusIndex/AdmitBatch/ExtendCorpusIndex CLI
     * jobs run one batch at a time, as one continuous `foreachBatch` query.
+    * An UNSEEDED index directory bootstraps: the first batch probes empty
+    * frames, admits wholesale, and its append creates the index — no
+    * separate BuildCorpusIndex step needed to start a fresh corpus
+    * (spec-pinned in CliSpec's from-nothing case).
     *
     * Delivery contract: verdicts are idempotent under foreachBatch's
     * at-least-once retries — each batch overwrites its own `batch=<id>`
@@ -369,8 +373,18 @@ object EventStreams {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         try {
-          val digests = spark.read.parquet(s"$indexDir/digests")
-          val bands = spark.read.parquet(s"$indexDir/bands")
+          // bootstrap: with no seeded index yet (first run on an empty
+          // directory), probe against empty frames — the first batch
+          // admits wholesale and its append CREATES the index
+          val (digests, bands) =
+            if (new java.io.File(s"$indexDir/digests").exists())
+              (spark.read.parquet(s"$indexDir/digests"),
+                spark.read.parquet(s"$indexDir/bands"))
+            else {
+              val (d, b) = graft.ops.Curation.corpusIndexFrames(
+                batch.toDF().limit(0))
+              (d, b)
+            }
           val verdicts = graft.CachedFrames.track(
             graft.ops.Curation.admitAgainstIndex(batch.toDF(), digests, bands))
           verdicts.write.mode("overwrite")

@@ -138,6 +138,30 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(batchDirs === Set("batch=0", "batch=1"))
   }
 
+  test("ingest-batches bootstraps from NOTHING: no seeded index, the first " +
+      "wave creates it, the second probes it") {
+    import spark.implicits._
+    spark // force shared session so the CLI's getOrCreate reuses it
+    val root = Files.createTempDirectory("graft-ingest-boot").toString
+    val (inDir, idx, ver, ckpt) =
+      (s"$root/in", s"$root/idx", s"$root/verdicts", s"$root/ckpt")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    // NO corpusIndexFrames seeding — idx/ does not exist at all
+    Seq((1L, "alpha beta gamma delta epsilon"), (2L, "omega psi chi phi upsilon"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    IngestBatches.main(Array("--input", inDir, "--index", idx,
+      "--verdicts", ver, "--checkpoint", ckpt))
+    Seq((10L, "alpha beta gamma delta epsilon")) // copy of wave-1 doc 1
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    IngestBatches.main(Array("--input", inDir, "--index", idx,
+      "--verdicts", ver, "--checkpoint", ckpt))
+    val verdicts = spark.read.parquet(ver).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdicts === Map(1L -> "new", 2L -> "new", 10L -> "dup_exact"))
+    assert(spark.read.parquet(s"$idx/digests").select("cid").as[Long]
+      .collect().toSet === Set(1L, 2L))
+  }
+
   test("build-index → admit round-trips match the q71 gate query exactly") {
     import org.apache.spark.sql.functions.col
     spark // force shared session so the CLI's getOrCreate reuses it

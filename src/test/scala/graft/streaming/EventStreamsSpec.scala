@@ -187,6 +187,41 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint restart: the quota stream's per-source counters survive — " +
+      "wave 2 resumes against wave 1's admitted count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    // the keyed-STATE recovery contract (the admission restart specs cover
+    // stateless probes): flatMapGroupsWithState counters live in the state
+    // store, so a stopped query restarted over the same checkpoint must
+    // grant wave 2 exactly the REMAINING quota, not a fresh one
+    val k = 3
+    val staged = java.nio.file.Files.createTempDirectory("quota-restart")
+    val ckpt = java.nio.file.Files.createTempDirectory("quota-restart-ckpt")
+    val outDir = java.nio.file.Files.createTempDirectory("quota-restart-out")
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq(("", 0L)).toDF("source", "doc_id").schema)
+        .parquet(staged.toString).as[SourceDoc]
+      val q = EventStreams.sourceQuotaStream(stream, k)
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    Seq(("crawl", 1L), ("crawl", 2L)).toDF("source", "doc_id")
+      .coalesce(1).write.mode("append").parquet(staged.toString)
+    runOnce() // wave 1: 2 of 3 grants spent
+    Seq(("crawl", 3L), ("crawl", 4L)).toDF("source", "doc_id")
+      .coalesce(1).write.mode("append").parquet(staged.toString)
+    runOnce() // wave 2 must see count=2 in recovered state
+    val got = spark.read.parquet(outDir.toString).collect()
+      .map(r => r.getLong(1) -> r.getBoolean(2)).toMap
+    assert(got === Map(1L -> true, 2L -> true, 3L -> true, 4L -> false))
+  }
+
   test("streaming token-budget admission matches the q99 batch cutoff and " +
       "carries the token counter across batches") {
     import spark.implicits._
