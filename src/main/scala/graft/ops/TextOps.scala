@@ -141,6 +141,73 @@ object TextOps {
     FROM x
   """
 
+  /** q103: quality-threshold TRADEOFF CURVE — for each candidate cut in
+    * [[QualityCutGrid]], how many documents and tokens survive `score ≥ t`,
+    * absolute and as fractions. The calibration table a curation run
+    * computes BEFORE fixing q51's threshold: the data between "keep 90% of
+    * tokens" and "keep the top quartile" is exactly this curve. Scores are
+    * q22's (single-sourced via the shared stats/formula fragments).
+    *
+    * Scale shape: ONE corpus scan into one 1-row aggregate — per
+    * threshold, a pair of conditional map-side-combinable count/sum
+    * columns — then a driver-trivial `stack` unpivots the row to
+    * |grid| rows and the fractions are single divisions against the
+    * same row's totals. No join, no second scan, no per-threshold pass;
+    * at 100 TB this costs what one groupBy-less scan costs. */
+  val QualityCutGrid: Seq[Double] = Seq(-2.0, -1.0, 0.0, 1.0, 2.0, 3.0)
+
+  def q103QualityTradeoff(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = withQualityStats(Tables(spark, sfDir, "documents"))
+      .select(col("quality_score").as("q"), col("n_tokens").cast("long").as("nt"))
+    val perCut = QualityCutGrid.zipWithIndex.flatMap { case (t, i) =>
+      Seq(count(when(col("q") >= t, lit(1))).as(s"d_$i"),
+        coalesce(sum(when(col("q") >= t, col("nt"))), lit(0L)).as(s"t_$i"))
+    }
+    val aggCols = perCut ++ Seq(
+      count(lit(1)).as("tot_docs"),
+      coalesce(sum(col("nt")), lit(0L)).as("tot_tokens"))
+    val row = scored.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = QualityCutGrid.zipWithIndex
+      .map { case (t, i) => s"CAST($t AS DOUBLE), d_$i, t_$i" }
+      .mkString(", ")
+    row.select(
+      expr(s"stack(${QualityCutGrid.size}, $stackArgs) AS (threshold, kept_docs, kept_tokens)"),
+      col("tot_docs"), col("tot_tokens"))
+      .select(col("threshold"), col("kept_docs"), col("kept_tokens"),
+        (col("kept_docs").cast("double") / col("tot_docs").cast("double"))
+          .as("frac_docs"),
+        (col("kept_tokens").cast("double") / col("tot_tokens").cast("double"))
+          .as("frac_tokens"))
+  }
+
+  val q103QualityTradeoffSql: String = {
+    val grid = QualityCutGrid.map(t => s"(CAST($t AS DOUBLE))").mkString(", ")
+    s"""
+    WITH x AS (
+      SELECT $qualityFromStatsSql AS q, CAST(n_tokens AS BIGINT) AS nt
+      FROM (SELECT doc_id,
+          $nCharsSql AS n_chars_m,
+          $nTokensSql AS n_tokens,
+          CAST(${hitsSql("en")} AS DOUBLE) AS n_stop,
+          $nPunctSql AS n_punct
+        FROM documents)),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS tot_docs,
+        CAST(coalesce(sum(nt), 0) AS BIGINT) AS tot_tokens FROM x),
+    grid(threshold) AS (VALUES $grid)
+    SELECT g.threshold,
+      CAST(count(CASE WHEN x.q >= g.threshold THEN 1 END) AS BIGINT) AS kept_docs,
+      CAST(coalesce(sum(CASE WHEN x.q >= g.threshold THEN x.nt END), 0) AS BIGINT)
+        AS kept_tokens,
+      CAST(count(CASE WHEN x.q >= g.threshold THEN 1 END) AS DOUBLE)
+        / CAST(tot.tot_docs AS DOUBLE) AS frac_docs,
+      CAST(coalesce(sum(CASE WHEN x.q >= g.threshold THEN x.nt END), 0) AS DOUBLE)
+        / CAST(tot.tot_tokens AS DOUBLE) AS frac_tokens
+    FROM grid g CROSS JOIN x CROSS JOIN tot
+    GROUP BY g.threshold, tot.tot_docs, tot.tot_tokens
+  """
+  }
+
   /** Language ID via stopword-profile scoring (n-gram heuristic): count
     * profile hits per language, argmax with a fixed tie order. */
   def q23LangId(spark: SparkSession, sfDir: String): DataFrame = {

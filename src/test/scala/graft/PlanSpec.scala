@@ -232,6 +232,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!badExchange, p)
   }
 
+  test("q103_quality_tradeoff: one scan, one 1-row aggregate, no joins — " +
+    "the whole grid rides as conditional agg columns") {
+    val p = finalPlan("q103_quality_tradeoff")
+    // per-threshold counts are conditional columns of a single partial+final
+    // aggregate over one documents scan; the unpivot and fractions are
+    // driver-trivial projections of the 1-row result
+    assert(nodes(p, "HashAggregate") == 2, p)
+    assert(p.contains("partial_count"), p)
+    assert(nodes(p, "BroadcastHashJoin") == 0, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert("ReadSchema: struct<text:string".r.findAllIn(p).size == 1, p)
+  }
+
   test("q62_quantize_int8: pure codegen projection, no shuffle beyond scan right-sizing") {
     val p = finalPlan("q62_quantize_int8")
     assert(nodes(p, "HashAggregate") == 0, p)
