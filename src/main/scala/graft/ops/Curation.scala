@@ -663,11 +663,16 @@ object Curation {
     admitAgainstIndex(batch, digests, bands)
   }
 
-  val q71IncrementalDedupSql: String = s"""
+  /** The q71 oracle SQL with a caller-chosen batch/corpus split — the q71
+    * gate splits on the source column, the q104 joint gate on the id range
+    * the embedding side uses; the admission logic itself is shared
+    * verbatim. */
+  private[ops] def incrementalDedupSqlWith(batchWhere: String,
+      corpusWhere: String): String = s"""
     WITH batch AS (
-      SELECT doc_id, text FROM documents WHERE source = '$IncrementalBatchSource'),
+      SELECT doc_id, text FROM documents WHERE $batchWhere),
     corpus AS (
-      SELECT doc_id, text FROM documents WHERE source <> '$IncrementalBatchSource'),
+      SELECT doc_id, text FROM documents WHERE $corpusWhere),
     exact AS (
       SELECT b.doc_id AS bid, min(c.doc_id) AS exact_match
       FROM batch b JOIN corpus c
@@ -691,6 +696,47 @@ object Curation {
       coalesce(e.exact_match, n.near_match) AS match_id
     FROM batch b LEFT JOIN exact e ON b.doc_id = e.bid
     LEFT JOIN near n ON b.doc_id = n.bid
+  """
+
+  val q71IncrementalDedupSql: String = incrementalDedupSqlWith(
+    s"source = '$IncrementalBatchSource'",
+    s"source <> '$IncrementalBatchSource'")
+
+  /** q104: JOINT multimodal admission — a document enters the corpus only
+    * when BOTH its text and its embedding are new: the text probe is q71's
+    * exact-digest + banded-SimHash check, the semantic probe is q78's
+    * same-cell cosine check, and the joint verdict carries both reasons so
+    * a rejection is attributable ('dup_text-but-new-embedding' is the
+    * paraphrase detector, the reverse is the re-encoded-copy detector).
+    * The synthetic tables align doc_id and vec_id, so the split is the
+    * embedding side's id bound on both modalities.
+    *
+    * Scale shape: both sub-verdicts are DELTA-sized frames (each derived
+    * by broadcasting batch-side keys into its standing index — q71's
+    * digest/band frames, q78's cell lists), so the joint join is
+    * delta ⋈ delta on doc_id — the corpus itself is never touched beyond
+    * the two index probes. */
+  def q104JointAdmission(spark: SparkSession, sfDir: String): DataFrame = {
+    val bound = Embeddings.AdmitBatchBound
+    val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val textV = incrementalDedupOn(
+      docs.filter(col("doc_id") < bound), docs.filter(col("doc_id") >= bound))
+      .select(col("doc_id"), col("verdict").as("text_verdict"))
+    val semV = Embeddings.q78EmbeddingAdmission(spark, sfDir)
+      .select(col("vec_id").as("doc_id"), col("verdict").as("sem_verdict"))
+    textV.join(semV, Seq("doc_id"))
+      .select(col("doc_id"), col("text_verdict"), col("sem_verdict"),
+        (col("text_verdict") === "new" && col("sem_verdict") === "new").as("admit"))
+  }
+
+  val q104JointAdmissionSql: String = s"""
+    WITH t AS (${incrementalDedupSqlWith(
+      s"doc_id < ${Embeddings.AdmitBatchBound}",
+      s"doc_id >= ${Embeddings.AdmitBatchBound}")}),
+    s AS (${Embeddings.q78EmbeddingAdmissionSql})
+    SELECT t.doc_id, t.verdict AS text_verdict, s.verdict AS sem_verdict,
+      (t.verdict = 'new' AND s.verdict = 'new') AS admit
+    FROM t JOIN s ON t.doc_id = s.vec_id
   """
 
   /** The epoch plan — the materialized reading order a pretraining data
