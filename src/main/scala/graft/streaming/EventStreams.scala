@@ -277,7 +277,14 @@ object EventStreams {
     * split). For an index that grows as batches are admitted — where a
     * replayed batch could meet its own rows — use
     * [[admissionIngestStream]], whose probe excludes self-matches. */
-  def admissionStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+  def admissionStream(docs: DataFrame, corpus: DataFrame): DataFrame =
+    withTextAdmission(docs, corpus).select(col("ts"), col("doc_id"),
+      col("text_verdict").as("verdict"), col("text_match").as("match_id"))
+
+  /** The text-probe CORE of [[admissionStream]]: append (text_verdict,
+    * text_match) to the stream frame keeping every input column, so the
+    * joint gate can chain the semantic probe on the same pass. */
+  private def withTextAdmission(docs: DataFrame, corpus: DataFrame): DataFrame = {
     import graft.ops.NearDup
     val cfg = NearDup.DefaultSimHash
     val maxH = graft.ops.Curation.IncrementalMaxHamming
@@ -306,11 +313,15 @@ object EventStreams {
         filter(entries_$r, e -> bit_count(simhash ^ e.csim) <= $maxH),
         e -> e.cid))""")
     }.reduceLeft(least(_, _))
-    probed.select(col("ts"), col("doc_id"),
-      when(col("exact_match").isNotNull, lit("dup_exact"))
-        .when(nearMatch.isNotNull, lit("dup_near"))
-        .otherwise(lit("new")).as("verdict"),
-      coalesce(col("exact_match"), nearMatch).as("match_id"))
+    val helperCols = Seq("ck", "simhash") ++
+      (0 until cfg.tables).flatMap(r => Seq(s"bucket_$r", s"entries_$r"))
+    probed
+      .withColumn("text_verdict",
+        when(col("exact_match").isNotNull, lit("dup_exact"))
+          .when(nearMatch.isNotNull, lit("dup_near"))
+          .otherwise(lit("new")))
+      .withColumn("text_match", coalesce(col("exact_match"), nearMatch))
+      .drop(helperCols :+ "exact_match": _*)
   }
 
   /** Streaming EMBEDDING admission — the stream-static twin of the batch
@@ -336,6 +347,29 @@ object EventStreams {
     import graft.ops.Embeddings
     val (centsRow, cells) = Embeddings.admissionIndexFrames(corpus)
     Embeddings.admitVectorsAgainstIndex(vecs, centsRow, cells)
+  }
+
+  /** Streaming JOINT multimodal admission — the q104 policy as ONE
+    * stateless pass over a (ts, doc_id, text, embedding) stream: the
+    * semantic probe appends its verdict first (broadcast codebook row +
+    * cell entry arrays), the text probe chains on the same frame
+    * (broadcast digest/band index), and a row admits only when BOTH say
+    * `new`, with per-modality reasons kept. Still no watermark and no
+    * state store — the joint gate is a composition of two row-local
+    * broadcast probes, which is exactly why it can run at ingestion line
+    * rate. EventStreamsSpec pins row equality against the q104 batch gate
+    * on the same split. */
+  def jointAdmissionStream(docs: DataFrame, corpusDocs: DataFrame,
+      corpusVecs: DataFrame): DataFrame = {
+    import graft.ops.Embeddings
+    val (centsRow, cells) = Embeddings.admissionIndexFrames(corpusVecs)
+    val sem = Embeddings.admitVectorsAgainstIndex(docs, centsRow, cells)
+      .withColumnRenamed("verdict", "sem_verdict")
+      .withColumnRenamed("match_id", "sem_match")
+      .drop("best_cos")
+    withTextAdmission(sem, corpusDocs)
+      .select(col("ts"), col("doc_id"), col("text_verdict"), col("sem_verdict"),
+        (col("text_verdict") === "new" && col("sem_verdict") === "new").as("admit"))
   }
 
   /** The full streaming INGESTION loop over the persisted text admission

@@ -840,6 +840,46 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming joint admission equals the q104 batch gate row-for-row") {
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    val bound = 100L // Embeddings.AdmitBatchBound, the q104 split
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val batch = docs.filter(col("doc_id") < bound).join(vecs, Seq("doc_id"))
+      .withColumn("ts", to_timestamp(lit("2024-01-01 10:00:00")))
+      .select("ts", "doc_id", "text", "embedding")
+    val corpusDocs = docs.filter(col("doc_id") >= bound)
+    val corpusVecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") >= bound)
+    val staged = java.nio.file.Files.createTempDirectory("joint-admission")
+    batch.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    val stream = spark.readStream.schema(batch.schema).parquet(staged.toString)
+    val q = EventStreams.jointAdmissionStream(stream, corpusDocs, corpusVecs)
+      .writeStream.format("memory").queryName("joint_admission")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val got = try {
+      q.awaitTermination()
+      spark.table("joint_admission").collect()
+        .map(r => r.getLong(1) -> ((r.getString(2), r.getString(3), r.getBoolean(4))))
+        .toMap
+    } finally { q.stop(); graft.CachedFrames.drain() }
+    val expected = graft.ops.Curation.q104JointAdmission(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getBoolean(3))))
+      .toMap
+    graft.CachedFrames.drain()
+    assert(got === expected)
+    // the joint gate genuinely uses both modalities on this slice
+    assert(got.values.exists(v => v._1 != "new" && v._2 == "new"))
+    assert(got.values.exists(v => v._1 == "new" && v._2 != "new"))
+    assert(got.values.exists(_._3))
+  }
+
   test("streaming cohort retention: changelog deltas converge to the batch " +
       "matrix, retracting when a late earlier event shifts a cohort") {
     import spark.implicits._
