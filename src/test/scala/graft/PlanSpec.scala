@@ -245,6 +245,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert("ReadSchema: struct<text:string".r.findAllIn(p).size == 1, p)
   }
 
+  test("q102_cohort_retention: one user-keyed exchange; cells and sizes " +
+    "reuse the cached per-user frame, sizes broadcast back") {
+    val p = finalPlan("q102_cohort_retention")
+    // the corpus-sized exchange is the per-user collect_set groupBy; the
+    // cell and size aggregates run over its cached result (InMemoryScan),
+    // and the |cohorts|-row sizes table joins back broadcast
+    assert(nodes(p, "BroadcastHashJoin") == 1, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan In-memory"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q104_joint_admission: delta-vs-delta join, no cartesian, the corpus " +
+    "only feeds the two index probes") {
+    val p = finalPlan("q104_joint_admission")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    // the standing indexes broadcast into the batch side (text digest/band
+    // probes + embedding cell probe + the final verdict join)
+    assert(nodes(p, "BroadcastHashJoin") >= 3, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+  }
+
   test("q62_quantize_int8: pure codegen projection, no shuffle beyond scan right-sizing") {
     val p = finalPlan("q62_quantize_int8")
     assert(nodes(p, "HashAggregate") == 0, p)
