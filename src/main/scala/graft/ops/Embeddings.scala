@@ -556,6 +556,70 @@ object Embeddings {
       FROM probe) WHERE rk <= 3
   """
 
+  /** Cosine threshold for q106's semantic-duplicate verdicts. The synthetic
+    * embeddings' within-cell cosines top out near 0.46 (labels are soft
+    * clusters, not copies), so 0.35 plays the role SemDeDup's ~0.95 plays
+    * on a real corpus: selective (41 of 500 vectors evicted at sf0.01, 10
+    * at 0.40) while still exercising the verdict machinery at every SF. */
+  private val SemDedupTau = 0.35
+
+  /** q106: SemDeDup-style semantic dedup keep-set (Abbas et al. 2023,
+    * "SemDeDup", arXiv:2303.09540): bucket the corpus by the hash-seeded
+    * IVF coarse quantizer (the q74 codebook), compare pairs ONLY within a
+    * cell, and evict any vector that has a lower-id in-cell neighbor with
+    * cosine ≥ τ — the lowest id in each semantic group survives, so the
+    * keep-set is deterministic with no RNG and no arrival-order dependence.
+    * One verdict row per vector: (vec_id, cell, verdict, evicted_by) with
+    * evicted_by = the smallest qualifying neighbor, NULL for keepers.
+    *
+    * This is the corpus-product face of embedding near-dup: q48 emits
+    * candidate PAIRS (LSH-bucketed); q106 emits the per-document keep/evict
+    * decision a curation DAG consumes — the embedding analog of q51's
+    * step-4 representative selection, and the batch analog of the q78
+    * admission probe (q78 gates a delta against an index; q106 prunes a
+    * whole corpus against itself).
+    *
+    * Scale shape (100 TB): the quadratic blow-up is bounded per cell — the
+    * SemDeDup contract is that k grows with the corpus (k ≈ n / target
+    * cell size) so cell populations stay bounded and the within-cell
+    * self-join is a cell-keyed shuffle join, never all-pairs. The verdict
+    * join-back aggregates to ≤1 row per evicted vector before a vec_id
+    * equi-join. Codebook build is the shared broadcast + fixed-point-means
+    * pass of [[hashCentroids]]; nothing here collects to the driver. */
+  def q106SemanticKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.CachedFrames.track(vecs(spark, sfDir))
+    val assigned = probeAssign(e, hashCentroids(e, HashCodebookK), nprobe = 1)
+      .drop("probe_rk", "label")
+    val evicted = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id") &&
+          dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+            >= lit(SemDedupTau))
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(min(col("b.vec_id")).as("evicted_by"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(evicted, Seq("vec_id"), "left")
+      .withColumn("verdict",
+        when(col("evicted_by").isNotNull, lit("evict")).otherwise(lit("keep")))
+      .select(col("vec_id"), col("cell"), col("verdict"), col("evicted_by"))
+  }
+
+  val q106SemanticKeepSql: String = s"""
+    WITH $hashAssignedSqlCtes,
+    hits AS (
+      SELECT a.vec_id AS vec_id, min(b.vec_id) AS evicted_by
+      FROM hassigned a JOIN hassigned b
+        ON a.cell = b.cell AND a.vec_id > b.vec_id
+        AND list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])), (acc, x) -> acc + x)
+          / (a.nrm * b.nrm) >= $SemDedupTau
+      GROUP BY 1)
+    SELECT s.vec_id, s.cell,
+      CASE WHEN h.evicted_by IS NOT NULL THEN 'evict' ELSE 'keep' END AS verdict,
+      h.evicted_by
+    FROM hassigned s LEFT JOIN hits h ON s.vec_id = h.vec_id
+  """
+
   /** Lloyd rounds for the q89 trained codebook (seed means = round 1, so
     * this is two full reassign+update iterations beyond the hash seed). */
   private[ops] val TrainedRounds = 3

@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ProfilingSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q105 exact profile matches an independent per-column recomputation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val n = docs.count()
+    val rows = Profiling.q105Profile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === docs.columns.toSet)
+    docs.columns.foreach { c =>
+      val r = rows(c)
+      assert(r.getLong(1) === n, s"$c n_rows")
+      // independent recomputation straight off the column (no stack/unpivot)
+      val exp = docs.select(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("nn"),
+        countDistinct(col(c).cast("string")).as("nd"),
+        min(col(c).cast("string")).as("mn"),
+        max(col(c).cast("string")).as("mx")).head()
+      assert(r.getLong(2) === exp.getLong(0), s"$c n_null")
+      assert(r.getLong(3) === exp.getLong(1), s"$c n_distinct")
+      assert(r.getString(4) === exp.getString(2), s"$c min_val")
+      assert(r.getString(5) === exp.getString(3), s"$c max_val")
+    }
+  }
+
+  test("q105 profiles nulls without losing them from n_rows") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, null), (null, "a"))
+      .toDF("k", "s")
+    val p = Profiling.profileApprox(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("k").getLong(1) === 3L && p("k").getLong(2) === 1L)
+    assert(p("s").getLong(1) === 3L && p("s").getLong(2) === 1L)
+    // min/max ignore nulls per SQL semantics
+    assert(p("s").getString(4) === "a" && p("s").getString(5) === "a")
+  }
+
+  test("approx face agrees with the exact face everywhere but the HLL estimate, which stays tight") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = Profiling.q105Profile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Profiling.profileApprox(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (c, e) =>
+      val a = approx(c)
+      assert(a.getLong(1) === e.getLong(1), s"$c n_rows")
+      assert(a.getLong(2) === e.getLong(2), s"$c n_null")
+      assert(a.getString(4) === e.getString(4), s"$c min_val")
+      assert(a.getString(5) === e.getString(5), s"$c max_val")
+      val nd = e.getLong(3).toDouble
+      assert(math.abs(a.getLong(3) - nd) <= math.max(2.0, nd * 0.1),
+        s"$c HLL estimate ${a.getLong(3)} vs exact $nd")
+    }
+  }
+
+  test("q105 plan: one scan feeds all columns, aggregation is partial (map-side combinable)") {
+    val plan = Profiling.q105Profile(spark, sf).queryExecution.executedPlan.toString
+    // a single parquet scan — the unpivot must not become C per-column jobs
+    assert("Scan parquet".r.findAllIn(plan).length === 1, plan)
+    assert(plan.contains("partial_"), plan)
+  }
+}
