@@ -499,6 +499,22 @@ object EventStreams {
   def cmsSketchStream(docs: DataFrame): DataFrame =
     graft.ops.TextOps.cmsSketchOn(docs)
 
+  /** Streaming column profiler — the twin of the q105 family's bounded-state
+    * face ([[graft.ops.Profiling.profileApprox]]), and deliberately THAT
+    * face: a streaming profile cannot hold exact distinct sets (state =
+    * every value ever seen), but HLL++ registers are constant-size per
+    * column and merge order-insensitively, so in Complete mode the standing
+    * table converges to exactly what the batch approx profile computes on
+    * the same rows — row-equal, not just close, because count/sum/min/max
+    * are order-insensitive and the HLL estimate is a pure function of the
+    * merged registers (spec-pinned across out-of-order batches). The
+    * whole-table state is one row per column × five constant-size
+    * accumulators. Shares the batch code verbatim: the stack unpivot is a
+    * stateless projection, the single aggregation is the only stateful op,
+    * so there is no chained-aggregation restriction to dodge. */
+  def profileStream(docs: DataFrame): DataFrame =
+    graft.ops.Profiling.profileApprox(docs)
+
   /** Streaming DSIR gate — the stream-static twin of the batch importance
     * weigher ([[graft.ops.TextOps.q93Dsir]]): each arriving (doc_id, text)
     * row is scored against the STANDING corpus's bucket bits-delta table

@@ -1017,6 +1017,39 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming profiler equals the batch approx profile row-for-row across out-of-order batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // ids arrive out of order across triggers and a null lands mid-stream:
+    // the Complete-mode standing table must still equal the batch approx
+    // profile of the union, including the HLL distinct estimate (pure
+    // function of the merged registers, arrival-order-free)
+    val batch1 = Seq((7L, "gamma delta", "de"), (2L, "beta", null: String))
+    val batch2 = Seq((1L, "alpha beta", "en"), (9L, "beta", "en"))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = EventStreams.profileStream(mem.toDF().toDF("doc_id", "text", "lang"))
+      .writeStream.format("memory").queryName("profile_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val got = spark.table("profile_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5))).toSet
+      val expected = graft.ops.Profiling.profileApprox(
+        (batch1 ++ batch2).toDF("doc_id", "text", "lang")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5))).toSet
+      assert(got === expected)
+      assert(got.map(_._1) === Set("doc_id", "text", "lang"))
+      // the null was counted where it lived and nowhere else
+      assert(got.find(_._1 == "lang").get._3 === 1L)
+      assert(got.find(_._1 == "doc_id").get._3 === 0L)
+    } finally q.stop()
+  }
+
   test("streaming CMS in UPDATE mode: per-trigger deltas merged last-write-wins " +
       "equal the batch sketch — the monitoring-sink contract") {
     import spark.implicits._
