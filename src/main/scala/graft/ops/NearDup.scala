@@ -188,6 +188,108 @@ object NearDup {
     JOIN sig s2 ON p.id2 = s2.doc_id
   """
 
+  /** Query sample bound for q107's measured-recall truth side — the text
+    * analog of [[AnnConfig.knnQueryIds]]: ground truth is exact for every
+    * pair anchored at a sampled lower id, and recall is measured over that
+    * sample, never over the quadratic whole. */
+  private val ScoreboardSampleN = 100
+
+  /** Jaccard thresholds the q107 scoreboard reports. The synthetic corpus's
+    * planted near-dups sit at j ≈ 0.99 with everything else far below 0.2,
+    * so all three rows see the same truth set there — on a real corpus they
+    * fan out into the precision/recall tradeoff curve. */
+  private val ScoreboardTaus = Seq(0.2, 0.5, 0.8)
+
+  /** q107: measured LSH candidate quality — the text-dedup twin of the ANN
+    * recall scoreboard (q63/q75). For each Jaccard threshold τ it reports
+    * how the banded candidate generator (q27) actually performed against
+    * EXACT ground truth on a bounded sample: n_true exact pairs at ≥ τ
+    * anchored at a sampled lower id, n_cand LSH candidates in the same
+    * sample window, n_hit candidates whose true Jaccard clears τ, and the
+    * derived recall (n_hit/n_true — hits are a subset of truth since any
+    * pair with τ > 0 shares a shingle) and prec (n_hit/n_cand).
+    *
+    * Ground truth comes from the shingle posting-list join, not an
+    * all-pairs scan: a pair with Jaccard > 0 shares at least one distinct
+    * shingle, so joining the SAMPLE docs' postings against the corpus
+    * postings finds every true pair exactly. Scale shape (100 TB): the
+    * truth join's cost is Σ_s df_sample(s)·df(s) — linear in the sample
+    * postings times ambient document frequency, the same bounded-sample
+    * contract as q29's brute-force ANN truth; the candidate side is the
+    * production q27 path unchanged. The three tiny per-τ aggregates are
+    * broadcast theta-joins against a 3-row literal frame. */
+  def q107LshScoreboard(spark: SparkSession, sfDir: String,
+      cfg: MinHashConfig = DefaultMinHash): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
+    val sh = graft.CachedFrames.track(
+      shingled(docs).select(col("doc_id"), col("shingles")))
+    val post = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val tp = post.alias("a").filter(col("a.doc_id") < ScoreboardSampleN)
+      .join(post.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_int"))
+    val tj = tp
+      .join(sh.select(col("doc_id").as("id1"), size(col("shingles")).as("n1")), "id1")
+      .join(sh.select(col("doc_id").as("id2"), size(col("shingles")).as("n2")), "id2")
+      .withColumn("j", col("n_int").cast("double") /
+        (col("n1") + col("n2") - col("n_int")).cast("double"))
+      .select(col("id1"), col("j"))
+    val cand = graft.CachedFrames.track(
+      lshPairsOn(docs, cfg).filter(col("id1") < ScoreboardSampleN)
+        .select(col("id1"), col("true_jaccard")))
+    val taus = ScoreboardTaus.toDF("tau")
+    val truePerTau = taus.join(tj, col("j") >= col("tau"), "left")
+      .groupBy(col("tau")).agg(count(col("id1")).as("n_true"))
+    val hitPerTau = taus.join(cand, col("true_jaccard") >= col("tau"), "left")
+      .groupBy(col("tau")).agg(count(col("id1")).as("n_hit"))
+    val candAgg = cand.agg(count(lit(1)).as("n_cand"))
+    truePerTau.join(hitPerTau, "tau").crossJoin(candAgg)
+      .withColumn("recall", when(col("n_true") > 0,
+        col("n_hit").cast("double") / col("n_true").cast("double")))
+      .withColumn("prec", when(col("n_cand") > 0,
+        col("n_hit").cast("double") / col("n_cand").cast("double")))
+      .select(col("tau"), col("n_true"), col("n_cand"), col("n_hit"),
+        col("recall"), col("prec"))
+  }
+
+  val q107LshScoreboardSql: String = s"""
+    WITH ${lshCandidateSqlCtes("documents")},
+    taus AS (SELECT unnest([${ScoreboardTaus.map(t => s"$t::DOUBLE").mkString(", ")}]) AS tau),
+    post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    tp AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_int
+      FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+      WHERE a.doc_id < $ScoreboardSampleN
+      GROUP BY 1, 2),
+    tj AS (
+      SELECT tp.id1,
+        CAST(n_int AS DOUBLE) /
+          CAST(len(s1.shingles) + len(s2.shingles) - n_int AS DOUBLE) AS j
+      FROM tp JOIN sh s1 ON tp.id1 = s1.doc_id JOIN sh s2 ON tp.id2 = s2.doc_id),
+    cand AS (
+      SELECT p.id1,
+        CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+          CAST(len(s1.shingles) + len(s2.shingles)
+               - len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) AS tjac
+      FROM pairs p JOIN sig s1 ON p.id1 = s1.doc_id JOIN sig s2 ON p.id2 = s2.doc_id
+      WHERE p.id1 < $ScoreboardSampleN),
+    tcount AS (
+      SELECT tau, count(tj.j) AS n_true
+      FROM taus LEFT JOIN tj ON tj.j >= taus.tau GROUP BY 1),
+    hcount AS (
+      SELECT tau, count(cand.tjac) AS n_hit
+      FROM taus LEFT JOIN cand ON cand.tjac >= taus.tau GROUP BY 1),
+    ccount AS (SELECT count(*) AS n_cand FROM cand)
+    SELECT t.tau, t.n_true, c.n_cand, h.n_hit,
+      CASE WHEN t.n_true > 0
+        THEN CAST(h.n_hit AS DOUBLE) / CAST(t.n_true AS DOUBLE) END AS recall,
+      CASE WHEN c.n_cand > 0
+        THEN CAST(h.n_hit AS DOUBLE) / CAST(c.n_cand AS DOUBLE) END AS prec
+    FROM tcount t JOIN hcount h USING (tau) CROSS JOIN ccount c
+  """
+
   /** SimHash banding: `cfg.tables` rotations, each bucketed on its
     * top-`cfg.prefixBits` bits. With tables × prefix = fingerprint width
     * (default 4 × 14 = 56) the prefixes tile the fingerprint, so by
