@@ -498,3 +498,24 @@ object ApplyDupClassifier {
     }
   }
 }
+
+/** Column-profile job — the data-quality report an ingest runs before
+  * anything else touches a new drop: profile ANY parquet table and write
+  * the per-column stats as one small parquet. Exact by default (the q105
+  * two-level aggregation, shuffle bounded by distinct-value volume);
+  * `--approx` switches to the HLL bounded-state face for very wide or
+  * high-cardinality inputs where even the distinct-value shuffle is
+  * unwelcome. Columns are profiled in their canonical string cast, so a
+  * heterogeneous schema needs no per-type plumbing. */
+object ProfileCorpus {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-profile-corpus") { spark =>
+      val df = spark.read.parquet(a("input"))
+      val prof =
+        if (a.contains("approx")) graft.ops.Profiling.profileApprox(df)
+        else graft.ops.Profiling.profileExactOn(df)
+      prof.coalesce(1).write.mode("overwrite").parquet(a("output"))
+    }
+  }
+}

@@ -281,6 +281,89 @@ object Events {
           .as("retention"))
   }
 
+  /** Histogram grain for q108: 20 fixed buckets of width 25 cover the
+    * events table's value range at every SF; the last bucket absorbs the
+    * tail so the distribution vector length never depends on the data. */
+  private val DriftBuckets = 20
+  private val DriftWidth = 25.0
+
+  /** q108: day-over-day value-distribution drift — the monitoring pass that
+    * tells a pipeline operator "today's data stopped looking like
+    * yesterday's" (the events-stream sibling of q72's source drift and
+    * q88's embedding drift). Per adjacent calendar-day pair it reports
+    * total-variation distance (½ Σ|p_b − q_b|) and the χ²-style divergence
+    * Σ (p−q)²/(p+q) between the two days' 20-bucket value histograms.
+    * Both are RATIONAL in the bucket probabilities — no ln() — so the
+    * numbers are bitwise-portable to the DuckDB oracle (the same reason
+    * q92 scores in integer bits; PSI's ln(p/q) would put libm between the
+    * engines). Days with no predecessor (gaps, the first day) emit nothing.
+    *
+    * Scale shape (100 TB): ONE corpus-sized aggregation —
+    * groupBy(day, bucket) with map-side combine — collapses the stream to
+    * ≤ days × 20 rows; everything after (dense vector build, the
+    * adjacent-day self-join on day = day+1) runs on that calendar-bounded
+    * frame. The distribution vector is built bucket-ordered so the
+    * zip_with/aggregate fold order is fixed — deterministic IEEE sums
+    * without decimal scaffolding. No window-over-everything: the
+    * day-to-previous-day pairing is an equi-join, not a global sort. */
+  def q108ValueDrift(spark: SparkSession, sfDir: String): DataFrame =
+    valueDriftOn(Tables(spark, sfDir, "events"))
+
+  private[graft] def valueDriftOn(events: DataFrame): DataFrame = {
+    val counts = events
+      .select(expr("unix_timestamp(ts) DIV 86400").as("day"),
+        expr(s"least(CAST(floor(value / $DriftWidth) AS INT), ${DriftBuckets - 1})")
+          .as("bucket"))
+      .groupBy(col("day"), col("bucket")).agg(count(lit(1)).as("n"))
+    val daily = graft.CachedFrames.track(counts.groupBy(col("day"))
+      .agg(sum(col("n")).as("n_events"),
+        map_from_entries(collect_list(struct(col("bucket"), col("n")))).as("m"))
+      .withColumn("p", expr(
+        s"""transform(sequence(0, ${DriftBuckets - 1}),
+           |  b -> coalesce(CAST(element_at(m, b) AS DOUBLE), 0.0D)
+           |         / CAST(n_events AS DOUBLE))""".stripMargin))
+      .drop("m"))
+    daily
+      .join(daily.select((col("day") + 1).as("day"), col("p").as("prev_p")), "day")
+      .withColumn("tvd", expr(
+        """aggregate(zip_with(p, prev_p, (a, b) -> abs(a - b)),
+          |  0.0D, (acc, x) -> acc + x) / 2.0D""".stripMargin))
+      .withColumn("chi2", expr(
+        """aggregate(zip_with(p, prev_p,
+          |    (a, b) -> CASE WHEN a + b > 0.0D
+          |                THEN (a - b) * (a - b) / (a + b) ELSE 0.0D END),
+          |  0.0D, (acc, x) -> acc + x)""".stripMargin))
+      .select(col("day"), col("n_events"), col("tvd"), col("chi2"))
+  }
+
+  val q108ValueDriftSql: String = s"""
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        least(CAST(floor(value / $DriftWidth) AS INTEGER), ${DriftBuckets - 1}) AS bucket,
+        count(*) AS n
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT day, sum(n)::BIGINT AS n_events FROM c GROUP BY 1),
+    grid AS (SELECT t.day, t.n_events, b.b AS bucket
+      FROM tot t, range($DriftBuckets) b(b)),
+    dense AS (
+      SELECT g.day, g.n_events, g.bucket,
+        coalesce(CAST(c.n AS DOUBLE), 0.0) / CAST(g.n_events AS DOUBLE) AS p
+      FROM grid g LEFT JOIN c ON g.day = c.day AND g.bucket = c.bucket),
+    vec AS (SELECT day, n_events, list(p ORDER BY bucket) AS p
+      FROM dense GROUP BY 1, 2)
+    SELECT a.day, a.n_events,
+      list_reduce(list_prepend(0.0::DOUBLE,
+        list_transform(list_zip(a.p, b.p), z -> abs(z[1] - z[2]))),
+        (acc, x) -> acc + x) / 2.0 AS tvd,
+      list_reduce(list_prepend(0.0::DOUBLE,
+        list_transform(list_zip(a.p, b.p),
+          z -> CASE WHEN z[1] + z[2] > 0.0
+                 THEN (z[1] - z[2]) * (z[1] - z[2]) / (z[1] + z[2])
+                 ELSE 0.0 END)),
+        (acc, x) -> acc + x) AS chi2
+    FROM vec a JOIN vec b ON a.day = b.day + 1
+  """
+
   val q102CohortRetentionSql: String = """
     WITH w AS (
       SELECT DISTINCT user_id,

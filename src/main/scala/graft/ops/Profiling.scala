@@ -36,8 +36,7 @@ object Profiling {
     * a schema-generic profiler has to work. */
   private val ProfiledTable = "documents"
 
-  private def unpivoted(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = Tables(spark, sfDir, ProfiledTable)
+  private def unpivoted(df: DataFrame): DataFrame = {
     val stackArgs =
       df.columns.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
     df.select(expr(s"stack(${df.columns.length}, $stackArgs) AS (col_name, val)"))
@@ -46,7 +45,12 @@ object Profiling {
   /** q105: exact column profile — (col_name, n_rows, n_null, n_distinct,
     * min_val, max_val), one row per column of the documents table. */
   def q105Profile(spark: SparkSession, sfDir: String): DataFrame =
-    unpivoted(spark, sfDir)
+    profileExactOn(Tables(spark, sfDir, ProfiledTable))
+
+  /** The exact face over ANY frame — what the `cli.ProfileCorpus` job runs
+    * on arbitrary parquet inputs; q105 is this on the documents table. */
+  def profileExactOn(df: DataFrame): DataFrame =
+    unpivoted(df)
       .groupBy(col("col_name"), col("val"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("col_name"))
@@ -62,11 +66,8 @@ object Profiling {
     * arrival order and partitioning don't change the estimate) — which is
     * what lets the streaming twin pin row-equality against THIS face while
     * q105 stays the exact oracle-checked one. */
-  def profileApprox(docs: DataFrame): DataFrame = {
-    val stackArgs =
-      docs.columns.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
-    docs
-      .select(expr(s"stack(${docs.columns.length}, $stackArgs) AS (col_name, val)"))
+  def profileApprox(docs: DataFrame): DataFrame =
+    unpivoted(docs)
       .groupBy(col("col_name"))
       .agg(
         count(lit(1)).as("n_rows"),
@@ -74,7 +75,6 @@ object Profiling {
         approx_count_distinct(col("val")).as("n_distinct_approx"),
         min(col("val")).as("min_val"),
         max(col("val")).as("max_val"))
-  }
 
   val q105ProfileSql: String = {
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars")

@@ -577,4 +577,29 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(preds.forall(p => p == 0.0 || p == 1.0))
     assert(preds.exists(_ == 1.0), "no predicted duplicates at all")
   }
+
+  test("profile-corpus job writes the q105 stats for an arbitrary parquet input, --approx switches face") {
+    import org.apache.spark.sql.functions.col
+    spark // force shared session so the CLI's getOrCreate reuses it
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-profile").toString
+    ProfileCorpus.main(Array(
+      "--input", s"$sf/documents.parquet", "--output", s"$dir/prof"))
+    val back = spark.read.parquet(s"$dir/prof")
+    val exact = graft.ops.Profiling.profileExactOn(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    assert(back.collect().map(_.toString).sorted.toSeq ===
+      exact.collect().map(_.toString).sorted.toSeq)
+    // the lineitem table exercises a schema q105 never sees (16 columns,
+    // dates and decimals) — the string-cast plumbing must not care
+    ProfileCorpus.main(Array(
+      "--input", s"$sf/lineitem.parquet", "--output", s"$dir/prof_li",
+      "--approx"))
+    val li = spark.read.parquet(s"$dir/prof_li")
+    val nLi = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(li.columns.contains("n_distinct_approx"))
+    assert(li.select(col("col_name")).count() ===
+      spark.read.parquet(s"$sf/lineitem.parquet").columns.length.toLong)
+    assert(li.collect().forall(_.getLong(1) == nLi))
+  }
 }

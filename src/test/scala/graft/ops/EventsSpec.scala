@@ -40,4 +40,40 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       (0L, 3L) -> ((1L, 2L, 0.5)),   // only u1 back in week 3
       (1L, 0L) -> ((1L, 1L, 1.0)))) // u3's cohort, never returns
   }
+
+  test("q108 drift: hand-computed TVD and chi2 on a crafted two-day fixture, gap days emit nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // day 0: values 10, 30      -> buckets 0, 1     -> p = [.5, .5, 0, ...]
+    // day 1: values 5,20,30,80  -> buckets 0,0,1,3  -> p = [.5, .25, 0, .25, ...]
+    // day 3: isolated (day 2 missing) -> must not appear in the output
+    val ev = Seq(
+      (0L, 10.0), (0L, 30.0),
+      (86400L, 5.0), (86400L, 20.0), (86400L, 30.0), (86400L, 80.0),
+      (3L * 86400L, 100.0))
+      .toDF("sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.valueDriftOn(ev).collect()
+    graft.CachedFrames.drain()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 4L)
+    // fold adds bucket contributions in bucket order; zeros are exact
+    assert(r.getDouble(2) === (0.0 + 0.25 + 0.0 + 0.25) / 2.0)
+    val chi2 = ((0.25 - 0.5) * (0.25 - 0.5)) / (0.25 + 0.5) + (0.25 * 0.25) / 0.25
+    assert(r.getDouble(3) === chi2)
+  }
+
+  test("q108 drift on the synthetic table: every adjacent day pair scored, metrics in range") {
+    val got = Events.q108ValueDrift(spark, "/root/testdata/sf0.001").collect()
+    graft.CachedFrames.drain()
+    val days = got.map(_.getLong(0)).sorted
+    assert(days.length === 29) // 30 consecutive days -> 29 adjacent pairs
+    assert(days.zip(days.tail).forall { case (a, b) => b == a + 1 })
+    got.foreach { r =>
+      assert(r.getLong(1) > 0L)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0, r.toString)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 2.0, r.toString)
+    }
+  }
 }
