@@ -558,4 +558,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // (a pushdown regression that re-evaluates per orientation doubles this)
     assert("levenshtein\\(".r.findAllIn(p).size == 2, p)
   }
+
+  test("q106_semantic_keep: codebook broadcast, cell pairing and verdict join-back " +
+      "never sort-merge, no cartesian product") {
+    val p = finalPlan("q106_semantic_keep")
+    // the assignment crossJoin against the k-row codebook must stay a
+    // broadcast nested loop (k = 16 rows), never a real cartesian shuffle
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert(nodes(p, "BroadcastNestedLoopJoin") >= 1, p)
+  }
+
+  test("q108_value_drift: histogram aggregation combines map-side; day pairing " +
+      "is a join, not a global sort window") {
+    val p = finalPlan("q108_value_drift")
+    assert(p.contains("partial_count"), p)
+    // no Window operator (a lag() formulation would sort ALL days in one
+    // partition); the previous-day probe must be a join
+    assert(nodes(p, "Window") == 0, p)
+    assert(nodes(p, "Sort") == 0 || nodes(p, "SortMergeJoin") > 0, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+  }
 }
