@@ -309,12 +309,25 @@ object Events {
   def q108ValueDrift(spark: SparkSession, sfDir: String): DataFrame =
     valueDriftOn(Tables(spark, sfDir, "events"))
 
-  private[graft] def valueDriftOn(events: DataFrame): DataFrame = {
-    val counts = events
+  private[graft] def valueDriftOn(events: DataFrame): DataFrame =
+    driftFromCells(driftCellsOn(events))
+
+  /** Phase 1 — the only corpus-sized work: (day, bucket) → count. This is
+    * also the STREAMING face ([[graft.streaming.EventStreams.driftCellStream]]
+    * runs it verbatim as an Update-mode aggregation, ≤ days × buckets Longs
+    * of state); batch continues into [[driftFromCells]], a streaming sink
+    * merges the cell deltas last-write-wins and runs the same finalization
+    * over the merged table. */
+  private[graft] def driftCellsOn(events: DataFrame): DataFrame =
+    events
       .select(expr("unix_timestamp(ts) DIV 86400").as("day"),
         expr(s"least(CAST(floor(value / $DriftWidth) AS INT), ${DriftBuckets - 1})")
           .as("bucket"))
       .groupBy(col("day"), col("bucket")).agg(count(lit(1)).as("n"))
+
+  /** Phase 2 — calendar-bounded finalization: dense vectors, the
+    * adjacent-day equi-join, the ordered TVD/χ² folds. */
+  private[graft] def driftFromCells(counts: DataFrame): DataFrame = {
     val daily = graft.CachedFrames.track(counts.groupBy(col("day"))
       .agg(sum(col("n")).as("n_events"),
         map_from_entries(collect_list(struct(col("bucket"), col("n")))).as("m"))

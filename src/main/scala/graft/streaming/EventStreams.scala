@@ -515,6 +515,21 @@ object EventStreams {
   def profileStream(docs: DataFrame): DataFrame =
     graft.ops.Profiling.profileApprox(docs)
 
+  /** Streaming histogram cells for the q108 value-drift monitor — the
+    * Update-mode delta-feed contract the streaming CMS already pins: the
+    * stream emits, per trigger, the updated (day, bucket, n) cells its own
+    * events touched; a monitoring sink merges them last-write-wins (keyed
+    * upsert) and re-runs the calendar-bounded finalization
+    * ([[graft.ops.Events.driftFromCells]] — dense vectors, adjacent-day
+    * join, TVD/χ² folds) over the merged table, converging to exactly the
+    * batch q108 rows under any arrival order (spec-pinned, including
+    * events for an EARLIER day landing after a later day's). State is one
+    * Long per (day, bucket) — ≤ days × 20 — and the heavy phase is this
+    * single aggregation; the finalization runs on a frame the size of the
+    * calendar. Shares [[graft.ops.Events.driftCellsOn]] verbatim. */
+  def driftCellStream(events: DataFrame): DataFrame =
+    graft.ops.Events.driftCellsOn(events)
+
   /** Streaming DSIR gate — the stream-static twin of the batch importance
     * weigher ([[graft.ops.TextOps.q93Dsir]]): each arriving (doc_id, text)
     * row is scored against the STANDING corpus's bucket bits-delta table

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import graft.SparkSpec
+import graft.ops.Events
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.{col, count, lag, lit, max, min, sum, unix_timestamp, when}
 import org.apache.spark.sql.streaming.OutputMode
@@ -1048,6 +1049,55 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(got.find(_._1 == "lang").get._3 === 1L)
       assert(got.find(_._1 == "doc_id").get._3 === 0L)
     } finally q.stop()
+  }
+
+  test("streaming drift cells in UPDATE mode: merged deltas finalized by driftFromCells " +
+      "equal batch q108 under cross-trigger out-of-order days") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // trigger 1 carries days 0 and 2; trigger 2 goes BACK to day 0 (late
+    // arrival) and fills day 1 — the merged table must still converge
+    val batch1 = Seq((0L, 10.0), (0L, 30.0), (2L * 86400L, 55.0))
+    val batch2 = Seq((5L, 80.0), (86400L, 20.0), (86400L, 130.0))
+    def evDf(rows: Seq[(Long, Double)]) =
+      rows.toDF("sec", "value").withColumn("ts", timestamp_seconds(col("sec")))
+    val mem = MemoryStream[(Long, Double)]
+    val updates = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Long)]
+    val q = EventStreams.driftCellStream(
+        mem.toDF().toDF("sec", "value")
+          .withColumn("ts", timestamp_seconds(col("sec"))))
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+        val rows = b.collect().map(r => (id, r.getLong(0), r.getInt(1), r.getLong(2)))
+        updates.synchronized { updates ++= rows }
+        ()
+      }
+      .start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = updates.synchronized(updates.toVector)
+    // the monitoring-sink merge: last write wins per (day, bucket)
+    val merged = all.groupBy(u => (u._2, u._3))
+      .map { case (cell, us) => (cell._1, cell._2, us.maxBy(_._1)._4) }.toSeq
+    val got = Events.driftFromCells(merged.toDF("day", "bucket", "n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val expected = Events.valueDriftOn(evDf(batch1 ++ batch2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    graft.CachedFrames.drain()
+    assert(got === expected)
+    assert(got.map(_._1) === Set(1L, 2L)) // both adjacent pairs present
+    // genuinely a delta feed: trigger 2 re-emitted only cells it touched
+    // (day 0's updated bucket + day 1's), never day 2's untouched cell
+    val second = all.filter(_._1 > all.map(_._1).min)
+    assert(second.nonEmpty)
+    assert(second.forall(_._2 != 2L), second.toString)
   }
 
   test("streaming CMS in UPDATE mode: per-trigger deltas merged last-write-wins " +
