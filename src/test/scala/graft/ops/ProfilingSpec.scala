@@ -61,6 +61,19 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("an empty input profiles to an empty frame (no phantom zero-rows), schema intact") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("k", "s")
+    val exact = Profiling.profileExactOn(empty)
+    val approx = Profiling.profileApprox(empty)
+    // contract: a column only appears once it has rows to describe — a
+    // consumer joins profiles by col_name and treats absence as "no data",
+    // the same convention q108 uses for days without a predecessor
+    assert(exact.count() === 0L && approx.count() === 0L)
+    assert(exact.columns.toSeq ===
+      Seq("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val"))
+  }
+
   test("q105 plan: one scan feeds all columns, aggregation is partial (map-side combinable)") {
     val plan = Profiling.q105Profile(spark, sf).queryExecution.executedPlan.toString
     // a single parquet scan — the unpivot must not become C per-column jobs
