@@ -355,7 +355,7 @@ object Events {
         least(CAST(floor(value / $DriftWidth) AS INTEGER), ${DriftBuckets - 1}) AS bucket,
         count(*) AS n
       FROM events GROUP BY 1, 2),
-    tot AS (SELECT day, sum(n)::BIGINT AS n_events FROM c GROUP BY 1),
+    tot AS (SELECT day, CAST(sum(n) AS BIGINT) AS n_events FROM c GROUP BY 1),
     grid AS (SELECT t.day, t.n_events, b.b AS bucket
       FROM tot t, range($DriftBuckets) b(b)),
     dense AS (
