@@ -76,6 +76,78 @@ object Profiling {
         min(col("val")).as("min_val"),
         max(col("val")).as("max_val"))
 
+  /** The numeric-profile columns — lineitem's four measure columns, the
+    * widest numeric surface in the driver tables. */
+  private val NumericCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** q109: numeric column profile — n / mean / stddev / median / min / max
+    * per measure column, the second profiling face next to q105's generic
+    * string-cast stats. One stack-unpivot scan feeds ONE aggregation.
+    *
+    * Determinism contract: mean and variance come from fixed-point
+    * DECIMAL(38,0) sums of floor(x·1e12) and floor(x²·1e12) (the q31
+    * pattern — order-insensitive, constant-size accumulators, bitwise
+    * match in DuckDB), then a fixed chain of IEEE ops; the median is the
+    * `percentile` ↔ `quantile_cont` pair q35 already pins cross-engine.
+    *
+    * Scale caveat (the honest row in this file's ledger): exact
+    * `percentile` buffers each group's values — fine for a profile of
+    * bounded measure columns, wrong for arbitrary cardinality; a 100 TB
+    * profiler swaps it for `approx_percentile` exactly as q105's approx
+    * face swaps exact distinct for HLL. Everything else here is
+    * constant-state per column. */
+  def q109NumericProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = Tables(spark, sfDir, "lineitem")
+    val stackArgs = NumericCols.map(c => s"'$c', `$c`").mkString(", ")
+    df.select(expr(s"stack(${NumericCols.length}, $stackArgs) AS (col_name, x)"))
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(floor(x * 1e12) AS DECIMAL(38,0))")).as("fx"),
+        // x² is quantized at 1e6, not 1e12: Spark's floor(double) returns
+        // BIGINT, and (1e5)²·1e12 ≈ 1e22 would overflow it — at 1e6 the
+        // largest measure column stays under 2^63 while the variance keeps
+        // 1e-6 absolute precision on E[x²], identical in both engines
+        sum(expr("CAST(floor(x * x * 1e6) AS DECIMAL(38,0))")).as("fx2"),
+        expr("percentile(x, 0.5)").as("p50"),
+        min(col("x")).as("min_x"),
+        max(col("x")).as("max_x"))
+      .withColumn("mean_x",
+        col("fx").cast("double") / lit(1e12) / col("n").cast("double"))
+      .withColumn("var0",
+        col("fx2").cast("double") / lit(1e6) / col("n").cast("double")
+          - col("mean_x") * col("mean_x"))
+      .withColumn("std_x", sqrt(greatest(col("var0"), lit(0.0))))
+      .select(col("col_name"), col("n"), col("mean_x"), col("std_x"),
+        col("p50"), col("min_x"), col("max_x"))
+  }
+
+  val q109NumericProfileSql: String = {
+    val union = NumericCols.map(c =>
+      s"SELECT '$c' AS col_name, $c AS x FROM lineitem").mkString("\n      UNION ALL ")
+    s"""
+    WITH u AS (
+      $union),
+    g AS (
+      SELECT col_name, count(*) AS n,
+        sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS fx,
+        sum(CAST(floor(x * x * 1e6) AS DECIMAL(38,0))) AS fx2,
+        quantile_cont(x, 0.5) AS p50,
+        min(x) AS min_x, max(x) AS max_x
+      FROM u GROUP BY 1)
+    SELECT col_name, n,
+      CAST(fx AS DOUBLE) / 1e12 / CAST(n AS DOUBLE) AS mean_x,
+      sqrt(greatest(
+        CAST(fx2 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+          - (CAST(fx AS DOUBLE) / 1e12 / CAST(n AS DOUBLE))
+            * (CAST(fx AS DOUBLE) / 1e12 / CAST(n AS DOUBLE)),
+        0.0)) AS std_x,
+      p50, min_x, max_x
+    FROM g
+  """
+  }
+
   val q105ProfileSql: String = {
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
     cols.map { c =>

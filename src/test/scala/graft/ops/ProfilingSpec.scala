@@ -74,6 +74,32 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
       Seq("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val"))
   }
 
+  test("q109 numeric profile matches an independent plain-Scala recomputation per column") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val raw = li.select(cols.head, cols.tail: _*).collect()
+    val got = Profiling.q109NumericProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === cols.toSet)
+    cols.zipWithIndex.foreach { case (c, i) =>
+      val xs = raw.map(_.getDouble(i)).sorted
+      val n = xs.length
+      val r = got(c)
+      assert(r.getLong(1) === n.toLong, s"$c n")
+      val mean = xs.sum / n
+      val variance = xs.map(x => (x - mean) * (x - mean)).sum / n
+      // fixed-point quantization bounds: 1e-12 on x, 1e-6 on x² per element
+      assert(math.abs(r.getDouble(2) - mean) <= 1e-6, s"$c mean")
+      assert(math.abs(r.getDouble(3) - math.sqrt(variance)) <= 1e-3, s"$c std")
+      // interpolated median, the percentile/quantile_cont formula
+      val idx = 0.5 * (n - 1)
+      val (lo, hi) = (xs(idx.toInt), xs(math.ceil(idx).toInt))
+      val med = lo + (hi - lo) * (idx - idx.toInt)
+      assert(math.abs(r.getDouble(4) - med) <= 1e-9, s"$c p50")
+      assert(r.getDouble(5) === xs.head && r.getDouble(6) === xs.last, s"$c min/max")
+    }
+  }
+
   test("q105 plan: one scan feeds all columns, aggregation is partial (map-side combinable)") {
     val plan = Profiling.q105Profile(spark, sf).queryExecution.executedPlan.toString
     // a single parquet scan — the unpivot must not become C per-column jobs
