@@ -506,7 +506,10 @@ object ApplyDupClassifier {
   * `--approx` switches to the HLL bounded-state face for very wide or
   * high-cardinality inputs where even the distinct-value shuffle is
   * unwelcome. Columns are profiled in their canonical string cast, so a
-  * heterogeneous schema needs no per-type plumbing. */
+  * heterogeneous schema needs no per-type plumbing — which also means
+  * min_val/max_val are extremes in the STRING ordering ("9" > "10"); for
+  * numeric extremes and moments run the numeric face (q109) over the
+  * measure columns instead. */
 object ProfileCorpus {
   def main(args: Array[String]): Unit = {
     val a = Cli.parse(args)

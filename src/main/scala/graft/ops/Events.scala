@@ -320,9 +320,16 @@ object Events {
     * over the merged table. */
   private[graft] def driftCellsOn(events: DataFrame): DataFrame =
     events
+      // NULL values carry no distribution information — excluded from the
+      // histogram AND from n_events (otherwise least() would skip the NULL
+      // and silently file the row under the top bucket); negative values
+      // clamp into bucket 0 the same way the tail clamps into the last
+      // bucket, so every counted row lands inside the fixed vector and the
+      // day's probabilities always sum to 1
+      .filter(col("value").isNotNull)
       .select(expr("unix_timestamp(ts) DIV 86400").as("day"),
-        expr(s"least(CAST(floor(value / $DriftWidth) AS INT), ${DriftBuckets - 1})")
-          .as("bucket"))
+        expr(s"greatest(least(CAST(floor(value / $DriftWidth) AS INT), " +
+          s"${DriftBuckets - 1}), 0)").as("bucket"))
       .groupBy(col("day"), col("bucket")).agg(count(lit(1)).as("n"))
 
   /** Phase 2 — calendar-bounded finalization: dense vectors, the
@@ -352,9 +359,10 @@ object Events {
   val q108ValueDriftSql: String = s"""
     WITH c AS (
       SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
-        least(CAST(floor(value / $DriftWidth) AS INTEGER), ${DriftBuckets - 1}) AS bucket,
+        greatest(least(CAST(floor(value / $DriftWidth) AS INTEGER),
+                       ${DriftBuckets - 1}), 0) AS bucket,
         count(*) AS n
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
     tot AS (SELECT day, CAST(sum(n) AS BIGINT) AS n_events FROM c GROUP BY 1),
     grid AS (SELECT t.day, t.n_events, b.b AS bucket
       FROM tot t, range($DriftBuckets) b(b)),

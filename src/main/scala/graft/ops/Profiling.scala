@@ -31,14 +31,24 @@ import org.apache.spark.sql.functions._
 object Profiling {
 
   /** The profiled table. Values are compared in their canonical string cast
-    * (injective for the integer/varchar columns profiled here) so one
-    * (col_name, val) schema covers a heterogeneous column set — exactly how
-    * a schema-generic profiler has to work. */
+    * (injective for the integer/varchar columns profiled here, so
+    * n_distinct is exact) — one (col_name, val) schema covers a
+    * heterogeneous column set, exactly how a schema-generic profiler has
+    * to work. The cost of that genericity: min_val/max_val are extremes in
+    * the STRING ordering, which differs from numeric order ("9" > "10");
+    * numeric extremes — with mean/stddev/median — are the numeric face's
+    * job ([[q109NumericProfile]]). */
   private val ProfiledTable = "documents"
 
   private def unpivoted(df: DataFrame): DataFrame = {
+    // ProfileCorpus points this at ARBITRARY parquet, and parquet permits
+    // quotes/backticks in column names — escape both the string literal
+    // (backslash rules) and the backtick-quoted identifier (doubled
+    // backtick), or a column named e.g. "it's" kills the stack() parse
+    def lit(c: String) = "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    def ident(c: String) = "`" + c.replace("`", "``") + "`"
     val stackArgs =
-      df.columns.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+      df.columns.map(c => s"${lit(c)}, CAST(${ident(c)} AS STRING)").mkString(", ")
     df.select(expr(s"stack(${df.columns.length}, $stackArgs) AS (col_name, val)"))
   }
 

@@ -64,6 +64,26 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(3) === chi2)
   }
 
+  test("q108 drift: NULL values leave the histogram AND n_events; negatives clamp into bucket 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // day 0: -3.0 (clamps to bucket 0), 30 (bucket 1)
+    // day 1: NULL (dropped entirely), 10 (bucket 0), 30 (bucket 1)
+    // identical normalized histograms -> tvd = chi2 = 0; day 1 counts 2 rows
+    val ev = Seq(
+      (0L, Some(-3.0)), (0L, Some(30.0)),
+      (86400L, None: Option[Double]), (86400L, Some(10.0)), (86400L, Some(30.0)))
+      .toDF("sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.valueDriftOn(ev).collect()
+    graft.CachedFrames.drain()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getLong(0) === 1L)
+    assert(r.getLong(1) === 2L, "NULL must not count toward n_events")
+    assert(r.getDouble(2) === 0.0 && r.getDouble(3) === 0.0)
+  }
+
   test("q108 drift on the synthetic table: every adjacent day pair scored, metrics in range") {
     val got = Events.q108ValueDrift(spark, "/root/testdata/sf0.001").collect()
     graft.CachedFrames.drain()

@@ -61,6 +61,15 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("hostile column names — quotes and backticks — profile without a parse error") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"))
+      .toDF("it's", "o`dd")
+    val p = Profiling.profileApprox(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p === Map("it's" -> 2L, "o`dd" -> 2L))
+  }
+
   test("an empty input profiles to an empty frame (no phantom zero-rows), schema intact") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("k", "s")
