@@ -45,10 +45,10 @@ object Profiling {
     // quotes/backticks in column names — escape both the string literal
     // (backslash rules) and the backtick-quoted identifier (doubled
     // backtick), or a column named e.g. "it's" kills the stack() parse
-    def lit(c: String) = "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
-    def ident(c: String) = "`" + c.replace("`", "``") + "`"
+    def strLit(c: String) = "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    def quoted(c: String) = "`" + c.replace("`", "``") + "`"
     val stackArgs =
-      df.columns.map(c => s"${lit(c)}, CAST(${ident(c)} AS STRING)").mkString(", ")
+      df.columns.map(c => s"${strLit(c)}, CAST(${quoted(c)} AS STRING)").mkString(", ")
     df.select(expr(s"stack(${df.columns.length}, $stackArgs) AS (col_name, val)"))
   }
 
@@ -96,7 +96,7 @@ object Profiling {
     * string-cast stats. One stack-unpivot scan feeds ONE aggregation.
     *
     * Determinism contract: mean and variance come from fixed-point
-    * DECIMAL(38,0) sums of floor(x·1e12) and floor(x²·1e12) (the q31
+    * DECIMAL(38,0) sums of floor(x·1e12) and floor(x²·1e6) (the q31
     * pattern — order-insensitive, constant-size accumulators, bitwise
     * match in DuckDB), then a fixed chain of IEEE ops; the median is the
     * `percentile` ↔ `quantile_cont` pair q35 already pins cross-engine.
