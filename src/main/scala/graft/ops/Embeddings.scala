@@ -588,7 +588,17 @@ object Embeddings {
     * pass of [[hashCentroids]]; nothing here collects to the driver. */
   def q106SemanticKeep(spark: SparkSession, sfDir: String): DataFrame = {
     val e = graft.CachedFrames.track(vecs(spark, sfDir))
-    val assigned = probeAssign(e, hashCentroids(e, HashCodebookK), nprobe = 1)
+    semanticKeepOn(e, hashCentroids(e, HashCodebookK))
+  }
+
+  /** q106's core against ANY codebook — the q89 trained centroids slot in
+    * unchanged (same (cell, c, cnorm2) shape), which is how a production
+    * run would pair training with semantic dedup: tighter cells put true
+    * neighbors together, so the same τ evicts more of the real duplicates
+    * (EmbeddingsSpec pins validity of the trained-codebook verdicts with
+    * the same pairwise oracle as the hash-seeded gate query). */
+  private[ops] def semanticKeepOn(e: DataFrame, cents: DataFrame): DataFrame = {
+    val assigned = probeAssign(e, cents, nprobe = 1)
       .drop("probe_rk", "label")
     val evicted = assigned.as("a")
       .join(assigned.as("b"),

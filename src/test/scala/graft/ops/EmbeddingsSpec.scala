@@ -288,49 +288,68 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  /** Independent plain-Scala oracle for the semantic keep-set verdicts:
+    * coverage, keep/evict consistency, and the exact evicted_by neighbor,
+    * re-derived from raw vectors. The CELL PARTITION is taken from the
+    * operator's own output (the codebooks differ across callers); the
+    * pairwise decision is recomputed from scratch. */
+  private def checkSemanticVerdicts(rows: Array[org.apache.spark.sql.Row],
+      sf: String): Unit = {
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    // exactly one verdict per vector, both verdicts present at this tau
+    assert(rows.length.toLong === n)
+    assert(rows.map(_.getLong(0)).distinct.length.toLong === n)
+    val (evicted, kept) = rows.partition(_.getString(2) == "evict")
+    assert(evicted.nonEmpty && kept.nonEmpty)
+    // every evicted row names a strictly lower-id neighbor; keepers none
+    evicted.foreach { r =>
+      assert(!r.isNullAt(3) && r.getLong(3) < r.getLong(0), r.toString)
+    }
+    kept.foreach(r => assert(r.isNullAt(3), r.toString))
+
+    val cellOf = rows.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.keys.map { id =>
+      // same left-fold order as the Spark/DuckDB dot, so the >= 0.35
+      // comparison is bitwise-consistent, no epsilon needed (the synthetic
+      // data has no cosine within 1e-9 of the threshold)
+      val lower = vecs.keys.filter(o => o < id && cellOf(o) == cellOf(id) &&
+        cos(vecs(id), vecs(o)) >= 0.35)
+      id -> (if (lower.isEmpty) None else Some(lower.min))
+    }.toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val got = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(got === expected(id), s"vec $id")
+    }
+  }
+
   test("q106 semantic keep-set: verdicts cover the corpus and honor the cell-bounded cosine contract") {
     val sf = "/root/testdata/sf0.001"
-    try {
-      val rows = Embeddings.q106SemanticKeep(spark, sf).collect()
-      val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
-      // exactly one verdict per vector, both verdicts present at this tau
-      assert(rows.length.toLong === n)
-      assert(rows.map(_.getLong(0)).distinct.length.toLong === n)
-      val (evicted, kept) = rows.partition(_.getString(2) == "evict")
-      assert(evicted.nonEmpty && kept.nonEmpty)
-      // every evicted row names a strictly lower-id neighbor; keepers none
-      evicted.foreach { r =>
-        assert(!r.isNullAt(3) && r.getLong(3) < r.getLong(0), r.toString)
-      }
-      kept.foreach(r => assert(r.isNullAt(3), r.toString))
+    try checkSemanticVerdicts(Embeddings.q106SemanticKeep(spark, sf).collect(), sf)
+    finally graft.CachedFrames.drain()
+  }
 
-      // independent plain-Scala oracle for the verdict semantics: recompute
-      // within-cell cosines from the raw table using q106's own cell
-      // assignment (trusted here only for the partition — the PAIRWISE
-      // decision is re-derived from scratch)
-      val cellOf = rows.map(r => r.getLong(0) -> r.getInt(1)).toMap
-      val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
-      def cos(a: Array[Double], b: Array[Double]): Double = {
-        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-        d / (math.sqrt(na) * math.sqrt(nb))
-      }
-      val expected = vecs.keys.map { id =>
-        // same left-fold order as the Spark/DuckDB dot, so the >= 0.35
-        // comparison is bitwise-consistent, no epsilon needed
-        val lower = vecs.keys.filter(o => o < id && cellOf(o) == cellOf(id) &&
-          cos(vecs(id), vecs(o)) >= 0.35)
-        id -> (if (lower.isEmpty) None else Some(lower.min))
-      }.toMap
-      rows.foreach { r =>
-        val id = r.getLong(0)
-        val got = if (r.isNullAt(3)) None else Some(r.getLong(3))
-        // FP tie danger only exactly AT the threshold; the synthetic data
-        // has no cosine within 1e-9 of 0.35, so the comparison is strict
-        assert(got === expected(id), s"vec $id")
-      }
+  test("semantic keep-set over the TRAINED codebook: same verdict contract, different partition") {
+    val sf = "/root/testdata/sf0.001"
+    try {
+      val e = graft.CachedFrames.track(Embeddings.vecs(spark, sf))
+      val trained = Embeddings.semanticKeepOn(
+        e, Embeddings.trainedCentroids(e, Embeddings.HashCodebookK, rounds = 3))
+        .collect()
+      checkSemanticVerdicts(trained, sf)
+      // and it IS a different partition than the hash seed (training moved
+      // at least one vector's cell), so this is not a vacuous re-run
+      val hash = Embeddings.q106SemanticKeep(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(trained.exists(r => hash(r.getLong(0)) != r.getInt(1)))
     } finally graft.CachedFrames.drain()
   }
 }
