@@ -1100,6 +1100,61 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(second.forall(_._2 != 2L), second.toString)
   }
 
+  test("drift cells survive a checkpoint restart: wave-2 updates carry the " +
+      "recovered wave-1 counts, merged result equals batch") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    // the recovery contract of the monitoring feed: the Update-mode counts
+    // live in the state store, so a restarted query's deltas must be
+    // CUMULATIVE (state recovered), not a recount of the new files alone
+    val wave1 = Seq((0L, 10.0), (0L, 30.0), (86400L, 20.0))
+    val wave2 = Seq((0L, 12.0), (86400L, 30.0)) // day 0 again after restart
+    def evDf(rows: Seq[(Long, Double)]) =
+      rows.toDF("sec", "value").withColumn("ts", timestamp_seconds(col("sec")))
+    val staged = java.nio.file.Files.createTempDirectory("drift-restart")
+    val ckpt = java.nio.file.Files.createTempDirectory("drift-restart-ckpt")
+    val updates = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Long)]
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(evDf(wave1).schema)
+        .parquet(staged.toString)
+      val q = EventStreams.driftCellStream(stream)
+        .writeStream
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         id: Long) =>
+          val rows = b.collect().map(r => (id, r.getLong(0), r.getInt(1), r.getLong(2)))
+          updates.synchronized { updates ++= rows }
+          ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    evDf(wave1).coalesce(1).write.mode("append").parquet(staged.toString)
+    runOnce()
+    val afterWave1 = updates.synchronized(updates.toVector)
+    evDf(wave2).coalesce(1).write.mode("append").parquet(staged.toString)
+    runOnce()
+    val all = updates.synchronized(updates.toVector)
+    val wave2Rows = all.drop(afterWave1.size)
+    // cumulative, not recounted: day 0 bucket 0 had 1 row in wave 1
+    // (10.0; the 30.0 lands in bucket 1) and 1 more in wave 2 (12.0) —
+    // the restarted query must report 2, where a state-less recount of
+    // wave 2 alone would report 1
+    assert(wave2Rows.collect { case (_, 0L, 0, n) => n } === Vector(2L))
+    // batchIds continue across the restart, so last-write-wins is max-id
+    val merged = all.groupBy(u => (u._2, u._3))
+      .map { case (cell, us) => (cell._1, cell._2, us.maxBy(_._1)._4) }.toSeq
+    val got = Events.driftFromCells(merged.toDF("day", "bucket", "n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val expected = Events.valueDriftOn(evDf(wave1 ++ wave2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    graft.CachedFrames.drain()
+    assert(got === expected && got.nonEmpty)
+  }
+
   test("streaming CMS in UPDATE mode: per-trigger deltas merged last-write-wins " +
       "equal the batch sketch — the monitoring-sink contract") {
     import spark.implicits._
