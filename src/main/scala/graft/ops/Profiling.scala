@@ -158,6 +158,59 @@ object Profiling {
   """
   }
 
+  /** q110: key-skew report — the diagnostic a pipeline operator runs
+    * before choosing a shuffle strategy ("should this join be salted?").
+    * For the chosen key it emits the top-10 heaviest keys by count with
+    * their share of all non-null rows, plus the ambient totals
+    * (total rows, distinct keys, null-key rows) on every row so one
+    * result frame answers the question alone. Deterministic: ranking
+    * ties break (n desc, key asc) and nulls are EXCLUDED from the ranked
+    * keys (Spark sorts nulls first ascending, DuckDB last — ranking them
+    * would un-pin the cross-engine order) and reported in n_null instead.
+    *
+    * Scale shape: ONE map-side-combined groupBy collapses the corpus to
+    * key cardinality; the top-10 is TakeOrderedAndProject (per-partition
+    * partial top-k, no global sort); the totals are a 1-row broadcast.
+    * This is q95's heavy-hitter machinery pointed at shuffle keys instead
+    * of tokens — exact, because the group-by fits; the CMS face takes
+    * over when even key cardinality is unwelcome. */
+  def q110SkewReport(spark: SparkSession, sfDir: String): DataFrame =
+    skewReportOn(Tables(spark, sfDir, "events"), col("user_id").cast("string"))
+
+  private[graft] def skewReportOn(df: DataFrame,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    val keyed = graft.CachedFrames.track(df.select(key.as("key")))
+    val counts = graft.CachedFrames.track(
+      keyed.filter(col("key").isNotNull)
+        .groupBy(col("key")).agg(count(lit(1)).as("n")))
+    val totals = counts
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
+      .crossJoin(keyed.filter(col("key").isNull)
+        .agg(count(lit(1)).as("n_null")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("key").asc)
+    counts.orderBy(col("n").desc, col("key").asc).limit(10)
+      .withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(totals))
+      .withColumn("share", col("n").cast("double") / col("total").cast("double"))
+      .select(col("rk"), col("key"), col("n"), col("share"),
+        col("total"), col("n_keys"), col("n_null"))
+  }
+
+  val q110SkewReportSql: String = """
+    WITH k AS (SELECT user_id::VARCHAR AS key FROM events),
+    c AS (SELECT key, count(*) AS n FROM k WHERE key IS NOT NULL GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys FROM c),
+    nn AS (SELECT count(*) AS n_null FROM k WHERE key IS NULL),
+    top AS (
+      SELECT key, n, row_number() OVER (ORDER BY n DESC, key ASC) AS rk
+      FROM c ORDER BY n DESC, key ASC LIMIT 10)
+    SELECT CAST(top.rk AS INTEGER) AS rk, top.key, top.n,
+      CAST(top.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+      t.total, t.n_keys, nn.n_null
+    FROM top, t, nn
+  """
+
   val q105ProfileSql: String = {
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
     cols.map { c =>

@@ -109,6 +109,26 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q110 skew report: ties break on key, nulls counted apart, shares sum to the top keys' mass") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // b and c tie at 3 -> key-ascending order decides; two nulls excluded
+    // from the ranking but reported
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++
+      Seq("d") ++ Seq(null, null).map(_.asInstanceOf[String]))
+      .toDF("k")
+    val got = Profiling.skewReportOn(df, col("k")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    graft.CachedFrames.drain()
+    assert(got.map(x => (x._1, x._2, x._3)).toSeq ===
+      Seq((1, "a", 5L), (2, "b", 3L), (3, "c", 3L), (4, "d", 1L)))
+    got.foreach { x =>
+      assert(x._5 === 12L && x._6 === 4L && x._7 === 2L)
+      assert(x._4 === x._3.toDouble / 12.0)
+    }
+  }
+
   test("q105 plan: one scan feeds all columns, aggregation is partial (map-side combinable)") {
     val plan = Profiling.q105Profile(spark, sf).queryExecution.executedPlan.toString
     // a single parquet scan — the unpivot must not become C per-column jobs
