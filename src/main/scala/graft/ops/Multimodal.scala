@@ -139,23 +139,9 @@ object Multimodal {
       override def decodeBatch(batch: Seq[MediaFile]): Seq[MediaFeatures] =
         batch.map { m =>
           val b = m.payload
-          def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-          def i32(o: Int): Int =
-            (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
-              ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
-          require(b.length >= 54 && b(0) == 'B' && b(1) == 'M',
-            s"media_id=${m.media_id}: not a BMP payload")
-          val dataOff = i32(10)
-          require(i32(14) >= 40, s"media_id=${m.media_id}: not a BITMAPINFOHEADER BMP")
-          val width = i32(18)
-          val height = math.abs(i32(22)) // negative = top-down; histogram is order-free
-          require(u16(28) == 24, "only 24-bit BMP supported")
-          require(i32(30) == 0, "only uncompressed (BI_RGB) BMP supported")
-          require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20),
-            s"media_id=${m.media_id}: implausible BMP dimensions ${width}x$height")
-          val stride = (3 * width + 3) & ~3 // rows pad to 4 bytes
-          require(dataOff >= 54 && dataOff.toLong + stride.toLong * height <= b.length,
-            s"media_id=${m.media_id}: truncated BMP pixel data")
+          // header parse + validation shared with the resize/dHash path
+          // (negative height = top-down; the histogram is order-free)
+          val (width, height, dataOff, stride, _) = bmpGeom(b, m.media_id)
           val hist = new Array[Float](Decoder.FeatureDim)
           var row = 0
           while (row < height) {
@@ -339,20 +325,10 @@ object Multimodal {
   def resizeBmp(b: Array[Byte], tw: Int, th: Int): Array[Byte] = {
     require(tw > 0 && th > 0 && tw <= (1 << 14) && th <= (1 << 14),
       s"implausible resize target ${tw}x$th")
-    def i32(o: Int): Int =
-      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
-        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
     require(isBmp24(b), "not an uncompressed 24-bit BMP payload")
-    val dataOff = i32(10)
-    val sw = i32(18)
-    val rawH = i32(22)
-    val topDown = rawH < 0
-    val sh = math.abs(rawH)
-    require(sw > 0 && sh > 0 && sw <= (1 << 20) && sh <= (1 << 20),
-      s"implausible BMP dimensions ${sw}x$sh")
-    val stride = (3 * sw + 3) & ~3
-    require(dataOff >= 54 && dataOff.toLong + stride.toLong * sh <= b.length,
-      "truncated BMP pixel data")
+    // geometry + untrusted-size validation shared with the decoder/dHash
+    val (sw, sh, dataOff, stride, bottomUp) = bmpGeom(b, id = -1L)
+    val topDown = !bottomUp
     val rgb = new Array[Byte](3 * tw * th) // top-down row-major, bmpBytes' input shape
     var y = 0
     while (y < th) {
@@ -548,6 +524,87 @@ object Multimodal {
       .agg(count(lit(1)).as("n"),
         sum(col("n_bytes")).as("total_bytes"),
         sum(col("frame_count")).as("total_frames"))
+
+  /** BMP geometry shared by the histogram decoder and [[lumaThumb]]:
+    * (width, height, dataOff, rowStride, bottomUp) after the same header
+    * validation the [[Decoder.Bmp]] path applies. */
+  private def bmpGeom(b: Array[Byte], id: Long): (Int, Int, Int, Int, Boolean) = {
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def i32(o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    require(b.length >= 54 && b(0) == 'B' && b(1) == 'M',
+      s"media_id=$id: not a BMP payload")
+    val dataOff = i32(10)
+    require(i32(14) >= 40, s"media_id=$id: not a BITMAPINFOHEADER BMP")
+    val width = i32(18)
+    val rawH = i32(22)
+    val height = math.abs(rawH)
+    require(u16(28) == 24, "only 24-bit BMP supported")
+    require(i32(30) == 0, "only uncompressed (BI_RGB) BMP supported")
+    require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20),
+      s"media_id=$id: implausible BMP dimensions ${width}x$height")
+    val stride = (3 * width + 3) & ~3
+    require(dataOff >= 54 && dataOff.toLong + stride.toLong * height <= b.length,
+      s"media_id=$id: truncated BMP pixel data")
+    (width, height, dataOff, stride, rawH > 0)
+  }
+
+  /** 64-bit perceptual difference hash (dHash, Krawetz): RESIZE to a 9×8
+    * thumbnail through the existing [[resizeBmp]] (nearest neighbor,
+    * orientation-normalized), take each pixel's integer luma, and emit one
+    * bit per horizontally adjacent pair (1 = left brighter). Copies,
+    * integer rescales, and bottom-up/top-down re-encodings of an image
+    * collide exactly (nearest neighbor picks the same source pixels);
+    * unrelated images differ in ~32 of the 64 bits. */
+  private[ops] def dhash64(b: Array[Byte], id: Long): Long = {
+    val t = resizeBmp(b, 9, 8)
+    val (_, h, dataOff, stride, bottomUp) = bmpGeom(t, id)
+    def luma(x: Int, y: Int): Int = {
+      val fileRow = if (bottomUp) h - 1 - y else y
+      val o = dataOff + fileRow * stride + 3 * x
+      (299 * (t(o + 2) & 0xff) + 587 * (t(o + 1) & 0xff) + 114 * (t(o) & 0xff)) / 1000
+    }
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        hash = (hash << 1) | (if (luma(x, y) > luma(x + 1, y)) 1L else 0L)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Per-image perceptual hash column: (media_id, dhash) for every BMP
+    * payload in the frame. Same mapPartitions batch shape as [[decode]];
+    * non-BMP payloads are filtered upstream by kind. */
+  def imageDhash(media: Dataset[MediaFile],
+      parallelism: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    import media.sparkSession.implicits._
+    val repart = parallelism
+      .map(p => media.repartition(p, col("media_id")))
+      .getOrElse(media.repartition(col("media_id")))
+    repart.mapPartitions { it =>
+      it.grouped(64).flatMap(_.map(m => (m.media_id, dhash64(m.payload, m.media_id))))
+    }.toDF("media_id", "dhash")
+  }
+
+  /** Image near-dup pairs: equal-dHash self-join — the multimodal face of
+    * the dedup family. dHash collapses copies/rescales to the SAME 64-bit
+    * key, so candidate generation is an equi-join on the hash (uniform,
+    * bounded buckets), the same sub-quadratic shape as q25's digest
+    * grouping — no pairwise pixel comparison ever runs. */
+  def imageNearDupPairs(media: Dataset[MediaFile]): org.apache.spark.sql.DataFrame = {
+    val hashed = imageDhash(media)
+    hashed.alias("a")
+      .join(hashed.alias("b"),
+        col("a.dhash") === col("b.dhash") && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"),
+        col("a.dhash").as("dhash"))
+  }
 
   /** The decode operator: repartition on media_id (layout-independent
     * parallelism), then batch-wise decode inside mapPartitions — batches of
