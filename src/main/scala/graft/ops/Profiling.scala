@@ -211,14 +211,64 @@ object Profiling {
     FROM top, t, nn
   """
 
-  val q105ProfileSql: String = {
+  /** DuckDB mirror of [[profileExactOn]] over relation `from` — the single
+    * source of the per-column formulas for the q105 and q111 oracles. */
+  private def profileSqlOver(from: String): String = {
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
     cols.map { c =>
       s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
         (count(*) - count($c))::BIGINT AS n_null,
         count(DISTINCT $c::VARCHAR)::BIGINT AS n_distinct,
         min($c::VARCHAR) AS min_val, max($c::VARCHAR) AS max_val
-      FROM documents"""
+      FROM $from"""
     }.mkString("\nUNION ALL\n")
   }
+
+  val q105ProfileSql: String = profileSqlOver("documents")
+
+  /** The "next release" slice q111 diffs against: the corpus minus every
+    * 97th document — a deterministic stand-in for a version that dropped
+    * some rows, chosen so every column's stats actually move. */
+  private val V2Predicate = "doc_id % 97 <> 0"
+
+  /** q111: profile DIFF between two corpus versions — the release audit
+    * over STATS, the way q101 is the release audit over CONTENT. Profiles
+    * both versions with the same exact face and joins per column, emitting
+    * the row/distinct deltas and whether the string-space extremes moved.
+    * A reviewer reads this table instead of two raw profiles: "release
+    * v2 lost 5 documents, doc_id cardinality dropped 5, text extremes
+    * unchanged".
+    *
+    * Scale shape: two q105 passes (each one scan, distinct-bounded
+    * shuffle) joined on a column-count-sized frame — the diff itself is
+    * free. On a real lake the two sides read different snapshot paths;
+    * here both derive from the driver table with a deterministic
+    * predicate so the oracle can reproduce them. */
+  def q111ProfileDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, ProfiledTable)
+    val p1 = profileExactOn(docs)
+    val p2 = profileExactOn(docs.filter(expr(V2Predicate)))
+    p1.alias("a").join(p2.alias("b"), "col_name")
+      .select(col("col_name"),
+        col("a.n_rows").as("n_rows_1"), col("b.n_rows").as("n_rows_2"),
+        (col("b.n_rows") - col("a.n_rows")).as("rows_delta"),
+        col("a.n_distinct").as("n_distinct_1"),
+        col("b.n_distinct").as("n_distinct_2"),
+        (col("b.n_distinct") - col("a.n_distinct")).as("distinct_delta"),
+        (col("a.min_val") =!= col("b.min_val") ||
+          col("a.max_val") =!= col("b.max_val")).as("extremes_changed"))
+  }
+
+  val q111ProfileDiffSql: String = s"""
+    WITH v2 AS (SELECT * FROM documents WHERE $V2Predicate),
+    p1 AS (${profileSqlOver("documents")}),
+    p2 AS (${profileSqlOver("v2")})
+    SELECT p1.col_name,
+      p1.n_rows AS n_rows_1, p2.n_rows AS n_rows_2,
+      p2.n_rows - p1.n_rows AS rows_delta,
+      p1.n_distinct AS n_distinct_1, p2.n_distinct AS n_distinct_2,
+      p2.n_distinct - p1.n_distinct AS distinct_delta,
+      (p1.min_val <> p2.min_val OR p1.max_val <> p2.max_val) AS extremes_changed
+    FROM p1 JOIN p2 USING (col_name)
+  """
 }

@@ -129,6 +129,29 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q111 profile diff: deltas equal an independent recomputation of both versions") {
+    import org.apache.spark.sql.functions.{col, countDistinct, expr}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dropped = docs.filter(expr("doc_id % 97 = 0")).count()
+    assert(dropped > 0L)
+    val got = Profiling.q111ProfileDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === docs.columns.toSet)
+    got.values.foreach { r =>
+      assert(r.getLong(1) - r.getLong(2) === dropped, r.toString)
+      assert(r.getLong(3) === -dropped)
+      // a version that only REMOVES rows can only lose distinct values
+      assert(r.getLong(6) <= 0L, r.toString)
+    }
+    // independent recompute of one column's distinct delta
+    val d1 = docs.select(countDistinct(col("n_chars").cast("string"))).head().getLong(0)
+    val d2 = docs.filter(expr("doc_id % 97 <> 0"))
+      .select(countDistinct(col("n_chars").cast("string"))).head().getLong(0)
+    assert(got("n_chars").getLong(6) === d2 - d1)
+    // doc_id 0 is always in the dropped set, so its string-min moves
+    assert(got("doc_id").getBoolean(7) === true)
+  }
+
   test("q105 plan: one scan feeds all columns, aggregation is partial (map-side combinable)") {
     val plan = Profiling.q105Profile(spark, sf).queryExecution.executedPlan.toString
     // a single parquet scan — the unpivot must not become C per-column jobs
