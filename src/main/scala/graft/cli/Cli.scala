@@ -522,3 +522,22 @@ object ProfileCorpus {
     }
   }
 }
+
+/** Key-skew report job — run the q110 diagnostic over any parquet table
+  * and key column before choosing a join/shuffle strategy: top-10 heaviest
+  * keys with shares, total/distinct/null-key counts, one small parquet
+  * out. `--key` is the column name; values are ranked in their canonical
+  * string cast like the profiler. */
+object SkewReport {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-skew-report") { spark =>
+      import org.apache.spark.sql.functions.col
+      val df = spark.read.parquet(a("input"))
+      require(df.columns.contains(a("key")),
+        s"column ${a("key")} not in ${df.columns.mkString(", ")}")
+      graft.ops.Profiling.skewReportOn(df, col(a("key")).cast("string"))
+        .coalesce(1).write.mode("overwrite").parquet(a("output"))
+    }
+  }
+}

@@ -592,6 +592,19 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       exact.collect().map(_.toString).sorted.toSeq)
     // the lineitem table exercises a schema q105 never sees (16 columns,
     // dates and decimals) — the string-cast plumbing must not care
+    // the skew-report sibling drives the same generic path from the CLI
+    SkewReport.main(Array(
+      "--input", s"$sf/events.parquet", "--key", "user_id",
+      "--output", s"$dir/skew"))
+    val skew = spark.read.parquet(s"$dir/skew")
+    assert(skew.count() === 10L)
+    assert(skew.columns.toSeq ===
+      Seq("rk", "key", "n", "share", "total", "n_keys", "n_null"))
+    intercept[IllegalArgumentException] {
+      SkewReport.main(Array(
+        "--input", s"$sf/events.parquet", "--key", "no_such_col",
+        "--output", s"$dir/skew2"))
+    }
     ProfileCorpus.main(Array(
       "--input", s"$sf/lineitem.parquet", "--output", s"$dir/prof_li",
       "--approx"))
