@@ -534,10 +534,14 @@ object SkewReport {
     Cli.withSession("graft-skew-report") { spark =>
       import org.apache.spark.sql.functions.col
       val df = spark.read.parquet(a("input"))
-      require(df.columns.contains(a("key")),
+      // fail fast with the engine's own resolution rules: Spark resolves
+      // column names case-insensitively by default, so the guard must too
+      val resolved = df.columns.filter(_.equalsIgnoreCase(a("key")))
+      require(resolved.nonEmpty,
         s"column ${a("key")} not in ${df.columns.mkString(", ")}")
-      graft.ops.Profiling.skewReportOn(df, col(a("key")).cast("string"))
+      try graft.ops.Profiling.skewReportOn(df, col(resolved.head).cast("string"))
         .coalesce(1).write.mode("overwrite").parquet(a("output"))
+      finally graft.CachedFrames.drain() // track/drain contract (CachedFrames)
     }
   }
 }

@@ -579,8 +579,9 @@ object Multimodal {
   }
 
   /** Per-image perceptual hash column: (media_id, dhash) for every BMP
-    * payload in the frame. Same mapPartitions batch shape as [[decode]];
-    * non-BMP payloads are filtered upstream by kind. */
+    * payload in the frame. Element-wise like [[thumbnails]] — hashing
+    * touches one image at a time, so there is no batch-level call to
+    * amortize; non-BMP payloads are filtered upstream by kind. */
   def imageDhash(media: Dataset[MediaFile],
       parallelism: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     import media.sparkSession.implicits._
@@ -588,7 +589,7 @@ object Multimodal {
       .map(p => media.repartition(p, col("media_id")))
       .getOrElse(media.repartition(col("media_id")))
     repart.mapPartitions { it =>
-      it.grouped(64).flatMap(_.map(m => (m.media_id, dhash64(m.payload, m.media_id))))
+      it.map(m => (m.media_id, dhash64(m.payload, m.media_id)))
     }.toDF("media_id", "dhash")
   }
 

@@ -179,17 +179,20 @@ object Profiling {
 
   private[graft] def skewReportOn(df: DataFrame,
       key: org.apache.spark.sql.Column): DataFrame = {
-    val keyed = graft.CachedFrames.track(df.select(key.as("key")))
+    // ONE corpus scan: group nulls along with everything else, then split
+    // the key-cardinality-sized counts frame into ranked keys vs the null
+    // row — only that small frame is cached, never a corpus-sized
+    // projection
     val counts = graft.CachedFrames.track(
-      keyed.filter(col("key").isNotNull)
-        .groupBy(col("key")).agg(count(lit(1)).as("n")))
-    val totals = counts
-      .agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
-      .crossJoin(keyed.filter(col("key").isNull)
-        .agg(count(lit(1)).as("n_null")))
+      df.select(key.as("key")).groupBy(col("key")).agg(count(lit(1)).as("n")))
+    val totals = counts.agg(
+      coalesce(sum(when(col("key").isNotNull, col("n"))), lit(0L)).as("total"),
+      count(col("key")).as("n_keys"),
+      coalesce(sum(when(col("key").isNull, col("n"))), lit(0L)).as("n_null"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("key").asc)
-    counts.orderBy(col("n").desc, col("key").asc).limit(10)
+    counts.filter(col("key").isNotNull)
+      .orderBy(col("n").desc, col("key").asc).limit(10)
       .withColumn("rk", row_number().over(w))
       .crossJoin(broadcast(totals))
       .withColumn("share", col("n").cast("double") / col("total").cast("double"))
@@ -255,8 +258,11 @@ object Profiling {
         col("a.n_distinct").as("n_distinct_1"),
         col("b.n_distinct").as("n_distinct_2"),
         (col("b.n_distinct") - col("a.n_distinct")).as("distinct_delta"),
-        (col("a.min_val") =!= col("b.min_val") ||
-          col("a.max_val") =!= col("b.max_val")).as("extremes_changed"))
+        // null-safe on purpose: extremes that VANISH (all of a column's
+        // non-null values lived in the dropped slice) must read as changed,
+        // not NULL — plain <>/=!= would go NULL and hide the loudest case
+        (!(col("a.min_val") <=> col("b.min_val")) ||
+          !(col("a.max_val") <=> col("b.max_val"))).as("extremes_changed"))
   }
 
   val q111ProfileDiffSql: String = s"""
@@ -268,7 +274,8 @@ object Profiling {
       p2.n_rows - p1.n_rows AS rows_delta,
       p1.n_distinct AS n_distinct_1, p2.n_distinct AS n_distinct_2,
       p2.n_distinct - p1.n_distinct AS distinct_delta,
-      (p1.min_val <> p2.min_val OR p1.max_val <> p2.max_val) AS extremes_changed
+      (p1.min_val IS DISTINCT FROM p2.min_val
+        OR p1.max_val IS DISTINCT FROM p2.max_val) AS extremes_changed
     FROM p1 JOIN p2 USING (col_name)
   """
 }
