@@ -599,7 +599,10 @@ object Multimodal {
     * bounded buckets), the same sub-quadratic shape as q25's digest
     * grouping — no pairwise pixel comparison ever runs. */
   def imageNearDupPairs(media: Dataset[MediaFile]): org.apache.spark.sql.DataFrame = {
-    val hashed = imageDhash(media)
+    // persist: the hash frame feeds both sides of the self-join — without it
+    // the decode + 9x8 resize + dHash pipeline runs twice (and again per
+    // downstream action); same signature-checkpoint convention as lshPairsOn
+    val hashed = graft.CachedFrames.track(imageDhash(media))
     hashed.alias("a")
       .join(hashed.alias("b"),
         col("a.dhash") === col("b.dhash") && col("a.media_id") < col("b.media_id"))

@@ -2066,4 +2066,112 @@ object TextOps {
       coalesce(p.w_bits, 0) > 0 AS selected
     FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
   """
+
+  /** q112 tuning — the composite rule thresholds (Gopher-style repetition/
+    * format filters, Rae et al. 2021 §A1.1 re-parameterized for the test
+    * corpus). Single-sourced: the Spark projection and the DuckDB oracle
+    * both read exactly these values. */
+  val RuleMinWords = 10
+  val RuleMaxWords = 100000
+  val RuleMinMeanWordLen = 2.0
+  val RuleMaxMeanWordLen = 12.0
+  val RuleMaxSymbolRatio = 0.3
+  val RuleMinStopHits = 1
+  val RuleMaxDigitRatio = 0.2
+  val RuleMaxWordLen = 30
+
+  /** q112: composite quality-RULE filter — the Gopher-style boolean rule
+    * battery every production pretraining pipeline runs before any learned
+    * scorer: word-count bounds, mean-word-length band, symbol ratio, digit
+    * ratio, stopword evidence (any language profile), and a max-word-length
+    * cap. Emits the per-rule verdicts (not just the conjunction) so a
+    * curation run can attribute WHY documents died — the per-rule failure
+    * accounting the release report needs.
+    *
+    * Scale shape: a pure per-row codegen projection over one corpus scan —
+    * no shuffle, no join, no state; pipelines into the scan at any corpus
+    * size (q76's shape). Ratios are single IEEE divisions of integer-valued
+    * doubles compared against literal thresholds, so the oracle matches
+    * bitwise. [[graft.streaming.EventStreams.gopherGateStream]] runs this
+    * projection verbatim as a stateless stream gate. */
+  def q112GopherRules(spark: SparkSession, sfDir: String): DataFrame =
+    gopherRulesOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+
+  private[graft] def gopherRulesOn(docs: DataFrame): DataFrame = {
+    val base = docs.withColumn("toks", expr("""split(trim(text), '\\s+')"""))
+    val scored = langProfiles.foldLeft(base) { case (d, (lang, words)) =>
+      d.withColumn(s"s_$lang", expr(s"size(filter(toks, x -> x IN ${inList(words)}))"))
+    }
+    scored
+      .withColumn("nt", expr("CAST(size(toks) AS DOUBLE)"))
+      .withColumn("nc", length(col("text")).cast("double"))
+      .withColumn("sum_wl", expr(
+        "CAST(aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x) AS DOUBLE)"))
+      .withColumn("n_punct",
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double"))
+      .withColumn("n_digit",
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("double"))
+      .withColumn("max_wl", expr("array_max(transform(toks, t -> length(t)))"))
+      .withColumn("r_word_count",
+        col("nt") >= RuleMinWords && col("nt") <= RuleMaxWords)
+      .withColumn("r_mean_word_len",
+        col("sum_wl") / col("nt") >= RuleMinMeanWordLen &&
+          col("sum_wl") / col("nt") <= RuleMaxMeanWordLen)
+      .withColumn("r_symbol_ratio", col("n_punct") / col("nc") <= RuleMaxSymbolRatio)
+      .withColumn("r_stopwords",
+        greatest(col("s_en"), col("s_es"), col("s_de")) >= RuleMinStopHits)
+      .withColumn("r_digit_ratio", col("n_digit") / col("nc") <= RuleMaxDigitRatio)
+      .withColumn("r_max_word_len", col("max_wl") <= RuleMaxWordLen)
+      .withColumn("n_failed", expr(
+        """CAST((CASE WHEN r_word_count THEN 0 ELSE 1 END)
+          | + (CASE WHEN r_mean_word_len THEN 0 ELSE 1 END)
+          | + (CASE WHEN r_symbol_ratio THEN 0 ELSE 1 END)
+          | + (CASE WHEN r_stopwords THEN 0 ELSE 1 END)
+          | + (CASE WHEN r_digit_ratio THEN 0 ELSE 1 END)
+          | + (CASE WHEN r_max_word_len THEN 0 ELSE 1 END) AS INT)""".stripMargin))
+      .withColumn("admit", col("n_failed") === 0)
+      .select(col("doc_id"), col("r_word_count"), col("r_mean_word_len"),
+        col("r_symbol_ratio"), col("r_stopwords"), col("r_digit_ratio"),
+        col("r_max_word_len"), col("n_failed"), col("admit"))
+  }
+
+  val q112GopherRulesSql: String = s"""
+    WITH s AS (
+      SELECT doc_id,
+        CAST(len(tk) AS DOUBLE) AS nt,
+        CAST(length(text) AS DOUBLE) AS nc,
+        CAST(list_reduce(list_prepend(0, list_transform(tk, x -> len(x))),
+          (a, x) -> a + x) AS DOUBLE) AS sum_wl,
+        CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct,
+        CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+        list_max(list_transform(tk, x -> len(x))) AS max_wl,
+        ${hitsSql("en")} AS s_en, ${hitsSql("es")} AS s_es, ${hitsSql("de")} AS s_de
+      FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS tk
+            FROM documents)),
+    r AS (
+      SELECT doc_id,
+        (nt >= $RuleMinWords AND nt <= $RuleMaxWords) AS r_word_count,
+        (sum_wl / nt >= $RuleMinMeanWordLen AND sum_wl / nt <= $RuleMaxMeanWordLen)
+          AS r_mean_word_len,
+        (n_punct / nc <= $RuleMaxSymbolRatio) AS r_symbol_ratio,
+        (greatest(s_en, s_es, s_de) >= $RuleMinStopHits) AS r_stopwords,
+        (n_digit / nc <= $RuleMaxDigitRatio) AS r_digit_ratio,
+        (max_wl <= $RuleMaxWordLen) AS r_max_word_len
+      FROM s)
+    SELECT doc_id, r_word_count, r_mean_word_len, r_symbol_ratio, r_stopwords,
+      r_digit_ratio, r_max_word_len,
+      CAST((CASE WHEN r_word_count THEN 0 ELSE 1 END)
+        + (CASE WHEN r_mean_word_len THEN 0 ELSE 1 END)
+        + (CASE WHEN r_symbol_ratio THEN 0 ELSE 1 END)
+        + (CASE WHEN r_stopwords THEN 0 ELSE 1 END)
+        + (CASE WHEN r_digit_ratio THEN 0 ELSE 1 END)
+        + (CASE WHEN r_max_word_len THEN 0 ELSE 1 END) AS INTEGER) AS n_failed,
+      ((CASE WHEN r_word_count THEN 0 ELSE 1 END)
+        + (CASE WHEN r_mean_word_len THEN 0 ELSE 1 END)
+        + (CASE WHEN r_symbol_ratio THEN 0 ELSE 1 END)
+        + (CASE WHEN r_stopwords THEN 0 ELSE 1 END)
+        + (CASE WHEN r_digit_ratio THEN 0 ELSE 1 END)
+        + (CASE WHEN r_max_word_len THEN 0 ELSE 1 END)) = 0 AS admit
+    FROM r
+  """
 }

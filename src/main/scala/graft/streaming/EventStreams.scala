@@ -660,6 +660,17 @@ object EventStreams {
       .select(col("doc_id"), col("n_grams"), pred.as("pred_lang"))
   }
 
+  /** Streaming Gopher-rule gate — q112's composite rule battery applied to
+    * each arriving (doc_id, text) row. The transform IS the batch one
+    * ([[graft.ops.TextOps.gopherRulesOn]]): a pure per-row codegen
+    * projection, so on a stream it is STATELESS by construction — no
+    * watermark, no state store, exactly-once per row — and the verdicts
+    * are bitwise-identical to the batch filter on the same documents
+    * (spec-pinned). This is the shape an ingestion front-door wants: the
+    * rule battery runs before anything stateful touches the row. */
+  def gopherGateStream(docs: DataFrame): DataFrame =
+    graft.ops.TextOps.gopherRulesOn(docs)
+
   /** The same sessionization via the BUILT-IN `session_window` aggregation —
     * Spark's native gap-session operator (merge-on-late-event, emit-on-seal
     * are handled by the engine's session-window state store). Kept alongside

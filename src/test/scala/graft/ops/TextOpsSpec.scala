@@ -386,4 +386,27 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     // has 10 tokens -> 8 grams but at most 5 window minima
     assert(fps(1L).size <= 5)
   }
+
+  test("q112 Gopher rules attribute each failure to the right rule") {
+    import spark.implicits._
+    val good = "the cat and the dog sat of a mat to watch the other animals play"
+    val docs = Seq(
+      (1L, good),                                     // passes everything
+      (2L, "too short"),                              // r_word_count
+      (3L, ("12345 " * 12).trim),                     // digit ratio + stopwords + mean len (5.0 ok) — digits fail
+      (4L, good + " " + "x" * 40),                    // r_max_word_len
+      (5L, "a a a a a a a a a a the")                 // mean word len 1.09 < 2.0
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherRulesOn(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("admit"))
+    assert(got(1L).getAs[Int]("n_failed") === 0)
+    assert(!got(2L).getAs[Boolean]("r_word_count"))
+    assert(!got(3L).getAs[Boolean]("r_digit_ratio"))
+    assert(!got(3L).getAs[Boolean]("r_stopwords"))
+    assert(!got(4L).getAs[Boolean]("r_max_word_len"))
+    assert(got(4L).getAs[Int]("n_failed") === 1)
+    assert(!got(5L).getAs[Boolean]("r_mean_word_len"))
+    assert(!got(2L).getAs[Boolean]("admit") && !got(3L).getAs[Boolean]("admit"))
+  }
 }

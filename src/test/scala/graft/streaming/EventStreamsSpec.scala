@@ -1369,4 +1369,30 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
         s"expected one bridged session, got: $user1")
     } finally q.stop()
   }
+
+  test("streaming Gopher gate equals the q112 batch rule battery bitwise") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val staged = java.nio.file.Files.createTempDirectory("gopher-gate")
+    docs.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    val stream = spark.readStream.schema(docs.schema).parquet(staged.toString)
+    def toMapped(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getLong(0), (1 to 6).map(r.getBoolean).toList, r.getInt(7), r.getBoolean(8))
+    }.toSet
+    val q = EventStreams.gopherGateStream(stream)
+      .writeStream.format("memory").queryName("gopher_gate")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val got = try {
+      q.awaitTermination()
+      toMapped(spark.table("gopher_gate").collect())
+    } finally q.stop()
+    val expected = toMapped(graft.ops.TextOps.gopherRulesOn(docs).collect())
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }
