@@ -1505,37 +1505,31 @@ object TextOps {
             t -> size(split(trim($applied), ' '))), 0, (a, x) -> a + x) AS BIGINT)"""))
   }
 
-  val q98BpeEncodeSql: String = {
-    // re-derive the same merge CTEs as q97, then fold them over each
-    // document token with the identical fixed-pass padded replace
-    def pairsCte(v: String, p: String) = s"""$p AS (
+  // ---- shared DuckDB fragments for the BPE trainer's merge chain ----
+  // (object-level so q98's encode oracle and q113's fertility oracle fold
+  // the IDENTICAL train CTEs — a trainer tweak lands in both at once)
+  private def bpePairsCteSql(v: String, p: String) = s"""$p AS (
       SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
         SELECT v.freq, sy[i.i + 1] || ' ' || sy[i.i + 2] AS pair
         FROM (SELECT freq, string_split(s, ' ') AS sy FROM $v) v,
              LATERAL (SELECT unnest(generate_series(0, len(sy) - 2)) AS i) i
         WHERE len(sy) >= 2)
       GROUP BY pair)"""
-    def bestCte(p: String, b: String) =
-      s"$b AS (SELECT pair, n FROM $p ORDER BY n DESC, pair ASC LIMIT 1)"
-    def respellCte(v: String, b: String, nv: String) = {
-      val padded = (1 to BpeReplacePasses).foldLeft("' ' || v.s || ' '") { (c, _) =>
-        s"replace($c, ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ')"
-      }
-      s"$nv AS (SELECT trim($padded) AS s, v.freq FROM $v v CROSS JOIN $b b)"
+  private def bpeBestCteSql(p: String, b: String) =
+    s"$b AS (SELECT pair, n FROM $p ORDER BY n DESC, pair ASC LIMIT 1)"
+  private def bpeRespellCteSql(v: String, b: String, nv: String) = {
+    val padded = (1 to BpeReplacePasses).foldLeft("' ' || v.s || ' '") { (c, _) =>
+      s"replace($c, ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ')"
     }
+    s"$nv AS (SELECT trim($padded) AS s, v.freq FROM $v v CROSS JOIN $b b)"
+  }
+  /** The v0 weighted-vocabulary CTE + K merge-round CTEs (p_r/b_r/v_r). */
+  private def bpeTrainCtesSql: String = {
     val trainCtes = (1 to BpeRounds).map { r =>
-      Seq(pairsCte(s"v${r - 1}", s"p$r"), bestCte(s"p$r", s"b$r")) ++
-        (if (r < BpeRounds) Seq(respellCte(s"v${r - 1}", s"b$r", s"v$r")) else Nil)
+      Seq(bpePairsCteSql(s"v${r - 1}", s"p$r"), bpeBestCteSql(s"p$r", s"b$r")) ++
+        (if (r < BpeRounds) Seq(bpeRespellCteSql(s"v${r - 1}", s"b$r", s"v$r")) else Nil)
     }.flatten
-    val appliedDoc = (1 to BpeRounds).foldLeft(
-      "' ' || array_to_string(list_transform(range(len(tok.t)), i -> substr(tok.t, i + 1, 1)), ' ') || ' '") {
-      (c, r) =>
-        (1 to BpeReplacePasses).foldLeft(c) { (c2, _) =>
-          s"replace($c2, ' ' || b$r.pair || ' ', ' ' || replace(b$r.pair, ' ', '') || ' ')"
-        }
-    }
-    s"""
-    WITH v0 AS (
+    s"""v0 AS (
       SELECT array_to_string(list_transform(range(len(token)),
                i -> substr(token, i + 1, 1)), ' ') AS s,
              count(*) AS freq
@@ -1543,7 +1537,26 @@ object TextOps {
             FROM documents)
       WHERE len(token) >= 1
       GROUP BY 1),
-    ${trainCtes.mkString(",\n    ")},
+    ${trainCtes.mkString(",\n    ")}"""
+  }
+  /** The per-token encode fold over `tok.t` against the trained b_r rows. */
+  private def bpeAppliedDocSql: String =
+    (1 to BpeRounds).foldLeft(
+      "' ' || array_to_string(list_transform(range(len(tok.t)), i -> substr(tok.t, i + 1, 1)), ' ') || ' '") {
+      (c, r) =>
+        (1 to BpeReplacePasses).foldLeft(c) { (c2, _) =>
+          s"replace($c2, ' ' || b$r.pair || ' ', ' ' || replace(b$r.pair, ' ', '') || ' ')"
+        }
+    }
+  private def bpeCrossJoinsSql: String =
+    (1 to BpeRounds).map(r => s"CROSS JOIN b$r").mkString(" ")
+
+  val q98BpeEncodeSql: String = {
+    // re-derive the same merge CTEs as q97, then fold them over each
+    // document token with the identical fixed-pass padded replace
+    val appliedDoc = bpeAppliedDocSql
+    s"""
+    WITH ${bpeTrainCtesSql},
     tok AS (
       SELECT doc_id, t FROM (
         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
@@ -1553,7 +1566,7 @@ object TextOps {
       SELECT tok.doc_id,
         len(tok.t) AS nc,
         len(string_split(trim($appliedDoc), ' ')) AS nb
-      FROM tok ${(1 to BpeRounds).map(r => s"CROSS JOIN b$r").mkString(" ")}),
+      FROM tok $bpeCrossJoinsSql),
     perdoc AS (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         CAST(sum(nc) AS BIGINT) AS n_chars, CAST(sum(nb) AS BIGINT) AS n_bpe
@@ -2173,5 +2186,74 @@ object TextOps {
         + (CASE WHEN r_digit_ratio THEN 0 ELSE 1 END)
         + (CASE WHEN r_max_word_len THEN 0 ELSE 1 END)) = 0 AS admit
     FROM r
+  """
+
+  /** q113: tokenizer FERTILITY by language — how many trained-BPE symbols
+    * the q97 tokenizer spends per word and how many characters each symbol
+    * buys, split by the corpus's tagged `lang`. THE metric a multilingual
+    * pretraining team watches when choosing a tokenizer: a vocabulary
+    * trained on an English-heavy corpus over-fragments the other languages
+    * (higher bpe_per_word, lower chars_per_bpe), silently shrinking their
+    * effective token budget in the mixture.
+    *
+    * Scale shape: training costs what q97 costs (one corpus pass + K
+    * vocab-local merge rounds); the measurement is then ONE corpus scan —
+    * the merge list rides in as string literals (q98's encode projection)
+    * — feeding a |languages|-sized map-side-combined rollup. The ratios
+    * divide the already-aggregated BIGINTs once, so the oracle matches
+    * bitwise. */
+  def q113TokenizerFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
+    val applied = bpeApplyExpr(bpeTrainMerges(docs, BpeRounds))
+    docs
+      .withColumn("toks", expr(
+        """filter(split(trim(text), '\\s+'), t -> length(t) >= 1)"""))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CAST(size(toks) AS BIGINT)")).as("n_words"),
+        sum(expr(
+          "CAST(aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x) AS BIGINT)"))
+          .as("n_chars"),
+        sum(expr(
+          s"CAST(aggregate(transform(toks, t -> size(split(trim($applied), ' '))), 0, (a, x) -> a + x) AS BIGINT)"))
+          .as("n_bpe"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_chars"),
+        col("n_bpe"),
+        (col("n_chars").cast("double") / col("n_bpe").cast("double"))
+          .as("chars_per_bpe"),
+        (col("n_bpe").cast("double") / col("n_words").cast("double"))
+          .as("bpe_per_word"))
+  }
+
+  val q113TokenizerFertilitySql: String = s"""
+    WITH ${bpeTrainCtesSql},
+    lang AS (
+      SELECT doc_id, lang FROM documents),
+    tok AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+        FROM documents)
+      WHERE len(t) >= 1),
+    enc AS (
+      SELECT tok.doc_id,
+        len(tok.t) AS nc,
+        len(string_split(trim($bpeAppliedDocSql), ' ')) AS nb
+      FROM tok $bpeCrossJoinsSql),
+    perdoc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+        CAST(sum(nc) AS BIGINT) AS nchars, CAST(sum(nb) AS BIGINT) AS nbpe
+      FROM enc GROUP BY 1),
+    bylang AS (
+      SELECT l.lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(coalesce(sum(p.nw), 0) AS BIGINT) AS n_words,
+        CAST(coalesce(sum(p.nchars), 0) AS BIGINT) AS n_chars,
+        CAST(coalesce(sum(p.nbpe), 0) AS BIGINT) AS n_bpe
+      FROM lang l LEFT JOIN perdoc p ON l.doc_id = p.doc_id
+      GROUP BY 1)
+    SELECT lang, n_docs, n_words, n_chars, n_bpe,
+      CAST(n_chars AS DOUBLE) / CAST(n_bpe AS DOUBLE) AS chars_per_bpe,
+      CAST(n_bpe AS DOUBLE) / CAST(n_words AS DOUBLE) AS bpe_per_word
+    FROM bylang
   """
 }
