@@ -2256,4 +2256,147 @@ object TextOps {
       CAST(n_bpe AS DOUBLE) / CAST(n_words AS DOUBLE) AS bpe_per_word
     FROM bylang
   """
+
+  /** q114 tuning — Bloom filter geometry. [[BloomBits]] bits packed as
+    * [[BloomBuckets]] = bits/32 BIGINT words (32 live bits per word keeps
+    * every shift < 2^32 — no sign-bit edge in either engine), probed by
+    * [[BloomHashes]] salted md5 hash functions. Demo-scale m; production
+    * sizes m to the benchmark suite's gram count (m ≈ 1.44·k·n for the
+    * target FP rate) — the geometry, not the shape, is what changes. */
+  val BloomBits = 65536
+  val BloomWordBits = 32
+  val BloomBuckets: Int = BloomBits / BloomWordBits
+  val BloomHashes = 3
+  private[graft] val BloomSalt = "bloom:"
+
+  /** The k salted probe positions of one gram, as a row-local array. */
+  private[graft] val bloomProbesExpr: String =
+    s"""transform(sequence(0, ${BloomHashes - 1}),
+        i -> md5_prefix56(concat('$BloomSalt', CAST(i AS STRING), ':', g)) % $BloomBits)"""
+
+  /** Row-local membership test of gram `g` against a `bloom_m` map column
+    * (bucket → 32-bit word): all k probe bits set. */
+  private[graft] val bloomHitExpr: String =
+    s"""forall($bloomProbesExpr,
+        p -> (coalesce(bloom_m[p DIV $BloomWordBits], CAST(0 AS BIGINT))
+              & shiftleft(CAST(1 AS BIGINT), CAST(p % $BloomWordBits AS INT))) != 0)"""
+
+  /** q58/q114's gram construction over a `toks` column, as a row-local
+    * expression string — shared with the streaming Bloom gate. */
+  private[graft] def decontamGramsExpr: String =
+    ngramsExpr(DecontamGram, distinct = true)
+
+  /** The benchmark slice's distinct [[DecontamGram]]-gram set from a
+    * (doc_id, text) corpus — q58/q114's held-out side, shared with the
+    * streaming Bloom gate so batch and stream build the SAME filter. */
+  private[graft] def decontamBenchGrams(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
+      .filter(expr(s"size(toks) >= $DecontamGram"))
+      .filter(col("doc_id") % 100 === 0)
+      .select(explode(expr(decontamGramsExpr)).as("gram")).distinct()
+
+  /** The ≤[[BloomBuckets]]-row (bucket, bits) filter built from the
+    * benchmark slice's distinct [[DecontamGram]]-grams. */
+  private[graft] def bloomBitsOf(benchGrams: DataFrame): DataFrame =
+    benchGrams.select(col("gram").as("g"))
+      .select(explode(expr(bloomProbesExpr)).as("pos"))
+      .groupBy(expr(s"pos DIV $BloomWordBits").as("bucket"))
+      .agg(expr(
+        s"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % $BloomWordBits AS INT)))")
+        .as("bits"))
+
+  /** q114: BLOOM-FILTER decontamination — q58's benchmark-overlap scan with
+    * the benchmark gram set compressed into a [[BloomBits]]-bit Bloom
+    * filter, PLUS the exact verdict alongside so the false-positive cost of
+    * the compression is measured, not guessed. This is the constant-space
+    * decontamination shape (Dolma-style): at 100 TB the eval-suite gram set
+    * can be millions of entries — the broadcast SET is what stops scaling,
+    * while the Bloom bitmap is a fixed 8 KB here (m/8 bytes in general)
+    * regardless of how many grams it absorbs, and the probe is a pure
+    * row-local map lookup. No false negatives by construction (per-doc
+    * n_bloom_hits ≥ n_exact_hits, spec-pinned); the FP columns quantify
+    * the recall/space trade a release signs off on.
+    *
+    * Scale shape: ONE corpus gram pass — crossJoin against the 1-row
+    * bitmap map (broadcast), a broadcast left join against the exact set
+    * (the measurement twin only; production drops it), and a per-doc
+    * combinable rollup. The bitmap build itself is benchmark-sized, never
+    * corpus-sized, and collapses to ≤[[BloomBuckets]] rows by
+    * construction. */
+  def q114BloomDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val n = DecontamGram
+    val g = graft.CachedFrames.track(
+      Tables.parallelized(Tables(spark, sfDir, "documents"))
+        .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
+        .filter(expr(s"size(toks) >= $n"))
+        .select(col("doc_id"), expr(ngramsExpr(n, distinct = true)).as("grams")))
+    val bench = graft.CachedFrames.track(
+      g.filter(col("doc_id") % 100 === 0)
+        .select(explode(col("grams")).as("gram")).distinct())
+    val bm = graft.CachedFrames.track(
+      bloomBitsOf(bench)
+        .agg(map_from_entries(collect_list(struct(col("bucket"), col("bits"))))
+          .as("bloom_m")))
+    g.filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .crossJoin(broadcast(bm))
+      .withColumn("bloom_hit", expr(bloomHitExpr))
+      .join(broadcast(bench.withColumn("bhit", lit(1))),
+        col("g") === col("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+        sum(when(col("bhit").isNotNull, 1L).otherwise(0L)).as("n_exact_hits"))
+      .withColumn("bloom_flag", col("n_bloom_hits") > 0)
+      .withColumn("exact_flag", col("n_exact_hits") > 0)
+      .withColumn("false_pos", col("bloom_flag") && !col("exact_flag"))
+  }
+
+  val q114BloomDecontamSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+    g AS (
+      SELECT doc_id, ${ngramsSqlExpr(DecontamGram, distinct = true)} AS grams
+      FROM t WHERE len(tk) >= $DecontamGram),
+    bench AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 100 = 0),
+    bprobes AS (
+      SELECT ('0x' || substr(md5('$BloomSalt' || i.i::VARCHAR || ':' || gram), 1, 14))::BIGINT
+          % $BloomBits AS pos
+      FROM bench, LATERAL (SELECT unnest([0, 1, 2]) AS i) i),
+    bm AS (
+      SELECT pos // $BloomWordBits AS bucket,
+        bit_or(1::BIGINT << CAST(pos % $BloomWordBits AS INTEGER)) AS bits
+      FROM bprobes GROUP BY 1),
+    corpus AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 100 <> 0),
+    ph AS (
+      SELECT doc_id, gram,
+        ('0x' || substr(md5('$BloomSalt' || i.i::VARCHAR || ':' || gram), 1, 14))::BIGINT
+          % $BloomBits AS pos
+      FROM corpus, LATERAL (SELECT unnest([0, 1, 2]) AS i) i),
+    pg AS (
+      SELECT doc_id, gram, min(CASE WHEN (coalesce(b.bits, 0)
+          & (1::BIGINT << CAST(ph.pos % $BloomWordBits AS INTEGER))) <> 0
+        THEN 1 ELSE 0 END) AS bloom_hit
+      FROM ph LEFT JOIN bm b ON ph.pos // $BloomWordBits = b.bucket
+      GROUP BY 1, 2),
+    pd1 AS (
+      SELECT doc_id, count(*) AS n_grams,
+        CAST(sum(bloom_hit) AS BIGINT) AS n_bloom_hits
+      FROM pg GROUP BY 1),
+    pd2 AS (
+      SELECT c.doc_id,
+        CAST(sum(CASE WHEN be.gram IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+          AS n_exact_hits
+      FROM corpus c LEFT JOIN bench be ON c.gram = be.gram
+      GROUP BY 1)
+    SELECT pd1.doc_id, pd1.n_grams, pd1.n_bloom_hits, pd2.n_exact_hits,
+      pd1.n_bloom_hits > 0 AS bloom_flag,
+      pd2.n_exact_hits > 0 AS exact_flag,
+      (pd1.n_bloom_hits > 0 AND NOT pd2.n_exact_hits > 0) AS false_pos
+    FROM pd1 JOIN pd2 ON pd1.doc_id = pd2.doc_id
+  """
 }

@@ -671,6 +671,34 @@ object EventStreams {
   def gopherGateStream(docs: DataFrame): DataFrame =
     graft.ops.TextOps.gopherRulesOn(docs)
 
+  /** Streaming Bloom decontamination gate — q114's probe side over arriving
+    * (doc_id, text) rows. The STANDING benchmark's Bloom bitmap collapses
+    * to ONE broadcast row (bucket → 32-bit word map; 8 KB at q114's
+    * geometry regardless of benchmark size — cached, the stream-static
+    * side re-executes per micro-batch), so each row's verdict is a pure
+    * codegen filter+forall over its own grams: no watermark, no state
+    * store, no join. Emits (doc_id, n_grams, n_bloom_hits, bloom_flag)
+    * equal to the batch q114 columns on the same documents (spec-pinned).
+    * This is the production front-door: the exact-set measurement twin
+    * stays batch-side, the stream pays only the bitmap. */
+  def bloomGateStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.ops.TextOps
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val bm = graft.CachedFrames.track(
+      TextOps.bloomBitsOf(TextOps.decontamBenchGrams(corpus))
+        .agg(map_from_entries(collect_list(struct(col("bucket"), col("bits"))))
+          .as("bloom_m")))
+    docs.crossJoin(broadcast(bm))
+      .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
+      .filter(expr(s"size(toks) >= ${TextOps.DecontamGram}"))
+      .withColumn("grams", expr(TextOps.decontamGramsExpr))
+      .select(col("doc_id"),
+        expr("CAST(size(grams) AS BIGINT)").as("n_grams"),
+        expr(s"""CAST(size(filter(grams, g -> ${TextOps.bloomHitExpr})) AS BIGINT)""")
+          .as("n_bloom_hits"))
+      .withColumn("bloom_flag", col("n_bloom_hits") > 0)
+  }
+
   /** The same sessionization via the BUILT-IN `session_window` aggregation —
     * Spark's native gap-session operator (merge-on-late-event, emit-on-seal
     * are handled by the engine's session-window state store). Kept alongside

@@ -409,4 +409,25 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(!got(5L).getAs[Boolean]("r_mean_word_len"))
     assert(!got(2L).getAs[Boolean]("admit") && !got(3L).getAs[Boolean]("admit"))
   }
+
+  test("q114 Bloom filter is bounded, has no false negatives, flags real overlap") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    // the bitmap is ≤ BloomBuckets rows BY CONSTRUCTION (pos DIV 32 groups)
+    graft.functions.GraftFunctions.register(spark)
+    val bits = TextOps.bloomBitsOf(TextOps.decontamBenchGrams(docs))
+    assert(bits.count() <= TextOps.BloomBuckets.toLong)
+    val rows = TextOps.q114BloomDecontam(spark, dir).collect()
+    graft.CachedFrames.drain()
+    assert(rows.nonEmpty)
+    // a Bloom filter can only over-approximate the exact membership test
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bloom_hits") >= r.getAs[Long]("n_exact_hits"),
+        s"false negative at doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Boolean]("bloom_flag") ||
+        !r.getAs[Boolean]("exact_flag"))
+    }
+  }
 }

@@ -1395,4 +1395,33 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("streaming Bloom gate equals the q114 batch probe columns") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // stream the NON-benchmark docs (the batch output's roster)
+    val arriving = docs.filter(col("doc_id") % 100 =!= 0)
+    val staged = java.nio.file.Files.createTempDirectory("bloom-gate")
+    arriving.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    val stream = spark.readStream.schema(arriving.schema).parquet(staged.toString)
+    def toMapped(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val q = EventStreams.bloomGateStream(stream, docs)
+      .writeStream.format("memory").queryName("bloom_gate")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val got = try {
+      q.awaitTermination()
+      toMapped(spark.table("bloom_gate").collect())
+    } finally { q.stop(); graft.CachedFrames.drain() }
+    val expected = toMapped(graft.ops.TextOps.q114BloomDecontam(spark, dir)
+      .select("doc_id", "n_grams", "n_bloom_hits", "bloom_flag").collect())
+    graft.CachedFrames.drain()
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }
