@@ -408,6 +408,79 @@ object Embeddings {
       FROM probe) WHERE rk <= 3
   """
 
+  /** q115 tuning: hard negatives kept per query. */
+  val HardNegK = 3
+
+  /** q115: contrastive HARD-NEGATIVE mining — for each query vector, the
+    * [[HardNegK]] highest-cosine DIFFERENT-label vectors in its IVF home
+    * cell (the "hard" negatives a contrastive/embedding trainer wants:
+    * close in the space but semantically wrong), next to the best
+    * same-label cosine and the pos-neg margin. Rows with a NULL margin
+    * (no in-cell positive) are themselves a data-quality signal: the
+    * query's class has no nearby anchor.
+    *
+    * Scale shape: mining rides the PRODUCTION ANN path — the broadcast
+    * codebook assigns cells ([[probeAssign]]), candidates are compared
+    * only within a cell (the q106 SemDeDup contract: k grows with the
+    * corpus so cell populations stay bounded, and the self-join is a
+    * cell-keyed shuffle join, never corpus-quadratic). The positive max
+    * and the negative top-k both fold per query inside the same cached
+    * candidate frame — one candidate pass feeds both. The query-side
+    * `< knnQueryIds` bound is the gate's oracle-cost cap (q29's
+    * contract); production mines all vectors by the identical plan. */
+  def q115HardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = probedCells(spark, sfDir, nprobe = 1).drop("probe_rk")
+    val q = assigned.filter(col("vec_id") < DefaultAnn.knnQueryIds)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qn"), col("cell"))
+    val c = assigned.select(col("vec_id").as("cand_id"), col("label").as("clabel"),
+      col("v").as("cv"), col("nrm").as("cn"), col("cell").as("ccell"))
+    // persist: the in-cell candidate frame feeds BOTH the positive max and
+    // the negative ranking — one candidate pass, two query-sized folds
+    val probe = graft.CachedFrames.track(
+      q.join(c, col("cell") === col("ccell") && col("qid") =!= col("cand_id"))
+        .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .select(col("qid"), col("qlabel"), col("cand_id"), col("clabel"), col("cos")))
+    val pos = probe.filter(col("qlabel") === col("clabel"))
+      .groupBy(col("qid")).agg(max(col("cos")).as("cos_pos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand_id").asc)
+    probe.filter(col("qlabel") =!= col("clabel"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= HardNegK)
+      .select(col("qid"), col("cand_id").as("neg_id"), col("rk"),
+        col("cos").as("cos_neg"))
+      .join(pos, Seq("qid"), "left")
+      .withColumn("margin", col("cos_pos") - col("cos_neg"))
+      .select(col("qid"), col("neg_id"), col("rk"), col("cos_neg"),
+        col("cos_pos"), col("margin"))
+  }
+
+  val q115HardNegativesSql: String = s"""
+    WITH $ivfAssignedSqlCtes,
+    al AS (
+      SELECT a.vec_id, a.v, a.nrm, a.cell, emb.label
+      FROM assigned a JOIN embeddings emb ON a.vec_id = emb.vec_id),
+    probe AS (
+      SELECT q.vec_id AS qid, q.label AS qlabel,
+        c.vec_id AS cand_id, c.label AS clabel,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(list_zip(q.v, c.v), z -> z[1] * z[2])), (acc, x) -> acc + x)
+          / (q.nrm * c.nrm) AS cos
+      FROM al q JOIN al c
+        ON q.cell = c.cell AND q.vec_id <> c.vec_id
+          AND q.vec_id < ${DefaultAnn.knnQueryIds}),
+    pos AS (
+      SELECT qid, max(cos) AS cos_pos FROM probe WHERE qlabel = clabel GROUP BY 1),
+    neg AS (
+      SELECT qid, cand_id AS neg_id, cos AS cos_neg,
+        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS rk
+      FROM probe WHERE qlabel <> clabel)
+    SELECT n.qid, n.neg_id, CAST(n.rk AS INTEGER) AS rk, n.cos_neg, p.cos_pos,
+      p.cos_pos - n.cos_neg AS margin
+    FROM neg n LEFT JOIN pos p ON n.qid = p.qid
+    WHERE n.rk <= $HardNegK
+  """
+
   /** q74 tuning: hash-seeded codebook size. Decoupled from label
     * cardinality (10 here) — a real 100 TB IVF wants k ≈ √n regardless of
     * any label column; 16 > 10 pins the decoupling in the gate while

@@ -352,4 +352,30 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
       assert(trained.exists(r => hash(r.getLong(0)) != r.getInt(1)))
     } finally graft.CachedFrames.drain()
   }
+
+  test("q115 hard negatives: cross-label, rank-ordered, margin vs the best in-cell positive") {
+    val sf = "/root/testdata/sf0.001"
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = try Embeddings.q115HardNegatives(spark, sf).collect()
+      finally graft.CachedFrames.drain()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qid, negId) = (r.getLong(0), r.getLong(1))
+      assert(qid !== negId)
+      assert(labels(qid) !== labels(negId), s"negative $negId shares $qid's label")
+      // a hard negative is never closer than the best positive is... false in
+      // general — but margin must equal cos_pos - cos_neg when present
+      if (!r.isNullAt(4))
+        assert(r.getDouble(5) === r.getDouble(4) - r.getDouble(3))
+    }
+    // per query: ranks are 1..k and cosine is non-increasing in rank
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val byRk = rs.sortBy(_.getInt(2))
+      assert(byRk.map(_.getInt(2)).toSeq === (1 to byRk.length))
+      val cs = byRk.map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"query $qid")
+    }
+  }
 }
