@@ -933,4 +933,79 @@ object Curation {
       count(*) AS n, count(*) >= $KAnonK AS meets_k
     FROM customer GROUP BY 1, 2, 3
   """
+
+  /** q117's simulated second crawl: every `% RecrawlModulo = RecrawlResidue`
+    * document re-arrives under a new id and the 'recrawl' source — the
+    * deterministic stand-in for the overlapping crawl snapshots a real
+    * lake accumulates (the driver corpus itself is duplicate-free). */
+  private[graft] val RecrawlModulo = 7
+  private[graft] val RecrawlResidue = 3
+  private[graft] val RecrawlIdOffset = 1000000L
+  private[graft] val RecrawlSource = "recrawl"
+
+  /** q117: DEDUP-SAVINGS report — per source, how many documents and tokens
+    * exact dedup (q25's md5-of-normalized-text digest, canonical = min
+    * doc_id) would remove, measured over the corpus PLUS its simulated
+    * re-crawl slice. THE "what did dedup buy us" number a curation run
+    * reports before committing to the heavier near-dup passes — and
+    * because the keeper is the lowest doc_id, every removable copy lands
+    * on the LATER crawl, so the per-source rows attribute exactly WHICH
+    * ingest is paying the storage bill for its copies.
+    *
+    * Scale shape: one digest-keyed exchange carrying only (source, doc_id,
+    * digest, n_tokens) — the text itself never shuffles — with the keeper
+    * decided by an unordered window min inside the digest partition, then
+    * a |sources|-sized map-side-combinable rollup. Two exchanges total,
+    * both on compact keys; the fractions divide already-aggregated
+    * BIGINTs once, so the oracle matches bitwise. */
+  def q117DedupSavings(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy(col("digest"))
+    val base = graft.Tables.parallelized(graft.Tables(spark, sfDir, "documents"))
+      .select(col("source"), col("doc_id"), col("text"))
+    val recrawl = base.filter(col("doc_id") % RecrawlModulo === RecrawlResidue)
+      .select(lit(RecrawlSource).as("source"),
+        (col("doc_id") + RecrawlIdOffset).as("doc_id"), col("text"))
+    base.unionByName(recrawl)
+      .select(col("source"), col("doc_id"),
+        md5(lower(trim(col("text")))).as("digest"),
+        expr("""CAST(size(split(trim(text), '\\s+')) AS BIGINT)""").as("n_tokens"))
+      .withColumn("is_dup", col("doc_id") =!= min(col("doc_id")).over(wd))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("is_dup"), col("n_tokens")).otherwise(0L)).as("dup_tokens"))
+      .withColumn("dup_doc_frac",
+        col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+      .withColumn("dup_token_frac",
+        col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  val q117DedupSavingsSql: String = s"""
+    WITH u AS (
+      SELECT source, doc_id, text FROM documents
+      UNION ALL
+      SELECT '$RecrawlSource' AS source, doc_id + $RecrawlIdOffset AS doc_id, text
+      FROM documents WHERE doc_id % $RecrawlModulo = $RecrawlResidue),
+    d AS (
+      SELECT source, doc_id, md5(lower(trim(text))) AS digest,
+        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM u),
+    m AS (
+      SELECT source, doc_id, n_tokens,
+        doc_id <> min(doc_id) OVER (PARTITION BY digest) AS is_dup
+      FROM d),
+    s AS (
+      SELECT source,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN is_dup THEN n_tokens ELSE 0 END) AS BIGINT) AS dup_tokens
+      FROM m GROUP BY 1)
+    SELECT source, n_docs, n_dup_docs, n_tokens, dup_tokens,
+      CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_doc_frac,
+      CAST(dup_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_token_frac
+    FROM s
+  """
 }

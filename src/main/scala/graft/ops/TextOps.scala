@@ -2399,4 +2399,64 @@ object TextOps {
       (pd1.n_bloom_hits > 0 AND NOT pd2.n_exact_hits > 0) AS false_pos
     FROM pd1 JOIN pd2 ON pd1.doc_id = pd2.doc_id
   """
+
+  /** q116 tuning — band cuts calibrated to the corpus's observed q22 score
+    * range (q103's tradeoff curve is how a run picks these; the corpus
+    * spans ≈ [0, 1.31] with quartiles ≈ 0.22 / 0.55 / 1.14), and the
+    * annealing schedule over the bands: stage 1 trains on bands ≥
+    * [[CurriculumStage1Band]], stage 2 widens to ≥
+    * [[CurriculumStage2Band]], stage 3 admits everything. */
+  val CurriculumBandGrid: Seq[Double] = Seq(0.25, 0.5, 0.75, 1.0, 1.15)
+  val CurriculumStage1Band = 4
+  val CurriculumStage2Band = 2
+
+  /** q116: CURRICULUM banding — every document's quality band (how many
+    * [[CurriculumBandGrid]] thresholds its q22 score clears, 0..|grid|) and the
+    * first annealing stage that admits it. The data-loader artifact of
+    * quality-ascending curriculum training: stage 1 sees only the top
+    * bands, later stages widen (each stage's corpus is a superset of the
+    * previous — pinned in the spec), so "order by quality" never needs a
+    * global sort of the corpus.
+    *
+    * Scale shape: a pure per-row codegen projection (band = a sum of
+    * threshold CASEs against the SAME shared quality formula q22/q103
+    * use) — no shuffle, no window, no percentile pass; banding by fixed
+    * cuts is precisely what replaces the untenable corpus-wide
+    * ntile/sort at 100 TB, and q103's tradeoff curve is how those cuts
+    * get calibrated beforehand. */
+  def q116Curriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    val bandExpr = CurriculumBandGrid
+      .map(t => s"(CASE WHEN quality_score >= CAST($t AS DOUBLE) THEN 1 ELSE 0 END)")
+      .mkString("CAST(", " + ", " AS INT)")
+    withQualityStats(Tables.parallelized(Tables(spark, sfDir, "documents")))
+      .withColumn("band", expr(bandExpr))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("band"),
+        when(col("band") >= CurriculumStage1Band, 1)
+          .when(col("band") >= CurriculumStage2Band, 2)
+          .otherwise(3).cast("int").as("first_stage"))
+  }
+
+  val q116CurriculumSql: String = {
+    val bandSql = CurriculumBandGrid
+      .map(t => s"(CASE WHEN q >= CAST($t AS DOUBLE) THEN 1 ELSE 0 END)")
+      .mkString("CAST(", " + ", " AS INTEGER)")
+    s"""
+    WITH x AS (
+      SELECT doc_id, $qualityFromStatsSql AS q, CAST(n_tokens AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id,
+          $nCharsSql AS n_chars_m,
+          $nTokensSql AS n_tokens,
+          CAST(${hitsSql("en")} AS DOUBLE) AS n_stop,
+          $nPunctSql AS n_punct
+        FROM documents)),
+    r AS (
+      SELECT doc_id, n_tokens, $bandSql AS band FROM x)
+    SELECT doc_id, n_tokens, band,
+      CAST(CASE WHEN band >= $CurriculumStage1Band THEN 1
+                WHEN band >= $CurriculumStage2Band THEN 2
+                ELSE 3 END AS INTEGER) AS first_stage
+    FROM r
+  """
+  }
 }

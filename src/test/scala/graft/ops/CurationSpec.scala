@@ -228,4 +228,17 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(a === b)
   }
+
+  test("q117 dedup savings: min-id keeper pins every copy on the later crawl") {
+    val rows = Curation.q117DedupSavings(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val recrawl = rows(Curation.RecrawlSource)
+    // every recrawl doc is a copy of an original with a lower id
+    assert(recrawl.getAs[Long]("n_dup_docs") === recrawl.getAs[Long]("n_docs"))
+    assert(recrawl.getAs[Double]("dup_token_frac") === 1.0)
+    // the driver corpus itself is duplicate-free, so no original pays
+    (rows - Curation.RecrawlSource).values.foreach { r =>
+      assert(r.getAs[Long]("n_dup_docs") === 0L, s"source ${r.getString(0)}")
+    }
+  }
 }

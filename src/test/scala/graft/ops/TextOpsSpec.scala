@@ -410,6 +410,21 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(!got(2L).getAs[Boolean]("admit") && !got(3L).getAs[Boolean]("admit"))
   }
 
+  test("q116 curriculum stages anneal: wider stages strictly contain earlier ones") {
+    val rows = TextOps.q116Curriculum(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    // stage is monotone non-increasing in band: a better band never enters later
+    rows.foreach { r =>
+      val (band, stage) = (r.getInt(2), r.getInt(3))
+      assert(stage >= 1 && stage <= 3)
+      if (band >= TextOps.CurriculumStage1Band) assert(stage === 1)
+      else if (band >= TextOps.CurriculumStage2Band) assert(stage === 2)
+      else assert(stage === 3)
+    }
+    // the anneal is real on this corpus: at least two stages are populated
+    assert(rows.map(_.getInt(3)).distinct.length >= 2)
+  }
+
   test("q114 Bloom filter is bounded, has no false negatives, flags real overlap") {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet")
