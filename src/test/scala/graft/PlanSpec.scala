@@ -288,6 +288,41 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_first"), p)
   }
 
+  test("q112_gopher_rules: pure codegen projection, no shuffle beyond scan right-sizing") {
+    val p = finalPlan("q112_gopher_rules")
+    assert(nodes(p, "HashAggregate") == 0, p)
+    assert(nodes(p, "BroadcastHashJoin") == 0 && nodes(p, "SortMergeJoin") == 0, p)
+    assert(nodes(p, "Exchange") == 1, p) // Tables.parallelized only
+    assert(p.contains("struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("q116_curriculum: fixed-cut banding is a pure projection — no sort, no percentile pass") {
+    val p = finalPlan("q116_curriculum")
+    assert(nodes(p, "HashAggregate") == 0, p)
+    assert(nodes(p, "Sort") == 0 && nodes(p, "Window") == 0, p)
+    assert(nodes(p, "Exchange") == 1, p) // Tables.parallelized only
+    assert(p.contains("struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("q114_bloom_decontam: bitmap and exact set broadcast; corpus grams never sort-merge") {
+    val p = finalPlan("q114_bloom_decontam")
+    // 1-row bitmap map rides a BroadcastNestedLoopJoin; the measurement
+    // twin's exact gram set is a BroadcastHashJoin
+    assert(nodes(p, "BroadcastNestedLoopJoin") >= 1, p)
+    assert(nodes(p, "BroadcastHashJoin") >= 1, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+  }
+
+  test("q117_dedup_savings: text never shuffles — the digest exchange carries compact keys only") {
+    val p = finalPlan("q117_dedup_savings")
+    assert(nodes(p, "SortMergeJoin") == 0 && nodes(p, "BroadcastHashJoin") == 0, p)
+    // every exchange's hashpartitioning is on digest or source — none on text
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
+    exchanges.foreach(l => assert(!l.contains("text"), l))
+  }
+
   test("q76_hash_split: pure codegen projection, no shuffle beyond scan right-sizing") {
     val p = finalPlan("q76_hash_split")
     assert(nodes(p, "HashAggregate") == 0, p)
