@@ -2459,4 +2459,54 @@ object TextOps {
     FROM r
   """
   }
+
+  /** q118 tuning: gram width for the cross-document duplication scan. */
+  val CrossDupGram = 3
+
+  /** q118: CROSS-document duplication scan — per document, the fraction of
+    * its distinct word [[CrossDupGram]]-grams that also occur in at least
+    * one OTHER document. The memorization-risk metric (Lee et al. 2022's
+    * "deduplicating training data" lens): q56 measures repetition WITHIN a
+    * document and q53 dedups exact spans, but a document whose grams are
+    * individually common across the corpus is boilerplate even when no
+    * single span matches — this is the per-doc score that catches it.
+    *
+    * Scale shape: ONE cached gram explode feeds both sides — the gram
+    * doc-frequency aggregate (map-side-combinable: grams are distinct per
+    * doc, so count(*) IS df) and the probe stream — and they meet on a
+    * gram-keyed equi-join whose two subtrees share the SAME exchange
+    * (q44's exchange-reuse shape). The per-doc rollup is combinable. No
+    * pairwise document comparison at any scale. */
+  def q118CrossDupScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = CrossDupGram
+    val g = graft.CachedFrames.track(
+      Tables.parallelized(Tables(spark, sfDir, "documents"))
+        .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
+        .filter(expr(s"size(toks) >= $n"))
+        .select(col("doc_id"), explode(expr(ngramsExpr(n, distinct = true))).as("gram")))
+    val df = g.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+    g.join(df, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        col("n_shared").cast("double") / col("n_grams").cast("double"))
+  }
+
+  val q118CrossDupScanSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+    g AS (
+      SELECT doc_id, unnest(${ngramsSqlExpr(CrossDupGram, distinct = true)}) AS gram
+      FROM t WHERE len(tk) >= $CrossDupGram),
+    f AS (
+      SELECT gram, CAST(count(*) AS BIGINT) AS gdf FROM g GROUP BY 1)
+    SELECT g.doc_id,
+      CAST(count(*) AS BIGINT) AS n_grams,
+      CAST(sum(CASE WHEN f.gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      CAST(sum(CASE WHEN f.gdf >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE) AS shared_frac
+    FROM g JOIN f ON g.gram = f.gram
+    GROUP BY 1
+  """
 }

@@ -386,6 +386,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q118_crossdup_scan: gram stream cached once, df side and probe side share the gram exchange") {
+    val p = finalPlan("q118_crossdup_scan")
+    // the cached gram explode is scanned in-memory on both sides of the
+    // gram equi-join; the join itself never sort-merges or goes quadratic
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(p.contains("InMemoryTableScan") || nodes(p, "ReusedExchange") >= 1, p)
+    // the df aggregate combines map-side before its exchange
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q90_domain_cap: partial WindowGroupLimit before the shuffle — per-source top-k never buffers a source") {
     val p = finalPlan("q90_domain_cap")
     // map-side Partial group-limit caps each task's contribution at K rows
