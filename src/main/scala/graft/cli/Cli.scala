@@ -545,3 +545,67 @@ object SkewReport {
     }
   }
 }
+
+/** Job 21 — materialize a decontamination BLOOM FILTER from a benchmark
+  * suite (every document in `--input` is benchmark material — no slice
+  * predicate here, unlike q114's demo split): the ≤ BloomBuckets-row
+  * (bucket, bits) bitmap parquet a 100 TB ingest probes instead of
+  * broadcasting the gram set itself.
+  *
+  *   runMain graft.cli.BuildBloomFilter --input bench.parquet --output /tmp/bloom
+  */
+object BuildBloomFilter {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-build-bloom") { spark =>
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.parallelized(spark.read.parquet(a("input")))
+    graft.ops.TextOps.bloomBitsOf(graft.ops.TextOps.gramSetOf(docs))
+      .coalesce(1).write.mode("overwrite").parquet(a("output"))
+    }
+  }
+}
+
+/** Job 22 — probe a corpus drop against a persisted Bloom filter: per doc,
+  * distinct gram count, claimed hits, and the contamination flag (q114's
+  * probe columns; the exact-set measurement twin stays with q114 — this
+  * job pays only the bitmap).
+  *
+  *   runMain graft.cli.ProbeBloom --input docs.parquet --bloom /tmp/bloom \
+  *     --output /tmp/verdicts
+  */
+object ProbeBloom {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-probe-bloom") { spark =>
+    val docs = graft.Tables.parallelized(spark.read.parquet(a("input")))
+    try graft.ops.TextOps.bloomProbeOn(docs, spark.read.parquet(a("bloom")))
+      .write.mode("overwrite").parquet(a("output"))
+    finally graft.CachedFrames.drain()
+    }
+  }
+}
+
+/** Job 23 — extend a persisted Bloom filter with a NEW benchmark suite:
+  * bitwise-OR merge of the standing bitmap with the new suite's bits.
+  * OR-merge of Bloom filters IS union of their element sets (same m, same
+  * hash family) — CliSpec pins extend(A, B) cell-equal to build(A ∪ B) —
+  * so suites can be added forever without re-reading old ones.
+  *
+  *   runMain graft.cli.ExtendBloomFilter --input newbench.parquet \
+  *     --bloom /tmp/bloom --output /tmp/bloom2
+  */
+object ExtendBloomFilter {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-extend-bloom") { spark =>
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.parallelized(spark.read.parquet(a("input")))
+    val fresh = graft.ops.TextOps.bloomBitsOf(graft.ops.TextOps.gramSetOf(docs))
+    spark.read.parquet(a("bloom")).unionByName(fresh)
+      .groupBy(col("bucket")).agg(expr("bit_or(bits)").as("bits"))
+      .coalesce(1).write.mode("overwrite").parquet(a("output"))
+    }
+  }
+}

@@ -2286,15 +2286,43 @@ object TextOps {
   private[graft] def decontamGramsExpr: String =
     ngramsExpr(DecontamGram, distinct = true)
 
+  /** ALL distinct [[DecontamGram]]-grams of a (doc_id, text) frame — the
+    * gram-set builder behind the benchmark slice, the Bloom CLI jobs, and
+    * the streaming gate. */
+  private[graft] def gramSetOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
+      .filter(expr(s"size(toks) >= $DecontamGram"))
+      .select(explode(expr(decontamGramsExpr)).as("gram")).distinct()
+
   /** The benchmark slice's distinct [[DecontamGram]]-gram set from a
     * (doc_id, text) corpus — q58/q114's held-out side, shared with the
     * streaming Bloom gate so batch and stream build the SAME filter. */
   private[graft] def decontamBenchGrams(corpus: DataFrame): DataFrame =
-    corpus
+    gramSetOf(corpus.filter(col("doc_id") % 100 === 0))
+
+  /** The Bloom probe pass over ANY (doc_id, text) frame against a
+    * persisted (bucket, bits) bitmap frame: per doc, its distinct gram
+    * count, how many grams the filter claims, and the contamination flag.
+    * The bitmap collapses to ONE broadcast map row (cached — a streaming
+    * caller re-executes the static side per micro-batch) and the probe is
+    * a pure row-local filter+forall — shared verbatim by
+    * [[graft.streaming.EventStreams.bloomGateStream]] and `cli.ProbeBloom`. */
+  private[graft] def bloomProbeOn(docs: DataFrame, bits: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val bm = graft.CachedFrames.track(
+      bits.agg(map_from_entries(collect_list(struct(col("bucket"), col("bits"))))
+        .as("bloom_m")))
+    docs.crossJoin(broadcast(bm))
       .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
       .filter(expr(s"size(toks) >= $DecontamGram"))
-      .filter(col("doc_id") % 100 === 0)
-      .select(explode(expr(decontamGramsExpr)).as("gram")).distinct()
+      .withColumn("grams", expr(decontamGramsExpr))
+      .select(col("doc_id"),
+        expr("CAST(size(grams) AS BIGINT)").as("n_grams"),
+        expr(s"CAST(size(filter(grams, g -> $bloomHitExpr)) AS BIGINT)")
+          .as("n_bloom_hits"))
+      .withColumn("bloom_flag", col("n_bloom_hits") > 0)
+  }
 
   /** The ≤[[BloomBuckets]]-row (bucket, bits) filter built from the
     * benchmark slice's distinct [[DecontamGram]]-grams. */

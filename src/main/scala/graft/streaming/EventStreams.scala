@@ -684,19 +684,8 @@ object EventStreams {
   def bloomGateStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
     import graft.ops.TextOps
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val bm = graft.CachedFrames.track(
-      TextOps.bloomBitsOf(TextOps.decontamBenchGrams(corpus))
-        .agg(map_from_entries(collect_list(struct(col("bucket"), col("bits"))))
-          .as("bloom_m")))
-    docs.crossJoin(broadcast(bm))
-      .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
-      .filter(expr(s"size(toks) >= ${TextOps.DecontamGram}"))
-      .withColumn("grams", expr(TextOps.decontamGramsExpr))
-      .select(col("doc_id"),
-        expr("CAST(size(grams) AS BIGINT)").as("n_grams"),
-        expr(s"""CAST(size(filter(grams, g -> ${TextOps.bloomHitExpr})) AS BIGINT)""")
-          .as("n_bloom_hits"))
-      .withColumn("bloom_flag", col("n_bloom_hits") > 0)
+    TextOps.bloomProbeOn(docs,
+      TextOps.bloomBitsOf(TextOps.decontamBenchGrams(corpus)))
   }
 
   /** The same sessionization via the BUILT-IN `session_window` aggregation —

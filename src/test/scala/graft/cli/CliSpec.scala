@@ -615,4 +615,44 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       spark.read.parquet(s"$sf/lineitem.parquet").columns.length.toLong)
     assert(li.collect().forall(_.getLong(1) == nLi))
   }
+
+  test("bloom jobs: build→probe matches the q114 probe columns, and " +
+    "extend(A, B) is cell-equal to build(A ∪ B) — the OR-merge law") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("cli-bloom").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // the q114 demo split: bench = doc_id % 100 = 0
+    docs.filter(col("doc_id") % 100 === 0)
+      .write.mode("overwrite").parquet(s"$dir/bench")
+    docs.filter(col("doc_id") % 100 =!= 0)
+      .write.mode("overwrite").parquet(s"$dir/corpus")
+    BuildBloomFilter.main(Array("--input", s"$dir/bench", "--output", s"$dir/bloom"))
+    val bits = spark.read.parquet(s"$dir/bloom")
+    assert(bits.count() <= graft.ops.TextOps.BloomBuckets.toLong)
+    ProbeBloom.main(Array("--input", s"$dir/corpus", "--bloom", s"$dir/bloom",
+      "--output", s"$dir/verdicts"))
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val got = keyed(spark.read.parquet(s"$dir/verdicts")
+      .select("doc_id", "n_grams", "n_bloom_hits", "bloom_flag"))
+    val expected = keyed(graft.ops.TextOps.q114BloomDecontam(spark, sf)
+      .select("doc_id", "n_grams", "n_bloom_hits", "bloom_flag"))
+    graft.CachedFrames.drain()
+    assert(got === expected)
+    // OR-merge law: extending the bench filter with a second suite equals
+    // building one filter over the union of both suites
+    val suiteB = docs.filter(col("doc_id") % 100 === 1)
+    suiteB.write.mode("overwrite").parquet(s"$dir/benchB")
+    ExtendBloomFilter.main(Array("--input", s"$dir/benchB",
+      "--bloom", s"$dir/bloom", "--output", s"$dir/bloom2"))
+    docs.filter(col("doc_id") % 100 === 0).unionByName(suiteB)
+      .write.mode("overwrite").parquet(s"$dir/benchAB")
+    BuildBloomFilter.main(Array("--input", s"$dir/benchAB",
+      "--output", s"$dir/bloomAB"))
+    def cells(path: String) = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells(s"$dir/bloom2") === cells(s"$dir/bloomAB"))
+  }
 }
