@@ -481,6 +481,66 @@ object Embeddings {
     WHERE n.rk <= $HardNegK
   """
 
+  /** q119 tuning — the RRF damping constant (60 is the canonical value from
+    * Cormack et al. 2009, used as-is by Elasticsearch/Vespa/OpenSearch) and
+    * the fused list depth. */
+  val RrfK = 60.0
+  val RrfTopK = 3
+
+  /** q119: RECIPROCAL RANK FUSION of lexical and dense retrieval — the
+    * standard hybrid-search merge: for every (query, candidate) seen by
+    * EITHER the TF-IDF ranker (q61) or the embedding KNN (q29, via the
+    * q104 doc_id ↔ vec_id convention), score 1/(k+rank) per list it
+    * appears in, sum, and keep the fused top-[[RrfTopK]]. RRF needs no
+    * score calibration between the two systems — only ranks — which is
+    * exactly why production hybrid search uses it.
+    *
+    * Scale shape: both inputs are the PRODUCTION rankers unchanged; the
+    * fusion itself touches only their outputs — |queries| × top-k rows —
+    * so the merge join, the window, everything downstream is
+    * query-batch-bounded (the q29/q107 measurement contract; a serving
+    * deployment fuses per query over k-row lists). The RRF scores are
+    * sums of two single IEEE divisions in fixed order, so the oracle
+    * matches bitwise. */
+  def q119RrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val lex = TextOps.q61TfidfCosine(spark, sfDir)
+      .select(col("qid"), col("did"), col("rk").as("rk_lex"))
+    val vec = q29KnnBrute(spark, sfDir)
+      .select(col("id1").as("qid"), col("id2").as("did"), col("rk").as("rk_vec"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_score").desc, col("did").asc)
+    lex.join(vec, Seq("qid", "did"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(RrfK) + col("rk_lex").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rk_vec").cast("double")), lit(0.0)))
+      .withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= RrfTopK)
+      .select(col("qid"), col("did"), col("fused_rank"), col("rrf_score"),
+        col("rk_lex"), col("rk_vec"))
+  }
+
+  val q119RrfFusionSql: String = s"""
+    WITH lex AS (
+      SELECT qid, did, rk AS rk_lex FROM (${TextOps.q61TfidfCosineSql})),
+    vec AS (
+      SELECT id1 AS qid, id2 AS did, rk AS rk_vec FROM ($q29KnnBruteSql)),
+    fused AS (
+      SELECT coalesce(lex.qid, vec.qid) AS qid,
+        coalesce(lex.did, vec.did) AS did,
+        lex.rk_lex, vec.rk_vec,
+        coalesce(1.0 / ($RrfK + CAST(lex.rk_lex AS DOUBLE)), 0.0)
+          + coalesce(1.0 / ($RrfK + CAST(vec.rk_vec AS DOUBLE)), 0.0) AS rrf_score
+      FROM lex FULL OUTER JOIN vec ON lex.qid = vec.qid AND lex.did = vec.did),
+    r AS (
+      SELECT qid, did, rrf_score, rk_lex, rk_vec,
+        row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, did ASC)
+          AS fused_rank
+      FROM fused)
+    SELECT qid, did, CAST(fused_rank AS INTEGER) AS fused_rank, rrf_score,
+      rk_lex, rk_vec
+    FROM r WHERE fused_rank <= $RrfTopK
+  """
+
   /** q74 tuning: hash-seeded codebook size. Decoupled from label
     * cardinality (10 here) — a real 100 TB IVF wants k ≈ √n regardless of
     * any label column; 16 > 10 pins the decoupling in the gate while

@@ -378,4 +378,24 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
       assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"query $qid")
     }
   }
+
+  test("q119 RRF fusion: score is the rank formula, dual-list hits outrank equal singles") {
+    val rows = try Embeddings.q119RrfFusion(spark, "/root/testdata/sf0.001").collect()
+      finally graft.CachedFrames.drain()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(4)) None else Some(r.getInt(4))
+      val vec = if (r.isNullAt(5)) None else Some(r.getInt(5))
+      assert(lex.isDefined || vec.isDefined)
+      val expected = lex.map(k => 1.0 / (Embeddings.RrfK + k)).getOrElse(0.0) +
+        vec.map(k => 1.0 / (Embeddings.RrfK + k)).getOrElse(0.0)
+      assert(r.getDouble(3) === expected, s"row $r")
+    }
+    // fused score from both lists strictly exceeds the best single-list score
+    val bestSingle = 1.0 / (Embeddings.RrfK + 1)
+    rows.filter(r => !r.isNullAt(4) && !r.isNullAt(5))
+      .foreach(r => assert(r.getDouble(3) > 1.0 / (Embeddings.RrfK + r.getInt(4))
+        && r.getDouble(3) > 1.0 / (Embeddings.RrfK + r.getInt(5))))
+    assert(bestSingle > 0) // keep the constant referenced even if no dual hit at this SF
+  }
 }
