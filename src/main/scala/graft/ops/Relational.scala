@@ -503,4 +503,88 @@ object Relational {
     FROM lineitem
     GROUP BY l_returnflag
   """
+
+  /** q120 tuning — Z-order geometry: 16 bits per dimension interleaved
+    * into a 32-bit curve position, cut into [[ZorderShards]] shards by
+    * FIXED curve ranges (no sampling — reruns and appends land rows in the
+    * same shard forever). */
+  val ZorderBits = 16
+  val ZorderShards = 16
+
+  /** The bit-interleave as portable integer arithmetic (int-div/%/×) — no
+    * shift operators, so Spark (`DIV`) and DuckDB (`//`) evaluate the
+    * identical formula: zval = Σ_i ((x div 2^i) % 2)·2^(2i)
+    * + ((y div 2^i) % 2)·2^(2i+1). */
+  private def zvalExpr(x: String, y: String, idiv: String): String =
+    (0 until ZorderBits).flatMap { i =>
+      Seq(s"(($x $idiv ${1L << i}) % 2) * ${1L << (2 * i)}",
+        s"(($y $idiv ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+    }.mkString("(", " + ", ")")
+
+  /** q120: Z-ORDER layout assignment — every lineitem row's position on
+    * the 2-D Morton curve over (l_orderkey, l_partkey) and the layout
+    * shard that position falls in, with per-shard row counts and min/max
+    * of BOTH keys. This is the multi-dimensional clustering a lakehouse
+    * runs before writing (Delta's Z-ORDER BY): each dimension is first
+    * NORMALIZED to the [[ZorderBits]]-bit budget from its global min/max
+    * (what Delta reads from column stats — a 1-row broadcast aggregate
+    * here), then the bits interleave; because of the interleave, every
+    * shard covers a bounded rectangle in (orderkey × partkey) space — the
+    * per-shard min/max columns ARE the skipping index, and a scan filtered
+    * on EITHER key can prune most shards (a row-order layout prunes only
+    * on the sort's leading key; spec-pinned: every shard's rectangle
+    * covers ≤ half of each key range).
+    *
+    * Scale shape: one metadata-cheap bounds aggregate broadcasts back,
+    * then the curve position is a pure codegen projection (portable
+    * int-div/mod arithmetic, no UDF, no shift-operator dialect) and the
+    * stats rollup is one |shards|-sized map-side-combinable aggregate.
+    * The shard cut is a fixed range of the curve — deterministic under
+    * reruns (appends that extend the key range re-derive bounds exactly
+    * as Delta re-clusters). Writing the layout is then
+    * `repartitionByRange` on (shard, zval) — the one exchange any sorted
+    * write costs. */
+  def q120ZorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxN = (1L << ZorderBits) - 1
+    val shardWidth = (1L << (2 * ZorderBits)) / ZorderShards
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("x"), col("l_partkey").as("y"))
+    val bounds = li.agg(min(col("x")).as("lo_x"), max(col("x")).as("hi_x"),
+      min(col("y")).as("lo_y"), max(col("y")).as("hi_y"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("xn", expr(
+        s"((x - lo_x) * $maxN) DIV greatest(hi_x - lo_x, 1)"))
+      .withColumn("yn", expr(
+        s"((y - lo_y) * $maxN) DIV greatest(hi_y - lo_y, 1)"))
+      .withColumn("zval", expr(zvalExpr("xn", "yn", "DIV")))
+      .withColumn("shard", expr(s"CAST(zval DIV $shardWidth AS INT)"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_orderkey"), max(col("x")).as("max_orderkey"),
+        min(col("y")).as("min_partkey"), max(col("y")).as("max_partkey"))
+  }
+
+  val q120ZorderLayoutSql: String = {
+    val maxN = (1L << ZorderBits) - 1
+    val shardWidth = (1L << (2 * ZorderBits)) / ZorderShards
+    s"""
+    WITH d AS (
+      SELECT l_orderkey AS x, l_partkey AS y FROM lineitem),
+    b AS (
+      SELECT min(x) AS lo_x, max(x) AS hi_x, min(y) AS lo_y, max(y) AS hi_y
+      FROM d),
+    nrm AS (
+      SELECT x, y,
+        ((x - b.lo_x) * $maxN) // greatest(b.hi_x - b.lo_x, 1) AS xn,
+        ((y - b.lo_y) * $maxN) // greatest(b.hi_y - b.lo_y, 1) AS yn
+      FROM d CROSS JOIN b),
+    z AS (
+      SELECT x, y, ${zvalExpr("xn", "yn", "//")} AS zval FROM nrm)
+    SELECT CAST(zval // $shardWidth AS INTEGER) AS shard,
+      CAST(count(*) AS BIGINT) AS n,
+      min(x) AS min_orderkey, max(x) AS max_orderkey,
+      min(y) AS min_partkey, max(y) AS max_partkey
+    FROM z GROUP BY 1
+  """
+  }
 }
