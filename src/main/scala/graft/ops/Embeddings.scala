@@ -429,7 +429,7 @@ object Embeddings {
     * `< knnQueryIds` bound is the gate's oracle-cost cap (q29's
     * contract); production mines all vectors by the identical plan. */
   def q115HardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
-    val assigned = probedCells(spark, sfDir, nprobe = 1).drop("probe_rk")
+    val assigned = assignedCells(spark, sfDir)
     val q = assigned.filter(col("vec_id") < DefaultAnn.knnQueryIds)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("v").as("qv"), col("nrm").as("qn"), col("cell"))

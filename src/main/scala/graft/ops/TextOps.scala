@@ -2313,10 +2313,15 @@ object TextOps {
     val bm = graft.CachedFrames.track(
       bits.agg(map_from_entries(collect_list(struct(col("bucket"), col("bits"))))
         .as("bloom_m")))
+    // a front-door gate must emit a verdict for EVERY arriving row — a doc
+    // too short to form a gram is trivially clean (n_grams = 0), never
+    // silently dropped (q114's gate output keeps the >= n roster because
+    // its oracle does; the probe face covers the full input)
     docs.crossJoin(broadcast(bm))
       .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
-      .filter(expr(s"size(toks) >= $DecontamGram"))
-      .withColumn("grams", expr(decontamGramsExpr))
+      .withColumn("grams", expr(
+        s"""CASE WHEN size(toks) >= $DecontamGram THEN $decontamGramsExpr
+            ELSE CAST(array() AS ARRAY<STRING>) END"""))
       .select(col("doc_id"),
         expr("CAST(size(grams) AS BIGINT)").as("n_grams"),
         expr(s"CAST(size(filter(grams, g -> $bloomHitExpr)) AS BIGINT)")
@@ -2393,7 +2398,7 @@ object TextOps {
     bprobes AS (
       SELECT ('0x' || substr(md5('$BloomSalt' || i.i::VARCHAR || ':' || gram), 1, 14))::BIGINT
           % $BloomBits AS pos
-      FROM bench, LATERAL (SELECT unnest([0, 1, 2]) AS i) i),
+      FROM bench, LATERAL (SELECT unnest(generate_series(0, ${BloomHashes - 1})) AS i) i),
     bm AS (
       SELECT pos // $BloomWordBits AS bucket,
         bit_or(1::BIGINT << CAST(pos % $BloomWordBits AS INTEGER)) AS bits
@@ -2404,7 +2409,7 @@ object TextOps {
       SELECT doc_id, gram,
         ('0x' || substr(md5('$BloomSalt' || i.i::VARCHAR || ':' || gram), 1, 14))::BIGINT
           % $BloomBits AS pos
-      FROM corpus, LATERAL (SELECT unnest([0, 1, 2]) AS i) i),
+      FROM corpus, LATERAL (SELECT unnest(generate_series(0, ${BloomHashes - 1})) AS i) i),
     pg AS (
       SELECT doc_id, gram, min(CASE WHEN (coalesce(b.bits, 0)
           & (1::BIGINT << CAST(ph.pos % $BloomWordBits AS INTEGER))) <> 0

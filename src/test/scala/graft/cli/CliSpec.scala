@@ -640,7 +640,12 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     val expected = keyed(graft.ops.TextOps.q114BloomDecontam(spark, sf)
       .select("doc_id", "n_grams", "n_bloom_hits", "bloom_flag"))
     graft.CachedFrames.drain()
-    assert(got === expected)
+    // probe covers EVERY input row; q114's gate roster is the >= n-gram
+    // slice — rows beyond it must be the trivially-clean short docs
+    assert(got.size === spark.read.parquet(s"$dir/corpus").count())
+    expected.foreach { case (k, v) => assert(got(k) === v, s"doc $k") }
+    (got.keySet -- expected.keySet)
+      .foreach(k => assert(got(k) === ((0L, 0L, false)), s"short doc $k"))
     // OR-merge law: extending the bench filter with a second suite equals
     // building one filter over the union of both suites
     val suiteB = docs.filter(col("doc_id") % 100 === 1)

@@ -1421,7 +1421,14 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     val expected = toMapped(graft.ops.TextOps.q114BloomDecontam(spark, dir)
       .select("doc_id", "n_grams", "n_bloom_hits", "bloom_flag").collect())
     graft.CachedFrames.drain()
-    assert(got === expected)
+    // the gate emits a verdict for every arriving row; q114's output is the
+    // >= n-gram roster — anything extra must be trivially-clean short docs
+    assert(got.size.toLong === arriving.count())
+    val gotByid = got.map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    val expByid = expected.map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    expByid.foreach { case (k, v) => assert(gotByid(k) === v, s"doc $k") }
+    (gotByid.keySet -- expByid.keySet)
+      .foreach(k => assert(gotByid(k) === ((0L, 0L, false)), s"short doc $k"))
     assert(got.nonEmpty)
   }
 }
