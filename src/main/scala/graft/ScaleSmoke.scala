@@ -36,6 +36,10 @@ import org.apache.spark.sql.functions._
   * merge artifact on the full documents table, encode the corpus from
   * the saved artifact, and verify the corpus-wide count invariants
   * (1 ≤ n_bpe ≤ chars per doc, merges strictly compress in total).
+  * `--decontam [sfDir]` smokes the persisted Bloom artifact flow
+  * (BuildBloomFilter → ProbeBloom) at the smoke SF and verifies zero
+  * false negatives against the exact-join truth plus the constructed
+  * bitmap bound.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -163,6 +167,45 @@ object ScaleSmoke {
         f"compression=${totChr.toDouble / totBpe}%.3f mode=tokenizer wall=$secs%.1f s")
       require(bad == 0, s"per-doc bound violated on $bad docs (need n_tok <= n_bpe <= n_chars)")
       require(totBpe < totChr, "trained merges must strictly compress the corpus")
+      spark.stop()
+      return
+    }
+    if (args.contains("--decontam")) {
+      val sfDir = args.dropWhile(_ != "--decontam").drop(1).headOption
+        .filterNot(_.startsWith("--")).getOrElse("/root/testdata/sf0.1")
+      val root = java.nio.file.Files.createTempDirectory("graft-bloom-smoke").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") % 100 === 0)
+        .write.mode("overwrite").parquet(s"$root/bench")
+      docs.filter(col("doc_id") % 100 =!= 0)
+        .write.mode("overwrite").parquet(s"$root/corpus")
+      val t0 = System.nanoTime()
+      graft.cli.BuildBloomFilter.main(Array(
+        "--input", s"$root/bench", "--output", s"$root/bloom"))
+      graft.cli.ProbeBloom.main(Array(
+        "--input", s"$root/corpus", "--bloom", s"$root/bloom",
+        "--output", s"$root/verdicts"))
+      val secs = (System.nanoTime() - t0) / 1e9
+      val nBits = spark.read.parquet(s"$root/bloom").count()
+      // exact overlap truth from the gate query to count Bloom false
+      // positives at this scale — and prove there is never a false negative
+      val verd = spark.read.parquet(s"$root/verdicts")
+      val exact = graft.ops.TextOps.q114BloomDecontam(spark, sfDir)
+        .select(col("doc_id"), col("n_exact_hits"))
+      val joined = verd.join(exact, Seq("doc_id"), "left")
+        .withColumn("n_exact_hits", coalesce(col("n_exact_hits"), lit(0L)))
+      val fn = joined.filter(col("n_bloom_hits") < col("n_exact_hits")).count()
+      val agg2 = joined.agg(count(lit(1)),
+        sum(expr("CASE WHEN bloom_flag THEN 1 ELSE 0 END")),
+        sum(expr("CASE WHEN n_exact_hits > 0 THEN 1 ELSE 0 END"))).head()
+      graft.CachedFrames.drain()
+      println(f"docs=${agg2.getLong(0)} bloom_flagged=${agg2.getLong(1)} " +
+        f"exact_flagged=${agg2.getLong(2)} bitmap_rows=$nBits " +
+        f"mode=decontam wall=$secs%.1f s")
+      require(fn == 0, s"$fn Bloom false negatives — impossible by construction")
+      require(nBits <= graft.ops.TextOps.BloomBuckets.toLong,
+        "bitmap exceeded its constructed bound")
       spark.stop()
       return
     }
