@@ -2542,4 +2542,80 @@ object TextOps {
     FROM g JOIN f ON g.gram = f.gram
     GROUP BY 1
   """
+
+  /** q121 tuning: which docs play "unlabeled" in the semi-supervised
+    * simulation (deterministic slice, like q58's benchmark split). */
+  val PropagateUnlabeledMod = 5
+
+  /** q121: LABEL PROPAGATION over the near-dup graph — one majority-vote
+    * round pushing the `lang` label from labeled documents onto their
+    * unlabeled winnowing-containment neighbors (q68's edges). The
+    * label-spreading move curation pipelines use for any doc-level
+    * attribute that is expensive to compute but stable within near-dup
+    * clusters (language, toxicity, license, quality tier): score a seed
+    * set, propagate to lookalikes. The deterministic `% PropagateUnlabeledMod`
+    * slice plays the unlabeled set so the vote has visible ground truth
+    * (`correct` per row — on THIS synthetic corpus near-dup neighbors
+    * barely correlate with `lang`, the q100 finding, so the column is a
+    * diagnostic, not a benchmark); ties break by label ascending — a
+    * total order. TextOpsSpec pins the vote mechanics on a crafted graph.
+    *
+    * Scale shape: everything is bounded by the NEAR-DUP GRAPH, not the
+    * corpus — the vote stream is 2|edges| rows, the per-(doc, label)
+    * count combines map-side, and the winner is one WindowGroupLimit pass
+    * over ≤ |unlabeled docs| × |labels| rows. The edge generator is q68's
+    * DF-capped posting join, already sub-quadratic. */
+  def q121LabelPropagation(spark: SparkSession, sfDir: String): DataFrame =
+    labelPropagationOn(
+      q68Containment(spark, sfDir).select(col("id1"), col("id2")),
+      Tables(spark, sfDir, "documents").select(col("doc_id"), col("lang")))
+
+  /** The propagation core over ANY undirected (id1, id2) edge frame and
+    * (doc_id, lang) label frame — fixture-testable. */
+  private[graft] def labelPropagationOn(edges: DataFrame,
+      labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = PropagateUnlabeledMod
+    val votes = edges.select(col("id1").as("dst"), col("id2").as("src"))
+      .unionByName(edges.select(col("id2").as("dst"), col("id1").as("src")))
+      .filter(col("dst") % m === 0 && col("src") % m =!= 0)
+    val w = Window.partitionBy(col("dst"))
+      .orderBy(col("votes").desc, col("src_lang").asc)
+    votes
+      .join(labels.select(col("doc_id").as("src"), col("lang").as("src_lang")),
+        Seq("src"))
+      .groupBy(col("dst"), col("src_lang"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(labels.select(col("doc_id").as("dst"), col("lang").as("true_lang")),
+        Seq("dst"))
+      .select(col("dst").as("doc_id"), col("true_lang"),
+        col("src_lang").as("pred_lang"), col("votes").as("n_votes"),
+        (col("src_lang") === col("true_lang")).as("correct"))
+  }
+
+  val q121LabelPropagationSql: String = s"""
+    WITH edges AS (
+      SELECT id1, id2 FROM ($q68ContainmentSql)),
+    votes AS (
+      SELECT dst, src FROM (
+        SELECT id1 AS dst, id2 AS src FROM edges
+        UNION ALL
+        SELECT id2 AS dst, id1 AS src FROM edges)
+      WHERE dst % $PropagateUnlabeledMod = 0 AND src % $PropagateUnlabeledMod <> 0),
+    tallied AS (
+      SELECT v.dst, d.lang AS src_lang, CAST(count(*) AS BIGINT) AS votes
+      FROM votes v JOIN documents d ON v.src = d.doc_id
+      GROUP BY 1, 2),
+    winner AS (
+      SELECT dst, src_lang, votes FROM (
+        SELECT dst, src_lang, votes,
+          row_number() OVER (PARTITION BY dst ORDER BY votes DESC, src_lang ASC)
+            AS rk
+        FROM tallied) WHERE rk = 1)
+    SELECT w.dst AS doc_id, d.lang AS true_lang, w.src_lang AS pred_lang,
+      w.votes AS n_votes, w.src_lang = d.lang AS correct
+    FROM winner w JOIN documents d ON w.dst = d.doc_id
+  """
 }

@@ -425,6 +425,30 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(_.getInt(3)).distinct.length >= 2)
   }
 
+  test("q121 label propagation: majority vote, ascending-label ties, labeled docs never vote on themselves") {
+    import spark.implicits._
+    // doc ids: % 5 == 0 are the unlabeled dsts (0, 5, 10); others labeled
+    val labels = Seq(
+      (0L, "zz"), (5L, "zz"), (10L, "zz"), // true labels of the unlabeled slice
+      (1L, "en"), (2L, "en"), (3L, "de"),
+      (6L, "de"), (7L, "en"),
+      (11L, "es")
+    ).toDF("doc_id", "lang")
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (3L, 0L),  // 0: en x2, de x1 -> en (majority)
+      (5L, 6L), (7L, 5L),            // 5: de x1, en x1 -> de (tie, 'de' < 'en')
+      (10L, 11L),                    // 10: es x1 -> es
+      (10L, 5L),                     // unlabeled src never votes
+      (1L, 2L)                       // labeled dst never appears in output
+    ).toDF("id1", "id2")
+    val got = TextOps.labelPropagationOn(edges, labels).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got === Map(
+      0L -> (("en", 2L, false)),
+      5L -> (("de", 1L, false)),
+      10L -> (("es", 1L, false))))
+  }
+
   test("q114 Bloom filter is bounded, has no false negatives, flags real overlap") {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet")
