@@ -609,3 +609,58 @@ object ExtendBloomFilter {
     }
   }
 }
+
+/** Job 24 — the RELEASE REPORT: one command emitting the audit bundle a
+  * corpus release signs off on, as a directory of parquet tables:
+  *
+  *   runMain graft.cli.ReleaseReport --input docs.parquet \
+  *     --bench benchsuite.parquet --output /tmp/report
+  *
+  *   profile/         exact per-column stats            (q105 face)
+  *   skew/            heaviest sources + shares         (q110 over source)
+  *   dedup_savings/   per-source exact-dup cost         (q117 core, no
+  *                                                       simulated recrawl)
+  *   contamination/   per-source benchmark overlap      (q122 core, grams
+  *                                                       from --bench)
+  *   pii/             per-source PII incidence          (q96 counts rolled up)
+  *
+  * Every table is the SAME code path its gate query runs (CliSpec pins
+  * two of them against the ops directly), so the numbers in the report
+  * can never drift from what the pipeline would actually compute. */
+object ReleaseReport {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-release-report") { spark =>
+    import org.apache.spark.sql.functions.{col, expr, count, sum, lit, when}
+    val docs = graft.Tables.parallelized(spark.read.parquet(a("input")))
+    val bench = spark.read.parquet(a("bench"))
+      .select(col("doc_id"), col("text"))
+    val out = a("output")
+    try {
+      graft.ops.Profiling.profileExactOn(docs)
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/profile")
+      graft.ops.Profiling.skewReportOn(docs, col("source").cast("string"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/skew")
+      graft.ops.Curation.dedupSavingsOn(
+          docs.select(col("source"), col("doc_id"), col("text")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/dedup_savings")
+      graft.ops.TextOps.contaminationOn(
+          docs.select(col("source"), col("doc_id"), col("text")),
+          graft.ops.TextOps.gramSetOf(bench))
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/contamination")
+      val pii = graft.ops.TextOps.piiScanOn(docs)
+      val ruleCols = pii.columns.filter(c => c != "doc_id" && c != "masked")
+      val total = ruleCols.map(col).reduce(_ + _)
+      pii.select(col("doc_id") +: ruleCols.map(col) :+ total.as("n_pii"): _*)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(when(col("n_pii") > 0, 1L).otherwise(0L)).as("docs_with_pii") +:
+            ruleCols.map(c => sum(col(c)).as(c))): _*)
+        .withColumn("pii_incidence", expr(
+          "CAST(docs_with_pii AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/pii")
+    } finally graft.CachedFrames.drain()
+    }
+  }
+}

@@ -959,14 +959,21 @@ object Curation {
     * both on compact keys; the fractions divide already-aggregated
     * BIGINTs once, so the oracle matches bitwise. */
   def q117DedupSavings(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wd = Window.partitionBy(col("digest"))
     val base = graft.Tables.parallelized(graft.Tables(spark, sfDir, "documents"))
       .select(col("source"), col("doc_id"), col("text"))
     val recrawl = base.filter(col("doc_id") % RecrawlModulo === RecrawlResidue)
       .select(lit(RecrawlSource).as("source"),
         (col("doc_id") + RecrawlIdOffset).as("doc_id"), col("text"))
-    base.unionByName(recrawl)
+    dedupSavingsOn(base.unionByName(recrawl))
+  }
+
+  /** The savings rollup over ANY (source, doc_id, text) frame — the q117
+    * core without the gate's simulated re-crawl, reused by
+    * `cli.ReleaseReport` on real corpus drops. */
+  private[graft] def dedupSavingsOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy(col("digest"))
+    docs
       .select(col("source"), col("doc_id"),
         md5(lower(trim(col("text")))).as("digest"),
         expr("""CAST(size(split(trim(text), '\\s+')) AS BIGINT)""").as("n_tokens"))

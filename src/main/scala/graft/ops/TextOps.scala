@@ -2543,6 +2543,87 @@ object TextOps {
     GROUP BY 1
   """
 
+  /** q122: CONTAMINATION-BY-SOURCE report — q58's benchmark-overlap verdict
+    * rolled up per source: how many of each ingest's documents (and tokens)
+    * share a [[DecontamGram]]-gram with the held-out benchmark slice. The
+    * release table next to q117's dedup savings: before shipping a corpus,
+    * per-source contamination rates tell you which crawl needs the
+    * decontamination pass — and after it, that the rates went to zero.
+    *
+    * Scale shape: the q58 shape exactly — one corpus gram pass against the
+    * broadcast benchmark set (or q114's bitmap at suite scale), a per-doc
+    * combinable rollup, then a |sources|-row aggregate. Token counts ride
+    * the same scan; fractions divide already-aggregated BIGINTs once. */
+  def q122ContaminationReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = Tables(spark, sfDir, "documents")
+    contaminationOn(
+      Tables.parallelized(all).filter(col("doc_id") % 100 =!= 0)
+        .select(col("source"), col("doc_id"), col("text")),
+      decontamBenchGrams(all.select(col("doc_id"), col("text"))))
+  }
+
+  /** The per-source contamination rollup over ANY (source, doc_id, text)
+    * corpus frame and (gram) benchmark set — the q122 core, reused by
+    * `cli.ReleaseReport` with a real benchmark suite. */
+  private[graft] def contaminationOn(corpus: DataFrame,
+      benchGrams: DataFrame): DataFrame = {
+    val n = DecontamGram
+    val docs = graft.CachedFrames.track(
+      corpus
+        .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
+        .select(col("source"), col("doc_id"),
+          expr("CAST(size(toks) AS BIGINT)").as("n_tokens"),
+          expr(s"CASE WHEN size(toks) >= $n THEN $decontamGramsExpr " +
+            "ELSE CAST(array() AS ARRAY<STRING>) END").as("grams")))
+    val flagged = docs.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(1))
+    docs.join(flagged, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("hit").isNotNull, col("n_tokens")).otherwise(0L))
+          .as("contaminated_tokens"))
+      .withColumn("doc_rate",
+        col("n_contaminated").cast("double") / col("n_docs").cast("double"))
+      .withColumn("token_rate",
+        col("contaminated_tokens").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  val q122ContaminationReportSql: String = s"""
+    WITH t AS (
+      SELECT source, doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+      FROM documents),
+    d AS (
+      SELECT source, doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        CASE WHEN len(tk) >= $DecontamGram
+          THEN ${ngramsSqlExpr(DecontamGram, distinct = true)}
+          ELSE [] END AS grams
+      FROM t WHERE doc_id % 100 <> 0),
+    bench AS (
+      SELECT DISTINCT unnest(${ngramsSqlExpr(DecontamGram, distinct = true)}) AS gram
+      FROM t WHERE doc_id % 100 = 0 AND len(tk) >= $DecontamGram),
+    flagged AS (
+      SELECT DISTINCT g.doc_id FROM (
+        SELECT doc_id, unnest(grams) AS gram FROM d) g
+      JOIN bench b ON g.gram = b.gram)
+    SELECT d.source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN f.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_contaminated,
+      CAST(sum(d.n_tokens) AS BIGINT) AS n_tokens,
+      CAST(sum(CASE WHEN f.doc_id IS NULL THEN 0 ELSE d.n_tokens END) AS BIGINT)
+        AS contaminated_tokens,
+      CAST(sum(CASE WHEN f.doc_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE) AS doc_rate,
+      CAST(sum(CASE WHEN f.doc_id IS NULL THEN 0 ELSE d.n_tokens END) AS DOUBLE)
+        / CAST(sum(d.n_tokens) AS DOUBLE) AS token_rate
+    FROM d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+    GROUP BY 1
+  """
+
   /** q121 tuning: which docs play "unlabeled" in the semi-supervised
     * simulation (deterministic slice, like q58's benchmark split). */
   val PropagateUnlabeledMod = 5

@@ -660,4 +660,39 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cells(s"$dir/bloom2") === cells(s"$dir/bloomAB"))
   }
+
+  test("release-report bundle: five audit tables, each equal to its op's own output") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("cli-release").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // the corpus drop = non-benchmark docs; the suite = the %100 slice
+    docs.filter(col("doc_id") % 100 =!= 0)
+      .write.mode("overwrite").parquet(s"$dir/corpus")
+    docs.filter(col("doc_id") % 100 === 0)
+      .write.mode("overwrite").parquet(s"$dir/bench")
+    ReleaseReport.main(Array("--input", s"$dir/corpus",
+      "--bench", s"$dir/bench", "--output", s"$dir/report"))
+    for (t <- Seq("profile", "skew", "dedup_savings", "contamination", "pii"))
+      assert(spark.read.parquet(s"$dir/report/$t").count() > 0, t)
+    // contamination table ≡ the q122 gate (same corpus split by construction)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val gotCont = keyed(spark.read.parquet(s"$dir/report/contamination"))
+    val expCont = keyed(graft.ops.TextOps.q122ContaminationReport(spark, sf))
+    graft.CachedFrames.drain()
+    assert(gotCont === expCont)
+    // dedup savings ≡ the core over the same frame (no recrawl in the CLI)
+    val gotSav = keyed(spark.read.parquet(s"$dir/report/dedup_savings"))
+    val expSav = keyed(graft.ops.Curation.dedupSavingsOn(
+      docs.filter(col("doc_id") % 100 =!= 0)
+        .select(col("source"), col("doc_id"), col("text"))))
+    assert(gotSav === expSav)
+    // pii incidence row arithmetic holds
+    spark.read.parquet(s"$dir/report/pii").collect().foreach { r =>
+      val n = r.getAs[Long]("n_docs"); val w = r.getAs[Long]("docs_with_pii")
+      assert(w <= n)
+      assert(r.getAs[Double]("pii_incidence") === w.toDouble / n.toDouble)
+    }
+  }
 }
