@@ -2317,15 +2317,19 @@ object TextOps {
     // too short to form a gram is trivially clean (n_grams = 0), never
     // silently dropped (q114's gate output keeps the >= n roster because
     // its oracle does; the probe face covers the full input)
+    // a `source` column, when present, rides through — the per-source
+    // monitoring rollup (contaminationRateStream) and per-source CLI
+    // verdicts need it; (doc_id, text)-only callers see the same 4 columns
+    val keep = if (docs.columns.contains("source")) Seq(col("source")) else Nil
     docs.crossJoin(broadcast(bm))
       .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
       .withColumn("grams", expr(
         s"""CASE WHEN size(toks) >= $DecontamGram THEN $decontamGramsExpr
             ELSE CAST(array() AS ARRAY<STRING>) END"""))
-      .select(col("doc_id"),
+      .select(keep ++ Seq(col("doc_id"),
         expr("CAST(size(grams) AS BIGINT)").as("n_grams"),
         expr(s"CAST(size(filter(grams, g -> $bloomHitExpr)) AS BIGINT)")
-          .as("n_bloom_hits"))
+          .as("n_bloom_hits")): _*)
       .withColumn("bloom_flag", col("n_bloom_hits") > 0)
   }
 

@@ -688,6 +688,22 @@ object EventStreams {
       TextOps.bloomBitsOf(TextOps.decontamBenchGrams(corpus)))
   }
 
+  /** Streaming contamination-rate monitor — the q122 release table kept
+    * LIVE over an ingestion stream: each arriving (source, doc_id, text)
+    * row passes the stateless Bloom probe ([[bloomGateStream]]'s pass with
+    * `source` riding through), then ONE standing aggregation maintains
+    * per-source totals and flagged counts. State is two Longs per source —
+    * bounded by the source roster, never by volume — and there is no
+    * watermark to tune because the counters only ever grow. Run in
+    * Complete/Update mode; the spec pins the Complete-mode table equal to
+    * the same rollup of the batch probe on the same documents (the Bloom
+    * face of the monitor — the exact-set face stays batch-side in q122). */
+  def contaminationRateStream(docs: DataFrame, corpus: DataFrame): DataFrame =
+    bloomGateStream(docs, corpus)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bloom_flag"), 1L).otherwise(0L)).as("n_flagged"))
+
   /** The same sessionization via the BUILT-IN `session_window` aggregation —
     * Spark's native gap-session operator (merge-on-late-event, emit-on-seal
     * are handled by the engine's session-window state store). Kept alongside

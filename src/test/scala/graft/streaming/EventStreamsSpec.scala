@@ -1431,4 +1431,35 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       .foreach(k => assert(gotByid(k) === ((0L, 0L, false)), s"short doc $k"))
     assert(got.nonEmpty)
   }
+
+  test("streaming contamination-rate monitor equals the batch probe rollup in Complete mode") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("doc_id"), col("text"))
+    val arriving = docs.filter(col("doc_id") % 100 =!= 0)
+    val staged = java.nio.file.Files.createTempDirectory("contam-rate")
+    arriving.coalesce(2).write.mode("overwrite").parquet(staged.toString)
+    val stream = spark.readStream.schema(arriving.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    val q = EventStreams.contaminationRateStream(stream, docs)
+      .writeStream.format("memory").queryName("contam_rate")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val got = try {
+      q.awaitTermination()
+      spark.table("contam_rate").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    } finally { q.stop(); graft.CachedFrames.drain() }
+    val expected = graft.ops.TextOps.bloomProbeOn(arriving,
+      graft.ops.TextOps.bloomBitsOf(graft.ops.TextOps.decontamBenchGrams(docs)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)), sum(when(col("bloom_flag"), 1L).otherwise(0L)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    graft.CachedFrames.drain()
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }
