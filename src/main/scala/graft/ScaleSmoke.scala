@@ -195,10 +195,12 @@ object ScaleSmoke {
         .select(col("doc_id"), col("n_exact_hits"))
       val joined = verd.join(exact, Seq("doc_id"), "left")
         .withColumn("n_exact_hits", coalesce(col("n_exact_hits"), lit(0L)))
-      val fn = joined.filter(col("n_bloom_hits") < col("n_exact_hits")).count()
+      // one action: counts AND the false-negative check in the same pass
       val agg2 = joined.agg(count(lit(1)),
         sum(expr("CASE WHEN bloom_flag THEN 1 ELSE 0 END")),
-        sum(expr("CASE WHEN n_exact_hits > 0 THEN 1 ELSE 0 END"))).head()
+        sum(expr("CASE WHEN n_exact_hits > 0 THEN 1 ELSE 0 END")),
+        sum(expr("CASE WHEN n_bloom_hits < n_exact_hits THEN 1 ELSE 0 END"))).head()
+      val fn = agg2.getLong(3)
       graft.CachedFrames.drain()
       println(f"docs=${agg2.getLong(0)} bloom_flagged=${agg2.getLong(1)} " +
         f"exact_flagged=${agg2.getLong(2)} bitmap_rows=$nBits " +

@@ -633,8 +633,8 @@ object ReleaseReport {
     Cli.withSession("graft-release-report") { spark =>
     import org.apache.spark.sql.functions.{col, expr, count, sum, lit, when}
     val docs = graft.Tables.parallelized(spark.read.parquet(a("input")))
-    val bench = spark.read.parquet(a("bench"))
-      .select(col("doc_id"), col("text"))
+    // gramSetOf only reads text — a benchmark suite parquet needs no ids
+    val bench = spark.read.parquet(a("bench")).select(col("text"))
     val out = a("output")
     try {
       graft.ops.Profiling.profileExactOn(docs)
@@ -648,11 +648,13 @@ object ReleaseReport {
           docs.select(col("source"), col("doc_id"), col("text")),
           graft.ops.TextOps.gramSetOf(bench))
         .coalesce(1).write.mode("overwrite").parquet(s"$out/contamination")
-      val pii = graft.ops.TextOps.piiScanOn(docs)
-      val ruleCols = pii.columns.filter(c => c != "doc_id" && c != "masked")
+      // withPiiColumns keeps every input column (incl. source), so the
+      // rollup needs no doc_id join-back — and a drop whose id spaces
+      // repeat across sources can never cross-attribute counts
+      val pii = graft.ops.TextOps.withPiiColumns(docs)
+      val ruleCols = graft.ops.TextOps.PiiRules.map { case (n, _, _) => s"n_${n}s" }
       val total = ruleCols.map(col).reduce(_ + _)
-      pii.select(col("doc_id") +: ruleCols.map(col) :+ total.as("n_pii"): _*)
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      pii.withColumn("n_pii", total)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           (sum(when(col("n_pii") > 0, 1L).otherwise(0L)).as("docs_with_pii") +:

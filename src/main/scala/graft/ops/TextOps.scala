@@ -2317,10 +2317,12 @@ object TextOps {
     // too short to form a gram is trivially clean (n_grams = 0), never
     // silently dropped (q114's gate output keeps the >= n roster because
     // its oracle does; the probe face covers the full input)
-    // a `source` column, when present, rides through — the per-source
-    // monitoring rollup (contaminationRateStream) and per-source CLI
-    // verdicts need it; (doc_id, text)-only callers see the same 4 columns
-    val keep = if (docs.columns.contains("source")) Seq(col("source")) else Nil
+    // every input column except the text itself rides through (the
+    // MaskCorpus convention) — per-source monitoring and CLI verdict
+    // consumers keep their context columns; (doc_id, text)-only callers
+    // see the documented 4-column shape
+    val keep = docs.columns.filter(c => c != "text" && c != "doc_id")
+      .map(col).toSeq
     docs.crossJoin(broadcast(bm))
       .withColumn("toks", expr("""split(trim(text), '\\s+')"""))
       .withColumn("grams", expr(
@@ -2579,11 +2581,17 @@ object TextOps {
           expr("CAST(size(toks) AS BIGINT)").as("n_tokens"),
           expr(s"CASE WHEN size(toks) >= $n THEN $decontamGramsExpr " +
             "ELSE CAST(array() AS ARRAY<STRING>) END").as("grams")))
-    val flagged = docs.select(col("doc_id"), explode(col("grams")).as("gram"))
+    // flagged keys carry (source, doc_id) so a generic drop whose id
+    // spaces repeat across sources can never cross-attribute a hit; the
+    // source leg is null-safe so an unattributed row keeps its verdict
+    // (the distributedRunningSum convention)
+    val flagged = docs.select(col("source").as("fsrc"),
+        col("doc_id").as("fid"), explode(col("grams")).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"))
-      .select(col("doc_id")).distinct()
+      .select(col("fsrc"), col("fid")).distinct()
       .withColumn("hit", lit(1))
-    docs.join(flagged, Seq("doc_id"), "left")
+    docs.join(flagged,
+        col("source") <=> col("fsrc") && col("doc_id") === col("fid"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"),
