@@ -544,11 +544,15 @@ object Relational {
     * as Delta re-clusters). Writing the layout is then
     * `repartitionByRange` on (shard, zval) — the one exchange any sorted
     * write costs. */
-  def q120ZorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+  def q120ZorderLayout(spark: SparkSession, sfDir: String): DataFrame =
+    zorderLayoutOn(Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("x"), col("l_partkey").as("y")))
+
+  /** The layout pass over ANY (x, y) BIGINT frame — fixture-testable
+    * against a plain-Scala Morton oracle. */
+  private[ops] def zorderLayoutOn(li: DataFrame): DataFrame = {
     val maxN = (1L << ZorderBits) - 1
     val shardWidth = (1L << (2 * ZorderBits)) / ZorderShards
-    val li = Tables(spark, sfDir, "lineitem")
-      .select(col("l_orderkey").as("x"), col("l_partkey").as("y"))
     val bounds = li.agg(min(col("x")).as("lo_x"), max(col("x")).as("hi_x"),
       min(col("y")).as("lo_y"), max(col("y")).as("hi_y"))
     li.crossJoin(broadcast(bounds))

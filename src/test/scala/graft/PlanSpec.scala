@@ -397,6 +397,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q122_contamination_report: benchmark grams broadcast against the corpus gram stream, no sort-merge") {
+    val p = finalPlan("q122_contamination_report")
+    assert(nodes(p, "BroadcastHashJoin") >= 1, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    // the source rollup combines map-side
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q121_label_propagation: vote tallies combine map-side; no quadratic join in the graph pass") {
+    val p = finalPlan("q121_label_propagation")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q90_domain_cap: partial WindowGroupLimit before the shuffle — per-source top-k never buffers a source") {
     val p = finalPlan("q90_domain_cap")
     // map-side Partial group-limit caps each task's contribution at K rows
