@@ -400,4 +400,103 @@ object Events {
       CAST(c.active_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
     FROM cells c JOIN sizes s USING (cohort_wk)
   """
+
+  /** q123: SCD2-style RUN intervals — each user's event-type sequence
+    * compressed into validity intervals: one row per maximal run of equal
+    * consecutive types, with [valid_from, valid_to) epoch bounds (open
+    * current run = NULL valid_to) and the run's event count. The type-2
+    * slowly-changing-dimension build every lakehouse does to a change
+    * stream, and the run-length face of q19's gap sessions.
+    *
+    * Determinism: the per-user order is (ts, event_id) — event_id makes it
+    * total, the q19 convention — so run boundaries are identical in both
+    * engines. Scale shape: one user-keyed exchange; both windows and the
+    * run rollup live inside the user partition (state bounded per user),
+    * and the interval chaining runs on the already-compressed runs frame. */
+  def q123ScdIntervals(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val runs = Tables(spark, sfDir, "events")
+      .withColumn("eps", unix_timestamp(col("ts")))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byUser).isNull ||
+          col("event_type") =!= lag(col("event_type"), 1).over(byUser), 1)
+          .otherwise(0))
+      .withColumn("run_id", sum(col("chg"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(min(col("event_type")).as("event_type"),
+        min(col("eps")).as("valid_from_s"),
+        count(lit(1)).as("n_events"))
+    val byRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    runs
+      .withColumn("valid_to_s", lead(col("valid_from_s"), 1).over(byRun))
+      .select(col("user_id"), col("run_id").cast("int").as("run_id"),
+        col("event_type"), col("valid_from_s"), col("valid_to_s"),
+        col("n_events"))
+  }
+
+  val q123ScdIntervalsSql: String = """
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id,
+        CAST(floor(epoch(ts)) AS BIGINT) AS eps,
+        CASE WHEN lag(event_type, 1) OVER w IS NULL
+               OR event_type <> lag(event_type, 1) OVER w THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    r AS (
+      SELECT user_id, event_type, eps,
+        sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      FROM e),
+    runs AS (
+      SELECT user_id, run_id, min(event_type) AS event_type,
+        min(eps) AS valid_from_s, count(*) AS n_events
+      FROM r GROUP BY 1, 2)
+    SELECT user_id, CAST(run_id AS INTEGER) AS run_id, event_type,
+      valid_from_s,
+      lead(valid_from_s, 1) OVER (PARTITION BY user_id ORDER BY run_id)
+        AS valid_to_s,
+      n_events
+    FROM runs
+  """
+
+  /** q124 tuning: path length (consecutive events) and the leaderboard cut. */
+  val PathLen = 3
+  val PathTopK = 20
+
+  /** q124: EVENT-PATH mining — the [[PathTopK]] most frequent runs of
+    * [[PathLen]] consecutive event types across all users, the
+    * product-analytics "common paths" view next to q66's fixed funnel
+    * (funnel counts ONE hypothesized order; this discovers the orders).
+    *
+    * Scale shape: the lead() windows live inside the user partition (one
+    * user-keyed exchange), the path counts combine map-side, and the
+    * leaderboard is a TakeOrderedAndProject — no global sort. Ordering is
+    * total via (ts, event_id), so the mined paths are deterministic. */
+  def q124EventPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(spark, sfDir, "events")
+      .withColumn("e2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("e3", lead(col("event_type"), 2).over(byUser))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(PathTopK)
+  }
+
+  val q124EventPathsSql: String = s"""
+    WITH p AS (
+      SELECT event_type || '>' || lead(event_type, 1) OVER w
+          || '>' || lead(event_type, 2) OVER w AS path,
+        lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT path, count(*) AS n
+    FROM p WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path ASC
+    LIMIT $PathTopK
+  """
 }

@@ -96,4 +96,40 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 2.0, r.toString)
     }
   }
+
+  test("q123 SCD intervals: runs compress, intervals chain, the current run stays open") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Events.q123ScdIntervals(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (uid, rs) =>
+      val byRun = rs.sortBy(_.getInt(1))
+      // run ids are 1..n and intervals chain: each run's valid_to equals the
+      // next run's valid_from; only the LAST run is open (null valid_to)
+      assert(byRun.map(_.getInt(1)).toSeq === (1 to byRun.length))
+      byRun.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.isNullAt(4) && a.getLong(4) === b.getLong(3), s"user $uid")
+          // adjacent runs never share a type — else they'd be one run
+          assert(a.getString(2) !== b.getString(2), s"user $uid")
+        case _ => ()
+      }
+      assert(byRun.last.isNullAt(4), s"user $uid last run must be open")
+      assert(byRun.forall(_.getLong(5) >= 1L))
+    }
+    // compression is real: total runs < total events
+    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(rows.length.toLong < nEvents)
+  }
+
+  test("q124 event paths: leaderboard is consistent with a recount of its own paths") {
+    val rows = Events.q124EventPaths(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length <= Events.PathTopK && rows.nonEmpty)
+    val ns = rows.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "sorted by count desc")
+    rows.foreach { r =>
+      val parts = r.getString(0).split(">")
+      assert(parts.length === Events.PathLen, r.getString(0))
+      assert(r.getLong(1) >= 1L)
+    }
+  }
 }
