@@ -32,6 +32,14 @@ final case class WeightedDoc(source: String, doc_id: Long, n_tokens: Long)
 /** A (user_id, ts) arrival for streaming cohort retention. */
 final case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
 
+/** Keyed SCD state: one user's OPEN run (the current event-type interval). */
+final case class RunState(run_id: Int, event_type: String,
+    valid_from_s: Long, n_events: Long)
+
+/** A CLOSED validity interval emitted by the streaming SCD builder. */
+final case class ClosedRun(user_id: Long, run_id: Int, event_type: String,
+    valid_from_s: Long, valid_to_s: Long, n_events: Long)
+
 /** One changelog row of the streaming retention matrix: add (+1) or
   * retract (−1) one user from a (cohort_wk, week_offset) cell. */
 final case class RetentionDelta(cohort_wk: Long, week_offset: Long, delta: Int)
@@ -658,6 +666,47 @@ object EventStreams {
       .select(Seq(col("doc_id"),
         expr("CAST(size(bks) AS BIGINT)").as("n_grams")) ++ sums: _*)
       .select(col("doc_id"), col("n_grams"), pred.as("pred_lang"))
+  }
+
+  /** Streaming SCD2 builder — q123's run intervals maintained incrementally:
+    * one [[RunState]] per user (the OPEN interval; four fields of state,
+    * bounded by the user roster), a [[ClosedRun]] emitted exactly when an
+    * arriving event's type differs from the open run's. The closed-interval
+    * feed is what a lakehouse MERGE consumes to append type-2 rows; the
+    * open run stays in state, exactly like q123's NULL `valid_to_s` row.
+    *
+    * Ordering contract (the [[sourceQuotaStream]] convention, documented
+    * not hidden): events are processed in (ts, event_type, value) order
+    * WITHIN a micro-batch; ACROSS batches each user's events must arrive
+    * in ts order — a change-data stream keyed by entity normally is. Under
+    * that contract the closed feed is row-equal to q123's closed subset on
+    * the same events (spec-pinned, including a run spanning two batches
+    * and a same-type continuation that must NOT close). */
+  def scdIntervalStream(events: Dataset[Event]): Dataset[ClosedRun] = {
+    import events.sparkSession.implicits._
+    def fn(userId: Long, batch: Iterator[Event],
+           state: GroupState[RunState]): Iterator[ClosedRun] = {
+      val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value))
+      val out = scala.collection.mutable.ArrayBuffer.empty[ClosedRun]
+      var st = state.getOption
+      sorted.foreach { e =>
+        val eps = e.ts.getTime / 1000L
+        st = st match {
+          case Some(s) if s.event_type == e.event_type =>
+            Some(s.copy(n_events = s.n_events + 1))
+          case Some(s) =>
+            out += ClosedRun(userId, s.run_id, s.event_type,
+              s.valid_from_s, eps, s.n_events)
+            Some(RunState(s.run_id + 1, e.event_type, eps, 1L))
+          case None =>
+            Some(RunState(1, e.event_type, eps, 1L))
+        }
+      }
+      st.foreach(state.update)
+      out.iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
   /** Streaming Gopher-rule gate — q112's composite rule battery applied to

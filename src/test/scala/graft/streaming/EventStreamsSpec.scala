@@ -1432,6 +1432,71 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming SCD builder closes runs exactly at type changes, spans batches, keeps the open run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // user 1: view,view | (batch 2) view,buy,buy -> run 1 (view x3) closes at
+    // the buy; buy run stays OPEN. user 2: buy | buy -> never closes.
+    mem.addData(
+      Event(ts(0), 1L, "view", 1.0), Event(ts(1), 1L, "view", 1.0),
+      Event(ts(0), 2L, "buy", 1.0))
+    val q = EventStreams.scdIntervalStream(mem.toDS())
+      .writeStream.format("memory").queryName("scd_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("scd_stream").count() === 0L) // nothing closed yet
+      mem.addData(
+        Event(ts(2), 1L, "view", 1.0), Event(ts(3), 1L, "buy", 1.0),
+        Event(ts(4), 1L, "buy", 1.0), Event(ts(5), 2L, "buy", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("scd_stream").as[ClosedRun].collect().toSet
+      // the view-run spans batches (3 events), closes at the first buy's ts
+      assert(got === Set(ClosedRun(1L, 1, "view",
+        ts(0).getTime / 1000L, ts(3).getTime / 1000L, 3L)))
+      // a type change in a later batch closes the open buy run too
+      mem.addData(Event(ts(6), 1L, "view", 1.0))
+      q.processAllAvailable()
+      val got2 = spark.table("scd_stream").as[ClosedRun].collect().toSet
+      assert(got2.contains(ClosedRun(1L, 2, "buy",
+        ts(3).getTime / 1000L, ts(6).getTime / 1000L, 2L)))
+      assert(got2.size === 2) // user 2's single run is still open
+    } finally q.stop()
+  }
+
+  test("streaming SCD closed feed equals the q123 batch closed subset on real events") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    // (user_id, ts) is collision-free in the driver tables, so the stream's
+    // in-batch (ts, type, value) sort and batch q123's (ts, event_id) order
+    // agree; one staged file = one batch satisfies the in-order contract
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val staged = java.nio.file.Files.createTempDirectory("scd-e2e")
+    events.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    val stream = spark.readStream.schema(events.schema).parquet(staged.toString)
+      .as[Event]
+    val q = EventStreams.scdIntervalStream(stream)
+      .writeStream.format("memory").queryName("scd_e2e")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val got = try {
+      q.awaitTermination()
+      spark.table("scd_e2e").as[ClosedRun].collect().toSet
+    } finally q.stop()
+    val expected = graft.ops.Events.q123ScdIntervals(spark, dir).collect()
+      .filter(!_.isNullAt(4))
+      .map(r => ClosedRun(r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("streaming contamination-rate monitor equals the batch probe rollup in Complete mode") {
     import org.apache.spark.sql.functions.{col, count, lit, sum, when}
     import org.apache.spark.sql.streaming.Trigger
