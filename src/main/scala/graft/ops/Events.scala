@@ -445,7 +445,7 @@ object Events {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     r AS (
       SELECT user_id, event_type, eps,
-        sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id -- guard:ok internal run key, CAST AS INTEGER at output
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
       FROM e),
     runs AS (
