@@ -539,7 +539,12 @@ object SkewReport {
       val resolved = df.columns.filter(_.equalsIgnoreCase(a("key")))
       require(resolved.nonEmpty,
         s"column ${a("key")} not in ${df.columns.mkString(", ")}")
-      try graft.ops.Profiling.skewReportOn(df, col(resolved.head).cast("string"))
+      // backtick-quote (doubling embedded backticks, Profiling.quoted's
+      // idiom): col() parses dots as nested-field access, so a parquet
+      // column literally named "user.id" would pass the guard above yet
+      // misresolve — the quoted form always means the top-level column
+      val quotedKey = "`" + resolved.head.replace("`", "``") + "`"
+      try graft.ops.Profiling.skewReportOn(df, col(quotedKey).cast("string"))
         .coalesce(1).write.mode("overwrite").parquet(a("output"))
       finally graft.CachedFrames.drain() // track/drain contract (CachedFrames)
     }

@@ -244,7 +244,10 @@ object Events {
     * `week_offset` weeks later, plus the classic retention rate. THE
     * product-analytics staple the event surface was missing next to
     * funnel (q66) and attribution (q64). Weeks are epoch-week integers
-    * (eps DIV 604800) — no calendar/timezone arithmetic to diverge on.
+    * (floor(eps / 604800) — FLOOR division, so pre-epoch timestamps land
+    * on the same week in Spark, in the DuckDB oracle's `//`, and in the
+    * streaming twin's `Math.floorDiv`) — no calendar/timezone arithmetic
+    * to diverge on.
     *
     * Scale shape: ONE corpus-sized exchange — the per-user groupBy whose
     * `collect_set(wk)` state is bounded by the number of distinct weeks a
@@ -265,7 +268,12 @@ object Events {
     val per = graft.CachedFrames.track(
       events
         .filter(col("user_id").isNotNull)
-        .select(col("user_id"), expr("unix_timestamp(ts) DIV 604800").as("wk"))
+        // floor (not DIV's truncate-toward-zero): pre-epoch timestamps must
+        // land on the same week as the DuckDB oracle's `//` and the
+        // streaming twin's Math.floorDiv (EventStreams.scala)
+        .select(col("user_id"),
+          expr("CAST(floor(unix_timestamp(ts) / 604800.0D) AS BIGINT)")
+            .as("wk"))
         .groupBy(col("user_id"))
         .agg(min(col("wk")).as("cohort_wk"), collect_set(col("wk")).as("wks")))
     val cells = per
@@ -327,9 +335,14 @@ object Events {
       // bucket, so every counted row lands inside the fixed vector and the
       // day's probabilities always sum to 1
       .filter(col("value").isNotNull)
-      .select(expr("unix_timestamp(ts) DIV 86400").as("day"),
-        expr(s"greatest(least(CAST(floor(value / $DriftWidth) AS INT), " +
-          s"${DriftBuckets - 1}), 0)").as("bucket"))
+      // day key floors (not DIV's truncate-toward-zero) so pre-epoch
+      // timestamps agree with the oracle's `//`; the bucket clamps BEFORE
+      // the INT cast — Spark saturates an overflowing double→INT cast while
+      // DuckDB errors, so the cast must only ever see an in-range value
+      .select(expr("CAST(floor(unix_timestamp(ts) / 86400.0D) AS BIGINT)")
+          .as("day"),
+        expr(s"CAST(greatest(least(floor(value / $DriftWidth), " +
+          s"${DriftBuckets - 1}.0D), 0.0D) AS INT)").as("bucket"))
       .groupBy(col("day"), col("bucket")).agg(count(lit(1)).as("n"))
 
   /** Phase 2 — calendar-bounded finalization: dense vectors, the
@@ -359,8 +372,8 @@ object Events {
   val q108ValueDriftSql: String = s"""
     WITH c AS (
       SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
-        greatest(least(CAST(floor(value / $DriftWidth) AS INTEGER),
-                       ${DriftBuckets - 1}), 0) AS bucket,
+        CAST(greatest(least(floor(value / $DriftWidth),
+                            ${DriftBuckets - 1}.0), 0.0) AS INTEGER) AS bucket,
         count(*) AS n
       FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
     tot AS (SELECT day, CAST(sum(n) AS BIGINT) AS n_events FROM c GROUP BY 1),
