@@ -1780,4 +1780,200 @@ object Embeddings {
         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC) AS rrk
       FROM rer) WHERE rrk <= 3
   """
+
+  /** q125: K-NEAREST-NEIGHBOR CLASSIFICATION — leave-one-out majority vote
+    * of the [[DefaultAnn.topK]] nearest neighbors' labels per query vector
+    * (ties break by label ascending — a total order), with the truth column
+    * alongside. The standard embedding-space auto-labeler: given a seed set
+    * of labeled vectors, label the rest by their neighborhood — and, run
+    * leave-one-out over the seed set itself as here, the standard measured
+    * health check of the label geometry before trusting it.
+    *
+    * Scale shape: the neighbor list is the RETRIEVAL layer's output — here
+    * the q29 brute pass (bounded query batch, the oracle-cost contract);
+    * production swaps in the IVF/PQ candidate generator (q46/q83) and the
+    * plan below is unchanged: the label join broadcasts the (vec_id, label)
+    * dimension, the vote is a k-row-per-query map-side-combinable rollup,
+    * and the winner is one WindowGroupLimit over ≤ queries × labels rows.
+    * Nothing downstream of retrieval ever touches the corpus. */
+  def q125KnnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = Tables.parallelized(Tables(spark, sfDir, "embeddings"))
+      .select(col("vec_id"), col("label"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("n_votes").desc, col("clabel").asc)
+    q29KnnBrute(spark, sfDir)
+      .join(broadcast(labels.select(col("vec_id").as("id2"),
+        col("label").as("clabel"))), Seq("id2"))
+      .groupBy(col("id1").as("qid"), col("clabel"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(broadcast(labels.select(col("vec_id").as("qid"),
+        col("label").as("true_label"))), Seq("qid"))
+      .select(col("qid"), col("true_label"), col("clabel").as("pred_label"),
+        col("n_votes"), (col("clabel") === col("true_label")).as("correct"))
+  }
+
+  val q125KnnClassifySql: String = s"""
+    WITH nb AS (
+      SELECT id1, id2 FROM ($q29KnnBruteSql)),
+    v AS (
+      SELECT nb.id1 AS qid, e.label AS clabel, count(*) AS n_votes
+      FROM nb JOIN embeddings e ON nb.id2 = e.vec_id
+      GROUP BY 1, 2),
+    wn AS (
+      SELECT qid, clabel, n_votes,
+        row_number() OVER (PARTITION BY qid
+          ORDER BY n_votes DESC, clabel ASC) AS rk
+      FROM v)
+    SELECT w.qid, e.label AS true_label, w.clabel AS pred_label, w.n_votes,
+      w.clabel = e.label AS correct
+    FROM wn w JOIN embeddings e ON w.qid = e.vec_id
+    WHERE w.rk = 1
+  """
+
+  /** q128 tuning: greedy rounds AFTER the seed — coreset size is
+    * [[CoresetRounds]] + 1. */
+  val CoresetRounds = 8
+
+  /** q128: K-CENTER CORESET selection (greedy farthest-point traversal,
+    * Gonzalez 1985; the data-selection shape of Sener & Savarese 2018) —
+    * starting from the lowest vec_id, repeatedly pick the vector FARTHEST
+    * (max cosine distance) from everything chosen so far. The selected
+    * rows, in order, with each pick's distance-at-selection: a monotone
+    * non-increasing sequence that IS the covering-radius curve — the
+    * "how much of the space do N exemplars cover" report a data-pruning
+    * pipeline reads before fixing its budget.
+    *
+    * Scale shape: the classic incremental formulation — ONE cached corpus
+    * frame; each round updates the running min-distance with a single
+    * `least(md, dist-to-newest-center)` column (distance to the ONE new
+    * center, not the whole chosen set) and takes the argmax via
+    * TakeOrderedAndProject. Per-round driver traffic is exactly one row
+    * (the chosen center's vector — the q97 bounded-argmax contract), so R
+    * rounds cost R corpus passes over the cached frame and R single-row
+    * collects; no pairwise distance matrix ever exists. Distances are the
+    * fixed-order dot-product fold, so the oracle (same chain, unrolled
+    * CTEs) matches bitwise. */
+  def q128KcenterCoreset(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = graft.CachedFrames.track(
+      vecs(spark, sfDir).select(col("vec_id"), col("v"), col("nrm")))
+    def distTo(cv: Seq[Double], cn: Double) =
+      lit(1.0) - dot(col("v"), typedLit(cv)) / (col("nrm") * lit(cn))
+    // Row-stored arrays come back as mutable.ArraySeq — normalize once
+    def vecOf(r: org.apache.spark.sql.Row): Seq[Double] =
+      r.getAs[scala.collection.Seq[Double]]("v").toSeq
+    val seed = base.orderBy(col("vec_id").asc).limit(1).collect()(0)
+    var chosenIds = List(seed.getAs[Long]("vec_id"))
+    var picks = List((0, seed.getAs[Long]("vec_id"), None: Option[Double]))
+    var md = distTo(vecOf(seed), seed.getAs[Double]("nrm"))
+    for (r <- 1 to CoresetRounds) {
+      val c = base.filter(!col("vec_id").isin(chosenIds: _*))
+        .select(col("vec_id"), col("v"), col("nrm"), md.as("md"))
+        .orderBy(col("md").desc, col("vec_id").asc).limit(1).collect()(0)
+      chosenIds ::= c.getAs[Long]("vec_id")
+      picks ::= ((r, c.getAs[Long]("vec_id"), Some(c.getAs[Double]("md"))))
+      md = least(md, distTo(vecOf(c), c.getAs[Double]("nrm")))
+    }
+    import spark.implicits._
+    picks.reverse.toDF("sel_round", "vec_id", "cov_dist")
+  }
+
+  /** The q128 oracle derives the identical chain: round k's min-distance
+    * frame is round k−1's, `least`-folded with the distance to round k−1's
+    * pick — same association order as the Spark column, so every distance
+    * is bitwise-equal. */
+  val q128KcenterCoresetSql: String = {
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(0.0::DOUBLE,
+         |  list_transform(list_zip($a, $b), z -> z[1] * z[2])),
+         |  (acc, x) -> acc + x)""".stripMargin
+    val rounds = (1 to CoresetRounds).map { k =>
+      val (prev, sel) = (if (k == 1) "d1" else s"d$k", s"s$k")
+      val mk = if (k == 1)
+        s"""d1 AS (
+           |  SELECT b.vec_id, b.v, b.nrm,
+           |    1.0 - ${dot("b.v", "c.v")} / (b.nrm * c.nrm) AS md
+           |  FROM base b, c0 c WHERE b.vec_id <> c.vec_id),""".stripMargin
+      else
+        s"""d$k AS (
+           |  SELECT d.vec_id, d.v, d.nrm,
+           |    least(d.md, 1.0 - ${dot("d.v", "s.v")} / (d.nrm * s.nrm)) AS md
+           |  FROM d${k - 1} d, s${k - 1} s WHERE d.vec_id <> s.vec_id),""".stripMargin
+      s"""$mk
+         |$sel AS (
+         |  SELECT vec_id, v, nrm, md FROM $prev
+         |  ORDER BY md DESC, vec_id ASC LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to CoresetRounds)
+      .map(k => s"SELECT $k AS sel_round, vec_id, md AS cov_dist FROM s$k")
+      .mkString("\n    UNION ALL ")
+    s"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+        sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(list_transform(embedding, x -> x::DOUBLE),
+            x -> x * x)), (acc, x) -> acc + x)) AS nrm
+      FROM embeddings),
+    c0 AS (SELECT vec_id, v, nrm FROM base ORDER BY vec_id ASC LIMIT 1),
+    $rounds
+    SELECT CAST(sel_round AS INTEGER) AS sel_round, vec_id, cov_dist FROM (
+      SELECT 0 AS sel_round, vec_id, CAST(NULL AS DOUBLE) AS cov_dist FROM c0
+      UNION ALL $out)
+    """
+  }
+
+  /** q130 fixed-point grain: component values land on a 1e-5 lattice, so
+    * per-dimension sums are exact BIGINTs (and small enough that the
+    * BIGINT→DOUBLE casts below are exact — see the scaladoc). */
+  private val DimStatsScale = 1e5
+
+  /** q130: per-DIMENSION embedding statistics — n/mean/variance for each of
+    * the [[Dim]] components, the embedding-health report (dead dimensions,
+    * runaway dimensions, mis-scaled encoders) a vector pipeline runs before
+    * trusting any distance in qs 29-89. Components quantize to a 1e-5
+    * lattice first, so the cross-row sums are order-insensitive BIGINTs —
+    * the q31 fixed-point idiom with integer sums of squares — and
+    * mean/variance are then derived by IEEE ops on exactly-cast inputs
+    * (sums stay far below 2^53 at every test SF), bitwise-portable.
+    *
+    * Scale shape: ONE corpus scan, one posexplode bounded by rows × [[Dim]],
+    * a map-side-combinable groupBy collapsing to exactly [[Dim]] rows.
+    * BIGINT headroom at 100 TB: |x| ≲ 10 ⇒ x²-scaled terms ≲ 1e12, so ~1e6
+    * rows per partial before a BIGINT could overflow — the DECIMAL(38,0)
+    * variant of q31 is the swap-in if an encoder emits larger components. */
+  def q130DimStats(spark: SparkSession, sfDir: String): DataFrame =
+    vecs(spark, sfDir)
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        expr(s"CAST(floor(x * $DimStatsScale) AS BIGINT)").as("s"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("s1"),
+        sum(col("s") * col("s")).as("s2"))
+      .withColumn("mean_x",
+        col("s1").cast("double") / (lit(DimStatsScale) * col("n").cast("double")))
+      .withColumn("var_x",
+        col("s2").cast("double")
+          / (lit(DimStatsScale * DimStatsScale) * col("n").cast("double"))
+          - col("mean_x") * col("mean_x"))
+      .select(col("dim"), col("n"), col("s1"), col("s2"), col("mean_x"),
+        col("var_x"))
+
+  val q130DimStatsSql: String = s"""
+    WITH ax AS (
+      SELECT CAST(i.idx - 1 AS INTEGER) AS dim,
+        CAST(floor(embedding[i.idx]::DOUBLE * $DimStatsScale) AS BIGINT) AS s
+      FROM embeddings,
+        LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS idx) i)
+    SELECT dim, count(*) AS n,
+      CAST(sum(s) AS BIGINT) AS s1, CAST(sum(s * s) AS BIGINT) AS s2,
+      CAST(sum(s) AS BIGINT)::DOUBLE / ($DimStatsScale * count(*)::DOUBLE)
+        AS mean_x,
+      CAST(sum(s * s) AS BIGINT)::DOUBLE
+          / ($DimStatsScale * $DimStatsScale * count(*)::DOUBLE)
+        - (CAST(sum(s) AS BIGINT)::DOUBLE / ($DimStatsScale * count(*)::DOUBLE))
+          * (CAST(sum(s) AS BIGINT)::DOUBLE / ($DimStatsScale * count(*)::DOUBLE))
+        AS var_x
+    FROM ax GROUP BY dim
+  """
 }

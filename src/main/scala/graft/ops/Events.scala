@@ -512,4 +512,76 @@ object Events {
     ORDER BY n DESC, path ASC
     LIMIT $PathTopK
   """
+
+  /** q126 tuning: trailing window size, the minimum history before a
+    * verdict, and the squared z-score cut (9 = |z| > 3). */
+  val AnomalyWin = 20
+  val AnomalyMinPrior = 5
+  val AnomalyZ2 = 9L
+
+  /** q126: ROLLING per-user ANOMALY flags — an event is anomalous when its
+    * value sits more than 3 sigma from the mean of that user's previous
+    * [[AnomalyWin]] values (at least [[AnomalyMinPrior]] of history; the
+    * window EXCLUDES the current row, so a spike can't vouch for itself).
+    * The per-entity outlier monitor next to q108's corpus-level drift.
+    *
+    * Exactness contract: values quantize to integer cents
+    * (floor(v·100 + ½) — two IEEE ops, both engines identical), and the
+    * 3-sigma test is cross-multiplied into pure integer arithmetic:
+    *   (n·x − Σv)² > 9·(n·Σv² − (Σv)²)
+    * — no square root, no division, no float accumulation, so the flag set
+    * is bitwise-portable. Only the reported window mean divides (one exact
+    * cast, one IEEE division).
+    *
+    * Scale shape: one user-keyed exchange; the analytic window is
+    * ROWS-bounded ([[AnomalyWin]] preceding), so Spark's WindowExec keeps
+    * O(window) state per user — no per-user materialization, no global
+    * sort. The streaming twin ([[graft.streaming.EventStreams]]) carries
+    * the same window as ≤ [[AnomalyWin]] Longs of keyed state. */
+  def q126RollingAnomaly(spark: SparkSession, sfDir: String): DataFrame =
+    rollingAnomalyOn(Tables(spark, sfDir, "events"))
+
+  private[graft] def rollingAnomalyOn(events: DataFrame): DataFrame = {
+    val wnd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-AnomalyWin, -1)
+    events
+      .filter(col("value").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_timestamp(col("ts")).as("eps"),
+        expr("CAST(floor(value * 100.0D + 0.5D) AS BIGINT)").as("cents"))
+      .withColumn("n_win", count(col("cents")).over(wnd))
+      .withColumn("s1", sum(col("cents")).over(wnd))
+      .withColumn("s2", sum(col("cents") * col("cents")).over(wnd))
+      .filter(col("n_win") >= AnomalyMinPrior &&
+        (col("n_win") * col("cents") - col("s1"))
+          * (col("n_win") * col("cents") - col("s1"))
+          > lit(AnomalyZ2) * (col("n_win") * col("s2") - col("s1") * col("s1")))
+      .select(col("user_id"), col("event_id"), col("eps"), col("cents"),
+        col("n_win"),
+        (col("s1").cast("double") / (lit(100.0) * col("n_win").cast("double")))
+          .as("mean_w"))
+  }
+
+  val q126RollingAnomalySql: String = s"""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+        CAST(floor(epoch(ts)) AS BIGINT) AS eps,
+        CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+    w AS (
+      SELECT user_id, event_id, eps, cents,
+        count(cents) OVER wnd AS n_win,
+        CAST(sum(cents) OVER wnd AS BIGINT) AS s1,
+        CAST(sum(cents * cents) OVER wnd AS BIGINT) AS s2
+      FROM e
+      WINDOW wnd AS (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN $AnomalyWin PRECEDING AND 1 PRECEDING))
+    SELECT user_id, event_id, eps, cents, n_win,
+      CAST(s1 AS DOUBLE) / (100.0 * CAST(n_win AS DOUBLE)) AS mean_w
+    FROM w
+    WHERE n_win >= $AnomalyMinPrior
+      AND (n_win * cents - s1) * (n_win * cents - s1)
+        > $AnomalyZ2 * (n_win * s2 - s1 * s1)
+  """
 }

@@ -2711,4 +2711,145 @@ object TextOps {
       w.votes AS n_votes, w.src_lang = d.lang AS correct
     FROM winner w JOIN documents d ON w.dst = d.doc_id
   """
+
+  /** q127 tuning: fixed-point rank scale and iteration count. Three damped
+    * rounds on a near-dup graph is past the knee — the graph's components
+    * are tiny (near-dup clusters), so ranks stabilize almost immediately. */
+  val PageRankScale = 1000000000000L
+  val PageRankRounds = 3
+
+  /** q127: PAGERANK centrality over the winnowing-containment near-dup
+    * graph (q68's edges, symmetrized) — [[PageRankRounds]] damped rounds
+    * (d = 0.85). On a dedup graph the stationary mass concentrates on the
+    * TEMPLATES: the documents many others partially contain — exactly the
+    * boilerplate/mirror hubs a curation run wants surfaced (removing the
+    * hub kills the most duplication per deletion; q121 votes along the same
+    * edges, this ranks them).
+    *
+    * Exactness contract: ranks are fixed-point BIGINTs at [[PageRankScale]];
+    * every step is integer floor arithmetic (contribution = rank DIV degree,
+    * damping = (85·Σ) DIV 100, teleport = 15·S DIV (100·N)) over
+    * non-negative values, so Spark's `DIV` and DuckDB's `//` agree bitwise
+    * and no float ever accumulates. The one reported double is a single
+    * exact-cast division at output.
+    *
+    * Scale shape: each round is one broadcast-eligible degree join + one
+    * edge-keyed aggregation with map-side combine — the canonical
+    * iterate-on-the-edge-list plan, Σ work = rounds × |edges|, never
+    * corpus-quadratic (the edge generator is q68's DF-capped posting join).
+    * The node count rides a 1-row broadcast; no driver-side loop state. */
+  def q127Pagerank(spark: SparkSession, sfDir: String): DataFrame =
+    pagerankOn(q68Containment(spark, sfDir).select(col("id1"), col("id2")))
+
+  /** The iteration core over ANY undirected (id1, id2) edge frame —
+    * fixture-testable. */
+  private[graft] def pagerankOn(pairs: DataFrame): DataFrame = {
+    val s = PageRankScale
+    val edges = graft.CachedFrames.track(
+      pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst"))))
+    val deg = graft.CachedFrames.track(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val nn = deg.agg(count(lit(1)).as("nn"))
+    val degN = deg.select(col("src").as("node"), col("deg"))
+    var rk = deg.select(col("src").as("node")).crossJoin(broadcast(nn))
+      .select(col("node"), col("nn"), expr(s"$s DIV nn").as("r"))
+    for (_ <- 1 to PageRankRounds) {
+      val contrib = rk.join(degN, Seq("node"))
+        .select(col("node").as("src"), expr("r DIV deg").as("c"))
+      val inSum = edges.join(contrib, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_c"))
+        .select(col("dst").as("node"), col("in_c"))
+      rk = rk.drop("r").join(inSum, Seq("node"))
+        .select(col("node"), col("nn"),
+          expr(s"(15 * $s) DIV (100 * nn) + (85 * in_c) DIV 100").as("r"))
+    }
+    rk.select(col("node").as("doc_id"), col("r").as("rank_i"),
+      (col("r").cast("double") / lit(1.0e12)).as("rank"))
+  }
+
+  /** The q127 oracle unrolls the identical integer rounds. */
+  val q127PagerankSql: String = {
+    val s = PageRankScale
+    val rounds = (1 to PageRankRounds).map { k =>
+      s"""c$k AS (
+         |  SELECT r.node AS src, r.r // d.deg AS c
+         |  FROM r${k - 1} r JOIN deg d ON r.node = d.src),
+         |r$k AS (
+         |  SELECT e.dst AS node, nn.nn,
+         |    (15 * $s) // (100 * nn.nn) + (85 * sum(c.c)) // 100 AS r
+         |  FROM e JOIN c$k c ON e.src = c.src, nn
+         |  GROUP BY e.dst, nn.nn)""".stripMargin
+    }.mkString(",\n")
+    s"""
+    WITH pairs AS (SELECT id1, id2 FROM ($q68ContainmentSql)),
+    e AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION ALL
+      SELECT id2 AS src, id1 AS dst FROM pairs),
+    deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+    nn AS (SELECT count(*) AS nn FROM deg),
+    r0 AS (SELECT d.src AS node, nn.nn, $s // nn.nn AS r FROM deg d, nn),
+    $rounds
+    SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_i,
+      CAST(r AS DOUBLE) / 1e12 AS rank
+    FROM r$PageRankRounds
+    """
+  }
+
+  /** q129: per-source QUANTILE NORMALIZATION of the quality score — each
+    * document's score replaced by its percentile WITHIN ITS SOURCE
+    * ((rank−1)/(n−1); a single-doc source pins to 0.5). The cross-source
+    * calibration move: raw quality scores are not comparable across sources
+    * (different length/punctuation priors — visible in q72's drift table),
+    * so a global "keep the top X%" threshold over raw scores silently
+    * over-prunes some sources; rank-normalize first and one global cut
+    * means the same thing everywhere. Ranks are integers and the percentile
+    * is one exact-cast IEEE division, so the oracle matches bitwise.
+    *
+    * Scale shape: one source-keyed exchange; the rank is a within-source
+    * sort, the count a same-window aggregate — no global sort, no
+    * corpus-wide collect. A pathologically skewed source (one source =
+    * half the corpus) serializes its own partition — that is what q110's
+    * skew report flags, and the q59 two-phase bucketed prefix-sum is the
+    * drop-in replacement for the window at that extreme. */
+  def q129QuantileNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score").asc, col("doc_id").asc)
+    val cw = Window.partitionBy(col("source"))
+    withQualityStats(Tables(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("source"), col("quality_score"))
+      .withColumn("q_rank", row_number().over(w))
+      .withColumn("n_source", count(lit(1)).over(cw))
+      .withColumn("qnorm",
+        when(col("n_source") === 1, 0.5)
+          .otherwise((col("q_rank") - 1).cast("double")
+            / (col("n_source") - 1).cast("double")))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("q_rank"), col("n_source"), col("qnorm"))
+  }
+
+  val q129QuantileNormalizeSql: String = s"""
+    WITH x AS (
+      SELECT doc_id, source,
+        $nCharsSql AS n_chars_m,
+        $nTokensSql AS n_tokens,
+        CAST(${hitsSql("en")} AS DOUBLE) AS n_stop,
+        $nPunctSql AS n_punct
+      FROM documents),
+    s AS (
+      SELECT doc_id, source, $qualityFromStatsSql AS quality_score FROM x),
+    r AS (
+      SELECT doc_id, source, quality_score,
+        row_number() OVER (PARTITION BY source
+          ORDER BY quality_score ASC, doc_id ASC) AS q_rank,
+        count(*) OVER (PARTITION BY source) AS n_source
+      FROM s)
+    SELECT doc_id, source, quality_score, CAST(q_rank AS INTEGER) AS q_rank,
+      n_source,
+      CASE WHEN n_source = 1 THEN 0.5
+           ELSE CAST(q_rank - 1 AS DOUBLE) / CAST(n_source - 1 AS DOUBLE) END
+        AS qnorm
+    FROM r
+  """
 }

@@ -40,6 +40,22 @@ final case class RunState(run_id: Int, event_type: String,
 final case class ClosedRun(user_id: Long, run_id: Int, event_type: String,
     valid_from_s: Long, valid_to_s: Long, n_events: Long)
 
+/** A (user_id, event) value arrival for the rolling-anomaly gate. `ts_us`
+  * is event time in MICROSECONDS (the batch twin orders by the full `ts`,
+  * so seconds-granularity eps would mis-order same-second events); `eps`
+  * and `cents` are precomputed by the caller with the batch twin's exact
+  * expressions so both faces quantize identically. */
+final case class UserValue(user_id: Long, event_id: Long, ts_us: Long,
+    eps: Long, cents: Long)
+
+/** Keyed rolling-anomaly state: one user's most recent values
+  * (oldest first, at most [[graft.ops.Events.AnomalyWin]] entries). */
+final case class RollingBuffer(cents: Seq[Long])
+
+/** A flagged event from the rolling-anomaly gate — the batch twin's row. */
+final case class AnomalyFlag(user_id: Long, event_id: Long, eps: Long,
+    cents: Long, n_win: Long, mean_w: Double)
+
 /** One changelog row of the streaming retention matrix: add (+1) or
   * retract (−1) one user from a (cohort_wk, week_offset) cell. */
 final case class RetentionDelta(cohort_wk: Long, week_offset: Long, delta: Int)
@@ -276,6 +292,50 @@ object EventStreams {
       out.iterator
     }
     docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming ROLLING-ANOMALY gate — the stream twin of
+    * [[graft.ops.Events.q126RollingAnomaly]]: per user, flag a value more
+    * than 3 sigma from the mean of the previous
+    * [[graft.ops.Events.AnomalyWin]] values (≥
+    * [[graft.ops.Events.AnomalyMinPrior]] of history; the window excludes
+    * the current row). State is ONE bounded ring buffer per user — at most
+    * AnomalyWin Longs — so total state is users × window, never event
+    * volume. The sigma test is the batch twin's cross-multiplied integer
+    * form verbatim, so flags are bitwise-portable.
+    *
+    * Ordering contract ([[sourceQuotaStream]]'s): rows sort by
+    * (ts_us, event_id) within each micro-batch; when batches arrive
+    * time-ordered across boundaries the flag set equals the batch twin
+    * exactly (spec-pinned). Out-of-order arrival across batches degrades
+    * gracefully — each event is judged against the window the monitor had
+    * at arrival, the live-alerting semantics an anomaly sink wants. */
+  def rollingAnomalyStream(events: Dataset[UserValue]): Dataset[AnomalyFlag] = {
+    import events.sparkSession.implicits._
+    val w = graft.ops.Events.AnomalyWin
+    val minP = graft.ops.Events.AnomalyMinPrior
+    val z2 = graft.ops.Events.AnomalyZ2
+    def fn(user: Long, batch: Iterator[UserValue],
+           state: GroupState[RollingBuffer]): Iterator[AnomalyFlag] = {
+      var buf = state.getOption.map(_.cents.toVector).getOrElse(Vector.empty[Long])
+      val out = Vector.newBuilder[AnomalyFlag]
+      batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        val n = buf.size.toLong
+        if (n >= minP) {
+          val s1 = buf.sum
+          val s2 = buf.iterator.map(c => c * c).sum
+          val dev = n * e.cents - s1
+          if (dev * dev > z2 * (n * s2 - s1 * s1))
+            out += AnomalyFlag(user, e.event_id, e.eps, e.cents, n,
+              s1.toDouble / (100.0 * n))
+        }
+        buf = (buf :+ e.cents).takeRight(w)
+      }
+      state.update(RollingBuffer(buf))
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 

@@ -398,4 +398,96 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
         && r.getDouble(3) > 1.0 / (Embeddings.RrfK + r.getInt(5))))
     assert(bestSingle > 0) // keep the constant referenced even if no dual hit at this SF
   }
+
+  /** The library's fold order, in plain JVM form — the independent
+    * reference the q128/q130 exactness specs score against. */
+  private def dotFold(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double =
+    a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+
+  private def collectVecs(sf: String): Map[Long, IndexedSeq[Double]] =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toIndexedSeq)
+      .toMap
+
+  test("q125 kNN classification reproduces an independent majority vote over the brute neighbor lists") {
+    val sf = "/root/testdata/sf0.001"
+    val (nb, labels, got) = try {
+      val nb = Embeddings.q29KnnBrute(spark, sf)
+        .select(col("id1"), col("id2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id"), col("label")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val got = Embeddings.q125KnnClassify(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+          r.getBoolean(4))).toSet
+      (nb, labels, got)
+    } finally graft.CachedFrames.drain()
+    val expected = nb.groupBy(_._1).map { case (qid, rs) =>
+      val votes = rs.map(p => labels(p._2)).groupBy(identity)
+        .map { case (l, xs) => (l, xs.length.toLong) }
+      // majority, ties by label ascending — the declared total order
+      val (pred, n) = votes.toSeq.sortBy { case (l, v) => (-v, l) }.head
+      (qid, labels(qid), pred, n, pred == labels(qid))
+    }.toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // every vote count is within [1, topK]
+    got.foreach { case (_, _, _, n, _) =>
+      assert(n >= 1 && n <= Embeddings.DefaultAnn.topK) }
+  }
+
+  test("q128 k-center picks replay a plain-Scala greedy oracle bitwise; covering radius never increases") {
+    val sf = "/root/testdata/sf0.001"
+    val got = try Embeddings.q128KcenterCoreset(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1)
+      finally graft.CachedFrames.drain()
+    val vs = collectVecs(sf)
+    val nrm = vs.map { case (id, v) => id -> math.sqrt(dotFold(v, v)) }
+    // independent greedy: incremental min-dist with the same fold and the
+    // same least() association order as the Spark column chain
+    var chosen = List(vs.keys.min)
+    var md = (vs.keys.toSeq.filter(_ != chosen.head)).map { id =>
+      id -> (1.0 - dotFold(vs(id), vs(chosen.head)) / (nrm(id) * nrm(chosen.head)))
+    }.toMap
+    var expected = List((0, chosen.head, None: Option[Double]))
+    for (r <- 1 to Embeddings.CoresetRounds) {
+      val (pick, pmd) = md.toSeq.sortBy { case (id, d) => (-d, id) }.head
+      expected ::= ((r, pick, Some(pmd)))
+      chosen ::= pick
+      md = (md - pick).map { case (id, d) =>
+        id -> math.min(d, 1.0 - dotFold(vs(id), vs(pick)) / (nrm(id) * nrm(pick)))
+      }
+    }
+    assert(got.toList === expected.reverse)
+    // greedy farthest-point: the selection distances are non-increasing
+    val ds = got.flatMap(_._3)
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b }, ds.mkString(","))
+    assert(got.map(_._2).distinct.length === got.length)
+  }
+
+  test("q130 per-dimension stats reproduce an exact plain-Scala recomputation") {
+    val sf = "/root/testdata/sf0.001"
+    val got = try Embeddings.q130DimStats(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+      finally graft.CachedFrames.drain()
+    val vs = collectVecs(sf)
+    val dims = vs.values.head.indices
+    assert(got.keySet === dims.toSet)
+    dims.foreach { d =>
+      val ss = vs.values.map(v => math.floor(v(d) * 1e5).toLong)
+      val (n, s1, s2) = (ss.size.toLong, ss.sum, ss.map(s => s * s).sum)
+      val mean = s1.toDouble / (1e5 * n.toDouble)
+      val varx = s2.toDouble / (1e5 * 1e5 * n.toDouble) - mean * mean
+      assert(got(d) === ((n, s1, s2, mean, varx)), s"dim $d")
+      // quantization bound: fixed-point mean is within 1e-5 of the float mean
+      val exactMean = vs.values.map(v => v(d)).sum / n
+      assert(math.abs(mean - exactMean) <= 1e-5, s"dim $d drifted")
+    }
+  }
 }

@@ -132,4 +132,41 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       assert(r.getLong(1) >= 1L)
     }
   }
+
+  test("q126 rolling anomaly: spike flags after warm-up, warm-up never flags, the window excludes the spike itself") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // user 1: six steady 10.00s, then a 50.00 spike, then back to 10.00.
+    // user 2: a wild jump at its SECOND event — history too short to flag.
+    val ev = Seq(
+      (1L, 1L, 0L, 10.0), (1L, 2L, 60L, 10.0), (1L, 3L, 120L, 10.0),
+      (1L, 4L, 180L, 10.0), (1L, 5L, 240L, 10.0), (1L, 6L, 300L, 10.0),
+      (1L, 7L, 360L, 50.0),                     // 6 steady priors -> flag
+      (1L, 8L, 420L, 10.0),                     // spike inflates var -> no flag
+      (2L, 9L, 0L, 10.0), (2L, 10L, 60L, 500.0) // 1 prior < MinPrior -> no flag
+    ).toDF("user_id", "event_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.rollingAnomalyOn(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    graft.CachedFrames.drain()
+    // exactly the spike: 6-row window, mean 10.00; cross-multiplied test is
+    // (6*5000 - 6000)^2 = 5.76e8 > 9 * (6*6e6 - 3.6e7) = 0
+    assert(got.toSeq === Seq((1L, 7L, 360L, 5000L, 6L, 10.0)))
+  }
+
+  test("q126 rolling anomaly: a zero-variance window flags ANY deviation, and the integer test is two-sided") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // five identical values then a DOWNWARD step of one cent: variance 0,
+    // deviation != 0 -> flagged (strict > on the cross-multiplied form)
+    val ev = (1 to 5).map(i => (1L, i.toLong, i * 60L, 2.00))
+      .:+((1L, 6L, 360L, 1.99))
+      .toDF("user_id", "event_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.rollingAnomalyOn(ev).collect()
+    graft.CachedFrames.drain()
+    assert(got.map(_.getLong(1)).toSeq === Seq(6L))
+    assert(got.head.getLong(3) === 199L) // floor(1.99*100 + 0.5)
+  }
 }

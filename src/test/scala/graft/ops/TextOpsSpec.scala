@@ -469,4 +469,55 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
         !r.getAs[Boolean]("exact_flag"))
     }
   }
+
+  test("q127 PageRank replays a plain-Scala integer oracle on a crafted graph; the hub outranks its leaves") {
+    import spark.implicits._
+    // star: hub 1 touches 2,3,4,5; a detached pair 6-7
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (6L, 7L))
+      .toDF("id1", "id2")
+    val got = try TextOps.pagerankOn(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      finally graft.CachedFrames.drain()
+    // independent reference: same fixed-point floor arithmetic, plain Scala
+    val s = TextOps.PageRankScale
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (6L, 7L))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    val nn = deg.size.toLong
+    var r = deg.keys.map(n => n -> s / nn).toMap
+    for (_ <- 1 to TextOps.PageRankRounds) {
+      val contrib = r.map { case (n, v) => n -> v / deg(n) }
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => contrib(e._1)).sum }
+      r = in.map { case (n, c) => n -> ((15L * s) / (100L * nn) + (85L * c) / 100L) }
+    }
+    assert(got.view.mapValues(_._1).toMap === r)
+    got.foreach { case (n, (ri, rd)) => assert(rd === ri.toDouble / 1e12, s"node $n") }
+    // the hub holds the component's mass; its leaves tie below it
+    assert(Seq(2L, 3L, 4L, 5L).forall(l => got(1L)._1 > got(l)._1))
+    assert(got(2L)._1 === got(3L)._1 && got(6L)._1 === got(7L)._1)
+  }
+
+  test("q129 quantile normalization: per-source ranks are a bijection and qnorm is the exact percentile") {
+    val rows = try TextOps.q129QuantileNormalize(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3),
+        r.getLong(4), r.getDouble(5)))
+      finally graft.CachedFrames.drain()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (source, rs) =>
+      // n_source is the group size everywhere; ranks are exactly 1..n in
+      // (quality, doc_id) order; qnorm is (rank-1)/(n-1) and spans [0, 1]
+      assert(rs.forall(_._5 === rs.length.toLong), source)
+      val sorted = rs.sortBy(r => (r._3, r._1))
+      assert(sorted.map(_._4).toSeq === (1 to rs.length), source)
+      sorted.foreach { r =>
+        val expected = if (rs.length == 1) 0.5
+          else (r._4 - 1).toDouble / (rs.length - 1).toDouble
+        assert(r._6 === expected, s"$source doc ${r._1}")
+      }
+      assert(sorted.head._6 === 0.0 || rs.length == 1)
+      assert(sorted.last._6 === 1.0 || rs.length == 1)
+    }
+  }
 }

@@ -76,6 +76,63 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("rolling-anomaly state carries across micro-batches; warm-up never flags") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UserValue]
+    def uv(id: Long, sec: Long, cents: Long) =
+      UserValue(1L, id, sec * 1000000L, sec, cents)
+    val q = EventStreams.rollingAnomalyStream(mem.toDS())
+      .writeStream.format("memory").queryName("anomaly_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: four steady values — under MinPrior, nothing may flag
+      mem.addData(uv(1, 0, 1000), uv(2, 60, 1000), uv(3, 120, 1000),
+        uv(4, 180, 1000))
+      q.processAllAvailable()
+      assert(spark.table("anomaly_stream").count() === 0L)
+      // batch 2: two more steady values, then the spike — the six-value
+      // window only exists if batch 1's buffer was recovered from state
+      mem.addData(uv(5, 240, 1000), uv(6, 300, 1000), uv(7, 360, 5000))
+      q.processAllAvailable()
+      val got = spark.table("anomaly_stream")
+        .as[AnomalyFlag].collect().toSeq
+      assert(got === Seq(AnomalyFlag(1L, 7L, 360L, 5000L, 6L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("rolling-anomaly stream equals the batch q126 twin on time-ordered real events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = graft.Tables.normalizeEventsTs(spark.read.parquet(s"$sf/events.parquet"))
+    // the batch twin's exact quantization, as stream arrivals
+    val arrivals = raw
+      .filter(col("value").isNotNull && col("user_id").isNotNull)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
+        "unix_timestamp(ts) AS eps",
+        "CAST(floor(value * 100.0D + 0.5D) AS BIGINT) AS cents")
+      .as[UserValue].collect().sortBy(e => (e.ts_us, e.event_id))
+    val mem = MemoryStream[UserValue]
+    val q = EventStreams.rollingAnomalyStream(mem.toDS())
+      .writeStream.format("memory").queryName("anomaly_twin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two time-split waves — the ordering contract's in-order arrival
+      val (w1, w2) = arrivals.splitAt(arrivals.length / 2)
+      mem.addData(w1.toSeq: _*); q.processAllAvailable()
+      mem.addData(w2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("anomaly_twin").as[AnomalyFlag].collect().toSet
+      val expected = graft.ops.Events.q126RollingAnomaly(spark, sf).collect()
+        .map(r => AnomalyFlag(r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+      graft.CachedFrames.drain()
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicate keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
