@@ -640,4 +640,42 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "Sort") == 0 || nodes(p, "SortMergeJoin") > 0, p)
     assert(nodes(p, "CartesianProduct") == 0, p)
   }
+
+  test("q125_knn_classify: label joins broadcast, vote combines map-side, " +
+      "winner is a WindowGroupLimit — nothing past retrieval sort-merges") {
+    val p = finalPlan("q125_knn_classify")
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert(p.contains("partial_count"), p) // the per-(query, label) vote
+    assert(p.contains("WindowGroupLimit"), p) // winner cut, not a full sort+filter
+  }
+
+  test("q126_rolling_anomaly: one user exchange, one sort shared by the " +
+      "window passes, null filters pushed to the scan") {
+    val p = finalPlan("q126_rolling_anomaly")
+    assert(nodes(p, "Exchange") == 1, p)
+    assert(nodes(p, "Sort") == 1, p) // both window frames ride one sort
+    assert(p.contains("PushedFilters: [IsNotNull(value), IsNotNull(user_id)]"), p)
+    assert(nodes(p, "SortMergeJoin") == 0 && nodes(p, "CartesianProduct") == 0, p)
+  }
+
+  test("q129_quantile_normalize: one source exchange, one sort under both " +
+      "windows, and the scan reads only the three needed columns") {
+    val p = finalPlan("q129_quantile_normalize")
+    assert(nodes(p, "Exchange") == 1, p)
+    assert(nodes(p, "Sort") == 1, p)
+    assert(nodes(p, "Window") == 2, p) // rank + per-source count, no join-back
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"), p)
+  }
+
+  test("q130_dim_stats: one scan, partial+final aggregation, one exchange " +
+      "bounded by the dimension count") {
+    val p = finalPlan("q130_dim_stats")
+    assert(nodes(p, "HashAggregate") == 2, p)
+    assert(p.contains("partial_sum"), p)
+    // exactly one HASH exchange (64 dim keys); the other is
+    // Tables.parallelized's right-sizing round-robin every embedding op pays
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    assert(nodes(p, "Exchange") == 2, p)
+    assert(nodes(p, "Generate") == 1, p) // the single posexplode
+  }
 }
