@@ -584,4 +584,46 @@ object Events {
       AND (n_win * cents - s1) * (n_win * cents - s1)
         > $AnomalyZ2 * (n_win * s2 - s1 * s1)
   """
+
+  /** q132: MARKOV TRANSITION MATRIX over event types — for every observed
+    * (current → next) pair within a user's (ts, event_id)-ordered stream,
+    * the transition count and conditional probability P(next | current).
+    * The normalized behavior model behind q124's raw path counts: q66
+    * tests one hypothesized order, q124 lists frequent orders, q132 gives
+    * the one-step dynamics (what a session simulator or next-event
+    * predictor consumes). Probabilities are one exact-cast IEEE division
+    * of integer counts — bitwise-portable.
+    *
+    * Scale shape: one user-keyed exchange for the lead() window, then a
+    * map-side-combinable groupBy collapsing the stream to ≤ |types|² rows;
+    * the row-normalization window runs on that types-bounded frame. */
+  def q132MarkovTransitions(spark: SparkSession, sfDir: String): DataFrame =
+    markovTransitionsOn(Tables(spark, sfDir, "events"))
+
+  private[graft] def markovTransitionsOn(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tw = Window.partitionBy(col("cur"))
+    events
+      .withColumn("nxt", lead(col("event_type"), 1).over(byUser))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_cur", sum(col("n")).over(tw))
+      .withColumn("p", col("n").cast("double") / col("n_cur").cast("double"))
+      .select(col("cur"), col("nxt"), col("n"), col("n_cur"), col("p"))
+  }
+
+  val q132MarkovTransitionsSql: String = """
+    WITH t AS (
+      SELECT event_type AS cur, lead(event_type, 1) OVER w AS nxt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    c AS (
+      SELECT cur, nxt, count(*) AS n FROM t WHERE nxt IS NOT NULL GROUP BY 1, 2)
+    SELECT cur, nxt, n,
+      CAST(sum(n) OVER (PARTITION BY cur) AS BIGINT) AS n_cur,
+      CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE) AS p
+    FROM c
+  """
 }

@@ -552,4 +552,95 @@ object NearDup {
              THEN (1::BIGINT << j) ELSE 0 END)) AS INTEGER) AS n_bits
     FROM x
   """
+
+  /** q131 tuning: exact-Jaccard threshold above which a candidate pair is a
+    * clustering edge. */
+  val ConsolidateTau = 0.8
+
+  /** q131: NEAR-DUP CLUSTER CONSOLIDATION — the full MinHash dedup pipeline
+    * closed end to end: LSH candidates (q27) filtered to true-Jaccard ≥
+    * [[ConsolidateTau]] edges, connected components over those edges (the
+    * q49 dual-strategy CC), and ONE kept document per cluster — the
+    * highest [[TextOps.withQualityStats quality score]], ties to the lowest
+    * doc_id (q91's keep-best policy applied to near-dup clusters instead of
+    * exact-digest groups). Every document gets a verdict row: its cluster,
+    * the cluster size, the cluster's keeper, and whether it IS the keeper —
+    * singletons keep themselves (component = own id).
+    *
+    * Scale shape: the candidate generator is the banded equi-join (never
+    * quadratic); CC runs on the FILTERED edge list — output of the
+    * similarity gate, orders of magnitude smaller than the corpus — via
+    * the local union-find / iterative min-label split; and the keeper
+    * election is one component-keyed window over cluster-bounded groups.
+    * The corpus-sized work is exactly two passes: signatures and the
+    * quality projection. */
+  def q131NeardupConsolidate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
+    val scored = TextOps.withQualityStats(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val edges = q27LshPairs(spark, sfDir)
+      .filter(col("true_jaccard") >= ConsolidateTau)
+      .select(col("id1"), col("id2"))
+    consolidateOn(scored, edges)
+  }
+
+  /** The consolidation core over ANY (doc_id, quality_score) frame and
+    * (id1, id2) edge frame — fixture-testable. */
+  private[graft] def consolidateOn(scored: DataFrame,
+      edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = graft.dedup.Clustering.connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("component"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val cw = Window.partitionBy(col("component"))
+    scored.join(cc, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("n_cluster", count(lit(1)).over(cw))
+      .withColumn("keeper_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("component"), col("quality_score"),
+        col("n_cluster"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("keep"))
+  }
+
+  /** The q131 oracle replays the fixpoint with a recursive reachability CTE
+    * (q49's pattern) over the same threshold-filtered candidate pairs. */
+  val q131NeardupConsolidateSql: String = s"""
+    WITH RECURSIVE ${lshCandidateSqlCtes("documents")},
+    jp AS (
+      SELECT p.id1, p.id2
+      FROM pairs p
+      JOIN sig s1 ON p.id1 = s1.doc_id
+      JOIN sig s2 ON p.id2 = s2.doc_id
+      WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+        CAST(len(s1.shingles) + len(s2.shingles)
+             - len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+        >= $ConsolidateTau),
+    e AS (SELECT id1 AS src, id2 AS dst FROM jp UNION SELECT id2, id1 FROM jp),
+    nodesg AS (SELECT DISTINCT src AS id FROM e),
+    reach(a, b) AS (
+      SELECT id, id FROM nodesg
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+    comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+    xq AS (
+      SELECT doc_id,
+        ${TextOps.nCharsSql} AS n_chars_m,
+        ${TextOps.nTokensSql} AS n_tokens,
+        CAST(${TextOps.hitsSql("en")} AS DOUBLE) AS n_stop,
+        ${TextOps.nPunctSql} AS n_punct
+      FROM documents),
+    sq AS (SELECT doc_id, ${TextOps.qualityFromStatsSql} AS quality_score FROM xq),
+    fullt AS (
+      SELECT s.doc_id, coalesce(c.component, s.doc_id) AS component,
+        s.quality_score
+      FROM sq s LEFT JOIN comp c ON s.doc_id = c.doc_id)
+    SELECT doc_id, component, quality_score,
+      count(*) OVER (PARTITION BY component) AS n_cluster,
+      first_value(doc_id) OVER wk AS keeper_id,
+      doc_id = first_value(doc_id) OVER wk AS keep
+    FROM fullt
+    WINDOW wk AS (PARTITION BY component
+      ORDER BY quality_score DESC, doc_id ASC)
+  """
 }

@@ -169,4 +169,25 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_.getLong(1)).toSeq === Seq(6L))
     assert(got.head.getLong(3) === 199L) // floor(1.99*100 + 0.5)
   }
+
+  test("q132 Markov transitions: hand-computed counts and row-normalized probabilities on a crafted stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // user 1: A B A B   -> A>B, B>A, A>B ; user 2: A B -> A>B
+    val ev = Seq(
+      (1L, 1L, 0L, "A"), (1L, 2L, 60L, "B"), (1L, 3L, 120L, "A"),
+      (1L, 4L, 180L, "B"),
+      (2L, 5L, 0L, "A"), (2L, 6L, 60L, "B"))
+      .toDF("user_id", "event_id", "sec", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.markovTransitionsOn(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    graft.CachedFrames.drain()
+    assert(got === Map(
+      ("A", "B") -> ((3L, 3L, 1.0)),  // every A is followed by B
+      ("B", "A") -> ((1L, 1L, 1.0)))) // the one non-terminal B goes back to A
+    // each user's last event produces no transition: 6 events, 4 transitions
+    assert(got.values.map(_._1).sum === 4L)
+  }
 }

@@ -47,4 +47,47 @@ class NearDupSpec extends AnyFunSuite with SparkSpec {
       assert(rows(0.8).getDouble(4) === 1.0)
     } finally graft.CachedFrames.drain()
   }
+
+  test("q131 consolidation core: chains merge into one cluster, the best-quality doc keeps, singletons keep themselves") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.9),  // chain 1-2-3: 2 and 3 tie on quality
+      (4L, 0.1), (5L, 0.7),             // pair 4-5
+      (6L, 0.0)                         // singleton
+    ).toDF("doc_id", "quality_score")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val got = try NearDup.consolidateOn(scored, edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))).toMap
+      finally graft.CachedFrames.drain()
+    // component = min member id; keeper = max quality, ties by lowest id
+    assert(got(1L) === ((1L, 3L, 2L, false)))
+    assert(got(2L) === ((1L, 3L, 2L, true)))   // 0.9 tie -> doc 2 beats doc 3
+    assert(got(3L) === ((1L, 3L, 2L, false)))
+    assert(got(4L) === ((4L, 2L, 5L, false)))
+    assert(got(5L) === ((4L, 2L, 5L, true)))
+    assert(got(6L) === ((6L, 1L, 6L, true)))   // singleton keeps itself
+  }
+
+  test("q131 end to end: exactly one keeper per cluster, keepers maximize quality, verdicts cover every document") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = try NearDup.q131NeardupConsolidate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+      finally graft.CachedFrames.drain()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length.toLong === nDocs) // a verdict for every document
+    rows.groupBy(_._2).foreach { case (comp, rs) =>
+      assert(rs.count(_._6) === 1, s"cluster $comp")
+      assert(rs.forall(_._4 === rs.length.toLong), s"cluster $comp size")
+      val keeper = rs.find(_._6).get
+      // keeper maximizes (quality, then lowest id) over the cluster
+      assert(rs.forall(r => r._3 < keeper._3 ||
+        (r._3 == keeper._3 && r._1 >= keeper._1)), s"cluster $comp keeper")
+      assert(rs.forall(_._5 === keeper._1), s"cluster $comp keeper id")
+      assert(comp === rs.map(_._1).min, s"cluster $comp is min member id")
+    }
+    // the planted near-dups produce at least one multi-doc cluster
+    assert(rows.exists(_._4 > 1L))
+  }
 }
