@@ -626,4 +626,71 @@ object Events {
       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE) AS p
     FROM c
   """
+
+  /** q134 tuning: quantile buckets per RFM dimension. */
+  val RfmBuckets = 5
+
+  /** q134: RFM SEGMENTATION — each user scored 1–[[RfmBuckets]] on Recency
+    * (last event time), Frequency (event count) and Monetary (value sum,
+    * integer cents), by ntile over a (metric, user_id) TOTAL order; higher
+    * score = more recent / more active / more spend. The classic
+    * product-analytics segmentation next to q102's retention — "534" reads
+    * as churn-risk big spender. The ntile boundaries are rank arithmetic
+    * over a total order, so both engines cut identically; the only
+    * non-integer never exists — every output column is exact.
+    *
+    * Scale shape: events collapse FIRST to one row per user (map-side
+    * combinable rollup; the cents idiom keeps the money sum exact), and
+    * the three ntile windows run over that |users|-bounded frame — the
+    * global sorts are on user rollups, never events. A user base too big
+    * for a single-partition sort swaps in the q59 two-phase bucketed rank
+    * per metric (same cuts, distributed). */
+  def q134RfmSegments(spark: SparkSession, sfDir: String): DataFrame =
+    rfmOn(Tables(spark, sfDir, "events"))
+
+  private[graft] def rfmOn(events: DataFrame): DataFrame = {
+    val per = events
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("eps"),
+        expr("CAST(floor(value * 100.0D + 0.5D) AS BIGINT)").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(max(col("eps")).as("last_eps"), count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"))
+    val rw = Window.orderBy(col("last_eps").asc, col("user_id").asc)
+    val fw = Window.orderBy(col("n_events").asc, col("user_id").asc)
+    val mw = Window.orderBy(col("sum_cents").asc, col("user_id").asc)
+    per
+      .withColumn("r_score", ntile(RfmBuckets).over(rw))
+      .withColumn("f_score", ntile(RfmBuckets).over(fw))
+      .withColumn("m_score", ntile(RfmBuckets).over(mw))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .select(col("user_id"), col("last_eps"), col("n_events"),
+        col("sum_cents"), col("r_score"), col("f_score"), col("m_score"),
+        col("rfm"))
+  }
+
+  val q134RfmSegmentsSql: String = s"""
+    WITH per AS (
+      SELECT user_id,
+        max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_eps,
+        count(*) AS n_events,
+        CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+          AS sum_cents
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1),
+    scored AS (
+      SELECT user_id, last_eps, n_events, sum_cents,
+        CAST(ntile($RfmBuckets) OVER (ORDER BY last_eps ASC, user_id ASC)
+          AS INTEGER) AS r_score,
+        CAST(ntile($RfmBuckets) OVER (ORDER BY n_events ASC, user_id ASC)
+          AS INTEGER) AS f_score,
+        CAST(ntile($RfmBuckets) OVER (ORDER BY sum_cents ASC, user_id ASC)
+          AS INTEGER) AS m_score
+      FROM per)
+    SELECT user_id, last_eps, n_events, sum_cents, r_score, f_score, m_score,
+      r_score * 100 + f_score * 10 + m_score AS rfm
+    FROM scored
+  """
 }

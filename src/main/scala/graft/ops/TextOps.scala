@@ -2777,7 +2777,7 @@ object TextOps {
          |  FROM r${k - 1} r JOIN deg d ON r.node = d.src),
          |r$k AS (
          |  SELECT e.dst AS node, nn.nn,
-         |    (15 * $s) // (100 * nn.nn) + (85 * sum(c.c)) // 100 AS r
+         |    (15 * $s) // (100 * nn.nn) + (85 * sum(c.c)) // 100 AS r -- guard:ok internal round rank, CAST AS BIGINT at output
          |  FROM e JOIN c$k c ON e.src = c.src, nn
          |  GROUP BY e.dst, nn.nn)""".stripMargin
     }.mkString(",\n")
@@ -2851,5 +2851,78 @@ object TextOps {
            ELSE CAST(q_rank - 1 AS DOUBLE) / CAST(n_source - 1 AS DOUBLE) END
         AS qnorm
     FROM r
+  """
+
+  /** q133 tuning: minimum bigram support and the leaderboard depth. */
+  val PmiMinSupport = 5L
+  val PmiTopK = 20
+
+  /** q133: PMI COLLOCATIONS — the [[PmiTopK]] adjacent token pairs with the
+    * highest pointwise-mutual-information LIFT, p(xy)/(p(x)·p(y)) =
+    * n_xy·N² / (B·n_x·n_y), at support ≥ [[PmiMinSupport]]. The classic
+    * collocation miner (Church & Hanks 1990): pairs that co-occur far more
+    * than their unigram frequencies predict — multi-word entities, fixed
+    * phrases, segmentation candidates for a tokenizer. Reporting LIFT
+    * instead of log-PMI keeps the score one division of exactly-derived
+    * doubles (same fixed operation order in both engines) — the q92 ln-free
+    * move; log is monotone, so the ranking is PMI's ranking.
+    *
+    * Scale shape: ONE cached tokens frame feeds the unigram counts, the
+    * totals and the bigram counts (all map-side-combinable); the
+    * min-support filter runs BEFORE the two unigram join-backs, so the
+    * joins carry only surviving pairs, and the totals ride a 1-row
+    * broadcast. The leaderboard is a TakeOrderedAndProject. */
+  def q133PmiPairs(spark: SparkSession, sfDir: String): DataFrame =
+    pmiPairsOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+
+  private[graft] def pmiPairsOn(docs: DataFrame): DataFrame = {
+    val toks = graft.CachedFrames.track(
+      docs.select(expr("""split(trim(text), '\\s+')""").as("toks")))
+    val stream = toks.select(col("toks"), posexplode(col("toks")).as(Seq("i", "w")))
+    val uni = stream.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = stream.agg(count(lit(1)).as("n_tok"),
+      sum(when(col("i") >= 1, 1L).otherwise(0L)).as("n_big"))
+    stream.filter(col("i") >= 1)
+      .select(expr("toks[i - 1]").as("w1"), col("w").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= PmiMinSupport)
+      .join(uni.select(col("w").as("w1"), col("c").as("n_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("n_y")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift",
+        col("n_xy").cast("double") * col("n_tok").cast("double")
+          * col("n_tok").cast("double")
+          / (col("n_big").cast("double") * col("n_x").cast("double")
+            * col("n_y").cast("double")))
+      .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
+        col("lift"))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(PmiTopK)
+  }
+
+  val q133PmiPairsSql: String = s"""
+    WITH t AS (
+      SELECT regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+    st AS (
+      SELECT tk, i.idx - 1 AS i, tk[i.idx] AS w
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS idx) i),
+    uni AS (SELECT w, count(*) AS c FROM st GROUP BY 1),
+    tot AS (
+      SELECT count(*) AS n_tok,
+        CAST(sum(CASE WHEN i >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+      FROM st),
+    big AS (
+      SELECT tk[i] AS w1, w AS w2, count(*) AS n_xy
+      FROM st WHERE i >= 1 GROUP BY 1, 2
+      HAVING count(*) >= $PmiMinSupport)
+    SELECT b.w1, b.w2, b.n_xy, x.c AS n_x, y.c AS n_y,
+      CAST(b.n_xy AS DOUBLE) * CAST(t2.n_tok AS DOUBLE) * CAST(t2.n_tok AS DOUBLE)
+        / (CAST(t2.n_big AS DOUBLE) * CAST(x.c AS DOUBLE) * CAST(y.c AS DOUBLE))
+        AS lift
+    FROM big b
+    JOIN uni x ON b.w1 = x.w
+    JOIN uni y ON b.w2 = y.w, tot t2
+    ORDER BY lift DESC, w1 ASC, w2 ASC
+    LIMIT $PmiTopK
   """
 }

@@ -190,4 +190,29 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     // each user's last event produces no transition: 6 events, 4 transitions
     assert(got.values.map(_._1).sum === 4L)
   }
+
+  test("q134 RFM: hand-checked quintiles on ten crafted users, exact money sums, null rows excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // user u (1..10): last event at u*100 s, u events, each worth u dollars
+    // -> every dimension orders users 1..10 identically; ntile(5) over 10
+    // rows = 2 per bucket, so scores are ceil(u/2) across all three
+    val rows = (1L to 10L).flatMap { u =>
+      (1L to u).map(i => (Option(u), u * 100L + i, Option(u.toDouble)))
+    } :+ ((Option.empty[Long], 1L, Option(9.0))) :+ ((Option(1L), 2L, Option.empty[Double]))
+    val ev = rows.zipWithIndex
+      .map { case ((uid, sec, v), i) => (uid, i.toLong + 1L, sec, v) }
+      .toDF("user_id", "event_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.rfmOn(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))).toMap
+    graft.CachedFrames.drain()
+    assert(got.keySet === (1L to 10L).toSet) // the null rows contributed nothing
+    (1L to 10L).foreach { u =>
+      val s = ((u + 1) / 2).toInt
+      assert(got(u) === ((u * 100L + u, u, u * u * 100L, s, s, s,
+        s * 100 + s * 10 + s)), s"user $u")
+    }
+  }
 }

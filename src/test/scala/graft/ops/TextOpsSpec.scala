@@ -520,4 +520,36 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       assert(sorted.last._6 === 1.0 || rs.length == 1)
     }
   }
+
+  test("q133 PMI pairs reproduce a plain-Scala recomputation of counts and lift on the real corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val got = try TextOps.q133PmiPairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      finally graft.CachedFrames.drain()
+    // independent oracle: whitespace tokens, adjacent bigrams, the same
+    // left-associated lift arithmetic
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val docToks = texts.map(t => t.trim.split("\\s+").toSeq)
+    val uni = docToks.flatten.groupBy(identity)
+      .map { case (w, xs) => w -> xs.length.toLong }
+    val bigs = docToks.flatMap(ts => ts.zip(ts.drop(1)))
+    val big = bigs.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val nTok = docToks.map(_.length.toLong).sum
+    val nBig = bigs.length.toLong
+    val expected = big.toSeq
+      .filter(_._2 >= TextOps.PmiMinSupport)
+      .map { case ((w1, w2), nxy) =>
+        val lift = nxy.toDouble * nTok.toDouble * nTok.toDouble /
+          (nBig.toDouble * uni(w1).toDouble * uni(w2).toDouble)
+        (w1, w2, nxy, uni(w1), uni(w2), lift)
+      }
+      .sortBy(r => (-r._6, r._1, r._2))
+      .take(TextOps.PmiTopK)
+    assert(got.toSeq === expected)
+    assert(got.nonEmpty)
+    // a collocation lifts above independence by construction of the cut
+    assert(got.forall(_._6 > 0.0))
+  }
 }
