@@ -934,6 +934,38 @@ object Curation {
     FROM customer GROUP BY 1, 2, 3
   """
 
+  private[ops] val LDivL = 3
+
+  /** q137: l-DIVERSITY audit — the attack q82's k-anonymity misses: a class
+    * can hold k rows and still leak if every row shares the SAME sensitive
+    * value (homogeneity attack, Machanavajjhala et al. 2007). Quasi-
+    * identifiers here are (nation, balance band) from [[q81Anonymize]]'s
+    * release projection; the sensitive attribute is the market segment.
+    * Each class reports its size, its count of DISTINCT sensitive values,
+    * and whether that count meets l = [[LDivL]] — the classes q82 passes
+    * but this fails are exactly the homogeneous ones a release pipeline
+    * must generalize further.
+    *
+    * Scale shape: one groupBy on the quasi-identifier tuple with a
+    * count-distinct (Spark plans the standard two-phase expand — both
+    * phases map-side combinable); output is |classes| rows. Composing on
+    * q81's projection keeps the audit tied to what is actually released. */
+  def q137LDiversity(spark: SparkSession, sfDir: String): DataFrame =
+    q81Anonymize(spark, sfDir)
+      .groupBy(col("c_nationkey"), col("acctbal_band"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("c_mktsegment")).as("n_sensitive"))
+      .withColumn("meets_l", col("n_sensitive") >= LDivL)
+
+  val q137LDiversitySql: String = s"""
+    SELECT c_nationkey,
+      CAST(floor(c_acctbal / 1000.0) AS INTEGER) * 1000 AS acctbal_band,
+      count(*) AS n,
+      count(DISTINCT c_mktsegment) AS n_sensitive,
+      count(DISTINCT c_mktsegment) >= $LDivL AS meets_l
+    FROM customer GROUP BY 1, 2
+  """
+
   /** q117's simulated second crawl: every `% RecrawlModulo = RecrawlResidue`
     * document re-arrives under a new id and the 'recrawl' source — the
     * deterministic stand-in for the overlapping crawl snapshots a real

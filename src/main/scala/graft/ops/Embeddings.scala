@@ -1976,4 +1976,195 @@ object Embeddings {
         AS var_x
     FROM ax GROUP BY dim
   """
+
+  // ───────── Margin-based mining + matryoshka truncation (round 11) ─────────
+
+  /** q135 tuning: candidate depth for the margin denominator and the
+    * admission threshold. */
+  val MarginK = 4
+  val MarginTau = 1.05
+
+  /** q135: MARGIN-BASED NEAREST-NEIGHBOR MINING — the ratio-margin criterion
+    * of Artetxe & Schwenk (ACL 2019), the scoring rule behind LASER/CCMatrix
+    * bitext mining. The corpus splits into an even-id "source" side (bounded
+    * to 2·knnQueryIds, the q29 batch idiom) and an odd-id "target" side;
+    * each source row takes its best-cosine target, scored by
+    * margin = cos(best) / mean(top-[[MarginK]] cos). A best neighbor that
+    * barely exceeds its local cosine floor is a hubness artifact, not a
+    * translation pair — the ratio margin normalizes exactly that away,
+    * which no absolute cosine threshold can. admitted = margin ≥
+    * [[MarginTau]].
+    *
+    * Float parity: the top-k list is collected IN RANK ORDER and the
+    * denominator folds it left-to-right (Spark `aggregate` over the
+    * rank-sorted array ≡ DuckDB `list_reduce` over `list(... ORDER BY rk)`),
+    * so every double matches bitwise.
+    *
+    * Scale shape: the brute pass is the bounded-batch baseline (queries ×
+    * target side, never corpus²); the margin itself is a pure function of
+    * each query's top-k list, so at corpus scale the feed swaps to the
+    * IVF/ADC retrieval (q80/q83) unchanged. The rollup after the rank
+    * filter carries ≤ [[MarginK]] rows per query. */
+  def q135BitextMargin(spark: SparkSession, sfDir: String,
+      cfg: AnnConfig = DefaultAnn): DataFrame = {
+    // persist: source and target sides both read the normed vectors
+    val e = graft.CachedFrames.track(vecs(spark, sfDir))
+    val a = e.filter(col("vec_id") % 2 === 0 &&
+        col("vec_id") < 2L * cfg.knnQueryIds)
+      .select(col("vec_id").as("src_id"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("tgt_id"), col("v").as("v2"), col("nrm").as("n2"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos").desc, col("tgt_id").asc)
+    a.crossJoin(b)
+      .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MarginK)
+      .groupBy(col("src_id"))
+      // struct sorts by its first field, so sort_array puts rank order back
+      // after the shuffle — the fold below is deterministic left-to-right
+      .agg(sort_array(collect_list(
+        struct(col("rk"), col("tgt_id"), col("cos")))).as("arr"))
+      .select(col("src_id"),
+        col("arr").getItem(0).getField("tgt_id").as("tgt_id"),
+        col("arr").getItem(0).getField("cos").as("cos_top1"),
+        expr("aggregate(arr, CAST(0 AS DOUBLE), (a, x) -> a + x.cos)" +
+          " / CAST(size(arr) AS DOUBLE)").as("mean_topk"))
+      .withColumn("margin", col("cos_top1") / col("mean_topk"))
+      .withColumn("admitted", col("margin") >= MarginTau)
+  }
+
+  val q135BitextMarginSql: String = s"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v,
+        sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+      FROM e),
+    p AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])), (acc, x) -> acc + x)
+          / (a.nrm * b.nrm) AS cos
+      FROM n a, n b
+      WHERE a.vec_id % 2 = 0 AND a.vec_id < ${2 * DefaultAnn.knnQueryIds}
+        AND b.vec_id % 2 = 1),
+    r AS (
+      SELECT src_id, tgt_id, cos,
+        row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id ASC) AS rk
+      FROM p),
+    t AS (
+      SELECT src_id, list(tgt_id ORDER BY rk ASC) AS tl,
+        list(cos ORDER BY rk ASC) AS cl
+      FROM r WHERE rk <= $MarginK GROUP BY 1),
+    m AS (
+      SELECT src_id, tl[1] AS tgt_id, cl[1] AS cos_top1,
+        list_reduce(list_prepend(0.0::DOUBLE, cl), (a, x) -> a + x)
+          / CAST(len(cl) AS DOUBLE) AS mean_topk
+      FROM t)
+    SELECT src_id, tgt_id, cos_top1, mean_topk,
+      cos_top1 / mean_topk AS margin,
+      cos_top1 / mean_topk >= $MarginTau AS admitted
+    FROM m
+  """
+
+  /** q136 tuning: prefix truncation levels and the recall depth. */
+  val MatryoshkaDims: Seq[Int] = Seq(8, 16, 32)
+  val MatryoshkaK = 5
+
+  /** q136: MATRYOSHKA TRUNCATION RECALL — recall@[[MatryoshkaK]] of
+    * brute-force search run on DIMENSION PREFIXES (first 8/16/32 of the 64
+    * components) against the full-dimension truth, over the bounded query
+    * batch. The measured curve behind matryoshka-representation serving
+    * (Kusupati et al. 2022): if recall@5 at 16 dims is acceptable, the ANN
+    * index stores a quarter of the bytes and the distance kernel does a
+    * quarter of the work — this query is the evidence for that decision,
+    * the dimension-axis sibling of q75's index-structure scoreboard.
+    *
+    * Scale shape: ONE queries×corpus pass computes all four prefix cosines
+    * (the truth IS the d=64 slice of the same stacked frame — no second
+    * crossJoin), one window ranks per (d, query), and everything after the
+    * rank filter is ≤ 4·|queries|·k rows — that bounded frame is the only
+    * thing cached. Prefix norms are precomputed per ROW, not per pair. */
+  def q136MatryoshkaRecall(spark: SparkSession, sfDir: String,
+      cfg: AnnConfig = DefaultAnn): DataFrame = {
+    val dims = MatryoshkaDims :+ Dim
+    // per-row prefix norms, then one pass over query×corpus pairs
+    val e = graft.CachedFrames.track(dims.foldLeft(vecs(spark, sfDir)) {
+      (df, d) => df.withColumn(s"nrm$d",
+        sqrt(dot(expr(s"slice(v, 1, $d)"), expr(s"slice(v, 1, $d)"))))
+    })
+    val a = e.filter(col("vec_id") < cfg.knnQueryIds)
+      .select(col("vec_id").as("id1") +: col("v").as("v1") +:
+        dims.map(d => col(s"nrm$d").as(s"an$d")): _*)
+    val b = e.select(col("vec_id").as("id2") +: col("v").as("v2") +:
+      dims.map(d => col(s"nrm$d").as(s"bn$d")): _*)
+    val stacked = a.crossJoin(b).filter(col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"), explode(array(dims.map { d =>
+        struct(lit(d).as("d"),
+          (dot(expr(s"slice(v1, 1, $d)"), expr(s"slice(v2, 1, $d)"))
+            / (col(s"an$d") * col(s"bn$d"))).as("cos"))
+      }: _*)).as("dc"))
+      .select(col("id1"), col("id2"), col("dc.d").as("d"), col("dc.cos").as("cos"))
+    val w = Window.partitionBy(col("d"), col("id1"))
+      .orderBy(col("cos").desc, col("id2").asc)
+    // cached: the bounded post-rank frame feeds the truth roster AND the
+    // per-d hit joins — untracked, the queries×corpus pass re-runs per use
+    val ranked = graft.CachedFrames.track(
+      stacked.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= MatryoshkaK)
+        .select(col("d"), col("id1"), col("id2")))
+    val truth = ranked.filter(col("d") === Dim).select(col("id1"), col("id2"))
+    val tn = truth.agg(count(lit(1)).as("n_truth"))
+    val hits = ranked.filter(col("d") =!= Dim).join(truth, Seq("id1", "id2"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n_hits"))
+    spark.range(1)
+      .select(explode(typedLit(MatryoshkaDims)).as("d"))
+      .join(hits, Seq("d"), "left")
+      .select(col("d"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .crossJoin(broadcast(tn))
+      .withColumn("recall_at_k",
+        col("n_hits").cast("double") / col("n_truth").cast("double"))
+  }
+
+  val q136MatryoshkaRecallSql: String = {
+    val allDims = (MatryoshkaDims :+ Dim).map(d => s"($d)").mkString(", ")
+    val outDims = MatryoshkaDims.map(d => s"($d)").mkString(", ")
+    s"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    dd AS (SELECT * FROM (VALUES $allDims) AS vals(d)),
+    pn AS (
+      SELECT vec_id, dd.d, v[1:dd.d] AS pv,
+        sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(v[1:dd.d], x -> x * x)), (acc, x) -> acc + x)) AS nrm
+      FROM e, dd),
+    p AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2, a.d,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(list_zip(a.pv, b.pv), z -> z[1] * z[2])), (acc, x) -> acc + x)
+          / (a.nrm * b.nrm) AS cos
+      FROM pn a JOIN pn b ON a.d = b.d AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < ${DefaultAnn.knnQueryIds}),
+    r AS (
+      SELECT id1, id2, d,
+        row_number() OVER (PARTITION BY d, id1 ORDER BY cos DESC, id2 ASC) AS rk
+      FROM p),
+    k AS (SELECT d, id1, id2 FROM r WHERE rk <= $MatryoshkaK),
+    t AS (SELECT id1, id2 FROM k WHERE d = $Dim),
+    tn AS (SELECT count(*) AS n_truth FROM t),
+    h AS (
+      SELECT k.d, count(*) AS n_hits
+      FROM k JOIN t ON k.id1 = t.id1 AND k.id2 = t.id2
+      WHERE k.d <> $Dim GROUP BY 1),
+    od AS (SELECT * FROM (VALUES $outDims) AS vals(d))
+    SELECT CAST(od.d AS INTEGER) AS d,
+      CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      CAST(tn.n_truth AS BIGINT) AS n_truth,
+      CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(tn.n_truth AS DOUBLE)
+        AS recall_at_k
+    FROM od LEFT JOIN h ON od.d = h.d, tn
+  """
+  }
 }

@@ -693,4 +693,56 @@ object Events {
       r_score * 100 + f_score * 10 + m_score AS rfm
     FROM scored
   """
+
+  /** q138 tuning: trailing window for the active-user denominator. */
+  val StickinessWindowDays = 7
+
+  /** q138: STICKINESS — per day, DAU (distinct users that day), trailing
+    * [[StickinessWindowDays]]-day WAU (distinct users over days d−6…d) and
+    * the DAU/WAU ratio, the engagement headline metric next to q102's
+    * cohort retention. Early days carry partial trailing windows — exactly
+    * what a live dashboard shows. The ratio is ONE division of two exact
+    * BIGINTs, so the doubles match bitwise; the day key is q108's
+    * floor-division idiom (pre-epoch-safe cross-engine).
+    *
+    * Scale shape: the stream collapses FIRST to distinct (day, user)
+    * presence rows — the only corpus-sized work. The trailing window is a
+    * range join against the |days| frame, which is TIME-BOUNDED (30 rows
+    * here, a few thousand on any real lake) and broadcast, so each
+    * presence row fans out ≤ 7×, then a map-side-combinable distinct count
+    * per day. No per-user state, no corpus-wide sort. */
+  def q138Stickiness(spark: SparkSession, sfDir: String): DataFrame =
+    stickinessOn(Tables(spark, sfDir, "events"))
+
+  private[graft] def stickinessOn(events: DataFrame): DataFrame = {
+    // persist: presence feeds the DAU rollup and the WAU range join
+    val du = graft.CachedFrames.track(events
+      .filter(col("user_id").isNotNull)
+      .select(expr("CAST(floor(unix_timestamp(ts) / 86400.0D) AS BIGINT)")
+        .as("day"), col("user_id"))
+      .distinct())
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val days = dau.select(col("day").as("d"))
+    val wau = du.join(broadcast(days),
+        col("day").between(col("d") - (StickinessWindowDays - 1), col("d")))
+      .groupBy(col("d")).agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, dau("day") === wau("d"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+  }
+
+  val q138StickinessSql: String = s"""
+    WITH du AS (
+      SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, user_id
+      FROM events WHERE user_id IS NOT NULL),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+    wau AS (
+      SELECT d.day AS day, count(DISTINCT u.user_id) AS wau
+      FROM dau d JOIN du u
+        ON u.day BETWEEN d.day - ${StickinessWindowDays - 1} AND d.day
+      GROUP BY 1)
+    SELECT dau.day, dau.dau, wau.wau,
+      CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+  """
 }

@@ -2925,4 +2925,47 @@ object TextOps {
     ORDER BY lift DESC, w1 ASC, w2 ASC
     LIMIT $PmiTopK
   """
+
+  /** q139: LEXICAL-HEALTH REPORT per source — token count, type (distinct
+    * token) count, hapax-legomenon count (types seen exactly once), the
+    * type-token ratio and the hapax fraction. The corpus-comparison
+    * diagnostic a curation run reads next to q72's drift: a source whose
+    * TTR collapses is template spam (the same tokens over and over); one
+    * whose hapax fraction explodes is OCR noise or encoding damage — both
+    * invisible to per-document scores like q22. Ratios are single
+    * divisions of exact BIGINTs, bitwise-portable.
+    *
+    * Scale shape: one (source, token)-keyed map-side-combinable count —
+    * vocabulary-sized output, never broadcast (the q92 lesson) — then a
+    * |sources|-row rollup whose hapax test rides the same pass. Two
+    * exchanges total, both on compact keys; the text shuffles never. */
+  def q139HapaxTtr(spark: SparkSession, sfDir: String): DataFrame =
+    hapaxTtrOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+
+  private[graft] def hapaxTtrOn(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        explode(expr("""split(trim(text), '\\s+')""")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr",
+        col("n_types").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("hapax_frac",
+        col("n_hapax").cast("double") / col("n_types").cast("double"))
+
+  val q139HapaxTtrSql: String = """
+    WITH st AS (
+      SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      FROM documents),
+    c AS (SELECT source, w, count(*) AS c FROM st GROUP BY 1, 2)
+    SELECT source,
+      CAST(sum(c) AS BIGINT) AS n_tokens,
+      count(*) AS n_types,
+      CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr,
+      CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE) AS hapax_frac
+    FROM c GROUP BY 1
+  """
 }

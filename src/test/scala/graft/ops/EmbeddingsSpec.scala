@@ -490,4 +490,64 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(mean - exactMean) <= 1e-5, s"dim $d drifted")
     }
   }
+
+  test("q135 bitext margin replays a plain-Scala ratio-margin oracle bitwise; admitted = margin >= tau") {
+    val sf = "/root/testdata/sf0.001"
+    val got = try Embeddings.q135BitextMargin(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+      finally graft.CachedFrames.drain()
+    val vs = collectVecs(sf)
+    val nrm = vs.map { case (id, v) => id -> math.sqrt(dotFold(v, v)) }
+    val srcs = vs.keys.filter(id => id % 2 == 0 &&
+      id < 2L * Embeddings.DefaultAnn.knnQueryIds).toSeq.sorted
+    val tgts = vs.keys.filter(_ % 2 == 1).toSeq
+    val expected = srcs.map { s =>
+      val top = tgts
+        .map(t => t -> dotFold(vs(s), vs(t)) / (nrm(s) * nrm(t)))
+        .sortBy { case (t, c) => (-c, t) }.take(Embeddings.MarginK)
+      // the same rank-ordered left fold the Spark aggregate() runs
+      val mean = top.foldLeft(0.0)((a, p) => a + p._2) / top.length.toDouble
+      val margin = top.head._2 / mean
+      s -> ((top.head._1, top.head._2, mean, margin,
+        margin >= Embeddings.MarginTau))
+    }.toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // the top-1 can never sit below the mean of a list it leads
+    got.values.foreach { case (_, _, _, m, _) => assert(m >= 1.0) }
+  }
+
+  test("q136 matryoshka recall replays a plain-Scala prefix-truncation oracle; recall grows with kept dims") {
+    val sf = "/root/testdata/sf0.001"
+    val got = try Embeddings.q136MatryoshkaRecall(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+      finally graft.CachedFrames.drain()
+    val vs = collectVecs(sf)
+    val qs = vs.keys.filter(_ < Embeddings.DefaultAnn.knnQueryIds).toSeq
+    def topAt(d: Int): Set[(Long, Long)] = qs.flatMap { q =>
+      val pv = vs(q).take(d)
+      val pn = math.sqrt(dotFold(pv, pv))
+      vs.keys.filter(_ != q).toSeq
+        .map { o =>
+          val ov = vs(o).take(d)
+          o -> dotFold(pv, ov) / (pn * math.sqrt(dotFold(ov, ov)))
+        }
+        .sortBy { case (o, c) => (-c, o) }.take(Embeddings.MatryoshkaK)
+        .map(p => (q, p._1))
+    }.toSet
+    val truth = topAt(64)
+    val expected = Embeddings.MatryoshkaDims.map { d =>
+      val hits = (topAt(d) & truth).size.toLong
+      d -> ((hits, truth.size.toLong, hits.toDouble / truth.size.toDouble))
+    }.toMap
+    assert(got === expected)
+    assert(got.keySet === Embeddings.MatryoshkaDims.toSet)
+    // more kept dimensions never hurt on these fixtures — the curve a
+    // serving team reads off this table to pick its truncation point
+    val ordered = Embeddings.MatryoshkaDims.sorted.map(got(_)._3)
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b },
+      ordered.mkString(","))
+  }
 }

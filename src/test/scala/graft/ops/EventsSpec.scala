@@ -215,4 +215,34 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
         s * 100 + s * 10 + s)), s"user $u")
     }
   }
+
+  test("q138 stickiness: hand-checked trailing windows, repeat-visit dedup, null-user exclusion") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // u1 active every day 0-9 (twice on day 0 — presence must dedup),
+    // u2 only day 3, u3 days 0 and 9; plus a null-user row that counts nowhere
+    val secs: Seq[(Option[Long], Long)] =
+      (0L to 9L).map(d => (Option(1L), d * 86400L + 10L)) ++
+        Seq((Option(1L), 50L), (Option(2L), 3L * 86400L + 5L),
+          (Option(3L), 7L), (Option(3L), 9L * 86400L + 99L),
+          (Option.empty[Long], 4L * 86400L + 1L))
+    val ev = secs.zipWithIndex
+      .map { case ((uid, sec), i) => (uid, i.toLong + 1L, sec) }
+      .toDF("user_id", "event_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.stickinessOn(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    graft.CachedFrames.drain()
+    val dau = Map(0L -> 2L, 3L -> 2L, 9L -> 2L).withDefaultValue(1L)
+    // trailing-7 active sets: u3's day-0 visit ages out after day 6, u2's
+    // day-3 visit enters at day 3 and persists through day 9
+    val wau = Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 3L,
+      5L -> 3L, 6L -> 3L, 7L -> 2L, 8L -> 2L, 9L -> 3L)
+    assert(got.keySet === (0L to 9L).toSet)
+    (0L to 9L).foreach { d =>
+      assert(got(d) === ((dau(d), wau(d), dau(d).toDouble / wau(d).toDouble)),
+        s"day $d")
+    }
+  }
 }

@@ -552,4 +552,29 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     // a collocation lifts above independence by construction of the cut
     assert(got.forall(_._6 > 0.0))
   }
+
+  test("q139 lexical health reproduces plain-Scala per-source token/type/hapax counts on the real corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val got = TextOps.q139HapaxTtr(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (src, rs) =>
+      val counts = rs.flatMap(_._2.trim.split("\\s+")).groupBy(identity)
+        .map { case (_, xs) => xs.length.toLong }
+      val (toks, types) = (counts.sum, counts.size.toLong)
+      val hapax = counts.count(_ == 1L).toLong
+      src -> ((toks, types, hapax,
+        types.toDouble / toks.toDouble, hapax.toDouble / types.toDouble))
+    }
+    assert(got === expected.toMap)
+    assert(got.nonEmpty)
+    // structural sanity: hapax <= types <= tokens, ratios in (0, 1]
+    got.values.foreach { case (tk, ty, hx, ttr, hf) =>
+      assert(hx <= ty && ty <= tk)
+      assert(ttr > 0.0 && ttr <= 1.0 && hf >= 0.0 && hf <= 1.0)
+    }
+  }
 }
