@@ -2086,25 +2086,36 @@ object Embeddings {
     * (the truth IS the d=64 slice of the same stacked frame — no second
     * crossJoin), one window ranks per (d, query), and everything after the
     * rank filter is ≤ 4·|queries|·k rows — that bounded frame is the only
-    * thing cached. Prefix norms are precomputed per ROW, not per pair. */
+    * thing cached. Prefix VECTORS and norms are materialized per ROW in the
+    * cached frame, so the pair loop does only dot products — no
+    * slice-allocation per pair per level — and the d=[[Dim]] level reuses
+    * `v`/`nrm` directly (slice(v,1,Dim) is v; vecs' nrm is the same
+    * fixed-order fold, so the cosines are bitwise-unchanged). */
   def q136MatryoshkaRecall(spark: SparkSession, sfDir: String,
       cfg: AnnConfig = DefaultAnn): DataFrame = {
     val dims = MatryoshkaDims :+ Dim
-    // per-row prefix norms, then one pass over query×corpus pairs
-    val e = graft.CachedFrames.track(dims.foldLeft(vecs(spark, sfDir)) {
-      (df, d) => df.withColumn(s"nrm$d",
-        sqrt(dot(expr(s"slice(v, 1, $d)"), expr(s"slice(v, 1, $d)"))))
+    // per-row prefix vectors + norms, then one pass over query×corpus pairs
+    val e = graft.CachedFrames.track(MatryoshkaDims.foldLeft(vecs(spark, sfDir)) {
+      (df, d) => df.withColumn(s"pv$d", expr(s"slice(v, 1, $d)"))
+        .withColumn(s"nrm$d", sqrt(dot(col(s"pv$d"), col(s"pv$d"))))
     })
     val a = e.filter(col("vec_id") < cfg.knnQueryIds)
-      .select(col("vec_id").as("id1") +: col("v").as("v1") +:
-        dims.map(d => col(s"nrm$d").as(s"an$d")): _*)
+      .select(col("vec_id").as("id1") +: col("v").as("v1") +: col("nrm").as("an") +:
+        MatryoshkaDims.flatMap(d => Seq(col(s"pv$d").as(s"apv$d"),
+          col(s"nrm$d").as(s"an$d"))): _*)
     val b = e.select(col("vec_id").as("id2") +: col("v").as("v2") +:
-      dims.map(d => col(s"nrm$d").as(s"bn$d")): _*)
+      col("nrm").as("bn") +:
+      MatryoshkaDims.flatMap(d => Seq(col(s"pv$d").as(s"bpv$d"),
+        col(s"nrm$d").as(s"bn$d"))): _*)
     val stacked = a.crossJoin(b).filter(col("id1") =!= col("id2"))
       .select(col("id1"), col("id2"), explode(array(dims.map { d =>
-        struct(lit(d).as("d"),
-          (dot(expr(s"slice(v1, 1, $d)"), expr(s"slice(v2, 1, $d)"))
-            / (col(s"an$d") * col(s"bn$d"))).as("cos"))
+        if (d == Dim)
+          struct(lit(d).as("d"),
+            (dot(col("v1"), col("v2")) / (col("an") * col("bn"))).as("cos"))
+        else
+          struct(lit(d).as("d"),
+            (dot(col(s"apv$d"), col(s"bpv$d"))
+              / (col(s"an$d") * col(s"bn$d"))).as("cos"))
       }: _*)).as("dc"))
       .select(col("id1"), col("id2"), col("dc.d").as("d"), col("dc.cos").as("cos"))
     val w = Window.partitionBy(col("d"), col("id1"))

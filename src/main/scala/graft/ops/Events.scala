@@ -545,6 +545,14 @@ object Events {
     val wnd = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(-AnomalyWin, -1)
+    // the sigma test runs in DECIMAL so it stays EXACT at large amounts:
+    // a BIGINT form wraps silently in Spark once |cents| ≳ 5e7 in a window
+    // (while DuckDB raises), silently corrupting the flag set. Headroom of
+    // the decimal form: s2 ≤ W·c² needs c ≤ 2e18 (DECIMAL(37) terms), the
+    // 9·(n·s2−s1²) product ≤ 3600·c² needs c ≲ 1.6e17 — a $1.6e15 single
+    // event; past that Spark/DuckDB both ERROR (decimal overflow / HUGEINT
+    // range), never wrap. The oracle mirrors in HUGEINT (exact int128).
+    val dev = col("n_win") * col("cents") - col("s1") // |dev| ≤ 2W·c: BIGINT-safe
     events
       .filter(col("value").isNotNull && col("user_id").isNotNull)
       .select(col("user_id"), col("event_id"), col("ts"),
@@ -552,11 +560,12 @@ object Events {
         expr("CAST(floor(value * 100.0D + 0.5D) AS BIGINT)").as("cents"))
       .withColumn("n_win", count(col("cents")).over(wnd))
       .withColumn("s1", sum(col("cents")).over(wnd))
-      .withColumn("s2", sum(col("cents") * col("cents")).over(wnd))
+      .withColumn("s2", sum(col("cents").cast("decimal(18,0)")
+        * col("cents").cast("decimal(18,0)")).over(wnd))
       .filter(col("n_win") >= AnomalyMinPrior &&
-        (col("n_win") * col("cents") - col("s1"))
-          * (col("n_win") * col("cents") - col("s1"))
-          > lit(AnomalyZ2) * (col("n_win") * col("s2") - col("s1") * col("s1")))
+        dev.cast("decimal(19,0)") * dev.cast("decimal(19,0)")
+          > lit(AnomalyZ2) * (col("n_win").cast("decimal(2,0)") * col("s2")
+            - col("s1").cast("decimal(19,0)") * col("s1").cast("decimal(19,0)")))
       .select(col("user_id"), col("event_id"), col("eps"), col("cents"),
         col("n_win"),
         (col("s1").cast("double") / (lit(100.0) * col("n_win").cast("double")))
@@ -573,7 +582,7 @@ object Events {
       SELECT user_id, event_id, eps, cents,
         count(cents) OVER wnd AS n_win,
         CAST(sum(cents) OVER wnd AS BIGINT) AS s1,
-        CAST(sum(cents * cents) OVER wnd AS BIGINT) AS s2
+        sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) OVER wnd AS s2
       FROM e
       WINDOW wnd AS (PARTITION BY user_id ORDER BY ts, event_id
         ROWS BETWEEN $AnomalyWin PRECEDING AND 1 PRECEDING))
@@ -581,8 +590,9 @@ object Events {
       CAST(s1 AS DOUBLE) / (100.0 * CAST(n_win AS DOUBLE)) AS mean_w
     FROM w
     WHERE n_win >= $AnomalyMinPrior
-      AND (n_win * cents - s1) * (n_win * cents - s1)
-        > $AnomalyZ2 * (n_win * s2 - s1 * s1)
+      AND CAST(n_win * cents - s1 AS HUGEINT) * CAST(n_win * cents - s1 AS HUGEINT)
+        > $AnomalyZ2 * (CAST(n_win AS HUGEINT) * s2
+          - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT))
   """
 
   /** q132: MARKOV TRANSITION MATRIX over event types — for every observed
@@ -641,28 +651,41 @@ object Events {
     *
     * Scale shape: events collapse FIRST to one row per user (map-side
     * combinable rollup; the cents idiom keeps the money sum exact), and
-    * the three ntile windows run over that |users|-bounded frame — the
-    * global sorts are on user rollups, never events. A user base too big
-    * for a single-partition sort swaps in the q59 two-phase bucketed rank
-    * per metric (same cuts, distributed). */
+    * each score is the q59 TWO-PHASE BUCKETED RANK over that cached
+    * |users|-bounded frame ([[DistRank.withBucketedRank]]) with the ntile
+    * cut applied as integer rank arithmetic ([[DistRank.ntileOfRank]] —
+    * byte-identical to the window function) — NO single-partition window
+    * anywhere in the plan, so a 10⁹-user rollup ranks B-way parallel
+    * instead of sorting three times on one task. The three user-keyed
+    * score join-backs are |users|-bounded shuffles. */
   def q134RfmSegments(spark: SparkSession, sfDir: String): DataFrame =
     rfmOn(Tables(spark, sfDir, "events"))
 
-  private[graft] def rfmOn(events: DataFrame): DataFrame = {
-    val per = events
+  /** `cache = false` exists for PLAN tests only: an InMemoryRelation whose
+    * cached plan carries its own AdaptiveSparkPlan truncates the outer
+    * `executedPlan.toString` at the nesting point (a Spark tree-printing
+    * quirk), which would hide the rank machinery from the plan pins. */
+  private[graft] def rfmOn(events: DataFrame, cache: Boolean = true): DataFrame = {
+    // cached: feeds the 1-row count, three rank passes, and the final join
+    val rollup = events
       .filter(col("user_id").isNotNull && col("value").isNotNull)
       .select(col("user_id"), unix_timestamp(col("ts")).as("eps"),
         expr("CAST(floor(value * 100.0D + 0.5D) AS BIGINT)").as("cents"))
       .groupBy(col("user_id"))
       .agg(max(col("eps")).as("last_eps"), count(lit(1)).as("n_events"),
         sum(col("cents")).as("sum_cents"))
-    val rw = Window.orderBy(col("last_eps").asc, col("user_id").asc)
-    val fw = Window.orderBy(col("n_events").asc, col("user_id").asc)
-    val mw = Window.orderBy(col("sum_cents").asc, col("user_id").asc)
+    val per = if (cache) graft.CachedFrames.track(rollup) else rollup
+    val n = per.agg(count(lit(1)).as("_n"))
+    def score(metric: String, name: String): DataFrame =
+      DistRank.withBucketedRank(per.select(col("user_id"), col(metric)),
+          Nil, metric, Seq("user_id"), "_rank")
+        .crossJoin(broadcast(n))
+        .select(col("user_id"),
+          DistRank.ntileOfRank("_rank", "_n", RfmBuckets).as(name))
     per
-      .withColumn("r_score", ntile(RfmBuckets).over(rw))
-      .withColumn("f_score", ntile(RfmBuckets).over(fw))
-      .withColumn("m_score", ntile(RfmBuckets).over(mw))
+      .join(score("last_eps", "r_score"), Seq("user_id"))
+      .join(score("n_events", "f_score"), Seq("user_id"))
+      .join(score("sum_cents", "m_score"), Seq("user_id"))
       .withColumn("rfm",
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
       .select(col("user_id"), col("last_eps"), col("n_events"),

@@ -757,17 +757,22 @@ object TextOps {
           .select(col("fp")),
         "fp"))
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
-    kept.select(col("doc_id").as("id1"), col("fp"))
-      .join(kept.select(col("doc_id").as("id2"), col("fp")), "fp")
-      .filter(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= ContainMinShared)
-      .join(sizes.select(col("doc_id").as("id1"), col("n_fp").as("n1")), "id1")
-      .join(sizes.select(col("doc_id").as("id2"), col("n_fp").as("n2")), "id2")
-      .select(col("id1"), col("id2"), col("n_shared"),
-        (col("n_shared").cast("double") / col("n1").cast("double")).as("contain1"),
-        (col("n_shared").cast("double") / col("n2").cast("double")).as("contain2"))
+    // the OUTPUT is tracked too: q121 symmetrizes it (two union branches)
+    // and q127 iterates on it, so without the cache the posting join runs
+    // twice inside each consumer — and concurrent Verify threads building
+    // q68/q121/q127 share one materialization through the refcounted entry
+    graft.CachedFrames.track(
+      kept.select(col("doc_id").as("id1"), col("fp"))
+        .join(kept.select(col("doc_id").as("id2"), col("fp")), "fp")
+        .filter(col("id1") < col("id2"))
+        .groupBy(col("id1"), col("id2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= ContainMinShared)
+        .join(sizes.select(col("doc_id").as("id1"), col("n_fp").as("n1")), "id1")
+        .join(sizes.select(col("doc_id").as("id2"), col("n_fp").as("n2")), "id2")
+        .select(col("id1"), col("id2"), col("n_shared"),
+          (col("n_shared").cast("double") / col("n1").cast("double")).as("contain1"),
+          (col("n_shared").cast("double") / col("n2").cast("double")).as("contain2")))
   }
 
   val q68ContainmentSql: String = s"""
@@ -2807,20 +2812,26 @@ object TextOps {
     * means the same thing everywhere. Ranks are integers and the percentile
     * is one exact-cast IEEE division, so the oracle matches bitwise.
     *
-    * Scale shape: one source-keyed exchange; the rank is a within-source
-    * sort, the count a same-window aggregate — no global sort, no
-    * corpus-wide collect. A pathologically skewed source (one source =
-    * half the corpus) serializes its own partition — that is what q110's
-    * skew report flags, and the q59 two-phase bucketed prefix-sum is the
-    * drop-in replacement for the window at that extreme. */
+    * Scale shape: the rank is the q59 TWO-PHASE BUCKETED RANK
+    * ([[DistRank.withBucketedRank]] grouped by source) — rows rank within
+    * (source, range-bucket) and per-bucket offsets broadcast back, so a
+    * dominant source (half the corpus from one web crawl) ranks B-way
+    * parallel instead of sorting on ONE task the way a bare
+    * `Window.partitionBy(source)` would (the skew q110's report flags).
+    * The per-source sizes ride a |sources|-row broadcast join. */
   def q129QuantileNormalize(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("quality_score").asc, col("doc_id").asc)
-    val cw = Window.partitionBy(col("source"))
-    withQualityStats(Tables(spark, sfDir, "documents"))
-      .select(col("doc_id"), col("source"), col("quality_score"))
-      .withColumn("q_rank", row_number().over(w))
-      .withColumn("n_source", count(lit(1)).over(cw))
+    // cached: feeds the bucketed rank (bounds + rank passes) and the
+    // |sources|-row size aggregate
+    val scored = graft.CachedFrames.track(
+      withQualityStats(Tables(spark, sfDir, "documents"))
+        .select(col("doc_id"), col("source"), col("quality_score")))
+    val sizes = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_source"))
+      .select(col("source").as("_ssrc"), col("n_source"))
+    DistRank.withBucketedRank(scored, Seq("source"), "quality_score",
+        Seq("doc_id"), "_qr")
+      .join(broadcast(sizes), col("source") <=> col("_ssrc"))
+      .withColumn("q_rank", col("_qr").cast("int"))
       .withColumn("qnorm",
         when(col("n_source") === 1, 0.5)
           .otherwise((col("q_rank") - 1).cast("double")

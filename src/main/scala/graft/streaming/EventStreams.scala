@@ -302,8 +302,9 @@ object EventStreams {
     * [[graft.ops.Events.AnomalyMinPrior]] of history; the window excludes
     * the current row). State is ONE bounded ring buffer per user — at most
     * AnomalyWin Longs — so total state is users × window, never event
-    * volume. The sigma test is the batch twin's cross-multiplied integer
-    * form verbatim, so flags are bitwise-portable.
+    * volume. The sigma test is the batch twin's cross-multiplied form in
+    * exact arithmetic (BigInt here, DECIMAL there), so flags are
+    * bitwise-portable at any amount magnitude.
     *
     * Ordering contract ([[sourceQuotaStream]]'s): rows sort by
     * (ts_us, event_id) within each micro-batch; when batches arrive
@@ -323,10 +324,13 @@ object EventStreams {
       batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
         val n = buf.size.toLong
         if (n >= minP) {
+          // BigInt keeps the sigma test EXACT at any magnitude — the batch
+          // twin computes it in DECIMAL for the same reason (a Long form
+          // wraps once |cents| ≳ 5e7 in a window, corrupting flags)
           val s1 = buf.sum
-          val s2 = buf.iterator.map(c => c * c).sum
-          val dev = n * e.cents - s1
-          if (dev * dev > z2 * (n * s2 - s1 * s1))
+          val s2 = buf.iterator.map(c => BigInt(c) * BigInt(c)).sum
+          val dev = BigInt(n) * BigInt(e.cents) - BigInt(s1)
+          if (dev * dev > BigInt(z2) * (BigInt(n) * s2 - BigInt(s1) * BigInt(s1)))
             out += AnomalyFlag(user, e.event_id, e.eps, e.cents, n,
               s1.toDouble / (100.0 * n))
         }

@@ -170,6 +170,25 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(got.head.getLong(3) === 199L) // floor(1.99*100 + 0.5)
   }
 
+  test("q126 rolling anomaly: the DECIMAL sigma test stays exact at $50M " +
+    "events (a BIGINT s2 would wrap at |cents| ~ 5e9)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // six identical $50M events (cents 5e9: s2 = 6·2.5e19 overflows BIGINT),
+    // then a $51M jump — zero prior variance, so the jump MUST flag and the
+    // steady rows must not; wrapped arithmetic scrambles exactly this
+    val v = 5.0e7
+    val ev = ((1 to 6).map(i => (1L, i.toLong, i * 60L, v)) :+
+        ((1L, 7L, 7 * 60L, v * 1.02)))
+      .toDF("user_id", "event_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.rollingAnomalyOn(ev).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    graft.CachedFrames.drain()
+    assert(got.keySet === Set(7L)) // only the jump flags
+    assert(got(7L) === math.floor(v * 1.02 * 100.0 + 0.5).toLong)
+  }
+
   test("q132 Markov transitions: hand-computed counts and row-normalized probabilities on a crafted stream") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, timestamp_seconds}
@@ -214,6 +233,42 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       assert(got(u) === ((u * 100L + u, u, u * u * 100L, s, s, s,
         s * 100 + s * 10 + s)), s"user $u")
     }
+  }
+
+  test("q134 RFM distributed rank equals the ntile windows on a skewed, " +
+    "non-divisible fixture (ties, n % buckets != 0)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // 23 users (23 % 5 != 0 — remainder buckets differ in size), heavy ties
+    // on every metric (spend/count collide mod 4), one whale user
+    val rows = (1L to 23L).flatMap { u =>
+      val k = u % 4 + 1
+      (1L to k).map(i => (u, u * 50L + i, (k * 3).toDouble))
+    } ++ (1L to 40L).map(i => (99L, 5000L + i, 0.07))
+    val ev = rows.zipWithIndex
+      .map { case ((uid, sec, v), i) => (uid, i.toLong + 1L, sec, v) }
+      .toDF("user_id", "event_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.rfmOn(ev, cache = false).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    // reference: the single-partition ntile windows rfmOn replaced
+    val per = ev.select(col("user_id"), unix_timestamp(col("ts")).as("eps"),
+        expr("CAST(floor(value * 100.0D + 0.5D) AS BIGINT)").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(max(col("eps")).as("last_eps"), count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"))
+    val ref = per
+      .withColumn("r_score", ntile(Events.RfmBuckets)
+        .over(Window.orderBy(col("last_eps").asc, col("user_id").asc)))
+      .withColumn("f_score", ntile(Events.RfmBuckets)
+        .over(Window.orderBy(col("n_events").asc, col("user_id").asc)))
+      .withColumn("m_score", ntile(Events.RfmBuckets)
+        .over(Window.orderBy(col("sum_cents").asc, col("user_id").asc)))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(got === ref)
   }
 
   test("q138 stickiness: hand-checked trailing windows, repeat-visit dedup, null-user exclusion") {
