@@ -1845,19 +1845,30 @@ object Embeddings {
     * "how much of the space do N exemplars cover" report a data-pruning
     * pipeline reads before fixing its budget.
     *
-    * Scale shape: the classic incremental formulation — ONE cached corpus
-    * frame; each round updates the running min-distance with a single
+    * Scale shape: the classic incremental formulation, TRAVERSED PER CELL —
+    * the corpus is pre-assigned to the q46 coarse cells and cached ONCE;
+    * each round updates the running min-distance with a single
     * `least(md, dist-to-newest-center)` column (distance to the ONE new
-    * center, not the whole chosen set) and takes the argmax via
-    * TakeOrderedAndProject. Per-round driver traffic is exactly one row
-    * (the chosen center's vector — the q97 bounded-argmax contract), so R
-    * rounds cost R corpus passes over the cached frame and R single-row
-    * collects; no pairwise distance matrix ever exists. Distances are the
+    * center, not the whole chosen set) and takes the argmax as a map-side
+    * `max_by` PER CELL — every cell's frame is scanned independently in
+    * parallel, no global TakeOrdered merge over the corpus — then the
+    * global winner is the max of the ≤ |cells| cell winners (max of maxes:
+    * byte-identical to the global argmax, same (md desc, vec_id asc)
+    * tie-break, spec-pinned on a crafted 2-cell fixture). Per-round driver
+    * traffic is ≤ |cells| rows (codebook-bounded — the q97 argmax
+    * contract), so R rounds cost R cell-parallel passes over the cached
+    * frame; no pairwise distance matrix ever exists. Distances are the
     * fixed-order dot-product fold, so the oracle (same chain, unrolled
-    * CTEs) matches bitwise. */
-  def q128KcenterCoreset(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = graft.CachedFrames.track(
-      vecs(spark, sfDir).select(col("vec_id"), col("v"), col("nrm")))
+    * CTEs — cells don't change the chosen set) matches bitwise. */
+  def q128KcenterCoreset(spark: SparkSession, sfDir: String): DataFrame =
+    kcenterOn(graft.CachedFrames.track(assignedCells(spark, sfDir)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))))
+
+  /** The greedy loop over ANY cached (vec_id, v, nrm, cell) frame —
+    * fixture-testable. The `cell` column only shapes the argmax
+    * aggregation; the selection is cell-independent. */
+  private[graft] def kcenterOn(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
     def distTo(cv: Seq[Double], cn: Double) =
       lit(1.0) - dot(col("v"), typedLit(cv)) / (col("nrm") * lit(cn))
     // Row-stored arrays come back as mutable.ArraySeq — normalize once
@@ -1868,9 +1879,17 @@ object Embeddings {
     var picks = List((0, seed.getAs[Long]("vec_id"), None: Option[Double]))
     var md = distTo(vecOf(seed), seed.getAs[Double]("nrm"))
     for (r <- 1 to CoresetRounds) {
-      val c = base.filter(!col("vec_id").isin(chosenIds: _*))
-        .select(col("vec_id"), col("v"), col("nrm"), md.as("md"))
-        .orderBy(col("md").desc, col("vec_id").asc).limit(1).collect()(0)
+      // per-cell winners: partial max_by combines map-side, one row per
+      // cell reaches the driver; (md, -vec_id) max == (md desc, vec_id asc)
+      val winners = base.filter(!col("vec_id").isin(chosenIds: _*))
+        .select(col("cell"), col("vec_id"), col("v"), col("nrm"), md.as("md"))
+        .groupBy(col("cell"))
+        .agg(max_by(struct(col("md"), col("vec_id"), col("v"), col("nrm")),
+          struct(col("md"), (-col("vec_id")).as("nid"))).as("w"))
+        .select(col("w.md"), col("w.vec_id"), col("w.v"), col("w.nrm"))
+        .collect()
+      val c = winners.minBy(r0 =>
+        (-r0.getAs[Double]("md"), r0.getAs[Long]("vec_id")))
       chosenIds ::= c.getAs[Long]("vec_id")
       picks ::= ((r, c.getAs[Long]("vec_id"), Some(c.getAs[Double]("md"))))
       md = least(md, distTo(vecOf(c), c.getAs[Double]("nrm")))

@@ -737,13 +737,17 @@ object Events {
   def q138Stickiness(spark: SparkSession, sfDir: String): DataFrame =
     stickinessOn(Tables(spark, sfDir, "events"))
 
-  private[graft] def stickinessOn(events: DataFrame): DataFrame = {
+  /** `cache = false` is the PlanSpec seam (see [[rfmOn]]: a cached plan's
+    * nested AdaptiveSparkPlan truncates the printed outer tree). */
+  private[graft] def stickinessOn(events: DataFrame,
+      cache: Boolean = true): DataFrame = {
     // persist: presence feeds the DAU rollup and the WAU range join
-    val du = graft.CachedFrames.track(events
+    val du0 = events
       .filter(col("user_id").isNotNull)
       .select(expr("CAST(floor(unix_timestamp(ts) / 86400.0D) AS BIGINT)")
         .as("day"), col("user_id"))
-      .distinct())
+      .distinct()
+    val du = if (cache) graft.CachedFrames.track(du0) else du0
     val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     val days = dau.select(col("day").as("d"))
     val wau = du.join(broadcast(days),

@@ -704,6 +704,84 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // (EventsSpec pins value equality; the cache contract is Bench-audited)
   }
 
+  test("q135_bitext_margin: one bounded-batch cross join, top-k pushed " +
+      "into WindowGroupLimit, one src exchange, map-side collect_list") {
+    val p = finalPlan("q135_bitext_margin")
+    // the declared bounded-batch brute pass: exactly ONE nested-loop join
+    // (queries × target side); a second would mean a duplicated corpus pass
+    assert(nodes(p, "BroadcastNestedLoopJoin") == 1, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    // rk <= MarginK is pushed down as a group-limit BEFORE the shuffle —
+    // only ≤ K rows per query reach the src_id exchange
+    assert(p.contains("WindowGroupLimit"), p)
+    // one hash exchange (src_id) + the scan right-sizing round-robin
+    assert(nodes(p, "Exchange") == 2, p)
+    assert(p.contains("RoundRobinPartitioning"), p)
+    assert(p.contains("partial_collect_list"), p)
+  }
+
+  test("q136_matryoshka_recall: ONE stacked queries×corpus pass ranks all " +
+      "prefix levels — a single (d, id1) exchange, group-limit pushdown") {
+    val p = finalPlan("q136_matryoshka_recall")
+    // exactly one (d, query) rank exchange: all levels ride the same
+    // stacked frame; a second would mean the crossJoin ran per level
+    assert("hashpartitioning\\(d#\\d+, id1#\\d+L".r.findAllIn(p).size == 1, p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    // two nested-loop joins: the queries×corpus pass and the 1-row
+    // n_truth broadcast — nothing else may cartesian
+    assert(nodes(p, "BroadcastNestedLoopJoin") == 2, p)
+  }
+
+  test("q137_l_diversity: one groupBy with expand-based count-distinct — " +
+      "both phases partial-aggregated, no joins") {
+    val p = finalPlan("q137_l_diversity")
+    // the two-phase distinct expand: (qi, sensitive) partials, then the
+    // (qi) rollup — every phase combines map-side before its exchange
+    assert(nodes(p, "HashAggregate") >= 4, p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("count(distinct"), p)
+    assert(nodes(p, "Exchange") == 3, p) // round-robin + the two phases
+    assert(nodes(p, "BroadcastHashJoin") == 0, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+  }
+
+  test("q138_stickiness: presence distinct is the only corpus-sized " +
+      "exchange; the trailing window is a broadcast range join (uncached " +
+      "plan, full tree)") {
+    val df = ops.Events.stickinessOn(Tables(spark, sf, "events"), cache = false)
+    df.queryExecution.toRdd.count()
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    val p = if (cut >= 0) s.substring(0, cut) else s
+    // the WAU trailing window joins presence against the |days| frame via
+    // BROADCAST (non-equi range condition) — never a sort-merge or shuffle
+    // of the presence stream for the window
+    assert(nodes(p, "BroadcastNestedLoopJoin") == 1, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // corpus-sized hash exchanges: the (day, user) distinct (×2 here only
+    // because cache=false replans it per branch) + the two |days|-bounded
+    // rollups; nothing exchanges on raw events
+    assert("hashpartitioning\\(day#\\d+L, user_id#\\d+L".r
+      .findAllIn(p).size == 2, p)
+  }
+
+  test("q139_hapax_ttr: two compact-key exchanges — (source, token) counts " +
+      "then the |sources| rollup — and the text never shuffles") {
+    val p = finalPlan("q139_hapax_ttr")
+    assert(nodes(p, "Generate") == 1, p) // the single token explode
+    // (source, w) count + (source) rollup; + the scan round-robin
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2, p)
+    assert(nodes(p, "Exchange") == 3, p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    // the exploded text column is consumed by the first aggregate — no
+    // window, no join ever sees raw tokens
+    assert(nodes(p, "Window") == 0, p)
+  }
+
   test("q130_dim_stats: one scan, partial+final aggregation, one exchange " +
       "bounded by the dimension count") {
     val p = finalPlan("q130_dim_stats")

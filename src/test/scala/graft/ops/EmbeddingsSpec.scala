@@ -470,6 +470,36 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_._2).distinct.length === got.length)
   }
 
+  test("q128 per-cell traversal is cell-independent: a crafted 2-cell split " +
+    "selects exactly what one cell does, with winners crossing cells") {
+    import spark.implicits._
+    // 2D points on distinct rays so cosine distances are well-separated;
+    // the cell split is ADVERSARIAL (alternating), so consecutive global
+    // winners come from different cells and the max-of-maxes merge is
+    // actually exercised
+    val pts = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(0.5, 0.5)), (4L, Seq(-1.0, 0.2)), (5L, Seq(-0.3, -0.9)),
+      (6L, Seq(0.2, -1.0)), (7L, Seq(-0.8, -0.6)), (8L, Seq(0.95, 0.05)),
+      (9L, Seq(-0.1, 0.99)))
+    def frame(cellOf: Long => Int) = pts.map { case (id, v) =>
+      (id, v, math.sqrt(v.map(x => x * x).sum), cellOf(id))
+    }.toDF("vec_id", "v", "nrm", "cell").repartition(4)
+    val (two, one) = try {
+      val two = Embeddings.kcenterOn(
+        graft.CachedFrames.track(frame(id => (id % 2).toInt)))
+        .collect().map(_.toSeq).toList
+      val one = Embeddings.kcenterOn(
+        graft.CachedFrames.track(frame(_ => 0)))
+        .collect().map(_.toSeq).toList
+      (two, one)
+    } finally graft.CachedFrames.drain()
+    assert(two === one)
+    // the adversarial split really made consecutive picks cross cells
+    val cells = two.map(r => (r(1).asInstanceOf[Long] % 2).toInt)
+    assert(cells.distinct.size === 2, cells.mkString(","))
+  }
+
   test("q130 per-dimension stats reproduce an exact plain-Scala recomputation") {
     val sf = "/root/testdata/sf0.001"
     val got = try Embeddings.q130DimStats(spark, sf).collect()
