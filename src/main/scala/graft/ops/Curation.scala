@@ -966,6 +966,92 @@ object Curation {
     FROM customer GROUP BY 1, 2
   """
 
+  /** q144 tuning: the closeness threshold on total variation distance. */
+  private[ops] val TClosenessT = 0.2
+
+  /** q144: t-CLOSENESS audit — the attack q137's l-diversity misses
+    * (Li, Li & Venkatasubramanian 2007): a class can hold l DISTINCT
+    * sensitive values and still leak if its distribution is skewed far
+    * from the global one (l-diversity counts values; t-closeness measures
+    * the distribution). For categorical attributes the earth-mover
+    * distance reduces to total variation: tvd = Σ|p_class − p_global| / 2
+    * per class; meets_t = tvd ≤ [[TClosenessT]]. Closes the release-audit
+    * ladder k-anonymity (q82) → l-diversity (q137) → t-closeness.
+    *
+    * Exactness: the TVD numerator cross-multiplies to integers —
+    * Σ|c_i·N − C_i·n| over segments, accumulated in DECIMAL(38,0)
+    * (oracle: HUGEINT — c·N overflows BIGINT once classes×corpus pass
+    * ~3e9 rows each) — and the one division /(2·n·N) runs on exact-cast
+    * doubles in the same operation order in both engines.
+    *
+    * Scale shape: ONE scan of the release projection feeds four
+    * map-side-combinable aggregates (class sizes, global segment counts,
+    * the 1-row total, class×segment counts); the audit grid is
+    * |classes|×|segments| — built from aggregation OUTPUTS with the
+    * segment side broadcast — so nothing corpus-sized joins or sorts. */
+  def q144TCloseness(spark: SparkSession, sfDir: String): DataFrame =
+    tClosenessOn(graft.CachedFrames.track(q81Anonymize(spark, sfDir)
+      // cached: four aggregates read the same 3-column projection
+      .select(col("c_nationkey"), col("acctbal_band"), col("c_mktsegment"))))
+
+  /** The audit core over ANY (c_nationkey, acctbal_band, c_mktsegment)
+    * release frame — fixture-testable. */
+  private[graft] def tClosenessOn(rel: DataFrame): DataFrame = {
+    val cls = rel.groupBy(col("c_nationkey"), col("acctbal_band"))
+      .agg(count(lit(1)).as("n"))
+    val seg = rel.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("cg"))
+    val tot = rel.agg(count(lit(1)).as("nn"))
+    val cs = rel.groupBy(col("c_nationkey"), col("acctbal_band"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("c"))
+    cls.crossJoin(broadcast(seg))
+      .join(cs, Seq("c_nationkey", "acctbal_band", "c_mktsegment"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("term", abs(
+        col("c").cast("decimal(19,0)") * col("nn").cast("decimal(19,0)")
+          - col("cg").cast("decimal(19,0)") * col("n").cast("decimal(19,0)")))
+      .groupBy(col("c_nationkey"), col("acctbal_band"), col("n"), col("nn"))
+      .agg(sum(col("term")).as("sterm"))
+      .withColumn("tvd", col("sterm").cast("double")
+        / (lit(2.0) * col("n").cast("double") * col("nn").cast("double")))
+      .withColumn("meets_t", col("tvd") <= TClosenessT)
+      .select(col("c_nationkey"), col("acctbal_band"), col("n"), col("tvd"),
+        col("meets_t"))
+  }
+
+  val q144TClosenessSql: String = s"""
+    WITH rel AS (
+      SELECT c_nationkey,
+        CAST(floor(c_acctbal / 1000.0) AS INTEGER) * 1000 AS acctbal_band,
+        c_mktsegment
+      FROM customer),
+    cls AS (SELECT c_nationkey, acctbal_band, count(*) AS n
+            FROM rel GROUP BY 1, 2),
+    seg AS (SELECT c_mktsegment, count(*) AS cg FROM rel GROUP BY 1),
+    tot AS (SELECT count(*) AS nn FROM rel),
+    cs AS (SELECT c_nationkey, acctbal_band, c_mktsegment, count(*) AS c
+           FROM rel GROUP BY 1, 2, 3),
+    g AS (
+      SELECT cls.c_nationkey, cls.acctbal_band, cls.n, tot.nn, seg.cg,
+        coalesce(cs.c, 0) AS c
+      FROM cls CROSS JOIN seg
+      LEFT JOIN cs ON cs.c_nationkey = cls.c_nationkey
+        AND cs.acctbal_band = cls.acctbal_band
+        AND cs.c_mktsegment = seg.c_mktsegment, tot),
+    s AS (
+      SELECT c_nationkey, acctbal_band, n, nn,
+        sum(abs(CAST(c AS HUGEINT) * nn - CAST(cg AS HUGEINT) * n)) AS sterm -- guard:ok internal HUGEINT sum, output only as exact-cast DOUBLE
+      FROM g GROUP BY 1, 2, 3, 4)
+    SELECT c_nationkey, acctbal_band, n,
+      CAST(sterm AS DOUBLE)
+        / (2.0 * CAST(n AS DOUBLE) * CAST(nn AS DOUBLE)) AS tvd,
+      CAST(sterm AS DOUBLE)
+        / (2.0 * CAST(n AS DOUBLE) * CAST(nn AS DOUBLE)) <= $TClosenessT
+        AS meets_t
+    FROM s
+  """
+
   /** q117's simulated second crawl: every `% RecrawlModulo = RecrawlResidue`
     * document re-arrives under a new id and the 'recrawl' source — the
     * deterministic stand-in for the overlapping crawl snapshots a real

@@ -2197,4 +2197,126 @@ object Embeddings {
     FROM od LEFT JOIN h ON od.d = h.d, tn
   """
   }
+
+  /** q143 tuning: query batch, candidate pool depth, picks per query, and
+    * the MMR trade-off weights. λ and (1−λ) are BOTH written as literal
+    * constants — `1.0 - 0.7` is 0.30000000000000004 in IEEE, so deriving
+    * one from the other would silently de-sync the engines. */
+  val MmrQueryIds = 8L
+  val MmrPoolK = 20
+  val MmrSelectK = 5
+  val MmrLambda = 0.7
+  val MmrLambdaC = 0.3
+
+  /** q143: MAXIMAL MARGINAL RELEVANCE selection (Carbonell & Goldstein
+    * 1998) — for each query, greedily pick [[MmrSelectK]] of its top-
+    * [[MmrPoolK]] candidates by score = λ·relevance − (1−λ)·max-sim-to-
+    * already-picked. THE diverse-retrieval move a RAG/few-shot pipeline
+    * runs after ANN: q29 returns the most similar documents, which at high
+    * duplication are near-copies of each other; MMR keeps relevance while
+    * forcing coverage (pick 2 is the best candidate that is NOT redundant
+    * with pick 1). Rounds and ties ((score desc, cand_id asc)) are total
+    * orders; every similarity is the fixed-order dot fold, so the unrolled
+    * oracle matches bitwise.
+    *
+    * Scale shape: the pool stage is ONE bounded-batch pass (queries ×
+    * corpus — the q29 contract; an IVF/ADC feed swaps in) with the
+    * rank-filter pushed into a WindowGroupLimit, and everything after it
+    * is ≤ |queries|·[[MmrPoolK]] rows, CACHED once. Each greedy round is
+    * the q128 shape: per-query `max_by` argmax (map-side, ≤ |queries| rows
+    * to the driver), one broadcast of the |queries| new picks back, and an
+    * incremental greatest(ms, sim-to-newest) column — never a pairwise
+    * matrix, never a corpus re-scan. */
+  def q143MmrSelect(spark: SparkSession, sfDir: String,
+      cfg: AnnConfig = DefaultAnn): DataFrame = {
+    val e = graft.CachedFrames.track(vecs(spark, sfDir))
+    val q = e.filter(col("vec_id") < MmrQueryIds)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.filter(col("vec_id") >= MmrQueryIds)
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("cand_id").asc)
+    // cached: the bounded pool is the only frame the greedy rounds touch
+    val pool = graft.CachedFrames.track(q.crossJoin(c)
+      .withColumn("rel", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= MmrPoolK)
+      .select(col("qid"), col("cand_id"), col("cv"), col("cn"), col("rel")))
+    def vecOf(r: org.apache.spark.sql.Row): Seq[Double] =
+      r.getAs[scala.collection.Seq[Double]]("cv").toSeq
+    import spark.implicits._
+    var cand = pool.withColumn("ms", lit(0.0))
+    var picks = List.empty[(Long, Int, Long, Double, Double)]
+    for (r <- 1 to MmrSelectK) {
+      val winners = cand
+        .withColumn("score",
+          lit(MmrLambda) * col("rel") - lit(MmrLambdaC) * col("ms"))
+        .groupBy(col("qid"))
+        .agg(max_by(
+          struct(col("score"), col("cand_id"), col("cv"), col("cn"), col("rel")),
+          struct(col("score"), (-col("cand_id")).as("nid"))).as("w"))
+        .select(col("qid"), col("w.cand_id").as("cand_id"), col("w.cv").as("cv"),
+          col("w.cn").as("cn"), col("w.rel").as("rel"), col("w.score").as("score"))
+        .collect()
+      picks = picks ++ winners.map(row => (row.getAs[Long]("qid"), r,
+        row.getAs[Long]("cand_id"), row.getAs[Double]("rel"),
+        row.getAs[Double]("score")))
+      val sel = winners.toSeq.map(row => (row.getAs[Long]("qid"),
+        row.getAs[Long]("cand_id"), vecOf(row), row.getAs[Double]("cn")))
+        .toDF("sqid", "sid", "sv", "sn")
+      cand = cand.join(broadcast(sel), col("qid") === col("sqid"))
+        .filter(col("cand_id") =!= col("sid"))
+        .withColumn("ms", greatest(col("ms"),
+          dot(col("cv"), col("sv")) / (col("cn") * col("sn"))))
+        .drop("sqid", "sid", "sv", "sn")
+    }
+    picks.toDF("qid", "sel_round", "cand_id", "rel", "score")
+      .select(col("qid"), col("sel_round"), col("cand_id"), col("rel"),
+        col("score"))
+  }
+
+  /** The q143 oracle unrolls the identical greedy rounds. */
+  val q143MmrSelectSql: String = {
+    def dotSql(a: String, b: String) =
+      s"""list_reduce(list_prepend(0.0::DOUBLE,
+         |  list_transform(list_zip($a, $b), z -> z[1] * z[2])),
+         |  (acc, x) -> acc + x)""".stripMargin
+    val rounds = (1 to MmrSelectK).map { k =>
+      val prev = s"c${k - 1}"
+      s"""s$k AS (
+         |  SELECT qid, cand_id, cv, cn, rel,
+         |    $MmrLambda * rel - $MmrLambdaC * ms AS score
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY $MmrLambda * rel - $MmrLambdaC * ms DESC, cand_id ASC)
+         |      AS rk FROM $prev) WHERE rk = 1),
+         |c$k AS (
+         |  SELECT c.qid, c.cand_id, c.cv, c.cn, c.rel,
+         |    greatest(c.ms, ${dotSql("c.cv", "s.cv")} / (c.cn * s.cn)) AS ms
+         |  FROM $prev c JOIN s$k s
+         |    ON c.qid = s.qid AND c.cand_id <> s.cand_id)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to MmrSelectK)
+      .map(k => s"SELECT qid, $k AS sel_round, cand_id, rel, score FROM s$k")
+      .mkString("\n    UNION ALL ")
+    s"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+        sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(list_transform(embedding, x -> x::DOUBLE),
+            x -> x * x)), (acc, x) -> acc + x)) AS nrm
+      FROM embeddings),
+    p AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cand_id, c.v AS cv, c.nrm AS cn,
+        ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS rel
+      FROM e q JOIN e c
+        ON q.vec_id < $MmrQueryIds AND c.vec_id >= $MmrQueryIds),
+    c0 AS (
+      SELECT qid, cand_id, cv, cn, rel, 0.0::DOUBLE AS ms FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY rel DESC, cand_id ASC) AS rk FROM p)
+      WHERE rk <= $MmrPoolK),
+    $rounds
+    SELECT qid, CAST(sel_round AS INTEGER) AS sel_round, cand_id, rel, score
+    FROM ($out)
+  """
+  }
 }

@@ -582,7 +582,7 @@ object Events {
       SELECT user_id, event_id, eps, cents,
         count(cents) OVER wnd AS n_win,
         CAST(sum(cents) OVER wnd AS BIGINT) AS s1,
-        sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) OVER wnd AS s2
+        sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) OVER wnd AS s2 -- guard:ok internal HUGEINT window sum, WHERE-only
       FROM e
       WINDOW wnd AS (PARTITION BY user_id ORDER BY ts, event_id
         ROWS BETWEEN $AnomalyWin PRECEDING AND 1 PRECEDING))
@@ -771,5 +771,61 @@ object Events {
     SELECT dau.day, dau.dau, wau.wau,
       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
     FROM dau JOIN wau ON dau.day = wau.day
+  """
+
+  /** q141: ACTIVITY TREND per user — the ordinary-least-squares slope of
+    * daily event counts over the user's active days,
+    * slope = (k·Σxy − Σx·Σy) / (k·Σxx − Σx²): events/day of drift, the
+    * "engagement is decaying" feature a churn model consumes next to
+    * q102's cohort view and q138's aggregate stickiness (those say THAT
+    * users leave; the slope says WHO is fading, before they do). Users
+    * with one active day (or a degenerate x-spread) report NULL — no
+    * trend is measurable. All five sums are exact BIGINTs (day keys
+    * ~2·10⁴, counts bounded by activity: every product sits far below
+    * 2⁵³, so the final casts are exact and the one division matches
+    * bitwise).
+    *
+    * Scale shape: events collapse to (user, day) counts map-side (the
+    * q138 presence idiom with a count instead of a distinct), then a
+    * second map-side-combinable rollup to ONE row per user carrying the
+    * five sums; the slope is a projection. Two compact-key exchanges,
+    * no window, no sort, no join. */
+  def q141ActivityTrend(spark: SparkSession, sfDir: String): DataFrame =
+    activityTrendOn(Tables(spark, sfDir, "events"))
+
+  private[graft] def activityTrendOn(events: DataFrame): DataFrame =
+    events.filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400.0D) AS BIGINT)").as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("y"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"), sum(col("day")).as("sx"),
+        sum(col("y")).as("n_events"), sum(col("day") * col("y")).as("sxy"),
+        sum(col("day") * col("day")).as("sxx"))
+      .withColumn("slope", when(
+        col("n_days") > 1 &&
+          (col("n_days") * col("sxx") - col("sx") * col("sx")) =!= 0,
+        (col("n_days") * col("sxy") - col("sx") * col("n_events")).cast("double")
+          / (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double")))
+      .select(col("user_id"), col("n_days"), col("n_events"), col("slope"))
+
+  val q141ActivityTrendSql: String = """
+    WITH daily AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        count(*) AS y
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+    s AS (
+      SELECT user_id, count(*) AS n_days,
+        CAST(sum(day) AS BIGINT) AS sx,
+        CAST(sum(y) AS BIGINT) AS n_events,
+        CAST(sum(day * y) AS BIGINT) AS sxy,
+        CAST(sum(day * day) AS BIGINT) AS sxx
+      FROM daily GROUP BY 1)
+    SELECT user_id, n_days, n_events,
+      CASE WHEN n_days > 1 AND (n_days * sxx - sx * sx) <> 0
+        THEN CAST(n_days * sxy - sx * n_events AS DOUBLE)
+          / CAST(n_days * sxx - sx * sx AS DOUBLE)
+      END AS slope
+    FROM s
   """
 }

@@ -2979,4 +2979,124 @@ object TextOps {
         / CAST(count(*) AS DOUBLE) AS hapax_frac
     FROM c GROUP BY 1
   """
+
+  /** q140 tuning: reported percentile levels as exact fractions a/b. */
+  val LengthPercentiles: Seq[(String, Int, Int)] =
+    Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+  /** q140: EXACT length percentiles per source — p50/p90/p99 of the
+    * token-count distribution, defined rank-exactly as the value at rank
+    * ⌈q·n⌉ of the (n_tokens, doc_id) order (no interpolation, no sketch:
+    * the number a sequence-length budget is actually set from). The
+    * sibling of q110's skew report on the LENGTH axis: a source whose p99
+    * explodes needs chunking (q65) before packing (q59); one whose p50
+    * collapses is fragment spam.
+    *
+    * Scale shape: percentiles-by-sorting is the textbook global-sort
+    * trap — here the rank is the q59 two-phase bucketed rank
+    * ([[DistRank.withBucketedRank]] grouped by source, B-way parallel
+    * inside a dominant source, no bare per-source window), target ranks
+    * ⌈a·n/b⌉ are integer arithmetic on the broadcast per-source sizes, and
+    * the three values fall out of ONE map-side-combinable conditional-max
+    * rollup — |sources| rows out, nothing corpus-sized sorts on one task.
+    * All outputs are exact BIGINTs. */
+  def q140LengthPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    lengthPercentilesOn(graft.CachedFrames.track(
+      // cached: feeds the bucketed rank (bounds + rank) and the sizes rollup
+      Tables.parallelized(Tables(spark, sfDir, "documents"))
+        .select(col("doc_id"), col("source"),
+          expr("""CAST(size(split(trim(text), '\\s+')) AS BIGINT)""")
+            .as("n_tokens"))))
+
+  /** The percentile core over ANY (doc_id, source, n_tokens) frame —
+    * fixture-testable. */
+  private[graft] def lengthPercentilesOn(t: DataFrame): DataFrame = {
+    val sizes = t.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+      .select(col("source").as("_ssrc"), col("n_source"))
+    val aggs = LengthPercentiles.map { case (name, a, b) =>
+      max(when(col("_r") ===
+        expr(s"($a * n_source + ${b - 1}) DIV $b"), col("n_tokens"))).as(name)
+    }
+    DistRank.withBucketedRank(t, Seq("source"), "n_tokens", Seq("doc_id"), "_r")
+      .join(broadcast(sizes), col("source") <=> col("_ssrc"))
+      .groupBy(col("source"), col("n_source"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  val q140LengthPercentilesSql: String = {
+    val cases = LengthPercentiles.map { case (name, a, b) =>
+      s"max(CASE WHEN rk = ($a * n_source + ${b - 1}) // $b THEN n_tokens END) AS $name"
+    }.mkString(",\n      ")
+    s"""
+    WITH t AS (
+      SELECT doc_id, source,
+        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents),
+    r AS (
+      SELECT source, n_tokens,
+        row_number() OVER (PARTITION BY source ORDER BY n_tokens ASC, doc_id ASC)
+          AS rk,
+        count(*) OVER (PARTITION BY source) AS n_source
+      FROM t)
+    SELECT source, n_source,
+      $cases
+    FROM r GROUP BY 1, 2
+  """
+  }
+
+  /** q142: LEXICAL CONCENTRATION per source — Simpson index Σ(c/N)² (the
+    * probability two random tokens coincide), its Gini-diversity
+    * complement 1−Simpson, and the head share max(c)/N. The concentration
+    * axis q139's TTR misses: TTR counts the vocabulary, Simpson weighs it —
+    * a source can keep a huge tail vocabulary (healthy TTR) while one
+    * template token takes half the mass (head_share → 0.5, Simpson
+    * explodes), the signature of boilerplate injection. Σc² accumulates in
+    * DECIMAL(38,0) (oracle: HUGEINT) so the sum is exact far past BIGINT
+    * (q126's lesson: Σc² wraps at c ≳ 3e9); the reported doubles are one
+    * exact-value cast + a fixed division chain, bitwise in both engines.
+    *
+    * Scale shape: identical to q139 — one (source, token) map-side count
+    * (vocabulary-sized output, never broadcast), then a |sources|-row
+    * rollup carrying the decimal Σc² and max on the same pass. Two
+    * compact-key exchanges; text never shuffles. */
+  def q142TokenGini(spark: SparkSession, sfDir: String): DataFrame =
+    tokenGiniOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+
+  private[graft] def tokenGiniOn(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        explode(expr("""split(trim(text), '\\s+')""")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .as("sc2"),
+        max(col("c")).as("c_max"))
+      .withColumn("simpson", col("sc2").cast("double")
+        / (col("n_tokens").cast("double") * col("n_tokens").cast("double")))
+      .withColumn("gini", lit(1.0) - col("simpson"))
+      .withColumn("head_share",
+        col("c_max").cast("double") / col("n_tokens").cast("double"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("c_max"),
+        col("simpson"), col("gini"), col("head_share"))
+
+  val q142TokenGiniSql: String = """
+    WITH st AS (
+      SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      FROM documents),
+    c AS (SELECT source, w, count(*) AS c FROM st GROUP BY 1, 2),
+    s AS (
+      SELECT source,
+        CAST(sum(c) AS BIGINT) AS n_tokens,
+        count(*) AS n_types,
+        sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sc2, -- guard:ok internal HUGEINT sum, output only as exact-cast DOUBLE
+        CAST(max(c) AS BIGINT) AS c_max
+      FROM c GROUP BY 1)
+    SELECT source, n_tokens, n_types, c_max,
+      CAST(sc2 AS DOUBLE)
+        / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS simpson,
+      1.0 - CAST(sc2 AS DOUBLE)
+        / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS gini,
+      CAST(c_max AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS head_share
+    FROM s
+  """
 }

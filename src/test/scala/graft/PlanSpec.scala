@@ -782,6 +782,51 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "Window") == 0, p)
   }
 
+  test("q140_length_percentiles: bucketed rank (no bare per-source " +
+      "window), broadcast sizes, conditional-max rollup combines map-side") {
+    val p = finalPlan("q140_length_percentiles")
+    assert("hashpartitioning\\(source#\\d+, _bkt".r.findFirstIn(p).isDefined, p)
+    p.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
+      assert(l.contains("_bkt"), l)
+    }
+    assert(p.contains("partial_max(CASE WHEN"), p) // the percentile rollup
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert(nodes(p, "BroadcastHashJoin") >= 3, p) // bounds, offsets, sizes
+  }
+
+  test("q141_activity_trend: two compact-key exchanges, all five sums " +
+      "partial-aggregated, no window/sort/join") {
+    val p = finalPlan("q141_activity_trend")
+    assert(nodes(p, "Exchange") == 2, p) // (user, day) then (user)
+    assert(p.contains("partial_sum"), p)
+    assert(nodes(p, "Window") == 0 && nodes(p, "Sort") == 0, p)
+    assert(nodes(p, "BroadcastHashJoin") == 0 &&
+      nodes(p, "SortMergeJoin") == 0, p)
+    assert(p.contains("PushedFilters: [IsNotNull(user_id)]"), p)
+  }
+
+  test("q142_token_gini: the q139 shape — (source, token) count then the " +
+      "|sources| rollup with the decimal sum riding the same pass") {
+    val p = finalPlan("q142_token_gini")
+    assert(nodes(p, "Generate") == 1, p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2, p)
+    assert(nodes(p, "Exchange") == 3, p)
+    assert(p.contains("partial_sum"), p)
+    assert(nodes(p, "Window") == 0, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+  }
+
+  test("q144_t_closeness: the audit grid is built from aggregation outputs " +
+      "— broadcast cross/hash joins only, term sum combines map-side") {
+    val p = finalPlan("q144_t_closeness")
+    // segments and the 1-row total broadcast into the grid; the class-seg
+    // counts join by hash — the release projection itself never re-joins
+    assert(nodes(p, "BroadcastNestedLoopJoin") == 2, p)
+    assert(nodes(p, "BroadcastHashJoin") >= 1, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("q130_dim_stats: one scan, partial+final aggregation, one exchange " +
       "bounded by the dimension count") {
     val p = finalPlan("q130_dim_stats")

@@ -260,4 +260,25 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     // passes q82's size bar yet fails diversity (or is too small for both)
     got.values.foreach { case (n, nd, _) => assert(nd >= 1L && nd <= n) }
   }
+
+  test("q144 t-closeness: hand-computed TVD on a crafted release (skewed " +
+    "classes fail, a globally-proportional class passes, zero counts " +
+    "contribute)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // global: A x9, B x3 over N=12; classes (1,0)/(2,0) diverge, (3,0)
+    // matches the global mix exactly. (2,0) has NO B rows at all -- the
+    // missing-segment grid cell must still contribute |0*N - C*n|.
+    val rel = (Seq.fill(2)((1, 0, "A")) ++ Seq.fill(2)((1, 0, "B")) ++
+      Seq.fill(4)((2, 0, "A")) ++
+      Seq.fill(3)((3, 0, "A")) ++ Seq.fill(1)((3, 0, "B")))
+      .toDF("c_nationkey", "acctbal_band", "c_mktsegment").repartition(3)
+    val got = Curation.tClosenessOn(rel).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got === Map(
+      (1, 0) -> ((4L, 0.25, false)),
+      (2, 0) -> ((4L, 0.25, false)),
+      (3, 0) -> ((4L, 0.0, true))))
+  }
 }

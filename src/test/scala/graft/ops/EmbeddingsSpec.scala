@@ -580,4 +580,50 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b },
       ordered.mkString(","))
   }
+
+  test("q143 MMR picks replay a plain-Scala greedy oracle bitwise; picks " +
+    "are unique per query and include non-top-rel diversity picks") {
+    val sf = "/root/testdata/sf0.001"
+    val got = try Embeddings.q143MmrSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+      finally graft.CachedFrames.drain()
+    val vs = collectVecs(sf)
+    val nrm = vs.map { case (id, v) => id -> math.sqrt(dotFold(v, v)) }
+    def cos(a: Long, b: Long) = dotFold(vs(a), vs(b)) / (nrm(a) * nrm(b))
+    val expected = (0L until Embeddings.MmrQueryIds).flatMap { qid =>
+      val pool = vs.keys.filter(_ >= Embeddings.MmrQueryIds).toSeq
+        .map(c => (c, cos(qid, c)))
+        .sortBy { case (c, rel) => (-rel, c) }
+        .take(Embeddings.MmrPoolK)
+      var ms = pool.map { case (c, _) => c -> 0.0 }.toMap
+      var picks = List.empty[(Long, Int, Long, Double, Double)]
+      for (r <- 1 to Embeddings.MmrSelectK) {
+        val rels = pool.toMap
+        val (pc, sc) = ms.toSeq
+          .map { case (c, m) =>
+            (c, Embeddings.MmrLambda * rels(c) - Embeddings.MmrLambdaC * m) }
+          .sortBy { case (c, s) => (-s, c) }.head
+        picks ::= ((qid, r, pc, rels(pc), sc))
+        ms = (ms - pc).map { case (c, m) => c -> math.max(m, cos(c, pc)) }
+      }
+      picks.reverse
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq === expected)
+    // structure: SelectK unique picks per query
+    got.groupBy(_._1).foreach { case (_, ps) =>
+      assert(ps.length === Embeddings.MmrSelectK)
+      assert(ps.map(_._3).distinct.length === ps.length)
+    }
+    // diversity is real somewhere in the batch: at least one query's pick
+    // set differs from its pure top-relevance set
+    val topRel = (0L until Embeddings.MmrQueryIds).map { qid =>
+      qid -> vs.keys.filter(_ >= Embeddings.MmrQueryIds).toSeq
+        .map(c => (c, cos(qid, c))).sortBy { case (c, rel) => (-rel, c) }
+        .take(Embeddings.MmrSelectK).map(_._1).toSet
+    }.toMap
+    assert((0L until Embeddings.MmrQueryIds).exists(q =>
+      got.filter(_._1 == q).map(_._3).toSet != topRel(q)))
+  }
 }

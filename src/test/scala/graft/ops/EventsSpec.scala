@@ -300,4 +300,30 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
         s"day $d")
     }
   }
+
+  test("q141 activity trend: hand-computed OLS slopes (rising, falling, " +
+    "single-day null), null users excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // u1: days 0,1,2 with 2,4,6 events -> slope 2; u2: one day -> NULL;
+    // u3: days 10,20 with 5,1 -> slope -0.4; null user ignored
+    val rows: Seq[(Option[Long], Long)] =
+      (for { (d, y) <- Seq((0L, 2), (1L, 4), (2L, 6)); i <- 1 to y }
+        yield (Option(1L), d * 86400L + i)) ++
+      (1 to 3).map(i => (Option(2L), 5L * 86400L + i)) ++
+      (for { (d, y) <- Seq((10L, 5), (20L, 1)); i <- 1 to y }
+        yield (Option(3L), d * 86400L + i)) ++
+      Seq((Option.empty[Long], 86400L))
+    val ev = rows.zipWithIndex
+      .map { case ((u, sec), i) => (u, i.toLong + 1L, sec) }
+      .toDF("user_id", "event_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.activityTrendOn(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got === Map(
+      1L -> ((3L, 12L, Some(2.0))),
+      2L -> ((1L, 3L, None)),
+      3L -> ((2L, 6L, Some(-0.4)))))
+  }
 }

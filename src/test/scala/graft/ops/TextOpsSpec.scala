@@ -577,4 +577,35 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       assert(ttr > 0.0 && ttr <= 1.0 && hf >= 0.0 && hf <= 1.0)
     }
   }
+
+  test("q140 length percentiles: hand-checked rank-exact p50/p90/p99 on " +
+    "crafted sources (ties, a 1-doc source, non-divisible sizes)") {
+    import spark.implicits._
+    // source a: lengths 1..10; b: one doc; c: 7 docs with heavy ties
+    val rows = (1 to 10).map(i => (i.toLong, "a", i.toLong)) ++
+      Seq((100L, "b", 42L)) ++
+      Seq(3L, 3L, 3L, 7L, 7L, 9L, 9L).zipWithIndex
+        .map { case (n, i) => (200L + i, "c", n) }
+    val t = rows.toDF("doc_id", "source", "n_tokens").repartition(4)
+    val got = TextOps.lengthPercentilesOn(t).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // rank targets: ceil(q*n) of the sorted lengths
+    assert(got === Map(
+      "a" -> ((10L, 5L, 9L, 10L)),  // ranks 5 / 9 / 10
+      "b" -> ((1L, 42L, 42L, 42L)), // every rank is the one doc
+      "c" -> ((7L, 7L, 9L, 9L))))   // ranks 4 / 7 / 7
+  }
+
+  test("q142 token gini: hand-computed Simpson/gini/head-share, and the " +
+    "decimal sum of squares is exact") {
+    import spark.implicits._
+    val docs = Seq(("x", "a a a b"), ("y", "p q r s")).toDF("source", "text")
+    val got = TextOps.tokenGiniOn(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // x: c={a:3,b:1}, N=4: simpson=10/16, head=3/4; y: uniform: 4/16, 1/4
+    assert(got("x") === ((4L, 2L, 3L, 0.625, 0.375, 0.75)))
+    assert(got("y") === ((4L, 4L, 1L, 0.25, 0.75, 0.25)))
+  }
 }
