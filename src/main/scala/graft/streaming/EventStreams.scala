@@ -64,6 +64,19 @@ final case class RetentionDelta(cohort_wk: Long, week_offset: Long, delta: Int)
   * week seen — bounded by weeks-per-user (52/year), never event volume. */
 final case class RetentionState(cohort_wk: Long, weeks: Seq[Long])
 
+/** One stream arrival for the activity-trend monitor: the user and the
+  * event's epoch-day key (the q138/q141 floor-division idiom). */
+final case class UserDay(user_id: Long, day: Long)
+
+/** Per-user OLS accumulator: five closed-day sums plus the OPEN day's
+  * (key, count) — SEVEN Longs of state total, independent of history
+  * length. */
+final case class TrendState(nDays: Long, sx: Long, sy: Long, sxy: Long,
+  sxx: Long, curDay: Long, curY: Long)
+
+final case class TrendRow(user_id: Long, n_days: Long, n_events: Long,
+  slope: Option[Double])
+
 /** Structured Streaming formulations of the event-time operators whose batch
   * twins live in graft.ops.Events (SURVEY.md §2.9): the SAME window
   * transforms run on a `readStream` source with a watermark, and
@@ -341,6 +354,53 @@ object EventStreams {
     }
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** LIVE ACTIVITY TREND — the streaming twin of batch q141: per user, the
+    * running OLS slope of daily event counts, refreshed on every
+    * micro-batch that touches the user (Update mode; the latest row per
+    * user IS the batch answer over everything ingested so far —
+    * spec-pinned against [[graft.ops.Events.q141ActivityTrend]]).
+    *
+    * State is SEVEN Longs per user ([[TrendState]]: five closed-day sums +
+    * the open day's key and count) — constant in history length, the whole
+    * point: the batch twin re-reads all events, the monitor never does.
+    * Slope arithmetic is the batch twin's verbatim (exact Long sums, one
+    * double division), so emitted slopes are bitwise-equal.
+    *
+    * Ordering contract ([[sourceQuotaStream]]'s): day keys arrive
+    * non-decreasing per user (rows sort by day within each micro-batch);
+    * a same-day tail arriving in a later batch folds into the still-open
+    * day correctly. A day REOPENED after later days arrived would
+    * double-count — the same in-order contract every twin here declares. */
+  def activityTrendStream(events: Dataset[UserDay]): Dataset[TrendRow] = {
+    import events.sparkSession.implicits._
+    def fn(user: Long, batch: Iterator[UserDay],
+           state: GroupState[TrendState]): TrendRow = {
+      var s = state.getOption
+        .getOrElse(TrendState(0L, 0L, 0L, 0L, 0L, Long.MinValue, 0L))
+      batch.toSeq.sortBy(_.day).foreach { e =>
+        if (e.day == s.curDay) s = s.copy(curY = s.curY + 1)
+        else if (s.curY > 0L)
+          s = TrendState(s.nDays + 1L, s.sx + s.curDay, s.sy + s.curY,
+            s.sxy + s.curDay * s.curY, s.sxx + s.curDay * s.curDay,
+            e.day, 1L)
+        else s = s.copy(curDay = e.day, curY = 1L)
+      }
+      state.update(s)
+      // snapshot: fold the OPEN day virtually (state keeps it open so a
+      // same-day tail in the next batch still lands in it)
+      val (k, sx, sy, sxy, sxx) =
+        if (s.curY > 0L) (s.nDays + 1L, s.sx + s.curDay, s.sy + s.curY,
+          s.sxy + s.curDay * s.curY, s.sxx + s.curDay * s.curDay)
+        else (s.nDays, s.sx, s.sy, s.sxy, s.sxx)
+      val den = k * sxx - sx * sx
+      val slope = if (k > 1L && den != 0L)
+        Some((k * sxy - sx * sy).toDouble / den.toDouble) else None
+      TrendRow(user, k, sy, slope)
+    }
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
   }
 
   /** Static-index admission: the corpus index is derived once and never

@@ -1584,4 +1584,45 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("activity-trend stream equals batch q141 on time-ordered real " +
+    "events, with state carrying open days across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = graft.Tables.normalizeEventsTs(
+      spark.read.parquet(s"$sf/events.parquet"))
+    val arrivals = raw.filter(col("user_id").isNotNull)
+      .selectExpr("user_id",
+        "CAST(floor(unix_timestamp(ts) / 86400.0D) AS BIGINT) AS day")
+      .as[UserDay].collect().sortBy(_.day)
+    val mem = MemoryStream[UserDay]
+    val q = EventStreams.activityTrendStream(mem.toDS())
+      .writeStream.format("memory").queryName("trend_twin")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // split INSIDE a day so the open-day fold crosses the batch boundary
+      val cut = {
+        val half = arrivals.length / 2
+        val d = arrivals(half).day
+        arrivals.indexWhere(_.day == d) + 1 // first row of that day + 1
+      }
+      val (w1, w2) = arrivals.splitAt(cut)
+      mem.addData(w1.toSeq: _*); q.processAllAvailable()
+      mem.addData(w2.toSeq: _*); q.processAllAvailable()
+      // Update mode appends a row per (user, batch) — the LAST row per
+      // user is the live answer
+      val got = spark.table("trend_twin").as[TrendRow].collect()
+        .zipWithIndex.groupBy(_._1.user_id)
+        .map { case (u, rs) => u -> rs.maxBy(_._2)._1 }
+      val expected = graft.ops.Events.q141ActivityTrend(spark, sf).collect()
+        .map(r => r.getLong(0) -> TrendRow(r.getLong(0), r.getLong(1),
+          r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .toMap
+      graft.CachedFrames.drain()
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
