@@ -1089,18 +1089,33 @@ object Curation {
     * core without the gate's simulated re-crawl, reused by
     * `cli.ReleaseReport` on real corpus drops. */
   private[graft] def dedupSavingsOn(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wd = Window.partitionBy(col("digest"))
-    docs
-      .select(col("source"), col("doc_id"),
-        md5(lower(trim(col("text")))).as("digest"),
-        expr("""CAST(size(split(trim(text), '\\s+')) AS BIGINT)""").as("n_tokens"))
-      .withColumn("is_dup", col("doc_id") =!= min(col("doc_id")).over(wd))
+    // NO digest window (round 12): `min(doc_id) OVER (PARTITION BY digest)`
+    // buffers every copy of a viral boilerplate digest on ONE reducer — the
+    // content-keyed window class the round-7 audit rewrote in q91/q53, and
+    // AQE skew splitting does not apply to window partitions. Instead the
+    // giant group collapses MAP-SIDE to one row per (digest, source)
+    // carrying (count, token sum, min-doc keeper candidate); the global
+    // keeper is a min_by over those ≤ |sources| rows per digest, and the
+    // dup counts are arithmetic on the collapsed rows — identical output,
+    // every stage partial-aggregated or |sources|-bounded per key.
+    val d = docs.select(col("source"), col("doc_id"),
+      md5(lower(trim(col("text")))).as("digest"),
+      expr("""CAST(size(split(trim(text), '\\s+')) AS BIGINT)""").as("n_tokens"))
+    val perSrc = d.groupBy(col("digest"), col("source"))
+      .agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("t"),
+        min(col("doc_id")).as("mn"),
+        min_by(col("n_tokens"), col("doc_id")).as("mn_tokens"))
+    val keeper = perSrc.groupBy(col("digest"))
+      .agg(min_by(struct(col("source"), col("mn_tokens")), col("mn")).as("k"))
+      .select(col("digest"), col("k.source").as("ksrc"),
+        col("k.mn_tokens").as("ktokens"))
+    perSrc.join(keeper, Seq("digest"))
+      .withColumn("own", (col("source") === col("ksrc")).cast("long"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"),
-        sum(col("n_tokens")).as("n_tokens"),
-        sum(when(col("is_dup"), col("n_tokens")).otherwise(0L)).as("dup_tokens"))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(col("c") - col("own")).as("n_dup_docs"),
+        sum(col("t")).as("n_tokens"),
+        sum(col("t") - col("own") * col("ktokens")).as("dup_tokens"))
       .withColumn("dup_doc_frac",
         col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
       .withColumn("dup_token_frac",

@@ -314,9 +314,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "CartesianProduct") == 0, p)
   }
 
-  test("q117_dedup_savings: text never shuffles — the digest exchange carries compact keys only") {
+  test("q117_dedup_savings: text never shuffles, NO digest window — giant " +
+      "digest groups collapse map-side before any exchange") {
     val p = finalPlan("q117_dedup_savings")
-    assert(nodes(p, "SortMergeJoin") == 0 && nodes(p, "BroadcastHashJoin") == 0, p)
+    // the viral-boilerplate guard: no window may partition by digest (it
+    // would buffer every copy on one reducer; AQE skew splitting does not
+    // apply to windows) — the keeper election is min_by aggregation
+    assert(nodes(p, "Window") == 0, p)
+    assert(p.contains("partial_min_by"), p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
     // every exchange's hashpartitioning is on digest or source — none on text
     val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(exchanges.nonEmpty, p)
