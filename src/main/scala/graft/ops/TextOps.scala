@@ -2980,6 +2980,72 @@ object TextOps {
     FROM c GROUP BY 1
   """
 
+  /** q145: TRIANGLE COUNT + local clustering coefficient over the
+    * winnowing-containment near-dup graph (q68's edges) — per node: degree,
+    * triangles through it, and lcc = 2·tri/(deg·(deg−1)). The STRUCTURE
+    * diagnostic next to q127's centrality: true near-dup clusters are
+    * near-cliques (lcc → 1); a high-degree node with lcc → 0 is a CHAIN
+    * hub — the signature of LSH false-positive chaining, where transitive
+    * closure (q49/q131) would glue unrelated documents into one cluster.
+    * Read this before trusting any consolidation verdict. Counts are exact
+    * integers; lcc is one fixed-order division chain — bitwise in both
+    * engines.
+    *
+    * Scale shape: everything is bounded by the NEAR-DUP GRAPH (the
+    * similarity gate's OUTPUT, orders smaller than the corpus — the q121/
+    * q127 contract). The oriented (id1 < id2) edge list makes each
+    * triangle appear exactly once as a<b<c: one edges⋈edges wedge join +
+    * one closing equi-join — the standard distributed triangle algorithm,
+    * work Σ wedge counts, never corpus-sized. Per-node tallies combine
+    * map-side. */
+  def q145TriangleCount(spark: SparkSession, sfDir: String): DataFrame =
+    triangleCountOn(q68Containment(spark, sfDir).select(col("id1"), col("id2")))
+
+  /** The counting core over ANY oriented (id1 < id2) edge frame —
+    * fixture-testable. */
+  private[graft] def triangleCountOn(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("id1").as("node"))
+      .unionByName(pairs.select(col("id2").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val tri = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .join(pairs.select(col("id1").as("b"), col("id2").as("c")), Seq("b"))
+      .join(pairs.select(col("id1").as("a"), col("id2").as("c")), Seq("a", "c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .withColumn("lcc", when(col("deg") >= 2,
+        lit(2.0) * col("n_tri").cast("double")
+          / (col("deg").cast("double") * (col("deg") - 1).cast("double"))))
+      .select(col("node").as("doc_id"), col("deg"), col("n_tri"), col("lcc"))
+  }
+
+  val q145TriangleCountSql: String = s"""
+    WITH pairs AS (SELECT id1, id2 FROM ($q68ContainmentSql)),
+    deg AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT id1 AS node FROM pairs UNION ALL SELECT id2 FROM pairs)
+      GROUP BY 1),
+    tri AS (
+      SELECT ab.id1 AS a, ab.id2 AS b, bc.id2 AS c
+      FROM pairs ab
+      JOIN pairs bc ON ab.id2 = bc.id1
+      JOIN pairs ac ON ac.id1 = ab.id1 AND ac.id2 = bc.id2),
+    pn AS (
+      SELECT node, count(*) AS n_tri FROM (
+        SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+      GROUP BY 1)
+    SELECT d.node AS doc_id, d.deg,
+      CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_tri,
+      CASE WHEN d.deg >= 2 THEN
+        2.0 * CAST(coalesce(p.n_tri, 0) AS DOUBLE)
+          / (CAST(d.deg AS DOUBLE) * CAST(d.deg - 1 AS DOUBLE))
+      END AS lcc
+    FROM deg d LEFT JOIN pn p ON d.node = p.node
+  """
+
   /** q140 tuning: reported percentile levels as exact fractions a/b. */
   val LengthPercentiles: Seq[(String, Int, Int)] =
     Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))

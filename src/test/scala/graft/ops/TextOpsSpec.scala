@@ -608,4 +608,22 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got("x") === ((4L, 2L, 3L, 0.625, 0.375, 0.75)))
     assert(got("y") === ((4L, 4L, 1L, 0.25, 0.75, 0.25)))
   }
+
+  test("q145 triangle count: hand-checked triangles, degrees and lcc on a " +
+    "triangle-plus-chain fixture (the chain hub scores low)") {
+    import spark.implicits._
+    // 1-2-3 is a triangle; 3-4 dangles; 4-5-6 is a pure chain (no closure)
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L)).toDF("id1", "id2").repartition(3)
+    val got = TextOps.triangleCountOn(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got === Map(
+      1L -> ((2L, 1L, Some(1.0))),
+      2L -> ((2L, 1L, Some(1.0))),
+      3L -> ((3L, 1L, Some(1.0 / 3.0))),
+      4L -> ((2L, 0L, Some(0.0))),
+      5L -> ((2L, 0L, Some(0.0))),
+      6L -> ((1L, 0L, None))))
+  }
 }
