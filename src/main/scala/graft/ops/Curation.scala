@@ -1148,4 +1148,58 @@ object Curation {
       CAST(dup_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_token_frac
     FROM s
   """
+
+  /** q150 tuning: target sample size (boundaries drawn at multiples of
+    * total_weight DIV K). */
+  val PpsSampleK = 100L
+
+  /** q150: SYSTEMATIC PPS SAMPLE — probability-proportional-to-size
+    * sampling by the deterministic systematic rule: lay every document's
+    * weight (n_chars) end-to-end in doc_id order, draw [[PpsSampleK]]
+    * equally-spaced boundaries (step = total DIV K), and keep each doc
+    * whose weight span crosses a boundary, with multiplicity = boundaries
+    * crossed. The curation-pipeline auditor's sample: heavy docs are
+    * proportionally represented WITHOUT any RNG (re-runs and both engines
+    * agree exactly), unlike Bernoulli sampling whose realized size drifts.
+    * A doc heavier than the step is kept with multiplicity > 1 — the
+    * textbook PPS certainty-unit case, reported not resampled.
+    *
+    * Scale shape: the weight layout is [[TextOps.distributedRunningSum]]'s
+    * two-phase range-bucketed prefix sum over ONE synthetic stratum (the
+    * q59/q99 engine — B-way parallel by doc_id range, no single-partition
+    * window), the total and step ride the same broadcast bounds row, and
+    * the crossing test is a pure projection. Output is ~K rows. */
+  def q150PpsSample(spark: SparkSession, sfDir: String): DataFrame =
+    ppsSampleOn(Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars")), PpsSampleK)
+
+  /** The systematic rule over any (doc_id, source, n_chars) frame —
+    * fixture-testable. */
+  private[graft] def ppsSampleOn(docs: DataFrame, k: Long): DataFrame = {
+    val t = docs.select(lit("_all").as("source"), col("doc_id"),
+      col("source").as("doc_source"), col("n_chars").as("wgt"))
+    val run = TextOps.distributedRunningSum(t, "wgt", Seq("doc_id"), t)
+    val tot = run.agg(max(col("running")).as("total"))
+      .select(col("total"), greatest(expr(s"total DIV $k"), lit(1L)).as("step"))
+    run.crossJoin(broadcast(tot))
+      .withColumn("m", expr("running DIV step - (running - wgt) DIV step"))
+      .filter(col("m") > 0)
+      .select(col("doc_id"), col("doc_source").as("source"), col("wgt"),
+        col("running"), col("m").as("multiplicity"))
+  }
+
+  val q150PpsSampleSql: String = s"""
+    WITH r AS (
+      SELECT doc_id, source, n_chars AS wgt,
+        CAST(sum(n_chars) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS running
+      FROM documents),
+    tot AS (
+      SELECT greatest(max(running) // $PpsSampleK, 1) AS step FROM r)
+    SELECT doc_id, source, wgt, running,
+      running // step - (running - wgt) // step AS multiplicity
+    FROM r, tot
+    WHERE running // step - (running - wgt) // step > 0
+  """
 }

@@ -828,4 +828,220 @@ object Events {
       END AS slope
     FROM s
   """
+
+  /** q148 tuning: EWMA taps kept (α = 1/2; truncation error < 2^-taps,
+    * below double resolution at 20). */
+  private[ops] val EwmaTaps = 20
+
+  /** q148: truncated EWMA of per-user daily activity (α = 1/2) — the
+    * "current engagement level" feature that weights yesterday twice as
+    * hard as the day before, where q141's OLS slope answers "which way" and
+    * this answers "how much, right now". α = 1/2 is the IEEE move: every
+    * weight is a power of two, so the weighted sum is EXACT in BIGINT
+    * (weight 2^(taps−1−j) for the j-th most recent active day, renormalized
+    * over the days actually present) and the only double is the final
+    * num/den division, which both engines round identically. The window is
+    * the user's ACTIVE-day sequence (gaps don't decay — the streaming twin
+    * applies the same contract), truncated to [[EwmaTaps]] taps.
+    *
+    * Scale shape: the daily rollup is one map-side-combined groupBy; the
+    * tap chain is [[EwmaTaps]] `lag`s over ONE per-user window (per-user
+    * partitions are each tiny — the calendar bounds |days|/user — so
+    * unlike a global orderBy this parallelizes across users), and the
+    * final-day pick is a window max in the SAME partition order, no extra
+    * exchange. One shuffle total after the rollup. */
+  def q148Ewma(spark: SparkSession, sfDir: String): DataFrame =
+    ewmaOn(Tables(spark, sfDir, "events"))
+
+  private[graft] def ewmaOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("user_id"))
+    val num = (0 until EwmaTaps).map { j =>
+      coalesce(lag(col("y"), j).over(w), lit(0L)) *
+        lit(1L << (EwmaTaps - 1 - j))
+    }.reduce(_ + _)
+    val den = (0 until EwmaTaps).map { j =>
+      when(lag(col("y"), j).over(w).isNotNull,
+        lit(1L << (EwmaTaps - 1 - j))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    events.filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400.0D) AS BIGINT)").as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("y"))
+      .withColumn("ewma_num", num)
+      .withColumn("ewma_den", den)
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .withColumn("_mx", max(col("day")).over(wAll))
+      .filter(col("day") === col("_mx"))
+      .select(col("user_id"), col("n_days"), col("day").as("last_day"),
+        col("ewma_num"), col("ewma_den"),
+        (col("ewma_num").cast("double") / col("ewma_den").cast("double"))
+          .as("ewma"))
+  }
+
+  /** The q148 oracle replays the identical tap chain. */
+  val q148EwmaSql: String = {
+    val num = (0 until EwmaTaps).map { j =>
+      s"COALESCE(lag(y, $j) OVER w, 0) * ${1L << (EwmaTaps - 1 - j)}"
+    }.mkString("\n        + ")
+    val den = (0 until EwmaTaps).map { j =>
+      s"CASE WHEN lag(y, $j) OVER w IS NOT NULL THEN ${1L << (EwmaTaps - 1 - j)} ELSE 0 END"
+    }.mkString("\n        + ")
+    s"""
+    WITH daily AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        count(*) AS y
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+    taps AS (
+      SELECT user_id, day,
+        $num AS ewma_num,
+        CAST($den AS BIGINT) AS ewma_den,
+        count(*) OVER (PARTITION BY user_id) AS n_days,
+        max(day) OVER (PARTITION BY user_id) AS mx
+      FROM daily
+      WINDOW w AS (PARTITION BY user_id ORDER BY day))
+    SELECT user_id, n_days, day AS last_day, ewma_num, ewma_den,
+      CAST(ewma_num AS DOUBLE) / CAST(ewma_den AS DOUBLE) AS ewma
+    FROM taps WHERE day = mx
+    """
+  }
+
+  /** q151: CUSUM change-point score per event type — for each type's daily
+    * count series, S_t = max(0, S_{t-1} + (c_t − μ)) with μ = the type's
+    * own mean daily count, reported as the series MAX and its (earliest)
+    * peak day: the standard "did the rate shift, and when" detector that a
+    * point threshold misses (a sustained small drift accumulates; one
+    * noisy day doesn't). All integer: with P_t the prefix sum and
+    * nM_t = n·P_t − t·total (the mean-centered walk cross-multiplied by
+    * n = |days|), S_t·n = nM_t − min(0, min_{i≤t} nM_i) exactly — no
+    * rational μ ever materializes. The display column divides by n once.
+    *
+    * Scale shape: the heavy input collapses in ONE map-side-combined
+    * (type, day) count; everything after runs on |types|·|days| rows —
+    * calendar-bounded by construction, so the per-type windows are tiny
+    * regardless of corpus size (the q126 contract: windows over inherently
+    * small series, never over raw events). */
+  def q151Cusum(spark: SparkSession, sfDir: String): DataFrame =
+    cusumOn(Tables(spark, sfDir, "events"))
+
+  private[graft] def cusumOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val walk = events
+      .select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400.0D) AS BIGINT)").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("p", sum(col("c")).over(w))
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("c")).over(wAll))
+      .withColumn("nm", col("n_days") * col("p") - col("t") * col("total"))
+      .withColumn("cusum_n",
+        col("nm") - least(lit(0L), min(col("nm")).over(w)))
+    val mx = walk.groupBy(col("event_type"))
+      .agg(max(col("cusum_n")).as("max_cusum_n"))
+    walk.join(mx, Seq("event_type"))
+      .filter(col("cusum_n") === col("max_cusum_n"))
+      .groupBy(col("event_type"), col("n_days"), col("total"),
+        col("max_cusum_n"))
+      .agg(min(col("day")).as("peak_day"))
+      .select(col("event_type"), col("n_days"), col("total"),
+        col("max_cusum_n"), col("peak_day"),
+        (col("max_cusum_n").cast("double") / col("n_days").cast("double"))
+          .as("max_cusum"))
+  }
+
+  val q151CusumSql: String = """
+    WITH daily AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        count(*) AS c
+      FROM events GROUP BY 1, 2),
+    walk AS (
+      SELECT event_type, day, c,
+        CAST(row_number() OVER w AS BIGINT) AS t,
+        CAST(sum(c) OVER w AS BIGINT) AS p, -- guard:ok internal prefix walk, outputs are BIGINT products
+        count(*) OVER (PARTITION BY event_type) AS n_days,
+        CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    cs AS (
+      SELECT event_type, day, n_days, total,
+        (n_days * p - t * total)
+          - least(0, min(n_days * p - t * total) OVER w2) AS cusum_n
+      FROM walk
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY day)),
+    mx AS (SELECT event_type, max(cusum_n) AS max_cusum_n
+           FROM cs GROUP BY 1)
+    SELECT c.event_type, c.n_days, c.total, m.max_cusum_n,
+      min(c.day) AS peak_day,
+      CAST(m.max_cusum_n AS DOUBLE) / CAST(c.n_days AS DOUBLE) AS max_cusum
+    FROM cs c JOIN mx m
+      ON c.event_type = m.event_type AND c.cusum_n = m.max_cusum_n
+    GROUP BY 1, 2, 3, 4, 6
+  """
+
+  /** q152 tuning: minimum users supporting an itemset. */
+  private[ops] val ItemsetMinSupport = 5L
+
+  /** q152: FREQUENT EVENT-TYPE ITEMSETS (Apriori at sizes 2 and 3) — which
+    * COMBINATIONS of behaviors co-occur in the same user, with support =
+    * number of users exhibiting all members. q132's Markov matrix sees
+    * only adjacent transitions; this sees the unordered basket ("users who
+    * purchase AND search AND share"), the cross-feature signal cohort
+    * definitions are built from. Counts are exact; lift-style ratios are
+    * left to the consumer so the row stays integer-only.
+    *
+    * Scale shape: everything flows from ONE distinct (user, type) collapse
+    * — after it, each user contributes at most C(T,2)+C(T,3) rows where T
+    * is the EVENT-TYPE VOCABULARY (schema-bounded, not data-sized), so
+    * the user-keyed self-joins are bounded fan-out equi-joins and the
+    * support counts combine map-side. The raw event table is touched
+    * exactly once. */
+  def q152Itemsets(spark: SparkSession, sfDir: String): DataFrame =
+    itemsetsOn(Tables(spark, sfDir, "events"))
+
+  private[graft] def itemsetsOn(events: DataFrame): DataFrame = {
+    val ut = graft.CachedFrames.track(
+      events.filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type")).distinct())
+    val pairs = graft.CachedFrames.track(
+      ut.select(col("user_id"), col("event_type").as("t1"))
+        .join(ut.select(col("user_id"), col("event_type").as("t2")),
+          Seq("user_id"))
+        .filter(col("t1") < col("t2")))
+    val p2 = pairs.groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= ItemsetMinSupport)
+      .select(concat_ws("|", col("t1"), col("t2")).as("itemset"),
+        lit(2).as("size"), col("support"))
+    val p3 = pairs
+      .join(ut.select(col("user_id"), col("event_type").as("t3")),
+        Seq("user_id"))
+      .filter(col("t3") > col("t2"))
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= ItemsetMinSupport)
+      .select(concat_ws("|", col("t1"), col("t2"), col("t3")).as("itemset"),
+        lit(3).as("size"), col("support"))
+    p2.unionByName(p3)
+  }
+
+  val q152ItemsetsSql: String = s"""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE user_id IS NOT NULL),
+    pr AS (
+      SELECT a.user_id, a.event_type AS t1, b.event_type AS t2
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type)
+    SELECT concat_ws('|', t1, t2) AS itemset, 2 AS size,
+      count(*) AS support
+    FROM pr GROUP BY t1, t2 HAVING count(*) >= $ItemsetMinSupport
+    UNION ALL
+    SELECT concat_ws('|', t1, t2, c.event_type) AS itemset, 3 AS size,
+      count(*) AS support
+    FROM pr JOIN ut c
+      ON pr.user_id = c.user_id AND c.event_type > pr.t2
+    GROUP BY t1, t2, c.event_type HAVING count(*) >= $ItemsetMinSupport
+  """
 }

@@ -3165,4 +3165,407 @@ object TextOps {
       CAST(c_max AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS head_share
     FROM s
   """
+
+  /** q146 tuning: co-occurrence support cut / damped rounds / fixed-point
+    * scale / keywords kept. */
+  private[ops] val TextRankMinSupport = 3
+  private[ops] val TextRankRounds = 3
+  private[ops] val TextRankScale = 1000000000000L
+  private[ops] val TextRankTopK = 50
+
+  /** q146: TEXTRANK keyword extraction (Mihalcea-Tarau) — PageRank over
+    * the word CO-OCCURRENCE graph (adjacent-token pairs with corpus count
+    * >= [[TextRankMinSupport]], edge weight = that count), the unsupervised
+    * keyword ranker: a word matters when it co-occurs with words that
+    * themselves matter, which plain frequency (q43) and TF-IDF (q61) both
+    * miss (they score hub words and rare words respectively; TextRank
+    * scores CONNECTED words). Same damped fixed-point engine as q127 but
+    * WEIGHTED: a node's mass splits across neighbours proportional to edge
+    * weight (contribution = (r·w_uv) DIV W_u with W_u = Σ_v w_uv).
+    *
+    * Exactness contract: ranks are fixed-point BIGINTs at
+    * [[TextRankScale]]; every step is integer floor arithmetic so both
+    * engines agree bitwise; the only double is the final display division.
+    * Headroom bound (the q130 discipline): the per-edge product r·w_uv
+    * needs w_uv·Scale < 2^63, i.e. a single bigram repeated < 9.2e6 times
+    * at Scale=1e12 — far above the gate corpora; at web scale drop Scale
+    * to 1e9 (the rank resolution trade, not a correctness cliff).
+    *
+    * Scale shape: the co-occurrence graph is built by one map-side-combined
+    * (wa, wb) count with the support cut applied BEFORE symmetrization, so
+    * the iterated edge list is vocabulary-graph-sized, never corpus-sized;
+    * each round is q127's iterate-on-the-edge-list plan (broadcast-eligible
+    * weighted-degree join + edge-keyed aggregation, Σ work =
+    * rounds × |edges|). The final top-k is TakeOrderedAndProject. */
+  def q146Textrank(spark: SparkSession, sfDir: String): DataFrame =
+    textrankOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+
+  /** The weighted iteration core over ANY document frame —
+    * fixture-testable. */
+  private[graft] def textrankOn(docs: DataFrame): DataFrame = {
+    val s = TextRankScale
+    val stream = docs.select(expr("""split(trim(text), '\\s+')""").as("toks"))
+      .select(col("toks"), posexplode(col("toks")).as(Seq("i", "w")))
+    val und = stream.filter(col("i") >= 1)
+      .select(least(expr("toks[i - 1]"), col("w")).as("wa"),
+        greatest(expr("toks[i - 1]"), col("w")).as("wb"))
+      .filter(col("wa") =!= col("wb")) // a repeated token is not an edge
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("w_uv"))
+      .filter(col("w_uv") >= TextRankMinSupport)
+    val edges = graft.CachedFrames.track(
+      und.select(col("wa").as("src"), col("wb").as("dst"), col("w_uv"))
+        .unionByName(
+          und.select(col("wb").as("src"), col("wa").as("dst"), col("w_uv"))))
+    val wdeg = graft.CachedFrames.track(
+      edges.groupBy(col("src")).agg(sum(col("w_uv")).as("wsum")))
+    val nn = wdeg.agg(count(lit(1)).as("nn"))
+    var rk = wdeg.select(col("src").as("node")).crossJoin(broadcast(nn))
+      .select(col("node"), col("nn"), expr(s"$s DIV nn").as("r"))
+    for (_ <- 1 to TextRankRounds) {
+      val contrib = rk
+        .join(wdeg.select(col("src").as("node"), col("wsum")), Seq("node"))
+        .select(col("node").as("src"), col("r"), col("wsum"))
+      val inSum = edges.join(contrib, Seq("src"))
+        .select(col("dst"), expr("(r * w_uv) DIV wsum").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_c"))
+        .select(col("dst").as("node"), col("in_c"))
+      rk = rk.drop("r").join(inSum, Seq("node"))
+        .select(col("node"), col("nn"),
+          expr(s"(15 * $s) DIV (100 * nn) + (85 * in_c) DIV 100").as("r"))
+    }
+    rk.select(col("node").as("word"), col("r").as("rank_i"),
+        (col("r").cast("double") / lit(1.0e12)).as("rank"))
+      .orderBy(col("rank_i").desc, col("word").asc)
+      .limit(TextRankTopK)
+  }
+
+  /** The q146 oracle unrolls the identical weighted integer rounds. */
+  val q146TextrankSql: String = {
+    val s = TextRankScale
+    val rounds = (1 to TextRankRounds).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS dst, (r.r * e.w_uv) // d.wsum AS c
+         |  FROM e JOIN r${k - 1} r ON e.src = r.node
+         |  JOIN wdeg d ON e.src = d.src),
+         |r$k AS (
+         |  SELECT c.dst AS node, nn.nn,
+         |    (15 * $s) // (100 * nn.nn)
+         |      + (85 * CAST(sum(c.c) AS BIGINT)) // 100 AS r
+         |  FROM c$k c, nn GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""
+    WITH t AS (
+      SELECT regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+    st AS (
+      SELECT tk, i.idx - 1 AS i, tk[i.idx] AS w
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS idx) i),
+    p AS (
+      SELECT least(tk[i], w) AS wa, greatest(tk[i], w) AS wb,
+        count(*) AS w_uv
+      FROM st WHERE i >= 1 AND tk[i] <> w
+      GROUP BY 1, 2 HAVING count(*) >= $TextRankMinSupport),
+    e AS (
+      SELECT wa AS src, wb AS dst, w_uv FROM p
+      UNION ALL
+      SELECT wb AS src, wa AS dst, w_uv FROM p),
+    wdeg AS (SELECT src, CAST(sum(w_uv) AS BIGINT) AS wsum FROM e GROUP BY 1),
+    nn AS (SELECT count(*) AS nn FROM wdeg),
+    r0 AS (SELECT d.src AS node, nn.nn, $s // nn.nn AS r FROM wdeg d, nn),
+    $rounds
+    SELECT node AS word, CAST(r AS BIGINT) AS rank_i,
+      CAST(r AS DOUBLE) / 1e12 AS rank
+    FROM r$TextRankRounds
+    ORDER BY rank_i DESC, word ASC
+    LIMIT $TextRankTopK
+    """
+  }
+
+  /** q147 tuning: query phrases auto-selected (top trigrams). */
+  private[ops] val PhraseTopQ = 3
+
+  /** q147: PHRASE SEARCH over a POSITIONAL INVERTED INDEX — the postings
+    * table (word, doc_id, pos) probed three times with position-adjacency
+    * equi-joins (p2.pos = p1.pos+1, p3.pos = p1.pos+2), the way a search
+    * engine answers "exact phrase" queries WITHOUT rescanning raw text.
+    * The query set is self-derived for determinism: the corpus's top
+    * [[PhraseTopQ]] trigrams (count desc, then lexicographic). The output
+    * carries BOTH the scan-side trigram count (n_corpus) and the
+    * index-side hit count (n_hits) — equal by construction, so the row
+    * itself witnesses that the index lookup loses nothing.
+    *
+    * Scale shape: the phrase table is [[PhraseTopQ]] rows and rides a
+    * broadcast into every probe, so each postings probe is a
+    * broadcast-filtered scan of ONE posting list, and the two adjacency
+    * probes are (doc_id, pos)-keyed equi-joins — work is
+    * Σ posting-list lengths of the query terms, never corpus-quadratic.
+    * Phrase selection itself is one map-side-combined trigram count +
+    * TakeOrderedAndProject. */
+  def q147PhraseSearch(spark: SparkSession, sfDir: String): DataFrame =
+    phraseSearchOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+
+  private[graft] def phraseSearchOn(docs: DataFrame): DataFrame = {
+    val toks = graft.CachedFrames.track(
+      docs.select(col("doc_id"), expr("""split(trim(text), '\\s+')""").as("toks")))
+    val postings = graft.CachedFrames.track(
+      toks.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "w"))))
+    val phrases = toks
+      .select(col("toks"), posexplode(col("toks")).as(Seq("i", "w")))
+      .filter(col("i") >= 2)
+      .select(expr("toks[i - 2]").as("pw1"), expr("toks[i - 1]").as("pw2"),
+        col("w").as("pw3"))
+      .groupBy(col("pw1"), col("pw2"), col("pw3"))
+      .agg(count(lit(1)).as("n_corpus"))
+      .orderBy(col("n_corpus").desc, col("pw1").asc, col("pw2").asc,
+        col("pw3").asc)
+      .limit(PhraseTopQ)
+    val p1 = postings.join(broadcast(phrases), col("w") === col("pw1"))
+      .select(col("doc_id").as("d1"), col("pos"),
+        col("pw1"), col("pw2"), col("pw3"), col("n_corpus"))
+    val p2 = postings
+      .select(col("doc_id").as("d2"), col("pos").as("pos2"), col("w").as("w2"))
+    val p3 = postings
+      .select(col("doc_id").as("d3"), col("pos").as("pos3"), col("w").as("w3"))
+    p1.join(p2, col("d2") === col("d1") && col("pos2") === col("pos") + 1
+        && col("w2") === col("pw2"))
+      .join(p3, col("d3") === col("d1") && col("pos3") === col("pos") + 2
+        && col("w3") === col("pw3"))
+      .groupBy(col("pw1"), col("pw2"), col("pw3"), col("n_corpus"))
+      .agg(count(lit(1)).as("n_hits"), countDistinct(col("d1")).as("n_docs"))
+      .select(concat_ws(" ", col("pw1"), col("pw2"), col("pw3")).as("phrase"),
+        col("n_corpus"), col("n_hits"), col("n_docs"))
+      .orderBy(col("phrase").asc)
+  }
+
+  val q147PhraseSearchSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+      FROM documents),
+    post AS (
+      SELECT doc_id, i.idx - 1 AS pos, tk[i.idx] AS w
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS idx) i),
+    tri AS (
+      SELECT tk[i.idx - 2] AS pw1, tk[i.idx - 1] AS pw2, tk[i.idx] AS pw3,
+        count(*) AS n_corpus
+      FROM t, LATERAL (SELECT unnest(generate_series(3, len(tk))) AS idx) i
+      GROUP BY 1, 2, 3),
+    ph AS (
+      SELECT * FROM tri
+      ORDER BY n_corpus DESC, pw1 ASC, pw2 ASC, pw3 ASC LIMIT $PhraseTopQ),
+    hit AS (
+      SELECT ph.pw1, ph.pw2, ph.pw3, ph.n_corpus, p1.doc_id
+      FROM ph
+      JOIN post p1 ON p1.w = ph.pw1
+      JOIN post p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+        AND p2.w = ph.pw2
+      JOIN post p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+        AND p3.w = ph.pw3)
+    SELECT concat_ws(' ', pw1, pw2, pw3) AS phrase, n_corpus,
+      count(*) AS n_hits, count(DISTINCT doc_id) AS n_docs
+    FROM hit GROUP BY 1, 2
+    ORDER BY phrase ASC
+  """
+
+  /** q149: HITS hub/authority scores over the DIRECTED containment graph —
+    * an edge points excerpt → original (the endpoint MORE contained in the
+    * other is the quoting side; ties carry no direction and are dropped).
+    * Two unnormalized rounds, which keeps every score an EXACT path count:
+    * auth1 = in-degree, hub1 = Σ auth1 over out-neighbours, auth2 = Σ hub1
+    * over in-neighbours — "how much quoting flows INTO this doc through
+    * two hops". PageRank (q127) finds the mixing hubs of the undirected
+    * graph; HITS separates the two roles the direction encodes: templates
+    * that GET quoted (authorities) vs digest docs that quote widely
+    * (hubs). Normalized shares are one exact-integer division each at
+    * display. Growth bound (the q146 discipline): scores multiply by at
+    * most max-degree per round, so 2 rounds need maxdeg⁴ < 2^63 —
+    * maxdeg < 54k, orders past the DF-capped edge generator's bound.
+    *
+    * Scale shape: each round is one edge-keyed equi-join + map-side
+    * combined aggregation over the CACHED DF-capped edge list (q127's
+    * iterate-on-the-edge-list plan); node scores re-attach through
+    * node-keyed joins, never a cross join; the share denominators ride a
+    * 1-row broadcast. */
+  def q149Hits(spark: SparkSession, sfDir: String): DataFrame =
+    hitsOn(q68Containment(spark, sfDir)
+      .select(col("id1"), col("id2"), col("contain1"), col("contain2")))
+
+  /** The two-round core over ANY (id1, id2, contain1, contain2) frame —
+    * fixture-testable. */
+  private[graft] def hitsOn(pairs: DataFrame): DataFrame = {
+    val edges = graft.CachedFrames.track(
+      pairs.filter(col("contain1") > col("contain2"))
+        .select(col("id1").as("src"), col("id2").as("dst"))
+        .unionByName(pairs.filter(col("contain2") > col("contain1"))
+          .select(col("id2").as("src"), col("id1").as("dst"))))
+    val nodes = graft.CachedFrames.track(
+      edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct())
+    val auth1 = edges.groupBy(col("dst")).agg(count(lit(1)).as("a1"))
+    val hub1 = graft.CachedFrames.track(
+      edges.join(auth1, Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("a1")).as("h1")))
+    val auth2 = edges.join(hub1, Seq("src"))
+      .groupBy(col("dst")).agg(sum(col("h1")).as("a2"))
+    val scored = graft.CachedFrames.track(
+      nodes.join(hub1.select(col("src").as("node"), col("h1")), Seq("node"), "left")
+        .join(auth2.select(col("dst").as("node"), col("a2")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("h1"), lit(0L)).as("hub_i"),
+          coalesce(col("a2"), lit(0L)).as("auth_i")))
+    val tot = scored.agg(sum(col("hub_i")).as("ht"), sum(col("auth_i")).as("at"))
+    scored.crossJoin(broadcast(tot))
+      .select(col("node").as("doc_id"), col("hub_i"), col("auth_i"),
+        when(col("ht") > 0,
+          col("hub_i").cast("double") / col("ht").cast("double"))
+          .otherwise(lit(0.0)).as("hub_share"),
+        when(col("at") > 0,
+          col("auth_i").cast("double") / col("at").cast("double"))
+          .otherwise(lit(0.0)).as("auth_share"))
+  }
+
+  val q149HitsSql: String = s"""
+    WITH pairs AS (
+      SELECT id1, id2, contain1, contain2 FROM ($q68ContainmentSql)),
+    e AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs WHERE contain1 > contain2
+      UNION ALL
+      SELECT id2 AS src, id1 AS dst FROM pairs WHERE contain2 > contain1),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    a1 AS (SELECT dst, count(*) AS a1 FROM e GROUP BY 1),
+    h1 AS (
+      SELECT e.src, CAST(sum(a1.a1) AS BIGINT) AS h1
+      FROM e JOIN a1 ON e.dst = a1.dst GROUP BY 1),
+    a2 AS (
+      SELECT e.dst, CAST(sum(h1.h1) AS BIGINT) AS a2
+      FROM e JOIN h1 ON e.src = h1.src GROUP BY 1),
+    sc AS (
+      SELECT n.node, COALESCE(h1.h1, 0) AS hub_i, COALESCE(a2.a2, 0) AS auth_i
+      FROM nodes n
+      LEFT JOIN h1 ON n.node = h1.src
+      LEFT JOIN a2 ON n.node = a2.dst),
+    tot AS (
+      SELECT CAST(sum(hub_i) AS BIGINT) AS ht,
+        CAST(sum(auth_i) AS BIGINT) AS at FROM sc)
+    SELECT node AS doc_id, hub_i, auth_i,
+      CASE WHEN ht > 0 THEN CAST(hub_i AS DOUBLE) / CAST(ht AS DOUBLE)
+        ELSE 0.0 END AS hub_share,
+      CASE WHEN at > 0 THEN CAST(auth_i AS DOUBLE) / CAST(at AS DOUBLE)
+        ELSE 0.0 END AS auth_share
+    FROM sc, tot
+  """
+
+  /** q153: DEGREE ASSORTATIVITY of the near-dup graph — the Pearson
+    * correlation of endpoint degrees over the (symmetrized) edge list.
+    * Positive: duplicates cluster among other heavily-duplicated docs
+    * (mirror farms); negative: hub-and-spoke (one template quoted by many
+    * otherwise-clean docs — q145's chaining signature, summarized to a
+    * single corpus-level number). All five moments are exact BIGINT sums
+    * (degrees are DF-cap-bounded, so Σdeg² over edges stays far inside
+    * 2^63); the final expression is one fixed-order double formula whose
+    * only non-arithmetic op is sqrt — IEEE-correctly-rounded in both
+    * engines, unlike ln (the SCALE.md float contract).
+    *
+    * Scale shape: degree count + one node-keyed join back to edges + one
+    * map-side-combined 1-row moment rollup — work is O(|edges|), output
+    * is ONE row. */
+  def q153Assortativity(spark: SparkSession, sfDir: String): DataFrame =
+    assortativityOn(q68Containment(spark, sfDir).select(col("id1"), col("id2")))
+
+  private[graft] def assortativityOn(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    val deg = graft.CachedFrames.track(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val m = edges
+      .join(deg.select(col("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")), Seq("dst"))
+      .agg(count(lit(1)).as("m_edges"), sum(col("dx")).as("sx"),
+        sum(col("dy")).as("sy"), sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+    m.crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .select(col("n_nodes"), col("m_edges"),
+        when((col("m_edges") * col("sxx") - col("sx") * col("sx")) > 0 &&
+            (col("m_edges") * col("syy") - col("sy") * col("sy")) > 0,
+          (col("m_edges") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("m_edges") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"))
+              * sqrt((col("m_edges") * col("syy") - col("sy") * col("sy"))
+                .cast("double")))).as("assortativity"))
+  }
+
+  val q153AssortativitySql: String = s"""
+    WITH pairs AS (SELECT id1, id2 FROM ($q68ContainmentSql)),
+    e AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION ALL
+      SELECT id2 AS src, id1 AS dst FROM pairs),
+    deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+    mm AS (
+      SELECT count(*) AS m_edges,
+        CAST(sum(dx.deg) AS BIGINT) AS sx, CAST(sum(dy.deg) AS BIGINT) AS sy,
+        CAST(sum(dx.deg * dy.deg) AS BIGINT) AS sxy,
+        CAST(sum(dx.deg * dx.deg) AS BIGINT) AS sxx,
+        CAST(sum(dy.deg * dy.deg) AS BIGINT) AS syy
+      FROM e JOIN deg dx ON e.src = dx.src JOIN deg dy ON e.dst = dy.src),
+    nn AS (SELECT count(*) AS n_nodes FROM deg)
+    SELECT n_nodes, m_edges,
+      CASE WHEN (m_edges * sxx - sx * sx) > 0 AND (m_edges * syy - sy * sy) > 0
+        THEN CAST(m_edges * sxy - sx * sy AS DOUBLE)
+          / (sqrt(CAST(m_edges * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(m_edges * syy - sy * sy AS DOUBLE)))
+      END AS assortativity
+    FROM mm, nn
+  """
+
+  /** q154: per-document BIGRAM NOVELTY — the fraction of a doc's distinct
+    * bigrams whose FIRST corpus occurrence (minimum doc_id, the ingestion
+    * order) is this doc. The memorization-risk lens inverted: q118 asks
+    * "which grams repeat across docs", this asks "how much of each doc is
+    * new when it arrives" — boilerplate re-ingestion scores near 0, fresh
+    * content near 1, and the per-source average of this is the marginal
+    * value of continuing to crawl a source. Counts are exact; the ratio is
+    * one exact-cast division.
+    *
+    * Scale shape: ONE distinct (bigram, doc) collapse feeds both sides:
+    * the min-doc-per-bigram rollup is map-side combinable, and the
+    * join back is bigram-keyed equi — never doc×doc. Nothing
+    * vocabulary-sized broadcasts (the q92 lesson). */
+  def q154BigramNovelty(spark: SparkSession, sfDir: String): DataFrame =
+    bigramNoveltyOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+
+  private[graft] def bigramNoveltyOn(docs: DataFrame): DataFrame = {
+    val bg = graft.CachedFrames.track(
+      docs.select(col("doc_id"), expr("""split(trim(text), '\\s+')""").as("toks"))
+        .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("i", "w")))
+        .filter(col("i") >= 1)
+        .select(col("doc_id"), expr("toks[i - 1]").as("w1"), col("w").as("w2"))
+        .distinct())
+    val first = bg.groupBy(col("w1"), col("w2"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    bg.join(first, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_bigrams").cast("double"))
+          .as("novelty"))
+  }
+
+  val q154BigramNoveltySql: String = """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+      FROM documents),
+    bg AS (
+      SELECT DISTINCT doc_id, tk[i.idx - 1] AS w1, tk[i.idx] AS w2
+      FROM t, LATERAL (SELECT unnest(generate_series(2, len(tk))) AS idx) i),
+    first AS (
+      SELECT w1, w2, min(doc_id) AS first_doc FROM bg GROUP BY 1, 2)
+    SELECT bg.doc_id, count(*) AS n_bigrams,
+      CAST(sum(CASE WHEN f.first_doc = bg.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_novel,
+      CAST(sum(CASE WHEN f.first_doc = bg.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE) AS novelty
+    FROM bg JOIN first f ON bg.w1 = f.w1 AND bg.w2 = f.w2
+    GROUP BY 1
+  """
 }

@@ -281,4 +281,23 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       (2, 0) -> ((4L, 0.25, false)),
       (3, 0) -> ((4L, 0.0, true))))
   }
+
+  test("q150 pps sample: hand-computed boundary crossings — light docs " +
+    "skipped, a doc heavier than the step keeps multiplicity > 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // weights 10,30,10,50 in doc_id order, k=4 -> total=100, step=25;
+    // running 10,40,50,100 -> crossings 0,1,1,2
+    val docs = Seq((1L, "w", 10L), (2L, "w", 30L), (3L, "b", 10L),
+      (4L, "b", 50L)).toDF("doc_id", "source", "n_chars").repartition(3)
+    val got = Curation.ppsSampleOn(docs, 4L).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      2L -> (("w", 30L, 40L, 1L)),
+      3L -> (("b", 10L, 50L, 1L)),
+      4L -> (("b", 50L, 100L, 2L))))
+    // multiplicities sum to k when total divides evenly
+    assert(got.values.map(_._4).sum === 4L)
+  }
 }

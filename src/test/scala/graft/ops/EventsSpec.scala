@@ -326,4 +326,75 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       2L -> ((1L, 3L, None)),
       3L -> ((2L, 6L, Some(-0.4)))))
   }
+
+  test("q148 ewma: hand-computed tap weights over the active-day sequence " +
+    "(gap days skipped, not zero-filled), single-day user, null user dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // u1 active days 10, 11, 13 (12 is a gap) with 2, 4, 8 events:
+    //   num = 8*2^19 + 4*2^18 + 2*2^17 = 5505024, den = 2^19+2^18+2^17
+    //        = 917504 -> ewma = 6.0 exactly
+    // u2: one day with 3 events -> ewma = 3.0
+    val rows: Seq[(Option[Long], Long)] =
+      (for { (d, y) <- Seq((10L, 2), (11L, 4), (13L, 8)); i <- 1 to y }
+        yield (Option(1L), d * 86400L + i)) ++
+      (1 to 3).map(i => (Option(2L), 20L * 86400L + i)) ++
+      Seq((Option.empty[Long], 86400L))
+    val ev = rows.zipWithIndex
+      .map { case ((u, sec), i) => (u, i.toLong + 1L, sec) }
+      .toDF("user_id", "event_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.ewmaOn(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 13L, 5505024L, 917504L, 6.0)),
+      2L -> ((1L, 20L, 3L * (1L << 19), 1L << 19, 3.0))))
+  }
+
+  test("q151 cusum: hand-computed integer walk (level shift peaks, " +
+    "constant series scores zero at its first day)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // A: days 0..3 with 1,1,5,5 -> n=4 tot=12, nM=-8,-16,-8,0,
+    //    cusum_n = 0,0,8,16 -> max 16 at day 3, max_cusum 4.0
+    // B: days 0..2 constant 2 -> cusum_n all 0, peak = earliest day 0
+    val rows: Seq[(String, Long)] =
+      (for { (d, y) <- Seq((0L, 1), (1L, 1), (2L, 5), (3L, 5)); i <- 1 to y }
+        yield ("A", d * 86400L + i)) ++
+      (for { d <- 0L to 2L; i <- 1 to 2 } yield ("B", d * 86400L + i))
+    val ev = rows.zipWithIndex
+      .map { case ((t, sec), i) => (t, i.toLong + 1L, sec) }
+      .toDF("event_type", "event_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.cusumOn(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === Map(
+      "A" -> ((4L, 12L, 16L, 3L, 4.0)),
+      "B" -> ((3L, 6L, 0L, 0L, 0.0))))
+  }
+
+  test("q152 itemsets: pair and triple supports on hand-built baskets, " +
+    "below-support itemsets dropped, duplicate events collapse") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // users 1-6: {A,B,C}; users 7-9: {A,B}; user 10: {A,D}
+    // supports: A|B=9, A|C=6, B|C=6, A|B|C=6; A|D=1 (dropped)
+    val rows: Seq[(Option[Long], String)] =
+      (for { u <- 1L to 6L; t <- Seq("A", "B", "C", "C") }
+        yield (Option(u), t)) ++
+      (for { u <- 7L to 9L; t <- Seq("A", "B") } yield (Option(u), t)) ++
+      Seq((Option(10L), "A"), (Option(10L), "D"),
+        (Option.empty[Long], "A"))
+    val ev = rows.zipWithIndex
+      .map { case ((u, t), i) => (u, t, i.toLong + 1L, 86400L + i) }
+      .toDF("user_id", "event_type", "event_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.itemsetsOn(ev).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      "A|B" -> ((2, 9L)), "A|C" -> ((2, 6L)), "B|C" -> ((2, 6L)),
+      "A|B|C" -> ((3, 6L))))
+  }
 }

@@ -626,4 +626,92 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       5L -> ((2L, 0L, Some(0.0))),
       6L -> ((1L, 0L, None))))
   }
+
+  test("q146 textrank: integer rounds replayed by a plain-Scala oracle on a " +
+    "line graph; below-support edges and repeated-token self-pairs dropped") {
+    import spark.implicits._
+    val docs = Seq("a b a b a b a b", "b c b c b c", "a c", "d d d d")
+      .toDF("text")
+    // surviving graph: a-b w=7, b-c w=5 ((a,c) w=1 is below support, d-d
+    // is a self-pair); replay the exact damped integer rounds
+    val w = Map(("a", "b") -> 7L, ("b", "c") -> 5L)
+    val adj = Map("a" -> Seq("b"), "b" -> Seq("a", "c"), "c" -> Seq("b"))
+    val wdeg = adj.map { case (u, vs) =>
+      u -> vs.map(v => w.getOrElse((u, v), w((v, u)))).sum }
+    val s = 1000000000000L
+    var r = adj.keys.map(_ -> s / 3).toMap
+    for (_ <- 1 to 3) {
+      val in = adj.keys.map { v =>
+        v -> adj(v).map { u =>
+          r(u) * w.getOrElse((u, v), w((v, u))) / wdeg(u) }.sum }.toMap
+      r = in.map { case (v, c) => v -> ((15L * s) / 300L + 85L * c / 100L) }
+    }
+    val got = TextOps.textrankOn(docs).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(got.keySet === Set("a", "b", "c"))
+    assert(got.map { case (k, v) => k -> v._1 } === r)
+    got.foreach { case (_, (ri, rd)) => assert(rd === ri.toDouble / 1e12) }
+  }
+
+  test("q147 phrase search: index-join hits equal the scan counts, top " +
+    "phrases tie-break lexicographically, overlapping occurrences counted") {
+    import spark.implicits._
+    val docs = Seq((1L, "p q r p q r p q r"), (2L, "p q r s"))
+      .toDF("doc_id", "text")
+    // trigram totals: "p q r" 4, "q r p" 2, "r p q" 2, "q r s" 1 ->
+    // top-3 keeps the tie pair in lexicographic order
+    val got = TextOps.phraseSearchOn(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(got.toSeq.sortBy(_._1) === Seq(
+      "p q r" -> ((4L, 4L, 2L)),
+      "q r p" -> ((2L, 2L, 1L)),
+      "r p q" -> ((2L, 2L, 1L))))
+    got.foreach { case (_, (nCorpus, nHits, _)) => assert(nCorpus === nHits) }
+  }
+
+  test("q149 hits: hand-computed two-round path counts on a directed " +
+    "fixture; ties carry no direction, isolated docs drop out") {
+    import spark.implicits._
+    // 1->2, 3->2, 2->4 (excerpt -> original); (5,6) tied -> no edge
+    val pairs = Seq(
+      (1L, 2L, 0.9, 0.1), (3L, 2L, 0.8, 0.2), (2L, 4L, 0.7, 0.3),
+      (5L, 6L, 0.5, 0.5)).toDF("id1", "id2", "contain1", "contain2")
+    val got = TextOps.hitsOn(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    // a1: 2->2, 4->1; h1: 1->2, 3->2, 2->1; a2: 2->4, 4->1
+    assert(got === Map(
+      1L -> ((2L, 0L, 0.4, 0.0)),
+      2L -> ((1L, 4L, 0.2, 0.8)),
+      3L -> ((2L, 0L, 0.4, 0.0)),
+      4L -> ((0L, 1L, 0.0, 0.2))))
+  }
+
+  test("q153 assortativity: a star is exactly -1; a single edge has no " +
+    "degree variance and reports NULL") {
+    import spark.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id1", "id2")
+    val s = TextOps.assortativityOn(star).collect()
+    assert(s.length === 1)
+    assert((s(0).getLong(0), s(0).getLong(1)) === ((4L, 6L)))
+    assert(s(0).getDouble(2) === -1.0)
+    val lone = Seq((1L, 2L)).toDF("id1", "id2")
+    val l = TextOps.assortativityOn(lone).collect()
+    assert(l(0).isNullAt(2))
+  }
+
+  test("q154 bigram novelty: first-occurrence attribution by min doc_id, " +
+    "within-doc duplicates collapse before counting") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "a b a b"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramNoveltyOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // doc3's bigrams {a b, b a}: "a b" first in doc1, "b a" novel
+    assert(got === Map(
+      1L -> ((2L, 2L, 1.0)),
+      2L -> ((2L, 1L, 0.5)),
+      3L -> ((2L, 1L, 0.5))))
+  }
 }
