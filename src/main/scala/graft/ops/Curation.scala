@@ -1176,16 +1176,28 @@ object Curation {
   /** The systematic rule over any (doc_id, source, n_chars) frame —
     * fixture-testable. */
   private[graft] def ppsSampleOn(docs: DataFrame, k: Long): DataFrame = {
+    // EXACTLY the q99 column shape (source, doc_id, value): any extra
+    // payload column would make the offsets branch's pruned subtree
+    // canonically different from phase 1's and forfeit the ReusedExchange
+    // — the doc's source re-attaches to the ~k picked rows afterwards
     val t = docs.select(lit("_all").as("source"), col("doc_id"),
-      col("source").as("doc_source"), col("n_chars").as("wgt"))
+      col("n_chars").as("wgt"))
     val run = TextOps.distributedRunningSum(t, "wgt", Seq("doc_id"), t)
-    val tot = run.agg(max(col("running")).as("total"))
+    // total weight == final running value, but summed directly off the
+    // skinny frame (a thin 1-column pushed aggregate, the q59-adjudicated
+    // bounds-pass shape) so no second prefix pipeline materializes
+    val tot = t.agg(sum(col("wgt")).as("total"))
       .select(col("total"), greatest(expr(s"total DIV $k"), lit(1L)).as("step"))
-    run.crossJoin(broadcast(tot))
+    val picked = run.crossJoin(broadcast(tot))
       .withColumn("m", expr("running DIV step - (running - wgt) DIV step"))
       .filter(col("m") > 0)
-      .select(col("doc_id"), col("doc_source").as("source"), col("wgt"),
-        col("running"), col("m").as("multiplicity"))
+      .select(col("doc_id"), col("wgt"), col("running"),
+        col("m").as("multiplicity"))
+    // ~k-row broadcast probe back into the corpus for the payload column
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(picked), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("wgt"), col("running"),
+        col("multiplicity"))
   }
 
   val q150PpsSampleSql: String = s"""

@@ -833,6 +833,105 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  /** Count Exchange nodes (standalone, not Reused) whose key contains
+    * `key` — the "this shuffle is computed once" pin. */
+  private def hashExchanges(plan: String, key: String): Int =
+    plan.linesIterator.count { line =>
+      val t = line.dropWhile(c => c.isWhitespace || ":+-|".contains(c))
+      val tok = (if (t.startsWith("*(")) t.dropWhile(_ != ')').drop(1) else t).trim
+      tok.startsWith("Exchange hashpartitioning(") && tok.contains(key)
+    }
+
+  test("q146_textrank: iterate-on-the-edge-list — co-occurrence counts and " +
+      "round sums combine map-side, node count rides one broadcast, top-k " +
+      "is TakeOrderedAndProject") {
+    val p = finalPlan("q146_textrank")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(p.contains("partial_count") && p.contains("partial_sum"), p)
+    assert(nodes(p, "BroadcastNestedLoopJoin") == 1, p) // the 1-row nn
+    assert(nodes(p, "TakeOrderedAndProject") == 1, p)
+    assert(nodes(p, "Window") == 0 && nodes(p, "Generate") == 1, p)
+  }
+
+  test("q147_phrase_search: the phrase table broadcasts into every " +
+      "positional probe — no shuffled or quadratic join touches postings") {
+    val p = finalPlan("q147_phrase_search")
+    assert(nodes(p, "BroadcastHashJoin") == 3, p) // phrase + two adjacency
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q148_ewma: one daily-rollup exchange + one per-user window " +
+      "exchange; both window passes share the user partition") {
+    val p = finalPlan("q148_ewma")
+    assert(hashExchanges(p, "user_id") == 2, p)
+    assert(nodes(p, "Exchange") == 2, p)
+    assert(nodes(p, "Window") == 2, p) // the tap chain + the n_days/max pass
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(user_id)]"), p)
+  }
+
+  test("q149_hits: both propagation rounds are key-joins + map-side " +
+      "combined sums over the cached edge list — nothing quadratic") {
+    val p = finalPlan("q149_hits")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert(nodes(p, "BroadcastNestedLoopJoin") == 1, p) // the 1-row totals
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q150_pps_sample: the bucketed prefix-sum shuffle is computed ONCE " +
+      "(offsets branch rides ReusedExchange), total is a thin pushed " +
+      "aggregate, payload re-attaches by broadcast probe") {
+    val p = finalPlan("q150_pps_sample")
+    assert(hashExchanges(p, "_bkt") == 1, p)
+    assert(nodes(p, "ReusedExchange") == 1, p)
+    assert(p.contains("partial_sum"), p)
+    // the total branch scans ONE column, never re-running the prefix pass
+    assert(p.contains("ReadSchema: struct<n_chars:bigint>"), p)
+    assert(nodes(p, "BroadcastHashJoin") >= 1, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+  }
+
+  test("q151_cusum: the corpus collapses in one map-side (type, day) " +
+      "rollup; every window runs on the calendar-bounded series") {
+    val p = finalPlan("q151_cusum")
+    assert(p.contains("partial_count"), p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    // all windows partition by event_type — none global
+    assert(!p.contains("windowspecdefinition(ORDER BY"), p)
+    assert(nodes(p, "BroadcastHashJoin") == 1, p) // mx joins back broadcast
+  }
+
+  test("q152_itemsets: one distinct collapse feeds both basket joins; " +
+      "supports combine map-side") {
+    val p = finalPlan("q152_itemsets")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(p.contains("partial_count"), p)
+    assert(hashExchanges(p, "user_id") == 1, p) // the distinct collapse
+  }
+
+  test("q153_assortativity: degree joins stay key-equi, all five moments " +
+      "combine map-side into a 1-row result") {
+    val p = finalPlan("q153_assortativity")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(p.contains("partial_sum"), p)
+    assert(nodes(p, "Window") == 0 && nodes(p, "Sort") == 0, p)
+  }
+
+  test("q154_bigram_novelty: first-occurrence rollup combines map-side, " +
+      "join back is bigram-keyed — the text explodes once") {
+    val p = finalPlan("q154_bigram_novelty")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    // the first-occurrence table joins back on the bigram key (its
+    // min-rollup subtree sits on the truncated build side of the cache)
+    assert(p.contains("Join [w1"), p)
+    assert(p.contains("partial_count"), p)
+    assert(nodes(p, "Generate") <= 1, p) // one posexplode (cached reuse)
+  }
+
   test("q130_dim_stats: one scan, partial+final aggregation, one exchange " +
       "bounded by the dimension count") {
     val p = finalPlan("q130_dim_stats")
