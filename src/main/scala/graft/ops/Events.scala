@@ -831,7 +831,7 @@ object Events {
 
   /** q148 tuning: EWMA taps kept (α = 1/2; truncation error < 2^-taps,
     * below double resolution at 20). */
-  private[ops] val EwmaTaps = 20
+  private[graft] val EwmaTaps = 20
 
   /** q148: truncated EWMA of per-user daily activity (α = 1/2) — the
     * "current engagement level" feature that weights yesterday twice as

@@ -77,6 +77,15 @@ final case class TrendState(nDays: Long, sx: Long, sy: Long, sxy: Long,
 final case class TrendRow(user_id: Long, n_days: Long, n_events: Long,
   slope: Option[Double])
 
+/** Per-user EWMA ring: the last ≤ EwmaTaps−1 CLOSED daily counts (oldest
+  * first) plus the OPEN day's (key, count) and the lifetime active-day
+  * total — ≤ EwmaTaps+2 Longs of state, independent of history length. */
+final case class EwmaState(nDays: Long, ys: Seq[Long], curDay: Long,
+  curY: Long)
+
+final case class EwmaRow(user_id: Long, n_days: Long, last_day: Long,
+  ewma_num: Long, ewma_den: Long, ewma: Double)
+
 /** Structured Streaming formulations of the event-time operators whose batch
   * twins live in graft.ops.Events (SURVEY.md §2.9): the SAME window
   * transforms run on a `readStream` source with a watermark, and
@@ -398,6 +407,43 @@ object EventStreams {
       val slope = if (k > 1L && den != 0L)
         Some((k * sxy - sx * sy).toDouble / den.toDouble) else None
       TrendRow(user, k, sy, slope)
+    }
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Live EWMA engagement — q148's truncated α = 1/2 smoother kept current
+    * over an event stream. State is the ring of the last ≤ EwmaTaps−1
+    * CLOSED daily counts plus the open day ([[EwmaState]] — bounded Longs
+    * per user, the q126 ring-buffer contract), so each snapshot replays the
+    * exact power-of-two tap chain the batch window computes: after any
+    * prefix of the time-ordered stream, rows equal q148 run over that
+    * prefix (EventStreamsSpec pins it against real events split inside a
+    * day). Same integer exactness — the only double is the final division. */
+  def ewmaStream(events: Dataset[UserDay]): Dataset[EwmaRow] = {
+    import events.sparkSession.implicits._
+    val taps = graft.ops.Events.EwmaTaps
+    def fn(user: Long, batch: Iterator[UserDay],
+           state: GroupState[EwmaState]): EwmaRow = {
+      var s = state.getOption.getOrElse(EwmaState(0L, Vector.empty, Long.MinValue, 0L))
+      batch.toSeq.sortBy(_.day).foreach { e =>
+        if (e.day == s.curDay) s = s.copy(curY = s.curY + 1L)
+        else if (s.curY > 0L)
+          s = EwmaState(s.nDays + 1L,
+            (s.ys :+ s.curY).takeRight(taps - 1), e.day, 1L)
+        else s = s.copy(curDay = e.day, curY = 1L)
+      }
+      state.update(s)
+      // snapshot: fold the OPEN day virtually (it stays open in state so a
+      // same-day tail in the next batch still lands in it)
+      val seq = if (s.curY > 0L) s.ys :+ s.curY else s.ys
+      val win = seq.takeRight(taps)
+      val num = win.reverseIterator.zipWithIndex
+        .map { case (y, j) => y * (1L << (taps - 1 - j)) }.sum
+      val den = win.reverseIterator.zipWithIndex
+        .map { case (_, j) => 1L << (taps - 1 - j) }.sum
+      EwmaRow(user, s.nDays + (if (s.curY > 0L) 1L else 0L), s.curDay,
+        num, den, num.toDouble / den.toDouble)
     }
     events.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)

@@ -1625,4 +1625,43 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  test("ewma stream equals batch q148 on time-ordered real events, with " +
+    "the tap ring carrying open days across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = graft.Tables.normalizeEventsTs(
+      spark.read.parquet(s"$sf/events.parquet"))
+    val arrivals = raw.filter(col("user_id").isNotNull)
+      .selectExpr("user_id",
+        "CAST(floor(unix_timestamp(ts) / 86400.0D) AS BIGINT) AS day")
+      .as[UserDay].collect().sortBy(_.day)
+    val mem = MemoryStream[UserDay]
+    val q = EventStreams.ewmaStream(mem.toDS())
+      .writeStream.format("memory").queryName("ewma_twin")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // split INSIDE a day so the open-day ring crosses the batch boundary
+      val cut = {
+        val half = arrivals.length / 2
+        val d = arrivals(half).day
+        arrivals.indexWhere(_.day == d) + 1
+      }
+      val (w1, w2) = arrivals.splitAt(cut)
+      mem.addData(w1.toSeq: _*); q.processAllAvailable()
+      mem.addData(w2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("ewma_twin").as[EwmaRow].collect()
+        .zipWithIndex.groupBy(_._1.user_id)
+        .map { case (u, rs) => u -> rs.maxBy(_._2)._1 }
+      val expected = graft.ops.Events.q148Ewma(spark, sf).collect()
+        .map(r => r.getLong(0) -> EwmaRow(r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+        .toMap
+      graft.CachedFrames.drain()
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
