@@ -1044,4 +1044,140 @@ object Events {
       ON pr.user_id = c.user_id AND c.event_type > pr.t2
     GROUP BY t1, t2, c.event_type HAVING count(*) >= $ItemsetMinSupport
   """
+
+  /** q155's rank-exact percentile grid: (name, a, b) → value at rank
+    * ⌈a·n/b⌉ (the q140 convention). */
+  private[ops] val LagPercentiles =
+    Seq(("p50_s", 1L, 2L), ("p90_s", 9L, 10L), ("p99_s", 99L, 100L))
+
+  /** q155: CONVERSION LATENCY percentiles — per user, the seconds from the
+    * FIRST `view` to the first `purchase` at-or-after it; p50/p90/p99 are
+    * rank-exact (value at rank ⌈q·n⌉ — no interpolation, no sketch, the
+    * q140 convention). q66 counts who converts; this measures how long the
+    * converted took — the number an SLA or attribution window is set from.
+    * All integer seconds; nothing floats.
+    *
+    * Scale shape: first-view anchoring is one per-user window pass (the
+    * q36 as-of idiom — running min inside the user partition, no range
+    * join), per-user lags collapse in the same exchange, and the global
+    * percentile rank is [[DistRank.withBucketedRank]] with NO group — the
+    * q59 two-phase engine, so a billion converted users rank B-way
+    * parallel instead of on one task. Output is ONE row. */
+  def q155ConversionLag(spark: SparkSession, sfDir: String): DataFrame =
+    conversionLagOn(Tables(spark, sfDir, "events"))
+
+  private[graft] def conversionLagOn(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cached: feeds the bucketed rank (bounds + rank + offsets) and the
+    // 1-row count — five consumers of one per-user collapse
+    val lags = graft.CachedFrames.track(events.filter(col("user_id").isNotNull)
+      .withColumn("eps", unix_timestamp(col("ts")))
+      .withColumn("tv",
+        min(when(col("event_type") === "view", col("eps"))).over(byUser))
+      .filter(col("event_type") === "purchase" && col("tv").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("eps") - col("tv")).as("lag_s")))
+    val n = lags.agg(count(lit(1)).as("n_converted"))
+    val aggs = LagPercentiles.map { case (name, a, b) =>
+      max(when(col("_r") ===
+        expr(s"($a * n_converted + ${b - 1}) DIV $b"), col("lag_s"))).as(name)
+    }
+    DistRank.withBucketedRank(lags, Seq(), "lag_s", Seq("user_id"), "_r")
+      .crossJoin(broadcast(n))
+      .groupBy(col("n_converted"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  val q155ConversionLagSql: String = {
+    val picks = LagPercentiles.map { case (name, a, b) =>
+      s"CAST(max(CASE WHEN rnk = ($a * n + ${b - 1}) // $b THEN lag_s END) AS BIGINT) AS $name"
+    }.mkString(",\n      ")
+    s"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, ts,
+        CAST(floor(epoch(ts)) AS BIGINT) AS eps
+      FROM events WHERE user_id IS NOT NULL),
+    f AS (
+      SELECT user_id, event_type, eps,
+        min(CASE WHEN event_type = 'view' THEN eps END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tv
+      FROM e),
+    lg AS (
+      SELECT user_id, min(eps - tv) AS lag_s
+      FROM f WHERE event_type = 'purchase' AND tv IS NOT NULL GROUP BY 1),
+    r AS (
+      SELECT lag_s,
+        row_number() OVER (ORDER BY lag_s, user_id) AS rnk,
+        count(*) OVER () AS n
+      FROM lg)
+    SELECT max(n) AS n_converted,
+      $picks
+    FROM r GROUP BY n
+    """
+  }
+
+  /** q157: per-user BURSTINESS of inter-event gaps — Goh-Barabási
+    * B = (σ−μ)/(σ+μ) over the user's gap sequence: −1 = perfectly regular
+    * (heartbeat/bot cadence), 0 = Poisson, → 1 = bursty human sessions.
+    * The cadence fingerprint q19's session stats don't capture (two users
+    * with identical session counts can have opposite B). Multiplying
+    * through by n_gaps gives B = (√varn − Σg)/(√varn + Σg) with
+    * varn = n·Σg² − (Σg)² EXACT in BIGINT — one sqrt of an exact integer
+    * (IEEE-correctly-rounded in both engines), one fixed-order division.
+    * Degenerate (all gaps zero) reports NULL.
+    *
+    * Scale shape: one user-keyed exchange shared by the gap window and the
+    * moment rollup; products stay ≤ n·gap² ≈ 1e17 at a year-long horizon —
+    * inside 2⁶³ (headroom documented, the q130 discipline). */
+  def q157Burstiness(spark: SparkSession, sfDir: String): DataFrame =
+    burstinessOn(Tables(spark, sfDir, "events"))
+
+  private[graft] def burstinessOn(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events.filter(col("user_id").isNotNull)
+      .withColumn("eps", unix_timestamp(col("ts")))
+      .withColumn("gap", col("eps") - lag(col("eps"), 1).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("gap")).as("n_gaps"),
+        sum(col("gap")).as("sum_gap"),
+        sum(col("gap") * col("gap")).as("sum_gap2"))
+      .withColumn("varn",
+        col("n_gaps") * col("sum_gap2") - col("sum_gap") * col("sum_gap"))
+      .withColumn("burstiness", when(
+        col("n_gaps") >= 2 && (col("varn") > 0 || col("sum_gap") > 0),
+        (sqrt(col("varn").cast("double")) - col("sum_gap").cast("double"))
+          / (sqrt(col("varn").cast("double")) + col("sum_gap").cast("double"))))
+      .select(col("user_id"), col("n_events"), col("n_gaps"),
+        col("sum_gap"), col("burstiness"))
+  }
+
+  val q157BurstinessSql: String = """
+    WITH e AS (
+      SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS eps
+      FROM events WHERE user_id IS NOT NULL),
+    g AS (
+      SELECT user_id,
+        eps - lag(eps) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS gap
+      FROM e),
+    s AS (
+      SELECT user_id, count(*) AS n_events, count(gap) AS n_gaps,
+        CAST(sum(gap) AS BIGINT) AS sum_gap,
+        CAST(sum(gap * gap) AS BIGINT) AS sum_gap2
+      FROM g GROUP BY 1)
+    SELECT user_id, n_events, n_gaps, sum_gap,
+      CASE WHEN n_gaps >= 2
+          AND (n_gaps * sum_gap2 - sum_gap * sum_gap > 0 OR sum_gap > 0)
+        THEN (sqrt(CAST(n_gaps * sum_gap2 - sum_gap * sum_gap AS DOUBLE))
+              - CAST(sum_gap AS DOUBLE))
+          / (sqrt(CAST(n_gaps * sum_gap2 - sum_gap * sum_gap AS DOUBLE))
+              + CAST(sum_gap AS DOUBLE))
+      END AS burstiness
+    FROM s
+  """
 }

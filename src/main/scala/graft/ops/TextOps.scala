@@ -3568,4 +3568,74 @@ object TextOps {
     FROM bg JOIN first f ON bg.w1 = f.w1 AND bg.w2 = f.w2
     GROUP BY 1
   """
+
+  /** q156 tuning: core degree threshold / peeling rounds. */
+  private[ops] val KCoreK = 2
+  private[ops] val KCoreRounds = 4
+
+  /** q156: K-CORE PEELING of the near-dup graph — [[KCoreRounds]] rounds of
+    * "drop every node with degree < [[KCoreK]], drop edges touching it,
+    * recount". What survives is the densely-duplicated CORE: template farms
+    * and mirror clusters whose members corroborate each other, with the
+    * incidental one-off matches (the chains q145's lcc flags) peeled away.
+    * Fixed-round by design — the declared contract is "the R-round peel",
+    * deterministic and oracle-checkable; full convergence is the R → ∞
+    * limit and each extra round is the same plan shape (at the gate graph
+    * 4 rounds is already stationary, which the oracle would catch drifting).
+    *
+    * Scale shape: each round is one map-side-combined degree count + two
+    * node-keyed semi-join prunes over the current edge list — work is
+    * Σ_r |e_r|, monotonically shrinking, never corpus-sized (edges are
+    * the similarity gate's output, the q121/q127/q145 contract). Each
+    * round's survivors are `localCheckpoint`ed — the canonical lineage cut
+    * for derive-from-previous-round iteration (each round references its
+    * predecessor THREE times, so an uncut logical plan grows 3^R-fold; the
+    * checkpoint keeps both the optimizer input and the replay cost
+    * constant per round). On a multi-executor cluster swap in
+    * `checkpoint()` against a reliable dir if executor loss matters —
+    * same shape, durability trade only. */
+  def q156KCore(spark: SparkSession, sfDir: String): DataFrame =
+    kCoreOn(q68Containment(spark, sfDir).select(col("id1"), col("id2")))
+
+  /** The peeling core over ANY oriented (id1, id2) edge frame —
+    * fixture-testable. */
+  private[graft] def kCoreOn(pairs: DataFrame): DataFrame = {
+    var edges = pairs
+      .select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint()
+    for (_ <- 1 to KCoreRounds) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KCoreK)
+      edges = edges
+        .join(keep.select(col("src")), Seq("src"), "leftsemi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "leftsemi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+    edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("doc_id"), col("deg"))
+  }
+
+  /** The q156 oracle unrolls the identical peeling rounds. */
+  val q156KCoreSql: String = {
+    val rounds = (1 to KCoreRounds).map { r =>
+      s"""k$r AS (
+         |  SELECT src FROM e${r - 1} GROUP BY 1 HAVING count(*) >= $KCoreK),
+         |e$r AS (
+         |  SELECT e.src, e.dst FROM e${r - 1} e
+         |  JOIN k$r a ON e.src = a.src
+         |  JOIN k$r b ON e.dst = b.src)""".stripMargin
+    }.mkString(",\n")
+    s"""
+    WITH pairs AS (SELECT id1, id2 FROM ($q68ContainmentSql)),
+    e0 AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION ALL
+      SELECT id2 AS src, id1 AS dst FROM pairs),
+    $rounds
+    SELECT src AS doc_id, count(*) AS deg
+    FROM e$KCoreRounds GROUP BY 1
+    """
+  }
 }

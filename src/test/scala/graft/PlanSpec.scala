@@ -932,6 +932,35 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "Generate") <= 1, p) // one posexplode (cached reuse)
   }
 
+  test("q155_conversion_lag: one per-user collapse feeds rank, offsets " +
+      "and count; the global percentile is the bucketed rank, not a " +
+      "single-partition sort") {
+    val p = finalPlan("q155_conversion_lag")
+    assert(hashExchanges(p, "_bkt") == 1, p)
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"), p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+  }
+
+  test("q156_kcore: every peeling round is checkpoint-cut — the final plan " +
+      "is one degree count over the last round's materialized edges") {
+    val p = finalPlan("q156_kcore")
+    // the 3-refs-per-round lineage would otherwise grow the plan 3^R-fold
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("partial_count"), p)
+    assert(nodes(p, "Exchange") == 1, p)
+  }
+
+  test("q157_burstiness: the gap window and the moment rollup share one " +
+      "user-keyed exchange") {
+    val p = finalPlan("q157_burstiness")
+    assert(hashExchanges(p, "user_id") == 1, p)
+    assert(nodes(p, "Exchange") == 1, p)
+    assert(nodes(p, "Window") == 1, p)
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(user_id)]"), p)
+  }
+
   test("q130_dim_stats: one scan, partial+final aggregation, one exchange " +
       "bounded by the dimension count") {
     val p = finalPlan("q130_dim_stats")

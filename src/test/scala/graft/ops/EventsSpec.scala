@@ -397,4 +397,47 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       "A|B" -> ((2, 9L)), "A|C" -> ((2, 6L)), "B|C" -> ((2, 6L)),
       "A|B|C" -> ((3, 6L))))
   }
+
+  test("q155 conversion lag: first-view anchoring (a purchase BEFORE any " +
+    "view does not convert), rank-exact percentiles over the two lags") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val rows: Seq[(Long, String, Long)] = Seq(
+      (1L, "view", 100L), (1L, "purchase", 160L),          // lag 60
+      (2L, "purchase", 50L), (2L, "view", 80L), (2L, "purchase", 200L), // 120
+      (3L, "view", 10L),                                   // never converts
+      (4L, "purchase", 10L))                               // no prior view
+    val ev = rows.zipWithIndex
+      .map { case ((u, t, sec), i) => (u, t, i.toLong + 1L, sec) }
+      .toDF("user_id", "event_type", "event_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.conversionLagOn(ev).collect()
+    assert(got.length === 1)
+    // n=2: p50 at rank (2+1)//2=1 -> 60; p90/p99 at rank 2 -> 120
+    assert((got(0).getLong(0), got(0).getLong(1), got(0).getLong(2),
+      got(0).getLong(3)) === ((2L, 60L, 120L, 120L)))
+  }
+
+  test("q157 burstiness: exact -1 for a metronome, a hand-exact bursty " +
+    "user (varn is a perfect square), degenerate users NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val rows: Seq[(Long, Long)] = Seq(
+      (1L, 0L), (1L, 10L), (1L, 20L), (1L, 30L), // gaps 10,10,10 -> B=-1
+      (2L, 0L), (2L, 1L), (2L, 100L), // gaps 1,99: varn=9604=98^2 -> -1/99
+      (3L, 5L),                       // no gaps
+      (4L, 7L), (4L, 7L))             // one zero gap -> below min
+    val ev = rows.zipWithIndex
+      .map { case ((u, sec), i) => (u, i.toLong + 1L, sec) }
+      .toDF("user_id", "event_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.burstinessOn(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(got === Map(
+      1L -> ((4L, 3L, Some(-1.0))),
+      2L -> ((3L, 2L, Some(-2.0 / 198.0))),
+      3L -> ((1L, 0L, None)),
+      4L -> ((2L, 1L, None))))
+  }
 }

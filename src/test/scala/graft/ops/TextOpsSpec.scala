@@ -714,4 +714,16 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       2L -> ((2L, 1L, 0.5)),
       3L -> ((2L, 1L, 0.5))))
   }
+
+  test("q156 k-core: a triangle survives 2-core peeling, chains and " +
+    "pendants peel away (including cascades)") {
+    import spark.implicits._
+    // triangle 1-2-3; pendant 3-7; chain 4-5, 5-6 (5 has deg 2 in round 1
+    // but cascades out once its ends drop)
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 7L), (4L, 5L),
+      (5L, 6L)).toDF("id1", "id2").repartition(3)
+    val got = TextOps.kCoreOn(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
 }
