@@ -2319,4 +2319,112 @@ object Embeddings {
     FROM ($out)
   """
   }
+
+  /** q158 tuning: quantization scale (2^20) / matrix cap (2^31) /
+    * normalization target (2^20) / power rounds. */
+  private[ops] val GramQScale = 1L << 20
+  private[ops] val GramMCap = 1L << 31
+  private[graft] val GramRounds = 4
+
+  /** q158: TOP PRINCIPAL DIRECTION of the embedding set by fixed-point
+    * POWER ITERATION on the (uncentered) Gram matrix M = Σ q·qᵀ of the
+    * globally-quantized vectors q = ⌊x·2²⁰ + ½⌋ — the direction embedding
+    * drift, anisotropy and whitening diagnostics all start from (q130's
+    * per-dim stats can't see cross-dim structure; this is the first
+    * eigenvector they're missing). Quantize-then-iterate keeps EVERY step
+    * integer (the q62 discipline): the Gram sums, the cap-downscale, each
+    * matvec, each renormalization — so both engines agree bitwise and the
+    * only doubles are the final component divisions. Negative values make
+    * floor-vs-truncate division diverge between engines, so every
+    * downscale is the sign-split `sign(x)·(|x| DIV d)` — identical
+    * truncation by construction.
+    *
+    * Bounds: |q| ≤ 2²⁰ for unit-scale inputs, the cap-divisor D =
+    * max(1, max|M| DIV 2³¹ + 1) forces |m| < 2³¹, and v renormalizes to
+    * ~2²⁰ each round, so every matvec term is ≤ 2⁵¹·d — far inside 2⁶³ at
+    * any corpus size (the raw Gram sums need DECIMAL past n ≈ 2⁴¹ rows;
+    * gate corpora are orders below).
+    *
+    * Scale shape: the Gram build is ONE scan — each row explodes its own
+    * d² index pairs and the 4096-key aggregation combines map-side, so
+    * the exchange carries d²·partitions rows and the corpus never
+    * shuffles. Every round is a d²-row ⋈ broadcast d-row matvec + a 1-row
+    * max broadcast; work after the scan is independent of n. */
+  def q158GramPower(spark: SparkSession, sfDir: String): DataFrame =
+    gramPowerOn(vecs(spark, sfDir).select(col("v")))
+
+  /** The quantize → Gram → iterate core over ANY frame with a double-array
+    * column `v` — fixture-testable. */
+  private[graft] def gramPowerOn(rows: DataFrame): DataFrame = {
+    val s = GramQScale
+    def signDiv(x: String, d: String) =
+      expr(s"CASE WHEN $x < 0 THEN -((-$x) DIV $d) ELSE $x DIV $d END")
+    val gram = graft.CachedFrames.track {
+      val raw = rows
+        .select(expr(
+          s"transform(v, x -> CAST(floor(x * $s.0D + 0.5D) AS BIGINT))").as("q"))
+        .select(explode(expr(
+          "flatten(transform(q, (x, j) -> transform(q, (y, k) -> " +
+            "struct(j AS j, k AS k, x * y AS p))))")).as("e"))
+        .select(col("e.j").as("j"), col("e.k").as("k"), col("e.p").as("p"))
+        .groupBy(col("j"), col("k")).agg(sum(col("p")).as("m_raw"))
+      val cap = raw.agg(
+        expr(s"greatest(1L, max(abs(m_raw)) DIV $GramMCap + 1L)").as("d"))
+      raw.crossJoin(broadcast(cap))
+        .select(col("j"), col("k"), signDiv("m_raw", "d").as("m"))
+    }
+    var v = gram.select(col("j").as("dim")).distinct()
+      .withColumn("v", lit(s))
+    for (_ <- 1 to GramRounds) {
+      val u = gram
+        .join(broadcast(v.select(col("dim").as("k"), col("v").as("vk"))),
+          Seq("k"))
+        .groupBy(col("j")).agg(sum(col("m") * col("vk")).as("u"))
+      val d = u.agg(expr(s"greatest(1L, max(abs(u)) DIV $s)").as("d"))
+      v = u.crossJoin(broadcast(d))
+        .select(col("j").as("dim"), signDiv("u", "d").as("v"))
+    }
+    val nrm = v.agg(sqrt(sum(col("v") * col("v")).cast("double")).as("nv"))
+    v.crossJoin(broadcast(nrm))
+      .select(col("dim"), col("v").as("v_i"),
+        (col("v").cast("double") / col("nv")).as("component"))
+  }
+
+  /** The q158 oracle unrolls the identical integer rounds. */
+  val q158GramPowerSql: String = {
+    val s = GramQScale
+    def signDiv(x: String, d: String) =
+      s"CASE WHEN $x < 0 THEN -((-$x) // $d) ELSE $x // $d END"
+    val rounds = (1 to GramRounds).map { r =>
+      s"""u$r AS (
+         |  SELECT m.j AS dim, CAST(sum(m.m * v.v) AS BIGINT) AS u
+         |  FROM m JOIN v${r - 1} v ON m.k = v.dim GROUP BY 1),
+         |d$r AS (SELECT greatest(1, max(abs(u)) // $s) AS d FROM u$r),
+         |v$r AS (SELECT dim, ${signDiv("u", "d")} AS v FROM u$r, d$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""
+    WITH e AS (
+      SELECT list_transform(embedding,
+        x -> CAST(floor(x::DOUBLE * $s.0 + 0.5) AS BIGINT)) AS q
+      FROM embeddings),
+    pairs AS (
+      SELECT CAST(j.idx - 1 AS INTEGER) AS j, CAST(k.idx - 1 AS INTEGER) AS k,
+        CAST(sum(q[j.idx] * q[k.idx]) AS BIGINT) AS m_raw
+      FROM e,
+        LATERAL (SELECT unnest(generate_series(1, len(q))) AS idx) j,
+        LATERAL (SELECT unnest(generate_series(1, len(q))) AS idx) k
+      GROUP BY 1, 2),
+    dd AS (
+      SELECT greatest(1, max(abs(m_raw)) // $GramMCap + 1) AS d FROM pairs),
+    m AS (
+      SELECT j, k, ${signDiv("m_raw", "d")} AS m FROM pairs, dd),
+    v0 AS (SELECT DISTINCT j AS dim, CAST($s AS BIGINT) AS v FROM m),
+    $rounds
+    SELECT v.dim, CAST(v.v AS BIGINT) AS v_i,
+      CAST(v.v AS DOUBLE) / nn.nv AS component
+    FROM v$GramRounds v,
+      (SELECT sqrt(CAST(sum(v * v) AS DOUBLE)) AS nv FROM v$GramRounds) nn
+    """
+  }
 }

@@ -961,6 +961,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(user_id)]"), p)
   }
 
+  test("q158_gram_power: the Gram build explodes per-row index pairs once " +
+      "and combines map-side; rounds touch only d^2-row frames with 1-row " +
+      "broadcasts — the corpus never shuffles") {
+    val p = finalPlan("q158_gram_power")
+    assert(nodes(p, "Generate") <= 1, p)
+    assert(p.contains("partial_sum"), p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    // every hash exchange is keyed on the dim index — nothing row-keyed
+    assert(hashExchanges(p, "j#") == hashExchanges(p, "") , p)
+  }
+
   test("q130_dim_stats: one scan, partial+final aggregation, one exchange " +
       "bounded by the dimension count") {
     val p = finalPlan("q130_dim_stats")

@@ -626,4 +626,37 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     assert((0L until Embeddings.MmrQueryIds).exists(q =>
       got.filter(_._1 == q).map(_._3).toSet != topRel(q)))
   }
+
+  test("q158 gram power: plain-Scala integer replay on an axis-dominant " +
+    "fixture; the dominant component emerges, negatives sign-split safely") {
+    import spark.implicits._
+    // axis 0 carries 4x the energy of axis 1; a negative coordinate
+    // exercises the sign-split division path
+    val rows = Seq(Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(-1.0, 0.0),
+      Seq(0.0, 0.5)).toDF("v")
+    val got = Embeddings.gramPowerOn(rows).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    // exact replay of the documented integer algorithm
+    val s = 1L << 20
+    val q = Seq(Seq(s, 0L), Seq(s, 0L), Seq(-s, 0L), Seq(0L, s / 2))
+    def signDiv(x: Long, d: Long) = if (x < 0) -((-x) / d) else x / d
+    val mRaw = (for (j <- 0 to 1; k <- 0 to 1)
+      yield (j, k) -> q.map(r => r(j) * r(k)).sum).toMap
+    val cap = math.max(1L, mRaw.values.map(math.abs).max / (1L << 31) + 1L)
+    val m = mRaw.map { case (jk, x) => jk -> signDiv(x, cap) }
+    var v = Map(0 -> s, 1 -> s)
+    for (_ <- 1 to Embeddings.GramRounds) {
+      val u = (0 to 1).map(j => j -> (0 to 1).map(k => m((j, k)) * v(k)).sum).toMap
+      val d = math.max(1L, u.values.map(math.abs).max / s)
+      v = u.map { case (j, x) => j -> signDiv(x, d) }
+    }
+    val nv = math.sqrt(v.values.map(x => (x * x).toDouble).sum)
+    assert(got.keySet === Set(0, 1))
+    assert(got(0)._1 === v(0) && got(1)._1 === v(1))
+    assert(got(0)._2 === v(0).toDouble / nv)
+    assert(got(1)._2 === v(1).toDouble / nv)
+    // the dominant axis dominates the unit vector
+    assert(math.abs(got(0)._2) > 0.99 && math.abs(got(1)._2) < 0.12)
+  }
 }
