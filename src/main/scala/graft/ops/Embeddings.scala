@@ -2427,4 +2427,83 @@ object Embeddings {
       (SELECT sqrt(CAST(sum(v * v) AS DOUBLE)) AS nv FROM v$GramRounds) nn
     """
   }
+
+  /** q159: MUTUAL NEAREST NEIGHBORS across the even/odd sides — a pair
+    * survives only when each endpoint is the OTHER's single best cosine
+    * match (tie-break: lower id). The reciprocity filter CCMatrix-style
+    * mining applies after q135's margin: a hub vector that is "everyone's
+    * best match" fails reciprocity against all but one partner, so hubness
+    * false pairs drop without any threshold to tune. Both sides are
+    * bounded to the q29 batch contract; at corpus scale the pair feed
+    * swaps to IVF/ADC retrieval (q80/q83) unchanged — reciprocity is a
+    * pure function of the two argmax tables.
+    *
+    * Float parity: per-pair cosine is the q29 fold; the argmax is a
+    * rank-1 window with a total (cos DESC, id ASC) order, so both engines
+    * pick identical partners bitwise.
+    *
+    * Scale shape: ONE bounded-batch cross pass (cached) feeds BOTH
+    * direction argmaxes as rank-1 WindowGroupLimits; the reciprocity
+    * check is an equi-join of two ≤|side|-row argmax tables. */
+  def q159MutualNn(spark: SparkSession, sfDir: String,
+      cfg: AnnConfig = DefaultAnn): DataFrame =
+    mutualNnOn(graft.CachedFrames.track(vecs(spark, sfDir)), cfg)
+
+  /** The reciprocity core over ANY (vec_id, v, nrm) frame —
+    * fixture-testable. */
+  private[graft] def mutualNnOn(e: DataFrame, cfg: AnnConfig): DataFrame = {
+    val a = e.filter(col("vec_id") % 2 === 0 &&
+        col("vec_id") < 2L * cfg.knnQueryIds)
+      .select(col("vec_id").as("src_id"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = e.filter(col("vec_id") % 2 === 1 &&
+        col("vec_id") < 2L * cfg.knnQueryIds)
+      .select(col("vec_id").as("tgt_id"), col("v").as("v2"), col("nrm").as("n2"))
+    val pairs = graft.CachedFrames.track(a.crossJoin(b)
+      .withColumn("cos", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .select(col("src_id"), col("tgt_id"), col("cos")))
+    val wA = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos").desc, col("tgt_id").asc)
+    val wB = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("cos").desc, col("src_id").asc)
+    val bestA = pairs.withColumn("rk", row_number().over(wA))
+      .filter(col("rk") === 1).select(col("src_id"), col("tgt_id"), col("cos"))
+    val bestB = pairs.withColumn("rk", row_number().over(wB))
+      .filter(col("rk") === 1)
+      .select(col("src_id").as("b_src"), col("tgt_id").as("b_tgt"))
+    bestA.join(bestB,
+        col("src_id") === col("b_src") && col("tgt_id") === col("b_tgt"))
+      .select(col("src_id"), col("tgt_id"), col("cos"))
+  }
+
+  val q159MutualNnSql: String = s"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    n AS (
+      SELECT vec_id, v,
+        sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+      FROM e),
+    p AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])), (acc, x) -> acc + x)
+          / (a.nrm * b.nrm) AS cos
+      FROM n a, n b
+      WHERE a.vec_id % 2 = 0 AND a.vec_id < ${2 * DefaultAnn.knnQueryIds}
+        AND b.vec_id % 2 = 1 AND b.vec_id < ${2 * DefaultAnn.knnQueryIds}),
+    ba AS (
+      SELECT src_id, tgt_id, cos FROM (
+        SELECT src_id, tgt_id, cos,
+          row_number() OVER (PARTITION BY src_id
+            ORDER BY cos DESC, tgt_id ASC) AS rk
+        FROM p) WHERE rk = 1),
+    bb AS (
+      SELECT src_id, tgt_id FROM (
+        SELECT src_id, tgt_id,
+          row_number() OVER (PARTITION BY tgt_id
+            ORDER BY cos DESC, src_id ASC) AS rk
+        FROM p) WHERE rk = 1)
+    SELECT ba.src_id, ba.tgt_id, ba.cos
+    FROM ba JOIN bb ON ba.src_id = bb.src_id AND ba.tgt_id = bb.tgt_id
+  """
 }

@@ -973,6 +973,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(hashExchanges(p, "j#") == hashExchanges(p, "") , p)
   }
 
+  test("q159_mutual_nn: one bounded-batch cross pass feeds BOTH direction " +
+      "argmaxes as rank-1 group limits; reciprocity is a tiny equi-join") {
+    val p = finalPlan("q159_mutual_nn")
+    assert(nodes(p, "WindowGroupLimit") == 2, p) // both argmax directions
+    assert(nodes(p, "BroadcastNestedLoopJoin") == 1, p) // the bounded batch
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+  }
+
   test("q130_dim_stats: one scan, partial+final aggregation, one exchange " +
       "bounded by the dimension count") {
     val p = finalPlan("q130_dim_stats")

@@ -659,4 +659,24 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     // the dominant axis dominates the unit vector
     assert(math.abs(got(0)._2) > 0.99 && math.abs(got(1)._2) < 0.12)
   }
+
+  test("q159 mutual nn: reciprocity keeps true pairs and kills the " +
+    "hub-attracted one-way match") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, sqrt}
+    // even = src side, odd = tgt side; src 4's best is tgt 1, but tgt 1
+    // reciprocates src 0 -> (4,1) must NOT survive
+    val rows = Seq(
+      (0L, Seq(1.0, 0.0)), (2L, Seq(0.8, 0.6)), (4L, Seq(0.995, 0.1)),
+      (1L, Seq(1.0, 0.0)), (3L, Seq(0.6, 0.8))).toDF("vec_id", "v0")
+    graft.functions.GraftFunctions.register(spark)
+    val e = rows.select(col("vec_id"),
+        expr("transform(v0, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", sqrt(
+        org.apache.spark.sql.functions.call_function(
+          "dot_product", col("v"), col("v"))))
+    val got = Embeddings.mutualNnOn(e, AnnConfig()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 1L), (2L, 3L)))
+  }
 }
