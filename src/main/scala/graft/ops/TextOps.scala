@@ -748,8 +748,14 @@ object TextOps {
     * list short at corpus scale). Containment is computed against each
     * doc's CAPPED fingerprint set so both engines and both ratio directions
     * use the same denominator. */
-  def q68Containment(spark: SparkSession, sfDir: String): DataFrame = {
-    val fps = graft.CachedFrames.track(q67Winnowing(spark, sfDir))
+  def q68Containment(spark: SparkSession, sfDir: String): DataFrame =
+    containmentOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+
+  /** The containment core over ANY (doc_id, text) frame — the shared edge
+    * generator for the graph family (q121/q127/q145/q149/q153/q156 and the
+    * GraphReport CLI bundle, which materializes it ONCE as an artifact). */
+  private[graft] def containmentOn(docs: DataFrame): DataFrame = {
+    val fps = graft.CachedFrames.track(winnowingOn(docs))
     val kept = graft.CachedFrames.track(
       fps.join(
         fps.groupBy(col("fp")).agg(count(lit(1)).as("fdf"))

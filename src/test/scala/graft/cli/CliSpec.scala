@@ -695,4 +695,30 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Double]("pii_incidence") === w.toDouble / n.toDouble)
     }
   }
+
+  test("graph-report bundle: edges materialize once, every analytic equals " +
+    "its gate core over the same edges") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("cli-graph").toString
+    GraphReport.main(Array("--input", s"$sf/documents.parquet",
+      "--output", s"$dir/graph"))
+    for (t <- Seq("edges", "pagerank", "triangles", "hits", "assortativity",
+        "kcore"))
+      assert(spark.read.parquet(s"$dir/graph/$t").count() > 0, t)
+    // triangles table ≡ the q145 core over the WRITTEN edge artifact —
+    // the artifact really is the input every analytic consumed
+    val edges = spark.read.parquet(s"$dir/graph/edges")
+      .select(col("id1"), col("id2"))
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val gotTri = keyed(spark.read.parquet(s"$dir/graph/triangles"))
+    val expTri = keyed(graft.ops.TextOps.triangleCountOn(edges))
+    // pagerank table ≡ the q127 gate (same corpus, same edge generator)
+    val gotPr = keyed(spark.read.parquet(s"$dir/graph/pagerank"))
+    val expPr = keyed(graft.ops.TextOps.q127Pagerank(spark, sf))
+    graft.CachedFrames.drain()
+    assert(gotTri === expTri)
+    assert(gotPr === expPr)
+  }
 }
