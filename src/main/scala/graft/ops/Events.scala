@@ -1180,4 +1180,110 @@ object Events {
       END AS burstiness
     FROM s
   """
+
+  /** q160: CUPED-ADJUSTED experiment readout (Deng et al., WSDM 2013) —
+    * users split into variants by the deterministic assignment
+    * user_id % 2, the observation window split at the corpus midpoint day;
+    * each user's PRE-period spend is the covariate x, POST-period spend
+    * the metric y, and the pooled θ = cov(x,y)/var(x) shrinks y to
+    * y − θ·(x − x̄): the industry-standard variance-reduction step that
+    * makes small lifts resolvable. Heavy whales inflate both periods, so
+    * the adjustment cancels exactly the between-user noise an unadjusted
+    * diff-of-means drowns in.
+    *
+    * Exactness: spend quantizes to integer cents (the q126 contract); all
+    * five pooled moments are exact — cross products accumulate in
+    * DECIMAL(38,0)/HUGEINT (the q142 ladder; n·Σxy stays ~1e22 ≪ 1e38) —
+    * and θ plus the two per-variant means are a FIXED-ORDER chain of
+    * exact-cast double ops, mirrored verbatim in the oracle. Zero pre-
+    * period variance degrades θ to 0 (adjusted ≡ raw) in both engines.
+    *
+    * Scale shape: one user-keyed collapse (map-side combinable sums gated
+    * by one broadcast midpoint row), then a 1-row pooled rollup and a
+    * 2-row variant rollup — nothing after the collapse scales with users.
+    * Variants ride the same collapse; no second scan. */
+  def q160Cuped(spark: SparkSession, sfDir: String): DataFrame =
+    cupedOn(Tables(spark, sfDir, "events"))
+
+  private[graft] def cupedOn(events: DataFrame): DataFrame = {
+    val days = events.filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400.0D) AS BIGINT)").as("day"),
+        expr("CAST(floor(value * 100.0D + 0.5D) AS BIGINT)").as("cents"))
+    val mid = days.agg(
+      expr("(min(day) + max(day) + 1) DIV 2").as("mid_day"))
+    // cached: feeds the pooled moments AND the per-variant rollup
+    val users = graft.CachedFrames.track(days.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("day") < col("mid_day"), col("cents"))
+          .otherwise(0L)).as("x"),
+        sum(when(col("day") >= col("mid_day"), col("cents"))
+          .otherwise(0L)).as("y"))
+      .withColumn("variant", (col("user_id") % 2).cast("int")))
+    val pooled = users.agg(count(lit(1)).as("n_g"),
+      sum(col("x")).as("sx_g"), sum(col("y")).as("sy_g"),
+      sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+        .as("sxy"),
+      sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)"))
+        .as("sxx"))
+      .withColumn("covn", col("n_g").cast("decimal(38,0)") * col("sxy")
+        - col("sx_g").cast("decimal(38,0)") * col("sy_g").cast("decimal(38,0)"))
+      .withColumn("varn", col("n_g").cast("decimal(38,0)") * col("sxx")
+        - col("sx_g").cast("decimal(38,0)") * col("sx_g").cast("decimal(38,0)"))
+      .withColumn("theta", when(col("varn") =!= 0,
+        col("covn").cast("double") / col("varn").cast("double"))
+        .otherwise(lit(0.0)))
+      .select(col("n_g"), col("sx_g"), col("theta"))
+    users.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("sx_v"), sum(col("y")).as("sy_v"))
+      .crossJoin(broadcast(pooled))
+      .select(col("variant"), col("n_users"), col("theta"),
+        (col("sy_v").cast("double") / (lit(100.0) * col("n_users").cast("double")))
+          .as("mean_y"),
+        ((col("sy_v").cast("double") / col("n_users").cast("double")
+          - col("theta") * (col("sx_v").cast("double") / col("n_users").cast("double")
+            - col("sx_g").cast("double") / col("n_g").cast("double"))) / lit(100.0))
+          .as("mean_y_adj"))
+  }
+
+  val q160CupedSql: String = """
+    WITH d AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE user_id IS NOT NULL),
+    mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid_day FROM d),
+    u AS (
+      SELECT user_id,
+        CAST(sum(CASE WHEN day < mid_day THEN cents ELSE 0 END) AS BIGINT) AS x,
+        CAST(sum(CASE WHEN day >= mid_day THEN cents ELSE 0 END) AS BIGINT) AS y,
+        CAST(user_id % 2 AS INTEGER) AS variant
+      FROM d, mid GROUP BY 1),
+    p AS (
+      SELECT count(*) AS n_g,
+        CAST(sum(x) AS BIGINT) AS sx_g, CAST(sum(y) AS BIGINT) AS sy_g,
+        sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy, -- guard:ok internal moment, outputs are doubles
+        sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx -- guard:ok internal moment, outputs are doubles
+      FROM u),
+    t AS (
+      SELECT n_g, sx_g,
+        CASE WHEN CAST(n_g AS HUGEINT) * sxx
+            - CAST(sx_g AS HUGEINT) * CAST(sx_g AS HUGEINT) <> 0
+          THEN CAST(CAST(n_g AS HUGEINT) * sxy
+              - CAST(sx_g AS HUGEINT) * CAST(sy_g AS HUGEINT) AS DOUBLE)
+            / CAST(CAST(n_g AS HUGEINT) * sxx
+              - CAST(sx_g AS HUGEINT) * CAST(sx_g AS HUGEINT) AS DOUBLE)
+          ELSE 0.0 END AS theta
+      FROM p),
+    v AS (
+      SELECT variant, count(*) AS n_users,
+        CAST(sum(x) AS BIGINT) AS sx_v, CAST(sum(y) AS BIGINT) AS sy_v
+      FROM u GROUP BY 1)
+    SELECT v.variant, v.n_users, t.theta,
+      CAST(sy_v AS DOUBLE) / (100.0 * CAST(n_users AS DOUBLE)) AS mean_y,
+      (CAST(sy_v AS DOUBLE) / CAST(n_users AS DOUBLE)
+        - t.theta * (CAST(sx_v AS DOUBLE) / CAST(n_users AS DOUBLE)
+          - CAST(sx_g AS DOUBLE) / CAST(n_g AS DOUBLE))) / 100.0 AS mean_y_adj
+    FROM v, t
+  """
 }

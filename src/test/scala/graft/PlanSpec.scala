@@ -982,6 +982,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "SortMergeJoin") == 0, p)
   }
 
+  test("q160_cuped: one user-keyed collapse gated by a broadcast midpoint; " +
+      "pooled and variant rollups combine map-side — no window, no " +
+      "quadratic join") {
+    val p = finalPlan("q160_cuped")
+    assert(hashExchanges(p, "user_id") == 1, p)
+    assert(p.contains("partial_sum"), p)
+    assert(nodes(p, "Window") == 0 && nodes(p, "Sort") == 0, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+  }
+
   test("q130_dim_stats: one scan, partial+final aggregation, one exchange " +
       "bounded by the dimension count") {
     val p = finalPlan("q130_dim_stats")

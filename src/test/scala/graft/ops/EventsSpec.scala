@@ -440,4 +440,32 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       3L -> ((1L, 0L, None)),
       4L -> ((2L, 1L, None))))
   }
+
+  test("q160 cuped: hand-computed theta and adjusted means replayed in the " +
+    "operator's exact double order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // days 0..3 -> mid = 2; x = pre cents, y = post cents per user:
+    // u0:(100,200) u2:(300,400) | u1:(100,300) u3:(500,500)
+    val rows: Seq[(Long, Long, Double)] = Seq(
+      (0L, 0L, 1.0), (0L, 3L, 2.0), (2L, 0L, 3.0), (2L, 3L, 4.0),
+      (1L, 0L, 1.0), (1L, 3L, 3.0), (3L, 0L, 5.0), (3L, 3L, 5.0))
+    val ev = rows.zipWithIndex
+      .map { case ((u, d, v), i) => (u, i.toLong + 1L, d * 86400L + 1L, v) }
+      .toDF("user_id", "event_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.cupedOn(ev).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    // pooled: n=4 sx=1000 sy=1400 sxy=420000 sxx=360000
+    // covn=280000 varn=440000
+    val theta = 280000.0 / 440000.0
+    val adj0 = (600.0 / 2.0 - theta * (400.0 / 2.0 - 1000.0 / 4.0)) / 100.0
+    val adj1 = (800.0 / 2.0 - theta * (600.0 / 2.0 - 1000.0 / 4.0)) / 100.0
+    assert(got === Map(
+      0 -> ((2L, theta, 600.0 / (100.0 * 2.0), adj0)),
+      1 -> ((2L, theta, 800.0 / (100.0 * 2.0), adj1))))
+    // the adjustment moved the estimates toward each other (whale noise out)
+    assert(adj0 > 3.0 && adj1 < 4.0)
+  }
 }
