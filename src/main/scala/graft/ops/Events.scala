@@ -1066,19 +1066,25 @@ object Events {
   def q155ConversionLag(spark: SparkSession, sfDir: String): DataFrame =
     conversionLagOn(Tables(spark, sfDir, "events"))
 
-  private[graft] def conversionLagOn(events: DataFrame): DataFrame = {
+  /** The per-user lag table q155 ranks — factored so the streaming twin's
+    * spec can pin row equality against it. */
+  private[graft] def conversionLags(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // cached: feeds the bucketed rank (bounds + rank + offsets) and the
-    // 1-row count — five consumers of one per-user collapse
-    val lags = graft.CachedFrames.track(events.filter(col("user_id").isNotNull)
+    events.filter(col("user_id").isNotNull)
       .withColumn("eps", unix_timestamp(col("ts")))
       .withColumn("tv",
         min(when(col("event_type") === "view", col("eps"))).over(byUser))
       .filter(col("event_type") === "purchase" && col("tv").isNotNull)
       .groupBy(col("user_id"))
-      .agg(min(col("eps") - col("tv")).as("lag_s")))
+      .agg(min(col("eps") - col("tv")).as("lag_s"))
+  }
+
+  private[graft] def conversionLagOn(events: DataFrame): DataFrame = {
+    // cached: feeds the bucketed rank (bounds + rank + offsets) and the
+    // 1-row count — five consumers of one per-user collapse
+    val lags = graft.CachedFrames.track(conversionLags(events))
     val n = lags.agg(count(lit(1)).as("n_converted"))
     val aggs = LagPercentiles.map { case (name, a, b) =>
       max(when(col("_r") ===
@@ -1285,5 +1291,58 @@ object Events {
         - t.theta * (CAST(sx_v AS DOUBLE) / CAST(n_users AS DOUBLE)
           - CAST(sx_g AS DOUBLE) / CAST(n_g AS DOUBLE))) / 100.0 AS mean_y_adj
     FROM v, t
+  """
+
+  /** q161: per-day SAMPLE-RATIO-MISMATCH check — the A/B guardrail run
+    * before anyone reads q160's lifts: under the deterministic 50/50
+    * user_id % 2 assignment, each day's ACTIVE-user split should be
+    * binomial-balanced; χ² = (n0−n1)²/n (the two-cell Pearson statistic)
+    * flags days where assignment and activity correlate (bot floods,
+    * logging loss on one arm — the failures that silently bias every
+    * downstream metric). The flag compares 10000·(n0−n1)² > 38415·n —
+    * the 3.8415 critical value of χ²₁ cross-multiplied to EXACT integers,
+    * so both engines flag identically and the only double is the display
+    * χ² itself (one exact-cast division).
+    *
+    * Scale shape: one distinct (day, user) collapse (map-side partial),
+    * then a |days|-row rollup — the q138 presence shape; nothing after
+    * the collapse scales with events. */
+  def q161SrmCheck(spark: SparkSession, sfDir: String): DataFrame =
+    srmCheckOn(Tables(spark, sfDir, "events"))
+
+  private[graft] def srmCheckOn(events: DataFrame): DataFrame =
+    events.filter(col("user_id").isNotNull)
+      .select(
+        expr("CAST(floor(unix_timestamp(ts) / 86400.0D) AS BIGINT)").as("day"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_v0"),
+        sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n_v1"))
+      .withColumn("chi2",
+        ((col("n_v0") - col("n_v1")) * (col("n_v0") - col("n_v1")))
+          .cast("double") / col("n_users").cast("double"))
+      .withColumn("srm_flag",
+        lit(10000L) * (col("n_v0") - col("n_v1")) * (col("n_v0") - col("n_v1"))
+          > lit(38415L) * col("n_users"))
+
+  val q161SrmCheckSql: String = """
+    WITH p AS (
+      SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        user_id
+      FROM events WHERE user_id IS NOT NULL),
+    s AS (
+      SELECT day, count(*) AS n_users,
+        CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_v0,
+        CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_v1
+      FROM p GROUP BY 1)
+    SELECT day, n_users, n_v0, n_v1,
+      CAST((n_v0 - n_v1) * (n_v0 - n_v1) AS DOUBLE)
+        / CAST(n_users AS DOUBLE) AS chi2,
+      10000 * (n_v0 - n_v1) * (n_v0 - n_v1) > 38415 * n_users AS srm_flag
+    FROM s
   """
 }

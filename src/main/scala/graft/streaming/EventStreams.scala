@@ -86,6 +86,16 @@ final case class EwmaState(nDays: Long, ys: Seq[Long], curDay: Long,
 final case class EwmaRow(user_id: Long, n_days: Long, last_day: Long,
   ewma_num: Long, ewma_den: Long, ewma: Double)
 
+final case class UserTyped(user_id: Long, event_id: Long, eps: Long,
+  event_type: String)
+
+/** Per-user conversion anchor: the first view's epoch second (MinValue =
+  * none yet) and whether the conversion already emitted — TWO fields of
+  * state per user, forever. */
+final case class ConvState(firstViewS: Long, emitted: Boolean)
+
+final case class ConvLag(user_id: Long, lag_s: Long)
+
 /** Structured Streaming formulations of the event-time operators whose batch
   * twins live in graft.ops.Events (SURVEY.md §2.9): the SAME window
   * transforms run on a `readStream` source with a watermark, and
@@ -447,6 +457,34 @@ object EventStreams {
     }
     events.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Live conversion feed — one Append row per user the moment their first
+    * qualifying purchase lands (first purchase at-or-after the first view:
+    * exactly the rows q155's percentiles rank). State is [[ConvState]] —
+    * two fields per user, forever — so the feed is the incremental face of
+    * q155's per-user collapse; EventStreamsSpec pins row equality against
+    * [[graft.ops.Events.conversionLags]] on real events split mid-stream. */
+  def conversionLagStream(events: Dataset[UserTyped]): Dataset[ConvLag] = {
+    import events.sparkSession.implicits._
+    def fn(user: Long, batch: Iterator[UserTyped],
+           state: GroupState[ConvState]): Iterator[ConvLag] = {
+      var s = state.getOption.getOrElse(ConvState(Long.MinValue, false))
+      val out = Vector.newBuilder[ConvLag]
+      batch.toSeq.sortBy(e => (e.eps, e.event_id)).foreach { e =>
+        if (e.event_type == "view" && s.firstViewS == Long.MinValue)
+          s = s.copy(firstViewS = e.eps)
+        else if (e.event_type == "purchase" && !s.emitted &&
+            s.firstViewS != Long.MinValue) {
+          out += ConvLag(user, e.eps - s.firstViewS)
+          s = s.copy(emitted = true)
+        }
+      }
+      state.update(s)
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
   /** Static-index admission: the corpus index is derived once and never

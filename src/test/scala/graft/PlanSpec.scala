@@ -993,6 +993,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "SortMergeJoin") == 0, p)
   }
 
+  test("q161_srm_check: the q138 presence shape — distinct collapse then " +
+      "a |days| rollup, both map-side combined, no joins") {
+    val p = finalPlan("q161_srm_check")
+    assert(hashExchanges(p, "day") == 2, p)
+    assert(nodes(p, "Exchange") == 2, p)
+    assert(p.contains("partial_sum") && p.contains("partial_count"), p)
+    assert(nodes(p, "Window") == 0, p)
+    assert(nodes(p, "SortMergeJoin") == 0 &&
+      nodes(p, "BroadcastHashJoin") == 0, p)
+  }
+
   test("q130_dim_stats: one scan, partial+final aggregation, one exchange " +
       "bounded by the dimension count") {
     val p = finalPlan("q130_dim_stats")

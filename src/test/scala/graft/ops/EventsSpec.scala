@@ -468,4 +468,28 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     // the adjustment moved the estimates toward each other (whale noise out)
     assert(adj0 > 3.0 && adj1 < 4.0)
   }
+
+  test("q161 srm: a balanced day passes, a skewed day flags at the exact " +
+    "cross-multiplied 3.8415 boundary, repeat activity collapses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // day 0: users 0..9 (5/5 split, one user twice) -> chi2=0, no flag
+    // day 1: users 0,2,4,6,8,10 vs 1 -> (6-1)^2/7 = 25/7 < 3.8415: no flag
+    // day 2: 0,2,4,6,8,10 vs none -> 36/6 = 6 > 3.8415: flag
+    val rows: Seq[(Long, Long)] =
+      (0L to 9L).map(u => (u, 0L)) ++ Seq((0L, 0L)) ++
+      (Seq(0L, 2L, 4L, 6L, 8L, 10L, 1L).map(u => (u, 1L))) ++
+      (Seq(0L, 2L, 4L, 6L, 8L, 10L).map(u => (u, 2L)))
+    val ev = rows.zipWithIndex
+      .map { case ((u, d), i) => (u, i.toLong + 1L, d * 86400L + i) }
+      .toDF("user_id", "event_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.srmCheckOn(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(got === Map(
+      0L -> ((10L, 5L, 5L, 0.0, false)),
+      1L -> ((7L, 6L, 1L, 25.0 / 7.0, false)),
+      2L -> ((6L, 6L, 0L, 6.0, true))))
+  }
 }

@@ -1664,4 +1664,36 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  test("conversion-lag stream equals the batch lag table on time-ordered " +
+    "real events, one Append row per converted user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = graft.Tables.normalizeEventsTs(
+      spark.read.parquet(s"$sf/events.parquet"))
+    val arrivals = raw.filter(col("user_id").isNotNull)
+      .selectExpr("user_id", "event_id",
+        "CAST(floor(unix_timestamp(ts)) AS BIGINT) AS eps", "event_type")
+      .as[UserTyped].collect().sortBy(e => (e.eps, e.event_id))
+    val mem = MemoryStream[UserTyped]
+    val q = EventStreams.conversionLagStream(mem.toDS())
+      .writeStream.format("memory").queryName("conv_twin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (w1, w2) = arrivals.splitAt(arrivals.length / 2)
+      mem.addData(w1.toSeq: _*); q.processAllAvailable()
+      mem.addData(w2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("conv_twin").as[ConvLag].collect()
+        .map(r => r.user_id -> r.lag_s).toMap
+      // exactly ONE row per converted user (Append never re-emits)
+      assert(spark.table("conv_twin").count() === got.size.toLong)
+      val expected = graft.ops.Events.conversionLags(raw).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.CachedFrames.drain()
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
