@@ -1180,8 +1180,12 @@ object Curation {
     // payload column would make the offsets branch's pruned subtree
     // canonically different from phase 1's and forfeit the ReusedExchange
     // — the doc's source re-attaches to the ~k picked rows afterwards
-    val t = docs.select(lit("_all").as("source"), col("doc_id"),
-      col("n_chars").as("wgt"))
+    // the synthetic single stratum is substring(source,1,0) = "" per row,
+    // NOT a literal: a foldable constant would constant-fold out of the
+    // offsets window's partition spec and WindowExec would fall back to
+    // "No Partition Defined" (a real warning even on the 32-row frame)
+    val t = docs.select(expr("substring(source, 1, 0)").as("source"),
+      col("doc_id"), col("n_chars").as("wgt"))
     val run = TextOps.distributedRunningSum(t, "wgt", Seq("doc_id"), t)
     // total weight == final running value, but summed directly off the
     // skinny frame (a thin 1-column pushed aggregate, the q59-adjudicated
