@@ -1345,4 +1345,74 @@ object Events {
       10000 * (n_v0 - n_v1) * (n_v0 - n_v1) > 38415 * n_users AS srm_flag
     FROM s
   """
+
+  /** q162's cap quantile: winsorize at the pooled p99 (rank-exact, the
+    * q140/q155 convention). */
+  private[ops] val WinsorA = 99L
+  private[ops] val WinsorB = 100L
+
+  /** q162: WINSORIZED variant means — per-user total spend capped at the
+    * POOLED rank-exact p99 before averaging, the standard metric-capping
+    * step between q161's guardrail and q160's adjustment: one whale in one
+    * arm moves a raw mean by more than any plausible treatment effect, and
+    * capping at a shared quantile bounds that influence without dropping
+    * the user. The cap is pooled across variants on purpose (a per-variant
+    * cap would let the treatment change its own cap — a bias, not a
+    * robustness gain).
+    *
+    * Exactness: totals are integer cents, the cap is the value at rank
+    * ⌈0.99·n⌉ (no interpolation), min(y, cap) is integer, and the two
+    * means are one exact-cast division each.
+    *
+    * Scale shape: one user-keyed collapse (cached — feeds the rank and
+    * the rollup), the pooled rank is [[DistRank.withBucketedRank]] with
+    * NO group (B-way parallel, no single-partition sort), the cap rides a
+    * 1-row broadcast, and the variant rollup combines map-side. */
+  def q162WinsorizedMeans(spark: SparkSession, sfDir: String): DataFrame =
+    winsorizedMeansOn(Tables(spark, sfDir, "events"))
+
+  private[graft] def winsorizedMeansOn(events: DataFrame): DataFrame = {
+    val users = graft.CachedFrames.track(events.filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr("CAST(floor(value * 100.0D + 0.5D) AS BIGINT)").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("cents")).as("y"))
+      .withColumn("variant", (col("user_id") % 2).cast("int")))
+    val n = users.agg(count(lit(1)).as("n_g"))
+    val cap = DistRank.withBucketedRank(users, Seq(), "y", Seq("user_id"), "_r")
+      .crossJoin(broadcast(n))
+      .agg(max(when(col("_r") ===
+        expr(s"($WinsorA * n_g + ${WinsorB - 1}) DIV $WinsorB"), col("y")))
+        .as("cap_cents"))
+    users.crossJoin(broadcast(cap))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("y")).as("sy"),
+        sum(least(col("y"), col("cap_cents"))).as("syw"),
+        max(col("cap_cents")).as("cap_cents"))
+      .select(col("variant"), col("n_users"), col("cap_cents"),
+        (col("sy").cast("double") / (lit(100.0) * col("n_users").cast("double")))
+          .as("mean_raw"),
+        (col("syw").cast("double") / (lit(100.0) * col("n_users").cast("double")))
+          .as("mean_winsorized"))
+  }
+
+  val q162WinsorizedMeansSql: String = s"""
+    WITH u AS (
+      SELECT user_id,
+        CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS y,
+        CAST(user_id % 2 AS INTEGER) AS variant
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+    r AS (
+      SELECT y, row_number() OVER (ORDER BY y, user_id) AS rnk,
+        count(*) OVER () AS n
+      FROM u),
+    c AS (
+      SELECT max(CASE WHEN rnk = ($WinsorA * n + ${WinsorB - 1}) // $WinsorB
+        THEN y END) AS cap_cents FROM r)
+    SELECT variant, count(*) AS n_users, c.cap_cents,
+      CAST(sum(y) AS DOUBLE) / (100.0 * CAST(count(*) AS DOUBLE)) AS mean_raw,
+      CAST(sum(least(y, c.cap_cents)) AS DOUBLE)
+        / (100.0 * CAST(count(*) AS DOUBLE)) AS mean_winsorized
+    FROM u, c GROUP BY 1, 3
+  """
 }

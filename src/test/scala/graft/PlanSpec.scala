@@ -1004,6 +1004,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       nodes(p, "BroadcastHashJoin") == 0, p)
   }
 
+  test("q162_winsorized_means: one user collapse + one 2-row variant " +
+      "rollup; the pooled cap rides a broadcast — no single-partition " +
+      "sort, no window in the visible plan") {
+    val p = finalPlan("q162_winsorized_means")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"), p)
+    assert(nodes(p, "Window") == 0, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("q130_dim_stats: one scan, partial+final aggregation, one exchange " +
       "bounded by the dimension count") {
     val p = finalPlan("q130_dim_stats")

@@ -492,4 +492,26 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       1L -> ((7L, 6L, 1L, 25.0 / 7.0, false)),
       2L -> ((6L, 6L, 0L, 6.0, true))))
   }
+
+  test("q162 winsorized means: pooled p99 cap clips exactly the top two " +
+    "users, one in each arm; raw means stay whale-skewed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // users 1..200, user u spends u dollars once -> y = 100u cents;
+    // pooled cap at rank ceil(0.99*200)=198 -> 19800; users 199 & 200 clip
+    val rows: Seq[(Long, Double)] = (1L to 200L).map(u => (u, u.toDouble))
+    val ev = rows.zipWithIndex
+      .map { case ((u, v), i) => (u, i.toLong + 1L, 86400L + i, v) }
+      .toDF("user_id", "event_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.winsorizedMeansOn(ev).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    // odd arm: sum odd = 100^2 -> raw 100.0; winsorized replaces 19900
+    // with 19800 -> (9801*100 + 19800)/1e4 = 99.99
+    // even arm: raw 101.0; 20000 -> 19800 -> (9900*100 + 19800)/1e4 = 100.98
+    assert(got === Map(
+      1 -> ((100L, 19800L, 100.0, 99.99)),
+      0 -> ((100L, 19800L, 101.0, 100.98))))
+  }
 }
