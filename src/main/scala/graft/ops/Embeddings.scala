@@ -2506,4 +2506,41 @@ object Embeddings {
     SELECT ba.src_id, ba.tgt_id, ba.cos
     FROM ba JOIN bb ON ba.src_id = bb.src_id AND ba.tgt_id = bb.tgt_id
   """
+
+  /** q164: IVF CELL-BALANCE audit — per home cell (nprobe = 1): member
+    * count, share of the corpus, and a hot flag where the cell holds more
+    * than twice its fair share (n_vecs·n_cells > 2·n_total, the critical
+    * value cross-multiplied to EXACT integers — no float threshold). The
+    * capacity-planning face of the ANN family: recall tuning (q63/q75)
+    * assumes cells are roughly balanced; a hot cell is where IVF latency
+    * hides, and the fix (q55's Lloyd refinement, or more cells) starts
+    * from this table.
+    *
+    * Scale shape: the assignment is the shared broadcast-codebook pass
+    * every IVF query rides (corpus never shuffles for it); the audit adds
+    * ONE |cells|-key map-side-combined count and a 1-row total broadcast. */
+  def q164CellBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = assignedCells(spark, sfDir)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val tot = cells.agg(sum(col("n_vecs")).as("n_total"),
+      count(lit(1)).as("n_cells"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"), col("n_cells"),
+        (col("n_vecs").cast("double") / col("n_total").cast("double"))
+          .as("share"),
+        (col("n_vecs") * col("n_cells") > lit(2L) * col("n_total"))
+          .as("hot_flag"))
+  }
+
+  val q164CellBalanceSql: String = s"""
+    WITH $ivfAssignedSqlCtes,
+    cells AS (SELECT cell, count(*) AS n_vecs FROM assigned GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total, count(*) AS n_cells
+      FROM cells)
+    SELECT cell, n_vecs, n_cells,
+      CAST(n_vecs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+      n_vecs * n_cells > 2 * n_total AS hot_flag
+    FROM cells, tot
+  """
 }

@@ -3644,4 +3644,78 @@ object TextOps {
     FROM e$KCoreRounds GROUP BY 1
     """
   }
+
+  /** q163 tuning: draws in the table / weight fixed-point scale. */
+  private[ops] val NegTableK = 64L
+
+  /** q163: word2vec NEGATIVE-SAMPLING table — unigram counts smoothed by
+    * Mikolov's c^(3/4) and drawn with q150's deterministic systematic rule
+    * (K equally-spaced boundaries over the smoothed-weight layout, token
+    * multiplicity = boundaries crossed). The 3/4 power is THE published
+    * constant that keeps stopwords from swamping the negatives without
+    * flattening to uniform; the systematic draw replaces the RNG table so
+    * re-runs and both engines produce the identical table. Smoothed
+    * weight = ⌊1000·√√(c³)⌋: c³ is exact BIGINT and √√ is two
+    * IEEE-correctly-rounded sqrts (the documented float contract — no
+    * pow/ln), so the weight is bitwise identical cross-engine. Headroom:
+    * c³ < 2⁶³ needs c < 2.09e6 — past that accumulate c³ in DECIMAL (the
+    * q142 ladder).
+    *
+    * Scale shape: one map-side unigram count; the layout order
+    * (c ASC, token ASC) is [[DistRank.withBucketedRank]] ungrouped (B-way
+    * parallel), the prefix sum is [[distributedRunningSum]] over the rank
+    * (its monotone numeric order column), and the crossing test is a pure
+    * projection — the q150 engine, vocabulary-sized throughout, nothing
+    * broadcast but bounds and the 1-row step. */
+  def q163NegativeTable(spark: SparkSession, sfDir: String): DataFrame =
+    negativeTableOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+
+  private[graft] def negativeTableOn(docs: DataFrame): DataFrame = {
+    // cached: the rank engine's bounds/rank/offsets branches all re-derive
+    // their input — one vocabulary-sized materialization serves them all
+    val uni = graft.CachedFrames.track(docs
+      .select(explode(expr("""split(trim(text), '\\s+')""")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("wgt", expr(
+        "CAST(floor(1000.0D * sqrt(sqrt(CAST(c * c * c AS DOUBLE)))) AS BIGINT)")))
+    // cached: the ranked layout feeds the prefix sum's bounds + both phases
+    val ranked = graft.CachedFrames.track(
+      DistRank.withBucketedRank(uni, Seq(), "c", Seq("w"), "_pos")
+        .select(expr("substring(w, 1, 0)").as("source"),
+          col("_pos").as("doc_id"), col("w"), col("c"), col("wgt")))
+    val run = distributedRunningSum(ranked, "wgt", Seq("doc_id"), ranked)
+    val tot = ranked.agg(greatest(
+      expr(s"sum(wgt) DIV $NegTableK"), lit(1L)).as("step"))
+    run.crossJoin(broadcast(tot))
+      .withColumn("multiplicity",
+        expr("running DIV step - (running - wgt) DIV step"))
+      .filter(col("multiplicity") > 0)
+      .select(col("w").as("token"), col("c"), col("wgt"), col("running"),
+        col("multiplicity"))
+  }
+
+  val q163NegativeTableSql: String = s"""
+    WITH st AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents),
+    u AS (SELECT w, count(*) AS c FROM st GROUP BY 1),
+    g AS (
+      SELECT w, c,
+        CAST(floor(1000.0 * sqrt(sqrt(CAST(c * c * c AS DOUBLE)))) AS BIGINT)
+          AS wgt
+      FROM u),
+    r AS (
+      SELECT w, c, wgt,
+        CAST(sum(wgt) OVER (ORDER BY c ASC, w ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS running
+      FROM g),
+    tot AS (
+      SELECT greatest(CAST(sum(wgt) AS BIGINT) // $NegTableK, 1) AS step
+      FROM g)
+    SELECT w AS token, c, wgt, running,
+      running // step - (running - wgt) // step AS multiplicity
+    FROM r, tot
+    WHERE running // step - (running - wgt) // step > 0
+  """
 }

@@ -1015,6 +1015,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q163_negative_table: vocabulary-sized throughout — rank and prefix " +
+      "engines chain with reused exchanges, no quadratic join") {
+    val p = finalPlan("q163_negative_table")
+    assert(nodes(p, "ReusedExchange") >= 1, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q164_cell_balance: one |cells|-key count over the shared broadcast " +
+      "assignment + a 1-row total — no corpus shuffle beyond it") {
+    val p = finalPlan("q164_cell_balance")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert(p.contains("partial_count"), p)
+    assert(hashExchanges(p, "cell") == 1, p)
+  }
+
   test("q130_dim_stats: one scan, partial+final aggregation, one exchange " +
       "bounded by the dimension count") {
     val p = finalPlan("q130_dim_stats")

@@ -679,4 +679,21 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((0L, 1L), (2L, 3L)))
   }
+
+  test("q164 cell balance: shares sum to one, counts sum to the corpus, " +
+    "the hot flag is exactly the cross-multiplied 2x-fair-share test") {
+    val got = Embeddings.q164CellBalance(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    graft.CachedFrames.drain()
+    val total = got.map(_._1).sum
+    val nCells = got.head._2
+    assert(got.length.toLong === nCells)
+    assert(total === spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").count())
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-9)
+    got.foreach { case (n, c, _, hot) =>
+      assert(hot === (n * c > 2L * total))
+    }
+  }
 }

@@ -715,6 +715,22 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       3L -> ((2L, 1L, 0.5))))
   }
 
+  test("q163 negative table: hand-exact 3/4-power weights (16^0.75 = 8 " +
+    "exactly), systematic multiplicities sum to K") {
+    import spark.implicits._
+    // counts: a=16 -> w=8000, b=1 -> w=1000; layout (c asc): b then a;
+    // total 9000, step = 9000 DIV 64 = 140 -> b crosses 7, a crosses 57
+    val docs = Seq((Seq.fill(16)("a") ++ Seq("b")).mkString(" "))
+      .toDF("text")
+    val got = TextOps.negativeTableOn(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      "b" -> ((1L, 1000L, 1000L, 7L)),
+      "a" -> ((16L, 8000L, 9000L, 57L))))
+    assert(got.values.map(_._4).sum === 64L)
+  }
+
   test("q156 k-core: a triangle survives 2-core peeling, chains and " +
     "pendants peel away (including cascades)") {
     import spark.implicits._
