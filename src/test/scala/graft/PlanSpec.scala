@@ -1015,10 +1015,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
-  test("q163_negative_table: vocabulary-sized throughout — rank and prefix " +
-      "engines chain with reused exchanges, no quadratic join") {
+  test("q163_negative_table: vocabulary-sized throughout — the cached " +
+      "unigram frame serves every rank/prefix branch, no quadratic join") {
     val p = finalPlan("q163_negative_table")
-    assert(nodes(p, "ReusedExchange") >= 1, p)
+    // the rank + prefix engines read ONE materialized unigram cache
+    // instead of re-deriving the count per branch
+    assert(nodes(p, "InMemoryTableScan") >= 1, p)
     assert(nodes(p, "CartesianProduct") == 0, p)
     assert(nodes(p, "SortMergeJoin") == 0, p)
     assert(p.contains("partial_count"), p)
