@@ -102,6 +102,12 @@ object GraftFunctions {
           require(exprs.length == 2, s"minhash_affine takes 2 arguments, got ${exprs.length}")
           MinHashAffine(exprs(0), exprs(1))
         }),
+      (FunctionIdentifier("outer_product_flat"),
+        new ExpressionInfo(classOf[OuterProductFlat].getName, "outer_product_flat"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1, s"outer_product_flat takes 1 argument, got ${exprs.length}")
+          OuterProductFlat(exprs(0))
+        }),
       (FunctionIdentifier("window_mins"),
         new ExpressionInfo(classOf[WindowMins].getName, "window_mins"),
         (exprs: Seq[Expression]) => {

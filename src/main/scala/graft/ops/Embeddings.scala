@@ -2359,30 +2359,42 @@ object Embeddings {
     val s = GramQScale
     def signDiv(x: String, d: String) =
       expr(s"CASE WHEN $x < 0 THEN -((-$x) DIV $d) ELSE $x DIV $d END")
+    graft.functions.GraftFunctions.register(rows.sparkSession)
     val gram = graft.CachedFrames.track {
+      // the flattened self outer product runs as the native codegen
+      // expression (graft.functions.OuterProductFlat) — the nested-HOF
+      // struct form was interpreted per pair and dominated the suite
       val raw = rows
         .select(expr(
           s"transform(v, x -> CAST(floor(x * $s.0D + 0.5D) AS BIGINT))").as("q"))
-        .select(explode(expr(
-          "flatten(transform(q, (x, j) -> transform(q, (y, k) -> " +
-            "struct(j AS j, k AS k, x * y AS p))))")).as("e"))
-        .select(col("e.j").as("j"), col("e.k").as("k"), col("e.p").as("p"))
+        .select(expr("size(q)").as("d"),
+          posexplode(call_function("outer_product_flat", col("q")))
+            .as(Seq("pos", "p")))
+        .select(expr("CAST(pos DIV d AS INT)").as("j"),
+          expr("CAST(pos % d AS INT)").as("k"), col("p"))
         .groupBy(col("j"), col("k")).agg(sum(col("p")).as("m_raw"))
       val cap = raw.agg(
         expr(s"greatest(1L, max(abs(m_raw)) DIV $GramMCap + 1L)").as("d"))
       raw.crossJoin(broadcast(cap))
         .select(col("j"), col("k"), signDiv("m_raw", "d").as("m"))
     }
+    // every round's u feeds TWO consumers (its max and the next v), and v
+    // feeds the next round twice more — uncut, the plan replays 2^R-fold
+    // (the q156 lineage lesson; measured 47 s cold at sf0.1). Each round's
+    // frames are d rows — localCheckpoint them for constant replay cost.
     var v = gram.select(col("j").as("dim")).distinct()
       .withColumn("v", lit(s))
+      .localCheckpoint()
     for (_ <- 1 to GramRounds) {
       val u = gram
         .join(broadcast(v.select(col("dim").as("k"), col("v").as("vk"))),
           Seq("k"))
         .groupBy(col("j")).agg(sum(col("m") * col("vk")).as("u"))
+        .localCheckpoint()
       val d = u.agg(expr(s"greatest(1L, max(abs(u)) DIV $s)").as("d"))
       v = u.crossJoin(broadcast(d))
         .select(col("j").as("dim"), signDiv("u", "d").as("v"))
+        .localCheckpoint()
     }
     val nrm = v.agg(sqrt(sum(col("v") * col("v")).cast("double")).as("nv"))
     v.crossJoin(broadcast(nrm))
