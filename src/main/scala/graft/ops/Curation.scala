@@ -1218,4 +1218,59 @@ object Curation {
     FROM r, tot
     WHERE running // step - (running - wgt) // step > 0
   """
+
+  /** q165 tuning: fair-share numerator (a highly-divisible constant so
+    * C DIV n is exact-ish across small cluster sizes; truncation only
+    * UNDER-weights clusters larger than C, documented). */
+  private[ops] val ClusterFairC = 720720L
+
+  /** q165: DEDUP-CORRECTED fair sample — each document weighted by
+    * [[ClusterFairC]] DIV (its exact-duplicate cluster size), then drawn
+    * with q150's systematic rule. An eval set sampled uniformly from a
+    * corpus with duplicate inflation over-represents whatever was crawled
+    * twice; weighting each doc at 1/cluster-size gives every CLUSTER the
+    * same expected representation while never dropping a row (the keep-one
+    * alternative, q25, discards provenance this sampler preserves).
+    * Clusters are q25's md5-digest groups; all weights integer, the draw
+    * exact — re-runs and both engines agree row-for-row.
+    *
+    * Scale shape: one digest count (map-side, the q25 shape) + a
+    * digest-keyed join back, then exactly [[q150PpsSample]]'s engine —
+    * the two-phase prefix sum with the ReusedExchange offsets branch and
+    * the ~K-row broadcast payload probe. */
+  def q165ClusterFairSample(spark: SparkSession, sfDir: String): DataFrame =
+    clusterFairSampleOn(Tables(spark, sfDir, "documents"))
+
+  /** The fair-weighting core over ANY (doc_id, source, text) frame —
+    * fixture-testable. */
+  private[graft] def clusterFairSampleOn(raw: DataFrame): DataFrame = {
+    val docs = raw.select(col("doc_id"), col("source"), md5(col("text")).as("dig"))
+    val sizes = docs.groupBy(col("dig")).agg(count(lit(1)).as("n_cluster"))
+    // the weight lands in ppsSampleOn's weight slot (its n_chars column)
+    val weighted = docs.join(sizes, Seq("dig"))
+      .select(col("doc_id"), col("source"),
+        expr(s"$ClusterFairC DIV n_cluster").as("n_chars"))
+    ppsSampleOn(weighted, PpsSampleK)
+      .withColumnRenamed("wgt", "fair_wgt")
+  }
+
+  val q165ClusterFairSampleSql: String = s"""
+    WITH d AS (SELECT doc_id, source, md5(text) AS dig FROM documents),
+    sz AS (SELECT dig, count(*) AS n_cluster FROM d GROUP BY 1),
+    w AS (
+      SELECT d.doc_id, d.source, $ClusterFairC // sz.n_cluster AS wgt
+      FROM d JOIN sz ON d.dig = sz.dig),
+    r AS (
+      SELECT doc_id, source, wgt,
+        CAST(sum(wgt) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS running
+      FROM w),
+    tot AS (
+      SELECT greatest(max(running) // $PpsSampleK, 1) AS step FROM r)
+    SELECT doc_id, source, wgt AS fair_wgt, running,
+      running // step - (running - wgt) // step AS multiplicity
+    FROM r, tot
+    WHERE running // step - (running - wgt) // step > 0
+  """
 }

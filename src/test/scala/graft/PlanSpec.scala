@@ -1035,6 +1035,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(hashExchanges(p, "cell") == 1, p)
   }
 
+  test("q165_cluster_fair_sample: digest-keyed weighting feeds q150's " +
+      "engine — prefix shuffle computed once, nothing quadratic") {
+    val p = finalPlan("q165_cluster_fair_sample")
+    assert(nodes(p, "ReusedExchange") >= 1, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q130_dim_stats: one scan, partial+final aggregation, one exchange " +
       "bounded by the dimension count") {
     val p = finalPlan("q130_dim_stats")

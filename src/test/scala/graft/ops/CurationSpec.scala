@@ -300,4 +300,22 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     // multiplicities sum to k when total divides evenly
     assert(got.values.map(_._4).sum === 4L)
   }
+
+  test("q165 cluster-fair sample: a 2-doc duplicate cluster gets the same " +
+    "total representation as each singleton (hand-exact multiplicities)") {
+    import spark.implicits._
+    // TA duplicated (docs 1,2) -> 360360 each; TB, TC singletons -> 720720
+    val docs = Seq((1L, "w", "TA"), (2L, "w", "TA"), (3L, "b", "TB"),
+      (4L, "b", "TC")).toDF("doc_id", "source", "text").repartition(3)
+    val got = Curation.clusterFairSampleOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    // total 2162160, step 21621: cumulative cuts 16 | 33 | 66 | 100
+    assert(got === Map(
+      1L -> ((360360L, 16L)), 2L -> ((360360L, 17L)),
+      3L -> ((720720L, 33L)), 4L -> ((720720L, 34L))))
+    // the fairness claim: cluster totals within one boundary of each other
+    val ta = got(1L)._2 + got(2L)._2
+    assert(math.abs(ta - got(3L)._2) <= 1L &&
+      math.abs(ta - got(4L)._2) <= 1L)
+  }
 }
