@@ -189,11 +189,19 @@ object Profiling {
       coalesce(sum(when(col("key").isNotNull, col("n"))), lit(0L)).as("total"),
       count(col("key")).as("n_keys"),
       coalesce(sum(when(col("key").isNull, col("n"))), lit(0L)).as("n_null"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col("key").asc)
-    counts.filter(col("key").isNotNull)
-      .orderBy(col("n").desc, col("key").asc).limit(10)
-      .withColumn("rk", row_number().over(w))
+    // rank the top-10 WITHOUT a bare global window (even 10 rows through
+    // an unpartitioned WindowExec logs the single-partition warning and
+    // is the shape this very report exists to flag): rk = 1 + how many
+    // rows sort strictly before — the DistRank triangular-join idiom,
+    // 10×10 at most
+    val top = graft.CachedFrames.track(counts.filter(col("key").isNotNull)
+      .orderBy(col("n").desc, col("key").asc).limit(10))
+    val before = top.select(col("n").as("_n2"), col("key").as("_k2"))
+    top.join(before,
+        col("_n2") > col("n") ||
+          (col("_n2") === col("n") && col("_k2") < col("key")), "left")
+      .groupBy(col("key"), col("n"))
+      .agg((count(col("_k2")) + 1L).cast("int").as("rk"))
       .crossJoin(broadcast(totals))
       .withColumn("share", col("n").cast("double") / col("total").cast("double"))
       .select(col("rk"), col("key"), col("n"), col("share"),

@@ -1044,6 +1044,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q110_skew_report: NO unpartitioned window anywhere — the top-10 " +
+      "rank runs as the triangular join (the shape this report flags)") {
+    val p = finalPlan("q110_skew_report")
+    assert(nodes(p, "Window") == 0, p)
+    assert(nodes(p, "TakeOrderedAndProject") >= 1, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+  }
+
   test("q130_dim_stats: one scan, partial+final aggregation, one exchange " +
       "bounded by the dimension count") {
     val p = finalPlan("q130_dim_stats")
