@@ -3648,6 +3648,21 @@ object TextOps {
   /** q163 tuning: draws in the table / weight fixed-point scale. */
   private[ops] val NegTableK = 64L
 
+  /** q163's smoothed weight ⌊1000·√√(c³)⌋ over a BIGINT count column.
+    * The cube runs in DECIMAL(19,0)² products (Spark caps the widened
+    * result at DECIMAL(38,0), scale 0 — still exact for c³ < 10³⁸, i.e.
+    * c < 4.6e12) so it never wraps like BIGINT c·c·c does past c = 2²¹−1;
+    * the exact decimal is then correctly-rounded to DOUBLE and passed
+    * through two IEEE sqrts, matching the DuckDB HUGEINT oracle bitwise.
+    * private[graft]: TextOpsSpec pins it against a plain-Scala BigInt
+    * oracle on a c > 2²¹ fixture. */
+  private[graft] def smoothedWeight(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val cube = c.cast("decimal(19,0)") * c.cast("decimal(19,0)") *
+      c.cast("decimal(19,0)")
+    floor(lit(1000.0d) * sqrt(sqrt(cube.cast("double")))).cast("bigint")
+  }
+
   /** q163: word2vec NEGATIVE-SAMPLING table — unigram counts smoothed by
     * Mikolov's c^(3/4) and drawn with q150's deterministic systematic rule
     * (K equally-spaced boundaries over the smoothed-weight layout, token
@@ -3655,11 +3670,16 @@ object TextOps {
     * constant that keeps stopwords from swamping the negatives without
     * flattening to uniform; the systematic draw replaces the RNG table so
     * re-runs and both engines produce the identical table. Smoothed
-    * weight = ⌊1000·√√(c³)⌋: c³ is exact BIGINT and √√ is two
-    * IEEE-correctly-rounded sqrts (the documented float contract — no
-    * pow/ln), so the weight is bitwise identical cross-engine. Headroom:
-    * c³ < 2⁶³ needs c < 2.09e6 — past that accumulate c³ in DECIMAL (the
-    * q142 ladder).
+    * weight = ⌊1000·√√(c³)⌋: c³ is EXACT in DECIMAL(38,0) (Spark) /
+    * HUGEINT (DuckDB) — the q142 ladder, because BIGINT c·c·c WRAPS
+    * silently past c = 2,097,151 and every common token in a large corpus
+    * exceeds that — then exact-cast (correctly rounded) to DOUBLE, and √√
+    * is two IEEE-correctly-rounded sqrts (the documented float contract —
+    * no pow/ln), so the weight is bitwise identical cross-engine up to the
+    * DECIMAL(38,0) ceiling c < 4.6e12 (beyond any single token's count in
+    * a 100 TB corpus). TextOpsSpec pins a c > 2²¹ fixture against a
+    * plain-Scala BigInt oracle — the old BIGINT cube wraps on exactly
+    * that fixture.
     *
     * Scale shape: one map-side unigram count; the layout order
     * (c ASC, token ASC) is [[DistRank.withBucketedRank]] ungrouped (B-way
@@ -3676,8 +3696,7 @@ object TextOps {
     val uni = graft.CachedFrames.track(docs
       .select(explode(expr("""split(trim(text), '\\s+')""")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .withColumn("wgt", expr(
-        "CAST(floor(1000.0D * sqrt(sqrt(CAST(c * c * c AS DOUBLE)))) AS BIGINT)")))
+      .withColumn("wgt", smoothedWeight(col("c"))))
     // cached: the ranked layout feeds the prefix sum's bounds + both phases
     val ranked = graft.CachedFrames.track(
       DistRank.withBucketedRank(uni, Seq(), "c", Seq("w"), "_pos")
@@ -3701,8 +3720,8 @@ object TextOps {
     u AS (SELECT w, count(*) AS c FROM st GROUP BY 1),
     g AS (
       SELECT w, c,
-        CAST(floor(1000.0 * sqrt(sqrt(CAST(c * c * c AS DOUBLE)))) AS BIGINT)
-          AS wgt
+        CAST(floor(1000.0 * sqrt(sqrt(CAST(
+          CAST(c AS HUGEINT) * c * c AS DOUBLE)))) AS BIGINT) AS wgt
       FROM u),
     r AS (
       SELECT w, c, wgt,

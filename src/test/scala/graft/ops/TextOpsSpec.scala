@@ -731,6 +731,30 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.map(_._4).sum === 64L)
   }
 
+  test("q163 weight survives a token count past the BIGINT-cube cliff " +
+    "(c > 2^21): DECIMAL cube equals the plain-Scala BigInt oracle") {
+    import org.apache.spark.sql.functions.lit
+    // c = 3,000,000 > 2,097,151: the old CAST(c*c*c AS DOUBLE) wrapped the
+    // 64-bit cube (2.7e19 > 2^63) and emitted a garbage weight here; the
+    // DECIMAL(38,0) ladder must match the exact BigInt computation
+    val c = 3000000L
+    val docs = spark.range(30).select(
+      lit(Seq.fill(100000)("x").mkString(" ")).as("text"))
+    val got = TextOps.negativeTableOn(docs)
+      .select("token", "c", "wgt").collect()
+    val expectedW = math.floor(1000.0 *
+      math.sqrt(math.sqrt(BigInt(c).pow(3).toDouble))).toLong
+    assert(got.length === 1)
+    assert(got(0).getString(0) === "x")
+    assert(got(0).getLong(1) === c)
+    assert(got(0).getLong(2) === expectedW)
+    // and the cliff is real: the wrapped BIGINT cube disagrees
+    val wrapped = c * c * c
+    val wrappedW = math.floor(1000.0 *
+      math.sqrt(math.sqrt(wrapped.toDouble))).toLong
+    assert(wrapped < 0L || wrappedW != expectedW)
+  }
+
   test("q156 k-core: a triangle survives 2-core peeling, chains and " +
     "pendants peel away (including cascades)") {
     import spark.implicits._
