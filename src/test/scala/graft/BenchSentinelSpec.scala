@@ -155,6 +155,16 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(cleaned("q1_agg") === stats("q1_agg")) // in-band query untouched
   }
 
+  test("shared-artifact groups name only registered queries, generator " +
+    "first, no query in two groups") {
+    val all = Bench.SharedGroups.values.flatten.toSeq
+    assert(all.distinct === all) // a query must not be billed under two groups
+    all.foreach(n => assert(SparkEntry.queries.contains(n), n))
+    // q68 IS the edge generator — it must pay the materialization, so it
+    // leads the graph group's measurement order
+    assert(Bench.SharedGroups("graph").head === "q68_containment")
+  }
+
   test("mergeMin takes the per-query minimum across record sources") {
     val merged = Bench.mergeMin(Seq(
       Map("q1" -> 0.6, "q2" -> 5.0),        // contaminated older record
