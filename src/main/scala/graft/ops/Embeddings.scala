@@ -2226,9 +2226,20 @@ object Embeddings {
     * the q128 shape: per-query `max_by` argmax (map-side, ≤ |queries| rows
     * to the driver), one broadcast of the |queries| new picks back, and an
     * incremental greatest(ms, sim-to-newest) column — never a pairwise
-    * matrix, never a corpus re-scan. */
-  def q143MmrSelect(spark: SparkSession, sfDir: String,
-      cfg: AnnConfig = DefaultAnn): DataFrame = {
+    * matrix, never a corpus re-scan.
+    *
+    * Plan pinning: the POOL stage ([[mmrPool]]) is pinned in PlanSpec (one
+    * bounded-batch BroadcastNestedLoopJoin, rank filter as WindowGroupLimit,
+    * no CartesianProduct). The greedy rounds themselves are UNPINNABLE as
+    * one executed plan by construction: each round is a separate action
+    * (an argmax collect + a broadcast re-join onto the cached pool), so no
+    * single physical plan exists to assert on — their scale contract is the
+    * value-level bitwise oracle plus the ≤|queries|-rows-per-round collect
+    * bound documented above. */
+  /** q143's pool stage as its own seam — the ONLY corpus-sized pass in the
+    * query (bounded query batch × corpus, rank-filtered to MmrPoolK), and
+    * the part of q143 with a single executed plan PlanSpec can pin. */
+  private[graft] def mmrPool(spark: SparkSession, sfDir: String): DataFrame = {
     val e = graft.CachedFrames.track(vecs(spark, sfDir))
     val q = e.filter(col("vec_id") < MmrQueryIds)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
@@ -2236,11 +2247,16 @@ object Embeddings {
       .select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("rel").desc, col("cand_id").asc)
-    // cached: the bounded pool is the only frame the greedy rounds touch
-    val pool = graft.CachedFrames.track(q.crossJoin(c)
+    q.crossJoin(c)
       .withColumn("rel", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= MmrPoolK)
-      .select(col("qid"), col("cand_id"), col("cv"), col("cn"), col("rel")))
+      .select(col("qid"), col("cand_id"), col("cv"), col("cn"), col("rel"))
+  }
+
+  def q143MmrSelect(spark: SparkSession, sfDir: String,
+      cfg: AnnConfig = DefaultAnn): DataFrame = {
+    // cached: the bounded pool is the only frame the greedy rounds touch
+    val pool = graft.CachedFrames.track(mmrPool(spark, sfDir))
     def vecOf(r: org.apache.spark.sql.Row): Seq[Double] =
       r.getAs[scala.collection.Seq[Double]]("cv").toSeq
     import spark.implicits._

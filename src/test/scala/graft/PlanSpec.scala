@@ -872,6 +872,36 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(user_id)]"), p)
   }
 
+  test("q143_mmr_select pool stage: ONE bounded-batch nested-loop pass " +
+      "with the rank filter pushed into WindowGroupLimit, no cartesian") {
+    // the greedy rounds are driver-round actions (no single executed plan
+    // exists — see q143MmrSelect scaladoc); the pool is the only
+    // corpus-sized stage, so it carries the pin
+    val df = ops.Embeddings.mmrPool(spark, sf)
+    try {
+      df.queryExecution.toRdd.count()
+      val s = df.queryExecution.executedPlan.toString
+      val cut = s.indexOf("== Initial Plan ==")
+      val p = if (cut >= 0) s.substring(0, cut) else s
+      assert(nodes(p, "BroadcastNestedLoopJoin") == 1, p) // 8-query batch side
+      assert(nodes(p, "CartesianProduct") == 0, p)
+      assert(nodes(p, "WindowGroupLimit") >= 1, p) // rk<=PoolK pushed down
+      assert(nodes(p, "SortMergeJoin") == 0, p)
+    } finally CachedFrames.drain()
+  }
+
+  test("q145_triangle_count: wedge + closing joins are key-equi over the " +
+      "edge list (never cartesian), per-node tallies combine map-side") {
+    val p = finalPlan("q145_triangle_count")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "BroadcastNestedLoopJoin") == 0, p)
+    assert(p.contains("partial_count"), p)
+    // the a<b<c orientation makes both triangle joins equi-joins: the
+    // wedge join keys on b, the closing join on (a, c)
+    assert(nodes(p, "BroadcastHashJoin") + nodes(p, "ShuffledHashJoin")
+      + nodes(p, "SortMergeJoin") >= 3, p) // wedge + closing + deg left-join
+  }
+
   test("q149_hits: both propagation rounds are key-joins + map-side " +
       "combined sums over the cached edge list — nothing quadratic") {
     val p = finalPlan("q149_hits")
