@@ -3737,4 +3737,135 @@ object TextOps {
     FROM r, tot
     WHERE running // step - (running - wgt) // step > 0
   """
+
+  /** q166 tuning: minimum repeated-span length in tokens. Lee et al. use
+    * 50 on web corpora; 8 matches the gate documents' ~60-token texts the
+    * same way the winnowing window does. */
+  private[ops] val SubstrW = 8
+
+  /** q166 tuning: positions-per-document bound for the packed
+    * (doc_id, pos) site key — min combines map-side on ONE BIGINT.
+    * doc_id·2³⁰+pos is exact while doc_id < 2³³ and docs are < 2³⁰ tokens;
+    * a corpus with wider ids swaps the key to DECIMAL(38,0) (the q142
+    * ladder) at the cost of the decimal min. */
+  private[ops] val SubstrPosPack = 1073741824L
+
+  /** q166: SUBSTRING-LEVEL EXACT DEDUP (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better") — any span of
+    * [[SubstrW]]+ consecutive tokens that occurs at more than one
+    * (document, position) site is removed from every site EXCEPT the
+    * canonical first (minimum (doc_id, pos)). This is the dedup modality
+    * between q53's paragraph dedup (which only catches spans aligned to
+    * paragraph boundaries) and q25's whole-document dedup: boilerplate,
+    * quoted excerpts and licence blocks repeat mid-document at arbitrary
+    * offsets, and substring dedup is what production LLM corpora run to
+    * kill them. Per document it reports the REMOVAL PLAN — tokens covered
+    * by redundant spans, merged span count, and the keep ratio — the mask
+    * a curation pass applies before packing (q59).
+    *
+    * Semantics, exactly: every W-token gram of every document is a SITE
+    * (doc, pos). A site is REDUNDANT when its gram occurs elsewhere and
+    * the site is not the gram's minimum (doc_id, pos). A token position is
+    * removed iff some redundant site [p, p+W−1] covers it; maximal runs of
+    * covered positions are the spans. (Because anchors at every offset of
+    * a repeated passage are redundant, a repeated run of L ≥ W tokens is
+    * covered END-TO-END — overlapping anchors chain.) Canonical-first
+    * keeps one copy deterministically; unlike the paper's suffix-array
+    * sweep, a passage shared by 3+ docs keeps its copy in the globally
+    * first doc — a deliberate, documented tie-break, not an approximation.
+    *
+    * Scale shape: grams are built per-row with array HOFs (no self-join,
+    * no window — one `transform` over the token array, codegen'd), so the
+    * exploded sites frame is Σ tokens rows. The gram rollup is ONE
+    * map-side-combinable min+count on the gram key (the min rides the
+    * packed BIGINT site, [[SubstrPosPack]]); the join back is the q147
+    * postings shape — gram-keyed equi-join, skew handled by AQE, never
+    * doc×doc. Coverage merge is the q123 run-compression idiom: one lag
+    * window PER DOCUMENT over redundant anchors only (orders of magnitude
+    * smaller than the corpus), then a map-side rollup. At 100 TB the gram
+    * payload in the shuffle can swap to md5(gram) (128-bit; collision odds
+    * ~n²/2¹²⁹) — the gate keeps raw grams because the operator's contract
+    * is EXACT. */
+  def q166SubstrDedup(spark: SparkSession, sfDir: String): DataFrame =
+    substrDedupOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+
+  /** The removal-plan core over ANY (doc_id, text) frame — fixture-testable.
+    * `cache = false` is the PlanSpec seam: a tracked frame's InMemoryRelation
+    * truncates executedPlan text at its nested AdaptiveSparkPlan, hiding the
+    * whole rollup subtree from the pin. */
+  private[graft] def substrDedupOn(docs: DataFrame,
+      cache: Boolean = true): DataFrame = {
+    val W = SubstrW
+    // cached: sized token arrays feed both the gram explode and the final
+    // per-doc roster (every doc reports, even with nothing to remove)
+    val sizedRaw = docs.select(col("doc_id"),
+      expr("""split(trim(text), '\\s+')""").as("arr"))
+      .withColumn("n_tokens", size(col("arr")))
+    val sized = if (cache) graft.CachedFrames.track(sizedRaw) else sizedRaw
+    val sites = sized.filter(col("n_tokens") >= W)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, n_tokens - ${W - 1}), " +
+        s"i -> array_join(slice(arr, i, $W), char(1)))")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+      .withColumn("site", col("doc_id") * SubstrPosPack + col("pos"))
+    val firsts = sites.groupBy(col("gram"))
+      .agg(min(col("site")).as("first_site"), count(lit(1)).as("n_sites"))
+      .filter(col("n_sites") >= 2)
+      .select(col("gram"), col("first_site"))
+    val red = sites.join(firsts, "gram")
+      .filter(col("site") =!= col("first_site"))
+      .select(col("doc_id"), col("pos"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = red.withColumn("prev", lag(col("pos"), 1).over(wd))
+      .select(col("doc_id"),
+        when(col("prev").isNull, lit(W.toLong))
+          .otherwise(least(lit(W.toLong), col("pos") - col("prev"))).as("cov"),
+        when(col("prev").isNull || col("pos") - col("prev") > W, 1L)
+          .otherwise(0L).as("ns"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cov")).as("n_removed"), sum(col("ns")).as("n_spans"))
+    sized.select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        ((col("n_tokens") - coalesce(col("n_removed"), lit(0L))).cast("double")
+          / col("n_tokens").cast("double")).as("keep_ratio"))
+  }
+
+  val q166SubstrDedupSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+      FROM documents),
+    s AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens, arr FROM t),
+    g AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        array_to_string(arr[i:i + ${SubstrW - 1}], chr(1)) AS gram,
+        doc_id * $SubstrPosPack + CAST(i AS BIGINT) AS site
+      FROM s, UNNEST(generate_series(1, len(arr) - ${SubstrW - 1})) AS u(i)
+      WHERE n_tokens >= $SubstrW),
+    f AS (
+      SELECT gram, min(site) AS first_site
+      FROM g GROUP BY 1 HAVING count(*) >= 2),
+    r AS (
+      SELECT g.doc_id, g.pos FROM g JOIN f USING (gram)
+      WHERE g.site <> f.first_site),
+    c AS (
+      SELECT doc_id, pos,
+        lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM r),
+    a AS (
+      SELECT doc_id,
+        sum(CASE WHEN prev IS NULL THEN $SubstrW -- guard:ok internal; output below is CAST
+            ELSE least($SubstrW, pos - prev) END) AS n_removed,
+        sum(CASE WHEN prev IS NULL OR pos - prev > $SubstrW -- guard:ok internal; output below is CAST
+            THEN 1 ELSE 0 END) AS n_spans
+      FROM c GROUP BY 1)
+    SELECT s.doc_id, s.n_tokens,
+      CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+      CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+      CAST(s.n_tokens - coalesce(a.n_removed, 0) AS DOUBLE)
+        / CAST(s.n_tokens AS DOUBLE) AS keep_ratio
+    FROM s LEFT JOIN a USING (doc_id)
+  """
 }

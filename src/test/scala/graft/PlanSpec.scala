@@ -902,6 +902,30 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       + nodes(p, "SortMergeJoin") >= 3, p) // wedge + closing + deg left-join
   }
 
+  test("q166_substr_dedup: grams build per-row (one Generate, no " +
+      "self-join), gram rollup combines map-side, postings join is " +
+      "key-equi, coverage window partitions per doc") {
+    // cache = false: the tracked frame's nested AdaptiveSparkPlan truncates
+    // the plan text, hiding the rollup subtree (q134/q138 seam)
+    val df = ops.TextOps.substrDedupOn(
+      Tables(spark, sf, "documents"), cache = false)
+    try {
+      df.queryExecution.toRdd.count()
+      val s = df.queryExecution.executedPlan.toString
+      val cut = s.indexOf("== Initial Plan ==")
+      val p = if (cut >= 0) s.substring(0, cut) else s
+      assert(nodes(p, "CartesianProduct") == 0, p)
+      assert(nodes(p, "BroadcastNestedLoopJoin") == 0, p)
+      assert(p.contains("partial_min"), p) // packed-site min combines map-side
+      // the sites explode feeds BOTH the gram rollup and the join-back
+      // probe — two Generates over the (cached) token arrays by design:
+      // re-running the codegen explode is cheaper than caching Σ-tokens of
+      // gram strings; anything >2 would mean a third corpus pass appeared
+      assert(nodes(p, "Generate") == 2, p)
+      assert(!p.contains("windowspecdefinition(ORDER BY"), p) // per-doc only
+    } finally CachedFrames.drain()
+  }
+
   test("q149_hits: both propagation rounds are key-joins + map-side " +
       "combined sums over the cached edge list — nothing quadratic") {
     val p = finalPlan("q149_hits")

@@ -755,6 +755,28 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(wrapped < 0L || wrappedW != expectedW)
   }
 
+  test("q166 substring dedup: a cross-doc passage is removed end-to-end " +
+    "from the later doc only, within-doc repeats dedup too, overlapping " +
+    "anchors merge into one span") {
+    import spark.implicits._
+    val passage = (1 to 9).map(i => s"a$i").mkString(" ") // 9 tokens, W=8
+    val block = (1 to 8).map(i => s"p$i").mkString(" ")   // exactly W tokens
+    val docs = Seq(
+      (1L, passage),                  // canonical copy (first site) — kept
+      (2L, s"x $passage y"),          // later copy — 9 tokens removed
+      (3L, s"$block z $block"))       // within-doc repeat — 2nd copy removed
+      .toDF("doc_id", "text")
+    val got = TextOps.substrDedupOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got === Map(
+      1L -> ((9L, 0L, 0L, 1.0)),
+      // two overlapping redundant anchors (pos 2, 3) chain: 8 + 1 covered,
+      // ONE merged span — the whole shared passage leaves doc 2
+      2L -> ((11L, 9L, 1L, 2.0 / 11.0)),
+      3L -> ((17L, 8L, 1L, 9.0 / 17.0))))
+  }
+
   test("q156 k-core: a triangle survives 2-core peeling, chains and " +
     "pendants peel away (including cascades)") {
     import spark.implicits._
