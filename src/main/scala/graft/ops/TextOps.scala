@@ -3738,6 +3738,103 @@ object TextOps {
     WHERE running // step - (running - wgt) // step > 0
   """
 
+  /** q167: ROC-AUC of the quality score as a DUPLICATE detector — the
+    * Mann-Whitney U statistic of `quality_score` (q22's deterministic
+    * formula) ranking documents for the binary label "text is exactly
+    * duplicated" (md5-digest group size ≥ 2, every member labelled). The
+    * ML stage's first VALUE-LEVEL gate: AUC is a pure rank statistic, so
+    * unlike the GBT's dup_score (q33, band-checked only) it is exactly
+    * reproducible in both engines. Reading: AUC far from 0.5 means the
+    * quality filter is CORRELATED with duplication — q51's threshold cut
+    * then shifts the dedup workload (q25/q26) in a way a curation run
+    * must budget for; AUC ≈ 0.5 means the two gates are independent.
+    *
+    * Exactness: exact duplicates share identical text, hence identical
+    * score — so the corpus collapses per DIGEST, then per SCORE, and AUC
+    * comes from the tie-aware pair count U = Σ_s pos_s·(cumneg_<s) +
+    * pos_s·neg_s/2. Everything accumulates at 2× scale in DECIMAL(38,0)/
+    * HUGEINT (np·nn at corpus scale overflows BIGINT — the q142 ladder),
+    * and the single final division of two exact-cast doubles is bitwise
+    * in both engines. np = 0 or nn = 0 reports NULL, never NaN.
+    *
+    * Scale shape: one map-side md5 rollup (q25's shape), one map-side
+    * per-score rollup (|digests| → |distinct scores| rows), then the
+    * ungrouped [[DistRank]] layout + the q59 two-phase prefix sum over
+    * score positions — NO single-partition window anywhere (PlanSpec
+    * pins it); the payload (pos counts) re-attaches by a position-keyed
+    * equi-join, keeping the prefix-sum input slim (the ReusedExchange
+    * contract). Final AUC is a 1-row aggregate. */
+  def q167ScoreAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = withQualityStats(
+      Tables.parallelized(Tables(spark, sfDir, "documents")))
+      .select(md5(col("text")).as("dg"), col("quality_score").as("q"))
+    val byDigest = base.groupBy(col("dg"))
+      .agg(count(lit(1)).as("cnt"), min(col("q")).as("q"))
+    val perScore = byDigest.groupBy(col("q")).agg(
+      sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("pos"),
+      sum(when(col("cnt") === 1, col("cnt")).otherwise(0L)).as("neg"))
+    aucOfCounts(perScore)
+  }
+
+  /** The tie-aware Mann-Whitney engine over ANY (q, pos, neg) per-score
+    * counts frame — fixture-testable against a plain-Scala pair count. */
+  private[graft] def aucOfCounts(perScore: DataFrame): DataFrame = {
+    val ranked = graft.CachedFrames.track(
+      DistRank.withBucketedRank(perScore, Seq(), "q", Seq(), "_pos"))
+    // slim prefix-sum input: (source, order, value) ONLY — the pos payload
+    // would make the offsets branch's pruned subtree canonically different
+    // and forfeit the ReusedExchange (the q150 lesson); it joins back below
+    val slim = ranked.select(
+      expr("substring(CAST(q AS STRING), 1, 0)").as("source"),
+      col("_pos").as("doc_id"), col("neg"))
+    val run = distributedRunningSum(slim, "neg", Seq("doc_id"), slim)
+      .select(col("doc_id").as("_rpos"),
+        (col("running") - col("neg")).as("cumneg"))
+    val tot = ranked.join(run, col("_pos") === col("_rpos"))
+      .agg(sum(col("pos")).as("np"), sum(col("neg")).as("nn"),
+        sum(col("pos").cast("decimal(19,0)")
+          * (col("cumneg") * 2 + col("neg")).cast("decimal(19,0)")).as("u2"))
+    tot.select(col("np").as("n_pos"), col("nn").as("n_neg"),
+      when(col("np") > 0 && col("nn") > 0,
+        col("u2").cast("double")
+          / (col("np").cast("decimal(19,0)")
+            * col("nn").cast("decimal(19,0)") * lit(2)).cast("double"))
+        .as("auc"))
+  }
+
+  val q167ScoreAucSql: String = s"""
+    WITH x AS (
+      SELECT md5(text) AS dg, $qualityFromStatsSql AS q
+      FROM (SELECT doc_id, text,
+          $nCharsSql AS n_chars_m,
+          $nTokensSql AS n_tokens,
+          CAST(${hitsSql("en")} AS DOUBLE) AS n_stop,
+          $nPunctSql AS n_punct
+        FROM documents)),
+    g AS (SELECT dg, count(*) AS cnt, min(q) AS q FROM x GROUP BY 1),
+    s AS (
+      SELECT q,
+        sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS pos, -- guard:ok internal; final outputs are CAST
+        sum(CASE WHEN cnt = 1 THEN cnt ELSE 0 END) AS neg -- guard:ok internal; final outputs are CAST
+      FROM g GROUP BY 1),
+    c AS (
+      SELECT q, pos, neg,
+        coalesce(CAST(sum(neg) OVER (ORDER BY q
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+          AS cumneg
+      FROM s),
+    t AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS np, CAST(sum(neg) AS BIGINT) AS nn,
+        sum(CAST(pos AS HUGEINT) * (cumneg * 2 + neg)) AS u2 -- guard:ok internal HUGEINT; output below is exact-cast DOUBLE
+      FROM c)
+    SELECT np AS n_pos, nn AS n_neg,
+      CASE WHEN np > 0 AND nn > 0 THEN
+        CAST(u2 AS DOUBLE)
+          / CAST(CAST(np AS HUGEINT) * nn * 2 AS DOUBLE)
+      END AS auc
+    FROM t
+  """
+
   /** q166 tuning: minimum repeated-span length in tokens. Lee et al. use
     * 50 on web corpora; 8 matches the gate documents' ~60-token texts the
     * same way the winnowing window does. */

@@ -926,6 +926,26 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     } finally CachedFrames.drain()
   }
 
+  test("q167_score_auc: rollups combine map-side, the rank + prefix sum " +
+      "run bucketed — no global-order window, and every single-partition " +
+      "exchange is a 1-row rollup fed by a partial aggregate") {
+    val p = finalPlan("q167_score_auc")
+    // the DistRank/prefix-sum windows must partition by _bkt, never a bare
+    // global ORDER BY (the one-task sort this query exists to avoid)
+    assert(!p.contains("windowspecdefinition(ORDER BY"), p)
+    assert(p.contains("windowspecdefinition(_bkt"), p)
+    // SinglePartition exchanges are fine ONLY as global-agg funnels: each
+    // must sit directly on a partial HashAggregate (≤ #partitions rows)
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        assert(lines.drop(i + 1).take(2).exists(_.contains("partial_")),
+          lines.slice(i, i + 3).mkString("\n"))
+      }
+    assert(p.contains("partial_sum"), p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+  }
+
   test("q149_hits: both propagation rounds are key-joins + map-side " +
       "combined sums over the cached edge list — nothing quadratic") {
     val p = finalPlan("q149_hits")

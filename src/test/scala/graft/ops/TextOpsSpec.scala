@@ -755,6 +755,32 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(wrapped < 0L || wrappedW != expectedW)
   }
 
+  test("q167 AUC engine: matches the brute pair count including half " +
+    "credit for ties, perfect and inverted separations hit 1 and 0, " +
+    "single-class input reports NULL") {
+    import spark.implicits._
+    // per-score counts with a tie block: scores 1,2,3 with mixed classes
+    val perScore = Seq((1.0, 1L, 4L), (2.0, 2L, 2L), (3.0, 3L, 1L))
+      .toDF("q", "pos", "neg")
+    // brute force: expand to labelled points, count pairs
+    val pts = Seq.fill(1)((1.0, true)) ++ Seq.fill(4)((1.0, false)) ++
+      Seq.fill(2)((2.0, true)) ++ Seq.fill(2)((2.0, false)) ++
+      Seq.fill(3)((3.0, true)) ++ Seq.fill(1)((3.0, false))
+    val posS = pts.filter(_._2).map(_._1); val negS = pts.filterNot(_._2).map(_._1)
+    val expected = (for (p <- posS; n <- negS) yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum / (posS.size * negS.size)
+    val got = TextOps.aucOfCounts(perScore).collect()
+    assert(got(0).getLong(0) === 6L && got(0).getLong(1) === 7L)
+    assert(got(0).getDouble(2) === expected)
+    // degenerate orderings
+    val perfect = Seq((1.0, 0L, 5L), (2.0, 4L, 0L)).toDF("q", "pos", "neg")
+    assert(TextOps.aucOfCounts(perfect).collect()(0).getDouble(2) === 1.0)
+    val inverted = Seq((1.0, 4L, 0L), (2.0, 0L, 5L)).toDF("q", "pos", "neg")
+    assert(TextOps.aucOfCounts(inverted).collect()(0).getDouble(2) === 0.0)
+    val oneClass = Seq((1.0, 3L, 0L), (2.0, 2L, 0L)).toDF("q", "pos", "neg")
+    assert(TextOps.aucOfCounts(oneClass).collect()(0).isNullAt(2))
+  }
+
   test("q166 substring dedup: a cross-doc passage is removed end-to-end " +
     "from the later doc only, within-doc repeats dedup too, overlapping " +
     "anchors merge into one span") {
