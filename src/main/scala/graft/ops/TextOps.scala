@@ -3690,13 +3690,26 @@ object TextOps {
   def q163NegativeTable(spark: SparkSession, sfDir: String): DataFrame =
     negativeTableOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
 
-  private[graft] def negativeTableOn(docs: DataFrame): DataFrame = {
+  private[graft] def negativeTableOn(docs: DataFrame): DataFrame =
+    negativeTableOfCounts(unigramCounts(docs))
+
+  /** q163's count stage: one map-side unigram rollup. Split out as the
+    * REFRESH seam — a streaming corpus invalidates the table, and the
+    * cheap rebuild is merging per-wave counts (sum per token, the q101
+    * diff shape) and re-running [[negativeTableOfCounts]]; the refresh law
+    * (counts(base) ⊕ counts(delta) → same table as a full rebuild over
+    * base ∪ delta) is pinned in TextOpsSpec. */
+  private[graft] def unigramCounts(docs: DataFrame): DataFrame = docs
+    .select(explode(expr("""split(trim(text), '\\s+')""")).as("w"))
+    .groupBy(col("w")).agg(count(lit(1)).as("c"))
+
+  /** The table from ANY (w, c) unigram-counts frame — deterministic (no
+    * RNG), so incremental refresh is exact, not approximate. */
+  private[graft] def negativeTableOfCounts(counts: DataFrame): DataFrame = {
     // cached: the rank engine's bounds/rank/offsets branches all re-derive
     // their input — one vocabulary-sized materialization serves them all
-    val uni = graft.CachedFrames.track(docs
-      .select(explode(expr("""split(trim(text), '\\s+')""")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .withColumn("wgt", smoothedWeight(col("c"))))
+    val uni = graft.CachedFrames.track(
+      counts.withColumn("wgt", smoothedWeight(col("c"))))
     // cached: the ranked layout feeds the prefix sum's bounds + both phases
     val ranked = graft.CachedFrames.track(
       DistRank.withBucketedRank(uni, Seq(), "c", Seq("w"), "_pos")

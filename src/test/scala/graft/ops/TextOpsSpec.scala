@@ -731,6 +731,27 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.map(_._4).sum === 64L)
   }
 
+  test("q163 periodic-refresh law: merging per-wave unigram counts and " +
+    "rebuilding equals the full rebuild over the union — exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    // two waves of a streaming corpus (q101 diff shape): overlapping
+    // vocabulary, skewed counts, a token only in the delta
+    val base = Seq("a a b c", "b b a", "d a").toDF("text")
+    val delta = Seq("c c c a", "e b", "a a a a").toDF("text")
+    val union = base.unionByName(delta)
+    val merged = TextOps.unigramCounts(base)
+      .unionByName(TextOps.unigramCounts(delta))
+      .groupBy(col("w")).agg(fsum(col("c")).as("c"))
+    val incremental = TextOps.negativeTableOfCounts(merged).collect()
+      .map(_.toSeq).toSet
+    val full = TextOps.negativeTableOn(union).collect().map(_.toSeq).toSet
+    // deterministic table (systematic draw, no RNG) → EXACT equality,
+    // multiplicities included — the refresh never degrades the table
+    assert(incremental === full)
+    assert(incremental.nonEmpty)
+  }
+
   test("q163 weight survives a token count past the BIGINT-cube cliff " +
     "(c > 2^21): DECIMAL cube equals the plain-Scala BigInt oracle") {
     import org.apache.spark.sql.functions.lit
