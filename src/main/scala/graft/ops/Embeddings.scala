@@ -408,6 +408,162 @@ object Embeddings {
       FROM probe) WHERE rk <= 3
   """
 
+  /** q168 tuning: candidate depth and the reciprocal-rank fixed point —
+    * lcm(1..10) = 2520, so every 1/r at depth ≤ 10 is EXACTLY 2520/r in
+    * integers; MRR becomes one final division of exact BIGINTs. */
+  val MrrDepth = 10
+  val MrrScale = 2520L
+
+  /** q168: MEAN RECIPROCAL RANK of the IVF home-cell index against the
+    * brute-force truth — the position-sensitive retrieval metric next to
+    * q75's recall scoreboard: recall@k says WHETHER the true nearest
+    * neighbour surfaced, MRR says WHERE (a hit at rank 8 and a hit at
+    * rank 1 are very different retrieval qualities for a RAG pipeline
+    * that feeds top-ranked context first). Relevant item = the brute top-1
+    * neighbour (q29, rk = 1); candidate list = the q46 home-cell ranking
+    * extended to [[MrrDepth]]; a miss contributes 0 (standard MRR).
+    *
+    * Exactness: each hit contributes [[MrrScale]] DIV rk — exact, since
+    * 2520 is divisible by every rank ≤ 10 — summed as BIGINT; the ONLY
+    * float op is the final division by 2520·|queries| (overflow at
+    * 3.6e15 queries; query batches are bounded by design). Bitwise in
+    * both engines.
+    *
+    * Scale shape: the truth is the query-batch-bounded declared baseline
+    * (the q29/q75 contract); the candidate join is the q46 cell-probe
+    * shape (work = |cell| per query, never corpus²); the hit join keys on
+    * (qid, id); two 1-row aggregates close it. */
+  def q168Mrr(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = q29KnnBrute(spark, sfDir).filter(col("rk") === 1)
+      .select(col("id1").as("tqid"), col("id2").as("true_id"))
+    val assigned = assignedCells(spark, sfDir)
+    val q = assigned.filter(col("vec_id") < DefaultAnn.knnQueryIds)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    val cands = q.join(assigned.select(col("vec_id").as("cand_id"),
+        col("v").as("cv"), col("nrm").as("cn"), col("cell").as("ccell")),
+        col("cell") === col("ccell") && col("qid") =!= col("cand_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= MrrDepth)
+      .select(col("qid"), col("cand_id"), col("rk"))
+    val hits = cands.join(truth,
+        col("qid") === col("tqid") && col("cand_id") === col("true_id"))
+      .agg(coalesce(sum(expr(s"$MrrScale DIV rk")), lit(0L)).as("ssum"),
+        count(lit(1)).as("n_hits"))
+    truth.agg(count(lit(1)).as("n_queries")).crossJoin(hits)
+      .select(col("n_queries"), col("n_hits"),
+        (col("ssum").cast("double")
+          / (col("n_queries") * MrrScale).cast("double")).as("mrr"))
+  }
+
+  val q168MrrSql: String = s"""
+    WITH $ivfAssignedSqlCtes,
+    probe AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(list_zip(q.v, c.v), z -> z[1] * z[2])), (acc, x) -> acc + x)
+          / (q.nrm * c.nrm) AS cos
+      FROM assigned q JOIN assigned c
+        ON q.cell = c.cell AND q.vec_id <> c.vec_id
+          AND q.vec_id < ${DefaultAnn.knnQueryIds}),
+    cand AS (
+      SELECT qid, cand_id, rk FROM (
+        SELECT qid, cand_id,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC)
+            AS rk
+        FROM probe) WHERE rk <= $MrrDepth),
+    truth AS (
+      SELECT id1 AS qid, id2 AS true_id FROM ($q29KnnBruteSql) WHERE rk = 1),
+    h AS (
+      SELECT CAST(coalesce(sum($MrrScale // c.rk), 0) AS BIGINT) AS ssum, -- guard:ok internal exact fixed-point; output below is CAST
+        CAST(count(*) AS BIGINT) AS n_hits
+      FROM cand c JOIN truth t ON c.qid = t.qid AND c.cand_id = t.true_id),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM truth)
+    SELECT t.n_queries, h.n_hits,
+      CAST(h.ssum AS DOUBLE) / CAST(t.n_queries * $MrrScale AS DOUBLE) AS mrr
+    FROM t, h
+  """
+
+  /** q169 tuning: candidates kept per query in the Hamming ranking. */
+  val BinaryAnnK = 3
+
+  /** q169: BINARY (sign-bit) QUANTIZED ANN — 1 bit per dimension, the
+    * 64× compression tier BELOW int8 (q62, 8×) and PQ (q80, 64× with
+    * codebooks): code = the sign bits of the raw vector packed into two
+    * BIGINT words, distance = Hamming via xor + popcount. For normalized
+    * embeddings, Hamming(sign(u), sign(v)) estimates the angle (each
+    * agreeing bit is a hyperplane both sides agree on — the SimHash
+    * argument, q28, applied to the embedding itself with the NATURAL
+    * coordinate hyperplanes), so nearest-by-Hamming approximates
+    * nearest-by-cosine with zero codebook training and a 2-instruction
+    * distance. The ranking (hamming ASC, cand_id ASC) is a total order
+    * over exact integers — bitwise identical in both engines, no floats
+    * anywhere past the sign test.
+    *
+    * Scale shape: codes are ONE map-side projection (array HOF fold, no
+    * shuffle); the scan pass is the query-batch-bounded baseline shape
+    * (the q29 contract) but moves 16 BYTES per candidate instead of 512
+    * and does 2 xor+popcounts instead of 64 multiply-adds — this is the
+    * tier that makes brute-force rerank-everything viable at 100 TB. The
+    * rank filter pushes into WindowGroupLimit. Sub-linear variant when
+    * even that is too much: multi-index hashing on the two 32-bit words
+    * (pigeonhole: any pair at Hamming ≤ r agrees exactly on one half for
+    * r ≤ 1 per half) — the q46 cell shape with lo/hi as the cells. */
+  def q169BinaryAnn(spark: SparkSession, sfDir: String): DataFrame =
+    binaryAnnOn(graft.CachedFrames.track(vecs(spark, sfDir)),
+      DefaultAnn.knnQueryIds)
+
+  /** The code+rank core over ANY (vec_id, v) frame — fixture-testable. */
+  private[graft] def binaryAnnOn(e: DataFrame, queryBound: Long): DataFrame = {
+    def packed(offset: Int) = expr(
+      s"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> acc + " +
+      s"IF(element_at(v, i + $offset) >= 0.0D, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))")
+    val codes = graft.CachedFrames.track(
+      e.select(col("vec_id"), packed(1).as("lo"), packed(33).as("hi")))
+    val q = codes.filter(col("vec_id") < queryBound)
+      .select(col("vec_id").as("qid"), col("lo").as("qlo"), col("hi").as("qhi"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming").asc, col("cand_id").asc)
+    q.crossJoin(codes.select(col("vec_id").as("cand_id"), col("lo"), col("hi")))
+      .filter(col("qid") =!= col("cand_id"))
+      .withColumn("hamming",
+        expr("bit_count(qlo ^ lo) + bit_count(qhi ^ hi)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= BinaryAnnK)
+      .select(col("qid"), col("cand_id"), col("rk").cast("int").as("rk"),
+        col("hamming").cast("int").as("hamming"))
+  }
+
+  val q169BinaryAnnSql: String = s"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+    c AS (
+      SELECT vec_id,
+        list_reduce(list_prepend(0::BIGINT, list_transform(range(32),
+          i -> CASE WHEN v[i + 1] >= 0.0 THEN (1::BIGINT << i)
+               ELSE 0::BIGINT END)), (acc, x) -> acc + x) AS lo,
+        list_reduce(list_prepend(0::BIGINT, list_transform(range(32),
+          i -> CASE WHEN v[i + 33] >= 0.0 THEN (1::BIGINT << i)
+               ELSE 0::BIGINT END)), (acc, x) -> acc + x) AS hi
+      FROM e),
+    p AS (
+      SELECT q.vec_id AS qid, c2.vec_id AS cand_id,
+        bit_count(xor(q.lo, c2.lo)) + bit_count(xor(q.hi, c2.hi)) AS hamming
+      FROM c q JOIN c c2 ON q.vec_id <> c2.vec_id
+      WHERE q.vec_id < ${DefaultAnn.knnQueryIds})
+    SELECT qid, cand_id, CAST(rk AS INTEGER) AS rk,
+      CAST(hamming AS INTEGER) AS hamming
+    FROM (
+      SELECT qid, cand_id, hamming,
+        row_number() OVER (PARTITION BY qid ORDER BY hamming ASC, cand_id ASC)
+          AS rk
+      FROM p) WHERE rk <= $BinaryAnnK
+  """
+
   /** q115 tuning: hard negatives kept per query. */
   val HardNegK = 3
 

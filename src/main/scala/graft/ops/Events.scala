@@ -1346,6 +1346,106 @@ object Events {
     FROM s
   """
 
+  /** q171 tuning: the z constants — 1.96 (two-sided α = 0.05) and 0.8416
+    * (80% power), written as FULL double literals interpolated into BOTH
+    * engines' expressions (the MmrLambda discipline: never derive one
+    * float constant from another at runtime). */
+  private[ops] val MdeZAlpha = 1.959963984540054
+  private[ops] val MdeZPower = 0.8416212335729143
+
+  /** q171: MINIMUM DETECTABLE EFFECT for the user_id % 2 experiment — the
+    * power-analysis readout that belongs NEXT TO q160/q161/q162: given the
+    * realized per-variant sample sizes and spend variances, the smallest
+    * absolute (and relative) lift a two-sample z-test at α = 0.05 /
+    * 80% power can resolve: MDE = (z_α/2 + z_β)·√(s₀²/n₀ + s₁²/n₁).
+    * Read BEFORE the experiment: a planned lift below this line cannot be
+    * detected at this traffic, so the run would be theater — the single
+    * most-skipped check in A/B practice.
+    *
+    * Exactness: spend quantizes to integer cents; per-variant Σy and Σy²
+    * accumulate exactly (Σy² in DECIMAL(38,0)/HUGEINT, the q142 ladder),
+    * so each sample variance is ONE division of exact-cast doubles
+    * (numerator n·Σy²−(Σy)², denominator n·(n−1), both exact integers);
+    * the MDE chain (÷n, +, √, ×, ÷100) is a fixed-order double chain
+    * mirrored verbatim in the oracle, and √ is IEEE-correctly-rounded in
+    * both engines (the q153/q157 contract). Either variant with n < 2
+    * reports NULL, never a division blowup.
+    *
+    * Scale shape: one map-side user collapse, then a 1-row conditional
+    * rollup over users — both-variant moments in ONE aggregate, no pivot,
+    * no second scan; nothing after the collapse scales with events. */
+  def q171MinDetectableEffect(spark: SparkSession, sfDir: String): DataFrame =
+    mdeOn(Tables(spark, sfDir, "events"))
+
+  private[graft] def mdeOn(events: DataFrame): DataFrame = {
+    val users = events.filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr("CAST(floor(value * 100.0D + 0.5D) AS BIGINT)").as("cents"))
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("y"))
+      .withColumn("v", (col("user_id") % 2).cast("int"))
+    def side(v: Int, n: String, sy: String, syy: String) = Seq(
+      count(when(col("v") === v, 1)).as(n),
+      sum(when(col("v") === v, col("y")).otherwise(0L)).as(sy),
+      sum(when(col("v") === v,
+        col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+        .otherwise(lit(0).cast("decimal(19,0)"))).as(syy))
+    val cols = side(0, "n0", "sy0", "syy0") ++ side(1, "n1", "sy1", "syy1")
+    val m = users.agg(cols.head, cols.tail: _*)
+    def s2(n: String, sy: String, syy: String) =
+      (col(n).cast("decimal(38,0)") * col(syy)
+        - col(sy).cast("decimal(38,0)") * col(sy).cast("decimal(38,0)"))
+        .cast("double") /
+        (col(n).cast("decimal(38,0)") * (col(n) - 1).cast("decimal(38,0)"))
+          .cast("double")
+    m.select(col("n0"), col("n1"),
+      (col("sy0").cast("double") / col("n0").cast("double") / lit(100.0))
+        .as("mean0"),
+      when(col("n0") >= 2 && col("n1") >= 2,
+        (lit(MdeZAlpha) + lit(MdeZPower))
+          * sqrt(s2("n0", "sy0", "syy0") / col("n0").cast("double")
+            + s2("n1", "sy1", "syy1") / col("n1").cast("double"))
+          / lit(100.0)).as("mde_abs"))
+      .withColumn("mde_rel",
+        when(col("mean0") > 0.0, col("mde_abs") / col("mean0")))
+  }
+
+  val q171MinDetectableEffectSql: String = s"""
+    WITH u AS (
+      SELECT user_id,
+        CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS y,
+        CAST(user_id % 2 AS INTEGER) AS v
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+    m AS (
+      SELECT
+        count(CASE WHEN v = 0 THEN 1 END) AS n0,
+        CAST(sum(CASE WHEN v = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+        sum(CASE WHEN v = 0 THEN CAST(y AS HUGEINT) * CAST(y AS HUGEINT) ELSE 0::HUGEINT END) AS syy0, -- guard:ok internal moment; outputs are doubles
+        count(CASE WHEN v = 1 THEN 1 END) AS n1,
+        CAST(sum(CASE WHEN v = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+        sum(CASE WHEN v = 1 THEN CAST(y AS HUGEINT) * CAST(y AS HUGEINT) ELSE 0::HUGEINT END) AS syy1 -- guard:ok internal moment; outputs are doubles
+      FROM u),
+    r AS (
+      SELECT n0, n1,
+        CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 100.0 AS mean0,
+        CASE WHEN n0 >= 2 AND n1 >= 2 THEN
+          ($MdeZAlpha + $MdeZPower)
+            * sqrt(
+              CAST(CAST(n0 AS HUGEINT) * syy0
+                  - CAST(sy0 AS HUGEINT) * CAST(sy0 AS HUGEINT) AS DOUBLE)
+                / CAST(CAST(n0 AS HUGEINT) * (n0 - 1) AS DOUBLE)
+                / CAST(n0 AS DOUBLE)
+              + CAST(CAST(n1 AS HUGEINT) * syy1
+                  - CAST(sy1 AS HUGEINT) * CAST(sy1 AS HUGEINT) AS DOUBLE)
+                / CAST(CAST(n1 AS HUGEINT) * (n1 - 1) AS DOUBLE)
+                / CAST(n1 AS DOUBLE))
+            / 100.0
+        END AS mde_abs
+      FROM m)
+    SELECT n0, n1, mean0, mde_abs,
+      CASE WHEN mean0 > 0.0 THEN mde_abs / mean0 END AS mde_rel
+    FROM r
+  """
+
   /** q162's cap quantile: winsorize at the pooled p99 (rank-exact, the
     * q140/q155 convention). */
   private[ops] val WinsorA = 99L

@@ -3848,6 +3848,80 @@ object TextOps {
     FROM t
   """
 
+  /** q170 tuning: minimum shared neighbours for a predicted link. */
+  private[ops] val LinkPredMinCn = 2
+
+  /** q170: COMMON-NEIGHBOUR LINK PREDICTION over the winnowing-containment
+    * near-dup graph — for every NON-adjacent document pair sharing at
+    * least [[LinkPredMinCn]] neighbours: the common-neighbour count and
+    * neighbourhood Jaccard cn/(deg1+deg2−cn) (Liben-Nowell & Kleinberg's
+    * strongest simple predictors). THE dedup-recall auditor: the
+    * similarity gate (q68's threshold) inevitably misses edges, and a
+    * non-edge whose endpoints share most of their neighbourhoods is
+    * almost certainly a missed near-duplicate — these pairs are exactly
+    * what a human review queue or a second, tighter comparator pass
+    * (q131's consolidation) should re-examine first. Counts are exact
+    * integers; Jaccard is one fixed-order division — bitwise both engines.
+    *
+    * Scale shape: the wedge join on the shared middle node is the q145
+    * bound (Σ deg(v)² over the DF-capped similarity graph — never
+    * corpus-sized); candidate pairs collapse map-side per (a, b); the
+    * existing-edge anti-join and both degree joins are key-equi on the
+    * edge/node tables. Shares the cached containment edge list with the
+    * rest of the graph family (one materialization per Bench group rep /
+    * GraphReport run). */
+  def q170LinkPredict(spark: SparkSession, sfDir: String): DataFrame =
+    linkPredictOn(q68Containment(spark, sfDir).select(col("id1"), col("id2")))
+
+  /** The prediction core over ANY oriented (id1 < id2) edge frame. */
+  private[graft] def linkPredictOn(pairs: DataFrame): DataFrame = {
+    // cached: the symmetrized adjacency feeds the wedge self-join (twice)
+    // and the degree rollup
+    val sym = graft.CachedFrames.track(
+      pairs.select(col("id1").as("v"), col("id2").as("u"))
+        .unionByName(pairs.select(col("id2").as("v"), col("id1").as("u"))))
+    val deg = sym.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val cand = sym.select(col("v"), col("u").as("a"))
+      .join(sym.select(col("v"), col("u").as("b")), "v")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= LinkPredMinCn)
+      .join(pairs.select(col("id1").as("a"), col("id2").as("b")),
+        Seq("a", "b"), "left_anti")
+    cand
+      .join(deg.select(col("v").as("a"), col("deg").as("deg1")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("deg2")), "b")
+      .select(col("a").as("id1"), col("b").as("id2"), col("cn"),
+        col("deg1"), col("deg2"),
+        (col("cn").cast("double")
+          / (col("deg1") + col("deg2") - col("cn")).cast("double"))
+          .as("jaccard"))
+  }
+
+  val q170LinkPredictSql: String = s"""
+    WITH pairs AS (SELECT id1, id2 FROM ($q68ContainmentSql)),
+    sym AS (
+      SELECT id1 AS v, id2 AS u FROM pairs
+      UNION ALL
+      SELECT id2 AS v, id1 AS u FROM pairs),
+    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+    w AS (
+      SELECT s1.u AS a, s2.u AS b, CAST(count(*) AS BIGINT) AS cn
+      FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u
+      GROUP BY 1, 2 HAVING count(*) >= $LinkPredMinCn),
+    ne AS (
+      SELECT w.a, w.b, w.cn FROM w
+      LEFT JOIN pairs p ON w.a = p.id1 AND w.b = p.id2
+      WHERE p.id1 IS NULL)
+    SELECT ne.a AS id1, ne.b AS id2, ne.cn,
+      da.deg AS deg1, db.deg AS deg2,
+      CAST(ne.cn AS DOUBLE) / CAST(da.deg + db.deg - ne.cn AS DOUBLE)
+        AS jaccard
+    FROM ne
+    JOIN deg da ON ne.a = da.v
+    JOIN deg db ON ne.b = db.v
+  """
+
   /** q166 tuning: minimum repeated-span length in tokens. Lee et al. use
     * 50 on web corpora; 8 matches the gate documents' ~60-token texts the
     * same way the winnowing window does. */

@@ -946,6 +946,43 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "CartesianProduct") == 0, p)
   }
 
+  test("q168_mrr: the only nested-loop is the declared bounded query " +
+      "batch; hit join is key-equi; 1-row rollups funnel partial aggs") {
+    val p = finalPlan("q168_mrr")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+  }
+
+  test("q169_binary_ann: codes build shuffle-free, the scan pass is the " +
+      "one declared bounded-batch nested loop, rank pushes into " +
+      "WindowGroupLimit") {
+    val p = finalPlan("q169_binary_ann")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "BroadcastNestedLoopJoin") == 1, p) // 500-query batch
+    assert(nodes(p, "WindowGroupLimit") >= 1, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+  }
+
+  test("q170_link_predict: wedge join and both degree joins are key-equi " +
+      "over the edge list; candidate counts combine map-side") {
+    val p = finalPlan("q170_link_predict")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "BroadcastNestedLoopJoin") == 0, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q171_mde: one user-keyed collapse feeds a 1-row both-variant " +
+      "rollup — no window, no join, nothing after the collapse scales") {
+    val p = finalPlan("q171_mde")
+    assert(hashExchanges(p, "user_id") == 1, p)
+    assert(nodes(p, "Window") == 0, p)
+    assert(nodes(p, "SortMergeJoin") + nodes(p, "BroadcastHashJoin")
+      + nodes(p, "ShuffledHashJoin") + nodes(p, "BroadcastNestedLoopJoin")
+      + nodes(p, "CartesianProduct") == 0, p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("q149_hits: both propagation rounds are key-joins + map-side " +
       "combined sums over the cached edge list — nothing quadratic") {
     val p = finalPlan("q149_hits")

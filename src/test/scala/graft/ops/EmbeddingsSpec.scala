@@ -696,4 +696,33 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
       assert(hot === (n * c > 2L * total))
     }
   }
+
+  test("q169 binary codes: hand-signed vectors pack to the exact words, " +
+    "Hamming ranks by disagreement count, zero counts as positive sign") {
+    import spark.implicits._
+    val plus = Seq.fill(64)(1.0)
+    val minus = Seq.fill(64)(-1.0)
+    // first 32 dims >= 0 (dim 1 EXACTLY 0.0 — the sign convention pin),
+    // last 32 negative → lo = 2^32 - 1, hi = 0
+    val half = 0.0 +: (Seq.fill(31)(2.5) ++ Seq.fill(32)(-0.5))
+    val e = Seq((0L, plus), (1L, minus), (2L, half)).toDF("vec_id", "v")
+    val got = Embeddings.binaryAnnOn(e, queryBound = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    graft.CachedFrames.drain()
+    // query 0 (all-plus): half disagrees on 32 bits, minus on all 64
+    assert(got.toSeq === Seq((0L, 2L, 1, 32), (0L, 1L, 2, 64)))
+  }
+
+  test("q168 MRR: the fixed point is exact (mrr * 2520 * n_queries is an " +
+    "integer) and sits inside the hit-rate envelope") {
+    val r = Embeddings.q168Mrr(spark, "/root/testdata/sf0.001").collect()(0)
+    graft.CachedFrames.drain()
+    val (nq, nh, mrr) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(nq > 0 && nh <= nq)
+    // every hit contributes between 2520/10 and 2520/1 scaled units
+    val scaled = mrr * 2520.0 * nq.toDouble
+    assert(math.abs(scaled - math.round(scaled)) < 1e-6)
+    assert(mrr <= nh.toDouble / nq.toDouble + 1e-12)
+    assert(mrr >= nh.toDouble / (10.0 * nq.toDouble) - 1e-12)
+  }
 }

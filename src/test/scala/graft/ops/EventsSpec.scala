@@ -514,4 +514,27 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       1 -> ((100L, 19800L, 100.0, 99.99)),
       0 -> ((100L, 19800L, 101.0, 100.98))))
   }
+
+  test("q171 MDE: hand moments reproduce the z-formula bitwise; a " +
+    "one-user arm reports NULL instead of dividing by zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // v0 = users 2,4 (y = 100, 300 cents) → s² = 20000; v1 = users 1,3
+    // (y = 300, 400 cents: 1.00+2.00 and 4.00) → s² = 5000
+    val events = Seq((1L, 1.00), (1L, 2.00), (3L, 4.00), (2L, 1.00),
+      (4L, 3.00)).toDF("user_id", "value")
+    val got = Events.mdeOn(events).collect()(0)
+    assert((got.getLong(0), got.getLong(1)) === ((2L, 2L)))
+    assert(got.getDouble(2) === 2.0) // mean0 = (100+300)/2/100
+    val expected = (Events.MdeZAlpha + Events.MdeZPower) *
+      math.sqrt(20000.0 / 2.0 + 5000.0 / 2.0) / 100.0
+    assert(got.getDouble(3) === expected)
+    assert(got.getDouble(4) === expected / 2.0)
+    // n1 = 1: variance undefined → NULL mde, NULL relative
+    val lone = Seq((1L, 5.00), (2L, 1.00), (4L, 2.00))
+      .toDF("user_id", "value")
+    val l = Events.mdeOn(lone).select(col("mde_abs"), col("mde_rel"))
+      .collect()(0)
+    assert(l.isNullAt(0) && l.isNullAt(1))
+  }
 }

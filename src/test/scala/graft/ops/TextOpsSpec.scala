@@ -802,6 +802,21 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(TextOps.aucOfCounts(oneClass).collect()(0).isNullAt(2))
   }
 
+  test("q170 link prediction: the one non-adjacent pair with two shared " +
+    "neighbours surfaces with exact Jaccard; adjacent pairs and single-" +
+    "witness pairs stay out") {
+    import spark.implicits._
+    // square 1-2-4-3-1 plus diagonal 2-3: (1,4) is the only non-edge with
+    // cn >= 2 (via 2 and 3); deg(1) = deg(4) = 2 → jaccard = 2/(2+2-2) = 1
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("id1", "id2")
+    val got = TextOps.linkPredictOn(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    graft.CachedFrames.drain()
+    assert(got.toSeq === Seq((1L, 4L, 2L, 2L, 2L, 1.0)))
+  }
+
   test("q166 substring dedup: a cross-doc passage is removed end-to-end " +
     "from the later doc only, within-doc repeats dedup too, overlapping " +
     "anchors merge into one span") {
