@@ -3922,6 +3922,156 @@ object TextOps {
     JOIN deg db ON ne.b = db.v
   """
 
+  /** q172 tuning: gate B's quality threshold — q51's curation cut, so the
+    * agreement measured is between the TWO admission rules the pipeline
+    * actually runs. */
+  private[ops] val KappaQualityTau = 1.0
+
+  /** q172: COHEN'S KAPPA between the corpus's two admission gates — the
+    * Gopher rule bundle (q112's `admit`) and the quality-score cut
+    * (q51's `quality_score ≥ 1.0`). Raw agreement flatters any pair of
+    * gates that both admit (or both reject) almost everything; kappa
+    * subtracts the agreement expected from the marginals alone, which is
+    * the honest answer to "do these two filters measure the same thing?"
+    * — κ near 1 means one gate is redundant (drop the expensive one);
+    * κ near 0 means they prune DIFFERENT documents and the curation DAG
+    * needs both (q104's joint-admission accounting).
+    *
+    * Exactness: the 2×2 confusion matrix is exact integers from one
+    * rollup; po and pe cross-products run in DECIMAL(38,0)/HUGEINT (n²
+    * overflows BIGINT past ~3e9 docs — the q142 ladder); κ =
+    * (n·(n11+n00) − pe_num)/(n² − pe_num) is ONE division of exact-cast
+    * doubles. A degenerate pe = 1 (both gates constant) reports NULL.
+    *
+    * Scale shape: both gate columns are per-row codegen projections of
+    * the same documents scan (single-sourced via [[gopherRulesOn]] /
+    * [[scoredDocs]] so neither formula can drift from its own gate
+    * query); the doc-keyed equi-join of the two projections collapses
+    * immediately into a 1-row conditional rollup — nothing after the
+    * join scales with the corpus, and the join itself is the price of
+    * formula single-sourcing (adjudicated in SCALE.md). */
+  def q172GateKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
+    val a = gopherRulesOn(docs).select(col("doc_id"), col("admit").as("ga"))
+    val b = scoredDocs(docs).select(col("doc_id"),
+      (col("quality_score") >= KappaQualityTau).as("gb"))
+    val m = a.join(b, "doc_id").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("ga") && col("gb"), 1L).otherwise(0L)).as("n11"),
+      sum(when(col("ga") && !col("gb"), 1L).otherwise(0L)).as("n10"),
+      sum(when(!col("ga") && col("gb"), 1L).otherwise(0L)).as("n01"),
+      sum(when(!col("ga") && !col("gb"), 1L).otherwise(0L)).as("n00"))
+    val d = (c: String) => col(c).cast("decimal(19,0)")
+    val peNum = (d("n11") + d("n10")) * (d("n11") + d("n01")) +
+      (d("n01") + d("n00")) * (d("n10") + d("n00"))
+    val kNum = d("n") * (d("n11") + d("n00")) - peNum
+    val kDen = d("n") * d("n") - peNum
+    m.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      ((col("n11") + col("n00")).cast("double") / col("n").cast("double"))
+        .as("agree"),
+      when(kDen =!= 0,
+        kNum.cast("double") / kDen.cast("double")).as("kappa"))
+  }
+
+  val q172GateKappaSql: String = s"""
+    WITH a AS (
+      SELECT doc_id, admit AS ga FROM ($q112GopherRulesSql)),
+    b AS (
+      SELECT doc_id, quality_score >= $KappaQualityTau AS gb
+      FROM ($q22QualityScoreSql)),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN ga AND gb THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        CAST(sum(CASE WHEN ga AND NOT gb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        CAST(sum(CASE WHEN NOT ga AND gb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        CAST(sum(CASE WHEN NOT ga AND NOT gb THEN 1 ELSE 0 END) AS BIGINT)
+          AS n00
+      FROM a JOIN b USING (doc_id)),
+    k AS (
+      SELECT n, n11, n10, n01, n00,
+        (CAST(n11 AS HUGEINT) + n10) * (CAST(n11 AS HUGEINT) + n01)
+          + (CAST(n01 AS HUGEINT) + n00) * (CAST(n10 AS HUGEINT) + n00)
+          AS pe_num
+      FROM m)
+    SELECT n, n11, n10, n01, n00,
+      CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS agree,
+      CASE WHEN CAST(n AS HUGEINT) * n - pe_num <> 0 THEN
+        CAST(CAST(n AS HUGEINT) * (n11 + n00) - pe_num AS DOUBLE)
+          / CAST(CAST(n AS HUGEINT) * n - pe_num AS DOUBLE)
+      END AS kappa
+    FROM k
+  """
+
+  /** q173: SPEARMAN RANK CORRELATION between quality score and document
+    * length — "is the quality gate secretly a length gate?" The question
+    * every heuristic-filter pipeline must answer before trusting q51's
+    * cut (Gopher's own ablations found several quality rules reduce to
+    * length proxies). Pearson on the raw values is hostage to the score's
+    * scale and outliers; Spearman on RANKS is the standard robust answer:
+    * ρ = 1 − 6·Σd²/(n·(n²−1)) over per-document rank differences.
+    *
+    * Convention: ranks are over the TOTAL orders (value ASC, doc_id ASC)
+    * — the deterministic tie-break both engines share, pinned instead of
+    * midrank averaging (identical texts DO tie; the doc_id tie-break
+    * makes the statistic exactly reproducible, and the midrank variant
+    * differs only by the tie correction, which the scaladoc'd formula
+    * makes explicit rather than hiding in float noise).
+    *
+    * Exactness: both rank layouts are the ungrouped [[DistRank]] (B-way
+    * parallel, no one-task sort); Σd² and n·(n²−1) accumulate in
+    * DECIMAL(38,0)/HUGEINT (Σd² ~ n³/3 overflows BIGINT past n ≈ 3e6 —
+    * the q142 ladder); ρ is 1.0 minus ONE division of exact-cast
+    * doubles, the identical chain in both engines.
+    *
+    * Scale shape: one scored corpus projection (cached — both rank
+    * passes and the rollup consume it), two bucketed rank passes, one
+    * 1-row rollup. Nothing is ever single-partition (PlanSpec pins the
+    * q167 contract). */
+  def q173SpearmanQualityLength(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val scored = graft.CachedFrames.track(withQualityStats(
+      Tables.parallelized(Tables(spark, sfDir, "documents")))
+      .select(col("doc_id"), col("quality_score").as("q"),
+        col("n_tokens").cast("long").as("nt")))
+    val r1 = DistRank.withBucketedRank(scored, Seq(), "q", Seq("doc_id"), "rq")
+    val r2 = DistRank.withBucketedRank(r1, Seq(), "nt", Seq("doc_id"), "rl")
+    val d = col("rq") - col("rl")
+    val m = r2.agg(count(lit(1)).as("n"),
+      sum(d.cast("decimal(19,0)") * d.cast("decimal(19,0)")).as("sd2"))
+    m.select(col("n"), col("sd2").cast("double").as("sum_d2"),
+      when(col("n") >= 2,
+        lit(1.0) - (lit(6).cast("decimal(19,0)") * col("sd2")).cast("double")
+          / (col("n").cast("decimal(38,0)")
+            * (col("n").cast("decimal(38,0)") * col("n").cast("decimal(38,0)")
+              - 1)).cast("double")).as("rho"))
+  }
+
+  val q173SpearmanQualityLengthSql: String = s"""
+    WITH x AS (
+      SELECT doc_id, $qualityFromStatsSql AS q, CAST(n_tokens AS BIGINT) AS nt
+      FROM (SELECT doc_id,
+          $nCharsSql AS n_chars_m,
+          $nTokensSql AS n_tokens,
+          CAST(${hitsSql("en")} AS DOUBLE) AS n_stop,
+          $nPunctSql AS n_punct
+        FROM documents)),
+    r AS (
+      SELECT doc_id,
+        row_number() OVER (ORDER BY q ASC, doc_id ASC) AS rq,
+        row_number() OVER (ORDER BY nt ASC, doc_id ASC) AS rl
+      FROM x),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        sum(CAST(rq - rl AS HUGEINT) * CAST(rq - rl AS HUGEINT)) AS sd2 -- guard:ok internal HUGEINT; outputs below are exact-cast
+      FROM r)
+    SELECT n, CAST(sd2 AS DOUBLE) AS sum_d2,
+      CASE WHEN n >= 2 THEN
+        1.0 - CAST(6 * sd2 AS DOUBLE)
+          / CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1) AS DOUBLE)
+      END AS rho
+    FROM s
+  """
+
   /** q166 tuning: minimum repeated-span length in tokens. Lee et al. use
     * 50 on web corpora; 8 matches the gate documents' ~60-token texts the
     * same way the winnowing window does. */

@@ -983,6 +983,30 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q172_gate_kappa: two per-row gate projections, one doc-keyed " +
+      "join, one 1-row partial-agg rollup — no window, no second pass") {
+    val p = finalPlan("q172_gate_kappa")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "Window") == 0, p)
+    assert(p.contains("partial_count"), p)
+    assert(nodes(p, "SortMergeJoin") + nodes(p, "ShuffledHashJoin")
+      + nodes(p, "BroadcastHashJoin") == 1, p) // the one doc-keyed join
+  }
+
+  test("q173_spearman: both rank passes run bucketed (no global-ORDER " +
+      "window), single-partition exchanges are partial-agg funnels only") {
+    val p = finalPlan("q173_spearman")
+    assert(!p.contains("windowspecdefinition(ORDER BY"), p)
+    assert(p.contains("windowspecdefinition(_bkt"), p)
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        assert(lines.drop(i + 1).take(2).exists(_.contains("partial_")),
+          lines.slice(i, i + 3).mkString("\n"))
+      }
+    assert(nodes(p, "CartesianProduct") == 0, p)
+  }
+
   test("q149_hits: both propagation rounds are key-joins + map-side " +
       "combined sums over the cached edge list — nothing quadratic") {
     val p = finalPlan("q149_hits")

@@ -817,6 +817,47 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq === Seq((1L, 4L, 2L, 2L, 2L, 1.0)))
   }
 
+  test("q172 kappa: cells partition the corpus and the statistic equals " +
+    "the plain-Scala BigInt chance-correction formula bitwise") {
+    val r = TextOps.q172GateKappa(spark, "/root/testdata/sf0.001").collect()(0)
+    graft.CachedFrames.drain()
+    val (n, n11, n10, n01, n00) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n === n11 + n10 + n01 + n00)
+    assert(r.getDouble(5) === (n11 + n00).toDouble / n.toDouble)
+    val pe = BigInt(n11 + n10) * BigInt(n11 + n01) +
+      BigInt(n01 + n00) * BigInt(n10 + n00)
+    val den = BigInt(n) * BigInt(n) - pe
+    if (den == 0) assert(r.isNullAt(6))
+    else assert(r.getDouble(6) ===
+      (BigInt(n) * BigInt(n11 + n00) - pe).toDouble / den.toDouble)
+  }
+
+  test("q173 Spearman: equals the plain-Scala rank computation bitwise " +
+    "(total order (value, doc_id), exact BigInt sum of squared diffs)") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val r = TextOps.q173SpearmanQualityLength(spark, sf).collect()(0)
+    graft.CachedFrames.drain()
+    val scored = TextOps.q22QualityScore(spark, sf)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) nt")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val ids = scored.keys.toSeq
+    def ranksBy[T](key: Long => T)(implicit o: Ordering[T]): Map[Long, Long] =
+      ids.sortBy(id => (key(id), id)).zipWithIndex
+        .map { case (id, i) => id -> (i + 1L) }.toMap
+    val rq = ranksBy(scored); val rl = ranksBy(lens)
+    val sd2 = ids.map(id => BigInt(rq(id) - rl(id)).pow(2)).sum
+    val n = BigInt(ids.size)
+    val expected = 1.0 - (BigInt(6) * sd2).toDouble / (n * (n * n - 1)).toDouble
+    assert(r.getLong(0) === ids.size.toLong)
+    assert(r.getDouble(1) === sd2.toDouble)
+    assert(r.getDouble(2) === expected)
+  }
+
   test("q166 substring dedup: a cross-doc passage is removed end-to-end " +
     "from the later doc only, within-doc repeats dedup too, overlapping " +
     "anchors merge into one span") {
