@@ -564,6 +564,113 @@ object Embeddings {
       FROM p) WHERE rk <= $BinaryAnnK
   """
 
+  /** q175 tuning: projected dimension, rank-key fixed point, reported
+    * rank-exact percentile levels (the q140/q155 convention). */
+  val JlDim = 16
+  val JlPercentiles: Seq[(String, Long, Long)] =
+    Seq(("p01", 1L, 100L), ("p50", 1L, 2L), ("p99", 99L, 100L))
+
+  /** q175: JOHNSON-LINDENSTRAUSS projection DISTORTION AUDIT — project
+    * every vector from [[Dim]] to [[JlDim]] with the deterministic ±1
+    * sign matrix (Achlioptas' database-friendly JL construction, seeded
+    * by the same md5 formula as the LSH planes so both engines build the
+    * identical matrix), then measure, over the bounded query-batch pair
+    * set, the squared-distance ratio ‖S(u−v)‖²/(k·‖u−v‖²) — the quantity
+    * the JL lemma promises concentrates near 1. The audit a pipeline runs
+    * BEFORE swapping the 4× cheaper projected vectors into ANN candidate
+    * generation: p01/p50/p99 of the ratio tell you exactly how much
+    * neighbour ordering can distort. Percentiles are rank-exact over the
+    * fixed-point key ⌊ratio·10¹²⌋ (ties broken by pair id — every
+    * reported value is a real pair's ratio), so both engines agree
+    * bitwise; the ratio itself is a fixed-order double chain.
+    *
+    * Scale shape: projections and squared norms are ONE map-side cached
+    * pass (16 codegen dot products per vector — no shuffle); the pair
+    * pass is the declared query-batch-bounded baseline (q29 contract)
+    * with per-pair work two dot products (64-dim + 16-dim); the
+    * percentile layout is the ungrouped [[DistRank]] — B-way parallel,
+    * 1-row conditional-max picks. */
+  def q175JlDistortion(spark: SparkSession, sfDir: String): DataFrame = {
+    val signs = planeSigns(JlDim)
+    val e = graft.CachedFrames.track(vecs(spark, sfDir)
+      .withColumn("p",
+        array((0 until JlDim).map(j => dot(col("v"), typedLit(signs(j)))): _*))
+      .withColumn("nn2", dot(col("v"), col("v")))
+      .withColumn("pn2", dot(col("p"), col("p")))
+      .select(col("vec_id"), col("v"), col("p"), col("nn2"), col("pn2")))
+    val q = e.filter(col("vec_id") < DefaultAnn.knnQueryIds)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("p").as("qp"),
+        col("nn2").as("qnn2"), col("pn2").as("qpn2"))
+    val c = e.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+      col("p").as("cp"), col("nn2").as("cnn2"), col("pn2").as("cpn2"))
+    val pairs = graft.CachedFrames.track(q.crossJoin(c)
+      .filter(col("qid") < col("cand_id"))
+      .withColumn("d2", col("qnn2") + col("cnn2")
+        - lit(2.0) * dot(col("qv"), col("cv")))
+      .withColumn("pd2", col("qpn2") + col("cpn2")
+        - lit(2.0) * dot(col("qp"), col("cp")))
+      .filter(col("d2") > 0.0)
+      .select(col("qid"), col("cand_id"), expr(
+        s"CAST(floor(pd2 / ($JlDim.0D * d2) * 1000000000000.0D) AS BIGINT)")
+        .as("fx")))
+    val n = pairs.agg(count(lit(1)).as("n_pairs"))
+    val aggs = JlPercentiles.map { case (name, a, b) =>
+      (max(when(col("_r") === expr(s"($a * n_pairs + ${b - 1}) DIV $b"),
+        col("fx"))).cast("double") / lit(1e12)).as(name)
+    }
+    DistRank.withBucketedRank(pairs, Seq(), "fx", Seq("qid", "cand_id"), "_r")
+      .crossJoin(broadcast(n))
+      .groupBy(col("n_pairs"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  val q175JlDistortionSql: String = {
+    val signFold = (j: String) =>
+      s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range($Dim),
+         |  i -> CASE WHEN (('0x' || substr(md5($j::VARCHAR || ':' || i::VARCHAR), 1, 14))::BIGINT & 1) = 1
+         |       THEN v[i + 1] ELSE -v[i + 1] END)), (a2, t) -> a2 + t)""".stripMargin
+    val picks = JlPercentiles.map { case (name, a, b) =>
+      s"CAST(max(CASE WHEN rnk = ($a * n + ${b - 1}) // $b THEN fx END) AS DOUBLE) / 1e12 AS $name"
+    }.mkString(",\n      ")
+    s"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+    pr AS (
+      SELECT vec_id, v,
+        list_transform(range($JlDim), j -> ${signFold("j")}) AS p,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(v, x -> x * x)), (acc, x) -> acc + x) AS nn2
+      FROM e),
+    pp AS (
+      SELECT vec_id, v, p, nn2,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(p, x -> x * x)), (acc, x) -> acc + x) AS pn2
+      FROM pr),
+    pairs AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cand_id,
+        a.nn2 + b.nn2 - 2.0 * list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])),
+          (acc, x) -> acc + x) AS d2,
+        a.pn2 + b.pn2 - 2.0 * list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(list_zip(a.p, b.p), z -> z[1] * z[2])),
+          (acc, x) -> acc + x) AS pd2
+      FROM pp a JOIN pp b
+        ON a.vec_id < b.vec_id AND a.vec_id < ${DefaultAnn.knnQueryIds}),
+    fxs AS (
+      SELECT qid, cand_id,
+        CAST(floor(pd2 / ($JlDim.0 * d2) * 1000000000000.0) AS BIGINT) AS fx
+      FROM pairs WHERE d2 > 0.0),
+    r AS (
+      SELECT fx, row_number() OVER (ORDER BY fx, qid, cand_id) AS rnk,
+        count(*) OVER () AS n
+      FROM fxs)
+    SELECT CAST(max(n) AS BIGINT) AS n_pairs,
+      $picks
+    FROM r GROUP BY n
+  """
+  }
+
   /** q115 tuning: hard negatives kept per query. */
   val HardNegK = 3
 

@@ -1446,6 +1446,79 @@ object Events {
     FROM r
   """
 
+  /** q174: MEDIAN ABSOLUTE DEVIATION of per-user spend — the robust
+    * dispersion number next to q171's variance: one whale moves a
+    * variance arbitrarily but moves the MAD not at all, so MAD is what
+    * outlier fences (the classic |y − med| > k·MAD cut) and q162's cap
+    * choice should be read against. Both the median and the MAD are
+    * RANK-EXACT (value at rank ⌈n/2⌉ under the total order (value,
+    * user_id) — the q140/q155 convention, no interpolation), so every
+    * reported cent is a real user's cents and both engines agree
+    * bitwise; the dollar conversions are single divisions.
+    *
+    * Scale shape: one map-side user collapse (cached — it feeds both
+    * rank passes), then TWO ungrouped [[DistRank]] layouts (spend, then
+    * |spend − median| with the 1-row median broadcast back) — a billion
+    * users rank B-way parallel, never on one task; each pick is a 1-row
+    * conditional-max rollup. */
+  def q174SpendMad(spark: SparkSession, sfDir: String): DataFrame =
+    madOn(Tables(spark, sfDir, "events"))
+
+  private[graft] def madOn(events: DataFrame): DataFrame = {
+    val users = graft.CachedFrames.track(
+      events.filter(col("user_id").isNotNull)
+        .select(col("user_id"),
+          expr("CAST(floor(value * 100.0D + 0.5D) AS BIGINT)").as("cents"))
+        .groupBy(col("user_id")).agg(sum(col("cents")).as("y")))
+    val n = users.agg(count(lit(1)).as("n_users"))
+    val med = DistRank.withBucketedRank(users, Seq(), "y", Seq("user_id"), "_r")
+      .crossJoin(broadcast(n))
+      .agg(max(when(col("_r") === expr("(n_users + 1) DIV 2"), col("y")))
+        .as("median_cents"))
+    val devs = graft.CachedFrames.track(users.crossJoin(broadcast(med))
+      .select(col("user_id"), col("median_cents"),
+        abs(col("y") - col("median_cents")).as("d")))
+    DistRank.withBucketedRank(devs, Seq(), "d", Seq("user_id"), "_r")
+      .crossJoin(broadcast(n))
+      .groupBy(col("n_users"), col("median_cents"))
+      .agg(max(when(col("_r") === expr("(n_users + 1) DIV 2"), col("d")))
+        .as("mad_cents"))
+      .select(col("n_users"), col("median_cents"), col("mad_cents"),
+        (col("median_cents").cast("double") / lit(100.0)).as("median"),
+        (col("mad_cents").cast("double") / lit(100.0)).as("mad"))
+  }
+
+  val q174SpendMadSql: String = """
+    WITH u AS (
+      SELECT user_id,
+        CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+    r AS (
+      SELECT y, row_number() OVER (ORDER BY y, user_id) AS rnk,
+        count(*) OVER () AS n
+      FROM u),
+    m AS (
+      SELECT max(n) AS n_users,
+        CAST(max(CASE WHEN rnk = (n + 1) // 2 THEN y END) AS BIGINT)
+          AS median_cents
+      FROM r GROUP BY n),
+    d AS (
+      SELECT u.user_id, m.median_cents, abs(u.y - m.median_cents) AS d,
+        m.n_users
+      FROM u, m),
+    r2 AS (
+      SELECT d, median_cents, n_users,
+        row_number() OVER (ORDER BY d, user_id) AS rnk
+      FROM d)
+    SELECT CAST(max(n_users) AS BIGINT) AS n_users, median_cents,
+      CAST(max(CASE WHEN rnk = (n_users + 1) // 2 THEN d END) AS BIGINT)
+        AS mad_cents,
+      CAST(median_cents AS DOUBLE) / 100.0 AS median,
+      CAST(max(CASE WHEN rnk = (n_users + 1) // 2 THEN d END) AS DOUBLE)
+        / 100.0 AS mad
+    FROM r2 GROUP BY n_users, median_cents
+  """
+
   /** q162's cap quantile: winsorize at the pooled p99 (rank-exact, the
     * q140/q155 convention). */
   private[ops] val WinsorA = 99L

@@ -1007,6 +1007,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "CartesianProduct") == 0, p)
   }
 
+  test("q174_spend_mad: one user collapse feeds both bucketed rank " +
+      "passes; no global-ORDER window, funnels are partial-agg only") {
+    val p = finalPlan("q174_spend_mad")
+    assert(hashExchanges(p, "user_id") == 1, p)
+    assert(!p.contains("windowspecdefinition(ORDER BY"), p)
+    assert(p.contains("windowspecdefinition(_bkt"), p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+  }
+
+  test("q175_jl_distortion: projections build map-side, the pair pass is " +
+      "the declared bounded batch, the percentile rank runs bucketed") {
+    val p = finalPlan("q175_jl_distortion")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "BroadcastNestedLoopJoin") >= 1, p) // bounded pair batch
+    assert(!p.contains("windowspecdefinition(ORDER BY"), p)
+    assert(p.contains("windowspecdefinition(_bkt"), p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+  }
+
   test("q149_hits: both propagation rounds are key-joins + map-side " +
       "combined sums over the cached edge list — nothing quadratic") {
     val p = finalPlan("q149_hits")

@@ -713,6 +713,28 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq === Seq((0L, 2L, 1, 32), (0L, 1L, 2, 64)))
   }
 
+  test("q175 JL distortion: percentiles are ordered real pair ratios " +
+    "(fixed point exact), pair count matches the bounded batch") {
+    val sf = "/root/testdata/sf0.001"
+    val r = Embeddings.q175JlDistortion(spark, sf).collect()(0)
+    graft.CachedFrames.drain()
+    val (np, p01, p50, p99) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val qn = math.min(Embeddings.DefaultAnn.knnQueryIds, total)
+    // qid < cand_id over (queries × corpus): Σ_{q<Q} (total − q − 1)
+    val expectedPairs = (0L until qn).map(q => total - q - 1).sum
+    assert(np === expectedPairs)
+    assert(p01 <= p50 && p50 <= p99)
+    // Cauchy-Schwarz: (s_j·x)² ≤ 64‖x‖² per plane → ratio² ≤ d = 64
+    assert(p01 > 0.0 && p99 <= 64.0)
+    // every reported value is a real pair's fixed-point ratio: ·1e12 integral
+    Seq(p01, p50, p99).foreach { p =>
+      val s = p * 1e12
+      assert(math.abs(s - math.round(s)) < 1e-3, s.toString)
+    }
+  }
+
   test("q168 MRR: the fixed point is exact (mrr * 2520 * n_queries is an " +
     "integer) and sits inside the hit-rate envelope") {
     val r = Embeddings.q168Mrr(spark, "/root/testdata/sf0.001").collect()(0)

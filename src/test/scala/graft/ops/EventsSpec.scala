@@ -515,6 +515,20 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       0 -> ((100L, 19800L, 101.0, 100.98))))
   }
 
+  test("q174 MAD: hand fixture — median is the rank-ceil(n/2) value, MAD " +
+    "ignores the whale that would quadruple a variance") {
+    import spark.implicits._
+    // per-user cents: 100, 200, 300, 1000 → median = rank-2 value = 200;
+    // |y-200| = 100, 0, 100, 800 → MAD = rank-2 value = 100
+    val events = Seq((1L, 1.00), (2L, 2.00), (3L, 3.00), (4L, 10.00))
+      .toDF("user_id", "value")
+    val got = Events.madOn(events).collect()(0)
+    graft.CachedFrames.drain()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ===
+      ((4L, 200L, 100L)))
+    assert(got.getDouble(3) === 2.0 && got.getDouble(4) === 1.0)
+  }
+
   test("q171 MDE: hand moments reproduce the z-formula bitwise; a " +
     "one-user arm reports NULL instead of dividing by zero") {
     import spark.implicits._
