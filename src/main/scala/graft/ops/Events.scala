@@ -1377,12 +1377,22 @@ object Events {
   def q171MinDetectableEffect(spark: SparkSession, sfDir: String): DataFrame =
     mdeOn(Tables(spark, sfDir, "events"))
 
-  private[graft] def mdeOn(events: DataFrame): DataFrame = {
-    val users = events.filter(col("user_id").isNotNull)
+  private[graft] def mdeOn(events: DataFrame): DataFrame =
+    mdeOfUsers(spendByUser(events))
+
+  /** q171's collapse stage — the REFRESH seam (the q163 pattern): per-wave
+    * user totals merge by summing `y` per user (a user active in both
+    * waves must merge BEFORE the variance, which is not additive across
+    * waves — EventsSpec pins the law). */
+  private[graft] def spendByUser(events: DataFrame): DataFrame =
+    events.filter(col("user_id").isNotNull)
       .select(col("user_id"),
         expr("CAST(floor(value * 100.0D + 0.5D) AS BIGINT)").as("cents"))
       .groupBy(col("user_id")).agg(sum(col("cents")).as("y"))
-      .withColumn("v", (col("user_id") % 2).cast("int"))
+
+  /** MDE from ANY (user_id, y) per-user totals frame. */
+  private[graft] def mdeOfUsers(totals: DataFrame): DataFrame = {
+    val users = totals.withColumn("v", (col("user_id") % 2).cast("int"))
     def side(v: Int, n: String, sy: String, syy: String) = Seq(
       count(when(col("v") === v, 1)).as(n),
       sum(when(col("v") === v, col("y")).otherwise(0L)).as(sy),

@@ -3777,12 +3777,24 @@ object TextOps {
     * pins it); the payload (pos counts) re-attaches by a position-keyed
     * equi-join, keeping the prefix-sum input slim (the ReusedExchange
     * contract). Final AUC is a 1-row aggregate. */
-  def q167ScoreAuc(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = withQualityStats(
-      Tables.parallelized(Tables(spark, sfDir, "documents")))
+  def q167ScoreAuc(spark: SparkSession, sfDir: String): DataFrame =
+    aucOfDigestCounts(digestCounts(
+      Tables.parallelized(Tables(spark, sfDir, "documents"))))
+
+  /** q167's count stage — the REFRESH seam (the q163 pattern): per-wave
+    * digest counts merge by summing `cnt` per digest (min of q — identical
+    * texts share the score), and the table stage reruns on the merged
+    * frame. The boundary is the DIGEST level on purpose: a delta adding a
+    * copy of a base doc FLIPS that digest's whole group to positive, so
+    * per-score class counts do NOT merge — TextOpsSpec pins the law. */
+  private[graft] def digestCounts(docs: DataFrame): DataFrame =
+    withQualityStats(docs)
       .select(md5(col("text")).as("dg"), col("quality_score").as("q"))
-    val byDigest = base.groupBy(col("dg"))
+      .groupBy(col("dg"))
       .agg(count(lit(1)).as("cnt"), min(col("q")).as("q"))
+
+  /** AUC from ANY (dg, cnt, q) digest-counts frame. */
+  private[graft] def aucOfDigestCounts(byDigest: DataFrame): DataFrame = {
     val perScore = byDigest.groupBy(col("q")).agg(
       sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("pos"),
       sum(when(col("cnt") === 1, col("cnt")).otherwise(0L)).as("neg"))

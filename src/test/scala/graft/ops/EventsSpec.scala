@@ -515,6 +515,25 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       0 -> ((100L, 19800L, 101.0, 100.98))))
   }
 
+  test("q171 periodic-refresh law: merging per-wave user totals and " +
+    "recomputing equals the full MDE — a cross-wave user merges before " +
+    "the variance (which is not additive)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    // user 1 spends in BOTH waves — summing per-wave variances would be
+    // wrong; summing per-user totals first is the law
+    val base = Seq((1L, 1.00), (2L, 2.00), (3L, 3.00)).toDF("user_id", "value")
+    val delta = Seq((1L, 5.00), (4L, 1.50), (6L, 2.25)).toDF("user_id", "value")
+    val union = base.unionByName(delta)
+    val merged = Events.spendByUser(base)
+      .unionByName(Events.spendByUser(delta))
+      .groupBy(col("user_id")).agg(fsum(col("y")).as("y"))
+    val incremental = Events.mdeOfUsers(merged).collect().map(_.toSeq).toSet
+    val full = Events.mdeOn(union).collect().map(_.toSeq).toSet
+    assert(incremental === full)
+    assert(full.head(3) != null) // both arms have n >= 2 → a real MDE
+  }
+
   test("q174 MAD: hand fixture — median is the rank-ceil(n/2) value, MAD " +
     "ignores the whale that would quadruple a variance") {
     import spark.implicits._

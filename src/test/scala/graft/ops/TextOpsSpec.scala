@@ -817,6 +817,32 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq === Seq((1L, 4L, 2L, 2L, 2L, 1.0)))
   }
 
+  test("q167 periodic-refresh law: merging per-wave DIGEST counts and " +
+    "rebuilding equals the full AUC — including a label flip the delta " +
+    "causes (per-score counts would NOT merge)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, min => fmin, sum => fsum}
+    // 'dup dup' is unique in base; the delta adds a copy → the whole
+    // digest group flips to positive in the union
+    val base = Seq("the a of and to", "dup dup", "solo text here")
+      .toDF("text")
+    val delta = Seq("dup dup", "the the the", "fresh words").toDF("text")
+    val union = base.unionByName(delta)
+    val merged = TextOps.digestCounts(base)
+      .unionByName(TextOps.digestCounts(delta))
+      .groupBy(col("dg"))
+      .agg(fsum(col("cnt")).as("cnt"), fmin(col("q")).as("q"))
+    val incremental = TextOps.aucOfDigestCounts(merged).collect()
+      .map(_.toSeq).toSet
+    graft.CachedFrames.drain()
+    val fullRows = TextOps.aucOfDigestCounts(TextOps.digestCounts(union))
+      .collect().map(_.toSeq).toSet
+    graft.CachedFrames.drain()
+    assert(incremental === fullRows)
+    // and the flip really happened: the union has positives
+    assert(fullRows.head(0).asInstanceOf[Long] >= 2L)
+  }
+
   test("q172 kappa: cells partition the corpus and the statistic equals " +
     "the plain-Scala BigInt chance-correction formula bitwise") {
     val r = TextOps.q172GateKappa(spark, "/root/testdata/sf0.001").collect()(0)
