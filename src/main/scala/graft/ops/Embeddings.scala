@@ -592,7 +592,14 @@ object Embeddings {
     * 1-row conditional-max picks. */
   def q175JlDistortion(spark: SparkSession, sfDir: String): DataFrame = {
     val signs = planeSigns(JlDim)
-    val e = graft.CachedFrames.track(vecs(spark, sfDir)
+    // track the SHARED bare-vecs plan too: other queries cache the same
+    // canonicalized plan, and Spark's CacheManager substitutes their cached
+    // relation into this query's plan — without our own reference, a
+    // concurrent thread draining last unpersists it MID-SCAN and AQE reads
+    // the relation as empty (the q80 race; this query shipped 0 rows in a
+    // full concurrent Verify before this line)
+    val base = graft.CachedFrames.track(vecs(spark, sfDir))
+    val e = graft.CachedFrames.track(base
       .withColumn("p",
         array((0 until JlDim).map(j => dot(col("v"), typedLit(signs(j)))): _*))
       .withColumn("nn2", dot(col("v"), col("v")))
