@@ -678,6 +678,41 @@ object Embeddings {
   """
   }
 
+  /** q178: recall@3 of the BINARY sign-quantized index (q169) against the
+    * brute-force cosine truth — the missing number on the compression
+    * scoreboard: q75 prices the label/hash/PQ tiers, this prices the 64×
+    * 1-bit tier, answering "what does dropping to sign bits cost in
+    * neighbour recall" next to what it saves in bytes. Same declared
+    * baseline and join shape as q63 (truth is the bounded query batch;
+    * everything downstream is ≤ 3 rows per query). */
+  def q178BinaryRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = graft.CachedFrames.track(
+      q29KnnBrute(spark, sfDir).filter(col("rk") <= 3)
+        .select(col("id1").as("qid"), col("id2").as("cand_id")))
+    val bin = q169BinaryAnn(spark, sfDir).select(col("qid"), col("cand_id"))
+    val hits = truth.join(bin, Seq("qid", "cand_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    truth.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_at_3", col("n_hits").cast("double") / lit(3.0))
+  }
+
+  val q178BinaryRecallSql: String = s"""
+    WITH truth AS (
+      SELECT id1 AS qid, id2 AS cand_id FROM ($q29KnnBruteSql) WHERE rk <= 3),
+    bin AS (SELECT qid, cand_id FROM ($q169BinaryAnnSql)),
+    hits AS (
+      SELECT t.qid, count(*) AS n_hits
+      FROM truth t JOIN bin USING (qid, cand_id)
+      GROUP BY 1),
+    qs AS (SELECT DISTINCT qid FROM truth)
+    SELECT qs.qid,
+      CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 3.0 AS recall_at_3
+    FROM qs LEFT JOIN hits h ON qs.qid = h.qid
+  """
+
   /** q115 tuning: hard negatives kept per query. */
   val HardNegK = 3
 

@@ -1529,6 +1529,83 @@ object Events {
     FROM r2 GROUP BY n_users, median_cents
   """
 
+  /** q177 tuning: the Benford expectations log₁₀(1 + 1/d) for d = 1..9,
+    * computed ONCE here and interpolated as the identical literal into
+    * both engines' expressions (the MmrLambda discipline — the engines
+    * never run their own log). */
+  private[ops] val BenfordP: Seq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** q177: BENFORD FIRST-DIGIT AUDIT of transaction amounts — the
+    * classic forensic screen: organically generated monetary amounts
+    * follow log₁₀(1 + 1/d) first-significant-digit frequencies, while
+    * fabricated, capped, or bot-generated values pile up on specific
+    * digits. Run next to q151's CUSUM and q161's SRM as the third fraud/
+    * integrity guardrail over the events stream. Per digit: exact count,
+    * observed frequency (one division), the Benford expectation (a
+    * literal — see [[BenfordP]]), and the deviation (one subtraction) —
+    * max |deviation| is the usual flag statistic and is order-free to
+    * compute downstream. Digits with zero occurrences still report (the
+    * 9-row grid is the driver, not the data).
+    *
+    * Scale shape: one map-side digit rollup (≤ 9 groups — the perfect
+    * combine), a 1-row total, and a 9-row literal grid left-join. Nothing
+    * scales past the scan. */
+  def q177BenfordAudit(spark: SparkSession, sfDir: String): DataFrame =
+    benfordOn(Tables(spark, sfDir, "events"))
+
+  private[graft] def benfordOn(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val counts = events
+      .select(expr("CAST(floor(value * 100.0D + 0.5D) AS BIGINT)").as("cents"))
+      .filter(col("cents") >= 1L)
+      .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_events"))
+    val n = counts.agg(coalesce(sum(col("n_events")), lit(0L)).as("_n"))
+    val pCase = BenfordP.zipWithIndex
+      .map { case (p, i) => s"WHEN ${i + 1} THEN ${p}D" }
+      .mkString("CASE digit ", " ", " END")
+    spark.range(1, 10).select(col("id").cast("int").as("digit"))
+      .join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("digit"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        when(col("_n") > 0, coalesce(col("n_events"), lit(0L)).cast("double")
+          / col("_n").cast("double")).as("freq"),
+        expr(pCase).as("benford_p"))
+      .withColumn("dev", col("freq") - col("benford_p"))
+  }
+
+  val q177BenfordAuditSql: String = {
+    // `e0` forces a native DOUBLE literal: a bare decimal literal is
+    // DECIMAL in DuckDB and the DECIMAL→DOUBLE cast is NOT the correctly-
+    // rounded string→double parse (observed 1-ulp divergence on d = 3)
+    val pCase = BenfordP.zipWithIndex
+      .map { case (p, i) => s"WHEN ${i + 1} THEN ${p}e0" }
+      .mkString("CASE g.digit ", " ", " END")
+    s"""
+    WITH c AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        count(*) AS n_events
+      FROM (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM events) WHERE cents >= 1
+      GROUP BY 1),
+    t AS (SELECT CAST(coalesce(sum(n_events), 0) AS BIGINT) AS n FROM c), -- guard:ok internal total; outputs below are CAST
+    g AS (SELECT unnest(generate_series(1, 9)) AS digit)
+    SELECT CAST(g.digit AS INTEGER) AS digit,
+      CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events,
+      CASE WHEN t.n > 0 THEN
+        CAST(coalesce(c.n_events, 0) AS DOUBLE) / CAST(t.n AS DOUBLE)
+      END AS freq,
+      ($pCase) AS benford_p,
+      (CASE WHEN t.n > 0 THEN
+        CAST(coalesce(c.n_events, 0) AS DOUBLE) / CAST(t.n AS DOUBLE)
+      END) - ($pCase) AS dev
+    FROM g LEFT JOIN c ON g.digit = c.digit, t
+  """
+  }
+
   /** q162's cap quantile: winsorize at the pooled p99 (rank-exact, the
     * q140/q155 convention). */
   private[ops] val WinsorA = 99L

@@ -4084,6 +4084,70 @@ object TextOps {
     FROM s
   """
 
+  /** q176 tuning: calibration buckets (score deciles). */
+  private[ops] val CalibrationBuckets = 10
+
+  /** q176: SCORE-DECILE CALIBRATION of the duplicate rate — q167's AUC in
+    * curve form: bucket documents into quality-score deciles (rank-exact
+    * ntile over the (score, doc_id) total order) and report each decile's
+    * exact-duplicate rate with its score range. The AUC says the gates
+    * correlate; THIS says where — a dup rate concentrated in the bottom
+    * two deciles means the quality cut already removes most duplicates
+    * (cheap dedup budget), a flat curve means dedup work is independent
+    * of the cut. Counts are exact; rates are single divisions.
+    *
+    * Scale shape: one scored+digested corpus projection (cached), one
+    * map-side digest rollup, one digest-keyed join back, then the
+    * ungrouped [[DistRank]] layout with the decile cut as integer rank
+    * arithmetic ([[DistRank.ntileOfRank]], byte-identical to the window
+    * ntile) — no single-partition sort; the rollup is 10 rows. */
+  def q176ScoreCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = graft.CachedFrames.track(withQualityStats(
+      Tables.parallelized(Tables(spark, sfDir, "documents")))
+      .select(col("doc_id"), md5(col("text")).as("dg"),
+        col("quality_score").as("q")))
+    val dups = scored.groupBy(col("dg")).agg(count(lit(1)).as("cnt"))
+    val docs2 = graft.CachedFrames.track(scored.join(dups, "dg")
+      .select(col("doc_id"), col("q"), (col("cnt") >= 2).as("is_dup")))
+    val n = docs2.agg(count(lit(1)).as("_n"))
+    DistRank.withBucketedRank(docs2, Nil, "q", Seq("doc_id"), "_rank")
+      .crossJoin(broadcast(n))
+      .withColumn("decile",
+        DistRank.ntileOfRank("_rank", "_n", CalibrationBuckets))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
+        min(col("q")).as("q_lo"), max(col("q")).as("q_hi"))
+      .withColumn("dup_rate",
+        col("n_dups").cast("double") / col("n_docs").cast("double"))
+  }
+
+  val q176ScoreCalibrationSql: String = s"""
+    WITH x AS (
+      SELECT doc_id, md5(text) AS dg, $qualityFromStatsSql AS q
+      FROM (SELECT doc_id, text,
+          $nCharsSql AS n_chars_m,
+          $nTokensSql AS n_tokens,
+          CAST(${hitsSql("en")} AS DOUBLE) AS n_stop,
+          $nPunctSql AS n_punct
+        FROM documents)),
+    d AS (SELECT dg, count(*) AS cnt FROM x GROUP BY 1),
+    j AS (
+      SELECT x.doc_id, x.q, d.cnt >= 2 AS is_dup
+      FROM x JOIN d USING (dg)),
+    r AS (
+      SELECT q, is_dup,
+        ntile($CalibrationBuckets) OVER (ORDER BY q, doc_id) AS decile
+      FROM j)
+    SELECT CAST(decile AS INTEGER) AS decile,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+      min(q) AS q_lo, max(q) AS q_hi,
+      CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE) AS dup_rate
+    FROM r GROUP BY 1
+  """
+
   /** q166 tuning: minimum repeated-span length in tokens. Lee et al. use
     * 50 on web corpora; 8 matches the gate documents' ~60-token texts the
     * same way the winnowing window does. */

@@ -1026,6 +1026,36 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "SortMergeJoin") == 0, p)
   }
 
+  test("q176_calibration: digest rollup combines map-side, the decile " +
+      "rank runs bucketed — no global-ORDER window, no cartesian") {
+    val p = finalPlan("q176_calibration")
+    assert(!p.contains("windowspecdefinition(ORDER BY"), p)
+    assert(p.contains("windowspecdefinition(_bkt"), p)
+    assert(p.contains("partial_count"), p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+  }
+
+  test("q177_benford: one <=9-group map-side rollup + a 1-row total + the " +
+      "9-row literal grid — no window, no sort-merge") {
+    val p = finalPlan("q177_benford")
+    assert(nodes(p, "Window") == 0, p)
+    assert(p.contains("partial_count"), p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+  }
+
+  test("q178_binary_recall: only the declared bounded-batch nested loops " +
+      "(truth + code scan); every other join keys on qid over the " +
+      "bounded batch") {
+    val p = finalPlan("q178_binary_recall")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    // the roster left-join and hit join are qid-keyed over ≤|queries| rows
+    // (the hits tally sits under the truth cache's truncated subtree, so
+    // partial_count is not visible in this plan text)
+    assert(p.contains("Join [qid"), p)
+    assert(nodes(p, "SortMergeJoin") <= 1, p) // bounded-batch roster join
+  }
+
   test("q149_hits: both propagation rounds are key-joins + map-side " +
       "combined sums over the cached edge list — nothing quadratic") {
     val p = finalPlan("q149_hits")

@@ -534,6 +534,24 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(full.head(3) != null) // both arms have n >= 2 → a real MDE
   }
 
+  test("q177 Benford: hand digits count exactly, absent digits still " +
+    "report zero, deviations use the shared literal expectations") {
+    import spark.implicits._
+    // cents: 100 → digit 1, 250/299 → digit 2, 999 → digit 9; no 3..8
+    val events = Seq(1.00, 2.50, 2.99, 9.99).toDF("value")
+    val got = Events.benfordOn(events).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet === (1 to 9).toSet)
+    assert(got(1)._1 === 1L && got(2)._1 === 2L && got(9)._1 === 1L)
+    (3 to 8).foreach(d => assert(got(d)._1 === 0L))
+    assert(got(2)._2 === 0.5)
+    (1 to 9).foreach { d =>
+      assert(got(d)._3 === Events.BenfordP(d - 1))
+      assert(got(d)._4 === got(d)._2 - Events.BenfordP(d - 1))
+    }
+  }
+
   test("q174 MAD: hand fixture — median is the rank-ceil(n/2) value, MAD " +
     "ignores the whale that would quadruple a variance") {
     import spark.implicits._

@@ -817,6 +817,25 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq === Seq((1L, 4L, 2L, 2L, 2L, 1.0)))
   }
 
+  test("q176 calibration: deciles partition the corpus front-loaded (the " +
+    "ntile law) and score ranges are non-overlapping ascending") {
+    val got = TextOps.q176ScoreCalibration(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    graft.CachedFrames.drain()
+    val n = got.map(_._2).sum
+    assert(got.map(_._1).toSeq === (1 to 10))
+    // ANSI ntile sizing: first n%10 deciles take ⌈n/10⌉, the rest ⌊n/10⌋
+    got.foreach { case (d, nd, dups, _, _) =>
+      val expectedSize = if (d <= n % 10) n / 10 + 1 else n / 10
+      assert(nd === expectedSize, s"decile $d")
+      assert(dups >= 0 && dups <= nd)
+    }
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= a._5 && a._5 <= b._4, s"${a._1} vs ${b._1}")
+    }
+  }
+
   test("q167 periodic-refresh law: merging per-wave DIGEST counts and " +
     "rebuilding equals the full AUC — including a label flip the delta " +
     "causes (per-score counts would NOT merge)") {
