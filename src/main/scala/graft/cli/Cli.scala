@@ -683,6 +683,7 @@ object ReleaseReport {
   *   hits/           directed hub/authority path counts       (q149 core)
   *   assortativity/  corpus-level degree correlation          (q153 core)
   *   kcore/          densely-duplicated core after peeling    (q156 core)
+  *   links/          predicted missing near-dup edges         (q170 core)
   *
   * The gate queries stay self-contained (each rebuilds its edges — the
   * oracle contract), but production runs THIS: the edge generator's ~5 s
@@ -713,6 +714,8 @@ object GraphReport {
           .coalesce(1).write.mode("overwrite").parquet(s"$out/assortativity")
         graft.ops.TextOps.kCoreOn(ids)
           .coalesce(1).write.mode("overwrite").parquet(s"$out/kcore")
+        graft.ops.TextOps.linkPredictOn(ids)
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/links")
       } finally graft.CachedFrames.drain()
     }
   }
