@@ -1273,4 +1273,110 @@ object Curation {
     FROM r, tot
     WHERE running // step - (running - wgt) // step > 0
   """
+
+  /** q180 tuning: total sample budget and the weight fixed point. The
+    * 10⁶ scale keeps w_fx = ⌊N_h·√S²_h·10⁶⌋ inside BIGINT while
+    * N_h·√S²_h < 9.2e12; a larger corpus drops the scale (resolution
+    * trade, the q146 discipline) — products B·w_fx already run in
+    * DECIMAL/HUGEINT either way. */
+  private[ops] val NeymanBudget = 1000L
+  private[ops] val NeymanScale = 1000000L
+
+  /** q180: NEYMAN ALLOCATION of a sampling budget across sources — the
+    * OPTIMAL stratified design: sample counts proportional to
+    * N_h·S_h (stratum size × token-count standard deviation), which
+    * minimizes the variance of the corpus-mean estimate at fixed budget
+    * (Neyman 1934). The planning step BEFORE q52's stratified draw and
+    * q150's systematic engine run: a uniform split oversamples homogeneous
+    * strata and starves noisy ones. Integerization is LARGEST-REMAINDER
+    * apportionment (Hamilton): floor allocations from exact integer
+    * division of the fixed-point weights, the leftover seats to the
+    * largest remainders (ties by source name) — so allocations sum to the
+    * budget EXACTLY (spec law) and both engines agree bitwise: the only
+    * float ops are each stratum's variance (exact DECIMAL moments,
+    * exact-cast division) and one √ before the fixed-point floor.
+    *
+    * Scale shape: one map-side per-source moment rollup (|sources| rows),
+    * exact-integer apportionment over that tiny frame (the ranking window
+    * runs on ≤|sources| rows — bounded by schema, not data, which is why
+    * a bare ORDER BY is fine HERE and nowhere else), 1-row totals
+    * broadcast. Nothing scales past the scan. */
+  def q180NeymanAllocation(spark: SparkSession, sfDir: String): DataFrame =
+    neymanOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+
+  private[graft] def neymanOn(docs: DataFrame): DataFrame = {
+    val m = docs
+      .select(col("source"),
+        expr("""CAST(size(split(trim(text), '\\s+')) AS BIGINT)""").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sx"),
+        sum(col("nt").cast("decimal(19,0)") * col("nt").cast("decimal(19,0)"))
+          .as("sxx"))
+      .withColumn("s2", when(col("n_docs") >= 2,
+        (col("n_docs").cast("decimal(38,0)") * col("sxx")
+          - col("sx").cast("decimal(38,0)") * col("sx").cast("decimal(38,0)"))
+          .cast("double")
+          / (col("n_docs").cast("decimal(38,0)")
+            * (col("n_docs") - 1).cast("decimal(38,0)")).cast("double")))
+      .withColumn("w_fx", when(col("s2").isNotNull, expr(
+        s"CAST(floor(CAST(n_docs AS DOUBLE) * sqrt(s2) * $NeymanScale.0D) AS BIGINT)"))
+        .otherwise(lit(0L)))
+    val tot = m.agg(sum(col("w_fx")).as("tot_fx"))
+    val based = m.crossJoin(broadcast(tot))
+      .withColumn("alloc_floor", expr(
+        s"CAST(CAST($NeymanBudget AS DECIMAL(38,0)) * w_fx DIV tot_fx AS BIGINT)"))
+      .withColumn("rem", expr(
+        s"CAST(CAST($NeymanBudget AS DECIMAL(38,0)) * w_fx % tot_fx AS DECIMAL(38,0))"))
+    val short = based.agg(
+      (lit(NeymanBudget) - sum(col("alloc_floor"))).as("n_extra"))
+    based.crossJoin(broadcast(short))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rem").desc, col("source").asc)))
+      .select(col("source"), col("n_docs"), col("s2"), col("w_fx"),
+        (col("alloc_floor")
+          + when(col("rk") <= col("n_extra"), 1L).otherwise(0L)).as("alloc"))
+  }
+
+  val q180NeymanAllocationSql: String = s"""
+    WITH t AS (
+      SELECT source,
+        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS nt
+      FROM documents),
+    m AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(nt) AS BIGINT) AS sx,
+        sum(CAST(nt AS HUGEINT) * CAST(nt AS HUGEINT)) AS sxx -- guard:ok internal moment; outputs are CAST
+      FROM t GROUP BY 1),
+    v AS (
+      SELECT source, n_docs,
+        CASE WHEN n_docs >= 2 THEN
+          CAST(CAST(n_docs AS HUGEINT) * sxx
+              - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
+            / CAST(CAST(n_docs AS HUGEINT) * (n_docs - 1) AS DOUBLE)
+        END AS s2
+      FROM m),
+    w AS (
+      SELECT source, n_docs, s2,
+        CASE WHEN s2 IS NOT NULL THEN
+          CAST(floor(CAST(n_docs AS DOUBLE) * sqrt(s2) * $NeymanScale.0)
+            AS BIGINT)
+        ELSE 0 END AS w_fx
+      FROM v),
+    tot AS (SELECT CAST(sum(w_fx) AS HUGEINT) AS tot_fx FROM w), -- guard:ok internal total; outputs are CAST
+    b AS (
+      SELECT source, n_docs, s2, w_fx,
+        CAST(CAST($NeymanBudget AS HUGEINT) * w_fx // tot_fx AS BIGINT)
+          AS alloc_floor,
+        CAST($NeymanBudget AS HUGEINT) * w_fx % tot_fx AS rem
+      FROM w, tot),
+    x AS (SELECT $NeymanBudget - CAST(sum(alloc_floor) AS BIGINT) AS n_extra FROM b), -- guard:ok internal seat count; outputs are CAST
+    r AS (
+      SELECT source, n_docs, s2, w_fx, alloc_floor,
+        row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+      FROM b)
+    SELECT r.source, r.n_docs, r.s2, r.w_fx,
+      CAST(r.alloc_floor
+        + CASE WHEN r.rk <= x.n_extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM r, x
+  """
 }

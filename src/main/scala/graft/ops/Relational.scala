@@ -544,6 +544,84 @@ object Relational {
     * as Delta re-clusters). Writing the layout is then
     * `repartitionByRange` on (shard, zval) — the one exchange any sorted
     * write costs. */
+  /** q179: REFERENTIAL-INTEGRITY AUDIT — orphan counts and rates for the
+    * four FK edges of the warehouse (orders→customer, lineitem→orders,
+    * lineitem→part, lineitem→supplier). The ingestion-hygiene gate a
+    * pipeline runs after every load: downstream joins silently DROP
+    * orphan children (q2's inner joins would under-count revenue), so
+    * the audit quantifies exactly how much every join-based metric can
+    * be off by. A NULL foreign key counts as an orphan on purpose — this
+    * is a strict audit, not SQL FK semantics. Counts exact; rates single
+    * divisions.
+    *
+    * Scale shape: one pass per edge — child LEFT-joins the parent's
+    * deduplicated key column (broadcast for dimension-sized parents; a
+    * key-equi shuffle join for fact-sized ones, never wider than the
+    * key), then ONE map-side conditional rollup; the four 1-row results
+    * union. No second scan per edge, no sort. */
+  def q179FkOrphans(spark: SparkSession, sfDir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame =
+      child.select(col(key))
+        .join(parent.select(col(pkey)).distinct()
+          .withColumnRenamed(pkey, "_pk").withColumn("_hit", lit(1)),
+          col(key) === col("_pk"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("_hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"),
+          (col("n_orphans").cast("double") / col("n_rows").cast("double"))
+            .as("orphan_rate"))
+    val orders = Tables(spark, sfDir, "orders")
+    val lineitem = Tables(spark, sfDir, "lineitem")
+    edge("orders->customer", orders, "o_custkey",
+        Tables(spark, sfDir, "customer"), "c_custkey")
+      .unionByName(edge("lineitem->orders", lineitem, "l_orderkey",
+        orders, "o_orderkey"))
+      .unionByName(edge("lineitem->part", lineitem, "l_partkey",
+        Tables(spark, sfDir, "part"), "p_partkey"))
+      .unionByName(edge("lineitem->supplier", lineitem, "l_suppkey",
+        Tables(spark, sfDir, "supplier"), "s_suppkey"))
+  }
+
+  val q179FkOrphansSql: String = """
+    SELECT 'orders->customer' AS fk_edge,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_orphans,
+      CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE) AS orphan_rate
+    FROM orders o
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem->orders',
+      CAST(count(*) AS BIGINT),
+      CAST(sum(CASE WHEN p.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      CAST(sum(CASE WHEN p.o_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE)
+    FROM lineitem l
+    LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p
+      ON l.l_orderkey = p.o_orderkey
+    UNION ALL
+    SELECT 'lineitem->part',
+      CAST(count(*) AS BIGINT),
+      CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE)
+    FROM lineitem l
+    LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+      ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem->supplier',
+      CAST(count(*) AS BIGINT),
+      CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE)
+    FROM lineitem l
+    LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+      ON l.l_suppkey = s.s_suppkey
+  """
+
   def q120ZorderLayout(spark: SparkSession, sfDir: String): DataFrame =
     zorderLayoutOn(Tables(spark, sfDir, "lineitem")
       .select(col("l_orderkey").as("x"), col("l_partkey").as("y")))

@@ -1056,6 +1056,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "SortMergeJoin") <= 1, p) // bounded-batch roster join
   }
 
+  test("q179_fk_orphans: every edge is one pass — child LEFT-joins the " +
+      "deduped parent keys, tallies combine map-side, no second scan") {
+    val p = finalPlan("q179_fk_orphans")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "BroadcastNestedLoopJoin") == 0, p)
+    assert(p.contains("partial_count"), p)
+    assert(nodes(p, "BroadcastHashJoin") + nodes(p, "ShuffledHashJoin")
+      + nodes(p, "SortMergeJoin") == 4, p) // exactly the four FK edges
+  }
+
+  test("q180_neyman_alloc: one map-side per-source moment rollup; the " +
+      "only window ranks the <=|sources| apportionment frame (bounded by " +
+      "schema, not data)") {
+    val p = finalPlan("q180_neyman_alloc")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(p.contains("partial_count"), p)
+    assert(nodes(p, "Window") == 1, p) // the remainder ranking only
+  }
+
   test("q149_hits: both propagation rounds are key-joins + map-side " +
       "combined sums over the cached edge list — nothing quadratic") {
     val p = finalPlan("q149_hits")

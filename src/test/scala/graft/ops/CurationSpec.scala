@@ -318,4 +318,33 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(ta - got(3L)._2) <= 1L &&
       math.abs(ta - got(4L)._2) <= 1L)
   }
+
+  test("q180 Neyman: allocations sum EXACTLY to the budget and match the " +
+    "plain-Scala BigInt largest-remainder apportionment; a zero-variance " +
+    "stratum gets nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "x y z"), ("a", "x"),                 // nts 3,1 → s² = 2
+      ("b", "p q r s t"), ("b", "p q r s t"),     // nts 5,5 → s² = 0
+      ("c", "m n"), ("c", "m n o p q r"))         // nts 2,6 → s² = 8
+      .toDF("source", "text")
+    val rows = graft.ops.Curation.neymanOn(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4))))
+      .toMap
+    val budget = 1000L
+    assert(rows.values.map(_._3).sum === budget)
+    assert(rows("b")._3 === 0L) // zero variance → zero weight → zero seats
+    // plain-Scala oracle: BigInt floor quotas + largest remainders
+    val wfx = rows.view.mapValues(_._2).toMap
+    val tot = BigInt(wfx.values.sum)
+    val floorQ = wfx.view.mapValues(w => BigInt(budget) * w / tot).toMap
+    val rem = wfx.view.mapValues(w => (BigInt(budget) * w) % tot).toMap
+    val extra = budget - floorQ.values.map(_.toLong).sum
+    val seats = rem.toSeq.sortBy { case (s, r) => (-r, s) }
+      .take(extra.toInt).map(_._1).toSet
+    rows.foreach { case (s, (_, _, alloc)) =>
+      val expected = floorQ(s).toLong + (if (seats(s)) 1L else 0L)
+      assert(alloc === expected, s)
+    }
+  }
 }
