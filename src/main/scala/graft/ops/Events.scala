@@ -1606,6 +1606,68 @@ object Events {
   """
   }
 
+  /** q181: CHURN LABEL BUILDING — the supervised-dataset generator: one
+    * row per (user, active week) with this week's activity features
+    * (events, distinct active days, spend cents) and the LABEL "was the
+    * user active in week w+1". The canonical example of what a training-
+    * data engine exists to do — turn a raw event log into leakage-free
+    * (features from week w only, label from w+1 only) supervised rows —
+    * and the labels are exact set membership, not model output, so the
+    * whole table oracle-checks. The final calendar week is EXCLUDED: its
+    * label is unknowable (right-censored), and emitting it would be
+    * silent label noise.
+    *
+    * Scale shape: one map-side (user, week) rollup, a 1-row max-week
+    * broadcast, and the label is a self equi-join of the rollup on
+    * (user, week+1) — |user-weeks| keyed, never events². Everything
+    * combines map-side before the one exchange. */
+  def q181ChurnLabels(spark: SparkSession, sfDir: String): DataFrame =
+    churnLabelsOn(Tables(spark, sfDir, "events"))
+
+  private[graft] def churnLabelsOn(events: DataFrame): DataFrame = {
+    val uw = graft.CachedFrames.track(
+      events.filter(col("user_id").isNotNull)
+        .select(col("user_id"),
+          expr("CAST(floor(unix_timestamp(ts) / 604800.0D) AS BIGINT)")
+            .as("wk"),
+          expr("CAST(floor(unix_timestamp(ts) / 86400.0D) AS BIGINT)")
+            .as("day"),
+          expr("CAST(floor(value * 100.0D + 0.5D) AS BIGINT)").as("cents"))
+        .groupBy(col("user_id"), col("wk"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("day")).as("n_days"),
+          sum(col("cents")).as("spend_cents")))
+    val maxWk = uw.agg(max(col("wk")).as("_max_wk"))
+    val next = uw.select(col("user_id").as("_nu"), (col("wk") - 1).as("_nw"))
+    uw.crossJoin(broadcast(maxWk))
+      .filter(col("wk") < col("_max_wk")) // censored final week excluded
+      .join(next, col("user_id") === col("_nu") && col("wk") === col("_nw"),
+        "left")
+      .select(col("user_id"), col("wk"), col("n_events"), col("n_days"),
+        col("spend_cents"), col("_nu").isNotNull.as("active_next_wk"))
+  }
+
+  val q181ChurnLabelsSql: String = """
+    WITH uw AS (
+      SELECT user_id,
+        CAST(floor(epoch(ts) / 604800.0) AS BIGINT) AS wk,
+        count(*) AS n_events,
+        count(DISTINCT CAST(floor(epoch(ts) / 86400.0) AS BIGINT)) AS n_days,
+        CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+          AS spend_cents
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1, 2),
+    mx AS (SELECT max(wk) AS max_wk FROM uw)
+    SELECT a.user_id, a.wk,
+      CAST(a.n_events AS BIGINT) AS n_events,
+      CAST(a.n_days AS BIGINT) AS n_days,
+      a.spend_cents,
+      b.user_id IS NOT NULL AS active_next_wk
+    FROM uw a
+    LEFT JOIN uw b ON a.user_id = b.user_id AND b.wk = a.wk + 1, mx
+    WHERE a.wk < mx.max_wk
+  """
+
   /** q162's cap quantile: winsorize at the pooled p99 (rank-exact, the
     * q140/q155 convention). */
   private[ops] val WinsorA = 99L

@@ -1075,6 +1075,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "Window") == 1, p) // the remainder ranking only
   }
 
+  test("q181_churn_labels: one (user, week) map-side rollup; the label " +
+      "join keys on (user, week+1) over the cached rollup — no window, " +
+      "no events-squared anything") {
+    val p = finalPlan("q181_churn_labels")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "Window") == 0, p)
+    assert(p.contains("partial_count"), p)
+    assert(nodes(p, "BroadcastNestedLoopJoin") == 1, p) // 1-row max-week
+  }
+
   test("q149_hits: both propagation rounds are key-joins + map-side " +
       "combined sums over the cached edge list — nothing quadratic") {
     val p = finalPlan("q149_hits")

@@ -534,6 +534,28 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(full.head(3) != null) // both arms have n >= 2 → a real MDE
   }
 
+  test("q181 churn labels: label comes from week w+1 only, the censored " +
+    "final week never emits, features roll up exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    // user 1: wk0 (two events, two days) and wk1 → label TRUE at wk0
+    // user 2: wk0 only → label FALSE at wk0
+    // user 3: wk1 only → right-censored, no row at all
+    val events = Seq(
+      (1L, 100L, 1.00), (1L, 90000L, 2.00), (1L, 604900L, 1.00),
+      (2L, 200L, 5.00),
+      (3L, 605000L, 9.00))
+      .toDF("user_id", "e", "value")
+      .withColumn("ts", expr("timestamp_seconds(e)"))
+    val got = Events.churnLabelsOn(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    graft.CachedFrames.drain()
+    assert(got === Map(
+      (1L, 0L) -> ((2L, 2L, 300L, true)),
+      (2L, 0L) -> ((1L, 1L, 500L, false))))
+  }
+
   test("q177 Benford: hand digits count exactly, absent digits still " +
     "report zero, deviations use the shared literal expectations") {
     import spark.implicits._
