@@ -925,6 +925,20 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       3L -> ((17L, 8L, 1L, 9.0 / 17.0))))
   }
 
+  test("q145 degree-first orientation: a lowest-id hub star counts its " +
+    "one triangle correctly (the id-ordering worst case)") {
+    import spark.implicits._
+    // hub 1 has the LOWEST id — under a<b<c orientation all its edges
+    // point out and the hub pays deg² wedges; degree-first points them in
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L))
+      .toDF("id1", "id2")
+    val got = TextOps.triangleCountOn(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    graft.CachedFrames.drain()
+    assert(got === Map(1L -> ((4L, 1L)), 2L -> ((2L, 1L)), 3L -> ((2L, 1L)),
+      4L -> ((1L, 0L)), 5L -> ((1L, 0L))))
+  }
+
   test("q156 k-core: a triangle survives 2-core peeling, chains and " +
     "pendants peel away (including cascades)") {
     import spark.implicits._
