@@ -96,6 +96,18 @@ final case class ConvState(firstViewS: Long, emitted: Boolean)
 
 final case class ConvLag(user_id: Long, lag_s: Long)
 
+/** Churn-label event: (user, week, day, cents) — the projection q181's
+  * rollup consumes, pre-split so the stream state stays integer-only. */
+final case class ChurnEvent(user_id: Long, wk: Long, day: Long, cents: Long)
+
+/** Per-user open week: the week id, its event count, its ≤7 distinct days,
+  * its spend — BOUNDED state (one open week per user, forever). */
+final case class ChurnState(wk: Long, nEvents: Long, days: Seq[Long],
+  spend: Long)
+
+final case class ChurnLabel(user_id: Long, wk: Long, n_events: Long,
+  n_days: Long, spend_cents: Long, active_next_wk: Boolean)
+
 /** Structured Streaming formulations of the event-time operators whose batch
   * twins live in graft.ops.Events (SURVEY.md §2.9): the SAME window
   * transforms run on a `readStream` source with a watermark, and
@@ -960,6 +972,41 @@ object EventStreams {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("bloom_flag"), 1L).otherwise(0L)).as("n_flagged"))
+
+  /** Live churn-label feed — q181's incremental face: a (user, week) label
+    * row emits THE MOMENT it finalizes, i.e. when the user's first event of
+    * a LATER week arrives (label = that week is w+1). State is ONE open
+    * week per user ([[ChurnState]] — bounded: ≤7 day ids + three Longs).
+    * The stream emits exactly the batch rows whose label is CONFIRMED by
+    * later same-user activity; rows batch-q181 labels `false` because the
+    * user simply went quiet stay PENDING here until that user reappears —
+    * the honest streaming contract (a "churned" verdict needs either the
+    * user's return or the batch's global censoring cut; EventStreamsSpec
+    * pins the subset equality against [[graft.ops.Events.churnLabelsOn]]). */
+  def churnLabelStream(events: Dataset[ChurnEvent]): Dataset[ChurnLabel] = {
+    import events.sparkSession.implicits._
+    def fn(user: Long, batch: Iterator[ChurnEvent],
+           state: GroupState[ChurnState]): Iterator[ChurnLabel] = {
+      var s = state.getOption.getOrElse(ChurnState(Long.MinValue, 0L, Nil, 0L))
+      val out = scala.collection.mutable.ListBuffer.empty[ChurnLabel]
+      batch.toSeq.sortBy(e => (e.wk, e.day)).foreach { e =>
+        if (e.wk == s.wk)
+          s = s.copy(nEvents = s.nEvents + 1L,
+            days = if (s.days.contains(e.day)) s.days else s.days :+ e.day,
+            spend = s.spend + e.cents)
+        else {
+          if (s.nEvents > 0L)
+            out += ChurnLabel(user, s.wk, s.nEvents, s.days.size.toLong,
+              s.spend, e.wk == s.wk + 1L)
+          s = ChurnState(e.wk, 1L, Seq(e.day), e.cents)
+        }
+      }
+      state.update(s)
+      out.iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 
   /** The same sessionization via the BUILT-IN `session_window` aggregation —
     * Spark's native gap-session operator (merge-on-late-event, emit-on-seal

@@ -1696,4 +1696,68 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  test("churn-label stream emits exactly the batch rows whose label is " +
+    "confirmed by later same-user activity, split mid-stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = graft.Tables.normalizeEventsTs(
+      spark.read.parquet(s"$sf/events.parquet"))
+    val arrivals = raw.filter(col("user_id").isNotNull)
+      .selectExpr("user_id",
+        "CAST(floor(unix_timestamp(ts) / 604800.0D) AS BIGINT) AS wk",
+        "CAST(floor(unix_timestamp(ts) / 86400.0D) AS BIGINT) AS day",
+        "CAST(floor(value * 100.0D + 0.5D) AS BIGINT) AS cents")
+      .as[ChurnEvent].collect().sortBy(e => (e.wk, e.day))
+    val mem = MemoryStream[ChurnEvent]
+    val q = EventStreams.churnLabelStream(mem.toDS())
+      .writeStream.format("memory").queryName("churn_twin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (w1, w2) = arrivals.splitAt(arrivals.length / 2)
+      mem.addData(w1.toSeq: _*); q.processAllAvailable()
+      mem.addData(w2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("churn_twin").as[ChurnLabel].collect()
+        .map(r => (r.user_id, r.wk) ->
+          ((r.n_events, r.n_days, r.spend_cents, r.active_next_wk))).toMap
+      assert(spark.table("churn_twin").count() === got.size.toLong)
+      val batch = graft.ops.Events.churnLabelsOn(raw).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+        .toMap
+      // a user's LAST active week before the horizon is unconfirmed in the
+      // stream (needs the user's return) — everything else matches the
+      // batch exactly, including the features and both label polarities
+      val lastWk = arrivals.groupBy(_.user_id).view
+        .mapValues(_.map(_.wk).max).toMap
+      val confirmed = batch.filter { case ((u, w), _) => w < lastWk(u) }
+      graft.CachedFrames.drain()
+      assert(got === confirmed)
+      assert(got.values.exists(_._4))
+    } finally q.stop()
+  }
+
+  test("churn-label stream: a user skipping a week gets a confirmed FALSE " +
+    "label on return; the still-open week stays pending") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ChurnEvent]
+    val q = EventStreams.churnLabelStream(mem.toDS())
+      .writeStream.format("memory").queryName("churn_gap_twin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: wk0 → wk1 (label TRUE); user 2: wk0 → wk2 (label FALSE —
+      // confirmed the moment the user RETURNS, no censoring cut needed)
+      mem.addData(ChurnEvent(1L, 0L, 3L, 100L), ChurnEvent(2L, 0L, 4L, 50L))
+      q.processAllAvailable()
+      mem.addData(ChurnEvent(1L, 1L, 8L, 10L), ChurnEvent(2L, 2L, 15L, 10L))
+      q.processAllAvailable()
+      val got = spark.table("churn_gap_twin").as[ChurnLabel].collect()
+        .map(r => (r.user_id, r.wk) -> r.active_next_wk).toMap
+      // open weeks (1, wk1) and (2, wk2) are pending — exactly two rows
+      assert(got === Map((1L, 0L) -> true, (2L, 0L) -> false))
+    } finally q.stop()
+  }
 }
