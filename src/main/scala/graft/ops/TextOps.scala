@@ -4062,7 +4062,11 @@ object TextOps {
       Tables.parallelized(Tables(spark, sfDir, "documents")))
       .select(col("doc_id"), col("quality_score").as("q"),
         col("n_tokens").cast("long").as("nt")))
-    val r1 = DistRank.withBucketedRank(scored, Seq(), "q", Seq("doc_id"), "rq")
+    // cached: the second rank engine's bounds/rank/counts branches each
+    // re-derive their input — uncached, r1's whole rank machinery re-ran
+    // ~3× inside r2 (bench: 9.3 s → materialize once)
+    val r1 = graft.CachedFrames.track(
+      DistRank.withBucketedRank(scored, Seq(), "q", Seq("doc_id"), "rq"))
     val r2 = DistRank.withBucketedRank(r1, Seq(), "nt", Seq("doc_id"), "rl")
     val d = col("rq") - col("rl")
     val m = r2.agg(count(lit(1)).as("n"),
