@@ -3819,7 +3819,11 @@ object TextOps {
   }
 
   /** The tie-aware Mann-Whitney engine over ANY (q, pos, neg) per-score
-    * counts frame — fixture-testable against a plain-Scala pair count. */
+    * counts frame — fixture-testable against a plain-Scala pair count.
+    * perScore stays UNCACHED on purpose: its upstream is a pair of
+    * map-side rollups whose exchanges AQE already reuses across the rank
+    * engine's branches — measured, adding a cache here was a net loss
+    * (3.6 → 4.4 s), unlike q173's window-heavy first pass. */
   private[graft] def aucOfCounts(perScore: DataFrame): DataFrame = {
     val ranked = graft.CachedFrames.track(
       DistRank.withBucketedRank(perScore, Seq(), "q", Seq(), "_pos"))
