@@ -316,4 +316,58 @@ class TextOpsPropertySpec extends AnyFunSuite with SparkSpec {
     val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
   }
+
+  /** q166 oracle: brute-force substring-dedup removal plan — every W-gram
+    * site, canonical = min (doc, pos) per gram, coverage = union of
+    * redundant [p, p+W−1] intervals, spans = maximal runs. */
+  private def substrOracle(docs: Seq[(Long, String)])
+      : Map[Long, (Long, Long, Long, Double)] = {
+    val W = TextOps.SubstrW
+    val tokens = docs.map { case (id, t) => id -> toks(t) }.toMap
+    val sites = for {
+      (id, ts) <- tokens.toSeq
+      p <- 1 to (ts.size - W + 1)
+    } yield (ts.slice(p - 1, p - 1 + W).mkString(""), id, p.toLong)
+    val redundant = sites.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.map(s => (s._2, s._3)).sorted
+      if (sorted.size >= 2) sorted.tail else Nil
+    }.toSeq
+    val covered = redundant.groupBy(_._1).view.mapValues { anchors =>
+      val pos = anchors.map(_._2).map(_.toInt)
+      pos.flatMap(p => p until (p + W)).toSet
+    }.toMap
+    docs.map { case (id, _) =>
+      val n = tokens(id).size.toLong
+      val cov = covered.getOrElse(id, Set.empty)
+      val spans = cov.toSeq.sorted
+        .foldLeft((0L, Int.MinValue)) { case ((k, prev), p) =>
+          (if (p == prev + 1) k else k + 1, p)
+        }._1
+      id -> ((n, cov.size.toLong, spans,
+        (n - cov.size).toDouble / n.toDouble))
+    }.toMap
+  }
+
+  test("q166 substring dedup reproduces a brute-force interval-union " +
+    "oracle on random repetitive corpora") {
+    // 2-token alphabet + doc lengths straddling W: heavy gram collisions,
+    // overlapping anchors, within-doc repeats, docs too short to gram
+    val repGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(1, 10)
+      texts <- Gen.listOfN(n, Gen.choose(0, 24).flatMap(k =>
+        Gen.listOfN(k, Gen.oneOf("a", "b")).map(_.mkString(" "))))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong * 3 + 1, t) }
+    val prop = Prop.forAllNoShrink(repGen) { docs =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "text").repartition(3)
+      val got = TextOps.substrDedupOn(df).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      graft.CachedFrames.drain()
+      val ref = substrOracle(docs)
+      Prop(got == ref) :| s"q166 mismatch: $got vs $ref"
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
