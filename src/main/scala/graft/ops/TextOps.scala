@@ -4173,6 +4173,87 @@ object TextOps {
     FROM r GROUP BY 1
   """
 
+  /** q182: FLEISS' KAPPA across the corpus's THREE admission gates —
+    * Gopher rules (q112), the quality cut (q51's threshold) and the
+    * language gate (pred_lang = 'en', q51's other half): q172's pairwise
+    * kappa generalized to the full rater panel. Fleiss' form treats each
+    * document as an item rated by 3 "annotators" voting admit/reject;
+    * κ = (P̄ − P̄e)/(1 − P̄e) with P̄ the mean within-item agreement and
+    * P̄e the marginal chance agreement. One number answering "does the
+    * admission STACK act as one gate or three": κ → 1 means the stack is
+    * redundant, κ → 0 means each gate prunes independently (the q104
+    * joint-admission accounting is then mandatory reading).
+    *
+    * Exactness: with r = 3 raters everything reduces to two exact BIGINT
+    * sums — S1 = Σ votes, S2 = Σ [n_y(n_y−1) + (r−n_y)(r−1−n_y)] — and
+    * κ = (S2·(rN)² − 2rN·(S1² + (rN−S1)²))
+    *     / (2rN·(rN)² − 2rN·(S1² + (rN−S1)²))
+    * (the 6N = 2rN item normalizer cross-multiplied away): numerator and
+    * denominator are exact DECIMAL(38,0)/HUGEINT (≈ r³N³ ≤ 1e38 holds to
+    * N ≈ 1.5e12 docs), ONE double division at the end. Degenerate
+    * unanimous corpora (P̄e = 1) report NULL.
+    *
+    * Scale shape: the q172 contract — two per-row gate projections of the
+    * same scan joined doc-keyed (formula single-sourcing, adjudicated in
+    * SCALE.md), collapsing immediately into a 1-row conditional rollup. */
+  def q182FleissKappa(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
+    val a = gopherRulesOn(docs).select(col("doc_id"), col("admit").as("ga"))
+    val b = scoredDocs(docs).select(col("doc_id"),
+      (col("quality_score") >= KappaQualityTau).as("gb"),
+      (col("pred_lang") === "en").as("gc"))
+    val votes = a.join(b, "doc_id").select(
+      (when(col("ga"), 1L).otherwise(0L) + when(col("gb"), 1L).otherwise(0L)
+        + when(col("gc"), 1L).otherwise(0L)).as("ny"))
+    val m = votes.agg(count(lit(1)).as("n"), sum(col("ny")).as("s1"),
+      sum(col("ny") * (col("ny") - 1)
+        + (lit(3L) - col("ny")) * (lit(2L) - col("ny"))).as("s2"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val rn = d(col("n") * 3)
+    val pe2 = (d(col("s1")) * d(col("s1"))) +
+      ((rn - d(col("s1"))) * (rn - d(col("s1")))) // (rN)²·P̄e
+    val num = d(col("s2")) * rn * rn - lit(2) * rn * pe2
+    val den = lit(2) * rn * rn * rn - lit(2) * rn * pe2
+    m.select(col("n").as("n_docs"),
+      (col("s1").cast("double") / (col("n") * 3).cast("double"))
+        .as("p_admit"),
+      when(den =!= 0, num.cast("double") / den.cast("double"))
+        .as("fleiss_kappa"))
+  }
+
+  val q182FleissKappaSql: String = s"""
+    WITH a AS (
+      SELECT doc_id, admit AS ga FROM ($q112GopherRulesSql)),
+    b AS (
+      SELECT doc_id, quality_score >= $KappaQualityTau AS gb
+      FROM ($q22QualityScoreSql)),
+    c AS (
+      SELECT doc_id, pred_lang = 'en' AS gc FROM ($q23LangIdSql)),
+    v AS (
+      SELECT (CASE WHEN ga THEN 1 ELSE 0 END)
+        + (CASE WHEN gb THEN 1 ELSE 0 END)
+        + (CASE WHEN gc THEN 1 ELSE 0 END) AS ny
+      FROM a JOIN b USING (doc_id) JOIN c USING (doc_id)),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(ny) AS BIGINT) AS s1,
+        CAST(sum(ny * (ny - 1) + (3 - ny) * (2 - ny)) AS BIGINT) AS s2
+      FROM v),
+    k AS (
+      SELECT n, s1, s2, CAST(n AS HUGEINT) * 3 AS rn,
+        CAST(s1 AS HUGEINT) * s1
+          + (CAST(n AS HUGEINT) * 3 - s1) * (CAST(n AS HUGEINT) * 3 - s1)
+          AS pe2
+      FROM m)
+    SELECT n AS n_docs,
+      CAST(s1 AS DOUBLE) / CAST(n * 3 AS DOUBLE) AS p_admit,
+      CASE WHEN 2 * rn * rn * rn - 2 * rn * pe2 <> 0 THEN
+        CAST(CAST(s2 AS HUGEINT) * rn * rn - 2 * rn * pe2 AS DOUBLE)
+          / CAST(2 * rn * rn * rn - 2 * rn * pe2 AS DOUBLE)
+      END AS fleiss_kappa
+    FROM k
+  """
+
   /** q166 tuning: minimum repeated-span length in tokens. Lee et al. use
     * 50 on web corpora; 8 matches the gate documents' ~60-token texts the
     * same way the winnowing window does. */

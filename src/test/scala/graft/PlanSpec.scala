@@ -1085,6 +1085,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "BroadcastNestedLoopJoin") == 1, p) // 1-row max-week
   }
 
+  test("q182_fleiss_kappa: the q172 shape — gate projections joined " +
+      "doc-keyed into one 1-row partial-agg rollup, no window") {
+    val p = finalPlan("q182_fleiss_kappa")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "Window") == 0, p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("q149_hits: both propagation rounds are key-joins + map-side " +
       "combined sums over the cached edge list — nothing quadratic") {
     val p = finalPlan("q149_hits")

@@ -862,6 +862,39 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(fullRows.head(0).asInstanceOf[Long] >= 2L)
   }
 
+  test("q182 Fleiss: equals the plain-Scala textbook computation bitwise " +
+    "(P-bar and chance agreement from the vote sums)") {
+    val sf = "/root/testdata/sf0.001"
+    val r = TextOps.q182FleissKappa(spark, sf).collect()(0)
+    graft.CachedFrames.drain()
+    val (n, pAdmit) = (r.getLong(0), r.getDouble(1))
+    // recompute the vote sums independently from the two gate queries
+    import org.apache.spark.sql.functions.col
+    val ga = TextOps.q112GopherRules(spark, sf)
+      .select(col("doc_id"), col("admit")).collect()
+      .map(x => x.getLong(0) -> x.getBoolean(1)).toMap
+    val qs = TextOps.q22QualityScore(spark, sf)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(1) >= 1.0)).toMap
+    val lc = TextOps.q23LangId(spark, sf)
+      .select(col("doc_id"), col("pred_lang")).collect()
+      .map(x => x.getLong(0) -> (x.getString(1) == "en")).toMap
+    graft.CachedFrames.drain()
+    val ny = ga.keys.toSeq.map(id =>
+      Seq(ga(id), qs(id), lc(id)).count(identity).toLong)
+    val s1 = BigInt(ny.sum); val nn = BigInt(ny.size)
+    val s2 = BigInt(ny.map(y => y * (y - 1) + (3 - y) * (2 - y)).sum)
+    val rn = nn * 3
+    val pe2 = s1 * s1 + (rn - s1) * (rn - s1)
+    val num = s2 * rn * rn - 2 * rn * pe2
+    val den = 2 * rn * rn * rn - 2 * rn * pe2
+    assert(n === nn.toLong)
+    assert(pAdmit === s1.toDouble / (nn * 3).toDouble)
+    if (den == 0) assert(r.isNullAt(2))
+    else assert(r.getDouble(2) === num.toDouble / den.toDouble)
+    assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)
+  }
+
   test("q172 kappa: cells partition the corpus and the statistic equals " +
     "the plain-Scala BigInt chance-correction formula bitwise") {
     val r = TextOps.q172GateKappa(spark, "/root/testdata/sf0.001").collect()(0)
