@@ -4254,6 +4254,50 @@ object TextOps {
     FROM k
   """
 
+  /** q183: SUBSTRING-DEDUP SAVINGS per source — q166's accounting face
+    * (what q117 is to q25): per source, total tokens, tokens removed by
+    * repeated-span dedup, spans, docs touched, and the surviving-token
+    * fraction. The number a curation budget actually consumes: q166 says
+    * WHERE the spans are, this says WHAT substring dedup is worth per
+    * corpus slice — a source whose keep_fraction is low is boilerplate-
+    * heavy (licence blocks, templates) and its q69 mixture weight is
+    * overstated unless this discount is applied.
+    *
+    * Scale shape: exactly q166's pipeline (shared core — the removal plan
+    * is computed once by [[substrDedupOn]]) plus one doc-keyed join to
+    * recover the source column and one map-side |sources|-row rollup. */
+  def q183SubstrSavings(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
+    substrDedupOn(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_removed")).as("n_removed"),
+        sum(col("n_spans")).as("n_spans"),
+        sum(when(col("n_removed") > 0, 1L).otherwise(0L)).as("docs_touched"))
+      .withColumn("keep_fraction",
+        (col("n_tokens") - col("n_removed")).cast("double")
+          / col("n_tokens").cast("double"))
+  }
+
+  lazy val q183SubstrSavingsSql: String = s"""
+    WITH plan AS (SELECT * FROM ($q166SubstrDedupSql)),
+    j AS (
+      SELECT d.source, p.n_tokens, p.n_removed, p.n_spans
+      FROM plan p JOIN documents d USING (doc_id))
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      CAST(sum(n_removed) AS BIGINT) AS n_removed,
+      CAST(sum(n_spans) AS BIGINT) AS n_spans,
+      CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS docs_touched,
+      CAST(sum(n_tokens) - sum(n_removed) AS DOUBLE)
+        / CAST(sum(n_tokens) AS DOUBLE) AS keep_fraction
+    FROM j GROUP BY 1
+  """
+
   /** q166 tuning: minimum repeated-span length in tokens. Lee et al. use
     * 50 on web corpora; 8 matches the gate documents' ~60-token texts the
     * same way the winnowing window does. */

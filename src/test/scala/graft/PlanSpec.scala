@@ -1093,6 +1093,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q183_substr_savings: q166's plan plus one doc-keyed source join " +
+      "and a map-side |sources| rollup — nothing new that scales") {
+    val p = finalPlan("q183_substr_savings")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "BroadcastNestedLoopJoin") == 0, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
   test("q149_hits: both propagation rounds are key-joins + map-side " +
       "combined sums over the cached edge list — nothing quadratic") {
     val p = finalPlan("q149_hits")
