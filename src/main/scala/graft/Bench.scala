@@ -279,9 +279,13 @@ object Bench {
       .trim.split("\\s+").take(3).mkString(" ")
     catch { case _: Throwable => "" }
 
-  /** Execute the query's FULL physical plan (all output columns computed). */
+  /** Execute the query's FULL physical plan (all output columns computed).
+    * begin() declares the plan in-flight before the action — Bench measures
+    * solo so the q80/q175 cross-thread race can't bite here, but runners
+    * share one protocol so a future concurrent mode inherits the guard. */
   private def materialize(spark: SparkSession, sfDir: String, name: String): Unit =
-    SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count(): Unit
+    CachedFrames.begin(SparkEntry.queries(name)(spark, sfDir))
+      .queryExecution.toRdd.count(): Unit
 
   private def measureQuery(spark: SparkSession, sfDir: String, name: String): QStat = {
     var failures = 0

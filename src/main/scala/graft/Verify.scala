@@ -30,8 +30,11 @@ object Verify {
       .map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
+          // begin() declares the built plan in-flight so entries OTHER
+          // concurrent threads track can't be unpersisted mid-scan when
+          // CacheManager substitutes them into this query (q80/q175 race)
+          try CachedFrames.begin(fn(spark, sfDir)).coalesce(1).write
+            .mode("overwrite").parquet(s"$outDir/$name")
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           } finally CachedFrames.drain() // builder ran on this thread

@@ -39,6 +39,98 @@ class CachedFramesSpec extends AnyFunSuite with SparkSpec {
     assert(mine.storageLevel === StorageLevel.NONE)
   }
 
+  // --- the q175 embedded-cached-plan race, closed as a class by begin() ---
+  // Shape: thread B tracks (and caches) a frame; query A merely EMBEDS that
+  // frame's plan without tracking it. CacheManager substitutes B's cached
+  // relation into A's execution, so before begin(), B draining last
+  // unpersisted the relation mid-scan and A shipped 0 rows (q80 round 7,
+  // q175 round 13 — commit 9fcac12). begin() pins every tracked entry whose
+  // key appears in A's plan-signature set, whichever side arrives first.
+
+  private def runJoined(body: => Unit): Unit = {
+    var err: Option[Throwable] = None
+    val t = new Thread(() => try body catch { case e: Throwable => err = Some(e) })
+    t.start(); t.join()
+    err.foreach(throw _)
+  }
+
+  test("begin() pins an already-cached entry a query embeds, so the " +
+    "tracker's drain cannot unpersist it mid-query (q175 shape)") {
+    val base = build()
+    // thread B: tracks the shared frame, holds it across our begin
+    val bDrained = new java.util.concurrent.CountDownLatch(1)
+    val bTracked = new java.util.concurrent.CountDownLatch(1)
+    var bErr: Option[Throwable] = None
+    val b = new Thread(() => try {
+      CachedFrames.track(build())
+      bTracked.countDown()
+      bDrained.await()
+      CachedFrames.drain()
+    } catch { case e: Throwable => bErr = Some(e) })
+    b.start(); bTracked.await()
+    // main thread = query A: embeds base's plan WITHOUT tracking it
+    val embedder = base.groupBy().agg(sum(col("x")).as("s"))
+    CachedFrames.begin(embedder)
+    bDrained.countDown(); b.join()
+    bErr.foreach(throw _)
+    assert(base.storageLevel !== StorageLevel.NONE,
+      "tracker's drain must not unpersist an entry an in-flight query embeds")
+    assert(embedder.collect().head.getLong(0) === (0 until 1000).filter(_ % 7 == 1).sum)
+    CachedFrames.drain() // A retires: last holder, entry released
+    assert(base.storageLevel === StorageLevel.NONE)
+    assert(CachedFrames.entryCount === 0)
+  }
+
+  test("an entry created AFTER begin() is pinned onto the in-flight " +
+    "embedder at track() time (the window a begin-time scan misses)") {
+    val base = build()
+    val embedder = base.filter(col("x") > 100).groupBy().count()
+    CachedFrames.begin(embedder) // base not cached yet — nothing to pin yet
+    // thread B now tracks the embedded plan, runs its query, and drains
+    runJoined {
+      CachedFrames.track(build()).count()
+      CachedFrames.drain()
+    }
+    assert(base.storageLevel !== StorageLevel.NONE,
+      "a fresh entry embedded in an in-flight query must survive its " +
+        "creator's drain")
+    assert(embedder.collect().head.getLong(0) ===
+      (0 until 1000).count(x => x % 7 == 1 && x > 100))
+    CachedFrames.drain()
+    assert(base.storageLevel === StorageLevel.NONE)
+    assert(CachedFrames.entryCount === 0)
+  }
+
+  test("begin() on a query embedding nothing tracked pins nothing and " +
+    "leaves other threads' entries untouched") {
+    val unrelated = spark.range(200).toDF("y")
+    CachedFrames.begin(unrelated.groupBy().count())
+    runJoined {
+      val theirs = CachedFrames.track(build())
+      CachedFrames.drain()
+      assert(theirs.storageLevel === StorageLevel.NONE,
+        "an unrelated in-flight query must not pin a foreign entry")
+    }
+    CachedFrames.drain()
+    assert(CachedFrames.entryCount === 0)
+  }
+
+  test("drainSince keeps begin() pins — they belong to the enclosing query") {
+    val base = build()
+    // this thread is both the holder and the embedder: one tracked ref plus
+    // one begin() pin; a nested drainSince must release neither
+    CachedFrames.track(base)
+    CachedFrames.begin(base.groupBy().count())
+    val m = CachedFrames.mark()
+    CachedFrames.track(spark.range(50).toDF("z"))
+    CachedFrames.drainSince(m)
+    assert(base.storageLevel !== StorageLevel.NONE,
+      "nested drainSince must not release the enclosing query's pins")
+    CachedFrames.drain()
+    assert(base.storageLevel === StorageLevel.NONE)
+    assert(CachedFrames.entryCount === 0)
+  }
+
   test("drainSince releases only frames tracked after the mark — nested " +
     "library composition keeps the caller's caches") {
     val callers = CachedFrames.track(build())
