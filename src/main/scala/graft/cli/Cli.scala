@@ -414,6 +414,39 @@ object MaskCorpus {
   }
 }
 
+/** Job 12b — substring-dedup APPLY for release (q184): rewrite a documents
+  * parquet with every repeated span of [[graft.ops.TextOps.SubstrW]]+
+  * tokens removed from all but its canonical first site (Lee et al. 2022),
+  * `text` replaced by the cleaned form and the removal accounting appended
+  * (`n_substr_removed`, `n_substr_spans`) — the rewrite q166 only plans,
+  * wired the same way MaskCorpus applies q96's PII plan:
+  *
+  *   runMain graft.cli.DedupSubstrings --input docs.parquet --output /tmp/clean
+  *
+  * At 100 TB this is q166's pipeline (gram rollup + postings join, never
+  * doc×doc) plus one doc-keyed join back onto the corpus — the rewrite
+  * itself is a codegen'd per-row array filter. */
+object DedupSubstrings {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-dedup-substrings") { spark =>
+    val docs = graft.Tables.parallelized(spark.read.parquet(a("input")))
+    val appended = Seq("n_substr_removed", "n_substr_spans")
+    val collisions = docs.columns.toSet.intersect(appended.toSet)
+    require(collisions.isEmpty,
+      s"input already has column(s) ${collisions.toSeq.sorted.mkString(", ")} — " +
+        "refusing to overwrite; rename or drop them first")
+    try docs.drop("text")
+      .join(graft.ops.TextOps.substrApplyOn(docs).select(col("doc_id"),
+        col("cleaned_text").as("text"),
+        col("n_removed").as("n_substr_removed"),
+        col("n_spans").as("n_substr_spans")), "doc_id")
+      .write.mode("overwrite").parquet(a("output"))
+    finally graft.CachedFrames.drain()
+    }
+  }
+}
+
 /** Tokenizer TRAINING job — run q97's merge loop over a (doc_id, text)
   * corpus and persist the merge table (rank, pair, n) as the tokenizer
   * artifact: the text pipeline's model sink (S4), same save/load-then-apply

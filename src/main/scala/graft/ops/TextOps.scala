@@ -4349,15 +4349,15 @@ object TextOps {
   def q166SubstrDedup(spark: SparkSession, sfDir: String): DataFrame =
     substrDedupOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
 
-  /** The removal-plan core over ANY (doc_id, text) frame — fixture-testable.
-    * `cache = false` is the PlanSpec seam: a tracked frame's InMemoryRelation
-    * truncates executedPlan text at its nested AdaptiveSparkPlan, hiding the
-    * whole rollup subtree from the pin. */
-  private[graft] def substrDedupOn(docs: DataFrame,
-      cache: Boolean = true): DataFrame = {
+  /** Shared core of the substring-dedup family (q166 plan / q183 savings /
+    * q184 apply): the sized-token frame (cached — it feeds the gram explode
+    * AND the per-doc roster) and the redundant-anchor frame (doc_id, pos of
+    * every non-canonical site of a repeated gram). Splitting the core out
+    * keeps the REMOVAL SEMANTICS single-sourced: the q184 rewrite removes
+    * exactly the positions q166 counts, by construction. */
+  private def substrCoreOn(docs: DataFrame,
+      cache: Boolean): (DataFrame, DataFrame) = {
     val W = SubstrW
-    // cached: sized token arrays feed both the gram explode and the final
-    // per-doc roster (every doc reports, even with nothing to remove)
     val sizedRaw = docs.select(col("doc_id"),
       expr("""split(trim(text), '\\s+')""").as("arr"))
       .withColumn("n_tokens", size(col("arr")))
@@ -4375,6 +4375,17 @@ object TextOps {
     val red = sites.join(firsts, "gram")
       .filter(col("site") =!= col("first_site"))
       .select(col("doc_id"), col("pos"))
+    (sized, red)
+  }
+
+  /** The removal-plan core over ANY (doc_id, text) frame — fixture-testable.
+    * `cache = false` is the PlanSpec seam: a tracked frame's InMemoryRelation
+    * truncates executedPlan text at its nested AdaptiveSparkPlan, hiding the
+    * whole rollup subtree from the pin. */
+  private[graft] def substrDedupOn(docs: DataFrame,
+      cache: Boolean = true): DataFrame = {
+    val W = SubstrW
+    val (sized, red) = substrCoreOn(docs, cache)
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = red.withColumn("prev", lag(col("pos"), 1).over(wd))
       .select(col("doc_id"),
@@ -4427,5 +4438,119 @@ object TextOps {
       CAST(s.n_tokens - coalesce(a.n_removed, 0) AS DOUBLE)
         / CAST(s.n_tokens AS DOUBLE) AS keep_ratio
     FROM s LEFT JOIN a USING (doc_id)
+  """
+
+  /** q184: SUBSTRING-DEDUP APPLY — materialize the cleaned corpus q166
+    * only PLANS. q166 reports per-doc tokens-to-remove/spans/keep-ratio;
+    * this operator performs the rewrite: tokens covered by redundant spans
+    * are dropped and the surviving tokens are rejoined into `cleaned_text`
+    * (single-space separated — whitespace is normalized by the same
+    * `split(trim(text))` tokenization the plan counts on). This is the
+    * artifact the packing pass (q59) and the shard writer actually
+    * consume; without it the dedup family computed a plan nothing applied
+    * (contrast: PII masking has MaskCorpus). The CLI face is
+    * [[graft.cli.DedupSubstrings]].
+    *
+    * Self-consistency is IN THE GATE: the Spark side reports `n_kept` as
+    * the SIZE OF THE REBUILT ARRAY while the oracle derives it
+    * arithmetically as n_tokens − n_removed — the hash compare proves the
+    * rewrite drops exactly the tokens the plan counts, doc by doc, and
+    * the cleaned strings themselves are compared verbatim.
+    *
+    * Scale shape: q166's shared core ([[substrCoreOn]] — grams per-row,
+    * one map-side min+count on the packed site key, postings join, never
+    * doc×doc), then spans merge per doc over redundant anchors only (two
+    * per-doc windows + one ≤|spans| rollup), one left join of the
+    * |spans|-bearing docs back onto the corpus, and a codegen'd per-row
+    * array `filter` against the doc's own merged span list (|spans| per
+    * doc is small — boilerplate runs merge). One corpus rewrite, no
+    * second corpus-wide shuffle beyond q166's own. */
+  def q184SubstrApply(spark: SparkSession, sfDir: String): DataFrame =
+    substrApplyOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+
+  /** The rewrite core over ANY (doc_id, text) frame — fixture-testable;
+    * `cache` is the PlanSpec seam (q166's). */
+  private[graft] def substrApplyOn(docs: DataFrame,
+      cache: Boolean = true): DataFrame = {
+    val W = SubstrW
+    val (sized, red) = substrCoreOn(docs, cache)
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // merged covered spans per doc (q123 run-compression, as q166, but
+    // keeping the interval bounds instead of only counting coverage)
+    val flagged = red.withColumn("prev", lag(col("pos"), 1).over(wd))
+      .withColumn("new_span",
+        when(col("prev").isNull || col("pos") - col("prev") > W, 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = flagged.groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(W - 1)).as("e"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"),
+        sum(col("e") - col("s") + 1).as("n_removed"),
+        count(lit(1)).as("n_spans"))
+    sized.join(perDoc, Seq("doc_id"), "left")
+      // span order in the collected list is shuffle-arrival order — the
+      // membership test below is order-insensitive and spans are not output
+      .withColumn("kept", expr("CASE WHEN spans IS NULL THEN arr ELSE " +
+        "filter(arr, (t, i) -> NOT exists(spans, " +
+        "x -> i + 1 >= x.s AND i + 1 <= x.e)) END"))
+      .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).cast("bigint").as("n_removed"),
+        coalesce(col("n_spans"), lit(0L)).cast("bigint").as("n_spans"),
+        size(col("kept")).cast("bigint").as("n_kept"),
+        array_join(col("kept"), " ").as("cleaned_text"))
+  }
+
+  val q184SubstrApplySql: String = s"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+      FROM documents),
+    s AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens, arr FROM t),
+    g AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        array_to_string(arr[i:i + ${SubstrW - 1}], chr(1)) AS gram,
+        doc_id * $SubstrPosPack + CAST(i AS BIGINT) AS site
+      FROM s, UNNEST(generate_series(1, len(arr) - ${SubstrW - 1})) AS u(i)
+      WHERE n_tokens >= $SubstrW),
+    f AS (
+      SELECT gram, min(site) AS first_site
+      FROM g GROUP BY 1 HAVING count(*) >= 2),
+    r AS (
+      SELECT g.doc_id, g.pos FROM g JOIN f USING (gram)
+      WHERE g.site <> f.first_site),
+    c AS (
+      SELECT doc_id, pos,
+        lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM r),
+    sid AS (
+      SELECT doc_id, pos,
+        sum(CASE WHEN prev IS NULL OR pos - prev > $SubstrW -- guard:ok internal span numbering; outputs below are CAST
+            THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM c),
+    sp AS (
+      SELECT doc_id, min(pos) AS sps, max(pos) + ${SubstrW - 1} AS spe
+      FROM sid GROUP BY doc_id, span_id),
+    pd AS (
+      SELECT doc_id,
+        list(struct_pack(s := sps, e := spe)) AS spans,
+        CAST(sum(spe - sps + 1) AS BIGINT) AS n_removed,
+        CAST(count(*) AS BIGINT) AS n_spans
+      FROM sp GROUP BY doc_id)
+    SELECT s.doc_id, s.n_tokens,
+      CAST(coalesce(pd.n_removed, 0) AS BIGINT) AS n_removed,
+      CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
+      CAST(s.n_tokens - coalesce(pd.n_removed, 0) AS BIGINT) AS n_kept,
+      CASE WHEN pd.spans IS NULL THEN array_to_string(s.arr, ' ')
+        -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+        -- array_join([]) is '' — an all-removed doc must agree
+        ELSE coalesce(array_to_string(list_transform(
+          list_filter(generate_series(1, len(s.arr)),
+            i -> len(list_filter(pd.spans,
+              x -> i >= x.s AND i <= x.e)) = 0),
+          i -> s.arr[i]), ' '), '')
+      END AS cleaned_text
+    FROM s LEFT JOIN pd USING (doc_id)
   """
 }

@@ -1101,6 +1101,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
+  test("q184_substr_apply: q166's core (per-row grams, map-side site min, " +
+      "equi postings join) plus per-doc spans and a codegen array rebuild — " +
+      "no third corpus explode, no global-order window") {
+    // cache = false: the tracked sized frame's nested AdaptiveSparkPlan
+    // truncates the plan text (q166's seam)
+    val df = ops.TextOps.substrApplyOn(
+      Tables(spark, sf, "documents"), cache = false)
+    try {
+      df.queryExecution.toRdd.count()
+      val s = df.queryExecution.executedPlan.toString
+      val cut = s.indexOf("== Initial Plan ==")
+      val p = if (cut >= 0) s.substring(0, cut) else s
+      assert(nodes(p, "CartesianProduct") == 0, p)
+      assert(nodes(p, "BroadcastNestedLoopJoin") == 0, p)
+      assert(p.contains("partial_min"), p) // packed-site min combines map-side
+      // sites explode feeds the rollup and the join-back probe — exactly
+      // q166's two Generates; the rebuild itself is array HOFs, not a join
+      assert(nodes(p, "Generate") == 2, p)
+      assert(!p.contains("windowspecdefinition(ORDER BY"), p) // per-doc only
+    } finally CachedFrames.drain()
+  }
+
   test("q149_hits: both propagation rounds are key-joins + map-side " +
       "combined sums over the cached edge list — nothing quadratic") {
     val p = finalPlan("q149_hits")

@@ -54,6 +54,33 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dedup-substrings rewrites text with q184's cleaned form, keeps " +
+      "every other column, appends the removal accounting") {
+    import org.apache.spark.sql.functions.col
+    spark // force shared session so the CLI's getOrCreate reuses it
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-substr").toString
+    DedupSubstrings.main(Array(
+      "--input", s"$sf/documents.parquet", "--output", s"$dir/clean"))
+    val back = spark.read.parquet(s"$dir/clean")
+    val orig = spark.read.parquet(s"$sf/documents.parquet")
+    assert(back.columns.toSet === orig.columns.toSet ++
+      Set("n_substr_removed", "n_substr_spans"))
+    assert(back.count() === orig.count())
+    // text and accounting agree with the gate query row-by-row
+    val gate = graft.ops.TextOps.substrApplyOn(orig)
+      .select(col("doc_id"), col("cleaned_text"), col("n_removed"),
+        col("n_spans")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    graft.CachedFrames.drain()
+    back.select(col("doc_id"), col("text"), col("n_substr_removed"),
+      col("n_substr_spans")).collect().foreach { r =>
+      assert((r.getString(1), r.getLong(2), r.getLong(3)) ===
+        gate(r.getLong(0)), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("train-tokenizer → encode-corpus round-trips: persisted merges " +
       "reproduce the q98 gate counts and keep every input column") {
     import org.apache.spark.sql.functions.col

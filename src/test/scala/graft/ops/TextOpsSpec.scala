@@ -958,6 +958,53 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       3L -> ((17L, 8L, 1L, 9.0 / 17.0))))
   }
 
+  test("q184 substring-dedup apply: rebuilds exactly the tokens the q166 " +
+    "plan keeps — later copy stripped, within-doc repeat stripped, " +
+    "full-duplicate doc emptied, untouched docs byte-identical") {
+    import spark.implicits._
+    val passage = (1 to 9).map(i => s"a$i").mkString(" ") // 9 tokens, W=8
+    val block = (1 to 8).map(i => s"p$i").mkString(" ")   // exactly W tokens
+    val docs = Seq(
+      (1L, passage),                  // canonical copy — kept intact
+      (2L, s"x $passage y"),          // later copy — the 9 tokens leave
+      (3L, s"$block z $block"),       // within-doc repeat — 2nd copy leaves
+      (4L, passage))                  // full duplicate — everything leaves
+      .toDF("doc_id", "text")
+    val got = TextOps.substrApplyOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))).toMap
+    graft.CachedFrames.drain()
+    assert(got === Map(
+      1L -> ((9L, 0L, 0L, 9L, passage)),
+      2L -> ((11L, 9L, 1L, 2L, "x y")),
+      3L -> ((17L, 8L, 1L, 9L, s"$block z")),
+      4L -> ((9L, 9L, 1L, 0L, ""))))
+  }
+
+  test("q184 ≡ q166 law: on the sf0.001 corpus the rewrite's accounting " +
+    "matches the plan's doc by doc, and the rebuilt length is exactly " +
+    "n_tokens − n_removed") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    try {
+      val plan = TextOps.q166SubstrDedup(spark, sf)
+        .select(col("doc_id"), col("n_tokens").as("pt"),
+          col("n_removed").as("pr"), col("n_spans").as("ps"))
+      val apply = TextOps.q184SubstrApply(spark, sf)
+      val joined = apply.join(plan, "doc_id")
+      assert(joined.count() === apply.count()) // bijective on doc_id
+      val bad = joined.filter(col("n_tokens") =!= col("pt") ||
+        col("n_removed") =!= col("pr") || col("n_spans") =!= col("ps") ||
+        col("n_kept") =!= col("n_tokens") - col("n_removed") ||
+        // the STRING is consistent too: its token count is n_kept (empty
+        // string ↔ zero tokens kept)
+        when(col("cleaned_text") === "", lit(0L))
+          .otherwise(size(split(col("cleaned_text"), " ")).cast("bigint"))
+          =!= col("n_kept")).count()
+      assert(bad === 0L)
+    } finally graft.CachedFrames.drain()
+  }
+
   test("q145 degree-first orientation: a lowest-id hub star counts its " +
     "one triangle correctly (the id-ordering worst case)") {
     import spark.implicits._
