@@ -447,6 +447,67 @@ object DedupSubstrings {
   }
 }
 
+/** Job 12c — materialize the substring-dedup GRAM INDEX of a standing
+  * corpus (its distinct W-token grams) so later batches admit against the
+  * index instead of re-scanning base text — the substring sibling of
+  * BuildCorpusIndex:
+  *
+  *   runMain graft.cli.BuildSubstrIndex --input docs.parquet --output /tmp/gidx
+  */
+object BuildSubstrIndex {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-build-substr-index") { spark =>
+    val docs = graft.Tables.parallelized(spark.read.parquet(a("input")))
+    graft.ops.TextOps.substrIndexFrame(docs)
+      .write.mode("overwrite").parquet(s"${a("output")}/grams")
+    }
+  }
+}
+
+/** Job 12d — admit a document batch against a persisted gram index (job
+  * 12c's output): per batch doc, the q166 removal plan counting the base
+  * as canonical (immutable-base contract — see
+  * [[graft.ops.TextOps.substrAdmitAgainstIndex]]); the substring sibling
+  * of AdmitBatch:
+  *
+  *   runMain graft.cli.AdmitSubstrings --input batch.parquet \
+  *     --index /tmp/gidx --output /tmp/plan
+  */
+object AdmitSubstrings {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-admit-substrings") { spark =>
+    val batch = graft.Tables.parallelized(spark.read.parquet(a("input")))
+    val index = spark.read.parquet(s"${a("index")}/grams")
+    try graft.ops.TextOps.substrAdmitAgainstIndex(batch, index)
+      .write.mode("overwrite").parquet(a("output"))
+    finally graft.CachedFrames.drain()
+    }
+  }
+}
+
+/** Job 12e — extend a persisted gram index with an admitted batch's grams
+  * (union-distinct — the base is NEVER re-scanned), so the next admission
+  * sees base ∪ batch as its standing corpus; the substring sibling of
+  * ExtendCorpusIndex. The law: extend(index(base), batch) ≡
+  * index(base ∪ batch) — pinned in CliSpec.
+  *
+  *   runMain graft.cli.ExtendSubstrIndex --index /tmp/gidx \
+  *     --batch batch.parquet --output /tmp/gidx2
+  */
+object ExtendSubstrIndex {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-extend-substr-index") { spark =>
+    val index = spark.read.parquet(s"${a("index")}/grams")
+    val batch = graft.Tables.parallelized(spark.read.parquet(a("batch")))
+    index.union(graft.ops.TextOps.substrIndexFrame(batch)).distinct()
+      .write.mode("overwrite").parquet(s"${a("output")}/grams")
+    }
+  }
+}
+
 /** Tokenizer TRAINING job — run q97's merge loop over a (doc_id, text)
   * corpus and persist the merge table (rank, pair, n) as the tokenizer
   * artifact: the text pipeline's model sink (S4), same save/load-then-apply

@@ -4357,17 +4357,8 @@ object TextOps {
     * exactly the positions q166 counts, by construction. */
   private def substrCoreOn(docs: DataFrame,
       cache: Boolean): (DataFrame, DataFrame) = {
-    val W = SubstrW
-    val sizedRaw = docs.select(col("doc_id"),
-      expr("""split(trim(text), '\\s+')""").as("arr"))
-      .withColumn("n_tokens", size(col("arr")))
-    val sized = if (cache) graft.CachedFrames.track(sizedRaw) else sizedRaw
-    val sites = sized.filter(col("n_tokens") >= W)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, n_tokens - ${W - 1}), " +
-        s"i -> array_join(slice(arr, i, $W), char(1)))")))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
-      .withColumn("site", col("doc_id") * SubstrPosPack + col("pos"))
+    val sized = substrSized(docs, cache)
+    val sites = substrSitesOf(sized)
     val firsts = sites.groupBy(col("gram"))
       .agg(min(col("site")).as("first_site"), count(lit(1)).as("n_sites"))
       .filter(col("n_sites") >= 2)
@@ -4378,14 +4369,43 @@ object TextOps {
     (sized, red)
   }
 
+  /** Sized token arrays (cached — they feed the gram explode AND the
+    * per-doc roster). */
+  private def substrSized(docs: DataFrame, cache: Boolean): DataFrame = {
+    val sizedRaw = docs.select(col("doc_id"),
+      expr("""split(trim(text), '\\s+')""").as("arr"))
+      .withColumn("n_tokens", size(col("arr")))
+    if (cache) graft.CachedFrames.track(sizedRaw) else sizedRaw
+  }
+
+  /** Every W-token gram SITE (doc_id, 1-based pos, gram, packed site key)
+    * of a sized frame — built per-row with array HOFs, no self-join. */
+  private def substrSitesOf(sized: DataFrame): DataFrame = {
+    val W = SubstrW
+    sized.filter(col("n_tokens") >= W)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, n_tokens - ${W - 1}), " +
+        s"i -> array_join(slice(arr, i, $W), char(1)))")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+      .withColumn("site", col("doc_id") * SubstrPosPack + col("pos"))
+  }
+
   /** The removal-plan core over ANY (doc_id, text) frame — fixture-testable.
     * `cache = false` is the PlanSpec seam: a tracked frame's InMemoryRelation
     * truncates executedPlan text at its nested AdaptiveSparkPlan, hiding the
     * whole rollup subtree from the pin. */
   private[graft] def substrDedupOn(docs: DataFrame,
       cache: Boolean = true): DataFrame = {
-    val W = SubstrW
     val (sized, red) = substrCoreOn(docs, cache)
+    substrPlanOf(sized, red)
+  }
+
+  /** q166's per-doc rollup tail over ANY (sized, redundant-anchor) pair —
+    * shared by the batch plan and the incremental admission face, so both
+    * report the identical (n_tokens, n_removed, n_spans, keep_ratio)
+    * schema from the identical coverage-merge semantics. */
+  private def substrPlanOf(sized: DataFrame, red: DataFrame): DataFrame = {
+    val W = SubstrW
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = red.withColumn("prev", lag(col("pos"), 1).over(wd))
       .select(col("doc_id"),
@@ -4553,4 +4573,56 @@ object TextOps {
       END AS cleaned_text
     FROM s LEFT JOIN pd USING (doc_id)
   """
+
+  // --- incremental face of substring dedup (the q71/AdmitBatch pattern) ---
+
+  /** The persisted GRAM INDEX of a standing corpus: its distinct W-token
+    * grams. Existence is all admission needs — under the immutable-base
+    * contract (below) a batch site whose gram the base contains is
+    * redundant regardless of base multiplicity or position, so the index
+    * stores no counts and no sites: |distinct grams| rows of one string
+    * column, the cheapest index that makes admission exact. Rebuilding
+    * this from a 100 TB base is the expensive pass [[substrAdmitAgainstIndex]]
+    * exists to avoid; extension after an admitted batch is a union-distinct
+    * ([[graft.cli.ExtendSubstrIndex]]), never a re-scan of the base. */
+  private[graft] def substrIndexFrame(docs: DataFrame): DataFrame =
+    substrSitesOf(substrSized(docs, cache = false))
+      .select(col("gram")).distinct()
+
+  /** Admit a document batch against a persisted gram index: per batch doc,
+    * the q166 removal plan (same schema) counting the base as canonical.
+    *
+    * IMMUTABLE-BASE CONTRACT (the canonical-first subtlety, adjudicated in
+    * SCALE.md): the base corpus is already deduplicated and is NEVER
+    * rewritten by an admission; batch doc_ids FOLLOW all base doc_ids in
+    * the canonical (doc_id, pos) order (monotone ingest ids — the same
+    * precondition the packed site key already imposes). A batch site is
+    * therefore redundant iff its gram exists in the base AT ALL (the
+    * base's earliest site out-ranks every batch site), or the gram repeats
+    * within the batch and the site is not the batch's own minimum. Under
+    * that contract this is EXACTLY the batch plan on base ∪ batch
+    * restricted to batch docs (the TextOpsSpec law), while reading only
+    * |batch| text plus the gram index.
+    *
+    * Scale shape: the batch explodes per-row as q166; the index probe is
+    * one gram-keyed LEFT join against the deduped index (at-most-one
+    * match — no row multiplication); the within-batch pass is q166's
+    * min+count rollup over batch sites only. Nothing touches base text. */
+  private[graft] def substrAdmitAgainstIndex(batch: DataFrame,
+      index: DataFrame): DataFrame = {
+    val sized = substrSized(batch, cache = true)
+    val sites = substrSitesOf(sized)
+    val batchFirsts = sites.groupBy(col("gram"))
+      .agg(min(col("site")).as("first_site"), count(lit(1)).as("n_sites"))
+      .filter(col("n_sites") >= 2)
+      .select(col("gram"), col("first_site"))
+    val red = sites
+      .join(index.select(col("gram")).withColumn("in_base", lit(true)),
+        Seq("gram"), "left")
+      .join(batchFirsts, Seq("gram"), "left")
+      .filter(col("in_base").isNotNull ||
+        (col("first_site").isNotNull && col("site") =!= col("first_site")))
+      .select(col("doc_id"), col("pos"))
+    substrPlanOf(sized, red)
+  }
 }

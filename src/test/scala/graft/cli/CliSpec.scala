@@ -81,6 +81,37 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("substr-index round-trip: build on the lower half, admit the upper " +
+      "half against the artifact ≡ the full batch plan restricted to it, " +
+      "then extend(index(base), batch) ≡ index(base ∪ batch)") {
+    import org.apache.spark.sql.functions.col
+    spark // force shared session so the CLI's getOrCreate reuses it
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-gidx").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.filter(col("doc_id") < 250).write.parquet(s"$dir/base")
+    docs.filter(col("doc_id") >= 250).write.parquet(s"$dir/delta")
+    BuildSubstrIndex.main(Array(
+      "--input", s"$dir/base", "--output", s"$dir/gidx"))
+    AdmitSubstrings.main(Array(
+      "--input", s"$dir/delta", "--index", s"$dir/gidx",
+      "--output", s"$dir/plan"))
+    val admitted = spark.read.parquet(s"$dir/plan")
+      .collect().map(_.toSeq).toSet
+    val unionPlan = graft.ops.TextOps.substrDedupOn(docs)
+      .filter(col("doc_id") >= 250).collect().map(_.toSeq).toSet
+    graft.CachedFrames.drain()
+    assert(admitted === unionPlan)
+    ExtendSubstrIndex.main(Array(
+      "--index", s"$dir/gidx", "--batch", s"$dir/delta",
+      "--output", s"$dir/gidx2"))
+    val extended = spark.read.parquet(s"$dir/gidx2/grams")
+      .collect().map(_.getString(0)).toSet
+    val full = graft.ops.TextOps.substrIndexFrame(docs)
+      .collect().map(_.getString(0)).toSet
+    assert(extended === full)
+  }
+
   test("train-tokenizer → encode-corpus round-trips: persisted merges " +
       "reproduce the q98 gate counts and keep every input column") {
     import org.apache.spark.sql.functions.col

@@ -1005,6 +1005,58 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     } finally graft.CachedFrames.drain()
   }
 
+  test("substring admission law (fixture): admit(index(base), delta) ≡ " +
+    "the batch plan on base ∪ delta restricted to delta docs, under the " +
+    "immutable-base id-ordering contract") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val passage = (1 to 9).map(i => s"b$i").mkString(" ")  // lives in base
+    val block = (1 to 8).map(i => s"d$i").mkString(" ")    // delta-only
+    val fresh = (1 to 10).map(i => s"f$i").mkString(" ")
+    val base = Seq((1L, passage), (2L, s"u1 u2 u3 u4 u5 u6 u7 u8 u9"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, s"x $passage y"),        // dup vs base → all 9 tokens leave
+      (11L, s"$block z $block"),     // within-delta repeat → 2nd copy leaves
+      (12L, block),                  // 3rd copy — doc 11 pos 1 is canonical,
+                                     //   so doc 12's whole text leaves
+      (13L, fresh))                  // untouched
+      .toDF("doc_id", "text")
+    val admitted = TextOps.substrAdmitAgainstIndex(delta,
+      TextOps.substrIndexFrame(base)).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    graft.CachedFrames.drain()
+    val unionPlan = TextOps.substrDedupOn(base.union(delta))
+      .filter(col("doc_id") >= 10L).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    graft.CachedFrames.drain()
+    assert(admitted === unionPlan)
+    // and the semantics are the intended ones, not just self-consistent
+    assert(admitted(10L).take(3) === Seq(11L, 9L, 1L))
+    assert(admitted(13L).take(3) === Seq(10L, 0L, 0L))
+  }
+
+  test("substring admission law (sf0.001): splitting the corpus at the " +
+    "median id, admission of the upper half against the lower half's " +
+    "index equals the full batch plan restricted to the upper half") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    try {
+      val docs = Tables(spark, sf, "documents")
+      val base = docs.filter(col("doc_id") < 250)
+      val delta = docs.filter(col("doc_id") >= 250)
+      val admitted = TextOps.substrAdmitAgainstIndex(delta,
+        TextOps.substrIndexFrame(base))
+      val unionPlan = TextOps.substrDedupOn(docs)
+        .filter(col("doc_id") >= 250)
+      assert(admitted.collect().map(_.toSeq).toSet ===
+        unionPlan.collect().map(_.toSeq).toSet)
+      // the split must actually exercise the cross-half path: at least one
+      // upper-half doc loses tokens to a lower-half canonical
+      assert(admitted.filter(col("n_removed") > 0).count() > 0)
+    } finally graft.CachedFrames.drain()
+  }
+
   test("q145 degree-first orientation: a lowest-id hub star counts its " +
     "one triangle correctly (the id-ordering worst case)") {
     import spark.implicits._
