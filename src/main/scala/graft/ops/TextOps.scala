@@ -4343,9 +4343,11 @@ object TextOps {
     * doc×doc. Coverage merge is the q123 run-compression idiom: one lag
     * window PER DOCUMENT over redundant anchors only (orders of magnitude
     * smaller than the corpus), then a map-side rollup. At 100 TB the gram
-    * payload in the shuffle can swap to md5(gram) (128-bit; collision odds
-    * ~n²/2¹²⁹) — the gate keeps raw grams because the operator's contract
-    * is EXACT. */
+    * payload in the shuffle swaps to the 16-byte md5 digest — WIRED as
+    * `substrDedupOn(docs, hashedGrams = true)` (collision odds ~n²/2¹²⁹;
+    * equality vs the raw plan is spec-pinned on the gate corpus) — while
+    * the gate default keeps raw grams because the operator's contract is
+    * EXACT. */
   def q166SubstrDedup(spark: SparkSession, sfDir: String): DataFrame =
     substrDedupOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
 
@@ -4355,10 +4357,10 @@ object TextOps {
     * every non-canonical site of a repeated gram). Splitting the core out
     * keeps the REMOVAL SEMANTICS single-sourced: the q184 rewrite removes
     * exactly the positions q166 counts, by construction. */
-  private def substrCoreOn(docs: DataFrame,
-      cache: Boolean): (DataFrame, DataFrame) = {
+  private def substrCoreOn(docs: DataFrame, cache: Boolean,
+      hashedGrams: Boolean = false): (DataFrame, DataFrame) = {
     val sized = substrSized(docs, cache)
-    val sites = substrSitesOf(sized)
+    val sites = substrSitesOf(sized, hashedGrams)
     val firsts = sites.groupBy(col("gram"))
       .agg(min(col("site")).as("first_site"), count(lit(1)).as("n_sites"))
       .filter(col("n_sites") >= 2)
@@ -4379,13 +4381,22 @@ object TextOps {
   }
 
   /** Every W-token gram SITE (doc_id, 1-based pos, gram, packed site key)
-    * of a sized frame — built per-row with array HOFs, no self-join. */
-  private def substrSitesOf(sized: DataFrame): DataFrame = {
+    * of a sized frame — built per-row with array HOFs, no self-join.
+    * `hashed` swaps the gram payload for its 16-byte md5 digest BEFORE the
+    * explode leaves the row — the 100 TB shuffle-width variant: the gram
+    * rollup and the postings join then move a fixed 16 bytes per site
+    * instead of the raw W-token string (~3× narrower on the gate corpus).
+    * The swap trades the contract's absolute exactness for a ~n²/2¹²⁹
+    * md5-collision chance, so the GATE default stays raw; the equality
+    * spec (TextOpsSpec) pins hashed ≡ raw on the gate corpus. */
+  private def substrSitesOf(sized: DataFrame,
+      hashed: Boolean = false): DataFrame = {
     val W = SubstrW
+    val gramExpr = s"array_join(slice(arr, i, $W), char(1))"
+    val payload = if (hashed) s"unhex(md5($gramExpr))" else gramExpr
     sized.filter(col("n_tokens") >= W)
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, n_tokens - ${W - 1}), " +
-        s"i -> array_join(slice(arr, i, $W), char(1)))")))
+        s"transform(sequence(1, n_tokens - ${W - 1}), i -> $payload)")))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
       .withColumn("site", col("doc_id") * SubstrPosPack + col("pos"))
   }
@@ -4394,9 +4405,9 @@ object TextOps {
     * `cache = false` is the PlanSpec seam: a tracked frame's InMemoryRelation
     * truncates executedPlan text at its nested AdaptiveSparkPlan, hiding the
     * whole rollup subtree from the pin. */
-  private[graft] def substrDedupOn(docs: DataFrame,
-      cache: Boolean = true): DataFrame = {
-    val (sized, red) = substrCoreOn(docs, cache)
+  private[graft] def substrDedupOn(docs: DataFrame, cache: Boolean = true,
+      hashedGrams: Boolean = false): DataFrame = {
+    val (sized, red) = substrCoreOn(docs, cache, hashedGrams)
     substrPlanOf(sized, red)
   }
 

@@ -1005,6 +1005,26 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     } finally graft.CachedFrames.drain()
   }
 
+  test("hashed-gram shuffle payload ≡ raw grams on the gate corpus and " +
+    "on the crafted fixture (the 100 TB width variant changes bytes " +
+    "moved, never the plan)") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    try {
+      val docs = Tables(spark, sf, "documents")
+      val raw = TextOps.substrDedupOn(docs).collect().map(_.toSeq).toSet
+      val hashed = TextOps.substrDedupOn(docs, hashedGrams = true)
+        .collect().map(_.toSeq).toSet
+      assert(hashed === raw)
+    } finally graft.CachedFrames.drain()
+    val passage = (1 to 9).map(i => s"a$i").mkString(" ")
+    val fx = Seq((1L, passage), (2L, s"x $passage y")).toDF("doc_id", "text")
+    try assert(
+      TextOps.substrDedupOn(fx, hashedGrams = true).collect().map(_.toSeq).toSet
+        === TextOps.substrDedupOn(fx).collect().map(_.toSeq).toSet)
+    finally graft.CachedFrames.drain()
+  }
+
   test("substring admission law (fixture): admit(index(base), delta) ≡ " +
     "the batch plan on base ∪ delta restricted to delta docs, under the " +
     "immutable-base id-ordering contract") {
