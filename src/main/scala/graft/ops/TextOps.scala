@@ -3881,6 +3881,130 @@ object TextOps {
     FROM t
   """
 
+  /** q185 fixed-point scale: AP accumulates per-block terms as exact
+    * integers ⌊Δtp·cumtp·10¹²/k⌋, so the only float op is the final
+    * division — the q168/q175 idiom. Truncation error is < B·10⁻¹²/np
+    * (B = distinct score blocks). The Spark `div` result is a BIGINT, so
+    * a single block's positives must stay ≤ 9.2e6 at this scale; a corpus
+    * with heavier score ties drops a precision decade per 10× (the
+    * documented ladder — DuckDB's HUGEINT side has no such bound). */
+  private[ops] val ApFixedPoint = 1000000000000L
+
+  /** q185: AVERAGE PRECISION (area under the precision-recall curve) of
+    * the quality score as a duplicate detector — the companion q167's
+    * ROC-AUC needs at high class imbalance: duplicates are the RARE class,
+    * ROC-AUC is inflated by the abundant true negatives, and AP (baseline
+    * = prevalence, not 0.5) is what a curation gate actually budgets on.
+    * Ranking is LOW-QUALITY-FIRST (ascending q — the direction a bottom-up
+    * quality cut flags documents), threshold-block (tie-aware) AP:
+    * AP = Σ_b (Δtp_b/np) · cumtp_b/k_b over distinct-score blocks b in
+    * rank order, cumtp/k the precision after admitting block b whole —
+    * sklearn's average_precision_score convention. Same positive/negative
+    * definition as q167 (md5-digest groups: cnt ≥ 2 → all copies positive)
+    * — and the q167 digest-seam REFRESH LAW carries verbatim, since the
+    * metric consumes the same [[digestCounts]] frame.
+    *
+    * Exactness: per-block terms are exact integers
+    * ⌊Δtp·cumtp·[[ApFixedPoint]]/k⌋ (positive operands — Spark's
+    * truncating `div` and DuckDB's flooring `//` agree), summed exactly in
+    * DECIMAL(38,0)/HUGEINT; ONE final division by np·10¹². Bitwise across
+    * engines, pinned against a plain-Scala BigInt oracle on a tie-heavy
+    * fixture.
+    *
+    * Scale shape: q167's — one scored+digested map-side rollup to
+    * per-score counts, the ungrouped [[DistRank]] layout, TWO bucketed
+    * q59 prefix sums (cumulative positives and negatives; separate slim
+    * frames so each keeps its offsets-branch ReusedExchange — the q150
+    * lesson), rank-keyed joins back, 1-row rollup. No SinglePartition
+    * window (PlanSpec pin). */
+  def q185ScoreAp(spark: SparkSession, sfDir: String): DataFrame =
+    apOfDigestCounts(digestCounts(
+      Tables.parallelized(Tables(spark, sfDir, "documents"))))
+
+  /** AP from ANY (dg, cnt, q) digest-counts frame (the refresh seam). */
+  private[graft] def apOfDigestCounts(byDigest: DataFrame): DataFrame =
+    apOfCounts(byDigest.groupBy(col("q")).agg(
+      sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("pos"),
+      sum(when(col("cnt") === 1, col("cnt")).otherwise(0L)).as("neg")))
+
+  /** The tie-aware AP engine over ANY (q, pos, neg) per-score counts
+    * frame — fixture-testable against a plain-Scala BigInt fold. */
+  private[graft] def apOfCounts(perScore: DataFrame): DataFrame = {
+    val ranked = graft.CachedFrames.track(
+      DistRank.withBucketedRank(perScore, Seq(), "q", Seq(), "_pos"))
+    // two SLIM prefix-sum inputs — (source, order, value) ONLY, one per
+    // summed column: a shared frame carrying both pos and neg would make
+    // each run's pruned offsets subtree canonically different and forfeit
+    // its ReusedExchange (the q150 lesson)
+    val slimP = ranked.select(
+      expr("substring(CAST(q AS STRING), 1, 0)").as("source"),
+      col("_pos").as("doc_id"), col("pos"))
+    val runP = distributedRunningSum(slimP, "pos", Seq("doc_id"), slimP)
+      .select(col("doc_id").as("_p1"), col("running").as("cumtp"))
+    val slimN = ranked.select(
+      expr("substring(CAST(q AS STRING), 1, 0)").as("source"),
+      col("_pos").as("doc_id"), col("neg"))
+    val runN = distributedRunningSum(slimN, "neg", Seq("doc_id"), slimN)
+      .select(col("doc_id").as("_p2"), col("running").as("cumneg"))
+    val terms = ranked
+      .join(runP, col("_pos") === col("_p1"))
+      .join(runN, col("_pos") === col("_p2"))
+      .select(col("pos"), col("neg"), expr(
+        // ⌊Δtp·cumtp·FP / (cumtp+cumneg)⌋ — exact integer, 0 when Δtp = 0
+        // (k = cumtp+cumneg ≥ 1 on every block: a block exists only if
+        // pos+neg ≥ 1 and the sums are inclusive)
+        s"""CAST(pos AS DECIMAL(38,0)) * CAST(cumtp AS DECIMAL(38,0))
+            * $ApFixedPoint div (CAST(cumtp AS DECIMAL(38,0)) + cumneg)
+         """.stripMargin).as("term_fp"))
+    val tot = terms.agg(sum(col("pos")).as("np"), sum(col("neg")).as("nn"),
+      sum(col("term_fp").cast("decimal(38,0)")).as("ap_fp"))
+    tot.select(col("np").as("n_pos"), col("nn").as("n_neg"),
+      (col("np").cast("double") / (col("np") + col("nn")).cast("double"))
+        .as("prevalence"),
+      when(col("np") > 0,
+        col("ap_fp").cast("double")
+          / (col("np").cast("decimal(38,0)") * lit(ApFixedPoint))
+            .cast("double")).as("ap"))
+  }
+
+  val q185ScoreApSql: String = s"""
+    WITH x AS (
+      SELECT md5(text) AS dg, $qualityFromStatsSql AS q
+      FROM (SELECT doc_id, text,
+          $nCharsSql AS n_chars_m,
+          $nTokensSql AS n_tokens,
+          CAST(${hitsSql("en")} AS DOUBLE) AS n_stop,
+          $nPunctSql AS n_punct
+        FROM documents)),
+    g AS (SELECT dg, count(*) AS cnt, min(q) AS q FROM x GROUP BY 1),
+    s AS (
+      SELECT q,
+        sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS pos, -- guard:ok internal; final outputs are CAST
+        sum(CASE WHEN cnt = 1 THEN cnt ELSE 0 END) AS neg -- guard:ok internal; final outputs are CAST
+      FROM g GROUP BY 1),
+    c AS (
+      SELECT q, pos, neg,
+        CAST(sum(pos) OVER (ORDER BY q
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+          AS cumtp,
+        CAST(sum(neg) OVER (ORDER BY q
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+          AS cumneg
+      FROM s),
+    t AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS np, CAST(sum(neg) AS BIGINT) AS nn,
+        sum(CAST(pos AS HUGEINT) * cumtp * $ApFixedPoint
+          // (cumtp + cumneg)) AS ap_fp -- guard:ok internal HUGEINT; output below is exact-cast DOUBLE
+      FROM c)
+    SELECT np AS n_pos, nn AS n_neg,
+      CAST(np AS DOUBLE) / CAST(np + nn AS DOUBLE) AS prevalence,
+      CASE WHEN np > 0 THEN
+        CAST(ap_fp AS DOUBLE)
+          / CAST(CAST(np AS HUGEINT) * $ApFixedPoint AS DOUBLE)
+      END AS ap
+    FROM t
+  """
+
   /** q170 tuning: minimum shared neighbours for a predicted link. */
   private[ops] val LinkPredMinCn = 2
 

@@ -946,6 +946,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "CartesianProduct") == 0, p)
   }
 
+  test("q185_score_ap: both prefix sums run bucketed with no global-order " +
+      "window, each keeps its ReusedExchange, every single-partition " +
+      "exchange is a partial-agg funnel") {
+    val p = finalPlan("q185_score_ap")
+    assert(!p.contains("windowspecdefinition(ORDER BY"), p)
+    assert(p.contains("windowspecdefinition(_bkt"), p)
+    // two slim prefix-sum engines → two offsets branches riding reuse
+    assert(nodes(p, "ReusedExchange") >= 2, p)
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        assert(lines.drop(i + 1).take(2).exists(_.contains("partial_")),
+          lines.slice(i, i + 3).mkString("\n"))
+      }
+    assert(p.contains("partial_sum"), p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+  }
+
   test("q168_mrr: the only nested-loop is the declared bounded query " +
       "batch; hit join is key-equi; 1-row rollups funnel partial aggs") {
     val p = finalPlan("q168_mrr")

@@ -802,6 +802,41 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(TextOps.aucOfCounts(oneClass).collect()(0).isNullAt(2))
   }
 
+  test("q185 AP engine: bitwise equal to the plain-Scala BigInt fixed-point " +
+    "fold on a tie-heavy fixture; perfect ranking hits 1.0; one-class " +
+    "corpus reports NULL; prevalence is the random-detector baseline") {
+    import spark.implicits._
+    // tie-heavy: big pos AND neg blocks at the same scores, positives
+    // concentrated low (the low-quality-first detector direction)
+    val blocks = Seq( // (q, pos, neg)
+      (0.1, 7L, 2L), (0.2, 5L, 5L), (0.3, 0L, 9L), (0.4, 3L, 1L),
+      (0.5, 0L, 11L), (0.6, 1L, 13L))
+    val perScore = blocks.toDF("q", "pos", "neg")
+    // plain-Scala oracle: exact BigInt fixed-point terms, one division
+    val fp = BigInt(TextOps.ApFixedPoint)
+    var cumtp = BigInt(0); var k = BigInt(0); var apFp = BigInt(0)
+    blocks.sortBy(_._1).foreach { case (_, p, n) =>
+      cumtp += p; k += p + n
+      apFp += BigInt(p) * cumtp * fp / k
+    }
+    val np = blocks.map(_._2).sum
+    val nn = blocks.map(_._3).sum
+    val expected = apFp.toDouble / (BigInt(np) * fp).toDouble
+    val got = TextOps.apOfCounts(perScore).collect()
+    graft.CachedFrames.drain()
+    assert(got(0).getLong(0) === np && got(0).getLong(1) === nn)
+    assert(got(0).getDouble(2) === np.toDouble / (np + nn).toDouble)
+    assert(got(0).getDouble(3) === expected) // bitwise
+    // perfect ranking: all positives strictly below all negatives → AP 1.0
+    val perfect = Seq((1.0, 4L, 0L), (2.0, 0L, 5L)).toDF("q", "pos", "neg")
+    assert(TextOps.apOfCounts(perfect).collect()(0).getDouble(3) === 1.0)
+    graft.CachedFrames.drain()
+    // no positives → NULL AP (matches the oracle's CASE)
+    val oneClass = Seq((1.0, 0L, 3L), (2.0, 0L, 2L)).toDF("q", "pos", "neg")
+    assert(TextOps.apOfCounts(oneClass).collect()(0).isNullAt(3))
+    graft.CachedFrames.drain()
+  }
+
   test("q170 link prediction: the one non-adjacent pair with two shared " +
     "neighbours surfaces with exact Jaccard; adjacent pairs and single-" +
     "witness pairs stay out") {
