@@ -3993,8 +3993,8 @@ object TextOps {
       FROM s),
     t AS (
       SELECT CAST(sum(pos) AS BIGINT) AS np, CAST(sum(neg) AS BIGINT) AS nn,
-        sum(CAST(pos AS HUGEINT) * cumtp * $ApFixedPoint
-          // (cumtp + cumneg)) AS ap_fp -- guard:ok internal HUGEINT; output below is exact-cast DOUBLE
+        sum(CAST(pos AS HUGEINT) * cumtp * $ApFixedPoint -- guard:ok internal HUGEINT; output below is exact-cast DOUBLE
+          // (cumtp + cumneg)) AS ap_fp
       FROM c)
     SELECT np AS n_pos, nn AS n_neg,
       CAST(np AS DOUBLE) / CAST(np + nn AS DOUBLE) AS prevalence,
