@@ -48,7 +48,8 @@ object Bench {
   private[graft] val SharedGroups: Map[String, Seq[String]] = Map(
     "graph" -> Seq("q68_containment", "q121_label_propagation",
       "q127_pagerank", "q145_triangle_count", "q149_hits",
-      "q153_assortativity", "q156_kcore", "q170_link_predict"))
+      "q153_assortativity", "q156_kcore", "q170_link_predict",
+      "q186_modularity"))
 
   private[graft] final case class QStat(median: Double, min: Double, max: Double,
       failures: Int)

@@ -810,6 +810,9 @@ object GraphReport {
           .coalesce(1).write.mode("overwrite").parquet(s"$out/kcore")
         graft.ops.TextOps.linkPredictOn(ids)
           .coalesce(1).write.mode("overwrite").parquet(s"$out/links")
+        graft.ops.TextOps.modularityOn(ids,
+            docs.select(col("doc_id"), col("lang")))
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/modularity")
       } finally graft.CachedFrames.drain()
     }
   }

@@ -3539,6 +3539,94 @@ object TextOps {
     FROM mm, nn
   """
 
+  /** q186: NEWMAN MODULARITY of the q121 label assignment over the
+    * containment graph — the graph family measures structure
+    * (q127/q145/q149/q153/q156) but never graded the one CLUSTERING it
+    * produces. Communities are q121's propagated labels where a vote
+    * landed, each node's own `lang` otherwise (the seed set), and
+    * Q = Σ_c (e_c/m − (d_c/2m)²) says whether label propagation carved
+    * the near-dup graph into label-coherent regions (Q → 1) or the labels
+    * cut across the graph's real cluster structure (Q ≈ 0 — the q100
+    * finding, quantified at the graph level: near-dup neighborhoods on
+    * this corpus barely correlate with `lang`).
+    *
+    * Exactness: with E_in = within-community edges and D2 = Σ_c d_c²,
+    * Q = (4m·E_in − D2) / (4m²) — numerator and denominator exact in
+    * DECIMAL(38,0)/HUGEINT (both ≤ 4m², exact to m ≈ 1.5e18 edges), ONE
+    * exact-cast division. Pinned bitwise against a plain-Scala BigInt
+    * oracle on a crafted two-cluster graph.
+    *
+    * Scale shape: q121's propagation (bounded by the near-dup graph) +
+    * one degree rollup, one label coalesce join, a ≤|labels| d_c rollup,
+    * and ONE edge-keyed membership join pass for E_in — O(|edges|) total,
+    * 1 row out. Joins the Bench graph group / GraphReport bundle (shares
+    * the cached q68 edge materialization). */
+  def q186Modularity(spark: SparkSession, sfDir: String): DataFrame =
+    modularityOn(q68Containment(spark, sfDir).select(col("id1"), col("id2")),
+      Tables(spark, sfDir, "documents").select(col("doc_id"), col("lang")))
+
+  /** The modularity core over ANY undirected (id1, id2) edge frame and
+    * (doc_id, lang) seed-label frame — fixture-testable. */
+  private[graft] def modularityOn(pairs: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val prop = labelPropagationOn(pairs, labels)
+      .select(col("doc_id").as("node"), col("pred_lang"))
+    val sym = pairs.select(col("id1").as("v"), col("id2").as("u"))
+      .unionByName(pairs.select(col("id2").as("v"), col("id1").as("u")))
+    val deg = sym.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // community per graph node: the propagated label where q121 voted,
+    // the node's own seed label otherwise
+    val comm = graft.CachedFrames.track(deg
+      .join(labels.select(col("doc_id").as("v"), col("lang")), Seq("v"))
+      .join(prop.withColumnRenamed("node", "v"), Seq("v"), "left")
+      .select(col("v"), col("deg"),
+        coalesce(col("pred_lang"), col("lang")).as("c")))
+    val d2 = comm.groupBy(col("c")).agg(sum(col("deg")).as("dc"))
+      .agg(sum(d38(col("dc")) * d38(col("dc"))).as("sdc2"),
+        count(lit(1)).as("n_comm"))
+    val ein = pairs
+      .join(comm.select(col("v").as("id1"), col("c").as("c1")), Seq("id1"))
+      .join(comm.select(col("v").as("id2"), col("c").as("c2")), Seq("id2"))
+      .agg(count(lit(1)).as("m_edges"),
+        sum(when(col("c1") === col("c2"), 1L).otherwise(0L)).as("e_in"))
+    ein.crossJoin(broadcast(d2))
+      .select(col("m_edges"), col("n_comm").as("n_communities"), col("e_in"),
+        when(col("m_edges") > 0,
+          (lit(4) * d38(col("m_edges")) * d38(col("e_in")) - col("sdc2"))
+            .cast("double")
+            / (lit(4) * d38(col("m_edges")) * d38(col("m_edges")))
+              .cast("double")).as("modularity"))
+  }
+
+  val q186ModularitySql: String = s"""
+    WITH pairs AS (SELECT id1, id2 FROM ($q68ContainmentSql)),
+    e AS (
+      SELECT id1 AS v, id2 AS u FROM pairs
+      UNION ALL
+      SELECT id2 AS v, id1 AS u FROM pairs),
+    deg AS (SELECT v, count(*) AS deg FROM e GROUP BY 1),
+    prop AS (SELECT doc_id, pred_lang FROM ($q121LabelPropagationSql)),
+    comm AS (
+      SELECT deg.v, deg.deg, coalesce(p.pred_lang, d.lang) AS c
+      FROM deg JOIN documents d ON deg.v = d.doc_id
+      LEFT JOIN prop p ON deg.v = p.doc_id),
+    d2 AS (
+      SELECT sum(dc * dc) AS sdc2, CAST(count(*) AS BIGINT) AS n_comm -- guard:ok internal HUGEINT; output below is exact-cast DOUBLE
+      FROM (SELECT CAST(sum(deg) AS HUGEINT) AS dc FROM comm GROUP BY c)),
+    ein AS (
+      SELECT CAST(count(*) AS BIGINT) AS m_edges,
+        CAST(sum(CASE WHEN c1.c = c2.c THEN 1 ELSE 0 END) AS BIGINT) AS e_in
+      FROM pairs JOIN comm c1 ON pairs.id1 = c1.v
+        JOIN comm c2 ON pairs.id2 = c2.v)
+    SELECT m_edges, n_comm AS n_communities, e_in,
+      CASE WHEN m_edges > 0 THEN
+        CAST(4 * CAST(m_edges AS HUGEINT) * e_in - sdc2 AS DOUBLE)
+          / CAST(4 * CAST(m_edges AS HUGEINT) * m_edges AS DOUBLE)
+      END AS modularity
+    FROM ein, d2
+  """
+
   /** q154: per-document BIGRAM NOVELTY — the fraction of a doc's distinct
     * bigrams whose FIRST corpus occurrence (minimum doc_id, the ingestion
     * order) is this doc. The memorization-risk lens inverted: q118 asks

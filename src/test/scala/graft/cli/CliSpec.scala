@@ -762,7 +762,7 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     GraphReport.main(Array("--input", s"$sf/documents.parquet",
       "--output", s"$dir/graph"))
     for (t <- Seq("edges", "pagerank", "triangles", "hits", "assortativity",
-        "kcore", "links"))
+        "kcore", "links", "modularity"))
       assert(spark.read.parquet(s"$dir/graph/$t").count() > 0, t)
     // triangles table ≡ the q145 core over the WRITTEN edge artifact —
     // the artifact really is the input every analytic consumed

@@ -852,6 +852,45 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq === Seq((1L, 4L, 2L, 2L, 2L, 1.0)))
   }
 
+  test("q186 modularity: bitwise equal to the plain-Scala BigInt formula " +
+    "on a two-cluster graph whose unlabeled nodes join their cluster by " +
+    "propagation; a label-blind single community scores ~0") {
+    import spark.implicits._
+    // two triangles, each with a pendant UNLABELED node (id % 5 == 0) that
+    // q121 votes into the cluster's label, plus one cross-cluster edge
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 10L), (2L, 10L),
+      (6L, 7L), (6L, 8L), (7L, 8L), (6L, 15L), (7L, 15L), (3L, 8L))
+    val langs = Map(1L -> "en", 2L -> "en", 3L -> "en", 10L -> "xx",
+      6L -> "fr", 7L -> "fr", 8L -> "fr", 15L -> "yy")
+    val comm = langs ++ Map(10L -> "en", 15L -> "fr") // propagation outcome
+    val deg = edges.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val m = edges.size
+    val eIn = edges.count { case (a, b) => comm(a) == comm(b) }
+    val d2 = comm.keys.map(comm).toSeq.distinct.map { c =>
+      val dc = BigInt(deg.collect { case (v, d) if comm(v) == c => d }.sum)
+      dc * dc
+    }.sum
+    val expected = (BigInt(4) * m * eIn - d2).toDouble /
+      (BigInt(4) * m * m).toDouble
+    val got = TextOps.modularityOn(edges.toDF("id1", "id2"),
+      langs.toSeq.toDF("doc_id", "lang")).collect()
+    graft.CachedFrames.drain()
+    assert(got(0).getLong(0) === m.toLong)      // m_edges
+    assert(got(0).getLong(1) === 2L)            // n_communities
+    assert(got(0).getLong(2) === eIn.toLong)    // e_in = 10 (one cross edge)
+    assert(got(0).getDouble(3) === expected)    // bitwise
+    assert(expected > 0.3, s"two clusters should be clearly modular: $expected")
+    // one community (all seeds share a label, no unlabeled nodes):
+    // Q = (4m·m − (2m)²)/(4m²) = 0 exactly
+    val one = TextOps.modularityOn(
+      Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2"),
+      Seq((1L, "en"), (2L, "en"), (3L, "en")).toDF("doc_id", "lang"))
+      .collect()
+    graft.CachedFrames.drain()
+    assert(one(0).getDouble(3) === 0.0)
+  }
+
   test("q176 calibration: deciles partition the corpus front-loaded (the " +
     "ntile law) and score ranges are non-overlapping ascending") {
     val got = TextOps.q176ScoreCalibration(spark, "/root/testdata/sf0.001")
