@@ -982,7 +982,18 @@ object EventStreams {
     * user simply went quiet stay PENDING here until that user reappears —
     * the honest streaming contract (a "churned" verdict needs either the
     * user's return or the batch's global censoring cut; EventStreamsSpec
-    * pins the subset equality against [[graft.ops.Events.churnLabelsOn]]). */
+    * pins the subset equality against [[graft.ops.Events.churnLabelsOn]]).
+    *
+    * Ordering contract ([[sourceQuotaStream]]'s): rows sort by (wk, day)
+    * within each micro-batch; when a user's weeks arrive in order across
+    * batch boundaries the emitted rows equal the confirmed-label subset of
+    * the batch twin exactly (spec-pinned). A LATE event — e.wk behind the
+    * user's open week — is DROPPED, never applied: Append mode cannot
+    * retract the already-emitted rows its week might contradict, and
+    * re-opening the stale week would both emit the open week with a wrong
+    * `false` label and regress state so the open week later re-emits as a
+    * duplicate (the r13 advice finding; the late-arrival fixture pins the
+    * guard). */
   def churnLabelStream(events: Dataset[ChurnEvent]): Dataset[ChurnLabel] = {
     import events.sparkSession.implicits._
     def fn(user: Long, batch: Iterator[ChurnEvent],
@@ -994,12 +1005,14 @@ object EventStreams {
           s = s.copy(nEvents = s.nEvents + 1L,
             days = if (s.days.contains(e.day)) s.days else s.days :+ e.day,
             spend = s.spend + e.cents)
-        else {
+        else if (e.wk > s.wk) {
           if (s.nEvents > 0L)
             out += ChurnLabel(user, s.wk, s.nEvents, s.days.size.toLong,
               s.spend, e.wk == s.wk + 1L)
           s = ChurnState(e.wk, 1L, Seq(e.day), e.cents)
         }
+        // e.wk < s.wk: late event for a closed (possibly emitted) week —
+        // dropped per the ordering contract above
       }
       state.update(s)
       out.iterator

@@ -1760,4 +1760,36 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(got === Map((1L, 0L) -> true, (2L, 0L) -> false))
     } finally q.stop()
   }
+
+  test("churn-label stream drops a late event from an earlier week: no " +
+    "spurious emission, no state regression, the open week still labels " +
+    "correctly when its real successor arrives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ChurnEvent]
+    val q = EventStreams.churnLabelStream(mem.toDS())
+      .writeStream.format("memory").queryName("churn_late_twin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // weeks 5 then 7 arrive in order: (wk5, false) emits, wk7 open
+      mem.addData(ChurnEvent(1L, 5L, 36L, 10L))
+      q.processAllAvailable()
+      mem.addData(ChurnEvent(1L, 7L, 50L, 20L))
+      q.processAllAvailable()
+      // LATE: a wk6 event arrives after wk7 opened. Before the guard this
+      // emitted (wk7, false) — contradicting the batch label — and
+      // regressed state to wk6, priming a duplicate (user, wk7) row later
+      mem.addData(ChurnEvent(1L, 6L, 44L, 5L))
+      q.processAllAvailable()
+      mem.addData(ChurnEvent(1L, 8L, 57L, 1L))
+      q.processAllAvailable()
+      val rows = spark.table("churn_late_twin").as[ChurnLabel].collect()
+      val got = rows.map(r => (r.user_id, r.wk) ->
+        ((r.n_events, r.active_next_wk))).toMap
+      assert(rows.length === got.size, "no duplicate (user, wk) rows")
+      // wk5 labeled false (wk6 never applied), wk7 labeled TRUE by wk8
+      // with its event count intact; the dropped wk6 never emits
+      assert(got === Map((1L, 5L) -> ((1L, false)), (1L, 7L) -> ((1L, true))))
+    } finally q.stop()
+  }
 }
