@@ -4848,4 +4848,249 @@ object TextOps {
       .select(col("doc_id"), col("pos"))
     substrPlanOf(sized, red)
   }
+
+  /** q187: VOCABULARY RICHNESS — Chao1 species-richness estimate and the
+    * Good-Turing unseen-probability mass of the corpus's unigram
+    * vocabulary. The crawl-planning numbers: Chao1 ≈ how many token types
+    * the corpus WOULD have at exhaustive sampling (V + f1²/2f2, the
+    * abundance-based lower bound; the bias-corrected f1(f1−1)/2 form when
+    * no doubletons exist), and f1/N is Good-Turing's estimate of the
+    * probability that the NEXT token drawn is a previously-unseen type —
+    * together they say whether continued crawling still buys vocabulary
+    * or the source is lexically exhausted (q154's novelty, corpus-level).
+    *
+    * Exactness: V, N, f1, f2 are exact integers; f1² rides DECIMAL(38,0)/
+    * HUGEINT (exact to f1 ≈ 1e19); chao1 is ONE division plus one double
+    * add, gt_unseen_mass ONE division — bitwise both engines.
+    *
+    * Scale shape: one token explode (Σ tokens rows), one map-side
+    * combinable type count, one ≤|vocab| count-of-counts rollup, 1 row
+    * out. Nothing vocabulary-sized broadcasts or collects. */
+  def q187VocabRichness(spark: SparkSession, sfDir: String): DataFrame =
+    vocabRichnessOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+
+  /** The richness core over ANY (text) frame — fixture-testable. */
+  private[graft] def vocabRichnessOn(docs: DataFrame): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val counts = docs
+      .select(explode(expr("""split(trim(text), '\\s+')""")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    counts
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+        (col("vocab").cast("double") +
+          when(col("f2") > 0,
+            (d38(col("f1")) * d38(col("f1"))).cast("double")
+              / (col("f2") * 2).cast("double"))
+          .otherwise((d38(col("f1")) * (d38(col("f1")) - 1)).cast("double")
+            / lit(2))).as("chao1"),
+        (col("f1").cast("double") / col("n_tokens").cast("double"))
+          .as("gt_unseen_mass"))
+  }
+
+  val q187VocabRichnessSql: String = s"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents),
+    c AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+    m AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+        CAST(count(*) AS BIGINT) AS vocab,
+        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM c)
+    SELECT n_tokens, vocab, f1, f2,
+      CAST(vocab AS DOUBLE) +
+        CASE WHEN f2 > 0 THEN
+          CAST(CAST(f1 AS HUGEINT) * f1 AS DOUBLE) / CAST(f2 * 2 AS DOUBLE)
+        ELSE CAST(CAST(f1 AS HUGEINT) * (f1 - 1) AS DOUBLE) / 2 END AS chao1,
+      CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS gt_unseen_mass
+    FROM m
+  """
+
+  /** q188: EXACT TWO-SAMPLE KOLMOGOROV-SMIRNOV distance between the
+    * quality-score distributions of the English and non-English slices —
+    * "is the quality scorer language-biased" as one number with its
+    * witness threshold. KS = sup_x |F_en(x) − F_rest(x)|; a large value
+    * means a single quality cut (q51's τ) admits the two slices at very
+    * different rates, and the mixture weights (q69) inherit that bias.
+    *
+    * Exactness: the sup over thresholds is attained at a jump, i.e. at a
+    * distinct score — per block, |cum_en·n_rest − cum_rest·n_en| is an
+    * exact DECIMAL(38,0)/HUGEINT integer (exact to ~1e19 docs per slice);
+    * the max is an integer max, the reported ks ONE division, and the
+    * witness threshold `ks_at` is the SMALLEST score attaining the max
+    * (a total order — deterministic). Bitwise both engines.
+    *
+    * Scale shape: q185's — one scored map-side rollup to per-score
+    * (en, all) counts, the ungrouped [[DistRank]] layout, TWO slim
+    * bucketed q59 prefix sums (each keeping its offsets ReusedExchange),
+    * rank-keyed joins back, ONE 1-row max rollup. No SinglePartition
+    * window. */
+  def q188QualityKs(spark: SparkSession, sfDir: String): DataFrame =
+    ksOfFlags(withQualityStats(
+      Tables.parallelized(Tables(spark, sfDir, "documents")))
+      .select(col("quality_score").as("q"), (col("lang") === "en").as("en")))
+
+  /** The exact two-sample KS engine over ANY (q, en) flagged-sample frame —
+    * fixture-testable against a plain-Scala brute sup. */
+  private[graft] def ksOfFlags(flagged: DataFrame): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val perScore = flagged
+      .groupBy(col("q"))
+      .agg(sum(when(col("en"), 1L).otherwise(0L)).as("en"),
+        count(lit(1)).as("all"))
+    val ranked = graft.CachedFrames.track(
+      DistRank.withBucketedRank(perScore, Seq(), "q", Seq(), "_pos"))
+    val slimE = ranked.select(
+      expr("substring(CAST(q AS STRING), 1, 0)").as("source"),
+      col("_pos").as("doc_id"), col("en"))
+    val runE = distributedRunningSum(slimE, "en", Seq("doc_id"), slimE)
+      .select(col("doc_id").as("_p1"), col("running").as("cum_en"))
+    val slimA = ranked.select(
+      expr("substring(CAST(q AS STRING), 1, 0)").as("source"),
+      col("_pos").as("doc_id"), col("all"))
+    val runA = distributedRunningSum(slimA, "all", Seq("doc_id"), slimA)
+      .select(col("doc_id").as("_p2"), col("running").as("cum_all"))
+    val tot = perScore.agg(sum(col("en")).as("n_en"),
+      (sum(col("all")) - sum(col("en"))).as("n_rest"))
+    val blocks = ranked
+      .join(runE, col("_pos") === col("_p1"))
+      .join(runA, col("_pos") === col("_p2"))
+      .crossJoin(broadcast(tot))
+      .select(col("q"), col("n_en"), col("n_rest"),
+        abs(d38(col("cum_en")) * d38(col("n_rest"))
+          - (d38(col("cum_all")) - d38(col("cum_en"))) * d38(col("n_en")))
+          .as("num"))
+    blocks.groupBy(col("n_en"), col("n_rest"))
+      // lexicographic struct max = (largest num, then largest −q = SMALLEST
+      // witness threshold) — one deterministic pass, no second max join
+      .agg(max(struct(col("num"), (col("q") * lit(-1)).as("negq"))).as("mx"))
+      .select(col("n_en"), col("n_rest"),
+        col("mx.num").cast("bigint").as("ks_num"),
+        (col("mx.negq") * lit(-1)).as("ks_at"),
+        when(col("n_en") > 0 && col("n_rest") > 0,
+          col("mx.num").cast("double")
+            / (d38(col("n_en")) * d38(col("n_rest"))).cast("double"))
+          .as("ks"))
+  }
+
+  val q188QualityKsSql: String = s"""
+    WITH x AS (
+      SELECT $qualityFromStatsSql AS q, lang = 'en' AS en
+      FROM (SELECT doc_id, text, lang,
+          $nCharsSql AS n_chars_m,
+          $nTokensSql AS n_tokens,
+          CAST(${hitsSql("en")} AS DOUBLE) AS n_stop,
+          $nPunctSql AS n_punct
+        FROM documents)),
+    s AS (
+      SELECT q,
+        CAST(sum(CASE WHEN en THEN 1 ELSE 0 END) AS BIGINT) AS en,
+        CAST(count(*) AS BIGINT) AS alln
+      FROM x GROUP BY 1),
+    c AS (
+      SELECT q,
+        CAST(sum(en) OVER (ORDER BY q
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_en,
+        CAST(sum(alln) OVER (ORDER BY q
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_all
+      FROM s),
+    t AS (
+      SELECT CAST(sum(en) AS BIGINT) AS n_en,
+        CAST(sum(alln) - sum(en) AS BIGINT) AS n_rest
+      FROM s),
+    b AS (
+      SELECT q, n_en, n_rest,
+        abs(CAST(cum_en AS HUGEINT) * n_rest
+          - (CAST(cum_all AS HUGEINT) - cum_en) * n_en) AS num
+      FROM c, t)
+    SELECT n_en, n_rest, CAST(num AS BIGINT) AS ks_num, q AS ks_at,
+      CASE WHEN n_en > 0 AND n_rest > 0 THEN
+        CAST(num AS DOUBLE) / CAST(CAST(n_en AS HUGEINT) * n_rest AS DOUBLE)
+      END AS ks
+    FROM b ORDER BY num DESC, q ASC LIMIT 1
+  """
+
+  /** q189: GINI CONCENTRATION of the corpus's tokens over documents — the
+    * Lorenz-curve answer to "how unevenly is the training budget spread":
+    * Gini ≈ 0 means documents contribute tokens evenly, Gini → 1 means a
+    * few giant documents dominate (and q59's packing / q150's PPS sampling
+    * decisions matter enormously). `top1pct_share` is the Lorenz point a
+    * budget meeting actually asks for: the token share held by the top 1%
+    * largest documents (max(1, n DIV 100) of them).
+    *
+    * Exactness: with documents ranked ascending by (n_tokens, doc_id),
+    * Gini = (2·Σ rank·xᵢ − (n+1)·Σx) / (n·Σx) — the rank-weighted sum is
+    * invariant to tie order (equal values × consecutive ranks), so the
+    * tie-break only makes the RANKS deterministic, not the result. All
+    * sums exact DECIMAL(38,0)/HUGEINT; two single divisions. Bitwise both
+    * engines, pinned against a plain-Scala BigInt oracle.
+    *
+    * Scale shape: one sized projection, the ungrouped [[DistRank]] rank
+    * (B-way parallel, no SinglePartition sort), a 1-row broadcast count,
+    * ONE map-side-combinable moment rollup. */
+  def q189TokenGini(spark: SparkSession, sfDir: String): DataFrame =
+    docGiniOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+
+  /** The concentration core over ANY (doc_id, text) frame. (Named apart
+    * from q142's `tokenGiniOn`, the Gini–SIMPSON diversity of the token
+    * distribution — this is the Lorenz/Gini COEFFICIENT over document
+    * sizes; the two share a name in the literature but not a formula.) */
+  private[graft] def docGiniOn(docs: DataFrame): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val sized = docs.select(col("doc_id"),
+      size(expr("""split(trim(text), '\\s+')""")).cast("bigint").as("x"))
+    val ranked = DistRank.withBucketedRank(sized, Seq(), "x", Seq("doc_id"),
+      "_rank")
+    val tot = sized.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(tot))
+      .select(col("x"), col("_rank"), col("n"),
+        expr("CASE WHEN n DIV 100 < 1 THEN 1 ELSE n DIV 100 END").as("k"))
+      .groupBy(col("n"), col("k"))
+      .agg(sum(col("x")).as("s"),
+        sum(d38(col("_rank")) * d38(col("x"))).as("w"),
+        sum(when(col("_rank") > col("n") - col("k"), col("x"))
+          .otherwise(0L)).as("top_x"))
+      .select(col("n").as("n_docs"), col("s").as("total_tokens"),
+        col("k").as("top_docs"),
+        when(col("s") > 0,
+          (lit(2) * col("w") - (d38(col("n")) + 1) * d38(col("s")))
+            .cast("double")
+            / (d38(col("n")) * d38(col("s"))).cast("double")).as("gini"),
+        when(col("s") > 0,
+          col("top_x").cast("double") / col("s").cast("double"))
+          .as("top1pct_share"))
+  }
+
+  val q189TokenGiniSql: String = s"""
+    WITH sized AS (
+      SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS x
+      FROM documents),
+    r AS (
+      SELECT x, row_number() OVER (ORDER BY x, doc_id) AS rk FROM sized),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sized),
+    k AS (
+      SELECT n, CASE WHEN n // 100 < 1 THEN 1 ELSE n // 100 END AS k FROM t),
+    m AS (
+      SELECT CAST(sum(x) AS BIGINT) AS s,
+        sum(CAST(rk AS HUGEINT) * x) AS w, -- guard:ok internal HUGEINT; outputs below are exact-cast
+        CAST(sum(CASE WHEN rk > n - k.k THEN x ELSE 0 END) AS BIGINT)
+          AS top_x,
+        max(n) AS n, max(k.k) AS k
+      FROM r, k)
+    SELECT n AS n_docs, s AS total_tokens, k AS top_docs,
+      CASE WHEN s > 0 THEN
+        CAST(2 * w - (CAST(n AS HUGEINT) + 1) * s AS DOUBLE)
+          / CAST(CAST(n AS HUGEINT) * s AS DOUBLE)
+      END AS gini,
+      CASE WHEN s > 0 THEN CAST(top_x AS DOUBLE) / CAST(s AS DOUBLE) END
+        AS top1pct_share
+    FROM m
+  """
 }

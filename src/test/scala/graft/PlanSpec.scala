@@ -964,6 +964,48 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "CartesianProduct") == 0, p)
   }
 
+  test("q187_vocab_richness: one token explode, map-side type count, " +
+      "count-of-counts funnels through a partial agg — nothing " +
+      "vocabulary-sized broadcasts") {
+    val p = finalPlan("q187_vocab_richness")
+    assert(nodes(p, "Generate") == 1, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "BroadcastNestedLoopJoin") == 0, p)
+    assert(nodes(p, "BroadcastExchange") == 0, p)
+    assert(p.contains("partial_count"), p)
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        assert(lines.drop(i + 1).take(2).exists(_.contains("partial_")),
+          lines.slice(i, i + 3).mkString("\n"))
+      }
+  }
+
+  test("q188_quality_ks: both prefix sums run bucketed (no global-order " +
+      "window), each keeps its ReusedExchange, totals ride a 1-row " +
+      "broadcast") {
+    val p = finalPlan("q188_quality_ks")
+    assert(!p.contains("windowspecdefinition(ORDER BY"), p)
+    assert(p.contains("windowspecdefinition(_bkt"), p)
+    assert(nodes(p, "ReusedExchange") >= 2, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q189_token_gini: the rank runs bucketed (no global-order window), " +
+      "the count is a 1-row broadcast, one moment rollup funnels " +
+      "partial aggs") {
+    val p = finalPlan("q189_token_gini")
+    assert(!p.contains("windowspecdefinition(ORDER BY"), p)
+    assert(p.contains("windowspecdefinition(_bkt"), p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    // nested-loop joins are fine here ONLY as 1-row broadcasts: the
+    // declared totals join plus DistRank's own bounds/offsets broadcasts —
+    // all build sides are 1-row aggregates, never a data-sized frame
+    assert(nodes(p, "BroadcastNestedLoopJoin") <= 5, p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("q168_mrr: the only nested-loop is the declared bounded query " +
       "batch; hit join is key-equi; 1-row rollups funnel partial aggs") {
     val p = finalPlan("q168_mrr")

@@ -837,6 +837,85 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     graft.CachedFrames.drain()
   }
 
+  test("q187 vocabulary richness: exact Chao1 on a crafted count profile, " +
+    "the bias-corrected branch when doubletons vanish, Good-Turing mass") {
+    import spark.implicits._
+    // counts: a×3, b×2, c×1, d×1 → N=7, V=4, f1=2, f2=1 → chao1 = 4 + 4/2
+    val got = TextOps.vocabRichnessOn(
+      Seq("a a a b", "b c d").toDF("text")).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+      === ((7L, 4L, 2L, 1L)))
+    assert(got.getDouble(4) === 6.0)
+    assert(got.getDouble(5) === 2.0 / 7.0)
+    // no doubletons: a×3, b×1, c×1 → chao1 = 3 + f1(f1−1)/2 = 3 + 1
+    val noF2 = TextOps.vocabRichnessOn(
+      Seq("a a a", "b c").toDF("text")).collect()(0)
+    assert(noF2.getLong(3) === 0L)
+    assert(noF2.getDouble(4) === 4.0)
+  }
+
+  test("q188 KS engine: bitwise equal to the plain-Scala brute sup over " +
+    "all thresholds on a tie-heavy two-sample fixture; witness threshold " +
+    "is the smallest attaining score; one-sided sample reports NULL") {
+    import spark.implicits._
+    val sample: Seq[(Double, Boolean)] = Seq(
+      (0.1, true), (0.1, true), (0.1, false), (0.2, false), (0.2, false),
+      (0.3, true), (0.3, false), (0.5, true), (0.5, true), (0.5, false),
+      (0.7, false), (0.9, true), (0.9, false), (0.9, false))
+    val nEn = sample.count(_._2); val nRest = sample.size - nEn
+    // brute sup: at each distinct score x, |cumEn·nRest − cumRest·nEn|
+    val qs = sample.map(_._1).distinct.sorted
+    val cands = qs.map { x =>
+      val cumEn = sample.count(s => s._2 && s._1 <= x)
+      val cumRest = sample.count(s => !s._2 && s._1 <= x)
+      (BigInt(cumEn) * nRest - BigInt(cumRest) * nEn).abs -> x
+    }
+    val ksNum = cands.map(_._1).max
+    val ksAt = cands.filter(_._1 == ksNum).map(_._2).min
+    val got = TextOps.ksOfFlags(sample.toDF("q", "en")).collect()(0)
+    graft.CachedFrames.drain()
+    assert(got.getLong(0) === nEn.toLong && got.getLong(1) === nRest.toLong)
+    assert(got.getLong(2) === ksNum.toLong)
+    assert(got.getDouble(3) === ksAt)
+    assert(got.getDouble(4) ===
+      ksNum.toDouble / (BigInt(nEn) * BigInt(nRest)).toDouble)
+    // every row in one cohort → the distance is undefined, not 0
+    val oneSided = TextOps.ksOfFlags(
+      Seq((0.1, true), (0.2, true)).toDF("q", "en")).collect()(0)
+    graft.CachedFrames.drain()
+    assert(oneSided.isNullAt(4))
+  }
+
+  test("q189 doc-size Gini: bitwise equal to the plain-Scala BigInt " +
+    "rank-weighted formula on a tie-heavy fixture; uniform sizes score " +
+    "exactly 0; top-share picks max(1, n DIV 100) docs") {
+    import spark.implicits._
+    // sizes: 1,1,2,3,3,3,10 (ties exercise the order-invariance argument)
+    val texts = Seq("a", "b", "a b", "a b c", "d e f", "g h i",
+      (1 to 10).map(i => s"t$i").mkString(" "))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val sizes = texts.map(_.split("\\s+").length.toLong).sorted
+    val n = sizes.size
+    val s = sizes.sum
+    val w = sizes.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val gini = (BigInt(2) * w - BigInt(n + 1) * s).toDouble /
+      (BigInt(n) * s).toDouble
+    val got = TextOps.docGiniOn(docs).collect()(0)
+    graft.CachedFrames.drain()
+    assert(got.getLong(0) === n.toLong)
+    assert(got.getLong(1) === s)
+    assert(got.getLong(2) === 1L) // n < 100 → top-1 doc
+    assert(got.getDouble(3) === gini)
+    assert(got.getDouble(4) === 10.0 / s.toDouble)
+    // perfectly even corpus → Gini exactly 0
+    val even = TextOps.docGiniOn(
+      Seq((1L, "x y"), (2L, "p q"), (3L, "u v")).toDF("doc_id", "text"))
+      .collect()(0)
+    graft.CachedFrames.drain()
+    assert(even.getDouble(3) === 0.0)
+  }
+
   test("q170 link prediction: the one non-adjacent pair with two shared " +
     "neighbours surfaces with exact Jaccard; adjacent pairs and single-" +
     "witness pairs stay out") {
