@@ -1737,4 +1737,115 @@ object Events {
         / (100.0 * CAST(count(*) AS DOUBLE)) AS mean_winsorized
     FROM u, c GROUP BY 1, 3
   """
+
+  /** q190: MANN–WHITNEY U TEST of per-user spend between the experiment
+    * variants — the NONPARAMETRIC significance test the parametric family
+    * (q161 lift, q171 MDE, q162 winsorized means) lacks: spend is heavy-
+    * tailed, a few whales dominate the t-statistic, and the rank test is
+    * the one an experimentation readout trusts on such data. U counts
+    * variant-1-beats-variant-0 pairs (ties half); z is the tie-corrected
+    * normal approximation z = (U − n₀n₁/2) / σ with
+    * σ² = n₀n₁((N³−N) − Σ(t³−t)) / (12N(N−1)) over tie-group sizes t.
+    * Compare |z| to 1.96 — no erf in the gate (not bitwise-portable).
+    *
+    * Exactness: 2U accumulates exactly as Σ pos·(2·cumneg + neg) in
+    * DECIMAL(38,0)/HUGEINT (the q167 rank-sum engine — U = AUC·n₀n₁ up to
+    * scale); the tie term Σ(t³−t) and every σ² factor are exact integers
+    * (N³ exact to N ≈ 4.6e12 users); z is a fixed-order double chain whose
+    * only non-arithmetic op is sqrt (IEEE-correctly-rounded both engines).
+    * Pinned bitwise against a plain-Scala BigInt brute pair count.
+    *
+    * Scale shape: q171's user collapse (the same refresh seam), a
+    * ≤|distinct spends| per-score rollup, the ungrouped [[DistRank]]
+    * layout + one slim bucketed q59 prefix sum, ONE 1-row rollup. No
+    * SinglePartition window (PlanSpec pin). */
+  def q190SpendMwu(spark: SparkSession, sfDir: String): DataFrame =
+    mwuOfUsers(spendByUser(Tables(spark, sfDir, "events")))
+
+  /** The U-test over ANY (user_id, y) per-user totals frame (variant =
+    * user_id % 2, the q171 assignment). */
+  private[graft] def mwuOfUsers(totals: DataFrame): DataFrame =
+    mwuOfCounts(totals
+      .select(col("y").as("q"), (col("user_id") % 2 === 1).as("t"))
+      .groupBy(col("q"))
+      .agg(sum(when(col("t"), 1L).otherwise(0L)).as("pos"),
+        sum(when(col("t"), 0L).otherwise(1L)).as("neg")))
+
+  /** The tie-corrected engine over ANY (q, pos, neg) per-score counts —
+    * fixture-testable against the brute pair count. */
+  private[graft] def mwuOfCounts(perScore: DataFrame): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val ranked = graft.CachedFrames.track(
+      graft.ops.DistRank.withBucketedRank(perScore, Seq(), "q", Seq(), "_pos"))
+    val slim = ranked.select(
+      expr("substring(CAST(q AS STRING), 1, 0)").as("source"),
+      col("_pos").as("doc_id"), col("neg"))
+    val run = graft.ops.TextOps
+      .distributedRunningSum(slim, "neg", Seq("doc_id"), slim)
+      .select(col("doc_id").as("_rpos"),
+        (col("running") - col("neg")).as("cumneg"))
+    val m = ranked.join(run, col("_pos") === col("_rpos"))
+      .agg(sum(col("pos")).as("np"), sum(col("neg")).as("nn"),
+        sum(d38(col("pos")) * (col("cumneg") * 2 + col("neg"))
+          .cast("decimal(38,0)")).as("u2"),
+        sum(d38(col("pos") + col("neg")) * d38(col("pos") + col("neg"))
+          * d38(col("pos") + col("neg"))
+          - d38(col("pos") + col("neg"))).as("tcorr"))
+    val bigN = d38(col("np")) + d38(col("nn"))
+    // (N³−N) − Σ(t³−t): exact DECIMAL to N ≈ 4.6e12; kept SEPARATE from
+    // the np·nn factor (their exact product would hit the DECIMAL(38,0)
+    // ceiling near N ≈ 3e7) — σ² multiplies the two exact-cast factors in
+    // the double domain, the same fixed ((a·b)/c) chain as the oracle
+    val varTerm = bigN * bigN * bigN - bigN - col("tcorr")
+    m.select(col("np").as("n1"), col("nn").as("n0"),
+      // U exactly: u2/2 — halving a binary integer is exact in a double
+      (col("u2").cast("double") / lit(2)).as("u"),
+      when(col("np") > 0 && col("nn") > 0 && varTerm > 0,
+        // z = (u2 − n0·n1) / (2σ); σ² = np·nn·((N³−N)−T) / (12N(N−1))
+        (col("u2") - d38(col("np")) * d38(col("nn"))).cast("double")
+          / (lit(2) * sqrt(
+            (d38(col("np")) * d38(col("nn"))).cast("double")
+              * varTerm.cast("double")
+              / (lit(12) * bigN * (bigN - 1)).cast("double")))).as("z"))
+  }
+
+  val q190SpendMwuSql: String = s"""
+    WITH u AS (
+      SELECT user_id,
+        CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+    s AS (
+      SELECT y AS q,
+        CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS pos,
+        CAST(sum(CASE WHEN user_id % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT)
+          AS neg
+      FROM u GROUP BY 1),
+    c AS (
+      SELECT q, pos, neg,
+        coalesce(CAST(sum(neg) OVER (ORDER BY q
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+          AS cumneg
+      FROM s),
+    m AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS np, CAST(sum(neg) AS BIGINT) AS nn,
+        sum(CAST(pos AS HUGEINT) * (cumneg * 2 + neg)) AS u2, -- guard:ok internal HUGEINT; outputs below are exact-cast
+        sum(CAST(pos + neg AS HUGEINT) * (pos + neg) * (pos + neg) -- guard:ok internal HUGEINT tie term; outputs below are exact-cast
+          - (pos + neg)) AS tcorr
+      FROM c)
+    SELECT np AS n1, nn AS n0,
+      CAST(u2 AS DOUBLE) / 2 AS u,
+      CASE WHEN np > 0 AND nn > 0 AND
+          (CAST(np + nn AS HUGEINT) * (np + nn) * (np + nn) - (np + nn)
+            - tcorr) > 0 THEN
+        CAST(u2 - CAST(np AS HUGEINT) * nn AS DOUBLE)
+          / (2 * sqrt(
+            CAST(CAST(np AS HUGEINT) * nn AS DOUBLE)
+              * CAST(CAST(np + nn AS HUGEINT) * (np + nn) * (np + nn)
+                - (np + nn) - tcorr AS DOUBLE)
+              / CAST(12 * CAST(np + nn AS HUGEINT)
+                * (np + nn - 1) AS DOUBLE)))
+      END AS z
+    FROM m
+  """
 }

@@ -1006,6 +1006,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q190_spend_mwu: the rank-sum prefix pass runs bucketed with its " +
+      "ReusedExchange, no global-order window, 1-row rollups funnel " +
+      "partial aggs") {
+    val p = finalPlan("q190_spend_mwu")
+    assert(!p.contains("windowspecdefinition(ORDER BY"), p)
+    assert(p.contains("windowspecdefinition(_bkt"), p)
+    assert(nodes(p, "ReusedExchange") >= 1, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(p.contains("partial_sum"), p)
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        assert(lines.drop(i + 1).take(2).exists(_.contains("partial_")),
+          lines.slice(i, i + 3).mkString("\n"))
+      }
+  }
+
   test("q168_mrr: the only nested-loop is the declared bounded query " +
       "batch; hit join is key-equi; 1-row rollups funnel partial aggs") {
     val p = finalPlan("q168_mrr")

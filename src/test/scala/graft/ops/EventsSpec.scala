@@ -610,4 +610,40 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
       .collect()(0)
     assert(l.isNullAt(0) && l.isNullAt(1))
   }
+
+  test("q190 Mann–Whitney engine: U and the tie-corrected z are bitwise " +
+    "equal to the plain-Scala brute pair count on a tie-heavy fixture; " +
+    "an all-tied sample reports NULL z") {
+    import spark.implicits._
+    // (q, pos, neg) blocks with heavy ties across the arms
+    val blocks = Seq((10L, 3L, 1L), (20L, 0L, 4L), (30L, 2L, 2L),
+      (40L, 1L, 0L), (50L, 2L, 3L))
+    val perScore = blocks.map { case (q, p, n) => (q.toDouble, p, n) }
+      .toDF("q", "pos", "neg")
+    // brute: U = #(pos value > neg value) + ties/2, via expansion
+    val posVals = blocks.flatMap { case (q, p, _) => Seq.fill(p.toInt)(q) }
+    val negVals = blocks.flatMap { case (q, _, n) => Seq.fill(n.toInt)(q) }
+    val u2Brute = (for (a <- posVals; b <- negVals) yield {
+      if (a > b) BigInt(2) else if (a == b) BigInt(1) else BigInt(0)
+    }).sum
+    val np = posVals.size; val nn = negVals.size; val bigNv = np + nn
+    val tcorr = blocks.map { case (_, p, n) =>
+      val t = BigInt(p + n); t * t * t - t
+    }.sum
+    val varTerm = BigInt(bigNv).pow(3) - bigNv - tcorr
+    val zBrute = (u2Brute - BigInt(np) * nn).toDouble /
+      (2 * math.sqrt((BigInt(np) * nn).toDouble * varTerm.toDouble /
+        (BigInt(12) * bigNv * (bigNv - 1)).toDouble))
+    val got = Events.mwuOfCounts(perScore).collect()(0)
+    graft.CachedFrames.drain()
+    assert((got.getLong(0), got.getLong(1)) === ((np.toLong, nn.toLong)))
+    assert(got.getDouble(2) === u2Brute.toDouble / 2)
+    assert(got.getDouble(3) === zBrute) // bitwise
+    // every observation tied at one value → σ² = 0 → NULL, not ±Inf
+    val tied = Seq((7.0, 3L, 4L)).toDF("q", "pos", "neg")
+    val t = Events.mwuOfCounts(tied).collect()(0)
+    graft.CachedFrames.drain()
+    assert(t.getDouble(2) === 6.0) // all 12 pairs tied: U = n₀n₁/2
+    assert(t.isNullAt(3))
+  }
 }
