@@ -1554,14 +1554,20 @@ object Events {
   def q177BenfordAudit(spark: SparkSession, sfDir: String): DataFrame =
     benfordOn(Tables(spark, sfDir, "events"))
 
+  /** q177's counting stage — SINGLE-SOURCED with the streaming twin
+    * ([[graft.streaming.EventStreams.benfordStream]] IS this aggregation
+    * on an unbounded frame), so a digit-extraction tweak cannot diverge
+    * the spec-pinned batch ≡ streaming contract. */
+  private[graft] def benfordCounts(events: DataFrame): DataFrame = events
+    .select(expr("CAST(floor(value * 100.0D + 0.5D) AS BIGINT)").as("cents"))
+    .filter(col("cents") >= 1L)
+    .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)")
+      .as("digit"))
+    .groupBy(col("digit")).agg(count(lit(1)).as("n_events"))
+
   private[graft] def benfordOn(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
-    val counts = events
-      .select(expr("CAST(floor(value * 100.0D + 0.5D) AS BIGINT)").as("cents"))
-      .filter(col("cents") >= 1L)
-      .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)")
-        .as("digit"))
-      .groupBy(col("digit")).agg(count(lit(1)).as("n_events"))
+    val counts = benfordCounts(events)
     val n = counts.agg(coalesce(sum(col("n_events")), lit(0L)).as("_n"))
     val pCase = BenfordP.zipWithIndex
       .map { case (p, i) => s"WHEN ${i + 1} THEN ${p}D" }

@@ -1021,6 +1021,20 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Streaming Benford first-digit monitor — q177's counting stage kept
+    * LIVE over an arriving (value) event stream: the fraud/synthetic-data
+    * tripwire an ingestion pipeline wants watching spend as it lands, not
+    * at the next batch audit. The aggregation IS the batch one
+    * ([[graft.ops.Events.benfordCounts]] — single-sourced), so state is at
+    * most NINE counters regardless of volume, there is no watermark to
+    * tune (counters only grow), and the Complete-mode table equals the
+    * batch counting stage on the same events bitwise (spec-pinned, two
+    * waves). The freq/deviation decoration against [[graft.ops.Events]]'
+    * Benford constants is a stateless 9-row read-side join — q177 itself —
+    * kept OFF the stream so the stateful surface stays minimal. */
+  def benfordStream(events: DataFrame): DataFrame =
+    graft.ops.Events.benfordCounts(events)
+
   /** The same sessionization via the BUILT-IN `session_window` aggregation —
     * Spark's native gap-session operator (merge-on-late-event, emit-on-seal
     * are handled by the engine's session-window state store). Kept alongside

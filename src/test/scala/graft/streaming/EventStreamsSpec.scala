@@ -1585,6 +1585,34 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming Benford monitor equals the batch q177 counting stage in " +
+    "Complete mode across staged waves") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = graft.Tables.normalizeEventsTs(
+      spark.read.parquet(s"$dir/events.parquet")).select(col("value"))
+    val staged = java.nio.file.Files.createTempDirectory("benford-stream")
+    events.coalesce(3).write.mode("overwrite").parquet(staged.toString)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+    val q = EventStreams.benfordStream(stream)
+      .writeStream.format("memory").queryName("benford_live")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val got = try {
+      q.awaitTermination()
+      spark.table("benford_live").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    } finally q.stop()
+    val expected = graft.ops.Events.benfordCounts(events).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(got.keySet.subsetOf((1 to 9).toSet) && got.values.sum > 0L)
+  }
+
   test("activity-trend stream equals batch q141 on time-ordered real " +
     "events, with state carrying open days across batches") {
     import spark.implicits._
