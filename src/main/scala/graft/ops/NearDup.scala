@@ -473,11 +473,15 @@ object NearDup {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
-  val q53SpanDedupSql: String = {
+  val q53SpanDedupSql: String = q53SpanDedupSqlFrom("documents")
+
+  /** q53's oracle parameterized by the source relation — the q191
+    * waterfall composes it over the exact-dedup survivors CTE. */
+  private[graft] def q53SpanDedupSqlFrom(from: String): String = {
     val w = DefaultSpanDedup.width
     s"""
     WITH toksd AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents),
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM $from),
     idxd AS (
       SELECT doc_id, tk,
         unnest(range(CAST(ceil(len(tk) / $w.0) AS BIGINT))) AS span_idx
@@ -642,5 +646,121 @@ object NearDup {
     FROM fullt
     WINDOW wk AS (PARTITION BY component
       ORDER BY quality_score DESC, doc_id ASC)
+  """
+
+  /** q191: DEDUP-STACK WATERFALL — the three dedup modalities COMPOSED in
+    * production order, each stage priced by its MARGINAL token savings:
+    * raw → exact whole-document dedup (md5 keep-first) → span/paragraph
+    * dedup (q53's rewrite over the survivors) → substring dedup (q166's
+    * plan over the span-rewritten corpus). The number a curation lead
+    * actually decides with: whole-doc dedup is nearly free, span dedup
+    * costs an LSH pass, substring dedup costs the gram index — the
+    * waterfall says what each ADDITIONAL pass still removes after the
+    * cheaper ones ran, per stage, against the raw-token baseline. This is
+    * also the composability proof: every stage consumes the previous
+    * stage's REWRITE through the same public cores the individual gates
+    * verify (spanDedupOn's kept_text, substrDedupOn's removal plan), so
+    * the oracle recomputes the full composition in SQL.
+    *
+    * Token measure: size(split(trim(text))) uniformly — the substring
+    * family's convention — so stage 3's Σ(n_tokens − n_removed) is
+    * commensurable with stages 0-2. A doc whose spans all drop leaves the
+    * corpus at stage 2 (n_docs counts content-bearing docs).
+    *
+    * Exactness: every count and token sum is an exact BIGINT; marginals
+    * are integer differences; keep_ratio_vs_raw is one exact-cast
+    * division per row. 4 rows out.
+    *
+    * Scale shape: stage 1 is one md5 rollup (map-side min_by); stage 2 is
+    * q53's declared shape (banded LSH, never span×span); stage 3 is
+    * q166's (gram rollup + postings join); each stage's accounting is a
+    * 1-row rollup riding broadcast into the final 4-row stack. The
+    * waterfall adds NO new join shapes — only composition. */
+  def q191DedupWaterfall(spark: SparkSession, sfDir: String): DataFrame =
+    dedupWaterfallOn(Tables.parallelized(Tables(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("text")))
+
+  /** The waterfall core over ANY (doc_id, text) frame — fixture-testable. */
+  private[graft] def dedupWaterfallOn(docsIn: DataFrame): DataFrame = {
+    val tok = (c: org.apache.spark.sql.Column) =>
+      size(split(trim(c), "\\s+")).cast("bigint")
+    val docs = graft.CachedFrames.track(docsIn)
+    val a0 = docs.agg(count(lit(1)).as("d0"), sum(tok(col("text"))).as("t0"))
+    val surv1 = graft.CachedFrames.track(docs
+      .groupBy(md5(col("text")).as("dg"))
+      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text")))
+    val a1 = surv1.agg(count(lit(1)).as("d1"), sum(tok(col("text"))).as("t1"))
+    val corpus2 = graft.CachedFrames.track(spanDedupOn(surv1)
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("kept_text").as("text")))
+    val a2 = corpus2.agg(count(lit(1)).as("d2"),
+      sum(tok(col("text"))).as("t2"))
+    val a3 = graft.ops.TextOps.substrDedupOn(corpus2)
+      .agg(sum(when(col("n_tokens") - col("n_removed") > 0, 1L)
+          .otherwise(0L)).as("d3"),
+        sum(col("n_tokens") - col("n_removed")).as("t3"))
+    a0.crossJoin(broadcast(a1)).crossJoin(broadcast(a2))
+      .crossJoin(broadcast(a3))
+      .selectExpr("""stack(4,
+        'raw',       0, d0, t0, CAST(0 AS BIGINT),
+          CASE WHEN t0 > 0 THEN 1.0D END,
+        'exact_doc', 1, d1, t1, t0 - t1,
+          CASE WHEN t0 > 0 THEN CAST(t1 AS DOUBLE) / CAST(t0 AS DOUBLE) END,
+        'span',      2, d2, t2, t1 - t2,
+          CASE WHEN t0 > 0 THEN CAST(t2 AS DOUBLE) / CAST(t0 AS DOUBLE) END,
+        'substr',    3, d3, t3, t2 - t3,
+          CASE WHEN t0 > 0 THEN CAST(t3 AS DOUBLE) / CAST(t0 AS DOUBLE) END
+        ) AS (stage, stage_order, n_docs, n_tokens, removed_vs_prev,
+              keep_ratio_vs_raw)""")
+  }
+
+  val q191DedupWaterfallSql: String = s"""
+    WITH raw0 AS (SELECT doc_id, text FROM documents),
+    a0 AS (
+      SELECT CAST(count(*) AS BIGINT) AS d0,
+        CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+          AS t0
+      FROM raw0),
+    s1 AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+          min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        FROM raw0)
+      WHERE doc_id = keep),
+    a1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS d1,
+        CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+          AS t1
+      FROM s1),
+    k53 AS (SELECT * FROM (${q53SpanDedupSqlFrom("s1")})),
+    c2 AS (SELECT doc_id, kept_text AS text FROM k53 WHERE n_kept > 0),
+    a2 AS (
+      SELECT CAST(count(*) AS BIGINT) AS d2,
+        CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+          AS t2
+      FROM c2),
+    k66 AS (SELECT * FROM (${graft.ops.TextOps.q166SubstrDedupSqlFrom("c2")})),
+    a3 AS (
+      SELECT
+        CAST(sum(CASE WHEN n_tokens - n_removed > 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS d3,
+        CAST(sum(n_tokens - n_removed) AS BIGINT) AS t3
+      FROM k66)
+    SELECT 'raw' AS stage, 0 AS stage_order, d0 AS n_docs, t0 AS n_tokens,
+      CAST(0 AS BIGINT) AS removed_vs_prev,
+      CASE WHEN t0 > 0 THEN 1.0e0 END AS keep_ratio_vs_raw FROM a0
+    UNION ALL
+    SELECT 'exact_doc', 1, d1, t1, t0 - t1,
+      CASE WHEN t0 > 0 THEN CAST(t1 AS DOUBLE) / CAST(t0 AS DOUBLE) END
+    FROM a0, a1
+    UNION ALL
+    SELECT 'span', 2, d2, t2, t1 - t2,
+      CASE WHEN t0 > 0 THEN CAST(t2 AS DOUBLE) / CAST(t0 AS DOUBLE) END
+    FROM a0, a1, a2
+    UNION ALL
+    SELECT 'substr', 3, d3, t3, t2 - t3,
+      CASE WHEN t0 > 0 THEN CAST(t3 AS DOUBLE) / CAST(t0 AS DOUBLE) END
+    FROM a0, a2, a3
   """
 }

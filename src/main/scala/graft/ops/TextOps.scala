@@ -4647,10 +4647,14 @@ object TextOps {
           / col("n_tokens").cast("double")).as("keep_ratio"))
   }
 
-  val q166SubstrDedupSql: String = s"""
+  val q166SubstrDedupSql: String = q166SubstrDedupSqlFrom("documents")
+
+  /** q166's oracle parameterized by the source relation — the q191
+    * waterfall composes it over the span-dedup rewrite CTE. */
+  private[graft] def q166SubstrDedupSqlFrom(from: String): String = s"""
     WITH t AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
-      FROM documents),
+      FROM $from),
     s AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens, arr FROM t),
     g AS (
       SELECT doc_id, CAST(i AS BIGINT) AS pos,

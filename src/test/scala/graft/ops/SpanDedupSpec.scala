@@ -66,4 +66,30 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
     assert(out(0L) == ((2L, 2L, s"$body0 $tail")))
     assert(out(1L) == ((1L, 1L, body1)))
   }
+
+  test("q191 waterfall: each stage removes exactly its own duplication " +
+    "kind — a whole-doc copy at stage 1, a span-aligned repeat at stage " +
+    "2, a mid-offset substring repeat only stage 3 can see") {
+    import spark.implicits._
+    def toks(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i")
+    val block = toks("p", 1, 8).mkString(" ")           // one exact span
+    val d1 = s"$block ${toks("x", 1, 8).mkString(" ")}" // canonical, 16 tok
+    val d3 = s"$block ${toks("y", 1, 8).mkString(" ")}" // span 1 = d1's
+    // q1..q8 repeats across d4/d5 at offset 5 — NOT span-aligned, so span
+    // dedup misses it (span texts differ) and substring dedup catches it
+    val q8 = toks("q", 1, 8).mkString(" ")
+    val d4 = s"${toks("w", 1, 4).mkString(" ")} $q8 ${toks("w", 5, 8).mkString(" ")}"
+    val d5 = s"${toks("v", 1, 4).mkString(" ")} $q8 ${toks("v", 5, 8).mkString(" ")}"
+    val docs = Seq((1L, d1), (2L, d1), (3L, d3), (4L, d4), (5L, d5))
+      .toDF("doc_id", "text")
+    val got = NearDup.dedupWaterfallOn(docs).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    graft.CachedFrames.drain()
+    assert(got === Map(
+      "raw" -> ((0, 5L, 80L, 0L, 1.0)),
+      "exact_doc" -> ((1, 4L, 64L, 16L, 0.8)),   // doc 2 is doc 1 verbatim
+      "span" -> ((2, 4L, 56L, 8L, 0.7)),          // doc 3 loses its block
+      "substr" -> ((3, 4L, 48L, 8L, 0.6))))       // doc 5 loses q1..q8
+  }
 }
