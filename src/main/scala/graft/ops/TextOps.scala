@@ -4832,9 +4832,12 @@ object TextOps {
     * |batch| text plus the gram index.
     *
     * Scale shape: the batch explodes per-row as q166; the index probe is
-    * one gram-keyed LEFT join against the deduped index (at-most-one
-    * match — no row multiplication); the within-batch pass is q166's
-    * min+count rollup over batch sites only. Nothing touches base text. */
+    * one gram-keyed LEFT join against the index deduped HERE (so
+    * append-shaped index maintenance — the ingestion loop's at-least-once
+    * gram appends — can leave duplicate rows without multiplying sites;
+    * the q71 index carries the same tolerance); the within-batch pass is
+    * q166's min+count rollup over batch sites only. Nothing touches base
+    * text. */
   private[graft] def substrAdmitAgainstIndex(batch: DataFrame,
       index: DataFrame): DataFrame = {
     val sized = substrSized(batch, cache = true)
@@ -4844,8 +4847,8 @@ object TextOps {
       .filter(col("n_sites") >= 2)
       .select(col("gram"), col("first_site"))
     val red = sites
-      .join(index.select(col("gram")).withColumn("in_base", lit(true)),
-        Seq("gram"), "left")
+      .join(index.select(col("gram")).distinct()
+        .withColumn("in_base", lit(true)), Seq("gram"), "left")
       .join(batchFirsts, Seq("gram"), "left")
       .filter(col("in_base").isNotNull ||
         (col("first_site").isNotNull && col("site") =!= col("first_site")))

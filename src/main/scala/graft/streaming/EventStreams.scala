@@ -659,6 +659,47 @@ object EventStreams {
         } finally graft.CachedFrames.drain()
     }
 
+  /** Substring-dedup INGESTION loop over the persisted gram index — the
+    * incremental face of q166/q184 run as one continuous `foreachBatch`
+    * query (the BuildSubstrIndex/AdmitSubstrings/ExtendSubstrIndex CLI
+    * loop without the per-batch hand-holding): each micro-batch computes
+    * its removal plan against the index as it exists NOW
+    * ([[graft.ops.TextOps.substrAdmitAgainstIndex]] — the immutable-base
+    * contract: arriving doc_ids follow everything already ingested, the
+    * monotone ingest-id precondition the site packing already imposes),
+    * writes the plan to its own `batch=<id>` directory, and appends the
+    * batch's distinct grams back — so a LATER batch quoting an EARLIER
+    * batch's passage is caught, which a static index cannot do.
+    *
+    * Bootstrap: an unseeded index directory probes an empty frame — the
+    * first batch's plan is its own within-batch q166 plan and its append
+    * CREATES the index. Idempotency under at-least-once retries: plans
+    * overwrite their own `batch=<id>` subdirectory; gram appends may
+    * duplicate rows, which are harmless by construction (the probe dedups
+    * the index inside substrAdmitAgainstIndex) and reclaimed by
+    * ExtendSubstrIndex's union-distinct compaction.
+    *
+    * Scale shape per batch: the batch explodes per-row (q166's shape);
+    * the index probe is one gram-keyed join; the append writes only the
+    * batch's distinct grams. The standing index is never re-scanned as
+    * text. */
+  def substrIngestStream(docs: DataFrame, indexDir: String,
+      plansDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        try {
+          val index =
+            if (new java.io.File(s"$indexDir/grams").exists())
+              spark.read.parquet(s"$indexDir/grams")
+            else graft.ops.TextOps.substrIndexFrame(batch.toDF().limit(0))
+          graft.ops.TextOps.substrAdmitAgainstIndex(batch.toDF(), index)
+            .write.mode("overwrite").parquet(s"$plansDir/batch=$batchId")
+          graft.ops.TextOps.substrIndexFrame(batch.toDF())
+            .write.mode("append").parquet(s"$indexDir/grams")
+        } finally graft.CachedFrames.drain()
+    }
+
   /** Streaming LM quality gate — the stream-static twin of the batch
     * bigram-LM scorer ([[graft.ops.TextOps.q92LmBits]]): each arriving
     * (doc_id, text) row is scored against the STANDING corpus-trained LM

@@ -641,6 +641,64 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(cids === Set(100L, 2L, 4L))
   }
 
+  test("substring ingestion loop: a later batch quoting an EARLIER batch's " +
+    "passage is caught via the extended gram index, each batch plan " +
+    "equals the batch-vs-standing-corpus law, fresh docs pass intact") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("substr-loop")
+    val (indexDir, plansDir, inDir, ckpt) =
+      (s"$root/gidx", s"$root/plans", s"$root/in", s"$root/ckpt")
+    def phrase(p: String) = (1 to 9).map(i => s"$p$i").mkString(" ")
+    // standing corpus: one doc whose passage batch 1 will quote
+    val base = Seq((100L, phrase("b"))).toDF("doc_id", "text")
+    graft.ops.TextOps.substrIndexFrame(base)
+      .write.parquet(s"$indexDir/grams")
+    val schema = base.schema
+    def runAvailable(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(inDir)
+      val q = EventStreams.substrIngestStream(stream, indexDir, plansDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    // batch 1: a base quote (flagged vs the seeded index) + a fresh passage
+    val b1 = Seq((200L, s"x ${phrase("b")} y"), (201L, phrase("f")))
+    b1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    runAvailable()
+    // batch 2: quotes BATCH 1's fresh passage — only the extended index
+    // can catch this — plus its own fresh doc
+    val b2 = Seq((300L, s"u ${phrase("f")} v"), (301L, phrase("g")))
+    b2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    runAvailable()
+    val plans = spark.read.parquet(plansDir)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(plans(200L) === ((11L, 9L))) // base quote stripped
+    assert(plans(201L) === ((9L, 0L)))  // fresh at arrival time
+    assert(plans(300L) === ((11L, 9L))) // batch-1 quote caught via extension
+    assert(plans(301L) === ((9L, 0L)))
+    // law per batch: batch 2's plan ≡ the batch plan on (base ∪ b1 ∪ b2)
+    // restricted to b2 (the standing corpus at its arrival)
+    val all = base.union(b1.toDF("doc_id", "text"))
+      .union(b2.toDF("doc_id", "text"))
+    val unionPlan = graft.ops.TextOps.substrDedupOn(all)
+      .filter(col("doc_id") >= 300L)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    graft.CachedFrames.drain()
+    assert(plans.view.filterKeys(_ >= 300L).toMap === unionPlan)
+    // and the grown index equals the from-scratch index of everything
+    val grown = spark.read.parquet(s"$indexDir/grams")
+      .collect().map(_.getString(0)).toSet
+    val full = graft.ops.TextOps.substrIndexFrame(all)
+      .collect().map(_.getString(0)).toSet
+    graft.CachedFrames.drain()
+    assert(grown === full)
+  }
+
   test("ingestion loop replay is harmless: duplicate index appends change no " +
     "verdict and compaction restores the clean index") {
     import org.apache.spark.sql.functions.col
