@@ -2876,4 +2876,97 @@ object Embeddings {
       n_vecs * n_cells > 2 * n_total AS hot_flag
     FROM cells, tot
   """
+
+  /** q192 quantization scale: component sums accumulate over
+    * ⌊x·2²⁴⌋-quantized vectors. A float component has a 24-bit mantissa,
+    * so x·2²⁴ is EXACT in a double and floor is exact — the quantized
+    * integer IS the float's value information, not an approximation knob.
+    * Power-of-two so both engines compute the identical integer. */
+  private[ops] val CentroidQuantScale = 16777216L // 2^24
+
+  /** q192: PER-LABEL CENTROID COHERENCE — the cosine between each label's
+    * centroid and the corpus centroid, on exactly-quantized vectors. The
+    * embedding-space drift monitor: a label whose centroid has swung away
+    * from the corpus mean (cos well below its siblings') marks a cluster
+    * the IVF codebook (q46/q89) underserves and the q69 mixture should
+    * reweight. Count normalization cancels in the cosine, so only the
+    * component SUMS matter — and those are exact BIGINTs over the
+    * [[CentroidQuantScale]] lattice, making this the one vector statistic
+    * here that is bitwise-portable WITHOUT a fixed evaluation order
+    * (unlike the per-pair dot products, whose fold order is pinned).
+    *
+    * Exactness: quantized components are exact integers (see scale note);
+    * per-(label, dim) sums are exact BIGINTs (exact to ~5e11 vectors);
+    * the cosine's three Σ-of-products ride DECIMAL(38,0)/HUGEINT (exact
+    * to ~1e9 vectors per label at 64 dims); the output is one
+    * division-by-sqrt-product chain (sqrt is correctly-rounded in both
+    * engines). Pinned bitwise against a plain-Scala BigInt oracle on
+    * axis-aligned fixtures.
+    *
+    * Scale shape: ONE dim-explode (64 rows per vector) into a map-side
+    * combinable (label, dim) rollup — ≤ |labels|·64 rows; the global
+    * centroid is a second ≤64-row rollup OVER THAT (never re-scanning
+    * vectors); cosine is a dim-keyed join of two tiny frames. No
+    * vector-sized shuffle, no pairwise anything. */
+  def q192CentroidCoherence(spark: SparkSession, sfDir: String): DataFrame =
+    centroidCoherenceOn(
+      Tables.parallelized(Tables(spark, sfDir, "embeddings")))
+
+  /** The coherence core over ANY (label, embedding) frame. `cache` is the
+    * PlanSpec seam (a tracked frame's nested AdaptiveSparkPlan truncates
+    * the plan text, hiding the explode from the pin). */
+  private[graft] def centroidCoherenceOn(emb: DataFrame,
+      cache: Boolean = true): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val qv = emb.select(col("label"), posexplode(expr(
+      "transform(embedding, x -> " +
+        s"CAST(floor(CAST(x AS DOUBLE) * $CentroidQuantScale.0D) AS BIGINT))"))
+      .as(Seq("dim", "qx")))
+    val byLabelRaw = qv.groupBy(col("label"), col("dim"))
+      .agg(sum(col("qx")).as("s"))
+    val byLabel = if (cache) graft.CachedFrames.track(byLabelRaw)
+      else byLabelRaw
+    val global = byLabel.groupBy(col("dim")).agg(sum(col("s")).as("g"))
+    val nPer = emb.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    byLabel.join(global, Seq("dim"))
+      .groupBy(col("label"))
+      .agg(sum(d38(col("s")) * d38(col("g"))).as("sg"),
+        sum(d38(col("s")) * d38(col("s"))).as("ss"),
+        sum(d38(col("g")) * d38(col("g"))).as("gg"))
+      .join(nPer, Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        when(col("ss") > 0 && col("gg") > 0,
+          col("sg").cast("double")
+            / (sqrt(col("ss").cast("double")) * sqrt(col("gg").cast("double"))))
+          .as("cos_to_corpus"))
+  }
+
+  val q192CentroidCoherenceSql: String = s"""
+    WITH t AS (
+      SELECT label,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * $CentroidQuantScale) AS BIGINT))
+          AS qv
+      FROM embeddings),
+    q AS (
+      SELECT label, i AS dim, qv[i] AS qx
+      FROM t, UNNEST(generate_series(1, len(qv))) AS u(i)),
+    bl AS (
+      SELECT label, dim, CAST(sum(qx) AS BIGINT) AS s
+      FROM q GROUP BY 1, 2),
+    g AS (SELECT dim, CAST(sum(s) AS BIGINT) AS g FROM bl GROUP BY 1),
+    np AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM embeddings GROUP BY 1),
+    d AS (
+      SELECT bl.label,
+        sum(CAST(bl.s AS HUGEINT) * g.g) AS sg, -- guard:ok internal HUGEINT; output below is exact-cast
+        sum(CAST(bl.s AS HUGEINT) * bl.s) AS ss, -- guard:ok internal HUGEINT; output below is exact-cast
+        sum(CAST(g.g AS HUGEINT) * g.g) AS gg -- guard:ok internal HUGEINT; output below is exact-cast
+      FROM bl JOIN g USING (dim) GROUP BY 1)
+    SELECT d.label, np.n_vecs,
+      CASE WHEN ss > 0 AND gg > 0 THEN
+        CAST(sg AS DOUBLE) / (sqrt(CAST(ss AS DOUBLE)) * sqrt(CAST(gg AS DOUBLE)))
+      END AS cos_to_corpus
+    FROM d JOIN np USING (label)
+  """
 }

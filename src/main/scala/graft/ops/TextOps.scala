@@ -4000,11 +4000,12 @@ object TextOps {
     * fixture.
     *
     * Scale shape: q167's — one scored+digested map-side rollup to
-    * per-score counts, the ungrouped [[DistRank]] layout, TWO bucketed
-    * q59 prefix sums (cumulative positives and negatives; separate slim
-    * frames so each keeps its offsets-branch ReusedExchange — the q150
-    * lesson), rank-keyed joins back, 1-row rollup. No SinglePartition
-    * window (PlanSpec pin). */
+    * per-score counts, the ungrouped [[DistRank]] layout, then ONE
+    * bucketed q59 prefix sum carrying BOTH class counters packed into a
+    * single BIGINT ([[ClassPairPack]] — cumulative positives unpack by
+    * DIV, negatives by mod; halved the measured cost vs two engines),
+    * one rank-keyed join back, 1-row rollup. No SinglePartition window
+    * (PlanSpec pin). */
   def q185ScoreAp(spark: SparkSession, sfDir: String): DataFrame =
     apOfDigestCounts(digestCounts(
       Tables.parallelized(Tables(spark, sfDir, "documents"))))
@@ -4015,28 +4016,33 @@ object TextOps {
       sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("pos"),
       sum(when(col("cnt") === 1, col("cnt")).otherwise(0L)).as("neg")))
 
+  /** Packing base for running BOTH class counters through ONE prefix-sum
+    * engine (q185/q188): the combined value pos·2³¹ + neg prefix-sums to
+    * cumpos·2³¹ + cumneg because the low half never carries (cumneg is
+    * monotone and < 2³¹). Exact while each class total stays < 2³¹ AND
+    * total·2³¹ < 2⁶³ (≈ 2.1e9 docs per class) — the [[SubstrPosPack]]
+    * ladder: a bigger corpus swaps the pack to DECIMAL(38,0) or back to
+    * two passes. Halved q185 from 6.9 s to one engine's cost. */
+  private[ops] val ClassPairPack = 2147483648L // 2^31
+
   /** The tie-aware AP engine over ANY (q, pos, neg) per-score counts
     * frame — fixture-testable against a plain-Scala BigInt fold. */
   private[graft] def apOfCounts(perScore: DataFrame): DataFrame = {
     val ranked = graft.CachedFrames.track(
       DistRank.withBucketedRank(perScore, Seq(), "q", Seq(), "_pos"))
-    // two SLIM prefix-sum inputs — (source, order, value) ONLY, one per
-    // summed column: a shared frame carrying both pos and neg would make
-    // each run's pruned offsets subtree canonically different and forfeit
-    // its ReusedExchange (the q150 lesson)
-    val slimP = ranked.select(
+    // ONE slim prefix-sum input — (source, order, value) ONLY (the q150
+    // ReusedExchange contract) — carrying BOTH class counters packed into
+    // one BIGINT ([[ClassPairPack]]); the cumulative unpacks by DIV/mod
+    val slim = ranked.select(
       expr("substring(CAST(q AS STRING), 1, 0)").as("source"),
-      col("_pos").as("doc_id"), col("pos"))
-    val runP = distributedRunningSum(slimP, "pos", Seq("doc_id"), slimP)
-      .select(col("doc_id").as("_p1"), col("running").as("cumtp"))
-    val slimN = ranked.select(
-      expr("substring(CAST(q AS STRING), 1, 0)").as("source"),
-      col("_pos").as("doc_id"), col("neg"))
-    val runN = distributedRunningSum(slimN, "neg", Seq("doc_id"), slimN)
-      .select(col("doc_id").as("_p2"), col("running").as("cumneg"))
+      col("_pos").as("doc_id"),
+      (col("pos") * lit(ClassPairPack) + col("neg")).as("pn"))
+    val run = distributedRunningSum(slim, "pn", Seq("doc_id"), slim)
+      .select(col("doc_id").as("_p1"),
+        expr(s"running DIV $ClassPairPack").as("cumtp"),
+        expr(s"running % $ClassPairPack").as("cumneg"))
     val terms = ranked
-      .join(runP, col("_pos") === col("_p1"))
-      .join(runN, col("_pos") === col("_p2"))
+      .join(run, col("_pos") === col("_p1"))
       .select(col("pos"), col("neg"), expr(
         // ⌊Δtp·cumtp·FP / (cumtp+cumneg)⌋ — exact integer, 0 when Δtp = 0
         // (k = cumtp+cumneg ≥ 1 on every block: a block exists only if
@@ -4932,10 +4938,9 @@ object TextOps {
     * (a total order — deterministic). Bitwise both engines.
     *
     * Scale shape: q185's — one scored map-side rollup to per-score
-    * (en, all) counts, the ungrouped [[DistRank]] layout, TWO slim
-    * bucketed q59 prefix sums (each keeping its offsets ReusedExchange),
-    * rank-keyed joins back, ONE 1-row max rollup. No SinglePartition
-    * window. */
+    * (en, all) counts, the ungrouped [[DistRank]] layout, ONE packed
+    * bucketed q59 prefix sum ([[ClassPairPack]]), a rank-keyed join back,
+    * ONE 1-row max rollup. No SinglePartition window. */
   def q188QualityKs(spark: SparkSession, sfDir: String): DataFrame =
     ksOfFlags(withQualityStats(
       Tables.parallelized(Tables(spark, sfDir, "documents")))
@@ -4951,21 +4956,20 @@ object TextOps {
         count(lit(1)).as("all"))
     val ranked = graft.CachedFrames.track(
       DistRank.withBucketedRank(perScore, Seq(), "q", Seq(), "_pos"))
-    val slimE = ranked.select(
+    // one packed prefix-sum engine for both counters (the q185 idiom —
+    // [[ClassPairPack]] bound documented there)
+    val slim = ranked.select(
       expr("substring(CAST(q AS STRING), 1, 0)").as("source"),
-      col("_pos").as("doc_id"), col("en"))
-    val runE = distributedRunningSum(slimE, "en", Seq("doc_id"), slimE)
-      .select(col("doc_id").as("_p1"), col("running").as("cum_en"))
-    val slimA = ranked.select(
-      expr("substring(CAST(q AS STRING), 1, 0)").as("source"),
-      col("_pos").as("doc_id"), col("all"))
-    val runA = distributedRunningSum(slimA, "all", Seq("doc_id"), slimA)
-      .select(col("doc_id").as("_p2"), col("running").as("cum_all"))
+      col("_pos").as("doc_id"),
+      (col("en") * lit(ClassPairPack) + col("all")).as("ea"))
+    val run = distributedRunningSum(slim, "ea", Seq("doc_id"), slim)
+      .select(col("doc_id").as("_p1"),
+        expr(s"running DIV $ClassPairPack").as("cum_en"),
+        expr(s"running % $ClassPairPack").as("cum_all"))
     val tot = perScore.agg(sum(col("en")).as("n_en"),
       (sum(col("all")) - sum(col("en"))).as("n_rest"))
     val blocks = ranked
-      .join(runE, col("_pos") === col("_p1"))
-      .join(runA, col("_pos") === col("_p2"))
+      .join(run, col("_pos") === col("_p1"))
       .crossJoin(broadcast(tot))
       .select(col("q"), col("n_en"), col("n_rest"),
         abs(d38(col("cum_en")) * d38(col("n_rest"))

@@ -946,14 +946,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "CartesianProduct") == 0, p)
   }
 
-  test("q185_score_ap: both prefix sums run bucketed with no global-order " +
-      "window, each keeps its ReusedExchange, every single-partition " +
-      "exchange is a partial-agg funnel") {
+  test("q185_score_ap: the packed prefix sum runs bucketed ONCE with no " +
+      "global-order window, its offsets branch rides ReusedExchange, " +
+      "every single-partition exchange is a partial-agg funnel") {
     val p = finalPlan("q185_score_ap")
     assert(!p.contains("windowspecdefinition(ORDER BY"), p)
     assert(p.contains("windowspecdefinition(_bkt"), p)
-    // two slim prefix-sum engines → two offsets branches riding reuse
-    assert(nodes(p, "ReusedExchange") >= 2, p)
+    // ONE packed prefix-sum engine: ≤3 _bkt exchanges (DistRank's rank
+    // bucketing + the engine's local and offsets passes); a second engine
+    // (the pre-pack shape) pushes this to 5+
+    assert(hashExchanges(p, "_bkt") <= 3, p)
+    assert(nodes(p, "ReusedExchange") >= 1, p)
     val lines = p.linesIterator.toVector
     lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
       .foreach { case (_, i) =>
@@ -981,13 +984,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       }
   }
 
-  test("q188_quality_ks: both prefix sums run bucketed (no global-order " +
-      "window), each keeps its ReusedExchange, totals ride a 1-row " +
+  test("q188_quality_ks: the packed prefix sum runs bucketed ONCE (no " +
+      "global-order window) with its ReusedExchange, totals ride a 1-row " +
       "broadcast") {
     val p = finalPlan("q188_quality_ks")
     assert(!p.contains("windowspecdefinition(ORDER BY"), p)
     assert(p.contains("windowspecdefinition(_bkt"), p)
-    assert(nodes(p, "ReusedExchange") >= 2, p)
+    // ≤3 _bkt exchanges = one packed engine (see the q185 pin)
+    assert(hashExchanges(p, "_bkt") <= 3, p)
+    assert(nodes(p, "ReusedExchange") >= 1, p)
     assert(nodes(p, "CartesianProduct") == 0, p)
     assert(p.contains("partial_sum"), p)
   }
@@ -1021,6 +1026,32 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         assert(lines.drop(i + 1).take(2).exists(_.contains("partial_")),
           lines.slice(i, i + 3).mkString("\n"))
       }
+  }
+
+  test("q192_centroid_coherence: one dim explode feeds a map-side " +
+      "(label, dim) rollup; the global centroid rolls up THAT, never " +
+      "re-scanning vectors; cosine is a tiny dim-keyed join") {
+    // cache = false: the tracked (label, dim) frame's nested
+    // AdaptiveSparkPlan truncates the plan text (q166's seam)
+    val df = ops.Embeddings.centroidCoherenceOn(
+      Tables(spark, sf, "embeddings"), cache = false)
+    try {
+      df.queryExecution.toRdd.count()
+      val s = df.queryExecution.executedPlan.toString
+      val cut = s.indexOf("== Initial Plan ==")
+      val p = if (cut >= 0) s.substring(0, cut) else s
+      // the (label, dim) rollup is consumed twice (global centroid +
+      // cosine join): UNCACHED (this seam) its explode subtree prints
+      // twice; the SHIPPED query tracks it, so the explode runs once —
+      // anything >2 would mean a third corpus pass appeared
+      assert(nodes(p, "Generate") == 2, p)
+      assert(nodes(p, "CartesianProduct") == 0, p)
+      assert(nodes(p, "BroadcastNestedLoopJoin") == 0, p)
+      assert(p.contains("partial_sum"), p)
+      // ≤3 embeddings scans in the uncached seam: the duplicated explode
+      // pass + the per-label count
+      assert("FileScan parquet".r.findAllIn(p).size <= 3, p)
+    } finally CachedFrames.drain()
   }
 
   test("q168_mrr: the only nested-loop is the declared bounded query " +

@@ -713,6 +713,40 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq === Seq((0L, 2L, 1, 32), (0L, 1L, 2, 64)))
   }
 
+  test("q192 centroid coherence: bitwise equal to the plain-Scala BigInt " +
+    "quantized-centroid cosine on axis-aligned fixtures; an aligned label " +
+    "scores higher than an orthogonal one; quantization is exact for " +
+    "float components") {
+    import spark.implicits._
+    val vecs: Seq[(Int, Seq[Float])] = Seq(
+      (1, Seq(1.0f, 0.0f, 0.0f)), (1, Seq(0.5f, 0.5f, 0.0f)),
+      (1, Seq(0.75f, 0.25f, 0.0f)),
+      (2, Seq(0.0f, 0.0f, 1.0f)),
+      (2, Seq(0.0f, 0.25f, 0.75f)))
+    val emb = vecs.toDF("label", "embedding")
+    // plain-Scala oracle over the same ⌊x·2²⁴⌋ lattice
+    val scale = Embeddings.CentroidQuantScale
+    def quant(v: Seq[Float]): Seq[BigInt] =
+      v.map(x => BigInt(math.floor(x.toDouble * scale).toLong))
+    val byLabel = vecs.groupBy(_._1).view.mapValues(_.map(t => quant(t._2))
+      .transpose.map(_.sum)).toMap
+    val global = byLabel.values.toSeq.transpose.map(_.sum)
+    def cos(a: Seq[BigInt], b: Seq[BigInt]): Double = {
+      val sg = a.zip(b).map { case (x, y) => x * y }.sum
+      val ss = a.map(x => x * x).sum; val gg = b.map(x => x * x).sum
+      sg.toDouble / (math.sqrt(ss.toDouble) * math.sqrt(gg.toDouble))
+    }
+    val got = Embeddings.centroidCoherenceOn(emb).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    graft.CachedFrames.drain()
+    assert(got(1)._1 === 3L && got(2)._1 === 2L)
+    assert(got(1)._2 === cos(byLabel(1), global)) // bitwise
+    assert(got(2)._2 === cos(byLabel(2), global))
+    // the x-heavy label dominates the corpus sum → it coheres more
+    assert(got(1)._2 > got(2)._2)
+    assert(got.values.forall(v => v._2 > 0.0 && v._2 <= 1.0))
+  }
+
   test("q175 JL distortion: percentiles are ordered real pair ratios " +
     "(fixed point exact), pair count matches the bounded batch") {
     val sf = "/root/testdata/sf0.001"
