@@ -2969,4 +2969,75 @@ object Embeddings {
       END AS cos_to_corpus
     FROM d JOIN np USING (label)
   """
+
+  /** q193: WITHIN-LABEL DISPERSION — the resultant-length coherence
+    * R² = |Σv|² / (n·Σ|v|²) per label, on the same exact lattice as q192.
+    * The companion question: q192 says where a cluster's centroid POINTS,
+    * this says how tightly its members agree with each other —
+    * R² = (mean pairwise dot) / (mean squared norm), exactly 1 for n
+    * copies of one vector and 1/n for mutually orthogonal members, so a
+    * label drifting toward 1/n has stopped being a cluster at all (split
+    * it before trusting its q192 heading or its IVF cell assignment).
+    *
+    * Exactness: |Σv|² = Σ_d S_d² and Σ|v|² = Σ q² are exact
+    * DECIMAL(38,0)/HUGEINT sums over the ⌊x·2²⁴⌋ lattice
+    * ([[CentroidQuantScale]] — lossless for float components); ONE
+    * division. The n-copies law (R² ≡ 1) holds EXACTLY, not to rounding —
+    * spec-pinned alongside the plain-Scala BigInt oracle.
+    *
+    * Scale shape: TWO map-side-combinable rollups over the same cheap
+    * codegen dim-explode (re-run rather than cached — the q166
+    * two-Generates trade: Σ-dims rows never persist), both collapsing to
+    * ≤|labels|·64 and ≤|labels| rows; no vector-sized shuffle. */
+  def q193LabelDispersion(spark: SparkSession, sfDir: String): DataFrame =
+    labelDispersionOn(Tables.parallelized(Tables(spark, sfDir, "embeddings")))
+
+  /** The dispersion core over ANY (label, embedding) frame. */
+  private[graft] def labelDispersionOn(emb: DataFrame): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val qv = emb.select(col("label"), posexplode(expr(
+      "transform(embedding, x -> " +
+        s"CAST(floor(CAST(x AS DOUBLE) * $CentroidQuantScale.0D) AS BIGINT))"))
+      .as(Seq("dim", "qx")))
+    val s2 = qv.groupBy(col("label"), col("dim")).agg(sum(col("qx")).as("s"))
+      .groupBy(col("label"))
+      .agg(sum(d38(col("s")) * d38(col("s"))).as("ss"))
+    val v2 = qv.groupBy(col("label"))
+      .agg(sum(d38(col("qx")) * d38(col("qx"))).as("svv"))
+    val nPer = emb.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    s2.join(v2, Seq("label")).join(nPer, Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        when(col("svv") > 0,
+          col("ss").cast("double")
+            / (d38(col("n_vecs")) * col("svv")).cast("double"))
+          .as("coherence_r2"))
+  }
+
+  val q193LabelDispersionSql: String = s"""
+    WITH t AS (
+      SELECT label,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * $CentroidQuantScale) AS BIGINT))
+          AS qv
+      FROM embeddings),
+    q AS (
+      SELECT label, i AS dim, qv[i] AS qx
+      FROM t, UNNEST(generate_series(1, len(qv))) AS u(i)),
+    s2 AS (
+      SELECT label, sum(CAST(s AS HUGEINT) * s) AS ss -- guard:ok internal HUGEINT; output below is exact-cast
+      FROM (SELECT label, dim, CAST(sum(qx) AS BIGINT) AS s
+            FROM q GROUP BY 1, 2)
+      GROUP BY 1),
+    v2 AS (
+      SELECT label, sum(CAST(qx AS HUGEINT) * qx) AS svv -- guard:ok internal HUGEINT; output below is exact-cast
+      FROM q GROUP BY 1),
+    np AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM embeddings GROUP BY 1)
+    SELECT s2.label, np.n_vecs,
+      CASE WHEN svv > 0 THEN
+        CAST(ss AS DOUBLE)
+          / CAST(CAST(n_vecs AS HUGEINT) * svv AS DOUBLE)
+      END AS coherence_r2
+    FROM s2 JOIN v2 USING (label) JOIN np ON s2.label = np.label
+  """
 }

@@ -747,6 +747,33 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.forall(v => v._2 > 0.0 && v._2 <= 1.0))
   }
 
+  test("q193 dispersion: n copies of one vector score EXACTLY 1, mutually " +
+    "orthogonal members score exactly 1/n, a mixed label matches the " +
+    "plain-Scala BigInt formula bitwise") {
+    import spark.implicits._
+    val vecs: Seq[(Int, Seq[Float])] = Seq(
+      (1, Seq(0.3f, -0.7f, 0.2f)), (1, Seq(0.3f, -0.7f, 0.2f)),
+      (1, Seq(0.3f, -0.7f, 0.2f)),                       // 3 copies → R² = 1
+      (2, Seq(1.0f, 0.0f, 0.0f)), (2, Seq(0.0f, 1.0f, 0.0f)),
+      (2, Seq(0.0f, 0.0f, 1.0f)),                        // orthogonal → 1/3
+      (3, Seq(0.5f, 0.5f, 0.0f)), (3, Seq(0.25f, -0.5f, 0.75f)))
+    val got = Embeddings.labelDispersionOn(vecs.toDF("label", "embedding"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    graft.CachedFrames.drain()
+    assert(got(1) === ((3L, 1.0)))       // exact, not approximate
+    assert(got(2) === ((3L, 1.0 / 3.0)))
+    val scale = Embeddings.CentroidQuantScale
+    def quant(v: Seq[Float]): Seq[BigInt] =
+      v.map(x => BigInt(math.floor(x.toDouble * scale).toLong))
+    val l3 = vecs.filter(_._1 == 3).map(t => quant(t._2))
+    val s = l3.transpose.map(_.sum)
+    val ss = s.map(x => x * x).sum
+    val svv = l3.flatten.map(x => x * x).sum
+    assert(got(3)._2 === ss.toDouble / (BigInt(l3.size) * svv).toDouble)
+    assert(got(3)._2 > 1.0 / 2.0 - 0.4 && got(3)._2 < 1.0)
+  }
+
   test("q175 JL distortion: percentiles are ordered real pair ratios " +
     "(fixed point exact), pair count matches the bounded batch") {
     val sf = "/root/testdata/sf0.001"
