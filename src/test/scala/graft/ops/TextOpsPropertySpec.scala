@@ -370,4 +370,39 @@ class TextOpsPropertySpec extends AnyFunSuite with SparkSpec {
     val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("substring admission law holds on random repetitive corpora: " +
+    "admit(index(base), delta) ≡ batch plan on base ∪ delta restricted " +
+    "to delta, under the id-ordering contract") {
+    // same adversarial generator as the q166 property (2-token alphabet,
+    // lengths straddling W), split so every base id precedes every delta
+    // id — the immutable-base contract
+    val splitGen: Gen[(List[(Long, String)], List[(Long, String)])] = for {
+      nb <- Gen.choose(0, 6)
+      nd <- Gen.choose(1, 6)
+      texts <- Gen.listOfN(nb + nd, Gen.choose(0, 24).flatMap(k =>
+        Gen.listOfN(k, Gen.oneOf("a", "b")).map(_.mkString(" "))))
+    } yield {
+      val all = texts.zipWithIndex.map { case (t, i) => (i.toLong * 3 + 1, t) }
+      (all.take(nb), all.drop(nb))
+    }
+    val prop = Prop.forAllNoShrink(splitGen) { case (base, delta) =>
+      import spark.implicits._
+      val baseDf = base.toDF("doc_id", "text").repartition(2)
+      val deltaDf = delta.toDF("doc_id", "text").repartition(3)
+      val admitted = TextOps.substrAdmitAgainstIndex(deltaDf,
+        TextOps.substrIndexFrame(baseDf)).collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      graft.CachedFrames.drain()
+      val deltaIds = delta.map(_._1).toSet
+      val unionPlan = TextOps.substrDedupOn((base ++ delta)
+          .toDF("doc_id", "text").repartition(3)).collect()
+        .filter(r => deltaIds(r.getLong(0)))
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      graft.CachedFrames.drain()
+      Prop(admitted == unionPlan) :| s"admission law: $admitted vs $unionPlan"
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
