@@ -1379,4 +1379,57 @@ object Curation {
         + CASE WHEN r.rk <= x.n_extra THEN 1 ELSE 0 END AS BIGINT) AS alloc
     FROM r, x
   """
+
+  /** q194: SOURCE-MIX CONCENTRATION — Herfindahl–Hirschman index of the
+    * corpus's token mass over sources, and its reciprocal, the EFFECTIVE
+    * source count. The mixture-planning headline: a 20-source corpus with
+    * eff_sources ≈ 3 is really a 3-source corpus wearing 20 names, and
+    * the q69 mixture weights / q180 allocations are operating on far less
+    * diversity than the roster suggests. HHI = Σ(c_s/T)², computed as the
+    * exact integer ratio Σc_s²/T²; eff_sources = T²/Σc_s² is its OWN
+    * division of the same exact integers (never 1/hhi of a rounded
+    * double).
+    *
+    * Exactness: per-source token sums are exact BIGINTs; Σc² and T² ride
+    * DECIMAL(38,0)/HUGEINT (exact to T ≈ 1e19 tokens); two divisions.
+    *
+    * Scale shape: one map-side |sources|-row rollup, one 1-row rollup. */
+  def q194SourceHhi(spark: SparkSession, sfDir: String): DataFrame =
+    sourceHhiOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+
+  /** The concentration core over ANY (source, text) frame. */
+  private[graft] def sourceHhiOn(docs: DataFrame): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    docs.groupBy(col("source"))
+      .agg(sum(size(split(trim(col("text")), "\\s+")).cast("bigint"))
+        .as("c"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("c")).as("t"),
+        sum(d38(col("c")) * d38(col("c"))).as("c2"))
+      .select(col("n_sources"), col("t").as("total_tokens"),
+        when(col("t") > 0, col("c2").cast("double")
+          / (d38(col("t")) * d38(col("t"))).cast("double")).as("hhi"),
+        when(col("c2") > 0, (d38(col("t")) * d38(col("t"))).cast("double")
+          / col("c2").cast("double")).as("eff_sources"))
+  }
+
+  val q194SourceHhiSql: String = s"""
+    WITH c AS (
+      SELECT source,
+        CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+          AS c
+      FROM documents GROUP BY 1),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        CAST(sum(c) AS BIGINT) AS t,
+        sum(CAST(c AS HUGEINT) * c) AS c2 -- guard:ok internal HUGEINT; outputs below are exact-cast
+      FROM c)
+    SELECT n_sources, t AS total_tokens,
+      CASE WHEN t > 0 THEN
+        CAST(c2 AS DOUBLE) / CAST(CAST(t AS HUGEINT) * t AS DOUBLE) END
+        AS hhi,
+      CASE WHEN c2 > 0 THEN
+        CAST(CAST(t AS HUGEINT) * t AS DOUBLE) / CAST(c2 AS DOUBLE) END
+        AS eff_sources
+    FROM m
+  """
 }

@@ -669,4 +669,90 @@ object Relational {
     FROM z GROUP BY 1
   """
   }
+
+  /** q195 percentile grid: (name, a, b) picks rank (a·n + b−1) DIV b of
+    * the ascending fanout order — the q140 exact-index convention. */
+  private[ops] val FanoutPercentiles: Seq[(String, Int, Int)] =
+    Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+  /** q195: JOIN-FANOUT AUDIT over the schema's four FK edges — rank-exact
+    * p50/p90/p99 and max of children-per-parent for customer→orders,
+    * orders→lineitem, nation→customer and part→lineitem. The numbers a
+    * shuffle strategy is actually chosen from: p99≫p50 on an edge says
+    * salt it (q42) or lean on AQE skew splitting BEFORE the job runs,
+    * and max bounds the worst single reduce task. The distribution is
+    * over REFERENCED parents (a parent with zero children contributes no
+    * join work — q179 audits those separately as orphans' dual).
+    *
+    * Exactness: fanouts are exact counts; percentiles are exact
+    * order-statistic picks at index (a·n + b−1) DIV b with ties broken
+    * by parent key (a total order), the q140 convention — bitwise both
+    * engines, no interpolation.
+    *
+    * Scale shape: each edge is ONE map-side-combinable child rollup to
+    * parent cardinality; the four counts frames union under an edge tag
+    * into a single GROUPED [[DistRank]] layout (per-edge bucketed rank —
+    * no single-partition sort), sizes ride a broadcast, and the answer
+    * is a 4-row rollup. */
+  def q195JoinFanout(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Seq(
+      ("customer->orders",
+        Tables(spark, sfDir, "orders").select(col("o_custkey").as("k"))),
+      ("orders->lineitem",
+        Tables(spark, sfDir, "lineitem").select(col("l_orderkey").as("k"))),
+      ("nation->customer", Tables(spark, sfDir, "customer")
+        .select(col("c_nationkey").cast("bigint").as("k"))),
+      ("part->lineitem",
+        Tables(spark, sfDir, "lineitem").select(col("l_partkey").as("k"))))
+    val counts = edges.map { case (e, df) =>
+      df.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .select(lit(e).as("edge"), col("k"), col("cnt"))
+    }.reduce(_.unionByName(_))
+    fanoutPercentilesOn(counts)
+  }
+
+  /** The percentile rollup over ANY (edge, k, cnt) fanout frame. */
+  private[graft] def fanoutPercentilesOn(counts: DataFrame): DataFrame = {
+    val sizes = counts.groupBy(col("edge"))
+      .agg(count(lit(1)).as("n_parents"))
+      .select(col("edge").as("_esz"), col("n_parents"))
+    val picks = FanoutPercentiles.map { case (name, a, b) =>
+      max(when(col("_r") ===
+        expr(s"($a * n_parents + ${b - 1}) DIV $b"), col("cnt"))).as(name)
+    }
+    val aggs = picks :+ max(col("cnt")).as("max_fanout")
+    graft.ops.DistRank
+      .withBucketedRank(counts, Seq("edge"), "cnt", Seq("k"), "_r")
+      .join(broadcast(sizes), col("edge") <=> col("_esz"))
+      .groupBy(col("edge"), col("n_parents"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  val q195JoinFanoutSql: String = {
+    val cases = FanoutPercentiles.map { case (name, a, b) =>
+      s"max(CASE WHEN rk = ($a * n_parents + ${b - 1}) // $b THEN cnt END) AS $name"
+    }.mkString(",\n      ")
+    s"""
+    WITH ce AS (
+      SELECT 'customer->orders' AS edge, o_custkey AS k FROM orders
+      UNION ALL
+      SELECT 'orders->lineitem', l_orderkey FROM lineitem
+      UNION ALL
+      SELECT 'nation->customer', CAST(c_nationkey AS BIGINT) FROM customer
+      UNION ALL
+      SELECT 'part->lineitem', l_partkey FROM lineitem),
+    c AS (
+      SELECT edge, k, CAST(count(*) AS BIGINT) AS cnt
+      FROM ce GROUP BY 1, 2),
+    r AS (
+      SELECT edge, cnt,
+        row_number() OVER (PARTITION BY edge ORDER BY cnt ASC, k ASC) AS rk,
+        count(*) OVER (PARTITION BY edge) AS n_parents
+      FROM c)
+    SELECT edge, CAST(n_parents AS BIGINT) AS n_parents,
+      $cases,
+      max(cnt) AS max_fanout
+    FROM r GROUP BY 1, 2
+  """
+  }
 }

@@ -1054,6 +1054,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     } finally CachedFrames.drain()
   }
 
+  test("q195_join_fanout: four map-side child rollups union into ONE " +
+      "grouped bucketed rank — no global-order window, no cartesian, " +
+      "sizes ride a broadcast") {
+    val p = finalPlan("q195_join_fanout")
+    assert(!p.contains("windowspecdefinition(ORDER BY"), p)
+    assert(p.contains("windowspecdefinition(edge"), p) // per-edge bucketed
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(p.contains("partial_count"), p)
+    assert(nodes(p, "BroadcastHashJoin") >= 1, p) // the sizes broadcast
+  }
+
   test("q168_mrr: the only nested-loop is the declared bounded query " +
       "batch; hit join is key-equi; 1-row rollups funnel partial aggs") {
     val p = finalPlan("q168_mrr")

@@ -347,4 +347,21 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       assert(alloc === expected, s)
     }
   }
+
+  test("q194 source HHI: hand corpus gives the exact integer-ratio HHI " +
+    "and effective count; a single source scores exactly 1/1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // tokens: a=6, b=3, c=1 → T=10, Σc²=46 → hhi=0.46, eff=100/46
+    val docs = Seq(
+      ("a", "t1 t2 t3"), ("a", "t4 t5 t6"),
+      ("b", "u1 u2 u3"), ("c", "v1")).toDF("source", "text")
+    val r = Curation.sourceHhiOn(docs).collect()(0)
+    assert(r.getLong(0) === 3L && r.getLong(1) === 10L)
+    assert(r.getDouble(2) === 46.0 / 100.0)
+    assert(r.getDouble(3) === 100.0 / 46.0)
+    val one = Curation.sourceHhiOn(
+      Seq(("x", "w1 w2 w3")).toDF("source", "text")).collect()(0)
+    assert(one.getDouble(2) === 1.0 && one.getDouble(3) === 1.0)
+  }
 }

@@ -49,4 +49,27 @@ class RelationalSpec extends AnyFunSuite with graft.SparkSpec {
     assert(rows.keySet === (Seq((0L, 0L), (65535L, 65535L)) ++ probes)
       .map { case (x, y) => (morton(x, y) / shardWidth).toInt }.toSet)
   }
+
+  test("q195 fanout percentiles: exact order-statistic picks on a " +
+    "tie-heavy hand distribution, per edge, matching the plain-Scala " +
+    "sorted index") {
+    import spark.implicits._
+    // edge A: fanouts 1,1,2,2,2,3,9,40 (n=8); edge B: 5,5,5 (n=3)
+    val fan = Seq(
+      ("A", 1L, 1L), ("A", 2L, 1L), ("A", 3L, 2L), ("A", 4L, 2L),
+      ("A", 5L, 2L), ("A", 6L, 3L), ("A", 7L, 9L), ("A", 8L, 40L),
+      ("B", 1L, 5L), ("B", 2L, 5L), ("B", 3L, 5L))
+      .toDF("edge", "k", "cnt")
+    def pick(v: Seq[Long], a: Int, b: Int): Long = {
+      val n = v.size
+      v.sorted.apply(((a * n + b - 1) / b) - 1)
+    }
+    val got = Relational.fanoutPercentilesOn(fan).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val fa = Seq(1L, 1L, 2L, 2L, 2L, 3L, 9L, 40L)
+    assert(got("A") === ((8L, pick(fa, 1, 2), pick(fa, 9, 10),
+      pick(fa, 99, 100), 40L)))
+    assert(got("B") === ((3L, 5L, 5L, 5L, 5L)))
+  }
 }
