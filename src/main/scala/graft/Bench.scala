@@ -52,7 +52,7 @@ object Bench {
     "graph" -> Seq("q68_containment", "q121_label_propagation",
       "q127_pagerank", "q145_triangle_count", "q149_hits",
       "q153_assortativity", "q156_kcore", "q170_link_predict",
-      "q186_modularity"))
+      "q186_modularity", "q196_split_leakage"))
 
   private[graft] final case class QStat(median: Double, min: Double, max: Double,
       failures: Int)

@@ -813,6 +813,8 @@ object GraphReport {
         graft.ops.TextOps.modularityOn(ids,
             docs.select(col("doc_id"), col("lang")))
           .coalesce(1).write.mode("overwrite").parquet(s"$out/modularity")
+        graft.ops.TextOps.splitLeakageOn(ids, docs.select(col("doc_id")))
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/split_leakage")
       } finally graft.CachedFrames.drain()
     }
   }

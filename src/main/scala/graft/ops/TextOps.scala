@@ -3627,6 +3627,109 @@ object TextOps {
     FROM ein, d2
   """
 
+  /** q196: TRAIN/VAL/TEST SPLIT-LEAKAGE AUDIT over the near-dup graph —
+    * documents are assigned to splits by the deterministic hash
+    * pmod(md5_prefix56('sp:' ∥ doc_id), 10) (0-7 train, 8 val, 9 test),
+    * and every q68 near-dup edge is classified by the unordered split
+    * pair of its endpoints. A near-duplicate pair straddling train and
+    * test IS eval contamination (the model saw the answer's twin), so the
+    * observed share of each pair class is reported against its
+    * independence expectation (2·p_a·p_b, p_a² on the diagonal) with the
+    * exact lift — lift ≈ 1 everywhere says hash-splitting is safe for
+    * this corpus; a depressed cross-split lift only happens when someone
+    * split by a near-dup-correlated key and is the audit's alarm.
+    *
+    * Exactness: all counts exact; share, expected_share and lift are
+    * single divisions of exact DECIMAL(38,0)/HUGEINT products
+    * (n·N² and total·k·c_a·c_b — exact to ~1e12 edges over ~1e9 docs).
+    * Split names order alphabetically (ASCII — both engines agree).
+    *
+    * Scale shape: the split tag is a per-row codegen hash; the edge
+    * classification is two broadcast-eligible doc-keyed joins against the
+    * 2-column split frame; the rollup is ≤6 rows; sizes and totals ride
+    * 1-row/3-row broadcasts. Joins the Bench graph group / GraphReport
+    * bundle (shares the cached q68 edge artifact). */
+  def q196SplitLeakage(spark: SparkSession, sfDir: String): DataFrame =
+    splitLeakageOn(q68Containment(spark, sfDir).select(col("id1"), col("id2")),
+      Tables(spark, sfDir, "documents").select(col("doc_id")))
+
+  /** The audit core over ANY undirected (id1, id2) edge frame and
+    * (doc_id) roster — fixture-testable. */
+  private[graft] def splitLeakageOn(pairs: DataFrame,
+      docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val dsplit = graft.CachedFrames.track(docs.select(col("doc_id"), expr(
+      "CASE WHEN pmod(md5_prefix56(concat('sp:', CAST(doc_id AS STRING))), 10) < 8 " +
+        "THEN 'train' WHEN pmod(md5_prefix56(concat('sp:', " +
+        "CAST(doc_id AS STRING))), 10) = 8 THEN 'val' ELSE 'test' END")
+      .as("split")))
+    val sizes = dsplit.groupBy(col("split")).agg(count(lit(1)).as("c"))
+    val nTot = dsplit.agg(count(lit(1)).as("n_docs"))
+    val tagged = pairs
+      .join(dsplit.select(col("doc_id").as("id1"), col("split").as("sp1")),
+        Seq("id1"))
+      .join(dsplit.select(col("doc_id").as("id2"), col("split").as("sp2")),
+        Seq("id2"))
+      .select(least(col("sp1"), col("sp2")).as("split_a"),
+        greatest(col("sp1"), col("sp2")).as("split_b"))
+    val byPair = tagged.groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_edges"))
+    val totEdges = byPair.agg(sum(col("n_edges")).as("total_edges"))
+    byPair
+      .join(broadcast(sizes.select(col("split").as("split_a"),
+        col("c").as("ca"))), Seq("split_a"))
+      .join(broadcast(sizes.select(col("split").as("split_b"),
+        col("c").as("cb"))), Seq("split_b"))
+      .crossJoin(broadcast(totEdges)).crossJoin(broadcast(nTot))
+      .withColumn("k", when(col("split_a") === col("split_b"), 1L)
+        .otherwise(2L))
+      .select(col("split_a"), col("split_b"), col("n_edges"),
+        (col("n_edges").cast("double") / col("total_edges").cast("double"))
+          .as("share"),
+        ((d38(col("k")) * d38(col("ca")) * d38(col("cb"))).cast("double")
+          / (d38(col("n_docs")) * d38(col("n_docs"))).cast("double"))
+          .as("expected_share"),
+        ((d38(col("n_edges")) * d38(col("n_docs")) * d38(col("n_docs")))
+          .cast("double")
+          / (d38(col("total_edges")) * d38(col("k")) * d38(col("ca"))
+            * d38(col("cb"))).cast("double")).as("lift"))
+  }
+
+  val q196SplitLeakageSql: String = s"""
+    WITH ds AS (
+      SELECT doc_id,
+        CASE WHEN ('0x' || substr(md5('sp:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 10 < 8
+          THEN 'train'
+          WHEN ('0x' || substr(md5('sp:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 10 = 8
+          THEN 'val' ELSE 'test' END AS split
+      FROM documents),
+    sz AS (SELECT split, CAST(count(*) AS BIGINT) AS c FROM ds GROUP BY 1),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM ds),
+    e AS (SELECT id1, id2 FROM ($q68ContainmentSql)),
+    tagged AS (
+      SELECT least(a.split, b.split) AS split_a,
+        greatest(a.split, b.split) AS split_b
+      FROM e JOIN ds a ON e.id1 = a.doc_id JOIN ds b ON e.id2 = b.doc_id),
+    bp AS (
+      SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_edges
+      FROM tagged GROUP BY 1, 2),
+    te AS (SELECT CAST(sum(n_edges) AS BIGINT) AS total_edges FROM bp)
+    SELECT bp.split_a, bp.split_b, bp.n_edges,
+      CAST(bp.n_edges AS DOUBLE) / CAST(te.total_edges AS DOUBLE) AS share,
+      CAST((CASE WHEN bp.split_a = bp.split_b THEN 1 ELSE 2 END)
+          * CAST(ca.c AS HUGEINT) * cb.c AS DOUBLE)
+        / CAST(CAST(nt.n_docs AS HUGEINT) * nt.n_docs AS DOUBLE)
+        AS expected_share,
+      CAST(CAST(bp.n_edges AS HUGEINT) * nt.n_docs * nt.n_docs AS DOUBLE)
+        / CAST(CAST(te.total_edges AS HUGEINT)
+          * (CASE WHEN bp.split_a = bp.split_b THEN 1 ELSE 2 END)
+          * ca.c * cb.c AS DOUBLE) AS lift
+    FROM bp
+      JOIN sz ca ON bp.split_a = ca.split
+      JOIN sz cb ON bp.split_b = cb.split, te, nt
+  """
+
   /** q154: per-document BIGRAM NOVELTY — the fraction of a doc's distinct
     * bigrams whose FIRST corpus occurrence (minimum doc_id, the ingestion
     * order) is this doc. The memorization-risk lens inverted: q118 asks

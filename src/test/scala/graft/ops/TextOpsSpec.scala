@@ -1255,4 +1255,55 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
+
+  test("q196 split leakage: bitwise equal to the plain-Scala BigInt " +
+    "formula on a crafted roster/edge set; pair classes are unordered " +
+    "and shares sum to 1") {
+    import spark.implicits._
+    // plain-Scala twin of the md5_prefix56('sp:' || id) % 10 split tag
+    def splitOf(id: Long): String = {
+      val h = graft.functions.Md5Prefix56.hash56(
+        s"sp:$id".getBytes(java.nio.charset.StandardCharsets.UTF_8)) % 10
+      if (h < 8) "train" else if (h == 8) "val" else "test"
+    }
+    // roster wide enough that all three splits are populated (80/10/10
+    // expected); edges picked blind to the hash — the test recomputes
+    // every class count from the same deterministic tag
+    val docs = (1L to 60L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L), (9L, 10L),
+      (11L, 12L), (13L, 14L), (15L, 16L), (17L, 18L), (19L, 20L),
+      (21L, 40L), (22L, 41L), (23L, 42L), (24L, 55L), (25L, 60L))
+    val sizes = (1L to 60L).groupBy(splitOf).view.mapValues(_.size).toMap
+    assert(sizes.keySet === Set("train", "val", "test"),
+      s"fixture must populate all three splits: $sizes")
+    val classes = edges
+      .map { case (a, b) =>
+        val (sa, sb) = (splitOf(a), splitOf(b))
+        if (sa <= sb) (sa, sb) else (sb, sa)
+      }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val total = edges.size
+    val n = 60L
+    val got = TextOps.splitLeakageOn(edges.toDF("id1", "id2"), docs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    graft.CachedFrames.drain()
+    assert(got.keySet === classes.keySet)
+    classes.foreach { case (k @ (sa, sb), cnt) =>
+      val (nEdges, share, expShare, lift) = got(k)
+      val kf = if (sa == sb) 1L else 2L
+      val (ca, cb) = (BigInt(sizes(sa)), BigInt(sizes(sb)))
+      assert(nEdges === cnt.toLong, s"class $k")
+      assert(share === cnt.toDouble / total.toDouble, s"share $k")
+      assert(expShare ===
+        (BigInt(kf) * ca * cb).toDouble / (BigInt(n) * n).toDouble,
+        s"expected_share $k")
+      assert(lift ===
+        (BigInt(cnt) * n * n).toDouble /
+          (BigInt(total) * kf * ca * cb).toDouble, s"lift $k")
+    }
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12)
+  }
 }
