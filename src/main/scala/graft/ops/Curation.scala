@@ -1432,4 +1432,73 @@ object Curation {
         AS eff_sources
     FROM m
   """
+
+  /** q197: LANG × SOURCE CONTINGENCY AUDIT — the full observed-vs-expected
+    * grid over the corpus's two categorical axes, one row per (lang,
+    * source) cell INCLUDING empty cells (a language entirely absent from a
+    * source is exactly the confounding signal the audit exists to catch),
+    * with the independence expectation r·c/N and the Pearson residual
+    * (o − e)/√e. Cells with |residual| ≳ 2–3 mark language–source
+    * confounding: a mixture built by source (q69/q77) silently reweights
+    * languages wherever this grid is unbalanced, and a lang-conditioned
+    * eval can't use a source split as its control. q194 measures the
+    * MARGINAL source concentration; this measures the INTERACTION of the
+    * two axes — neither is derivable from the other.
+    *
+    * Exactness: counts exact BIGINT; expected is one division of exact
+    * DECIMAL(38,0)/HUGEINT products (r·c exact to N ≈ 1e19); the residual
+    * is algebraically (o·N − r·c)/√(N·r·c) — exact integer numerator, one
+    * IEEE-correctly-rounded sqrt (bitwise-portable, unlike ln) and one
+    * division, identical op order in both engines. The global χ² sum is
+    * deliberately NOT emitted: re-ordered double accumulation isn't
+    * bitwise-portable, and the per-cell residual grid is the actionable
+    * artifact anyway (χ² = Σ residual² if a consumer wants it).
+    *
+    * Scale shape: ONE scan of the corpus into a map-side (lang, source)
+    * rollup; margins and N re-aggregate the CACHED cells frame (never the
+    * corpus); the full grid is a broadcast cross of the two margin frames
+    * (|langs|·|sources| — label-space-bounded, not data-sized) left-joined
+    * back to cells. */
+  def q197Chi2Contingency(spark: SparkSession, sfDir: String): DataFrame =
+    chi2ContingencyOn(Tables.parallelized(Tables(spark, sfDir, "documents"))
+      .select(col("lang"), col("source")))
+
+  /** The grid core over ANY two-categorical-column frame. */
+  private[graft] def chi2ContingencyOn(docs: DataFrame): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val cells = graft.CachedFrames.track(
+      docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o")))
+    val r = cells.groupBy(col("lang")).agg(sum(col("o")).as("rl"))
+    val c = cells.groupBy(col("source")).agg(sum(col("o")).as("cs"))
+    val n = cells.agg(sum(col("o")).as("nn"))
+    val obs = coalesce(col("o"), lit(0L))
+    r.crossJoin(broadcast(c)).crossJoin(broadcast(n))
+      .join(cells, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), obs.as("n_obs"),
+        ((d38(col("rl")) * d38(col("cs"))).cast("double")
+          / col("nn").cast("double")).as("expected"),
+        ((d38(obs) * d38(col("nn")) - d38(col("rl")) * d38(col("cs")))
+          .cast("double")
+          / sqrt((d38(col("nn")) * d38(col("rl")) * d38(col("cs")))
+            .cast("double"))).as("residual"))
+  }
+
+  val q197Chi2ContingencySql: String = """
+    WITH cells AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2),
+    r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rl FROM cells GROUP BY 1),
+    c AS (SELECT source, CAST(sum(o) AS BIGINT) AS cs FROM cells GROUP BY 1),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells)
+    SELECT r.lang, c.source,
+      coalesce(cells.o, CAST(0 AS BIGINT)) AS n_obs,
+      CAST(CAST(r.rl AS HUGEINT) * c.cs AS DOUBLE) / CAST(n.nn AS DOUBLE)
+        AS expected,
+      CAST(CAST(coalesce(cells.o, CAST(0 AS BIGINT)) AS HUGEINT) * n.nn
+          - CAST(r.rl AS HUGEINT) * c.cs AS DOUBLE)
+        / sqrt(CAST(CAST(n.nn AS HUGEINT) * r.rl * c.cs AS DOUBLE))
+        AS residual
+    FROM r CROSS JOIN c CROSS JOIN n
+      LEFT JOIN cells ON cells.lang = r.lang AND cells.source = c.source
+  """
 }

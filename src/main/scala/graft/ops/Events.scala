@@ -1854,4 +1854,217 @@ object Events {
       END AS z
     FROM m
   """
+
+  /** The CALENDAR-DENSE daily event-count series shared by the trend
+    * family (q198 ACF, q199 Mann–Kendall, q200 Theil–Sen): one map-side
+    * (day) rollup of the raw stream, then a zero-fill over the full
+    * [min, max] calendar — a quiet day is a 0 observation, not a missing
+    * one, or every lag/trend statistic silently conflates "no traffic"
+    * with "no data". The calendar explode rides the 1-row bounds frame;
+    * the zero-fill join is |days|-sized (calendar-bounded — decades are
+    * ~1e4 rows — never data-sized). */
+  private[graft] def denseDaily(events: DataFrame): DataFrame = {
+    val obs = events
+      .select(expr("CAST(floor(unix_timestamp(ts) / 86400.0D) AS BIGINT)")
+        .as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+    obs.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(obs, Seq("day"), "left")
+      .select(col("day"), coalesce(col("c"), lit(0L)).as("c"))
+  }
+
+  /** The dense-daily CTE chain shared by the q198/q199/q200 oracles —
+    * same floor-epoch day key as q108/q151, zero-filled over
+    * generate_series(min, max) (inclusive both ends, as Spark's
+    * `sequence`). */
+  private[graft] val DailyDenseCte: String = """
+    obs AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    bnd AS (SELECT min(day) AS d0, max(day) AS d1 FROM obs),
+    cal AS (SELECT unnest(generate_series(bnd.d0, bnd.d1)) AS day FROM bnd),
+    dense AS (
+      SELECT cal.day, coalesce(o.c, CAST(0 AS BIGINT)) AS c
+      FROM cal LEFT JOIN obs o ON o.day = cal.day)"""
+
+  /** q198 horizon: lags 1..7 — the daily series' weekly seasonality. */
+  private[graft] val AcfMaxLag = 7
+
+  /** q198: AUTOCORRELATION of the daily event-count series at lags 1–7 —
+    * the load-pattern fingerprint the anomaly family reads raw (q126
+    * z-scores, q148 EWMA, q151 CUSUM all assume independent days; ACF
+    * measures how wrong that is). acf(7) ≈ acf(1)'s peak says weekly
+    * seasonality; a slow decay says traffic is trending (difference it
+    * before alerting). Quiet days count as 0 via [[denseDaily]].
+    *
+    * Exactness: with S = Σc and n days, acf(k) multiplied through by n²
+    * is Σ(n·c_t − S)(n·c_{t+k} − S) / Σ(n·c_t − S)² — both sums exact in
+    * DECIMAL(38,0)/HUGEINT (deviations ≤ n·max_c ≈ 1e17 at 1e13
+    * events/day over 30 years; squares 1e34, summed over 1e4 days ≈ 1e38
+    * — at the ladder's ceiling, documented), one final division.
+    * Constant series → NULL (0/0 guarded in both engines).
+    *
+    * Scale shape: ONE map-side day rollup of the stream; everything after
+    * is calendar-bounded. The lag pairing is a 7-way explode + equi-join
+    * on day+lag (no range/theta join), the denominator a 1-row broadcast. */
+  def q198Acf(spark: SparkSession, sfDir: String): DataFrame =
+    acfOn(Tables(spark, sfDir, "events"))
+
+  /** The ACF core over ANY (day, c) integer series — fixture-testable. */
+  private[graft] def acfOn(events: DataFrame): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val dense = graft.CachedFrames.track(denseDaily(events))
+    val stats = dense.agg(count(lit(1)).as("n"), sum(col("c")).as("tot"))
+    val dev = graft.CachedFrames.track(dense.crossJoin(broadcast(stats))
+      .select(col("day"),
+        (d38(col("n")) * d38(col("c")) - d38(col("tot"))).as("dev")))
+    val den = dev.agg(sum(col("dev") * col("dev")).as("dd"))
+    dev.select(col("day"), col("dev"),
+        explode(sequence(lit(1L), lit(AcfMaxLag.toLong))).as("lag"))
+      .withColumn("day2", col("day") + col("lag"))
+      .join(dev.select(col("day").as("day2"), col("dev").as("dev2")),
+        Seq("day2"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("dev") * col("dev2")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        when(col("dd") =!= 0,
+          col("num").cast("double") / col("dd").cast("double")).as("acf"))
+  }
+
+  val q198AcfSql: String = s"""
+    WITH $DailyDenseCte,
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS tot
+          FROM dense),
+    dev AS (SELECT dense.day, CAST(s.n AS HUGEINT) * dense.c - s.tot AS dev
+            FROM dense, s),
+    den AS (SELECT sum(dev * dev) AS dd FROM dev), -- guard:ok internal HUGEINT energy; acf below is exact-cast
+    p AS (SELECT b.day - a.day AS lag, a.dev AS da, b.dev AS db
+          FROM dev a JOIN dev b ON b.day - a.day BETWEEN 1 AND $AcfMaxLag)
+    SELECT p.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+      CASE WHEN den.dd <> 0 THEN
+        CAST(sum(p.da * p.db) AS DOUBLE) / CAST(den.dd AS DOUBLE) END AS acf
+    FROM p, den GROUP BY 1, den.dd
+  """
+
+  /** q199: MANN–KENDALL TREND TEST on the daily event-count series — is
+    * traffic monotonically drifting, without assuming linearity or any
+    * distribution? S counts up-pairs minus down-pairs over all day pairs;
+    * the tie-corrected variance n(n−1)(2n+5)/18 − Σt(t−1)(2t+5)/18 gives
+    * the normal z (continuity-corrected toward 0). |z| > 1.96 is the alarm
+    * the q151 CUSUM localizes and the q200 slope then SIZES. Quiet days
+    * count as 0 via [[denseDaily]].
+    *
+    * Exactness: S and the variance numerator are exact BIGINTs (n ≤ 1e4
+    * calendar days → n³ ≈ 1e12, far inside BIGINT); z divides by
+    * sqrt(var_num/18) in the same fixed op order both engines, sqrt being
+    * IEEE-correctly-rounded (portable, unlike ln/exp).
+    *
+    * Scale shape: the stream is touched ONCE (the day rollup); the pair
+    * walk is a declared calendar-bounded self-cross of the |days|-row
+    * dense frame (~5·10⁷ pairs at 30 years — trivially distributed,
+    * NEVER data-sized; the q29 bounded-batch contract applied to time). */
+  def q199MannKendall(spark: SparkSession, sfDir: String): DataFrame =
+    mannKendallOn(Tables(spark, sfDir, "events"))
+
+  /** The MK core over ANY (day, c) integer series — fixture-testable. */
+  private[graft] def mannKendallOn(events: DataFrame): DataFrame = {
+    val dense = graft.CachedFrames.track(denseDaily(events))
+    val s = dense.as("a").crossJoin(dense.as("b"))
+      .filter(col("b.day") > col("a.day"))
+      .agg(coalesce(sum(when(col("b.c") > col("a.c"), 1L)
+        .when(col("b.c") < col("a.c"), -1L).otherwise(0L)), lit(0L))
+        .as("s_stat"))
+    val ties = dense.groupBy(col("c")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)),
+        lit(0L)).as("tie_term"))
+    dense.agg(count(lit(1)).as("n_days"))
+      .crossJoin(broadcast(ties)).crossJoin(broadcast(s))
+      .select(col("n_days"), col("s_stat"),
+        (col("n_days") * (col("n_days") - 1) * (col("n_days") * 2 + 5)
+          - col("tie_term")).as("var_num"))
+      .select(col("n_days"), col("s_stat"), col("var_num"),
+        when(col("var_num") > 0,
+          (when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+            .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+            .otherwise(lit(0.0)))
+            / sqrt(col("var_num").cast("double") / lit(18.0))).as("z"))
+  }
+
+  val q199MannKendallSql: String = s"""
+    WITH $DailyDenseCte,
+    s AS (SELECT coalesce(CAST(sum(CASE WHEN b.c > a.c THEN 1
+            WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT),
+            CAST(0 AS BIGINT)) AS s_stat
+          FROM dense a JOIN dense b ON b.day > a.day),
+    tg AS (SELECT CAST(count(*) AS BIGINT) AS t FROM dense GROUP BY c),
+    tt AS (SELECT coalesce(CAST(sum(t * (t - 1) * (t * 2 + 5)) AS BIGINT),
+             CAST(0 AS BIGINT)) AS tie_term FROM tg),
+    v AS (SELECT n.n_days, s.s_stat,
+            n.n_days * (n.n_days - 1) * (n.n_days * 2 + 5) - tt.tie_term
+              AS var_num
+          FROM (SELECT CAST(count(*) AS BIGINT) AS n_days FROM dense) n,
+            s, tt)
+    SELECT n_days, s_stat, var_num,
+      CASE WHEN var_num > 0 THEN
+        (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+              WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+              ELSE 0e0 END)
+          / sqrt(CAST(var_num AS DOUBLE) / 18e0) END AS z
+    FROM v
+  """
+
+  /** q200: THEIL–SEN ROBUST SLOPE of the daily event-count series — the
+    * trend's SIZE in events/day, as the exact median of all pairwise
+    * slopes. Immune to the flash-crowd outlier days that drag an OLS fit
+    * (breakdown point 29%); the estimator a capacity forecast should use
+    * once q199 says the trend is real. Quiet days count as 0 via
+    * [[denseDaily]].
+    *
+    * Exactness: each pairwise slope is ONE correctly-rounded division of
+    * exact BIGINTs (bitwise-portable per IEEE); the median is a RANK-EXACT
+    * pick — the two middle order statistics via [[DistRank]] (never an
+    * approximate percentile), averaged in the same fixed (a+b)/2 order
+    * both engines ((v+v)/2 ≡ v exactly, so odd counts are unharmed).
+    *
+    * Scale shape: same as q199 — one stream rollup, then a declared
+    * calendar-bounded pair cross of the |days|-row frame; the rank layout
+    * is [[DistRank]]'s bucketed engine (no SinglePartition sort). */
+  def q200TheilSen(spark: SparkSession, sfDir: String): DataFrame =
+    theilSenOn(Tables(spark, sfDir, "events"))
+
+  /** The slope core over ANY (day, c) integer series — fixture-testable. */
+  private[graft] def theilSenOn(events: DataFrame): DataFrame = {
+    val dense = graft.CachedFrames.track(denseDaily(events))
+    val slopes = dense.as("a").crossJoin(dense.as("b"))
+      .filter(col("b.day") > col("a.day"))
+      .select(((col("b.c") - col("a.c")).cast("double")
+        / (col("b.day") - col("a.day")).cast("double")).as("slope"),
+        col("a.day").as("da"), col("b.day").as("db"))
+    val ranked = graft.CachedFrames.track(
+      DistRank.withBucketedRank(slopes, Seq(), "slope", Seq("da", "db"),
+        "_r"))
+    ranked.crossJoin(broadcast(ranked.agg(count(lit(1)).as("m"))))
+      .agg(max(col("m")).as("n_pairs"),
+        ((max(when(col("_r") === expr("(m + 1) DIV 2"), col("slope")))
+          + max(when(col("_r") === expr("m DIV 2 + 1"), col("slope"))))
+          / lit(2.0)).as("slope_per_day"))
+  }
+
+  val q200TheilSenSql: String = s"""
+    WITH $DailyDenseCte,
+    p AS (SELECT CAST(b.c - a.c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+            AS slope, a.day AS da, b.day AS db
+          FROM dense a JOIN dense b ON b.day > a.day),
+    r AS (SELECT slope, row_number() OVER (ORDER BY slope, da, db) AS rnk,
+            CAST(count(*) OVER () AS BIGINT) AS m FROM p)
+    SELECT CAST(max(m) AS BIGINT) AS n_pairs,
+      (max(CASE WHEN rnk = (m + 1) // 2 THEN slope END)
+        + max(CASE WHEN rnk = m // 2 + 1 THEN slope END)) / 2e0
+        AS slope_per_day
+    FROM r
+  """
 }

@@ -3639,6 +3639,13 @@ object TextOps {
     * this corpus; a depressed cross-split lift only happens when someone
     * split by a near-dup-correlated key and is the audit's alarm.
     *
+    * vs q86_split_leakage (Curation.scala): q86 counts the raw CROSS-split
+    * SimHash near-dup pairs under q76's split (off-diagonal counts only,
+    * the regression gate for dedup-before-split ordering); q196 classifies
+    * EVERY q68 containment edge — diagonal included — and normalizes each
+    * class by its independence expectation. Same phrase, different graph
+    * and different statistic; both stay registered.
+    *
     * Exactness: all counts exact; share, expected_share and lift are
     * single divisions of exact DECIMAL(38,0)/HUGEINT products
     * (n·N² and total·k·c_a·c_b — exact to ~1e12 edges over ~1e9 docs).

@@ -1433,4 +1433,47 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "Exchange") == 2, p)
     assert(nodes(p, "Generate") == 1, p) // the single posexplode
   }
+
+  test("q196_split_leakage: edge classification is key-equi against the " +
+      "split frame; sizes and totals ride broadcasts, no cartesian") {
+    val p = finalPlan("q196_split_leakage")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(p.contains("partial_count"), p)
+    assert(nodes(p, "BroadcastHashJoin") >= 2, p) // the two sizes joins
+  }
+
+  test("q197_chi2_contingency: the corpus is scanned ONCE into the cached " +
+      "cells frame; margins and the grid re-read the cache, the cross is " +
+      "label-space-bounded broadcasts only") {
+    val p = finalPlan("q197_chi2_contingency")
+    // the tracked cells frame embeds its own AdaptiveSparkPlan, which
+    // truncates executedPlan.toString at the first InMemoryRelation (the
+    // rfmOn lesson) — the visible prefix still proves the shape: the one
+    // corpus FileScan lives inside the cells rebuild, every margin branch
+    // reads the cache, and the only join machinery is broadcast-sided
+    assert("FileScan parquet".r.findAllIn(p).size <= 1, p)
+    assert(nodes(p, "InMemoryTableScan") >= 1, p)
+    assert(p.contains("InMemoryRelation"), p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(nodes(p, "BroadcastHashJoin") >= 1, p) // the grid → cells probe
+  }
+
+  test("q198_acf: the lag pairing is a key-equi join (no range/theta " +
+      "join), no window anywhere, the energy term rides a broadcast") {
+    val p = finalPlan("q198_acf")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "Window") == 0, p)
+    assert(nodes(p, "BroadcastHashJoin") >= 1, p) // dev ⋈ dev on day+lag
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q200_theil_sen: the slope median ranks bucketed (no global-ORDER " +
+      "window); the only nested loop is the declared calendar-bounded " +
+      "pair cross") {
+    val p = finalPlan("q200_theil_sen")
+    assert(!p.contains("windowspecdefinition(ORDER BY"), p)
+    assert(p.contains("windowspecdefinition(_bkt"), p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+  }
 }

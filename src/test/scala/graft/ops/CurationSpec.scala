@@ -364,4 +364,43 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       Seq(("x", "w1 w2 w3")).toDF("source", "text")).collect()(0)
     assert(one.getDouble(2) === 1.0 && one.getDouble(3) === 1.0)
   }
+
+  test("q197 contingency grid: full lang×source cross including the EMPTY " +
+    "cell, expected and Pearson residuals bitwise equal to the plain-" +
+    "Scala BigInt formula; an independent 2×2 grid has residual 0 " +
+    "everywhere") {
+    import spark.implicits._
+    // de×books is the empty cell: n_obs 0, negative residual
+    val counts = Map(("en", "web") -> 5, ("en", "books") -> 3,
+      ("fr", "web") -> 2, ("fr", "books") -> 4, ("de", "web") -> 6)
+    val docs = counts.toSeq.flatMap { case ((l, s), n) =>
+      Seq.fill(n)((l, s))
+    }.toDF("lang", "source")
+    val langs = counts.keys.map(_._1).toSet
+    val sources = counts.keys.map(_._2).toSet
+    val n = counts.values.sum
+    val got = Curation.chi2ContingencyOn(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    graft.CachedFrames.drain()
+    assert(got.keySet === (for (l <- langs; s <- sources) yield (l, s)))
+    got.foreach { case ((l, s), (o, e, res)) =>
+      val oExp = counts.getOrElse((l, s), 0)
+      val rl = BigInt(counts.collect { case ((`l`, _), c) => c }.sum)
+      val cs = BigInt(counts.collect { case ((_, `s`), c) => c }.sum)
+      assert(o === oExp.toLong, s"($l,$s)")
+      assert(e === (rl * cs).toDouble / n.toDouble, s"expected ($l,$s)")
+      assert(res === (BigInt(oExp) * n - rl * cs).toDouble /
+        math.sqrt((BigInt(n) * rl * cs).toDouble), s"residual ($l,$s)")
+    }
+    assert(got(("de", "books"))._1 === 0L)
+    assert(got(("de", "books"))._3 < 0.0)
+    // perfectly independent 2×2 (o = r·c/N exactly) → residual 0
+    val ind = Seq.fill(4)(("en", "web")) ++ Seq.fill(2)(("en", "books")) ++
+      Seq.fill(2)(("fr", "web")) ++ Seq.fill(1)(("fr", "books"))
+    val g2 = Curation.chi2ContingencyOn(ind.toDF("lang", "source"))
+      .collect().map(_.getDouble(4))
+    graft.CachedFrames.drain()
+    assert(g2.forall(_ === 0.0))
+  }
 }

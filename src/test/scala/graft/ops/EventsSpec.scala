@@ -646,4 +646,85 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(t.getDouble(2) === 6.0) // all 12 pairs tied: U = n₀n₁/2
     assert(t.isNullAt(3))
   }
+
+  // the trend-family fixture: days 0,1,2,4,5 with a GAP at day 3 — the
+  // dense series must read [3,1,4,0,1,5]; intra-day offsets exercise the
+  // floor-to-day key
+  private def trendEvents() = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val perDay = Seq(0 -> 3, 1 -> 1, 2 -> 4, 4 -> 1, 5 -> 5)
+    perDay.flatMap { case (d, n) =>
+      (0 until n).map(i => d.toLong * 86400L + (i * 40009L) % 86400L)
+    }.toDF("sec").withColumn("ts", timestamp_seconds(col("sec")))
+  }
+  private val trendSeries = Seq(3L, 1L, 4L, 0L, 1L, 5L)
+
+  test("q198 ACF: bitwise equal to the plain-Scala exact-deviation formula " +
+    "on a gapped series (the gap day zero-fills), lags with no pairs " +
+    "absent") {
+    val c = trendSeries; val n = c.size; val tot = c.sum
+    val dev = c.map(x => BigInt(n) * x - tot)
+    val den = dev.map(d => d * d).sum
+    val expected = (1 to 5).map { k =>
+      val num = (0 until n - k).map(t => dev(t) * dev(t + k)).sum
+      (k.toLong, (n - k).toLong, num.toDouble / den.toDouble)
+    }
+    val got = Events.acfOn(trendEvents()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    graft.CachedFrames.drain()
+    assert(got.toSeq === expected) // lags 6,7 have no pairs on 6 days
+  }
+
+  test("q199 Mann–Kendall: S, the tie-corrected variance numerator and z " +
+    "are bitwise equal to the plain-Scala formula; a constant series " +
+    "reports NULL z") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val c = trendSeries; val n = c.size
+    val s = (for (i <- c.indices; j <- i + 1 until n)
+      yield (c(j) compare c(i)).sign.toLong).sum
+    val tieTerm = c.groupBy(identity).values.map(_.size.toLong)
+      .map(t => t * (t - 1) * (t * 2 + 5)).sum
+    val varNum = n.toLong * (n - 1) * (n * 2 + 5) - tieTerm
+    val zExp = (if (s > 0) (s - 1).toDouble
+                else if (s < 0) (s + 1).toDouble else 0.0) /
+      math.sqrt(varNum.toDouble / 18.0)
+    val got = Events.mannKendallOn(trendEvents()).collect()(0)
+    graft.CachedFrames.drain()
+    assert(got.getLong(0) === n.toLong)
+    assert(got.getLong(1) === s)
+    assert(got.getLong(2) === varNum)
+    assert(got.getDouble(3) === zExp) // bitwise
+    // constant series: every pair tied → var_num = 0 → NULL z, S = 0
+    val const = Seq(0L, 86400L, 2 * 86400L).toDF("sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val g2 = Events.mannKendallOn(const).collect()(0)
+    graft.CachedFrames.drain()
+    assert(g2.getLong(1) === 0L && g2.getLong(2) === 0L && g2.isNullAt(3))
+  }
+
+  test("q200 Theil–Sen: the rank-exact median of pairwise slopes matches " +
+    "the plain-Scala sort on both an odd and an even pair count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    def bruteMedian(c: Seq[Long]): (Long, Double) = {
+      val slopes = (for (i <- c.indices; j <- i + 1 until c.size)
+        yield (c(j) - c(i)).toDouble / (j - i).toDouble).sorted
+      val m = slopes.size
+      (m.toLong, (slopes((m + 1) / 2 - 1) + slopes(m / 2)) / 2.0)
+    }
+    val r1 = Events.theilSenOn(trendEvents()).collect()(0)
+    graft.CachedFrames.drain()
+    assert((r1.getLong(0), r1.getDouble(1)) === bruteMedian(trendSeries))
+    // even pair count: 4 dense days → 6 pairs; includes a gap day
+    val ev = Seq(0 -> 2, 1 -> 7, 3 -> 1).flatMap { case (d, n) =>
+      (0 until n).map(i => d.toLong * 86400L + i * 977L)
+    }.toDF("sec").withColumn("ts", timestamp_seconds(col("sec")))
+    val r2 = Events.theilSenOn(ev).collect()(0)
+    graft.CachedFrames.drain()
+    assert((r2.getLong(0), r2.getDouble(1)) ===
+      bruteMedian(Seq(2L, 7L, 0L, 1L)))
+  }
 }
