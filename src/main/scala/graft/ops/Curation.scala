@@ -1460,27 +1460,32 @@ object Curation {
     * (|langs|·|sources| — label-space-bounded, not data-sized) left-joined
     * back to cells. */
   def q197Chi2Contingency(spark: SparkSession, sfDir: String): DataFrame =
-    chi2ContingencyOn(Tables.parallelized(Tables(spark, sfDir, "documents"))
-      .select(col("lang"), col("source")))
+    contingencyGridOn(Tables.parallelized(Tables(spark, sfDir, "documents"))
+      .select(col("lang"), col("source")), "lang", "source")
 
-  /** The grid core over ANY two-categorical-column frame. */
-  private[graft] def chi2ContingencyOn(docs: DataFrame): DataFrame = {
+  /** The grid core over ANY two-column frame (the q201 rank-copula audit
+    * reuses it over decile columns): full a×b cross including empty
+    * cells, each with the exact expectation, Pearson residual and lift. */
+  private[graft] def contingencyGridOn(df: DataFrame, a: String,
+      b: String): DataFrame = {
     val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val cells = graft.CachedFrames.track(
-      docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o")))
-    val r = cells.groupBy(col("lang")).agg(sum(col("o")).as("rl"))
-    val c = cells.groupBy(col("source")).agg(sum(col("o")).as("cs"))
+      df.groupBy(col(a), col(b)).agg(count(lit(1)).as("o")))
+    val r = cells.groupBy(col(a)).agg(sum(col("o")).as("rl"))
+    val c = cells.groupBy(col(b)).agg(sum(col("o")).as("cs"))
     val n = cells.agg(sum(col("o")).as("nn"))
     val obs = coalesce(col("o"), lit(0L))
     r.crossJoin(broadcast(c)).crossJoin(broadcast(n))
-      .join(cells, Seq("lang", "source"), "left")
-      .select(col("lang"), col("source"), obs.as("n_obs"),
+      .join(cells, Seq(a, b), "left")
+      .select(col(a), col(b), obs.as("n_obs"),
         ((d38(col("rl")) * d38(col("cs"))).cast("double")
           / col("nn").cast("double")).as("expected"),
         ((d38(obs) * d38(col("nn")) - d38(col("rl")) * d38(col("cs")))
           .cast("double")
           / sqrt((d38(col("nn")) * d38(col("rl")) * d38(col("cs")))
-            .cast("double"))).as("residual"))
+            .cast("double"))).as("residual"),
+        ((d38(obs) * d38(col("nn"))).cast("double")
+          / (d38(col("rl")) * d38(col("cs"))).cast("double")).as("lift"))
   }
 
   val q197Chi2ContingencySql: String = """
@@ -1497,7 +1502,10 @@ object Curation {
       CAST(CAST(coalesce(cells.o, CAST(0 AS BIGINT)) AS HUGEINT) * n.nn
           - CAST(r.rl AS HUGEINT) * c.cs AS DOUBLE)
         / sqrt(CAST(CAST(n.nn AS HUGEINT) * r.rl * c.cs AS DOUBLE))
-        AS residual
+        AS residual,
+      CAST(CAST(coalesce(cells.o, CAST(0 AS BIGINT)) AS HUGEINT) * n.nn
+          AS DOUBLE)
+        / CAST(CAST(r.rl AS HUGEINT) * c.cs AS DOUBLE) AS lift
     FROM r CROSS JOIN c CROSS JOIN n
       LEFT JOIN cells ON cells.lang = r.lang AND cells.source = c.source
   """

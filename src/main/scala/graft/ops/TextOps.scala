@@ -5214,4 +5214,86 @@ object TextOps {
         AS top1pct_share
     FROM m
   """
+
+  /** q201 tuning: copula grid resolution (deciles on both axes). */
+  private[ops] val CopulaBuckets = 10
+
+  /** q201: RANK-COPULA GRID of quality vs length — the 10×10 joint decile
+    * table (quality-score decile × token-length decile) with each cell's
+    * independence expectation, Pearson residual and lift. q173's Spearman
+    * ρ compresses the quality–length dependence to ONE number; this
+    * localizes it: lift > 1 in the (low-quality, short-doc) corner is the
+    * classic boilerplate signature, a ridge along the diagonal says the
+    * quality gate is secretly a length gate (so q51's threshold double-
+    * counts what q112's length rule already removes), and an L-shaped
+    * structure says the dependence is tail-only — none of which ρ can
+    * distinguish. Deciles are rank-exact ntile cuts (the q176 engine) so
+    * the margins are front-loaded-equal by LAW, making expected/lift
+    * exact rationals, not estimates.
+    *
+    * Exactness: cell counts exact; expected, residual and lift are the
+    * q197 grid core's single divisions of exact DECIMAL(38,0)/HUGEINT
+    * products (o·N, s_q·s_l, N·s_q·s_l — exact to N ≈ 1e12 docs); sqrt is
+    * IEEE-portable. Decile assignment is [[DistRank.ntileOfRank]], byte-
+    * identical to ANSI ntile (the front-loaded remainder law, q176-pinned).
+    *
+    * Scale shape: ONE scored corpus projection (cached), two ungrouped
+    * bucketed [[DistRank]] layouts over it (no single-partition sort —
+    * the q173 two-layout idiom, second layout over the first's output so
+    * the corpus is ranked in TWO passes, not joined doc²), one map-side
+    * 100-cell rollup, then the label-space-bounded broadcast grid of
+    * [[Curation.contingencyGridOn]]. */
+  def q201RankCopula(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = graft.CachedFrames.track(withQualityStats(
+      Tables.parallelized(Tables(spark, sfDir, "documents")))
+      .select(col("doc_id"), col("quality_score").as("q"),
+        col("n_tokens").cast("long").as("nt")))
+    val r1 = graft.CachedFrames.track(
+      DistRank.withBucketedRank(scored, Seq(), "q", Seq("doc_id"), "rq"))
+    val r2 = DistRank.withBucketedRank(r1, Seq(), "nt", Seq("doc_id"), "rl")
+    val n = scored.agg(count(lit(1)).as("n"))
+    val deciled = r2.crossJoin(broadcast(n))
+      .select(DistRank.ntileOfRank("rq", "n", CopulaBuckets).as("q_decile"),
+        DistRank.ntileOfRank("rl", "n", CopulaBuckets).as("len_decile"))
+    Curation.contingencyGridOn(deciled, "q_decile", "len_decile")
+  }
+
+  val q201RankCopulaSql: String = s"""
+    WITH x AS (
+      SELECT doc_id, $qualityFromStatsSql AS q, CAST(n_tokens AS BIGINT) AS nt
+      FROM (SELECT doc_id,
+          $nCharsSql AS n_chars_m,
+          $nTokensSql AS n_tokens,
+          CAST(${hitsSql("en")} AS DOUBLE) AS n_stop,
+          $nPunctSql AS n_punct
+        FROM documents)),
+    dec AS (
+      SELECT CAST(ntile($CopulaBuckets) OVER (ORDER BY q, doc_id)
+          AS INTEGER) AS q_decile,
+        CAST(ntile($CopulaBuckets) OVER (ORDER BY nt, doc_id)
+          AS INTEGER) AS len_decile
+      FROM x),
+    cells AS (
+      SELECT q_decile, len_decile, CAST(count(*) AS BIGINT) AS o
+      FROM dec GROUP BY 1, 2),
+    r AS (SELECT q_decile, CAST(sum(o) AS BIGINT) AS rl
+          FROM cells GROUP BY 1),
+    c AS (SELECT len_decile, CAST(sum(o) AS BIGINT) AS cs
+          FROM cells GROUP BY 1),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells)
+    SELECT r.q_decile, c.len_decile,
+      coalesce(cells.o, CAST(0 AS BIGINT)) AS n_obs,
+      CAST(CAST(r.rl AS HUGEINT) * c.cs AS DOUBLE) / CAST(n.nn AS DOUBLE)
+        AS expected,
+      CAST(CAST(coalesce(cells.o, CAST(0 AS BIGINT)) AS HUGEINT) * n.nn
+          - CAST(r.rl AS HUGEINT) * c.cs AS DOUBLE)
+        / sqrt(CAST(CAST(n.nn AS HUGEINT) * r.rl * c.cs AS DOUBLE))
+        AS residual,
+      CAST(CAST(coalesce(cells.o, CAST(0 AS BIGINT)) AS HUGEINT) * n.nn
+          AS DOUBLE)
+        / CAST(CAST(r.rl AS HUGEINT) * c.cs AS DOUBLE) AS lift
+    FROM r CROSS JOIN c CROSS JOIN n
+      LEFT JOIN cells ON cells.q_decile = r.q_decile
+        AND cells.len_decile = c.len_decile
+  """
 }

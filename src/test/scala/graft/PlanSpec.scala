@@ -1468,6 +1468,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q201_rank_copula: both decile cuts rank bucketed (no global-ORDER " +
+      "window), the grid is broadcast-sided, no cartesian") {
+    val p = finalPlan("q201_rank_copula")
+    assert(!p.contains("windowspecdefinition(ORDER BY"), p)
+    assert(p.contains("windowspecdefinition(_bkt"), p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+  }
+
   test("q200_theil_sen: the slope median ranks bucketed (no global-ORDER " +
       "window); the only nested loop is the declared calendar-bounded " +
       "pair cross") {

@@ -379,12 +379,13 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     val langs = counts.keys.map(_._1).toSet
     val sources = counts.keys.map(_._2).toSet
     val n = counts.values.sum
-    val got = Curation.chi2ContingencyOn(docs).collect()
+    val got = Curation.contingencyGridOn(docs, "lang", "source").collect()
       .map(r => (r.getString(0), r.getString(1)) ->
-        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
     graft.CachedFrames.drain()
     assert(got.keySet === (for (l <- langs; s <- sources) yield (l, s)))
-    got.foreach { case ((l, s), (o, e, res)) =>
+    got.foreach { case ((l, s), (o, e, res, lift)) =>
       val oExp = counts.getOrElse((l, s), 0)
       val rl = BigInt(counts.collect { case ((`l`, _), c) => c }.sum)
       val cs = BigInt(counts.collect { case ((_, `s`), c) => c }.sum)
@@ -392,15 +393,18 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       assert(e === (rl * cs).toDouble / n.toDouble, s"expected ($l,$s)")
       assert(res === (BigInt(oExp) * n - rl * cs).toDouble /
         math.sqrt((BigInt(n) * rl * cs).toDouble), s"residual ($l,$s)")
+      assert(lift === (BigInt(oExp) * n).toDouble / (rl * cs).toDouble,
+        s"lift ($l,$s)")
     }
     assert(got(("de", "books"))._1 === 0L)
     assert(got(("de", "books"))._3 < 0.0)
-    // perfectly independent 2×2 (o = r·c/N exactly) → residual 0
+    assert(got(("de", "books"))._4 === 0.0)
+    // perfectly independent 2×2 (o = r·c/N exactly) → residual 0, lift 1
     val ind = Seq.fill(4)(("en", "web")) ++ Seq.fill(2)(("en", "books")) ++
       Seq.fill(2)(("fr", "web")) ++ Seq.fill(1)(("fr", "books"))
-    val g2 = Curation.chi2ContingencyOn(ind.toDF("lang", "source"))
-      .collect().map(_.getDouble(4))
+    val g2 = Curation.contingencyGridOn(ind.toDF("lang", "source"),
+      "lang", "source").collect().map(r => (r.getDouble(4), r.getDouble(5)))
     graft.CachedFrames.drain()
-    assert(g2.forall(_ === 0.0))
+    assert(g2.forall { case (res, lift) => res === 0.0 && lift === 1.0 })
   }
 }

@@ -1256,6 +1256,26 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("q201 rank copula: the grid is the full 10×10 cross, margins obey " +
+    "the ntile front-loading law on both axes, and cells sum to the " +
+    "corpus size") {
+    val got = TextOps.q201RankCopula(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    graft.CachedFrames.drain()
+    assert(got.keySet ===
+      (for (i <- 1 to 10; j <- 1 to 10) yield (i, j)).toSet)
+    val n = got.values.sum
+    // ANSI ntile sizing: first n%10 deciles take ⌈n/10⌉, the rest ⌊n/10⌋
+    def expectedSize(d: Int): Long = if (d <= n % 10) n / 10 + 1 else n / 10
+    (1 to 10).foreach { d =>
+      assert(got.collect { case ((`d`, _), o) => o }.sum ===
+        expectedSize(d), s"q margin $d")
+      assert(got.collect { case ((_, `d`), o) => o }.sum ===
+        expectedSize(d), s"len margin $d")
+    }
+  }
+
   test("q196 split leakage: bitwise equal to the plain-Scala BigInt " +
     "formula on a crafted roster/edge set; pair classes are unordered " +
     "and shares sum to 1") {
