@@ -1509,4 +1509,58 @@ object Curation {
     FROM r CROSS JOIN c CROSS JOIN n
       LEFT JOIN cells ON cells.lang = r.lang AND cells.source = c.source
   """
+
+  /** q202: DUPLICATE-CLUSTER FREQUENCY-OF-FREQUENCIES — for each exact-dup
+    * cluster size k (q25/q117's md5-of-normalized-text digest), how many
+    * clusters have exactly k members, how many documents they hold, and
+    * the Good–Turing ladder mass (k+1)·N_{k+1}/N — the expected
+    * probability that the NEXT ingested document lands in a cluster
+    * currently of size k. The k=1 row's gt is the singleton→dup
+    * conversion pressure; the distribution's tail says whether dup mass
+    * is a few viral templates (heavy tail → q117's per-source bill is
+    * concentrated) or diffuse near-misses. q117 reports WHO pays for
+    * duplication; this reports its SHAPE — the input a dedup-pass
+    * schedule (exact first? substring first?) is actually planned from.
+    *
+    * Exactness: all counts exact BIGINT; k·N_k ≤ N by construction so no
+    * ladder is needed; shares and gt are single divisions.
+    *
+    * Scale shape: one digest map-side collapse (the giant-group-safe q117
+    * shape — no window), one ≤|distinct k| rollup, then a self equi-join
+    * of the tiny cached FoF frame on k+1 and a 1-row broadcast total. */
+  def q202DupFof(spark: SparkSession, sfDir: String): DataFrame =
+    dupFofOn(Tables.parallelized(Tables(spark, sfDir, "documents"))
+      .select(col("text")))
+
+  /** The FoF core over ANY (text) frame — fixture-testable. */
+  private[graft] def dupFofOn(docs: DataFrame): DataFrame = {
+    val sizes = docs.select(md5(lower(trim(col("text")))).as("digest"))
+      .groupBy(col("digest")).agg(count(lit(1)).as("k"))
+    val fof = graft.CachedFrames.track(
+      sizes.groupBy(col("k")).agg(count(lit(1)).as("n_clusters")))
+    val tot = fof.agg(sum(col("k") * col("n_clusters")).as("n_tot"))
+    fof.join(fof.select((col("k") - 1).as("k"), col("n_clusters").as("n_up")),
+        Seq("k"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n_clusters"),
+        (col("k") * col("n_clusters")).as("n_docs"),
+        ((col("k") * col("n_clusters")).cast("double")
+          / col("n_tot").cast("double")).as("doc_share"),
+        (coalesce((col("k") + 1) * col("n_up"), lit(0L)).cast("double")
+          / col("n_tot").cast("double")).as("gt_next_mass"))
+  }
+
+  val q202DupFofSql: String = """
+    WITH s AS (
+      SELECT md5(lower(trim(text))) AS digest, CAST(count(*) AS BIGINT) AS k
+      FROM documents GROUP BY 1),
+    f AS (SELECT k, CAST(count(*) AS BIGINT) AS n_clusters
+          FROM s GROUP BY 1),
+    t AS (SELECT CAST(sum(k * n_clusters) AS BIGINT) AS n FROM f)
+    SELECT f.k, f.n_clusters, f.k * f.n_clusters AS n_docs,
+      CAST(f.k * f.n_clusters AS DOUBLE) / CAST(t.n AS DOUBLE) AS doc_share,
+      CAST(coalesce((f.k + 1) * f2.n_clusters, CAST(0 AS BIGINT)) AS DOUBLE)
+        / CAST(t.n AS DOUBLE) AS gt_next_mass
+    FROM f LEFT JOIN f f2 ON f2.k = f.k + 1, t
+  """
 }

@@ -407,4 +407,22 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     graft.CachedFrames.drain()
     assert(g2.forall { case (res, lift) => res === 0.0 && lift === 1.0 })
   }
+
+  test("q202 dup FoF: cluster sizes count under q25 normalization, the " +
+    "Good-Turing ladder reads the k+1 row (0 at the top), shares sum " +
+    "to 1") {
+    import spark.implicits._
+    // clusters: {a,A-padded,a} k=3; {b,b} k=2; {c,c} k=2; d,e,f singletons
+    val texts = Seq("a", " A ", "a", "b", "b", "c", "c", "d", "e", "f")
+    val got = Curation.dupFofOn(texts.toDF("text")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    graft.CachedFrames.drain()
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L) === ((3L, 3L, 3.0 / 10.0, 2.0 * 2.0 / 10.0)))
+    assert(got(2L) === ((2L, 4L, 4.0 / 10.0, 3.0 * 1.0 / 10.0)))
+    assert(got(3L) === ((1L, 3L, 3.0 / 10.0, 0.0)))
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-15)
+  }
 }

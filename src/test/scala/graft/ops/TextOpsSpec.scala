@@ -1326,4 +1326,51 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     }
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12)
   }
+
+  test("q196 refresh law: under an immutable doc roster, the per-class " +
+    "edge counts are the mergeable digest — base + delta counts, stats " +
+    "recomputed, equals the audit over the union bitwise") {
+    import spark.implicits._
+    def splitOf(id: Long): String = {
+      val h = graft.functions.Md5Prefix56.hash56(
+        s"sp:$id".getBytes(java.nio.charset.StandardCharsets.UTF_8)) % 10
+      if (h < 8) "train" else if (h == 8) "val" else "test"
+    }
+    val docs = (1L to 60L).toDF("doc_id")
+    val base = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L), (9L, 10L),
+      (21L, 40L), (22L, 41L))
+    val delta = Seq((11L, 12L), (13L, 14L), (23L, 42L), (24L, 55L),
+      (25L, 60L))
+    def classCounts(edges: Seq[(Long, Long)]): Map[(String, String), Long] =
+      TextOps.splitLeakageOn(edges.toDF("id1", "id2"), docs).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val cb = classCounts(base)
+    graft.CachedFrames.drain()
+    val cd = classCounts(delta)
+    graft.CachedFrames.drain()
+    // merge the digests (counts add; shares/lifts are recomputed from the
+    // merged counts + the UNCHANGED roster sizes — the immutable-base
+    // contract: a changed roster invalidates every class's denominator)
+    val merged = (cb.keySet ++ cd.keySet).map(k =>
+      k -> (cb.getOrElse(k, 0L) + cd.getOrElse(k, 0L))).toMap
+    val sizes = (1L to 60L).groupBy(splitOf).view.mapValues(_.size).toMap
+    val total = merged.values.sum
+    val full = TextOps.splitLeakageOn((base ++ delta).toDF("id1", "id2"),
+      docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    graft.CachedFrames.drain()
+    assert(full.keySet === merged.keySet)
+    merged.foreach { case (k @ (sa, sb), cnt) =>
+      val kf = if (sa == sb) 1L else 2L
+      val (ca, cb2) = (BigInt(sizes(sa)), BigInt(sizes(sb)))
+      val n = BigInt(60)
+      assert(full(k)._1 === cnt)
+      assert(full(k)._2 === cnt.toDouble / total.toDouble)
+      assert(full(k)._3 === (BigInt(kf) * ca * cb2).toDouble / (n * n).toDouble)
+      assert(full(k)._4 === (BigInt(cnt) * n * n).toDouble /
+        (BigInt(total) * kf * ca * cb2).toDouble)
+    }
+  }
 }
