@@ -3660,28 +3660,43 @@ object TextOps {
     splitLeakageOn(q68Containment(spark, sfDir).select(col("id1"), col("id2")),
       Tables(spark, sfDir, "documents").select(col("doc_id")))
 
-  /** The audit core over ANY undirected (id1, id2) edge frame and
-    * (doc_id) roster — fixture-testable. */
-  private[graft] def splitLeakageOn(pairs: DataFrame,
-      docs: DataFrame): DataFrame = {
+  /** The deterministic 80/10/10 split tag over a (doc_id) roster — the
+    * assignment q196 audits, single-sourced with its streaming twin. */
+  private[graft] def splitTagOf(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-    val dsplit = graft.CachedFrames.track(docs.select(col("doc_id"), expr(
+    docs.select(col("doc_id"), expr(
       "CASE WHEN pmod(md5_prefix56(concat('sp:', CAST(doc_id AS STRING))), 10) < 8 " +
         "THEN 'train' WHEN pmod(md5_prefix56(concat('sp:', " +
         "CAST(doc_id AS STRING))), 10) = 8 THEN 'val' ELSE 'test' END")
-      .as("split")))
-    val sizes = dsplit.groupBy(col("split")).agg(count(lit(1)).as("c"))
-    val nTot = dsplit.agg(count(lit(1)).as("n_docs"))
-    val tagged = pairs
+      .as("split"))
+  }
+
+  /** q196's COUNTING stage — unordered split-pair class counts of an edge
+    * frame against a tagged roster. Also the live surface of
+    * [[graft.streaming.EventStreams.splitLeakageStream]]: per-class counts
+    * are the mergeable digest (the refresh law), so this works unchanged
+    * over a streaming edge frame with ≤6 counters of state. */
+  private[graft] def splitClassCounts(pairs: DataFrame,
+      dsplit: DataFrame): DataFrame =
+    pairs
       .join(dsplit.select(col("doc_id").as("id1"), col("split").as("sp1")),
         Seq("id1"))
       .join(dsplit.select(col("doc_id").as("id2"), col("split").as("sp2")),
         Seq("id2"))
       .select(least(col("sp1"), col("sp2")).as("split_a"),
         greatest(col("sp1"), col("sp2")).as("split_b"))
-    val byPair = tagged.groupBy(col("split_a"), col("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
       .agg(count(lit(1)).as("n_edges"))
+
+  /** The audit core over ANY undirected (id1, id2) edge frame and
+    * (doc_id) roster — fixture-testable. */
+  private[graft] def splitLeakageOn(pairs: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val dsplit = graft.CachedFrames.track(splitTagOf(docs))
+    val sizes = dsplit.groupBy(col("split")).agg(count(lit(1)).as("c"))
+    val nTot = dsplit.agg(count(lit(1)).as("n_docs"))
+    val byPair = splitClassCounts(pairs, dsplit)
     val totEdges = byPair.agg(sum(col("n_edges")).as("total_edges"))
     byPair
       .join(broadcast(sizes.select(col("split").as("split_a"),

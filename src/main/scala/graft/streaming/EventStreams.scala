@@ -1076,6 +1076,21 @@ object EventStreams {
   def benfordStream(events: DataFrame): DataFrame =
     graft.ops.Events.benfordCounts(events)
 
+  /** Streaming split-leakage monitor — q196's counting stage kept LIVE
+    * over an arriving near-dup EDGE stream against an IMMUTABLE split
+    * roster (the refresh-law contract: a changed roster invalidates every
+    * class's denominator, so the roster is a static side). Each edge is
+    * classified by two stream-static doc-keyed joins and folded into the
+    * unordered-class counters — at most SIX rows of state regardless of
+    * volume, no watermark to tune (counters only grow). The Complete-mode
+    * table equals the batch counting stage on the same edges bitwise
+    * (spec-pinned, two waves — the q196 merge law live); the
+    * share/expected/lift decoration stays OFF the stream, exactly as
+    * [[benfordStream]] keeps q177's read-side math off its counters. */
+  def splitLeakageStream(pairs: DataFrame, docs: DataFrame): DataFrame =
+    graft.ops.TextOps.splitClassCounts(pairs,
+      graft.ops.TextOps.splitTagOf(docs))
+
   /** The same sessionization via the BUILT-IN `session_window` aggregation —
     * Spark's native gap-session operator (merge-on-late-event, emit-on-seal
     * are handled by the engine's session-window state store). Kept alongside

@@ -1878,4 +1878,35 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(got === Map((1L, 5L) -> ((1L, false)), (1L, 7L) -> ((1L, true))))
     } finally q.stop()
   }
+
+  test("streaming split-leakage monitor equals the batch q196 counting " +
+    "stage in Complete mode after EVERY wave (the merge law live), " +
+    "against a static roster") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (1L to 60L).toDF("doc_id")
+    val base = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L), (21L, 40L))
+    val delta = Seq((9L, 10L), (22L, 41L), (24L, 55L), (25L, 60L))
+    def batchCounts(edges: Seq[(Long, Long)]) = {
+      val m = graft.ops.TextOps.splitClassCounts(
+        edges.toDF("id1", "id2"), graft.ops.TextOps.splitTagOf(docs))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      graft.CachedFrames.drain()
+      m
+    }
+    val mem = MemoryStream[(Long, Long)]
+    val q = EventStreams.splitLeakageStream(
+      mem.toDF().toDF("id1", "id2"), docs)
+      .writeStream.format("memory").queryName("leakage_live")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      def live() = spark.table("leakage_live").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      mem.addData(base: _*); q.processAllAvailable()
+      assert(live() === batchCounts(base))
+      mem.addData(delta: _*); q.processAllAvailable()
+      assert(live() === batchCounts(base ++ delta))
+    } finally q.stop()
+  }
 }
