@@ -761,6 +761,11 @@ object ReleaseReport {
         .withColumn("pii_incidence", expr(
           "CAST(docs_with_pii AS DOUBLE) / CAST(n_docs AS DOUBLE)"))
         .coalesce(1).write.mode("overwrite").parquet(s"$out/pii")
+      graft.ops.Curation.contingencyGridOn(
+          docs.select(col("lang"), col("source")), "lang", "source")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/contingency")
+      graft.ops.Curation.dupFofOn(docs.select(col("text")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/dup_fof")
     } finally graft.CachedFrames.drain()
     }
   }
@@ -815,6 +820,42 @@ object GraphReport {
           .coalesce(1).write.mode("overwrite").parquet(s"$out/modularity")
         graft.ops.TextOps.splitLeakageOn(ids, docs.select(col("doc_id")))
           .coalesce(1).write.mode("overwrite").parquet(s"$out/split_leakage")
+      } finally graft.CachedFrames.drain()
+    }
+  }
+}
+
+/** Job 26 — the TREND REPORT: the daily-series family over one events
+  * drop, sharing the calendar-dense daily artifact:
+  *
+  *   runMain graft.cli.TrendReport --input events.parquet --output /tmp/t
+  *
+  *   daily/         the dense (day, count) series — the artifact
+  *   acf/           lag-1..7 autocorrelation                  (q198 core)
+  *   mann_kendall/  trend significance                        (q199 core)
+  *   theil_sen/     trend size, robust slope                  (q200 core)
+  *
+  * All three cores call [[graft.ops.Events.denseDaily]] on the same
+  * input frame, so [[graft.CachedFrames]]' canonicalized-plan refcounting
+  * materializes the series ONCE across the whole job (same mechanism the
+  * GraphReport bundle rides) — the gate queries stay self-contained for
+  * the oracle contract. */
+object TrendReport {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-trend-report") { spark =>
+      val events = graft.Tables.normalizeEventsTs(
+        spark.read.parquet(a("input")))
+      val out = a("output")
+      try {
+        graft.CachedFrames.track(graft.ops.Events.denseDaily(events))
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/daily")
+        graft.ops.Events.acfOn(events)
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/acf")
+        graft.ops.Events.mannKendallOn(events)
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/mann_kendall")
+        graft.ops.Events.theilSenOn(events)
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/theil_sen")
       } finally graft.CachedFrames.drain()
     }
   }

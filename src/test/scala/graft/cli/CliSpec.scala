@@ -731,7 +731,8 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/bench")
     ReleaseReport.main(Array("--input", s"$dir/corpus",
       "--bench", s"$dir/bench", "--output", s"$dir/report"))
-    for (t <- Seq("profile", "skew", "dedup_savings", "contamination", "pii"))
+    for (t <- Seq("profile", "skew", "dedup_savings", "contamination", "pii",
+        "contingency", "dup_fof"))
       assert(spark.read.parquet(s"$dir/report/$t").count() > 0, t)
     // contamination table ≡ the q122 gate (same corpus split by construction)
     def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
@@ -752,6 +753,44 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       assert(w <= n)
       assert(r.getAs[Double]("pii_incidence") === w.toDouble / n.toDouble)
     }
+    // dup FoF ≡ the core over the same frame
+    def fofKeyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val gotFof = fofKeyed(spark.read.parquet(s"$dir/report/dup_fof"))
+    val expFof = fofKeyed(graft.ops.Curation.dupFofOn(
+      docs.filter(col("doc_id") % 100 =!= 0).select(col("text"))))
+    graft.CachedFrames.drain()
+    assert(gotFof === expFof)
+  }
+
+  test("trend-report bundle: the dense daily artifact plus all three " +
+      "trend tables, each equal to its op's own output") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("cli-trend").toString
+    TrendReport.main(Array("--input", s"$sf/events.parquet",
+      "--output", s"$dir/trend"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = graft.Tables.normalizeEventsTs(
+      spark.read.parquet(s"$sf/events.parquet"))
+    val daily = spark.read.parquet(s"$dir/trend/daily").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(daily.nonEmpty)
+    assert(daily.keySet === (daily.keys.min to daily.keys.max).toSet,
+      "calendar-dense")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val gotAcf = rows(spark.read.parquet(s"$dir/trend/acf"))
+    val expAcf = rows(graft.ops.Events.acfOn(events))
+    graft.CachedFrames.drain()
+    assert(gotAcf === expAcf)
+    val gotMk = rows(spark.read.parquet(s"$dir/trend/mann_kendall"))
+    val expMk = rows(graft.ops.Events.mannKendallOn(events))
+    graft.CachedFrames.drain()
+    assert(gotMk === expMk)
+    val gotTs = rows(spark.read.parquet(s"$dir/trend/theil_sen"))
+    val expTs = rows(graft.ops.Events.theilSenOn(events))
+    graft.CachedFrames.drain()
+    assert(gotTs === expTs)
   }
 
   test("graph-report bundle: edges materialize once, every analytic equals " +
