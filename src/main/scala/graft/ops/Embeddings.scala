@@ -2915,17 +2915,24 @@ object Embeddings {
   /** The coherence core over ANY (label, embedding) frame. `cache` is the
     * PlanSpec seam (a tracked frame's nested AdaptiveSparkPlan truncates
     * the plan text, hiding the explode from the pin). */
-  private[graft] def centroidCoherenceOn(emb: DataFrame,
-      cache: Boolean = true): DataFrame = {
-    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+  /** The exact-lattice per-(label, dim) component sums shared by the
+    * cluster-health trio (q192 coherence, q193 dispersion's sibling
+    * machinery, q203 separation). `cache` is the PlanSpec seam. */
+  private[graft] def quantizedLabelSums(emb: DataFrame,
+      cache: Boolean): DataFrame = {
     val qv = emb.select(col("label"), posexplode(expr(
       "transform(embedding, x -> " +
         s"CAST(floor(CAST(x AS DOUBLE) * $CentroidQuantScale.0D) AS BIGINT))"))
       .as(Seq("dim", "qx")))
     val byLabelRaw = qv.groupBy(col("label"), col("dim"))
       .agg(sum(col("qx")).as("s"))
-    val byLabel = if (cache) graft.CachedFrames.track(byLabelRaw)
-      else byLabelRaw
+    if (cache) graft.CachedFrames.track(byLabelRaw) else byLabelRaw
+  }
+
+  private[graft] def centroidCoherenceOn(emb: DataFrame,
+      cache: Boolean = true): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val byLabel = quantizedLabelSums(emb, cache)
     val global = byLabel.groupBy(col("dim")).agg(sum(col("s")).as("g"))
     val nPer = emb.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
     byLabel.join(global, Seq("dim"))
@@ -2968,6 +2975,90 @@ object Embeddings {
         CAST(sg AS DOUBLE) / (sqrt(CAST(ss AS DOUBLE)) * sqrt(CAST(gg AS DOUBLE)))
       END AS cos_to_corpus
     FROM d JOIN np USING (label)
+  """
+
+  /** q203: LABEL-CENTROID SEPARATION MATRIX — the cosine between every
+    * unordered pair of label centroids, on the q192 exact lattice. The
+    * third leg of the cluster-health trio: q192 says where each centroid
+    * points relative to the corpus, q193 says how tightly members agree
+    * WITHIN a label, and this says whether two labels' centroids are
+    * MERGING (cos → 1: the label boundary carries no embedding-space
+    * signal — a classifier trained on these labels is being asked to
+    * split what the geometry doesn't) or genuinely separated. The matrix
+    * a label-taxonomy review reads before q125's kNN auto-labeler is
+    * trusted.
+    *
+    * Exactness: per-(label, dim) sums exact BIGINT on the lattice; each
+    * pair's Σs_a·s_b and both norms ride DECIMAL(38,0)/HUGEINT (exact to
+    * ~1e9 vectors/label at 64 dims); one division by a product of two
+    * correctly-rounded sqrts, fixed order both engines. Degenerate
+    * all-zero centroids report NULL. The oracle's HUGEINT→DOUBLE casts
+    * route through VARCHAR: DuckDB's direct HUGEINT→DOUBLE cast misrounds
+    * ~1.5% of values beyond 2⁵³ (measured; this query found it — its
+    * sf0.1 Σs_a·s_b is the roster's first hugeint-cast value past 2⁵³),
+    * while string→double parse and BIGINT→DOUBLE are correctly rounded.
+    *
+    * Scale shape: the SAME ≤|labels|·64-row component-sum frame as q192
+    * ([[quantizedLabelSums]], shared core); the pair matrix is a dim-keyed
+    * self-join of that tiny frame filtered to a < b — label-space-bounded
+    * (|labels|²·64 intermediate rows), never touching vectors twice. */
+  def q203CentroidSeparation(spark: SparkSession, sfDir: String): DataFrame =
+    centroidSeparationOn(
+      Tables.parallelized(Tables(spark, sfDir, "embeddings")))
+
+  /** The separation core over ANY (label, embedding) frame. */
+  private[graft] def centroidSeparationOn(emb: DataFrame,
+      cache: Boolean = true): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val byLabel = quantizedLabelSums(emb, cache)
+    val norms = byLabel.groupBy(col("label"))
+      .agg(sum(d38(col("s")) * d38(col("s"))).as("ss"))
+    byLabel.select(col("label").as("label_a"), col("dim"), col("s").as("sa"))
+      .join(byLabel.select(col("label").as("label_b"), col("dim"),
+        col("s").as("sb")), Seq("dim"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(d38(col("sa")) * d38(col("sb"))).as("sab"))
+      .join(broadcast(norms.select(col("label").as("label_a"),
+        col("ss").as("ssa"))), Seq("label_a"))
+      .join(broadcast(norms.select(col("label").as("label_b"),
+        col("ss").as("ssb"))), Seq("label_b"))
+      .select(col("label_a"), col("label_b"),
+        when(col("ssa") > 0 && col("ssb") > 0,
+          col("sab").cast("double")
+            / (sqrt(col("ssa").cast("double"))
+              * sqrt(col("ssb").cast("double")))).as("cos_centroids"))
+  }
+
+  val q203CentroidSeparationSql: String = s"""
+    WITH t AS (
+      SELECT label,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * $CentroidQuantScale) AS BIGINT))
+          AS qv
+      FROM embeddings),
+    q AS (
+      SELECT label, i AS dim, qv[i] AS qx
+      FROM t, UNNEST(generate_series(1, len(qv))) AS u(i)),
+    bl AS (
+      SELECT label, dim, CAST(sum(qx) AS BIGINT) AS s
+      FROM q GROUP BY 1, 2),
+    nrm AS (
+      SELECT label, sum(CAST(s AS HUGEINT) * s) AS ss -- guard:ok internal HUGEINT; output below is exact-cast
+      FROM bl GROUP BY 1),
+    p AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+        sum(CAST(a.s AS HUGEINT) * b.s) AS sab -- guard:ok internal HUGEINT; output below is exact-cast
+      FROM bl a JOIN bl b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY 1, 2)
+    SELECT p.label_a, p.label_b,
+      CASE WHEN na.ss > 0 AND nb.ss > 0 THEN
+        CAST(CAST(p.sab AS VARCHAR) AS DOUBLE)
+          / (sqrt(CAST(CAST(na.ss AS VARCHAR) AS DOUBLE))
+            * sqrt(CAST(CAST(nb.ss AS VARCHAR) AS DOUBLE)))
+      END AS cos_centroids
+    FROM p JOIN nrm na ON p.label_a = na.label
+      JOIN nrm nb ON p.label_b = nb.label
   """
 
   /** q193: WITHIN-LABEL DISPERSION — the resultant-length coherence

@@ -747,6 +747,39 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.forall(v => v._2 > 0.0 && v._2 <= 1.0))
   }
 
+  test("q203 separation: orthogonal label centroids score EXACTLY 0, " +
+    "same-direction centroids EXACTLY 1, a mixed pair matches the " +
+    "plain-Scala BigInt cosine bitwise; pairs are unordered a < b") {
+    import spark.implicits._
+    val vecs: Seq[(Int, Seq[Float])] = Seq(
+      (1, Seq(1.0f, 0.0f, 0.0f)), (1, Seq(0.5f, 0.0f, 0.0f)), // +x only
+      (2, Seq(0.0f, 1.0f, 0.0f)),                             // +y only
+      (3, Seq(0.25f, 0.0f, 0.0f)),                            // +x again
+      (4, Seq(0.5f, 0.5f, 0.0f)), (4, Seq(0.25f, -0.25f, 0.5f)))
+    val emb = vecs.toDF("label", "embedding")
+    val scale = Embeddings.CentroidQuantScale
+    def quant(v: Seq[Float]): Seq[BigInt] =
+      v.map(x => BigInt(math.floor(x.toDouble * scale).toLong))
+    val byLabel = vecs.groupBy(_._1).view.mapValues(_.map(t => quant(t._2))
+      .transpose.map(_.sum)).toMap
+    def cos(a: Seq[BigInt], b: Seq[BigInt]): Double = {
+      val sab = a.zip(b).map { case (x, y) => x * y }.sum
+      val sa = a.map(x => x * x).sum; val sb = b.map(x => x * x).sum
+      sab.toDouble / (math.sqrt(sa.toDouble) * math.sqrt(sb.toDouble))
+    }
+    val got = Embeddings.centroidSeparationOn(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    graft.CachedFrames.drain()
+    assert(got.keySet ===
+      (for (a <- 1 to 4; b <- a + 1 to 4) yield (a, b)).toSet)
+    assert(got((1, 2)) === 0.0) // +x vs +y: orthogonal exactly
+    assert(got((2, 3)) === 0.0)
+    assert(got((1, 3)) === 1.0) // same direction, different magnitude
+    got.foreach { case ((a, b), c) =>
+      assert(c === cos(byLabel(a), byLabel(b)), s"($a,$b)") // bitwise
+    }
+  }
+
   test("q193 dispersion: n copies of one vector score EXACTLY 1, mutually " +
     "orthogonal members score exactly 1/n, a mixed label matches the " +
     "plain-Scala BigInt formula bitwise") {
