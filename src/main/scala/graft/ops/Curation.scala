@@ -1044,9 +1044,9 @@ object Curation {
         sum(abs(CAST(c AS HUGEINT) * nn - CAST(cg AS HUGEINT) * n)) AS sterm -- guard:ok internal HUGEINT sum, output only as exact-cast DOUBLE
       FROM g GROUP BY 1, 2, 3, 4)
     SELECT c_nationkey, acctbal_band, n,
-      CAST(sterm AS DOUBLE)
+      CAST(CAST(sterm AS VARCHAR) AS DOUBLE)
         / (2.0 * CAST(n AS DOUBLE) * CAST(nn AS DOUBLE)) AS tvd,
-      CAST(sterm AS DOUBLE)
+      CAST(CAST(sterm AS VARCHAR) AS DOUBLE)
         / (2.0 * CAST(n AS DOUBLE) * CAST(nn AS DOUBLE)) <= $TClosenessT
         AS meets_t
     FROM s
@@ -1350,9 +1350,9 @@ object Curation {
     v AS (
       SELECT source, n_docs,
         CASE WHEN n_docs >= 2 THEN
-          CAST(CAST(n_docs AS HUGEINT) * sxx
-              - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
-            / CAST(CAST(n_docs AS HUGEINT) * (n_docs - 1) AS DOUBLE)
+          CAST(CAST(CAST(n_docs AS HUGEINT) * sxx
+              - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(CAST(n_docs AS HUGEINT) * (n_docs - 1) AS VARCHAR) AS DOUBLE)
         END AS s2
       FROM m),
     w AS (
@@ -1425,10 +1425,10 @@ object Curation {
       FROM c)
     SELECT n_sources, t AS total_tokens,
       CASE WHEN t > 0 THEN
-        CAST(c2 AS DOUBLE) / CAST(CAST(t AS HUGEINT) * t AS DOUBLE) END
+        CAST(CAST(c2 AS VARCHAR) AS DOUBLE) / CAST(CAST(CAST(t AS HUGEINT) * t AS VARCHAR) AS DOUBLE) END
         AS hhi,
       CASE WHEN c2 > 0 THEN
-        CAST(CAST(t AS HUGEINT) * t AS DOUBLE) / CAST(c2 AS DOUBLE) END
+        CAST(CAST(CAST(t AS HUGEINT) * t AS VARCHAR) AS DOUBLE) / CAST(CAST(c2 AS VARCHAR) AS DOUBLE) END
         AS eff_sources
     FROM m
   """
@@ -1497,15 +1497,14 @@ object Curation {
     n AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells)
     SELECT r.lang, c.source,
       coalesce(cells.o, CAST(0 AS BIGINT)) AS n_obs,
-      CAST(CAST(r.rl AS HUGEINT) * c.cs AS DOUBLE) / CAST(n.nn AS DOUBLE)
+      CAST(CAST(CAST(r.rl AS HUGEINT) * c.cs AS VARCHAR) AS DOUBLE) / CAST(n.nn AS DOUBLE)
         AS expected,
-      CAST(CAST(coalesce(cells.o, CAST(0 AS BIGINT)) AS HUGEINT) * n.nn
-          - CAST(r.rl AS HUGEINT) * c.cs AS DOUBLE)
-        / sqrt(CAST(CAST(n.nn AS HUGEINT) * r.rl * c.cs AS DOUBLE))
+      CAST(CAST(CAST(coalesce(cells.o, CAST(0 AS BIGINT)) AS HUGEINT) * n.nn
+          - CAST(r.rl AS HUGEINT) * c.cs AS VARCHAR) AS DOUBLE)
+        / sqrt(CAST(CAST(CAST(n.nn AS HUGEINT) * r.rl * c.cs AS VARCHAR) AS DOUBLE))
         AS residual,
-      CAST(CAST(coalesce(cells.o, CAST(0 AS BIGINT)) AS HUGEINT) * n.nn
-          AS DOUBLE)
-        / CAST(CAST(r.rl AS HUGEINT) * c.cs AS DOUBLE) AS lift
+      CAST(CAST(CAST(coalesce(cells.o, CAST(0 AS BIGINT)) AS HUGEINT) * n.nn AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(CAST(r.rl AS HUGEINT) * c.cs AS VARCHAR) AS DOUBLE) AS lift
     FROM r CROSS JOIN c CROSS JOIN n
       LEFT JOIN cells ON cells.lang = r.lang AND cells.source = c.source
   """

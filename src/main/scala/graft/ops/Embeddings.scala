@@ -2972,7 +2972,7 @@ object Embeddings {
       FROM bl JOIN g USING (dim) GROUP BY 1)
     SELECT d.label, np.n_vecs,
       CASE WHEN ss > 0 AND gg > 0 THEN
-        CAST(sg AS DOUBLE) / (sqrt(CAST(ss AS DOUBLE)) * sqrt(CAST(gg AS DOUBLE)))
+        CAST(CAST(sg AS VARCHAR) AS DOUBLE) / (sqrt(CAST(CAST(ss AS VARCHAR) AS DOUBLE)) * sqrt(CAST(CAST(gg AS VARCHAR) AS DOUBLE)))
       END AS cos_to_corpus
     FROM d JOIN np USING (label)
   """
@@ -3126,8 +3126,8 @@ object Embeddings {
       FROM embeddings GROUP BY 1)
     SELECT s2.label, np.n_vecs,
       CASE WHEN svv > 0 THEN
-        CAST(ss AS DOUBLE)
-          / CAST(CAST(n_vecs AS HUGEINT) * svv AS DOUBLE)
+        CAST(CAST(ss AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(CAST(n_vecs AS HUGEINT) * svv AS VARCHAR) AS DOUBLE)
       END AS coherence_r2
     FROM s2 JOIN v2 USING (label) JOIN np ON s2.label = np.label
   """

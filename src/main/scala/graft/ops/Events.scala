@@ -823,8 +823,8 @@ object Events {
       FROM daily GROUP BY 1)
     SELECT user_id, n_days, n_events,
       CASE WHEN n_days > 1 AND (n_days * sxx - sx * sx) <> 0
-        THEN CAST(n_days * sxy - sx * n_events AS DOUBLE)
-          / CAST(n_days * sxx - sx * sx AS DOUBLE)
+        THEN CAST(CAST(n_days * sxy - sx * n_events AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(n_days * sxx - sx * sx AS VARCHAR) AS DOUBLE)
       END AS slope
     FROM s
   """
@@ -1275,10 +1275,10 @@ object Events {
       SELECT n_g, sx_g,
         CASE WHEN CAST(n_g AS HUGEINT) * sxx
             - CAST(sx_g AS HUGEINT) * CAST(sx_g AS HUGEINT) <> 0
-          THEN CAST(CAST(n_g AS HUGEINT) * sxy
-              - CAST(sx_g AS HUGEINT) * CAST(sy_g AS HUGEINT) AS DOUBLE)
-            / CAST(CAST(n_g AS HUGEINT) * sxx
-              - CAST(sx_g AS HUGEINT) * CAST(sx_g AS HUGEINT) AS DOUBLE)
+          THEN CAST(CAST(CAST(n_g AS HUGEINT) * sxy
+              - CAST(sx_g AS HUGEINT) * CAST(sy_g AS HUGEINT) AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(CAST(n_g AS HUGEINT) * sxx
+              - CAST(sx_g AS HUGEINT) * CAST(sx_g AS HUGEINT) AS VARCHAR) AS DOUBLE)
           ELSE 0.0 END AS theta
       FROM p),
     v AS (
@@ -1440,13 +1440,13 @@ object Events {
         CASE WHEN n0 >= 2 AND n1 >= 2 THEN
           ($MdeZAlpha + $MdeZPower)
             * sqrt(
-              CAST(CAST(n0 AS HUGEINT) * syy0
-                  - CAST(sy0 AS HUGEINT) * CAST(sy0 AS HUGEINT) AS DOUBLE)
-                / CAST(CAST(n0 AS HUGEINT) * (n0 - 1) AS DOUBLE)
+              CAST(CAST(CAST(n0 AS HUGEINT) * syy0
+                  - CAST(sy0 AS HUGEINT) * CAST(sy0 AS HUGEINT) AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(CAST(n0 AS HUGEINT) * (n0 - 1) AS VARCHAR) AS DOUBLE)
                 / CAST(n0 AS DOUBLE)
-              + CAST(CAST(n1 AS HUGEINT) * syy1
-                  - CAST(sy1 AS HUGEINT) * CAST(sy1 AS HUGEINT) AS DOUBLE)
-                / CAST(CAST(n1 AS HUGEINT) * (n1 - 1) AS DOUBLE)
+              + CAST(CAST(CAST(n1 AS HUGEINT) * syy1
+                  - CAST(sy1 AS HUGEINT) * CAST(sy1 AS HUGEINT) AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(CAST(n1 AS HUGEINT) * (n1 - 1) AS VARCHAR) AS DOUBLE)
                 / CAST(n1 AS DOUBLE))
             / 100.0
         END AS mde_abs
@@ -1524,7 +1524,7 @@ object Events {
       CAST(max(CASE WHEN rnk = (n_users + 1) // 2 THEN d END) AS BIGINT)
         AS mad_cents,
       CAST(median_cents AS DOUBLE) / 100.0 AS median,
-      CAST(max(CASE WHEN rnk = (n_users + 1) // 2 THEN d END) AS DOUBLE)
+      CAST(CAST(max(CASE WHEN rnk = (n_users + 1) // 2 THEN d END) AS VARCHAR) AS DOUBLE)
         / 100.0 AS mad
     FROM r2 GROUP BY n_users, median_cents
   """
@@ -1840,17 +1840,17 @@ object Events {
           - (pos + neg)) AS tcorr
       FROM c)
     SELECT np AS n1, nn AS n0,
-      CAST(u2 AS DOUBLE) / 2 AS u,
+      CAST(CAST(u2 AS VARCHAR) AS DOUBLE) / 2 AS u,
       CASE WHEN np > 0 AND nn > 0 AND
           (CAST(np + nn AS HUGEINT) * (np + nn) * (np + nn) - (np + nn)
             - tcorr) > 0 THEN
-        CAST(u2 - CAST(np AS HUGEINT) * nn AS DOUBLE)
+        CAST(CAST(u2 - CAST(np AS HUGEINT) * nn AS VARCHAR) AS DOUBLE)
           / (2 * sqrt(
-            CAST(CAST(np AS HUGEINT) * nn AS DOUBLE)
-              * CAST(CAST(np + nn AS HUGEINT) * (np + nn) * (np + nn)
-                - (np + nn) - tcorr AS DOUBLE)
-              / CAST(12 * CAST(np + nn AS HUGEINT)
-                * (np + nn - 1) AS DOUBLE)))
+            CAST(CAST(CAST(np AS HUGEINT) * nn AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(CAST(np + nn AS HUGEINT) * (np + nn) * (np + nn)
+                - (np + nn) - tcorr AS VARCHAR) AS DOUBLE)
+              / CAST(CAST(12 * CAST(np + nn AS HUGEINT)
+                * (np + nn - 1) AS VARCHAR) AS DOUBLE)))
       END AS z
     FROM m
   """
@@ -1946,7 +1946,7 @@ object Events {
           FROM dev a JOIN dev b ON b.day - a.day BETWEEN 1 AND $AcfMaxLag)
     SELECT p.lag, CAST(count(*) AS BIGINT) AS n_pairs,
       CASE WHEN den.dd <> 0 THEN
-        CAST(sum(p.da * p.db) AS DOUBLE) / CAST(den.dd AS DOUBLE) END AS acf
+        CAST(CAST(sum(p.da * p.db) AS VARCHAR) AS DOUBLE) / CAST(CAST(den.dd AS VARCHAR) AS DOUBLE) END AS acf
     FROM p, den GROUP BY 1, den.dd
   """
 

@@ -439,7 +439,7 @@ object TextOps {
       WHERE rk <= $OovVocabSize)
     SELECT t.doc_id, count(*) AS n_tokens,
       CAST(sum(CASE WHEN vb.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-      CAST(sum(CASE WHEN vb.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      CAST(CAST(sum(CASE WHEN vb.token IS NULL THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE)
         / CAST(count(*) AS DOUBLE) AS oov_rate
     FROM toks t LEFT JOIN vocab vb ON t.token = vb.token
     GROUP BY t.doc_id
@@ -3181,9 +3181,9 @@ object TextOps {
         CAST(max(c) AS BIGINT) AS c_max
       FROM c GROUP BY 1)
     SELECT source, n_tokens, n_types, c_max,
-      CAST(sc2 AS DOUBLE)
+      CAST(CAST(sc2 AS VARCHAR) AS DOUBLE)
         / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS simpson,
-      1.0 - CAST(sc2 AS DOUBLE)
+      1.0 - CAST(CAST(sc2 AS VARCHAR) AS DOUBLE)
         / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS gini,
       CAST(c_max AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS head_share
     FROM s
@@ -3621,8 +3621,8 @@ object TextOps {
         JOIN comm c2 ON pairs.id2 = c2.v)
     SELECT m_edges, n_comm AS n_communities, e_in,
       CASE WHEN m_edges > 0 THEN
-        CAST(4 * CAST(m_edges AS HUGEINT) * e_in - sdc2 AS DOUBLE)
-          / CAST(4 * CAST(m_edges AS HUGEINT) * m_edges AS DOUBLE)
+        CAST(CAST(4 * CAST(m_edges AS HUGEINT) * e_in - sdc2 AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(4 * CAST(m_edges AS HUGEINT) * m_edges AS VARCHAR) AS DOUBLE)
       END AS modularity
     FROM ein, d2
   """
@@ -3739,14 +3739,14 @@ object TextOps {
     te AS (SELECT CAST(sum(n_edges) AS BIGINT) AS total_edges FROM bp)
     SELECT bp.split_a, bp.split_b, bp.n_edges,
       CAST(bp.n_edges AS DOUBLE) / CAST(te.total_edges AS DOUBLE) AS share,
-      CAST((CASE WHEN bp.split_a = bp.split_b THEN 1 ELSE 2 END)
-          * CAST(ca.c AS HUGEINT) * cb.c AS DOUBLE)
-        / CAST(CAST(nt.n_docs AS HUGEINT) * nt.n_docs AS DOUBLE)
+      CAST(CAST((CASE WHEN bp.split_a = bp.split_b THEN 1 ELSE 2 END)
+          * CAST(ca.c AS HUGEINT) * cb.c AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(CAST(nt.n_docs AS HUGEINT) * nt.n_docs AS VARCHAR) AS DOUBLE)
         AS expected_share,
-      CAST(CAST(bp.n_edges AS HUGEINT) * nt.n_docs * nt.n_docs AS DOUBLE)
-        / CAST(CAST(te.total_edges AS HUGEINT)
+      CAST(CAST(CAST(bp.n_edges AS HUGEINT) * nt.n_docs * nt.n_docs AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(CAST(te.total_edges AS HUGEINT)
           * (CASE WHEN bp.split_a = bp.split_b THEN 1 ELSE 2 END)
-          * ca.c * cb.c AS DOUBLE) AS lift
+          * ca.c * cb.c AS VARCHAR) AS DOUBLE) AS lift
     FROM bp
       JOIN sz ca ON bp.split_a = ca.split
       JOIN sz cb ON bp.split_b = cb.split, te, nt
@@ -3963,8 +3963,8 @@ object TextOps {
     u AS (SELECT w, count(*) AS c FROM st GROUP BY 1),
     g AS (
       SELECT w, c,
-        CAST(floor(1000.0 * sqrt(sqrt(CAST(
-          CAST(c AS HUGEINT) * c * c AS DOUBLE)))) AS BIGINT) AS wgt
+        CAST(floor(1000.0 * sqrt(sqrt(CAST(CAST(
+          CAST(c AS HUGEINT) * c * c AS VARCHAR) AS DOUBLE)))) AS BIGINT) AS wgt
       FROM u),
     r AS (
       SELECT w, c, wgt,
@@ -4088,8 +4088,8 @@ object TextOps {
       FROM c)
     SELECT np AS n_pos, nn AS n_neg,
       CASE WHEN np > 0 AND nn > 0 THEN
-        CAST(u2 AS DOUBLE)
-          / CAST(CAST(np AS HUGEINT) * nn * 2 AS DOUBLE)
+        CAST(CAST(u2 AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(CAST(np AS HUGEINT) * nn * 2 AS VARCHAR) AS DOUBLE)
       END AS auc
     FROM t
   """
@@ -4219,7 +4219,7 @@ object TextOps {
       CAST(np AS DOUBLE) / CAST(np + nn AS DOUBLE) AS prevalence,
       CASE WHEN np > 0 THEN
         CAST(ap_fp AS DOUBLE)
-          / CAST(CAST(np AS HUGEINT) * $ApFixedPoint AS DOUBLE)
+          / CAST(CAST(CAST(np AS HUGEINT) * $ApFixedPoint AS VARCHAR) AS DOUBLE)
       END AS ap
     FROM t
   """
@@ -4372,8 +4372,8 @@ object TextOps {
     SELECT n, n11, n10, n01, n00,
       CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS agree,
       CASE WHEN CAST(n AS HUGEINT) * n - pe_num <> 0 THEN
-        CAST(CAST(n AS HUGEINT) * (n11 + n00) - pe_num AS DOUBLE)
-          / CAST(CAST(n AS HUGEINT) * n - pe_num AS DOUBLE)
+        CAST(CAST(CAST(n AS HUGEINT) * (n11 + n00) - pe_num AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(CAST(n AS HUGEINT) * n - pe_num AS VARCHAR) AS DOUBLE)
       END AS kappa
     FROM k
   """
@@ -4444,10 +4444,10 @@ object TextOps {
       SELECT CAST(count(*) AS BIGINT) AS n,
         sum(CAST(rq - rl AS HUGEINT) * CAST(rq - rl AS HUGEINT)) AS sd2 -- guard:ok internal HUGEINT; outputs below are exact-cast
       FROM r)
-    SELECT n, CAST(sd2 AS DOUBLE) AS sum_d2,
+    SELECT n, CAST(CAST(sd2 AS VARCHAR) AS DOUBLE) AS sum_d2,
       CASE WHEN n >= 2 THEN
-        1.0 - CAST(6 * sd2 AS DOUBLE)
-          / CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1) AS DOUBLE)
+        1.0 - CAST(CAST(6 * sd2 AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1) AS VARCHAR) AS DOUBLE)
       END AS rho
     FROM s
   """
@@ -4591,8 +4591,8 @@ object TextOps {
     SELECT n AS n_docs,
       CAST(s1 AS DOUBLE) / CAST(n * 3 AS DOUBLE) AS p_admit,
       CASE WHEN 2 * rn * rn * rn - 2 * rn * pe2 <> 0 THEN
-        CAST(CAST(s2 AS HUGEINT) * rn * rn - 2 * rn * pe2 AS DOUBLE)
-          / CAST(2 * rn * rn * rn - 2 * rn * pe2 AS DOUBLE)
+        CAST(CAST(CAST(s2 AS HUGEINT) * rn * rn - 2 * rn * pe2 AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(2 * rn * rn * rn - 2 * rn * pe2 AS VARCHAR) AS DOUBLE)
       END AS fleiss_kappa
     FROM k
   """
@@ -5042,8 +5042,8 @@ object TextOps {
     SELECT n_tokens, vocab, f1, f2,
       CAST(vocab AS DOUBLE) +
         CASE WHEN f2 > 0 THEN
-          CAST(CAST(f1 AS HUGEINT) * f1 AS DOUBLE) / CAST(f2 * 2 AS DOUBLE)
-        ELSE CAST(CAST(f1 AS HUGEINT) * (f1 - 1) AS DOUBLE) / 2 END AS chao1,
+          CAST(CAST(CAST(f1 AS HUGEINT) * f1 AS VARCHAR) AS DOUBLE) / CAST(f2 * 2 AS DOUBLE)
+        ELSE CAST(CAST(CAST(f1 AS HUGEINT) * (f1 - 1) AS VARCHAR) AS DOUBLE) / 2 END AS chao1,
       CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS gt_unseen_mass
     FROM m
   """
@@ -5147,7 +5147,7 @@ object TextOps {
       FROM c, t)
     SELECT n_en, n_rest, CAST(num AS BIGINT) AS ks_num, q AS ks_at,
       CASE WHEN n_en > 0 AND n_rest > 0 THEN
-        CAST(num AS DOUBLE) / CAST(CAST(n_en AS HUGEINT) * n_rest AS DOUBLE)
+        CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(CAST(CAST(n_en AS HUGEINT) * n_rest AS VARCHAR) AS DOUBLE)
       END AS ks
     FROM b ORDER BY num DESC, q ASC LIMIT 1
   """
@@ -5222,13 +5222,90 @@ object TextOps {
       FROM r, k)
     SELECT n AS n_docs, s AS total_tokens, k AS top_docs,
       CASE WHEN s > 0 THEN
-        CAST(2 * w - (CAST(n AS HUGEINT) + 1) * s AS DOUBLE)
-          / CAST(CAST(n AS HUGEINT) * s AS DOUBLE)
+        CAST(CAST(2 * w - (CAST(n AS HUGEINT) + 1) * s AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(CAST(n AS HUGEINT) * s AS VARCHAR) AS DOUBLE)
       END AS gini,
       CASE WHEN s > 0 THEN CAST(top_x AS DOUBLE) / CAST(s AS DOUBLE) END
         AS top1pct_share
     FROM m
   """
+
+  /** q204: QUALITY Q-Q DECILE TABLE between the English and non-English
+    * slices — the rank-exact decile boundary of each slice's quality-score
+    * distribution (value at rank ⌈d·n_s/10⌉, d = 1..9, the q140
+    * convention) side by side, with the per-decile gap. q188's KS collapses
+    * the distributional mismatch to one number at one witness point; this
+    * localizes it across the whole range: a gap concentrated in the LOW
+    * deciles means the scorer penalizes non-English tails (q51's single
+    * cut τ rejects non-English disproportionately exactly there), a
+    * uniform vertical offset means a per-language recalibration (q129's
+    * within-group percentile) fixes it outright.
+    *
+    * Exactness: every boundary is a rank-exact order-statistic PICK (no
+    * interpolation), so both engines agree bitwise by the q140 argument;
+    * the gap is one double subtraction in the same order.
+    *
+    * Scale shape: one scored projection, ONE grouped bucketed [[DistRank]]
+    * layout (group = slice — no per-slice global sort), slice sizes on a
+    * broadcast, 18 conditional-max columns folded map-side into a 1-row
+    * frame, then a driver-trivial stack to 9 rows. */
+  def q204QualityQq(spark: SparkSession, sfDir: String): DataFrame =
+    qualityQqOn(graft.CachedFrames.track(withQualityStats(
+      Tables.parallelized(Tables(spark, sfDir, "documents")))
+      .select(col("doc_id"), col("quality_score").as("q"),
+        when(col("lang") === "en", "en").otherwise("rest").as("slice"))))
+
+  /** The Q-Q core over ANY (doc_id, q, slice) frame — fixture-testable. */
+  private[graft] def qualityQqOn(flagged: DataFrame): DataFrame = {
+    val sizes = flagged.groupBy(col("slice")).agg(count(lit(1)).as("n_s"))
+      .select(col("slice").as("_sl"), col("n_s"))
+    val ranked = DistRank
+      .withBucketedRank(flagged, Seq("slice"), "q", Seq("doc_id"), "_r")
+      .join(broadcast(sizes), col("slice") <=> col("_sl"))
+    val aggs = (1 to 9).flatMap(d => Seq(
+      max(when(col("slice") === "en" &&
+        col("_r") === expr(s"($d * n_s + 9) DIV 10"), col("q")))
+        .as(s"e_$d"),
+      max(when(col("slice") === "rest" &&
+        col("_r") === expr(s"($d * n_s + 9) DIV 10"), col("q")))
+        .as(s"r_$d")))
+    val picks = (1 to 9).map(d => s"$d, e_$d, r_$d").mkString(", ")
+    ranked.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(9, $picks) AS (decile, q_en, q_rest)"))
+      .select(col("decile"), col("q_en"), col("q_rest"),
+        (col("q_en") - col("q_rest")).as("gap"))
+  }
+
+  val q204QualityQqSql: String = {
+    val picks = (1 to 9).map(d =>
+      s"""max(CASE WHEN slice = 'en' AND rk = ($d * n_s + 9) // 10
+        THEN q END) AS e_$d,
+      max(CASE WHEN slice = 'rest' AND rk = ($d * n_s + 9) // 10
+        THEN q END) AS r_$d""").mkString(",\n      ")
+    val rows = (1 to 9).map(d => s"($d, e_$d, r_$d)").mkString(", ")
+    s"""
+    WITH x AS (
+      SELECT doc_id, $qualityFromStatsSql AS q,
+        CASE WHEN lang = 'en' THEN 'en' ELSE 'rest' END AS slice
+      FROM (SELECT doc_id, lang,
+          $nCharsSql AS n_chars_m,
+          $nTokensSql AS n_tokens,
+          CAST(${hitsSql("en")} AS DOUBLE) AS n_stop,
+          $nPunctSql AS n_punct
+        FROM documents)),
+    r AS (
+      SELECT slice, q,
+        row_number() OVER (PARTITION BY slice ORDER BY q ASC, doc_id ASC)
+          AS rk,
+        count(*) OVER (PARTITION BY slice) AS n_s
+      FROM x),
+    p AS (SELECT
+      $picks
+    FROM r)
+    SELECT u.decile, u.q_en, u.q_rest, u.q_en - u.q_rest AS gap
+    FROM p, LATERAL (VALUES $rows) AS u(decile, q_en, q_rest)
+  """
+  }
 
   /** q201 tuning: copula grid resolution (deciles on both axes). */
   private[ops] val CopulaBuckets = 10
@@ -5298,15 +5375,14 @@ object TextOps {
     n AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells)
     SELECT r.q_decile, c.len_decile,
       coalesce(cells.o, CAST(0 AS BIGINT)) AS n_obs,
-      CAST(CAST(r.rl AS HUGEINT) * c.cs AS DOUBLE) / CAST(n.nn AS DOUBLE)
+      CAST(CAST(CAST(r.rl AS HUGEINT) * c.cs AS VARCHAR) AS DOUBLE) / CAST(n.nn AS DOUBLE)
         AS expected,
-      CAST(CAST(coalesce(cells.o, CAST(0 AS BIGINT)) AS HUGEINT) * n.nn
-          - CAST(r.rl AS HUGEINT) * c.cs AS DOUBLE)
-        / sqrt(CAST(CAST(n.nn AS HUGEINT) * r.rl * c.cs AS DOUBLE))
+      CAST(CAST(CAST(coalesce(cells.o, CAST(0 AS BIGINT)) AS HUGEINT) * n.nn
+          - CAST(r.rl AS HUGEINT) * c.cs AS VARCHAR) AS DOUBLE)
+        / sqrt(CAST(CAST(CAST(n.nn AS HUGEINT) * r.rl * c.cs AS VARCHAR) AS DOUBLE))
         AS residual,
-      CAST(CAST(coalesce(cells.o, CAST(0 AS BIGINT)) AS HUGEINT) * n.nn
-          AS DOUBLE)
-        / CAST(CAST(r.rl AS HUGEINT) * c.cs AS DOUBLE) AS lift
+      CAST(CAST(CAST(coalesce(cells.o, CAST(0 AS BIGINT)) AS HUGEINT) * n.nn AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(CAST(r.rl AS HUGEINT) * c.cs AS VARCHAR) AS DOUBLE) AS lift
     FROM r CROSS JOIN c CROSS JOIN n
       LEFT JOIN cells ON cells.q_decile = r.q_decile
         AND cells.len_decile = c.len_decile

@@ -1327,6 +1327,31 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12)
   }
 
+  test("q204 Q-Q table: every decile boundary is the plain-Scala sorted " +
+    "pick at rank ceil(d*n/10) per slice, on uneven tie-heavy slices") {
+    import spark.implicits._
+    // en: 23 values with ties; rest: 7 values — n not divisible by 10 on
+    // either side, so every ceil-rank boundary is exercised
+    val en = Seq.tabulate(23)(i => (i.toLong, (i % 5).toDouble, "en"))
+    val rest = Seq.tabulate(7)(i => (100L + i, (i % 3).toDouble * 2, "rest"))
+    val got = TextOps.qualityQqOn((en ++ rest).toDF("doc_id", "q", "slice"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    graft.CachedFrames.drain()
+    def pick(vals: Seq[(Long, Double)], d: Int): Double = {
+      val sorted = vals.sortBy { case (id, q) => (q, id) }.map(_._2)
+      sorted((d * vals.size + 9) / 10 - 1)
+    }
+    assert(got.keySet === (1 to 9).toSet)
+    (1 to 9).foreach { d =>
+      val (qe, qr, gap) = got(d)
+      assert(qe === pick(en.map(t => (t._1, t._2)), d), s"en d$d")
+      assert(qr === pick(rest.map(t => (t._1, t._2)), d), s"rest d$d")
+      assert(gap === qe - qr)
+    }
+  }
+
   test("q196 refresh law: under an immutable doc roster, the per-class " +
     "edge counts are the mergeable digest — base + delta counts, stats " +
     "recomputed, equals the audit over the union bitwise") {
