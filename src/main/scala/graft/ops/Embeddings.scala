@@ -338,7 +338,7 @@ object Embeddings {
            LATERAL (SELECT unnest(generate_series(1, len(v))) AS idx) i),
     cmeans AS (
       SELECT label, idx,
-        CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+        CAST(CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1e12
           / CAST(count(*) AS DOUBLE) AS mean_x
       FROM x GROUP BY label, idx),
     cents AS (
@@ -382,8 +382,8 @@ object Embeddings {
       SELECT cell, i.idx - 1 AS idx, v[i.idx] AS x
       FROM assigned, LATERAL (SELECT unnest(generate_series(1, len(v))) AS idx) i)
     SELECT cell, CAST(idx AS INTEGER) AS idx, count(*) AS n,
-      CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sum_x,
-      CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+      CAST(CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1e12 AS sum_x,
+      CAST(CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1e12
         / CAST(count(*) AS DOUBLE) AS mean_x
     FROM ax GROUP BY cell, idx
   """
@@ -956,7 +956,7 @@ object Embeddings {
            LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS idx) i),
     hmeans AS (
       SELECT cell, idx,
-        CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+        CAST(CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1e12
           / CAST(count(*) AS DOUBLE) AS mean_x
       FROM hx GROUP BY cell, idx),
     hcents AS (
@@ -1081,7 +1081,7 @@ object Embeddings {
       FROM $src s, LATERAL (SELECT unnest(generate_series(1, len(s.v))) AS idx) i),
     ${p}means AS (
       SELECT cell, idx,
-        CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+        CAST(CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1e12
           / CAST(count(*) AS DOUBLE) AS mean_x
       FROM ${p}x GROUP BY cell, idx),
     ${p}cents AS (
@@ -1505,7 +1505,7 @@ object Embeddings {
            LATERAL (SELECT unnest(generate_series(1, len(c.v))) AS idx) i),
     hmeans AS (
       SELECT cell, idx,
-        CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+        CAST(CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1e12
           / CAST(count(*) AS DOUBLE) AS mean_x
       FROM hx GROUP BY cell, idx),
     hcents AS (
@@ -1577,7 +1577,7 @@ object Embeddings {
            LATERAL (SELECT unnest(generate_series(1, len(v))) AS idx) i),
     c AS (
       SELECT label, idx,
-        CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+        CAST(CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1e12
           / CAST(count(*) AS DOUBLE) AS mean_x
       FROM x GROUP BY label, idx),
     gram AS (
@@ -1728,7 +1728,7 @@ object Embeddings {
       FROM e, LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS idx) i),
     m AS (
       SELECT grp, idx,
-        CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+        CAST(CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1e12
           / CAST(count(*) AS DOUBLE) AS mean_x
       FROM x GROUP BY grp, idx)
     SELECT CAST(b.idx AS INTEGER) AS idx, b.mean_x AS mean_batch,
@@ -1873,7 +1873,7 @@ object Embeddings {
       FROM aa${r - 1}_$m s, LATERAL (SELECT unnest(generate_series(1, len(s.sv))) AS idx) i),
     bm${r}_$m AS (
       SELECT cell, idx,
-        CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+        CAST(CAST(sum(CAST(floor(x * 1e12) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1e12
           / CAST(count(*) AS DOUBLE) AS mean_x
       FROM bx${r}_$m GROUP BY cell, idx),
     bk${r}_$m AS (SELECT cell, list(mean_x ORDER BY idx) AS c FROM bm${r}_$m GROUP BY cell),

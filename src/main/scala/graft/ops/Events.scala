@@ -32,7 +32,7 @@ object Events {
   val q17WindowTumblingSql: String = """
     SELECT CAST(floor(epoch(time_bucket(INTERVAL '10 minutes', ts))) AS BIGINT) AS win_start,
       event_type, count(*) AS n,
-      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
   """
@@ -55,7 +55,7 @@ object Events {
       SELECT b - 300, value FROM tagged
     )
     SELECT win_start, count(*) AS n,
-      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM exploded
     GROUP BY 1
   """

@@ -40,10 +40,10 @@ object Relational {
   val q1AggSql: String = """
     SELECT l_returnflag, l_linestatus,
       count(*) AS count_order,
-      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
-               (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price
+      CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+               (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
   """
@@ -68,7 +68,7 @@ object Relational {
 
   val q2RegionRevenueSql: String = """
     SELECT r_name, count(*) AS n_orders,
-      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -91,8 +91,8 @@ object Relational {
 
   val q3PriorityRevenueSql: String = """
     SELECT o_orderpriority, count(*) AS n_lines,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
-               (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+               (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_returnflag = 'R'
     GROUP BY o_orderpriority
@@ -140,7 +140,7 @@ object Relational {
 
   val q6LeftJoinAggSql: String = """
     SELECT c_custkey, count(o_orderkey) AS n_orders,
-      CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+      CAST(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS VARCHAR) AS DOUBLE) AS total_spent
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
   """
@@ -183,9 +183,9 @@ object Relational {
 
   val q8WindowRunningSql: String = """
     SELECT o_custkey, o_orderkey,
-      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_total,
       lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
                                  ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price
     FROM orders
@@ -205,7 +205,7 @@ object Relational {
     SELECT l_returnflag, l_linestatus,
       CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag, CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status,
       count(*) AS n,
-      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
   """
@@ -219,7 +219,7 @@ object Relational {
 
   val q10CubeSql: String = """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
   """
@@ -421,7 +421,7 @@ object Relational {
 
   val q41GroupingSetsSql: String = """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
   """
@@ -441,7 +441,7 @@ object Relational {
 
   val q42SaltedAggSql: String = """
     SELECT l_returnflag, count(*) AS n,
-      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY l_returnflag
   """
@@ -469,7 +469,7 @@ object Relational {
       VALUES ('tiny', 0.0, 10.0), ('small', 10.0, 25.0),
              ('mid', 25.0, 40.0), ('big', 40.0, 1e9))
     SELECT band, count(*) AS n,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem JOIN bands
       ON l_quantity >= lo AND l_quantity < hi
     GROUP BY band

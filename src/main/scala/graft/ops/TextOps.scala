@@ -899,11 +899,11 @@ object TextOps {
       WHERE trk <= $SimSigTerms),
     nrm AS (
       SELECT doc_id,
-        sqrt(CAST(sum(CAST(floor(weight * weight * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12) AS nrm
+        sqrt(CAST(CAST(sum(CAST(floor(weight * weight * 1e12) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1e12) AS nrm
       FROM sig GROUP BY doc_id),
     dots AS (
       SELECT q.doc_id AS qid, d.doc_id AS did,
-        CAST(sum(CAST(floor(q.weight * d.weight * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS dot
+        CAST(CAST(sum(CAST(floor(q.weight * d.weight * 1e12) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1e12 AS dot
       FROM sig q JOIN sig d USING (token)
       WHERE q.doc_id < $SimQueryIds AND q.doc_id <> d.doc_id
       GROUP BY 1, 2)
@@ -966,7 +966,7 @@ object TextOps {
         CAST(tokens AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
         sqrt(CAST(tokens AS DOUBLE) / CAST(t.total AS DOUBLE)) AS sq
       FROM s CROSS JOIN t),
-    z AS (SELECT CAST(sum(CAST(floor(sq * 1e15) AS DECIMAL(38,0))) AS DOUBLE) / 1e15 AS z
+    z AS (SELECT CAST(CAST(sum(CAST(floor(sq * 1e15) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1e15 AS z
           FROM x)
     SELECT source, tokens, share, sq / z.z AS temp_share,
       (sq / z.z) / share AS upsample
