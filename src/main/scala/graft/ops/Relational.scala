@@ -755,4 +755,91 @@ object Relational {
     FROM r GROUP BY 1, 2
   """
   }
+
+  /** q205: PARETO / ABC ANALYSIS of customer revenue — customers ranked
+    * by total order revenue (descending, custkey tie-break) and cut into
+    * the classic inventory classes: A = the head until the cumulative
+    * share reaches 80%, B = until 95%, C = the tail. The "which 20% of
+    * customers carry 80% of revenue" readout q189's Gini compresses to
+    * one number — this names the actual head set a retention program or
+    * a storage-tiering decision acts on. A customer belongs to the class
+    * its cumulative span STARTS in (the boundary-crossing customer is
+    * kept in the richer class) — a deterministic convention mirrored
+    * verbatim in the oracle.
+    *
+    * Exactness: integer cents (q162's quantization); class cuts
+    * cross-multiply to exact integers (5·cum_before < 4·T, 20·cum_before
+    * < 19·T in DECIMAL(38,0)/HUGEINT — exact to ~1e37 cents); shares are
+    * single divisions of exact BIGINTs.
+    *
+    * Scale shape: one customer collapse, ONE ungrouped bucketed
+    * [[DistRank]] layout (no single-partition sort), the cumulative via
+    * [[TextOps.distributedRunningSum]]'s two-phase bucketed prefix sum
+    * (the q59 engine — offsets ride a broadcast, ReusedExchange shares
+    * the one shuffle), a 3-row rollup. */
+  def q205AbcAnalysis(spark: SparkSession, sfDir: String): DataFrame =
+    abcOn(Tables(spark, sfDir, "orders"))
+
+  /** The ABC core over ANY orders frame — fixture-testable. */
+  private[graft] def abcOn(orders: DataFrame): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val cust = graft.CachedFrames.track(
+      orders.filter(col("o_custkey").isNotNull)
+        .select(col("o_custkey"),
+          expr("CAST(floor(o_totalprice * 100.0D + 0.5D) AS BIGINT)")
+            .as("c_cents"))
+        .groupBy(col("o_custkey")).agg(sum(col("c_cents")).as("cents")))
+    val ranked = graft.CachedFrames.track(DistRank.withBucketedRank(
+      cust.withColumn("nrev", -col("cents")), Seq(), "nrev",
+      Seq("o_custkey"), "_r"))
+    val slim = ranked.select(
+      expr("substring(CAST(cents AS STRING), 1, 0)").as("source"),
+      col("_r").as("doc_id"), col("cents"))
+    val run = TextOps.distributedRunningSum(slim, "cents", Seq("doc_id"),
+      slim).select(col("doc_id").as("_r2"), col("running"))
+    val tot = cust.agg(sum(col("cents")).as("t"))
+    ranked.join(run, col("_r") === col("_r2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("abc_class",
+        when(d38(col("running") - col("cents")) * 5 < d38(col("t")) * 4, "A")
+          .when(d38(col("running") - col("cents")) * 20
+            < d38(col("t")) * 19, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("revenue_cents"), max(col("t")).as("_t"))
+      .select(col("abc_class"), col("n_customers"), col("revenue_cents"),
+        when(col("_t") > 0, col("revenue_cents").cast("double")
+          / col("_t").cast("double")).as("revenue_share"))
+  }
+
+  val q205AbcAnalysisSql: String = """
+    WITH u AS (
+      SELECT o_custkey,
+        CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+          AS BIGINT) AS cents
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+    r AS (
+      SELECT o_custkey, cents,
+        CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS running,
+        CAST(sum(cents) OVER () AS BIGINT) AS t
+      FROM u),
+    c AS (
+      SELECT CASE
+          WHEN CAST(running - cents AS HUGEINT) * 5 < CAST(t AS HUGEINT) * 4
+            THEN 'A'
+          WHEN CAST(running - cents AS HUGEINT) * 20 < CAST(t AS HUGEINT) * 19
+            THEN 'B'
+          ELSE 'C' END AS abc_class,
+        cents, t
+      FROM r)
+    SELECT abc_class, CAST(count(*) AS BIGINT) AS n_customers,
+      CAST(sum(cents) AS BIGINT) AS revenue_cents,
+      CASE WHEN t > 0 THEN
+        CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / CAST(t AS DOUBLE) END
+        AS revenue_share
+    FROM c GROUP BY 1, t
+  """
 }

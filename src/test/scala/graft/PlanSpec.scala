@@ -1476,6 +1476,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "CartesianProduct") == 0, p)
   }
 
+  test("q205_abc_analysis: the rank and the cumulative both run bucketed " +
+      "(no unpartitioned ORDER BY window), no cartesian, 3-row rollup " +
+      "funnels partial aggs") {
+    val p = finalPlan("q205_abc_analysis")
+    assert(!p.contains("windowspecdefinition(ORDER BY"), p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
   test("q200_theil_sen: the slope median ranks bucketed (no global-ORDER " +
       "window); the only nested loop is the declared calendar-bounded " +
       "pair cross") {

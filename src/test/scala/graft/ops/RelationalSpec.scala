@@ -72,4 +72,28 @@ class RelationalSpec extends AnyFunSuite with graft.SparkSpec {
       pick(fa, 99, 100), 40L)))
     assert(got("B") === ((3L, 5L, 5L, 5L, 5L)))
   }
+
+  test("q205 ABC: the boundary-crossing customer stays in the richer " +
+    "class (exact 80% boundary exercised), shares are exact divisions, " +
+    "and a null custkey is excluded") {
+    import spark.implicits._
+    // per-customer cents [50, 30, 15, 4, 1] → T = 100; cum-before:
+    // 0, 50 → A; 80 (5·80 = 4·100, NOT <) → B; 95, 99 → C
+    val orders = Seq(
+      (Some(1L), 0.30), (Some(1L), 0.20),       // cust 1: 50 cents
+      (Some(2L), 0.30),                          // cust 2: 30
+      (Some(3L), 0.15),                          // cust 3: 15
+      (Some(4L), 0.04),                          // cust 4: 4
+      (Some(5L), 0.01),                          // cust 5: 1
+      (Option.empty[Long], 99.0))                // dropped
+      .toDF("o_custkey", "o_totalprice")
+    val got = Relational.abcOn(orders).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    graft.CachedFrames.drain()
+    assert(got === Map(
+      "A" -> ((2L, 80L, 80.0 / 100.0)),
+      "B" -> ((1L, 15L, 15.0 / 100.0)),
+      "C" -> ((2L, 5L, 5.0 / 100.0))))
+  }
 }
