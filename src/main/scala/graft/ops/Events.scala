@@ -1855,6 +1855,91 @@ object Events {
     FROM m
   """
 
+  /** q206 tuning: funnel deadlines (view→click, click→purchase). */
+  private[graft] val FunnelClickWindowSec = 3600L
+  private[graft] val FunnelPurchaseWindowSec = 86400L
+
+  /** q206: TIME-WINDOW FUNNEL — the deadline-constrained conversion
+    * summary q66's unconstrained stage count can't express: a user
+    * converts stage 1 only if their first click lands within ONE HOUR of
+    * their first view, and stage 2 only if the first purchase after that
+    * click lands within 24 HOURS of it. The funnel a growth dashboard
+    * actually reports ("1-hour CTR", "24-hour purchase conversion") —
+    * without the deadline, a purchase six months later inflates the rate
+    * with conversions the campaign didn't cause. q155 measures HOW LONG
+    * the converted took; this fixes the horizon FIRST and counts who
+    * makes it.
+    *
+    * Conventions (mirrored verbatim in the oracle): anchor = first view;
+    * qualifying click = FIRST click at-or-after the anchor (`>=` — a
+    * same-second click counts), in only if ≤ anchor + 3600; qualifying
+    * purchase = first purchase at-or-after that click, in only if ≤
+    * click + 86400. Counts exact; rates single divisions.
+    *
+    * Scale shape: one cached (user, type, eps) projection, three
+    * user-keyed map-side min-rollups chained by equi-joins (the q66
+    * shape), three 1-row counts on broadcasts. No window, no sort. */
+  def q206WindowFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    windowFunnelOn(Tables(spark, sfDir, "events"))
+
+  /** The constrained-funnel core over ANY events frame. */
+  private[graft] def windowFunnelOn(events: DataFrame): DataFrame = {
+    val e = graft.CachedFrames.track(events.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("eps")))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("eps")).as("v"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("eps") >= col("v"))
+      .groupBy(col("user_id"))
+      .agg(min(col("eps")).as("c"), min(col("v")).as("v"))
+      .filter(col("c") <= col("v") + FunnelClickWindowSec)
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c.select(col("user_id"), col("c")), "user_id")
+      .filter(col("eps") >= col("c"))
+      .groupBy(col("user_id"))
+      .agg(min(col("eps")).as("p"), min(col("c")).as("c"))
+      .filter(col("p") <= col("c") + FunnelPurchaseWindowSec)
+    v.agg(count(lit(1)).as("n_viewers"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_clicked_in_1h"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchased_in_24h"))))
+      .select(col("n_viewers"), col("n_clicked_in_1h"),
+        col("n_purchased_in_24h"),
+        when(col("n_viewers") > 0, col("n_clicked_in_1h").cast("double")
+          / col("n_viewers").cast("double")).as("click_rate"),
+        when(col("n_clicked_in_1h") > 0,
+          col("n_purchased_in_24h").cast("double")
+            / col("n_clicked_in_1h").cast("double")).as("purchase_rate"))
+  }
+
+  val q206WindowFunnelSql: String = s"""
+    WITH e AS (
+      SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS eps
+      FROM events WHERE user_id IS NOT NULL),
+    v AS (SELECT user_id, min(eps) AS v FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.eps) AS c, min(v.v) AS v
+          FROM e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.eps >= v.v GROUP BY 1
+          HAVING min(e.eps) <= min(v.v) + $FunnelClickWindowSec),
+    p AS (SELECT e.user_id, min(e.eps) AS p, min(c.c) AS c
+          FROM e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.eps >= c.c GROUP BY 1
+          HAVING min(e.eps) <= min(c.c) + $FunnelPurchaseWindowSec),
+    m AS (SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewers,
+        (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clicked_in_1h,
+        (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchased_in_24h)
+    SELECT n_viewers, n_clicked_in_1h, n_purchased_in_24h,
+      CASE WHEN n_viewers > 0 THEN
+        CAST(n_clicked_in_1h AS DOUBLE) / CAST(n_viewers AS DOUBLE) END
+        AS click_rate,
+      CASE WHEN n_clicked_in_1h > 0 THEN
+        CAST(n_purchased_in_24h AS DOUBLE)
+          / CAST(n_clicked_in_1h AS DOUBLE) END AS purchase_rate
+    FROM m
+  """
+
   /** The CALENDAR-DENSE daily event-count series shared by the trend
     * family (q198 ACF, q199 Mann–Kendall, q200 Theil–Sen): one map-side
     * (day) rollup of the raw stream, then a zero-fill over the full

@@ -5276,6 +5276,60 @@ object TextOps {
         (col("q_en") - col("q_rest")).as("gap"))
   }
 
+  /** q207: LANGUAGE CONFUSION GRID — the full tagged-lang × predicted-lang
+    * (q23's stopword heuristic) contingency table through the q197 grid
+    * core: observed, expected-under-independence, Pearson residual and
+    * lift per cell, EMPTY cells included. Lift normalization is what a
+    * raw confusion matrix lacks: a diagonal cell's lift says how far the
+    * scorer beats chance GIVEN the marginals (a 90%-English corpus gets
+    * 81% of the (en, en) cell for free), and the largest off-diagonal
+    * lift names the systematic confusion pair — the place to grow q23's
+    * profile lists or to send to q100's trained scorer. The label-noise
+    * audit to run before q51 gates on `pred_lang` or q121 propagates
+    * `lang` seeds.
+    *
+    * Exactness and scale shape: [[Curation.contingencyGridOn]] — ONE
+    * corpus scan into cached cells, label-space-bounded broadcast grid;
+    * the prediction is q23's single-sourced formula ([[scoredDocs]] /
+    * the shared SQL fragments), so this grid can never drift from the
+    * gate it audits. */
+  def q207LangConfusion(spark: SparkSession, sfDir: String): DataFrame =
+    Curation.contingencyGridOn(
+      scoredDocs(Tables.parallelized(Tables(spark, sfDir, "documents")))
+        .select(col("lang"), col("pred_lang")), "lang", "pred_lang")
+
+  val q207LangConfusionSql: String = s"""
+    WITH base AS (
+      SELECT lang, $predLangCaseSql AS pred_lang
+      FROM (SELECT lang,
+          ${hitsSql("en")} AS s_en,
+          ${hitsSql("es")} AS s_es,
+          ${hitsSql("de")} AS s_de
+        FROM documents)),
+    cells AS (
+      SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS o
+      FROM base GROUP BY 1, 2),
+    r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rl FROM cells GROUP BY 1),
+    c AS (SELECT pred_lang, CAST(sum(o) AS BIGINT) AS cs
+          FROM cells GROUP BY 1),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells)
+    SELECT r.lang, c.pred_lang,
+      coalesce(cells.o, CAST(0 AS BIGINT)) AS n_obs,
+      CAST(CAST(CAST(r.rl AS HUGEINT) * c.cs AS VARCHAR) AS DOUBLE)
+        / CAST(n.nn AS DOUBLE) AS expected,
+      CAST(CAST(CAST(coalesce(cells.o, CAST(0 AS BIGINT)) AS HUGEINT) * n.nn
+          - CAST(r.rl AS HUGEINT) * c.cs AS VARCHAR) AS DOUBLE)
+        / sqrt(CAST(CAST(CAST(n.nn AS HUGEINT) * r.rl * c.cs AS VARCHAR)
+          AS DOUBLE)) AS residual,
+      CAST(CAST(CAST(coalesce(cells.o, CAST(0 AS BIGINT)) AS HUGEINT) * n.nn
+          AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(CAST(r.rl AS HUGEINT) * c.cs AS VARCHAR) AS DOUBLE)
+        AS lift
+    FROM r CROSS JOIN c CROSS JOIN n
+      LEFT JOIN cells ON cells.lang = r.lang
+        AND cells.pred_lang = c.pred_lang
+  """
+
   val q204QualityQqSql: String = {
     val picks = (1 to 9).map(d =>
       s"""max(CASE WHEN slice = 'en' AND rk = ($d * n_s + 9) // 10

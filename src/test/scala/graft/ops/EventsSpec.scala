@@ -647,6 +647,37 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(t.isNullAt(3))
   }
 
+  test("q206 window funnel: boundary deadlines are inclusive, a click " +
+    "before the first view does not anchor, a purchase one second past " +
+    "the 24h line is out") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val H = 3600L; val D = 86400L
+    val rows = Seq(
+      // u1: click exactly at v+1h (IN), purchase exactly at c+24h (IN)
+      (1L, "view", 1000L), (1L, "click", 1000L + H),
+      (1L, "purchase", 1000L + H + D),
+      // u2: pre-view click ignored; first click after view at v+1h+1 (OUT)
+      (2L, "click", 500L), (2L, "view", 1000L), (2L, "click", 1000L + H + 1),
+      // u3: same-second click (IN); purchase at c+24h+1 (OUT)
+      (3L, "view", 2000L), (3L, "click", 2000L),
+      (3L, "purchase", 2000L + D + 1),
+      // u4: view only
+      (4L, "view", 9000L),
+      // u5: purchase before the qualifying click does not count; the one
+      // after it is inside the window (IN)
+      (5L, "view", 100L), (5L, "click", 200L), (5L, "purchase", 50L),
+      (5L, "purchase", 300L))
+    val ev = rows.toDF("user_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val r = Events.windowFunnelOn(ev).collect()(0)
+    graft.CachedFrames.drain()
+    // viewers: u1..u5 = 5; clicked in 1h: u1, u3, u5 = 3; purchased: u1, u5
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((5L, 3L, 2L)))
+    assert(r.getDouble(3) === 3.0 / 5.0)
+    assert(r.getDouble(4) === 2.0 / 3.0)
+  }
+
   // the trend-family fixture: days 0,1,2,4,5 with a GAP at day 3 — the
   // dense series must read [3,1,4,0,1,5]; intra-day offsets exercise the
   // floor-to-day key

@@ -1352,6 +1352,27 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q207 lang confusion: the grid is the full tagged×predicted cross, " +
+    "cells sum to the corpus, and each predicted margin matches q23's " +
+    "own prediction counts") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val got = TextOps.q207LangConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    graft.CachedFrames.drain()
+    val preds = TextOps.q23LangId(spark, sf)
+      .groupBy(col("pred_lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.CachedFrames.drain()
+    val langs = got.keySet.map(_._1); val pl = got.keySet.map(_._2)
+    assert(got.keySet === (for (l <- langs; p <- pl) yield (l, p)))
+    assert(got.values.sum === preds.values.sum) // both count the corpus
+    pl.foreach { p =>
+      assert(got.collect { case ((_, `p`), o) => o }.sum ===
+        preds.getOrElse(p, 0L), s"margin $p")
+    }
+  }
+
   test("q196 refresh law: under an immutable doc roster, the per-class " +
     "edge counts are the mergeable digest — base + delta counts, stats " +
     "recomputed, equals the audit over the union bitwise") {
