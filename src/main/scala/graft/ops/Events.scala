@@ -1940,6 +1940,115 @@ object Events {
     FROM m
   """
 
+  /** q208: NEW vs RETURNING daily actives — per day, how many of the
+    * day's distinct active users are seen for the FIRST time vs have
+    * history. The acquisition/retention split every traffic dashboard
+    * leads with: a DAU spike that is all new users is a campaign landing,
+    * the same spike in returning users is a habit forming — q138's
+    * stickiness ratio can't tell them apart, and q102's cohort matrix is
+    * the full-detail view this one-line-per-day summary fronts.
+    *
+    * Exactness: counts exact (distinct presence, min-day first-seen);
+    * frac_new is one division.
+    *
+    * Scale shape: ONE distinct (user, day) collapse feeds both the
+    * first-seen min-rollup and the presence frame (cached); one user-keyed
+    * equi-join back; a |days|-row map-side rollup. */
+  def q208NewReturning(spark: SparkSession, sfDir: String): DataFrame =
+    newReturningOn(Tables(spark, sfDir, "events"))
+
+  /** The split core over ANY events frame — fixture-testable. */
+  private[graft] def newReturningOn(events: DataFrame): DataFrame = {
+    val presence = graft.CachedFrames.track(
+      events.filter(col("user_id").isNotNull)
+        .select(col("user_id"),
+          expr("CAST(floor(unix_timestamp(ts) / 86400.0D) AS BIGINT)")
+            .as("day"))
+        .distinct())
+    val first = presence.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    presence.join(first, "user_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        (col("n_new").cast("double") / col("n_active").cast("double"))
+          .as("frac_new"))
+  }
+
+  val q208NewReturningSql: String = """
+    WITH p AS (
+      SELECT DISTINCT user_id,
+        CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      FROM events WHERE user_id IS NOT NULL),
+    f AS (SELECT user_id, min(day) AS first_day FROM p GROUP BY 1)
+    SELECT p.day, CAST(count(*) AS BIGINT) AS n_active,
+      CAST(sum(CASE WHEN p.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_new,
+      CAST(count(*) - sum(CASE WHEN p.day = f.first_day THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_returning,
+      CAST(sum(CASE WHEN p.day = f.first_day THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE) AS frac_new
+    FROM p JOIN f USING (user_id) GROUP BY 1
+  """
+
+  /** q209: DAY-OF-WEEK × HOUR TRAFFIC GRID — the 7×24 contingency of
+    * event arrivals through the q197 grid core: observed, expected under
+    * dow⊥hour independence, Pearson residual and lift per cell, empty
+    * cells included. The expectation is the marginal product, so lift
+    * measures the INTERACTION — "is the hourly shape different on
+    * weekends" — which a raw heatmap conflates with the marginals
+    * themselves. The capacity-planning and anomaly-baseline artifact the
+    * q126/q148/q151 monitors should be parameterized from. Keys are pure
+    * integer arithmetic (day = ⌊epoch/86400⌋, dow = (day+4) mod 7 with
+    * 0 = Sunday, hour = ⌊(epoch mod 86400)/3600⌋ — epoch day 0 was a
+    * Thursday), identical in both engines.
+    *
+    * Scale shape: ONE map-side (dow, hour) rollup of the stream, then
+    * [[Curation.contingencyGridOn]]'s label-space-bounded grid (≤168
+    * cells). */
+  def q209TrafficGrid(spark: SparkSession, sfDir: String): DataFrame =
+    trafficGridOn(Tables(spark, sfDir, "events"))
+
+  /** The grid wiring over ANY events frame — fixture-testable. */
+  private[graft] def trafficGridOn(events: DataFrame): DataFrame =
+    Curation.contingencyGridOn(events
+      .select(
+        expr("pmod(CAST(floor(unix_timestamp(ts) / 86400.0D) AS BIGINT)" +
+          " + 4, 7)").as("dow"),
+        expr("CAST(pmod(unix_timestamp(ts), 86400) DIV 3600 AS BIGINT)")
+          .as("hour")),
+      "dow", "hour")
+
+  val q209TrafficGridSql: String = """
+    WITH e AS (
+      SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS dow,
+        (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS hour
+      FROM events),
+    cells AS (
+      SELECT dow, hour, CAST(count(*) AS BIGINT) AS o
+      FROM e GROUP BY 1, 2),
+    r AS (SELECT dow, CAST(sum(o) AS BIGINT) AS rl FROM cells GROUP BY 1),
+    c AS (SELECT hour, CAST(sum(o) AS BIGINT) AS cs FROM cells GROUP BY 1),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells)
+    SELECT r.dow, c.hour,
+      coalesce(cells.o, CAST(0 AS BIGINT)) AS n_obs,
+      CAST(CAST(CAST(r.rl AS HUGEINT) * c.cs AS VARCHAR) AS DOUBLE)
+        / CAST(n.nn AS DOUBLE) AS expected,
+      CAST(CAST(CAST(coalesce(cells.o, CAST(0 AS BIGINT)) AS HUGEINT) * n.nn
+          - CAST(r.rl AS HUGEINT) * c.cs AS VARCHAR) AS DOUBLE)
+        / sqrt(CAST(CAST(CAST(n.nn AS HUGEINT) * r.rl * c.cs AS VARCHAR)
+          AS DOUBLE)) AS residual,
+      CAST(CAST(CAST(coalesce(cells.o, CAST(0 AS BIGINT)) AS HUGEINT) * n.nn
+          AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(CAST(r.rl AS HUGEINT) * c.cs AS VARCHAR) AS DOUBLE)
+        AS lift
+    FROM r CROSS JOIN c CROSS JOIN n
+      LEFT JOIN cells ON cells.dow = r.dow AND cells.hour = c.hour
+  """
+
   /** The CALENDAR-DENSE daily event-count series shared by the trend
     * family (q198 ACF, q199 Mann–Kendall, q200 Theil–Sen): one map-side
     * (day) rollup of the raw stream, then a zero-fill over the full

@@ -678,6 +678,56 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(4) === 2.0 / 3.0)
   }
 
+  test("q208 new vs returning: first-seen day counts as new, later days " +
+    "as returning, duplicate same-day events collapse, null user drops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val D = 86400L
+    val rows = Seq(
+      (Some(1L), 10L), (Some(1L), 20L),          // u1 day 0 (dedups), new
+      (Some(2L), D + 5L),                        // u2 day 1, new
+      (Some(1L), D + 9L),                        // u1 day 1, returning
+      (Some(1L), 3 * D + 1L),                    // u1 day 3, returning
+      (Option.empty[Long], 10L))                 // dropped
+    val ev = rows.toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.newReturningOn(ev).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    graft.CachedFrames.drain()
+    assert(got === Map(
+      0L -> ((1L, 1L, 0L, 1.0)),
+      1L -> ((2L, 1L, 1L, 0.5)),
+      3L -> ((1L, 0L, 1L, 0.0))))
+  }
+
+  test("q209 traffic grid: the dow/hour keys land where the epoch says " +
+    "(day 0 was a Thursday), the grid is the observed cross, and an " +
+    "independent fixture scores lift 1 everywhere") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val D = 86400L; val H = 3600L
+    // epoch 0 = Thu 00:00 → dow (0+4)%7 = 4; +3 days = Sunday → dow 0
+    val ev = Seq(0L, 3 * D + 13 * H + 59L, 10 * D + 23 * H)
+      .toDF("sec").withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Events.trafficGridOn(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    graft.CachedFrames.drain()
+    // 10 days later = Sunday again (3 % 7 == 10 % 7)
+    assert(got.filter(_._2 > 0) ===
+      Map((4L, 0L) -> 1L, (0L, 13L) -> 1L, (0L, 23L) -> 1L))
+    assert(got.keySet === (for (d <- Seq(4L, 0L); h <- Seq(0L, 13L, 23L))
+      yield (d, h)).toSet)
+    // perfectly independent 2×2 arrival pattern → lift exactly 1
+    val ind = (Seq.fill(4)((0L, 0L)) ++ Seq.fill(2)((0L, 1L)) ++
+      Seq.fill(2)((1L, 0L)) ++ Seq.fill(1)((1L, 1L)))
+      .map { case (d, h) => d * D + h * H }
+      .toDF("sec").withColumn("ts", timestamp_seconds(col("sec")))
+    val lifts = Events.trafficGridOn(ind).collect().map(_.getDouble(5))
+    graft.CachedFrames.drain()
+    assert(lifts.forall(_ === 1.0))
+  }
+
   // the trend-family fixture: days 0,1,2,4,5 with a GAP at day 3 — the
   // dense series must read [3,1,4,0,1,5]; intra-day offsets exercise the
   // floor-to-day key
