@@ -834,6 +834,9 @@ object GraphReport {
   *   acf/           lag-1..7 autocorrelation                  (q198 core)
   *   mann_kendall/  trend significance                        (q199 core)
   *   theil_sen/     trend size, robust slope                  (q200 core)
+  *   new_returning/ daily acquisition vs retention split      (q208 core)
+  *   traffic_grid/  dow×hour arrival contingency + lifts      (q209 core)
+  *   funnel/        deadline-constrained conversion summary   (q206 core)
   *
   * All three cores call [[graft.ops.Events.denseDaily]] on the same
   * input frame, so [[graft.CachedFrames]]' canonicalized-plan refcounting
@@ -856,6 +859,12 @@ object TrendReport {
           .coalesce(1).write.mode("overwrite").parquet(s"$out/mann_kendall")
         graft.ops.Events.theilSenOn(events)
           .coalesce(1).write.mode("overwrite").parquet(s"$out/theil_sen")
+        graft.ops.Events.newReturningOn(events)
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/new_returning")
+        graft.ops.Events.trafficGridOn(events)
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/traffic_grid")
+        graft.ops.Events.windowFunnelOn(events)
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/funnel")
       } finally graft.CachedFrames.drain()
     }
   }

@@ -791,6 +791,12 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     val expTs = rows(graft.ops.Events.theilSenOn(events))
     graft.CachedFrames.drain()
     assert(gotTs === expTs)
+    val gotNr = rows(spark.read.parquet(s"$dir/trend/new_returning"))
+    val expNr = rows(graft.ops.Events.newReturningOn(events))
+    graft.CachedFrames.drain()
+    assert(gotNr === expNr)
+    for (t <- Seq("traffic_grid", "funnel"))
+      assert(spark.read.parquet(s"$dir/trend/$t").count() > 0, t)
   }
 
   test("graph-report bundle: edges materialize once, every analytic equals " +

@@ -405,4 +405,43 @@ class TextOpsPropertySpec extends AnyFunSuite with SparkSpec {
     val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("contingency grid core (q197/q201/q207/q209): every cell of a " +
+    "random two-categorical frame — including absent combinations — " +
+    "matches the plain-Scala BigInt expected/residual/lift bitwise") {
+    val pairGen: Gen[List[(String, String)]] = for {
+      nA <- Gen.choose(1, 4); nB <- Gen.choose(1, 4)
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        a <- Gen.choose(0, nA - 1); b <- Gen.choose(0, nB - 1)
+      } yield (s"a$a", s"b$b"))
+    } yield rows
+    val prop = Prop.forAllNoShrink(pairGen) { rows =>
+      import spark.implicits._
+      val got = Curation.contingencyGridOn(
+        rows.toDF("lang", "source").repartition(3), "lang", "source")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+        .toMap
+      graft.CachedFrames.drain()
+      val counts = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val as = rows.map(_._1).distinct; val bs = rows.map(_._2).distinct
+      val n = rows.size
+      val ok = (for (a <- as; b <- bs) yield {
+        val o = counts.getOrElse((a, b), 0L)
+        val rl = BigInt(rows.count(_._1 == a))
+        val cs = BigInt(rows.count(_._2 == b))
+        val (go, ge, gres, glift) = got((a, b))
+        go == o &&
+          ge == (rl * cs).toDouble / n.toDouble &&
+          gres == (BigInt(o) * n - rl * cs).toDouble /
+            math.sqrt((BigInt(n) * rl * cs).toDouble) &&
+          glift == (BigInt(o) * n).toDouble / (rl * cs).toDouble
+      }).forall(identity)
+      Prop(ok && got.size == as.size * bs.size) :| s"grid vs oracle on $rows"
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
