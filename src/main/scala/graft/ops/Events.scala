@@ -1994,6 +1994,79 @@ object Events {
     FROM p JOIN f USING (user_id) GROUP BY 1
   """
 
+  /** q210: USER-LIFETIME PERCENTILES — rank-exact p50/p90/p99 of the
+    * first-to-last-activity span in days, plus the single-day-user share.
+    * The longevity summary between q102's full cohort matrix and q181's
+    * churn labels: "how long does a user stay" as three numbers a
+    * retention target is set against, with the one-session-and-gone share
+    * (span 0) broken out because it dominates the span distribution's
+    * head and would otherwise read as "p50 = 0" without explanation.
+    *
+    * Exactness: spans are exact integer days; percentiles are rank-exact
+    * order-statistic picks (value at rank ⌈q·n⌉ under the (span, user_id)
+    * total order — the q140 convention, no interpolation); the share is
+    * one division.
+    *
+    * Scale shape: ONE (user) min/max rollup of the stream, an ungrouped
+    * bucketed [[DistRank]] layout over the |users|-row frame (no
+    * single-partition sort), conditional-max picks folded map-side into
+    * one row. */
+  def q210LifetimePercentiles(spark: SparkSession,
+      sfDir: String): DataFrame =
+    lifetimePercentilesOn(Tables(spark, sfDir, "events"))
+
+  /** The lifetime core over ANY events frame — fixture-testable. */
+  private[graft] def lifetimePercentilesOn(events: DataFrame): DataFrame = {
+    val spans = graft.CachedFrames.track(
+      events.filter(col("user_id").isNotNull)
+        .select(col("user_id"),
+          expr("CAST(floor(unix_timestamp(ts) / 86400.0D) AS BIGINT)")
+            .as("day"))
+        .groupBy(col("user_id"))
+        .agg((max(col("day")) - min(col("day"))).as("span")))
+    val n = spans.agg(count(lit(1)).as("n_users"))
+    val picks = graft.ops.TextOps.LengthPercentiles.map { case (name, a, b) =>
+      max(when(col("_r") ===
+        expr(s"($a * n_users + ${b - 1}) DIV $b"), col("span")))
+        .as(s"${name}_days")
+    }
+    val aggs = picks :+
+      sum(when(col("span") === 0, 1L).otherwise(0L)).as("n_single_day")
+    DistRank.withBucketedRank(spans, Seq(), "span", Seq("user_id"), "_r")
+      .crossJoin(broadcast(n))
+      .groupBy(col("n_users"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_users"), col("p50_days"), col("p90_days"),
+        col("p99_days"), col("n_single_day"),
+        (col("n_single_day").cast("double") / col("n_users").cast("double"))
+          .as("single_day_share"))
+  }
+
+  val q210LifetimePercentilesSql: String = {
+    val cases = graft.ops.TextOps.LengthPercentiles.map { case (name, a, b) =>
+      s"max(CASE WHEN rk = ($a * n_users + ${b - 1}) // $b THEN span END) AS ${name}_days"
+    }.mkString(",\n      ")
+    s"""
+    WITH s AS (
+      SELECT user_id,
+        max(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+          - min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS span
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+    r AS (
+      SELECT span,
+        row_number() OVER (ORDER BY span ASC, user_id ASC) AS rk,
+        count(*) OVER () AS n_users
+      FROM s)
+    SELECT CAST(n_users AS BIGINT) AS n_users,
+      $cases,
+      CAST(sum(CASE WHEN span = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_single_day,
+      CAST(sum(CASE WHEN span = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(n_users AS DOUBLE) AS single_day_share
+    FROM r GROUP BY n_users
+  """
+  }
+
   /** q209: DAY-OF-WEEK × HOUR TRAFFIC GRID — the 7×24 contingency of
     * event arrivals through the q197 grid core: observed, expected under
     * dow⊥hour independence, Pearson residual and lift per cell, empty

@@ -728,6 +728,27 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(lifts.forall(_ === 1.0))
   }
 
+  test("q210 lifetime percentiles: rank-exact span picks on a hand " +
+    "fixture with two single-day users and a long tail") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val D = 86400L
+    // spans per user: u1 0, u2 0, u3 2, u4 5, u5 40
+    val rows = Seq((1L, 0L), (1L, 100L), (2L, 5 * D),
+      (3L, 0L), (3L, 2 * D + 7L),
+      (4L, D), (4L, 6 * D),
+      (5L, 0L), (5L, 40 * D + 3L))
+    val ev = rows.toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val r = Events.lifetimePercentilesOn(ev).collect()(0)
+    graft.CachedFrames.drain()
+    // ranks over sorted spans [0,0,2,5,40]: p50 → rank 3 = 2,
+    // p90 → rank ⌈4.5⌉ = 5 = 40, p99 → rank 5 = 40
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((5L, 2L, 40L, 40L, 2L)))
+    assert(r.getDouble(5) === 2.0 / 5.0)
+  }
+
   // the trend-family fixture: days 0,1,2,4,5 with a GAP at day 3 — the
   // dense series must read [3,1,4,0,1,5]; intra-day offsets exercise the
   // floor-to-day key
