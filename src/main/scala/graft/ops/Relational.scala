@@ -756,6 +756,122 @@ object Relational {
   """
   }
 
+  /** q211: ORDER-TO-SHIP LAG percentiles — rank-exact p50/p90/p99 of
+    * (l_shipdate − o_orderdate) in days across line items, with the
+    * NEGATIVE-lag count broken out (a ship date before its order date is
+    * an ingestion defect, the temporal sibling of q179's FK orphans — it
+    * must be counted, not averaged away). The fulfillment-SLA summary a
+    * warehouse reports next to revenue.
+    *
+    * Exactness: lags are exact integer days (floor-epoch day keys, the
+    * q108 convention); percentiles are rank-exact picks under the
+    * (lag, orderkey, linenumber) total order; no interpolation.
+    *
+    * Scale shape: one key-projected join (dates and keys only — no wide
+    * columns shuffle), an ungrouped bucketed [[DistRank]] layout (no
+    * single-partition sort), map-side conditional-max picks, 1 row. */
+  def q211ShipLag(spark: SparkSession, sfDir: String): DataFrame =
+    shipLagOn(Tables(spark, sfDir, "orders"),
+      Tables(spark, sfDir, "lineitem"))
+
+  /** The lag core over ANY (orders, lineitem) pair — fixture-testable. */
+  private[graft] def shipLagOn(orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val lag = graft.CachedFrames.track(lineitem
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(floor(unix_timestamp(l_shipdate) / 86400.0D) AS BIGINT)")
+          .as("sd"))
+      .join(orders.select(col("o_orderkey").as("l_orderkey"),
+        expr("CAST(floor(unix_timestamp(o_orderdate) / 86400.0D) AS BIGINT)")
+          .as("od")), "l_orderkey")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("sd") - col("od")).as("lag_days")))
+    val n = lag.agg(count(lit(1)).as("n_lines"))
+    val picks = TextOps.LengthPercentiles.map { case (name, a, b) =>
+      max(when(col("_r") ===
+        expr(s"($a * n_lines + ${b - 1}) DIV $b"), col("lag_days")))
+        .as(s"${name}_days")
+    }
+    val aggs = picks :+
+      sum(when(col("lag_days") < 0, 1L).otherwise(0L)).as("n_negative")
+    DistRank.withBucketedRank(lag, Seq(), "lag_days",
+      Seq("l_orderkey", "l_linenumber"), "_r")
+      .crossJoin(broadcast(n))
+      .groupBy(col("n_lines"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  val q211ShipLagSql: String = {
+    val cases = TextOps.LengthPercentiles.map { case (name, a, b) =>
+      s"max(CASE WHEN rk = ($a * n_lines + ${b - 1}) // $b THEN lag_days END) AS ${name}_days"
+    }.mkString(",\n      ")
+    s"""
+    WITH lg AS (
+      SELECT l.l_orderkey, l.l_linenumber,
+        CAST(floor(epoch(l.l_shipdate)) AS BIGINT) // 86400
+          - CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400 AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    r AS (
+      SELECT lag_days,
+        row_number() OVER (ORDER BY lag_days ASC, l_orderkey ASC,
+          l_linenumber ASC) AS rk,
+        count(*) OVER () AS n_lines
+      FROM lg)
+    SELECT CAST(n_lines AS BIGINT) AS n_lines,
+      $cases,
+      CAST(sum(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_negative
+    FROM r GROUP BY n_lines
+  """
+  }
+
+  /** q212: MONTHLY REVENUE TREND — per calendar month: order count,
+    * exact-cents revenue, and the month-over-month ratio against the
+    * PRECEDING calendar month (a missing predecessor month → NULL, never
+    * a silently-skipped gap: the month key is year·12+month, so the MoM
+    * join is exact calendar adjacency). The finance-facing trend next to
+    * the event-side q151/q199/q200 family; ratios instead of growth
+    * percentages keep the output one exact division.
+    *
+    * Scale shape: ONE map-side |months|-row rollup of orders, a tiny
+    * self equi-join on mkey−1. */
+  def q212MonthlyRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    monthlyRevenueOn(Tables(spark, sfDir, "orders"))
+
+  /** The monthly core over ANY orders frame — fixture-testable. */
+  private[graft] def monthlyRevenueOn(orders: DataFrame): DataFrame = {
+    val m = graft.CachedFrames.track(orders
+      .select((year(col("o_orderdate")).cast("long") * 12
+        + month(col("o_orderdate")).cast("long") - 1).as("mkey"),
+        expr("CAST(floor(o_totalprice * 100.0D + 0.5D) AS BIGINT)")
+          .as("cents"))
+      .groupBy(col("mkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("revenue_cents")))
+    m.join(m.select((col("mkey") + 1).as("mkey"),
+        col("revenue_cents").as("prev_cents")), Seq("mkey"), "left")
+      .select(expr("mkey DIV 12").as("year"),
+        (col("mkey") % 12 + 1).as("month"),
+        col("n_orders"), col("revenue_cents"),
+        when(col("prev_cents") > 0, col("revenue_cents").cast("double")
+          / col("prev_cents").cast("double")).as("mom_ratio"))
+  }
+
+  val q212MonthlyRevenueSql: String = """
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+          AS mkey,
+        CAST(count(*) AS BIGINT) AS n_orders,
+        CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+          AS BIGINT) AS revenue_cents
+      FROM orders GROUP BY 1)
+    SELECT a.mkey // 12 AS year, a.mkey % 12 + 1 AS month,
+      a.n_orders, a.revenue_cents,
+      CASE WHEN b.revenue_cents > 0 THEN
+        CAST(a.revenue_cents AS DOUBLE) / CAST(b.revenue_cents AS DOUBLE) END
+        AS mom_ratio
+    FROM m a LEFT JOIN m b ON b.mkey = a.mkey - 1
+  """
+
   /** q205: PARETO / ABC ANALYSIS of customer revenue — customers ranked
     * by total order revenue (descending, custkey tie-break) and cut into
     * the classic inventory classes: A = the head until the cumulative

@@ -73,6 +73,46 @@ class RelationalSpec extends AnyFunSuite with graft.SparkSpec {
     assert(got("B") === ((3L, 5L, 5L, 5L, 5L)))
   }
 
+  test("q211 ship lag: rank-exact picks over [-1, 2, 30] with the " +
+    "negative lag counted, not averaged away") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val D = 86400L
+    val orders = Seq((1L, 10L * D), (2L, 20L * D))
+      .toDF("o_orderkey", "osec")
+      .withColumn("o_orderdate", timestamp_seconds(col("osec")))
+    val lines = Seq((1L, 1, 12L * D), (1L, 2, 9L * D + 5L),
+      (2L, 1, 50L * D))
+      .toDF("l_orderkey", "l_linenumber", "ssec")
+      .withColumn("l_shipdate", timestamp_seconds(col("ssec")))
+    val r = Relational.shipLagOn(orders, lines).collect()(0)
+    graft.CachedFrames.drain()
+    // lags sorted [-1, 2, 30]: p50 rank 2 → 2, p90/p99 rank 3 → 30
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((3L, 2L, 30L, 30L, 1L)))
+  }
+
+  test("q212 monthly revenue: exact cents per calendar month, MoM only " +
+    "against the true preceding month (a gap yields NULL, not a skip)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val orders = Seq(
+      ("2024-01-05", 1.00), ("2024-01-20", 2.00), // Jan: 300 cents
+      ("2024-02-11", 6.00),                       // Feb: 600, MoM 2.0
+      ("2024-04-01", 1.00))                       // Apr: gap → NULL MoM
+      .toDF("d", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(col("d")))
+    val got = Relational.monthlyRevenueOn(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    graft.CachedFrames.drain()
+    assert(got === Map(
+      (2024L, 1L) -> ((2L, 300L, None)),
+      (2024L, 2L) -> ((1L, 600L, Some(2.0))),
+      (2024L, 4L) -> ((1L, 100L, None))))
+  }
+
   test("q205 ABC: the boundary-crossing customer stays in the richer " +
     "class (exact 80% boundary exercised), shares are exact divisions, " +
     "and a null custkey is excluded") {
