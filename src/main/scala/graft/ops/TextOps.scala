@@ -5276,6 +5276,92 @@ object TextOps {
         (col("q_en") - col("q_rest")).as("gap"))
   }
 
+  /** q213 tuning: head cuts for the coverage curve. */
+  private[graft] val CoverageCuts = Seq(10L, 100L, 1000L)
+
+  /** q213: HEAD-COVERAGE CURVE of the unigram distribution — what share
+    * of ALL corpus tokens is covered by the top-10 / top-100 / top-1000
+    * most frequent types. The corpus-level repetitiveness lens between
+    * q43's raw leaderboard and q142's one-number Simpson index: a corpus
+    * whose top-1000 types cover 95% of tokens is template/boilerplate
+    * text a tokenizer (q97) will spend its merges on, while a flat curve
+    * says the vocabulary budget must be spent wide. Cuts past the
+    * vocabulary clamp to V (share then = 1 by construction, surfaced,
+    * not dropped). Ranking order is (count DESC, token ASC) — total and
+    * engine-identical.
+    *
+    * Exactness: counts exact; the covered mass at each cut is a
+    * rank-exact PREFIX SUM pick (no sampling); shares single divisions.
+    *
+    * Scale shape: one vocabulary-sized (token) map-side count (never
+    * broadcast — the q92 lesson), ONE ungrouped bucketed [[DistRank]]
+    * layout + the q59 two-phase prefix sum over the vocabulary frame,
+    * three conditional picks, 3 rows out. */
+  def q213GramCoverage(spark: SparkSession, sfDir: String): DataFrame =
+    gramCoverageOn(Tables.parallelized(Tables(spark, sfDir, "documents"))
+      .select(col("text")))
+
+  /** The curve core over ANY (text) frame — fixture-testable. */
+  private[graft] def gramCoverageOn(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(explode(expr("""split(trim(text), '\\s+')""")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("negc", -col("c"))
+    val ranked = graft.CachedFrames.track(
+      DistRank.withBucketedRank(counts, Seq(), "negc", Seq("w"), "_r"))
+    val slim = ranked.select(
+      expr("substring(w, 1, 0)").as("source"),
+      col("_r").as("doc_id"), col("c"))
+    val run = distributedRunningSum(slim, "c", Seq("doc_id"), slim)
+      .select(col("doc_id").as("_r2"), col("running"))
+    val tot = ranked.agg(count(lit(1)).as("v_types"), sum(col("c")).as("t"))
+    val picks = CoverageCuts.map(k =>
+      max(when(col("_r") === least(lit(k), col("v_types")), col("running")))
+        .as(s"cov_$k"))
+    val row = ranked.join(run, col("_r") === col("_r2"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("v_types"), col("t"))
+      .agg(picks.head, picks.tail: _*)
+    val stackArgs = CoverageCuts.map(k => s"${k}L, cov_$k").mkString(", ")
+    row.select(col("v_types"), col("t").as("total_tokens"),
+        expr(s"stack(${CoverageCuts.size}, $stackArgs) AS (k_cut, covered)"))
+      .select(col("k_cut"), col("v_types"), col("total_tokens"),
+        col("covered"),
+        (col("covered").cast("double") / col("total_tokens").cast("double"))
+          .as("coverage_share"))
+  }
+
+  val q213GramCoverageSql: String = {
+    val picks = CoverageCuts.map(k =>
+      s"max(CASE WHEN rk = CASE WHEN v_types < $k THEN v_types ELSE $k END" +
+        s" THEN running END) AS cov_$k").mkString(",\n      ")
+    val rows = CoverageCuts.map(k => s"($k, cov_$k)").mkString(", ")
+    s"""
+    WITH w AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents),
+    cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1),
+    r AS (
+      SELECT c,
+        row_number() OVER (ORDER BY c DESC, w ASC) AS rk,
+        CAST(sum(c) OVER (ORDER BY c DESC, w ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS running,
+        count(*) OVER () AS v_types,
+        CAST(sum(c) OVER () AS BIGINT) AS t
+      FROM cnt),
+    p AS (SELECT CAST(max(v_types) AS BIGINT) AS v_types,
+        CAST(max(t) AS BIGINT) AS total_tokens,
+      $picks
+    FROM r)
+    SELECT CAST(u.k_cut AS BIGINT) AS k_cut, p.v_types, p.total_tokens,
+      u.covered,
+      CAST(u.covered AS DOUBLE) / CAST(p.total_tokens AS DOUBLE)
+        AS coverage_share
+    FROM p, LATERAL (VALUES $rows) AS u(k_cut, covered)
+  """
+  }
+
   /** q207: LANGUAGE CONFUSION GRID — the full tagged-lang × predicted-lang
     * (q23's stopword heuristic) contingency table through the q197 grid
     * core: observed, expected-under-independence, Pearson residual and

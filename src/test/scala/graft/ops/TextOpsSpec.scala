@@ -1352,6 +1352,26 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q213 coverage curve: prefix-sum picks at each cut match the " +
+    "plain-Scala sorted fold, a cut past the vocabulary clamps to V " +
+    "with share exactly 1") {
+    import spark.implicits._
+    // counts: a=5, b=3, c=3, d..m = 1 each (10 hapaxes) → V=13, T=21
+    val words = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++
+      ('d' to 'm').map(_.toString)
+    val docs = words.grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+    val got = TextOps.gramCoverageOn(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    graft.CachedFrames.drain()
+    val sorted = words.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy { case (w, c) => (-c, w) }.map(_._2)
+    def cov(k: Int): Long = sorted.take(k).sum
+    assert(got(10L) === ((13L, 21L, cov(10), cov(10).toDouble / 21.0)))
+    assert(got(100L) === ((13L, 21L, 21L, 1.0))) // clamps to V = 13
+    assert(got(1000L) === ((13L, 21L, 21L, 1.0)))
+  }
+
   test("q207 lang confusion: the grid is the full tagged×predicted cross, " +
     "cells sum to the corpus, and each predicted margin matches q23's " +
     "own prediction counts") {
