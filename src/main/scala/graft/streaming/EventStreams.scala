@@ -68,6 +68,12 @@ final case class RetentionState(cohort_wk: Long, weeks: Seq[Long])
   * event's epoch-day key (the q138/q141 floor-division idiom). */
 final case class UserDay(user_id: Long, day: Long)
 
+/** Per-user first/open-day state for [[EventStreams.newReturningStream]]. */
+final case class NewRetState(firstDay: Long, lastDay: Long)
+
+/** One newly-opened (user, day) presence, tagged new-vs-returning. */
+final case class DayPresence(day: Long, is_new: Boolean)
+
 /** Per-user OLS accumulator: five closed-day sums plus the OPEN day's
   * (key, count) — SEVEN Longs of state total, independent of history
   * length. */
@@ -1075,6 +1081,52 @@ object EventStreams {
     * kept OFF the stream so the stateful surface stays minimal. */
   def benfordStream(events: DataFrame): DataFrame =
     graft.ops.Events.benfordCounts(events)
+
+  /** Streaming new-vs-returning monitor — q208's daily acquisition/
+    * retention split kept LIVE: each user carries two Longs of state
+    * (first day ever seen, last day opened); a newly-opened (user, day)
+    * emits exactly one presence row tagged is_new = (day == first), and a
+    * standing per-day aggregation folds the emissions into the q208
+    * columns. Same-day tails fold into the open day (no re-emission), so
+    * the Update-mode table equals batch q208 over any time-ordered prefix
+    * (spec-pinned on real events split INSIDE a day).
+    *
+    * Ordering contract ([[sourceQuotaStream]]'s): day keys arrive
+    * non-decreasing per user; an event from an EARLIER day landing in a
+    * later micro-batch is dropped rather than reopening the day — a
+    * reopened day would double-count presence, the exact failure the
+    * contract exists to exclude (and the [[churnLabelStream]] guard
+    * pattern). */
+  def newReturningStream(events: Dataset[UserDay]): DataFrame = {
+    import events.sparkSession.implicits._
+    def fn(user: Long, batch: Iterator[UserDay],
+           state: GroupState[NewRetState]): Iterator[DayPresence] = {
+      var s = state.getOption
+        .getOrElse(NewRetState(Long.MinValue, Long.MinValue))
+      val out = scala.collection.mutable.ListBuffer.empty[DayPresence]
+      batch.toSeq.sortBy(_.day).foreach { e =>
+        if (s.firstDay == Long.MinValue) {
+          s = NewRetState(e.day, e.day)
+          out += DayPresence(e.day, is_new = true)
+        } else if (e.day > s.lastDay) {
+          s = s.copy(lastDay = e.day)
+          out += DayPresence(e.day, is_new = false)
+        } // same-day tail or late arrival: no new presence
+      }
+      state.update(s)
+      out.iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        (col("n_new").cast("double") / col("n_active").cast("double"))
+          .as("frac_new"))
+  }
 
   /** Streaming split-leakage monitor — q196's counting stage kept LIVE
     * over an arriving near-dup EDGE stream against an IMMUTABLE split

@@ -1879,6 +1879,52 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming new-vs-returning monitor equals batch q208 after every " +
+    "wave on time-ordered real events split inside a day") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.timestamp_seconds
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val arrivals = graft.Tables.normalizeEventsTs(
+      spark.read.parquet(s"$sf/events.parquet"))
+      .filter(col("user_id").isNotNull)
+      .selectExpr("user_id",
+        "CAST(floor(unix_timestamp(ts) / 86400.0D) AS BIGINT) AS day")
+      .as[UserDay].collect().sortBy(_.day)
+    def batchOn(rows: Seq[UserDay]) = {
+      val m = graft.ops.Events.newReturningOn(
+        rows.toDF("user_id", "day")
+          .withColumn("ts", timestamp_seconds(col("day") * 86400L)))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      graft.CachedFrames.drain()
+      m
+    }
+    val mem = MemoryStream[UserDay]
+    val q = EventStreams.newReturningStream(mem.toDS())
+      .writeStream.format("memory").queryName("newret_twin")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val cut = {
+        val half = arrivals.length / 2
+        val d = arrivals(half).day
+        arrivals.indexWhere(_.day == d) + 1 // split INSIDE that day
+      }
+      val (w1, w2) = arrivals.splitAt(cut)
+      def live() = spark.table("newret_twin").collect().zipWithIndex
+        .groupBy(_._1.getLong(0)).view
+        .mapValues(_.maxBy(_._2)._1) // Update mode: last row per day wins
+        .toMap.map { case (d, r) =>
+          d -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        }
+      mem.addData(w1.toSeq: _*); q.processAllAvailable()
+      assert(live() === batchOn(w1.toSeq))
+      mem.addData(w2.toSeq: _*); q.processAllAvailable()
+      assert(live() === batchOn(arrivals.toSeq))
+    } finally q.stop()
+  }
+
   test("streaming split-leakage monitor equals the batch q196 counting " +
     "stage in Complete mode after EVERY wave (the merge law live), " +
     "against a static roster") {
