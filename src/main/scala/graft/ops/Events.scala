@@ -2130,31 +2130,41 @@ object Events {
     * with "no data". The calendar explode rides the 1-row bounds frame;
     * the zero-fill join is |days|-sized (calendar-bounded — decades are
     * ~1e4 rows — never data-sized). */
-  private[graft] def denseDaily(events: DataFrame): DataFrame = {
-    val obs = events
+  private[graft] def denseDaily(events: DataFrame): DataFrame =
+    denseSeries(events
       .select(expr("CAST(floor(unix_timestamp(ts) / 86400.0D) AS BIGINT)")
         .as("day"))
-      .groupBy(col("day")).agg(count(lit(1)).as("c"))
+      .groupBy(col("day")).agg(count(lit(1)).as("c")))
+
+  /** Zero-fill ANY integer-keyed (day, c) observation frame over its full
+    * [min, max] key range — the series-generic seam the trend family
+    * shares (daily event counts for q198–q200, calendar months of revenue
+    * for q214: a key with no observations is a 0, not a gap). */
+  private[graft] def denseSeries(obs: DataFrame): DataFrame =
     obs.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))
       .join(obs, Seq("day"), "left")
       .select(col("day"), coalesce(col("c"), lit(0L)).as("c"))
-  }
 
   /** The dense-daily CTE chain shared by the q198/q199/q200 oracles —
     * same floor-epoch day key as q108/q151, zero-filled over
     * generate_series(min, max) (inclusive both ends, as Spark's
     * `sequence`). */
-  private[graft] val DailyDenseCte: String = """
-    obs AS (
-      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
-        CAST(count(*) AS BIGINT) AS c
-      FROM events GROUP BY 1),
+  /** The zero-fill chain over an `obs(day, c)` CTE — [[denseSeries]]'s
+    * oracle face, shared by the daily and monthly trend oracles. */
+  private[graft] val DenseFromObsCte: String = """
     bnd AS (SELECT min(day) AS d0, max(day) AS d1 FROM obs),
     cal AS (SELECT unnest(generate_series(bnd.d0, bnd.d1)) AS day FROM bnd),
     dense AS (
       SELECT cal.day, coalesce(o.c, CAST(0 AS BIGINT)) AS c
       FROM cal LEFT JOIN obs o ON o.day = cal.day)"""
+
+  private[graft] val DailyDenseCte: String = s"""
+    obs AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1),
+    $DenseFromObsCte"""
 
   /** q198 horizon: lags 1..7 — the daily series' weekly seasonality. */
   private[graft] val AcfMaxLag = 7
@@ -2238,8 +2248,11 @@ object Events {
     mannKendallOn(Tables(spark, sfDir, "events"))
 
   /** The MK core over ANY (day, c) integer series — fixture-testable. */
-  private[graft] def mannKendallOn(events: DataFrame): DataFrame = {
-    val dense = graft.CachedFrames.track(denseDaily(events))
+  private[graft] def mannKendallOn(events: DataFrame): DataFrame =
+    mannKendallOfSeries(graft.CachedFrames.track(denseDaily(events)))
+
+  /** MK over an ALREADY-DENSE series frame (the q214 reuse seam). */
+  private[graft] def mannKendallOfSeries(dense: DataFrame): DataFrame = {
     val s = dense.as("a").crossJoin(dense.as("b"))
       .filter(col("b.day") > col("a.day"))
       .agg(coalesce(sum(when(col("b.c") > col("a.c"), 1L)
@@ -2304,8 +2317,14 @@ object Events {
     theilSenOn(Tables(spark, sfDir, "events"))
 
   /** The slope core over ANY (day, c) integer series — fixture-testable. */
-  private[graft] def theilSenOn(events: DataFrame): DataFrame = {
-    val dense = graft.CachedFrames.track(denseDaily(events))
+  private[graft] def theilSenOn(events: DataFrame): DataFrame =
+    theilSenOfSeries(graft.CachedFrames.track(denseDaily(events)),
+      "slope_per_day")
+
+  /** Theil–Sen over an ALREADY-DENSE series frame; the slope column name
+    * carries the step unit (per-day for q200, cents-per-month for q214). */
+  private[graft] def theilSenOfSeries(dense: DataFrame,
+      slopeName: String): DataFrame = {
     val slopes = dense.as("a").crossJoin(dense.as("b"))
       .filter(col("b.day") > col("a.day"))
       .select(((col("b.c") - col("a.c")).cast("double")
@@ -2318,7 +2337,7 @@ object Events {
       .agg(max(col("m")).as("n_pairs"),
         ((max(when(col("_r") === expr("(m + 1) DIV 2"), col("slope")))
           + max(when(col("_r") === expr("m DIV 2 + 1"), col("slope"))))
-          / lit(2.0)).as("slope_per_day"))
+          / lit(2.0)).as(slopeName))
   }
 
   val q200TheilSenSql: String = s"""

@@ -872,6 +872,72 @@ object Relational {
     FROM m a LEFT JOIN m b ON b.mkey = a.mkey - 1
   """
 
+  /** q214: MONTHLY REVENUE TREND READOUT — q199's Mann–Kendall test and
+    * q200's Theil–Sen slope applied to the CALENDAR-MONTH revenue series
+    * (exact cents, months with no orders = 0 via [[Events.denseSeries]] —
+    * the series-generic seam the daily trend family shares). One row:
+    * is revenue monotonically drifting (tie-corrected z), and by how many
+    * cents per month (the robust slope a forecast extrapolates), computed
+    * on the same exactness contract as q199/q200 — the reuse proves the
+    * trend cores are series-generic, not events-specific.
+    *
+    * Scale shape: one |months|-row rollup of orders; everything after is
+    * calendar-bounded (the q199/q200 declared pair-cross contract over a
+    * ~1e3-row-per-century frame). */
+  def q214RevenueTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val obs = Tables(spark, sfDir, "orders")
+      .select((year(col("o_orderdate")).cast("long") * 12
+        + month(col("o_orderdate")).cast("long") - 1).as("day"),
+        expr("CAST(floor(o_totalprice * 100.0D + 0.5D) AS BIGINT)")
+          .as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("c"))
+    val dense = graft.CachedFrames.track(Events.denseSeries(obs))
+    Events.mannKendallOfSeries(dense)
+      .withColumnRenamed("n_days", "n_months")
+      .crossJoin(broadcast(
+        Events.theilSenOfSeries(dense, "slope_cents_per_month")))
+  }
+
+  val q214RevenueTrendSql: String = s"""
+    WITH obs AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+          AS day,
+        CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+          AS BIGINT) AS c
+      FROM orders GROUP BY 1),
+    ${Events.DenseFromObsCte},
+    s AS (SELECT coalesce(CAST(sum(CASE WHEN b.c > a.c THEN 1
+            WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT),
+            CAST(0 AS BIGINT)) AS s_stat
+          FROM dense a JOIN dense b ON b.day > a.day),
+    tg AS (SELECT CAST(count(*) AS BIGINT) AS t FROM dense GROUP BY c),
+    tt AS (SELECT coalesce(CAST(sum(t * (t - 1) * (t * 2 + 5)) AS BIGINT),
+             CAST(0 AS BIGINT)) AS tie_term FROM tg),
+    v AS (SELECT n.n_months, s.s_stat,
+            n.n_months * (n.n_months - 1) * (n.n_months * 2 + 5)
+              - tt.tie_term AS var_num
+          FROM (SELECT CAST(count(*) AS BIGINT) AS n_months FROM dense) n,
+            s, tt),
+    p AS (SELECT CAST(b.c - a.c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+            AS slope, a.day AS da, b.day AS db
+          FROM dense a JOIN dense b ON b.day > a.day),
+    r AS (SELECT slope, row_number() OVER (ORDER BY slope, da, db) AS rnk,
+            CAST(count(*) OVER () AS BIGINT) AS m FROM p),
+    ts AS (SELECT CAST(max(m) AS BIGINT) AS n_pairs,
+            (max(CASE WHEN rnk = (m + 1) // 2 THEN slope END)
+              + max(CASE WHEN rnk = m // 2 + 1 THEN slope END)) / 2e0
+              AS slope_cents_per_month
+           FROM r)
+    SELECT v.n_months, v.s_stat, v.var_num,
+      CASE WHEN v.var_num > 0 THEN
+        (CASE WHEN v.s_stat > 0 THEN CAST(v.s_stat - 1 AS DOUBLE)
+              WHEN v.s_stat < 0 THEN CAST(v.s_stat + 1 AS DOUBLE)
+              ELSE 0e0 END)
+          / sqrt(CAST(v.var_num AS DOUBLE) / 18e0) END AS z,
+      ts.n_pairs, ts.slope_cents_per_month
+    FROM v, ts
+  """
+
   /** q205: PARETO / ABC ANALYSIS of customer revenue — customers ranked
     * by total order revenue (descending, custkey tie-break) and cut into
     * the classic inventory classes: A = the head until the cumulative
