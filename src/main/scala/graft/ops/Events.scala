@@ -1994,6 +1994,108 @@ object Events {
     FROM p JOIN f USING (user_id) GROUP BY 1
   """
 
+  /** q215: PER-TYPE TREND TABLE — q199's Mann–Kendall test run for EVERY
+    * event type over the shared global calendar: which behaviors are
+    * monotonically growing or dying, each with its tie-corrected z. The
+    * grouped companion q199's corpus-total cannot provide (purchases can
+    * crater inside a flat total), and the significance layer over q151's
+    * per-type CUSUM localization. A type absent on a live day counts 0
+    * (the [[denseSeries]] contract per type, over the GLOBAL [min, max]
+    * calendar so every type is judged on the same window); a type whose
+    * series is constant reports NULL z, never ±Inf.
+    *
+    * Exactness: q199's — S and var_num exact BIGINTs, z's only
+    * non-arithmetic op is sqrt, identical op order in both engines.
+    *
+    * Scale shape: one map-side (type, day) rollup; the dense frame is
+    * |types|·|days| (schema × calendar — never data-sized); the pair walk
+    * is TYPE-KEYED equi-join (not a cross), the declared calendar-bounded
+    * q199 contract per type; ≤|types| rows out. */
+  def q215TypeTrends(spark: SparkSession, sfDir: String): DataFrame =
+    typeTrendsOn(Tables(spark, sfDir, "events"))
+
+  /** The grouped-MK core over ANY events frame — fixture-testable. */
+  private[graft] def typeTrendsOn(events: DataFrame): DataFrame = {
+    val obs = events.select(col("event_type"),
+        expr("CAST(floor(unix_timestamp(ts) / 86400.0D) AS BIGINT)")
+          .as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+    val cal = obs.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dense = graft.CachedFrames.track(
+      obs.select(col("event_type")).distinct()
+        .crossJoin(cal)
+        .join(obs, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("c"), lit(0L)).as("c")))
+    val s = dense.as("a").join(dense.as("b"),
+        col("a.event_type") === col("b.event_type")
+          && col("b.day") > col("a.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(when(col("b.c") > col("a.c"), 1L)
+        .when(col("b.c") < col("a.c"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = dense.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5))
+        .as("tie_term"))
+    dense.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+      .join(ties, "event_type")
+      .join(s, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_days"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"),
+        (col("n_days") * (col("n_days") - 1) * (col("n_days") * 2 + 5)
+          - col("tie_term")).as("var_num"))
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        col("var_num"),
+        when(col("var_num") > 0,
+          (when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+            .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+            .otherwise(lit(0.0)))
+            / sqrt(col("var_num").cast("double") / lit(18.0))).as("z"))
+  }
+
+  val q215TypeTrendsSql: String = """
+    WITH obs AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    bnd AS (SELECT min(day) AS d0, max(day) AS d1 FROM obs),
+    cal AS (SELECT unnest(generate_series(bnd.d0, bnd.d1)) AS day FROM bnd),
+    ty AS (SELECT DISTINCT event_type FROM obs),
+    dense AS (
+      SELECT ty.event_type, cal.day, coalesce(o.c, CAST(0 AS BIGINT)) AS c
+      FROM ty CROSS JOIN cal
+        LEFT JOIN obs o ON o.event_type = ty.event_type AND o.day = cal.day),
+    s AS (
+      SELECT a.event_type,
+        CAST(sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
+          ELSE 0 END) AS BIGINT) AS s_stat
+      FROM dense a JOIN dense b
+        ON a.event_type = b.event_type AND b.day > a.day
+      GROUP BY 1),
+    tg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS t
+           FROM dense GROUP BY event_type, c),
+    tt AS (SELECT event_type,
+             CAST(sum(t * (t - 1) * (t * 2 + 5)) AS BIGINT) AS tie_term
+           FROM tg GROUP BY 1),
+    n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+          FROM dense GROUP BY 1),
+    v AS (
+      SELECT n.event_type, n.n_days,
+        coalesce(s.s_stat, CAST(0 AS BIGINT)) AS s_stat,
+        n.n_days * (n.n_days - 1) * (n.n_days * 2 + 5) - tt.tie_term
+          AS var_num
+      FROM n JOIN tt USING (event_type) LEFT JOIN s USING (event_type))
+    SELECT event_type, n_days, s_stat, var_num,
+      CASE WHEN var_num > 0 THEN
+        (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+              WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+              ELSE 0e0 END)
+          / sqrt(CAST(var_num AS DOUBLE) / 18e0) END AS z
+    FROM v
+  """
+
   /** q210: USER-LIFETIME PERCENTILES — rank-exact p50/p90/p99 of the
     * first-to-last-activity span in days, plus the single-day-user share.
     * The longevity summary between q102's full cohort matrix and q181's

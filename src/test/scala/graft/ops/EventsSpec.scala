@@ -728,6 +728,46 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(lifts.forall(_ === 1.0))
   }
 
+  test("q215 type trends: per-type MK matches the plain-Scala formula " +
+    "bitwise — a rising type, a constant type at NULL z, and a sparse " +
+    "type judged on the GLOBAL zero-filled calendar") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val D = 86400L
+    def mk(c: Seq[Long]): (Long, Long, Option[Double]) = {
+      val n = c.size
+      val s = (for (i <- c.indices; j <- i + 1 until n)
+        yield (c(j) compare c(i)).sign.toLong).sum
+      val tie = c.groupBy(identity).values.map(_.size.toLong)
+        .map(t => t * (t - 1) * (t * 2 + 5)).sum
+      val vn = n.toLong * (n - 1) * (n * 2 + 5) - tie
+      val z = if (vn > 0) Some((if (s > 0) (s - 1).toDouble
+        else if (s < 0) (s + 1).toDouble else 0.0) /
+        math.sqrt(vn.toDouble / 18.0)) else None
+      (s, vn, z)
+    }
+    // calendar spans days 0..3 (set by 'up'); counts per type per day:
+    // up: [1,2,3,4]; flat: [2,2,2,2]; sparse: day 1 and 3 only → [0,2,0,1]
+    val rows =
+      (0 to 3).flatMap(d => Seq.fill(d + 1)(("up", d.toLong))) ++
+      (0 to 3).flatMap(d => Seq.fill(2)(("flat", d.toLong))) ++
+      (Seq.fill(2)(("sparse", 1L)) :+ (("sparse", 3L)))
+    val ev = rows.toDF("event_type", "d")
+      .withColumn("ts", timestamp_seconds(col("d") * D + 7L))
+    val got = Events.typeTrendsOn(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+      .toMap
+    graft.CachedFrames.drain()
+    val series = Map("up" -> Seq(1L, 2L, 3L, 4L),
+      "flat" -> Seq(2L, 2L, 2L, 2L), "sparse" -> Seq(0L, 2L, 0L, 1L))
+    assert(got.keySet === series.keySet)
+    series.foreach { case (t, c) =>
+      val (s, vn, z) = mk(c)
+      assert(got(t) === ((4L, s, vn, z)), t) // bitwise incl. NULL for flat
+    }
+  }
+
   test("q210 lifetime percentiles: rank-exact span picks on a hand " +
     "fixture with two single-day users and a long tail") {
     import spark.implicits._
