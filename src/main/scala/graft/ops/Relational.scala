@@ -938,6 +938,67 @@ object Relational {
     FROM v, ts
   """
 
+  /** q216: SUPPLIER CONCENTRATION per brand — Herfindahl index of each
+    * brand's shipped QUANTITY over its suppliers, with the effective
+    * supplier count (q194's exact-integer HHI machinery on the supply
+    * axis). The supply-chain risk table: a brand with eff_suppliers ≈ 1
+    * has a single point of failure no matter how many supplier rows its
+    * catalog lists, and is where a sourcing review starts. Quantities are
+    * exact units (TPC-H quantities are integral; ⌊q+½⌋ makes the contract
+    * explicit); eff = T²/Σc² is its OWN division of exact integers, never
+    * 1/hhi of a rounded double (the q194 rule).
+    *
+    * Scale shape: one partkey-keyed equi-join to recover the brand (the
+    * only data-sized shuffle), a map-side (brand, supplier) rollup, then
+    * a |brands|-row rollup with Σc² in DECIMAL(38,0)/HUGEINT. */
+  def q216SupplierHhi(spark: SparkSession, sfDir: String): DataFrame =
+    supplierHhiOn(Tables(spark, sfDir, "lineitem"),
+      Tables(spark, sfDir, "part"))
+
+  /** The concentration core over ANY (lineitem, part) pair. */
+  private[graft] def supplierHhiOn(lineitem: DataFrame,
+      part: DataFrame): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    lineitem
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("CAST(floor(l_quantity + 0.5D) AS BIGINT)").as("qty"))
+      .join(part.select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        "l_partkey")
+      .groupBy(col("p_brand"), col("l_suppkey"))
+      .agg(sum(col("qty")).as("c"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("c")).as("t"),
+        sum(d38(col("c")) * d38(col("c"))).as("c2"))
+      .select(col("p_brand"), col("n_suppliers"),
+        col("t").as("total_qty"),
+        when(col("t") > 0, col("c2").cast("double")
+          / (d38(col("t")) * d38(col("t"))).cast("double")).as("hhi"),
+        when(col("c2") > 0, (d38(col("t")) * d38(col("t"))).cast("double")
+          / col("c2").cast("double")).as("eff_suppliers"))
+  }
+
+  val q216SupplierHhiSql: String = """
+    WITH c AS (
+      SELECT p.p_brand, l.l_suppkey,
+        CAST(sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS c
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2),
+    m AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n_suppliers,
+        CAST(sum(c) AS BIGINT) AS t,
+        sum(CAST(c AS HUGEINT) * c) AS c2 -- guard:ok internal HUGEINT; outputs below are exact-cast
+      FROM c GROUP BY 1)
+    SELECT p_brand, n_suppliers, t AS total_qty,
+      CASE WHEN t > 0 THEN
+        CAST(CAST(c2 AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(CAST(t AS HUGEINT) * t AS VARCHAR) AS DOUBLE) END
+        AS hhi,
+      CASE WHEN c2 > 0 THEN
+        CAST(CAST(CAST(t AS HUGEINT) * t AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(c2 AS VARCHAR) AS DOUBLE) END AS eff_suppliers
+    FROM m
+  """
+
   /** q205: PARETO / ABC ANALYSIS of customer revenue — customers ranked
     * by total order revenue (descending, custkey tie-break) and cut into
     * the classic inventory classes: A = the head until the cumulative

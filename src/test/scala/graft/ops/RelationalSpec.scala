@@ -113,6 +113,25 @@ class RelationalSpec extends AnyFunSuite with graft.SparkSpec {
       (2024L, 4L) -> ((1L, 100L, None))))
   }
 
+  test("q216 supplier HHI: a single-supplier brand scores exactly 1/1, " +
+    "a balanced brand scores the exact integer ratio") {
+    import spark.implicits._
+    // brand B1: suppliers 1,2 with qty 6 and 3 → T=9, Σc²=45 →
+    // hhi = 45/81, eff = 81/45; brand B2: one supplier → exactly 1 / 1
+    val lineitem = Seq((10L, 1L, 4.0), (10L, 1L, 2.0), (11L, 2L, 3.0),
+      (20L, 7L, 5.0))
+      .toDF("l_partkey", "l_suppkey", "l_quantity")
+    val part = Seq((10L, "B1"), (11L, "B1"), (20L, "B2"))
+      .toDF("p_partkey", "p_brand")
+    val got = Relational.supplierHhiOn(lineitem, part).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    graft.CachedFrames.drain()
+    assert(got("B1") === ((2L, 9L, 45.0 / 81.0, 81.0 / 45.0)))
+    assert(got("B2") === ((1L, 5L, 1.0, 1.0)))
+  }
+
   test("q205 ABC: the boundary-crossing customer stays in the richer " +
     "class (exact 80% boundary exercised), shares are exact divisions, " +
     "and a null custkey is excluded") {
