@@ -999,6 +999,59 @@ object Relational {
     FROM m
   """
 
+  /** q217: SPEARMAN ρ between account balance and realized spend — does
+    * c_acctbal predict what a customer actually orders? Ranks are robust
+    * to the balance's scale and its NEGATIVE tail (TPC-H balances go
+    * below zero), and customers with no orders count as spend 0 — they
+    * are exactly the signal ("high balance, zero engagement") a
+    * correlation that drops them would fabricate away. q173's rank engine
+    * reused verbatim through [[TextOps.spearmanOfPairs]].
+    *
+    * Scale shape: one customer-keyed left join of the per-customer order
+    * rollup, then the two-layout bucketed rank engine over one cached
+    * |customers|-row frame (no single-partition sort). */
+  def q217BalanceSpendRho(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.spearmanOfPairs(graft.CachedFrames.track(
+      Tables(spark, sfDir, "customer")
+        .select(col("c_custkey").as("pid"),
+          expr("CAST(floor(c_acctbal * 100.0D + 0.5D) AS BIGINT)").as("q"))
+        .join(Tables(spark, sfDir, "orders")
+          .groupBy(col("o_custkey").as("pid"))
+          .agg(sum(expr(
+            "CAST(floor(o_totalprice * 100.0D + 0.5D) AS BIGINT)"))
+            .as("spend")), Seq("pid"), "left")
+        .select(col("pid"), col("q"),
+          coalesce(col("spend"), lit(0L)).as("nt"))))
+
+  val q217BalanceSpendRhoSql: String = """
+    WITH sp AS (
+      SELECT o_custkey,
+        CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+          AS BIGINT) AS spend
+      FROM orders GROUP BY 1),
+    x AS (
+      SELECT c.c_custkey AS pid,
+        CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) AS q,
+        coalesce(sp.spend, CAST(0 AS BIGINT)) AS nt
+      FROM customer c LEFT JOIN sp ON c.c_custkey = sp.o_custkey),
+    r AS (
+      SELECT pid,
+        row_number() OVER (ORDER BY q ASC, pid ASC) AS rq,
+        row_number() OVER (ORDER BY nt ASC, pid ASC) AS rl
+      FROM x),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        sum(CAST(rq - rl AS HUGEINT) * CAST(rq - rl AS HUGEINT)) AS sd2 -- guard:ok internal HUGEINT; outputs below are exact-cast
+      FROM r)
+    SELECT n, CAST(CAST(sd2 AS VARCHAR) AS DOUBLE) AS sum_d2,
+      CASE WHEN n >= 2 THEN
+        1.0 - CAST(CAST(6 * sd2 AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)
+            AS VARCHAR) AS DOUBLE)
+      END AS rho
+    FROM s
+  """
+
   /** q205: PARETO / ABC ANALYSIS of customer revenue — customers ranked
     * by total order revenue (descending, custkey tie-break) and cut into
     * the classic inventory classes: A = the head until the cumulative

@@ -4404,17 +4404,21 @@ object TextOps {
     * 1-row rollup. Nothing is ever single-partition (PlanSpec pins the
     * q167 contract). */
   def q173SpearmanQualityLength(spark: SparkSession, sfDir: String)
-      : DataFrame = {
-    val scored = graft.CachedFrames.track(withQualityStats(
+      : DataFrame =
+    spearmanOfPairs(graft.CachedFrames.track(withQualityStats(
       Tables.parallelized(Tables(spark, sfDir, "documents")))
-      .select(col("doc_id"), col("quality_score").as("q"),
-        col("n_tokens").cast("long").as("nt")))
-    // cached: the second rank engine's bounds/rank/counts branches each
-    // re-derive their input — uncached, r1's whole rank machinery re-ran
-    // ~3× inside r2 (bench: 9.3 s → materialize once)
+      .select(col("doc_id").as("pid"), col("quality_score").as("q"),
+        col("n_tokens").cast("long").as("nt"))))
+
+  /** Spearman ρ over ANY (pid, q, nt) pairs frame — q173's engine
+    * factored series-generic (q217 reuses it on acctbal-vs-spend). The
+    * input should arrive CACHED: the second rank engine's bounds/rank/
+    * counts branches each re-derive their input — uncached, r1's whole
+    * rank machinery re-ran ~3× inside r2 (bench: 9.3 s → 3.0 s). */
+  private[graft] def spearmanOfPairs(pairs: DataFrame): DataFrame = {
     val r1 = graft.CachedFrames.track(
-      DistRank.withBucketedRank(scored, Seq(), "q", Seq("doc_id"), "rq"))
-    val r2 = DistRank.withBucketedRank(r1, Seq(), "nt", Seq("doc_id"), "rl")
+      DistRank.withBucketedRank(pairs, Seq(), "q", Seq("pid"), "rq"))
+    val r2 = DistRank.withBucketedRank(r1, Seq(), "nt", Seq("pid"), "rl")
     val d = col("rq") - col("rl")
     val m = r2.agg(count(lit(1)).as("n"),
       sum(d.cast("decimal(19,0)") * d.cast("decimal(19,0)")).as("sd2"))
