@@ -1052,6 +1052,77 @@ object Relational {
     FROM s
   """
 
+  /** q218: PRIORITY-MIX DRIFT — total variation distance between each
+    * year's order-priority distribution and the PRECEDING year's (the
+    * q108/q144 exact-TVD machinery on the warehouse axis): is the order
+    * book's urgency profile shifting, year over year, as one bounded
+    * [0, 1] number per adjacent-year pair. A priority present in only one
+    * of the two years contributes its full mass (coalesced 0 on the other
+    * side — the full-outer grid); a calendar gap produces NO pair row
+    * (both years must exist), never a silent comparison across the gap.
+    *
+    * Exactness: TVD cross-multiplies to integers — ½·Σ|c_i·N' − c'_i·N| /
+    * (N·N') — with the numerator summed exactly in DECIMAL(38,0)/HUGEINT
+    * (exact to ~1e12 orders/year) and ONE final division.
+    *
+    * Scale shape: one map-side (year, priority) rollup; everything after
+    * is |years|·|priorities| (schema × calendar — tiny). */
+  def q218PriorityDrift(spark: SparkSession, sfDir: String): DataFrame =
+    priorityDriftOn(Tables(spark, sfDir, "orders"))
+
+  /** The drift core over ANY orders frame — fixture-testable. */
+  private[graft] def priorityDriftOn(orders: DataFrame): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val cells = graft.CachedFrames.track(orders
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_orderpriority").as("p"))
+      .groupBy(col("yr"), col("p")).agg(count(lit(1)).as("c")))
+    val totals = cells.groupBy(col("yr")).agg(sum(col("c")).as("n"))
+    val shifted = cells.select((col("yr") + 1).as("yr"), col("p"),
+      col("c").as("c_prev"))
+    cells.join(shifted, Seq("yr", "p"), "full_outer")
+      .select(col("yr"), col("p"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("c_prev"), lit(0L)).as("c_prev"))
+      .join(totals, "yr")
+      .join(totals.select((col("yr") + 1).as("yr"), col("n").as("n_prev")),
+        "yr")
+      .groupBy(col("yr"), col("n"), col("n_prev"))
+      .agg(sum(abs(d38(col("c")) * d38(col("n_prev"))
+        - d38(col("c_prev")) * d38(col("n")))).as("num"))
+      .select(col("yr").as("year"), (col("yr") - 1).as("prev_year"),
+        col("n").as("n_orders"), col("n_prev").as("prev_orders"),
+        (col("num").cast("double")
+          / (lit(2).cast("decimal(38,0)") * d38(col("n"))
+            * d38(col("n_prev"))).cast("double")).as("tvd"))
+  }
+
+  val q218PriorityDriftSql: String = """
+    WITH cells AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority AS p,
+        CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2),
+    t AS (SELECT yr, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+    b AS (SELECT yr + 1 AS yr, p, c AS c_prev FROM cells),
+    j AS (
+      SELECT coalesce(a.yr, b.yr) AS yr, coalesce(a.p, b.p) AS p,
+        coalesce(a.c, CAST(0 AS BIGINT)) AS c,
+        coalesce(b.c_prev, CAST(0 AS BIGINT)) AS c_prev
+      FROM cells a FULL OUTER JOIN b ON a.yr = b.yr AND a.p = b.p),
+    m AS (
+      SELECT j.yr, t.n, tp.n AS n_prev,
+        sum(abs(CAST(j.c AS HUGEINT) * tp.n -- guard:ok internal HUGEINT; the tvd below is exact-cast
+          - CAST(j.c_prev AS HUGEINT) * t.n)) AS num
+      FROM j JOIN t ON j.yr = t.yr JOIN t tp ON j.yr = tp.yr + 1
+      GROUP BY 1, 2, 3)
+    SELECT yr AS year, yr - 1 AS prev_year, n AS n_orders,
+      n_prev AS prev_orders,
+      CAST(CAST(num AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(2 * CAST(n AS HUGEINT) * n_prev AS VARCHAR) AS DOUBLE)
+        AS tvd
+    FROM m
+  """
+
   /** q205: PARETO / ABC ANALYSIS of customer revenue — customers ranked
     * by total order revenue (descending, custkey tie-break) and cut into
     * the classic inventory classes: A = the head until the cumulative

@@ -132,6 +132,30 @@ class RelationalSpec extends AnyFunSuite with graft.SparkSpec {
     assert(got("B2") === ((1L, 5L, 1.0, 1.0)))
   }
 
+  test("q218 priority drift: exact cross-multiplied TVD on a hand mix, " +
+    "a one-year-only priority carries full mass, a calendar gap pairs " +
+    "nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // 2020: A×3, B×1 (n=4); 2021: A×1, C×1 (n=2); 2023: A×2 (gap at 2022)
+    val orders = Seq(
+      ("2020-01-01", "A"), ("2020-02-01", "A"), ("2020-03-01", "A"),
+      ("2020-04-01", "B"),
+      ("2021-05-01", "A"), ("2021-06-01", "C"),
+      ("2023-01-01", "A"), ("2023-02-01", "A"))
+      .toDF("d", "o_orderpriority")
+      .withColumn("o_orderdate", to_timestamp(col("d")))
+    val got = Relational.priorityDriftOn(orders).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    graft.CachedFrames.drain()
+    // 2021 vs 2020 (n=2, n'=4): |1·4 − 3·2| + |0·4 − 1·2| + |1·4 − 0·2|
+    // = 2 + 2 + 4 = 8 → tvd = 8 / (2·2·4) = 0.5
+    // (check: ½(|½−¾| + |0−¼| + |½−0|) = ½·1 = 0.5)
+    assert(got.keySet === Set(2021L)) // the 2022 gap pairs nothing
+    assert(got(2021L) === ((2020L, 2L, 4L, 8.0 / 16.0)))
+  }
+
   test("q205 ABC: the boundary-crossing customer stays in the richer " +
     "class (exact 80% boundary exercised), shares are exact divisions, " +
     "and a null custkey is excluded") {
