@@ -1994,6 +1994,133 @@ object Events {
     FROM p JOIN f USING (user_id) GROUP BY 1
   """
 
+  /** q219: KRUSKAL–WALLIS TEST of `value` across event types — the
+    * k-group generalization of q190's Mann–Whitney (k = 2): does the
+    * transaction-value distribution differ BY BEHAVIOR, as one rank-based
+    * H statistic (χ²_{k−1} under the null) immune to the whale tail that
+    * dominates any variance-based ANOVA. Ties get exact MIDRANKS (doubled
+    * midranks stay integers: 2·cum_before + cnt_at_value + 1) and the
+    * standard tie correction 1 − ΣT/(N³−N).
+    *
+    * Exactness: per-value/per-group counts, doubled rank sums R2_i and
+    * the tie term are exact DECIMAL(38,0)/HUGEINT; each group's
+    * Σ-term R2_i²/(4n_i) is a fixed chain on exact-cast doubles, and the
+    * cross-group sum folds in EVENT-TYPE ORDER via an ordered-list
+    * reduce in both engines (the q108 ordered-fold idiom — re-ordered
+    * double accumulation is the one non-portable step, so it is pinned);
+    * H's final chain is written in the identical op order in both
+    * engines. NULL values are excluded; an all-tied sample reports NULL
+    * h_tie_corrected (correction 0), never ±Inf.
+    *
+    * Scale shape: one map-side (value, type) collapse; per-value totals
+    * feed q190's ungrouped [[DistRank]] + q59 prefix-sum engine for
+    * cum_before; midranks join back value-keyed; the fold runs over
+    * ≤|types| rows. */
+  def q219ValueKw(spark: SparkSession, sfDir: String): DataFrame =
+    valueKwOn(Tables(spark, sfDir, "events")
+      .filter(col("value").isNotNull)
+      .select(expr("CAST(floor(value * 100.0D + 0.5D) AS BIGINT)").as("q"),
+        col("event_type").as("t")))
+
+  /** The KW core over ANY (q, t) sample frame — fixture-testable. */
+  private[graft] def valueKwOn(samples: DataFrame): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val cells = graft.CachedFrames.track(
+      samples.groupBy(col("q"), col("t")).agg(count(lit(1)).as("c")))
+    val perValue = graft.CachedFrames.track(
+      cells.groupBy(col("q")).agg(sum(col("c")).as("ca")))
+    val ranked = graft.CachedFrames.track(
+      DistRank.withBucketedRank(perValue, Seq(), "q", Seq(), "_pos"))
+    val slim = ranked.select(
+      expr("substring(CAST(q AS STRING), 1, 0)").as("source"),
+      col("_pos").as("doc_id"), col("ca"))
+    val run = graft.ops.TextOps
+      .distributedRunningSum(slim, "ca", Seq("doc_id"), slim)
+      .select(col("doc_id").as("_rp"), (col("running") - col("ca")).as("cb"))
+    // doubled midrank per value: 2·cum_before + cnt_at_value + 1
+    val mid = ranked.join(run, col("_pos") === col("_rp"))
+      .select(col("q"), col("ca"),
+        (col("cb") * 2 + col("ca") + 1).as("mr2"))
+    val groups = cells.join(mid.select(col("q"), col("mr2")), "q")
+      .groupBy(col("t"))
+      .agg(sum(col("c")).as("ni"),
+        sum(d38(col("c")) * d38(col("mr2"))).as("r2"))
+    val ties = perValue.agg(
+      sum(d38(col("ca")) * d38(col("ca")) * d38(col("ca")) - d38(col("ca")))
+        .as("tie_term"),
+      sum(col("ca")).as("n"))
+    val folded = groups
+      .select(col("t"), col("ni"),
+        ((col("r2").cast("double") * col("r2").cast("double"))
+          / (lit(4.0) * col("ni").cast("double"))).as("term"))
+      .agg(count(lit(1)).as("k"), expr(
+        """aggregate(transform(sort_array(collect_list(struct(t, term))),
+          |  x -> x.term), 0.0D, (a, x) -> a + x)""".stripMargin).as("s"))
+    folded.crossJoin(broadcast(ties))
+      .select(col("n").as("n_total"), col("k").as("n_groups"),
+        col("tie_term").cast("double").as("tie_term"),
+        (lit(12.0) * col("s")
+          / (d38(col("n")) * (d38(col("n")) + 1)).cast("double")
+          - lit(3.0) * (col("n") + 1).cast("double")).as("h"))
+      .crossJoin(broadcast(ties.select(
+        ((d38(col("n")) * d38(col("n")) * d38(col("n")) - d38(col("n"))
+          - col("tie_term"))).as("cnum"),
+        (d38(col("n")) * d38(col("n")) * d38(col("n")) - d38(col("n")))
+          .as("cden"))))
+      .select(col("n_total"), col("n_groups"), col("tie_term"), col("h"),
+        when(col("cnum") > 0,
+          col("h") / (col("cnum").cast("double")
+            / col("cden").cast("double"))).as("h_tie_corrected"))
+  }
+
+  val q219ValueKwSql: String = """
+    WITH s0 AS (
+      SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS q, event_type AS t
+      FROM events WHERE value IS NOT NULL),
+    cells AS (SELECT q, t, CAST(count(*) AS BIGINT) AS c
+              FROM s0 GROUP BY 1, 2),
+    pv AS (SELECT q, CAST(sum(c) AS BIGINT) AS ca FROM cells GROUP BY 1),
+    mid AS (
+      SELECT q, ca,
+        (coalesce(CAST(sum(ca) OVER (ORDER BY q
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0))
+          * 2 + ca + 1 AS mr2
+      FROM pv),
+    g AS (
+      SELECT cells.t, CAST(sum(cells.c) AS BIGINT) AS ni,
+        sum(CAST(cells.c AS HUGEINT) * mid.mr2) AS r2 -- guard:ok internal HUGEINT; the term below is exact-cast
+      FROM cells JOIN mid ON cells.q = mid.q GROUP BY 1),
+    tt AS (
+      SELECT sum(CAST(ca AS HUGEINT) * ca * ca - ca) AS tie_term, -- guard:ok internal HUGEINT; outputs below are exact-cast
+        CAST(sum(ca) AS BIGINT) AS n
+      FROM pv),
+    f AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+        list_reduce(list_prepend(0e0, list(
+          CAST(CAST(r2 AS VARCHAR) AS DOUBLE)
+            * CAST(CAST(r2 AS VARCHAR) AS DOUBLE)
+            / (4e0 * CAST(ni AS DOUBLE)) ORDER BY t)),
+          (a, x) -> a + x) AS s
+      FROM g)
+    SELECT tt.n AS n_total, f.k AS n_groups,
+      CAST(CAST(tt.tie_term AS VARCHAR) AS DOUBLE) AS tie_term,
+      12e0 * f.s
+        / CAST(CAST(CAST(tt.n AS HUGEINT) * (tt.n + 1) AS VARCHAR) AS DOUBLE)
+        - 3e0 * CAST(tt.n + 1 AS DOUBLE) AS h,
+      CASE WHEN (CAST(tt.n AS HUGEINT) * tt.n * tt.n - tt.n - tt.tie_term)
+          > 0 THEN
+        (12e0 * f.s
+          / CAST(CAST(CAST(tt.n AS HUGEINT) * (tt.n + 1) AS VARCHAR)
+            AS DOUBLE)
+          - 3e0 * CAST(tt.n + 1 AS DOUBLE))
+        / (CAST(CAST(CAST(tt.n AS HUGEINT) * tt.n * tt.n - tt.n
+            - tt.tie_term AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(CAST(tt.n AS HUGEINT) * tt.n * tt.n - tt.n
+            AS VARCHAR) AS DOUBLE))
+      END AS h_tie_corrected
+    FROM f, tt
+  """
+
   /** q215: PER-TYPE TREND TABLE — q199's Mann–Kendall test run for EVERY
     * event type over the shared global calendar: which behaviors are
     * monotonically growing or dying, each with its tie-corrected z. The

@@ -728,6 +728,47 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(lifts.forall(_ === 1.0))
   }
 
+  test("q219 Kruskal-Wallis: H and the tie-corrected H match the plain-" +
+    "Scala midrank formula bitwise on a tie-heavy 3-group fixture; an " +
+    "all-tied sample reports NULL") {
+    import spark.implicits._
+    val samples = Seq(
+      (10L, "a"), (10L, "a"), (20L, "a"),
+      (10L, "b"), (30L, "b"), (30L, "b"),
+      (20L, "c"), (40L, "c"))
+    def kw(xs: Seq[(Long, String)]): (Double, Option[Double]) = {
+      val n = xs.size
+      val byV = xs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val sortedV = byV.keys.toSeq.sorted
+      val cumBefore = sortedV.scanLeft(0L)((acc, v) => acc + byV(v))
+        .zip(sortedV :+ -1L).map(_.swap).toMap // v -> cum before
+      def mr2(v: Long): Long = 2 * cumBefore(v) + byV(v) + 1
+      val groups = xs.groupBy(_._2).toSeq.sortBy(_._1)
+      val s = groups.map { case (_, g) =>
+        val r2 = g.map(e => BigInt(mr2(e._1))).sum
+        r2.toDouble * r2.toDouble / (4.0 * g.size.toDouble)
+      }.foldLeft(0.0)(_ + _)
+      val h = 12.0 * s / (BigInt(n) * (n + 1)).toDouble - 3.0 * (n + 1).toDouble
+      val tie = byV.values.map(c => BigInt(c) * c * c - c).sum
+      val cnum = BigInt(n).pow(3) - n - tie
+      val hc = if (cnum > 0)
+        Some(h / (cnum.toDouble / (BigInt(n).pow(3) - n).toDouble)) else None
+      (h, hc)
+    }
+    val (hExp, hcExp) = kw(samples)
+    val r = Events.valueKwOn(samples.toDF("q", "t")).collect()(0)
+    graft.CachedFrames.drain()
+    assert(r.getLong(0) === samples.size.toLong)
+    assert(r.getLong(1) === 3L)
+    assert(r.getDouble(3) === hExp) // bitwise
+    assert(Some(r.getDouble(4)) === hcExp)
+    // every observation tied at one value → correction 0 → NULL
+    val tied = Seq.fill(4)((7L, "a")) ++ Seq.fill(3)((7L, "b"))
+    val r2 = Events.valueKwOn(tied.toDF("q", "t")).collect()(0)
+    graft.CachedFrames.drain()
+    assert(r2.isNullAt(4))
+  }
+
   test("q215 type trends: per-type MK matches the plain-Scala formula " +
     "bitwise — a rising type, a constant type at NULL z, and a sparse " +
     "type judged on the GLOBAL zero-filled calendar") {
