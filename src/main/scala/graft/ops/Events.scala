@@ -2582,4 +2582,103 @@ object Events {
         AS slope_per_day
     FROM r
   """
+
+  /** q222: DAY-OF-WEEK EFFECT — one-way ANOVA of the dense daily event
+    * count grouped by day-of-week: how much of the daily-volume variance
+    * the weekly cycle EXPLAINS (η² = SSB/SST) and whether it is
+    * significant (the F statistic, F_{k−1, n−k} under the null). The
+    * quantified version of what q198's acf(7) hints and what q209's grid
+    * shows cell-by-cell — and the go/no-go for seasonal adjustment before
+    * the anomaly family (q126/q148/q151): η² near 0 says the weekly
+    * baseline is flat and plain z-scores are fine; η² large says alarms
+    * must be conditioned on dow or Monday forever pages. Runs on the
+    * zero-filled calendar ([[denseDaily]]) — a quiet Sunday is DATA for
+    * the dow effect, not a gap.
+    *
+    * Exactness: per-group sums and the scaled total SS (n·Σc² − S²) are
+    * exact DECIMAL(38,0)/HUGEINT; each group's scaled between-SS term
+    * (n·S_g − n_g·S)²/n_g is a fixed chain on exact-cast doubles, and the
+    * cross-group sum folds in GROUP-KEY ORDER in both engines (the q219
+    * ordered-fold idiom — re-ordered double accumulation is the one
+    * non-portable step). η² = Σterm / (n·(n·Σc² − S²)) — the scaling
+    * cancels exactly. A constant series (SST = 0) reports NULL η²/F; a
+    * perfect weekly cycle (SSW = 0) reports η² = 1 and NULL F, never ±Inf.
+    *
+    * Scale shape: ONE map-side day rollup (the shared dense artifact),
+    * then a ≤period-row group rollup and a 1-row total; the fold runs
+    * over ≤period rows. Never a join against data. */
+  def q222DowEffect(spark: SparkSession, sfDir: String): DataFrame =
+    seasonalAnovaOn(denseDaily(Tables(spark, sfDir, "events")), 7)
+
+  /** The one-way-ANOVA core over ANY dense (day, c) series, grouped by
+    * `day % period` — series-generic (q225 reuses it on calendar months
+    * of revenue cents). */
+  private[graft] def seasonalAnovaOn(dense: DataFrame,
+      period: Int): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val g = graft.CachedFrames.track(
+      dense.select((col("day") % period).as("g"), col("c")))
+    val per = g.groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("c")).as("sg"))
+    val tot = g.agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+      sum(d38(col("c")) * d38(col("c"))).as("c2"))
+    val x = (d38(col("n")) * d38(col("sg"))
+      - d38(col("ng")) * d38(col("s"))).cast("double")
+    val folded = per.crossJoin(broadcast(tot))
+      .select(col("g"), (x * x / col("ng").cast("double")).as("term"))
+      .agg(count(lit(1)).as("k"), expr(
+        """aggregate(transform(sort_array(collect_list(struct(g, term))),
+          |  x -> x.term), 0.0D, (a, x) -> a + x)""".stripMargin).as("ssb"))
+    val sstn = d38(col("n")) * col("c2") - d38(col("s")) * d38(col("s"))
+    val nsst = (d38(col("n")) * sstn).cast("double")
+    folded.crossJoin(broadcast(tot))
+      .select(col("n").as("n_obs"), col("k").as("n_groups"),
+        when(sstn > 0, col("ssb") / nsst).as("eta2"),
+        when(sstn > 0 && col("k") > 1 && col("n") > col("k")
+          && (nsst - col("ssb")) > 0,
+          (col("ssb") / (col("k") - 1).cast("double"))
+            / ((nsst - col("ssb"))
+              / (col("n") - col("k")).cast("double"))).as("f_stat"))
+  }
+
+  /** The ANOVA oracle chain over a `dense(day, c)` CTE — [[seasonalAnovaOn]]'s
+    * oracle face, parameterized by the period (q222 dow = 7, q225
+    * month-of-year = 12). */
+  private[graft] def seasonalAnovaSqlFromDense(period: Int): String = s"""
+    g AS (SELECT day % $period AS g, c FROM dense),
+    per AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+              CAST(sum(c) AS BIGINT) AS sg FROM g GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s,
+              sum(CAST(c AS HUGEINT) * c) AS c2 -- guard:ok internal HUGEINT; outputs below are exact-cast
+            FROM g),
+    tx AS (SELECT per.g, per.ng,
+             CAST(CAST(CAST(tot.n AS HUGEINT) * per.sg
+               - CAST(per.ng AS HUGEINT) * tot.s AS VARCHAR) AS DOUBLE) AS x
+           FROM per, tot),
+    fd AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             list_reduce(list_prepend(0e0,
+               list(x * x / CAST(ng AS DOUBLE) ORDER BY g)),
+               (a, b) -> a + b) AS ssb
+           FROM tx),
+    vv AS (SELECT tot.n,
+             CAST(tot.n AS HUGEINT) * tot.c2
+               - CAST(tot.s AS HUGEINT) * tot.s AS sstn -- guard:ok internal HUGEINT; outputs below are exact-cast
+           FROM tot)
+    SELECT vv.n AS n_obs, fd.k AS n_groups,
+      CASE WHEN vv.sstn > 0 THEN fd.ssb
+        / CAST(CAST(CAST(vv.n AS HUGEINT) * vv.sstn AS VARCHAR) AS DOUBLE)
+        END AS eta2,
+      CASE WHEN vv.sstn > 0 AND fd.k > 1 AND vv.n > fd.k
+          AND (CAST(CAST(CAST(vv.n AS HUGEINT) * vv.sstn AS VARCHAR)
+            AS DOUBLE) - fd.ssb) > 0 THEN
+        (fd.ssb / CAST(fd.k - 1 AS DOUBLE))
+          / ((CAST(CAST(CAST(vv.n AS HUGEINT) * vv.sstn AS VARCHAR)
+            AS DOUBLE) - fd.ssb) / CAST(vv.n - fd.k AS DOUBLE)) END
+        AS f_stat
+    FROM fd, vv"""
+
+  val q222DowEffectSql: String = s"""
+    WITH $DailyDenseCte,
+    ${seasonalAnovaSqlFromDense(7)}
+  """
 }

@@ -763,4 +763,125 @@ object NearDup {
       CASE WHEN t0 > 0 THEN CAST(t3 AS DOUBLE) / CAST(t0 AS DOUBLE) END
     FROM a0, a2, a3
   """
+
+  /** q221: BLOCKING-SCHEME QUALITY — the standard record-linkage blocking
+    * scoreboard (Christen 2012: reduction ratio, pair completeness, pairs
+    * quality) for three CHEAP single-key blocking schemes, scored against
+    * the near-dup reference set the MinHash/LSH pipeline certifies
+    * (q27 candidates at true Jaccard ≥ 0.5). The capacity-planning table
+    * for the Dis-Dedup flagship: its triangle-distributed comparison cost
+    * is Σ_b n_b(n_b−1)/2 over exactly these blocks, so "which blocking key
+    * do I run" is priced by cand_pairs (cost) against pair_completeness
+    * (recall of real near-dups) BEFORE committing the cluster. The three
+    * schemes see progressively more of the text: a length bucket (free
+    * from metadata), the first whitespace token, the first 8 characters.
+    *
+    * Exactness: every count exact BIGINT (Σc(c−1)/2 of even products via
+    * DIV 2); each ratio is one final division. A document always carries a
+    * key under every scheme (empty text keys as '' — a real block), so
+    * truth_pairs is identical across schemes by construction.
+    *
+    * Scale shape: key projection is ONE map-side pass (stack = 3 rows per
+    * doc); block stats are a (scheme, key) rollup — never materializing
+    * candidate PAIRS, only their per-block count arithmetic; coverage is
+    * two doc-keyed equi-joins of the |truth| pair list against the key
+    * frame. The reference set rides the production q27 path (banded
+    * postings join, never doc×doc). */
+  def q221BlockingQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
+    blockingQualityOn(docs,
+      lshPairsOn(docs).filter(col("true_jaccard") >= 0.5)
+        .select(col("id1"), col("id2")))
+  }
+
+  /** The scoreboard core over ANY (doc_id, text, n_chars) frame and ANY
+    * (id1, id2) truth pair set — fixture-testable. */
+  private[ops] def blockingQualityOn(docs: DataFrame,
+      truth: DataFrame): DataFrame = {
+    val keys = graft.CachedFrames.track(docs.select(col("doc_id"), expr(
+      """stack(3,
+        |  'len_bucket', CAST(n_chars DIV 64 AS STRING),
+        |  'first_token', split(trim(text), '\\s+')[0],
+        |  'prefix_8', substring(trim(text), 1, 8)) AS (scheme, kb)"""
+        .stripMargin)))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val blocks = keys.groupBy(col("scheme"), col("kb"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("scheme"))
+      .agg(count(lit(1)).as("n_blocks"),
+        coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)).as("cand_pairs"))
+    val cover = truth
+      .join(keys.select(col("doc_id").as("id1"), col("scheme"),
+        col("kb").as("k1")), Seq("id1"))
+      .join(keys.select(col("doc_id").as("id2"), col("scheme"),
+        col("kb").as("k2")), Seq("id2", "scheme"))
+      .groupBy(col("scheme"))
+      .agg(count(lit(1)).as("truth_pairs"),
+        sum(when(col("k1") === col("k2"), 1L).otherwise(0L)).as("covered"))
+    blocks.join(cover, Seq("scheme"), "left")
+      .crossJoin(broadcast(nDocs))
+      .select(col("scheme"), col("n_blocks"), col("cand_pairs"),
+        when(col("n_docs") >= 2, lit(1.0) - col("cand_pairs").cast("double")
+          / expr("n_docs * (n_docs - 1) DIV 2").cast("double"))
+          .as("reduction_ratio"),
+        coalesce(col("truth_pairs"), lit(0L)).as("truth_pairs"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        when(coalesce(col("truth_pairs"), lit(0L)) > 0,
+          col("covered").cast("double") / col("truth_pairs").cast("double"))
+          .as("pair_completeness"),
+        when(col("cand_pairs") > 0,
+          coalesce(col("covered"), lit(0L)).cast("double")
+            / col("cand_pairs").cast("double")).as("pairs_quality"))
+  }
+
+  val q221BlockingQualitySql: String = s"""
+    WITH ${lshCandidateSqlCtes("documents")},
+    tr AS (
+      SELECT p.id1, p.id2
+      FROM pairs p
+      JOIN sig s1 ON p.id1 = s1.doc_id
+      JOIN sig s2 ON p.id2 = s2.doc_id
+      WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+        CAST(len(s1.shingles) + len(s2.shingles)
+          - len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+        >= 0.5),
+    k AS (
+      SELECT doc_id, 'len_bucket' AS scheme,
+        CAST(n_chars // 64 AS VARCHAR) AS kb FROM documents
+      UNION ALL
+      SELECT doc_id, 'first_token',
+        regexp_split_to_array(trim(text), '\\s+')[1] FROM documents
+      UNION ALL
+      SELECT doc_id, 'prefix_8', substr(trim(text), 1, 8) FROM documents),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    bl AS (
+      SELECT scheme, CAST(count(*) AS BIGINT) AS n_blocks,
+        coalesce(CAST(sum(c * (c - 1) // 2) AS BIGINT), CAST(0 AS BIGINT))
+          AS cand_pairs
+      FROM (SELECT scheme, kb, CAST(count(*) AS BIGINT) AS c
+            FROM k GROUP BY 1, 2)
+      GROUP BY 1),
+    cv AS (
+      SELECT k1.scheme, CAST(count(*) AS BIGINT) AS truth_pairs,
+        CAST(sum(CASE WHEN k1.kb = k2.kb THEN 1 ELSE 0 END) AS BIGINT)
+          AS covered
+      FROM tr
+      JOIN k k1 ON tr.id1 = k1.doc_id
+      JOIN k k2 ON tr.id2 = k2.doc_id AND k1.scheme = k2.scheme
+      GROUP BY 1)
+    SELECT bl.scheme, bl.n_blocks, bl.cand_pairs,
+      CASE WHEN nd.n_docs >= 2 THEN
+        1e0 - CAST(bl.cand_pairs AS DOUBLE)
+          / CAST(nd.n_docs * (nd.n_docs - 1) // 2 AS DOUBLE) END
+        AS reduction_ratio,
+      coalesce(cv.truth_pairs, CAST(0 AS BIGINT)) AS truth_pairs,
+      coalesce(cv.covered, CAST(0 AS BIGINT)) AS covered,
+      CASE WHEN coalesce(cv.truth_pairs, CAST(0 AS BIGINT)) > 0 THEN
+        CAST(cv.covered AS DOUBLE) / CAST(cv.truth_pairs AS DOUBLE) END
+        AS pair_completeness,
+      CASE WHEN bl.cand_pairs > 0 THEN
+        CAST(coalesce(cv.covered, CAST(0 AS BIGINT)) AS DOUBLE)
+          / CAST(bl.cand_pairs AS DOUBLE) END AS pairs_quality
+    FROM bl LEFT JOIN cv ON bl.scheme = cv.scheme CROSS JOIN nd
+  """
 }

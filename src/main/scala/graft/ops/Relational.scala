@@ -1209,4 +1209,140 @@ object Relational {
         AS revenue_share
     FROM c GROUP BY 1, t
   """
+
+  /** q220: FUNCTIONAL-DEPENDENCY AUDIT — for each candidate dependency
+    * X → Y over the warehouse, how far the data is from satisfying it, as
+    * the g3 repair measure (Kivinen & Mannila 1995): the MINIMUM number of
+    * rows to delete before the FD holds, which is exactly
+    * Σ_x (rows(x) − max_y count(x, y)). The table a schema-inference or
+    * data-contract layer is actually driven from: `holds` certifies an
+    * invariant a downstream join may assume (and an optimizer may exploit
+    * — an FD-holding key join can skip a re-aggregation); a large g3 on a
+    * "should-hold" edge is an upstream data-entry defect with a priced
+    * repair. Rows with a NULL LHS are excluded (no dependency is
+    * assertable on an unknown key); a NULL RHS is a VALUE (two RHS values
+    * NULL/'x' under one key is a violation, same as GROUP BY semantics).
+    *
+    * Exactness: all counts exact BIGINT; g3 is one final division.
+    *
+    * Scale shape: ONE map-side (x, y) rollup per edge (partial aggregation
+    * absorbs the data size), then a |distinct x| rollup and a 1-row
+    * reduce; the edges union into a |edges|-row frame. Never a self-join,
+    * never row×row. */
+  def q220FdAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables(spark, sfDir, "orders")
+    val customer = Tables(spark, sfDir, "customer")
+    val lineitem = Tables(spark, sfDir, "lineitem")
+    val nation = Tables(spark, sfDir, "nation")
+    def xy(df: DataFrame, x: String, y: String): DataFrame =
+      df.select(col(x).cast("long").as("x"), col(y).cast("string").as("y"))
+    Seq(
+      ("orders: o_custkey -> o_orderpriority",
+        xy(orders, "o_custkey", "o_orderpriority")),
+      ("orders: o_orderkey -> o_orderstatus",
+        xy(orders, "o_orderkey", "o_orderstatus")),
+      ("customer: c_nationkey -> c_mktsegment",
+        xy(customer, "c_nationkey", "c_mktsegment")),
+      ("lineitem: l_orderkey -> l_returnflag",
+        xy(lineitem, "l_orderkey", "l_returnflag")),
+      ("lineitem: l_partkey -> l_suppkey",
+        xy(lineitem, "l_partkey", "l_suppkey")),
+      ("nation: n_nationkey -> n_regionkey",
+        xy(nation, "n_nationkey", "n_regionkey")))
+      .map { case (fd, df) => fdAuditOn(df, fd) }
+      .reduce(_.unionByName(_))
+  }
+
+  /** The audit core over ANY (x, y) pair frame — fixture-testable. One
+    * row out: group counts, the g3 repair bill, and the holds verdict. */
+  private[graft] def fdAuditOn(pairs: DataFrame, fd: String): DataFrame =
+    pairs.filter(col("x").isNotNull)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+      .groupBy(col("x"))
+      .agg(sum(col("c")).as("nr"), count(lit(1)).as("ny"),
+        max(col("c")).as("maxc"))
+      .agg(coalesce(sum(col("nr")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_lhs"),
+        coalesce(sum(when(col("ny") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("violating_lhs"),
+        coalesce(sum(col("nr") - col("maxc")), lit(0L)).as("repair_rows"))
+      .select(lit(fd).as("fd"), col("n_rows"), col("n_lhs"),
+        col("violating_lhs"), col("repair_rows"),
+        when(col("n_rows") > 0, col("repair_rows").cast("double")
+          / col("n_rows").cast("double")).as("g3"),
+        (col("violating_lhs") === 0L).as("holds"))
+
+  val q220FdAuditSql: String = {
+    def edge(i: Int, fd: String, x: String, y: String, t: String) = s"""
+    a$i AS (SELECT $x AS x, $y AS y, CAST(count(*) AS BIGINT) AS c
+            FROM $t WHERE $x IS NOT NULL GROUP BY 1, 2),
+    b$i AS (SELECT x, CAST(sum(c) AS BIGINT) AS nr,
+              CAST(count(*) AS BIGINT) AS ny, CAST(max(c) AS BIGINT) AS maxc
+            FROM a$i GROUP BY 1),
+    r$i AS (SELECT '$fd' AS fd,
+              coalesce(CAST(sum(nr) AS BIGINT), CAST(0 AS BIGINT)) AS n_rows,
+              CAST(count(*) AS BIGINT) AS n_lhs,
+              coalesce(CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END)
+                AS BIGINT), CAST(0 AS BIGINT)) AS violating_lhs,
+              coalesce(CAST(sum(nr - maxc) AS BIGINT), CAST(0 AS BIGINT))
+                AS repair_rows
+            FROM b$i)"""
+    val edges = Seq(
+      ("orders: o_custkey -> o_orderpriority",
+        "o_custkey", "o_orderpriority", "orders"),
+      ("orders: o_orderkey -> o_orderstatus",
+        "o_orderkey", "o_orderstatus", "orders"),
+      ("customer: c_nationkey -> c_mktsegment",
+        "c_nationkey", "c_mktsegment", "customer"),
+      ("lineitem: l_orderkey -> l_returnflag",
+        "l_orderkey", "l_returnflag", "lineitem"),
+      ("lineitem: l_partkey -> l_suppkey",
+        "l_partkey", "l_suppkey", "lineitem"),
+      ("nation: n_nationkey -> n_regionkey",
+        "n_nationkey", "n_regionkey", "nation"))
+    val ctes = edges.zipWithIndex
+      .map { case ((fd, x, y, t), i) => edge(i, fd, x, y, t) }
+      .mkString(",")
+    val unions = edges.indices.map(i => s"SELECT * FROM r$i")
+      .mkString(" UNION ALL ")
+    s"""WITH $ctes
+    SELECT fd, n_rows, n_lhs, violating_lhs, repair_rows,
+      CASE WHEN n_rows > 0 THEN
+        CAST(repair_rows AS DOUBLE) / CAST(n_rows AS DOUBLE) END AS g3,
+      violating_lhs = 0 AS holds
+    FROM ($unions)"""
+  }
+
+  /** q225: MONTH-OF-YEAR REVENUE SEASONALITY — q222's one-way ANOVA core
+    * on the zero-filled calendar-month revenue series (exact cents, the
+    * q214 obs), grouped by month-of-year: how much of monthly revenue
+    * variance the ANNUAL cycle explains (η²) and its F significance. The
+    * deseasonalization go/no-go for the q214 trend readout — a large η²
+    * says a December spike is cycle, not growth, and any YoY comparison
+    * must be month-matched; the reuse proves [[Events.seasonalAnovaOn]]
+    * is series-generic, not events-specific.
+    *
+    * Exactness and scale shape: q222's — the one non-portable step (the
+    * ≤12-term between-SS sum) folds in group-key order in both engines;
+    * one |months|-row rollup of orders, everything after ≤12 rows. */
+  def q225MonthEffect(spark: SparkSession, sfDir: String): DataFrame = {
+    val obs = Tables(spark, sfDir, "orders")
+      .select((year(col("o_orderdate")).cast("long") * 12
+        + month(col("o_orderdate")).cast("long") - 1).as("day"),
+        expr("CAST(floor(o_totalprice * 100.0D + 0.5D) AS BIGINT)")
+          .as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("c"))
+    Events.seasonalAnovaOn(Events.denseSeries(obs), 12)
+  }
+
+  val q225MonthEffectSql: String = s"""
+    WITH obs AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+          AS day,
+        CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+          AS BIGINT) AS c
+      FROM orders GROUP BY 1),
+    ${Events.DenseFromObsCte},
+    ${Events.seasonalAnovaSqlFromDense(12)}
+  """
 }

@@ -910,4 +910,29 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert((r2.getLong(0), r2.getDouble(1)) ===
       bruteMedian(Seq(2L, 7L, 0L, 1L)))
   }
+
+  test("q222 ANOVA core: exact eta2/F on hand series — a perfect cycle " +
+    "hits eta2 = 1 with NULL F, a half-explained series gets the exact " +
+    "ratio, a constant series reports NULL/NULL") {
+    import spark.implicits._
+    def run(cs: Seq[Long], period: Int) = {
+      val dense = cs.zipWithIndex.map { case (c, d) => (d.toLong, c) }
+        .toDF("day", "c")
+      val r = Events.seasonalAnovaOn(dense, period).collect()(0)
+      graft.CachedFrames.drain()
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    }
+    // [1,5,1,5] % 2: SSW = 0 → eta2 exactly 1, F undefined (not +Inf)
+    assert(run(Seq(1L, 5L, 1L, 5L), 2) === ((4L, 2L, Some(1.0), None)))
+    // [1,5,3,3] % 2: ssb_scaled = 64, n·sstn = 128 → eta2 = 0.5;
+    // F = (64/1) / ((128−64)/2) = 2.0 — both exact in doubles
+    assert(run(Seq(1L, 5L, 3L, 3L), 2) === ((4L, 2L, Some(0.5), Some(2.0))))
+    // constant series: SST = 0 → NULL/NULL, never a division error
+    assert(run(Seq(2L, 2L, 2L, 2L), 2) === ((4L, 2L, None, None)))
+    // period > n: every group a singleton → SSB = SST, eta2 = 1, NULL F
+    // (n = k leaves no within degrees of freedom)
+    assert(run(Seq(1L, 9L), 7) === ((2L, 2L, Some(1.0), None)))
+  }
 }

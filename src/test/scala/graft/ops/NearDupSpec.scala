@@ -90,4 +90,43 @@ class NearDupSpec extends AnyFunSuite with SparkSpec {
     // the planted near-dups produce at least one multi-doc cluster
     assert(rows.exists(_._4 > 1L))
   }
+
+  test("q221 blocking quality: hand fixture pins all three scheme keys, " +
+    "the exact candidate-pair arithmetic, and the coverage verdicts") {
+    import spark.implicits._
+    // doc 0 "aa bb cc" (8 ch), doc 1 "aa xx" (5 ch), doc 2 "zz yy" (100 ch
+    // claimed) — len_bucket keys 0/0/1, first_token aa/aa/zz, prefix_8
+    // distinct for all three. Truth pairs: (0,1) near-dup, (0,2) not.
+    val docs = Seq((0L, "aa bb cc", 8L), (1L, "aa xx", 5L),
+      (2L, "zz yy", 100L)).toDF("doc_id", "text", "n_chars")
+    val truth = Seq((0L, 1L), (0L, 2L)).toDF("id1", "id2")
+    val got = try NearDup.blockingQualityOn(docs, truth).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7))))).toMap
+      finally graft.CachedFrames.drain()
+    // len_bucket and first_token: blocks {2,1} → 1 candidate pair, rr =
+    // 1 − 1/3; (0,1) co-blocked → pc 1/2, pq 1/1
+    val coarse = ((2L, 1L, 1.0 - 1.0 / 3.0, 2L, 1L, Some(0.5), Some(1.0)))
+    assert(got("len_bucket") === coarse)
+    assert(got("first_token") === coarse)
+    // prefix_8: all keys distinct → 0 candidates, rr exactly 1, pq NULL
+    assert(got("prefix_8") === ((3L, 0L, 1.0, 2L, 0L, Some(0.0), None)))
+  }
+
+  test("q221 blocking quality: an empty truth set reports 0/0 coverage " +
+    "with NULL completeness, never a division error") {
+    import spark.implicits._
+    val docs = Seq((0L, "aa", 2L), (1L, "aa", 2L))
+      .toDF("doc_id", "text", "n_chars")
+    val truth = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val got = try NearDup.blockingQualityOn(docs, truth).collect()
+      .map(r => r.getString(0) -> ((r.getLong(4), r.getLong(5),
+        r.isNullAt(6), if (r.isNullAt(7)) None else Some(r.getDouble(7)))))
+      .toMap
+      finally graft.CachedFrames.drain()
+    assert(got("first_token") === ((0L, 0L, true, Some(0.0))))
+    assert(got("prefix_8") === ((0L, 0L, true, Some(0.0))))
+  }
 }

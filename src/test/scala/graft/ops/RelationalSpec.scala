@@ -156,6 +156,30 @@ class RelationalSpec extends AnyFunSuite with graft.SparkSpec {
     assert(got(2021L) === ((2020L, 2L, 4L, 8.0 / 16.0)))
   }
 
+  test("q220 FD audit: g3 is the exact minimum repair bill, a NULL LHS " +
+    "is excluded, a NULL RHS is a value, and a holding FD reports 0/true") {
+    import spark.implicits._
+    // x=1: y in {A, A, B}  → ny=2, repair 1 (keep the two As)
+    // x=2: y in {NULL, C}  → NULL is a value → ny=2, repair 1
+    // x=3: y in {D, D}     → clean
+    // x=NULL: excluded entirely
+    val pairs = Seq(
+      (Some(1L), Some("A")), (Some(1L), Some("A")), (Some(1L), Some("B")),
+      (Some(2L), Option.empty[String]), (Some(2L), Some("C")),
+      (Some(3L), Some("D")), (Some(3L), Some("D")),
+      (Option.empty[Long], Some("Z")))
+      .toDF("x", "y")
+    val r = Relational.fdAuditOn(pairs, "t: x -> y").collect()(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5), r.getBoolean(6)) ===
+      (("t: x -> y", 7L, 3L, 2L, 2L, 2.0 / 7.0, false)))
+    // a clean dependency: one row per key, holds = true at g3 = 0
+    val clean = Seq((1L, "A"), (2L, "B")).toDF("x", "y")
+    val c = Relational.fdAuditOn(clean, "k").collect()(0)
+    assert((c.getLong(1), c.getLong(3), c.getLong(4), c.getDouble(5),
+      c.getBoolean(6)) === ((2L, 0L, 0L, 0.0, true)))
+  }
+
   test("q205 ABC: the boundary-crossing customer stays in the richer " +
     "class (exact 80% boundary exercised), shares are exact divisions, " +
     "and a null custkey is excluded") {
