@@ -1345,4 +1345,196 @@ object Relational {
     ${Events.DenseFromObsCte},
     ${Events.seasonalAnovaSqlFromDense(12)}
   """
+
+  /** q223: SPEND-DECILE MOBILITY — the year-over-year transition grid of
+    * customer revenue deciles (decile 1 = top spenders), for the latest
+    * adjacent year pair in the order book, with each cell's independence
+    * expectation, Pearson residual and lift from the shared q197 grid
+    * core. The retention-economics readout q189's Gini and q205's static
+    * ABC classes cannot give: a heavy diagonal says spend rank is sticky
+    * (the head is a durable segment worth dedicated capacity); lift
+    * concentrated in the (1, 10) corner names whale churn specifically.
+    * Only customers active in BOTH years enter the grid — each year's
+    * deciles are cut over that year's OWN roster, so margins are
+    * front-loaded-equal by the ntile law applied to the joined subset's
+    * parent, not forced uniform on the intersection (the off-uniform
+    * margins are themselves signal: a decile overrepresented in the
+    * survivor set retains better).
+    *
+    * Exactness: deciles are rank-exact [[DistRank.ntileOfRank]] cuts
+    * (byte-identical to ANSI ntile) under the (spend DESC, custkey ASC)
+    * total order; cell arithmetic is the grid core's exact
+    * DECIMAL(38,0)/HUGEINT single divisions.
+    *
+    * Scale shape: ONE (custkey, year) map-side rollup; each year slice
+    * gets an ungrouped bucketed [[DistRank]] layout (no single-partition
+    * sort); one custkey-keyed equi-join; the grid is ≤100 label-space
+    * cells. */
+  def q223SpendMobility(spark: SparkSession, sfDir: String): DataFrame =
+    spendMobilityOn(Tables(spark, sfDir, "orders"))
+
+  /** The mobility core over ANY orders frame — fixture-testable. */
+  private[graft] def spendMobilityOn(orders: DataFrame): DataFrame = {
+    val sp = graft.CachedFrames.track(orders
+      .filter(col("o_custkey").isNotNull)
+      .select(col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        expr("CAST(floor(o_totalprice * 100.0D + 0.5D) AS BIGINT)")
+          .as("cents"))
+      .groupBy(col("o_custkey"), col("yr"))
+      .agg(sum(col("cents")).as("spend")))
+    val yc = sp.agg(max(col("yr")).as("yc"))
+    def deciled(offset: Int, name: String): DataFrame = {
+      val one = sp.crossJoin(broadcast(yc))
+        .filter(col("yr") === col("yc") - offset)
+        .select(col("o_custkey"), (-col("spend")).as("negsp"))
+      val n1 = one.agg(count(lit(1)).as("n"))
+      DistRank.withBucketedRank(one, Seq(), "negsp", Seq("o_custkey"), "_r")
+        .crossJoin(broadcast(n1))
+        .select(col("o_custkey"), DistRank.ntileOfRank("_r", "n", 10).as(name))
+    }
+    Curation.contingencyGridOn(
+      deciled(1, "decile_prev").join(deciled(0, "decile_curr"), "o_custkey")
+        .select(col("decile_prev"), col("decile_curr")),
+      "decile_prev", "decile_curr")
+  }
+
+  val q223SpendMobilitySql: String = """
+    WITH sp AS (
+      SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+          AS BIGINT) AS spend
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1, 2),
+    yc AS (SELECT max(yr) AS yc FROM sp),
+    dp AS (
+      SELECT o_custkey, CAST(ntile(10) OVER (ORDER BY spend DESC,
+        o_custkey ASC) AS INTEGER) AS decile_prev
+      FROM sp, yc WHERE sp.yr = yc.yc - 1),
+    dc AS (
+      SELECT o_custkey, CAST(ntile(10) OVER (ORDER BY spend DESC,
+        o_custkey ASC) AS INTEGER) AS decile_curr
+      FROM sp, yc WHERE sp.yr = yc.yc),
+    cells AS (
+      SELECT dp.decile_prev, dc.decile_curr, CAST(count(*) AS BIGINT) AS o
+      FROM dp JOIN dc USING (o_custkey) GROUP BY 1, 2),
+    r AS (SELECT decile_prev, CAST(sum(o) AS BIGINT) AS rl
+          FROM cells GROUP BY 1),
+    c AS (SELECT decile_curr, CAST(sum(o) AS BIGINT) AS cs
+          FROM cells GROUP BY 1),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells)
+    SELECT r.decile_prev, c.decile_curr,
+      coalesce(cells.o, CAST(0 AS BIGINT)) AS n_obs,
+      CAST(CAST(CAST(r.rl AS HUGEINT) * c.cs AS VARCHAR) AS DOUBLE)
+        / CAST(n.nn AS DOUBLE) AS expected,
+      CAST(CAST(CAST(coalesce(cells.o, CAST(0 AS BIGINT)) AS HUGEINT) * n.nn
+          - CAST(r.rl AS HUGEINT) * c.cs AS VARCHAR) AS DOUBLE)
+        / sqrt(CAST(CAST(CAST(n.nn AS HUGEINT) * r.rl * c.cs AS VARCHAR)
+          AS DOUBLE)) AS residual,
+      CAST(CAST(CAST(coalesce(cells.o, CAST(0 AS BIGINT)) AS HUGEINT) * n.nn
+          AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(CAST(r.rl AS HUGEINT) * c.cs AS VARCHAR) AS DOUBLE)
+        AS lift
+    FROM r CROSS JOIN c CROSS JOIN n
+      LEFT JOIN cells ON cells.decile_prev = r.decile_prev
+        AND cells.decile_curr = c.decile_curr
+  """
+
+  /** q224: INTER-ORDER GAP percentiles — rank-exact p50/p90/p99/max of
+    * the day gap between each customer's CONSECUTIVE orders, with the
+    * one-time-customer share broken out (customers with one order
+    * contribute no gap — they must be counted, not silently shrink the
+    * denominator). The purchase-cadence number between q210's lifetime
+    * span (first→last, blind to rhythm) and q138's stickiness ratio
+    * (calendar-windowed, blind to the individual clock): replenishment
+    * SLAs, churn-definition windows (q181's week is an assumption — this
+    * measures the real cadence) and campaign timing are all set from it.
+    *
+    * Exactness: gaps are exact integer days (floor-epoch keys); the picks
+    * are rank-exact under the (gap, custkey, orderkey) total order.
+    *
+    * Scale shape: one key-projected pass; the lag window is PER-CUSTOMER
+    * (bounded fanout — the q195-measured contract, never a global sort);
+    * one ungrouped bucketed [[DistRank]] layout over the |orders|−
+    * |customers| gap rows; map-side conditional-max picks, 1 row. */
+  def q224OrderGap(spark: SparkSession, sfDir: String): DataFrame =
+    orderGapOn(Tables(spark, sfDir, "orders"))
+
+  /** The cadence core over ANY orders frame — fixture-testable. */
+  private[graft] def orderGapOn(orders: DataFrame): DataFrame = {
+    val o = graft.CachedFrames.track(orders
+      .filter(col("o_custkey").isNotNull)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(floor(unix_timestamp(o_orderdate) / 86400.0D) AS BIGINT)")
+          .as("od")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("od"), col("o_orderkey"))
+    val gaps = graft.CachedFrames.track(o
+      .withColumn("prev", lag(col("od"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (col("od") - col("prev")).as("gap_days")))
+    val custs = o.groupBy(col("o_custkey")).agg(count(lit(1)).as("no"))
+      .agg(count(lit(1)).as("n_customers"),
+        coalesce(sum(when(col("no") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("one_time"))
+    val n = gaps.agg(count(lit(1)).as("n_gaps"))
+    val picks = TextOps.LengthPercentiles.map { case (name, a, b) =>
+      max(when(col("_r") ===
+        expr(s"($a * n_gaps + ${b - 1}) DIV $b"), col("gap_days")))
+        .as(s"${name}_days")
+    }
+    val aggs = picks :+ max(col("gap_days")).as("max_days")
+    val stats = DistRank.withBucketedRank(gaps, Seq(), "gap_days",
+      Seq("o_custkey", "o_orderkey"), "_r")
+      .crossJoin(broadcast(n))
+      .groupBy(col("n_gaps"))
+      .agg(aggs.head, aggs.tail: _*)
+    custs.crossJoin(broadcast(stats))
+      .select(col("n_customers"), col("one_time"),
+        when(col("n_customers") > 0, col("one_time").cast("double")
+          / col("n_customers").cast("double")).as("one_time_share"),
+        col("n_gaps"), col("p50_days"), col("p90_days"), col("p99_days"),
+        col("max_days"))
+  }
+
+  val q224OrderGapSql: String = {
+    val cases = TextOps.LengthPercentiles.map { case (name, a, b) =>
+      s"max(CASE WHEN rk = ($a * n_gaps + ${b - 1}) // $b THEN gap_days END) AS ${name}_days"
+    }.mkString(",\n      ")
+    s"""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+        CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS od
+      FROM orders WHERE o_custkey IS NOT NULL),
+    g AS (
+      SELECT o_custkey, o_orderkey,
+        od - lag(od) OVER (PARTITION BY o_custkey
+          ORDER BY od, o_orderkey) AS gap_days
+      FROM o),
+    gg AS (SELECT o_custkey, o_orderkey, gap_days FROM g
+           WHERE gap_days IS NOT NULL),
+    cu AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        coalesce(CAST(sum(CASE WHEN no = 1 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(0 AS BIGINT)) AS one_time
+      FROM (SELECT o_custkey, count(*) AS no FROM o GROUP BY 1)),
+    r AS (
+      SELECT gap_days,
+        row_number() OVER (ORDER BY gap_days ASC, o_custkey ASC,
+          o_orderkey ASC) AS rk,
+        count(*) OVER () AS n_gaps
+      FROM gg),
+    st AS (
+      SELECT CAST(n_gaps AS BIGINT) AS n_gaps,
+      $cases,
+      max(gap_days) AS max_days
+      FROM r GROUP BY n_gaps)
+    SELECT cu.n_customers, cu.one_time,
+      CASE WHEN cu.n_customers > 0 THEN
+        CAST(cu.one_time AS DOUBLE) / CAST(cu.n_customers AS DOUBLE) END
+        AS one_time_share,
+      st.n_gaps, st.p50_days, st.p90_days, st.p99_days, st.max_days
+    FROM cu CROSS JOIN st
+  """
+  }
 }

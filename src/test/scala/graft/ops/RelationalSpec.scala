@@ -180,6 +180,55 @@ class RelationalSpec extends AnyFunSuite with graft.SparkSpec {
       c.getBoolean(6)) === ((2L, 0L, 0L, 0.0, true)))
   }
 
+  test("q223 spend mobility: deciles cut per-year over each year's own " +
+    "roster, only both-year customers enter the grid, the latest " +
+    "adjacent pair is chosen") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // 2020 noise year (must be ignored); 2021 roster {1,2,3}, 2022 roster
+    // {2,3,4}. With 10 buckets and n=3 the ntile law gives each customer
+    // its own decile: ranks by spend DESC → decile = rank.
+    val orders = Seq(
+      ("2020-01-01", 1L, 999.0),
+      ("2021-01-01", 1L, 9.0), ("2021-02-01", 2L, 5.0),
+      ("2021-03-01", 3L, 1.0),
+      ("2022-01-01", 2L, 9.0), ("2022-02-01", 3L, 5.0),
+      ("2022-03-01", 4L, 1.0))
+      .toDF("d", "o_custkey", "o_totalprice")
+      .withColumn("o_orderdate", to_timestamp(col("d")))
+    val got = try Relational.spendMobilityOn(orders).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      finally graft.CachedFrames.drain()
+    // customers 2 (2021 rank 2 → 2022 rank 1) and 3 (3 → 2) survive;
+    // customer 1 churned, customer 4 is new — neither appears
+    assert(got.values.sum === 2L)
+    assert(got((2, 1)) === 1L)
+    assert(got((3, 2)) === 1L)
+    // the grid is the full cross of observed margins incl. empty cells
+    assert(got.keySet === Set((2, 1), (2, 2), (3, 1), (3, 2)))
+  }
+
+  test("q224 order gap: per-customer consecutive gaps only, rank-exact " +
+    "picks, one-time customers counted in the share but never a gap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val D = 86400L
+    // cust 1: days 0, 2, 10 → gaps [2, 8]; cust 2: day 5 → no gap;
+    // cust 3: days 7, 7 (same day, orderkey break) → gap [0]
+    val orders = Seq(
+      (1L, 10L, 0L), (1L, 11L, 2L * D), (1L, 12L, 10L * D),
+      (2L, 20L, 5L * D),
+      (3L, 30L, 7L * D), (3L, 31L, 7L * D))
+      .toDF("o_custkey", "o_orderkey", "sec")
+      .withColumn("o_orderdate", timestamp_seconds(col("sec")))
+    val r = try Relational.orderGapOn(orders).collect()(0)
+      finally graft.CachedFrames.drain()
+    // gaps sorted [0, 2, 8]: p50 rank 2 → 2, p90/p99 rank 3 → 8
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) ===
+      ((3L, 1L, 1.0 / 3.0, 3L, 2L, 8L, 8L, 8L)))
+  }
+
   test("q205 ABC: the boundary-crossing customer stays in the richer " +
     "class (exact 80% boundary exercised), shares are exact divisions, " +
     "and a null custkey is excluded") {
