@@ -1537,4 +1537,65 @@ object Relational {
     FROM cu CROSS JOIN st
   """
   }
+
+  /** q226: DISCOUNT ELASTICITY — exact ordinary-least-squares fit of
+    * shipped quantity on the discount rate (basis points) across all line
+    * items: does a deeper discount actually move volume, as a slope
+    * (units per bp), the zero-discount baseline (intercept) and the
+    * variance explained (r²). The pricing-team number behind TPC-H Q6's
+    * "what if" revenue delta: Q6 prices a hypothetical discount band,
+    * this measures the demand response the hypothesis assumes. OLS on
+    * EXACT integer sufficient statistics — never a re-ordered double sum;
+    * a constant-discount corpus (den = 0) reports NULL slope/r², never a
+    * division error.
+    *
+    * Exactness: [[Ols.coreOn]] — moments exact in DECIMAL(38,0)/HUGEINT
+    * (bp ≤ 1e4, qty ≤ 1e2 keep the products inside 38 digits past 1e12
+    * rows); slope = num/den is one division; intercept and r² are fixed
+    * chains on exact-cast doubles, identical op order in both engines.
+    *
+    * Scale shape: ONE map-side pass over lineitem (partial aggregation
+    * absorbs everything), 1 row out. No joins, no shuffle beyond the
+    * 6-counter funnel. */
+  def q226DiscountElasticity(spark: SparkSession, sfDir: String): DataFrame =
+    discountElasticityOn(Tables(spark, sfDir, "lineitem"))
+
+  /** The elasticity readout over ANY lineitem frame — fixture-testable. */
+  private[graft] def discountElasticityOn(lineitem: DataFrame): DataFrame =
+    Ols.coreOn(lineitem.select(
+      expr("CAST(floor(l_discount * 10000.0D + 0.5D) AS BIGINT)").as("x"),
+      expr("CAST(floor(l_quantity + 0.5D) AS BIGINT)").as("y")))
+      .select(col("n").as("n_lines"),
+        when(col("den") > 0, col("num").cast("double")
+          / col("den").cast("double")).as("slope_qty_per_bp"),
+        when(col("den") > 0, (col("sy").cast("double")
+          - col("num").cast("double") / col("den").cast("double")
+            * col("sx").cast("double")) / col("n").cast("double"))
+          .as("intercept_qty"),
+        when(col("den") > 0 && col("deny") > 0,
+          col("num").cast("double") * col("num").cast("double")
+            / (col("den").cast("double") * col("deny").cast("double")))
+          .as("r2"))
+
+  val q226DiscountElasticitySql: String = s"""
+    WITH p AS (
+      SELECT CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT) AS x,
+        CAST(floor(l_quantity + 0.5) AS BIGINT) AS y
+      FROM lineitem),
+    ${Ols.CoreSqlFromP}
+    SELECT n AS n_lines,
+      CASE WHEN den > 0 THEN CAST(CAST(num AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(den AS VARCHAR) AS DOUBLE) END AS slope_qty_per_bp,
+      CASE WHEN den > 0 THEN (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+        - CAST(CAST(num AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(den AS VARCHAR) AS DOUBLE)
+          * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) / CAST(n AS DOUBLE) END
+        AS intercept_qty,
+      CASE WHEN den > 0 AND deny > 0 THEN
+        CAST(CAST(num AS VARCHAR) AS DOUBLE)
+          * CAST(CAST(num AS VARCHAR) AS DOUBLE)
+          / (CAST(CAST(den AS VARCHAR) AS DOUBLE)
+            * CAST(CAST(deny AS VARCHAR) AS DOUBLE)) END AS r2
+    FROM d
+  """
 }

@@ -5531,4 +5531,55 @@ object TextOps {
       LEFT JOIN cells ON cells.q_decile = r.q_decile
         AND cells.len_decile = c.len_decile
   """
+
+  /** q227: PEARSON r of quality vs length — the LINEAR-correlation leg of
+    * the dependence triptych: q173's Spearman ρ (monotone), q201's copula
+    * grid (local), and now the moment correlation on the same axes. The
+    * ρ-vs-r GAP is itself the diagnostic — ρ high with r low says the
+    * relation is monotone but curved (a length-normalized quality gate
+    * needs a transform, not a linear correction); r ≈ ρ says a linear
+    * deskew is enough. Quality enters quantized at 1e-9 (⌊q·10⁹+½⌋ of the
+    * bitwise-portable score — exactly representable, so both engines
+    * quantize identically), length as exact token counts.
+    *
+    * Exactness: [[Ols.coreOn]] — one map-side pass into exact
+    * DECIMAL(38,0)/HUGEINT moments (x ≤ 1e9, y ≤ 1e6 keep nΣxy inside 38
+    * digits past 1e12 docs); r = num/√(den·deny) is one IEEE sqrt and one
+    * division on exact-cast doubles, identical op order in both engines.
+    * A constant column (den or deny 0) reports NULL r, never ±Inf.
+    *
+    * Scale shape: ONE scored-corpus pass, a 6-counter funnel, 1 row. */
+  def q227QualityLengthPearson(spark: SparkSession,
+      sfDir: String): DataFrame =
+    Ols.coreOn(withQualityStats(
+      Tables.parallelized(Tables(spark, sfDir, "documents")))
+      .select(
+        expr("CAST(floor(quality_score * 1000000000.0D + 0.5D) AS BIGINT)")
+          .as("x"),
+        col("n_tokens").cast("long").as("y")))
+      .select(col("n").as("n_docs"),
+        when(col("den") > 0 && col("deny") > 0,
+          col("num").cast("double")
+            / sqrt(col("den").cast("double") * col("deny").cast("double")))
+          .as("pearson_r"))
+
+  val q227QualityLengthPearsonSql: String = s"""
+    WITH p AS (
+      SELECT CAST(floor(($qualityFromStatsSql) * 1000000000.0 + 0.5)
+          AS BIGINT) AS x,
+        CAST(n_tokens AS BIGINT) AS y
+      FROM (SELECT doc_id,
+          $nCharsSql AS n_chars_m,
+          $nTokensSql AS n_tokens,
+          CAST(${hitsSql("en")} AS DOUBLE) AS n_stop,
+          $nPunctSql AS n_punct
+        FROM documents)),
+    ${Ols.CoreSqlFromP}
+    SELECT n AS n_docs,
+      CASE WHEN den > 0 AND deny > 0 THEN
+        CAST(CAST(num AS VARCHAR) AS DOUBLE)
+          / sqrt(CAST(CAST(den AS VARCHAR) AS DOUBLE)
+            * CAST(CAST(deny AS VARCHAR) AS DOUBLE)) END AS pearson_r
+    FROM d
+  """
 }

@@ -229,6 +229,32 @@ class RelationalSpec extends AnyFunSuite with graft.SparkSpec {
       ((3L, 1L, 1.0 / 3.0, 3L, 2L, 8L, 8L, 8L)))
   }
 
+  test("q226 OLS: exact slope/intercept/r2 on hand points — a perfect " +
+    "line hits r2 = 1, a scatter gets the exact rational, constant x " +
+    "reports NULL not a division error") {
+    import spark.implicits._
+    def run(pts: Seq[(Long, Long)]) = {
+      val li = pts.map { case (x, y) => (x / 10000.0, y.toDouble) }
+        .toDF("l_discount", "l_quantity")
+      val r = Relational.discountElasticityOn(li).collect()(0)
+      graft.CachedFrames.drain()
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    }
+    // perfect line y = 2x + 1
+    assert(run(Seq((0L, 1L), (1L, 3L), (2L, 5L))) ===
+      ((3L, Some(2.0), Some(1.0), Some(1.0))))
+    // scatter: num = 9, den = 6, deny = 14 → slope 1.5,
+    // intercept (8 − 1.5·3)/3, r2 = 81/84 — all exact in doubles
+    assert(run(Seq((0L, 1L), (1L, 3L), (2L, 4L))) ===
+      ((3L, Some(9.0 / 6.0), Some((8.0 - 9.0 / 6.0 * 3.0) / 3.0),
+        Some(81.0 / 84.0))))
+    // constant x: den = 0 → all three NULL
+    assert(run(Seq((5L, 1L), (5L, 9L))) === ((2L, None, None, None)))
+  }
+
   test("q205 ABC: the boundary-crossing customer stays in the richer " +
     "class (exact 80% boundary exercised), shares are exact divisions, " +
     "and a null custkey is excluded") {
