@@ -1459,6 +1459,20 @@ object Relational {
   def q224OrderGap(spark: SparkSession, sfDir: String): DataFrame =
     orderGapOn(Tables(spark, sfDir, "orders"))
 
+  /** The gap ROWS over a projected (o_custkey, o_orderkey, od) frame —
+    * one row per consecutive order pair under the per-customer
+    * (od, orderkey) total order. The single source the streaming twin
+    * ([[graft.streaming.EventStreams.orderGapStream]]) mirrors row for
+    * row. */
+  private[graft] def orderGapsOn(o: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("od"), col("o_orderkey"))
+    o.withColumn("prev", lag(col("od"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (col("od") - col("prev")).as("gap_days"))
+  }
+
   /** The cadence core over ANY orders frame — fixture-testable. */
   private[graft] def orderGapOn(orders: DataFrame): DataFrame = {
     val o = graft.CachedFrames.track(orders
@@ -1466,13 +1480,7 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"),
         expr("CAST(floor(unix_timestamp(o_orderdate) / 86400.0D) AS BIGINT)")
           .as("od")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("o_custkey")).orderBy(col("od"), col("o_orderkey"))
-    val gaps = graft.CachedFrames.track(o
-      .withColumn("prev", lag(col("od"), 1).over(w))
-      .filter(col("prev").isNotNull)
-      .select(col("o_custkey"), col("o_orderkey"),
-        (col("od") - col("prev")).as("gap_days")))
+    val gaps = graft.CachedFrames.track(orderGapsOn(o))
     val custs = o.groupBy(col("o_custkey")).agg(count(lit(1)).as("no"))
       .agg(count(lit(1)).as("n_customers"),
         coalesce(sum(when(col("no") === 1, 1L).otherwise(0L)), lit(0L))

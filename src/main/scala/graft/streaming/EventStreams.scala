@@ -74,6 +74,15 @@ final case class NewRetState(firstDay: Long, lastDay: Long)
 /** One newly-opened (user, day) presence, tagged new-vs-returning. */
 final case class DayPresence(day: Long, is_new: Boolean)
 
+/** An order arrival (floor-epoch day key) for the cadence monitor. */
+final case class OrderArrival(o_custkey: Long, o_orderkey: Long, od: Long)
+
+/** Keyed cadence state: one customer's latest (day, orderkey) anchor. */
+final case class LastOrder(day: Long, okey: Long)
+
+/** One closed inter-order gap — batch q224's gap row. */
+final case class OrderGap(o_custkey: Long, o_orderkey: Long, gap_days: Long)
+
 /** Per-user OLS accumulator: five closed-day sums plus the OPEN day's
   * (key, count) — SEVEN Longs of state total, independent of history
   * length. */
@@ -1160,4 +1169,41 @@ object EventStreams {
         min(unix_timestamp(col("ts"))).as("start_s"),
         max(unix_timestamp(col("ts"))).as("end_s"))
       .select(col("user_id"), col("start_s"), col("end_s"), col("n_events"))
+
+  /** Streaming order-cadence monitor — batch q224's gap rows
+    * ([[graft.ops.Relational.orderGapsOn]]) kept LIVE: each customer
+    * carries ONE (day, orderkey) state cell, and every further order
+    * closes exactly one inter-order gap, emitted the moment it closes
+    * (Append mode — a gap, once closed, never changes). The emitted row
+    * set equals the batch gaps frame over any time-ordered prefix
+    * (spec-pinned wave by wave); the rank-exact percentile readout stays
+    * on the BATCH side, exactly as [[benfordStream]] keeps q177's
+    * read-side math off its counters.
+    *
+    * Ordering contract ([[newReturningStream]]'s): per customer, arrivals
+    * are non-decreasing under the (day, orderkey) total order; an order
+    * from an EARLIER position landing in a later micro-batch is dropped
+    * rather than closing a gap against the wrong anchor — and a replayed
+    * duplicate of the CURRENT anchor is dropped too (at-least-once
+    * delivery never re-emits a gap). */
+  def orderGapStream(orders: Dataset[OrderArrival]): Dataset[OrderGap] = {
+    def fn(cust: Long, batch: Iterator[OrderArrival],
+           state: GroupState[LastOrder]): Iterator[OrderGap] = {
+      var s = state.getOption.orNull
+      val out = scala.collection.mutable.ListBuffer.empty[OrderGap]
+      batch.toSeq.sortBy(a => (a.od, a.o_orderkey)).foreach { a =>
+        if (s == null) s = LastOrder(a.od, a.o_orderkey)
+        else if (a.od > s.day || (a.od == s.day && a.o_orderkey > s.okey)) {
+          out += OrderGap(cust, a.o_orderkey, a.od - s.day)
+          s = LastOrder(a.od, a.o_orderkey)
+        } // late arrival or replayed duplicate: dropped (the contract)
+      }
+      state.update(s)
+      out.iterator
+    }
+    import orders.sparkSession.implicits._
+    orders.groupByKey(_.o_custkey)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
 }

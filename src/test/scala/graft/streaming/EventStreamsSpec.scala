@@ -1955,4 +1955,44 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       assert(live() === batchCounts(base ++ delta))
     } finally q.stop()
   }
+
+  test("streaming order-cadence monitor emits exactly the batch q224 gap " +
+    "rows after every time-ordered wave on real orders, and drops a " +
+    "replayed duplicate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val arrivals = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_custkey").isNotNull)
+      .selectExpr("o_custkey", "o_orderkey",
+        "CAST(floor(unix_timestamp(o_orderdate) / 86400.0D) AS BIGINT) AS od")
+      .as[OrderArrival].collect().sortBy(a => (a.od, a.o_orderkey))
+    def batchGaps(rows: Seq[OrderArrival]) = {
+      val s = graft.ops.Relational.orderGapsOn(
+        rows.toDF("o_custkey", "o_orderkey", "od"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      graft.CachedFrames.drain()
+      s
+    }
+    val mem = MemoryStream[OrderArrival]
+    val q = EventStreams.orderGapStream(mem.toDS())
+      .writeStream.format("memory").queryName("gap_twin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def live() = spark.table("gap_twin").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val (w1, w2) = arrivals.splitAt(arrivals.length / 2)
+      mem.addData(w1.toSeq: _*); q.processAllAvailable()
+      assert(live().toSet === batchGaps(w1.toSeq))
+      assert(live().length === live().toSet.size) // no double emission
+      mem.addData(w2.toSeq: _*); q.processAllAvailable()
+      assert(live().toSet === batchGaps(arrivals.toSeq))
+      assert(live().length === live().toSet.size)
+      // at-least-once replay of already-seen anchors: nothing re-emitted
+      mem.addData(w2.takeRight(3).toSeq: _*); q.processAllAvailable()
+      assert(live().toSet === batchGaps(arrivals.toSeq))
+      assert(live().length === live().toSet.size)
+    } finally q.stop()
+  }
 }
