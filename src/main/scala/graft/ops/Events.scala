@@ -1558,16 +1558,28 @@ object Events {
     * ([[graft.streaming.EventStreams.benfordStream]] IS this aggregation
     * on an unbounded frame), so a digit-extraction tweak cannot diverge
     * the spec-pinned batch ≡ streaming contract. */
-  private[graft] def benfordCounts(events: DataFrame): DataFrame = events
-    .select(expr("CAST(floor(value * 100.0D + 0.5D) AS BIGINT)").as("cents"))
-    .filter(col("cents") >= 1L)
-    .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)")
-      .as("digit"))
-    .groupBy(col("digit")).agg(count(lit(1)).as("n_events"))
+  private[graft] def benfordCounts(events: DataFrame): DataFrame =
+    benfordCountsOfCents(events.select(
+      expr("CAST(floor(value * 100.0D + 0.5D) AS BIGINT)").as("cents")))
 
-  private[graft] def benfordOn(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
-    val counts = benfordCounts(events)
+  /** The digit rollup over ANY `cents` frame — amount-source-generic
+    * (q228 runs it on order totals). Non-positive amounts have no first
+    * significant digit and are excluded in both engines. */
+  private[graft] def benfordCountsOfCents(cents: DataFrame): DataFrame =
+    cents.filter(col("cents") >= 1L)
+      .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_events"))
+
+  private[graft] def benfordOn(events: DataFrame): DataFrame =
+    benfordOfCents(events.select(
+      expr("CAST(floor(value * 100.0D + 0.5D) AS BIGINT)").as("cents")))
+
+  /** The full 9-row audit over ANY `cents` frame — [[benfordOn]]'s
+    * source-generic face. */
+  private[graft] def benfordOfCents(centsDf: DataFrame): DataFrame = {
+    val spark = centsDf.sparkSession
+    val counts = benfordCountsOfCents(centsDf)
     val n = counts.agg(coalesce(sum(col("n_events")), lit(0L)).as("_n"))
     val pCase = BenfordP.zipWithIndex
       .map { case (p, i) => s"WHEN ${i + 1} THEN ${p}D" }
@@ -1583,7 +1595,12 @@ object Events {
       .withColumn("dev", col("freq") - col("benford_p"))
   }
 
-  val q177BenfordAuditSql: String = {
+  val q177BenfordAuditSql: String = benfordSqlFromCents(
+    "SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events")
+
+  /** The audit oracle parameterized by the cents source — [[benfordOfCents]]'s
+    * oracle face (q177 events values, q228 order totals). */
+  private[graft] def benfordSqlFromCents(centsSql: String): String = {
     // `e0` forces a native DOUBLE literal: a bare decimal literal is
     // DECIMAL in DuckDB and the DECIMAL→DOUBLE cast is NOT the correctly-
     // rounded string→double parse (observed 1-ulp divergence on d = 3)
@@ -1594,8 +1611,7 @@ object Events {
     WITH c AS (
       SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
         count(*) AS n_events
-      FROM (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
-            FROM events) WHERE cents >= 1
+      FROM ($centsSql) WHERE cents >= 1
       GROUP BY 1),
     t AS (SELECT CAST(coalesce(sum(n_events), 0) AS BIGINT) AS n FROM c), -- guard:ok internal total; outputs below are CAST
     g AS (SELECT unnest(generate_series(1, 9)) AS digit)

@@ -1606,4 +1606,26 @@ object Relational {
             * CAST(CAST(deny AS VARCHAR) AS DOUBLE)) END AS r2
     FROM d
   """
+
+  /** q228: BENFORD AUDIT OF ORDER TOTALS — q177's first-significant-digit
+    * screen on the axis Benford's law was actually validated on: monetary
+    * invoice amounts. Order totals are SUMS of priced line items (organic
+    * multiplicative spread), so conformance is expected and deviation is
+    * the forensic flag — a pile-up just under a digit boundary is the
+    * classic approval-threshold-gaming signature, and a synthetic-data
+    * generator that draws totals uniformly fails this audit immediately
+    * (the honest reading at this repo's SFs). Same 9-row contract as
+    * q177: exact counts, one division, the shared [[Events.BenfordP]]
+    * literals, zero-count digits still reported.
+    *
+    * Scale shape: q177's — one map-side ≤9-group rollup, a 1-row total,
+    * the 9-row literal grid. Nothing scales past the scan. */
+  def q228PriceBenford(spark: SparkSession, sfDir: String): DataFrame =
+    Events.benfordOfCents(Tables(spark, sfDir, "orders").select(
+      expr("CAST(floor(o_totalprice * 100.0D + 0.5D) AS BIGINT)")
+        .as("cents")))
+
+  val q228PriceBenfordSql: String = Events.benfordSqlFromCents(
+    "SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents " +
+      "FROM orders")
 }
