@@ -843,6 +843,50 @@ object GraphReport {
   * materializes the series ONCE across the whole job (same mechanism the
   * GraphReport bundle rides) — the gate queries stay self-contained for
   * the oracle contract. */
+/** One-command WAREHOUSE AUDIT — the relational data-contract bundle next
+  * to ReleaseReport (corpus) and TrendReport (events): referential
+  * integrity (q179), join-fanout skew inputs (q195), candidate-FD health
+  * with the g3 repair bill (q220), fulfillment SLA (q211), the revenue
+  * series + trend readout (q212/q214) with its seasonality gate (q225),
+  * urgency drift (q218), customer economics (q205 ABC, q223 mobility,
+  * q224 cadence), demand response (q226) and the Benford forensic screen
+  * on totals (q228). Each table is the corresponding gate query VERBATIM
+  * (single-sourced — CliSpec pins row-equality), written as one
+  * parquet per audit under the output dir. Input is the warehouse table
+  * directory (the Verify contract), output a report directory. */
+object WarehouseReport {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-warehouse-report") { spark =>
+      val sf = a("input")
+      val out = a("output")
+      val parts: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        "fk_orphans" -> (() => graft.ops.Relational.q179FkOrphans(spark, sf)),
+        "join_fanout" -> (() => graft.ops.Relational.q195JoinFanout(spark, sf)),
+        "fd_audit" -> (() => graft.ops.Relational.q220FdAudit(spark, sf)),
+        "ship_lag" -> (() => graft.ops.Relational.q211ShipLag(spark, sf)),
+        "monthly_revenue" ->
+          (() => graft.ops.Relational.q212MonthlyRevenue(spark, sf)),
+        "revenue_trend" ->
+          (() => graft.ops.Relational.q214RevenueTrend(spark, sf)),
+        "month_effect" -> (() => graft.ops.Relational.q225MonthEffect(spark, sf)),
+        "priority_drift" ->
+          (() => graft.ops.Relational.q218PriorityDrift(spark, sf)),
+        "abc" -> (() => graft.ops.Relational.q205AbcAnalysis(spark, sf)),
+        "spend_mobility" ->
+          (() => graft.ops.Relational.q223SpendMobility(spark, sf)),
+        "order_gap" -> (() => graft.ops.Relational.q224OrderGap(spark, sf)),
+        "discount_elasticity" ->
+          (() => graft.ops.Relational.q226DiscountElasticity(spark, sf)),
+        "price_benford" ->
+          (() => graft.ops.Relational.q228PriceBenford(spark, sf)))
+      try parts.foreach { case (name, f) =>
+        f().coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
+      } finally graft.CachedFrames.drain()
+    }
+  }
+}
+
 object TrendReport {
   def main(args: Array[String]): Unit = {
     val a = Cli.parse(args)

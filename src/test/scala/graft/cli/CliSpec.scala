@@ -824,4 +824,32 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(gotTri === expTri)
     assert(gotPr === expPr)
   }
+
+  test("warehouse-report bundle: all thirteen audit tables land, each " +
+    "row-equal to its gate query") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("cli-wh").toString
+    WarehouseReport.main(Array("--input", sf, "--output", s"$dir/wh"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val checks: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "fk_orphans" -> (() => graft.ops.Relational.q179FkOrphans(spark, sf)),
+      "fd_audit" -> (() => graft.ops.Relational.q220FdAudit(spark, sf)),
+      "spend_mobility" ->
+        (() => graft.ops.Relational.q223SpendMobility(spark, sf)),
+      "order_gap" -> (() => graft.ops.Relational.q224OrderGap(spark, sf)),
+      "discount_elasticity" ->
+        (() => graft.ops.Relational.q226DiscountElasticity(spark, sf)),
+      "price_benford" ->
+        (() => graft.ops.Relational.q228PriceBenford(spark, sf)))
+    checks.foreach { case (name, f) =>
+      val got = rows(spark.read.parquet(s"$dir/wh/$name"))
+      val exp = rows(f())
+      graft.CachedFrames.drain()
+      assert(got === exp, name)
+    }
+    for (t <- Seq("join_fanout", "ship_lag", "monthly_revenue",
+        "revenue_trend", "month_effect", "priority_drift", "abc"))
+      assert(spark.read.parquet(s"$dir/wh/$t").count() > 0, t)
+  }
 }
