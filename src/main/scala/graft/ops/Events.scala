@@ -2697,4 +2697,64 @@ object Events {
     WITH $DailyDenseCte,
     ${seasonalAnovaSqlFromDense(7)}
   """
+
+  /** q229: DOW-ADJUSTED DAILY ANOMALY TABLE — every calendar day scored
+    * against ITS OWN day-of-week's distribution: observed count, the dow
+    * mean, the population z within the dow group, and an outlier verdict
+    * at |z| > 3. The operational face of q222's η²: q126/q148/q151 alarm
+    * on the raw series where every Monday looks like a spike; this is the
+    * seasonally-conditioned residual view they should read instead once
+    * q222 says the cycle is real. The flag is computed as an EXACT
+    * integer comparison — (c·n_g − S_g)² > 9·(n_g·ΣC² − S_g²) — so the
+    * verdict never hinges on a float rounding; z itself is one division
+    * and one IEEE sqrt on exact-cast numerators (portable). Population σ
+    * (flagged day included — the standard masking caveat at these group
+    * sizes); a constant dow group reports NULL z and false.
+    *
+    * Scale shape: the shared dense-daily rollup, a ≤7-row broadcast of
+    * group stats joined back to the |days| calendar frame. Calendar-
+    * bounded output, never data-sized. */
+  def q229DowAnomalies(spark: SparkSession, sfDir: String): DataFrame =
+    dowAnomaliesOn(denseDaily(Tables(spark, sfDir, "events")))
+
+  /** The residual table over ANY dense (day, c) series — fixture-
+    * testable. */
+  private[graft] def dowAnomaliesOn(dense: DataFrame): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val g = graft.CachedFrames.track(
+      dense.select(col("day"), (col("day") % 7).as("dow"), col("c")))
+    val per = g.groupBy(col("dow")).agg(count(lit(1)).as("ng"),
+      sum(col("c")).as("sg"),
+      sum(d38(col("c")) * d38(col("c"))).as("qg"))
+    val x = d38(col("c")) * d38(col("ng")) - d38(col("sg"))
+    val varn = d38(col("ng")) * col("qg") - d38(col("sg")) * d38(col("sg"))
+    g.join(broadcast(per), "dow")
+      .select(col("day"), col("dow"), col("c"), col("ng").as("n_dow"),
+        (col("sg").cast("double") / col("ng").cast("double")).as("mean_dow"),
+        when(varn > 0, x.cast("double") / sqrt(varn.cast("double"))).as("z"),
+        (x * x > lit(9).cast("decimal(38,0)") * varn).as("outlier"))
+  }
+
+  val q229DowAnomaliesSql: String = s"""
+    WITH $DailyDenseCte,
+    gd AS (SELECT day, day % 7 AS dow, c FROM dense),
+    per AS (SELECT dow, CAST(count(*) AS BIGINT) AS ng,
+              CAST(sum(c) AS BIGINT) AS sg,
+              sum(CAST(c AS HUGEINT) * c) AS qg -- guard:ok internal HUGEINT; outputs below are exact-cast
+            FROM gd GROUP BY 1)
+    SELECT gd.day, gd.dow, gd.c, per.ng AS n_dow,
+      CAST(per.sg AS DOUBLE) / CAST(per.ng AS DOUBLE) AS mean_dow,
+      CASE WHEN CAST(per.ng AS HUGEINT) * per.qg
+          - CAST(per.sg AS HUGEINT) * per.sg > 0 THEN
+        CAST(CAST(CAST(gd.c AS HUGEINT) * per.ng - per.sg AS VARCHAR)
+          AS DOUBLE)
+        / sqrt(CAST(CAST(CAST(per.ng AS HUGEINT) * per.qg
+            - CAST(per.sg AS HUGEINT) * per.sg AS VARCHAR) AS DOUBLE)) END
+        AS z,
+      (CAST(gd.c AS HUGEINT) * per.ng - per.sg)
+          * (CAST(gd.c AS HUGEINT) * per.ng - per.sg)
+        > 9 * (CAST(per.ng AS HUGEINT) * per.qg
+          - CAST(per.sg AS HUGEINT) * per.sg) AS outlier
+    FROM gd JOIN per USING (dow)
+  """
 }

@@ -1493,4 +1493,40 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("windowspecdefinition(_bkt"), p)
     assert(nodes(p, "CartesianProduct") == 0, p)
   }
+
+  test("q221_blocking_quality: candidate pairs stay count arithmetic " +
+      "(no cartesian), block stats funnel partial aggs, no unpartitioned " +
+      "ORDER BY window") {
+    val p = finalPlan("q221_blocking_quality")
+    assert(!p.contains("windowspecdefinition(ORDER BY"), p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("q223_spend_mobility: both year deciles rank bucketed (no " +
+      "global-ORDER window), the grid is broadcast label-space, no " +
+      "cartesian") {
+    val p = finalPlan("q223_spend_mobility")
+    assert(!p.contains("windowspecdefinition(ORDER BY"), p)
+    assert(p.contains("windowspecdefinition(_bkt"), p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+  }
+
+  test("q224_order_gap: the lag window is customer-partitioned and the " +
+      "percentile rank bucketed — no unpartitioned ORDER BY window, no " +
+      "cartesian") {
+    val p = finalPlan("q224_order_gap")
+    assert(!p.contains("windowspecdefinition(ORDER BY"), p)
+    assert(p.contains("windowspecdefinition(o_custkey"), p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+  }
+
+  test("q226_discount_elasticity: ONE scan into a partial+final 6-counter " +
+      "funnel — no join, no window, no cartesian") {
+    val p = finalPlan("q226_discount_elasticity")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "SortMergeJoin") == 0, p)
+  }
 }

@@ -935,4 +935,46 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     // (n = k leaves no within degrees of freedom)
     assert(run(Seq(1L, 9L), 7) === ((2L, 2L, Some(1.0), None)))
   }
+
+  test("q229 dow residuals: a planted spike flags on the exact integer " +
+    "rule, quiet days don't, and a constant dow group reports NULL z " +
+    "and false") {
+    import spark.implicits._
+    // days 0..13 (two full weeks): dow 0 gets [10, 94] — a spike;
+    // every other dow gets [10, 10] — constant groups
+    val dense = (0L to 13L).map(d => (d, if (d == 7L) 94L else 10L))
+      .toDF("day", "c")
+    val got = try Events.dowAnomaliesOn(dense).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        r.getBoolean(6)))).toMap
+      finally graft.CachedFrames.drain()
+    assert(got.size === 14)
+    // dow 0: n=2, S=104, mean 52, var_num = 2·(100+8836) − 104² = 7056
+    // x(day 7) = 94·2 − 104 = 84 → z = 84/√7056 = 1 exactly — but the
+    // FLAG rule is x² > 9·var_num: 7056 > 63504 is false for n=2 (a
+    // two-point group can never exceed |z| = 1) — pin that honesty
+    assert(got(7L) === ((0L, 94L, 2L, 52.0, Some(1.0), false)))
+    assert(got(0L) === ((0L, 10L, 2L, 52.0, Some(-1.0), false)))
+    // constant dow group: var 0 → NULL z, never flagged
+    assert(got(1L) === ((1L, 10L, 2L, 10.0, None, false)))
+    // a 4-point group with one spike DOES flag: days {0,7,14,21} dow 0,
+    // c = [10,10,10,100] → x = 100·4−130 = 270, var_num = 4·10300−130²
+    // = 24300; x² = 72900 > 9·24300 = 218700? no — use a sharper spike
+    // c = [1,1,1,97]: S=100, Q=9412, x = 97·4−100 = 288,
+    // var_num = 4·9412−10000 = 27648, x² = 82944 > 9·27648 = 248832? no.
+    // Population z in an n-point group is bounded by √(n−1) ≈ 1.73 at
+    // n = 4 — so pin the EXACT bound instead with threshold-2 groups of
+    // n = 14: thirteen 10s and one 100
+    val wide = ((0L to 13L).map(d => (d * 7L, if (d == 13L) 100L else 10L))
+      ++ Seq((1L, 5L), (2L, 5L))).toDF("day", "c")
+    val g2 = try Events.dowAnomaliesOn(wide).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+      finally graft.CachedFrames.drain()
+    // dow-0 group n=14: S = 230, Q = 11300, x = 100·14 − 230 = 1170,
+    // var_num = 14·11300 − 230² = 105300; x² = 1368900 > 9·105300 =
+    // 947700 → flagged
+    assert(g2(91L) === true)
+    assert(g2(0L) === false)
+  }
 }
