@@ -3131,4 +3131,101 @@ object Embeddings {
       END AS coherence_r2
     FROM s2 JOIN v2 USING (label) JOIN np ON s2.label = np.label
   """
+
+  /** q230: EMBEDDING-HEALTH AUDIT — the one-row geometry physical: rank-
+    * exact p50/p90/p99 of the squared vector norm on the q192 lattice
+    * (a fat norm tail distorts every dot-product ranking; a near-zero
+    * head means dead vectors feeding NaN-prone normalizations), the mean
+    * squared norm, and the GLOBAL resultant coherence R² = |Σv|²/(n·Σ|v|²)
+    * — q193's dispersion law applied corpus-wide: 1/n for isotropic
+    * spread, → 1 for representation collapse (every vector pointing one
+    * way — the classic degenerate-encoder signature, invisible to any
+    * per-label view when ALL labels collapsed together).
+    *
+    * Exactness: quantized components are exact integers ([[CentroidQuantScale]]
+    * — float mantissas make ⌊x·2²⁴⌋ exact); per-vector norm² is an exact
+    * BIGINT fold (≤ 2⁵⁴ at 64 dims); percentile picks are rank-exact
+    * under (norm², vec_id); Σ|v|² and Σ_d G_d² ride DECIMAL(38,0)/HUGEINT;
+    * the two emitted ratios are single divisions of exact-cast doubles.
+    *
+    * Scale shape: ONE quantized projection (cached), a per-vector
+    * map-side fold (no explode on the norm path), one ungrouped bucketed
+    * [[DistRank]] layout, and a ≤64-row dim rollup for the resultant;
+    * 1 row out. */
+  def q230EmbeddingHealth(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingHealthOn(Tables.parallelized(Tables(spark, sfDir, "embeddings")))
+
+  /** The health core over ANY (vec_id, embedding) frame — fixture-
+    * testable. */
+  private[graft] def embeddingHealthOn(emb: DataFrame): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val q = graft.CachedFrames.track(emb.select(col("vec_id"), expr(
+      "transform(embedding, x -> " +
+        s"CAST(floor(CAST(x AS DOUBLE) * $CentroidQuantScale.0D) AS BIGINT))")
+      .as("qv")))
+    val norms = graft.CachedFrames.track(q.select(col("vec_id"), expr(
+      "aggregate(transform(qv, v -> v * v), 0L, (a, x) -> a + x)")
+      .as("norm2")))
+    val n = norms.agg(count(lit(1)).as("n_vecs"))
+    val picks = TextOps.LengthPercentiles.map { case (name, a, b) =>
+      max(when(col("_r") ===
+        expr(s"($a * n_vecs + ${b - 1}) DIV $b"), col("norm2")))
+        .as(s"${name}_norm2")
+    }
+    val aggs = picks :+ sum(d38(col("norm2"))).as("sum_norm2")
+    val stats = DistRank.withBucketedRank(norms, Seq(), "norm2",
+      Seq("vec_id"), "_r")
+      .crossJoin(broadcast(n))
+      .groupBy(col("n_vecs"))
+      .agg(aggs.head, aggs.tail: _*)
+    val resultant = q.select(posexplode(col("qv")).as(Seq("dim", "qx")))
+      .groupBy(col("dim")).agg(sum(col("qx")).as("g"))
+      .agg(coalesce(sum(d38(col("g")) * d38(col("g"))),
+        lit(0L).cast("decimal(38,0)")).as("g2"))
+    stats.crossJoin(broadcast(resultant))
+      .select(col("n_vecs"), col("p50_norm2"), col("p90_norm2"),
+        col("p99_norm2"),
+        (col("sum_norm2").cast("double") / col("n_vecs").cast("double"))
+          .as("mean_norm2"),
+        when(col("sum_norm2") > 0, col("g2").cast("double")
+          / (d38(col("n_vecs")) * col("sum_norm2")).cast("double"))
+          .as("coherence_r2"))
+  }
+
+  val q230EmbeddingHealthSql: String = {
+    val cases = TextOps.LengthPercentiles.map { case (name, a, b) =>
+      s"max(CASE WHEN rk = ($a * n_vecs + ${b - 1}) // $b THEN norm2 END) AS ${name}_norm2"
+    }.mkString(",\n      ")
+    s"""
+    WITH t AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * $CentroidQuantScale) AS BIGINT))
+          AS qv
+      FROM embeddings),
+    nm AS (SELECT vec_id,
+             CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT)
+               AS norm2
+           FROM t),
+    r AS (SELECT norm2, row_number() OVER (ORDER BY norm2, vec_id) AS rk,
+            count(*) OVER () AS n_vecs
+          FROM nm),
+    st AS (SELECT CAST(n_vecs AS BIGINT) AS n_vecs,
+      $cases,
+      sum(CAST(norm2 AS HUGEINT)) AS sum_norm2 -- guard:ok internal HUGEINT; outputs below are exact-cast
+      FROM r GROUP BY n_vecs),
+    qd AS (SELECT i AS dim, qv[i] AS qx
+           FROM t, UNNEST(generate_series(1, len(qv))) AS u(i)),
+    gd AS (SELECT dim, CAST(sum(qx) AS BIGINT) AS g FROM qd GROUP BY 1),
+    g2 AS (SELECT coalesce(sum(CAST(g AS HUGEINT) * g), 0) AS g2 FROM gd) -- guard:ok internal HUGEINT; output below is exact-cast
+    SELECT st.n_vecs, st.p50_norm2, st.p90_norm2, st.p99_norm2,
+      CAST(CAST(st.sum_norm2 AS VARCHAR) AS DOUBLE)
+        / CAST(st.n_vecs AS DOUBLE) AS mean_norm2,
+      CASE WHEN st.sum_norm2 > 0 THEN
+        CAST(CAST(g2.g2 AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(CAST(st.n_vecs AS HUGEINT) * st.sum_norm2 AS VARCHAR)
+            AS DOUBLE) END AS coherence_r2
+    FROM st, g2
+  """
+  }
 }

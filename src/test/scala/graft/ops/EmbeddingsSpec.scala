@@ -841,4 +841,32 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     assert(mrr <= nh.toDouble / nq.toDouble + 1e-12)
     assert(mrr >= nh.toDouble / (10.0 * nq.toDouble) - 1e-12)
   }
+
+  test("q230 embedding health: exact norm picks on the lattice, n copies " +
+    "of one vector cohere at exactly 1, an orthogonal basis at exactly " +
+    "1/n") {
+    import spark.implicits._
+    def run(vecs: Seq[(Long, Seq[Float])]) = {
+      val df = vecs.toDF("vec_id", "embedding")
+      val r = Embeddings.embeddingHealthOn(df).collect()(0)
+      graft.CachedFrames.drain()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))
+    }
+    val u = 16777216L * 16777216L // one unit component squared
+    // 4 copies of e1: norms all u; resultant (4·2²⁴)² = 16u →
+    // R² = 16u / (4·4u) = 1 exactly
+    val c = run((1L to 4L).map(i => (i, Seq(1.0f, 0f, 0f))))
+    assert(c === ((4L, u, u, u, u.toDouble, 1.0)))
+    // orthogonal basis e1, e2, e3: R² = 3u/(3·3u) = 1/3 exactly; norms u
+    val o = run(Seq((1L, Seq(1.0f, 0f, 0f)), (2L, Seq(0f, 1.0f, 0f)),
+      (3L, Seq(0f, 0f, 1.0f))))
+    assert(o === ((3L, u, u, u, u.toDouble, 1.0 / 3.0)))
+    // mixed norms: [e1, 2·e1, 3·e1] → norm2 [u, 4u, 9u]; p50 rank 2 →
+    // 4u, p90/p99 rank 3 → 9u; resultant (1+2+3)² = 36u → R² =
+    // 36u/(3·14u) = 6/7
+    val m = run(Seq((1L, Seq(1.0f, 0f)), (2L, Seq(2.0f, 0f)),
+      (3L, Seq(3.0f, 0f))))
+    assert(m === ((3L, 4L * u, 9L * u, 9L * u, 14.0 * u / 3.0, 36.0 / 42.0)))
+  }
 }
