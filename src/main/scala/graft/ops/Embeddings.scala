@@ -487,6 +487,121 @@ object Embeddings {
     FROM t, h
   """
 
+  /** q231 depth, graded-relevance ladder and discount literals. The
+    * discounts 1/log₂(i+1) are computed ONCE here and interpolated as
+    * identical literals into both engines (the [[graft.ops.Events.BenfordP]]
+    * discipline — the engines never run their own log); IDCG at full
+    * depth is likewise ONE precomputed literal (every query has ≥ depth
+    * exact-truth rows by the q29 contract, so the ideal ranking is always
+    * complete). */
+  private[ops] val NdcgDepth = 10
+  private[ops] val NdcgDisc: Seq[Double] =
+    (1 to NdcgDepth).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+  private[ops] val NdcgIdcg: Double =
+    (1 to NdcgDepth).map(i => (NdcgDepth + 1 - i) * NdcgDisc(i - 1)).sum
+
+  /** q231: nDCG@10 of the IVF cell-probe retrieval — the rank-position-
+    * weighted quality metric completing the scoreboard: recall (q63/q178)
+    * counts hits anywhere, MRR (q168) grades only the FIRST hit, AP
+    * (q185) weights by precision at hits; nDCG grades the WHOLE ranked
+    * page with graded relevance — the metric RAG context selection is
+    * actually tuned on, where slot 2 vs slot 9 changes what fits in the
+    * prompt. Relevance is the declared exact-truth grade (q29's rank t →
+    * gain 11−t, the standard protocol when the exact neighbor order IS
+    * the label); a query whose page contains no true neighbor scores 0
+    * and stays in the mean's denominator.
+    *
+    * Exactness: gains are exact integers; discounts and IDCG are shared
+    * literals (see [[NdcgDisc]]); each query's DCG folds its ≤10 hit
+    * terms in RANK order and the cross-query mean folds in QID order
+    * (the q219 ordered-fold idiom, applied twice) — the only non-portable
+    * step, re-ordered double accumulation, is pinned away in both engines.
+    *
+    * Scale shape: truth is the query-batch-bounded declared baseline
+    * (the q29/q75 contract); candidates ride the q46 cell-probe shape
+    * (work = |cell| per query, never corpus²); the hit join keys on
+    * (qid, id); the folds run over ≤|queries| rows. */
+  def q231Ndcg(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = q29KnnBrute(spark, sfDir).filter(col("rk") <= NdcgDepth)
+      .select(col("id1").as("tqid"), col("id2").as("true_id"),
+        (lit(NdcgDepth + 1) - col("rk")).cast("long").as("rel"))
+    val assigned = assignedCells(spark, sfDir)
+    val q = assigned.filter(col("vec_id") < DefaultAnn.knnQueryIds)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    val discCase = NdcgDisc.zipWithIndex
+      .map { case (d, i) => s"WHEN ${i + 1} THEN ${d}D" }
+      .mkString("CASE rk ", " ", " END")
+    val cands = q.join(assigned.select(col("vec_id").as("cand_id"),
+        col("v").as("cv"), col("nrm").as("cn"), col("cell").as("ccell")),
+        col("cell") === col("ccell") && col("qid") =!= col("cand_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= NdcgDepth)
+      .select(col("qid"), col("cand_id"), col("rk"))
+    val perQuery = cands.join(broadcast(truth),
+        col("qid") === col("tqid") && col("cand_id") === col("true_id"))
+      .select(col("qid"), col("rk"),
+        (col("rel").cast("double") * expr(discCase)).as("term"))
+      .groupBy(col("qid"))
+      .agg((expr(
+        """aggregate(transform(sort_array(collect_list(struct(rk, term))),
+          |  x -> x.term), 0.0D, (a, x) -> a + x)""".stripMargin)
+        / lit(NdcgIdcg)).as("ndcg"))
+    val folded = perQuery.agg(expr(
+      """aggregate(transform(sort_array(collect_list(struct(qid, ndcg))),
+        |  x -> x.ndcg), 0.0D, (a, x) -> a + x)""".stripMargin).as("s"))
+    truth.select(col("tqid")).distinct()
+      .agg(count(lit(1)).as("n_queries"))
+      .crossJoin(broadcast(folded))
+      .select(col("n_queries"),
+        (col("s") / col("n_queries").cast("double")).as("ndcg_at_10"))
+  }
+
+  val q231NdcgSql: String = {
+    val discCase = NdcgDisc.zipWithIndex
+      .map { case (d, i) => s"WHEN ${i + 1} THEN ${d}e0" }
+      .mkString("CASE c.rk ", " ", " END")
+    s"""
+    WITH $ivfAssignedSqlCtes,
+    probe AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cand_id,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(list_zip(q.v, c.v), z -> z[1] * z[2])), (acc, x) -> acc + x)
+          / (q.nrm * c.nrm) AS cos
+      FROM assigned q JOIN assigned c
+        ON q.cell = c.cell AND q.vec_id <> c.vec_id
+          AND q.vec_id < ${DefaultAnn.knnQueryIds}),
+    cand AS (
+      SELECT qid, cand_id, rk FROM (
+        SELECT qid, cand_id,
+          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cand_id ASC)
+            AS rk
+        FROM probe) WHERE rk <= $NdcgDepth),
+    truth AS (
+      SELECT id1 AS qid, id2 AS true_id,
+        CAST($NdcgDepth + 1 - rk AS BIGINT) AS rel
+      FROM ($q29KnnBruteSql) WHERE rk <= $NdcgDepth),
+    pq AS (
+      SELECT c.qid,
+        list_reduce(list_prepend(0e0,
+          list(CAST(t.rel AS DOUBLE) * ($discCase) ORDER BY c.rk)),
+          (a, x) -> a + x) / ${NdcgIdcg}e0 AS ndcg
+      FROM cand c JOIN truth t ON c.qid = t.qid AND c.cand_id = t.true_id
+      GROUP BY 1),
+    f AS (
+      SELECT coalesce(list_reduce(list_prepend(0e0,
+          list(ndcg ORDER BY qid)), (a, x) -> a + x), 0e0) AS s
+      FROM pq),
+    nq AS (SELECT CAST(count(DISTINCT qid) AS BIGINT) AS n_queries
+           FROM truth)
+    SELECT nq.n_queries, f.s / CAST(nq.n_queries AS DOUBLE) AS ndcg_at_10
+    FROM nq, f
+  """
+  }
+
   /** q169 tuning: candidates kept per query in the Hamming ranking. */
   val BinaryAnnK = 3
 

@@ -842,6 +842,22 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     assert(mrr >= nh.toDouble / (10.0 * nq.toDouble) - 1e-12)
   }
 
+  test("q231 nDCG: the discount/IDCG literals satisfy the defining " +
+    "identities, and the sf0.001 score is a proper [0, 1] mean over the " +
+    "full query batch") {
+    // independent recomputation of the literals (guards a silent edit)
+    val disc = (1 to 10).map(i => math.log(2.0) / math.log(i + 1.0))
+    Embeddings.NdcgDisc.zip(disc).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-15) }
+    assert(Embeddings.NdcgDisc.head === 1.0) // rank 1 undiscounted
+    val idcg = (1 to 10).map(i => (11 - i) * disc(i - 1)).sum
+    assert(math.abs(Embeddings.NdcgIdcg - idcg) < 1e-12)
+    val r = try Embeddings.q231Ndcg(spark, "/root/testdata/sf0.001")
+      .collect()(0) finally graft.CachedFrames.drain()
+    assert(r.getLong(0) > 0)
+    assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+  }
+
   test("q230 embedding health: exact norm picks on the lattice, n copies " +
     "of one vector cohere at exactly 1, an orthogonal basis at exactly " +
     "1/n") {
