@@ -5582,4 +5582,79 @@ object TextOps {
             * CAST(CAST(deny AS VARCHAR) AS DOUBLE)) END AS pearson_r
     FROM d
   """
+
+  /** q232: VOCABULARY-GROWTH CURVE — the empirical Heaps curve with NO
+    * fitted exponent: distinct token types seen after each decile of the
+    * corpus, ingested in doc_id order (the declared deterministic
+    * ingestion ordering), plus the NEW types each decile contributes. The
+    * crawl-planning readout q187's Chao1 compresses to one asymptote: a
+    * last-decile new_types still near the first decile's says the corpus
+    * is nowhere near vocabulary saturation (more crawl buys more types —
+    * and the q97 BPE budget is being trained on an unsaturated sample);
+    * a collapsed tail says new data buys only frequency mass. Exact set
+    * counting, not an estimator — every number is a distinct-count over
+    * a prefix.
+    *
+    * Exactness: all counts exact BIGINT; decile cuts are ceil(k·D/10)
+    * (first-decile-heavy, non-decreasing, covering D exactly at k = 10);
+    * a type's decile is the integer (10·r − 9 + D − 1) DIV D of its
+    * FIRST-appearance rank r — no window over deciles, no floats.
+    *
+    * Scale shape: one ungrouped bucketed [[DistRank]] layout to rank docs
+    * (no single-partition sort), one token explode into a doc-keyed join
+    * + per-type min rollup (map-side combinable — |vocab| rows), a
+    * ≤10-row decile rollup and the tiny ≤10×10 triangular cum join. */
+  def q232VocabGrowth(spark: SparkSession, sfDir: String): DataFrame =
+    vocabGrowthOn(Tables.parallelized(Tables(spark, sfDir, "documents")))
+
+  /** The growth core over ANY (doc_id, text) frame — fixture-testable. */
+  private[graft] def vocabGrowthOn(docs: DataFrame): DataFrame = {
+    val ids = graft.CachedFrames.track(docs.select(col("doc_id")))
+    val ranked = DistRank.withBucketedRank(ids, Seq(), "doc_id", Seq(), "r")
+    val dd = ids.agg(count(lit(1)).as("dd"))
+    val tok = docs
+      .select(col("doc_id"),
+        explode(expr("""split(trim(text), '\\s+')""")).as("token"))
+      .join(ranked, "doc_id")
+      .groupBy(col("token")).agg(min(col("r")).as("fr"))
+    val nw = tok.crossJoin(broadcast(dd))
+      .select(expr("(10 * fr - 9 + dd - 1) DIV dd").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("new_types"))
+    val grid = docs.sparkSession.range(1, 11).select(col("id").as("k"))
+    val cum = grid
+      .join(broadcast(nw.select(col("k").as("j"), col("new_types").as("nt"))),
+        col("j") <= col("k"), "left")
+      .groupBy(col("k")).agg(coalesce(sum(col("nt")), lit(0L))
+        .as("vocab_size"))
+    grid.join(broadcast(nw), Seq("k"), "left").join(broadcast(cum), Seq("k"))
+      .crossJoin(broadcast(dd))
+      .select(col("k").as("decile"),
+        expr("(k * dd + 9) DIV 10").as("n_docs_prefix"),
+        col("vocab_size"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+  }
+
+  val q232VocabGrowthSql: String = """
+    WITH dr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS r
+      FROM documents),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS dd FROM documents),
+    tok AS (
+      SELECT t.token, CAST(min(dr.r) AS BIGINT) AS fr
+      FROM (SELECT doc_id,
+              unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents) t
+      JOIN dr USING (doc_id) GROUP BY 1),
+    kk AS (SELECT (10 * fr - 9 + nd.dd - 1) // nd.dd AS k FROM tok, nd),
+    nw AS (SELECT k, CAST(count(*) AS BIGINT) AS new_types
+           FROM kk GROUP BY 1),
+    g AS (SELECT unnest(generate_series(1, 10)) AS k)
+    SELECT g.k AS decile,
+      CAST((g.k * nd.dd + 9) // 10 AS BIGINT) AS n_docs_prefix,
+      CAST(coalesce(
+        (SELECT sum(n2.new_types) FROM nw n2 WHERE n2.k <= g.k), 0)
+        AS BIGINT) AS vocab_size,
+      coalesce(nw.new_types, CAST(0 AS BIGINT)) AS new_types
+    FROM g CROSS JOIN nd LEFT JOIN nw ON nw.k = g.k
+  """
 }

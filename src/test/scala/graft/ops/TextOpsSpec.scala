@@ -1439,4 +1439,29 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
         (BigInt(total) * kf * ca * cb2).toDouble)
     }
   }
+
+  test("q232 vocab growth: exact prefix distinct-counts on a hand corpus " +
+    "with an uneven decile split, the monotone-cover laws, and " +
+    "all-deciles-present") {
+    import spark.implicits._
+    // 3 docs in doc_id order: d1 {a b}, d2 {b c}, d3 {a d e}. D = 3 →
+    // cuts ceil(3k/10) = [1,1,1,2,2,2,3,3,3,3]; first ranks: a→1, b→1,
+    // c→2, d→3, e→3 → deciles: r1 → (10·1−9+2)//3 = 1; r2 → (20−9+2)//3
+    // = 4; r3 → (30−9+2)//3 = 7
+    val docs = Seq((1L, "a b"), (2L, "b c"), (3L, "a d e"))
+      .toDF("doc_id", "text")
+    val got = try TextOps.vocabGrowthOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+      finally graft.CachedFrames.drain()
+    assert(got.keySet === (1L to 10L).toSet)
+    assert(got(1L) === ((1L, 2L, 2L)))   // after d1: {a, b}
+    assert(got(4L) === ((2L, 3L, 1L)))   // after d2: + {c}
+    assert(got(7L) === ((3L, 5L, 2L)))   // after d3: + {d, e}
+    assert(got(10L) === ((3L, 5L, 0L)))  // tail deciles carry, add nothing
+    // laws: vocab is non-decreasing and ends at the full distinct count
+    val ordered = (1L to 10L).map(got(_)._2)
+    assert(ordered === ordered.sorted)
+    assert(ordered.last === 5L)
+  }
 }
