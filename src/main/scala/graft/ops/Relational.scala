@@ -1628,4 +1628,56 @@ object Relational {
   val q228PriceBenfordSql: String = Events.benfordSqlFromCents(
     "SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents " +
       "FROM orders")
+
+  /** q233: SEGMENT × PRIORITY BUSINESS-MIX GRID — does order urgency
+    * depend on customer segment, as the full observed-vs-expected
+    * contingency (the shared q197 grid core's 5th axis): expectation,
+    * Pearson residual and lift per cell, empty cells included. The
+    * warehouse-side interaction audit next to q197's lang×source — a
+    * residual ridge (e.g. AUTOMOBILE × 1-URGENT) says priority-based
+    * capacity planning must be segment-conditioned, and an SLA priced on
+    * the marginal priority mix misprices exactly those segments. Orders
+    * without a customer are excluded (no segment is attributable).
+    *
+    * Exactness and scale shape: the grid core's — ONE custkey-keyed
+    * equi-join (segment is a broadcast-sized dimension payload), one
+    * map-side cell rollup, margins re-aggregating the cached cells,
+    * ≤|segments|·|priorities| label-space rows. */
+  def q233SegPriorityGrid(spark: SparkSession, sfDir: String): DataFrame =
+    Curation.contingencyGridOn(
+      Tables(spark, sfDir, "orders")
+        .filter(col("o_custkey").isNotNull)
+        .select(col("o_custkey"), col("o_orderpriority"))
+        .join(Tables(spark, sfDir, "customer")
+          .select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment")), "o_custkey")
+        .select(col("c_mktsegment"), col("o_orderpriority")),
+      "c_mktsegment", "o_orderpriority")
+
+  val q233SegPriorityGridSql: String = """
+    WITH cells AS (
+      SELECT c.c_mktsegment, o.o_orderpriority, CAST(count(*) AS BIGINT) AS o
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    r AS (SELECT c_mktsegment, CAST(sum(o) AS BIGINT) AS rl
+          FROM cells GROUP BY 1),
+    c AS (SELECT o_orderpriority, CAST(sum(o) AS BIGINT) AS cs
+          FROM cells GROUP BY 1),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells)
+    SELECT r.c_mktsegment, c.o_orderpriority,
+      coalesce(cells.o, CAST(0 AS BIGINT)) AS n_obs,
+      CAST(CAST(CAST(r.rl AS HUGEINT) * c.cs AS VARCHAR) AS DOUBLE)
+        / CAST(n.nn AS DOUBLE) AS expected,
+      CAST(CAST(CAST(coalesce(cells.o, CAST(0 AS BIGINT)) AS HUGEINT) * n.nn
+          - CAST(r.rl AS HUGEINT) * c.cs AS VARCHAR) AS DOUBLE)
+        / sqrt(CAST(CAST(CAST(n.nn AS HUGEINT) * r.rl * c.cs AS VARCHAR)
+          AS DOUBLE)) AS residual,
+      CAST(CAST(CAST(coalesce(cells.o, CAST(0 AS BIGINT)) AS HUGEINT) * n.nn
+          AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(CAST(r.rl AS HUGEINT) * c.cs AS VARCHAR) AS DOUBLE)
+        AS lift
+    FROM r CROSS JOIN c CROSS JOIN n
+      LEFT JOIN cells ON cells.c_mktsegment = r.c_mktsegment
+        AND cells.o_orderpriority = c.o_orderpriority
+  """
 }

@@ -255,6 +255,38 @@ class RelationalSpec extends AnyFunSuite with graft.SparkSpec {
     assert(run(Seq((5L, 1L), (5L, 9L))) === ((2L, None, None, None)))
   }
 
+  test("Ols core merge law: the sufficient statistics of a union are " +
+    "recoverable from per-batch sums — the digest seam an incremental " +
+    "refresh rides — on random integer batches") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(647)
+    (1 to 3).foreach { _ =>
+      val a = Seq.fill(20)((rnd.nextInt(1000).toLong,
+        rnd.nextInt(100).toLong))
+      val b = Seq.fill(15)((rnd.nextInt(1000).toLong,
+        rnd.nextInt(100).toLong))
+      def sums(pts: Seq[(Long, Long)]) = (
+        pts.size.toLong,
+        pts.map(p => BigInt(p._1)).sum, pts.map(p => BigInt(p._2)).sum,
+        pts.map(p => BigInt(p._1) * p._1).sum,
+        pts.map(p => BigInt(p._2) * p._2).sum,
+        pts.map(p => BigInt(p._1) * p._2).sum)
+      // the engine's moments over the union equal the plain-Scala moments
+      // rebuilt from the two batches' independently-accumulated sums
+      val (n, sx, sy, sxx, syy, sxy) = {
+        val (na, sxa, sya, sxxa, syya, sxya) = sums(a)
+        val (nb, sxb, syb, sxxb, syyb, sxyb) = sums(b)
+        (na + nb, sxa + sxb, sya + syb, sxxa + sxxb, syya + syyb,
+          sxya + sxyb)
+      }
+      val r = Ols.coreOn((a ++ b).toDF("x", "y")).collect()(0)
+      assert(BigInt(r.getLong(0)) === BigInt(n))
+      assert(BigInt(r.getDecimal(1).toBigInteger) === n * sxy - sx * sy)
+      assert(BigInt(r.getDecimal(2).toBigInteger) === n * sxx - sx * sx)
+      assert(BigInt(r.getDecimal(3).toBigInteger) === n * syy - sy * sy)
+    }
+  }
+
   test("q205 ABC: the boundary-crossing customer stays in the richer " +
     "class (exact 80% boundary exercised), shares are exact divisions, " +
     "and a null custkey is excluded") {
