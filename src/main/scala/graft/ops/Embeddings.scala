@@ -631,8 +631,11 @@ object Embeddings {
     binaryAnnOn(graft.CachedFrames.track(vecs(spark, sfDir)),
       DefaultAnn.knnQueryIds)
 
-  /** The code+rank core over ANY (vec_id, v) frame — fixture-testable. */
-  private[graft] def binaryAnnOn(e: DataFrame, queryBound: Long): DataFrame = {
+  /** The code+rank core over ANY (vec_id, v) frame — fixture-testable.
+    * `depth` widens the kept ranking (q169 keeps [[BinaryAnnK]]; q234's
+    * rank-agreement audit reads the top [[RboDepth]]). */
+  private[graft] def binaryAnnOn(e: DataFrame, queryBound: Long,
+      depth: Int = BinaryAnnK): DataFrame = {
     def packed(offset: Int) = expr(
       s"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> acc + " +
       s"IF(element_at(v, i + $offset) >= 0.0D, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))")
@@ -647,13 +650,17 @@ object Embeddings {
       .withColumn("hamming",
         expr("bit_count(qlo ^ lo) + bit_count(qhi ^ hi)"))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= BinaryAnnK)
+      .filter(col("rk") <= depth)
       .select(col("qid"), col("cand_id"), col("rk").cast("int").as("rk"),
         col("hamming").cast("int").as("hamming"))
   }
 
-  val q169BinaryAnnSql: String = s"""
-    WITH e AS (
+  /** The sign-bit code + Hamming ranking CTE chain (e, c, p, brank) —
+    * the SINGLE source of the code formula for the q169 and q234
+    * oracles. `brank(qid, cand_id, hamming, rk)` is unfiltered; callers
+    * cut at their own depth. */
+  private[ops] val binaryRankSqlCtes: String = s"""
+    e AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
       FROM embeddings),
     c AS (
@@ -669,15 +676,132 @@ object Embeddings {
       SELECT q.vec_id AS qid, c2.vec_id AS cand_id,
         bit_count(xor(q.lo, c2.lo)) + bit_count(xor(q.hi, c2.hi)) AS hamming
       FROM c q JOIN c c2 ON q.vec_id <> c2.vec_id
-      WHERE q.vec_id < ${DefaultAnn.knnQueryIds})
-    SELECT qid, cand_id, CAST(rk AS INTEGER) AS rk,
-      CAST(hamming AS INTEGER) AS hamming
-    FROM (
+      WHERE q.vec_id < ${DefaultAnn.knnQueryIds}),
+    brank AS (
       SELECT qid, cand_id, hamming,
         row_number() OVER (PARTITION BY qid ORDER BY hamming ASC, cand_id ASC)
           AS rk
-      FROM p) WHERE rk <= $BinaryAnnK
+      FROM p)"""
+
+  val q169BinaryAnnSql: String = s"""
+    WITH $binaryRankSqlCtes
+    SELECT qid, cand_id, CAST(rk AS INTEGER) AS rk,
+      CAST(hamming AS INTEGER) AS hamming
+    FROM brank WHERE rk <= $BinaryAnnK
   """
+
+  /** q234 tuning: ranking depth, persistence p, the per-anchor weight
+    * ladder W_m = Σ_{d=m..k} (1−p)·p^{d−1}/d, and the truncation
+    * normalizer Σ_m W_m — ALL precomputed here and interpolated as
+    * identical literals into both engines (the [[NdcgDisc]] discipline).
+    * An intersection item whose two ranks max at m contributes W_m, so a
+    * query's truncated RBO is ONE ordered sum of ladder literals; the
+    * normalizer makes identical top-k rankings score exactly 1 (the
+    * numerator's fold then IS the denominator's defining sum, m-ascending
+    * in both). */
+  private[ops] val RboDepth = 10
+  private[ops] val RboP = 0.9
+  private[ops] val RboW: Seq[Double] = {
+    val w = (1 to RboDepth)
+      .map(d => (1.0 - RboP) * math.pow(RboP, d - 1) / d)
+    (1 to RboDepth).map(m => (m to RboDepth).map(d => w(d - 1)).sum)
+  }
+  private[ops] val RboNorm: Double = {
+    var s = 0.0
+    (1 to RboDepth).foreach(m => s += RboW(m - 1)) // m-ascending, as folded
+    s
+  }
+
+  /** q234: RANK-AGREEMENT (truncated RBO@10) of the sign-bit tier vs
+    * EXACT truth — does the 64×-compressed ranking agree with the
+    * full-precision order, not merely hit it somewhere (q178's recall
+    * counts membership; RBO weights WHERE — slot 2 vs slot 9 changes
+    * what a rerank budget must repair). Rank-biased overlap (Webber et
+    * al. 2010) truncated at depth 10 and normalized so identical
+    * rankings score exactly 1: per query, each item in BOTH top-10 lists
+    * contributes the precomputed ladder weight of max(rank_truth,
+    * rank_binary); a query with disjoint lists scores 0 and stays in the
+    * mean's denominator.
+    *
+    * Exactness: ranks are exact integers under total orders (truth by
+    * exact cosine, candidates by exact Hamming); all weights, the ladder
+    * and the normalizer are shared literals; the per-query sum folds
+    * (m, cand_id)-ascending and the cross-query mean qid-ascending (the
+    * ordered-fold idiom twice, as q231).
+    *
+    * Scale shape: truth is the query-batch-bounded declared baseline;
+    * the Hamming ranking is q169's declared bounded-batch scan at 16
+    * bytes/candidate; the agreement join keys on (qid, id); folds run
+    * over ≤|queries| rows. */
+  def q234RankAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = q29KnnBrute(spark, sfDir).filter(col("rk") <= RboDepth)
+      .select(col("id1").as("qid"), col("id2").as("cand_id"),
+        col("rk").cast("int").as("ra"))
+    val bin = binaryAnnOn(graft.CachedFrames.track(vecs(spark, sfDir)),
+      DefaultAnn.knnQueryIds, RboDepth)
+      .select(col("qid"), col("cand_id"), col("rk").as("rb"))
+    rboOn(truth, bin)
+  }
+
+  /** The RBO core over ANY two (qid, cand_id, rank ≤ [[RboDepth]])
+    * frames (rank columns `ra` / `rb`) — fixture-testable. The query
+    * roster (the mean's denominator) is the distinct qid set of the
+    * FIRST frame (the truth side defines which queries exist). */
+  private[graft] def rboOn(a: DataFrame, b: DataFrame): DataFrame = {
+    val wCase = RboW.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN ${v}D" }
+      .mkString("CASE m ", " ", " END")
+    val perQuery = a.join(b, Seq("qid", "cand_id"))
+      .select(col("qid"), col("cand_id"),
+        greatest(col("ra"), col("rb")).cast("int").as("m"))
+      .select(col("qid"), col("cand_id"), col("m"), expr(wCase).as("term"))
+      .groupBy(col("qid"))
+      .agg((expr(
+        """aggregate(transform(
+          |  sort_array(collect_list(struct(m, cand_id, term))),
+          |  x -> x.term), 0.0D, (acc, x) -> acc + x)""".stripMargin)
+        / lit(RboNorm)).as("rbo"))
+    val folded = perQuery.agg(expr(
+      """aggregate(transform(sort_array(collect_list(struct(qid, rbo))),
+        |  x -> x.rbo), 0.0D, (acc, x) -> acc + x)""".stripMargin).as("s"))
+    a.select(col("qid")).distinct().agg(count(lit(1)).as("n_queries"))
+      .crossJoin(broadcast(folded))
+      .select(col("n_queries"),
+        (col("s") / col("n_queries").cast("double")).as("rbo_at_10"))
+  }
+
+  val q234RankAgreementSql: String = {
+    val wCase = RboW.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN ${v}e0" }
+      .mkString("CASE m ", " ", " END")
+    s"""
+    WITH $binaryRankSqlCtes,
+    truth AS (
+      SELECT id1 AS qid, id2 AS cand_id, CAST(rk AS INTEGER) AS ra
+      FROM ($q29KnnBruteSql) WHERE rk <= $RboDepth),
+    bin AS (
+      SELECT qid, cand_id, CAST(rk AS INTEGER) AS rb
+      FROM brank WHERE rk <= $RboDepth),
+    items AS (
+      SELECT t.qid, t.cand_id,
+        CAST(greatest(t.ra, b.rb) AS INTEGER) AS m
+      FROM truth t JOIN bin b ON t.qid = b.qid AND t.cand_id = b.cand_id),
+    pq AS (
+      SELECT qid,
+        list_reduce(list_prepend(0e0,
+          list(($wCase) ORDER BY m, cand_id)), (a, x) -> a + x)
+          / ${RboNorm}e0 AS rbo
+      FROM items GROUP BY 1),
+    f AS (
+      SELECT coalesce(list_reduce(list_prepend(0e0,
+          list(rbo ORDER BY qid)), (a, x) -> a + x), 0e0) AS s
+      FROM pq),
+    nq AS (SELECT CAST(count(DISTINCT qid) AS BIGINT) AS n_queries
+           FROM truth)
+    SELECT nq.n_queries, f.s / CAST(nq.n_queries AS DOUBLE) AS rbo_at_10
+    FROM nq, f
+  """
+  }
 
   /** q175 tuning: projected dimension, rank-key fixed point, reported
     * rank-exact percentile levels (the q140/q155 convention). */

@@ -41,9 +41,9 @@ object Ols {
   private[graft] val CoreSqlFromP: String = """
     s AS (SELECT CAST(count(*) AS BIGINT) AS n,
             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy, -- guard:ok internal HUGEINT; caller outputs are exact-cast
-            sum(CAST(x AS HUGEINT) * x) AS sxx,
-            sum(CAST(y AS HUGEINT) * y) AS syy,
-            sum(CAST(x AS HUGEINT) * y) AS sxy
+            sum(CAST(x AS HUGEINT) * x) AS sxx, -- guard:ok internal HUGEINT; caller outputs are exact-cast
+            sum(CAST(y AS HUGEINT) * y) AS syy, -- guard:ok internal HUGEINT; caller outputs are exact-cast
+            sum(CAST(x AS HUGEINT) * y) AS sxy -- guard:ok internal HUGEINT; caller outputs are exact-cast
           FROM p),
     d AS (SELECT n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
             n * syy - sy * sy AS deny, sx, sy

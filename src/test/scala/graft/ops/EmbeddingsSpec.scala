@@ -858,6 +858,36 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
   }
 
+  test("q234 RBO core: identical rankings score exactly 1, disjoint " +
+    "score 0, a reversed ranking matches the plain-Scala mirror fold") {
+    import spark.implicits._
+    def frame(pairs: Seq[(Long, Long, Int)], rc: String) =
+      pairs.toDF("qid", "cand_id", rc)
+    val ident = (1 to 10).map(d => (1L, 100L + d, d))
+    def run(a: Seq[(Long, Long, Int)], b: Seq[(Long, Long, Int)]) = {
+      val r = Embeddings.rboOn(frame(a, "ra"), frame(b, "rb")).collect()(0)
+      graft.CachedFrames.drain()
+      (r.getLong(0), r.getDouble(1))
+    }
+    assert(run(ident, ident) === ((1L, 1.0))) // EXACT: same fold as norm
+    val disjoint = (1 to 10).map(d => (1L, 900L + d, d))
+    assert(run(ident, disjoint) === ((1L, 0.0)))
+    // reversed: item at truth rank d sits at binary rank 11−d
+    val rev = (1 to 10).map(d => (1L, 100L + d, 11 - d))
+    // plain-Scala mirror: fold W_max(ra, rb) ordered by (m, cand_id)
+    val exp = {
+      val items = (1 to 10).map(d => (math.max(d, 11 - d), 100L + d))
+        .sortBy(identity)
+      var s = 0.0
+      items.foreach { case (m, _) => s += Embeddings.RboW(m - 1) }
+      s / Embeddings.RboNorm
+    }
+    assert(run(ident, rev) === ((1L, exp)))
+    // two queries, one perfect one absent: mean = (1 + 0) / 2
+    val two = ident ++ (1 to 10).map(d => (2L, 200L + d, d))
+    assert(run(two, ident) === ((2L, 0.5)))
+  }
+
   test("q230 embedding health: exact norm picks on the lattice, n copies " +
     "of one vector cohere at exactly 1, an orthogonal basis at exactly " +
     "1/n") {
