@@ -1629,6 +1629,82 @@ object Relational {
     "SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents " +
       "FROM orders")
 
+  /** q235: SHIP-LAG BY PRIORITY — q211's fulfillment percentiles sliced
+    * by order priority: does 1-URGENT actually ship faster than
+    * 5-LOW, as rank-exact p50/p90/p99/max per priority with the
+    * negative-lag defects broken out per slice. THE SLA verification
+    * table: q211 prices fulfillment marginally, q233 shows who ORDERS
+    * urgently — this shows whether urgency buys anything, which is the
+    * number the priority tier is sold on (and at these synthetic SFs the
+    * honest answer is a flat table — itself the finding).
+    *
+    * Exactness: q211's — exact integer day lags, rank-exact picks under
+    * the per-priority (lag, orderkey, linenumber) total order.
+    *
+    * Scale shape: one key-projected join, a GROUPED bucketed [[DistRank]]
+    * layout (B-way parallel per priority — no per-group single-task
+    * sort), broadcast group sizes, |priorities| rows out. */
+  def q235PriorityShipLag(spark: SparkSession, sfDir: String): DataFrame =
+    priorityShipLagOn(Tables(spark, sfDir, "orders"),
+      Tables(spark, sfDir, "lineitem"))
+
+  /** The sliced-lag core over ANY (orders, lineitem) pair. */
+  private[graft] def priorityShipLagOn(orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val lag = graft.CachedFrames.track(lineitem
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(floor(unix_timestamp(l_shipdate) / 86400.0D) AS BIGINT)")
+          .as("sd"))
+      .join(orders.select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderpriority").as("prio"),
+        expr("CAST(floor(unix_timestamp(o_orderdate) / 86400.0D) AS BIGINT)")
+          .as("od")), "l_orderkey")
+      .select(col("prio"), col("l_orderkey"), col("l_linenumber"),
+        (col("sd") - col("od")).as("lag_days")))
+    val sizes = lag.groupBy(col("prio")).agg(count(lit(1)).as("n_lines"))
+      .select(col("prio").as("_psz"), col("n_lines"))
+    val picks = TextOps.LengthPercentiles.map { case (name, a, b) =>
+      max(when(col("_r") ===
+        expr(s"($a * n_lines + ${b - 1}) DIV $b"), col("lag_days")))
+        .as(s"${name}_days")
+    }
+    val aggs = picks :+ max(col("lag_days")).as("max_days") :+
+      sum(when(col("lag_days") < 0, 1L).otherwise(0L)).as("n_negative")
+    DistRank.withBucketedRank(lag, Seq("prio"), "lag_days",
+      Seq("l_orderkey", "l_linenumber"), "_r")
+      .join(broadcast(sizes), col("prio") <=> col("_psz"))
+      .groupBy(col("prio"), col("n_lines"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("prio").as("o_orderpriority"), col("n_lines"),
+        col("p50_days"), col("p90_days"), col("p99_days"), col("max_days"),
+        col("n_negative"))
+  }
+
+  val q235PriorityShipLagSql: String = {
+    val cases = TextOps.LengthPercentiles.map { case (name, a, b) =>
+      s"max(CASE WHEN rk = ($a * n_lines + ${b - 1}) // $b THEN lag_days END) AS ${name}_days"
+    }.mkString(",\n      ")
+    s"""
+    WITH lg AS (
+      SELECT o.o_orderpriority AS prio, l.l_orderkey, l.l_linenumber,
+        CAST(floor(epoch(l.l_shipdate)) AS BIGINT) // 86400
+          - CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400 AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    r AS (
+      SELECT prio, lag_days,
+        row_number() OVER (PARTITION BY prio ORDER BY lag_days ASC,
+          l_orderkey ASC, l_linenumber ASC) AS rk,
+        count(*) OVER (PARTITION BY prio) AS n_lines
+      FROM lg)
+    SELECT prio AS o_orderpriority, CAST(n_lines AS BIGINT) AS n_lines,
+      $cases,
+      max(lag_days) AS max_days,
+      CAST(sum(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_negative
+    FROM r GROUP BY prio, n_lines
+  """
+  }
+
   /** q233: SEGMENT × PRIORITY BUSINESS-MIX GRID — does order urgency
     * depend on customer segment, as the full observed-vs-expected
     * contingency (the shared q197 grid core's 5th axis): expectation,

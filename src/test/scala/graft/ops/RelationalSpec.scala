@@ -287,6 +287,28 @@ class RelationalSpec extends AnyFunSuite with graft.SparkSpec {
     }
   }
 
+  test("q235 sliced ship lag: per-priority rank-exact picks on hand " +
+    "slices with different sizes, negatives counted in their own slice") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val D = 86400L
+    val orders = Seq((1L, "U", 10L * D), (2L, "L", 20L * D))
+      .toDF("o_orderkey", "o_orderpriority", "osec")
+      .withColumn("o_orderdate", timestamp_seconds(col("osec")))
+    // priority U: lags [-1, 2, 30]; priority L: lags [5]
+    val lines = Seq((1L, 1, 12L * D), (1L, 2, 9L * D + 5L),
+      (1L, 3, 40L * D), (2L, 1, 25L * D))
+      .toDF("l_orderkey", "l_linenumber", "ssec")
+      .withColumn("l_shipdate", timestamp_seconds(col("ssec")))
+    val got = try Relational.priorityShipLagOn(orders, lines).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+      finally graft.CachedFrames.drain()
+    // U sorted [-1, 2, 30]: p50 rank 2 → 2, p90/p99 rank 3 → 30
+    assert(got("U") === ((3L, 2L, 30L, 30L, 30L, 1L)))
+    assert(got("L") === ((1L, 5L, 5L, 5L, 5L, 0L)))
+  }
+
   test("q205 ABC: the boundary-crossing customer stays in the richer " +
     "class (exact 80% boundary exercised), shares are exact divisions, " +
     "and a null custkey is excluded") {
