@@ -1705,6 +1705,110 @@ object Relational {
   """
   }
 
+  /** q236: LEDGER RECONCILIATION — does the order header's total agree
+    * with the sum of its own line items priced at
+    * extendedprice·(1−discount)·(1+tax)? The classic two-book audit:
+    * q179 checks the KEYS agree across tables, this checks the MONEY
+    * does — per-order delta in exact cents, the exact-match rate,
+    * headerless-total orders (no line items) broken out, and rank-exact
+    * p50/p99/max |delta| so a systematic rounding-convention gap (tight
+    * percentile band) is distinguishable from data corruption (fat max).
+    * On a generator that does not maintain the invariant, the honest
+    * output is a large mismatch rate — which is the finding, exactly as
+    * an auditor would report it.
+    *
+    * Exactness: both books are floored to cents through the IDENTICAL
+    * double chain in both engines (fixed multiplication order, one
+    * floor), then every delta/count is exact BIGINT; percentile picks
+    * are rank-exact under (|delta|, orderkey).
+    *
+    * Scale shape: one map-side per-order line rollup, ONE orderkey
+    * equi-join, an ungrouped bucketed [[DistRank]] layout over |orders|
+    * rows, 1 row out. */
+  def q236LedgerRecon(spark: SparkSession, sfDir: String): DataFrame =
+    ledgerReconOn(Tables(spark, sfDir, "orders"),
+      Tables(spark, sfDir, "lineitem"))
+
+  /** The reconciliation core over ANY (orders, lineitem) pair. */
+  private[graft] def ledgerReconOn(orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val lsum = lineitem
+      .select(col("l_orderkey"), expr(
+        "CAST(floor(l_extendedprice * (1.0D - l_discount) * (1.0D + l_tax)" +
+          " * 100.0D + 0.5D) AS BIGINT)").as("lc"))
+      .groupBy(col("l_orderkey")).agg(sum(col("lc")).as("lsum"))
+    val deltas = graft.CachedFrames.track(orders
+      .select(col("o_orderkey").as("l_orderkey"),
+        expr("CAST(floor(o_totalprice * 100.0D + 0.5D) AS BIGINT)")
+          .as("oc"))
+      .join(lsum, Seq("l_orderkey"), "left")
+      .select(col("l_orderkey").as("okey"),
+        (col("oc") - coalesce(col("lsum"), lit(0L))).as("delta"),
+        col("lsum").isNull.as("no_lines"))
+      .select(col("okey"), col("delta"), abs(col("delta")).as("adelta"),
+        col("no_lines")))
+    val n = deltas.agg(count(lit(1)).as("n_orders"))
+    // p50/p99 only: the band-vs-corruption read needs the middle and the
+    // tail, not the q140 trio
+    val picks = Seq(("p50", 1, 2), ("p99", 99, 100)).map { case (name, a, b) =>
+      max(when(col("_r") ===
+        expr(s"($a * n_orders + ${b - 1}) DIV $b"), col("adelta")))
+        .as(s"${name}_abs_delta")
+    }
+    val aggs = picks ++ Seq(
+      max(col("adelta")).as("max_abs_delta"),
+      sum(when(col("delta") === 0L, 1L).otherwise(0L)).as("n_matched"),
+      sum(when(col("no_lines"), 1L).otherwise(0L)).as("n_no_lines"),
+      sum(col("adelta")).as("sum_abs_delta"))
+    DistRank.withBucketedRank(deltas, Seq(), "adelta", Seq("okey"), "_r")
+      .crossJoin(broadcast(n))
+      .groupBy(col("n_orders"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_orders"), col("n_matched"),
+        when(col("n_orders") > 0, col("n_matched").cast("double")
+          / col("n_orders").cast("double")).as("match_rate"),
+        col("n_no_lines"), col("sum_abs_delta"),
+        col("p50_abs_delta"), col("p99_abs_delta"), col("max_abs_delta"))
+  }
+
+  val q236LedgerReconSql: String = {
+    val cases = Seq(("p50", 1, 2), ("p99", 99, 100)).map { case (name, a, b) =>
+      s"max(CASE WHEN rk = ($a * n_orders + ${b - 1}) // $b THEN adelta END) AS ${name}_abs_delta"
+    }.mkString(",\n      ")
+    s"""
+    WITH ls AS (
+      SELECT l_orderkey,
+        CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+          * (1.0 + l_tax) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS lsum
+      FROM lineitem GROUP BY 1),
+    d AS (
+      SELECT o.o_orderkey AS okey,
+        CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+          - coalesce(ls.lsum, CAST(0 AS BIGINT)) AS delta,
+        abs(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+          - coalesce(ls.lsum, CAST(0 AS BIGINT))) AS adelta,
+        ls.lsum IS NULL AS no_lines
+      FROM orders o LEFT JOIN ls ON o.o_orderkey = ls.l_orderkey),
+    r AS (
+      SELECT delta, adelta, no_lines,
+        row_number() OVER (ORDER BY adelta ASC, okey ASC) AS rk,
+        count(*) OVER () AS n_orders
+      FROM d)
+    SELECT CAST(n_orders AS BIGINT) AS n_orders,
+      CAST(sum(CASE WHEN delta = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_matched,
+      CASE WHEN n_orders > 0 THEN
+        CAST(sum(CASE WHEN delta = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(n_orders AS DOUBLE) END AS match_rate,
+      CAST(sum(CASE WHEN no_lines THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_no_lines,
+      CAST(sum(adelta) AS BIGINT) AS sum_abs_delta,
+      $cases,
+      max(adelta) AS max_abs_delta
+    FROM r GROUP BY n_orders
+  """
+  }
+
   /** q233: SEGMENT × PRIORITY BUSINESS-MIX GRID — does order urgency
     * depend on customer segment, as the full observed-vs-expected
     * contingency (the shared q197 grid core's 5th axis): expectation,

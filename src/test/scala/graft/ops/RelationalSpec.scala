@@ -309,6 +309,28 @@ class RelationalSpec extends AnyFunSuite with graft.SparkSpec {
     assert(got("L") === ((1L, 5L, 5L, 5L, 5L, 0L)))
   }
 
+  test("q236 ledger recon: exact per-order deltas on a hand book — a " +
+    "matching order, a mismatched one, and a headerless-total order " +
+    "whose full amount is the delta") {
+    import spark.implicits._
+    // order 1: total 3.30, lines price to 220 + 110 cents → delta 0
+    // order 2: total 5.00, one line prices to 330 → delta +170
+    // order 3: total 1.00, NO lines → delta +100, no_lines
+    val orders = Seq((1L, 3.30), (2L, 5.00), (3L, 1.00))
+      .toDF("o_orderkey", "o_totalprice")
+    // line cents: 2.00·(1−0)·(1+0.1) = 2.20 → 220; 1.10 flat → 110;
+    // 3.00·(1−0)·(1+0.1) = 3.30 → 330
+    val lines = Seq((1L, 2.00, 0.0, 0.1), (1L, 1.10, 0.0, 0.0),
+      (2L, 3.00, 0.0, 0.1))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val r = try Relational.ledgerReconOn(orders, lines).collect()(0)
+      finally graft.CachedFrames.drain()
+    // |deltas| sorted [0, 100, 170]: p50 rank 2 → 100, p99 rank 3 → 170
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) ===
+      ((3L, 1L, 1.0 / 3.0, 1L, 270L, 100L, 170L, 170L)))
+  }
+
   test("q205 ABC: the boundary-crossing customer stays in the richer " +
     "class (exact 80% boundary exercised), shares are exact divisions, " +
     "and a null custkey is excluded") {
