@@ -2630,10 +2630,15 @@ object Events {
     * `day % period` — series-generic (q225 reuses it on calendar months
     * of revenue cents). */
   private[graft] def seasonalAnovaOn(dense: DataFrame,
-      period: Int): DataFrame = {
+      period: Int): DataFrame =
+    anovaOfGroups(dense.select((col("day") % period).as("g"), col("c")))
+
+  /** The same core over ANY pre-grouped (g, c) observation frame —
+    * group-generic (q237's stratification DEFF runs it with g = source,
+    * c = quantized quality). */
+  private[graft] def anovaOfGroups(obs: DataFrame): DataFrame = {
     val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-    val g = graft.CachedFrames.track(
-      dense.select((col("day") % period).as("g"), col("c")))
+    val g = graft.CachedFrames.track(obs)
     val per = g.groupBy(col("g"))
       .agg(count(lit(1)).as("ng"), sum(col("c")).as("sg"))
     val tot = g.agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
@@ -2662,6 +2667,11 @@ object Events {
     * month-of-year = 12). */
   private[graft] def seasonalAnovaSqlFromDense(period: Int): String = s"""
     g AS (SELECT day % $period AS g, c FROM dense),
+    $AnovaSqlFromG"""
+
+  /** The chain over a pre-built `g(g, c)` CTE — [[anovaOfGroups]]'s
+    * oracle face. */
+  private[graft] val AnovaSqlFromG: String = s"""
     per AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
               CAST(sum(c) AS BIGINT) AS sg FROM g GROUP BY 1),
     tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s,
@@ -2696,6 +2706,55 @@ object Events {
   val q222DowEffectSql: String = s"""
     WITH $DailyDenseCte,
     ${seasonalAnovaSqlFromDense(7)}
+  """
+
+  /** q237: STRATIFICATION DESIGN EFFECT — the variance payoff of
+    * source-stratified PROPORTIONAL sampling for estimating mean document
+    * quality: DEFF = Var_prop/Var_srs = SSW/SST = 1 − η² of quality
+    * across sources (exactly the [[anovaOfGroups]] identity, with groups
+    * = sources instead of calendar cells). DEFF 0.8 means a stratified
+    * sample needs 20% fewer documents for the same precision — the
+    * BEFORE-number for q52's stratified sampler and the proportional
+    * baseline q180's Neyman allocator improves on; η² ≈ 0 says
+    * stratifying by source buys nothing for this metric. Lives in Events
+    * next to its core; the quality projection is [[TextOps]]'s (the
+    * init-time reference direction Events→TextOps already exists — the
+    * reverse would re-open the Ols deadlock class).
+    *
+    * Exactness: quality enters quantized at 1e-9 (the q227 convention —
+    * both engines quantize the bitwise-portable score identically); then
+    * the ANOVA core's contract — exact DECIMAL(38,0)/HUGEINT sums, the
+    * ≤|sources|-term between-SS fold in group-key order, single final
+    * divisions. A constant-quality corpus reports NULL η²/F/DEFF.
+    *
+    * Scale shape: ONE scored-corpus pass into a ≤|sources|-row rollup
+    * + a 1-row total; the fold runs over ≤|sources| rows. */
+  def q237SamplingDeff(spark: SparkSession, sfDir: String): DataFrame =
+    anovaOfGroups(graft.ops.TextOps.withQualityStats(
+      Tables.parallelized(Tables(spark, sfDir, "documents")))
+      .select(col("source").as("g"),
+        expr("CAST(floor(quality_score * 1000000000.0D + 0.5D) AS BIGINT)")
+          .as("c")))
+      .select(col("n_obs").as("n_docs"), col("n_groups").as("n_sources"),
+        col("eta2"), col("f_stat"),
+        (lit(1.0) - col("eta2")).as("deff_prop"))
+
+  val q237SamplingDeffSql: String = s"""
+    SELECT n_obs AS n_docs, n_groups AS n_sources, eta2, f_stat,
+      1e0 - eta2 AS deff_prop
+    FROM (
+      WITH g AS (
+        SELECT source AS g,
+          CAST(floor((${graft.ops.TextOps.qualityFromStatsSql})
+            * 1000000000.0 + 0.5) AS BIGINT) AS c
+        FROM (SELECT doc_id, source,
+            ${graft.ops.TextOps.nCharsSql} AS n_chars_m,
+            ${graft.ops.TextOps.nTokensSql} AS n_tokens,
+            CAST(${graft.ops.TextOps.hitsSql("en")} AS DOUBLE) AS n_stop,
+            ${graft.ops.TextOps.nPunctSql} AS n_punct
+          FROM documents)),
+      $AnovaSqlFromG
+    ) t
   """
 
   /** q229: DOW-ADJUSTED DAILY ANOMALY TABLE — every calendar day scored

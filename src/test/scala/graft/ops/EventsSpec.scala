@@ -934,6 +934,14 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     // period > n: every group a singleton → SSB = SST, eta2 = 1, NULL F
     // (n = k leaves no within degrees of freedom)
     assert(run(Seq(1L, 9L), 7) === ((2L, 2L, Some(1.0), None)))
+    // the group-generic face (q237's path) with STRING group keys folds
+    // in key order and reproduces the same exact numbers
+    val sg = Seq(("a", 1L), ("b", 5L), ("a", 3L), ("b", 3L))
+      .toDF("g", "c")
+    val rs = Events.anovaOfGroups(sg).collect()(0)
+    graft.CachedFrames.drain()
+    assert((rs.getLong(0), rs.getLong(1), rs.getDouble(2),
+      rs.getDouble(3)) === ((4L, 2L, 0.5, 2.0)))
   }
 
   test("q229 dow residuals: a planted spike flags on the exact integer " +
