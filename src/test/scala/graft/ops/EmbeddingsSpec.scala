@@ -888,6 +888,39 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     assert(run(two, ident) === ((2L, 0.5)))
   }
 
+  test("q234 RBO property: random overlapping rankings across several " +
+    "queries match the plain-Scala mirror fold bitwise (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(647)
+    (1 to 4).foreach { _ =>
+      val nq = 1 + rnd.nextInt(3)
+      def ranking(qid: Long): Seq[(Long, Long, Int)] = {
+        val pool = rnd.shuffle((1L to 15L).toList).take(10)
+        pool.zipWithIndex.map { case (c, i) => (qid, c, i + 1) }
+      }
+      val a = (1L to nq).flatMap(ranking)
+      val b = (1L to nq).flatMap(ranking)
+      // mirror: per qid, fold W_max(ra,rb) over (m, cand) asc, / norm;
+      // mean folds qid-ascending over queries present in a
+      val bm = b.map(t => (t._1, t._2) -> t._3).toMap
+      var s = 0.0
+      (1L to nq).foreach { q =>
+        val items = a.filter(_._1 == q)
+          .flatMap(t => bm.get((q, t._2)).map(rb =>
+            (math.max(t._3, rb), t._2)))
+          .sortBy(identity)
+        var pq = 0.0
+        items.foreach { case (m, _) => pq += Embeddings.RboW(m - 1) }
+        s += pq / Embeddings.RboNorm
+      }
+      val exp = s / nq.toDouble
+      val r = Embeddings.rboOn(a.toDF("qid", "cand_id", "ra"),
+        b.toDF("qid", "cand_id", "rb")).collect()(0)
+      graft.CachedFrames.drain()
+      assert((r.getLong(0), r.getDouble(1)) === ((nq.toLong, exp)))
+    }
+  }
+
   test("q230 embedding health: exact norm picks on the lattice, n copies " +
     "of one vector cohere at exactly 1, an orthogonal basis at exactly " +
     "1/n") {

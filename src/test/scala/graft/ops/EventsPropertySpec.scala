@@ -92,4 +92,47 @@ class EventsPropertySpec extends AnyFunSuite with SparkSpec {
       ScTest.Parameters.default.withMinSuccessfulTests(6), prop)
     assert(res.passed, res.status.toString)
   }
+
+  // (group, value) observations; tiny values keep every intermediate
+  // below 2^53 so the mirror's doubles are exact by construction
+  private val groupedGen: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.choose(2, 12)
+    gs <- Gen.listOfN(n, Gen.choose(0L, 3L))
+    cs <- Gen.listOfN(n, Gen.choose(1L, 6L))
+  } yield gs.zip(cs)
+
+  test("q222/q225/q237 ANOVA property: eta2 and F bitwise equal the " +
+    "plain-Scala mirror (group-key-ordered fold) on random grouped " +
+    "observations; constant input -> NULL/NULL") {
+    val prop = Prop.forAllNoShrink(groupedGen) { obs =>
+      val n = obs.size
+      val s = obs.map(o => BigInt(o._2)).sum
+      val c2 = obs.map(o => BigInt(o._2) * o._2).sum
+      val sstn = BigInt(n) * c2 - s * s
+      val nsst = (BigInt(n) * sstn).toDouble
+      var ssb = 0.0
+      obs.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+        val ng = rows.size
+        val sg = rows.map(r => BigInt(r._2)).sum
+        val x = (BigInt(n) * sg - BigInt(ng) * s).toDouble
+        ssb += x * x / ng.toDouble
+      }
+      val k = obs.map(_._1).distinct.size
+      val expEta = if (sstn > 0) Some(ssb / nsst) else None
+      val expF = if (sstn > 0 && k > 1 && n > k && (nsst - ssb) > 0)
+        Some((ssb / (k - 1).toDouble) / ((nsst - ssb) / (n - k).toDouble))
+      else None
+      import spark.implicits._
+      val r = Events.anovaOfGroups(obs.toDF("g", "c")).collect()(0)
+      graft.CachedFrames.drain()
+      val got = (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+      Prop(got == ((n.toLong, k.toLong, expEta, expF))) :|
+        s"anova on $obs: $got vs ($n, $k, $expEta, $expF)"
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

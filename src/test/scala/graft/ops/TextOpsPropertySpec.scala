@@ -444,4 +444,41 @@ class TextOpsPropertySpec extends AnyFunSuite with SparkSpec {
     val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
   }
+
+  // random corpora: 1..12 docs with distinct ids and 1..5 words from a
+  // 6-token alphabet (heavy type reuse so first-appearance ranks matter)
+  private val growthCorpusGen: Gen[Seq[(Long, String)]] = for {
+    n <- Gen.choose(1, 12)
+    ids <- Gen.pick(n, 1L to 40L)
+    texts <- Gen.listOfN(n, for {
+      m <- Gen.choose(1, 5)
+      ws <- Gen.listOfN(m, Gen.choose(0, 5).map(i => s"w$i"))
+    } yield ws.mkString(" "))
+  } yield ids.toSeq.zip(texts)
+
+  test("q232 vocab-growth property: every decile row equals brute-force " +
+    "prefix distinct-counting over the doc_id order on random corpora") {
+    val prop = Prop.forAllNoShrink(growthCorpusGen) { docs =>
+      val d = docs.size.toLong
+      val ordered = docs.sortBy(_._1)
+      def vocabAt(prefix: Int): Long = ordered.take(prefix)
+        .flatMap(_._2.trim.split("\\s+")).distinct.size.toLong
+      val expected = (1L to 10L).map { k =>
+        val cut = ((k * d + 9) / 10).toInt
+        val prev = (((k - 1) * d + 9) / 10).toInt
+        (k, cut.toLong, vocabAt(cut),
+          if (k == 1L) vocabAt(cut) else vocabAt(cut) - vocabAt(prev))
+      }
+      import spark.implicits._
+      val got = TextOps.vocabGrowthOn(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      graft.CachedFrames.drain()
+      Prop(got == expected) :| s"growth on $docs: $got vs $expected"
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
