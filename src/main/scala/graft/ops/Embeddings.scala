@@ -71,7 +71,13 @@ object Embeddings {
       .select(col("id1"), col("id2"), col("rk"), col("cos"))
   }
 
-  val q29KnnBruteSql: String = s"""
+  /** The brute-truth oracle CTE at an EXPLICIT depth — metrics whose
+    * definition needs a truth ranking deeper than [[DefaultAnn.topK]]
+    * (nDCG@10, RBO@10) interpolate this at their own depth so the truth
+    * side actually carries `depth` graded rows per query (sourcing them
+    * from the fixed 5-deep default silently capped perfect retrieval
+    * below 1 — the round-14 advisory finding). */
+  def q29KnnBruteSqlAt(depth: Int): String = s"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
     n AS (
@@ -89,8 +95,10 @@ object Embeddings {
       SELECT id1, id2, cos,
         row_number() OVER (PARTITION BY id1 ORDER BY cos DESC, id2 ASC) AS rk
       FROM p)
-    SELECT id1, id2, CAST(rk AS INTEGER) AS rk, cos FROM r WHERE rk <= ${DefaultAnn.topK}
+    SELECT id1, id2, CAST(rk AS INTEGER) AS rk, cos FROM r WHERE rk <= $depth
   """
+
+  val q29KnnBruteSql: String = q29KnnBruteSqlAt(DefaultAnn.topK)
 
   /** Hyperplane ±1 sign matrix, precomputed ONCE on the driver (the signs
     * are data-independent — deriving them per row, as the first version did,
@@ -491,9 +499,12 @@ object Embeddings {
     * discounts 1/log₂(i+1) are computed ONCE here and interpolated as
     * identical literals into both engines (the [[graft.ops.Events.BenfordP]]
     * discipline — the engines never run their own log); IDCG at full
-    * depth is likewise ONE precomputed literal (every query has ≥ depth
-    * exact-truth rows by the q29 contract, so the ideal ranking is always
-    * complete). */
+    * depth is likewise ONE precomputed literal — legitimate because the
+    * truth side is EXPLICITLY built at this depth (q29's core with
+    * topK = [[NdcgDepth]], not the 5-deep scoreboard default: sourcing
+    * truth at the default depth silently capped perfect retrieval at
+    * ~0.83, the round-14 advisory finding), so every query really has
+    * depth graded rows and the ideal ranking is always complete. */
   private[ops] val NdcgDepth = 10
   private[ops] val NdcgDisc: Seq[Double] =
     (1 to NdcgDepth).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
@@ -522,7 +533,7 @@ object Embeddings {
     * (work = |cell| per query, never corpus²); the hit join keys on
     * (qid, id); the folds run over ≤|queries| rows. */
   def q231Ndcg(spark: SparkSession, sfDir: String): DataFrame = {
-    val truth = q29KnnBrute(spark, sfDir).filter(col("rk") <= NdcgDepth)
+    val truth = q29KnnBrute(spark, sfDir, DefaultAnn.copy(topK = NdcgDepth))
       .select(col("id1").as("tqid"), col("id2").as("true_id"),
         (lit(NdcgDepth + 1) - col("rk")).cast("long").as("rel"))
     val assigned = assignedCells(spark, sfDir)
@@ -583,7 +594,7 @@ object Embeddings {
     truth AS (
       SELECT id1 AS qid, id2 AS true_id,
         CAST($NdcgDepth + 1 - rk AS BIGINT) AS rel
-      FROM ($q29KnnBruteSql) WHERE rk <= $NdcgDepth),
+      FROM (${q29KnnBruteSqlAt(NdcgDepth)})),
     pq AS (
       SELECT c.qid,
         list_reduce(list_prepend(0e0,
@@ -729,12 +740,16 @@ object Embeddings {
     * (m, cand_id)-ascending and the cross-query mean qid-ascending (the
     * ordered-fold idiom twice, as q231).
     *
-    * Scale shape: truth is the query-batch-bounded declared baseline;
+    * Scale shape: truth is the query-batch-bounded declared baseline
+    * built EXPLICITLY at depth [[RboDepth]] (q29's core with topK = 10 —
+    * sourcing it from the 5-deep scoreboard default left the numerator
+    * structurally short of the 10-deep normalizer and capped the score
+    * at ~0.8, the round-14 advisory finding);
     * the Hamming ranking is q169's declared bounded-batch scan at 16
     * bytes/candidate; the agreement join keys on (qid, id); folds run
     * over ≤|queries| rows. */
   def q234RankAgreement(spark: SparkSession, sfDir: String): DataFrame = {
-    val truth = q29KnnBrute(spark, sfDir).filter(col("rk") <= RboDepth)
+    val truth = q29KnnBrute(spark, sfDir, DefaultAnn.copy(topK = RboDepth))
       .select(col("id1").as("qid"), col("id2").as("cand_id"),
         col("rk").cast("int").as("ra"))
     val bin = binaryAnnOn(graft.CachedFrames.track(vecs(spark, sfDir)),
@@ -778,7 +793,7 @@ object Embeddings {
     WITH $binaryRankSqlCtes,
     truth AS (
       SELECT id1 AS qid, id2 AS cand_id, CAST(rk AS INTEGER) AS ra
-      FROM ($q29KnnBruteSql) WHERE rk <= $RboDepth),
+      FROM (${q29KnnBruteSqlAt(RboDepth)})),
     bin AS (
       SELECT qid, cand_id, CAST(rk AS INTEGER) AS rb
       FROM brank WHERE rk <= $RboDepth),
@@ -3443,8 +3458,10 @@ object Embeddings {
           AS qv
       FROM embeddings),
     nm AS (SELECT vec_id,
-             CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT)
-               AS norm2
+             -- coalesce: list_sum over an EMPTY list is NULL in DuckDB,
+             -- while the Spark side's aggregate folds from seed 0L
+             CAST(coalesce(list_sum(list_transform(qv, v -> v * v)), 0)
+               AS BIGINT) AS norm2
            FROM t),
     r AS (SELECT norm2, row_number() OVER (ORDER BY norm2, vec_id) AS rk,
             count(*) OVER () AS n_vecs

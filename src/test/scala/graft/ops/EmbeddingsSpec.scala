@@ -921,6 +921,39 @@ class EmbeddingsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q231/q234 truth wiring: the shipped truth side carries exactly " +
+    "depth rows per query, and the shipped truth self-agrees under the " +
+    "RBO core at exactly 1 (round-14 advisory depth regression)") {
+    // Under the pre-r15 wiring (truth sourced from the 5-deep scoreboard
+    // default) every assertion below fails: per-query truth depth reads
+    // 5, and the self-RBO caps at sum(RboW(0..4))/RboNorm ≈ 0.797.
+    val sf = "/root/testdata/sf0.001"
+    val truth = try {
+      Embeddings.q29KnnBrute(spark, sf,
+          Embeddings.DefaultAnn.copy(topK = Embeddings.RboDepth))
+        .groupBy(col("id1"))
+        .agg(count(lit(1)).as("n"), max(col("rk")).as("maxrk"))
+        .collect()
+    } finally graft.CachedFrames.drain()
+    assert(truth.nonEmpty)
+    truth.foreach { r =>
+      assert(r.getLong(1) === Embeddings.RboDepth.toLong)
+      assert(r.getInt(2) === Embeddings.RboDepth)
+    }
+    assert(Embeddings.RboDepth === Embeddings.NdcgDepth) // one check covers both
+    val t = try {
+      Embeddings.q29KnnBrute(spark, sf,
+          Embeddings.DefaultAnn.copy(topK = Embeddings.RboDepth))
+        .select(col("id1").as("qid"), col("id2").as("cand_id"),
+          col("rk").cast("int").as("ra"))
+    } finally {}
+    val self = try Embeddings.rboOn(t,
+        t.withColumnRenamed("ra", "rb")).collect()(0)
+      finally graft.CachedFrames.drain()
+    assert(self.getLong(0) === truth.length.toLong)
+    assert(self.getDouble(1) === 1.0) // EXACT: numerator fold IS the normalizer
+  }
+
   test("q230 embedding health: exact norm picks on the lattice, n copies " +
     "of one vector cohere at exactly 1, an orthogonal basis at exactly " +
     "1/n") {
