@@ -508,6 +508,88 @@ object ExtendSubstrIndex {
   }
 }
 
+/** Job 12f — materialize the GRAPH INDEX of a standing corpus (its
+  * winnowed fingerprint postings plus the df and capped-size rollups —
+  * [[graft.ops.TextOps.graphIndexFps]] and friends), so the containment
+  * graph family stops re-winnowing the corpus text every run — the graph
+  * sibling of BuildCorpusIndex/BuildSubstrIndex:
+  *
+  *   runMain graft.cli.BuildGraphIndex --input docs.parquet --output /tmp/gx
+  *
+  * Writes `<out>/fps` (doc_id, fp), `<out>/df` (fp, fdf), `<out>/sizes`
+  * (doc_id, n_fp). At 100 TB the postings are a fraction of the corpus
+  * (winnowing keeps ~1/W of the gram hashes, no text). */
+object BuildGraphIndex {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-build-graph-index") { spark =>
+    val docs = graft.Tables.parallelized(spark.read.parquet(a("input")))
+      .select(col("doc_id"), col("text"))
+    try {
+      val fps = graft.CachedFrames.track(graft.ops.TextOps.graphIndexFps(docs))
+      fps.write.mode("overwrite").parquet(s"${a("output")}/fps")
+      graft.ops.TextOps.graphIndexDfOf(fps)
+        .write.mode("overwrite").parquet(s"${a("output")}/df")
+      graft.ops.TextOps.graphIndexSizesOf(fps)
+        .write.mode("overwrite").parquet(s"${a("output")}/sizes")
+    } finally graft.CachedFrames.drain()
+    }
+  }
+}
+
+/** Job 12g — admit a document batch against a persisted graph index (job
+  * 12f's output): the batch's INCIDENT containment edges under the grown
+  * corpus — exactly the from-scratch edges of base ∪ batch restricted to
+  * pairs touching a batch doc, computed from |batch| text plus bounded
+  * index lookups ([[graft.ops.TextOps.graphAdmitAgainstIndex]]):
+  *
+  *   runMain graft.cli.AdmitDocs --input batch.parquet --index /tmp/gx \
+  *     --output /tmp/edges
+  */
+object AdmitDocs {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-admit-docs") { spark =>
+    val batch = graft.Tables.parallelized(spark.read.parquet(a("input")))
+      .select(col("doc_id"), col("text"))
+    val idx = a("index")
+    try graft.ops.TextOps.graphAdmitAgainstIndex(batch,
+        spark.read.parquet(s"$idx/fps"), spark.read.parquet(s"$idx/df"),
+        spark.read.parquet(s"$idx/sizes"))
+      .write.mode("overwrite").parquet(a("output"))
+    finally graft.CachedFrames.drain()
+    }
+  }
+}
+
+/** Job 12h — extend a persisted graph index with an admitted batch:
+  * postings append + df count-merge + capped-size adjustment, never a
+  * re-scan of base text. The law (GraphIndexSpec + CliSpec): every table
+  * of extend(build(base), batch) equals the from-scratch
+  * build(base ∪ batch) for doc_id-disjoint inputs.
+  *
+  *   runMain graft.cli.ExtendGraphIndex --index /tmp/gx \
+  *     --batch batch.parquet --output /tmp/gx2
+  */
+object ExtendGraphIndex {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-extend-graph-index") { spark =>
+    val idx = a("index")
+    val batch = graft.Tables.parallelized(spark.read.parquet(a("batch")))
+      .select(col("doc_id"), col("text"))
+    try {
+      val (fps2, df2, sizes2) = graft.ops.TextOps.graphIndexExtend(
+        spark.read.parquet(s"$idx/fps"), spark.read.parquet(s"$idx/df"),
+        spark.read.parquet(s"$idx/sizes"), batch)
+      fps2.write.mode("overwrite").parquet(s"${a("output")}/fps")
+      df2.write.mode("overwrite").parquet(s"${a("output")}/df")
+      sizes2.write.mode("overwrite").parquet(s"${a("output")}/sizes")
+    } finally graft.CachedFrames.drain()
+    }
+  }
+}
+
 /** Tokenizer TRAINING job — run q97's merge loop over a (doc_id, text)
   * corpus and persist the merge table (rank, pair, n) as the tokenizer
   * artifact: the text pipeline's model sink (S4), same save/load-then-apply
@@ -789,7 +871,17 @@ object ReleaseReport {
   * dominates every individual graph query, and here its tracked output is
   * materialized once and shared by all five consumers plus the artifact
   * write. Every table is the SAME core its gate query runs (CliSpec pins
-  * one against the op directly), so report numbers cannot drift. */
+  * one against the op directly), so report numbers cannot drift.
+  *
+  * `--index <dir>`: read a persisted graph index (BuildGraphIndex /
+  * ExtendGraphIndex output) and compute the edges FROM ITS POSTINGS
+  * instead of re-winnowing `--input`'s text — the nightly-report face of
+  * the incremental trio. The edges are identical by the
+  * containmentFromPostings law (CliSpec pins the equality); at 100 TB
+  * this replaces the corpus text scan + per-gram hashing with one df
+  * rollup over the compact postings. `--input` is still read for the
+  * document METADATA consumers (modularity's labels, split-leakage's doc
+  * roster) — a column-pruned scan that never touches text. */
 object GraphReport {
   def main(args: Array[String]): Unit = {
     val a = Cli.parse(args)
@@ -798,8 +890,12 @@ object GraphReport {
       val docs = graft.Tables.parallelized(spark.read.parquet(a("input")))
       val out = a("output")
       try {
-        val pairs = graft.ops.TextOps.containmentOn(
-          docs.select(col("doc_id"), col("text")))
+        val pairs = a.get("index") match {
+          case Some(idx) => graft.ops.TextOps.containmentFromPostings(
+            graft.Tables.parallelized(spark.read.parquet(s"$idx/fps")))
+          case None => graft.ops.TextOps.containmentOn(
+            docs.select(col("doc_id"), col("text")))
+        }
         val ids = pairs.select(col("id1"), col("id2"))
         pairs.coalesce(1).write.mode("overwrite").parquet(s"$out/edges")
         graft.ops.TextOps.pagerankOn(ids)

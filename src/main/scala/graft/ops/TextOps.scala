@@ -754,12 +754,23 @@ object TextOps {
   /** The containment core over ANY (doc_id, text) frame — the shared edge
     * generator for the graph family (q121/q127/q145/q149/q153/q156 and the
     * GraphReport CLI bundle, which materializes it ONCE as an artifact). */
-  private[graft] def containmentOn(docs: DataFrame): DataFrame = {
-    val fps = graft.CachedFrames.track(winnowingOn(docs))
+  private[graft] def containmentOn(docs: DataFrame): DataFrame =
+    containmentFromPostings(graft.CachedFrames.track(winnowingOn(docs)))
+
+  /** The containment edge computation from an ALREADY-WINNOWED postings
+    * frame (doc_id, fp) — split out so a PERSISTED fingerprint index
+    * ([[graphIndexFps]] / [[graft.cli.BuildGraphIndex]]) can feed the
+    * whole graph family without re-winnowing the corpus text: at 100 TB
+    * the text scan + per-gram md5s dominate the generator, while this
+    * path is one df rollup plus the posting join over the compact index.
+    * `dfCap`/`minShared` default to the production constants; fixtures
+    * narrow them to pin the cap-crossing laws with few documents. */
+  private[graft] def containmentFromPostings(fps: DataFrame,
+      dfCap: Int = ContainDfCap, minShared: Int = ContainMinShared): DataFrame = {
     val kept = graft.CachedFrames.track(
       fps.join(
         fps.groupBy(col("fp")).agg(count(lit(1)).as("fdf"))
-          .filter(col("fdf") <= ContainDfCap)
+          .filter(col("fdf") <= dfCap)
           .select(col("fp")),
         "fp"))
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
@@ -773,13 +784,189 @@ object TextOps {
         .filter(col("id1") < col("id2"))
         .groupBy(col("id1"), col("id2"))
         .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= ContainMinShared)
+        .filter(col("n_shared") >= minShared)
         .join(sizes.select(col("doc_id").as("id1"), col("n_fp").as("n1")), "id1")
         .join(sizes.select(col("doc_id").as("id2"), col("n_fp").as("n2")), "id2")
         .select(col("id1"), col("id2"), col("n_shared"),
           (col("n_shared").cast("double") / col("n1").cast("double")).as("contain1"),
           (col("n_shared").cast("double") / col("n2").cast("double")).as("contain2")))
   }
+
+  // --- incremental face of the containment graph (the substr-index
+  // pattern: Build/Admit/Extend with a grown ≡ from-scratch law) ---
+
+  /** The three tables of the persisted GRAPH INDEX of a standing corpus:
+    *
+    *   fps    (doc_id, fp)   — its winnowed fingerprint postings,
+    *   df     (fp, fdf)      — fingerprint document frequencies,
+    *   sizes  (doc_id, n_fp) — per-doc capped fingerprint-set size
+    *                           (docs with zero kept fps are ABSENT,
+    *                           matching the from-scratch rollup).
+    *
+    * `fps` alone determines the other two (and the full edge list, via
+    * [[containmentFromPostings]]); `df` and `sizes` are persisted so an
+    * ADMISSION touches only the batch's own fingerprints plus two slim
+    * lookups, never the full postings. Rebuilding `fps` from a 100 TB
+    * base is the expensive winnowing pass this index exists to avoid;
+    * extension after an admitted batch is postings-append + count-merge
+    * ([[graphIndexExtend]]), never a re-scan of base text. Unlike the
+    * substring index there is NO canonical-order contract — containment
+    * is symmetric in document order — only DISJOINT doc_ids between base
+    * and batch. */
+  private[graft] def graphIndexFps(docs: DataFrame): DataFrame =
+    winnowingOn(docs)
+
+  private[graft] def graphIndexDfOf(fps: DataFrame): DataFrame =
+    fps.groupBy(col("fp")).agg(count(lit(1)).as("fdf"))
+
+  private[graft] def graphIndexSizesOf(fps: DataFrame,
+      dfCap: Int = ContainDfCap): DataFrame =
+    fps.join(graphIndexDfOf(fps).filter(col("fdf") <= dfCap).select(col("fp")),
+        "fp")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+
+  /** Admit a document batch against a persisted graph index: the batch's
+    * INCIDENT containment edges (batch↔base and batch↔batch) under the
+    * GROWN corpus — exactly `containmentOn(base ∪ batch)` restricted to
+    * pairs touching a batch doc (the GraphIndexSpec law), while reading
+    * only |batch| text plus index lookups bounded by the batch's own
+    * fingerprint set.
+    *
+    * The df-cap subtlety the index tables exist for: adding the batch
+    * GROWS document frequencies, so a fingerprint kept under the base df
+    * can cross [[ContainDfCap]] and must be dropped from EVERY doc it
+    * appears in — but only fingerprints PRESENT IN THE BATCH can grow, so
+    * the affected posting set is the index semi-joined to the batch's
+    * fingerprints, and an incident base doc's denominator is its stored
+    * `n_fp` minus its crossings. Base↔base edges whose support shrinks
+    * the same way are the FULL-REFRESH face's job
+    * ([[graft.cli.GraphReport]] `--index`, which recomputes every edge
+    * from the grown postings without touching text).
+    *
+    * Scale shape: winnow |batch| text; ONE semi-join of the postings on
+    * the batch's ≤|batch fps| distinct fingerprints (an index lookup when
+    * the postings are bucketed by fp); df/sizes joins on the same bounded
+    * keys; the pair join runs over relevant postings only. */
+  private[graft] def graphAdmitAgainstIndex(batch: DataFrame, fps: DataFrame,
+      df: DataFrame, sizes: DataFrame, dfCap: Int = ContainDfCap,
+      minShared: Int = ContainMinShared): DataFrame = {
+    val bfps = graft.CachedFrames.track(winnowingOn(batch))
+    val bdf = bfps.groupBy(col("fp")).agg(count(lit(1)).as("bdf"))
+    // grown df for every fingerprint the batch carries (others unchanged);
+    // the df table is first SEMI-JOINED to the batch's fingerprint set so
+    // the lookup streams the index once against a broadcast, instead of
+    // shuffling the whole corpus-wide count table into a left join
+    val dfRel = df.join(broadcast(bfps.select(col("fp")).distinct()),
+      Seq("fp"), "left_semi")
+    val grown = graft.CachedFrames.track(
+      bdf.join(dfRel, Seq("fp"), "left")
+        .select(col("fp"), col("bdf"),
+          (coalesce(col("fdf"), lit(0L)) + col("bdf")).as("gdf")))
+    val keptFp = grown.filter(col("gdf") <= dfCap).select(col("fp"))
+    val bKept = graft.CachedFrames.track(bfps.join(keptFp, "fp"))
+    val baseRel = graft.CachedFrames.track(
+      fps.join(broadcast(bfps.select(col("fp")).distinct()), Seq("fp"),
+        "left_semi"))
+    val baseKept = baseRel.join(keptFp, "fp")
+    // denominators under the grown df: batch docs from their kept counts;
+    // base docs from stored sizes minus cap-crossings (df only grows, so
+    // no fingerprint un-drops)
+    val crossings = baseRel
+      .join(grown.filter(col("gdf") > dfCap && col("gdf") - col("bdf") <= dfCap)
+        .select(col("fp")), "fp")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cross"))
+    val nB = bKept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val nBase = sizes.join(baseRel.select(col("doc_id")).distinct(), "doc_id")
+      .join(crossings, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_fp") - coalesce(col("n_cross"), lit(0L))).as("n_fp"))
+    val n = graft.CachedFrames.track(nB.union(nBase))
+    // incident pairs: batch↔base (both orders of the id sort) ∪ batch↔batch
+    val others = baseKept.union(bKept)
+    val pairs = bKept.select(col("doc_id").as("ida"), col("fp"))
+      .join(others.select(col("doc_id").as("idb"), col("fp")), "fp")
+      .filter(col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"), col("fp"))
+      .distinct() // batch↔batch pairs arrive once per ORDER, not per side
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(n.select(col("doc_id").as("id1"), col("n_fp").as("n1")), "id1")
+      .join(n.select(col("doc_id").as("id2"), col("n_fp").as("n2")), "id2")
+      .select(col("id1"), col("id2"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n1").cast("double")).as("contain1"),
+        (col("n_shared").cast("double") / col("n2").cast("double")).as("contain2"))
+  }
+
+  /** Extend a persisted graph index with an admitted batch — postings
+    * append + count merge + size adjustment, NEVER a re-scan of base
+    * text. The law (GraphIndexSpec + CliSpec): for doc_id-disjoint base
+    * and batch, every table of extend(build(base), batch) equals the
+    * from-scratch build(base ∪ batch). */
+  private[graft] def graphIndexExtend(fps: DataFrame, df: DataFrame,
+      sizes: DataFrame, batch: DataFrame, dfCap: Int = ContainDfCap)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val bfps = graft.CachedFrames.track(winnowingOn(batch))
+    val bdf = graft.CachedFrames.track(
+      bfps.groupBy(col("fp")).agg(count(lit(1)).as("bdf")))
+    val fps2 = fps.union(bfps)
+    val df2 = df.join(bdf, Seq("fp"), "full_outer")
+      .select(col("fp"),
+        (coalesce(col("fdf"), lit(0L)) + coalesce(col("bdf"), lit(0L)))
+          .as("fdf"))
+    // batch docs: kept counts under the grown df; base docs: stored size
+    // minus crossings (fingerprints the batch pushed over the cap); df is
+    // semi-joined to the batch fingerprints first, as in the admit path
+    val grown = bdf.join(
+        df.join(broadcast(bfps.select(col("fp")).distinct()), Seq("fp"),
+          "left_semi"),
+        Seq("fp"), "left")
+      .select(col("fp"), col("bdf"),
+        (coalesce(col("fdf"), lit(0L)) + col("bdf")).as("gdf"))
+    val sizesB = bfps.join(grown.filter(col("gdf") <= dfCap).select(col("fp")),
+        "fp")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val crossings = fps
+      .join(broadcast(
+        grown.filter(col("gdf") > dfCap && col("gdf") - col("bdf") <= dfCap)
+          .select(col("fp"))), Seq("fp"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cross"))
+    val sizes2 = sizes.join(crossings, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_fp") - coalesce(col("n_cross"), lit(0L))).as("n_fp"))
+      .filter(col("n_fp") > 0)
+      .union(sizesB)
+    (fps2, df2, sizes2)
+  }
+
+  /** q238: the graph-index ADMISSION as an oracle-gated query — a fixed
+    * deterministic split of the corpus (batch = doc_id % 5 = 0, base =
+    * the rest) run through the production build→admit path, compared to
+    * the from-scratch grown-corpus edges restricted to batch-incident
+    * pairs. The oracle recomputes the whole thing from raw text (q68's
+    * SQL + the incident filter), so a hash match proves the incremental
+    * path reproduces the from-scratch generator exactly — including the
+    * df-cap-crossing bookkeeping. */
+  def q238GraphAdmit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val fps = graft.CachedFrames.track(graphIndexFps(base))
+    val df = graft.CachedFrames.track(graphIndexDfOf(fps))
+    val sizes = graphIndexSizesOf(fps)
+    graphAdmitAgainstIndex(batch, fps, df, sizes)
+  }
+
+  // lazy: q68ContainmentSql is declared LATER in this object; a strict val
+  // here would interpolate null at object-init time
+  lazy val q238GraphAdmitSql: String = s"""
+    SELECT id1, id2, n_shared, contain1, contain2
+    FROM ($q68ContainmentSql)
+    WHERE id1 % 5 = 0 OR id2 % 5 = 0
+  """
 
   val q68ContainmentSql: String = s"""
     WITH fp AS (SELECT * FROM ($q67WinnowingSql)),

@@ -825,6 +825,50 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(gotPr === expPr)
   }
 
+  test("graph-index round-trip: build on the base split, admit the batch " +
+    "≡ the from-scratch incident edges, extend ≡ the from-scratch index, " +
+    "and GraphReport --index reproduces the text-path edges exactly") {
+    import org.apache.spark.sql.functions.col
+    spark // force shared session so the CLI's getOrCreate reuses it
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("cli-gidx").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") % 5 =!= 0).write.parquet(s"$dir/base")
+    docs.filter(col("doc_id") % 5 === 0).write.parquet(s"$dir/batch")
+    BuildGraphIndex.main(Array(
+      "--input", s"$dir/base", "--output", s"$dir/gx"))
+    AdmitDocs.main(Array(
+      "--input", s"$dir/batch", "--index", s"$dir/gx",
+      "--output", s"$dir/edges"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val admitted = rows(spark.read.parquet(s"$dir/edges"))
+    val truth = try rows(graft.ops.TextOps.containmentOn(docs)
+        .filter(col("id1") % 5 === 0 || col("id2") % 5 === 0))
+      finally graft.CachedFrames.drain()
+    assert(admitted === truth)
+    ExtendGraphIndex.main(Array(
+      "--index", s"$dir/gx", "--batch", s"$dir/batch",
+      "--output", s"$dir/gx2"))
+    val full = graft.CachedFrames.track(graft.ops.TextOps.graphIndexFps(docs))
+    try {
+      assert(rows(spark.read.parquet(s"$dir/gx2/fps")) === rows(full))
+      assert(rows(spark.read.parquet(s"$dir/gx2/df")) ===
+        rows(graft.ops.TextOps.graphIndexDfOf(full)))
+      assert(rows(spark.read.parquet(s"$dir/gx2/sizes")) ===
+        rows(graft.ops.TextOps.graphIndexSizesOf(full)))
+    } finally graft.CachedFrames.drain()
+    // GraphReport --index: edges computed from the EXTENDED postings
+    // equal the text-path generator on the full corpus
+    GraphReport.main(Array("--input", s"$sf/documents.parquet",
+      "--index", s"$dir/gx2", "--output", s"$dir/graph"))
+    val viaIndex = rows(spark.read.parquet(s"$dir/graph/edges"))
+    val viaText = try rows(graft.ops.TextOps.containmentOn(docs))
+      finally graft.CachedFrames.drain()
+    assert(viaIndex === viaText)
+  }
+
   test("warehouse-report bundle: all thirteen audit tables land, each " +
     "row-equal to its gate query") {
     val sf = "/root/testdata/sf0.001"
