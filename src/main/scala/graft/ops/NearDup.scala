@@ -648,34 +648,42 @@ object NearDup {
       ORDER BY quality_score DESC, doc_id ASC)
   """
 
-  /** q191: DEDUP-STACK WATERFALL — the three dedup modalities COMPOSED in
+  /** q191: DEDUP-STACK WATERFALL — the four dedup modalities COMPOSED in
     * production order, each stage priced by its MARGINAL token savings:
     * raw → exact whole-document dedup (md5 keep-first) → span/paragraph
-    * dedup (q53's rewrite over the survivors) → substring dedup (q166's
-    * plan over the span-rewritten corpus). The number a curation lead
-    * actually decides with: whole-doc dedup is nearly free, span dedup
-    * costs an LSH pass, substring dedup costs the gram index — the
-    * waterfall says what each ADDITIONAL pass still removes after the
-    * cheaper ones ran, per stage, against the raw-token baseline. This is
-    * also the composability proof: every stage consumes the previous
-    * stage's REWRITE through the same public cores the individual gates
-    * verify (spanDedupOn's kept_text, substrDedupOn's removal plan), so
-    * the oracle recomputes the full composition in SQL.
+    * dedup (q53's rewrite over the survivors) → substring dedup (q184's
+    * rewrite over the span-rewritten corpus) → NEAR-DUP CONSOLIDATION
+    * (q131's keep-best verdicts over the substring-cleaned survivors —
+    * the stage real curation pipelines run LAST, removing the fuzzy
+    * whole-document duplication no exact modality can see). The number a
+    * curation lead actually decides with: whole-doc dedup is nearly
+    * free, span dedup costs an LSH pass, substring dedup costs the gram
+    * index, consolidation costs a second LSH pass + connected
+    * components — the waterfall says what each ADDITIONAL pass still
+    * removes after the cheaper ones ran, per stage, against the
+    * raw-token baseline. This is also the composability proof: every
+    * stage consumes the previous stage's REWRITE through the same public
+    * cores the individual gates verify (spanDedupOn's kept_text,
+    * substrApplyOn's cleaned_text, lshPairsOn + consolidateOn's keep
+    * verdicts), so the oracle recomputes the full composition in SQL.
     *
     * Token measure: size(split(trim(text))) uniformly — the substring
-    * family's convention — so stage 3's Σ(n_tokens − n_removed) is
-    * commensurable with stages 0-2. A doc whose spans all drop leaves the
-    * corpus at stage 2 (n_docs counts content-bearing docs).
+    * family's convention — so every stage's token sum is commensurable.
+    * A doc whose spans all drop leaves the corpus at stage 2; one whose
+    * tokens all drop leaves at stage 3 (n_docs counts content-bearing
+    * docs); stage 4 keeps one whole doc per near-dup cluster.
     *
     * Exactness: every count and token sum is an exact BIGINT; marginals
     * are integer differences; keep_ratio_vs_raw is one exact-cast
-    * division per row. 4 rows out.
+    * division per row. 5 rows out.
     *
     * Scale shape: stage 1 is one md5 rollup (map-side min_by); stage 2 is
     * q53's declared shape (banded LSH, never span×span); stage 3 is
-    * q166's (gram rollup + postings join); each stage's accounting is a
-    * 1-row rollup riding broadcast into the final 4-row stack. The
-    * waterfall adds NO new join shapes — only composition. */
+    * q184's (gram rollup + postings join + per-row array rebuild); stage
+    * 4 is q131's (banded LSH candidates, CC on the FILTERED edge list,
+    * one component-keyed window); each stage's accounting is a 1-row
+    * rollup riding broadcast into the final 5-row stack. The waterfall
+    * adds NO new join shapes — only composition. */
   def q191DedupWaterfall(spark: SparkSession, sfDir: String): DataFrame =
     dedupWaterfallOn(Tables.parallelized(Tables(spark, sfDir, "documents"))
       .select(col("doc_id"), col("text")))
@@ -696,13 +704,25 @@ object NearDup {
       .select(col("doc_id"), col("kept_text").as("text")))
     val a2 = corpus2.agg(count(lit(1)).as("d2"),
       sum(tok(col("text"))).as("t2"))
-    val a3 = graft.ops.TextOps.substrDedupOn(corpus2)
-      .agg(sum(when(col("n_tokens") - col("n_removed") > 0, 1L)
-          .otherwise(0L)).as("d3"),
-        sum(col("n_tokens") - col("n_removed")).as("t3"))
+    // stage 3 now feeds its REWRITE forward (n_kept = n_tokens − n_removed
+    // is the q184-proven identity, so the accounting is unchanged)
+    val corpus3 = graft.CachedFrames.track(
+      graft.ops.TextOps.substrApplyOn(corpus2)
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("cleaned_text").as("text")))
+    val a3 = corpus3.agg(count(lit(1)).as("d3"),
+      sum(tok(col("text"))).as("t3"))
+    val keepers = consolidateOn(
+        graft.ops.TextOps.withQualityStats(corpus3)
+          .select(col("doc_id"), col("quality_score")),
+        lshPairsOn(corpus3).filter(col("true_jaccard") >= ConsolidateTau)
+          .select(col("id1"), col("id2")))
+      .filter(col("keep")).select(col("doc_id"))
+    val a4 = corpus3.join(keepers, "doc_id")
+      .agg(count(lit(1)).as("d4"), sum(tok(col("text"))).as("t4"))
     a0.crossJoin(broadcast(a1)).crossJoin(broadcast(a2))
-      .crossJoin(broadcast(a3))
-      .selectExpr("""stack(4,
+      .crossJoin(broadcast(a3)).crossJoin(broadcast(a4))
+      .selectExpr("""stack(5,
         'raw',       0, d0, t0, CAST(0 AS BIGINT),
           CASE WHEN t0 > 0 THEN 1.0D END,
         'exact_doc', 1, d1, t1, t0 - t1,
@@ -710,13 +730,15 @@ object NearDup {
         'span',      2, d2, t2, t1 - t2,
           CASE WHEN t0 > 0 THEN CAST(t2 AS DOUBLE) / CAST(t0 AS DOUBLE) END,
         'substr',    3, d3, t3, t2 - t3,
-          CASE WHEN t0 > 0 THEN CAST(t3 AS DOUBLE) / CAST(t0 AS DOUBLE) END
+          CASE WHEN t0 > 0 THEN CAST(t3 AS DOUBLE) / CAST(t0 AS DOUBLE) END,
+        'neardup',   4, d4, t4, t3 - t4,
+          CASE WHEN t0 > 0 THEN CAST(t4 AS DOUBLE) / CAST(t0 AS DOUBLE) END
         ) AS (stage, stage_order, n_docs, n_tokens, removed_vs_prev,
               keep_ratio_vs_raw)""")
   }
 
   val q191DedupWaterfallSql: String = s"""
-    WITH raw0 AS (SELECT doc_id, text FROM documents),
+    WITH RECURSIVE raw0 AS (SELECT doc_id, text FROM documents),
     a0 AS (
       SELECT CAST(count(*) AS BIGINT) AS d0,
         CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
@@ -740,13 +762,55 @@ object NearDup {
         CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
           AS t2
       FROM c2),
-    k66 AS (SELECT * FROM (${graft.ops.TextOps.q166SubstrDedupSqlFrom("c2")})),
+    k84 AS (SELECT * FROM (${graft.ops.TextOps.q184SubstrApplySqlFrom("c2")})),
+    c3 AS (SELECT doc_id, cleaned_text AS text FROM k84 WHERE n_kept > 0),
     a3 AS (
-      SELECT
-        CAST(sum(CASE WHEN n_tokens - n_removed > 0 THEN 1 ELSE 0 END)
-          AS BIGINT) AS d3,
-        CAST(sum(n_tokens - n_removed) AS BIGINT) AS t3
-      FROM k66)
+      SELECT CAST(count(*) AS BIGINT) AS d3,
+        CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+          AS t3
+      FROM c3),
+    ${lshCandidateSqlCtes("c3")},
+    jp AS (
+      SELECT p.id1, p.id2
+      FROM pairs p
+      JOIN sig s1 ON p.id1 = s1.doc_id
+      JOIN sig s2 ON p.id2 = s2.doc_id
+      WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+        CAST(len(s1.shingles) + len(s2.shingles)
+             - len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+        >= $ConsolidateTau),
+    e AS (SELECT id1 AS src, id2 AS dst FROM jp UNION SELECT id2, id1 FROM jp),
+    nodesg AS (SELECT DISTINCT src AS id FROM e),
+    reach(a, b) AS (
+      SELECT id, id FROM nodesg
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+    comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+    xq4 AS (
+      SELECT doc_id,
+        ${TextOps.nCharsSql} AS n_chars_m,
+        ${TextOps.nTokensSql} AS n_tokens,
+        CAST(${TextOps.hitsSql("en")} AS DOUBLE) AS n_stop,
+        ${TextOps.nPunctSql} AS n_punct
+      FROM c3),
+    sq4 AS (SELECT doc_id, ${TextOps.qualityFromStatsSql} AS quality_score
+            FROM xq4),
+    fullt AS (
+      SELECT s.doc_id, coalesce(c.component, s.doc_id) AS component,
+        s.quality_score
+      FROM sq4 s LEFT JOIN comp c ON s.doc_id = c.doc_id),
+    keepers AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+          first_value(doc_id) OVER (PARTITION BY component
+            ORDER BY quality_score DESC, doc_id ASC) AS keeper_id
+        FROM fullt)
+      WHERE doc_id = keeper_id),
+    a4 AS (
+      SELECT CAST(count(*) AS BIGINT) AS d4,
+        CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+          AS t4
+      FROM c3 JOIN keepers USING (doc_id))
     SELECT 'raw' AS stage, 0 AS stage_order, d0 AS n_docs, t0 AS n_tokens,
       CAST(0 AS BIGINT) AS removed_vs_prev,
       CASE WHEN t0 > 0 THEN 1.0e0 END AS keep_ratio_vs_raw FROM a0
@@ -762,6 +826,10 @@ object NearDup {
     SELECT 'substr', 3, d3, t3, t2 - t3,
       CASE WHEN t0 > 0 THEN CAST(t3 AS DOUBLE) / CAST(t0 AS DOUBLE) END
     FROM a0, a2, a3
+    UNION ALL
+    SELECT 'neardup', 4, d4, t4, t3 - t4,
+      CASE WHEN t0 > 0 THEN CAST(t4 AS DOUBLE) / CAST(t0 AS DOUBLE) END
+    FROM a0, a3, a4
   """
 
   /** q221: BLOCKING-SCHEME QUALITY — the standard record-linkage blocking

@@ -5071,10 +5071,14 @@ object TextOps {
         array_join(col("kept"), " ").as("cleaned_text"))
   }
 
-  val q184SubstrApplySql: String = s"""
+  val q184SubstrApplySql: String = q184SubstrApplySqlFrom("documents")
+
+  /** q184's oracle parameterized by the source relation — the q191
+    * waterfall composes it over the span-dedup survivors CTE. */
+  private[graft] def q184SubstrApplySqlFrom(from: String): String = s"""
     WITH t AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
-      FROM documents),
+      FROM $from),
     s AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens, arr FROM t),
     g AS (
       SELECT doc_id, CAST(i AS BIGINT) AS pos,

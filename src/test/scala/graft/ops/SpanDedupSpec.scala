@@ -69,7 +69,8 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
 
   test("q191 waterfall: each stage removes exactly its own duplication " +
     "kind — a whole-doc copy at stage 1, a span-aligned repeat at stage " +
-    "2, a mid-offset substring repeat only stage 3 can see") {
+    "2, a mid-offset substring repeat only stage 3 can see, and a fuzzy " +
+    "near-dup pair NO exact stage catches at stage 4") {
     import spark.implicits._
     def toks(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i")
     val block = toks("p", 1, 8).mkString(" ")           // one exact span
@@ -80,16 +81,28 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
     val q8 = toks("q", 1, 8).mkString(" ")
     val d4 = s"${toks("w", 1, 4).mkString(" ")} $q8 ${toks("w", 5, 8).mkString(" ")}"
     val d5 = s"${toks("v", 1, 4).mkString(" ")} $q8 ${toks("v", 5, 8).mkString(" ")}"
-    val docs = Seq((1L, d1), (2L, d1), (3L, d3), (4L, d4), (5L, d5))
-      .toDF("doc_id", "text")
+    // d6/d7: the FUZZY pair — d7 is d6's 6-token prefix. Both are shorter
+    // than SubstrW (no grams → stage 3 blind), not span-aligned copies
+    // (different span text → stage 2's exact pass blind), and their
+    // minhash-ESTIMATED Jaccard is 11/16 = 0.6875 < 0.75 (stage 2's LSH
+    // gate blind) while the TRUE 3-shingle Jaccard is exactly 4/5 ≥ τ =
+    // 0.8 and the signatures share one LSH band — only the consolidation
+    // stage's candidate→exact-verify→keep-best path removes d7 (d6 wins
+    // on quality: −28/34·4 > −24/29·4). Values verified by hand against
+    // the md5/minhash formulas (deterministic — no seed, no flake).
+    val d6 = (1 to 7).map(i => s"n1_$i").mkString(" ")
+    val d7 = (1 to 6).map(i => s"n1_$i").mkString(" ")
+    val docs = Seq((1L, d1), (2L, d1), (3L, d3), (4L, d4), (5L, d5),
+      (6L, d6), (7L, d7)).toDF("doc_id", "text")
     val got = NearDup.dedupWaterfallOn(docs).collect()
       .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getDouble(5)))).toMap
     graft.CachedFrames.drain()
     assert(got === Map(
-      "raw" -> ((0, 5L, 80L, 0L, 1.0)),
-      "exact_doc" -> ((1, 4L, 64L, 16L, 0.8)),   // doc 2 is doc 1 verbatim
-      "span" -> ((2, 4L, 56L, 8L, 0.7)),          // doc 3 loses its block
-      "substr" -> ((3, 4L, 48L, 8L, 0.6))))       // doc 5 loses q1..q8
+      "raw" -> ((0, 7L, 93L, 0L, 1.0)),
+      "exact_doc" -> ((1, 6L, 77L, 16L, 77.0 / 93.0)), // doc 2 = doc 1
+      "span" -> ((2, 6L, 69L, 8L, 69.0 / 93.0)),   // doc 3 loses its block
+      "substr" -> ((3, 6L, 61L, 8L, 61.0 / 93.0)), // doc 5 loses q1..q8
+      "neardup" -> ((4, 5L, 55L, 6L, 55.0 / 93.0)))) // doc 7 consolidated
   }
 }
