@@ -5569,15 +5569,36 @@ object TextOps {
     * audit to run before q51 gates on `pred_lang` or q121 propagates
     * `lang` seeds.
     *
+    * DEGENERACY READOUT (in-row since round 15): the synthetic gate
+    * corpus has no profile-stopword hits, so q23's tie rule collapses
+    * every prediction to 'en' — the grid SHAPE is exercised but not a
+    * real confusion matrix (the multi-class shape lives in CurationSpec
+    * fixtures). Rather than leave that a SCALE.md footnote, every row
+    * now carries the predicted-marginal degeneracy as data:
+    * `n_pred_classes` (distinct predicted labels observed) and
+    * `pred_top_share` (largest predicted-class share — 1.0 IS the
+    * collapse). Both are exact (a count and one exact-cast division) —
+    * no in-engine entropy/log, per the shared-literal discipline.
+    *
     * Exactness and scale shape: [[Curation.contingencyGridOn]] — ONE
     * corpus scan into cached cells, label-space-bounded broadcast grid;
     * the prediction is q23's single-sourced formula ([[scoredDocs]] /
     * the shared SQL fragments), so this grid can never drift from the
-    * gate it audits. */
-  def q207LangConfusion(spark: SparkSession, sfDir: String): DataFrame =
-    Curation.contingencyGridOn(
+    * gate it audits. The degeneracy rollup is one ≤|labels|-row agg
+    * broadcast onto the grid. */
+  def q207LangConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = graft.CachedFrames.track(
       scoredDocs(Tables.parallelized(Tables(spark, sfDir, "documents")))
-        .select(col("lang"), col("pred_lang")), "lang", "pred_lang")
+        .select(col("lang"), col("pred_lang")))
+    val deg = base.groupBy(col("pred_lang")).agg(count(lit(1)).as("cs"))
+      .agg(count(lit(1)).as("n_pred_classes"), max(col("cs")).as("mx"),
+        sum(col("cs")).as("nn"))
+      .select(col("n_pred_classes"),
+        (col("mx").cast("double") / col("nn").cast("double"))
+          .as("pred_top_share"))
+    Curation.contingencyGridOn(base, "lang", "pred_lang")
+      .crossJoin(broadcast(deg))
+  }
 
   val q207LangConfusionSql: String = s"""
     WITH base AS (
@@ -5593,7 +5614,11 @@ object TextOps {
     r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rl FROM cells GROUP BY 1),
     c AS (SELECT pred_lang, CAST(sum(o) AS BIGINT) AS cs
           FROM cells GROUP BY 1),
-    n AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells)
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells),
+    deg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pred_classes,
+        CAST(max(cs) AS DOUBLE) / CAST(sum(cs) AS DOUBLE) AS pred_top_share
+      FROM c)
     SELECT r.lang, c.pred_lang,
       coalesce(cells.o, CAST(0 AS BIGINT)) AS n_obs,
       CAST(CAST(CAST(r.rl AS HUGEINT) * c.cs AS VARCHAR) AS DOUBLE)
@@ -5605,8 +5630,9 @@ object TextOps {
       CAST(CAST(CAST(coalesce(cells.o, CAST(0 AS BIGINT)) AS HUGEINT) * n.nn
           AS VARCHAR) AS DOUBLE)
         / CAST(CAST(CAST(r.rl AS HUGEINT) * c.cs AS VARCHAR) AS DOUBLE)
-        AS lift
-    FROM r CROSS JOIN c CROSS JOIN n
+        AS lift,
+      deg.n_pred_classes, deg.pred_top_share
+    FROM r CROSS JOIN c CROSS JOIN n CROSS JOIN deg
       LEFT JOIN cells ON cells.lang = r.lang
         AND cells.pred_lang = c.pred_lang
   """

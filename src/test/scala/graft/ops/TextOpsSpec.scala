@@ -1391,6 +1391,16 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       assert(got.collect { case ((_, `p`), o) => o }.sum ===
         preds.getOrElse(p, 0L), s"margin $p")
     }
+    // the degeneracy readout is in-row data (round-15): the gate corpus
+    // collapses q23's margin to one class, and the row SAYS so
+    val deg = TextOps.q207LangConfusion(spark, sf)
+      .select(col("n_pred_classes"), col("pred_top_share"))
+      .distinct().collect()
+    graft.CachedFrames.drain()
+    assert(deg.length === 1) // constant per grid
+    assert(deg(0).getLong(0) === preds.keySet.size.toLong)
+    val topShare = preds.values.max.toDouble / preds.values.sum.toDouble
+    assert(deg(0).getDouble(1) === topShare)
   }
 
   test("q196 refresh law: under an immutable doc roster, the per-class " +
