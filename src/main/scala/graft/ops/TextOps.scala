@@ -4707,6 +4707,184 @@ object TextOps {
     FROM r GROUP BY 1
   """
 
+  /** q239 tuning: the forecast lattice scale (2²⁴ — float-mantissa exact,
+    * the [[Embeddings.CentroidQuantScale]] convention). */
+  private[ops] val BrierScale = 16777216L
+
+  /** q239: RELIABILITY TABLE + BRIER DECOMPOSITION — the calibration
+    * companion q185/q167 lack: AP and AUC say the score RANKS duplicates
+    * well; this says whether the score's probability reading is honest
+    * ("is 0.8 actually 80%?"). The forecast is the quality score squashed
+    * onto the open unit interval by the RATIONAL sigmoid p = 0.5 +
+    * 0.5·q/(1+|q|) — pure +,|·|,/,· (exactly-rounded IEEE ops; no
+    * in-engine exp, per the shared-literal discipline) — then floored to
+    * the 2²⁴ lattice, WHICH IS the forecast by definition (the q192
+    * quantize-then-measure contract). The outcome is the exact-duplicate
+    * label (digest group ≥ 2, q167's). Per forecast-decile: size, mean
+    * forecast, observed dup rate, gap; plus the corpus-constant Murphy
+    * terms on every row (the q207 convention): brier = (1/N)Σ(p−o)²,
+    * reliability = (1/N)Σₖnₖ(p̄ₖ−ōₖ)², resolution = (1/N)Σₖnₖ(ōₖ−ō)²,
+    * uncertainty = ō(1−ō). (With non-constant forecasts inside a bin,
+    * brier = rel − res + unc + within-bin forecast variance — the
+    * residual is the reader's, not hidden.)
+    *
+    * Exactness: per-bin Σ(P−oS)², (A−DS)² and (DN−Onk)² are exact
+    * DECIMAL(38,0)/HUGEINT integers (bounds: N·S² ≤ 1e38 holds past
+    * 1e22 docs; the REL/RES numerators square N·S-sized terms, exact to
+    * N ≈ 1e12 at this lattice — the q185 bound discipline); each bin
+    * contributes ONE double division, and the ≤10-term cross-bin sums
+    * fold decile-ascending in both engines (the q231 ordered-fold
+    * idiom). All remaining outputs are single divisions of exact-cast
+    * integers.
+    *
+    * Scale shape: q176's exactly — one scored+digested projection
+    * (cached), one map-side digest rollup, one digest-keyed join back,
+    * the ungrouped bucketed [[DistRank]] layout with
+    * [[DistRank.ntileOfRank]] integer rank arithmetic (NO global-ORDER
+    * window — PlanSpec pins it), a 10-row bin rollup, and two broadcast
+    * 1-row summaries. */
+  def q239BrierCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = graft.CachedFrames.track(withQualityStats(
+      Tables.parallelized(Tables(spark, sfDir, "documents")))
+      .select(col("doc_id"), md5(col("text")).as("dg"),
+        col("quality_score").as("q")))
+    val dups = scored.groupBy(col("dg")).agg(count(lit(1)).as("cnt"))
+    val labeled = scored.join(dups, "dg")
+      .select(col("doc_id"), col("q"),
+        when(col("cnt") >= 2, 1L).otherwise(0L).as("o"))
+    brierCalibrationOn(labeled)
+  }
+
+  /** The calibration core over ANY (doc_id, q, o ∈ {0,1}) frame —
+    * fixture-testable against a plain-Scala mirror. */
+  private[graft] def brierCalibrationOn(labeled: DataFrame): DataFrame = {
+    val S = BrierScale
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val docs2 = graft.CachedFrames.track(labeled.select(col("doc_id"),
+      col("q"), col("o"),
+      expr(s"CAST(floor((0.5D + 0.5D * (q / (1.0D + abs(q)))) * $S.0D) " +
+        "AS BIGINT)").as("pf")))
+    val n = docs2.agg(count(lit(1)).as("_n"))
+    val bins = graft.CachedFrames.track(
+      DistRank.withBucketedRank(docs2, Nil, "q", Seq("doc_id"), "_rank")
+        .crossJoin(broadcast(n))
+        .withColumn("decile",
+          DistRank.ntileOfRank("_rank", "_n", CalibrationBuckets))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("pf")).as("a"),
+          sum(col("o")).as("dd"),
+          sum(d38(col("pf") - col("o") * S)
+            * d38(col("pf") - col("o") * S)).as("sq")))
+    val tot = bins.agg(sum(col("n_docs")).as("nn"), sum(col("dd")).as("oo"),
+      sum(col("sq")).as("sqs"))
+    val terms = bins.crossJoin(broadcast(tot))
+      .select(col("decile"),
+        (d38(col("a") - col("dd") * S) * d38(col("a") - col("dd") * S))
+          .cast("double")./(col("n_docs").cast("double")).as("relterm"),
+        ((d38(col("dd")) * d38(col("nn")) - d38(col("oo")) * d38(col("n_docs")))
+          * (d38(col("dd")) * d38(col("nn")) - d38(col("oo")) * d38(col("n_docs"))))
+          .cast("double")./(col("n_docs").cast("double")).as("resterm"))
+    val folded = terms.agg(
+      expr("""aggregate(transform(sort_array(collect_list(struct(decile,
+        | relterm))), x -> x.relterm), 0.0D, (acc, x) -> acc + x)"""
+        .stripMargin).as("rels"),
+      expr("""aggregate(transform(sort_array(collect_list(struct(decile,
+        | resterm))), x -> x.resterm), 0.0D, (acc, x) -> acc + x)"""
+        .stripMargin).as("ress"))
+    val summary = tot.crossJoin(broadcast(folded)).select(
+      (col("sqs").cast("double")
+        / (d38(col("nn")) * S * S).cast("double")).as("brier"),
+      (col("rels") / (d38(col("nn")) * S * S).cast("double"))
+        .as("reliability"),
+      (col("ress") / (d38(col("nn")) * d38(col("nn")) * d38(col("nn")))
+        .cast("double")).as("resolution"),
+      ((d38(col("oo")) * d38(col("nn") - col("oo"))).cast("double")
+        / (d38(col("nn")) * d38(col("nn"))).cast("double"))
+        .as("uncertainty"))
+    bins.select(col("decile"), col("n_docs"),
+        (col("a").cast("double") / (col("n_docs") * S).cast("double"))
+          .as("mean_forecast"),
+        (col("dd").cast("double") / col("n_docs").cast("double"))
+          .as("obs_rate"),
+        (col("a").cast("double") / (col("n_docs") * S).cast("double")
+          - col("dd").cast("double") / col("n_docs").cast("double"))
+          .as("gap"))
+      .crossJoin(broadcast(summary))
+  }
+
+  val q239BrierCalibrationSql: String = {
+    val S = BrierScale
+    s"""
+    WITH x AS (
+      SELECT doc_id, md5(text) AS dg, $qualityFromStatsSql AS q
+      FROM (SELECT doc_id, text,
+          $nCharsSql AS n_chars_m,
+          $nTokensSql AS n_tokens,
+          CAST(${hitsSql("en")} AS DOUBLE) AS n_stop,
+          $nPunctSql AS n_punct
+        FROM documents)),
+    dct AS (SELECT dg, count(*) AS cnt FROM x GROUP BY 1),
+    j AS (
+      SELECT x.doc_id, x.q,
+        CAST(floor((0.5 + 0.5 * (x.q / (1.0 + abs(x.q)))) * $S) AS BIGINT)
+          AS pf,
+        CASE WHEN dct.cnt >= 2 THEN CAST(1 AS BIGINT)
+          ELSE CAST(0 AS BIGINT) END AS o
+      FROM x JOIN dct USING (dg)),
+    r AS (
+      SELECT q, pf, o,
+        ntile($CalibrationBuckets) OVER (ORDER BY q, doc_id) AS decile
+      FROM j),
+    b AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(pf) AS BIGINT) AS a, CAST(sum(o) AS BIGINT) AS dd,
+        sum(CAST(pf - o * $S AS HUGEINT) * (pf - o * $S)) AS sq -- guard:ok internal HUGEINT; outputs below are exact-cast via VARCHAR
+      FROM r GROUP BY 1),
+    t AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS nn, CAST(sum(dd) AS BIGINT) AS oo,
+        sum(sq) AS sqs -- guard:ok internal HUGEINT; output below is exact-cast via VARCHAR
+      FROM b),
+    terms AS (
+      SELECT decile,
+        CAST(CAST(CAST(a - dd * $S AS HUGEINT) * (a - dd * $S) AS VARCHAR)
+          AS DOUBLE) / CAST(n_docs AS DOUBLE) AS relterm,
+        CAST(CAST((CAST(dd AS HUGEINT) * nn - CAST(oo AS HUGEINT) * n_docs)
+            * (CAST(dd AS HUGEINT) * nn - CAST(oo AS HUGEINT) * n_docs)
+          AS VARCHAR) AS DOUBLE) / CAST(n_docs AS DOUBLE) AS resterm
+      FROM b, t),
+    f AS (
+      SELECT
+        list_reduce(list_prepend(0.0::DOUBLE, list(relterm ORDER BY decile)),
+          (acc, x) -> acc + x) AS rels,
+        list_reduce(list_prepend(0.0::DOUBLE, list(resterm ORDER BY decile)),
+          (acc, x) -> acc + x) AS ress
+      FROM terms),
+    s AS (
+      SELECT
+        CAST(CAST(t.sqs AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(CAST(t.nn AS HUGEINT) * $S * $S AS VARCHAR) AS DOUBLE)
+          AS brier,
+        f.rels
+          / CAST(CAST(CAST(t.nn AS HUGEINT) * $S * $S AS VARCHAR) AS DOUBLE)
+          AS reliability,
+        f.ress
+          / CAST(CAST(CAST(t.nn AS HUGEINT) * t.nn * t.nn AS VARCHAR)
+            AS DOUBLE) AS resolution,
+        CAST(CAST(CAST(t.oo AS HUGEINT) * (t.nn - t.oo) AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(CAST(t.nn AS HUGEINT) * t.nn AS VARCHAR) AS DOUBLE)
+          AS uncertainty
+      FROM t, f)
+    SELECT CAST(b.decile AS INTEGER) AS decile, b.n_docs,
+      CAST(CAST(b.a AS VARCHAR) AS DOUBLE)
+        / CAST(b.n_docs * $S AS DOUBLE) AS mean_forecast,
+      CAST(b.dd AS DOUBLE) / CAST(b.n_docs AS DOUBLE) AS obs_rate,
+      CAST(CAST(b.a AS VARCHAR) AS DOUBLE) / CAST(b.n_docs * $S AS DOUBLE)
+        - CAST(b.dd AS DOUBLE) / CAST(b.n_docs AS DOUBLE) AS gap,
+      s.brier, s.reliability, s.resolution, s.uncertainty
+    FROM b, s
+  """
+  }
+
   /** q182: FLEISS' KAPPA across the corpus's THREE admission gates —
     * Gopher rules (q112), the quality cut (q51's threshold) and the
     * language gate (pred_lang = 'en', q51's other half): q172's pairwise

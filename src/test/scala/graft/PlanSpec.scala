@@ -1154,6 +1154,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "CartesianProduct") == 0, p)
   }
 
+  test("q239_brier_calibration: q176's layout carried — the decile rank " +
+      "runs bucketed, no global-ORDER window, no cartesian beyond the " +
+      "broadcast 1-row summaries") {
+    val p = finalPlan("q239_brier_calibration")
+    assert(!p.contains("windowspecdefinition(ORDER BY"), p)
+    assert(p.contains("windowspecdefinition(_bkt"), p)
+    assert(p.contains("partial_count"), p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+  }
+
   test("q177_benford: one <=9-group map-side rollup + a 1-row total + the " +
       "9-row literal grid — no window, no sort-merge") {
     val p = finalPlan("q177_benford")

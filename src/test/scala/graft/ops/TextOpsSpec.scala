@@ -1403,6 +1403,68 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(deg(0).getDouble(1) === topShare)
   }
 
+  test("q239 Brier calibration: the full output — bins, Murphy terms, " +
+    "folds — matches a plain-Scala mirror BITWISE on a tie-heavy mixed " +
+    "fixture, and the bin table is the rank-exact decile layout") {
+    import spark.implicits._
+    val S = TextOps.BrierScale
+    // 37 rows (uneven deciles), clustered q values (rank ties broken by
+    // doc_id, as the engine), outcomes mixed per cluster
+    val rows: Seq[(Long, Double, Long)] = (1L to 37L).map { i =>
+      val q = ((i % 7).toDouble - 3.0) * 0.75 + (i % 3).toDouble * 0.01
+      val o = if ((i % 5) < 2) 1L else 0L
+      (i, q, o)
+    }
+    val got = TextOps.brierCalibrationOn(rows.toDF("doc_id", "q", "o"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8)))).toMap
+    graft.CachedFrames.drain()
+    // plain-Scala mirror with the engines' exact op order
+    def pf(q: Double): Long =
+      math.floor((0.5 + 0.5 * (q / (1.0 + math.abs(q)))) * S.toDouble).toLong
+    val sorted = rows.sortBy(t => (t._2, t._1))
+    val n = sorted.size
+    val buckets = 10
+    def ntileOf(rank: Int): Int = {
+      val big = (n % buckets) * ((n / buckets) + 1)
+      if (rank <= big) (rank - 1) / ((n / buckets) + 1) + 1
+      else (n % buckets) + (rank - big - 1) / (n / buckets) + 1
+    }
+    val binned = sorted.zipWithIndex.groupBy { case (_, i) => ntileOf(i + 1) }
+    val bins = binned.toSeq.sortBy(_._1).map { case (k, g) =>
+      val nk = g.size.toLong
+      val a = g.map { case ((_, q, _), _) => pf(q) }.sum
+      val dd = g.map(_._1._3).sum
+      val sq = g.map { case ((_, q, o), _) =>
+        val t = pf(q) - o * S; BigInt(t) * BigInt(t) }.sum
+      (k, nk, a, dd, sq)
+    }
+    val nn = bins.map(_._2).sum; val oo = bins.map(_._4).sum
+    val sqs = bins.map(_._5).sum
+    val rels = bins.foldLeft(0.0) { case (acc, (_, nk, a, dd, _)) =>
+      acc + (BigInt(a - dd * S) * BigInt(a - dd * S)).toDouble / nk.toDouble }
+    val ress = bins.foldLeft(0.0) { case (acc, (_, nk, _, dd, _)) =>
+      val t = BigInt(dd) * BigInt(nn) - BigInt(oo) * BigInt(nk)
+      acc + (t * t).toDouble / nk.toDouble }
+    val ns2 = (BigInt(nn) * BigInt(S) * BigInt(S)).toDouble
+    val brier = sqs.toDouble / ns2
+    val rel = rels / ns2
+    val res = ress / (BigInt(nn) * BigInt(nn) * BigInt(nn)).toDouble
+    val unc = (BigInt(oo) * BigInt(nn - oo)).toDouble /
+      (BigInt(nn) * BigInt(nn)).toDouble
+    assert(got.keySet === bins.map(_._1).toSet)
+    bins.foreach { case (k, nk, a, dd, _) =>
+      val mf = a.toDouble / (nk * S).toDouble
+      val or = dd.toDouble / nk.toDouble
+      assert(got(k) === ((nk, mf, or, mf - or, brier, rel, res, unc)), s"bin $k")
+    }
+    // sanity on the decomposition: brier − (rel − res + unc) is the
+    // nonnegative within-bin forecast variance (up to lattice truncation)
+    assert(brier - (rel - res + unc) >= -1e-12)
+  }
+
   test("q196 refresh law: under an immutable doc roster, the per-class " +
     "edge counts are the mergeable digest — base + delta counts, stats " +
     "recomputed, equals the audit over the union bitwise") {
