@@ -58,6 +58,47 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(flagged.isEmpty)
   }
 
+  test("drift adjudication: >25%-over-prev movers are re-measured, top-K " +
+    "by ABSOLUTE excess, both numbers recorded, cleaner median kept") {
+    // six movers over prev=10: excesses 8, 6, 5, 4, 3, 2.6 — TopK=5 keeps
+    // the first five and drops q_f despite it exceeding the 1.25× band
+    val stats = Map(
+      "q_a" -> q(18.0), "q_b" -> q(16.0), "q_c" -> q(15.0),
+      "q_d" -> q(14.0), "q_e" -> q(13.0), "q_f" -> q(12.6),
+      "q_ok" -> q(10.1), // within the band: 10.1 < 1.25 × 10
+      "q_new" -> q(99.0)) // no prev record: never flags
+    val prev = stats.keys.filterNot(_ == "q_new").map(_ -> 10.0).toMap
+    var calls = List.empty[String]
+    val (cleaned, drift) = Bench.applyDriftAdjudication(stats, prev, { n =>
+      calls ::= n
+      if (n == "q_a") q(10.2) else q(stats(n).median) // q_a was ambient
+    })
+    assert(calls.toSet === Set("q_a", "q_b", "q_c", "q_d", "q_e"))
+    assert(drift.keySet === calls.toSet)
+    // the record self-adjudicates: suite AND solo AND prev all present
+    assert(drift("q_a") === Bench.DriftRow(18.0, 10.2, 10.0))
+    assert(drift("q_b") === Bench.DriftRow(16.0, 16.0, 10.0))
+    // ambient mover keeps the cleaner number; real movers keep theirs
+    assert(cleaned("q_a").median === 10.2)
+    assert(cleaned("q_b") === stats("q_b"))
+    assert(cleaned("q_f") === stats("q_f")) // beyond top-K: untouched
+    assert(cleaned("q_ok") === stats("q_ok"))
+    assert(cleaned("q_new") === stats("q_new"))
+  }
+
+  test("drift adjudication: NaN suite medians never flag; a NaN solo " +
+    "re-measure is recorded but never replaces the suite stat") {
+    val stats = Map("q_nan" -> Bench.QStat(Double.NaN, Double.NaN,
+      Double.NaN, 3), "q_m" -> q(20.0))
+    val (cleaned, drift) = Bench.applyDriftAdjudication(stats,
+      Map("q_nan" -> 1.0, "q_m" -> 10.0),
+      _ => Bench.QStat(Double.NaN, Double.NaN, Double.NaN, 1))
+    assert(drift.keySet === Set("q_m"))
+    assert(drift("q_m").solo.isNaN)
+    assert(cleaned("q_m") === stats("q_m"))
+    assert(cleaned("q_nan") === stats("q_nan"))
+  }
+
   test("statOf uses successful rep times only; all-failed yields NaN") {
     // a failed rep's (fast) wall time must not deflate the stats
     val s = Bench.statOf(Seq(2.0, 2.2), failures = 1)
