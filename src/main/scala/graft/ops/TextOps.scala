@@ -968,6 +968,84 @@ object TextOps {
     WHERE id1 % 5 = 0 OR id2 % 5 = 0
   """
 
+  /** q240: GRAPH-INDEX ADMISSION ECONOMICS — the cost/novelty readout of
+    * the q238 admission, the number an ingestion owner watches per batch:
+    * how many postings the batch adds, what fraction of its fingerprints
+    * the standing index had never seen (novelty — q154's question at the
+    * index level: is this source still buying new content?), how many
+    * standing fingerprints the batch pushed over the df cap (index CHURN —
+    * each crossing invalidates postings corpus-wide and is exactly what
+    * the full-refresh report re-prices), and the incident-edge yield per
+    * admitted document (duplication pressure of the batch against the
+    * corpus). Same deterministic corpus split as q238.
+    *
+    * Exactness: six exact counts + two single divisions. Scale shape: the
+    * q238 admission shapes plus two fp-keyed anti/equi joins bounded by
+    * the batch's fingerprint set; 1 row out. */
+  def q240GraphAdmitEconomics(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val fps = graft.CachedFrames.track(graphIndexFps(base))
+    val df = graft.CachedFrames.track(graphIndexDfOf(fps))
+    val sizes = graphIndexSizesOf(fps)
+    val bfps = graft.CachedFrames.track(graphIndexFps(batch))
+    val bdf = graft.CachedFrames.track(
+      bfps.groupBy(col("fp")).agg(count(lit(1)).as("bdf")))
+    val nDocs = batch.agg(count(lit(1)).as("n_batch_docs"))
+    val bstats = bfps.agg(count(lit(1)).as("n_batch_postings"))
+    val bDistinct = bdf.agg(count(lit(1)).as("n_batch_fps"))
+    val novel = bdf.join(df, Seq("fp"), "left_anti")
+      .agg(count(lit(1)).as("n_novel_fps"))
+    val crossing = df.join(bdf, "fp")
+      .filter(col("fdf") <= ContainDfCap &&
+        col("fdf") + col("bdf") > ContainDfCap)
+      .agg(count(lit(1)).as("n_crossing_fps"))
+    val edges = graphAdmitAgainstIndex(batch, fps, df, sizes)
+      .agg(count(lit(1)).as("n_incident_edges"))
+    nDocs.crossJoin(broadcast(bstats)).crossJoin(broadcast(bDistinct))
+      .crossJoin(broadcast(novel)).crossJoin(broadcast(crossing))
+      .crossJoin(broadcast(edges))
+      .select(col("n_batch_docs"), col("n_batch_postings"),
+        col("n_batch_fps"), col("n_novel_fps"), col("n_crossing_fps"),
+        col("n_incident_edges"),
+        when(col("n_batch_fps") > 0, col("n_novel_fps").cast("double")
+          / col("n_batch_fps").cast("double")).as("novelty_rate"),
+        when(col("n_batch_docs") > 0, col("n_incident_edges").cast("double")
+          / col("n_batch_docs").cast("double")).as("edges_per_doc"))
+  }
+
+  // lazy: interpolates q67WinnowingSql and q238GraphAdmitSql, declared later
+  lazy val q240GraphAdmitEconomicsSql: String = s"""
+    WITH fpall AS (SELECT * FROM ($q67WinnowingSql)),
+    bf AS (SELECT doc_id, fp FROM fpall WHERE doc_id % 5 = 0),
+    basef AS (SELECT doc_id, fp FROM fpall WHERE doc_id % 5 <> 0),
+    bd AS (SELECT fp, CAST(count(*) AS BIGINT) AS bdf FROM bf GROUP BY 1),
+    sd AS (SELECT fp, CAST(count(*) AS BIGINT) AS fdf FROM basef GROUP BY 1),
+    ndocs AS (SELECT CAST(count(*) AS BIGINT) AS n_batch_docs
+              FROM documents WHERE doc_id % 5 = 0),
+    bstats AS (SELECT CAST(count(*) AS BIGINT) AS n_batch_postings FROM bf),
+    bdist AS (SELECT CAST(count(*) AS BIGINT) AS n_batch_fps FROM bd),
+    novel AS (SELECT CAST(count(*) AS BIGINT) AS n_novel_fps
+              FROM bd ANTI JOIN sd USING (fp)),
+    crossing AS (SELECT CAST(count(*) AS BIGINT) AS n_crossing_fps
+                 FROM sd JOIN bd USING (fp)
+                 WHERE sd.fdf <= $ContainDfCap
+                   AND sd.fdf + bd.bdf > $ContainDfCap),
+    edges AS (SELECT CAST(count(*) AS BIGINT) AS n_incident_edges
+              FROM ($q238GraphAdmitSql))
+    SELECT n_batch_docs, n_batch_postings, n_batch_fps, n_novel_fps,
+      n_crossing_fps, n_incident_edges,
+      CASE WHEN n_batch_fps > 0 THEN
+        CAST(n_novel_fps AS DOUBLE) / CAST(n_batch_fps AS DOUBLE)
+      END AS novelty_rate,
+      CASE WHEN n_batch_docs > 0 THEN
+        CAST(n_incident_edges AS DOUBLE) / CAST(n_batch_docs AS DOUBLE)
+      END AS edges_per_doc
+    FROM ndocs, bstats, bdist, novel, crossing, edges
+  """
+
   val q68ContainmentSql: String = s"""
     WITH fp AS (SELECT * FROM ($q67WinnowingSql)),
     kept AS (
@@ -4743,16 +4821,20 @@ object TextOps {
     * [[DistRank.ntileOfRank]] integer rank arithmetic (NO global-ORDER
     * window — PlanSpec pins it), a 10-row bin rollup, and two broadcast
     * 1-row summaries. */
-  def q239BrierCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+  def q239BrierCalibration(spark: SparkSession, sfDir: String): DataFrame =
+    brierCalibrationOn(dupLabeled(spark, sfDir))
+
+  /** The (doc_id, quality q, exact-dup label o ∈ {0,1}) frame q239/q241
+    * share — q176's scored+digested layout with the label made a column. */
+  private[graft] def dupLabeled(spark: SparkSession, sfDir: String): DataFrame = {
     val scored = graft.CachedFrames.track(withQualityStats(
       Tables.parallelized(Tables(spark, sfDir, "documents")))
       .select(col("doc_id"), md5(col("text")).as("dg"),
         col("quality_score").as("q")))
     val dups = scored.groupBy(col("dg")).agg(count(lit(1)).as("cnt"))
-    val labeled = scored.join(dups, "dg")
+    scored.join(dups, "dg")
       .select(col("doc_id"), col("q"),
         when(col("cnt") >= 2, 1L).otherwise(0L).as("o"))
-    brierCalibrationOn(labeled)
   }
 
   /** The calibration core over ANY (doc_id, q, o ∈ {0,1}) frame —
@@ -4884,6 +4966,172 @@ object TextOps {
     FROM b, s
   """
   }
+
+  /** q241: COCHRAN-ARMITAGE TREND TEST of the duplicate rate across
+    * quality-score deciles — the significance companion to q176's curve
+    * and q239's calibration: q176 SHOWS the per-decile dup rates, this
+    * says whether their monotone trend is real or noise. Scores are the
+    * decile indexes 1..10 (the standard equally-spaced choice); the
+    * statistic is the textbook
+    * Z² = N·(N·T − O·S1)² / (O·(N−O)·(N·S2 − S1²)) with T = Σ sᵢdᵢ,
+    * S1 = Σ sᵢnᵢ, S2 = Σ sᵢ²nᵢ — Z² ~ χ²₁ under no-trend. trend_num
+    * (= N·T − O·S1) carries the DIRECTION: positive means dup rate rises
+    * with quality.
+    *
+    * Exactness: every sum is an exact BIGINT/DECIMAL(38,0) integer
+    * (deciles from the same rank-exact [[DistRank.ntileOfRank]] layout as
+    * q176/q239); numerator and denominator cross-multiply in
+    * DECIMAL(38,0)/HUGEINT (exact to N ≈ 1e8 docs at 10 deciles — the
+    * q185 bound discipline; past that, drop a score decade), and Z² is
+    * ONE division of exact-cast doubles. Degenerate corpora (no dups,
+    * all dups, zero denominator) report NULL, never NaN.
+    *
+    * Scale shape: q176's exactly — the bucketed rank layout, a 10-row
+    * bin rollup, a 1-row rollup of the bins. */
+  def q241DupTrend(spark: SparkSession, sfDir: String): DataFrame =
+    caTrendOn(dupLabeled(spark, sfDir))
+
+  /** The trend core over ANY (doc_id, q, o ∈ {0,1}) frame —
+    * fixture-testable against a plain-Scala mirror. */
+  private[graft] def caTrendOn(labeled: DataFrame): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val n = labeled.agg(count(lit(1)).as("_n"))
+    val bins = DistRank.withBucketedRank(labeled, Nil, "q", Seq("doc_id"),
+        "_rank")
+      .crossJoin(broadcast(n))
+      .withColumn("decile",
+        DistRank.ntileOfRank("_rank", "_n", CalibrationBuckets))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("nk"), sum(col("o")).as("dk"))
+    val m = bins.agg(sum(col("nk")).as("nn"), sum(col("dk")).as("oo"),
+      sum(col("decile").cast("bigint") * col("nk")).as("s1"),
+      sum(col("decile").cast("bigint") * col("decile") * col("nk")).as("s2"),
+      sum(col("decile").cast("bigint") * col("dk")).as("t"))
+    val num = d38(col("nn")) * d38(col("t")) - d38(col("oo")) * d38(col("s1"))
+    val den = d38(col("oo")) * d38(col("nn") - col("oo")) *
+      (d38(col("nn")) * d38(col("s2")) - d38(col("s1")) * d38(col("s1")))
+    m.select(col("nn").as("n_docs"), col("oo").as("n_dups"),
+      col("s1"), col("s2"), col("t"),
+      num.cast("double").as("trend_num"),
+      when(den =!= 0,
+        (d38(col("nn")) * num * num).cast("double") / den.cast("double"))
+        .as("ca_z2"))
+  }
+
+  val q241DupTrendSql: String = s"""
+    WITH x AS (
+      SELECT doc_id, md5(text) AS dg, $qualityFromStatsSql AS q
+      FROM (SELECT doc_id, text,
+          $nCharsSql AS n_chars_m,
+          $nTokensSql AS n_tokens,
+          CAST(${hitsSql("en")} AS DOUBLE) AS n_stop,
+          $nPunctSql AS n_punct
+        FROM documents)),
+    dct AS (SELECT dg, count(*) AS cnt FROM x GROUP BY 1),
+    j AS (
+      SELECT x.doc_id, x.q,
+        CASE WHEN dct.cnt >= 2 THEN CAST(1 AS BIGINT)
+          ELSE CAST(0 AS BIGINT) END AS o
+      FROM x JOIN dct USING (dg)),
+    r AS (
+      SELECT o,
+        ntile($CalibrationBuckets) OVER (ORDER BY q, doc_id) AS decile
+      FROM j),
+    b AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS nk,
+        CAST(sum(o) AS BIGINT) AS dk
+      FROM r GROUP BY 1),
+    m AS (
+      SELECT CAST(sum(nk) AS BIGINT) AS nn, CAST(sum(dk) AS BIGINT) AS oo,
+        CAST(sum(decile * nk) AS BIGINT) AS s1,
+        CAST(sum(decile * decile * nk) AS BIGINT) AS s2,
+        CAST(sum(decile * dk) AS BIGINT) AS t
+      FROM b),
+    k AS (
+      SELECT nn, oo, s1, s2, t,
+        CAST(nn AS HUGEINT) * t - CAST(oo AS HUGEINT) * s1 AS num, -- guard:ok internal HUGEINT; outputs below are exact-cast via VARCHAR
+        CAST(oo AS HUGEINT) * (nn - oo)
+          * (CAST(nn AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1) AS den -- guard:ok internal HUGEINT; outputs below are exact-cast via VARCHAR
+      FROM m)
+    SELECT nn AS n_docs, oo AS n_dups, s1, s2, t,
+      CAST(CAST(num AS VARCHAR) AS DOUBLE) AS trend_num,
+      CASE WHEN den <> 0 THEN
+        CAST(CAST(CAST(nn AS HUGEINT) * num * num AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(den AS VARCHAR) AS DOUBLE)
+      END AS ca_z2
+    FROM k
+  """
+
+  /** q242 tuning: how many top-document-frequency terms to report. */
+  private[ops] val TopBurstTerms = 20
+
+  /** q242: TERM BURSTINESS — the variance-to-mean ratio (VMR, Church &
+    * Gale's burstiness) of per-document counts for the corpus's top-
+    * [[TopBurstTerms]] terms by document frequency. VMR ≈ 1 means the
+    * term arrives Poisson-like (function words — safe stopword
+    * candidates, the q23 profile-list growth input); VMR ≫ 1 means the
+    * term CLUMPS into few documents (content/topic words — the terms
+    * TF-IDF (q61) and the LM gate (q92) actually discriminate on).
+    * Zero-count documents are in the population: mean = n_occ/D and
+    * Σc² over occurrences only is exact because zeros contribute zero.
+    *
+    * Exactness: df/n_occ/Σc² exact BIGINT/DECIMAL(38,0) (exact to
+    * D·Σc² ≤ 1e38); VMR = (D·Σc² − n_occ²)/(D·n_occ) and the mean are
+    * single divisions of exact-cast integers. Top-K selection is the
+    * rank-exact bucketed [[DistRank]] under (df DESC, term ASC) — no
+    * global-ORDER window.
+    *
+    * Scale shape: one token explode → (doc, term) rollup (map-side
+    * combinable), one |vocab|-row term rollup, the ungrouped bucketed
+    * rank layout, [[TopBurstTerms]] rows out. */
+  def q242TermBurstiness(spark: SparkSession, sfDir: String): DataFrame =
+    termBurstinessOn(Tables.parallelized(Tables(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("text")))
+
+  /** The burstiness core over ANY (doc_id, text) frame —
+    * fixture-testable. */
+  private[graft] def termBurstinessOn(docs: DataFrame): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val perDocTerm = docs
+      .select(col("doc_id"),
+        explode(expr("""split(trim(text), '\\s+')""")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    val terms = perDocTerm.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_docs"), sum(col("c")).as("n_occ"),
+        sum(d38(col("c")) * d38(col("c"))).as("sq"))
+      .withColumn("negdf", -col("df_docs"))
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    DistRank.withBucketedRank(terms, Nil, "negdf", Seq("term"), "_r")
+      .filter(col("_r") <= TopBurstTerms)
+      .crossJoin(broadcast(nd))
+      .select(col("term"), col("df_docs"), col("n_occ"),
+        (col("n_occ").cast("double") / col("nd").cast("double"))
+          .as("mean_per_doc"),
+        ((d38(col("nd")) * col("sq") - d38(col("n_occ")) * d38(col("n_occ")))
+          .cast("double")
+          / (d38(col("nd")) * d38(col("n_occ"))).cast("double")).as("vmr"))
+  }
+
+  val q242TermBurstinessSql: String = s"""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents),
+    pc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+           FROM w GROUP BY 1, 2),
+    t AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs,
+            CAST(sum(c) AS BIGINT) AS n_occ,
+            sum(CAST(c AS HUGEINT) * c) AS sq -- guard:ok internal HUGEINT; output below is exact-cast via VARCHAR
+          FROM pc GROUP BY 1),
+    r AS (SELECT *, row_number() OVER (ORDER BY df_docs DESC, term ASC)
+            AS rk FROM t),
+    d AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents)
+    SELECT term, df_docs, n_occ,
+      CAST(n_occ AS DOUBLE) / CAST(nd AS DOUBLE) AS mean_per_doc,
+      CAST(CAST(CAST(nd AS HUGEINT) * sq - CAST(n_occ AS HUGEINT) * n_occ
+        AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(CAST(nd AS HUGEINT) * n_occ AS VARCHAR) AS DOUBLE) AS vmr
+    FROM r, d WHERE rk <= $TopBurstTerms
+  """
 
   /** q182: FLEISS' KAPPA across the corpus's THREE admission gates —
     * Gopher rules (q112), the quality cut (q51's threshold) and the

@@ -715,6 +715,52 @@ object EventStreams {
         } finally graft.CachedFrames.drain()
     }
 
+  /** Containment-graph INGESTION loop over the persisted fingerprint
+    * postings — the incremental face of q68/q238 run as one continuous
+    * `foreachBatch` query (the BuildGraphIndex/AdmitDocs/ExtendGraphIndex
+    * CLI loop without the per-batch hand-holding): each micro-batch
+    * computes its INCIDENT containment edges against the postings as they
+    * exist NOW ([[graft.ops.TextOps.graphAdmitAgainstIndex]] — including
+    * the df-cap crossings the batch itself causes), writes them to its own
+    * `batch=<id>` directory, and appends the batch's winnowed postings
+    * back — so a LATER batch quoting an EARLIER batch's passage is caught,
+    * which a static edge list cannot do.
+    *
+    * Unlike the substring index (existence-only grams, duplicate-tolerant
+    * by construction), the graph index COUNTS postings for the df cap, so
+    * at-least-once replays of the fps append would inflate document
+    * frequencies. Legitimate postings are unique per (doc_id, fp) by
+    * construction (winnowing dedups per doc), so the read side restores
+    * exactness with ONE distinct() — replay rows are the only possible
+    * duplicates. df and sizes are DERIVED from the appended postings per
+    * batch (an O(|postings|) rollup — never a text re-scan; the price of
+    * append-only maintenance, reclaimed by running the CLI trio's
+    * ExtendGraphIndex compaction, whose persisted df/sizes restore the
+    * bounded-lookup admission).
+    *
+    * Bootstrap: an unseeded index dir probes an empty frame — the first
+    * batch's edges are its own within-batch containment and its append
+    * CREATES the postings. */
+  def graphIngestStream(docs: DataFrame, indexDir: String,
+      edgesDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        try {
+          val fps = graft.CachedFrames.track(
+            if (new java.io.File(s"$indexDir/fps").exists())
+              spark.read.parquet(s"$indexDir/fps").distinct()
+            else graft.ops.TextOps.graphIndexFps(batch.toDF().limit(0)))
+          val df = graft.ops.TextOps.graphIndexDfOf(fps)
+          val sizes = graft.ops.TextOps.graphIndexSizesOf(fps)
+          graft.ops.TextOps.graphAdmitAgainstIndex(batch.toDF(), fps, df,
+              sizes)
+            .write.mode("overwrite").parquet(s"$edgesDir/batch=$batchId")
+          graft.ops.TextOps.graphIndexFps(batch.toDF())
+            .write.mode("append").parquet(s"$indexDir/fps")
+        } finally graft.CachedFrames.drain()
+    }
+
   /** Streaming LM quality gate — the stream-static twin of the batch
     * bigram-LM scorer ([[graft.ops.TextOps.q92LmBits]]): each arriving
     * (doc_id, text) row is scored against the STANDING corpus-trained LM

@@ -1164,6 +1164,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "CartesianProduct") == 0, p)
   }
 
+  test("q241_dup_trend: the decile rank runs bucketed (q176's layout), " +
+      "no global-ORDER window, no cartesian") {
+    val p = finalPlan("q241_dup_trend")
+    assert(!p.contains("windowspecdefinition(ORDER BY"), p)
+    assert(p.contains("windowspecdefinition(_bkt"), p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+  }
+
+  test("q242_term_burstiness: the top-K cut is the bucketed rank (no " +
+      "global-ORDER window), term rollup funnels partial aggs, no " +
+      "cartesian") {
+    val p = finalPlan("q242_term_burstiness")
+    assert(!p.contains("windowspecdefinition(ORDER BY"), p)
+    assert(p.contains("windowspecdefinition(_bkt"), p)
+    assert(p.contains("partial_count"), p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+  }
+
   test("q177_benford: one <=9-group map-side rollup + a 1-row total + the " +
       "9-row literal grid — no window, no sort-merge") {
     val p = finalPlan("q177_benford")

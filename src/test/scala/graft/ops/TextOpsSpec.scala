@@ -1465,6 +1465,78 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(brier - (rel - res + unc) >= -1e-12)
   }
 
+  test("q241 Cochran-Armitage trend: a monotone dup gradient matches the " +
+    "plain-Scala textbook statistic bitwise; a flat gradient scores ~0; " +
+    "degenerate corpora report NULL") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Double, Long)]) = {
+      val r = TextOps.caTrendOn(rows.toDF("doc_id", "q", "o")).collect()(0)
+      graft.CachedFrames.drain()
+      r
+    }
+    // 40 docs, 10 deciles of 4: dup count rises with the decile (0 or 1
+    // per 4 docs in low deciles, up to 4 in the top) — q strictly ordered
+    // by doc_id so decile i = docs 4(i−1)+1..4i
+    val dupOfDecile = Seq(0, 0, 1, 1, 2, 2, 3, 3, 4, 4)
+    val rows = (1L to 40L).map { i =>
+      val dec = ((i - 1) / 4).toInt
+      val within = ((i - 1) % 4).toInt
+      (i, i.toDouble, if (within < dupOfDecile(dec)) 1L else 0L)
+    }
+    val got = run(rows)
+    // plain-Scala mirror with the same exact-integer chain
+    val n = 40L; val o = dupOfDecile.sum.toLong
+    val s1 = (1 to 10).map(i => i.toLong * 4).sum
+    val s2 = (1 to 10).map(i => i.toLong * i * 4).sum
+    val t = dupOfDecile.zipWithIndex.map { case (d, i) => (i + 1).toLong * d }.sum
+    val num = BigInt(n) * BigInt(t) - BigInt(o) * BigInt(s1)
+    val den = BigInt(o) * BigInt(n - o) *
+      (BigInt(n) * BigInt(s2) - BigInt(s1) * BigInt(s1))
+    val z2 = (BigInt(n) * num * num).toDouble / den.toDouble
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) === ((n, o, s1, s2, t)))
+    assert(got.getDouble(5) === num.toDouble)
+    assert(got.getDouble(6) === z2)
+    assert(z2 > 10.0) // the gradient is strongly significant
+    // flat rate: 2 dups in every decile → T = O·S1/N exactly → Z² = 0
+    val flat = (1L to 40L).map { i =>
+      (i, i.toDouble, if ((i - 1) % 4 < 2) 1L else 0L) }
+    val gf = run(flat)
+    assert(gf.getDouble(5) === 0.0)
+    assert(gf.getDouble(6) === 0.0)
+    // degenerate: no dups → NULL (and the no-dup gate corpus does this)
+    val none = (1L to 40L).map(i => (i, i.toDouble, 0L))
+    assert(run(none).isNullAt(6))
+    // degenerate: ALL dups → NULL
+    val alld = (1L to 40L).map(i => (i, i.toDouble, 1L))
+    assert(run(alld).isNullAt(6))
+  }
+
+  test("q242 term burstiness: a uniform term scores VMR exactly 0, a " +
+    "clumped term super-Poisson, both matching the exact integer " +
+    "formula bitwise (zero-count docs in the population)") {
+    import spark.implicits._
+    // 10 docs: 'u' once in EVERY doc (uniform — zero variance); 'b' 5
+    // times in one doc only (bursty); filler tokens unique per doc
+    val docs = (1L to 10L).map { i =>
+      val b = if (i == 1L) " b b b b b" else ""
+      (i, s"u$b fill${i}_a fill${i}_b")
+    }.toDF("doc_id", "text")
+    val got = TextOps.termBurstinessOn(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    graft.CachedFrames.drain()
+    // 'u': df 10, 10 occurrences, one per doc → mean 1, VMR exactly 0
+    assert(got("u") === ((10L, 10L, 1.0, 0.0)))
+    // 'b': df 1, 5 occurrences in one doc of 10 → exact integer mirror
+    // VMR = (D·Σc² − n²)/(D·n) = (10·25 − 25)/(10·5) = 4.5
+    assert(got("b") === ((1L, 5L, 0.5, 4.5)))
+    // top-K selection kept every term here (22 terms < ... no: K = 20 of
+    // 22 — the two SMALLEST-df fillers fall off, 'u' and 'b' both stay)
+    assert(got.size === TextOps.TopBurstTerms)
+    assert(got.keySet.contains("u") && got.keySet.contains("b"))
+  }
+
   test("q196 refresh law: under an immutable doc roster, the per-class " +
     "edge counts are the mergeable digest — base + delta counts, stats " +
     "recomputed, equals the audit over the union bitwise") {

@@ -699,6 +699,69 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(grown === full)
   }
 
+  test("graph ingestion loop: each batch's incident edges equal the " +
+    "batch-vs-standing-corpus law, a later batch's containment of an " +
+    "EARLIER batch's doc is caught via the appended postings, and the " +
+    "grown postings equal the from-scratch winnowing") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graph-loop")
+    val (indexDir, edgesDir, inDir, ckpt) =
+      (s"$root/gx", s"$root/edges", s"$root/in", s"$root/ckpt")
+    def phrase(p: String) = (1 to 9).map(i => s"$p$i").mkString(" ")
+    // standing corpus: one doc whose run batch 1 will contain
+    val base = Seq((100L, phrase("b"))).toDF("doc_id", "text")
+    graft.ops.TextOps.graphIndexFps(base).write.parquet(s"$indexDir/fps")
+    graft.CachedFrames.drain()
+    val schema = base.schema
+    def runAvailable(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(inDir)
+      val q = EventStreams.graphIngestStream(stream, indexDir, edgesDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    // batch 1: contains the base doc's run + a fresh doc
+    val b1 = Seq((200L, s"x1 x2 ${phrase("b")} x3"), (201L, phrase("f")))
+    b1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    runAvailable()
+    // batch 2: contains BATCH 1's fresh doc — only the appended postings
+    // can catch this — plus its own fresh doc
+    val b2 = Seq((300L, s"u1 ${phrase("f")} u2"), (301L, phrase("g")))
+    b2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    runAvailable()
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id1"), col("id2"), col("n_shared"), col("contain1"),
+        col("contain2"))
+      .collect().map(_.toSeq).toSet
+    val all = base.union(b1.toDF("doc_id", "text"))
+      .union(b2.toDF("doc_id", "text"))
+    // law per batch: batch k's edges ≡ containment over the standing
+    // corpus at its arrival, restricted to batch-incident pairs
+    val e1 = edgeSet(spark.read.parquet(s"$edgesDir/batch=0"))
+    val t1 = try edgeSet(graft.ops.TextOps.containmentOn(
+        base.union(b1.toDF("doc_id", "text")))
+        .filter(col("id2") >= 200L))
+      finally graft.CachedFrames.drain()
+    assert(e1 === t1)
+    assert(e1.exists(r => r.head == 100L && r(1) == 200L)) // base containment
+    val e2 = edgeSet(spark.read.parquet(s"$edgesDir/batch=1"))
+    val t2 = try edgeSet(graft.ops.TextOps.containmentOn(all)
+        .filter(col("id2") >= 300L))
+      finally graft.CachedFrames.drain()
+    assert(e2 === t2)
+    assert(e2.exists(r => r.head == 201L && r(1) == 300L)) // cross-batch
+    // grown postings ≡ from-scratch winnowing of everything
+    val grown = spark.read.parquet(s"$indexDir/fps")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = try graft.ops.TextOps.graphIndexFps(all)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally graft.CachedFrames.drain()
+    assert(grown === full)
+  }
+
   test("ingestion loop replay is harmless: duplicate index appends change no " +
     "verdict and compaction restores the clean index") {
     import org.apache.spark.sql.functions.col
