@@ -1860,4 +1860,172 @@ object Relational {
       LEFT JOIN cells ON cells.c_mktsegment = r.c_mktsegment
         AND cells.o_orderpriority = c.o_orderpriority
   """
+
+  /** q243 tuning: RFM quintiles. */
+  private[ops] val RfmBuckets = 5
+
+  /** q243: RFM SEGMENTATION — the classic customer-value layout: per
+    * customer, Recency (days from their last order to the warehouse's
+    * last order date), Frequency (order count) and Monetary (lifetime
+    * spend in exact cents), each cut into rank-exact quintiles (1 = most
+    * recent / most frequent / biggest spender), rolled into the
+    * (r, f, m) segment grid with customer counts and the spend share
+    * each segment carries. The capacity question q223's year-over-year
+    * mobility doesn't answer: where the VALUE sits right now — a
+    * (1,1,1) cell carrying half the spend is a concentration risk, a fat
+    * (5,5,5) cell is dead weight a retention campaign can't move.
+    *
+    * Exactness: recency/frequency/monetary are exact integers (cents
+    * convention); quintile cuts are the rank-exact
+    * [[DistRank.ntileOfRank]] arithmetic under fully-tie-broken orders
+    * (ties to the lower custkey, pinned both engines); per-cell counts
+    * and spend sums exact; spend_share is one exact-cast division.
+    *
+    * Scale shape: ONE per-customer rollup (map-side combinable), THREE
+    * ungrouped bucketed [[DistRank]] layouts over it (the q223 two-layout
+    * precedent, one more axis), two custkey equi-joins, a ≤5³-cell
+    * label-space rollup riding one broadcast total. */
+  def q243RfmSegments(spark: SparkSession, sfDir: String): DataFrame =
+    rfmSegmentsOn(Tables(spark, sfDir, "orders"))
+
+  /** The RFM core over ANY orders frame — fixture-testable. */
+  private[graft] def rfmSegmentsOn(orders: DataFrame): DataFrame = {
+    val cust = graft.CachedFrames.track(orders
+      .filter(col("o_custkey").isNotNull)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_d"),
+        count(lit(1)).as("freq"),
+        sum(expr("CAST(floor(o_totalprice * 100.0D + 0.5D) AS BIGINT)"))
+          .as("cents")))
+    val gmax = cust.agg(max(col("last_d")).as("gd"))
+    val base = graft.CachedFrames.track(cust.crossJoin(broadcast(gmax))
+      .select(col("o_custkey"),
+        datediff(col("gd"), col("last_d")).cast("long").as("recency"),
+        col("freq"), col("cents")))
+    val n = base.agg(count(lit(1)).as("n"))
+    def quintiled(ord: String, name: String): DataFrame =
+      DistRank.withBucketedRank(
+          base.select(col("o_custkey"), expr(ord).as("_k")),
+          Seq(), "_k", Seq("o_custkey"), "_r")
+        .crossJoin(broadcast(n))
+        .select(col("o_custkey"),
+          DistRank.ntileOfRank("_r", "n", RfmBuckets).as(name))
+    val seg = base
+      .join(quintiled("recency", "r_q"), "o_custkey")
+      .join(quintiled("-freq", "f_q"), "o_custkey")
+      .join(quintiled("-cents", "m_q"), "o_custkey")
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("segment_spend_cents"))
+    val tot = seg.agg(sum(col("segment_spend_cents")).as("ts"))
+    seg.crossJoin(broadcast(tot))
+      .select(col("r_q"), col("f_q"), col("m_q"), col("n_customers"),
+        col("segment_spend_cents"),
+        when(col("ts") > 0, col("segment_spend_cents").cast("double")
+          / col("ts").cast("double")).as("spend_share"))
+  }
+
+  val q243RfmSegmentsSql: String = s"""
+    WITH cust AS (
+      SELECT o_custkey, max(o_orderdate) AS last_d,
+        CAST(count(*) AS BIGINT) AS freq,
+        CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+          AS BIGINT) AS cents
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+    g AS (SELECT max(last_d) AS gd FROM cust),
+    base AS (
+      SELECT o_custkey,
+        CAST(date_diff('day', last_d, gd) AS BIGINT) AS recency,
+        freq, cents
+      FROM cust, g),
+    q AS (
+      SELECT o_custkey, cents,
+        ntile($RfmBuckets) OVER (ORDER BY recency, o_custkey) AS r_q,
+        ntile($RfmBuckets) OVER (ORDER BY -freq, o_custkey) AS f_q,
+        ntile($RfmBuckets) OVER (ORDER BY -cents, o_custkey) AS m_q
+      FROM base),
+    seg AS (
+      SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers,
+        CAST(sum(cents) AS BIGINT) AS segment_spend_cents
+      FROM q GROUP BY 1, 2, 3),
+    t AS (SELECT CAST(sum(segment_spend_cents) AS BIGINT) AS ts FROM seg)
+    SELECT CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q,
+      CAST(m_q AS INTEGER) AS m_q, n_customers, segment_spend_cents,
+      CASE WHEN ts > 0 THEN CAST(segment_spend_cents AS DOUBLE)
+        / CAST(ts AS DOUBLE) END AS spend_share
+    FROM seg, t
+  """
+
+  /** q244 tuning: minimum co-occurrence count for a reported pair. */
+  private[ops] val BasketMinSupport = 3
+
+  /** q244: MARKET-BASKET AFFINITY — part pairs that co-occur within
+    * orders, with exact lift: for each pair appearing in at least
+    * [[BasketMinSupport]] orders, lift = N·c_ab/(c_a·c_b) (>1 means the
+    * parts attract; the association-rule screen run before any
+    * recommender). Multiple lines of the same part in one order count
+    * once (distinct items per basket).
+    *
+    * Exactness: all counts exact BIGINT; lift is one exact-cast division
+    * of exact integer products (DECIMAL(38,0)/HUGEINT cross-multiplied —
+    * exact to N·c_ab ≤ 1e38).
+    *
+    * Scale shape: the pair join is a self-equi-join on orderkey — work
+    * Σ_o |items_o|², bounded by the BASKET size (TPC-H ≤ 7 lines), never
+    * parts²; the support floor prunes before the part-count joins; part
+    * counts broadcast-join back onto the surviving pairs. */
+  def q244BasketLift(spark: SparkSession, sfDir: String): DataFrame =
+    basketLiftOn(Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")))
+
+  /** The affinity core over ANY (l_orderkey, l_partkey) frame —
+    * fixture-testable. */
+  private[graft] def basketLiftOn(lines: DataFrame): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val items = graft.CachedFrames.track(
+      lines.select(col("l_orderkey"), col("l_partkey")).distinct())
+    val nOrders = items.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val partCounts = graft.CachedFrames.track(
+      items.groupBy(col("l_partkey")).agg(count(lit(1)).as("cp")))
+    val pairs = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
+        "l_orderkey")
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= BasketMinSupport)
+    pairs
+      .join(partCounts.select(col("l_partkey").as("p1"), col("cp").as("c1")),
+        "p1")
+      .join(partCounts.select(col("l_partkey").as("p2"), col("cp").as("c2")),
+        "p2")
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("pair_count"), col("c1"), col("c2"),
+        ((d38(col("n_orders")) * d38(col("pair_count"))).cast("double")
+          / (d38(col("c1")) * d38(col("c2"))).cast("double")).as("lift"))
+  }
+
+  val q244BasketLiftSql: String = s"""
+    WITH it AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM it),
+    pc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cp
+           FROM it GROUP BY 1),
+    p AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        CAST(count(*) AS BIGINT) AS pair_count
+      FROM it a JOIN it b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= $BasketMinSupport)
+    SELECT p.p1, p.p2, p.pair_count, c1.cp AS c1, c2.cp AS c2,
+      CAST(CAST(CAST(n.n_orders AS HUGEINT) * p.pair_count AS VARCHAR)
+        AS DOUBLE)
+        / CAST(CAST(CAST(c1.cp AS HUGEINT) * c2.cp AS VARCHAR) AS DOUBLE)
+        AS lift
+    FROM p JOIN pc c1 ON p.p1 = c1.l_partkey
+      JOIN pc c2 ON p.p2 = c2.l_partkey, n
+  """
 }

@@ -19,12 +19,35 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   /** Execute the frame (AQE needs runtime stats to finalize) and return the
     * final-plan text only (the Initial Plan section would double-count). */
   private def finalPlan(name: String): String = {
+    // wide plans (q243's three rank layouts) elide expression lists at
+    // the 25-field default, hiding the windowspecdefinition text the
+    // pins grep for — lift the cap BEFORE planning (cached-plan fragments
+    // stringify during execution, so setting it at render time is too
+    // late for subtrees inside TableCacheQueryStage)
+    spark.conf.set("spark.sql.debug.maxToStringFields", "10000")
     val df = SparkEntry.queries(name)(spark, sf)
     try {
       df.queryExecution.toRdd.count()
       val s = df.queryExecution.executedPlan.toString
       val cut = s.indexOf("== Initial Plan ==")
       if (cut >= 0) s.substring(0, cut) else s
+    } finally CachedFrames.drain()
+  }
+
+  /** Both sections of the AQE rendering: (final, full-incl-initial). The
+    * final section shows MATERIALIZED stages as bare `ShuffleQueryStage n`
+    * references with their subtrees hidden — a deep pipeline (q243's
+    * three rank layouts feeding joins) can finish with every window
+    * inside a materialized stage, so window-shape pins must read the full
+    * string while node-count pins (cartesian etc.) read the final one. */
+  private def finalAndFull(name: String): (String, String) = {
+    spark.conf.set("spark.sql.debug.maxToStringFields", "10000")
+    val df = SparkEntry.queries(name)(spark, sf)
+    try {
+      df.queryExecution.toRdd.count()
+      val s = df.queryExecution.executedPlan.toString
+      val cut = s.indexOf("== Initial Plan ==")
+      (if (cut >= 0) s.substring(0, cut) else s, s)
     } finally CachedFrames.drain()
   }
 
@@ -1180,6 +1203,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("windowspecdefinition(_bkt"), p)
     assert(p.contains("partial_count"), p)
     assert(nodes(p, "CartesianProduct") == 0, p)
+  }
+
+  test("q243_rfm_segments: all three quintile cuts rank bucketed (no " +
+      "global-ORDER window anywhere in the full plan), segment rollup " +
+      "funnels partial aggs, no cartesian") {
+    val (p, full) = finalAndFull("q243_rfm_segments")
+    assert(!full.contains("windowspecdefinition(ORDER BY"), full.take(4000))
+    assert(full.contains("windowspecdefinition(_bkt"), full.take(4000))
+    assert(full.contains("partial_count"), full.take(4000))
+    assert(nodes(p, "CartesianProduct") == 0, p)
+  }
+
+  test("q244_basket_lift: the pair join keys on the orderkey (basket-" +
+      "bounded, no cartesian), part counts join back keyed, no window") {
+    val p = finalPlan("q244_basket_lift")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "Window") == 0, p)
+    assert(p.contains("partial_count"), p)
   }
 
   test("q177_benford: one <=9-group map-side rollup + a 1-row total + the " +

@@ -354,4 +354,60 @@ class RelationalSpec extends AnyFunSuite with graft.SparkSpec {
       "B" -> ((1L, 15L, 15.0 / 100.0)),
       "C" -> ((2L, 5L, 5.0 / 100.0))))
   }
+
+  test("q243 RFM: hand customers land in the exact rank-derived " +
+    "quintile cells with exact spend sums and shares; null custkey " +
+    "excluded") {
+    import spark.implicits._
+    import java.sql.Date
+    // 5 customers, one order each except cust 1 (two) — with 5 buckets
+    // and 5 customers every quintile is ONE customer, so the cell
+    // assignments are fully hand-checkable:
+    //   recency rank (days from 2024-01-10): c1=0d, c2=1d, c3=3d, c4=5d,
+    //     c5=9d → r_q = 1..5 in that order
+    //   frequency: c1=2 orders (f_q 1), rest 1 (ties → custkey asc:
+    //     c2→2, c3→3, c4→4, c5→5)
+    //   monetary cents: c1=300, c2=500, c3=100, c4=250, c5=50 →
+    //     m order (desc): c2, c1, c4, c3, c5 → m_q 1..5
+    val d = (s: String) => Date.valueOf(s)
+    val orders = Seq(
+      (Some(1L), 2.00, d("2024-01-05")), (Some(1L), 1.00, d("2024-01-10")),
+      (Some(2L), 5.00, d("2024-01-09")),
+      (Some(3L), 1.00, d("2024-01-07")),
+      (Some(4L), 2.50, d("2024-01-05")),
+      (Some(5L), 0.50, d("2024-01-01")),
+      (Option.empty[Long], 99.0, d("2024-01-10")))
+      .toDF("o_custkey", "o_totalprice", "o_orderdate")
+    val got = Relational.rfmSegmentsOn(orders).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    graft.CachedFrames.drain()
+    val total = 1200.0
+    assert(got === Map(
+      (1, 1, 2) -> ((1L, 300L, 300.0 / total)), // c1
+      (2, 2, 1) -> ((1L, 500L, 500.0 / total)), // c2
+      (3, 3, 4) -> ((1L, 100L, 100.0 / total)), // c3
+      (4, 4, 3) -> ((1L, 250L, 250.0 / total)), // c4
+      (5, 5, 5) -> ((1L, 50L, 50.0 / total))))  // c5
+  }
+
+  test("q244 basket lift: hand baskets — duplicate lines collapse, the " +
+    "support floor prunes, lift is the exact N·c_ab/(c_a·c_b)") {
+    import spark.implicits._
+    // parts 10 & 20 co-occur in orders 1,2,3 (incl. a duplicate line of
+    // part 10 in order 1); parts 10 & 30 co-occur only in order 4
+    // (below the floor of 3); order 5 is a singleton
+    val lines = Seq(
+      (1L, 10L), (1L, 10L), (1L, 20L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L),
+      (4L, 10L), (4L, 30L),
+      (5L, 40L)).toDF("l_orderkey", "l_partkey")
+    val got = Relational.basketLiftOn(lines).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    graft.CachedFrames.drain()
+    // N=5 baskets, c_10=4, c_20=3, c_ab=3 → lift = 5·3/(4·3) = 1.25
+    assert(got === Map((10L, 20L) -> ((3L, 4L, 3L, 1.25))))
+  }
 }
