@@ -61,7 +61,11 @@ object Bench {
     "graph" -> Seq("q68_containment", "q121_label_propagation",
       "q127_pagerank", "q145_triangle_count", "q149_hits",
       "q153_assortativity", "q156_kcore", "q170_link_predict",
-      "q186_modularity", "q196_split_leakage"))
+      "q186_modularity", "q196_split_leakage"),
+    // the graph-index face: q238 (admission) and q240 (its economics)
+    // track the SAME base-split fps/df artifacts — production runs them
+    // as one BuildGraphIndex + one admission pass
+    "graphidx" -> Seq("q238_graph_admit", "q240_graph_admit_economics"))
 
   private[graft] final case class QStat(median: Double, min: Double, max: Double,
       failures: Int)

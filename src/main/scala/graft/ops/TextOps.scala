@@ -501,8 +501,13 @@ object TextOps {
     * single per-source window (same total order). */
   val PackSeqTokens = 2048
 
-  def q59PackSequences(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = Tables(spark, sfDir, "documents")
+  def q59PackSequences(spark: SparkSession, sfDir: String): DataFrame =
+    packSequencesOn(Tables(spark, sfDir, "documents"))
+
+  /** The packing core over ANY (source, doc_id, text) frame —
+    * fixture-testable (q245's audit composes on it). */
+  private[graft] def packSequencesOn(docs: DataFrame): DataFrame = {
+    val t = docs
       .withColumn("n_tokens", expr("""size(split(trim(text), '\\s+'))""").cast("long"))
     distributedRunningSum(t, "n_tokens", Seq("doc_id"), t)
       .select(col("source"), col("doc_id"), col("n_tokens"),
@@ -589,6 +594,66 @@ object TextOps {
       (running - n_tokens) // $PackSeqTokens AS seq_id,
       (running - n_tokens) % $PackSeqTokens AS offset
     FROM r
+  """
+
+  /** q245: PACKING AUDIT of q59's greedy sequence plan — the two numbers
+    * a pretraining data loader owner actually tunes the sequence budget
+    * on, per source: STRADDLE (documents whose tokens cross a sequence
+    * boundary — each one trains with cross-document attention
+    * contamination or gets truncated, so the rate prices the greedy-
+    * concat approximation against padded no-split packing) and TAIL
+    * WASTE (the padding the source's final partial sequence burns —
+    * greedy-concat's only padding). A 2048-budget plan whose straddle
+    * rate is 40% says the corpus's docs are too long for the budget; a
+    * big tail says the source is too small to amortize its last
+    * sequence.
+    *
+    * Exactness: all counts/tokens exact BIGINT off q59's own columns
+    * (straddle ⟺ offset + n_tokens > budget; n_seqs = ⌈Σtokens/L⌉;
+    * waste = n_seqs·L − Σtokens); one division per source.
+    *
+    * Scale shape: q59's declared two-phase prefix sum (B-way parallel
+    * per source, PlanSpec-pinned there), then ONE per-source rollup —
+    * |sources| rows out. */
+  def q245PackingAudit(spark: SparkSession, sfDir: String): DataFrame =
+    packingAuditOn(Tables(spark, sfDir, "documents"))
+
+  /** The audit core over ANY (source, doc_id, text) frame —
+    * fixture-testable. */
+  private[graft] def packingAuditOn(docs: DataFrame): DataFrame = {
+    val L = PackSeqTokens
+    packSequencesOn(docs)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("offset") + col("n_tokens") > L, 1L).otherwise(0L))
+          .as("n_straddling"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        expr(s"(total_tokens + ${L - 1}) DIV $L").as("n_seqs"),
+        (expr(s"(total_tokens + ${L - 1}) DIV $L") * L - col("total_tokens"))
+          .as("tail_waste"),
+        col("n_straddling"),
+        when(col("n_docs") > 0, col("n_straddling").cast("double")
+          / col("n_docs").cast("double")).as("straddle_rate"))
+  }
+
+  val q245PackingAuditSql: String = s"""
+    WITH p AS (SELECT * FROM ($q59PackSequencesSql)),
+    s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        CAST(sum(CASE WHEN "offset" + n_tokens > $PackSeqTokens
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+      FROM p GROUP BY 1)
+    SELECT source, n_docs, total_tokens,
+      (total_tokens + ${PackSeqTokens - 1}) // $PackSeqTokens AS n_seqs,
+      (total_tokens + ${PackSeqTokens - 1}) // $PackSeqTokens
+        * $PackSeqTokens - total_tokens AS tail_waste,
+      n_straddling,
+      CASE WHEN n_docs > 0 THEN
+        CAST(n_straddling AS DOUBLE) / CAST(n_docs AS DOUBLE)
+      END AS straddle_rate
+    FROM s
   """
 
   /** q65 tuning: chunk width / stride in tokens (50% overlap). */

@@ -1537,6 +1537,28 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.keySet.contains("u") && got.keySet.contains("b"))
   }
 
+  test("q245 packing audit: straddling documents, sequence counts and " +
+    "tail waste match the exact hand arithmetic on a crafted source " +
+    "(the gate corpus has no straddles — this pins the path)") {
+    import spark.implicits._
+    // source A: three 1500-token docs → running ends 1500/3000/4500;
+    // offsets 0, 1500, 952 → docs 2 and 3 straddle (offset+1500 > 2048);
+    // n_seqs = ceil(4500/2048) = 3, tail waste = 3·2048 − 4500 = 1644.
+    // source B: one 10-token doc → 1 seq, waste 2038, no straddle.
+    def txt(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      ("A", 1L, txt(1500)), ("A", 2L, txt(1500)), ("A", 3L, txt(1500)),
+      ("B", 10L, txt(10)))
+      .toDF("source", "doc_id", "text")
+    val got = TextOps.packingAuditOn(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    graft.CachedFrames.drain()
+    assert(got === Map(
+      "A" -> ((3L, 4500L, 3L, 1644L, 2L, 2.0 / 3.0)),
+      "B" -> ((1L, 10L, 1L, 2038L, 0L, 0.0))))
+  }
+
   test("q196 refresh law: under an immutable doc roster, the per-class " +
     "edge counts are the mergeable digest — base + delta counts, stats " +
     "recomputed, equals the audit over the union bitwise") {
