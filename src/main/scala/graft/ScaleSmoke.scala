@@ -211,6 +211,43 @@ object ScaleSmoke {
       spark.stop()
       return
     }
+    if (args.contains("--graphindex")) {
+      // the containment-graph incremental face at bench SF: build the
+      // base-split index, admit the batch, extend — and check the grown ≡
+      // from-scratch law on REAL data sizes (the GraphIndexSpec law at
+      // fixture scale, re-proved where the df distribution is organic)
+      val sfDir = args.dropWhile(_ != "--graphindex").drop(1).headOption
+        .filterNot(_.startsWith("--")).getOrElse("/root/testdata/sf0.1")
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
+        .select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val t0 = System.nanoTime()
+      val fps = CachedFrames.track(graft.ops.TextOps.graphIndexFps(base))
+      val df0 = CachedFrames.track(graft.ops.TextOps.graphIndexDfOf(fps))
+      val sizes = graft.ops.TextOps.graphIndexSizesOf(fps)
+      val nEdges = graft.ops.TextOps.graphAdmitAgainstIndex(
+        batch, fps, df0, sizes).count()
+      val tAdmit = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val (fps2, df2, sizes2) = graft.ops.TextOps.graphIndexExtend(
+        fps, df0, sizes, batch)
+      val full = CachedFrames.track(graft.ops.TextOps.graphIndexFps(docs))
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(_.toSeq).toSet
+      require(rows(fps2) == rows(full), "fps law violated")
+      require(rows(df2) == rows(graft.ops.TextOps.graphIndexDfOf(full)),
+        "df law violated")
+      require(rows(sizes2) == rows(graft.ops.TextOps.graphIndexSizesOf(full)),
+        "sizes law violated")
+      val tLaw = (System.nanoTime() - t1) / 1e9
+      println(f"incident_edges=$nEdges admit_wall=$tAdmit%.1f s " +
+        f"law_check_wall=$tLaw%.1f s mode=graphindex")
+      CachedFrames.drain()
+      spark.stop()
+      return
+    }
     if (args.contains("--epoch")) {
       val sfDir = args.dropWhile(_ != "--epoch").drop(1).headOption
         .filterNot(_.startsWith("--")).getOrElse("/root/testdata/sf0.1")
