@@ -2729,6 +2729,79 @@ object Events {
     *
     * Scale shape: ONE scored-corpus pass into a ≤|sources|-row rollup
     * + a 1-row total; the fold runs over ≤|sources| rows. */
+  /** q247 tuning: the outlier threshold 3·1.4826 (three robust sigmas;
+    * 1.4826 is the Gaussian MAD consistency constant) as the EXACT
+    * integer cross-multiplication 44478/10⁴ — the whole query then
+    * contains no floating point at all. */
+  private[ops] val MadThresholdNum = 44478L
+  private[ops] val MadThresholdDen = 10000L
+
+  /** q247: ROBUST OUTLIER DAYS — flag calendar days whose event count
+    * deviates from the series median by more than 3 robust sigmas
+    * (MAD · 1.4826), the data-quality screen that survives exactly the
+    * outliers it hunts (a mean/stddev z-score — q126's per-user form —
+    * is dragged by the outage day it is trying to flag; the median and
+    * MAD are not). Quiet days count as 0 via the dense calendar, so a
+    * total outage IS a candidate row, not a gap.
+    *
+    * Exactness: TOTAL — counts, the rank-exact median pick, per-day
+    * |c − med|, the MAD pick and the 44478·mad vs 10⁴·dev comparison are
+    * all exact integers; the query emits no floating point. A degenerate
+    * series (over half the days tied at the median) has MAD 0 and every
+    * deviating day flags — the standard MAD edge, reported not patched.
+    *
+    * Scale shape: one day rollup (map-side), the zero-filled calendar,
+    * and TWO ungrouped bucketed [[DistRank]] layouts (count order, then
+    * deviation order — the q223 two-layout precedent); |days| rows out,
+    * no global-ORDER window. */
+  def q247MadOutlierDays(spark: SparkSession, sfDir: String): DataFrame =
+    madOutlierDaysOn(Tables(spark, sfDir, "events"))
+
+  /** The robust-outlier core over ANY events frame — fixture-testable. */
+  private[graft] def madOutlierDaysOn(events: DataFrame): DataFrame = {
+    val dense = graft.CachedFrames.track(denseDaily(events))
+    val n = dense.agg(count(lit(1)).as("n"))
+    def medianOf(df: DataFrame, valueCol: String, name: String): DataFrame =
+      DistRank.withBucketedRank(df, Seq(), valueCol, Seq("day"), "_r")
+        .crossJoin(broadcast(n))
+        .agg(max(when(col("_r") === expr("(n + 1) DIV 2"), col(valueCol)))
+          .as(name))
+    val med = medianOf(dense, "c", "med")
+    val dev = graft.CachedFrames.track(dense.crossJoin(broadcast(med))
+      .select(col("day"), col("c"), col("med"),
+        abs(col("c") - col("med")).as("deviation")))
+    val mad = medianOf(dev.select(col("day"), col("deviation")),
+      "deviation", "mad")
+    dev.crossJoin(broadcast(mad))
+      .select(col("day"), col("c").as("n_events"), col("med"), col("mad"),
+        col("deviation"),
+        (col("deviation") * MadThresholdDen >
+          lit(MadThresholdNum) * col("mad")).as("is_outlier"))
+  }
+
+  val q247MadOutlierDaysSql: String = s"""
+    WITH $DailyDenseCte,
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dense),
+    r1 AS (SELECT day, c,
+             row_number() OVER (ORDER BY c, day) AS rk FROM dense),
+    med AS (SELECT CAST(max(CASE WHEN rk = (n + 1) // 2 THEN c END)
+              AS BIGINT) AS med
+            FROM r1, nn),
+    dev AS (SELECT dense.day, dense.c, med.med,
+              abs(dense.c - med.med) AS deviation
+            FROM dense, med),
+    r2 AS (SELECT day, deviation,
+             row_number() OVER (ORDER BY deviation, day) AS rk FROM dev),
+    mad AS (SELECT CAST(max(CASE WHEN rk = (n + 1) // 2 THEN deviation END)
+              AS BIGINT) AS mad
+            FROM r2, nn)
+    SELECT dev.day, dev.c AS n_events, dev.med, mad.mad,
+      CAST(dev.deviation AS BIGINT) AS deviation,
+      dev.deviation * $MadThresholdDen > $MadThresholdNum * mad.mad
+        AS is_outlier
+    FROM dev, mad
+  """
+
   def q237SamplingDeff(spark: SparkSession, sfDir: String): DataFrame =
     anovaOfGroups(graft.ops.TextOps.withQualityStats(
       Tables.parallelized(Tables(spark, sfDir, "documents")))

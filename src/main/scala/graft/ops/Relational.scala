@@ -2028,4 +2028,92 @@ object Relational {
     FROM p JOIN pc c1 ON p.p1 = c1.l_partkey
       JOIN pc c2 ON p.p2 = c2.l_partkey, n
   """
+
+  /** q246 tuning: the on-time threshold (days from order to line ship)
+    * and the Wilson z — BOTH z and z² are precomputed literals
+    * interpolated into both engines with the e0/D double-literal
+    * suffixes (the NdcgDisc discipline — bare decimal literals parse as
+    * DECIMAL and their DECIMAL→DOUBLE conversion cost q246 a 1-ULP
+    * mismatch on first landing). */
+  private[ops] val OnTimeDays = 60L
+  private[ops] val WilsonZ = 1.959963984540054
+  private[ops] val WilsonZ2 = WilsonZ * WilsonZ
+
+  /** q246: SUPPLIER ON-TIME RELIABILITY with a Wilson lower bound — per
+    * supplier: line shipments, the count shipped within [[OnTimeDays]]
+    * of the order date, the raw rate, and the 95% Wilson score lower
+    * bound — the SHRUNK rate that makes a 9/10 supplier comparable to a
+    * 900/1000 one (raw rates tie at 0.9; Wilson ranks the big sample
+    * higher), the standard fix before any supplier scorecard ranks on a
+    * ratio of small counts.
+    *
+    * Exactness: counts exact; the rate is one division; the Wilson chain
+    * is a FIXED sequence of exactly-rounded IEEE ops (+,−,·,/,sqrt) over
+    * the exact-cast counts and the two shared literals — written as the
+    * textually identical expression in both engines, so every
+    * intermediate rounds identically.
+    *
+    * Scale shape: one key-projected join (dates + keys only), one
+    * per-supplier map-side rollup — |suppliers| rows out. */
+  def q246SupplierReliability(spark: SparkSession, sfDir: String): DataFrame =
+    supplierReliabilityOn(Tables(spark, sfDir, "orders"),
+      Tables(spark, sfDir, "lineitem"))
+
+  /** The reliability core over ANY (orders, lineitem) pair —
+    * fixture-testable. */
+  private[graft] def supplierReliabilityOn(orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val lag = lineitem
+      .select(col("l_suppkey"), col("l_orderkey"),
+        expr("CAST(floor(unix_timestamp(l_shipdate) / 86400.0D) AS BIGINT)")
+          .as("sd"))
+      .join(orders.select(col("o_orderkey").as("l_orderkey"),
+        expr("CAST(floor(unix_timestamp(o_orderdate) / 86400.0D) AS BIGINT)")
+          .as("od")), "l_orderkey")
+      .select(col("l_suppkey"),
+        when(col("sd") - col("od") <= OnTimeDays, 1L).otherwise(0L).as("ot"))
+    lag.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("ot")).as("n_on_time"))
+      .withColumn("on_time_rate", expr(
+        "CAST(n_on_time AS DOUBLE) / CAST(n_lines AS DOUBLE)"))
+      .withColumn("wilson_lb", expr(wilsonLbExpr))
+      .select(col("l_suppkey"), col("n_lines"), col("n_on_time"),
+        col("on_time_rate"), col("wilson_lb"))
+  }
+
+  /** The ONE textual Wilson chain both engines evaluate (columns
+    * n_on_time / n_lines / on_time_rate in scope). */
+  private def wilsonLbExpr: String = s"""
+    (on_time_rate + ${WilsonZ2}D / (2.0D * CAST(n_lines AS DOUBLE))
+      - ${WilsonZ}D * sqrt(on_time_rate * (1.0D - on_time_rate)
+          / CAST(n_lines AS DOUBLE)
+        + ${WilsonZ2}D / (4.0D * (CAST(n_lines AS DOUBLE)
+          * CAST(n_lines AS DOUBLE)))))
+    / (1.0D + ${WilsonZ2}D / CAST(n_lines AS DOUBLE))"""
+
+  val q246SupplierReliabilitySql: String = s"""
+    WITH lag AS (
+      SELECT l.l_suppkey,
+        CASE WHEN CAST(floor(epoch(l.l_shipdate) / 86400.0) AS BIGINT)
+          - CAST(floor(epoch(o.o_orderdate) / 86400.0) AS BIGINT)
+          <= $OnTimeDays THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+          AS ot
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    s AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lines,
+        CAST(sum(ot) AS BIGINT) AS n_on_time
+      FROM lag GROUP BY 1),
+    r AS (
+      SELECT *, CAST(n_on_time AS DOUBLE) / CAST(n_lines AS DOUBLE)
+        AS on_time_rate
+      FROM s)
+    SELECT l_suppkey, n_lines, n_on_time, on_time_rate,
+      (on_time_rate + ${WilsonZ2}e0 / (2.0e0 * CAST(n_lines AS DOUBLE))
+        - ${WilsonZ}e0 * sqrt(on_time_rate * (1.0e0 - on_time_rate)
+            / CAST(n_lines AS DOUBLE)
+          + ${WilsonZ2}e0 / (4.0e0 * (CAST(n_lines AS DOUBLE)
+            * CAST(n_lines AS DOUBLE)))))
+      / (1.0e0 + ${WilsonZ2}e0 / CAST(n_lines AS DOUBLE)) AS wilson_lb
+    FROM r
+  """
 }

@@ -1223,6 +1223,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q246_supplier_reliability: one key-projected join + a per-supplier " +
+      "map-side rollup — no window, no cartesian") {
+    val p = finalPlan("q246_supplier_reliability")
+    assert(nodes(p, "Window") == 0, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q247_mad_outlier_days: both median picks rank bucketed (no " +
+      "global-ORDER window anywhere in the full plan), no cartesian") {
+    val (p, full) = finalAndFull("q247_mad_outlier_days")
+    assert(!full.contains("windowspecdefinition(ORDER BY"), full.take(4000))
+    assert(full.contains("windowspecdefinition(_bkt"), full.take(4000))
+    assert(nodes(p, "CartesianProduct") == 0, p)
+  }
+
   test("q177_benford: one <=9-group map-side rollup + a 1-row total + the " +
       "9-row literal grid — no window, no sort-merge") {
     val p = finalPlan("q177_benford")

@@ -985,4 +985,43 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(g2(91L) === true)
     assert(g2(0L) === false)
   }
+
+  test("q247 MAD outliers: an outage (zero-filled) day and a spike day " +
+    "flag, ordinary days don't, and the integer threshold is exact; the " +
+    "degenerate MAD=0 series flags every deviating day") {
+    import spark.implicits._
+    // 11 observed days, day 5 MISSING (the outage — zero-filled to 0),
+    // day 9 a 100-event spike; the rest 8-12 events
+    val counts = Map(0 -> 10, 1 -> 9, 2 -> 11, 3 -> 10, 4 -> 12,
+      6 -> 8, 7 -> 10, 8 -> 11, 9 -> 100, 10 -> 10, 11 -> 9)
+    val events = counts.toSeq.flatMap { case (d, c) =>
+      (1 to c).map(i => (d.toLong * 100 + i, at(d)))
+    }.toDF("event_id", "ts")
+    val got = Events.madOutlierDaysOn(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    graft.CachedFrames.drain()
+    // dense calendar: days 0..11 (12 rows, incl. the zero-filled day 5)
+    assert(got.keySet === (0L to 11L).toSet)
+    // sorted counts: 0,8,9,9,10,10,10,10,11,11,12,100 → median pick at
+    // rank (12+1) DIV 2 = 6 → 10; deviations sorted:
+    // 0,0,0,0,1,1,1,1,2,2,10,90 → MAD pick at rank 6 → 1
+    assert(got(0L) === ((10L, 10L, 1L, 0L, false)))
+    assert(got(5L) === ((0L, 10L, 1L, 10L, true)))   // the outage flags
+    assert(got(9L) === ((100L, 10L, 1L, 90L, true))) // the spike flags
+    assert(got(4L) === ((12L, 10L, 1L, 2L, false)))  // 2 ≤ 4.4478·1
+    // threshold exactness: deviation 4 would NOT flag (4·10⁴ < 44478·1),
+    // deviation 5 would (5·10⁴ > 44478) — day 6 (8 events, dev 2) doesn't
+    assert(got(6L)._5 === false)
+    // degenerate series: over half the days tied → MAD 0, every
+    // deviating day flags
+    val flat = (0 to 6).flatMap(d =>
+      (1 to (if (d == 3) 7 else 5)).map(i => (d.toLong * 100 + i, at(d))))
+      .toDF("event_id", "ts")
+    val g2 = Events.madOutlierDaysOn(flat).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(5)))).toMap
+    graft.CachedFrames.drain()
+    assert(g2(3L) === ((0L, true)))
+    assert(g2(0L) === ((0L, false)))
+  }
 }

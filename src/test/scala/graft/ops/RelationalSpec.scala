@@ -391,6 +391,38 @@ class RelationalSpec extends AnyFunSuite with graft.SparkSpec {
       (5, 5, 5) -> ((1L, 50L, 50.0 / total))))  // c5
   }
 
+  test("q246 supplier reliability: counts and the Wilson chain match a " +
+    "plain-Scala mirror bitwise; the bound ranks a 900/1000 supplier " +
+    "above a 9/10 one at the same raw rate") {
+    import spark.implicits._
+    import java.sql.Date
+    val d = (s: String) => Date.valueOf(s)
+    // supplier 1: 2 lines, one on-time (30 d) one late (90 d);
+    // supplier 2: 3 lines, all on-time (exactly 60 d is ON TIME)
+    val orders = Seq((100L, d("2024-01-01")), (101L, d("2024-02-01")))
+      .toDF("o_orderkey", "o_orderdate")
+    val lines = Seq(
+      (100L, 1L, d("2024-01-31")), (101L, 1L, d("2024-05-01")),
+      (100L, 2L, d("2024-02-15")), (100L, 2L, d("2024-03-01")),
+      (101L, 2L, d("2024-02-20")))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val got = Relational.supplierReliabilityOn(orders, lines).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    graft.CachedFrames.drain()
+    def wilson(ot: Long, n: Long): Double = {
+      val (z, z2) = (Relational.WilsonZ, Relational.WilsonZ2)
+      val nd = n.toDouble
+      val p = ot.toDouble / nd
+      (p + z2 / (2.0 * nd) - z * math.sqrt(p * (1.0 - p) / nd
+        + z2 / (4.0 * (nd * nd)))) / (1.0 + z2 / nd)
+    }
+    assert(got(1L) === ((2L, 1L, 0.5, wilson(1, 2))))
+    assert(got(2L) === ((3L, 3L, 1.0, wilson(3, 3))))
+    // the shrinkage property: same raw rate, bigger n → higher bound
+    assert(wilson(900, 1000) > wilson(9, 10))
+  }
+
   test("q244 basket lift: hand baskets — duplicate lines collapse, the " +
     "support floor prunes, lift is the exact N·c_ab/(c_a·c_b)") {
     import spark.implicits._
