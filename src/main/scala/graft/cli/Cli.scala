@@ -945,8 +945,9 @@ object GraphReport {
   * with the g3 repair bill (q220), fulfillment SLA (q211), the revenue
   * series + trend readout (q212/q214) with its seasonality gate (q225),
   * urgency drift (q218), customer economics (q205 ABC, q223 mobility,
-  * q224 cadence), demand response (q226) and the Benford forensic screen
-  * on totals (q228). Each table is the corresponding gate query VERBATIM
+  * q224 cadence, q243 RFM), demand response (q226), the Benford forensic
+  * screen on totals (q228), ledger reconciliation (q236), basket
+  * affinity (q244) and supplier reliability (q246). Each table is the corresponding gate query VERBATIM
   * (single-sourced — CliSpec pins row-equality), written as one
   * parquet per audit under the output dir. Input is the warehouse table
   * directory (the Verify contract), output a report directory. */
@@ -975,7 +976,15 @@ object WarehouseReport {
         "discount_elasticity" ->
           (() => graft.ops.Relational.q226DiscountElasticity(spark, sf)),
         "price_benford" ->
-          (() => graft.ops.Relational.q228PriceBenford(spark, sf)))
+          (() => graft.ops.Relational.q228PriceBenford(spark, sf)),
+        "ledger_recon" ->
+          (() => graft.ops.Relational.q236LedgerRecon(spark, sf)),
+        "rfm_segments" ->
+          (() => graft.ops.Relational.q243RfmSegments(spark, sf)),
+        "basket_lift" ->
+          (() => graft.ops.Relational.q244BasketLift(spark, sf)),
+        "supplier_reliability" ->
+          (() => graft.ops.Relational.q246SupplierReliability(spark, sf)))
       try parts.foreach { case (name, f) =>
         f().coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
       } finally graft.CachedFrames.drain()

@@ -869,7 +869,7 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     assert(viaIndex === viaText)
   }
 
-  test("warehouse-report bundle: all thirteen audit tables land, each " +
+  test("warehouse-report bundle: all seventeen audit tables land, each " +
     "row-equal to its gate query") {
     val sf = "/root/testdata/sf0.001"
     val dir = java.nio.file.Files.createTempDirectory("cli-wh").toString
@@ -885,7 +885,13 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       "discount_elasticity" ->
         (() => graft.ops.Relational.q226DiscountElasticity(spark, sf)),
       "price_benford" ->
-        (() => graft.ops.Relational.q228PriceBenford(spark, sf)))
+        (() => graft.ops.Relational.q228PriceBenford(spark, sf)),
+      "rfm_segments" ->
+        (() => graft.ops.Relational.q243RfmSegments(spark, sf)),
+      "basket_lift" ->
+        (() => graft.ops.Relational.q244BasketLift(spark, sf)),
+      "supplier_reliability" ->
+        (() => graft.ops.Relational.q246SupplierReliability(spark, sf)))
     checks.foreach { case (name, f) =>
       val got = rows(spark.read.parquet(s"$dir/wh/$name"))
       val exp = rows(f())
@@ -893,7 +899,8 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       assert(got === exp, name)
     }
     for (t <- Seq("join_fanout", "ship_lag", "monthly_revenue",
-        "revenue_trend", "month_effect", "priority_drift", "abc"))
+        "revenue_trend", "month_effect", "priority_drift", "abc",
+        "ledger_recon"))
       assert(spark.read.parquet(s"$dir/wh/$t").count() > 0, t)
   }
 }
