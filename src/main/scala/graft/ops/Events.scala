@@ -2802,6 +2802,115 @@ object Events {
     FROM dev, mad
   """
 
+  /** q248: SESSION-SCOPED FUNNEL — the view → click → purchase conversion
+    * counted WITHIN one 30-minute-gap session (q19's boundaries): a click
+    * qualifies only at-or-after the session's first view, a purchase only
+    * at-or-after that qualifying click, and nothing carries across a
+    * session break. The complement of q206's wall-clock deadlines: q206
+    * asks "did they convert within an hour", this asks "did they convert
+    * without leaving" — the funnel a UX review reads, where a purchase in
+    * the NEXT session is a return visit, not a conversion.
+    *
+    * Conventions (mirrored verbatim in the oracle): session = q19's
+    * user-partitioned 30-min-gap numbering; anchor = the session's MIN
+    * view epoch-second; qualifying click = min click eps ≥ anchor;
+    * qualifying purchase = min purchase eps ≥ that click (`>=` — a
+    * same-second follow counts). Counts exact; rates single divisions;
+    * 1 row out.
+    *
+    * Scale shape: the sessionization windows are USER-partitioned (q19's
+    * — never a global ORDER window); then one per-(session, type)
+    * min-rollup and two session-keyed equi-joins (q206's chain at
+    * session grain), collapsing to a 1-row conditional rollup. */
+  def q248SessionFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    sessionFunnelOn(Tables(spark, sfDir, "events"))
+
+  /** The session-funnel core over ANY events frame — fixture-testable. */
+  private[graft] def sessionFunnelOn(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = graft.CachedFrames.track(events
+      .withColumn("eps", unix_timestamp(col("ts")))
+      .withColumn("gap", col("eps") - lag(col("eps"), 1).over(byUser))
+      .withColumn("is_new", when(col("gap") > 1800, 1).otherwise(0))
+      .withColumn("sess", sum(col("is_new"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .select(col("user_id"), col("sess"), col("event_type"), col("eps")))
+    val views = sess.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("sess")).agg(min(col("eps")).as("fv"))
+    val clicks = sess.filter(col("event_type") === "click")
+      .join(views, Seq("user_id", "sess"))
+      .filter(col("eps") >= col("fv"))
+      .groupBy(col("user_id"), col("sess"), col("fv"))
+      .agg(min(col("eps")).as("fc"))
+    val purchases = sess.filter(col("event_type") === "purchase")
+      .join(clicks.select(col("user_id"), col("sess"), col("fc")),
+        Seq("user_id", "sess"))
+      .filter(col("eps") >= col("fc"))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(col("eps")).as("fp"))
+    val nSess = sess.select(col("user_id"), col("sess")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val nV = views.agg(count(lit(1)).as("n_with_view"))
+    val nC = clicks.agg(count(lit(1)).as("n_view_click"))
+    val nP = purchases.agg(count(lit(1)).as("n_full_funnel"))
+    nSess.crossJoin(broadcast(nV)).crossJoin(broadcast(nC))
+      .crossJoin(broadcast(nP))
+      .select(col("n_sessions"), col("n_with_view"), col("n_view_click"),
+        col("n_full_funnel"),
+        when(col("n_with_view") > 0, col("n_view_click").cast("double")
+          / col("n_with_view").cast("double")).as("click_rate"),
+        when(col("n_view_click") > 0, col("n_full_funnel").cast("double")
+          / col("n_view_click").cast("double")).as("purchase_rate"))
+  }
+
+  val q248SessionFunnelSql: String = """
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type,
+        CAST(floor(epoch(ts)) AS BIGINT) AS eps
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_type, eps,
+        CASE WHEN eps - lag(eps) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) > 1800
+          THEN 1 ELSE 0 END AS is_new,
+        ts, event_id
+      FROM e),
+    numbered AS (
+      SELECT user_id, event_type, eps,
+        CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS sess
+      FROM flagged),
+    v AS (SELECT user_id, sess, CAST(min(eps) AS BIGINT) AS fv
+          FROM numbered WHERE event_type = 'view' GROUP BY 1, 2),
+    c AS (SELECT n.user_id, n.sess, CAST(min(n.eps) AS BIGINT) AS fc
+          FROM numbered n JOIN v
+            ON n.user_id = v.user_id AND n.sess = v.sess
+          WHERE n.event_type = 'click' AND n.eps >= v.fv
+          GROUP BY 1, 2),
+    p AS (SELECT n.user_id, n.sess
+          FROM numbered n JOIN c
+            ON n.user_id = c.user_id AND n.sess = c.sess
+          WHERE n.event_type = 'purchase' AND n.eps >= c.fc
+          GROUP BY 1, 2),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions
+          FROM (SELECT DISTINCT user_id, sess FROM numbered)),
+    nv AS (SELECT CAST(count(*) AS BIGINT) AS n_with_view FROM v),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n_view_click FROM c),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n_full_funnel FROM p)
+    SELECT t.n_sessions, nv.n_with_view, nc.n_view_click, np.n_full_funnel,
+      CASE WHEN nv.n_with_view > 0 THEN
+        CAST(nc.n_view_click AS DOUBLE) / CAST(nv.n_with_view AS DOUBLE)
+      END AS click_rate,
+      CASE WHEN nc.n_view_click > 0 THEN
+        CAST(np.n_full_funnel AS DOUBLE) / CAST(nc.n_view_click AS DOUBLE)
+      END AS purchase_rate
+    FROM t, nv, nc, np
+  """
+
   def q237SamplingDeff(spark: SparkSession, sfDir: String): DataFrame =
     anovaOfGroups(graft.ops.TextOps.withQualityStats(
       Tables.parallelized(Tables(spark, sfDir, "documents")))

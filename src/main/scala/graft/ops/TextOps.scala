@@ -1033,6 +1033,87 @@ object TextOps {
     WHERE id1 % 5 = 0 OR id2 % 5 = 0
   """
 
+  /** q249 tuning: the candidate stop-fingerprint caps priced. */
+  private[ops] val DfCapCandidates = Seq(10, 25, 50, 100)
+
+  /** q249: STOP-FINGERPRINT CAP TRADEOFF — the tuning table for
+    * [[ContainDfCap]] itself: for each candidate cap, how many
+    * fingerprints the cap drops, what share of the postings they carry,
+    * and the CANDIDATE PAIRS the drop avoids (Σ fdf·(fdf−1)/2 over
+    * dropped fingerprints — the quadratic posting-join work a hot
+    * fingerprint would generate, THE number that justifies the cap at
+    * corpus scale: one fingerprint in 10⁶ documents is 5·10¹¹ pairs on
+    * its own). Read next to q240's crossings: this prices the cap's
+    * levels, q240 watches one level's churn per batch.
+    *
+    * Exactness: all counts exact; pair sums ride DECIMAL(38,0)/HUGEINT;
+    * the share is one exact-cast division per row.
+    *
+    * Scale shape: ONE winnowing pass + ONE df rollup (cached), then a
+    * ≤|caps| literal explode over the ≤|fps| count table — the caps
+    * grid is label-space, the corpus is touched once. */
+  def q249DfCapTradeoff(spark: SparkSession, sfDir: String): DataFrame =
+    dfCapTradeoffOn(Tables.parallelized(Tables(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("text")))
+
+  /** The cap-tradeoff core over ANY (doc_id, text) frame —
+    * fixture-testable. */
+  private[graft] def dfCapTradeoffOn(docs: DataFrame): DataFrame = {
+    val df = graft.CachedFrames.track(graphIndexDfOf(graphIndexFps(docs)))
+    val tot = df.agg(count(lit(1)).as("n_fps"),
+      sum(col("fdf")).as("n_postings"))
+    df.select(col("fdf"),
+        explode(typedLit(DfCapCandidates.map(_.toLong))).as("cap"))
+      .groupBy(col("cap"))
+      .agg(sum(when(col("fdf") > col("cap"), 1L).otherwise(0L))
+          .as("n_dropped"),
+        sum(when(col("fdf") > col("cap"), col("fdf")).otherwise(0L))
+          .as("postings_dropped"),
+        // fdf·(fdf−1)/2 exactly, halving the EVEN factor on the integer
+        // side first (a DECIMAL division would introduce scale)
+        coalesce(sum(when(col("fdf") > col("cap"), expr(
+            """CASE WHEN fdf % 2 = 0
+              |THEN CAST(fdf DIV 2 AS DECIMAL(38,0))
+              |  * CAST(fdf - 1 AS DECIMAL(38,0))
+              |ELSE CAST(fdf AS DECIMAL(38,0))
+              |  * CAST((fdf - 1) DIV 2 AS DECIMAL(38,0)) END"""
+              .stripMargin))
+            .otherwise(lit(0).cast("decimal(38,0)"))),
+          lit(0).cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("pairs_avoided_dec"))
+      .crossJoin(broadcast(tot))
+      .select(col("cap"), col("n_fps"), col("n_dropped"),
+        col("postings_dropped"),
+        when(col("n_postings") > 0, col("postings_dropped").cast("double")
+          / col("n_postings").cast("double")).as("posting_share_dropped"),
+        col("pairs_avoided_dec").cast("double").as("pairs_avoided"))
+  }
+
+  lazy val q249DfCapTradeoffSql: String = s"""
+    WITH fp AS (SELECT * FROM ($q67WinnowingSql)),
+    d AS (SELECT fp, CAST(count(*) AS BIGINT) AS fdf FROM fp GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_fps,
+              CAST(sum(fdf) AS BIGINT) AS n_postings FROM d),
+    caps AS (SELECT CAST(unnest([${DfCapCandidates.mkString(", ")}])
+               AS BIGINT) AS cap),
+    g AS (
+      SELECT c.cap,
+        CAST(sum(CASE WHEN d.fdf > c.cap THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dropped,
+        CAST(sum(CASE WHEN d.fdf > c.cap THEN d.fdf ELSE 0 END) AS BIGINT)
+          AS postings_dropped,
+        coalesce(sum(CASE WHEN d.fdf > c.cap
+          THEN CAST(d.fdf AS HUGEINT) * (d.fdf - 1) // 2
+          ELSE CAST(0 AS HUGEINT) END), 0) AS pairs_avoided_h -- guard:ok internal HUGEINT; output below is exact-cast via VARCHAR
+      FROM d, caps c GROUP BY 1)
+    SELECT g.cap, tot.n_fps, g.n_dropped, g.postings_dropped,
+      CASE WHEN tot.n_postings > 0 THEN
+        CAST(g.postings_dropped AS DOUBLE) / CAST(tot.n_postings AS DOUBLE)
+      END AS posting_share_dropped,
+      CAST(CAST(g.pairs_avoided_h AS VARCHAR) AS DOUBLE) AS pairs_avoided
+    FROM g, tot
+  """
+
   /** q240: GRAPH-INDEX ADMISSION ECONOMICS — the cost/novelty readout of
     * the q238 admission, the number an ingestion owner watches per batch:
     * how many postings the batch adds, what fraction of its fingerprints

@@ -986,6 +986,35 @@ class EventsSpec extends AnyFunSuite with SparkSpec {
     assert(g2(0L) === false)
   }
 
+  test("q248 session funnel: conversion only counts INSIDE a session — a " +
+    "purchase after a 30-min break is a return visit; ordering within " +
+    "the session is enforced; same-second follows count") {
+    import spark.implicits._
+    def ev(id: Long, uid: Long, sec: Long, t: String) =
+      (id, Some(uid), new Timestamp(sec * 1000L), t)
+    val events = Seq(
+      // u1 session 0: view → click (same second) → purchase: FULL funnel
+      ev(1, 1, 100, "view"), ev(2, 1, 100, "click"), ev(3, 1, 200, "purchase"),
+      // u1 session 1 (gap > 1800): view, click BEFORE the view — click
+      // does NOT qualify (ordering), so no funnel
+      ev(4, 1, 5000, "click"), ev(5, 1, 5010, "view"),
+      // u2 session 0: view → click, purchase lands in the NEXT session →
+      // view_click counts, full funnel does NOT
+      ev(6, 2, 100, "view"), ev(7, 2, 150, "click"),
+      ev(8, 2, 99999, "purchase"),
+      // u3: one session, no view at all
+      ev(9, 3, 100, "click"), ev(10, 3, 150, "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val r = Events.sessionFunnelOn(events).collect()(0)
+    graft.CachedFrames.drain()
+    // sessions: u1×2, u2×2, u3×1 = 5; views: u1s0, u1s1, u2s0 = 3;
+    // view→click: u1s0, u2s0 = 2; full: u1s0 = 1
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((5L, 3L, 2L, 1L)))
+    assert(r.getDouble(4) === 2.0 / 3.0)
+    assert(r.getDouble(5) === 0.5)
+  }
+
   test("q247 MAD outliers: an outage (zero-filled) day and a spike day " +
     "flag, ordinary days don't, and the integer threshold is exact; the " +
     "degenerate MAD=0 series flags every deviating day") {

@@ -1559,6 +1559,24 @@ class TextOpsSpec extends AnyFunSuite with SparkSpec {
       "B" -> ((1L, 10L, 1L, 2038L, 0L, 0.0))))
   }
 
+  test("q249 df-cap tradeoff: a hot fingerprint's postings and avoided " +
+    "pairs price exactly per cap (12 copies: cap 10 drops it — 12 " +
+    "postings, 66 pairs; cap 25 keeps it)") {
+    import spark.implicits._
+    // 12 identical 3-token docs → ONE fingerprint at fdf 12; 2 singleton
+    // docs → two fdf-1 fingerprints. n_fps = 3, postings = 14.
+    val docs = ((1L to 12L).map(i => (i, "a b c")) ++
+      Seq((20L, "p q r"), (21L, "x y z"))).toDF("doc_id", "text")
+    val got = TextOps.dfCapTradeoffOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    graft.CachedFrames.drain()
+    assert(got(10L) === ((3L, 1L, 12L, 12.0 / 14.0, 66.0))) // 12·11/2
+    assert(got(25L) === ((3L, 0L, 0L, 0.0, 0.0)))
+    assert(got(50L) === ((3L, 0L, 0L, 0.0, 0.0)))
+    assert(got(100L) === ((3L, 0L, 0L, 0.0, 0.0)))
+  }
+
   test("q196 refresh law: under an immutable doc roster, the per-class " +
     "edge counts are the mergeable digest — base + delta counts, stats " +
     "recomputed, equals the audit over the union bitwise") {
