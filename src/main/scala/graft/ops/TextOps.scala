@@ -1102,9 +1102,9 @@ object TextOps {
           AS n_dropped,
         CAST(sum(CASE WHEN d.fdf > c.cap THEN d.fdf ELSE 0 END) AS BIGINT)
           AS postings_dropped,
-        coalesce(sum(CASE WHEN d.fdf > c.cap
+        coalesce(sum(CASE WHEN d.fdf > c.cap -- guard:ok internal HUGEINT; output below is exact-cast via VARCHAR
           THEN CAST(d.fdf AS HUGEINT) * (d.fdf - 1) // 2
-          ELSE CAST(0 AS HUGEINT) END), 0) AS pairs_avoided_h -- guard:ok internal HUGEINT; output below is exact-cast via VARCHAR
+          ELSE CAST(0 AS HUGEINT) END), 0) AS pairs_avoided_h
       FROM d, caps c GROUP BY 1)
     SELECT g.cap, tot.n_fps, g.n_dropped, g.postings_dropped,
       CASE WHEN tot.n_postings > 0 THEN
