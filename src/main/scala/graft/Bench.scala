@@ -140,8 +140,8 @@ object Bench {
     // "drift" (suite/solo/prev). Solo ≈ prev ⇒ the suite reading was
     // ambient (the cleaner number is kept); solo ≈ suite ⇒ the drift is
     // real and the record says so without a human re-run session.
-    val (adjudicated, drift) =
-      applyDriftAdjudication(stats, prev, remeasureOne("drift adjudication"))
+    val (adjudicated, drift) = applyDriftAdjudication(stats,
+      prevLatestMedians(), remeasureOne("drift adjudication"))
     stats = adjudicated
 
     def fmt(sel: QStat => Double) = stats
@@ -303,18 +303,46 @@ object Bench {
     * newest-file-only strategy read nothing and the sentinel ran inert
     * while a 270s-vs-86s record shipped). A genuinely-slowed query gets
     * one redundant re-measure and keeps its honest slower stat — cheap
-    * insurance. Absent/unparseable files mean fewer sources, not failure. */
+    * insurance. Absent/unparseable files mean fewer sources, not failure.
+    *
+    * This min-merged map feeds ONLY the 3× contention sentinel. Drift
+    * adjudication compares against [[prevLatestMedians]] — the most recent
+    * round — because a 1.25× band against the all-time BEST would let
+    * long-stable queries that once had a lucky fast round perennially
+    * occupy the DriftTopK slots and crowd genuine new regressions out of
+    * the report (the r15 advice finding). */
   private[graft] def prevMedians(): Map[String, Double] = {
-    def fromFile(p: String): Map[String, Double] =
-      try parseQueryMedians(new String(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
-      catch { case _: Throwable => Map.empty[String, Double] }
-    sys.env.get("SPARK_GRAFT_PREV_BENCH").map(fromFile).getOrElse {
-      val wrappers = Option(new java.io.File(".").listFiles()).toSeq.flatMap(_
-        .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json")))
-      val sources = wrappers :+
+    sys.env.get("SPARK_GRAFT_PREV_BENCH").map(medianFile).getOrElse {
+      val sources = benchWrappers() :+
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-      mergeMin(sources.map(fromFile))
+      mergeMin(sources.map(medianFile))
+    }
+  }
+
+  private def medianFile(p: String): Map[String, Double] =
+    try parseQueryMedians(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
+    catch { case _: Throwable => Map.empty[String, Double] }
+
+  private def benchWrappers(): Seq[String] =
+    Option(new java.io.File(".").listFiles()).toSeq.flatMap(_
+      .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json")))
+
+  /** Per-query medians of the MOST RECENT committed round — the drift
+    * baseline. Newest parseable wrapper by round number (an unparseable
+    * newest file falls through to the next round down — the r5 truncated-
+    * tail failure mode stays covered), else `bench_out.json`;
+    * `$SPARK_GRAFT_PREV_BENCH` overrides everything, as for the
+    * sentinel. Drift asks "did this query move since LAST round?", so its
+    * yardstick is the latest record, not the all-time minimum. */
+  private[graft] def prevLatestMedians(): Map[String, Double] = {
+    sys.env.get("SPARK_GRAFT_PREV_BENCH").map(medianFile).getOrElse {
+      val byRoundDesc = benchWrappers()
+        .sortBy(n => -"""\d+""".r.findFirstIn(n).fold(0L)(_.toLong))
+      (byRoundDesc :+ sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+          "bench_out.json"))
+        .iterator.map(medianFile).find(_.nonEmpty)
+        .getOrElse(Map.empty)
     }
   }
 

@@ -40,10 +40,19 @@ final case class BlockingScore(name: String, nBlocks: Long, candPairs: Long,
   * sampling — then apply the chosen keys to the full run. */
 object BlockingPlanner {
 
-  /** Score every scheme against a (id1, id2) truth pair set. */
+  /** Score every scheme against a (id1, id2) truth pair set. The truth
+    * list is CANONICALIZED first — orientation folded to (least, greatest)
+    * and exact duplicates dropped — so a truth set carrying duplicate rows
+    * or both orientations of a pair cannot deflate pair-completeness
+    * (coverage was always counted over distinct pairs; the denominator now
+    * matches it). Coverage itself is orientation-symmetric (a shared block
+    * is a shared block), so folding never changes which pairs are hit. */
   def score(records: DataFrame, idColumn: String,
       schemes: Seq[BlockingScheme], truth: DataFrame): Seq[BlockingScore] = {
     require(schemes.nonEmpty, "at least one candidate scheme")
+    val truthC = truth.select(
+      least(col("id1"), col("id2")).as("id1"),
+      greatest(col("id1"), col("id2")).as("id2")).distinct()
     val keyed = schemes.map { s =>
       s.keys.zipWithIndex.map { case (k, i) =>
         records.select(col(idColumn).as("rid"), lit(s.name).as("scheme"),
@@ -57,8 +66,8 @@ object BlockingPlanner {
       .groupBy(col("scheme"))
       .agg(count(lit(1)).as("n_blocks"),
         coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)).as("cand_pairs"))
-    val nTruth = truth.count()
-    val cover = truth
+    val nTruth = truthC.count()
+    val cover = truthC
       .join(keys.select(col("rid").as("id1"), col("scheme"),
         col("ordinal"), col("kb").as("k1")), Seq("id1"))
       .join(keys.select(col("rid").as("id2"), col("scheme"),

@@ -919,9 +919,12 @@ object TextOps {
     val bdf = bfps.groupBy(col("fp")).agg(count(lit(1)).as("bdf"))
     // grown df for every fingerprint the batch carries (others unchanged);
     // the df table is first SEMI-JOINED to the batch's fingerprint set so
-    // the lookup streams the index once against a broadcast, instead of
-    // shuffling the whole corpus-wide count table into a left join
-    val dfRel = df.join(broadcast(bfps.select(col("fp")).distinct()),
+    // the lookup touches only index rows the batch can affect. NO explicit
+    // broadcast hint: a production admission batch can carry a fp set far
+    // beyond driver/broadcast limits, and AQE picks broadcast from runtime
+    // stats when the set IS small — the semi-join shape is preserved
+    // either way, so the hint only added a failure mode
+    val dfRel = df.join(bfps.select(col("fp")).distinct(),
       Seq("fp"), "left_semi")
     val grown = graft.CachedFrames.track(
       bdf.join(dfRel, Seq("fp"), "left")
@@ -930,7 +933,7 @@ object TextOps {
     val keptFp = grown.filter(col("gdf") <= dfCap).select(col("fp"))
     val bKept = graft.CachedFrames.track(bfps.join(keptFp, "fp"))
     val baseRel = graft.CachedFrames.track(
-      fps.join(broadcast(bfps.select(col("fp")).distinct()), Seq("fp"),
+      fps.join(bfps.select(col("fp")).distinct(), Seq("fp"),
         "left_semi"))
     val baseKept = baseRel.join(keptFp, "fp")
     // denominators under the grown df: batch docs from their kept counts;
@@ -984,8 +987,10 @@ object TextOps {
     // batch docs: kept counts under the grown df; base docs: stored size
     // minus crossings (fingerprints the batch pushed over the cap); df is
     // semi-joined to the batch fingerprints first, as in the admit path
+    // (unhinted for the same reason — a large batch's fp set must not be
+    // forced through the driver; AQE broadcasts it when it is small)
     val grown = bdf.join(
-        df.join(broadcast(bfps.select(col("fp")).distinct()), Seq("fp"),
+        df.join(bfps.select(col("fp")).distinct(), Seq("fp"),
           "left_semi"),
         Seq("fp"), "left")
       .select(col("fp"), col("bdf"),
@@ -994,9 +999,9 @@ object TextOps {
         "fp")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val crossings = fps
-      .join(broadcast(
+      .join(
         grown.filter(col("gdf") > dfCap && col("gdf") - col("bdf") <= dfCap)
-          .select(col("fp"))), Seq("fp"), "left_semi")
+          .select(col("fp")), Seq("fp"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cross"))
     val sizes2 = sizes.join(crossings, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -5713,6 +5718,22 @@ object TextOps {
   private[graft] def substrIndexFrame(docs: DataFrame): DataFrame =
     substrSitesOf(substrSized(docs, cache = false))
       .select(col("gram")).distinct()
+
+  /** The WRITER-ATTRIBUTED gram index frame for the streaming ingest loop
+    * ([[graft.streaming.EventStreams.substrIngestStream]]): the same
+    * distinct grams as [[substrIndexFrame]], each carrying ONE doc_id that
+    * contains it in this frame (the minimum — deterministic, and one row
+    * per gram keeps the index exactly |distinct grams| as before).
+    * Existence remains the only admission signal; the doc_id column exists
+    * solely so an at-least-once REPLAY can anti-join out the rows its own
+    * failed append wrote — without attribution, a replayed batch probes an
+    * index already containing its own grams and marks every replayed site
+    * redundant against itself. A gram shared by base and batch keeps its
+    * base-attributed row through the exclusion, so genuine base matches
+    * survive replay. */
+  private[graft] def substrIndexDocFrame(docs: DataFrame): DataFrame =
+    substrSitesOf(substrSized(docs, cache = false))
+      .groupBy(col("gram")).agg(min(col("doc_id")).as("doc_id"))
 
   /** Admit a document batch against a persisted gram index: per batch doc,
     * the q166 removal plan (same schema) counting the base as canonical.

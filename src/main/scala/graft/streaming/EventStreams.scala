@@ -644,6 +644,20 @@ object EventStreams {
     * Scale shape per batch: both probes broadcast BATCH-side keys against
     * the streamed index (never shuffled/collected); the append writes
     * only the admitted docs' derived rows. */
+  /** Scheme-aware existence probe for persisted-index bootstrap: resolves
+    * through the Hadoop FileSystem for the path's scheme, so an HDFS/S3
+    * index directory is SEEN on restart. A driver-local `java.io.File`
+    * check is always false for remote schemes, which would silently treat
+    * a standing index as empty on every restart — tolerable for the
+    * duplicate-tolerant gram/digest indexes (one batch of missed
+    * cross-batch matches), fatal for the graph loop, whose edge
+    * denominators depend on the standing postings being seen. */
+  private def indexExists(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def admissionIngestStream(docs: DataFrame, indexDir: String,
       verdictsDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
@@ -654,7 +668,7 @@ object EventStreams {
           // directory), probe against empty frames — the first batch
           // admits wholesale and its append CREATES the index
           val (digests, bands) =
-            if (new java.io.File(s"$indexDir/digests").exists())
+            if (indexExists(spark, s"$indexDir/digests"))
               (spark.read.parquet(s"$indexDir/digests"),
                 spark.read.parquet(s"$indexDir/bands"))
             else {
@@ -689,10 +703,14 @@ object EventStreams {
     * Bootstrap: an unseeded index directory probes an empty frame — the
     * first batch's plan is its own within-batch q166 plan and its append
     * CREATES the index. Idempotency under at-least-once retries: plans
-    * overwrite their own `batch=<id>` subdirectory; gram appends may
-    * duplicate rows, which are harmless by construction (the probe dedups
-    * the index inside substrAdmitAgainstIndex) and reclaimed by
-    * ExtendSubstrIndex's union-distinct compaction.
+    * overwrite their own `batch=<id>` subdirectory; the persisted grams
+    * are WRITER-ATTRIBUTED ([[graft.ops.TextOps.substrIndexDocFrame]] —
+    * one (gram, doc_id) row per distinct gram) so a replayed batch
+    * anti-joins out the rows its own failed append wrote before probing
+    * (self-inclusion would mark every replayed site redundant against
+    * itself — the gram-only index cannot be repaired read-side); residual
+    * duplicate gram ROWS from a retried append stay harmless because the
+    * probe dedups grams inside substrAdmitAgainstIndex.
     *
     * Scale shape per batch: the batch explodes per-row (q166's shape);
     * the index probe is one gram-keyed join; the append writes only the
@@ -704,13 +722,21 @@ object EventStreams {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         try {
+          // the persisted grams carry the writing doc_id (see
+          // substrIndexDocFrame) so a replayed batch can exclude the rows
+          // its failed first attempt appended — without the anti-join a
+          // half-committed retry probes an index containing the batch
+          // itself and marks every replayed site redundant
           val index =
-            if (new java.io.File(s"$indexDir/grams").exists())
+            if (indexExists(spark, s"$indexDir/grams"))
               spark.read.parquet(s"$indexDir/grams")
+                .join(batch.toDF().select(col("doc_id")).distinct(),
+                  Seq("doc_id"), "left_anti")
+                .select(col("gram"))
             else graft.ops.TextOps.substrIndexFrame(batch.toDF().limit(0))
           graft.ops.TextOps.substrAdmitAgainstIndex(batch.toDF(), index)
             .write.mode("overwrite").parquet(s"$plansDir/batch=$batchId")
-          graft.ops.TextOps.substrIndexFrame(batch.toDF())
+          graft.ops.TextOps.substrIndexDocFrame(batch.toDF())
             .write.mode("append").parquet(s"$indexDir/grams")
         } finally graft.CachedFrames.drain()
     }
@@ -729,12 +755,21 @@ object EventStreams {
     * Unlike the substring index (existence-only grams, duplicate-tolerant
     * by construction), the graph index COUNTS postings for the df cap, so
     * at-least-once replays of the fps append would inflate document
-    * frequencies. Legitimate postings are unique per (doc_id, fp) by
-    * construction (winnowing dedups per doc), so the read side restores
-    * exactness with ONE distinct() — replay rows are the only possible
-    * duplicates. df and sizes are DERIVED from the appended postings per
-    * batch (an O(|postings|) rollup — never a text re-scan; the price of
-    * append-only maintenance, reclaimed by running the CLI trio's
+    * frequencies. TWO read-side repairs make replay idempotent: (1)
+    * duplicate posting ROWS collapse under one distinct() — legitimate
+    * postings are unique per (doc_id, fp) by construction (winnowing
+    * dedups per doc), so only replay can duplicate them; (2) the loaded
+    * postings are ANTI-JOINED on the batch's own doc_ids before the
+    * admission — a replay whose failed first attempt appended but did not
+    * commit would otherwise probe an index already CONTAINING the batch
+    * (self-inclusion distinct() cannot see: every batch-carried
+    * fingerprint's df double-counted, fingerprints near the cap spuriously
+    * dropped, and each batch doc priced in BOTH denominator branches).
+    * With the exclusion, the replayed batch sees exactly the pre-batch
+    * index and overwrites `batch=<id>` with the same rows the first
+    * attempt computed. df and sizes are DERIVED from the repaired postings
+    * per batch (an O(|postings|) rollup — never a text re-scan; the price
+    * of append-only maintenance, reclaimed by running the CLI trio's
     * ExtendGraphIndex compaction, whose persisted df/sizes restore the
     * bounded-lookup admission).
     *
@@ -748,8 +783,10 @@ object EventStreams {
         val spark = batch.sparkSession
         try {
           val fps = graft.CachedFrames.track(
-            if (new java.io.File(s"$indexDir/fps").exists())
+            if (indexExists(spark, s"$indexDir/fps"))
               spark.read.parquet(s"$indexDir/fps").distinct()
+                .join(batch.toDF().select(col("doc_id")).distinct(),
+                  Seq("doc_id"), "left_anti")
             else graft.ops.TextOps.graphIndexFps(batch.toDF().limit(0)))
           val df = graft.ops.TextOps.graphIndexDfOf(fps)
           val sizes = graft.ops.TextOps.graphIndexSizesOf(fps)

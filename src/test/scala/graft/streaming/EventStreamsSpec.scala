@@ -653,7 +653,8 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     def phrase(p: String) = (1 to 9).map(i => s"$p$i").mkString(" ")
     // standing corpus: one doc whose passage batch 1 will quote
     val base = Seq((100L, phrase("b"))).toDF("doc_id", "text")
-    graft.ops.TextOps.substrIndexFrame(base)
+    // seed in the loop's writer-attributed (gram, doc_id) schema
+    graft.ops.TextOps.substrIndexDocFrame(base)
       .write.parquet(s"$indexDir/grams")
     val schema = base.schema
     def runAvailable(): Unit = {
@@ -760,6 +761,93 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       finally graft.CachedFrames.drain()
     assert(grown === full)
+  }
+
+  test("graph ingestion replay is idempotent: a half-committed postings " +
+    "append is excluded by the batch doc_id anti-join, so the replayed " +
+    "batch's edges equal the first attempt's against the pre-batch index") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graph-replay")
+    val (indexDir, edgesDir, inDir) = (s"$root/gx", s"$root/edges", s"$root/in")
+    def phrase(p: String) = (1 to 9).map(i => s"$p$i").mkString(" ")
+    val base = Seq((100L, phrase("b"))).toDF("doc_id", "text")
+    graft.ops.TextOps.graphIndexFps(base).write.parquet(s"$indexDir/fps")
+    val b1 = Seq((200L, s"x1 x2 ${phrase("b")} x3"), (201L, phrase("f")))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    b1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    // simulate the failed first attempt: its postings append SUCCEEDED but
+    // the checkpoint commit did not — the standing index already contains
+    // the batch's own docs when the replay arrives
+    graft.ops.TextOps.graphIndexFps(b1.toDF("doc_id", "text"))
+      .write.mode("append").parquet(s"$indexDir/fps")
+    graft.CachedFrames.drain()
+    val ckpt = java.nio.file.Files.createTempDirectory("graph-replay-ckpt")
+    val stream = spark.readStream.schema(base.schema).parquet(inDir)
+    val q = EventStreams.graphIngestStream(stream, indexDir, edgesDir)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id1"), col("id2"), col("n_shared"), col("contain1"),
+        col("contain2"))
+      .collect().map(_.toSeq).toSet
+    // the replay's edges must equal the admission against the PRE-BATCH
+    // index — self-inclusion would double every batch fingerprint's df
+    // and price each batch doc in both denominator branches
+    val replayed = edgeSet(spark.read.parquet(s"$edgesDir/batch=0"))
+    val law = try edgeSet(graft.ops.TextOps.containmentOn(
+        base.union(b1.toDF("doc_id", "text")))
+        .filter(col("id2") >= 200L))
+      finally graft.CachedFrames.drain()
+    assert(replayed === law)
+    assert(replayed.exists(r => r.head == 100L && r(1) == 200L))
+    // and the grown postings stay exact under distinct() despite the
+    // duplicate append the replay itself added
+    val grown = spark.read.parquet(s"$indexDir/fps").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = try graft.ops.TextOps.graphIndexFps(
+        base.union(b1.toDF("doc_id", "text")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally graft.CachedFrames.drain()
+    assert(grown === full)
+  }
+
+  test("substring ingestion replay is idempotent: a half-committed gram " +
+    "append is excluded by the writer-attributed anti-join, so a fresh " +
+    "doc is not marked redundant against itself") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("substr-replay")
+    val (indexDir, plansDir, inDir) = (s"$root/gidx", s"$root/plans", s"$root/in")
+    def phrase(p: String) = (1 to 9).map(i => s"$p$i").mkString(" ")
+    val base = Seq((100L, phrase("b"))).toDF("doc_id", "text")
+    graft.ops.TextOps.substrIndexDocFrame(base)
+      .write.parquet(s"$indexDir/grams")
+    val b1 = Seq((200L, s"x ${phrase("b")} y"), (201L, phrase("f")))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    b1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    // the failed first attempt's gram append landed; its commit did not
+    graft.ops.TextOps.substrIndexDocFrame(b1.toDF("doc_id", "text"))
+      .write.mode("append").parquet(s"$indexDir/grams")
+    graft.CachedFrames.drain()
+    val ckpt = java.nio.file.Files.createTempDirectory("substr-replay-ckpt")
+    val stream = spark.readStream.schema(base.schema).parquet(inDir)
+    val q = EventStreams.substrIngestStream(stream, indexDir, plansDir)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val plans = spark.read.parquet(plansDir)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    graft.CachedFrames.drain()
+    // the base quote is still stripped (base-attributed gram rows survive
+    // the exclusion) and the fresh doc passes intact — without the
+    // anti-join its own appended grams would mark all its sites redundant
+    assert(plans(200L) === ((11L, 9L)))
+    assert(plans(201L) === ((9L, 0L)))
   }
 
   test("ingestion loop replay is harmless: duplicate index appends change no " +
