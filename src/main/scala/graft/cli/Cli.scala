@@ -1018,3 +1018,46 @@ object TrendReport {
     }
   }
 }
+
+/** Job 29 — measured blocking-key selection over a reference-format record
+  * CSV ([[graft.dedup.BlockingPlanner]] as an operator's CLI face): scores
+  * the flagship's own scheme against four single-key alternatives on the
+  * Christen metrics, marks the budget-rule winner in-row, and writes the
+  * scoreboard as one small parquet. Truth pairs derive from the Febrl
+  * rec_id convention (records sharing the middle `-N-` group id are true
+  * duplicates — `getLabel`, Util.scala:27-35 in the reference); `--budget`
+  * bounds the comparison bill (default 150,000 — generous enough that the
+  * winner is decided by measured completeness, CliSpec pins it to the
+  * reference's own keys).
+  *
+  *   runMain graft.cli.PickBlocking --input data/test.csv --output /tmp/sb \
+  *     [--budget 150000]
+  */
+object PickBlocking {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-pick-blocking") { spark =>
+      import graft.dedup.{BlockingPlanner, BlockingScheme}
+      val recs = Febrl.read(spark, a("input"))
+      val ids = recs.select(col("rec_id"),
+        split(trim(col("rec_id")), "-").getItem(1).as("mid"))
+      val truth = ids.alias("a").join(ids.alias("b"),
+          col("a.mid") === col("b.mid") && col("a.rec_id") < col("b.rec_id"))
+        .select(col("a.rec_id").as("id1"), col("b.rec_id").as("id2"))
+      val schemes = Seq(
+        BlockingScheme("reference", Febrl.config.blockingKeys),
+        BlockingScheme("state_only", Seq(col("state"))),
+        BlockingScheme("given_name", Seq(col("given_name"))),
+        BlockingScheme("postcode", Seq(col("postcode"))),
+        BlockingScheme("soc_sec", Seq(col("soc_sec_id"))))
+      val budget = a.getOrElse("budget", "150000").toLong
+      try {
+        val (winner, scores) =
+          BlockingPlanner.pick(recs, "rec_id", schemes, truth, budget)
+        println(s"winner=${winner.name} (budget=$budget)")
+        BlockingPlanner.scoreboardFrame(spark, winner, scores)
+          .coalesce(1).write.mode("overwrite").parquet(a("output"))
+      } finally graft.CachedFrames.drain()
+    }
+  }
+}

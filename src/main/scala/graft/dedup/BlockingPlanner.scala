@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A named candidate blocking scheme: the key expressions that would go
@@ -104,5 +104,19 @@ object BlockingPlanner {
     val winner =
       if (within.nonEmpty) within.head else scores.minBy(_.candPairs)
     (byName(winner.name), scores)
+  }
+
+  /** A [[pick]] result as the one-row-per-scheme report frame shared by
+    * the q250 gate entry and the PickBlocking CLI job: (scheme, n_blocks,
+    * cand_pairs, truth_pairs, covered, pair_completeness, is_winner).
+    * Driver-side by construction — the scoreboard is |schemes| rows; the
+    * heavy work already ran distributed inside [[score]]. */
+  def scoreboardFrame(spark: SparkSession, winner: BlockingScheme,
+      scores: Seq[BlockingScore]): DataFrame = {
+    import spark.implicits._
+    scores.map(s => (s.name, s.nBlocks, s.candPairs, s.truthPairs, s.covered,
+        s.pairCompleteness, s.name == winner.name))
+      .toDF("scheme", "n_blocks", "cand_pairs", "truth_pairs", "covered",
+        "pair_completeness", "is_winner")
   }
 }

@@ -952,4 +952,121 @@ object NearDup {
           / CAST(bl.cand_pairs AS DOUBLE) END AS pairs_quality
     FROM bl LEFT JOIN cv ON bl.scheme = cv.scheme CROSS JOIN nd
   """
+
+  /** q250 tuning: the comparison-pair budget for the measured pick. At
+    * sf0.01 it sits BETWEEN the schemes (prefix8 450 and len_token 19,708
+    * fit; src_lang 39,487 does not), so the budget rule — not just the
+    * completeness sort — decides the winner on organic data. */
+  private[ops] val BlockingPickBudget = 20000L
+
+  /** The candidate schemes q250 prices on the documents table, in
+    * [[graft.dedup.BlockingPlanner]]'s multi-ordinal execution model
+    * (cost = Σ over ALL key ordinals; a truth pair is covered by ANY
+    * shared block): cheap metadata keys (source, then lang), hybrid
+    * length-bucket + first-token keys, and the 8-char text prefix. */
+  private[ops] def blockingPickSchemes: Seq[graft.dedup.BlockingScheme] = Seq(
+    graft.dedup.BlockingScheme("src_lang",
+      Seq(col("source"), col("lang"))),
+    graft.dedup.BlockingScheme("len_token",
+      Seq(expr("n_chars DIV 64"), expr("""split(trim(text), '\\s+')[0]"""))),
+    graft.dedup.BlockingScheme("prefix8",
+      Seq(expr("substring(trim(text), 1, 8)"))))
+
+  /** q250: MEASURED BLOCKING-KEY SELECTION — [[graft.dedup.BlockingPlanner]]
+    * run as an oracle-gated query on organic data, closing the loop q221's
+    * advisory scoreboard opened: three candidate schemes are priced against
+    * the LSH-certified near-dup truth set (q27 candidates at true Jaccard
+    * ≥ 0.5 — the q221 derivation) and the budget rule marks the winner
+    * in-row (`is_winner`): among schemes whose comparison bill fits
+    * [[BlockingPickBudget]], the best measured pair-completeness, ties to
+    * the cheaper scheme then the name; nothing fits ⇒ cheapest overall.
+    *
+    * Exactness: all counts exact BIGINT (per-ordinal Σc(c−1)/2 of even
+    * products via DIV 2); pair_completeness is ONE division of exact
+    * counts (0.0 on an empty truth set, the planner's convention); the
+    * winner is an ORDER on those exact/bitwise-stable values.
+    *
+    * Scale shape: the planner's own — one column-pruned pass per (scheme,
+    * ordinal), per-block COUNT arithmetic (candidate pairs never
+    * materialized), truth coverage as two id-keyed equi-joins; the truth
+    * set rides the production LSH path. The only driver-side step is the
+    * |schemes|-row scoreboard itself. */
+  def q250BlockingPick(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
+    blockingPickOn(spark, docs,
+      lshPairsOn(docs).filter(col("true_jaccard") >= 0.5)
+        .select(col("id1"), col("id2")))
+  }
+
+  /** The pick core over ANY (doc_id, text, n_chars, source, lang) frame
+    * and ANY (id1, id2) truth set — fixture-testable. */
+  private[ops] def blockingPickOn(spark: SparkSession, docs: DataFrame,
+      truth: DataFrame): DataFrame = {
+    val (winner, scores) = graft.dedup.BlockingPlanner.pick(docs, "doc_id",
+      blockingPickSchemes, truth, BlockingPickBudget)
+    graft.dedup.BlockingPlanner.scoreboardFrame(spark, winner, scores)
+  }
+
+  val q250BlockingPickSql: String = s"""
+    WITH ${lshCandidateSqlCtes("documents")},
+    tr0 AS (
+      SELECT p.id1, p.id2
+      FROM pairs p
+      JOIN sig s1 ON p.id1 = s1.doc_id
+      JOIN sig s2 ON p.id2 = s2.doc_id
+      WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+        CAST(len(s1.shingles) + len(s2.shingles)
+          - len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+        >= 0.5),
+    tr AS (SELECT DISTINCT least(id1, id2) AS id1, greatest(id1, id2) AS id2
+           FROM tr0),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS truth_pairs FROM tr),
+    k AS (
+      SELECT doc_id, 'src_lang' AS scheme, 1 AS ordinal,
+        coalesce(trim(CAST(source AS VARCHAR)), '') AS kb FROM documents
+      UNION ALL SELECT doc_id, 'src_lang', 2,
+        coalesce(trim(CAST(lang AS VARCHAR)), '') FROM documents
+      UNION ALL SELECT doc_id, 'len_token', 1,
+        coalesce(trim(CAST(n_chars // 64 AS VARCHAR)), '') FROM documents
+      UNION ALL SELECT doc_id, 'len_token', 2,
+        coalesce(trim(regexp_split_to_array(trim(text), '\\s+')[1]), '')
+        FROM documents
+      UNION ALL SELECT doc_id, 'prefix8', 1,
+        coalesce(trim(substr(trim(text), 1, 8)), '') FROM documents),
+    bl AS (
+      SELECT scheme, CAST(count(*) AS BIGINT) AS n_blocks,
+        coalesce(CAST(sum(c * (c - 1) // 2) AS BIGINT), CAST(0 AS BIGINT))
+          AS cand_pairs
+      FROM (SELECT scheme, ordinal, kb, CAST(count(*) AS BIGINT) AS c
+            FROM k GROUP BY 1, 2, 3)
+      GROUP BY 1),
+    cv AS (
+      SELECT scheme, CAST(sum(hit) AS BIGINT) AS covered FROM (
+        SELECT k1.scheme, t.id1, t.id2,
+          max(CASE WHEN k1.kb = k2.kb THEN 1 ELSE 0 END) AS hit
+        FROM tr t
+        JOIN k k1 ON t.id1 = k1.doc_id
+        JOIN k k2 ON t.id2 = k2.doc_id
+          AND k1.scheme = k2.scheme AND k1.ordinal = k2.ordinal
+        GROUP BY 1, 2, 3)
+      GROUP BY 1),
+    sb AS (
+      SELECT bl.scheme, bl.n_blocks, bl.cand_pairs, nt.truth_pairs,
+        coalesce(cv.covered, CAST(0 AS BIGINT)) AS covered,
+        CASE WHEN nt.truth_pairs > 0 THEN
+          CAST(coalesce(cv.covered, CAST(0 AS BIGINT)) AS DOUBLE)
+            / CAST(nt.truth_pairs AS DOUBLE) ELSE 0e0 END
+          AS pair_completeness
+      FROM bl LEFT JOIN cv ON bl.scheme = cv.scheme CROSS JOIN nt),
+    win AS (
+      SELECT coalesce(
+        (SELECT scheme FROM sb WHERE cand_pairs <= $BlockingPickBudget
+         ORDER BY pair_completeness DESC, cand_pairs, scheme LIMIT 1),
+        (SELECT scheme FROM sb
+         ORDER BY cand_pairs, pair_completeness DESC, scheme LIMIT 1))
+        AS wname)
+    SELECT sb.scheme, sb.n_blocks, sb.cand_pairs, sb.truth_pairs, sb.covered,
+      sb.pair_completeness, sb.scheme = win.wname AS is_winner
+    FROM sb CROSS JOIN win
+  """
 }

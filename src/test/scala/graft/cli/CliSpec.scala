@@ -903,4 +903,29 @@ class CliSpec extends AnyFunSuite with SparkSpec {
         "ledger_recon"))
       assert(spark.read.parquet(s"$dir/wh/$t").count() > 0, t)
   }
+  test("pick-blocking job: the scoreboard lands with the Febrl golden " +
+    "numbers and the generous-budget winner is the reference's own scheme") {
+    spark
+    val dir = Files.createTempDirectory("graft-pickb").toString
+    PickBlocking.main(Array(
+      "--input", "/root/reference/data/test.csv", "--output", s"$dir/sb"))
+    val rows = spark.read.parquet(s"$dir/sb").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size === 5)
+    // the BlockingPlannerSpec goldens, through the CLI face
+    val ref = rows("reference")
+    assert((ref.getLong(1), ref.getLong(2), ref.getLong(3), ref.getLong(4),
+      ref.getDouble(5)) === ((72L, 139006L, 779L, 779L, 1.0)))
+    assert(rows.values.count(_.getBoolean(6)) === 1)
+    assert(rows("reference").getBoolean(6), "reference scheme must win at " +
+      "the default 150k budget")
+    // a tight budget flips the winner to the best scheme that fits
+    PickBlocking.main(Array(
+      "--input", "/root/reference/data/test.csv", "--output", s"$dir/sb2",
+      "--budget", "2000"))
+    val w2 = spark.read.parquet(s"$dir/sb2")
+      .filter(org.apache.spark.sql.functions.col("is_winner"))
+      .collect().map(_.getString(0)).toSeq
+    assert(w2 === Seq("postcode"))
+  }
 }
