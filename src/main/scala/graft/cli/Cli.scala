@@ -541,10 +541,14 @@ object BuildGraphIndex {
   * 12f's output): the batch's INCIDENT containment edges under the grown
   * corpus — exactly the from-scratch edges of base ∪ batch restricted to
   * pairs touching a batch doc, computed from |batch| text plus bounded
-  * index lookups ([[graft.ops.TextOps.graphAdmitAgainstIndex]]):
+  * index lookups ([[graft.ops.TextOps.graphAdmitAgainstIndex]]). With
+  * `--patch`, also writes the BASE↔BASE edge patch the admission implies
+  * ([[graft.ops.TextOps.graphRetireOnAdmit]] — retirements and
+  * denominator updates from batch-caused df-cap crossings), so a standing
+  * edge artifact is kept current per admission without a full refresh:
   *
   *   runMain graft.cli.AdmitDocs --input batch.parquet --index /tmp/gx \
-  *     --output /tmp/edges
+  *     --output /tmp/edges [--patch /tmp/edgepatch]
   */
 object AdmitDocs {
   def main(args: Array[String]): Unit = {
@@ -553,11 +557,16 @@ object AdmitDocs {
     val batch = graft.Tables.parallelized(spark.read.parquet(a("input")))
       .select(col("doc_id"), col("text"))
     val idx = a("index")
-    try graft.ops.TextOps.graphAdmitAgainstIndex(batch,
-        spark.read.parquet(s"$idx/fps"), spark.read.parquet(s"$idx/df"),
-        spark.read.parquet(s"$idx/sizes"))
-      .write.mode("overwrite").parquet(a("output"))
-    finally graft.CachedFrames.drain()
+    val (fps, df, sizes) = (spark.read.parquet(s"$idx/fps"),
+      spark.read.parquet(s"$idx/df"), spark.read.parquet(s"$idx/sizes"))
+    try {
+      graft.ops.TextOps.graphAdmitAgainstIndex(batch, fps, df, sizes)
+        .write.mode("overwrite").parquet(a("output"))
+      a.get("patch").foreach { p =>
+        graft.ops.TextOps.graphRetireOnAdmit(batch, fps, df, sizes)
+          .write.mode("overwrite").parquet(p)
+      }
+    } finally graft.CachedFrames.drain()
     }
   }
 }

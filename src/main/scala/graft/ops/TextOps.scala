@@ -1011,6 +1011,100 @@ object TextOps {
     (fps2, df2, sizes2)
   }
 
+  /** The BASE↔BASE edge patch an admission implies — the piece
+    * [[graphAdmitAgainstIndex]] deliberately leaves to the full-refresh
+    * report: when the batch pushes a standing fingerprint over the df cap,
+    * that fingerprint drops from EVERY base doc, so standing base↔base
+    * edges lose shared fingerprints (possibly below `minShared` —
+    * retirement) and every affected doc's denominator shrinks (its
+    * surviving edges' contain values all change). This computes the exact
+    * patch from the index tables alone, so a persisted edge artifact can
+    * be kept current per admission without `GraphReport --index`
+    * recomputing every edge.
+    *
+    * Returns (id1, id2, n_shared, contain1, contain2, op): `op = "update"`
+    * rows REPLACE the standing edge with post-admission values; `op =
+    * "retire"` rows (new shared count < `minShared` — n_shared carries it,
+    * contains are null) DELETE it. Every standing edge not in the patch is
+    * untouched, and an admission can never CREATE a base↔base edge
+    * (document frequencies only grow, kept sets only shrink), so
+    * anti-join + union-updates is a complete application
+    * ([[applyGraphEdgePatch]]; the GraphIndexSpec law pins patched ≡
+    * full-refresh on the crossing fixture and an organic sf split).
+    *
+    * Scale shape: the batch's fingerprint set bounds everything — the
+    * crossing set is its subset; affected docs are the postings holding a
+    * crossing fingerprint; candidate pairs re-derive from affected docs'
+    * kept postings joined against relevant partner postings only (the
+    * posting lists of the affected docs' OWN fingerprints — never the full
+    * posting join). No batch text is even winnowed beyond the df probe. */
+  private[graft] def graphRetireOnAdmit(batch: DataFrame, fps: DataFrame,
+      df: DataFrame, sizes: DataFrame, dfCap: Int = ContainDfCap,
+      minShared: Int = ContainMinShared): DataFrame = {
+    val bfps = graft.CachedFrames.track(winnowingOn(batch))
+    val bdf = bfps.groupBy(col("fp")).agg(count(lit(1)).as("bdf"))
+    // fingerprints the batch pushes over the cap that were KEPT before
+    // (fdf ≤ cap < fdf + bdf) — only these change any base-side number
+    val crossingFp = graft.CachedFrames.track(
+      bdf.join(df, Seq("fp"))
+        .filter(col("fdf") <= dfCap && col("fdf") + col("bdf") > dfCap)
+        .select(col("fp")))
+    // affected docs and their per-doc crossing counts (denominator deltas)
+    val dcross = graft.CachedFrames.track(
+      fps.join(crossingFp, "fp")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cross")))
+    // pre-admission kept postings of the affected docs; their partners'
+    // postings come from the SAME fingerprints, so the probe is bounded
+    // by the affected docs' own posting lists
+    val oldKeptFp = df.filter(col("fdf") <= dfCap).select(col("fp"))
+    val aPost = graft.CachedFrames.track(
+      fps.join(dcross.select(col("doc_id")), "doc_id").join(oldKeptFp, "fp"))
+    val partnerPost = fps
+      .join(aPost.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+      .join(oldKeptFp, "fp")
+    // shared-fp inventory of every standing edge incident to an affected
+    // doc, each fp tagged with whether the admission drops it
+    val pairFp = aPost.select(col("doc_id").as("ida"), col("fp"))
+      .join(partnerPost.select(col("doc_id").as("idb"), col("fp")), "fp")
+      .filter(col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"), col("fp"))
+      .distinct() // both-affected pairs arrive once per ORDER, not per side
+      .join(crossingFp.withColumn("xc", lit(1L)), Seq("fp"), "left")
+    val n2 = sizes.join(dcross, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_fp") - coalesce(col("n_cross"), lit(0L))).as("n_fp"))
+    pairFp.groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("old_shared"),
+        coalesce(sum(col("xc")), lit(0L)).as("x_shared"))
+      // standing edges only; every one of them changes — an affected
+      // endpoint's denominator shrank even when x_shared = 0
+      .filter(col("old_shared") >= minShared)
+      .withColumn("new_shared", col("old_shared") - col("x_shared"))
+      .join(n2.select(col("doc_id").as("id1"), col("n_fp").as("n1")), "id1")
+      .join(n2.select(col("doc_id").as("id2"), col("n_fp").as("n2")), "id2")
+      .select(col("id1"), col("id2"), col("new_shared").as("n_shared"),
+        when(col("new_shared") >= minShared,
+          col("new_shared").cast("double") / col("n1").cast("double"))
+          .as("contain1"),
+        when(col("new_shared") >= minShared,
+          col("new_shared").cast("double") / col("n2").cast("double"))
+          .as("contain2"),
+        when(col("new_shared") >= minShared, lit("update"))
+          .otherwise(lit("retire")).as("op"))
+  }
+
+  /** Apply a [[graphRetireOnAdmit]] patch to a standing base↔base edge
+    * artifact: drop every patched pair, add back the `update` rows. The
+    * shared application semantics of the CLI flow and the spec law. */
+  private[graft] def applyGraphEdgePatch(standing: DataFrame,
+      patch: DataFrame): DataFrame =
+    standing.join(patch.select(col("id1"), col("id2")), Seq("id1", "id2"),
+        "left_anti")
+      .unionByName(patch.filter(col("op") === "update")
+        .select(col("id1"), col("id2"), col("n_shared"), col("contain1"),
+          col("contain2")))
+
   /** q238: the graph-index ADMISSION as an oracle-gated query — a fixed
     * deterministic split of the corpus (batch = doc_id % 5 = 0, base =
     * the rest) run through the production build→admit path, compared to
@@ -1036,6 +1130,107 @@ object TextOps {
     SELECT id1, id2, n_shared, contain1, contain2
     FROM ($q68ContainmentSql)
     WHERE id1 % 5 = 0 OR id2 % 5 = 0
+  """
+
+  /** q251/q252 tuning: a stop-fingerprint cap the CURRENT sf tables
+    * actually cross under a half-corpus admission (sf0.01: 119 base-kept
+    * fingerprints cross at cap 3 when the even-id half lands; the
+    * production cap of [[ContainDfCap]] is a no-op there — q249 prices
+    * the levels, these two entries RUN the crossing branches on organic
+    * data every round, because the branch that guards 100 TB correctness
+    * must not live only in hand fixtures). */
+  private[ops] val BindingDfCap = 3
+
+  /** q251: the graph-index ADMISSION at a BINDING df cap — the q238
+    * pipeline (build on the base half, admit the other half) with
+    * `dfCap = ` [[BindingDfCap]], where the batch genuinely pushes
+    * standing fingerprints over the cap, so every crossing branch of
+    * [[graphAdmitAgainstIndex]] (grown-df drop, denominator adjustment,
+    * both-sides bookkeeping) executes against the oracle's from-scratch
+    * recompute. Split is doc_id % 2 (a LARGER batch than q238's fifth —
+    * more df growth, more crossings). */
+  def q251BindingCapAdmit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 2 =!= 0)
+    val batch = docs.filter(col("doc_id") % 2 === 0)
+    val fps = graft.CachedFrames.track(graphIndexFps(base))
+    val df = graft.CachedFrames.track(graphIndexDfOf(fps))
+    val sizes = graphIndexSizesOf(fps, dfCap = BindingDfCap)
+    graphAdmitAgainstIndex(batch, fps, df, sizes, dfCap = BindingDfCap)
+  }
+
+  lazy val q251BindingCapAdmitSql: String = s"""
+    SELECT id1, id2, n_shared, contain1, contain2
+    FROM (${containmentSqlAt(BindingDfCap, ContainMinShared)})
+    WHERE id1 % 2 = 0 OR id2 % 2 = 0
+  """
+
+  /** q252: the BASE-EDGE PATCH at the same binding cap —
+    * [[graphRetireOnAdmit]] run on organic data where retirements and
+    * denominator updates actually occur, oracle-checked against a full
+    * from-scratch derivation (standing edges incident to affected docs,
+    * re-valued under the grown document frequencies). Together with q251
+    * this puts BOTH faces of an admission (incident new edges + standing
+    * edge maintenance) under the driver gate at a cap that binds. */
+  def q252BindingCapPatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 2 =!= 0)
+    val batch = docs.filter(col("doc_id") % 2 === 0)
+    val fps = graft.CachedFrames.track(graphIndexFps(base))
+    val df = graft.CachedFrames.track(graphIndexDfOf(fps))
+    val sizes = graphIndexSizesOf(fps, dfCap = BindingDfCap)
+    graphRetireOnAdmit(batch, fps, df, sizes, dfCap = BindingDfCap)
+  }
+
+  lazy val q252BindingCapPatchSql: String = s"""
+    WITH fp AS (SELECT * FROM ($q67WinnowingSql)),
+    bfp AS (SELECT * FROM fp WHERE doc_id % 2 != 0),
+    tfp AS (SELECT * FROM fp WHERE doc_id % 2 = 0),
+    bd AS (SELECT fp, CAST(count(*) AS BIGINT) AS fdf FROM bfp GROUP BY 1),
+    td AS (SELECT fp, CAST(count(*) AS BIGINT) AS bdf FROM tfp GROUP BY 1),
+    xfp AS (
+      SELECT bd.fp FROM bd JOIN td USING (fp)
+      WHERE bd.fdf <= $BindingDfCap AND bd.fdf + td.bdf > $BindingDfCap),
+    bkept AS (
+      SELECT bfp.doc_id, bfp.fp FROM bfp
+      JOIN bd USING (fp) WHERE bd.fdf <= $BindingDfCap),
+    bsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+            FROM bkept GROUP BY 1),
+    sedge AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+        CAST(count(*) AS BIGINT) AS ons
+      FROM bkept a JOIN bkept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= $ContainMinShared),
+    adocs AS (SELECT DISTINCT bfp.doc_id FROM bfp JOIN xfp USING (fp)),
+    gkept AS (
+      SELECT bk.doc_id, bk.fp FROM bkept bk
+      LEFT JOIN xfp x ON bk.fp = x.fp WHERE x.fp IS NULL),
+    gpair AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+        CAST(count(*) AS BIGINT) AS ns
+      FROM gkept a JOIN gkept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    xcnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nc
+             FROM bfp JOIN xfp USING (fp) GROUP BY 1),
+    nsz AS (
+      SELECT b.doc_id, b.n - coalesce(x.nc, CAST(0 AS BIGINT)) AS n
+      FROM bsz b LEFT JOIN xcnt x USING (doc_id))
+    SELECT s.id1, s.id2,
+      coalesce(g.ns, CAST(0 AS BIGINT)) AS n_shared,
+      CASE WHEN coalesce(g.ns, 0) >= $ContainMinShared
+        THEN CAST(g.ns AS DOUBLE) / CAST(n1.n AS DOUBLE) END AS contain1,
+      CASE WHEN coalesce(g.ns, 0) >= $ContainMinShared
+        THEN CAST(g.ns AS DOUBLE) / CAST(n2.n AS DOUBLE) END AS contain2,
+      CASE WHEN coalesce(g.ns, 0) >= $ContainMinShared
+        THEN 'update' ELSE 'retire' END AS op
+    FROM sedge s
+    LEFT JOIN gpair g ON s.id1 = g.id1 AND s.id2 = g.id2
+    JOIN nsz n1 ON s.id1 = n1.doc_id
+    JOIN nsz n2 ON s.id2 = n2.doc_id
+    WHERE s.id1 IN (SELECT doc_id FROM adocs)
+       OR s.id2 IN (SELECT doc_id FROM adocs)
   """
 
   /** q249 tuning: the candidate stop-fingerprint caps priced. */
@@ -1197,18 +1392,20 @@ object TextOps {
     FROM ndocs, bstats, bdist, novel, crossing, edges
   """
 
-  val q68ContainmentSql: String = s"""
+  /** The q68 containment SQL parameterized by cap and support — q251 runs
+    * the identical pipeline at a cap the current tables actually BIND. */
+  private[graft] def containmentSqlAt(dfCap: Int, minShared: Int): String = s"""
     WITH fp AS (SELECT * FROM ($q67WinnowingSql)),
     kept AS (
       SELECT fp.doc_id, fp.fp FROM fp
       JOIN (SELECT fp, count(*) AS fdf FROM fp GROUP BY fp
-            HAVING count(*) <= $ContainDfCap) ok ON fp.fp = ok.fp),
+            HAVING count(*) <= $dfCap) ok ON fp.fp = ok.fp),
     sizes AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
       FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-      HAVING count(*) >= $ContainMinShared)
+      HAVING count(*) >= $minShared)
     SELECT p.id1, p.id2, p.n_shared,
       CAST(p.n_shared AS DOUBLE) / CAST(s1.n_fp AS DOUBLE) AS contain1,
       CAST(p.n_shared AS DOUBLE) / CAST(s2.n_fp AS DOUBLE) AS contain2
@@ -1216,6 +1413,9 @@ object TextOps {
     JOIN sizes s1 ON p.id1 = s1.doc_id
     JOIN sizes s2 ON p.id2 = s2.doc_id
   """
+
+  val q68ContainmentSql: String =
+    containmentSqlAt(ContainDfCap, ContainMinShared)
 
   /** q61 tuning: signature width (top terms per doc) / query batch bound /
     * neighbours kept. */

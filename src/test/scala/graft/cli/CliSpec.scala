@@ -840,7 +840,7 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       "--input", s"$dir/base", "--output", s"$dir/gx"))
     AdmitDocs.main(Array(
       "--input", s"$dir/batch", "--index", s"$dir/gx",
-      "--output", s"$dir/edges"))
+      "--output", s"$dir/edges", "--patch", s"$dir/edgepatch"))
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSet
     val admitted = rows(spark.read.parquet(s"$dir/edges"))
@@ -848,6 +848,22 @@ class CliSpec extends AnyFunSuite with SparkSpec {
         .filter(col("id1") % 5 === 0 || col("id2") % 5 === 0))
       finally graft.CachedFrames.drain()
     assert(admitted === truth)
+    // --patch: applying the written base-edge patch to the standing
+    // base↔base edges reproduces the full-refresh base↔base edges (at the
+    // production cap this split has no crossings, so the patch is empty
+    // and standing ≡ refresh — the binding-cap branches are pinned in
+    // GraphIndexSpec's cap-3 law)
+    val patch = spark.read.parquet(s"$dir/edgepatch")
+    assert(patch.columns.toSeq ===
+      Seq("id1", "id2", "n_shared", "contain1", "contain2", "op"))
+    val baseDocs = docs.filter(col("doc_id") % 5 =!= 0)
+    val patched = try rows(graft.ops.TextOps.applyGraphEdgePatch(
+        graft.ops.TextOps.containmentOn(baseDocs), patch))
+      finally graft.CachedFrames.drain()
+    val refreshed = try rows(graft.ops.TextOps.containmentOn(docs)
+        .filter(col("id1") % 5 =!= 0 && col("id2") % 5 =!= 0))
+      finally graft.CachedFrames.drain()
+    assert(patched === refreshed)
     ExtendGraphIndex.main(Array(
       "--index", s"$dir/gx", "--batch", s"$dir/batch",
       "--output", s"$dir/gx2"))

@@ -133,4 +133,66 @@ class GraphIndexSpec extends AnyFunSuite with SparkSpec {
       assert(pairs(sizes2) === pairs(TextOps.graphIndexSizesOf(full)))
     } finally graft.CachedFrames.drain()
   }
+  test("fixture (cap = 2): graphRetireOnAdmit emits exactly the implied " +
+    "base-edge patch — one retirement (edge lost its only shared fp) and " +
+    "one denominator update — and applying it reproduces the full refresh") {
+    val (toks, gA, gB) = sevenTok
+    // base: D(1) = {A, B}; D2(2) = gA shares A with D; D3(3) = gB shares
+    // B with D. Standing base edges (minShared = 1): (1,2) on A, (1,3) on
+    // B. batch: D10(10) = gA pushes df(A) to 3 > 2 — A drops everywhere,
+    // so (1,2) RETIRES (no shared fps left) and (1,3) keeps n_shared = 1
+    // but D's denominator shrinks 2 → 1 (contain1 0.5 → 1.0).
+    val base = docsDf(Seq(1L -> toks.mkString(" "), 2L -> gA, 3L -> gB))
+    val batch = docsDf(Seq(10L -> gA))
+    val fps = graft.CachedFrames.track(TextOps.graphIndexFps(base))
+    val df = TextOps.graphIndexDfOf(fps)
+    val sizes = TextOps.graphIndexSizesOf(fps, dfCap = 2)
+    val standing = graft.CachedFrames.track(TextOps.containmentFromPostings(
+      fps, dfCap = 2, minShared = 1))
+    val patch = graft.CachedFrames.track(TextOps.graphRetireOnAdmit(
+      batch, fps, df, sizes, dfCap = 2, minShared = 1))
+    try {
+      val got = patch.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), Option(r.get(3)), Option(r.get(4)),
+        r.getString(5))).toSet
+      assert(got === Set(
+        (1L, 2L, 0L, None, None, "retire"),
+        (1L, 3L, 1L, Some(1.0), Some(1.0), "update")))
+      val patched = edgeSet(TextOps.applyGraphEdgePatch(standing, patch))
+      val refresh = edgeSet(TextOps.containmentFromPostings(
+        TextOps.graphIndexFps(base.union(batch)), dfCap = 2, minShared = 1)
+        .filter(col("id1") < 10 && col("id2") < 10))
+      assert(patched === refresh)
+    } finally graft.CachedFrames.drain()
+  }
+
+  test("sf0.001 law: patching the standing base edges with " +
+    "graphRetireOnAdmit equals the full-refresh base\u2194base edges of the " +
+    "grown corpus, at a cap the split actually crosses") {
+    // cap 3 is BINDING for this split (86 base-kept fps cross when the
+    // batch lands), so the law runs the retirement branches on organic
+    // data, not just the hand fixture
+    val cap = 3
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val fps = graft.CachedFrames.track(TextOps.graphIndexFps(base))
+    val df = TextOps.graphIndexDfOf(fps)
+    val sizes = TextOps.graphIndexSizesOf(fps, dfCap = cap)
+    val standing = graft.CachedFrames.track(TextOps.containmentFromPostings(
+      fps, dfCap = cap))
+    val patch = graft.CachedFrames.track(TextOps.graphRetireOnAdmit(
+      batch, fps, df, sizes, dfCap = cap))
+    try {
+      // the cap must actually bind, or this law tests nothing
+      assert(patch.count() > 0)
+      assert(patch.filter(col("op") === "retire").count() > 0)
+      val patched = edgeSet(TextOps.applyGraphEdgePatch(standing, patch))
+      val refresh = edgeSet(TextOps.containmentFromPostings(
+        TextOps.graphIndexFps(docs), dfCap = cap)
+        .filter(col("id1") % 5 =!= 0 && col("id2") % 5 =!= 0))
+      assert(patched === refresh)
+    } finally graft.CachedFrames.drain()
+  }
 }
