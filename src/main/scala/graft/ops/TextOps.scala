@@ -1114,15 +1114,44 @@ object TextOps {
     * path reproduces the from-scratch generator exactly — including the
     * df-cap-crossing bookkeeping. */
   def q238GraphAdmit(spark: SparkSession, sfDir: String): DataFrame = {
+    val (batch, fps, df, sizes) = q238IndexTables(spark, sfDir)
+    graphAdmitAgainstIndex(batch, fps, df, sizes)
+  }
+
+  /** The q238 deterministic split and its TRACKED index tables, shared by
+    * q238/q240/q253: identical logical plans mean `CachedFrames.track`
+    * dedups the fps/df materializations across the three queries, so the
+    * bench's graphidx group bills the one-time index BUILD to its
+    * generator row (q253) and the admission rows price admission — the
+    * production cost split (BuildGraphIndex once, AdmitDocs per batch). */
+  private[ops] def q238IndexTables(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
       .select(col("doc_id"), col("text"))
     val base = docs.filter(col("doc_id") % 5 =!= 0)
     val batch = docs.filter(col("doc_id") % 5 === 0)
     val fps = graft.CachedFrames.track(graphIndexFps(base))
     val df = graft.CachedFrames.track(graphIndexDfOf(fps))
-    val sizes = graphIndexSizesOf(fps)
-    graphAdmitAgainstIndex(batch, fps, df, sizes)
+    (batch, fps, df, graphIndexSizesOf(fps))
   }
+
+  /** q253: the q238 base split's document-frequency table as its own gate
+    * entry — the GENERATOR row of the bench's graphidx group, so the
+    * one-time index build (winnowing the base text + the df rollup) is
+    * billed HERE and q238/q240's rows price the admission alone. The
+    * oracle recomputes the table from raw text, which doubles as the law
+    * that the standing artifact equals the in-row build. */
+  def q253GraphIndexDf(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, _, df, _) = q238IndexTables(spark, sfDir)
+    df
+  }
+
+  lazy val q253GraphIndexDfSql: String = s"""
+    SELECT fp, CAST(count(*) AS BIGINT) AS fdf
+    FROM ($q67WinnowingSql)
+    WHERE doc_id % 5 <> 0
+    GROUP BY 1
+  """
 
   // lazy: q68ContainmentSql is declared LATER in this object; a strict val
   // here would interpolate null at object-init time
@@ -1150,14 +1179,22 @@ object TextOps {
     * recompute. Split is doc_id % 2 (a LARGER batch than q238's fifth —
     * more df growth, more crossings). */
   def q251BindingCapAdmit(spark: SparkSession, sfDir: String): DataFrame = {
+    val (batch, fps, df, sizes) = bindingCapIndexTables(spark, sfDir)
+    graphAdmitAgainstIndex(batch, fps, df, sizes, dfCap = BindingDfCap)
+  }
+
+  /** The q251/q252 half split and its tracked index tables at the binding
+    * cap — shared (identical plans) so the bench's bindingcap group
+    * materializes the build once across both rows. */
+  private[ops] def bindingCapIndexTables(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
       .select(col("doc_id"), col("text"))
     val base = docs.filter(col("doc_id") % 2 =!= 0)
     val batch = docs.filter(col("doc_id") % 2 === 0)
     val fps = graft.CachedFrames.track(graphIndexFps(base))
     val df = graft.CachedFrames.track(graphIndexDfOf(fps))
-    val sizes = graphIndexSizesOf(fps, dfCap = BindingDfCap)
-    graphAdmitAgainstIndex(batch, fps, df, sizes, dfCap = BindingDfCap)
+    (batch, fps, df, graphIndexSizesOf(fps, dfCap = BindingDfCap))
   }
 
   lazy val q251BindingCapAdmitSql: String = s"""
@@ -1174,13 +1211,7 @@ object TextOps {
     * this puts BOTH faces of an admission (incident new edges + standing
     * edge maintenance) under the driver gate at a cap that binds. */
   def q252BindingCapPatch(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
-      .select(col("doc_id"), col("text"))
-    val base = docs.filter(col("doc_id") % 2 =!= 0)
-    val batch = docs.filter(col("doc_id") % 2 === 0)
-    val fps = graft.CachedFrames.track(graphIndexFps(base))
-    val df = graft.CachedFrames.track(graphIndexDfOf(fps))
-    val sizes = graphIndexSizesOf(fps, dfCap = BindingDfCap)
+    val (batch, fps, df, sizes) = bindingCapIndexTables(spark, sfDir)
     graphRetireOnAdmit(batch, fps, df, sizes, dfCap = BindingDfCap)
   }
 
@@ -1329,13 +1360,7 @@ object TextOps {
     * q238 admission shapes plus two fp-keyed anti/equi joins bounded by
     * the batch's fingerprint set; 1 row out. */
   def q240GraphAdmitEconomics(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
-      .select(col("doc_id"), col("text"))
-    val base = docs.filter(col("doc_id") % 5 =!= 0)
-    val batch = docs.filter(col("doc_id") % 5 === 0)
-    val fps = graft.CachedFrames.track(graphIndexFps(base))
-    val df = graft.CachedFrames.track(graphIndexDfOf(fps))
-    val sizes = graphIndexSizesOf(fps)
+    val (batch, fps, df, sizes) = q238IndexTables(spark, sfDir)
     val bfps = graft.CachedFrames.track(graphIndexFps(batch))
     val bdf = graft.CachedFrames.track(
       bfps.groupBy(col("fp")).agg(count(lit(1)).as("bdf")))

@@ -152,6 +152,14 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(!(Bench.load1("") > 8.0)) // NaN > threshold is false: no retry
   }
 
+  test("load5 parses the 5-minute field (the r15 warm-close gate); " +
+    "unparseable reads as NaN, which never blocks a start") {
+    assert(Bench.load5("6.03 8.10 9.77") === 8.10)
+    assert(Bench.load5("").isNaN)
+    assert(Bench.load5("1.0").isNaN) // missing field: same safe fallback
+    assert(!(Bench.load5("") > 8.0))
+  }
+
   test("parseQueryMedians reads a recorded bench line") {
     val line = """{"metric":"total","value":40.9,"unit":"sec","reps":3,""" +
       """"failures":{},"queries":{"q1_agg":0.51,"q47_range_join":0.55},""" +
