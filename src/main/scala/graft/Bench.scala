@@ -70,7 +70,15 @@ object Bench {
     "graphidx" -> Seq("q253_graph_index_df", "q238_graph_admit",
       "q240_graph_admit_economics"),
     // the binding-cap pair shares its half-split index build the same way
-    "bindingcap" -> Seq("q251_binding_cap_admit", "q252_binding_cap_patch"))
+    "bindingcap" -> Seq("q251_binding_cap_admit", "q252_binding_cap_patch"),
+    // the MinHash family: every member tracks the SAME full-corpus
+    // signature checkpoint (lshPairsOn's sigFrame — the lshband index
+    // family's sig table), so the corpus-wide shingle+minhash pass is
+    // billed once to the generator and q131's consolidation input stops
+    // being recomputed per consumer
+    "lsh" -> Seq("q27_lsh_pairs", "q107_lsh_scoreboard",
+      "q131_neardup_consolidate", "q221_blocking_quality",
+      "q250_blocking_pick"))
 
   private[graft] final case class QStat(median: Double, min: Double, max: Double,
       failures: Int)

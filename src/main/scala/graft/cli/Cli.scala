@@ -1070,3 +1070,58 @@ object PickBlocking {
     }
   }
 }
+
+/** Job 30 — the GENERIC index-family trio (the [[graft.ops.IndexFamily]]
+  * contract's CLI face): one Build/Admit/Extend surface over every
+  * persisted index family (`corpus`, `vector`, `substr`, `graph`,
+  * `lshband`) instead of a hand-rolled job per family. The family-specific
+  * jobs that predate the contract remain for their extra flags; these
+  * three are what a NEW family gets for free.
+  *
+  *   runMain graft.cli.BuildIndex  --family lshband --input docs.parquet \
+  *     --output /tmp/lx
+  *   runMain graft.cli.AdmitIndex  --family lshband --input batch.parquet \
+  *     --index /tmp/lx --output /tmp/cands
+  *   runMain graft.cli.ExtendIndex --family lshband --index /tmp/lx \
+  *     --batch batch.parquet --output /tmp/lx2
+  */
+object BuildIndex {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-build-index") { spark =>
+      import graft.ops.IndexFamily
+      val f = IndexFamily.byName(a("family"))
+      val corpus = graft.Tables.parallelized(spark.read.parquet(a("input")))
+      try IndexFamily.write(a("output"), f.build(corpus), f)
+      finally graft.CachedFrames.drain()
+    }
+  }
+}
+
+object AdmitIndex {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-admit-index") { spark =>
+      import graft.ops.IndexFamily
+      val f = IndexFamily.byName(a("family"))
+      val batch = graft.Tables.parallelized(spark.read.parquet(a("input")))
+      try f.admit(batch, IndexFamily.read(spark, a("index"), f))
+        .write.mode("overwrite").parquet(a("output"))
+      finally graft.CachedFrames.drain()
+    }
+  }
+}
+
+object ExtendIndex {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-extend-index-family") { spark =>
+      import graft.ops.IndexFamily
+      val f = IndexFamily.byName(a("family"))
+      val batch = graft.Tables.parallelized(spark.read.parquet(a("batch")))
+      try IndexFamily.write(a("output"),
+        f.extend(IndexFamily.read(spark, a("index"), f), batch), f)
+      finally graft.CachedFrames.drain()
+    }
+  }
+}

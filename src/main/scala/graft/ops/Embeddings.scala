@@ -1668,7 +1668,7 @@ object Embeddings {
     * on purpose: an extended vector MUST land in the cell admission will
     * probe (the CliSpec closed-loop pin), so the expression cannot be
     * allowed to diverge between the two paths. */
-  private def assignNearestStandingCell(vecs: DataFrame,
+  private[graft] def assignNearestStandingCell(vecs: DataFrame,
       centsRow: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     vecs
@@ -1682,6 +1682,22 @@ object Embeddings {
                'cell', c.cell))).cell"""))
       .drop("cents")
   }
+
+  /** The cell table of a vector set under a FROZEN codebook row — the
+    * from-scratch reference of the vector family's grown-index law: since
+    * a from-scratch rebuild would retrain the codebook, the honest law for
+    * extension is "extend(build(base), batch) ≡ every base ∪ batch vector
+    * assigned to base's standing codebook" (entry-set equality per cell —
+    * array order is a collect_list artifact, so the law compares exploded
+    * entries). Also doubles as the pinned agreement between the build
+    * path's probeAssign(nprobe = 1) and the extend/admit paths'
+    * [[assignNearestStandingCell]]. */
+  private[graft] def cellsUnderCodebook(vecs: DataFrame,
+      centsRow: DataFrame): DataFrame =
+    assignNearestStandingCell(vecs, centsRow)
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cn"))).as("entries"))
 
   private[graft] def admitVectorsAgainstIndex(batch: DataFrame,
       centsRow: DataFrame, cells: DataFrame): DataFrame = {

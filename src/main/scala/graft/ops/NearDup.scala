@@ -139,16 +139,22 @@ object NearDup {
 
   /** Same candidate join over ANY (doc_id, text, ...) frame — reused by the
     * corpus-curation pipeline on an already-filtered document set. */
-  private[ops] def lshPairsOn(docs: DataFrame,
+  /** The persisted LSH-BAND INDEX's signature table: (doc_id, sig,
+    * shingles) — one row per document, the checkpoint every consumer of
+    * the MinHash pipeline re-derives today. Persisting it is what lets an
+    * admission (and q131's consolidation input) skip the corpus-wide
+    * shingle+minhash pass entirely. */
+  private[graft] def sigFrame(docs: DataFrame,
+      cfg: MinHashConfig = DefaultMinHash): DataFrame =
+    withSignature(shingled(docs), cfg)
+      .select(col("doc_id"), col("sig"), col("shingles"))
+
+  /** The index's band-posting table from a signature table: (doc_id,
+    * band, bkey) — the equi-join key space of the candidate generator. */
+  private[graft] def bandsFrame(sigs: DataFrame,
       cfg: MinHashConfig = DefaultMinHash): DataFrame = {
-    import cfg.{numBands, numPerm, rowsPerBand}
-    // persist: the signature frame is read three times (band explode + two
-    // join-backs) — minhash recomputation dominates without it; at corpus
-    // scale this materialization is the standard signature checkpoint
-    val sigs = graft.CachedFrames.track(
-      withSignature(shingled(docs), cfg)
-        .select(col("doc_id"), col("sig"), col("shingles")))
-    val bands = sigs.select(
+    import cfg.{numBands, rowsPerBand}
+    sigs.select(
       col("doc_id"),
       explode(expr(
         s"""transform(sequence(0, ${numBands - 1}), b -> struct(b AS band,
@@ -156,12 +162,13 @@ object NearDup {
            |                           x -> CAST(x AS STRING)), '_')) AS bkey))""".stripMargin))
         .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val pairs = bands.alias("a")
-      .join(bands.alias("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** The candidate columns (est/true Jaccard) joined onto a pair list from
+    * a signature table — shared by the from-scratch generator and the
+    * index admission so the two paths cannot diverge. */
+  private def withJaccards(pairs: DataFrame, sigs: DataFrame,
+      cfg: MinHashConfig): DataFrame =
     pairs
       .join(sigs.select(col("doc_id"), col("sig").as("sig1"), col("shingles").as("sh1")),
         col("id1") === col("doc_id")).drop("doc_id")
@@ -170,10 +177,55 @@ object NearDup {
       .select(
         col("id1"), col("id2"), col("n_shared_bands"),
         (expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v))") /
-          lit(numPerm.toDouble)).as("est_jaccard"),
+          lit(cfg.numPerm.toDouble)).as("est_jaccard"),
         (expr("size(array_intersect(sh1, sh2))").cast("double") /
           expr("size(sh1) + size(sh2) - size(array_intersect(sh1, sh2))").cast("double"))
           .as("true_jaccard"))
+
+  /** Admit a document batch against a persisted LSH-band index: the
+    * batch's INCIDENT candidate pairs (batch↔standing and batch↔batch)
+    * with the q27 columns — exactly `lshPairsOn(base ∪ batch)` restricted
+    * to pairs touching a batch doc (the IndexFamilySpec law), while
+    * shingling/signing only |batch| text; the standing corpus rides in as
+    * its persisted sig + band tables. The incremental face of q131's
+    * consolidation input: per batch, candidates come from one banded
+    * equi-join against the posting table, never a corpus re-sign.
+    *
+    * Scale shape: the band join's key space is (band, bkey) — uniform by
+    * construction; the batch side is |batch| × numBands rows; the
+    * signature join-backs touch only candidate ids. */
+  private[graft] def lshAdmitAgainstIndex(batch: DataFrame, sig: DataFrame,
+      bands: DataFrame, cfg: MinHashConfig = DefaultMinHash): DataFrame = {
+    val bsig = graft.CachedFrames.track(sigFrame(batch, cfg))
+    val bbands = bandsFrame(bsig, cfg)
+    val others = bands.unionByName(bbands)
+    val pairs = bbands.alias("a")
+      .join(others.alias("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id2"), col("a.band"))
+      .distinct() // batch↔batch band hits arrive once per ORDER, not per side
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    withJaccards(pairs, sig.unionByName(bsig), cfg)
+  }
+
+  private[ops] def lshPairsOn(docs: DataFrame,
+      cfg: MinHashConfig = DefaultMinHash): DataFrame = {
+    // persist: the signature frame is read multiple times (band explode +
+    // two join-backs) — minhash recomputation dominates without it; at
+    // corpus scale this materialization is the standard signature
+    // checkpoint, and the PERSISTED form is the LSH-band index family
+    val sigs = graft.CachedFrames.track(sigFrame(docs, cfg))
+    val bands = bandsFrame(sigs, cfg)
+    val pairs = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    withJaccards(pairs, sigs, cfg)
   }
 
   val q27LshPairsSql: String = s"""
@@ -951,6 +1003,36 @@ object NearDup {
         CAST(coalesce(cv.covered, CAST(0 AS BIGINT)) AS DOUBLE)
           / CAST(bl.cand_pairs AS DOUBLE) END AS pairs_quality
     FROM bl LEFT JOIN cv ON bl.scheme = cv.scheme CROSS JOIN nd
+  """
+
+  /** q254: LSH-BAND INDEX ADMISSION — the lshband family
+    * ([[graft.ops.LshBandIndexFamily]]) as an oracle-gated query: the q238
+    * deterministic split run through build→admit, so a batch's near-dup
+    * CANDIDATES (q131's consolidation input) come from one banded
+    * equi-join against the standing sig/band tables — never a corpus
+    * re-sign — and the oracle proves the incremental path reproduces the
+    * from-scratch q27 generator restricted to batch-incident pairs,
+    * Jaccard columns included. */
+  def q254LshAdmit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val sig = graft.CachedFrames.track(sigFrame(base))
+    lshAdmitAgainstIndex(batch, sig, bandsFrame(sig))
+  }
+
+  val q254LshAdmitSql: String = s"""
+    WITH ${lshCandidateSqlCtes("documents")}
+    SELECT p.id1, p.id2, p.n_shared_bands,
+      len(list_filter(list_zip(s1.sig, s2.sig), z -> z[1] = z[2])) / ${DefaultMinHash.numPerm}.0 AS est_jaccard,
+      CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+        CAST(len(s1.shingles) + len(s2.shingles) - len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+        AS true_jaccard
+    FROM pairs p
+    JOIN sig s1 ON p.id1 = s1.doc_id
+    JOIN sig s2 ON p.id2 = s2.doc_id
+    WHERE p.id1 % 5 = 0 OR p.id2 % 5 = 0
   """
 
   /** q250 tuning: the comparison-pair budget for the measured pick. At

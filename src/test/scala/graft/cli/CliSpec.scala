@@ -944,4 +944,40 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(w2 === Seq("postcode"))
   }
+  test("generic index-family trio: build/admit/extend on the lshband " +
+    "family reproduce the from-scratch candidates and the grown artifact " +
+    "(what a new family gets for free from the contract)") {
+    import org.apache.spark.sql.functions.col
+    spark
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("cli-lsh").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") % 5 =!= 0).write.parquet(s"$dir/base")
+    docs.filter(col("doc_id") % 5 === 0).write.parquet(s"$dir/batch")
+    BuildIndex.main(Array("--family", "lshband",
+      "--input", s"$dir/base", "--output", s"$dir/lx"))
+    AdmitIndex.main(Array("--family", "lshband",
+      "--input", s"$dir/batch", "--index", s"$dir/lx",
+      "--output", s"$dir/cands"))
+    ExtendIndex.main(Array("--family", "lshband",
+      "--index", s"$dir/lx", "--batch", s"$dir/batch",
+      "--output", s"$dir/lx2"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val admitted = rows(spark.read.parquet(s"$dir/cands"))
+    val truth = try rows(
+        graft.SparkEntry.queries("q27_lsh_pairs")(spark, sf)
+          .filter(col("id1") % 5 === 0 || col("id2") % 5 === 0))
+      finally graft.CachedFrames.drain()
+    assert(admitted === truth)
+    assert(admitted.nonEmpty)
+    // the extended artifact equals the from-scratch build of everything
+    val full = graft.ops.LshBandIndexFamily.build(docs)
+    try {
+      assert(rows(spark.read.parquet(s"$dir/lx2/bands")) ===
+        rows(full("bands")))
+      assert(rows(spark.read.parquet(s"$dir/lx2/sig")) === rows(full("sig")))
+    } finally graft.CachedFrames.drain()
+  }
 }
