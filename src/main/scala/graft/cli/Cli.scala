@@ -1125,3 +1125,30 @@ object ExtendIndex {
     }
   }
 }
+
+/** Job 30d — generic deletion propagation over the family contract: drop
+  * every index row derived from the forgotten ids and write the surviving
+  * artifact to a fresh directory. Fails fast (with the reason) for the
+  * one family that cannot forget exactly (`substr` — unattributed
+  * existence grams; rebuild instead). `--ids` is a parquet of the
+  * family's id column.
+  *
+  *   runMain graft.cli.ForgetIndex --family lshband --index /tmp/lx \
+  *     --ids del.parquet --output /tmp/lx2
+  */
+object ForgetIndex {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-forget-index") { spark =>
+      import graft.ops.IndexFamily
+      val f = IndexFamily.byName(a("family"))
+      val ids = spark.read.parquet(a("ids"))
+      try f.forget(IndexFamily.read(spark, a("index"), f), ids) match {
+        case Some(tables) => IndexFamily.write(a("output"), tables, f)
+        case None => throw new IllegalArgumentException(
+          s"family '${f.name}' cannot forget exactly (no row attribution) " +
+            "— rebuild the index from the surviving corpus instead")
+      } finally graft.CachedFrames.drain()
+    }
+  }
+}

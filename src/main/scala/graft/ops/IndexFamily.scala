@@ -65,6 +65,25 @@ trait IndexFamily {
     * carry representation artifacts (the vector family's cell arrays are
     * collect_list-ordered, so they compare exploded). */
   def canonical(table: String, df: DataFrame): DataFrame = df
+
+  /** Deletion propagation ("right to be forgotten"): the artifact with
+    * every row derived from the forgotten [[idColumn]] values removed —
+    * or None where the family CANNOT forget exactly (substr: its
+    * existence-only grams carry no writer attribution, and deleting a
+    * forgotten doc's grams would also forget grams shared with surviving
+    * docs; the honest answer there is a rebuild). LAW (IndexFamilySpec,
+    * every forgetting family): `forget(build(corpus), ids)` ≡
+    * [[forgetReference]] table-for-table as canonicalized row sets. */
+  def forget(tables: Map[String, DataFrame],
+      ids: DataFrame): Option[Map[String, DataFrame]] = None
+
+  /** What `forget(build(corpus), ids)` must equal: the from-scratch build
+    * of the surviving corpus for the per-doc-derivation families; the
+    * vector family overrides (its codebook stays FROZEN through deletions
+    * — q78's invariant — so the reference assigns survivors to the
+    * corpus-trained codebook rather than retraining). */
+  def forgetReference(corpus: DataFrame, ids: DataFrame): Map[String, DataFrame] =
+    build(corpus.join(ids.select(col(idColumn)), Seq(idColumn), "left_anti"))
 }
 
 object IndexFamily {
@@ -110,6 +129,12 @@ object CorpusIndexFamily extends IndexFamily {
     Map("digests" -> tables("digests").unionByName(digests),
       "bands" -> tables("bands").unionByName(bands))
   }
+  override def forget(tables: Map[String, DataFrame],
+      ids: DataFrame): Option[Map[String, DataFrame]] = {
+    val (d, b) = Curation.forgetFromIndex(tables("digests"), tables("bands"),
+      ids)
+    Some(Map("digests" -> d, "bands" -> b))
+  }
 }
 
 /** Semantic admission: IVF codebook + cell entry arrays ([[Embeddings]]).
@@ -143,10 +168,26 @@ object VectorIndexFamily extends IndexFamily {
       df.select(col("cell"), explode(col("entries")).as("e"))
         .select(col("cell"), col("e.cid"), col("e.cv"), col("e.cn"))
     else df
+  override def forget(tables: Map[String, DataFrame],
+      ids: DataFrame): Option[Map[String, DataFrame]] =
+    Some(Map("codebook" -> tables("codebook"),
+      "cells" -> Embeddings.forgetFromVectorIndex(tables("cells"), ids)))
+  override def forgetReference(corpus: DataFrame,
+      ids: DataFrame): Map[String, DataFrame] = {
+    val b = build(corpus)
+    val remaining = corpus.join(ids.select(col(idColumn)), Seq(idColumn),
+      "left_anti")
+    Map("codebook" -> b("codebook"),
+      "cells" -> Embeddings.cellsUnderCodebook(remaining, b("codebook")))
+  }
 }
 
 /** Substring dedup: the distinct-gram existence index ([[TextOps]]).
-  * Extension is union-distinct — the cheapest extend in the registry. */
+  * Extension is union-distinct — the cheapest extend in the registry.
+  * The ONLY family that cannot forget exactly (inherits forget = None):
+  * grams carry no writer attribution, and a shared gram deleted on one
+  * doc's behalf would un-index every surviving doc's copy — deletion
+  * here is a rebuild of the surviving corpus. */
 object SubstrIndexFamily extends IndexFamily {
   val name = "substr"
   val tableNames = Seq("grams")
@@ -179,6 +220,18 @@ object GraphIndexFamily extends IndexFamily {
       tables("df"), tables("sizes"), batch)
     Map("fps" -> fps2, "df" -> df2, "sizes" -> sizes2)
   }
+  /** Forgetting SHRINKS document frequencies, so fingerprints the deleted
+    * docs had pushed over the cap can UN-drop for every surviving doc —
+    * df and sizes must re-derive from the surviving postings (an
+    * O(postings) rollup; the fps anti-join is the only per-row work and
+    * NO text is ever re-scanned). */
+  override def forget(tables: Map[String, DataFrame],
+      ids: DataFrame): Option[Map[String, DataFrame]] = {
+    val fps2 = graft.CachedFrames.track(tables("fps")
+      .join(ids.select(col(idColumn)), Seq(idColumn), "left_anti"))
+    Some(Map("fps" -> fps2, "df" -> TextOps.graphIndexDfOf(fps2),
+      "sizes" -> TextOps.graphIndexSizesOf(fps2)))
+  }
 }
 
 /** Near-dup candidates: MinHash signatures + band postings ([[NearDup]]) —
@@ -200,5 +253,11 @@ object LshBandIndexFamily extends IndexFamily {
     val bsig = graft.CachedFrames.track(NearDup.sigFrame(batch))
     Map("sig" -> tables("sig").unionByName(bsig),
       "bands" -> tables("bands").unionByName(NearDup.bandsFrame(bsig)))
+  }
+  override def forget(tables: Map[String, DataFrame],
+      ids: DataFrame): Option[Map[String, DataFrame]] = {
+    val del = ids.select(col(idColumn))
+    Some(Map("sig" -> tables("sig").join(del, Seq(idColumn), "left_anti"),
+      "bands" -> tables("bands").join(del, Seq(idColumn), "left_anti")))
   }
 }

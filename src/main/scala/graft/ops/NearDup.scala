@@ -211,7 +211,7 @@ object NearDup {
     withJaccards(pairs, sig.unionByName(bsig), cfg)
   }
 
-  private[ops] def lshPairsOn(docs: DataFrame,
+  private[graft] def lshPairsOn(docs: DataFrame,
       cfg: MinHashConfig = DefaultMinHash): DataFrame = {
     // persist: the signature frame is read multiple times (band explode +
     // two join-backs) — minhash recomputation dominates without it; at

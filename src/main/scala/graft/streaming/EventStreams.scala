@@ -798,6 +798,55 @@ object EventStreams {
         } finally graft.CachedFrames.drain()
     }
 
+  /** Near-dup candidate INGESTION loop over the persisted LSH-band index
+    * ([[graft.ops.LshBandIndexFamily]]) — the incremental face of q27/q254
+    * run as one continuous `foreachBatch` query: each micro-batch computes
+    * its INCIDENT candidate pairs (batch↔standing and batch↔batch, the
+    * q131 consolidation input) against the sig/band tables as they exist
+    * NOW, writes them to its own `batch=<id>` directory, and appends the
+    * batch's signature and band rows back — so a LATER batch near-duping
+    * an EARLIER batch's doc is caught, which a static candidate list
+    * cannot do.
+    *
+    * Replay idempotency comes for free from the family's table shapes:
+    * both tables carry doc_id, so the loaded index anti-joins out the
+    * batch's own rows (a half-committed append cannot make a replayed doc
+    * its own candidate), and legitimate rows are unique per (doc_id) /
+    * (doc_id, band) by construction, so one distinct() absorbs duplicate
+    * appended rows.
+    *
+    * Bootstrap: an unseeded index dir probes empty frames — the first
+    * batch's candidates are its own within-batch pairs and its append
+    * CREATES the index. Scale shape per batch: |batch| text is shingled
+    * and signed ONCE; the candidate join is banded (uniform keys); the
+    * appends write |batch| sig rows + |batch|×numBands band rows. */
+  def lshIngestStream(docs: DataFrame, indexDir: String,
+      candsDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        try {
+          val bids = batch.toDF().select(col("doc_id")).distinct()
+          val (sig, bands) =
+            if (indexExists(spark, s"$indexDir/sig"))
+              (spark.read.parquet(s"$indexDir/sig").distinct()
+                  .join(bids, Seq("doc_id"), "left_anti"),
+                spark.read.parquet(s"$indexDir/bands").distinct()
+                  .join(bids, Seq("doc_id"), "left_anti"))
+            else {
+              val empty = graft.ops.NearDup.sigFrame(batch.toDF().limit(0))
+              (empty, graft.ops.NearDup.bandsFrame(empty))
+            }
+          graft.ops.NearDup.lshAdmitAgainstIndex(batch.toDF(), sig, bands)
+            .write.mode("overwrite").parquet(s"$candsDir/batch=$batchId")
+          val bsig = graft.CachedFrames.track(
+            graft.ops.NearDup.sigFrame(batch.toDF()))
+          bsig.write.mode("append").parquet(s"$indexDir/sig")
+          graft.ops.NearDup.bandsFrame(bsig)
+            .write.mode("append").parquet(s"$indexDir/bands")
+        } finally graft.CachedFrames.drain()
+    }
+
   /** Streaming LM quality gate — the stream-static twin of the batch
     * bigram-LM scorer ([[graft.ops.TextOps.q92LmBits]]): each arriving
     * (doc_id, text) row is scored against the STANDING corpus-trained LM

@@ -980,4 +980,40 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       assert(rows(spark.read.parquet(s"$dir/lx2/sig")) === rows(full("sig")))
     } finally graft.CachedFrames.drain()
   }
+  test("forget-index job: the surviving lshband artifact equals the " +
+    "rebuild of the surviving corpus; the unattributed substr family " +
+    "fails fast with the reason") {
+    import org.apache.spark.sql.functions.col
+    spark
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("cli-forget").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.write.parquet(s"$dir/corpus")
+    docs.filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+      .write.parquet(s"$dir/del")
+    BuildIndex.main(Array("--family", "lshband",
+      "--input", s"$dir/corpus", "--output", s"$dir/lx"))
+    ForgetIndex.main(Array("--family", "lshband",
+      "--index", s"$dir/lx", "--ids", s"$dir/del", "--output", s"$dir/lx2"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val survivors = docs.filter(col("doc_id") % 7 =!= 0)
+    val ref = graft.ops.LshBandIndexFamily.build(survivors)
+    try {
+      assert(rows(spark.read.parquet(s"$dir/lx2/bands")) ===
+        rows(ref("bands")))
+      assert(rows(spark.read.parquet(s"$dir/lx2/sig")
+          .select(col("doc_id"))) ===
+        rows(ref("sig").select(col("doc_id"))))
+    } finally graft.CachedFrames.drain()
+    BuildIndex.main(Array("--family", "substr",
+      "--input", s"$dir/corpus", "--output", s"$dir/sx"))
+    val e = intercept[IllegalArgumentException] {
+      ForgetIndex.main(Array("--family", "substr",
+        "--index", s"$dir/sx", "--ids", s"$dir/del",
+        "--output", s"$dir/sx2"))
+    }
+    assert(e.getMessage.contains("cannot forget"))
+  }
 }

@@ -15,6 +15,16 @@ import graft.SparkSpec
   * family #6 inherits a law suite by joining the registry. */
 class IndexFamilySpec extends AnyFunSuite with SparkSpec {
 
+  /** Row set of a law table, canonicalized: the family's own `canonical`
+    * normalization plus name-sorted column order (a USING-join moves its
+    * key first — e.g. forgetFromIndex's cid — which must not read as a
+    * row mismatch). */
+  private def rowSet(f: IndexFamily, t: String, df: DataFrame) = {
+    val c = f.canonical(t, df)
+    c.select(c.columns.sorted.map(col).toIndexedSeq: _*)
+      .collect().map(_.toSeq).toSet
+  }
+
   /** The law: extend(build(base), batch) ≡ the family's grown reference,
     * table for table as canonicalized row sets. */
   private def grownLaw(f: IndexFamily, base: DataFrame,
@@ -22,8 +32,8 @@ class IndexFamilySpec extends AnyFunSuite with SparkSpec {
     val grown = f.extend(f.build(base), batch)
     val ref = f.grownReference(base, batch)
     try f.tableNames.foreach { t =>
-      val g = f.canonical(t, grown(t)).collect().map(_.toSeq).toSet
-      val r = f.canonical(t, ref(t)).collect().map(_.toSeq).toSet
+      val g = rowSet(f, t, grown(t))
+      val r = rowSet(f, t, ref(t))
       assert(g === r, s"table '$t' of family '${f.name}'")
       assert(g.nonEmpty, s"empty law table '$t' of '${f.name}' tests nothing")
     } finally graft.CachedFrames.drain()
@@ -73,6 +83,30 @@ class IndexFamilySpec extends AnyFunSuite with SparkSpec {
       finally graft.CachedFrames.drain()
     assert(admitted === truth)
     assert(admitted.nonEmpty)
+  }
+
+  for (f <- IndexFamily.all if f.name != "substr") {
+    test(s"forget law (${f.name}): forget(build(corpus), ids) equals the " +
+      "family's surviving-corpus reference on an organic sf0.001 slice") {
+      val corpus = if (f.idColumn == "vec_id") vecs else docs
+      val ids = corpus.select(col(f.idColumn))
+        .filter(col(f.idColumn) % 7 === 0)
+      val forgotten = f.forget(f.build(corpus), ids)
+        .getOrElse(fail(s"${f.name} must forget"))
+      val ref = f.forgetReference(corpus, ids)
+      try f.tableNames.foreach { t =>
+        val g = rowSet(f, t, forgotten(t))
+        val r = rowSet(f, t, ref(t))
+        assert(g === r, s"table '$t' of family '${f.name}'")
+        assert(g.nonEmpty, s"empty forget table '$t' of '${f.name}'")
+      } finally graft.CachedFrames.drain()
+    }
+  }
+
+  test("substr is the one family that cannot forget exactly, and says so") {
+    assert(SubstrIndexFamily.forget(
+      SubstrIndexFamily.build(docs.limit(5)),
+      docs.limit(1).select(col("doc_id"))).isEmpty)
   }
 
   test("artifact IO round-trips every family's tables through a directory") {

@@ -814,6 +814,107 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(grown === full)
   }
 
+  test("lsh ingestion loop: each batch's incident candidates equal the " +
+    "batch-vs-standing-corpus law, a later batch's copy of an EARLIER " +
+    "batch's doc is caught via the appended sig/band rows, and the grown " +
+    "index equals the from-scratch build") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("lsh-loop")
+    val (indexDir, candsDir, inDir, ckpt) =
+      (s"$root/lx", s"$root/cands", s"$root/in", s"$root/ckpt")
+    def phrase(p: String) = (1 to 9).map(i => s"$p$i").mkString(" ")
+    val base = Seq((100L, phrase("b"))).toDF("doc_id", "text")
+    graft.ops.IndexFamily.write(indexDir,
+      graft.ops.LshBandIndexFamily.build(base), graft.ops.LshBandIndexFamily)
+    graft.CachedFrames.drain()
+    val schema = base.schema
+    def runAvailable(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(inDir)
+      val q = EventStreams.lshIngestStream(stream, indexDir, candsDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val b1 = Seq((200L, phrase("b")), (201L, phrase("f")))
+    b1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    runAvailable()
+    val b2 = Seq((300L, phrase("f")), (301L, phrase("g")))
+    b2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    runAvailable()
+    def pairSeq(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id1"), col("id2"), col("n_shared_bands"),
+        col("est_jaccard"), col("true_jaccard"))
+      .collect().map(_.toSeq).toVector.sortBy(_.toString)
+    val all = base.union(b1.toDF("doc_id", "text"))
+      .union(b2.toDF("doc_id", "text"))
+    val c1 = pairSeq(spark.read.parquet(s"$candsDir/batch=0"))
+    val t1 = try pairSeq(graft.ops.NearDup.lshPairsOn(
+        base.union(b1.toDF("doc_id", "text")))
+        .filter(col("id1") >= 200L || col("id2") >= 200L))
+      finally graft.CachedFrames.drain()
+    assert(c1 === t1)
+    assert(c1.exists(r => r.head == 100L && r(1) == 200L)) // base copy
+    val c2 = pairSeq(spark.read.parquet(s"$candsDir/batch=1"))
+    val t2 = try pairSeq(graft.ops.NearDup.lshPairsOn(all)
+        .filter(col("id1") >= 300L || col("id2") >= 300L))
+      finally graft.CachedFrames.drain()
+    assert(c2 === t2)
+    assert(c2.exists(r => r.head == 201L && r(1) == 300L)) // cross-batch
+    // grown index ≡ from-scratch build of everything
+    val full = graft.ops.LshBandIndexFamily.build(all)
+    try {
+      assert(spark.read.parquet(s"$indexDir/bands").distinct()
+        .collect().map(_.toSeq).toSet ===
+        full("bands").collect().map(_.toSeq).toSet)
+      assert(spark.read.parquet(s"$indexDir/sig").distinct()
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet ===
+        full("sig").select(col("doc_id")).collect().map(_.getLong(0)).toSet)
+    } finally graft.CachedFrames.drain()
+  }
+
+  test("lsh ingestion replay is idempotent: a half-committed sig/band " +
+    "append is excluded by the doc_id anti-join, so the replayed batch's " +
+    "candidates carry no duplicate join-back rows") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("lsh-replay")
+    val (indexDir, candsDir, inDir) = (s"$root/lx", s"$root/cands", s"$root/in")
+    def phrase(p: String) = (1 to 9).map(i => s"$p$i").mkString(" ")
+    val base = Seq((100L, phrase("b"))).toDF("doc_id", "text")
+    graft.ops.IndexFamily.write(indexDir,
+      graft.ops.LshBandIndexFamily.build(base), graft.ops.LshBandIndexFamily)
+    val b1 = Seq((200L, phrase("b")), (201L, phrase("f")))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    b1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    // the failed first attempt appended its rows; its commit did not land —
+    // without the anti-join the duplicated signature rows would DOUBLE
+    // every candidate row through the sig join-backs
+    val bt = graft.ops.LshBandIndexFamily.build(b1.toDF("doc_id", "text"))
+    bt("sig").write.mode("append").parquet(s"$indexDir/sig")
+    bt("bands").write.mode("append").parquet(s"$indexDir/bands")
+    graft.CachedFrames.drain()
+    val ckpt = java.nio.file.Files.createTempDirectory("lsh-replay-ckpt")
+    val stream = spark.readStream.schema(base.schema).parquet(inDir)
+    val q = EventStreams.lshIngestStream(stream, indexDir, candsDir)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    def pairSeq(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id1"), col("id2"), col("n_shared_bands"),
+        col("est_jaccard"), col("true_jaccard"))
+      .collect().map(_.toSeq).toVector.sortBy(_.toString)
+    val replayed = pairSeq(spark.read.parquet(s"$candsDir/batch=0"))
+    val law = try pairSeq(graft.ops.NearDup.lshPairsOn(
+        base.union(b1.toDF("doc_id", "text")))
+        .filter(col("id1") >= 200L || col("id2") >= 200L))
+      finally graft.CachedFrames.drain()
+    assert(replayed === law)
+  }
+
   test("substring ingestion replay is idempotent: a half-committed gram " +
     "append is excluded by the writer-attributed anti-join, so a fresh " +
     "doc is not marked redundant against itself") {
