@@ -1035,6 +1035,84 @@ object NearDup {
     WHERE p.id1 % 5 = 0 OR p.id2 % 5 = 0
   """
 
+  /** q255: MINHASH ESTIMATOR CALIBRATION — does the signature-estimated
+    * Jaccard actually track the true one, level by level? For each
+    * possible agreement count k of the numPerm-permutation signature
+    * (est = k/numPerm), the candidate pairs at that level with their exact
+    * shingle overlap rolled up MICRO-style: Σ|∩| / Σ|∪| (exact integer
+    * sums, ONE division — never a reordered double mean) and the
+    * estimator's bias at that level. The tuning readout for
+    * [[MinHashConfig]]: a level whose micro-true sits far from k/16 says
+    * the permutation count is too low for the corpus's shingle-set sizes
+    * (E[est] = J only in expectation; variance ∝ 1/numPerm).
+    *
+    * Exactness: n_match/|∩|/|∪| are exact BIGINTs; est_jaccard and
+    * micro_true_jaccard are one exact-int division each; bias is one
+    * subtraction of those two doubles — bitwise both engines.
+    *
+    * Scale shape: rides the SAME signature checkpoint as q27 (the lsh
+    * bench group / lshband index family); the rollup adds one ≤numPerm+1
+    * row aggregation over the candidate list. */
+  def q255MinhashCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val cfg = DefaultMinHash
+    val sigs = graft.CachedFrames.track(sigFrame(
+      Tables.parallelized(Tables(spark, sfDir, "documents")), cfg))
+    val bands = bandsFrame(sigs, cfg)
+    val pairs = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    pairs
+      .join(sigs.select(col("doc_id"), col("sig").as("sig1"),
+        col("shingles").as("sh1")), col("id1") === col("doc_id")).drop("doc_id")
+      .join(sigs.select(col("doc_id"), col("sig").as("sig2"),
+        col("shingles").as("sh2")), col("id2") === col("doc_id")).drop("doc_id")
+      .select(
+        expr("CAST(size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v)) AS BIGINT)")
+          .as("n_match"),
+        expr("CAST(size(array_intersect(sh1, sh2)) AS BIGINT)").as("i"),
+        expr("""CAST(size(sh1) + size(sh2)
+               |  - size(array_intersect(sh1, sh2)) AS BIGINT)""".stripMargin)
+          .as("u"))
+      .groupBy(col("n_match"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("i")).as("sum_intersect"), sum(col("u")).as("sum_union"))
+      .select(col("n_match"),
+        (col("n_match").cast("double") / lit(cfg.numPerm.toDouble))
+          .as("est_jaccard"),
+        col("n_pairs"), col("sum_intersect"), col("sum_union"),
+        (col("sum_intersect").cast("double") / col("sum_union").cast("double"))
+          .as("micro_true_jaccard"),
+        (col("n_match").cast("double") / lit(cfg.numPerm.toDouble)
+          - col("sum_intersect").cast("double") / col("sum_union").cast("double"))
+          .as("bias"))
+  }
+
+  val q255MinhashCalibrationSql: String = s"""
+    WITH ${lshCandidateSqlCtes("documents")},
+    pj AS (
+      SELECT
+        CAST(len(list_filter(list_zip(s1.sig, s2.sig), z -> z[1] = z[2]))
+          AS BIGINT) AS n_match,
+        CAST(len(list_intersect(s1.shingles, s2.shingles)) AS BIGINT) AS i,
+        CAST(len(s1.shingles) + len(s2.shingles)
+          - len(list_intersect(s1.shingles, s2.shingles)) AS BIGINT) AS u
+      FROM pairs p
+      JOIN sig s1 ON p.id1 = s1.doc_id
+      JOIN sig s2 ON p.id2 = s2.doc_id)
+    SELECT n_match,
+      CAST(n_match AS DOUBLE) / ${DefaultMinHash.numPerm}.0 AS est_jaccard,
+      CAST(count(*) AS BIGINT) AS n_pairs,
+      CAST(sum(i) AS BIGINT) AS sum_intersect,
+      CAST(sum(u) AS BIGINT) AS sum_union,
+      CAST(sum(i) AS DOUBLE) / CAST(sum(u) AS DOUBLE) AS micro_true_jaccard,
+      CAST(n_match AS DOUBLE) / ${DefaultMinHash.numPerm}.0
+        - CAST(sum(i) AS DOUBLE) / CAST(sum(u) AS DOUBLE) AS bias
+    FROM pj GROUP BY 1
+  """
+
   /** q250 tuning: the comparison-pair budget for the measured pick. At
     * sf0.01 it sits BETWEEN the schemes (prefix8 450 and len_token 19,708
     * fit; src_lang 39,487 does not), so the budget rule — not just the

@@ -2116,4 +2116,79 @@ object Relational {
       / (1.0e0 + ${WilsonZ2}e0 / CAST(n_lines AS DOUBLE)) AS wilson_lb
     FROM r
   """
+  /** q256: COHORT LTV CURVE — cumulative revenue per acquisition cohort by
+    * month index, the lifetime-value readout next to q102's retention
+    * matrix (that one counts WHO came back; this one prices WHAT they
+    * spent). A customer's cohort is the calendar month of their first
+    * order (mkey = year·12 + month − 1, pure integer arithmetic — no
+    * timezone surface); each (cohort, month-index k) cell reports active
+    * customers, that month's revenue, the running cumulative revenue, and
+    * cumulative LTV per cohort member — the curve a growth team reads to
+    * see whether newer cohorts monetize faster.
+    *
+    * Exactness: revenue rides the q212 cents convention
+    * (floor(price·100 + 0.5) BIGINT — o_totalprice has two decimals at
+    * every SF, so cents are exact); counts exact; the cumulative sum is
+    * an integer window; LTV is ONE division per row.
+    *
+    * Scale shape: one corpus-sized groupBy for first-order months, one
+    * for the (cohort, month) cells (both map-side combinable); the
+    * cumulative window partitions by cohort over |cohorts × months| rows
+    * — never a global ORDER window; cohort sizes broadcast back. */
+  def q256CohortLtv(spark: SparkSession, sfDir: String): DataFrame =
+    cohortLtvOn(Tables(spark, sfDir, "orders"))
+
+  /** The LTV core over ANY orders frame — fixture-testable. */
+  private[graft] def cohortLtvOn(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = graft.CachedFrames.track(orders.select(col("o_custkey"),
+      (year(col("o_orderdate")).cast("long") * 12
+        + month(col("o_orderdate")).cast("long") - 1).as("mkey"),
+      expr("CAST(floor(o_totalprice * 100.0D + 0.5D) AS BIGINT)").as("cents")))
+    val cohorts = graft.CachedFrames.track(
+      o.groupBy(col("o_custkey")).agg(min(col("mkey")).as("cmkey")))
+    val sizes = cohorts.groupBy(col("cmkey"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val cells = o.join(cohorts, Seq("o_custkey"))
+      .groupBy(col("cmkey"), (col("mkey") - col("cmkey")).as("month_index"))
+      .agg(countDistinct(col("o_custkey")).as("n_active_customers"),
+        sum(col("cents")).as("revenue_cents"))
+    val w = Window.partitionBy(col("cmkey")).orderBy(col("month_index"))
+    cells
+      .withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(w))
+      .join(broadcast(sizes), Seq("cmkey"))
+      .select(col("cmkey").as("cohort_mkey"), col("month_index"),
+        col("n_active_customers"), col("revenue_cents"),
+        col("cum_revenue_cents"), col("cohort_size"),
+        (col("cum_revenue_cents").cast("double")
+          / col("cohort_size").cast("double")).as("cum_ltv_cents"))
+  }
+
+  val q256CohortLtvSql: String = """
+    WITH o AS (
+      SELECT o_custkey,
+        CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+          AS mkey,
+        CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    c AS (SELECT o_custkey, min(mkey) AS cmkey FROM o GROUP BY 1),
+    sz AS (SELECT cmkey, CAST(count(*) AS BIGINT) AS cohort_size
+           FROM c GROUP BY 1),
+    cell AS (
+      SELECT c.cmkey, o.mkey - c.cmkey AS month_index,
+        CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active_customers,
+        CAST(sum(o.cents) AS BIGINT) AS revenue_cents
+      FROM o JOIN c USING (o_custkey) GROUP BY 1, 2),
+    cum AS (
+      SELECT cmkey, month_index, n_active_customers, revenue_cents,
+        CAST(sum(revenue_cents) OVER (PARTITION BY cmkey ORDER BY month_index)
+          AS BIGINT) AS cum_revenue_cents
+      FROM cell)
+    SELECT cum.cmkey AS cohort_mkey, cum.month_index,
+      cum.n_active_customers, cum.revenue_cents, cum.cum_revenue_cents,
+      sz.cohort_size,
+      CAST(cum.cum_revenue_cents AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE)
+        AS cum_ltv_cents
+    FROM cum JOIN sz ON cum.cmkey = sz.cmkey
+  """
 }
