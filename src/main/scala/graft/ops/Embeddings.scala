@@ -3500,4 +3500,73 @@ object Embeddings {
     FROM st, g2
   """
   }
+  /** q257: SEMANTIC DECONTAMINATION REPORT — the embedding-space face of
+    * the q58/q114/q122 benchmark-contamination family: how much of the
+    * corpus sits within cosine [[AdmitCosTau]] of ANY benchmark vector
+    * (the q78 batch split doubles as the benchmark suite: vec_id <
+    * [[AdmitBatchBound]]), rolled up per label — the table a pretraining
+    * owner reads to decide which slices need semantic (not just textual)
+    * decontamination before an eval is trustworthy.
+    *
+    * Scale shape — and why there is NO IVF here: decontamination indexes
+    * the BENCHMARKS, not the corpus, and a benchmark suite is tiny and
+    * fixed (here ≤ AdmitBatchBound vectors; in production, thousands), so
+    * the honest 100 TB plan is the corpus STREAMING once past a broadcast
+    * of the whole benchmark matrix — exact, one pass, no index to build
+    * or drift. (q78 is the opposite asymmetry: a small batch probing a
+    * corpus-sized index.) The per-vec best-cos is a max over the
+    * broadcast rows (order-insensitive, bitwise-stable); counts exact;
+    * the rate is one division per label row.
+    *
+    * Exactness: dot products are the fixed ascending-index fold both
+    * engines share (graft.functions.DotProduct ≡ the oracle's
+    * list_reduce); max/count order-insensitive; one division. */
+  def q257SemanticDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = graft.CachedFrames.track(vecs(spark, sfDir))
+    val bench = e.filter(col("vec_id") < AdmitBatchBound)
+      .select(col("v").as("bv"), col("nrm").as("bn"))
+    e.filter(col("vec_id") >= AdmitBatchBound)
+      .crossJoin(broadcast(bench))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(dot(col("v"), col("bv")) / (col("nrm") * col("bn")))
+        .as("best_cos"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("best_cos") >= AdmitCosTau, 1L).otherwise(0L))
+          .as("n_contaminated"),
+        max(col("best_cos")).as("max_cos"))
+      .select(col("label"), col("n_vecs"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_vecs").cast("double"))
+          .as("contamination_rate"),
+        col("max_cos"))
+  }
+
+  val q257SemanticDecontamSql: String = s"""
+    WITH e AS (
+      SELECT vec_id, label,
+        list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+    n AS (
+      SELECT vec_id, label, v,
+        sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+      FROM e),
+    bench AS (SELECT v AS bv, nrm AS bn FROM n
+              WHERE vec_id < $AdmitBatchBound),
+    best AS (
+      SELECT c.vec_id, c.label,
+        max(list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(list_zip(c.v, bench.bv), z -> z[1] * z[2])),
+            (acc, x) -> acc + x) / (c.nrm * bench.bn)) AS best_cos
+      FROM n c, bench
+      WHERE c.vec_id >= $AdmitBatchBound
+      GROUP BY 1, 2)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      CAST(sum(CASE WHEN best_cos >= $AdmitCosTau THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_contaminated,
+      CAST(sum(CASE WHEN best_cos >= $AdmitCosTau THEN 1 ELSE 0 END)
+          AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination_rate,
+      max(best_cos) AS max_cos
+    FROM best GROUP BY 1
+  """
 }

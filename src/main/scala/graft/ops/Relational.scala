@@ -2191,4 +2191,125 @@ object Relational {
         AS cum_ltv_cents
     FROM cum JOIN sz ON cum.cmkey = sz.cmkey
   """
+  /** q258 tuning: histogram grain and the percentiles priced. */
+  private[ops] val HistQBins = 64
+  private[ops] val HistQPs = Seq(0.5, 0.9, 0.99)
+
+  /** q258: HISTOGRAM-QUANTILE ERROR — the one-pass percentile estimator
+    * next to its exact answer, error in-row. Exact distributed percentiles
+    * need a sort-based aggregate over every value (q35's path — fine per
+    * group, brutal over 100 TB of raw values); the scale path is a
+    * fixed-grain histogram: min/max pass, one map-side-combinable
+    * (bin → count) rollup, then quantiles interpolated from ≤
+    * [[HistQBins]] rows. This query runs BOTH on l_extendedprice and
+    * reports est/exact/abs/rel error per percentile — the accuracy bill
+    * for switching, the same measured-tradeoff shape as q107 (LSH) and
+    * q63 (ANN).
+    *
+    * Determinism: the estimator is a FIXED convention both engines
+    * implement identically — t = p·n in count space, b* = first bin with
+    * cumulative ≥ t, linear interpolation within b* assuming uniformity —
+    * every step per-row double arithmetic in the same op order; the
+    * cumulative table is exact integers via a triangular self-join of the
+    * 64-row bin table (never a global ORDER window). Exact percentiles
+    * are Spark `percentile` ≡ DuckDB `quantile_cont` (the q35 pairing).
+    *
+    * Scale shape: two passes over the values (min/max/n, then bin
+    * counts), both map-side combinable; everything after is ≤64-row
+    * arithmetic. The exact side exists to PRICE the estimator at test SF
+    * — production runs the histogram alone. */
+  def q258HistogramQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    histogramQuantilesOn(Tables(spark, sfDir, "lineitem")
+      .select(col("l_extendedprice").cast("double").as("x")))
+
+  /** The estimator core over ANY single-double-column frame `x`. */
+  private[graft] def histogramQuantilesOn(xs: DataFrame): DataFrame = {
+    val x = graft.CachedFrames.track(xs)
+    val mm = graft.CachedFrames.track(x.agg(min(col("x")).as("lo"),
+      max(col("x")).as("hi"), count(lit(1)).as("n")))
+    val nb = lit(HistQBins)
+    val binned = x.crossJoin(broadcast(mm))
+      .select(when((col("hi") - col("lo")) > 0,
+          least(floor((col("x") - col("lo"))
+            / ((col("hi") - col("lo")) / nb.cast("double"))),
+            lit(HistQBins - 1).cast("double")))
+        .otherwise(lit(0.0)).cast("long").as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+    val cum = binned.alias("a")
+      .join(binned.alias("o"), col("o.b") <= col("a.b"))
+      .groupBy(col("a.b").as("b"), col("a.c").as("c"))
+      .agg(sum(col("o.c")).as("cum"))
+    val exact = x.agg(
+      expr(s"percentile(x, array(${HistQPs.mkString(", ")}))").as("ex"))
+    val ps = mm.select(col("lo"), col("hi"), col("n"),
+        posexplode(typedLit(HistQPs)).as(Seq("pi", "p")))
+      .select(col("pi"), col("p"), col("lo"), col("hi"),
+        (col("p") * col("n").cast("double")).as("t"))
+    ps.join(broadcast(graft.CachedFrames.track(cum)), col("cum") >= col("t"))
+      .groupBy(col("pi"), col("p"), col("lo"), col("hi"), col("t"))
+      .agg(min(struct(col("b"), col("c"), col("cum"))).as("s"))
+      .crossJoin(broadcast(exact))
+      .select(col("p"),
+        expr("element_at(ex, CAST(pi + 1 AS INT))").as("exact_value"),
+        (col("lo")
+          + (col("hi") - col("lo")) / nb.cast("double") * col("s.b").cast("double")
+          + (col("hi") - col("lo")) / nb.cast("double")
+            * ((col("t") - (col("s.cum") - col("s.c")).cast("double"))
+               / col("s.c").cast("double"))).as("est_value"))
+      .select(col("p"), col("exact_value"), col("est_value"),
+        abs(col("est_value") - col("exact_value")).as("abs_err"),
+        (abs(col("est_value") - col("exact_value")) / abs(col("exact_value")))
+          .as("rel_err"))
+  }
+
+  val q258HistogramQuantilesSql: String = s"""
+    WITH x AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+    mm AS (SELECT min(x) AS lo, max(x) AS hi,
+             CAST(count(*) AS BIGINT) AS n FROM x),
+    binned AS (
+      SELECT CAST(CASE WHEN (mm.hi - mm.lo) > 0 THEN
+          least(floor((x.x - mm.lo) / ((mm.hi - mm.lo) / ${HistQBins}.0)),
+            ${HistQBins - 1}.0)
+        ELSE 0.0 END AS BIGINT) AS b,
+        CAST(count(*) AS BIGINT) AS c
+      FROM x, mm GROUP BY 1),
+    cum AS (
+      SELECT a.b, a.c, CAST(sum(o.c) AS BIGINT) AS cum
+      FROM binned a JOIN binned o ON o.b <= a.b GROUP BY 1, 2),
+    ex AS (SELECT [${HistQPs.map(p => s"quantile_cont(x, $p)").mkString(", ")}]
+             AS ex FROM x),
+    ps AS (
+      SELECT u.pi, u.p, mm.lo, mm.hi,
+        u.p * CAST(mm.n AS DOUBLE) AS t
+      FROM mm, (${HistQPs.zipWithIndex.map { case (p, i) =>
+        s"SELECT $i AS pi, CAST($p AS DOUBLE) AS p" }.mkString(" UNION ALL ")}) u),
+    pick AS (
+      SELECT ps.pi, ps.p, ps.lo, ps.hi, ps.t,
+        min(cum.b) AS b
+      FROM ps JOIN cum ON CAST(cum.cum AS DOUBLE) >= ps.t
+      GROUP BY 1, 2, 3, 4, 5),
+    est AS (
+      SELECT pick.p, pick.pi, pick.lo, pick.hi, pick.t,
+        cum.c, cum.cum, pick.b
+      FROM pick JOIN cum ON pick.b = cum.b)
+    SELECT est.p,
+      ex.ex[est.pi + 1] AS exact_value,
+      est.lo
+        + (est.hi - est.lo) / ${HistQBins}.0 * CAST(est.b AS DOUBLE)
+        + (est.hi - est.lo) / ${HistQBins}.0
+          * ((est.t - CAST(est.cum - est.c AS DOUBLE))
+             / CAST(est.c AS DOUBLE)) AS est_value,
+      abs(est.lo
+        + (est.hi - est.lo) / ${HistQBins}.0 * CAST(est.b AS DOUBLE)
+        + (est.hi - est.lo) / ${HistQBins}.0
+          * ((est.t - CAST(est.cum - est.c AS DOUBLE))
+             / CAST(est.c AS DOUBLE)) - ex.ex[est.pi + 1]) AS abs_err,
+      abs(est.lo
+        + (est.hi - est.lo) / ${HistQBins}.0 * CAST(est.b AS DOUBLE)
+        + (est.hi - est.lo) / ${HistQBins}.0
+          * ((est.t - CAST(est.cum - est.c AS DOUBLE))
+             / CAST(est.c AS DOUBLE)) - ex.ex[est.pi + 1])
+        / abs(ex.ex[est.pi + 1]) AS rel_err
+    FROM est, ex
+  """
 }
