@@ -248,6 +248,47 @@ object ScaleSmoke {
       spark.stop()
       return
     }
+    if (args.contains("--familylaw")) {
+      // the IndexFamilySpec grown-index law at bench SF for EVERY family
+      // in the registry — organic data sizes, the generic-contract twin
+      // of --graphindex (which keeps its deeper per-table checks)
+      val rest = args.dropWhile(_ != "--familylaw").drop(1)
+        .filterNot(_.startsWith("--"))
+      val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
+        .select(col("doc_id"), col("text"))
+      val vecs = Tables.parallelized(Tables(spark, sfDir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      graft.ops.IndexFamily.all.foreach { f =>
+        val (base, batch) =
+          if (f.idColumn == "vec_id")
+            (vecs.filter(col("vec_id") % 5 =!= 0),
+              vecs.filter(col("vec_id") % 5 === 0))
+          else
+            (docs.filter(col("doc_id") % 5 =!= 0),
+              docs.filter(col("doc_id") % 5 === 0))
+        val t0 = System.nanoTime()
+        val grown = f.extend(f.build(base), batch)
+        val ref = f.grownReference(base, batch)
+        f.tableNames.foreach { t =>
+          def rows(d: org.apache.spark.sql.DataFrame) = {
+            val c = f.canonical(t, d)
+            c.select(c.columns.sorted.map(col).toIndexedSeq: _*)
+              .collect().map(_.toSeq).toSet
+          }
+          val g = rows(grown(t))
+          require(g == rows(ref(t)), s"${f.name}/$t law violated")
+          require(g.nonEmpty, s"${f.name}/$t law table empty")
+        }
+        println(f"family=${f.name} tables=${f.tableNames.size} " +
+          f"law_wall=${(System.nanoTime() - t0) / 1e9}%.1f s ok")
+        CachedFrames.drain()
+      }
+      println("mode=familylaw all families ok")
+      spark.stop()
+      return
+    }
     if (args.contains("--epoch")) {
       val sfDir = args.dropWhile(_ != "--epoch").drop(1).headOption
         .filterNot(_.startsWith("--")).getOrElse("/root/testdata/sf0.1")
