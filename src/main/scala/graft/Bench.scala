@@ -78,7 +78,8 @@ object Bench {
     // being recomputed per consumer
     "lsh" -> Seq("q27_lsh_pairs", "q107_lsh_scoreboard",
       "q131_neardup_consolidate", "q221_blocking_quality",
-      "q250_blocking_pick", "q255_minhash_calibration"))
+      "q250_blocking_pick", "q255_minhash_calibration",
+      "q259_dedup_mixture_shift"))
 
   private[graft] final case class QStat(median: Double, min: Double, max: Double,
       failures: Int)

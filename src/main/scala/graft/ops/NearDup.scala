@@ -1229,4 +1229,63 @@ object NearDup {
       sb.pair_completeness, sb.scheme = win.wname AS is_winner
     FROM sb CROSS JOIN win
   """
+  /** q259: DEDUP MIXTURE SHIFT — what near-dup consolidation does to the
+    * corpus's SOURCE MIXTURE: per source, documents before vs keepers
+    * after q131's keep-best pass, with both shares and the shift in-row.
+    * The pretraining-owner's question behind it: dedup is not
+    * mixture-neutral — a source whose content is heavily templated loses
+    * share to one that isn't, silently re-weighting the training mix that
+    * q69/q77 then apply; this table makes the re-weighting visible before
+    * it happens (read next to q117's savings-by-source, which prices
+    * BYTES where this prices COMPOSITION).
+    *
+    * Exactness: counts exact; each share is one division; the shift is
+    * one subtraction of two one-division doubles — bitwise both engines.
+    *
+    * Scale shape: q131's own (banded candidates, CC on the filtered edge
+    * list, cluster-bounded keeper election — rides the shared LSH
+    * signature checkpoint in the bench group), plus one source-keyed
+    * rollup and a broadcast 1-row total. */
+  def q259DedupMixtureShift(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
+    val scored = TextOps.withQualityStats(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val edges = q27LshPairs(spark, sfDir)
+      .filter(col("true_jaccard") >= ConsolidateTau)
+      .select(col("id1"), col("id2"))
+    val m = graft.CachedFrames.track(
+      docs.select(col("doc_id"), col("source"))
+        .join(consolidateOn(scored, edges).select(col("doc_id"), col("keep")),
+          Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept")))
+    val t = m.agg(sum(col("n_docs")).as("nt"), sum(col("n_kept")).as("kt"))
+    m.crossJoin(broadcast(t))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs").cast("double") / col("nt").cast("double"))
+          .as("share_before"),
+        (col("n_kept").cast("double") / col("kt").cast("double"))
+          .as("share_after"),
+        (col("n_kept").cast("double") / col("kt").cast("double")
+          - col("n_docs").cast("double") / col("nt").cast("double"))
+          .as("share_shift"))
+  }
+
+  val q259DedupMixtureShiftSql: String = s"""
+    WITH verd AS (SELECT doc_id, keep FROM ($q131NeardupConsolidateSql)),
+    m AS (
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN v.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM verd v JOIN documents d ON v.doc_id = d.doc_id
+      GROUP BY 1),
+    t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nt,
+            CAST(sum(n_kept) AS BIGINT) AS kt FROM m)
+    SELECT m.source, m.n_docs, m.n_kept,
+      CAST(m.n_docs AS DOUBLE) / CAST(t.nt AS DOUBLE) AS share_before,
+      CAST(m.n_kept AS DOUBLE) / CAST(t.kt AS DOUBLE) AS share_after,
+      CAST(m.n_kept AS DOUBLE) / CAST(t.kt AS DOUBLE)
+        - CAST(m.n_docs AS DOUBLE) / CAST(t.nt AS DOUBLE) AS share_shift
+    FROM m, t
+  """
 }

@@ -1614,4 +1614,66 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "CartesianProduct") == 0, p)
     assert(nodes(p, "SortMergeJoin") == 0, p)
   }
+  test("q253_graph_index_df: the index build is scan → explode → " +
+      "partial+final count rollup — no join, no window, no cartesian") {
+    val p = finalPlan("q253_graph_index_df")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+  }
+
+  test("q251/q252 binding-cap pair: posting joins stay key-equi (no " +
+      "cartesian), no unpartitioned ORDER BY window in either face") {
+    for (name <- Seq("q251_binding_cap_admit", "q252_binding_cap_patch")) {
+      val p = finalPlan(name)
+      assert(!p.contains("windowspecdefinition(ORDER BY"), s"$name\n$p")
+      assert(nodes(p, "CartesianProduct") == 0, s"$name\n$p")
+    }
+  }
+
+  test("q254/q255 lsh faces: banded candidate generation is an equi-join " +
+      "(no cartesian), aggregation funnels partial, no window") {
+    for (name <- Seq("q254_lsh_admit", "q255_minhash_calibration")) {
+      val p = finalPlan(name)
+      assert(!p.contains("windowspecdefinition"), s"$name\n$p")
+      assert(nodes(p, "CartesianProduct") == 0, s"$name\n$p")
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$name\n$p")
+    }
+  }
+
+  test("q256_cohort_ltv: the cumulative window is cohort-partitioned " +
+      "(never global), cohort sizes broadcast back, no cartesian") {
+    val (f, full) = finalAndFull("q256_cohort_ltv")
+    assert(!full.contains("windowspecdefinition(ORDER BY"), full)
+    assert(full.contains("windowspecdefinition(cmkey"), full)
+    assert(nodes(f, "CartesianProduct") == 0, f)
+    assert(f.contains("BroadcastExchange") ||
+      full.contains("BroadcastExchange"), f)
+  }
+
+  test("q257_semantic_decontam: the benchmark side rides a broadcast " +
+      "nested-loop (never a shuffled cartesian), no window") {
+    val p = finalPlan("q257_semantic_decontam")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("q258_histogram_quantiles: min/max and bin counts funnel partial " +
+      "aggs, the cumulative table is a broadcast triangular join over " +
+      "bin-space — no window, no shuffled cartesian") {
+    val p = finalPlan("q258_histogram_quantiles")
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(p.contains("partial_count") || p.contains("partial_min"), p)
+  }
+
+  test("q259_dedup_mixture_shift: rides q131's shapes (component window " +
+      "partitioned, banded equi candidates) plus a broadcast 1-row " +
+      "total — no global-ORDER window, no cartesian") {
+    val (f, full) = finalAndFull("q259_dedup_mixture_shift")
+    assert(!full.contains("windowspecdefinition(ORDER BY"), full)
+    assert(nodes(f, "CartesianProduct") == 0, f)
+  }
 }
