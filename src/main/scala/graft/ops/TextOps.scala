@@ -1105,6 +1105,105 @@ object TextOps {
         .select(col("id1"), col("id2"), col("n_shared"), col("contain1"),
           col("contain2")))
 
+  /** The SURVIVOR-EDGE patch a deletion implies — [[graphRetireOnAdmit]]'s
+    * mirror with the sign flipped: forgetting documents SHRINKS document
+    * frequencies, so fingerprints the deleted docs had pushed over the df
+    * cap can UN-drop for every surviving doc. Survivor edges gain shared
+    * fingerprints (support can cross `minShared` — edges are CREATED,
+    * which an admission can never do base-side), and every affected
+    * survivor's denominator GROWS (its contains all shrink).
+    *
+    * Returns (id1, id2, n_shared, contain1, contain2, op) over SURVIVOR
+    * pairs only: `op = "update"` rows replace a standing edge; `op =
+    * "add"` rows are new edges (old support < minShared ≤ new). Nothing
+    * retires here — kept sets only grow under deletion — and edges
+    * incident to a DELETED doc are the application's plain anti-join, not
+    * the patch's job ([[applyGraphForgetPatch]]).
+    *
+    * Scale shape: bounded by the DELETED docs' postings — the un-dropping
+    * fingerprint set is a subset of their fingerprints; affected docs are
+    * the survivors holding one; candidate pairs re-derive from those
+    * docs' post-deletion kept postings joined against partner postings on
+    * the same fingerprints. Never a full edge recompute, never a text
+    * re-scan. */
+  private[graft] def graphForgetEdgePatch(ids: DataFrame, fps: DataFrame,
+      df: DataFrame, sizes: DataFrame, dfCap: Int = ContainDfCap,
+      minShared: Int = ContainMinShared): DataFrame = {
+    val del = ids.select(col("doc_id"))
+    // per-fp deleted-posting counts: df after forget = fdf − ddf
+    val ddf = graft.CachedFrames.track(
+      fps.join(del, Seq("doc_id"), "left_semi")
+        .groupBy(col("fp")).agg(count(lit(1)).as("ddf")))
+    // fingerprints the deletion pulls back under the cap
+    val undropFp = graft.CachedFrames.track(
+      df.join(ddf, Seq("fp"))
+        .filter(col("fdf") > dfCap && col("fdf") - col("ddf") <= dfCap)
+        .select(col("fp")))
+    val sPost = graft.CachedFrames.track(
+      fps.join(del, Seq("doc_id"), "left_anti"))
+    // post-deletion kept fingerprints: old kept ∪ un-dropped (kept sets
+    // only grow — df shrinks monotonically under deletion)
+    val newKeptFp = df.join(ddf, Seq("fp"), "left")
+      .filter(col("fdf") - coalesce(col("ddf"), lit(0L)) <= dfCap)
+      .select(col("fp"))
+    // affected survivors and their denominator growth
+    val dundrop = graft.CachedFrames.track(
+      sPost.join(undropFp, "fp")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_undrop")))
+    val aPost = graft.CachedFrames.track(
+      sPost.join(dundrop.select(col("doc_id")), "doc_id")
+        .join(newKeptFp, "fp"))
+    val partnerPost = sPost
+      .join(aPost.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+      .join(newKeptFp, "fp")
+    val pairFp = aPost.select(col("doc_id").as("ida"), col("fp"))
+      .join(partnerPost.select(col("doc_id").as("idb"), col("fp")), "fp")
+      .filter(col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"), col("fp"))
+      .distinct() // both-affected pairs arrive once per ORDER, not per side
+      .join(undropFp.withColumn("xc", lit(1L)), Seq("fp"), "left")
+    // FULL outer: a survivor with zero previously-kept fps is absent from
+    // the sizes table but can gain kept fps through un-drops (and then
+    // form brand-new edges) — its denominator is its un-drop count alone
+    val n2 = sizes.join(dundrop, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(col("n_fp"), lit(0L)) + coalesce(col("n_undrop"), lit(0L)))
+          .as("n_fp"))
+    pairFp.groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("new_shared"),
+        coalesce(sum(col("xc")), lit(0L)).as("x_shared"))
+      // every emitted pair changed: an affected endpoint's denominator
+      // grew even when x_shared = 0; pairs below minShared after the
+      // growth were not edges and still are not
+      .filter(col("new_shared") >= minShared)
+      .withColumn("old_shared", col("new_shared") - col("x_shared"))
+      .join(n2.select(col("doc_id").as("id1"), col("n_fp").as("n1")), "id1")
+      .join(n2.select(col("doc_id").as("id2"), col("n_fp").as("n2")), "id2")
+      .select(col("id1"), col("id2"), col("new_shared").as("n_shared"),
+        (col("new_shared").cast("double") / col("n1").cast("double"))
+          .as("contain1"),
+        (col("new_shared").cast("double") / col("n2").cast("double"))
+          .as("contain2"),
+        when(col("old_shared") >= minShared, lit("update"))
+          .otherwise(lit("add")).as("op"))
+  }
+
+  /** Apply a [[graphForgetEdgePatch]] to a standing edge artifact: drop
+    * every edge touching a deleted doc, drop the patched survivor pairs,
+    * add back the patch rows (update AND add both carry final values). */
+  private[graft] def applyGraphForgetPatch(standing: DataFrame,
+      ids: DataFrame, patch: DataFrame): DataFrame = {
+    val del = ids.select(col("doc_id"))
+    standing
+      .join(del.select(col("doc_id").as("id1")), Seq("id1"), "left_anti")
+      .join(del.select(col("doc_id").as("id2")), Seq("id2"), "left_anti")
+      .join(patch.select(col("id1"), col("id2")), Seq("id1", "id2"),
+        "left_anti")
+      .unionByName(patch.select(col("id1"), col("id2"), col("n_shared"),
+        col("contain1"), col("contain2")))
+  }
+
   /** q238: the graph-index ADMISSION as an oracle-gated query — a fixed
     * deterministic split of the corpus (batch = doc_id % 5 = 0, base =
     * the rest) run through the production build→admit path, compared to
@@ -1343,6 +1442,74 @@ object TextOps {
       END AS posting_share_dropped,
       CAST(CAST(g.pairs_avoided_h AS VARCHAR) AS DOUBLE) AS pairs_avoided
     FROM g, tot
+  """
+
+  /** q260: the FORGET-side edge patch at the binding cap —
+    * [[graphForgetEdgePatch]] run on organic data where un-drops actually
+    * occur (deleting the even half of the corpus pulls hot fingerprints
+    * back under cap [[BindingDfCap]]), oracle-checked against a full
+    * from-scratch derivation. Completes the incremental containment-graph
+    * story under the driver gate: ADMIT new edges (q238/q251), RETIRE and
+    * re-price standing edges on admission crossings (q252), and now
+    * CREATE and re-price survivor edges on deletion un-drops — all three
+    * without recomputing the artifact or re-scanning text. */
+  def q260ForgetEdgePatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("text"))
+    val fps = graft.CachedFrames.track(graphIndexFps(docs))
+    val df = graft.CachedFrames.track(graphIndexDfOf(fps))
+    val sizes = graphIndexSizesOf(fps, dfCap = BindingDfCap)
+    graphForgetEdgePatch(docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id")),
+      fps, df, sizes, dfCap = BindingDfCap)
+  }
+
+  lazy val q260ForgetEdgePatchSql: String = s"""
+    WITH fp AS (SELECT * FROM ($q67WinnowingSql)),
+    sfp AS (SELECT * FROM fp WHERE doc_id % 2 != 0),
+    dfp AS (SELECT * FROM fp WHERE doc_id % 2 = 0),
+    ad AS (SELECT fp, CAST(count(*) AS BIGINT) AS fdf FROM fp GROUP BY 1),
+    dd AS (SELECT fp, CAST(count(*) AS BIGINT) AS ddf FROM dfp GROUP BY 1),
+    xfp AS (
+      SELECT ad.fp FROM ad JOIN dd USING (fp)
+      WHERE ad.fdf > $BindingDfCap AND ad.fdf - dd.ddf <= $BindingDfCap),
+    nkeptfp AS (
+      SELECT ad.fp FROM ad LEFT JOIN dd USING (fp)
+      WHERE ad.fdf - coalesce(dd.ddf, CAST(0 AS BIGINT)) <= $BindingDfCap),
+    skept AS (SELECT sfp.doc_id, sfp.fp FROM sfp JOIN nkeptfp USING (fp)),
+    dund AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nu
+             FROM sfp JOIN xfp USING (fp) GROUP BY 1),
+    osz AS (
+      SELECT sfp.doc_id, CAST(count(*) AS BIGINT) AS n
+      FROM sfp JOIN ad USING (fp) WHERE ad.fdf <= $BindingDfCap
+      GROUP BY 1),
+    nsz AS (
+      SELECT coalesce(o.doc_id, u.doc_id) AS doc_id,
+        coalesce(o.n, CAST(0 AS BIGINT))
+          + coalesce(u.nu, CAST(0 AS BIGINT)) AS n
+      FROM osz o FULL OUTER JOIN dund u ON o.doc_id = u.doc_id),
+    pr AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS id1,
+        greatest(a.doc_id, b.doc_id) AS id2, a.fp
+      FROM skept a JOIN skept b
+        ON a.fp = b.fp AND a.doc_id <> b.doc_id),
+    g AS (
+      SELECT pr.id1, pr.id2, CAST(count(*) AS BIGINT) AS new_shared,
+        CAST(sum(CASE WHEN x.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS x_shared
+      FROM pr LEFT JOIN xfp x ON pr.fp = x.fp
+      GROUP BY 1, 2)
+    SELECT g.id1, g.id2, g.new_shared AS n_shared,
+      CAST(g.new_shared AS DOUBLE) / CAST(n1.n AS DOUBLE) AS contain1,
+      CAST(g.new_shared AS DOUBLE) / CAST(n2.n AS DOUBLE) AS contain2,
+      CASE WHEN g.new_shared - g.x_shared >= $ContainMinShared
+        THEN 'update' ELSE 'add' END AS op
+    FROM g
+    JOIN nsz n1 ON g.id1 = n1.doc_id
+    JOIN nsz n2 ON g.id2 = n2.doc_id
+    WHERE g.new_shared >= $ContainMinShared
+      AND (g.id1 IN (SELECT doc_id FROM dund)
+        OR g.id2 IN (SELECT doc_id FROM dund))
   """
 
   /** q240: GRAPH-INDEX ADMISSION ECONOMICS — the cost/novelty readout of

@@ -195,4 +195,62 @@ class GraphIndexSpec extends AnyFunSuite with SparkSpec {
       assert(patched === refresh)
     } finally graft.CachedFrames.drain()
   }
+  test("fixture (cap = 2): graphForgetEdgePatch CREATES the edge a deleted " +
+    "doc's cap-crossing had suppressed, re-prices the affected survivor's " +
+    "other edge, and applying it reproduces the survivor full refresh") {
+    val (toks, gA, gB) = sevenTok
+    // full corpus: D(1) = {A, B}, D2(2) = gA, D3(3) = gB, D10(10) = gA.
+    // df(A) = 3 > 2 so A is DROPPED in the standing index; the only edge
+    // is (1,3) via B with D's denominator 1. Forgetting D10 pulls A back
+    // under the cap: edge (1,2) is CREATED (op add) and (1,3) re-prices
+    // (D's denominator grows 1 → 2).
+    val all = docsDf(Seq(1L -> toks.mkString(" "), 2L -> gA, 3L -> gB,
+      10L -> gA))
+    val ids = docsDf(Seq(10L -> "ignored")).select(col("doc_id"))
+    val fps = graft.CachedFrames.track(TextOps.graphIndexFps(all))
+    val df = TextOps.graphIndexDfOf(fps)
+    val sizes = TextOps.graphIndexSizesOf(fps, dfCap = 2)
+    val standing = graft.CachedFrames.track(TextOps.containmentFromPostings(
+      fps, dfCap = 2, minShared = 1))
+    val patch = graft.CachedFrames.track(TextOps.graphForgetEdgePatch(
+      ids, fps, df, sizes, dfCap = 2, minShared = 1))
+    try {
+      val got = patch.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4), r.getString(5))).toSet
+      assert(got === Set(
+        (1L, 2L, 1L, 0.5, 1.0, "add"),
+        (1L, 3L, 1L, 0.5, 1.0, "update")))
+      val patched = edgeSet(TextOps.applyGraphForgetPatch(standing, ids,
+        patch))
+      val refresh = edgeSet(TextOps.containmentFromPostings(
+        TextOps.graphIndexFps(docsDf(Seq(1L -> toks.mkString(" "),
+          2L -> gA, 3L -> gB))), dfCap = 2, minShared = 1))
+      assert(patched === refresh)
+    } finally graft.CachedFrames.drain()
+  }
+
+  test("sf0.001 law: patching the standing edges with graphForgetEdgePatch " +
+    "after forgetting the even half equals the survivor full refresh, at " +
+    "a cap the deletion actually un-drops") {
+    val cap = 3
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val ids = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"))
+    val fps = graft.CachedFrames.track(TextOps.graphIndexFps(docs))
+    val df = TextOps.graphIndexDfOf(fps)
+    val sizes = TextOps.graphIndexSizesOf(fps, dfCap = cap)
+    val standing = graft.CachedFrames.track(TextOps.containmentFromPostings(
+      fps, dfCap = cap))
+    val patch = graft.CachedFrames.track(TextOps.graphForgetEdgePatch(
+      ids, fps, df, sizes, dfCap = cap))
+    try {
+      assert(patch.count() > 0, "the cap must actually un-drop here")
+      val patched = edgeSet(TextOps.applyGraphForgetPatch(standing, ids,
+        patch))
+      val refresh = edgeSet(TextOps.containmentFromPostings(
+        TextOps.graphIndexFps(docs.filter(col("doc_id") % 2 =!= 0)),
+        dfCap = cap))
+      assert(patched === refresh)
+    } finally graft.CachedFrames.drain()
+  }
 }
