@@ -1143,11 +1143,24 @@ object ForgetIndex {
       import graft.ops.IndexFamily
       val f = IndexFamily.byName(a("family"))
       val ids = spark.read.parquet(a("ids"))
-      try f.forget(IndexFamily.read(spark, a("index"), f), ids) match {
-        case Some(tables) => IndexFamily.write(a("output"), tables, f)
-        case None => throw new IllegalArgumentException(
-          s"family '${f.name}' cannot forget exactly (no row attribution) " +
-            "— rebuild the index from the surviving corpus instead")
+      val tables0 = IndexFamily.read(spark, a("index"), f)
+      try {
+        f.forget(tables0, ids) match {
+          case Some(tables) => IndexFamily.write(a("output"), tables, f)
+          case None => throw new IllegalArgumentException(
+            s"family '${f.name}' cannot forget exactly (no row attribution) " +
+              "— rebuild the index from the surviving corpus instead")
+        }
+        // graph-only: the survivor-edge patch the deletion implies
+        // (graphForgetEdgePatch — the forget mirror of AdmitDocs --patch),
+        // so a standing edge artifact is maintained through deletions too
+        a.get("edgepatch").foreach { p =>
+          require(f.name == "graph",
+            s"--edgepatch is the graph family's flag, not ${f.name}'s")
+          graft.ops.TextOps.graphForgetEdgePatch(ids, tables0("fps"),
+              tables0("df"), tables0("sizes"))
+            .write.mode("overwrite").parquet(p)
+        }
       } finally graft.CachedFrames.drain()
     }
   }

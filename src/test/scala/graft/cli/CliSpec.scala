@@ -1015,5 +1015,26 @@ class CliSpec extends AnyFunSuite with SparkSpec {
         "--output", s"$dir/sx2"))
     }
     assert(e.getMessage.contains("cannot forget"))
+    // graph family: --edgepatch writes the survivor-edge patch and
+    // applying it to the standing edges reproduces the survivor refresh
+    // (at the production cap this deletion un-drops nothing, so the law
+    // holds with an empty patch — the binding branches are pinned in
+    // GraphIndexSpec's cap-3 law)
+    BuildIndex.main(Array("--family", "graph",
+      "--input", s"$dir/corpus", "--output", s"$dir/gx"))
+    ForgetIndex.main(Array("--family", "graph",
+      "--index", s"$dir/gx", "--ids", s"$dir/del",
+      "--output", s"$dir/gx2", "--edgepatch", s"$dir/gep"))
+    val gep = spark.read.parquet(s"$dir/gep")
+    assert(gep.columns.toSeq ===
+      Seq("id1", "id2", "n_shared", "contain1", "contain2", "op"))
+    val patched = try rows(graft.ops.TextOps.applyGraphForgetPatch(
+        graft.ops.TextOps.containmentOn(docs),
+        docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")), gep))
+      finally graft.CachedFrames.drain()
+    val refreshed = try rows(graft.ops.TextOps.containmentOn(
+        docs.filter(col("doc_id") % 7 =!= 0)))
+      finally graft.CachedFrames.drain()
+    assert(patched === refreshed)
   }
 }
