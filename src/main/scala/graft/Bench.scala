@@ -61,7 +61,11 @@ object Bench {
     "graph" -> Seq("q68_containment", "q121_label_propagation",
       "q127_pagerank", "q145_triangle_count", "q149_hits",
       "q153_assortativity", "q156_kcore", "q170_link_predict",
-      "q186_modularity", "q196_split_leakage"),
+      "q186_modularity", "q196_split_leakage",
+      // q260 tracks the SAME unprojected winnowingOn(documents) plan the
+      // generator materializes, so the corpus winnow is shared; its own
+      // work is the deletion-bounded patch derivation
+      "q260_forget_edge_patch"),
     // the graph-index face, generator FIRST: q253 IS the one-time index
     // build (the base split's fps/df artifact), so q238 (admission) and
     // q240 (its economics) reuse the tracked tables and their rows price

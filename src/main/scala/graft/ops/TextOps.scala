@@ -1454,8 +1454,12 @@ object TextOps {
     * CREATE and re-price survivor edges on deletion un-drops — all three
     * without recomputing the artifact or re-scanning text. */
   def q260ForgetEdgePatch(spark: SparkSession, sfDir: String): DataFrame = {
+    // NO projection before winnowing: this keeps the postings plan
+    // canonically EQUAL to the graph bench group's (containmentOn tracks
+    // winnowingOn over the same unprojected table), so the corpus winnow
+    // is billed once to the group's generator; Catalyst prunes the
+    // columns at the scan either way
     val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
-      .select(col("doc_id"), col("text"))
     val fps = graft.CachedFrames.track(graphIndexFps(docs))
     val df = graft.CachedFrames.track(graphIndexDfOf(fps))
     val sizes = graphIndexSizesOf(fps, dfCap = BindingDfCap)
