@@ -5982,6 +5982,95 @@ object TextOps {
     FROM s LEFT JOIN a USING (doc_id)
   """
 
+  /** q261: SUBSTRING-ADMISSION ECONOMICS — the per-batch readout of the
+    * gram-index admission (the substr twin of q240's graph economics,
+    * same deterministic %5 split): how many of the batch's tokens the
+    * standing corpus makes redundant (the dedup bill the admission saves
+    * downstream), how many removal spans that is, and how much of the
+    * batch's gram vocabulary the index has never seen (novelty — is this
+    * source still buying new long-form content, at the GRAM level where
+    * q154 asks it at the bigram level). Under the immutable-base contract
+    * the admission plan ≡ the q166 plan on base ∪ batch restricted to
+    * batch docs (the TextOpsSpec law), which is exactly what the oracle
+    * recomputes from raw text.
+    *
+    * The split is the TOP FIFTH BY doc_id (ids ≥ ((max+1)·4) DIV 5), NOT
+    * the %5 interleave the graph entries use: the immutable-base contract
+    * requires batch ids to FOLLOW all base ids (monotone ingest order —
+    * the packed site key's precondition), and an interleaved batch would
+    * let union-canonical sites land batch-side, where admission rightly
+    * counts the base as canonical (verified: %5 here diverges 740 vs 350
+    * removed tokens at sf0.01 — the law's precondition is load-bearing).
+    *
+    * Exactness: all counts exact BIGINT sums; the two shares are one
+    * division each. Scale shape: the q166 shapes over |batch| text plus
+    * one gram-keyed anti-join bounded by the batch's distinct grams;
+    * 1 row out. */
+  def q261SubstrAdmitEconomics(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
+      .crossJoin(broadcast(
+        Tables.parallelized(Tables(spark, sfDir, "documents"))
+          .agg(expr("(max(doc_id) + 1) * 4 DIV 5").as("thr"))))
+    val base = docs.filter(col("doc_id") < col("thr")).drop("thr")
+    val batch = docs.filter(col("doc_id") >= col("thr")).drop("thr")
+    val index = graft.CachedFrames.track(substrIndexFrame(base))
+    val plan = substrAdmitAgainstIndex(batch, index)
+      .agg(count(lit(1)).as("n_batch_docs"),
+        sum(col("n_tokens")).as("n_batch_tokens"),
+        sum(col("n_removed")).as("n_removed_tokens"),
+        sum(col("n_spans")).as("n_spans"))
+    val bgrams = graft.CachedFrames.track(substrIndexFrame(batch))
+    val ng = bgrams.agg(count(lit(1)).as("n_batch_grams"))
+    val novel = bgrams.join(index, Seq("gram"), "left_anti")
+      .agg(count(lit(1)).as("n_novel_grams"))
+    plan.crossJoin(broadcast(ng)).crossJoin(broadcast(novel))
+      .select(col("n_batch_docs"), col("n_batch_tokens"),
+        col("n_removed_tokens"), col("n_spans"),
+        when(col("n_batch_tokens") > 0,
+          col("n_removed_tokens").cast("double")
+            / col("n_batch_tokens").cast("double")).as("removed_share"),
+        col("n_batch_grams"), col("n_novel_grams"),
+        when(col("n_batch_grams") > 0, col("n_novel_grams").cast("double")
+          / col("n_batch_grams").cast("double")).as("novelty_rate"))
+  }
+
+  lazy val q261SubstrAdmitEconomicsSql: String = s"""
+    WITH thr AS (
+      SELECT (max(doc_id) + 1) * 4 // 5 AS thr FROM documents),
+    plan AS (
+      SELECT p.* FROM ($q166SubstrDedupSql) p, thr
+      WHERE p.doc_id >= thr.thr),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_batch_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS n_batch_tokens,
+        CAST(sum(n_removed) AS BIGINT) AS n_removed_tokens,
+        CAST(sum(n_spans) AS BIGINT) AS n_spans
+      FROM plan),
+    t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        array_to_string(arr[i:i + ${SubstrW - 1}], chr(1)) AS gram
+      FROM t, UNNEST(generate_series(1, len(arr) - ${SubstrW - 1})) AS u(i)
+      WHERE len(arr) >= $SubstrW),
+    bg AS (SELECT DISTINCT gram FROM g, thr WHERE doc_id >= thr.thr),
+    sg AS (SELECT DISTINCT gram FROM g, thr WHERE doc_id < thr.thr),
+    ng AS (SELECT CAST(count(*) AS BIGINT) AS n_batch_grams FROM bg),
+    nov AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_novel_grams
+      FROM bg LEFT JOIN sg ON bg.gram = sg.gram WHERE sg.gram IS NULL)
+    SELECT a.n_batch_docs, a.n_batch_tokens, a.n_removed_tokens, a.n_spans,
+      CASE WHEN a.n_batch_tokens > 0 THEN
+        CAST(a.n_removed_tokens AS DOUBLE) / CAST(a.n_batch_tokens AS DOUBLE)
+      END AS removed_share,
+      ng.n_batch_grams, nov.n_novel_grams,
+      CASE WHEN ng.n_batch_grams > 0 THEN
+        CAST(nov.n_novel_grams AS DOUBLE) / CAST(ng.n_batch_grams AS DOUBLE)
+      END AS novelty_rate
+    FROM a, ng, nov
+  """
+
   /** q184: SUBSTRING-DEDUP APPLY — materialize the cleaned corpus q166
     * only PLANS. q166 reports per-doc tokens-to-remove/spans/keep-ratio;
     * this operator performs the rewrite: tokens covered by redundant spans
