@@ -1165,3 +1165,29 @@ object ForgetIndex {
     }
   }
 }
+
+/** Job 31 — apply an edge PATCH to a standing containment-edge artifact
+  * (GraphReport's `edges` output): the admission patch from
+  * `AdmitDocs --patch` (retire/update rows), or — with `--forget ids` —
+  * the deletion patch from `ForgetIndex --edgepatch` (update/add rows
+  * plus the deleted docs' own edges dropped). Closes the artifact loop:
+  * a 100 TB edge list is built once and then only ever patched.
+  *
+  *   runMain graft.cli.PatchEdges --edges /tmp/graph/edges \
+  *     --patch /tmp/edgepatch [--forget del.parquet] --output /tmp/edges2
+  */
+object PatchEdges {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-patch-edges") { spark =>
+      val standing = spark.read.parquet(a("edges"))
+      val patch = spark.read.parquet(a("patch"))
+      val patched = a.get("forget") match {
+        case Some(ids) => graft.ops.TextOps.applyGraphForgetPatch(standing,
+          spark.read.parquet(ids), patch)
+        case None => graft.ops.TextOps.applyGraphEdgePatch(standing, patch)
+      }
+      patched.write.mode("overwrite").parquet(a("output"))
+    }
+  }
+}

@@ -1036,5 +1036,14 @@ class CliSpec extends AnyFunSuite with SparkSpec {
         docs.filter(col("doc_id") % 7 =!= 0)))
       finally graft.CachedFrames.drain()
     assert(patched === refreshed)
+    // ...and the SAME application through the PatchEdges CLI face: write
+    // the standing edge artifact, patch it on disk, compare to the
+    // survivor refresh
+    try graft.ops.TextOps.containmentOn(docs)
+        .write.parquet(s"$dir/edges")
+      finally graft.CachedFrames.drain()
+    PatchEdges.main(Array("--edges", s"$dir/edges", "--patch", s"$dir/gep",
+      "--forget", s"$dir/del", "--output", s"$dir/edges2"))
+    assert(rows(spark.read.parquet(s"$dir/edges2")) === refreshed)
   }
 }
