@@ -801,8 +801,8 @@ object TextOps {
 
   /** q68 tuning: stop-fingerprint document-frequency cap and the minimum
     * shared-fingerprint count for a reported pair. */
-  private[ops] val ContainDfCap = 50
-  private[ops] val ContainMinShared = 2
+  private[graft] val ContainDfCap = 50
+  private[graft] val ContainMinShared = 2
 
   /** q68: asymmetric containment via the winnowing index — "how much of
     * document A's fingerprint set appears in B" (quote / excerpt detection;

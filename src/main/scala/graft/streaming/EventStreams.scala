@@ -776,8 +776,20 @@ object EventStreams {
     * Bootstrap: an unseeded index dir probes an empty frame — the first
     * batch's edges are its own within-batch containment and its append
     * CREATES the postings. */
+  /** With `patchesDir` set, each micro-batch ALSO writes the base↔base
+    * edge patch its admission implies
+    * ([[graft.ops.TextOps.graphRetireOnAdmit]]) to `patch_batch=<id>` —
+    * which upgrades the loop from "incident edges per batch" to FULL
+    * standing-artifact maintenance: applying batch k's patch to the
+    * artifact and unioning batch k's incident edges reproduces the
+    * from-scratch edge list of the grown corpus, batch after batch
+    * (spec-pinned across two batches at a binding fixture cap). `dfCap`/
+    * `minShared` default to the production constants; fixtures narrow
+    * them to drive the crossing branches through the STREAM. */
   def graphIngestStream(docs: DataFrame, indexDir: String,
-      edgesDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      edgesDir: String, patchesDir: Option[String] = None,
+      dfCap: Int = graft.ops.TextOps.ContainDfCap,
+      minShared: Int = graft.ops.TextOps.ContainMinShared): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
@@ -788,11 +800,17 @@ object EventStreams {
                 .join(batch.toDF().select(col("doc_id")).distinct(),
                   Seq("doc_id"), "left_anti")
             else graft.ops.TextOps.graphIndexFps(batch.toDF().limit(0)))
-          val df = graft.ops.TextOps.graphIndexDfOf(fps)
-          val sizes = graft.ops.TextOps.graphIndexSizesOf(fps)
+          val df = graft.CachedFrames.track(
+            graft.ops.TextOps.graphIndexDfOf(fps))
+          val sizes = graft.ops.TextOps.graphIndexSizesOf(fps, dfCap)
           graft.ops.TextOps.graphAdmitAgainstIndex(batch.toDF(), fps, df,
-              sizes)
+              sizes, dfCap, minShared)
             .write.mode("overwrite").parquet(s"$edgesDir/batch=$batchId")
+          patchesDir.foreach { p =>
+            graft.ops.TextOps.graphRetireOnAdmit(batch.toDF(), fps, df,
+                sizes, dfCap, minShared)
+              .write.mode("overwrite").parquet(s"$p/patch_batch=$batchId")
+          }
           graft.ops.TextOps.graphIndexFps(batch.toDF())
             .write.mode("append").parquet(s"$indexDir/fps")
         } finally graft.CachedFrames.drain()

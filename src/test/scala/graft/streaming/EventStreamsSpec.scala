@@ -763,6 +763,85 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(grown === full)
   }
 
+  test("graph ingestion loop maintains a FULL standing edge artifact: " +
+    "applying each batch's retirement patch and unioning its incident " +
+    "edges reproduces the from-scratch edge list of the grown corpus, " +
+    "batch after batch, at a binding fixture cap") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graph-artifact")
+    val (indexDir, edgesDir, patchesDir, inDir, ckpt) =
+      (s"$root/gx", s"$root/edges", s"$root/patches", s"$root/in",
+        s"$root/ckpt")
+    def phrase(p: String) = (1 to 9).map(i => s"$p$i").mkString(" ")
+    val (toks, gA, gB) = {
+      // reuse GraphIndexSpec's deterministic 7-token fixture search
+      val pool = (0 until 40).map(i => s"t$i")
+      def h56(s: String): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 14), 16)
+      }
+      pool.combinations(7).flatMap(_.permutations).map { t =>
+        val grams = (0 to 4).map(i => t.slice(i, i + 3).mkString(" "))
+        val hs = grams.map(h56)
+        if (hs.slice(0, 4).min == hs(0) && hs.slice(1, 5).min == hs(4) &&
+            hs(0) != hs(4)) Some((t, grams(0), grams(4))) else None
+      }.collectFirst { case Some(v) => v }.get
+    }
+    val base = Seq((1L, toks.mkString(" ")), (2L, gA), (3L, gB))
+      .toDF("doc_id", "text")
+    graft.ops.TextOps.graphIndexFps(base).write.parquet(s"$indexDir/fps")
+    graft.CachedFrames.drain()
+    val schema = base.schema
+    def runAvailable(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(inDir)
+      val q = EventStreams.graphIngestStream(stream, indexDir, edgesDir,
+          Some(patchesDir), dfCap = 2, minShared = 1)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id1"), col("id2"), col("n_shared"), col("contain1"),
+        col("contain2")).collect().map(_.toSeq).toSet
+    // batch 1: D10 = gA pushes A over the cap — the patch must RETIRE
+    // (1,2) and re-price (1,3); the batch itself contributes no edges
+    // (its only fingerprint crossed)
+    Seq((10L, gA)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runAvailable()
+    var artifact = try edgeSet(graft.ops.TextOps.containmentFromPostings(
+        graft.ops.TextOps.graphIndexFps(base), dfCap = 2, minShared = 1))
+      finally graft.CachedFrames.drain()
+    def applyBatch(id: Long, corpus: org.apache.spark.sql.DataFrame): Unit = {
+      val patch = spark.read.parquet(s"$patchesDir/patch_batch=$id")
+      val standing = artifact.toSeq.map(r => (r(0).asInstanceOf[Long],
+        r(1).asInstanceOf[Long], r(2).asInstanceOf[Long],
+        r(3).asInstanceOf[Double], r(4).asInstanceOf[Double]))
+        .toDF("id1", "id2", "n_shared", "contain1", "contain2")
+      artifact = edgeSet(graft.ops.TextOps.applyGraphEdgePatch(standing,
+        patch)) ++ edgeSet(spark.read.parquet(s"$edgesDir/batch=$id"))
+      val refresh = try edgeSet(graft.ops.TextOps.containmentFromPostings(
+          graft.ops.TextOps.graphIndexFps(corpus), dfCap = 2, minShared = 1))
+        finally graft.CachedFrames.drain()
+      assert(artifact === refresh, s"artifact law after batch $id")
+    }
+    val c1 = base.union(Seq((10L, gA)).toDF("doc_id", "text"))
+    applyBatch(0L, c1)
+    // batch 2: D11 = gB retires the LAST base edge; D12/D13 bring a fresh
+    // shared trigram — the artifact ends as exactly their pair
+    Seq((11L, gB), (12L, "u1 u2 u3"), (13L, "u1 u2 u3"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    runAvailable()
+    val c2 = c1.union(Seq((11L, gB), (12L, "u1 u2 u3"), (13L, "u1 u2 u3"))
+      .toDF("doc_id", "text"))
+    applyBatch(1L, c2)
+    assert(artifact === Set(Seq(12L, 13L, 1L, 1.0, 1.0)))
+  }
+
   test("graph ingestion replay is idempotent: a half-committed postings " +
     "append is excluded by the batch doc_id anti-join, so the replayed " +
     "batch's edges equal the first attempt's against the pre-batch index") {
