@@ -62,10 +62,10 @@ object Bench {
       "q127_pagerank", "q145_triangle_count", "q149_hits",
       "q153_assortativity", "q156_kcore", "q170_link_predict",
       "q186_modularity", "q196_split_leakage",
-      // q260 tracks the SAME unprojected winnowingOn(documents) plan the
-      // generator materializes, so the corpus winnow is shared; its own
-      // work is the deletion-bounded patch derivation
-      "q260_forget_edge_patch"),
+      // q260/q262 track the SAME unprojected winnowingOn(documents) plan
+      // (q262 the full containment edge list too), so the corpus winnow
+      // is shared; their own work is patch derivation / the source rollup
+      "q260_forget_edge_patch", "q262_source_containment"),
     // the graph-index face, generator FIRST: q253 IS the one-time index
     // build (the base split's fps/df artifact), so q238 (admission) and
     // q240 (its economics) reuse the tracked tables and their rows price
