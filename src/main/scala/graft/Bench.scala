@@ -364,14 +364,17 @@ object Bench {
     * yardstick is the latest record, not the all-time minimum. */
   private[graft] def prevLatestMedians(): Map[String, Double] = {
     sys.env.get("SPARK_GRAFT_PREV_BENCH").map(medianFile).getOrElse {
-      val byRoundDesc = benchWrappers()
-        .sortBy(n => -"""\d+""".r.findFirstIn(n).fold(0L)(_.toLong))
-      (byRoundDesc :+ sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-          "bench_out.json"))
+      (latestFirst(benchWrappers()) :+ sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
         .iterator.map(medianFile).find(_.nonEmpty)
         .getOrElse(Map.empty)
     }
   }
+
+  /** BENCH_r*.json names newest-round-first — the drift baseline's file
+    * preference order (pure for the spec). */
+  private[graft] def latestFirst(names: Seq[String]): Seq[String] =
+    names.sortBy(n => -"""\d+""".r.findFirstIn(n).fold(0L)(_.toLong))
 
   /** Per-query minimum across record sources (pure for the spec). */
   private[graft] def mergeMin(ms: Seq[Map[String, Double]]): Map[String, Double] =

@@ -152,6 +152,14 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(!(Bench.load1("") > 8.0)) // NaN > threshold is false: no retry
   }
 
+  test("latestFirst orders bench wrappers newest-round-first (the drift " +
+    "baseline picks the most recent record, never the all-time best)") {
+    assert(Bench.latestFirst(Seq("BENCH_r2.json", "BENCH_r15.json",
+      "BENCH_r9.json")) ===
+      Seq("BENCH_r15.json", "BENCH_r9.json", "BENCH_r2.json"))
+    assert(Bench.latestFirst(Nil) === Nil)
+  }
+
   test("load5 parses the 5-minute field (the r15 warm-close gate); " +
     "unparseable reads as NaN, which never blocks a start") {
     assert(Bench.load5("6.03 8.10 9.77") === 8.10)
