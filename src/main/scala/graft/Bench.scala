@@ -224,8 +224,34 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
+    // FULL-SUITE runs also append a compact medians line to the COMMITTED
+    // history ([[HistoryFile]]) — the drift baseline's provenance fix: the
+    // driver's BENCH_r*.json wrappers keep only a 2000-char tail that cuts
+    // before the 264-entry queries map opens, so every wrapper parses
+    // EMPTY and the baseline silently fell through to whatever local
+    // bench_out.json the previous session left (the r16 q156 ambiguity —
+    // a driver-vs-local gap nothing on disk could adjudicate). One
+    // self-contained line per run (timestamp, sf, contended flag, total,
+    // medians) makes "the previous recorded round" a committed, readable
+    // fact. Partial SPARK_GRAFT_BENCH_ONLY re-measures never append — a
+    // three-query record must not become the next round's yardstick.
+    if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty) {
+      val stamp = java.time.format.DateTimeFormatter.ISO_INSTANT
+        .format(java.time.Instant.now().truncatedTo(
+          java.time.temporal.ChronoUnit.SECONDS))
+      val line = s"""{"ts":"$stamp","sf":"$sfDir","contended":$contended,""" +
+        s""""total":$total,"queries":${fmt(_.median)}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(HistoryFile),
+        (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
     spark.stop()
   }
+
+  /** Committed per-run medians history (one JSON line per full-suite run,
+    * newest last) — the reproducible drift baseline. */
+  private[graft] val HistoryFile = "BENCH_HISTORY.jsonl"
 
   /** Choose the cleaner of two suite passes. The sums compare only queries
     * measured (non-NaN) in BOTH passes — an all-reps-failed query would
@@ -342,7 +368,9 @@ object Bench {
     sys.env.get("SPARK_GRAFT_PREV_BENCH").map(medianFile).getOrElse {
       val sources = benchWrappers() :+
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-      mergeMin(sources.map(medianFile))
+      // every committed history line is one more clean-minimum source
+      mergeMin(sources.map(medianFile) ++
+        historyLines().map(parseQueryMedians))
     }
   }
 
@@ -355,21 +383,50 @@ object Bench {
     Option(new java.io.File(".").listFiles()).toSeq.flatMap(_
       .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json")))
 
-  /** Per-query medians of the MOST RECENT committed round — the drift
-    * baseline. Newest parseable wrapper by round number (an unparseable
-    * newest file falls through to the next round down — the r5 truncated-
-    * tail failure mode stays covered), else `bench_out.json`;
-    * `$SPARK_GRAFT_PREV_BENCH` overrides everything, as for the
-    * sentinel. Drift asks "did this query move since LAST round?", so its
-    * yardstick is the latest record, not the all-time minimum. */
+  /** Per-query medians of the MOST RECENT recorded run — the drift
+    * baseline. The COMMITTED history ([[HistoryFile]]) outranks
+    * everything: its newest NON-contended line wins
+    * ([[latestHistoryMedians]] — a contended record must not become the
+    * yardstick that hides the next run's real movers, and every line
+    * self-labels). Only when no history exists (fresh clone, pre-r17
+    * rounds) does the old chain run: newest parseable BENCH_r*.json
+    * wrapper by round number (an unparseable newest file falls through to
+    * the next round down — the r5 truncated-tail failure mode stays
+    * covered), else `bench_out.json`. `$SPARK_GRAFT_PREV_BENCH` overrides
+    * everything, as for the sentinel. Drift asks "did this query move
+    * since LAST round?", so its yardstick is the latest record, not the
+    * all-time minimum. */
   private[graft] def prevLatestMedians(): Map[String, Double] = {
     sys.env.get("SPARK_GRAFT_PREV_BENCH").map(medianFile).getOrElse {
-      (latestFirst(benchWrappers()) :+ sys.env.getOrElse(
+      val hist = latestHistoryMedians(historyLines())
+      if (hist.nonEmpty) hist
+      else (latestFirst(benchWrappers()) :+ sys.env.getOrElse(
           "SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
         .iterator.map(medianFile).find(_.nonEmpty)
         .getOrElse(Map.empty)
     }
   }
+
+  /** The newest usable history line's medians (pure for the spec): scan
+    * newest-first, skip lines that are contended or unparseable, and fall
+    * back to the newest parseable line of any kind when every record
+    * self-labels contended (a disclosed-contended baseline still beats
+    * no baseline — the 3× sentinel band absorbs the inflation). */
+  private[graft] def latestHistoryMedians(
+      lines: Seq[String]): Map[String, Double] = {
+    val newestFirst = lines.reverseIterator.toSeq
+    newestFirst.iterator
+      .filterNot(_.contains("\"contended\":true"))
+      .map(parseQueryMedians).find(_.nonEmpty)
+      .getOrElse(newestFirst.iterator.map(parseQueryMedians)
+        .find(_.nonEmpty).getOrElse(Map.empty))
+  }
+
+  private def historyLines(): Seq[String] =
+    try scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(HistoryFile))).asScala.toSeq
+    catch { case _: Throwable => Seq.empty }
 
   /** BENCH_r*.json names newest-round-first — the drift baseline's file
     * preference order (pure for the spec). */

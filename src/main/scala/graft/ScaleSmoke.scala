@@ -272,14 +272,23 @@ object ScaleSmoke {
         val grown = f.extend(f.build(base), batch)
         val ref = f.grownReference(base, batch)
         f.tableNames.foreach { t =>
-          def rows(d: org.apache.spark.sql.DataFrame) = {
+          // compare DISTRIBUTED (equal counts + empty multiset difference
+          // ⟹ multiset equality), collecting only mismatch SAMPLES for
+          // the error message — collect().toSet at bench SF would pull
+          // the graph fps postings / lshband shingle arrays whole into
+          // the driver, a memory blowup that grows with SF
+          def canon(d: org.apache.spark.sql.DataFrame) = {
             val c = f.canonical(t, d)
             c.select(c.columns.sorted.map(col).toIndexedSeq: _*)
-              .collect().map(_.toSeq).toSet
           }
-          val g = rows(grown(t))
-          require(g == rows(ref(t)), s"${f.name}/$t law violated")
-          require(g.nonEmpty, s"${f.name}/$t law table empty")
+          val (g, r) = (canon(grown(t)), canon(ref(t)))
+          val (gn, rn) = (g.count(), r.count())
+          require(gn == rn,
+            s"${f.name}/$t law violated: $gn grown rows vs $rn reference")
+          val sample = g.exceptAll(r).limit(3).collect()
+          require(sample.isEmpty, s"${f.name}/$t law violated: grown-only " +
+            s"row sample: ${sample.mkString("; ")}")
+          require(gn > 0, s"${f.name}/$t law table empty")
         }
         println(f"family=${f.name} tables=${f.tableNames.size} " +
           f"law_wall=${(System.nanoTime() - t0) / 1e9}%.1f s ok")

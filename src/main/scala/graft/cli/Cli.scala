@@ -37,6 +37,31 @@ object Cli {
     out.result()
   }
 
+  /** Guard for artifact jobs that read parquet LAZILY from one directory
+    * and write `--output`: pointing both flags at the same directory (the
+    * natural spelling of an in-place extend/compact/forget) makes Spark
+    * overwrite files it is still scheduled to read, corrupting the
+    * artifact mid-job — so fail fast instead. Paths compare normalized
+    * through the Hadoop Path/URI rules (trailing slashes, `file:` scheme
+    * spellings), so `/a/b/` vs `/a/b` is caught; a symlink alias remains
+    * the caller's responsibility. Keys absent from the args are skipped
+    * (optional flags). */
+  def requireFreshOutput(a: Map[String, String], inputKeys: String*): Unit = {
+    def norm(p: String) =
+      new org.apache.hadoop.fs.Path(p).toUri.normalize.toString
+        .stripSuffix("/")
+    val out = norm(a("output"))
+    inputKeys.foreach { k =>
+      a.get(k).foreach { v =>
+        require(norm(v) != out,
+          s"--output must differ from --$k ('$v'): the job reads that " +
+            "directory lazily while writing, and overwriting files Spark " +
+            "is still reading corrupts the artifact — write to a fresh " +
+            "directory and swap afterwards")
+      }
+    }
+  }
+
   /** Runs `f` with a session, stopping it afterwards only when this call
     * created it (an embedding application's session is left running). */
   def withSession[T](app: String)(f: SparkSession => T): T = {
@@ -155,6 +180,7 @@ object CurateCorpus {
 object BuildCorpusIndex {
   def main(args: Array[String]): Unit = {
     val a = Cli.parse(args)
+    Cli.requireFreshOutput(a, "input")
     Cli.withSession("graft-build-index") { spark =>
     val docs = graft.Tables.parallelized(spark.read.parquet(a("input")))
     val (digests, bands) = graft.ops.Curation.corpusIndexFrames(docs)
@@ -175,6 +201,7 @@ object BuildCorpusIndex {
 object AdmitBatch {
   def main(args: Array[String]): Unit = {
     val a = Cli.parse(args)
+    Cli.requireFreshOutput(a, "index", "input")
     Cli.withSession("graft-admit") { spark =>
     val batch = graft.Tables.parallelized(spark.read.parquet(a("input")))
     val digests = spark.read.parquet(s"${a("index")}/digests")
@@ -202,6 +229,7 @@ object AdmitBatch {
 object BuildVectorIndex {
   def main(args: Array[String]): Unit = {
     val a = Cli.parse(args)
+    Cli.requireFreshOutput(a, "input")
     Cli.withSession("graft-build-vector-index") { spark =>
     val corpus = graft.Tables.parallelized(spark.read.parquet(a("input")))
     // --rounds N > 1 Lloyd-trains the codebook before indexing (q89's
@@ -226,6 +254,7 @@ object BuildVectorIndex {
 object AdmitVectors {
   def main(args: Array[String]): Unit = {
     val a = Cli.parse(args)
+    Cli.requireFreshOutput(a, "index", "input")
     Cli.withSession("graft-admit-vectors") { spark =>
     val batch = graft.Tables.parallelized(spark.read.parquet(a("input")))
     graft.ops.Embeddings.admitVectorsAgainstIndex(batch,
@@ -248,6 +277,7 @@ object AdmitVectors {
 object ForgetDocs {
   def main(args: Array[String]): Unit = {
     val a = Cli.parse(args)
+    Cli.requireFreshOutput(a, "index", "ids")
     Cli.withSession("graft-forget") { spark =>
     val ids = spark.read.parquet(a("ids"))
     val (digests, bands) = graft.ops.Curation.forgetFromIndex(
@@ -269,6 +299,7 @@ object ForgetDocs {
 object ForgetVectors {
   def main(args: Array[String]): Unit = {
     val a = Cli.parse(args)
+    Cli.requireFreshOutput(a, "index", "ids")
     Cli.withSession("graft-forget-vectors") { spark =>
     val ids = spark.read.parquet(a("ids"))
     spark.read.parquet(s"${a("index")}/codebook")
@@ -322,6 +353,7 @@ object ExtendCorpusIndex {
 object ExtendVectorIndex {
   def main(args: Array[String]): Unit = {
     val a = Cli.parse(args)
+    Cli.requireFreshOutput(a, "index", "input", "verdicts")
     Cli.withSession("graft-extend-vindex") { spark =>
     val admitted = graft.Tables.parallelized(spark.read.parquet(a("input")))
       .join(spark.read.parquet(a("verdicts"))
@@ -347,6 +379,7 @@ object ExtendVectorIndex {
 object CompactCorpusIndex {
   def main(args: Array[String]): Unit = {
     val a = Cli.parse(args)
+    Cli.requireFreshOutput(a, "index")
     Cli.withSession("graft-compact-index") { spark =>
     spark.read.parquet(s"${a("index")}/digests").distinct()
       .write.mode("overwrite").parquet(s"${a("output")}/digests")
@@ -448,18 +481,22 @@ object DedupSubstrings {
 }
 
 /** Job 12c — materialize the substring-dedup GRAM INDEX of a standing
-  * corpus (its distinct W-token grams) so later batches admit against the
-  * index instead of re-scanning base text — the substring sibling of
-  * BuildCorpusIndex:
+  * corpus (its writer-attributed (doc_id, gram) postings —
+  * [[graft.ops.TextOps.substrIndexPostingsFrame]]) so later batches admit
+  * against the index instead of re-scanning base text — the substring
+  * sibling of BuildCorpusIndex. Attribution is what makes the artifact
+  * forgettable (ForgetIndex --family substr) and replay-repairable (the
+  * ingest loop's anti-join); admission itself only reads the gram column:
   *
   *   runMain graft.cli.BuildSubstrIndex --input docs.parquet --output /tmp/gidx
   */
 object BuildSubstrIndex {
   def main(args: Array[String]): Unit = {
     val a = Cli.parse(args)
+    Cli.requireFreshOutput(a, "input")
     Cli.withSession("graft-build-substr-index") { spark =>
     val docs = graft.Tables.parallelized(spark.read.parquet(a("input")))
-    graft.ops.TextOps.substrIndexFrame(docs)
+    graft.ops.TextOps.substrIndexPostingsFrame(docs)
       .write.mode("overwrite").parquet(s"${a("output")}/grams")
     }
   }
@@ -477,6 +514,7 @@ object BuildSubstrIndex {
 object AdmitSubstrings {
   def main(args: Array[String]): Unit = {
     val a = Cli.parse(args)
+    Cli.requireFreshOutput(a, "index", "input")
     Cli.withSession("graft-admit-substrings") { spark =>
     val batch = graft.Tables.parallelized(spark.read.parquet(a("input")))
     val index = spark.read.parquet(s"${a("index")}/grams")
@@ -488,10 +526,19 @@ object AdmitSubstrings {
 }
 
 /** Job 12e — extend a persisted gram index with an admitted batch's grams
-  * (union-distinct — the base is NEVER re-scanned), so the next admission
-  * sees base ∪ batch as its standing corpus; the substring sibling of
-  * ExtendCorpusIndex. The law: extend(index(base), batch) ≡
-  * index(base ∪ batch) — pinned in CliSpec.
+  * (a pure row union of the batch's derived postings — the base is NEVER
+  * re-scanned), so the next admission sees base ∪ batch as its standing
+  * corpus; the substring sibling of ExtendCorpusIndex. The law:
+  * extend(index(base), batch) ≡ index(base ∪ batch) — pinned in CliSpec.
+  *
+  * SCHEMA-AWARE (the migration path): a standing index in the current
+  * writer-attributed (doc_id, gram) shape extends with the batch's
+  * postings by name; a LEGACY gram-only index (pre-attribution builds)
+  * extends with the batch's distinct grams and stays legacy — the one
+  * thing this job must never do is positionally union a 1-column frame
+  * with a 2-column one or mix both schemas in one directory. distinct()
+  * doubles as compaction for the ingest loop's at-least-once appends
+  * (duplicate postings rows are probe-harmless but cost storage).
   *
   *   runMain graft.cli.ExtendSubstrIndex --index /tmp/gidx \
   *     --batch batch.parquet --output /tmp/gidx2
@@ -499,11 +546,17 @@ object AdmitSubstrings {
 object ExtendSubstrIndex {
   def main(args: Array[String]): Unit = {
     val a = Cli.parse(args)
+    Cli.requireFreshOutput(a, "index", "batch")
     Cli.withSession("graft-extend-substr-index") { spark =>
     val index = spark.read.parquet(s"${a("index")}/grams")
     val batch = graft.Tables.parallelized(spark.read.parquet(a("batch")))
-    index.union(graft.ops.TextOps.substrIndexFrame(batch)).distinct()
-      .write.mode("overwrite").parquet(s"${a("output")}/grams")
+    val extended =
+      if (index.columns.contains("doc_id"))
+        index.unionByName(
+          graft.ops.TextOps.substrIndexPostingsFrame(batch)).distinct()
+      else index.unionByName(
+        graft.ops.TextOps.substrIndexFrame(batch)).distinct()
+    extended.write.mode("overwrite").parquet(s"${a("output")}/grams")
     }
   }
 }
@@ -522,6 +575,7 @@ object ExtendSubstrIndex {
 object BuildGraphIndex {
   def main(args: Array[String]): Unit = {
     val a = Cli.parse(args)
+    Cli.requireFreshOutput(a, "input")
     Cli.withSession("graft-build-graph-index") { spark =>
     val docs = graft.Tables.parallelized(spark.read.parquet(a("input")))
       .select(col("doc_id"), col("text"))
@@ -553,6 +607,7 @@ object BuildGraphIndex {
 object AdmitDocs {
   def main(args: Array[String]): Unit = {
     val a = Cli.parse(args)
+    Cli.requireFreshOutput(a, "index", "input")
     Cli.withSession("graft-admit-docs") { spark =>
     val batch = graft.Tables.parallelized(spark.read.parquet(a("input")))
       .select(col("doc_id"), col("text"))
@@ -583,6 +638,7 @@ object AdmitDocs {
 object ExtendGraphIndex {
   def main(args: Array[String]): Unit = {
     val a = Cli.parse(args)
+    Cli.requireFreshOutput(a, "index", "batch")
     Cli.withSession("graft-extend-graph-index") { spark =>
     val idx = a("index")
     val batch = graft.Tables.parallelized(spark.read.parquet(a("batch")))
@@ -788,6 +844,7 @@ object ProbeBloom {
 object ExtendBloomFilter {
   def main(args: Array[String]): Unit = {
     val a = Cli.parse(args)
+    Cli.requireFreshOutput(a, "input", "bloom")
     Cli.withSession("graft-extend-bloom") { spark =>
     import org.apache.spark.sql.functions.{col, expr}
     graft.functions.GraftFunctions.register(spark)
@@ -1088,6 +1145,7 @@ object PickBlocking {
 object BuildIndex {
   def main(args: Array[String]): Unit = {
     val a = Cli.parse(args)
+    Cli.requireFreshOutput(a, "input")
     Cli.withSession("graft-build-index") { spark =>
       import graft.ops.IndexFamily
       val f = IndexFamily.byName(a("family"))
@@ -1101,6 +1159,7 @@ object BuildIndex {
 object AdmitIndex {
   def main(args: Array[String]): Unit = {
     val a = Cli.parse(args)
+    Cli.requireFreshOutput(a, "index", "input")
     Cli.withSession("graft-admit-index") { spark =>
       import graft.ops.IndexFamily
       val f = IndexFamily.byName(a("family"))
@@ -1115,6 +1174,7 @@ object AdmitIndex {
 object ExtendIndex {
   def main(args: Array[String]): Unit = {
     val a = Cli.parse(args)
+    Cli.requireFreshOutput(a, "index", "batch")
     Cli.withSession("graft-extend-index-family") { spark =>
       import graft.ops.IndexFamily
       val f = IndexFamily.byName(a("family"))
@@ -1128,10 +1188,12 @@ object ExtendIndex {
 
 /** Job 30d — generic deletion propagation over the family contract: drop
   * every index row derived from the forgotten ids and write the surviving
-  * artifact to a fresh directory. Fails fast (with the reason) for the
-  * one family that cannot forget exactly (`substr` — unattributed
-  * existence grams; rebuild instead). `--ids` is a parquet of the
-  * family's id column.
+  * artifact to a fresh directory. Every family forgets exactly now that
+  * the substr artifact is writer-attributed; the one artifact that still
+  * CANNOT is a legacy pre-attribution substr index (gram-only rows carry
+  * nothing to forget by), and the job fails fast with that reason —
+  * rebuild such an index from the surviving corpus instead. `--ids` is a
+  * parquet of the family's id column.
   *
   *   runMain graft.cli.ForgetIndex --family lshband --index /tmp/lx \
   *     --ids del.parquet --output /tmp/lx2
@@ -1139,6 +1201,7 @@ object ExtendIndex {
 object ForgetIndex {
   def main(args: Array[String]): Unit = {
     val a = Cli.parse(args)
+    Cli.requireFreshOutput(a, "index", "ids")
     Cli.withSession("graft-forget-index") { spark =>
       import graft.ops.IndexFamily
       val f = IndexFamily.byName(a("family"))
@@ -1148,8 +1211,9 @@ object ForgetIndex {
         f.forget(tables0, ids) match {
           case Some(tables) => IndexFamily.write(a("output"), tables, f)
           case None => throw new IllegalArgumentException(
-            s"family '${f.name}' cannot forget exactly (no row attribution) " +
-              "— rebuild the index from the surviving corpus instead")
+            s"this '${f.name}' artifact cannot forget exactly (no row " +
+              "attribution — a legacy gram-only substr index) — rebuild " +
+              "the index from the surviving corpus instead")
         }
         // graph-only: the survivor-edge patch the deletion implies
         // (graphForgetEdgePatch — the forget mirror of AdmitDocs --patch),
@@ -1179,6 +1243,7 @@ object ForgetIndex {
 object PatchEdges {
   def main(args: Array[String]): Unit = {
     val a = Cli.parse(args)
+    Cli.requireFreshOutput(a, "edges", "patch", "forget")
     Cli.withSession("graft-patch-edges") { spark =>
       val standing = spark.read.parquet(a("edges"))
       val patch = spark.read.parquet(a("patch"))

@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   *
   *   - `corpus`  — exact digests + SimHash bands (text admission, q71)
   *   - `vector`  — IVF codebook + cell entry arrays (semantic admission, q78)
-  *   - `substr`  — distinct W-token grams (substring dedup, q166/q184)
+  *   - `substr`  — writer-attributed W-token gram postings (substring
+  *     dedup, q166/q184; attribution priced by q263)
   *   - `graph`   — winnowed fingerprint postings + df/sizes (containment, q68/q238)
   *   - `lshband` — MinHash signatures + band postings (near-dup candidates, q27/q131)
   *
@@ -68,12 +69,13 @@ trait IndexFamily {
 
   /** Deletion propagation ("right to be forgotten"): the artifact with
     * every row derived from the forgotten [[idColumn]] values removed —
-    * or None where the family CANNOT forget exactly (substr: its
-    * existence-only grams carry no writer attribution, and deleting a
-    * forgotten doc's grams would also forget grams shared with surviving
-    * docs; the honest answer there is a rebuild). LAW (IndexFamilySpec,
-    * every forgetting family): `forget(build(corpus), ids)` ≡
-    * [[forgetReference]] table-for-table as canonicalized row sets. */
+    * or None where the ARTIFACT AT HAND cannot forget exactly (a legacy
+    * pre-attribution substr index: existence-only grams carry no writer
+    * attribution, and deleting a forgotten doc's grams would also forget
+    * grams shared with surviving docs; the honest answer there is a
+    * rebuild). LAW (IndexFamilySpec, every forgetting family):
+    * `forget(build(corpus), ids)` ≡ [[forgetReference]] table-for-table
+    * as canonicalized row sets. */
   def forget(tables: Map[String, DataFrame],
       ids: DataFrame): Option[Map[String, DataFrame]] = None
 
@@ -182,23 +184,39 @@ object VectorIndexFamily extends IndexFamily {
   }
 }
 
-/** Substring dedup: the distinct-gram existence index ([[TextOps]]).
-  * Extension is union-distinct — the cheapest extend in the registry.
-  * The ONLY family that cannot forget exactly (inherits forget = None):
-  * grams carry no writer attribution, and a shared gram deleted on one
-  * doc's behalf would un-index every surviving doc's copy — deletion
-  * here is a rebuild of the surviving corpus. */
+/** Substring dedup: the WRITER-ATTRIBUTED gram postings
+  * ([[TextOps.substrIndexPostingsFrame]] — one (doc_id, gram) row per
+  * distinct gram of each doc). Existence is still the only admission
+  * signal (the probe dedups to grams), but attribution makes this a
+  * per-doc derivation like every other forgetting family: extension is a
+  * pure row union (id-disjoint batches cannot collide on (doc_id, gram))
+  * and forget is one doc_id anti-join — a gram survives iff any surviving
+  * writer still holds it, which the unattributed existence index could
+  * not decide (deleting a shared gram on one doc's behalf would un-index
+  * every surviving doc's copy). q263 prices the attribution overhead and
+  * the shared-gram survivors on the gate corpus.
+  *
+  * LEGACY tolerance: a pre-attribution artifact (gram-only — built by an
+  * older BuildSubstrIndex or left by the old ingest loop) still ADMITS
+  * fine, but carries no attribution to forget by: `forget` answers None
+  * for it, and the ForgetIndex CLI fails fast with the reason — the
+  * honest answer there remains a rebuild of the surviving corpus. */
 object SubstrIndexFamily extends IndexFamily {
   val name = "substr"
   val tableNames = Seq("grams")
   val idColumn = "doc_id"
   def build(corpus: DataFrame): Map[String, DataFrame] =
-    Map("grams" -> TextOps.substrIndexFrame(corpus))
+    Map("grams" -> TextOps.substrIndexPostingsFrame(corpus))
   def admit(batch: DataFrame, tables: Map[String, DataFrame]): DataFrame =
     TextOps.substrAdmitAgainstIndex(batch, tables("grams"))
   def extend(tables: Map[String, DataFrame], batch: DataFrame): Map[String, DataFrame] =
     Map("grams" -> tables("grams")
-      .unionByName(TextOps.substrIndexFrame(batch)).distinct())
+      .unionByName(TextOps.substrIndexPostingsFrame(batch)))
+  override def forget(tables: Map[String, DataFrame],
+      ids: DataFrame): Option[Map[String, DataFrame]] =
+    if (!tables("grams").columns.contains("doc_id")) None // legacy artifact
+    else Some(Map("grams" -> tables("grams")
+      .join(ids.select(col(idColumn)), Seq(idColumn), "left_anti")))
 }
 
 /** Containment graph: winnowed fingerprint postings + df/sizes rollups

@@ -6120,6 +6120,87 @@ object TextOps {
     FROM a, ng, nov
   """
 
+  /** q263: SUBSTRING-FORGET ECONOMICS — the readout of exact deletion over
+    * the writer-attributed gram postings ([[substrIndexPostingsFrame]], the
+    * substr family's artifact): for the deterministic %7 deletion set, how
+    * many postings rows the anti-join drops, how many grams disappear
+    * outright (only forgotten docs held them), and — the load-bearing
+    * number — how many grams a forgotten doc held that SURVIVE because
+    * another writer still holds them (`n_shared_kept`). Those are exactly
+    * the rows an unattributed existence index would wrongly un-index for
+    * every surviving doc, i.e. the reason the artifact pays
+    * `attribution_overhead` (= postings / distinct grams) to be
+    * forgettable at all. The forget ≡ surviving-rebuild LAW is pinned in
+    * IndexFamilySpec; this query prices it on organic data under DuckDB
+    * parity.
+    *
+    * Exactness: all counts exact BIGINT rollups over the postings frame;
+    * the one ratio is a single division. Scale shape: one postings build
+    * (q166's explode + a per-doc distinct), one per-gram two-flag rollup
+    * (map-side combinable), two 1-row aggregates broadcast together;
+    * 1 row out — the deletion set never materializes as a frame and no
+    * text is re-scanned to price the deletion. */
+  def q263SubstrForget(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
+    val postings = graft.CachedFrames.track(substrIndexPostingsFrame(docs))
+      .withColumn("forgotten", col("doc_id") % 7 === 0)
+    val perGram = postings.groupBy(col("gram"))
+      .agg(max(when(col("forgotten"), 1).otherwise(0)).as("hf"),
+        max(when(col("forgotten"), 0).otherwise(1)).as("hs"))
+    val g = perGram.agg(count(lit(1)).as("n_grams"),
+      sum(col("hs")).cast("bigint").as("n_grams_after"),
+      sum(when(col("hf") === 1 && col("hs") === 1, 1L).otherwise(0L))
+        .as("n_shared_kept"),
+      sum(when(col("hs") === 0, 1L).otherwise(0L)).as("n_grams_gone"))
+    val p = postings.agg(count(lit(1)).as("n_postings"),
+      sum(when(col("forgotten"), 1L).otherwise(0L)).as("n_postings_dropped"),
+      countDistinct(when(col("forgotten"), col("doc_id")))
+        .as("n_forgotten_docs"))
+    p.crossJoin(broadcast(g))
+      .select(col("n_postings"), col("n_postings_dropped"),
+        col("n_forgotten_docs"), col("n_grams"), col("n_grams_after"),
+        col("n_shared_kept"), col("n_grams_gone"),
+        (col("n_postings").cast("double") / col("n_grams").cast("double"))
+          .as("attribution_overhead"))
+  }
+
+  lazy val q263SubstrForgetSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+      FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+        array_to_string(arr[i:i + ${SubstrW - 1}], chr(1)) AS gram
+      FROM t, UNNEST(generate_series(1, len(arr) - ${SubstrW - 1})) AS u(i)
+      WHERE len(arr) >= $SubstrW),
+    fl AS (SELECT doc_id, gram, doc_id % 7 = 0 AS forgotten FROM g),
+    pg AS (
+      SELECT gram,
+        max(CASE WHEN forgotten THEN 1 ELSE 0 END) AS hf,
+        max(CASE WHEN forgotten THEN 0 ELSE 1 END) AS hs
+      FROM fl GROUP BY 1),
+    ga AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_grams,
+        CAST(sum(hs) AS BIGINT) AS n_grams_after,
+        CAST(sum(CASE WHEN hf = 1 AND hs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_shared_kept,
+        CAST(sum(CASE WHEN hs = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_grams_gone
+      FROM pg),
+    pa AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_postings,
+        CAST(sum(CASE WHEN forgotten THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_postings_dropped,
+        CAST(count(DISTINCT CASE WHEN forgotten THEN doc_id END) AS BIGINT)
+          AS n_forgotten_docs
+      FROM fl)
+    SELECT pa.n_postings, pa.n_postings_dropped, pa.n_forgotten_docs,
+      ga.n_grams, ga.n_grams_after, ga.n_shared_kept, ga.n_grams_gone,
+      CAST(pa.n_postings AS DOUBLE) / CAST(ga.n_grams AS DOUBLE)
+        AS attribution_overhead
+    FROM pa, ga
+  """
+
   /** q184: SUBSTRING-DEDUP APPLY — materialize the cleaned corpus q166
     * only PLANS. q166 reports per-doc tokens-to-remove/spans/keep-ratio;
     * this operator performs the rewrite: tokens covered by redundant spans
@@ -6253,21 +6334,36 @@ object TextOps {
     substrSitesOf(substrSized(docs, cache = false))
       .select(col("gram")).distinct()
 
-  /** The WRITER-ATTRIBUTED gram index frame for the streaming ingest loop
-    * ([[graft.streaming.EventStreams.substrIngestStream]]): the same
-    * distinct grams as [[substrIndexFrame]], each carrying ONE doc_id that
-    * contains it in this frame (the minimum — deterministic, and one row
-    * per gram keeps the index exactly |distinct grams| as before).
-    * Existence remains the only admission signal; the doc_id column exists
-    * solely so an at-least-once REPLAY can anti-join out the rows its own
-    * failed append wrote — without attribution, a replayed batch probes an
-    * index already containing its own grams and marks every replayed site
-    * redundant against itself. A gram shared by base and batch keeps its
-    * base-attributed row through the exclusion, so genuine base matches
-    * survive replay. */
-  private[graft] def substrIndexDocFrame(docs: DataFrame): DataFrame =
+  /** The WRITER-ATTRIBUTED gram POSTINGS of a corpus — the substr index
+    * family's persisted artifact ([[graft.ops.SubstrIndexFamily]]) and what
+    * the streaming ingest loop appends
+    * ([[graft.streaming.EventStreams.substrIngestStream]]): one
+    * (doc_id, gram) row per DISTINCT gram of each doc. Existence remains
+    * the only admission signal (the probe dedups to grams), but full
+    * attribution buys the two things the bare [[substrIndexFrame]] cannot
+    * do:
+    *
+    *   - EXACT FORGET: a gram survives a deletion iff any surviving writer
+    *     still holds it — one doc_id anti-join, and since the frame is a
+    *     per-doc derivation the forgotten artifact EQUALS the from-scratch
+    *     build of the surviving corpus (the IndexFamilySpec law). The
+    *     unattributed index could only rebuild.
+    *   - REPLAY REPAIR: an at-least-once retry anti-joins out every row
+    *     its own failed append wrote — without attribution, a replayed
+    *     batch probes an index already containing its own grams and marks
+    *     every replayed site redundant against itself. A gram shared by
+    *     base and batch keeps its base-attributed rows through the
+    *     exclusion, so genuine base matches survive replay.
+    *
+    * The honest price: Σ per-doc distinct grams rows instead of |distinct
+    * grams| (the attribution overhead q263 MEASURES on the gate corpus —
+    * ~the corpus's gram-sharing rate). Extension stays a pure row union
+    * (id-disjoint batches can't collide on (doc_id, gram)), and the
+    * admission probe's one distinct() folds the overhead back out before
+    * the gram-keyed join. */
+  private[graft] def substrIndexPostingsFrame(docs: DataFrame): DataFrame =
     substrSitesOf(substrSized(docs, cache = false))
-      .groupBy(col("gram")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("gram")).distinct()
 
   /** Admit a document batch against a persisted gram index: per batch doc,
     * the q166 removal plan (same schema) counting the base as canonical.

@@ -583,9 +583,9 @@ object EventStreams {
     * arrive as one broadcast array per cell, filtered/min'd/max'd with
     * codegen HOFs. No watermark, no state store, exactly-once per row;
     * EventStreamsSpec pins row-set equality (including best_cos bitwise)
-    * against q78 on the sf slice via a Trigger.AvailableNow run. In
-    * production the two index frames are persisted and maintained
-    * incrementally, exactly like the text admission's digest/band index. */
+    * against q78 on the sf slice via a Trigger.AvailableNow run. For the
+    * PERSISTED-artifact loop — probe the index as it exists now, append
+    * the admitted vectors' cell rows back — see [[vectorIngestStream]]. */
   def embeddingAdmissionStream(vecs: DataFrame, corpus: DataFrame): DataFrame = {
     import graft.ops.Embeddings
     val (centsRow, cells) = Embeddings.admissionIndexFrames(corpus)
@@ -702,15 +702,19 @@ object EventStreams {
     *
     * Bootstrap: an unseeded index directory probes an empty frame — the
     * first batch's plan is its own within-batch q166 plan and its append
-    * CREATES the index. Idempotency under at-least-once retries: plans
-    * overwrite their own `batch=<id>` subdirectory; the persisted grams
-    * are WRITER-ATTRIBUTED ([[graft.ops.TextOps.substrIndexDocFrame]] —
-    * one (gram, doc_id) row per distinct gram) so a replayed batch
-    * anti-joins out the rows its own failed append wrote before probing
-    * (self-inclusion would mark every replayed site redundant against
-    * itself — the gram-only index cannot be repaired read-side); residual
-    * duplicate gram ROWS from a retried append stay harmless because the
-    * probe dedups grams inside substrAdmitAgainstIndex.
+    * CREATES the index (in the family's writer-attributed shape).
+    * Idempotency under at-least-once retries: plans overwrite their own
+    * `batch=<id>` subdirectory; the persisted grams are WRITER-ATTRIBUTED
+    * ([[graft.ops.TextOps.substrIndexPostingsFrame]] — one (doc_id, gram)
+    * row per distinct gram of each doc, the substr index family's
+    * artifact) so a replayed batch anti-joins out the rows its own failed
+    * append wrote before probing (self-inclusion would mark every
+    * replayed site redundant against itself — a gram-only index cannot be
+    * repaired read-side); residual duplicate gram ROWS from a retried
+    * append stay harmless because the probe dedups grams inside
+    * substrAdmitAgainstIndex. A LEGACY gram-only directory keeps working
+    * — admission unchanged, appends stay gram-only, replay repair
+    * unavailable until the index is rebuilt attributed.
     *
     * Scale shape per batch: the batch explodes per-row (q166's shape);
     * the index probe is one gram-keyed join; the append writes only the
@@ -723,20 +727,32 @@ object EventStreams {
         val spark = batch.sparkSession
         try {
           // the persisted grams carry the writing doc_id (see
-          // substrIndexDocFrame) so a replayed batch can exclude the rows
-          // its failed first attempt appended — without the anti-join a
-          // half-committed retry probes an index containing the batch
-          // itself and marks every replayed site redundant
+          // substrIndexPostingsFrame — the substr family's artifact) so a
+          // replayed batch can exclude the rows its failed first attempt
+          // appended — without the anti-join a half-committed retry probes
+          // an index containing the batch itself and marks every replayed
+          // site redundant. A LEGACY gram-only index (pre-attribution
+          // builds) is read AS-IS: admission works unchanged, the
+          // anti-join is skipped (nothing to attribute a replay by — one
+          // replayed batch may self-match, the bounded price of running
+          // over an un-upgraded artifact), and appends stay gram-only so
+          // the directory never holds two schemas at once.
+          val attributed = !indexExists(spark, s"$indexDir/grams") ||
+            spark.read.parquet(s"$indexDir/grams").columns.contains("doc_id")
           val index =
-            if (indexExists(spark, s"$indexDir/grams"))
+            if (!indexExists(spark, s"$indexDir/grams"))
+              graft.ops.TextOps.substrIndexFrame(batch.toDF().limit(0))
+            else if (attributed)
               spark.read.parquet(s"$indexDir/grams")
                 .join(batch.toDF().select(col("doc_id")).distinct(),
                   Seq("doc_id"), "left_anti")
                 .select(col("gram"))
-            else graft.ops.TextOps.substrIndexFrame(batch.toDF().limit(0))
+            else spark.read.parquet(s"$indexDir/grams").select(col("gram"))
           graft.ops.TextOps.substrAdmitAgainstIndex(batch.toDF(), index)
             .write.mode("overwrite").parquet(s"$plansDir/batch=$batchId")
-          graft.ops.TextOps.substrIndexDocFrame(batch.toDF())
+          (if (attributed)
+            graft.ops.TextOps.substrIndexPostingsFrame(batch.toDF())
+          else graft.ops.TextOps.substrIndexFrame(batch.toDF()))
             .write.mode("append").parquet(s"$indexDir/grams")
         } finally graft.CachedFrames.drain()
     }
@@ -862,6 +878,86 @@ object EventStreams {
           bsig.write.mode("append").parquet(s"$indexDir/sig")
           graft.ops.NearDup.bandsFrame(bsig)
             .write.mode("append").parquet(s"$indexDir/bands")
+        } finally graft.CachedFrames.drain()
+    }
+
+  /** Semantic-admission INGESTION loop over the persisted VECTOR index
+    * ([[graft.ops.VectorIndexFamily]]'s codebook/cells artifact) — the
+    * missing fifth loop: corpus, substr, graph, and lshband each maintain
+    * their persisted artifact from a stream, while the embedding side only
+    * had [[embeddingAdmissionStream]], a static-index probe over a corpus
+    * FRAME. This is the incremental face of q78 run as one continuous
+    * `foreachBatch` query (the BuildVectorIndex/AdmitVectors/
+    * ExtendVectorIndex CLI loop without the per-batch hand-holding): each
+    * micro-batch probes the codebook/cells artifact as it exists NOW,
+    * writes its verdicts to `batch=<id>`, and appends the admitted
+    * (`new`) vectors' cell rows back — so a later batch's near-copy of an
+    * earlier batch's admitted vector is caught as `dup_semantic`, which
+    * the static probe cannot do.
+    *
+    * FROZEN-CODEBOOK contract (q78's invariant, the family's law): the
+    * codebook is trained ONCE — at bootstrap, on the first batch, which
+    * IS the initial standing corpus — and never shifts afterwards, so no
+    * standing entry ever moves cells; periodic re-trains rewrite both
+    * frames wholesale via BuildVectorIndex, exactly as for the batch CLI.
+    * The first batch probes the fresh codebook against EMPTY cells (all
+    * verdicts `new`, null match/best_cos) and its append CREATES the
+    * cells table.
+    *
+    * Replay idempotency: cell appends are at-least-once, and the cells
+    * table aggregates entries into per-cell ARRAYS, so the loaded index
+    * is consolidated READ-SIDE each batch — entries exploded, duplicate
+    * rows from retried appends collapsed under one distinct(), the
+    * batch's own vec_ids anti-joined out (a half-committed append must
+    * not make a replayed vector its own `dup_semantic` match at cosine
+    * 1), then re-aggregated per cell. A replayed bootstrap reads the
+    * codebook its failed attempt wrote (deterministic hash-seeded
+    * centroids of the same batch) and sees empty standing cells after
+    * the exclusion — same verdicts, same appends.
+    *
+    * Scale shape per batch: the codebook rides as ONE broadcast row and
+    * every verdict resolves row-locally (q78's HOF probe); the
+    * consolidation pass is one explode + distinct + anti-join over the
+    * cells artifact (O(index entries) per batch — the price of
+    * append-only maintenance, same trade as the graph loop's df
+    * re-derivation; ExtendVectorIndex compaction reclaims it); the
+    * append writes only the admitted vectors' cell rows. */
+  def vectorIngestStream(vecs: DataFrame, indexDir: String,
+      verdictsDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.ops.Embeddings
+        try {
+          val (centsRow, cells) =
+            if (indexExists(spark, s"$indexDir/codebook")) {
+              val cb = spark.read.parquet(s"$indexDir/codebook")
+              val bids = batch.toDF().select(col("vec_id").as("cid")).distinct()
+              val consolidated = spark.read.parquet(s"$indexDir/cells")
+                .select(col("cell"), explode(col("entries")).as("e"))
+                .select(col("cell"), col("e.cid").as("cid"),
+                  col("e.cv").as("cv"), col("e.cn").as("cn"))
+                .distinct()
+                .join(bids, Seq("cid"), "left_anti")
+                .groupBy(col("cell"))
+                .agg(collect_list(struct(col("cid"), col("cv"), col("cn")))
+                  .as("entries"))
+              (cb, consolidated)
+            } else {
+              // bootstrap: train the codebook on the first batch (the
+              // initial standing corpus), persist it FROZEN, probe empty
+              val (cb, _) = Embeddings.admissionIndexFrames(batch.toDF())
+              cb.write.mode("overwrite").parquet(s"$indexDir/codebook")
+              (cb, Embeddings.cellsUnderCodebook(batch.toDF().limit(0), cb))
+            }
+          val verdicts = graft.CachedFrames.track(
+            Embeddings.admitVectorsAgainstIndex(batch.toDF(), centsRow, cells))
+          verdicts.write.mode("overwrite").parquet(s"$verdictsDir/batch=$batchId")
+          val admitted = batch.toDF().join(
+            verdicts.filter(col("verdict") === "new").select("vec_id"),
+            Seq("vec_id"))
+          Embeddings.cellsUnderCodebook(admitted, centsRow)
+            .write.mode("append").parquet(s"$indexDir/cells")
         } finally graft.CachedFrames.drain()
     }
 

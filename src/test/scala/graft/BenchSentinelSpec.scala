@@ -160,6 +160,27 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(Bench.latestFirst(Nil) === Nil)
   }
 
+  test("latestHistoryMedians picks the newest NON-contended history line, " +
+    "skips unparseable ones, and degrades to the newest parseable line " +
+    "when every record self-labels contended") {
+    def line(c: Boolean, q: Double) =
+      s"""{"ts":"t","sf":"sf0.1","contended":$c,"queries":{"q1_agg":$q}}"""
+    // newest (last) line wins when clean
+    assert(Bench.latestHistoryMedians(Seq(line(false, 1.0), line(false, 2.0)))
+      === Map("q1_agg" -> 2.0))
+    // a contended newest line is skipped for the clean one below it
+    assert(Bench.latestHistoryMedians(Seq(line(false, 1.0), line(true, 9.0)))
+      === Map("q1_agg" -> 1.0))
+    // an unparseable newest line falls through (the r5 truncated-tail
+    // class, now at the history layer)
+    assert(Bench.latestHistoryMedians(Seq(line(false, 1.0), "garbage"))
+      === Map("q1_agg" -> 1.0))
+    // all contended: the newest parseable record still beats no baseline
+    assert(Bench.latestHistoryMedians(Seq(line(true, 3.0), line(true, 4.0)))
+      === Map("q1_agg" -> 4.0))
+    assert(Bench.latestHistoryMedians(Nil) === Map.empty)
+  }
+
   test("load5 parses the 5-minute field (the r15 warm-close gate); " +
     "unparseable reads as NaN, which never blocks a start") {
     assert(Bench.load5("6.03 8.10 9.77") === 8.10)

@@ -106,10 +106,22 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       "--index", s"$dir/gidx", "--batch", s"$dir/delta",
       "--output", s"$dir/gidx2"))
     val extended = spark.read.parquet(s"$dir/gidx2/grams")
-      .collect().map(_.getString(0)).toSet
-    val full = graft.ops.TextOps.substrIndexFrame(docs)
-      .collect().map(_.getString(0)).toSet
+      .collect().map(_.toSeq).toSet
+    val full = graft.ops.TextOps.substrIndexPostingsFrame(docs)
+      .collect().map(_.toSeq).toSet
     assert(extended === full)
+    // LEGACY migration path: a pre-attribution gram-only index extends
+    // by name (never the positional 1-vs-2-column union) and STAYS legacy
+    graft.ops.TextOps.substrIndexFrame(spark.read.parquet(s"$dir/base"))
+      .write.parquet(s"$dir/lgidx/grams")
+    ExtendSubstrIndex.main(Array(
+      "--index", s"$dir/lgidx", "--batch", s"$dir/delta",
+      "--output", s"$dir/lgidx2"))
+    val legacyExtended = spark.read.parquet(s"$dir/lgidx2/grams")
+    assert(legacyExtended.columns.toSeq === Seq("gram"))
+    assert(legacyExtended.collect().map(_.getString(0)).toSet ===
+      full.map(_(1)))
+    graft.CachedFrames.drain()
   }
 
   test("train-tokenizer → encode-corpus round-trips: persisted merges " +
@@ -981,8 +993,8 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     } finally graft.CachedFrames.drain()
   }
   test("forget-index job: the surviving lshband artifact equals the " +
-    "rebuild of the surviving corpus; the unattributed substr family " +
-    "fails fast with the reason") {
+    "rebuild of the surviving corpus; attributed substr forgets exactly; " +
+    "a legacy gram-only substr artifact fails fast with the reason") {
     import org.apache.spark.sql.functions.col
     spark
     val sf = "/root/testdata/sf0.001"
@@ -1009,10 +1021,21 @@ class CliSpec extends AnyFunSuite with SparkSpec {
     } finally graft.CachedFrames.drain()
     BuildIndex.main(Array("--family", "substr",
       "--input", s"$dir/corpus", "--output", s"$dir/sx"))
+    ForgetIndex.main(Array("--family", "substr",
+      "--index", s"$dir/sx", "--ids", s"$dir/del",
+      "--output", s"$dir/sx2"))
+    val substrRef = graft.ops.SubstrIndexFamily.build(survivors)
+    try assert(rows(spark.read.parquet(s"$dir/sx2/grams")) ===
+      rows(substrRef("grams")))
+    finally graft.CachedFrames.drain()
+    // a LEGACY pre-attribution artifact carries nothing to forget by —
+    // the job fails fast with the reason instead of guessing
+    spark.read.parquet(s"$dir/sx/grams").select(col("gram")).distinct()
+      .write.parquet(s"$dir/lsx/grams")
     val e = intercept[IllegalArgumentException] {
       ForgetIndex.main(Array("--family", "substr",
-        "--index", s"$dir/sx", "--ids", s"$dir/del",
-        "--output", s"$dir/sx2"))
+        "--index", s"$dir/lsx", "--ids", s"$dir/del",
+        "--output", s"$dir/lsx2"))
     }
     assert(e.getMessage.contains("cannot forget"))
     // graph family: --edgepatch writes the survivor-edge patch and

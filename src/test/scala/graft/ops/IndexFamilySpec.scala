@@ -85,7 +85,7 @@ class IndexFamilySpec extends AnyFunSuite with SparkSpec {
     assert(admitted.nonEmpty)
   }
 
-  for (f <- IndexFamily.all if f.name != "substr") {
+  for (f <- IndexFamily.all) {
     test(s"forget law (${f.name}): forget(build(corpus), ids) equals the " +
       "family's surviving-corpus reference on an organic sf0.001 slice") {
       val corpus = if (f.idColumn == "vec_id") vecs else docs
@@ -103,10 +103,19 @@ class IndexFamilySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("substr is the one family that cannot forget exactly, and says so") {
-    assert(SubstrIndexFamily.forget(
-      SubstrIndexFamily.build(docs.limit(5)),
+  test("substr forgets via writer attribution; a LEGACY gram-only artifact " +
+    "(no doc_id column) honestly answers None instead of guessing") {
+    val built = SubstrIndexFamily.build(docs.limit(5))
+    assert(built("grams").columns.toSeq === Seq("doc_id", "gram"))
+    assert(SubstrIndexFamily.forget(built,
+      docs.limit(1).select(col("doc_id"))).isDefined)
+    // the pre-attribution artifact shape: existence-only grams — deleting
+    // a shared gram on one doc's behalf would un-index every surviving
+    // doc's copy, so the only honest answer is "rebuild"
+    val legacy = Map("grams" -> built("grams").select(col("gram")).distinct())
+    assert(SubstrIndexFamily.forget(legacy,
       docs.limit(1).select(col("doc_id"))).isEmpty)
+    graft.CachedFrames.drain()
   }
 
   test("artifact IO round-trips every family's tables through a directory") {
@@ -117,8 +126,8 @@ class IndexFamilySpec extends AnyFunSuite with SparkSpec {
     IndexFamily.write(s"$dir/s", built, f)
     val back = IndexFamily.read(spark, s"$dir/s", f)
     assert(back.keySet === f.tableNames.toSet)
-    assert(back("grams").collect().map(_.getString(0)).toSet ===
-      built("grams").collect().map(_.getString(0)).toSet)
+    assert(back("grams").collect().map(_.toSeq).toSet ===
+      built("grams").collect().map(_.toSeq).toSet)
     graft.CachedFrames.drain()
   }
 }

@@ -653,8 +653,8 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     def phrase(p: String) = (1 to 9).map(i => s"$p$i").mkString(" ")
     // standing corpus: one doc whose passage batch 1 will quote
     val base = Seq((100L, phrase("b"))).toDF("doc_id", "text")
-    // seed in the loop's writer-attributed (gram, doc_id) schema
-    graft.ops.TextOps.substrIndexDocFrame(base)
+    // seed in the family's writer-attributed (doc_id, gram) postings schema
+    graft.ops.TextOps.substrIndexPostingsFrame(base)
       .write.parquet(s"$indexDir/grams")
     val schema = base.schema
     def runAvailable(): Unit = {
@@ -692,10 +692,12 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     graft.CachedFrames.drain()
     assert(plans.view.filterKeys(_ >= 300L).toMap === unionPlan)
     // and the grown index equals the from-scratch index of everything
+    // (postings compared as (doc_id, gram) row sets — appends are pure
+    // row unions of per-doc derivations, so no distinct is needed)
     val grown = spark.read.parquet(s"$indexDir/grams")
-      .collect().map(_.getString(0)).toSet
-    val full = graft.ops.TextOps.substrIndexFrame(all)
-      .collect().map(_.getString(0)).toSet
+      .collect().map(_.toSeq).toSet
+    val full = graft.ops.TextOps.substrIndexPostingsFrame(all)
+      .collect().map(_.toSeq).toSet
     graft.CachedFrames.drain()
     assert(grown === full)
   }
@@ -994,6 +996,131 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(replayed === law)
   }
 
+  test("vector ingestion loop: the codebook trains once at bootstrap and " +
+    "freezes, batch 2's verdicts equal the admit-vs-standing law under the " +
+    "persisted codebook (a copy of a batch-1 vector caught at cosine 1), " +
+    "and the grown cells equal the admitted set under the frozen codebook") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("vec-loop")
+    val (indexDir, verdictsDir, inDir, ckpt) =
+      (s"$root/vx", s"$root/verdicts", s"$root/in", s"$root/ckpt")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val b1 = raw.filter(col("vec_id") < 40)
+    // batch 2: organic fresh vectors + an exact COPY of a batch-1 vector
+    // under a fresh id — only the extended cells can catch it
+    val b2 = raw.filter(col("vec_id") >= 40 && col("vec_id") < 60)
+      .unionByName(raw.filter(col("vec_id") === 7L)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+    def runAvailable(): Unit = {
+      val stream = spark.readStream.schema(raw.schema).parquet(inDir)
+      val q = EventStreams.vectorIngestStream(stream, indexDir, verdictsDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    b1.coalesce(1).write.mode("append").parquet(inDir)
+    runAvailable()
+    b2.coalesce(1).write.mode("append").parquet(inDir)
+    runAvailable()
+    def verdictSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("verdict"), col("match_id"), col("best_cos"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        // -9.0 sentinel, not NaN: cosines live in [-1, 1] and boxed
+        // NaN != NaN would break the set equality below
+        if (r.isNullAt(3)) -9.0 else r.getDouble(3))).toSet
+    // bootstrap: no standing corpus, so everything admits as new
+    val v1 = verdictSet(spark.read.parquet(s"$verdictsDir/batch=0"))
+    assert(v1.map(_._1) === b1.collect().map(_.getLong(0)).toSet)
+    assert(v1.forall(v => v._2 == "new" && v._3 == -1L))
+    // batch 2 ≡ the batch-vs-standing law under the PERSISTED codebook
+    val cb = spark.read.parquet(s"$indexDir/codebook")
+    val v2 = verdictSet(spark.read.parquet(s"$verdictsDir/batch=1"))
+    val law = try verdictSet(graft.ops.Embeddings.admitVectorsAgainstIndex(
+        b2, cb, graft.ops.Embeddings.cellsUnderCodebook(b1, cb)))
+      finally graft.CachedFrames.drain()
+    assert(v2 === law)
+    // the copy is caught against its batch-1 original at cosine 1
+    val copy = v2.find(_._1 == 100007L).get
+    assert(copy._2 === "dup_semantic" && copy._3 === 7L)
+    assert(math.abs(copy._4 - 1.0) < 1e-9)
+    // grown cells ≡ every ADMITTED vector under the frozen codebook
+    // (entry arrays are collect_list-ordered — compare exploded)
+    def exploded(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("cell"), org.apache.spark.sql.functions.explode(col("entries")).as("e"))
+      .select(col("cell"), col("e.cid"), col("e.cv"), col("e.cn"))
+      .collect().map(_.toSeq).toSet
+    val admitted = b1.unionByName(b2.join(
+      spark.read.parquet(s"$verdictsDir/batch=1")
+        .filter(col("verdict") === "new").select("vec_id"), Seq("vec_id")))
+    val grownCells = exploded(spark.read.parquet(s"$indexDir/cells"))
+    val refCells = try exploded(
+        graft.ops.Embeddings.cellsUnderCodebook(admitted, cb))
+      finally graft.CachedFrames.drain()
+    assert(grownCells === refCells)
+    assert(!grownCells.exists(_(1) == 100007L)) // the dup was NOT admitted
+  }
+
+  test("vector ingestion replay is idempotent: a half-committed cells " +
+    "append is excluded by the read-side consolidation, so a replayed " +
+    "vector is not its own dup_semantic match at cosine 1") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("vec-replay")
+    val (indexDir, verdictsDir, inDir) =
+      (s"$root/vx", s"$root/verdicts", s"$root/in")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val b1 = raw.filter(col("vec_id") < 40)
+    val b2 = raw.filter(col("vec_id") >= 40 && col("vec_id") < 60)
+    // seed the standing artifact with a bootstrap run over batch 1
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    b1.coalesce(1).write.mode("append").parquet(inDir)
+    val ckpt1 = java.nio.file.Files.createTempDirectory("vec-replay-ckpt1")
+    val q1 = EventStreams.vectorIngestStream(
+        spark.readStream.schema(raw.schema).parquet(inDir),
+        indexDir, verdictsDir)
+      .option("checkpointLocation", ckpt1.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q1.awaitTermination() finally q1.stop()
+    val cb = spark.read.parquet(s"$indexDir/codebook")
+    // the failed first attempt's cells append landed; its commit did not —
+    // without the consolidation anti-join every replayed vector would
+    // match ITSELF at cosine 1 and be rejected
+    graft.ops.Embeddings.cellsUnderCodebook(b2, cb)
+      .write.mode("append").parquet(s"$indexDir/cells")
+    graft.CachedFrames.drain()
+    b2.coalesce(1).write.mode("append").parquet(inDir)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("vec-replay-ckpt2")
+    // fresh checkpoint over ONLY batch 2's files — the replay
+    val stream = spark.readStream.schema(raw.schema).parquet(inDir)
+    val q2 = EventStreams.vectorIngestStream(stream, indexDir, verdictsDir)
+      .option("checkpointLocation", ckpt2.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q2.awaitTermination() finally q2.stop()
+    def verdictSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("verdict"), col("match_id"), col("best_cos"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        // -9.0 sentinel, not NaN: cosines live in [-1, 1] and boxed
+        // NaN != NaN would break the set equality below
+        if (r.isNullAt(3)) -9.0 else r.getDouble(3))).toSet
+    // the fresh-checkpoint replay re-processed b1 ∪ b2 as one batch 0 —
+    // its verdicts must equal the law against the PRE-BATCH standing
+    // index (b1's cells under the frozen codebook), not the half-
+    // committed one: b1's own rows excluded too, so they stay `new`
+    val replayed = verdictSet(spark.read.parquet(s"$verdictsDir/batch=0"))
+    val law = try verdictSet(graft.ops.Embeddings.admitVectorsAgainstIndex(
+        b1.unionByName(b2), cb,
+        graft.ops.Embeddings.cellsUnderCodebook(raw.limit(0), cb)))
+      finally graft.CachedFrames.drain()
+    assert(replayed === law)
+    assert(replayed.forall(v => !(v._2 == "dup_semantic" && v._3 == v._1)))
+  }
+
   test("substring ingestion replay is idempotent: a half-committed gram " +
     "append is excluded by the writer-attributed anti-join, so a fresh " +
     "doc is not marked redundant against itself") {
@@ -1004,13 +1131,13 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     val (indexDir, plansDir, inDir) = (s"$root/gidx", s"$root/plans", s"$root/in")
     def phrase(p: String) = (1 to 9).map(i => s"$p$i").mkString(" ")
     val base = Seq((100L, phrase("b"))).toDF("doc_id", "text")
-    graft.ops.TextOps.substrIndexDocFrame(base)
+    graft.ops.TextOps.substrIndexPostingsFrame(base)
       .write.parquet(s"$indexDir/grams")
     val b1 = Seq((200L, s"x ${phrase("b")} y"), (201L, phrase("f")))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
     b1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
     // the failed first attempt's gram append landed; its commit did not
-    graft.ops.TextOps.substrIndexDocFrame(b1.toDF("doc_id", "text"))
+    graft.ops.TextOps.substrIndexPostingsFrame(b1.toDF("doc_id", "text"))
       .write.mode("append").parquet(s"$indexDir/grams")
     graft.CachedFrames.drain()
     val ckpt = java.nio.file.Files.createTempDirectory("substr-replay-ckpt")
@@ -1028,6 +1155,45 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     // anti-join its own appended grams would mark all its sites redundant
     assert(plans(200L) === ((11L, 9L)))
     assert(plans(201L) === ((9L, 0L)))
+  }
+
+  test("substring ingestion over a LEGACY gram-only index: restart does not " +
+    "throw on the missing doc_id column, base quotes are still caught, and " +
+    "appends keep the directory single-schema (legacy stays legacy)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("substr-legacy")
+    val (indexDir, plansDir, inDir) = (s"$root/gidx", s"$root/plans", s"$root/in")
+    def phrase(p: String) = (1 to 9).map(i => s"$p$i").mkString(" ")
+    val base = Seq((100L, phrase("b"))).toDF("doc_id", "text")
+    // a pre-attribution artifact: distinct grams, no doc_id column — what
+    // an older BuildSubstrIndex or ingest loop left behind
+    graft.ops.TextOps.substrIndexFrame(base).write.parquet(s"$indexDir/grams")
+    val b1 = Seq((200L, s"x ${phrase("b")} y"), (201L, phrase("f")))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    b1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    graft.CachedFrames.drain()
+    val ckpt = java.nio.file.Files.createTempDirectory("substr-legacy-ckpt")
+    val stream = spark.readStream.schema(base.schema).parquet(inDir)
+    val q = EventStreams.substrIngestStream(stream, indexDir, plansDir)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val plans = spark.read.parquet(plansDir)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(plans(200L) === ((11L, 9L))) // base quote stripped, as attributed
+    assert(plans(201L) === ((9L, 0L)))
+    // the append matched the standing schema — one column, never a mix —
+    // and the grown index still equals the from-scratch legacy index
+    val grown = spark.read.parquet(s"$indexDir/grams")
+    assert(grown.columns.toSeq === Seq("gram"))
+    val full = graft.ops.TextOps.substrIndexFrame(
+      base.union(b1.toDF("doc_id", "text")))
+      .collect().map(_.getString(0)).toSet
+    assert(grown.collect().map(_.getString(0)).toSet === full)
+    graft.CachedFrames.drain()
   }
 
   test("ingestion loop replay is harmless: duplicate index appends change no " +
