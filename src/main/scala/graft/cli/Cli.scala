@@ -725,6 +725,58 @@ object IngestBatches {
   }
 }
 
+/** Job 15b — the GENERIC ingestion loop: [[IngestBatches]] for EVERY
+  * persisted index family, the cron-driven run-to-completion form of all
+  * five `*IngestStream` loops (corpus / substr / graph / lshband /
+  * vector). Process every staged batch parquet under --input, write
+  * per-batch output dirs (verdicts / plans / edges / candidates /
+  * verdicts respectively), grow the family's persisted artifact, exit.
+  * The checkpoint is the memory between invocations — re-running after
+  * new files land processes ONLY the new ones — and an unseeded --index
+  * bootstraps from the first batch, so one command is the whole
+  * Build → Admit → Extend loop for any family:
+  *
+  *   runMain graft.cli.IngestIndex --family lshband --input staged/ \
+  *     --index /tmp/lx --output /tmp/cands --checkpoint /tmp/ckpt
+  *
+  * Text families stream (doc_id, text); `vector` streams
+  * (vec_id, embedding). `--patches` (graph only) also maintains the
+  * standing edge artifact per batch ([[graft.ops.TextOps.graphRetireOnAdmit]]). */
+object IngestIndex {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.requireFreshOutput(a, "index", "input")
+    Cli.withSession("graft-ingest-index") { spark =>
+      val family = graft.ops.IndexFamily.byName(a("family")).name
+      val schema =
+        if (family == "vector") StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType))))
+        else StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType)))
+      val stream = spark.readStream.schema(schema).parquet(a("input"))
+      require(family == "graph" || a.get("patches").isEmpty,
+        s"--patches is the graph family's flag, not $family's")
+      val writer = family match {
+        case "corpus" => graft.streaming.EventStreams
+          .admissionIngestStream(stream, a("index"), a("output"))
+        case "substr" => graft.streaming.EventStreams
+          .substrIngestStream(stream, a("index"), a("output"))
+        case "graph" => graft.streaming.EventStreams
+          .graphIngestStream(stream, a("index"), a("output"), a.get("patches"))
+        case "lshband" => graft.streaming.EventStreams
+          .lshIngestStream(stream, a("index"), a("output"))
+        case "vector" => graft.streaming.EventStreams
+          .vectorIngestStream(stream, a("index"), a("output"))
+      }
+      val q = writer.option("checkpointLocation", a("checkpoint"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+  }
+}
+
 /** Job 3 — load the model, score unlabeled pairs, write (pair, prediction)
   * sorted by prediction. */
 object ApplyDupClassifier {

@@ -1819,6 +1819,67 @@ object Embeddings {
     FROM batch b LEFT JOIN m ON b.vec_id = m.bid
   """
 
+  /** q264: VECTOR-ADMISSION ECONOMICS — the per-batch readout of the
+    * semantic admission (q78), completing the admission-economics trio
+    * across index families: q240 prices the graph admission, q261 the
+    * substring admission, and this the vector one. One row: how much of
+    * the batch the standing corpus already covers semantically (the dup
+    * bill), how many vectors probed an EMPTY cell (n_empty_cell — cells
+    * the corpus never populated: codebook-coverage holes the periodic
+    * retrain should look at), the best cosine seen anywhere, and the
+    * near-miss ladder (batch vectors whose best corpus cosine clears
+    * 0.90/0.95/0.99) — the τ-sensitivity readout: how many verdicts
+    * would flip if [[AdmitCosTau]] moved to each rung, which is the
+    * number a threshold review actually needs.
+    *
+    * Exactness: all counts exact BIGINT; dup_rate is one division;
+    * max(best_cos) is an order-insensitive max over cosines both engines
+    * compute identically per-row (q78 is hash-green), and the ladder
+    * compares those same doubles against shared literals. Scale shape:
+    * exactly q78's pipeline (broadcast codebook, batch × cell-size
+    * candidate join, never corpus²) plus one 1-row rollup. */
+  def q264VectorAdmitEconomics(spark: SparkSession, sfDir: String): DataFrame =
+    q78EmbeddingAdmission(spark, sfDir)
+      .agg(count(lit(1)).as("n_batch"),
+        sum(when(col("verdict") === "dup_semantic", 1L).otherwise(0L))
+          .as("n_dup"),
+        sum(when(col("verdict") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("best_cos").isNull, 1L).otherwise(0L))
+          .as("n_empty_cell"),
+        max(col("best_cos")).as("max_best_cos"),
+        sum(when(col("best_cos") >= 0.90, 1L).otherwise(0L))
+          .as("n_best_ge_90"),
+        sum(when(col("best_cos") >= 0.95, 1L).otherwise(0L))
+          .as("n_best_ge_95"),
+        sum(when(col("best_cos") >= 0.99, 1L).otherwise(0L))
+          .as("n_best_ge_99"))
+      .select(col("n_batch"), col("n_dup"), col("n_new"),
+        (col("n_dup").cast("double") / col("n_batch").cast("double"))
+          .as("dup_rate"),
+        col("n_empty_cell"), col("max_best_cos"),
+        col("n_best_ge_90"), col("n_best_ge_95"), col("n_best_ge_99"))
+
+  lazy val q264VectorAdmitEconomicsSql: String = s"""
+    WITH v AS ($q78EmbeddingAdmissionSql)
+    SELECT CAST(count(*) AS BIGINT) AS n_batch,
+      CAST(sum(CASE WHEN verdict = 'dup_semantic' THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_dup,
+      CAST(sum(CASE WHEN verdict = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_new,
+      CAST(sum(CASE WHEN verdict = 'dup_semantic' THEN 1 ELSE 0 END)
+          AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate,
+      CAST(sum(CASE WHEN best_cos IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_empty_cell,
+      max(best_cos) AS max_best_cos,
+      CAST(sum(CASE WHEN best_cos >= 0.90 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_best_ge_90,
+      CAST(sum(CASE WHEN best_cos >= 0.95 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_best_ge_95,
+      CAST(sum(CASE WHEN best_cos >= 0.99 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_best_ge_99
+    FROM v
+  """
+
   /** Centroid gram matrix + cosine: joins the long-format centroids on idx,
     * sorted-fold-sums the products (shuffle-order-proof), then normalizes by
     * the diagonal. */

@@ -232,6 +232,72 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       .collect().toSet === Set(1L, 2L))
   }
 
+  test("ingest-index (generic, family=vector) is cron-resumable: a second " +
+      "invocation processes only newly staged files, catches a copy of an " +
+      "invocation-1 vector via the grown cells, and bootstraps the " +
+      "codebook from nothing; unknown families and misplaced --patches " +
+      "fail fast") {
+    import org.apache.spark.sql.functions.col
+    spark // force shared session so the CLI's getOrCreate reuses it
+    val root = Files.createTempDirectory("graft-ingest-vec").toString
+    val (inDir, idx, ver, ckpt) =
+      (s"$root/in", s"$root/vx", s"$root/verdicts", s"$root/ckpt")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // invocation 1: one staged wave — NO seeded index (bootstrap)
+    raw.filter(col("vec_id") < 40)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    IngestIndex.main(Array("--family", "vector", "--input", inDir,
+      "--index", idx, "--output", ver, "--checkpoint", ckpt))
+    // invocation 2 (cron tick): a new wave containing an exact COPY of a
+    // wave-1 vector under a fresh id
+    raw.filter(col("vec_id") >= 40 && col("vec_id") < 50)
+      .unionByName(raw.filter(col("vec_id") === 7L)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      .coalesce(1).write.mode("append").parquet(inDir)
+    IngestIndex.main(Array("--family", "vector", "--input", inDir,
+      "--index", idx, "--output", ver, "--checkpoint", ckpt))
+    val verdicts = spark.read.parquet(ver).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    // each vector judged exactly once across both invocations
+    assert(verdicts.size === 51)
+    assert((0L until 40L).forall(verdicts(_) === (("new", -1L))))
+    assert(verdicts(100007L) === (("dup_semantic", 7L))) // across invocations
+    // checkpoint memory: batch dirs 0 and 1 only
+    assert(new java.io.File(ver).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet === Set("batch=0", "batch=1"))
+    // the frozen codebook persisted at bootstrap
+    assert(spark.read.parquet(s"$idx/codebook").count() === 1L)
+    assertThrows[IllegalArgumentException] {
+      IngestIndex.main(Array("--family", "nope", "--input", inDir,
+        "--index", idx, "--output", ver, "--checkpoint", ckpt))
+    }
+    val e = intercept[IllegalArgumentException] {
+      IngestIndex.main(Array("--family", "vector", "--input", inDir,
+        "--index", idx, "--output", ver, "--checkpoint", ckpt,
+        "--patches", s"$root/patches"))
+    }
+    assert(e.getMessage.contains("graph family's flag"))
+  }
+
+  test("artifact jobs refuse --output equal to a lazily-read input dir " +
+      "(normalized: trailing slashes don't evade the guard)") {
+    // fires BEFORE any session/IO — an in-place extend would make Spark
+    // overwrite parquet files it is still scheduled to read
+    val e = intercept[IllegalArgumentException] {
+      ExtendIndex.main(Array("--family", "lshband", "--index", "/tmp/lx",
+        "--batch", "/tmp/b", "--output", "/tmp/lx/"))
+    }
+    assert(e.getMessage.contains("must differ"))
+    val e2 = intercept[IllegalArgumentException] {
+      ForgetIndex.main(Array("--family", "graph", "--index", "/tmp/gx/",
+        "--ids", "/tmp/del", "--output", "/tmp/gx"))
+    }
+    assert(e2.getMessage.contains("must differ"))
+  }
+
   test("build-index → admit round-trips match the q71 gate query exactly") {
     import org.apache.spark.sql.functions.col
     spark // force shared session so the CLI's getOrCreate reuses it
