@@ -155,7 +155,7 @@ object Bench {
         case None => measureQuery(spark, sfDir, name)
       }
     }
-    val prev = prevMedians()
+    val prev = prevMedians(sfDir)
     val (cleaned, remeasured) =
       applyPerQuerySentinel(stats, prev, remeasureOne("per-query sentinel"))
     stats = cleaned
@@ -167,7 +167,7 @@ object Bench {
     // ambient (the cleaner number is kept); solo ≈ suite ⇒ the drift is
     // real and the record says so without a human re-run session.
     val (adjudicated, drift) = applyDriftAdjudication(stats,
-      prevLatestMedians(), remeasureOne("drift adjudication"))
+      prevLatestMedians(sfDir), remeasureOne("drift adjudication"))
     stats = adjudicated
 
     def fmt(sel: QStat => Double) = stats
@@ -364,15 +364,32 @@ object Bench {
     * long-stable queries that once had a lucky fast round perennially
     * occupy the DriftTopK slots and crowd genuine new regressions out of
     * the report (the r15 advice finding). */
-  private[graft] def prevMedians(): Map[String, Double] = {
+  private[graft] def prevMedians(sfDir: String): Map[String, Double] = {
     sys.env.get("SPARK_GRAFT_PREV_BENCH").map(medianFile).getOrElse {
-      val sources = benchWrappers() :+
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-      // every committed history line is one more clean-minimum source
-      mergeMin(sources.map(medianFile) ++
-        historyLines().map(parseQueryMedians))
+      // every SAME-SF source is one more clean-minimum input — an
+      // sf0.001 experiment's tiny medians must never become the 3×-prev
+      // yardstick an sf0.1 suite is judged against (every query would
+      // flag and the sentinel would re-measure the world). bench_out and
+      // the history self-label their sf; driver wrappers' tails truncate
+      // before the label but are always driver-SF records (and parse
+      // empty when truncated), so they pass through unfiltered.
+      val benchOut = readWhole(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+      mergeMin(benchWrappers().map(medianFile) ++
+        Seq(benchOut).filter(sameSf(_, sfDir)).map(parseQueryMedians) ++
+        historyLines().filter(sameSf(_, sfDir)).map(parseQueryMedians))
     }
   }
+
+  private def readWhole(p: String): String =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p)), "UTF-8")
+    catch { case _: Throwable => "" }
+
+  /** Does a history line's self-labeled "sf" match the current run's?
+    * (Pure for the spec.) Lines without the label never match. */
+  private[graft] def sameSf(line: String, sfDir: String): Boolean =
+    line.contains(s""""sf":"$sfDir"""")
 
   private def medianFile(p: String): Map[String, Double] =
     try parseQueryMedians(new String(
@@ -396,14 +413,18 @@ object Bench {
     * everything, as for the sentinel. Drift asks "did this query move
     * since LAST round?", so its yardstick is the latest record, not the
     * all-time minimum. */
-  private[graft] def prevLatestMedians(): Map[String, Double] = {
+  private[graft] def prevLatestMedians(sfDir: String): Map[String, Double] = {
     sys.env.get("SPARK_GRAFT_PREV_BENCH").map(medianFile).getOrElse {
-      val hist = latestHistoryMedians(historyLines())
+      // only SAME-SF lines can be the drift yardstick (see prevMedians)
+      val hist = latestHistoryMedians(historyLines().filter(sameSf(_, sfDir)))
       if (hist.nonEmpty) hist
-      else (latestFirst(benchWrappers()) :+ sys.env.getOrElse(
-          "SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
-        .iterator.map(medianFile).find(_.nonEmpty)
-        .getOrElse(Map.empty)
+      else {
+        val benchOut = readWhole(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+        (latestFirst(benchWrappers()).iterator.map(medianFile) ++
+          Iterator(benchOut).filter(sameSf(_, sfDir)).map(parseQueryMedians))
+          .find(_.nonEmpty).getOrElse(Map.empty)
+      }
     }
   }
 

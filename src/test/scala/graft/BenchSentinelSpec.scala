@@ -181,6 +181,15 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(Bench.latestHistoryMedians(Nil) === Map.empty)
   }
 
+  test("sameSf matches a history line's self-labeled sf exactly — a local " +
+    "sf0.001 experiment never becomes an sf0.1 run's yardstick") {
+    val line = """{"ts":"t","sf":"/root/testdata/sf0.001","contended":false,""" +
+      """"queries":{"q1_agg":0.01}}"""
+    assert(Bench.sameSf(line, "/root/testdata/sf0.001"))
+    assert(!Bench.sameSf(line, "/root/testdata/sf0.1"))
+    assert(!Bench.sameSf("""{"queries":{"q1_agg":1.0}}""", "/root/testdata/sf0.1"))
+  }
+
   test("load5 parses the 5-minute field (the r15 warm-close gate); " +
     "unparseable reads as NaN, which never blocks a start") {
     assert(Bench.load5("6.03 8.10 9.77") === 8.10)
