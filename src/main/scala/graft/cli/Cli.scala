@@ -1282,6 +1282,42 @@ object ForgetIndex {
   }
 }
 
+/** Job 30e — TOMBSTONE deletion: append the forgotten ids to
+  * `<index>/tombstones` and return — the log-structured alternative to
+  * [[ForgetIndex]] for a 100 TB artifact, where a GDPR delete should be
+  * one tiny parquet append, not a synchronous corpus-scale rewrite.
+  * Every generic read ([[graft.ops.IndexFamily.read]]: AdmitIndex,
+  * ExtendIndex, ForgetIndex) applies the tombstones lazily, so the
+  * deletion is visible to the very next admission; the next job that
+  * WRITES the artifact (ExtendIndex, ForgetIndex) emits the filtered
+  * tables to a fresh directory with no tombstone dir — extension doubles
+  * as compaction. Appending to a family whose artifact cannot forget
+  * (a legacy unattributed substr index) fails fast HERE, not at some
+  * later read:
+  *
+  *   runMain graft.cli.TombstoneIndex --family lshband --index /tmp/lx \
+  *     --ids del.parquet
+  */
+object TombstoneIndex {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parse(args)
+    Cli.withSession("graft-tombstone-index") { spark =>
+      import graft.ops.IndexFamily
+      val f = IndexFamily.byName(a("family"))
+      // fail fast on an un-forgettable artifact: a tombstone nothing can
+      // apply would silently turn every later read into an error
+      val grams = if (f.name == "substr")
+        Some(spark.read.parquet(s"${a("index")}/grams")) else None
+      require(f.name != "substr" || grams.get.columns.contains("doc_id"),
+        s"this '${f.name}' artifact cannot forget exactly (no row " +
+          "attribution — a legacy gram-only substr index); rebuild it " +
+          "from the surviving corpus instead of tombstoning")
+      spark.read.parquet(a("ids")).select(col(f.idColumn)).distinct()
+        .write.mode("append").parquet(s"${a("index")}/tombstones")
+    }
+  }
+}
+
 /** Job 31 — apply an edge PATCH to a standing containment-edge artifact
   * (GraphReport's `edges` output): the admission patch from
   * `AdmitDocs --patch` (retire/update rows), or — with `--forget ids` —

@@ -106,10 +106,42 @@ object IndexFamily {
       tables(t).write.mode("overwrite").parquet(s"$dir/$t")
     }
 
-  /** Read the family's artifact back from `dir`. */
+  /** Read the family's artifact back from `dir`, honoring TOMBSTONES: if
+    * `dir/tombstones` exists (appended by [[graft.cli.TombstoneIndex]] —
+    * the append-only deletion path), the loaded tables come back with
+    * every tombstoned id's rows already forgotten, so every consumer of
+    * the generic read (AdmitIndex, ExtendIndex, ForgetIndex) sees the
+    * post-deletion artifact WITHOUT anything having rewritten it.
+    *
+    * This is the log-structured deletion shape a 100 TB artifact wants:
+    * a GDPR delete is one tiny parquet append (visible to the very next
+    * admission), never a synchronous rewrite of a corpus-scale index;
+    * the physical rewrite happens whenever any job next WRITES the
+    * artifact — ExtendIndex and ForgetIndex write the filtered tables to
+    * a fresh directory with no tombstone dir, so extension doubles as
+    * compaction. A family whose artifact cannot forget (a legacy
+    * unattributed substr index) fails fast here with the same reason
+    * ForgetIndex gives: silently admitting against un-deletable rows
+    * would make the tombstone a no-op.
+    *
+    * Scale shape: the tombstone set rides one anti-join per table (or
+    * the vector family's broadcast HOF filter) — O(artifact) read-side
+    * work only for jobs that were already reading the artifact. */
   def read(spark: SparkSession, dir: String,
-      family: IndexFamily): Map[String, DataFrame] =
-    family.tableNames.map(t => t -> spark.read.parquet(s"$dir/$t")).toMap
+      family: IndexFamily): Map[String, DataFrame] = {
+    val tables =
+      family.tableNames.map(t => t -> spark.read.parquet(s"$dir/$t")).toMap
+    val tomb = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    if (!tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(tomb)) tables
+    else family.forget(tables,
+        spark.read.parquet(s"$dir/tombstones").select(col(family.idColumn))
+          .distinct())
+      .getOrElse(throw new IllegalArgumentException(
+        s"index at '$dir' carries tombstones but this '${family.name}' " +
+          "artifact cannot forget exactly (no row attribution) — rebuild " +
+          "it from the surviving corpus"))
+  }
 }
 
 /** Text admission: exact digests + SimHash bands ([[Curation]]). Extension

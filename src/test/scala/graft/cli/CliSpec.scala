@@ -1135,4 +1135,61 @@ class CliSpec extends AnyFunSuite with SparkSpec {
       "--forget", s"$dir/del", "--output", s"$dir/edges2"))
     assert(rows(spark.read.parquet(s"$dir/edges2")) === refreshed)
   }
+
+  test("tombstone-index: an appended deletion is visible to the next " +
+    "generic read without any rewrite (admit ≡ admit vs the rebuilt " +
+    "survivors), extension compacts the tombstones away, and a legacy " +
+    "substr artifact refuses the tombstone up front") {
+    import org.apache.spark.sql.functions.col
+    spark
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("cli-tomb").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    base.write.parquet(s"$dir/base")
+    batch.write.parquet(s"$dir/batch")
+    base.filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+      .write.parquet(s"$dir/del")
+    BuildIndex.main(Array("--family", "lshband",
+      "--input", s"$dir/base", "--output", s"$dir/lx"))
+    TombstoneIndex.main(Array("--family", "lshband",
+      "--index", s"$dir/lx", "--ids", s"$dir/del"))
+    // the delete was ONE tiny append — the artifact tables are untouched
+    assert(new java.io.File(s"$dir/lx/tombstones").exists())
+    AdmitIndex.main(Array("--family", "lshband",
+      "--input", s"$dir/batch", "--index", s"$dir/lx",
+      "--output", s"$dir/cands"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val survivors = base.filter(col("doc_id") % 7 =!= 0)
+    val admitted = rows(spark.read.parquet(s"$dir/cands"))
+    val law = try rows(graft.ops.LshBandIndexFamily.admit(batch,
+        graft.ops.LshBandIndexFamily.build(survivors)))
+      finally graft.CachedFrames.drain()
+    assert(admitted === law)
+    // a tombstoned doc no longer matches; survivors still do
+    val delIds = base.filter(col("doc_id") % 7 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!admitted.exists(r => delIds(r.head.asInstanceOf[Long])))
+    // extension WRITES the filtered artifact fresh — tombstones compacted
+    ExtendIndex.main(Array("--family", "lshband", "--index", s"$dir/lx",
+      "--batch", s"$dir/batch", "--output", s"$dir/lx2"))
+    assert(!new java.io.File(s"$dir/lx2/tombstones").exists())
+    val extended = rows(spark.read.parquet(s"$dir/lx2/sig")
+      .select(col("doc_id")))
+    val extLaw = try rows(graft.ops.LshBandIndexFamily
+        .build(survivors.unionByName(batch))("sig").select(col("doc_id")))
+      finally graft.CachedFrames.drain()
+    assert(extended === extLaw)
+    // legacy substr: nothing could ever apply the tombstone — refuse it
+    graft.ops.TextOps.substrIndexFrame(base).write.parquet(s"$dir/lsx/grams")
+    graft.CachedFrames.drain()
+    val e = intercept[IllegalArgumentException] {
+      TombstoneIndex.main(Array("--family", "substr",
+        "--index", s"$dir/lsx", "--ids", s"$dir/del"))
+    }
+    assert(e.getMessage.contains("cannot forget"))
+  }
 }
