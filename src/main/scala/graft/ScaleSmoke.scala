@@ -293,8 +293,36 @@ object ScaleSmoke {
         println(f"family=${f.name} tables=${f.tableNames.size} " +
           f"law_wall=${(System.nanoTime() - t0) / 1e9}%.1f s ok")
         CachedFrames.drain()
+        // the FORGET law at SF too (all five families forget since the
+        // substr artifact went writer-attributed): forget(build(corpus),
+        // %7 ids) ≡ the family's surviving-corpus reference — the same
+        // distributed compare as the grown law above
+        val corpus = if (f.idColumn == "vec_id") vecs else docs
+        val ids = corpus.select(col(f.idColumn))
+          .filter(col(f.idColumn) % 7 === 0)
+        val t1 = System.nanoTime()
+        val forgotten = f.forget(f.build(corpus), ids).getOrElse(
+          throw new IllegalStateException(s"${f.name} must forget"))
+        val fref = f.forgetReference(corpus, ids)
+        f.tableNames.foreach { t =>
+          def canon(d: org.apache.spark.sql.DataFrame) = {
+            val c = f.canonical(t, d)
+            c.select(c.columns.sorted.map(col).toIndexedSeq: _*)
+          }
+          val (g, r) = (canon(forgotten(t)), canon(fref(t)))
+          val (gn, rn) = (g.count(), r.count())
+          require(gn == rn,
+            s"${f.name}/$t forget law violated: $gn vs $rn rows")
+          val sample = g.exceptAll(r).limit(3).collect()
+          require(sample.isEmpty, s"${f.name}/$t forget law violated: " +
+            s"forgotten-only row sample: ${sample.mkString("; ")}")
+          require(gn > 0, s"${f.name}/$t forget law table empty")
+        }
+        println(f"family=${f.name} forget_law_wall=" +
+          f"${(System.nanoTime() - t1) / 1e9}%.1f s ok")
+        CachedFrames.drain()
       }
-      println("mode=familylaw all families ok")
+      println("mode=familylaw all families ok (grown + forget)")
       spark.stop()
       return
     }
