@@ -32,6 +32,12 @@ import org.apache.spark.sql.functions._
   * copies of first-wave admitted docs), run the job once per wave over
   * the same checkpoint, and verify every verdict lands exactly once with
   * all cross-invocation copies caught as dup_exact.
+  * `--ingestvec [sfDir]` smokes the vector-family ingestion loop through
+  * the generic IngestIndex job at the smoke SF: wave 1 bootstraps the
+  * frozen codebook, wave 2 carries exact copies of wave-1 vectors that
+  * only the grown cells can catch, and the wave-2 verdicts must equal
+  * the batch admission law under the persisted codebook (distributed
+  * compare).
   * `--tokenizer [sfDir]` smokes TrainTokenizer → EncodeCorpus: train the
   * merge artifact on the full documents table, encode the corpus from
   * the saved artifact, and verify the corpus-wide count invariants
@@ -141,6 +147,68 @@ object ScaleSmoke {
       require(nCopies > 0 && copyNew == 0 && copyExact > 0 && badMatch == 0,
         s"cross-invocation copies must never admit as new and must match " +
           s"pre-shift docs: new=$copyNew exact=$copyExact bad_match=$badMatch")
+      spark.stop()
+      return
+    }
+    if (args.contains("--ingestvec")) {
+      // the vector-family twin of --ingest: two cron waves through the
+      // generic IngestIndex job (family=vector) at the smoke SF — wave 1
+      // bootstraps the frozen codebook, wave 2 carries exact copies
+      // (shifted ids) of wave-1 vectors that only the GROWN cells can
+      // catch, plus the wave-2 law check against the batch admission
+      // under the persisted codebook, compared distributed
+      val sfDir = args.dropWhile(_ != "--ingestvec").drop(1).headOption
+        .filterNot(_.startsWith("--")).getOrElse("/root/testdata/sf0.1")
+      val root = java.nio.file.Files.createTempDirectory("graft-ingestvec-smoke").toString
+      val (inDir, idx, ver, ckpt) =
+        (s"$root/in", s"$root/vx", s"$root/verdicts", s"$root/ckpt")
+      val vecs = Tables.parallelized(Tables(spark, sfDir, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      val t0 = System.nanoTime()
+      val wave1 = vecs.filter(col("vec_id") % 5 === 1)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      wave1.coalesce(1).write.mode("append").parquet(inDir)
+      graft.cli.IngestIndex.main(Array("--family", "vector",
+        "--input", inDir, "--index", idx, "--output", ver,
+        "--checkpoint", ckpt))
+      val idShift = 100000000L
+      val wave2 = vecs.filter(col("vec_id") % 5 === 2).unionByName(
+        wave1.select((col("vec_id") + idShift).as("vec_id"), col("embedding")))
+      wave2.coalesce(1).write.mode("append").parquet(inDir)
+      graft.cli.IngestIndex.main(Array("--family", "vector",
+        "--input", inDir, "--index", idx, "--output", ver,
+        "--checkpoint", ckpt))
+      val secs = (System.nanoTime() - t0) / 1e9
+      val verdicts = spark.read.parquet(ver)
+      val n = verdicts.count()
+      val nUnique = verdicts.select("vec_id").distinct().count()
+      val staged = spark.read.parquet(inDir).count()
+      // every exact copy must hit the grown cells at cosine 1 and match a
+      // pre-shift id (min-id tie-break may pick another >=tau original)
+      val copies = verdicts.filter(col("vec_id") >= idShift)
+      val nCopies = copies.count()
+      val copyNew = copies.filter(col("verdict") === "new").count()
+      val badMatch = copies.filter(col("match_id") >= idShift).count()
+      // wave-2 law, distributed: verdicts(batch=1) ≡ the batch admission
+      // against the persisted codebook + wave-1's cells
+      val cb = spark.read.parquet(s"$idx/codebook")
+      val got = spark.read.parquet(s"$ver/batch=1")
+        .select(col("vec_id"), col("verdict"), col("match_id"), col("best_cos"))
+      val law = graft.ops.Embeddings.admitVectorsAgainstIndex(wave2, cb,
+          graft.ops.Embeddings.cellsUnderCodebook(wave1, cb))
+        .select(col("vec_id"), col("verdict"), col("match_id"), col("best_cos"))
+      val (gn, ln) = (got.count(), law.count())
+      val lawDiff = got.exceptAll(law).limit(3).collect()
+      println(f"staged=$staged verdicts=$n unique=$nUnique copies=$nCopies " +
+        f"copy_new=$copyNew bad_match=$badMatch law_rows=$gn/$ln " +
+        f"mode=ingestvec wall=$secs%.1f s")
+      require(n == staged && nUnique == n,
+        s"each staged vector must verdict exactly once: staged=$staged n=$n unique=$nUnique")
+      require(nCopies > 0 && copyNew == 0 && badMatch == 0,
+        s"cross-wave copies must never admit as new: new=$copyNew bad_match=$badMatch")
+      require(gn == ln && lawDiff.isEmpty,
+        s"wave-2 law violated: $gn vs $ln rows, diff sample ${lawDiff.mkString("; ")}")
+      CachedFrames.drain()
       spark.stop()
       return
     }
