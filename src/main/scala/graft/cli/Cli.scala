@@ -1287,7 +1287,9 @@ object ForgetIndex {
   * [[ForgetIndex]] for a 100 TB artifact, where a GDPR delete should be
   * one tiny parquet append, not a synchronous corpus-scale rewrite.
   * Every generic read ([[graft.ops.IndexFamily.read]]: AdmitIndex,
-  * ExtendIndex, ForgetIndex) applies the tombstones lazily, so the
+  * ExtendIndex, ForgetIndex) AND every streaming ingestion loop
+  * (the five `EventStreams.*IngestStream`s fold the tombstone ids into
+  * their replay anti-join) applies the tombstones lazily, so the
   * deletion is visible to the very next admission; the next job that
   * WRITES the artifact (ExtendIndex, ForgetIndex) emits the filtered
   * tables to a fresh directory with no tombstone dir — extension doubles

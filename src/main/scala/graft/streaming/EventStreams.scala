@@ -658,6 +658,22 @@ object EventStreams {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** The tombstoned ids of a persisted index dir
+    * ([[graft.cli.TombstoneIndex]] appends them; [[graft.ops.IndexFamily]]
+    * applies them on the generic CLI read) — None when no tombstone dir
+    * exists. Every ingestion loop applies these to its loaded artifact, so
+    * an append-only GDPR delete is visible to the very NEXT micro-batch's
+    * probe: a deleted doc stops matching immediately, without the loop
+    * ever rewriting the artifact (the next Extend/Forget compaction makes
+    * the deletion physical). One distinct id frame, anti-joined exactly
+    * like the loops' own replay exclusions. */
+  private def tombstoneIds(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String): Option[DataFrame] =
+    if (indexExists(spark, s"$indexDir/tombstones"))
+      Some(spark.read.parquet(s"$indexDir/tombstones")
+        .select(col(idCol)).distinct())
+    else None
+
   def admissionIngestStream(docs: DataFrame, indexDir: String,
       verdictsDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
@@ -667,7 +683,7 @@ object EventStreams {
           // bootstrap: with no seeded index yet (first run on an empty
           // directory), probe against empty frames — the first batch
           // admits wholesale and its append CREATES the index
-          val (digests, bands) =
+          val (digests0, bands0) =
             if (indexExists(spark, s"$indexDir/digests"))
               (spark.read.parquet(s"$indexDir/digests"),
                 spark.read.parquet(s"$indexDir/bands"))
@@ -675,6 +691,14 @@ object EventStreams {
               val (d, b) = graft.ops.Curation.corpusIndexFrames(
                 batch.toDF().limit(0))
               (d, b)
+            }
+          // append-only deletions (TombstoneIndex) are visible to the
+          // very next batch's probe — a deleted doc stops matching here
+          val (digests, bands) =
+            tombstoneIds(spark, indexDir, "doc_id") match {
+              case Some(ids) =>
+                graft.ops.Curation.forgetFromIndex(digests0, bands0, ids)
+              case None => (digests0, bands0)
             }
           val verdicts = graft.CachedFrames.track(
             graft.ops.Curation.admitAgainstIndex(batch.toDF(), digests, bands))
@@ -739,13 +763,21 @@ object EventStreams {
           // the directory never holds two schemas at once.
           val attributed = !indexExists(spark, s"$indexDir/grams") ||
             spark.read.parquet(s"$indexDir/grams").columns.contains("doc_id")
+          // the replay exclusion and the tombstone exclusion are the SAME
+          // anti-join — a tombstoned doc's postings stop matching on the
+          // very next batch (legacy gram-only dirs can't carry tombstones:
+          // TombstoneIndex refuses to create them)
+          val excluded = tombstoneIds(spark, indexDir, "doc_id") match {
+            case Some(ids) =>
+              batch.toDF().select(col("doc_id")).distinct().unionByName(ids)
+            case None => batch.toDF().select(col("doc_id")).distinct()
+          }
           val index =
             if (!indexExists(spark, s"$indexDir/grams"))
               graft.ops.TextOps.substrIndexFrame(batch.toDF().limit(0))
             else if (attributed)
               spark.read.parquet(s"$indexDir/grams")
-                .join(batch.toDF().select(col("doc_id")).distinct(),
-                  Seq("doc_id"), "left_anti")
+                .join(excluded, Seq("doc_id"), "left_anti")
                 .select(col("gram"))
             else spark.read.parquet(s"$indexDir/grams").select(col("gram"))
           graft.ops.TextOps.substrAdmitAgainstIndex(batch.toDF(), index)
@@ -810,11 +842,18 @@ object EventStreams {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         try {
+          // batch replay exclusion + tombstone exclusion share one
+          // anti-join; df/sizes re-derive below, so a deletion's df
+          // shrinkage (fingerprints un-dropping) prices correctly too
+          val gexcluded = tombstoneIds(spark, indexDir, "doc_id") match {
+            case Some(ids) =>
+              batch.toDF().select(col("doc_id")).distinct().unionByName(ids)
+            case None => batch.toDF().select(col("doc_id")).distinct()
+          }
           val fps = graft.CachedFrames.track(
             if (indexExists(spark, s"$indexDir/fps"))
               spark.read.parquet(s"$indexDir/fps").distinct()
-                .join(batch.toDF().select(col("doc_id")).distinct(),
-                  Seq("doc_id"), "left_anti")
+                .join(gexcluded, Seq("doc_id"), "left_anti")
             else graft.ops.TextOps.graphIndexFps(batch.toDF().limit(0)))
           val df = graft.CachedFrames.track(
             graft.ops.TextOps.graphIndexDfOf(fps))
@@ -860,7 +899,12 @@ object EventStreams {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         try {
-          val bids = batch.toDF().select(col("doc_id")).distinct()
+          // replay exclusion + tombstone exclusion in one anti-join
+          val bids = tombstoneIds(spark, indexDir, "doc_id") match {
+            case Some(ids) =>
+              batch.toDF().select(col("doc_id")).distinct().unionByName(ids)
+            case None => batch.toDF().select(col("doc_id")).distinct()
+          }
           val (sig, bands) =
             if (indexExists(spark, s"$indexDir/sig"))
               (spark.read.parquet(s"$indexDir/sig").distinct()
@@ -932,7 +976,13 @@ object EventStreams {
           val (centsRow, cells) =
             if (indexExists(spark, s"$indexDir/codebook")) {
               val cb = spark.read.parquet(s"$indexDir/codebook")
-              val bids = batch.toDF().select(col("vec_id").as("cid")).distinct()
+              // replay exclusion + tombstone exclusion in one anti-join
+              val bids0 = batch.toDF().select(col("vec_id").as("cid")).distinct()
+              val bids = tombstoneIds(spark, indexDir, "vec_id") match {
+                case Some(ids) =>
+                  bids0.unionByName(ids.select(col("vec_id").as("cid")))
+                case None => bids0
+              }
               val consolidated = spark.read.parquet(s"$indexDir/cells")
                 .select(col("cell"), explode(col("entries")).as("e"))
                 .select(col("cell"), col("e.cid").as("cid"),

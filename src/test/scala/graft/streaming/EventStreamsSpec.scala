@@ -996,6 +996,91 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(replayed === law)
   }
 
+  test("tombstones reach the ingestion loops: a tombstoned doc stops " +
+    "matching on the very next lsh micro-batch without any artifact " +
+    "rewrite, survivors keep matching") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("lsh-tomb")
+    val (indexDir, candsDir, inDir) = (s"$root/lx", s"$root/cands", s"$root/in")
+    def phrase(p: String) = (1 to 9).map(i => s"$p$i").mkString(" ")
+    val base = Seq((100L, phrase("b")), (101L, phrase("f")))
+      .toDF("doc_id", "text")
+    graft.ops.IndexFamily.write(indexDir,
+      graft.ops.LshBandIndexFamily.build(base), graft.ops.LshBandIndexFamily)
+    graft.CachedFrames.drain()
+    // the GDPR delete: ONE appended id — sig/bands untouched on disk
+    Seq(100L).toDF("doc_id").write.parquet(s"$indexDir/tombstones")
+    val b1 = Seq((200L, phrase("b")), (201L, phrase("f")))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    b1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("lsh-tomb-ckpt")
+    val stream = spark.readStream.schema(base.schema).parquet(inDir)
+    val q = EventStreams.lshIngestStream(stream, indexDir, candsDir)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val pairs = spark.read.parquet(s"$candsDir/batch=0")
+      .select(col("id1"), col("id2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CachedFrames.drain()
+    // doc 100 is deleted: its copy (200) must not pair with it; the
+    // surviving 101 still catches ITS copy (201)
+    assert(!pairs.exists(p => p._1 == 100L || p._2 == 100L))
+    assert(pairs.contains((101L, 201L)))
+    // and nothing rewrote the artifact: the tombstoned rows are still there
+    assert(spark.read.parquet(s"$indexDir/sig")
+      .filter(col("doc_id") === 100L).count() > 0)
+  }
+
+  test("tombstones reach the vector loop: batch verdicts equal the " +
+    "admission law against the survivors' cells under the frozen codebook") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("vec-tomb")
+    val (indexDir, verdictsDir, inDir) =
+      (s"$root/vx", s"$root/verdicts", s"$root/in")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val b1 = raw.filter(col("vec_id") < 40)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    b1.coalesce(1).write.mode("append").parquet(inDir)
+    val ckpt1 = java.nio.file.Files.createTempDirectory("vec-tomb-ckpt1")
+    val q1 = EventStreams.vectorIngestStream(
+        spark.readStream.schema(raw.schema).parquet(inDir),
+        indexDir, verdictsDir)
+      .option("checkpointLocation", ckpt1.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q1.awaitTermination() finally q1.stop()
+    Seq(7L).toDF("vec_id").write.parquet(s"$indexDir/tombstones")
+    // batch 2 carries an exact copy of the DELETED vector 7 — without the
+    // tombstone it would be dup_semantic at cosine 1 against 7
+    val b2 = raw.filter(col("vec_id") === 7L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    b2.coalesce(1).write.mode("append").parquet(inDir)
+    val q2 = EventStreams.vectorIngestStream(
+        spark.readStream.schema(raw.schema).parquet(inDir),
+        indexDir, verdictsDir)
+      .option("checkpointLocation", ckpt1.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q2.awaitTermination() finally q2.stop()
+    def verdictSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("verdict"), col("match_id"), col("best_cos"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -9.0 else r.getDouble(3))).toSet
+    val got = verdictSet(spark.read.parquet(s"$verdictsDir/batch=1"))
+    val cb = spark.read.parquet(s"$indexDir/codebook")
+    val law = try verdictSet(graft.ops.Embeddings.admitVectorsAgainstIndex(
+        b2, cb, graft.ops.Embeddings.cellsUnderCodebook(
+          b1.filter(col("vec_id") =!= 7L), cb)))
+      finally graft.CachedFrames.drain()
+    assert(got === law)
+    assert(!got.exists(_._3 == 7L)) // the deleted vector matches nothing
+  }
+
   test("vector ingestion loop: the codebook trains once at bootstrap and " +
     "freezes, batch 2's verdicts equal the admit-vs-standing law under the " +
     "persisted codebook (a copy of a batch-1 vector caught at cosine 1), " +
