@@ -75,6 +75,11 @@ object Bench {
       "q240_graph_admit_economics"),
     // the binding-cap pair shares its half-split index build the same way
     "bindingcap" -> Seq("q251_binding_cap_admit", "q252_binding_cap_patch"),
+    // the %5-split lshband admission face: q254 (generator) tracks the
+    // base slice's signature frame; q265's incremental-cluster pipeline
+    // tracks the SAME canonicalized sigFrame(base) plan, so the slice is
+    // signed once per rep
+    "lshadmit" -> Seq("q254_lsh_admit", "q265_incremental_components"),
     // the MinHash family: every member tracks the SAME full-corpus
     // signature checkpoint (lshPairsOn's sigFrame — the lshband index
     // family's sig table), so the corpus-wide shingle+minhash pass is

@@ -102,6 +102,69 @@ object Clustering {
     labels
   }
 
+  /** INCREMENTAL connected components — update a standing (id, component)
+    * assignment with a batch of NEW edges, reading only the standing
+    * table and the delta (never the base edge list): the incremental face
+    * of [[connectedComponents]], and the missing piece between the
+    * LSH-band admission (which emits a batch's incident candidate pairs —
+    * `lshAdmitAgainstIndex`) and cluster-level consumers (q131's keeper
+    * election, canonical-doc routing).
+    *
+    * HOW: because `component` is the MINIMUM member id, every standing
+    * component is internally connected by construction, so connectivity
+    * over base ∪ delta factors through the CONTRACTION graph — each new
+    * edge's endpoints mapped to their standing component label (or
+    * themselves when unseen). CC runs on that graph only
+    * (O(|delta|) edges), and its min-label output is exact: the min over
+    * a merged group of labels-that-are-mins IS the global min member id,
+    * so the result equals the from-scratch `connectedComponents` of
+    * base ∪ delta edges, row for row (the ClusteringSpec law and q265's
+    * DuckDB oracle).
+    *
+    * Scale shape: the corpus-sized standing table is touched by exactly
+    * ONE broadcast join against the relabel map (components whose label
+    * changed — bounded by 2·|delta| regardless of corpus size, so the
+    * broadcast is delta-sized); the only iterative work is CC over the
+    * contracted delta. Nothing re-reads base text or base edges, and
+    * untouched components pass through byte-identical.
+    *
+    * @param standing (id, component) — a [[connectedComponents]] result
+    *        (component = min member id; singletons may be absent, they
+    *        are their own trivial component)
+    * @param newPairs (id1, id2) new edges (any orientation); endpoints
+    *        may be standing ids, brand-new ids, or a mix
+    * @return (id, component) for standing ids ∪ delta endpoints */
+  def incrementalComponents(standing: DataFrame,
+      newPairs: DataFrame): DataFrame = {
+    val s1 = standing.select(col("id").as("id1"), col("component").as("c1"))
+    val s2 = standing.select(col("id").as("id2"), col("component").as("c2"))
+    val contracted = newPairs
+      .join(s1, Seq("id1"), "left")
+      .join(s2, Seq("id2"), "left")
+      .select(coalesce(col("c1"), col("id1")).as("id1"),
+        coalesce(col("c2"), col("id2")).as("id2"))
+    // (old label | new id) -> merged min label, delta-sized
+    val merged = connectedComponents(contracted)
+    // standing components whose label changes — ≤ 2·|delta| rows
+    val relabel = broadcast(merged
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("component"), col("component").as("newc")))
+    val updatedStanding = standing.join(relabel, Seq("component"), "left")
+      .select(col("id"),
+        coalesce(col("newc"), col("component")).as("component"))
+    // delta endpoints the standing table has never seen get their merged
+    // label directly (each appears in the contracted graph by definition)
+    val newIds = newPairs.select(col("id1").as("id"))
+      .union(newPairs.select(col("id2")))
+      .distinct()
+      .join(standing.select(col("id")), Seq("id"), "left_anti")
+    val newAssigned = newIds
+      .join(merged.withColumnRenamed("id", "mid"),
+        newIds("id") === col("mid"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    updatedStanding.unionByName(newAssigned)
+  }
+
   /** Path-compressed union-find over the whole (small) edge list in ONE
     * executor task — no driver collect, no per-iteration jobs. Id ordering
     * must MATCH Spark's `min` so both strategies pick the same component

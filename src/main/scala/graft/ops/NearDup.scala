@@ -700,6 +700,69 @@ object NearDup {
       ORDER BY quality_score DESC, doc_id ASC)
   """
 
+  /** q265: INCREMENTAL CLUSTER MAINTENANCE — the assignment-table face of
+    * the LSH admission loop: a standing corpus's near-dup components
+    * ([[graft.dedup.Clustering.connectedComponents]] over its τ-filtered
+    * edges, component = min member id) updated with an admitted batch's
+    * INCIDENT edges only ([[lshAdmitAgainstIndex]] — the q254 face, never
+    * a corpus re-sign), via
+    * [[graft.dedup.Clustering.incrementalComponents]]: CC over the
+    * delta's CONTRACTION graph + one broadcast relabel join. The oracle
+    * recomputes the components FROM SCRATCH (q131's reachability CTE over
+    * the full grown corpus's τ edges), so the gate hash proves the
+    * incremental path lands on exactly the from-scratch assignment — the
+    * law that lets a 100 TB cluster table be maintained per admission
+    * instead of rebuilt (rebuild = re-sign + re-pair + re-converge the
+    * whole corpus; increment = one banded probe + CC over the incident
+    * edges + a delta-sized broadcast).
+    *
+    * Split: the %5 interleave (the lshband family's law split — LSH has
+    * no monotone-id precondition). Exactness: labels are exact min ids;
+    * no floats anywhere. Scale shape: base signatures are the lshband
+    * index build (billed once, the q253 pattern); the batch probe is one
+    * banded equi-join; the contraction CC sees only incident τ edges;
+    * the standing table is touched by one broadcast join. */
+  def q265IncrementalComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val baseEdges = lshPairsOn(base)
+      .filter(col("true_jaccard") >= ConsolidateTau)
+      .select(col("id1"), col("id2"))
+    val standing = graft.dedup.Clustering.connectedComponents(baseEdges)
+    val sig = graft.CachedFrames.track(sigFrame(base))
+    val incident = lshAdmitAgainstIndex(batch, sig, bandsFrame(sig))
+      .filter(col("true_jaccard") >= ConsolidateTau)
+      .select(col("id1"), col("id2"))
+    graft.dedup.Clustering.incrementalComponents(standing, incident)
+      .select(col("id").as("doc_id"), col("component"))
+  }
+
+  /** The oracle ignores the split entirely: from-scratch reachability
+    * over the GROWN corpus's τ edges (q131's CTE chain) — the strongest
+    * form of the incremental law. */
+  val q265IncrementalComponentsSql: String = s"""
+    WITH RECURSIVE ${lshCandidateSqlCtes("documents")},
+    jp AS (
+      SELECT p.id1, p.id2
+      FROM pairs p
+      JOIN sig s1 ON p.id1 = s1.doc_id
+      JOIN sig s2 ON p.id2 = s2.doc_id
+      WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE) /
+        CAST(len(s1.shingles) + len(s2.shingles)
+             - len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+        >= $ConsolidateTau),
+    e AS (SELECT id1 AS src, id2 AS dst FROM jp UNION SELECT id2, id1 FROM jp),
+    nodesg AS (SELECT DISTINCT src AS id FROM e),
+    reach(a, b) AS (
+      SELECT id, id FROM nodesg
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+    comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a)
+    SELECT doc_id, component FROM comp
+  """
+
   /** q191: DEDUP-STACK WATERFALL — the four dedup modalities COMPOSED in
     * production order, each stage priced by its MARGINAL token savings:
     * raw → exact whole-document dedup (md5 keep-first) → span/paragraph

@@ -24,6 +24,50 @@ class ClusteringSpec extends AnyFunSuite with SparkSpec {
     assert(iterative === expected)
   }
 
+  test("incremental components equal the from-scratch CC of base ∪ delta: " +
+    "transitive merges across standing components, new-only components, " +
+    "delta chains through new ids, and the untouched component passes " +
+    "through byte-identical") {
+    import spark.implicits._
+    // standing: {1,2,3} comp 1, {10,11} comp 10, {20,21} comp 20,
+    // {30,31} comp 30 (untouched)
+    val basePairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (30L, 31L)).toDF("id1", "id2")
+    val standing = Clustering.connectedComponents(basePairs)
+    // delta: 100 bridges comps 1 and 10 TRANSITIVELY through a new id
+    // (3-100, 100-11); 200-201 is a brand-new component; 21-300 hangs a
+    // new id off comp 20; comp 30 sees nothing
+    val delta = Seq((3L, 100L), (100L, 11L), (200L, 201L), (21L, 300L))
+      .toDF("id1", "id2")
+    val got = Clustering.incrementalComponents(standing, delta)
+      .as[(Long, Long)].collect().toMap
+    val scratch = Clustering.connectedComponents(
+        basePairs.unionByName(delta))
+      .as[(Long, Long)].collect().toMap
+    assert(got === scratch)
+    assert(got(100L) === 1L && got(11L) === 1L) // transitive merge landed
+    assert(got(200L) === 200L && got(201L) === 200L)
+    assert(got(300L) === 20L)
+    assert(got(30L) === 30L && got(31L) === 30L) // untouched
+    // degenerate deltas: empty delta is the identity; a delta against an
+    // EMPTY standing is just from-scratch CC of the delta
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Clustering.incrementalComponents(standing, empty)
+      .as[(Long, Long)].collect().toMap ===
+      standing.as[(Long, Long)].collect().toMap)
+    val fresh = Clustering.incrementalComponents(
+        Clustering.connectedComponents(empty), delta)
+      .as[(Long, Long)].collect().toMap
+    assert(fresh === Clustering.connectedComponents(delta)
+      .as[(Long, Long)].collect().toMap)
+    // a delta edge between two docs of the SAME standing component is a
+    // no-op (labels already minimal)
+    val sameComp = Seq((1L, 3L)).toDF("id1", "id2")
+    assert(Clustering.incrementalComponents(standing, sameComp)
+      .as[(Long, Long)].collect().toMap ===
+      standing.as[(Long, Long)].collect().toMap)
+  }
+
   test("strategy switch at exactly localThreshold: both sides of the edge agree") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
