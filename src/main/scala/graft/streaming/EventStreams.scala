@@ -925,6 +925,101 @@ object EventStreams {
         } finally graft.CachedFrames.drain()
     }
 
+  /** CLUSTER-MAINTENANCE ingestion loop — [[lshIngestStream]] extended to
+    * keep the standing near-dup COMPONENT table current per micro-batch:
+    * each batch computes its incident τ edges against the lshband index
+    * as it exists now, updates the standing assignment through
+    * [[graft.dedup.Clustering.incrementalComponents]] (CC over the
+    * delta's contraction graph + a delta-bounded relabel), and writes
+    * ONLY the changed-or-new rows to `compsDir/patch_batch=<id>` — the
+    * q252/q260 patch discipline applied to cluster assignments: a
+    * corpus-sized table is never rewritten per batch, and the CURRENT
+    * assignment is the per-id last-write-wins over the patch log
+    * ([[currentComponents]]).
+    *
+    * Replay idempotency: the sig/band read excludes the batch's own rows
+    * (and tombstones) exactly as [[lshIngestStream]]; the standing
+    * assignment derivation excludes the batch's OWN patch directory, so
+    * a half-committed patch from a failed attempt never feeds back; the
+    * patch itself overwrites its `patch_batch=<id>` dir.
+    *
+    * `tau` defaults to the production [[graft.ops.NearDup.ConsolidateTau]];
+    * fixtures narrow it to drive cross-component merges through the
+    * stream. Scale shape per batch: one banded probe + CC over incident
+    * τ edges + one broadcast relabel of the (patch-log-derived) standing
+    * table; the patch write is bounded by the touched components, not
+    * the corpus. */
+  def componentsIngestStream(docs: DataFrame, indexDir: String,
+      compsDir: String,
+      tau: Double = graft.ops.NearDup.ConsolidateTau): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        try {
+          val bids = tombstoneIds(spark, indexDir, "doc_id") match {
+            case Some(ids) =>
+              batch.toDF().select(col("doc_id")).distinct().unionByName(ids)
+            case None => batch.toDF().select(col("doc_id")).distinct()
+          }
+          val (sig, bands) =
+            if (indexExists(spark, s"$indexDir/sig"))
+              (spark.read.parquet(s"$indexDir/sig").distinct()
+                  .join(bids, Seq("doc_id"), "left_anti"),
+                spark.read.parquet(s"$indexDir/bands").distinct()
+                  .join(bids, Seq("doc_id"), "left_anti"))
+            else {
+              val empty = graft.ops.NearDup.sigFrame(batch.toDF().limit(0))
+              (empty, graft.ops.NearDup.bandsFrame(empty))
+            }
+          val incident = graft.ops.NearDup
+            .lshAdmitAgainstIndex(batch.toDF(), sig, bands)
+            .filter(col("true_jaccard") >= tau)
+            .select(col("id1"), col("id2"))
+          // standing = last-write-wins over every PRIOR batch's patch —
+          // the current batch's own dir is excluded so a failed earlier
+          // attempt's half-committed patch never feeds back on replay
+          val standing = currentComponents(spark, compsDir,
+            excludeBatch = Some(batchId))
+          val updated = graft.dedup.Clustering
+            .incrementalComponents(standing, incident)
+          val patch = updated.alias("u")
+            .join(standing.alias("s"), Seq("id"), "left")
+            .filter(col("s.component").isNull ||
+              col("u.component") =!= col("s.component"))
+            .select(col("id"), col("u.component").as("component"))
+          patch.write.mode("overwrite")
+            .parquet(s"$compsDir/patch_batch=$batchId")
+          val bsig = graft.CachedFrames.track(
+            graft.ops.NearDup.sigFrame(batch.toDF()))
+          bsig.write.mode("append").parquet(s"$indexDir/sig")
+          graft.ops.NearDup.bandsFrame(bsig)
+            .write.mode("append").parquet(s"$indexDir/bands")
+        } finally graft.CachedFrames.drain()
+    }
+
+  /** The CURRENT component assignment from a patch log
+    * ([[componentsIngestStream]]'s output): per id, the row from the
+    * NEWEST `patch_batch` that mentions it — one windowless max-join
+    * (self-join on the per-id max batch), never a corpus rewrite to
+    * read. `excludeBatch` is the loop's replay seam. Empty/missing log →
+    * empty assignment (the bootstrap). */
+  def currentComponents(spark: org.apache.spark.sql.SparkSession,
+      compsDir: String,
+      excludeBatch: Option[Long] = None): DataFrame = {
+    if (!indexExists(spark, compsDir))
+      return spark.range(0)
+        .select(col("id"), col("id").as("component")).limit(0)
+    val all0 = spark.read.parquet(compsDir)
+    val all = excludeBatch match {
+      case Some(b) => all0.filter(col("patch_batch") =!= b)
+      case None => all0
+    }
+    val latest = all.groupBy(col("id"))
+      .agg(max(col("patch_batch")).as("patch_batch"))
+    all.join(latest, Seq("id", "patch_batch"))
+      .select(col("id"), col("component"))
+  }
+
   /** Semantic-admission INGESTION loop over the persisted VECTOR index
     * ([[graft.ops.VectorIndexFamily]]'s codebook/cells artifact) — the
     * missing fifth loop: corpus, substr, graph, and lshband each maintain

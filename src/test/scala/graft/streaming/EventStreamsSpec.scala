@@ -1081,6 +1081,65 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(!got.exists(_._3 == 7L)) // the deleted vector matches nothing
   }
 
+  test("components ingestion loop: per-batch patches keep the standing " +
+    "assignment equal to the from-scratch CC of all τ edges so far, " +
+    "cross-batch pairs land via the grown index, unchanged rows never " +
+    "re-patch, and the replay seam excludes the batch's own patch dir") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("comps-loop")
+    val (indexDir, compsDir, inDir, ckpt) =
+      (s"$root/lx", s"$root/comps", s"$root/in", s"$root/ckpt")
+    def phrase(p: String) = (1 to 9).map(i => s"$p$i").mkString(" ")
+    val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    def runAvailable(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(inDir)
+      val q = EventStreams.componentsIngestStream(stream, indexDir, compsDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val b1 = Seq((100L, phrase("b")), (101L, phrase("f")))
+    val b2 = Seq((200L, phrase("b")), (201L, phrase("g")))
+    val b3 = Seq((300L, phrase("g")), (301L, phrase("b")))
+    b1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    runAvailable()
+    b2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    runAvailable()
+    b3.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    runAvailable()
+    def asMap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("component")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val current = asMap(EventStreams.currentComponents(spark, compsDir))
+    // law: the materialized assignment equals the from-scratch CC over
+    // the τ edges of everything ingested so far
+    val all = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
+    val scratch = try asMap(graft.dedup.Clustering.connectedComponents(
+        graft.ops.NearDup.lshPairsOn(all)
+          .filter(col("true_jaccard") >= graft.ops.NearDup.ConsolidateTau)
+          .select(col("id1"), col("id2"))))
+      finally graft.CachedFrames.drain()
+    assert(current === scratch)
+    // the chain grew ACROSS batches: 301 (batch 3) sits in 100's component
+    // via the grown index; 300 joined 201's; edge-less 101 is absent
+    assert(current(301L) === 100L && current(200L) === 100L)
+    assert(current(300L) === 201L)
+    assert(!current.contains(101L))
+    // patch discipline: batch 3's patch carries only changed/new ids —
+    // 100 and 200 were already labeled 100 and must not re-patch
+    val p2 = spark.read.parquet(s"$compsDir/patch_batch=2")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(p2 === Set(201L, 300L, 301L))
+    // replay seam: excluding the last batch's own patch reproduces the
+    // standing state its replay would probe (the pre-batch assignment)
+    val preB3 = asMap(EventStreams.currentComponents(spark, compsDir,
+      excludeBatch = Some(2L)))
+    assert(preB3 === Map(100L -> 100L, 200L -> 100L))
+  }
+
   test("vector ingestion loop: the codebook trains once at bootstrap and " +
     "freezes, batch 2's verdicts equal the admit-vs-standing law under the " +
     "persisted codebook (a copy of a batch-1 vector caught at cosine 1), " +
