@@ -247,9 +247,11 @@ class BenchSentinelSpec extends AnyFunSuite {
     val all = Bench.SharedGroups.values.flatten.toSeq
     assert(all.distinct === all) // a query must not be billed under two groups
     all.foreach(n => assert(SparkEntry.queries.contains(n), n))
-    // q68 IS the edge generator — it must pay the materialization, so it
-    // leads the graph group's measurement order
-    assert(Bench.SharedGroups("graph").head === "q68_containment")
+    // q67 IS the postings artifact (the winnow every member tracks) — it
+    // must pay that materialization, so it leads the graph group's
+    // measurement order; q68 follows as the edge-list generator
+    assert(Bench.SharedGroups("graph").take(2) ===
+      Seq("q67_winnowing", "q68_containment"))
   }
 
   test("mergeMin takes the per-query minimum across record sources") {
