@@ -81,20 +81,32 @@ object Bench {
       "q240_graph_admit_economics",
       "q251_binding_cap_admit", "q252_binding_cap_patch",
       "q249_dfcap_tradeoff"),
-    // the %5-split lshband admission face: q254 (generator) tracks the
-    // base slice's signature frame; q265's incremental-cluster pipeline
-    // tracks the SAME canonicalized sigFrame(base) plan, so the slice is
-    // signed once per rep
-    "lshadmit" -> Seq("q254_lsh_admit", "q265_incremental_components"),
     // the MinHash family: every member tracks the SAME full-corpus
     // signature checkpoint (lshPairsOn's sigFrame — the lshband index
     // family's sig table), so the corpus-wide shingle+minhash pass is
     // billed once to the generator and q131's consolidation input stops
-    // being recomputed per consumer
+    // being recomputed per consumer. Since r17 the %5-split admission
+    // face (q254, and q265's incremental-cluster pipeline) rides the
+    // same checkpoint: signing is per-document, so the split sides are
+    // tracked FILTERS of the full sig table — the gate prices the banded
+    // probe and the component maintenance, not a private 4/5 re-sign.
     "lsh" -> Seq("q27_lsh_pairs", "q107_lsh_scoreboard",
       "q131_neardup_consolidate", "q221_blocking_quality",
       "q250_blocking_pick", "q255_minhash_calibration",
-      "q259_dedup_mixture_shift"))
+      "q259_dedup_mixture_shift",
+      "q254_lsh_admit", "q265_incremental_components"),
+    // the ANN family (new in r17): the ground-truth baseline (q29 — the
+    // queries×corpus crossJoin every recall scoreboard filters), the
+    // hash-IVF candidate set (q74 — q75's hash branch, q89's hash
+    // variant) and the depth-10 ADC pass (q80's slice, q83's input,
+    // q75's pq/rerank branches) are each ONE tracked plan; generator
+    // order bills the truth to q29, the candidates to q74/q80, and the
+    // scoreboards price composition — the production contract, where
+    // truth tables and candidate sets are computed once and every
+    // evaluation reads them
+    "ann" -> Seq("q29_knn_brute", "q74_hash_ivf", "q80_pq_adc",
+      "q83_pq_rerank", "q63_ann_recall", "q75_recall_compare",
+      "q89_trained_recall"))
 
   private[graft] final case class QStat(median: Double, min: Double, max: Double,
       failures: Int)

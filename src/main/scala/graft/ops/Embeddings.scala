@@ -55,9 +55,17 @@ object Embeddings {
   }
 
 
-  /** Brute-force cosine top-k neighbours for the query set. */
+  /** Brute-force cosine top-k neighbours for the query set. The OUTPUT is
+    * tracked: this is the ann family's ground-truth artifact — six recall
+    * scoreboards (q63/q75/q89/…) filter the same plan for their truth
+    * side, so the queries×corpus crossJoin materializes once per bench
+    * rep / Verify window instead of once per consumer. */
   def q29KnnBrute(spark: SparkSession, sfDir: String,
-      cfg: AnnConfig = DefaultAnn): DataFrame = {
+      cfg: AnnConfig = DefaultAnn): DataFrame =
+    graft.CachedFrames.track(knnBruteUntracked(spark, sfDir, cfg))
+
+  private def knnBruteUntracked(spark: SparkSession, sfDir: String,
+      cfg: AnnConfig): DataFrame = {
     val e = graft.CachedFrames.track(vecs(spark, sfDir))
     val a = e.filter(col("vec_id") < cfg.knnQueryIds)
       .select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
@@ -1174,7 +1182,13 @@ object Embeddings {
     *
     * Scale shape: identical to q46 — broadcast codebook, map-side
     * top-nprobe collapse, candidate join linear in cell size. */
-  def q74HashIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Tracked output (the r17 ann-group contract, see [[q29KnnBrute]]):
+    * q75's hash branch and q89's hash variant consume this exact plan, so
+    * the hash-IVF candidate set materializes once per rep. */
+  def q74HashIvf(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CachedFrames.track(hashIvfUntracked(spark, sfDir))
+
+  private def hashIvfUntracked(spark: SparkSession, sfDir: String): DataFrame = {
     val e = graft.CachedFrames.track(vecs(spark, sfDir))
     val assigned = probeAssign(e, hashCentroids(e, HashCodebookK), nprobe = 1)
       .drop("probe_rk")
@@ -2270,7 +2284,14 @@ object Embeddings {
     * on qid, so each candidate costs M map probes instead of M broadcast
     * hash joins over the whole pair stream. */
   def q80PqAdc(spark: SparkSession, sfDir: String): DataFrame =
-    adcRanked(spark, sfDir, depth = 3)
+    // the rk ≤ 3 slice of ONE tracked depth-[[RerankDepth]] ADC pass —
+    // identical rows to a private depth-3 pass (same window, same
+    // (adc, cand_id) total order; the argument q75's scaladoc has always
+    // made and the oracle composes verbatim), but the pass is now the
+    // same canonical plan q83 and q75 track, so the ann bench group
+    // materializes the ADC stage once for all three
+    graft.CachedFrames.track(adcRanked(spark, sfDir, RerankDepth))
+      .filter(col("rk") <= 3)
       .select(col("qid"), col("cand_id"), col("rk"), col("adc"))
 
   /** The ADC candidate generator shared by q80 (top-3 direct) and q83
@@ -2349,7 +2370,10 @@ object Embeddings {
     * does from the id-keyed store; everything upstream touches codes only. */
   def q83PqRerank(spark: SparkSession, sfDir: String): DataFrame = {
     val e = graft.CachedFrames.track(vecs(spark, sfDir))
-    rerankStage(e, adcRanked(spark, sfDir, RerankDepth))
+    // tracked: the same canonical depth-10 ADC pass q80 slices and q75
+    // composes (the ann group's shared candidate artifact)
+    rerankStage(e, graft.CachedFrames.track(
+      adcRanked(spark, sfDir, RerankDepth)))
   }
 
   /** The exact re-rank over an [[adcRanked]] candidate frame: fetch just
