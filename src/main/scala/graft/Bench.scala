@@ -105,7 +105,8 @@ object Bench {
     // truth tables and candidate sets are computed once and every
     // evaluation reads them
     "ann" -> Seq("q29_knn_brute", "q74_hash_ivf", "q80_pq_adc",
-      "q83_pq_rerank", "q63_ann_recall", "q75_recall_compare",
+      "q83_pq_rerank", "q46_ivf_ann", "q60_ivf_multiprobe",
+      "q55_kmeans_refine", "q63_ann_recall", "q75_recall_compare",
       "q89_trained_recall"))
 
   private[graft] final case class QStat(median: Double, min: Double, max: Double,

@@ -268,9 +268,15 @@ object Embeddings {
       .select(col("vec_id"), col("label"), col("v"), col("nrm"),
         col("bc.cell").as("cell"), (col("pidx") + 1).cast("int").as("probe_rk")))
 
-  /** Home-cell (nprobe=1) assignment: (vec_id, label, v, nrm, cell). */
+  /** Home-cell assignment: (vec_id, label, v, nrm, cell) — the
+    * probe_rk = 1 slice of the ONE tracked nprobe=[[DefaultAnn.nprobe]]
+    * assignment pass (identical rows to a private nprobe=1 pass: the home
+    * cell is the same first element of the same (d2, cell)-sorted slice —
+    * the identity q75's single-vs-multi composition has always relied
+    * on), so q46/q55/q60/q75 all share one canonical assignment plan. */
   private def assignedCells(spark: SparkSession, sfDir: String): DataFrame =
-    probedCells(spark, sfDir, nprobe = 1).drop("probe_rk")
+    probedCells(spark, sfDir, nprobe = DefaultAnn.nprobe)
+      .filter(col("probe_rk") === 1).drop("probe_rk")
 
   /** q55: one deterministic Lloyd (k-means) refinement of the IVF coarse
     * quantizer — reassign every vector to its nearest current centroid
@@ -290,7 +296,12 @@ object Embeddings {
         (col("fx").cast("double") / lit(1e12)).as("sum_x"),
         (col("fx").cast("double") / lit(1e12) / col("n").cast("double")).as("mean_x"))
 
-  def q46IvfAnn(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Tracked output (the r17 ann-group contract, see [[q29KnnBrute]]):
+    * q63's recall join consumes this exact plan. */
+  def q46IvfAnn(spark: SparkSession, sfDir: String): DataFrame =
+    graft.CachedFrames.track(ivfAnnUntracked(spark, sfDir))
+
+  private def ivfAnnUntracked(spark: SparkSession, sfDir: String): DataFrame = {
     val assigned = assignedCells(spark, sfDir)
     // probe: queries search only their own cell
     val q = assigned.filter(col("vec_id") < DefaultAnn.knnQueryIds)
