@@ -3671,14 +3671,17 @@ object TextOps {
     val deg = graft.CachedFrames.track(
       edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     val nn = deg.agg(count(lit(1)).as("nn"))
-    val degN = deg.select(col("src").as("node"), col("deg"))
+    // deg rides the (cached) edge artifact: each round then needs ONE
+    // src-keyed join + one dst rollup instead of re-attaching deg to the
+    // rank frame per round — same integer contribution r DIV deg per edge,
+    // same order-insensitive sum, so the rounds are value-identical
+    val edgesD = graft.CachedFrames.track(edges.join(deg, Seq("src")))
     var rk = deg.select(col("src").as("node")).crossJoin(broadcast(nn))
       .select(col("node"), col("nn"), expr(s"$s DIV nn").as("r"))
     for (_ <- 1 to PageRankRounds) {
-      val contrib = rk.join(degN, Seq("node"))
-        .select(col("node").as("src"), expr("r DIV deg").as("c"))
-      val inSum = edges.join(contrib, Seq("src"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("in_c"))
+      val inSum = edgesD
+        .join(rk.select(col("node").as("src"), col("r")), Seq("src"))
+        .groupBy(col("dst")).agg(sum(expr("r DIV deg")).as("in_c"))
         .select(col("dst").as("node"), col("in_c"))
       rk = rk.drop("r").join(inSum, Seq("node"))
         .select(col("node"), col("nn"),
@@ -4151,13 +4154,15 @@ object TextOps {
     val wdeg = graft.CachedFrames.track(
       edges.groupBy(col("src")).agg(sum(col("w_uv")).as("wsum")))
     val nn = wdeg.agg(count(lit(1)).as("nn"))
+    // wsum rides the (cached) edge artifact — the q127 deg-carry: one
+    // src-keyed join + one dst rollup per round, value-identical
+    // contributions (r * w_uv) DIV wsum
+    val edgesW = graft.CachedFrames.track(edges.join(wdeg, Seq("src")))
     var rk = wdeg.select(col("src").as("node")).crossJoin(broadcast(nn))
       .select(col("node"), col("nn"), expr(s"$s DIV nn").as("r"))
     for (_ <- 1 to TextRankRounds) {
-      val contrib = rk
-        .join(wdeg.select(col("src").as("node"), col("wsum")), Seq("node"))
-        .select(col("node").as("src"), col("r"), col("wsum"))
-      val inSum = edges.join(contrib, Seq("src"))
+      val inSum = edgesW
+        .join(rk.select(col("node").as("src"), col("r")), Seq("src"))
         .select(col("dst"), expr("(r * w_uv) DIV wsum").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_c"))
         .select(col("dst").as("node"), col("in_c"))
