@@ -104,6 +104,28 @@ object Bench {
     // scoreboards price composition — the production contract, where
     // truth tables and candidate sets are computed once and every
     // evaluation reads them
+    // the QUALITY family (new in r17): every member derives from the ONE
+    // canonical tracked scored-documents plan (TextOps.qualityScored — the
+    // regex/stopword kernel over the parallelized raw table), so the
+    // kernel runs once per rep for all 16; the exact-dup subfamily
+    // additionally shares the canonical digest rollup
+    // (qualityDigestCounts, billed to q167) and the (q, doc_id) rank
+    // layout (dupLabeledRanked, billed to q176). Generator q22 is the
+    // scored artifact itself. At 100 TB this is the "score once, read the
+    // scored artifact" contract a curation pipeline runs anyway.
+    "quality" -> Seq("q22_quality_score", "q103_quality_tradeoff",
+      "q116_curriculum", "q90_domain_cap", "q129_quantile_normalize",
+      "q227_quality_length_pearson", "q237_sampling_deff",
+      "q204_quality_qq", "q188_quality_ks", "q173_spearman",
+      "q201_rank_copula", "q167_score_auc", "q185_score_ap",
+      "q176_calibration", "q239_brier_calibration", "q241_dup_trend"),
+    // the ADMISSION family (new in r17): q78's verdict frame is tracked
+    // (codebook train + both assignments + the cell-candidate join run
+    // once), q264 is its 1-row economics rollup and q104's semantic leg
+    // embeds it verbatim — the production contract, where per-batch
+    // admission verdicts are computed once and every report reads them
+    "admission" -> Seq("q78_embedding_admission",
+      "q264_vector_admit_economics", "q104_joint_admission"),
     "ann" -> Seq("q29_knn_brute", "q74_hash_ivf", "q80_pq_adc",
       "q83_pq_rerank", "q46_ivf_ann", "q60_ivf_multiprobe",
       "q55_kmeans_refine", "q63_ann_recall", "q75_recall_compare",

@@ -1791,12 +1791,18 @@ object Embeddings {
       .groupBy(col("bid"))
       .agg(min(when(col("cos") >= AdmitCosTau, col("cid"))).as("match_id"),
         max(col("cos")).as("best_cos"))
-    batch.select(col("vec_id"))
+    // r17: the verdict frame is TRACKED — q104's semantic leg and q264's
+    // economics rollup embed this exact plan, so within a shared-group rep
+    // (Bench "admission" group) or concurrent Verify threads the codebook
+    // train + both assignments run ONCE and the consumers read the
+    // batch-sized verdicts (the production contract: admission verdicts
+    // are computed once per batch and every downstream report reads them)
+    graft.CachedFrames.track(batch.select(col("vec_id"))
       .join(verdicts.withColumnRenamed("bid", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"),
         when(col("match_id").isNotNull, lit("dup_semantic"))
           .otherwise(lit("new")).as("verdict"),
-        col("match_id"), col("best_cos"))
+        col("match_id"), col("best_cos")))
   }
 
   val q78EmbeddingAdmissionSql: String = s"""

@@ -2072,17 +2072,20 @@ object Events {
       .agg(count(lit(1)).as("k"), expr(
         """aggregate(transform(sort_array(collect_list(struct(t, term))),
           |  x -> x.term), 0.0D, (a, x) -> a + x)""".stripMargin).as("s"))
+    // r17: ONE ties broadcast — cnum/cden are functions of the same (n,
+    // tie_term) row the h leg already carries, so the second broadcast
+    // barrier the old plan paid was pure overhead (identical expressions,
+    // identical values)
     folded.crossJoin(broadcast(ties))
       .select(col("n").as("n_total"), col("k").as("n_groups"),
         col("tie_term").cast("double").as("tie_term"),
         (lit(12.0) * col("s")
           / (d38(col("n")) * (d38(col("n")) + 1)).cast("double")
-          - lit(3.0) * (col("n") + 1).cast("double")).as("h"))
-      .crossJoin(broadcast(ties.select(
+          - lit(3.0) * (col("n") + 1).cast("double")).as("h"),
         ((d38(col("n")) * d38(col("n")) * d38(col("n")) - d38(col("n"))
           - col("tie_term"))).as("cnum"),
         (d38(col("n")) * d38(col("n")) * d38(col("n")) - d38(col("n")))
-          .as("cden"))))
+          .as("cden"))
       .select(col("n_total"), col("n_groups"), col("tie_term"), col("h"),
         when(col("cnum") > 0,
           col("h") / (col("cnum").cast("double")
@@ -2912,8 +2915,7 @@ object Events {
   """
 
   def q237SamplingDeff(spark: SparkSession, sfDir: String): DataFrame =
-    anovaOfGroups(graft.ops.TextOps.withQualityStats(
-      Tables.parallelized(Tables(spark, sfDir, "documents")))
+    anovaOfGroups(graft.ops.TextOps.qualityScored(spark, sfDir)
       .select(col("source").as("g"),
         expr("CAST(floor(quality_score * 1000000000.0D + 0.5D) AS BIGINT)")
           .as("c")))

@@ -102,25 +102,32 @@ object Profiling {
     * `percentile` ↔ `quantile_cont` pair q35 already pins cross-engine.
     *
     * Scale caveat (the honest row in this file's ledger): exact
-    * `percentile` buffers each group's values — fine for a profile of
-    * bounded measure columns, wrong for arbitrary cardinality; a 100 TB
-    * profiler swaps it for `approx_percentile` exactly as q105's approx
-    * face swaps exact distinct for HLL. Everything else here is
-    * constant-state per column. */
+    * `percentile` buffers each group's DISTINCT values — r17: the scan
+    * first collapses to (col_name, x, cnt) in a codegen hash aggregate
+    * and the median is `percentile(x, 0.5, cnt)`, whose internal state
+    * is the very value→count map the per-row form builds, so the result
+    * is bit-identical while the non-codegen ObjectHashAggregate sees
+    * |distinct| rows instead of the raw unpivot, and the moment sums run
+    * whole-stage-codegen over the collapsed counts (Σ floor(x·s)·cnt ≡
+    * the per-row Σ exactly — integer × count). Still wrong for arbitrary
+    * cardinality; a 100 TB profiler swaps it for `approx_percentile`
+    * exactly as q105's approx face swaps exact distinct for HLL. */
   def q109NumericProfile(spark: SparkSession, sfDir: String): DataFrame = {
     val df = Tables(spark, sfDir, "lineitem")
     val stackArgs = NumericCols.map(c => s"'$c', `$c`").mkString(", ")
     df.select(expr(s"stack(${NumericCols.length}, $stackArgs) AS (col_name, x)"))
+      .groupBy(col("col_name"), col("x"))
+      .agg(count(lit(1)).as("cnt"))
       .groupBy(col("col_name"))
       .agg(
-        count(lit(1)).as("n"),
-        sum(expr("CAST(floor(x * 1e12) AS DECIMAL(38,0))")).as("fx"),
+        sum(col("cnt")).as("n"),
+        sum(expr("CAST(floor(x * 1e12) AS DECIMAL(38,0)) * cnt")).as("fx"),
         // x² is quantized at 1e6, not 1e12: Spark's floor(double) returns
         // BIGINT, and (1e5)²·1e12 ≈ 1e22 would overflow it — at 1e6 the
         // largest measure column stays under 2^63 while the variance keeps
         // 1e-6 absolute precision on E[x²], identical in both engines
-        sum(expr("CAST(floor(x * x * 1e6) AS DECIMAL(38,0))")).as("fx2"),
-        expr("percentile(x, 0.5)").as("p50"),
+        sum(expr("CAST(floor(x * x * 1e6) AS DECIMAL(38,0)) * cnt")).as("fx2"),
+        expr("percentile(x, 0.5D, cnt)").as("p50"),
         min(col("x")).as("min_x"),
         max(col("x")).as("max_x"))
       .withColumn("mean_x",

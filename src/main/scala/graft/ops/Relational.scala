@@ -1366,10 +1366,13 @@ object Relational {
     * total order; cell arithmetic is the grid core's exact
     * DECIMAL(38,0)/HUGEINT single divisions.
     *
-    * Scale shape: ONE (custkey, year) map-side rollup; each year slice
-    * gets an ungrouped bucketed [[DistRank]] layout (no single-partition
-    * sort); one custkey-keyed equi-join; the grid is ≤100 label-space
-    * cells. */
+    * Scale shape: ONE (custkey, year) map-side rollup; the two year
+    * slices rank in ONE grouped bucketed [[DistRank]] layout (group =
+    * year axis — r17: the two separate ungrouped layouts each paid their
+    * own bounds/offsets barriers; the per-slice ranks are unchanged
+    * because the group key IS the slice and each slice keeps its OWN
+    * roster count for the ntile cut); one custkey pivot rollup replaces
+    * the custkey equi-join; the grid is ≤100 label-space cells. */
   def q223SpendMobility(spark: SparkSession, sfDir: String): DataFrame =
     spendMobilityOn(Tables(spark, sfDir, "orders"))
 
@@ -1384,17 +1387,24 @@ object Relational {
       .groupBy(col("o_custkey"), col("yr"))
       .agg(sum(col("cents")).as("spend")))
     val yc = sp.agg(max(col("yr")).as("yc"))
-    def deciled(offset: Int, name: String): DataFrame = {
-      val one = sp.crossJoin(broadcast(yc))
-        .filter(col("yr") === col("yc") - offset)
-        .select(col("o_custkey"), (-col("spend")).as("negsp"))
-      val n1 = one.agg(count(lit(1)).as("n"))
-      DistRank.withBucketedRank(one, Seq(), "negsp", Seq("o_custkey"), "_r")
-        .crossJoin(broadcast(n1))
-        .select(col("o_custkey"), DistRank.ntileOfRank("_r", "n", 10).as(name))
-    }
+    // axis 0 = previous year, axis 1 = current year; each axis's decile is
+    // ntile over that axis's OWN roster (per-axis n joined back by axis)
+    val two = sp.crossJoin(broadcast(yc))
+      .filter(col("yr") === col("yc") || col("yr") === col("yc") - 1)
+      .select(when(col("yr") === col("yc"), 1).otherwise(0).as("_axis"),
+        col("o_custkey"), (-col("spend")).as("negsp"))
+    val ns = two.groupBy(col("_axis")).agg(count(lit(1)).as("n"))
+      .select(col("_axis").as("_nax"), col("n"))
+    val deciles = DistRank.withBucketedRank(two, Seq("_axis"), "negsp",
+        Seq("o_custkey"), "_r")
+      .join(broadcast(ns), col("_axis") === col("_nax"))
+      .withColumn("_d", DistRank.ntileOfRank("_r", "n", 10))
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("_axis") === 0, col("_d"))).as("decile_prev"),
+        max(when(col("_axis") === 1, col("_d"))).as("decile_curr"))
     Curation.contingencyGridOn(
-      deciled(1, "decile_prev").join(deciled(0, "decile_curr"), "o_custkey")
+      deciles
+        .filter(col("decile_prev").isNotNull && col("decile_curr").isNotNull)
         .select(col("decile_prev"), col("decile_curr")),
       "decile_prev", "decile_curr")
   }
@@ -1881,10 +1891,14 @@ object Relational {
     * (ties to the lower custkey, pinned both engines); per-cell counts
     * and spend sums exact; spend_share is one exact-cast division.
     *
-    * Scale shape: ONE per-customer rollup (map-side combinable), THREE
-    * ungrouped bucketed [[DistRank]] layouts over it (the q223 two-layout
-    * precedent, one more axis), two custkey equi-joins, a ≤5³-cell
-    * label-space rollup riding one broadcast total. */
+    * Scale shape: ONE per-customer rollup (map-side combinable), then ONE
+    * grouped bucketed [[DistRank]] layout over the 3-axis unpivot (group =
+    * axis — r17: the three separate ungrouped layouts each paid their own
+    * bounds/offsets barriers and rank exchange; stacking the axes ranks
+    * all three in a single window pass over 3n rows, and per-axis ranks
+    * are unchanged because the group key IS the axis), one custkey pivot
+    * rollup, one custkey equi-join, a ≤5³-cell label-space rollup riding
+    * one broadcast total. */
   def q243RfmSegments(spark: SparkSession, sfDir: String): DataFrame =
     rfmSegmentsOn(Tables(spark, sfDir, "orders"))
 
@@ -1903,17 +1917,21 @@ object Relational {
         datediff(col("gd"), col("last_d")).cast("long").as("recency"),
         col("freq"), col("cents")))
     val n = base.agg(count(lit(1)).as("n"))
-    def quintiled(ord: String, name: String): DataFrame =
-      DistRank.withBucketedRank(
-          base.select(col("o_custkey"), expr(ord).as("_k")),
-          Seq(), "_k", Seq("o_custkey"), "_r")
-        .crossJoin(broadcast(n))
-        .select(col("o_custkey"),
-          DistRank.ntileOfRank("_r", "n", RfmBuckets).as(name))
+    // all three axes are exact BIGINTs, so one stacked long column keeps
+    // the integral bucket path; every customer appears once per axis, so
+    // the conditional-max pivot is a deterministic 1-of-1 pick
+    val axes = base.select(col("o_custkey"), expr(
+      "stack(3, 0, recency, 1, -freq, 2, -cents) AS (_axis, _k)"))
+    val quintiles = DistRank.withBucketedRank(axes, Seq("_axis"), "_k",
+        Seq("o_custkey"), "_r")
+      .crossJoin(broadcast(n))
+      .withColumn("_q", DistRank.ntileOfRank("_r", "n", RfmBuckets))
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("_axis") === 0, col("_q"))).as("r_q"),
+        max(when(col("_axis") === 1, col("_q"))).as("f_q"),
+        max(when(col("_axis") === 2, col("_q"))).as("m_q"))
     val seg = base
-      .join(quintiled("recency", "r_q"), "o_custkey")
-      .join(quintiled("-freq", "f_q"), "o_custkey")
-      .join(quintiled("-cents", "m_q"), "o_custkey")
+      .join(quintiles, "o_custkey")
       .groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("cents")).as("segment_spend_cents"))

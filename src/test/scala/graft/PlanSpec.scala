@@ -259,13 +259,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     "the whole grid rides as conditional agg columns") {
     val p = finalPlan("q103_quality_tradeoff")
     // per-threshold counts are conditional columns of a single partial+final
-    // aggregate over one documents scan; the unpivot and fractions are
-    // driver-trivial projections of the 1-row result
+    // aggregate over ONE scan — since r17 the scan is the shared
+    // qualityScored cache (full document schema on purpose: 15 quality-
+    // family queries slice the same tracked artifact), still read once
     assert(nodes(p, "HashAggregate") == 2, p)
     assert(p.contains("partial_count"), p)
     assert(nodes(p, "BroadcastHashJoin") == 0, p)
     assert(nodes(p, "SortMergeJoin") == 0, p)
-    assert("ReadSchema: struct<text:string".r.findAllIn(p).size == 1, p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan In-memory"), p)
   }
 
   test("q102_cohort_retention: one user-keyed exchange; cells and sizes " +
@@ -324,7 +326,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "HashAggregate") == 0, p)
     assert(nodes(p, "Sort") == 0 && nodes(p, "Window") == 0, p)
     assert(nodes(p, "Exchange") == 1, p) // Tables.parallelized only
-    assert(p.contains("struct<doc_id:bigint,text:string>"), p)
+    // since r17 the banding projects the shared qualityScored cache (full
+    // document schema, one FileScan inside the cached plan)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan In-memory"), p)
   }
 
   test("q114_bloom_decontam: bitmap and exact set broadcast; corpus grams never sort-merge") {
@@ -447,10 +452,11 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // per source BEFORE the exchange; the Final pass ranks survivors only
     assert(p.contains("row_number(), 10, Partial"), p)
     assert(p.contains("row_number(), 10, Final"), p)
-    assert(nodes(p, "Exchange") == 1, p)
+    // since r17 the input is the shared qualityScored cache: its plan
+    // carries the scan-right-sizing repartition, plus the window exchange
+    assert(nodes(p, "Exchange") == 2, p)
     assert("FileScan parquet".r.findAllIn(p).size == 1, p)
-    // scan prunes to the 3 needed columns (doc_id, text, source)
-    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"), p)
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan In-memory"), p)
   }
 
   test("q91_keep_best: winner + size in one map-side-combined aggregate, no window buffering") {
@@ -704,9 +710,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // offsets and sizes broadcast back; nothing sort-merges
     assert(nodes(p, "BroadcastHashJoin") >= 3, p)
     assert(nodes(p, "SortMergeJoin") == 0, p)
-    // scan pruning: only the three needed document columns are read
-    assert("ReadSchema: struct<doc_id:bigint,text:string,source:string".r
-      .findFirstIn(p).isDefined, p)
+    // since r17 the scored projection reads the shared qualityScored
+    // cache (one FileScan, full document schema, inside the cached plan)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan In-memory"), p)
   }
 
   test("q134_rfm_segments: every rank window is bucket-partitioned — no " +
@@ -979,7 +986,11 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // bucketing + the engine's local and offsets passes); a second engine
     // (the pre-pack shape) pushes this to 5+
     assert(hashExchanges(p, "_bkt") <= 3, p)
-    assert(nodes(p, "ReusedExchange") >= 1, p)
+    // branch dedup: pre-r17 the offsets branch rode ReusedExchange; the
+    // shared qualityDigestCounts/ranked caches now carry that reuse as
+    // TableCacheQueryStage reads (same sharing, cache-mediated)
+    assert(nodes(p, "ReusedExchange") >= 1
+      || p.contains("TableCacheQueryStage") || p.contains("InMemoryTableScan"), p)
     val lines = p.linesIterator.toVector
     lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
       .foreach { case (_, i) =>
@@ -1015,7 +1026,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("windowspecdefinition(_bkt"), p)
     // ≤3 _bkt exchanges = one packed engine (see the q185 pin)
     assert(hashExchanges(p, "_bkt") <= 3, p)
-    assert(nodes(p, "ReusedExchange") >= 1, p)
+    // branch dedup rides the shared qualityScored cache since r17 (see
+    // the q185 pin's comment)
+    assert(nodes(p, "ReusedExchange") >= 1
+      || p.contains("TableCacheQueryStage") || p.contains("InMemoryTableScan"), p)
     assert(nodes(p, "CartesianProduct") == 0, p)
     assert(p.contains("partial_sum"), p)
   }
@@ -1135,11 +1149,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       + nodes(p, "BroadcastHashJoin") == 1, p) // the one doc-keyed join
   }
 
-  test("q173_spearman: both rank passes run bucketed (no global-ORDER " +
-      "window), single-partition exchanges are partial-agg funnels only") {
+  test("q173_spearman: both axes rank in ONE grouped bucketed layout (no " +
+      "global-ORDER window), single-partition exchanges are partial-agg " +
+      "funnels only") {
     val p = finalPlan("q173_spearman")
     assert(!p.contains("windowspecdefinition(ORDER BY"), p)
-    assert(p.contains("windowspecdefinition(_bkt"), p)
+    assert(p.contains("windowspecdefinition(_axis"), p)
     val lines = p.linesIterator.toVector
     lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
       .foreach { case (_, i) =>
@@ -1205,12 +1220,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(nodes(p, "CartesianProduct") == 0, p)
   }
 
-  test("q243_rfm_segments: all three quintile cuts rank bucketed (no " +
-      "global-ORDER window anywhere in the full plan), segment rollup " +
-      "funnels partial aggs, no cartesian") {
+  test("q243_rfm_segments: all three quintile cuts rank in ONE grouped " +
+      "bucketed layout (no global-ORDER window anywhere in the full " +
+      "plan), segment rollup funnels partial aggs, no cartesian") {
     val (p, full) = finalAndFull("q243_rfm_segments")
     assert(!full.contains("windowspecdefinition(ORDER BY"), full.take(4000))
-    assert(full.contains("windowspecdefinition(_bkt"), full.take(4000))
+    assert(full.contains("windowspecdefinition(_axis"), full.take(4000))
     assert(full.contains("partial_count"), full.take(4000))
     assert(nodes(p, "CartesianProduct") == 0, p)
   }
@@ -1553,11 +1568,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
-  test("q201_rank_copula: both decile cuts rank bucketed (no global-ORDER " +
-      "window), the grid is broadcast-sided, no cartesian") {
+  test("q201_rank_copula: both decile cuts rank in ONE grouped bucketed " +
+      "layout (no global-ORDER window), the grid is broadcast-sided, no " +
+      "cartesian") {
     val p = finalPlan("q201_rank_copula")
     assert(!p.contains("windowspecdefinition(ORDER BY"), p)
-    assert(p.contains("windowspecdefinition(_bkt"), p)
+    assert(p.contains("windowspecdefinition(_axis"), p)
     assert(nodes(p, "CartesianProduct") == 0, p)
   }
 
@@ -1588,12 +1604,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
-  test("q223_spend_mobility: both year deciles rank bucketed (no " +
-      "global-ORDER window), the grid is broadcast label-space, no " +
-      "cartesian") {
+  test("q223_spend_mobility: both year deciles rank in ONE grouped " +
+      "bucketed layout (no global-ORDER window), the grid is broadcast " +
+      "label-space, no cartesian") {
     val p = finalPlan("q223_spend_mobility")
     assert(!p.contains("windowspecdefinition(ORDER BY"), p)
-    assert(p.contains("windowspecdefinition(_bkt"), p)
+    assert(p.contains("windowspecdefinition(_axis"), p)
     assert(nodes(p, "CartesianProduct") == 0, p)
   }
 
