@@ -2242,23 +2242,31 @@ object Relational {
 
   /** The estimator core over ANY single-double-column frame `x`. */
   private[graft] def histogramQuantilesOn(xs: DataFrame): DataFrame = {
-    val x = graft.CachedFrames.track(xs)
+    // r18: ONE raw pass — collapse to the (x, cnt) value→count map first
+    // (whole-stage-codegen hash aggregate, map-side combinable); min/max/n,
+    // the bin rollup and the exact percentile then read |distinct| rows
+    // instead of re-scanning the raw values three times. The exact side's
+    // non-codegen ObjectHashAggregate receives the very value→count map
+    // its per-row form would have built internally (`percentile(x, ps,
+    // cnt)` — the q109 precedent), so every output is bit-identical.
+    val x = graft.CachedFrames.track(
+      xs.groupBy(col("x")).agg(count(lit(1)).as("cnt")))
     val mm = graft.CachedFrames.track(x.agg(min(col("x")).as("lo"),
-      max(col("x")).as("hi"), count(lit(1)).as("n")))
+      max(col("x")).as("hi"), coalesce(sum(col("cnt")), lit(0L)).as("n")))
     val nb = lit(HistQBins)
     val binned = x.crossJoin(broadcast(mm))
       .select(when((col("hi") - col("lo")) > 0,
           least(floor((col("x") - col("lo"))
             / ((col("hi") - col("lo")) / nb.cast("double"))),
             lit(HistQBins - 1).cast("double")))
-        .otherwise(lit(0.0)).cast("long").as("b"))
-      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+        .otherwise(lit(0.0)).cast("long").as("b"), col("cnt"))
+      .groupBy(col("b")).agg(sum(col("cnt")).as("c"))
     val cum = binned.alias("a")
       .join(binned.alias("o"), col("o.b") <= col("a.b"))
       .groupBy(col("a.b").as("b"), col("a.c").as("c"))
       .agg(sum(col("o.c")).as("cum"))
     val exact = x.agg(
-      expr(s"percentile(x, array(${HistQPs.mkString(", ")}))").as("ex"))
+      expr(s"percentile(x, array(${HistQPs.mkString(", ")}), cnt)").as("ex"))
     val ps = mm.select(col("lo"), col("hi"), col("n"),
         posexplode(typedLit(HistQPs)).as(Seq("pi", "p")))
       .select(col("pi"), col("p"), col("lo"), col("hi"),

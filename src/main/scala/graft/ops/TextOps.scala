@@ -3717,7 +3717,12 @@ object TextOps {
         .join(rk.select(col("node").as("src"), col("r")), Seq("src"))
         .groupBy(col("dst")).agg(sum(expr("r DIV deg")).as("in_c"))
         .select(col("dst").as("node"), col("in_c"))
-      rk = rk.drop("r").join(inSum, Seq("node"))
+      // r18: no join-back to the previous rank frame — the edges are
+      // SYMMETRIZED, so every ranked node (deg key) has ≥1 incoming edge
+      // and inSum's node set IS rk's node set every round; re-attaching
+      // nn via the 1-row broadcast replaces a node-keyed join + exchange
+      // per round with zero extra shuffles (value-identical rows)
+      rk = inSum.crossJoin(broadcast(nn))
         .select(col("node"), col("nn"),
           expr(s"(15 * $s) DIV (100 * nn) + (85 * in_c) DIV 100").as("r"))
     }
@@ -4138,7 +4143,7 @@ object TextOps {
   /** q146 tuning: co-occurrence support cut / damped rounds / fixed-point
     * scale / keywords kept. */
   private[ops] val TextRankMinSupport = 3
-  private[ops] val TextRankRounds = 3
+  private[graft] val TextRankRounds = 3
   private[ops] val TextRankScale = 1000000000000L
   private[ops] val TextRankTopK = 50
 
@@ -4200,7 +4205,10 @@ object TextOps {
         .select(col("dst"), expr("(r * w_uv) DIV wsum").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_c"))
         .select(col("dst").as("node"), col("in_c"))
-      rk = rk.drop("r").join(inSum, Seq("node"))
+      // r18: same as q127 — symmetric edges make inSum's node set equal
+      // rk's, so the per-round node-keyed join-back is replaced by the
+      // 1-row nn broadcast (value-identical rows, one less join/round)
+      rk = inSum.crossJoin(broadcast(nn))
         .select(col("node"), col("nn"),
           expr(s"(15 * $s) DIV (100 * nn) + (85 * in_c) DIV 100").as("r"))
     }

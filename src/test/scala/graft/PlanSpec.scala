@@ -878,7 +878,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val p = finalPlan("q146_textrank")
     assert(nodes(p, "CartesianProduct") == 0, p)
     assert(p.contains("partial_count") && p.contains("partial_sum"), p)
-    assert(nodes(p, "BroadcastNestedLoopJoin") == 1, p) // the 1-row nn
+    // the 1-row nn broadcast (r18: each round re-attaches nn via the
+    // broadcast instead of a node-keyed join-back to the previous rank
+    // frame — earlier rounds' broadcasts sit inside materialized
+    // ShuffleQueryStages the final-plan section hides, so count ≥ 1 and
+    // pin the ABSENCE of any shuffled join, which is what the join-back
+    // used to be)
+    assert(nodes(p, "BroadcastNestedLoopJoin") >= 1, p)
+    assert(nodes(p, "SortMergeJoin") == 0 &&
+      nodes(p, "ShuffledHashJoin") == 0, p)
     assert(nodes(p, "TakeOrderedAndProject") == 1, p)
     assert(nodes(p, "Window") == 0 && nodes(p, "Generate") == 1, p)
   }
