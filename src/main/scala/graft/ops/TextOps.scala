@@ -3709,6 +3709,10 @@ object TextOps {
     // src-keyed join + one dst rollup instead of re-attaching deg to the
     // rank frame per round — same integer contribution r DIV deg per edge,
     // same order-insensitive sum, so the rounds are value-identical
+    // (r18 negative result, measured: repartitioning this to graph size +
+    // localCheckpoint LOST ~0.4 s — the rounds' BHJ scans of the cached
+    // frame are cheaper than the extra eager exchange; kCore wins from
+    // the same move only because its frame was already checkpointed)
     val edgesD = graft.CachedFrames.track(edges.join(deg, Seq("src")))
     var rk = deg.select(col("src").as("node")).crossJoin(broadcast(nn))
       .select(col("node"), col("nn"), expr(s"$s DIV nn").as("r"))
@@ -4195,7 +4199,8 @@ object TextOps {
     val nn = wdeg.agg(count(lit(1)).as("nn"))
     // wsum rides the (cached) edge artifact — the q127 deg-carry: one
     // src-keyed join + one dst rollup per round, value-identical
-    // contributions (r * w_uv) DIV wsum
+    // contributions (r * w_uv) DIV wsum (r18 negative result: the
+    // graph-sized checkpoint variant lost ~1.5 s here — see pagerankOn)
     val edgesW = graft.CachedFrames.track(edges.join(wdeg, Seq("src")))
     var rk = wdeg.select(col("src").as("node")).crossJoin(broadcast(nn))
       .select(col("node"), col("nn"), expr(s"$s DIV nn").as("r"))
@@ -4796,6 +4801,16 @@ object TextOps {
       .select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .localCheckpoint()
+    // size the peeling rounds to the GRAPH, not the session default (the
+    // connectedComponents precedent): the edge list is far smaller than
+    // the corpus that produced it, and per-round scheduling of
+    // default-parallelism tasks dominates once partitions are tiny.
+    // count() is a cheap scan of the just-checkpointed frame; the peel is
+    // partitioning-invariant, so rows are identical.
+    val parallelism = math.max(1, math.min(
+      pairs.sparkSession.sparkContext.defaultParallelism,
+      (edges.count() / 500000L).toInt + 1))
+    edges = edges.repartition(parallelism, col("src")).localCheckpoint()
     for (_ <- 1 to KCoreRounds) {
       val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= KCoreK)
