@@ -207,6 +207,28 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(Bench.parseQueryMedians("not json at all") === Map.empty)
   }
 
+  test("parseQueryMedians reads the r18 field order (min/max maps BEFORE " +
+      "the medians, summary fields last) without matching queries_min") {
+    // the r18 emission layout: the driver wrapper keeps only a 2000-char
+    // TAIL of the line, so the medians map prints directly before the
+    // {failures, contended, metric, unit, value, sf} summary — and the
+    // regex must skip the queries_min/queries_max maps that now precede it
+    val line = """{"reps":3,"remeasured":[],"drift":{},""" +
+      """"queries_min":{"q1_agg":0.40,"q47_range_join":0.50},""" +
+      """"queries_max":{"q1_agg":0.60,"q47_range_join":0.70},""" +
+      """"queries":{"q1_agg":0.510000,"q47_range_join":0.550000},""" +
+      """"failures":{},"contended":false,""" +
+      """"metric":"total","unit":"sec","value":1.06,"sf":"sf0.1"}"""
+    assert(Bench.parseQueryMedians(line) ===
+      Map("q1_agg" -> 0.51, "q47_range_join" -> 0.55))
+    // a truncated TAIL of that line (the wrapper's 2000-char window) still
+    // carries parseable medians plus the headline value
+    val tail = line.substring(line.indexOf(""""queries":"""))
+    assert(Bench.parseQueryMedians("{" + tail) ===
+      Map("q1_agg" -> 0.51, "q47_range_join" -> 0.55))
+    assert(tail.contains(""""value":"""))
+  }
+
   test("parseQueryMedians reads the driver wrapper's escaped, truncated tail") {
     // the r5 failure mode's sibling: the driver stores the bench line
     // ESCAPED inside a "tail" string that may be cut off mid-object
